@@ -1,0 +1,477 @@
+"""Compile expression ASTs to `pyspark.sql.Column` graphs.
+
+Dialect translations (SURVEY §2.8; reference eval rules at
+src/framequery/executor/_pandas.py:340-497):
+  - `^` is POWER (pg), not XOR           -> F.pow
+  - `#` is XOR (pg)                      -> bitwiseXOR
+  - `||` null-propagating concat         -> F.concat
+  - `concat()` null-ignoring             -> F.concat_ws('')  (registry)
+  - `IN`/`LIKE`/`CASE`/`CAST`/`::`       -> native Column ops
+Everything compiles to built-in JVM expressions — Python UDFs only appear for
+user-registered functions (Executor.add_function), as Arrow pandas_udfs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.registry import REGISTRY
+from ..parser import ast
+
+AGG_MAP = {
+    "sum": lambda c: F.sum(c),
+    "avg": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "count": lambda c: F.count(c),
+    "every": lambda c: F.bool_and(c),
+    "bool_and": lambda c: F.bool_and(c),
+    "any": lambda c: F.bool_or(c),
+    "some": lambda c: F.bool_or(c),
+    "bool_or": lambda c: F.bool_or(c),
+    "stddev": lambda c: F.stddev_samp(c),
+    "stddev_samp": lambda c: F.stddev_samp(c),
+    "stddev_pop": lambda c: F.stddev_pop(c),
+    "variance": lambda c: F.var_samp(c),
+    "var_samp": lambda c: F.var_samp(c),
+    "var_pop": lambda c: F.var_pop(c),
+    "collect": lambda c: F.collect_list(c),
+    "array_agg": lambda c: F.collect_list(c),
+    "first_value_agg": lambda c: F.first(c),
+    "median": lambda c: F.median(c),
+    "approx_count_distinct": lambda c: F.approx_count_distinct(c),
+}
+
+AGG_NAMES = set(AGG_MAP) | {
+    "count", "string_agg", "corr", "covar_pop", "covar_samp", "first_value",
+    "percentile_cont",
+}
+
+WINDOW_FUNCS = {
+    "row_number": lambda args: F.row_number(),
+    "rank": lambda args: F.rank(),
+    "dense_rank": lambda args: F.dense_rank(),
+    "percent_rank": lambda args: F.percent_rank(),
+    "cume_dist": lambda args: F.cume_dist(),
+    "ntile": lambda args: F.ntile(args[0]),
+    "lag": lambda args: F.lag(args[0], args[1] if len(args) > 1 else 1,
+                              args[2] if len(args) > 2 else None),
+    "lead": lambda args: F.lead(args[0], args[1] if len(args) > 1 else 1,
+                                args[2] if len(args) > 2 else None),
+    "first_value": lambda args: F.first(args[0]),
+    "last_value": lambda args: F.last(args[0]),
+    "nth_value": lambda args: F.nth_value(args[0], args[1]),
+}
+
+# window funcs whose int args must stay python ints (offsets / ntile buckets)
+_WINDOW_INT_ARGS = {"ntile", "lag", "lead", "nth_value"}
+
+CAST_MAP = {
+    "varchar": "string", "text": "string", "char": "string", "string": "string",
+    "character varying": "string",
+    "int": "int", "integer": "int", "int4": "int",
+    "bigint": "long", "int8": "long", "long": "long",
+    "smallint": "short", "int2": "short",
+    "real": "float", "float4": "float",
+    "float": "double", "double": "double", "double precision": "double",
+    "float8": "double", "numeric": "decimal(38,18)",
+    "boolean": "boolean", "bool": "boolean",
+    "date": "date", "timestamp": "timestamp",
+    "timestamp without time zone": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "interval": "interval day to second",
+}
+
+COMPARISONS = {"=", "!=", "<>", "<", "<=", ">", ">="}
+
+
+class CompileError(ValueError):
+    pass
+
+
+class ExprCompiler:
+    """Compiles expression nodes against an implicit input relation.
+
+    - `agg_context=True` permits aggregate calls (compiled via AGG_MAP).
+    - `executor` provides user function / subquery resolution hooks.
+    - scalar subqueries are attached lazily: each becomes a pending
+      broadcast-cross-join recorded in `self.pending_scalar`; the relation
+      compiler applies them before the clause that references them.
+    """
+
+    def __init__(self, executor=None, agg_context: bool = False,
+                 window_allowed: bool = True, scope: Optional[dict] = None):
+        self.executor = executor
+        self.agg_context = agg_context
+        self.window_allowed = window_allowed
+        self.scope = scope
+        self.pending_scalar: List[tuple] = []  # (temp_name, DataFrame)
+        self._scalar_counter = 0
+
+    # ------------------------------------------------------------------ API
+
+    def compile(self, node: ast.Node) -> Column:
+        method = getattr(self, "_c_" + type(node).__name__, None)
+        if method is None:
+            raise CompileError(f"cannot compile {type(node).__name__}")
+        return method(node)
+
+    # ------------------------------------------------------------ leaf nodes
+
+    def _c_Literal(self, node: ast.Literal) -> Column:
+        if node.kind == "null":
+            return F.lit(None)
+        if node.kind == "date":
+            return F.lit(node.value).cast("date")
+        if node.kind == "timestamp":
+            return F.lit(node.value).cast("timestamp")
+        if node.kind == "interval":
+            return F.expr(f"INTERVAL '{node.value}'")
+        return F.lit(node.value)
+
+    def _c_ColumnRef(self, node: ast.ColumnRef) -> Column:
+        parts = node.parts[-2:] if len(node.parts) > 2 else node.parts
+        return F.col(".".join(_bt(p) for p in parts))
+
+    def _c_Star(self, node: ast.Star) -> Column:
+        if node.table:
+            return F.col(_bt(node.table) + ".*")
+        return F.col("*")
+
+    def _c_Param(self, node: ast.Param) -> Column:
+        raise CompileError(
+            f"unbound parameter %({node.name})s — pass params to execute()"
+        )
+
+    # ------------------------------------------------------------- operators
+
+    def _c_Unary(self, node: ast.Unary) -> Column:
+        operand = self.compile(node.operand)
+        if node.op == "-":
+            return -operand
+        if node.op == "not":
+            return ~operand
+        if node.op == "~":
+            return F.bitwise_not(operand)
+        raise CompileError(f"unary op {node.op}")
+
+    def _c_Binary(self, node: ast.Binary) -> Column:
+        op = node.op
+        left = self.compile(node.left)
+        right = self.compile(node.right)
+        if op == "and":
+            return left & right
+        if op == "or":
+            return left | right
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            # pg/duckdb float division for our dialect (reference uses
+            # operator.truediv, src/framequery/executor/_pandas.py:401)
+            return left / right
+        if op == "%":
+            return left % right
+        if op == "^":
+            return F.pow(left, right)  # pg ^ is power, not xor
+        if op == "||":
+            return F.concat(left, right)  # null-propagating, matches pg
+        if op == "&":
+            return left.bitwiseAND(right)
+        if op == "|":
+            return left.bitwiseOR(right)
+        if op == "#":
+            return left.bitwiseXOR(right)  # pg XOR spelling
+        if op == "<<":
+            return F.shiftleft(left, right)
+        if op == ">>":
+            return F.shiftright(left, right)
+        if op == "=":
+            return left == right
+        if op in ("!=", "<>"):
+            return left != right
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+        if op == ">":
+            return left > right
+        if op == ">=":
+            return left >= right
+        raise CompileError(f"binary op {op}")
+
+    # ------------------------------------------------------------ predicates
+
+    def _c_IsNull(self, node: ast.IsNull) -> Column:
+        c = self.compile(node.expr)
+        return c.isNotNull() if node.negated else c.isNull()
+
+    def _c_Between(self, node: ast.Between) -> Column:
+        c = self.compile(node.expr)
+        cond = (c >= self.compile(node.low)) & (c <= self.compile(node.high))
+        return ~cond if node.negated else cond
+
+    def _c_InList(self, node: ast.InList) -> Column:
+        c = self.compile(node.expr)
+        if all(isinstance(i, ast.Literal) for i in node.items):
+            cond = c.isin([i.value for i in node.items])
+        else:
+            cond = None
+            for item in node.items:
+                eq = c == self.compile(item)
+                cond = eq if cond is None else (cond | eq)
+        return ~cond if node.negated else cond
+
+    def _c_Like(self, node: ast.Like) -> Column:
+        c = self.compile(node.expr)
+        if isinstance(node.pattern, ast.Literal):
+            pat = str(node.pattern.value)
+            cond = c.ilike(pat) if node.case_insensitive else c.like(pat)
+        else:
+            p = self.compile(node.pattern)
+            fn = "ilike" if node.case_insensitive else "like"
+            cond = F.call_function(fn, c, p)
+        return ~cond if node.negated else cond
+
+    def _c_Case(self, node: ast.Case) -> Column:
+        col = None
+        for cond, result in node.whens:
+            ccond = self.compile(cond)
+            cres = self.compile(result)
+            col = F.when(ccond, cres) if col is None else col.when(ccond, cres)
+        if node.default is not None:
+            col = col.otherwise(self.compile(node.default))
+        return col
+
+    def _c_Cast(self, node: ast.Cast) -> Column:
+        c = self.compile(node.expr)
+        t = node.type_name.lower()
+        if t == "json":
+            # reference: json.loads into object cells (util/_funcs.py:110-114);
+            # Spark-native: VariantType (Spark 4) keeps it queryable at scale
+            return F.parse_json(c.cast("string"))
+        base = t.split("(")[0]
+        if t in CAST_MAP:
+            return c.cast(CAST_MAP[t])
+        if base in ("decimal", "numeric"):
+            inner = t[t.index("(") :] if "(" in t else "(38,18)"
+            return c.cast(f"decimal{inner}")
+        if base in CAST_MAP:
+            return c.cast(CAST_MAP[base])
+        raise CompileError(f"unsupported cast target: {node.type_name}")
+
+    # ----------------------------------------------------------- special forms
+
+    def _c_TrimCall(self, node: ast.TrimCall) -> Column:
+        src = self.compile(node.source)
+        if node.chars is None:
+            if node.mode == "both":
+                return F.trim(src)
+            return F.ltrim(src) if node.mode == "leading" else F.rtrim(src)
+        chars = self.compile(node.chars)
+        if node.mode == "both":
+            return F.call_function("btrim", src, chars)
+        fn = "ltrim" if node.mode == "leading" else "rtrim"
+        return F.call_function(fn, chars, src)
+
+    def _c_PositionCall(self, node: ast.PositionCall) -> Column:
+        needle = self.compile(node.needle)
+        haystack = self.compile(node.haystack)
+        return F.call_function("position", needle, haystack)
+
+    def _c_SubstringCall(self, node: ast.SubstringCall) -> Column:
+        src = self.compile(node.source)
+        start = self.compile(node.start)
+        if node.length is None:
+            return F.call_function("substring", src, start)
+        return F.call_function("substring", src, start, self.compile(node.length))
+
+    def _c_Extract(self, node: ast.Extract) -> Column:
+        c = self.compile(node.expr)
+        f = node.field.lower()
+        if f in ("year", "y"):
+            return F.year(c).cast("long")
+        if f in ("month", "mon"):
+            return F.month(c).cast("long")
+        if f in ("day", "d"):
+            return F.dayofmonth(c).cast("long")
+        if f == "hour":
+            return F.hour(c).cast("long")
+        if f == "minute":
+            return F.minute(c).cast("long")
+        if f == "second":
+            return F.second(c).cast("long")
+        if f == "quarter":
+            return F.quarter(c).cast("long")
+        if f == "week":
+            return F.weekofyear(c).cast("long")
+        if f in ("dow", "dayofweek"):
+            return (F.dayofweek(c) - 1).cast("long")  # pg: 0 = Sunday
+        if f in ("doy", "dayofyear"):
+            return F.dayofyear(c).cast("long")
+        if f == "epoch":
+            return F.unix_timestamp(c).cast("double")
+        raise CompileError(f"unsupported extract field: {node.field}")
+
+    # -------------------------------------------------------------- functions
+
+    def _c_Call(self, node: ast.Call) -> Column:
+        name = node.name
+        if name in AGG_NAMES and name not in ("first_value",):
+            if not self.agg_context:
+                raise CompileError(
+                    f"aggregate {name}() not allowed here (no GROUP BY context)"
+                )
+            return self._compile_agg(node)
+        # registered built-in scalar functions
+        if self.executor is not None and name in self.executor.user_functions:
+            args = [self.compile(a) for a in node.args]
+            return self.executor.user_functions[name](*args)
+        if name in REGISTRY:
+            args = [self.compile(a) for a in node.args]
+            return REGISTRY[name](args)
+        raise CompileError(f"unknown function: {name}")
+
+    def _compile_agg(self, node: ast.Call) -> Column:
+        name = node.name
+        if name == "count":
+            if node.star or not node.args:
+                # count(*) -> count(1) (reference rewrite,
+                # src/framequery/executor/_executor.py:479-481)
+                return F.count(F.lit(1))
+            arg = self.compile(node.args[0])
+            return F.count_distinct(arg) if node.distinct else F.count(arg)
+        if name == "string_agg":
+            col = self.compile(node.args[0])
+            sep = node.args[1].value if len(node.args) > 1 and isinstance(
+                node.args[1], ast.Literal) else ","
+            return F.array_join(F.collect_list(col), sep)
+        if name == "corr":
+            return F.corr(self.compile(node.args[0]), self.compile(node.args[1]))
+        if name == "covar_pop":
+            return F.covar_pop(self.compile(node.args[0]), self.compile(node.args[1]))
+        if name == "covar_samp":
+            return F.covar_samp(self.compile(node.args[0]), self.compile(node.args[1]))
+        if name == "percentile_cont":
+            # percentile_cont(frac) WITHIN GROUP unsupported; 2-arg form:
+            # percentile_cont(col, frac)
+            return F.percentile(self.compile(node.args[0]),
+                                self.compile(node.args[1]))
+        arg = self.compile(node.args[0])
+        if node.distinct:
+            if name == "sum":
+                return F.sum_distinct(arg)
+            if name == "avg":
+                return F.avg(arg)  # avg distinct: rewritten below
+            if name == "collect":
+                return F.collect_set(arg)
+            if name == "count":
+                return F.count_distinct(arg)
+            raise CompileError(f"DISTINCT not supported for {name}()")
+        fn = AGG_MAP.get(name)
+        if fn is None:
+            raise CompileError(f"unknown aggregate: {name}")
+        return fn(arg)
+
+    # ---------------------------------------------------------------- windows
+
+    def _c_WindowCall(self, node: ast.WindowCall) -> Column:
+        from pyspark.sql import Window
+
+        if not self.window_allowed:
+            raise CompileError("window functions not allowed in this clause")
+        call = node.call
+        spec = node.spec
+        w = Window.partitionBy(*[self.compile(p) for p in spec.partition_by]) \
+            if spec.partition_by else Window.partitionBy()
+        if spec.order_by:
+            w = w.orderBy(*[self._sort_col(s) for s in spec.order_by])
+        if spec.frame_type is not None:
+            start = _frame_value(spec.frame_start, Window)
+            end = _frame_value(spec.frame_end, Window)
+            if spec.frame_type == "rows":
+                w = w.rowsBetween(start, end)
+            else:
+                w = w.rangeBetween(start, end)
+        name = call.name
+        if name in WINDOW_FUNCS:
+            if name in _WINDOW_INT_ARGS:
+                args = []
+                for i, a in enumerate(call.args):
+                    if i >= 1 or name == "ntile":
+                        if not isinstance(a, ast.Literal):
+                            raise CompileError(f"{name}() offset must be a literal")
+                        args.append(a.value)
+                    else:
+                        args.append(self.compile(a))
+            else:
+                args = [self.compile(a) for a in call.args]
+            col = WINDOW_FUNCS[name](args)
+        elif name in AGG_NAMES or name in ("count",):
+            inner = ExprCompiler(self.executor, agg_context=True,
+                                 scope=self.scope)
+            col = inner._compile_agg(call)
+        else:
+            raise CompileError(f"unknown window function: {name}")
+        return col.over(w)
+
+    def _sort_col(self, item: ast.SortItem) -> Column:
+        c = self.compile(item.expr)
+        return _apply_sort_direction(c, item)
+
+    # -------------------------------------------------------------- subqueries
+
+    def _c_ScalarSubquery(self, node: ast.ScalarSubquery) -> Column:
+        if self.executor is None or self.scope is None:
+            raise CompileError("scalar subquery requires an executor context")
+        sub_df = self.executor._compile_query(node.query, self.scope)
+        if len(sub_df.columns) != 1:
+            raise CompileError("scalar subquery must return exactly one column")
+        name = f"__scalar_{self._scalar_counter}"
+        self._scalar_counter += 1
+        sub_df = sub_df.toDF(name)
+        self.pending_scalar.append((name, sub_df))
+        return F.col(name)
+
+    def _c_InSubquery(self, node: ast.InSubquery) -> Column:
+        raise CompileError(
+            "IN (SELECT ...) is only supported as a top-level WHERE conjunct"
+        )
+
+    def _c_Exists(self, node: ast.Exists) -> Column:
+        raise CompileError(
+            "EXISTS is only supported as a top-level WHERE conjunct"
+        )
+
+
+def _apply_sort_direction(c: Column, item: ast.SortItem) -> Column:
+    # pg defaults: ASC -> NULLS LAST, DESC -> NULLS FIRST
+    nulls = item.nulls or ("last" if item.ascending else "first")
+    if item.ascending:
+        return c.asc_nulls_last() if nulls == "last" else c.asc_nulls_first()
+    return c.desc_nulls_first() if nulls == "first" else c.desc_nulls_last()
+
+
+def _frame_value(bound: ast.FrameBound, Window) -> int:
+    if bound is None:
+        return Window.currentRow
+    if bound.kind == "unbounded_preceding":
+        return Window.unboundedPreceding
+    if bound.kind == "unbounded_following":
+        return Window.unboundedFollowing
+    if bound.kind == "current_row":
+        return Window.currentRow
+    if bound.kind == "preceding":
+        return -bound.value
+    return bound.value
+
+
+def _bt(part: str) -> str:
+    """Backtick-quote one name part for F.col."""
+    return "`" + part.replace("`", "``") + "`"

@@ -1,0 +1,434 @@
+"""Compile query ASTs (Select / SetOp) to Spark DataFrames.
+
+Strategy (SURVEY §3.3, §4.1): resolve names/ordinals/aliases/wildcards at
+compile time, emit a declarative DataFrame graph, and let Catalyst do all
+optimization (predicate pushdown, join strategy, partial aggregation). The
+reference's hand-rolled rewrites — join-side pushdown
+(src/framequery/executor/_util.py:283-358), implicit-join hoisting
+(src/framequery/executor/_executor.py:354-366), 3-level aggregate split
+(src/framequery/executor/_executor.py:451-519) — are all subsumed by Catalyst.
+
+Aggregation: every GROUP BY expression is materialized as a hidden `__g{i}`
+column; select/having/order expressions have matching subtrees structurally
+rewritten to reference it, then compile inside `.agg(...)` where Spark permits
+arbitrary expressions over grouping columns + aggregates (map-side partial
+aggregation comes free).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..parser import ast
+from .expressions import (
+    AGG_NAMES,
+    CompileError,
+    ExprCompiler,
+    _apply_sort_direction,
+    _bt,
+)
+from .rewrite import contains_aggregate, transform
+
+
+class QueryCompiler:
+    """Compiles one statement against a session + scope.
+
+    `session` duck-type: .spark, .user_functions, .table_functions,
+    .lateral_functions, .resolve_table(scope, name).
+    """
+
+    def __init__(self, session, scope: dict):
+        self.session = session
+        self.scope = scope
+
+    # ---------------------------------------------------------------- queries
+
+    def compile_query(self, node: ast.Node) -> DataFrame:
+        if isinstance(node, ast.Select):
+            return self.compile_select(node)
+        if isinstance(node, ast.SetOp):
+            return self.compile_setop(node)
+        raise CompileError(f"not a query: {type(node).__name__}")
+
+    def compile_setop(self, node: ast.SetOp) -> DataFrame:
+        left = self.compile_query(node.left)
+        right = self.compile_query(node.right)
+        if len(left.columns) != len(right.columns):
+            raise CompileError("set operation arms have different column counts")
+        right = right.toDF(*left.columns)  # positional, SQL-style
+        op = node.op
+        if op == "union":
+            df = left.union(right).distinct()
+        elif op == "union all":
+            df = left.union(right)
+        elif op == "intersect":
+            df = left.intersect(right)
+        elif op == "intersect all":
+            df = left.intersectAll(right)
+        elif op == "except":
+            df = left.subtract(right)
+        elif op == "except all":
+            df = left.exceptAll(right)
+        else:
+            raise CompileError(f"unknown set op {op}")
+        if node.order_by:
+            df = self._order_output_only(df, node.order_by)
+        df = self._apply_limit_offset(df, node.limit, node.offset)
+        return df
+
+    def compile_select(self, sel: ast.Select) -> DataFrame:
+        compiler = self
+        if sel.ctes:
+            scope = dict(self.scope)
+            for cte in sel.ctes:
+                sub = QueryCompiler(self.session, scope)
+                scope[cte.name] = sub.compile_query(cte.query)
+            compiler = QueryCompiler(self.session, scope)
+        return compiler._compile_select_body(sel)
+
+    def _compile_select_body(self, sel: ast.Select) -> DataFrame:
+        if sel.from_ is not None:
+            df = self.compile_relation(sel.from_)
+        else:
+            # dual: one-row zero-column frame
+            # (reference: src/framequery/executor/_pandas.py:89-91)
+            df = self.session.spark.range(1).select()
+
+        if sel.where is not None:
+            df = self._apply_where(df, sel.where)
+
+        items = self._normalize_items(sel, df)
+
+        has_agg = bool(sel.group_by) or sel.having is not None or any(
+            contains_aggregate(e, AGG_NAMES) for e, _ in items
+        ) or any(
+            contains_aggregate(s.expr, AGG_NAMES) for s in sel.order_by
+        )
+
+        if has_agg:
+            df = self._compile_aggregate(df, sel, items)
+        else:
+            df = self._compile_project(df, sel, items)
+
+        return self._apply_limit_offset(df, sel.limit, sel.offset)
+
+    # ------------------------------------------------------------- select list
+
+    def _normalize_items(self, sel: ast.Select,
+                         df: DataFrame) -> List[Tuple[ast.Node, str]]:
+        """Expand stars and assign output names -> [(expr_ast, out_name)]."""
+        out: List[Tuple[ast.Node, str]] = []
+        for item in sel.items:
+            if isinstance(item, ast.Star):
+                if item.table is not None:
+                    cols = df.select(_bt(item.table) + ".*").columns
+                    for c in cols:
+                        out.append((ast.ColumnRef(parts=(item.table, c)), c))
+                else:
+                    for c in df.columns:
+                        if c.startswith("__"):
+                            continue
+                        out.append((ast.ColumnRef(parts=(c,), quoted=True), c))
+            else:
+                name = item.alias or _auto_name(item.expr, len(out))
+                out.append((item.expr, name))
+        return out
+
+    # ------------------------------------------------------------------ WHERE
+
+    def _apply_where(self, df: DataFrame, where: ast.Node) -> DataFrame:
+        plain: List[ast.Node] = []
+        for conj in _split_conjuncts(where):
+            if isinstance(conj, ast.InSubquery):
+                df = self._apply_in_subquery(df, conj)
+            elif isinstance(conj, ast.Exists):
+                df = self._apply_exists(df, conj)
+            elif (isinstance(conj, ast.Unary) and conj.op == "not"
+                  and isinstance(conj.operand, ast.Exists)):
+                df = self._apply_exists(df, ast.Exists(
+                    query=conj.operand.query, negated=not conj.operand.negated))
+            else:
+                plain.append(conj)
+        if plain:
+            ec = self._expr_compiler()
+            cond = None
+            for conj in plain:
+                c = ec.compile(conj)
+                cond = c if cond is None else (cond & c)
+            df, cleanup = self._attach_pending(df, ec)
+            df = df.filter(cond)
+            if cleanup:
+                df = df.drop(*cleanup)
+        return df
+
+    def _apply_in_subquery(self, df: DataFrame, node: ast.InSubquery) -> DataFrame:
+        sub = QueryCompiler(self.session, self.scope).compile_query(node.query)
+        if len(sub.columns) != 1:
+            raise CompileError("IN subquery must return exactly one column")
+        sub = sub.toDF("__in_val")
+        ec = self._expr_compiler()
+        cond = ec.compile(node.expr) == F.col("__in_val")
+        how = "left_anti" if node.negated else "left_semi"
+        return df.join(sub, cond, how)
+
+    def _apply_exists(self, df: DataFrame, node: ast.Exists) -> DataFrame:
+        # uncorrelated EXISTS only (correlated subqueries are beyond the
+        # reference surface; docs/SQL_Support.md:20)
+        sub = QueryCompiler(self.session, self.scope).compile_query(node.query)
+        probe = sub.limit(1).select(F.lit(1).alias("__exists"))
+        how = "left_anti" if node.negated else "left_semi"
+        return df.join(probe, F.lit(True), how)
+
+    # ------------------------------------------------------------- aggregation
+
+    def _compile_aggregate(self, df: DataFrame, sel: ast.Select,
+                           items: List[Tuple[ast.Node, str]]) -> DataFrame:
+        group_exprs = self._resolve_group_by(sel, items, df)
+
+        # materialize group keys as hidden columns, build the rewrite map
+        pre_cols: List[Column] = []
+        mapping: Dict[ast.Node, ast.Node] = {}
+        ec_pre = self._expr_compiler()
+        for i, g in enumerate(group_exprs):
+            gname = f"__g{i}"
+            pre_cols.append(ec_pre.compile(g).alias(gname))
+            mapping[g] = ast.ColumnRef(parts=(gname,), quoted=True)
+        df, cleanup = self._attach_pending(df, ec_pre)
+        df_pre = df.select("*", *pre_cols) if pre_cols else df
+
+        def rewrite(node: ast.Node) -> ast.Node:
+            return transform(node, lambda n: mapping.get(n, n))
+
+        ec = ExprCompiler(self.session, agg_context=True, scope=self.scope)
+        agg_cols: List[Column] = []
+        final_names: List[str] = []
+        for i, (expr, name) in enumerate(items):
+            col = ec.compile(rewrite(expr))
+            agg_cols.append(col.alias(f"__out{i}"))
+            final_names.append(name)
+
+        if sel.having is not None:
+            agg_cols.append(ec.compile(rewrite(sel.having)).alias("__having"))
+
+        # ORDER BY in agg context: resolve to outputs or compile as extra aggs
+        sort_cols: List[Column] = []
+        n_ord = 0
+        for s in sel.order_by:
+            target = self._match_output(s.expr, items)
+            if target is not None:
+                sort_cols.append(_apply_sort_direction(F.col(f"__out{target}"), s))
+            else:
+                oname = f"__ord{n_ord}"
+                n_ord += 1
+                agg_cols.append(ec.compile(rewrite(s.expr)).alias(oname))
+                sort_cols.append(_apply_sort_direction(F.col(oname), s))
+
+        if not agg_cols:
+            agg_cols.append(F.count(F.lit(1)).alias("__dummy"))
+
+        keys = [F.col(f"__g{i}") for i in range(len(group_exprs))]
+        result = df_pre.groupBy(*keys).agg(*agg_cols)
+
+        if sel.having is not None:
+            result = result.filter(F.col("__having"))
+        if sel.distinct:
+            result = result.select(
+                *[F.col(f"__out{i}") for i in range(len(items))]).distinct()
+            if sort_cols:
+                result = result.orderBy(*sort_cols)
+        elif sort_cols:
+            result = result.orderBy(*sort_cols)
+        return result.select(*[
+            F.col(f"__out{i}").alias(name)
+            for i, name in enumerate(final_names)
+        ])
+
+    def _resolve_group_by(self, sel: ast.Select,
+                          items: List[Tuple[ast.Node, str]],
+                          df: DataFrame) -> List[ast.Node]:
+        """GROUP BY ordinal / select-alias / input column / expression
+        (reference normalize_group_by,
+        src/framequery/executor/_executor.py:258-306)."""
+        out: List[ast.Node] = []
+        input_cols = {c.lower() for c in df.columns}
+        alias_map = {name.lower(): expr for expr, name in items}
+        for g in sel.group_by:
+            if isinstance(g, ast.Literal) and g.kind == "int":
+                idx = g.value - 1
+                if not (0 <= idx < len(items)):
+                    raise CompileError(f"GROUP BY ordinal {g.value} out of range")
+                out.append(items[idx][0])
+            elif (isinstance(g, ast.ColumnRef) and len(g.parts) == 1
+                  and g.parts[0] not in input_cols
+                  and g.parts[0] in alias_map):
+                # pg resolves input columns first, then select aliases
+                out.append(alias_map[g.parts[0]])
+            else:
+                out.append(g)
+        return out
+
+    # -------------------------------------------------------------- projection
+
+    def _compile_project(self, df: DataFrame, sel: ast.Select,
+                         items: List[Tuple[ast.Node, str]]) -> DataFrame:
+        ec = self._expr_compiler()
+        out_cols = [ec.compile(expr).alias(f"__out{i}")
+                    for i, (expr, _) in enumerate(items)]
+
+        # ORDER BY: output refs sort post-projection; other expressions are
+        # computed as hidden sort columns against the *input* relation
+        sort_cols: List[Column] = []
+        extra_cols: List[Column] = []
+        for s in sel.order_by:
+            target = self._match_output(s.expr, items)
+            if target is not None:
+                sort_cols.append(_apply_sort_direction(F.col(f"__out{target}"), s))
+            else:
+                if sel.distinct:
+                    raise CompileError(
+                        "ORDER BY expression must appear in select list with DISTINCT")
+                sname = f"__sort{len(extra_cols)}"
+                extra_cols.append(ec.compile(s.expr).alias(sname))
+                sort_cols.append(_apply_sort_direction(F.col(sname), s))
+
+        df, _ = self._attach_pending(df, ec)
+        df = df.select(*out_cols, *extra_cols)
+        if sel.distinct:
+            df = df.distinct()
+        if sort_cols:
+            df = df.orderBy(*sort_cols)
+        return df.select(*[
+            F.col(f"__out{i}").alias(name)
+            for i, (_, name) in enumerate(items)
+        ])
+
+    def _match_output(self, expr: ast.Node,
+                      items: List[Tuple[ast.Node, str]]) -> Optional[int]:
+        """Match an ORDER BY expr to a select-list output: ordinal, alias,
+        or structurally equal expression."""
+        if isinstance(expr, ast.Literal) and expr.kind == "int":
+            idx = expr.value - 1
+            if 0 <= idx < len(items):
+                return idx
+            raise CompileError(f"ORDER BY ordinal {expr.value} out of range")
+        if isinstance(expr, ast.ColumnRef) and len(expr.parts) == 1:
+            for i, (_, name) in enumerate(items):
+                if name.lower() == expr.parts[0].lower():
+                    return i
+        for i, (e, _) in enumerate(items):
+            if e == expr:
+                return i
+        return None
+
+    def _order_output_only(self, df: DataFrame,
+                           order_by: Tuple[ast.SortItem, ...]) -> DataFrame:
+        cols = df.columns
+        sort_cols = []
+        for s in order_by:
+            if isinstance(s.expr, ast.Literal) and s.expr.kind == "int":
+                c = F.col(_bt(cols[s.expr.value - 1]))
+            else:
+                c = self._expr_compiler().compile(s.expr)
+            sort_cols.append(_apply_sort_direction(c, s))
+        return df.orderBy(*sort_cols)
+
+    # --------------------------------------------------------------- relations
+
+    def compile_relation(self, rel: ast.Node) -> DataFrame:
+        if isinstance(rel, ast.TableRef):
+            df = self.session.resolve_table(self.scope, rel.name)
+            alias = rel.alias or rel.parts[-1]
+            return df.alias(alias)
+        if isinstance(rel, ast.SubqueryRel):
+            sub = QueryCompiler(self.session, self.scope).compile_query(rel.query)
+            return sub.alias(rel.alias)
+        if isinstance(rel, ast.TableFunction):
+            return self._compile_table_function(rel)
+        if isinstance(rel, ast.Join):
+            return self._compile_join(rel)
+        raise CompileError(f"cannot compile relation {type(rel).__name__}")
+
+    def _compile_join(self, join: ast.Join) -> DataFrame:
+        left = self.compile_relation(join.left)
+        if isinstance(join.right, ast.TableFunction) and join.right.lateral:
+            return self._compile_lateral(left, join.right)
+        right = self.compile_relation(join.right)
+        if join.kind == "cross":
+            return left.crossJoin(right)
+        how = {"inner": "inner", "left": "left", "right": "right",
+               "full": "full"}[join.kind]
+        if join.using:
+            return left.join(right, list(join.using), how)
+        cond = self._expr_compiler().compile(join.condition)
+        return left.join(right, cond, how)
+
+    # --------------------------------------------------------- table functions
+
+    def _compile_table_function(self, tf: ast.TableFunction) -> DataFrame:
+        from ..sources.table_functions import compile_table_function
+
+        return compile_table_function(self, tf)
+
+    def _compile_lateral(self, left: DataFrame,
+                         tf: ast.TableFunction) -> DataFrame:
+        from ..sources.table_functions import compile_lateral
+
+        return compile_lateral(self, left, tf)
+
+    # ----------------------------------------------------------------- helpers
+
+    def _expr_compiler(self) -> ExprCompiler:
+        return ExprCompiler(self.session, agg_context=False, scope=self.scope)
+
+    def _attach_pending(self, df: DataFrame, ec: ExprCompiler):
+        """Attach scalar-subquery results as broadcast cross joins."""
+        names = []
+        for name, sdf in ec.pending_scalar:
+            df = df.crossJoin(F.broadcast(sdf))
+            names.append(name)
+        ec.pending_scalar.clear()
+        return df, names
+
+    def _apply_limit_offset(self, df: DataFrame, limit, offset) -> DataFrame:
+        if offset is not None:
+            df = df.offset(_int_literal(offset, "OFFSET"))
+        if limit is not None:
+            df = df.limit(_int_literal(limit, "LIMIT"))
+        return df
+
+
+def _split_conjuncts(node: ast.Node) -> List[ast.Node]:
+    if isinstance(node, ast.Binary) and node.op == "and":
+        return _split_conjuncts(node.left) + _split_conjuncts(node.right)
+    return [node]
+
+
+def _int_literal(node: ast.Node, what: str) -> int:
+    if isinstance(node, ast.Literal) and node.kind == "int":
+        return node.value
+    raise CompileError(f"{what} must be an integer literal")
+
+
+def _auto_name(expr: ast.Node, i: int) -> str:
+    if isinstance(expr, ast.ColumnRef):
+        return expr.parts[-1]
+    if isinstance(expr, ast.Call):
+        return expr.name
+    if isinstance(expr, ast.WindowCall):
+        return expr.call.name
+    if isinstance(expr, ast.Cast):
+        return _auto_name(expr.expr, i)
+    if isinstance(expr, ast.Extract):
+        return expr.field
+    if isinstance(expr, ast.Case):
+        return "case"
+    if isinstance(expr, (ast.TrimCall,)):
+        return "trim"
+    if isinstance(expr, ast.PositionCall):
+        return "position"
+    if isinstance(expr, ast.SubstringCall):
+        return "substring"
+    return f"col{i}"

@@ -1,0 +1,241 @@
+"""Scalar-function registry: SQL function name -> Column builder.
+
+Parity set from the reference registry (reference:
+src/framequery/executor/_pandas.py:48-62, src/framequery/util/_funcs.py:66-114)
+plus a broad pg/DuckDB-overlapping library — everything here compiles to
+built-in `pyspark.sql.functions` (JVM-side, whole-stage-codegen'd); no Python
+UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Builder = Callable[[List[Column]], Column]
+
+REGISTRY: Dict[str, Builder] = {}
+
+
+def register(*names: str, arity=None):
+    def deco(fn):
+        for n in names:
+            REGISTRY[n] = fn
+        return fn
+
+    return deco
+
+
+def _fixed(name: str, fn, *names: str):
+    REGISTRY[name] = fn
+    for n in names:
+        REGISTRY[n] = fn
+
+
+# ----------------------------------------------------------------- system
+# parity constants: reference executor/_pandas.py:49-50
+_fixed("version", lambda a: F.lit("PostgreSQL 9.6.0"))
+_fixed("current_schema", lambda a: F.lit("public"))
+
+# ------------------------------------------------------------------- math
+_fixed("abs", lambda a: F.abs(a[0]))
+_fixed("ceil", lambda a: F.ceil(a[0]), "ceiling")
+_fixed("floor", lambda a: F.floor(a[0]))
+_fixed("sqrt", lambda a: F.sqrt(a[0]))
+_fixed("cbrt", lambda a: F.cbrt(a[0]))
+_fixed("exp", lambda a: F.exp(a[0]))
+_fixed("ln", lambda a: F.log(a[0]))
+_fixed("log10", lambda a: F.log10(a[0]))
+_fixed("log2", lambda a: F.log2(a[0]))
+_fixed("sign", lambda a: F.signum(a[0]))
+_fixed("pi", lambda a: F.lit(3.141592653589793))
+_fixed("degrees", lambda a: F.degrees(a[0]))
+_fixed("radians", lambda a: F.radians(a[0]))
+_fixed("sin", lambda a: F.sin(a[0]))
+_fixed("cos", lambda a: F.cos(a[0]))
+_fixed("tan", lambda a: F.tan(a[0]))
+_fixed("asin", lambda a: F.asin(a[0]))
+_fixed("acos", lambda a: F.acos(a[0]))
+_fixed("atan", lambda a: F.atan(a[0]))
+_fixed("atan2", lambda a: F.atan2(a[0], a[1]))
+_fixed("random", lambda a: F.rand())
+_fixed("isnan", lambda a: F.isnan(a[0]))
+
+
+@register("log")
+def _log(a):
+    # pg: log(x) = log10; log(b, x) = log base b
+    return F.log10(a[0]) if len(a) == 1 else F.log(a[0], a[1])
+
+
+@register("round")
+def _round(a):
+    return F.round(a[0], 0) if len(a) == 1 else F.round(a[0], a[1])
+
+
+@register("trunc")
+def _trunc(a):
+    # truncation toward zero; trunc(x, n) scales by 10^n first
+    if len(a) == 1:
+        return a[0].cast("long").cast("double")
+    scale = F.pow(F.lit(10.0), a[1])
+    return (a[0] * scale).cast("long").cast("double") / scale
+
+
+_fixed("power", lambda a: F.pow(a[0], a[1]), "pow")
+_fixed("mod", lambda a: a[0] % a[1])
+
+# ----------------------------------------------------------------- strings
+_fixed("upper", lambda a: F.upper(a[0]))
+_fixed("lower", lambda a: F.lower(a[0]))
+_fixed("length", lambda a: F.length(a[0]), "char_length", "character_length")
+_fixed("octet_length", lambda a: F.octet_length(a[0]))
+_fixed("bit_length", lambda a: F.bit_length(a[0]))
+_fixed("lpad", lambda a: F.lpad(a[0], a[1], a[2] if len(a) > 2 else F.lit(" ")))
+_fixed("rpad", lambda a: F.rpad(a[0], a[1], a[2] if len(a) > 2 else F.lit(" ")))
+_fixed("repeat", lambda a: F.repeat(a[0], a[1]))
+_fixed("reverse", lambda a: F.reverse(a[0]))
+_fixed("replace", lambda a: F.replace(a[0], a[1], a[2]))
+_fixed("split_part", lambda a: F.split_part(a[0], a[1], a[2]))
+_fixed("strpos", lambda a: F.call_function("position", a[1], a[0]), "instr")
+_fixed("initcap", lambda a: F.initcap(a[0]))
+_fixed("ascii", lambda a: F.ascii(a[0]))
+_fixed("chr", lambda a: F.char(a[0]))
+_fixed("md5", lambda a: F.md5(a[0].cast("string")))
+_fixed("sha256", lambda a: F.sha2(a[0].cast("string"), 256))
+_fixed("to_hex", lambda a: F.hex(a[0]))
+_fixed("translate", lambda a: F.translate(a[0], a[1], a[2]))
+_fixed("starts_with", lambda a: a[0].startswith(a[1]), "startswith")
+_fixed("ends_with", lambda a: a[0].endswith(a[1]), "endswith")
+_fixed("contains", lambda a: F.contains(a[0], a[1]))
+_fixed("regexp_replace", lambda a: F.regexp_replace(a[0], a[1], a[2]))
+_fixed("regexp_extract", lambda a: F.regexp_extract(a[0], a[1], a[2] if len(a) > 2 else 0))
+_fixed("regexp_matches", lambda a: F.regexp_like(a[0], a[1]), "regexp_like")
+_fixed("regexp_count", lambda a: F.regexp_count(a[0], a[1]))
+
+
+@register("substr")
+def _substr(a):
+    if len(a) == 2:
+        return F.call_function("substring", a[0], a[1])
+    return F.call_function("substring", a[0], a[1], a[2])
+
+
+@register("left")
+def _left(a):
+    return F.call_function("left", a[0], a[1])
+
+
+@register("right")
+def _right(a):
+    return F.call_function("right", a[0], a[1])
+
+
+@register("concat")
+def _concat(a):
+    # pg concat(): NULL args treated as '' (reference util/_funcs.py:93-96);
+    # Spark's concat is null-propagating, so use concat_ws('').
+    return F.concat_ws("", *[x.cast("string") for x in a])
+
+
+@register("concat_ws")
+def _concat_ws(a):
+    # first arg is the separator (arrives as a Column) — use the SQL builtin
+    return F.call_function("concat_ws", *a)
+
+
+# plain function-call forms of trim family (the special TRIM(BOTH .. FROM ..)
+# syntax is handled by the parser/compiler as TrimCall)
+@register("trim")
+def _trim(a):
+    return F.trim(a[0]) if len(a) == 1 else F.call_function("btrim", a[0], a[1])
+
+
+@register("btrim")
+def _btrim(a):
+    return F.call_function("btrim", *a)
+
+
+@register("ltrim")
+def _ltrim(a):
+    return F.ltrim(a[0]) if len(a) == 1 else F.call_function("ltrim", a[1], a[0])
+
+
+@register("rtrim")
+def _rtrim(a):
+    return F.rtrim(a[0]) if len(a) == 1 else F.call_function("rtrim", a[1], a[0])
+
+
+# ------------------------------------------------------------- null / cond
+_fixed("coalesce", lambda a: F.coalesce(*a))
+_fixed("nullif", lambda a: F.nullif(a[0], a[1]))
+_fixed("greatest", lambda a: F.greatest(*a))
+_fixed("least", lambda a: F.least(*a))
+_fixed("ifnull", lambda a: F.coalesce(a[0], a[1]), "nvl")
+_fixed("__is_distinct_from", lambda a: ~a[0].eqNullSafe(a[1]))
+
+# ------------------------------------------------------------- date / time
+_fixed("now", lambda a: F.current_timestamp(), "current_timestamp")
+_fixed("current_date", lambda a: F.current_date())
+_fixed("date_trunc", lambda a: F.call_function("date_trunc", a[0], a[1]))
+_fixed("to_date", lambda a: F.to_date(a[0]) if len(a) == 1 else F.to_date(a[0], None))
+_fixed("to_timestamp", lambda a: F.to_timestamp(a[0]))
+_fixed("year", lambda a: F.year(a[0]))
+_fixed("month", lambda a: F.month(a[0]))
+_fixed("day", lambda a: F.dayofmonth(a[0]))
+_fixed("hour", lambda a: F.hour(a[0]))
+_fixed("minute", lambda a: F.minute(a[0]))
+_fixed("second", lambda a: F.second(a[0]))
+_fixed("quarter", lambda a: F.quarter(a[0]))
+_fixed("week", lambda a: F.weekofyear(a[0]))
+_fixed("dayofweek", lambda a: F.dayofweek(a[0]) - 1)
+_fixed("make_date", lambda a: F.make_date(a[0], a[1], a[2]))
+_fixed("epoch", lambda a: F.unix_timestamp(a[0]).cast("double"))
+_fixed("strftime", lambda a: F.date_format(a[0], a[1]), "date_format")
+
+# ------------------------------------------------------------------ arrays
+_fixed("cardinality", lambda a: F.size(a[0]), "array_length", "len")
+_fixed("array_contains", lambda a: F.array_contains(a[0], a[1]), "list_contains")
+_fixed("array_distinct", lambda a: F.array_distinct(a[0]))
+_fixed("array_sort", lambda a: F.array_sort(a[0]))
+_fixed("array_join", lambda a: F.array_join(a[0], a[1]))
+_fixed("__subscript", lambda a: F.get(a[0], a[1] - F.lit(1)))  # pg arrays are 1-based
+
+
+# ------------------------------------------------- vector math (embeddings)
+# JVM-side higher-order functions; no Python UDF. Used by the similarity /
+# dedup operators and exposed in SQL for ad-hoc queries.
+@register("dot_product", "list_dot_product", "list_inner_product")
+def _dot(a):
+    return F.aggregate(
+        F.zip_with(a[0], a[1], lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("l2_norm")
+def _l2norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a[0], F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+@register("cosine_similarity", "list_cosine_similarity")
+def _cosine(a):
+    return _dot(a) / (_l2norm([a[0]]) * _l2norm([a[1]]))
+
+
+# ------------------------------------------------------------------- json
+_fixed("json_extract", lambda a: F.get_json_object(a[0], a[1]), "json_extract_path_text")
+
+
+def lookup(name: str) -> Builder:
+    try:
+        return REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown function: {name}") from None

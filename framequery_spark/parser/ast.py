@@ -1,0 +1,348 @@
+"""AST node definitions for the pg-flavored SQL dialect.
+
+The surface mirrors the reference grammar (reference:
+src/framequery/parser/ast.py, src/framequery/parser/_parser.py) but is
+re-designed as plain frozen dataclasses consumed by a Spark compiler.
+Beyond-parity nodes (set ops, window frames, IS NULL, BETWEEN, HAVING)
+are included because Spark gives their execution for free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple, Union
+
+
+class Node:
+    """Base class for all AST nodes (frozen dataclasses compare structurally)."""
+
+    __slots__ = ()
+
+
+# ---------------------------------------------------------------- expressions
+
+
+@dataclass(frozen=True)
+class Literal(Node):
+    """A literal constant. kind in {'int','float','string','bool','null',
+    'date','timestamp','interval'}."""
+
+    value: object
+    kind: str
+
+
+@dataclass(frozen=True)
+class ColumnRef(Node):
+    """Possibly-qualified column reference: ('c',) or ('t','c') or ('s','t','c')."""
+
+    parts: Tuple[str, ...]
+    quoted: bool = False
+
+    @property
+    def name(self) -> str:
+        return self.parts[-1]
+
+    @property
+    def qualifier(self) -> Optional[str]:
+        return self.parts[-2] if len(self.parts) > 1 else None
+
+
+@dataclass(frozen=True)
+class Star(Node):
+    """`*` or `t.*` in a select list or count(*)."""
+
+    table: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Param(Node):
+    """A %(name)s pyformat parameter (DBAPI layer substitutes before parse)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class Unary(Node):
+    op: str  # '+', '-', 'not', '~'
+    operand: Node
+
+
+@dataclass(frozen=True)
+class Binary(Node):
+    """Binary operator. op is the lower-cased source token, e.g.
+    '+','-','*','/','%','^','||','&','|','#','<<','>>',
+    '=','!=','<>','<','<=','>','>=','and','or'."""
+
+    op: str
+    left: Node
+    right: Node
+
+
+@dataclass(frozen=True)
+class Call(Node):
+    """Function call `name(args)`; set-functions share this node.
+    star=True for count(*); distinct=True for agg DISTINCT."""
+
+    name: str
+    args: Tuple[Node, ...] = ()
+    distinct: bool = False
+    star: bool = False
+
+
+@dataclass(frozen=True)
+class SortItem(Node):
+    expr: Node
+    ascending: bool = True
+    nulls: Optional[str] = None  # 'first' | 'last' | None (dialect default)
+
+
+@dataclass(frozen=True)
+class FrameBound(Node):
+    """Window frame bound: kind in {'unbounded_preceding','preceding',
+    'current_row','following','unbounded_following'}; value for N PRECEDING."""
+
+    kind: str
+    value: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class WindowSpec(Node):
+    partition_by: Tuple[Node, ...] = ()
+    order_by: Tuple[SortItem, ...] = ()
+    frame_type: Optional[str] = None  # 'rows' | 'range' | None
+    frame_start: Optional[FrameBound] = None
+    frame_end: Optional[FrameBound] = None
+
+
+@dataclass(frozen=True)
+class WindowCall(Node):
+    """`call OVER (spec)` — reference parses this but never executes it
+    (reference: src/framequery/parser/_parser.py:380-389); we execute."""
+
+    call: Call
+    spec: WindowSpec
+
+
+@dataclass(frozen=True)
+class Case(Node):
+    """Searched CASE; the simple form is desugared at parse time
+    (reference: src/framequery/parser/_parser.py:280-312)."""
+
+    whens: Tuple[Tuple[Node, Node], ...]
+    default: Optional[Node] = None
+
+
+@dataclass(frozen=True)
+class Cast(Node):
+    """CAST(expr AS type) or expr::type."""
+
+    expr: Node
+    type_name: str
+
+
+@dataclass(frozen=True)
+class InList(Node):
+    expr: Node
+    items: Tuple[Node, ...]
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class InSubquery(Node):
+    expr: Node
+    query: "Select"
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Between(Node):
+    expr: Node
+    low: Node
+    high: Node
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class IsNull(Node):
+    expr: Node
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Like(Node):
+    expr: Node
+    pattern: Node
+    negated: bool = False
+    case_insensitive: bool = False  # ILIKE
+
+
+@dataclass(frozen=True)
+class TrimCall(Node):
+    """trim([both|leading|trailing] [chars] from s) special form
+    (reference: src/framequery/parser/_parser.py:356-364)."""
+
+    mode: str  # 'both' | 'leading' | 'trailing'
+    chars: Optional[Node]
+    source: Node
+
+
+@dataclass(frozen=True)
+class PositionCall(Node):
+    """position(needle in haystack) special form
+    (reference: src/framequery/parser/_parser.py:366-371)."""
+
+    needle: Node
+    haystack: Node
+
+
+@dataclass(frozen=True)
+class SubstringCall(Node):
+    """substring(s from start [for length]) special form."""
+
+    source: Node
+    start: Node
+    length: Optional[Node] = None
+
+
+@dataclass(frozen=True)
+class Extract(Node):
+    """extract(field FROM expr)."""
+
+    field: str
+    expr: Node
+
+
+@dataclass(frozen=True)
+class ScalarSubquery(Node):
+    query: "Select"
+
+
+@dataclass(frozen=True)
+class Exists(Node):
+    query: "Select"
+    negated: bool = False
+
+
+# ------------------------------------------------------------------ relations
+
+
+@dataclass(frozen=True)
+class TableRef(Node):
+    """Scope/table lookup; multi-part names are joined with '.' as in the
+    reference (schema prefix is just a string prefix,
+    reference: src/framequery/executor/_executor.py:378-386)."""
+
+    parts: Tuple[str, ...]
+    alias: Optional[str] = None
+
+    @property
+    def name(self) -> str:
+        return ".".join(self.parts)
+
+
+@dataclass(frozen=True)
+class SubqueryRel(Node):
+    query: "Select"
+    alias: str
+
+
+@dataclass(frozen=True)
+class TableFunction(Node):
+    """Table-valued function in FROM, e.g. copy_from(...), json_each(...),
+    generate_series(...). lateral=True when prefixed with LATERAL."""
+
+    name: str
+    args: Tuple[Node, ...]
+    alias: Optional[str] = None
+    lateral: bool = False
+
+
+@dataclass(frozen=True)
+class Join(Node):
+    kind: str  # 'inner' | 'left' | 'right' | 'full' | 'cross'
+    left: Node
+    right: Node
+    condition: Optional[Node] = None
+    using: Tuple[str, ...] = ()
+
+
+# ----------------------------------------------------------------- statements
+
+
+@dataclass(frozen=True)
+class SelectItem(Node):
+    expr: Node
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class CTE(Node):
+    name: str
+    query: "Select"
+
+
+@dataclass(frozen=True)
+class Select(Node):
+    items: Tuple[Node, ...]  # SelectItem | Star
+    from_: Optional[Node] = None
+    where: Optional[Node] = None
+    group_by: Tuple[Node, ...] = ()
+    having: Optional[Node] = None
+    order_by: Tuple[SortItem, ...] = ()
+    limit: Optional[Node] = None  # Literal int or 'all'
+    offset: Optional[Node] = None
+    distinct: bool = False
+    ctes: Tuple[CTE, ...] = ()
+
+
+@dataclass(frozen=True)
+class SetOp(Node):
+    """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] — beyond-parity
+    (reference docs/SQL_Support.md:19 lists set ops as unsupported)."""
+
+    op: str  # 'union' | 'union all' | 'intersect' | 'intersect all' | 'except' | 'except all'
+    left: Node
+    right: Node
+    order_by: Tuple[SortItem, ...] = ()
+    limit: Optional[Node] = None
+    offset: Optional[Node] = None
+
+
+@dataclass(frozen=True)
+class CopyFrom(Node):
+    """COPY t FROM 'path' WITH (k 'v', ...)
+    (reference: src/framequery/parser/_parser.py:516-524)."""
+
+    table: str
+    path: str
+    options: Tuple[Tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class CopyTo(Node):
+    table: str
+    path: str
+    options: Tuple[Tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class CreateTableAs(Node):
+    name: str
+    query: Node  # Select | SetOp
+    replace: bool = False
+
+
+@dataclass(frozen=True)
+class DropTable(Node):
+    names: Tuple[str, ...]
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class ShowOption(Node):
+    """SHOW <option> (reference: src/framequery/parser/_parser.py:551-555)."""
+
+    option: str
+
+
+Statement = Union[Select, SetOp, CopyFrom, CopyTo, CreateTableAs, DropTable, ShowOption]

@@ -1,0 +1,908 @@
+"""Recursive-descent parser for the pg-flavored dialect.
+
+Covers the reference's statement surface (reference:
+src/framequery/parser/_parser.py:558-565 — select, copy_from, copy_to,
+drop_table, create_table_as, show_option) plus beyond-parity extensions the
+Spark backend executes for free: FULL/CROSS joins, set operations, HAVING,
+IS [NOT] NULL, BETWEEN, EXISTS/IN subqueries, window frames, EXTRACT,
+date/interval literals.
+
+Operator precedence follows the reference ladder
+(reference: src/framequery/parser/_parser.py:234-277), i.e. PostgreSQL-ish:
+::  >  unary +/-/~  >  ^  >  * / %  >  + -  >  << >>  >  &  >  #  >  |
+>  ||  >  comparison/IS/IN/LIKE/BETWEEN  >  NOT  >  AND  >  OR.
+
+Deliberate deviations from the reference (documented reference bugs we do not
+replicate, SURVEY §2.10): ORDER BY defaults to ASC (SQL standard; reference
+defaulted desc at src/framequery/parser/_parser.py:376); `LIMIT ALL` is a
+no-op instead of a crash; the 'somecount' token bug is absent.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from . import ast
+from .tokenizer import Token, tokenize, unquote_name, unquote_string
+
+
+class ParseError(ValueError):
+    pass
+
+
+RESERVED_STOP = {
+    "from", "where", "group", "having", "order", "limit", "offset", "union",
+    "intersect", "except", "on", "join", "inner", "left", "right", "full",
+    "cross", "lateral", "as", "and", "or", "not", "in", "is", "like", "ilike",
+    "between", "case", "when", "then", "else", "end", "asc", "desc", "nulls",
+    "distinct", "all", "by", "with", "using", "select",
+}
+
+AGGREGATE_NAMES = {
+    # reference set (src/framequery/parser/_parser.py:323-334) plus common ones
+    "avg", "max", "min", "sum", "count", "every", "any", "some", "bool_and",
+    "bool_or", "stddev_pop", "stddev_samp", "stddev", "var_samp", "var_pop",
+    "variance", "collect", "first_value_agg", "array_agg", "string_agg",
+    "count_distinct", "approx_count_distinct", "corr", "covar_pop",
+    "covar_samp", "median", "percentile_cont", "mode",
+}
+
+WINDOW_ONLY_NAMES = {
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile",
+    "lag", "lead", "first_value", "last_value", "nth_value",
+}
+
+
+class Parser:
+    def __init__(self, tokens: List[Token], sql: str = ""):
+        self.tokens = tokens
+        self.i = 0
+        self.sql = sql
+
+    # ------------------------------------------------------------- utilities
+
+    def peek(self, offset: int = 0) -> Optional[Token]:
+        j = self.i + offset
+        return self.tokens[j] if j < len(self.tokens) else None
+
+    def at_end(self) -> bool:
+        return self.i >= len(self.tokens)
+
+    def error(self, msg: str) -> ParseError:
+        tok = self.peek()
+        where = f" near {tok.value!r} (offset {tok.pos})" if tok else " at end of input"
+        return ParseError(msg + where)
+
+    def advance(self) -> Token:
+        tok = self.peek()
+        if tok is None:
+            raise self.error("unexpected end of input")
+        self.i += 1
+        return tok
+
+    def is_kw(self, *words: str, offset: int = 0) -> bool:
+        tok = self.peek(offset)
+        return tok is not None and tok.kind == "name" and tok.value.lower() in words
+
+    def is_op(self, *ops: str, offset: int = 0) -> bool:
+        tok = self.peek(offset)
+        return tok is not None and tok.kind == "op" and tok.value in ops
+
+    def accept_kw(self, *words: str) -> Optional[str]:
+        if self.is_kw(*words):
+            return self.advance().value.lower()
+        return None
+
+    def accept_op(self, *ops: str) -> Optional[str]:
+        if self.is_op(*ops):
+            return self.advance().value
+        return None
+
+    def expect_kw(self, word: str) -> None:
+        if not self.accept_kw(word):
+            raise self.error(f"expected keyword {word.upper()}")
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            raise self.error(f"expected {op!r}")
+
+    def parse_name(self) -> str:
+        tok = self.peek()
+        if tok is None:
+            raise self.error("expected identifier")
+        if tok.kind == "name":
+            self.advance()
+            return tok.value.lower()
+        if tok.kind == "qname":
+            self.advance()
+            return unquote_name(tok.value)
+        raise self.error("expected identifier")
+
+    # ------------------------------------------------------------ statements
+
+    def parse_statement(self) -> ast.Node:
+        if self.is_kw("select", "with") or self.is_op("("):
+            return self.parse_query()
+        if self.is_kw("copy"):
+            return self.parse_copy()
+        if self.is_kw("create"):
+            return self.parse_create_table_as()
+        if self.is_kw("drop"):
+            return self.parse_drop_table()
+        if self.is_kw("show"):
+            return self.parse_show()
+        raise self.error("expected a statement")
+
+    def parse_copy(self) -> ast.Node:
+        self.expect_kw("copy")
+        table = ".".join(self.parse_dotted_name())
+        direction = self.accept_kw("from", "to")
+        if direction is None:
+            raise self.error("expected FROM or TO in COPY")
+        tok = self.peek()
+        if tok is None or tok.kind != "string":
+            raise self.error("expected quoted path in COPY")
+        self.advance()
+        path = unquote_string(tok.value)
+        options: List[Tuple[str, str]] = []
+        if self.accept_kw("with"):
+            self.expect_op("(")
+            while True:
+                key = self.parse_name()
+                val_tok = self.peek()
+                if val_tok is not None and val_tok.kind == "string":
+                    self.advance()
+                    val = unquote_string(val_tok.value)
+                elif val_tok is not None and val_tok.kind in ("name", "number"):
+                    self.advance()
+                    val = val_tok.value
+                else:
+                    raise self.error("expected option value in COPY WITH")
+                options.append((key, val))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+        cls = ast.CopyFrom if direction == "from" else ast.CopyTo
+        return cls(table=table, path=path, options=tuple(options))
+
+    def parse_create_table_as(self) -> ast.CreateTableAs:
+        self.expect_kw("create")
+        replace = False
+        if self.accept_kw("or"):
+            self.expect_kw("replace")
+            replace = True
+        self.expect_kw("table")
+        name = ".".join(self.parse_dotted_name())
+        self.expect_kw("as")
+        query = self.parse_query()
+        return ast.CreateTableAs(name=name, query=query, replace=replace)
+
+    def parse_drop_table(self) -> ast.DropTable:
+        self.expect_kw("drop")
+        self.expect_kw("table")
+        if_exists = False
+        if self.is_kw("if"):
+            self.advance()
+            self.expect_kw("exists")
+            if_exists = True
+        names = [".".join(self.parse_dotted_name())]
+        while self.accept_op(","):
+            names.append(".".join(self.parse_dotted_name()))
+        return ast.DropTable(names=tuple(names), if_exists=if_exists)
+
+    def parse_show(self) -> ast.ShowOption:
+        self.expect_kw("show")
+        parts = [self.advance().value.lower()]
+        while not self.at_end() and not self.is_op(";"):
+            parts.append(self.advance().value.lower())
+        return ast.ShowOption(option=" ".join(parts))
+
+    # ---------------------------------------------------------------- queries
+
+    def parse_query(self) -> ast.Node:
+        """Query with optional WITH prefix and set-op chain."""
+        ctes: Tuple[ast.CTE, ...] = ()
+        if self.is_kw("with"):
+            ctes = self.parse_with()
+        node = self.parse_set_expr()
+        if ctes:
+            if isinstance(node, ast.Select):
+                node = ast.Select(**{**_select_kwargs(node), "ctes": ctes})
+            else:
+                # attach CTEs to the leftmost select of a set-op tree
+                node = _attach_ctes(node, ctes)
+        return node
+
+    def parse_with(self) -> Tuple[ast.CTE, ...]:
+        self.expect_kw("with")
+        ctes: List[ast.CTE] = []
+        while True:
+            name = self.parse_name()
+            self.expect_kw("as")
+            self.expect_op("(")
+            query = self.parse_query()
+            self.expect_op(")")
+            if not isinstance(query, ast.Select):
+                raise self.error("set operations in CTE bodies must be parenthesized selects")
+            ctes.append(ast.CTE(name=name, query=query))
+            if not self.accept_op(","):
+                break
+        return tuple(ctes)
+
+    def parse_set_expr(self) -> ast.Node:
+        left = self.parse_select_core()
+        while self.is_kw("union", "intersect", "except"):
+            op = self.advance().value.lower()
+            if self.accept_kw("all"):
+                op += " all"
+            else:
+                self.accept_kw("distinct")
+            right = self.parse_select_core()
+            left = ast.SetOp(op=op, left=left, right=right)
+        # trailing ORDER BY / LIMIT of a set-op chain
+        if isinstance(left, ast.SetOp):
+            order_by = self.parse_order_by() if self.is_kw("order") else ()
+            limit = offset = None
+            if self.accept_kw("limit"):
+                limit = None if self.accept_kw("all") else self.parse_expr()
+            if self.accept_kw("offset"):
+                offset = self.parse_expr()
+            if order_by or limit is not None or offset is not None:
+                left = ast.SetOp(op=left.op, left=left.left, right=left.right,
+                                 order_by=order_by, limit=limit, offset=offset)
+        return left
+
+    def parse_select_core(self) -> ast.Node:
+        if self.accept_op("("):
+            node = self.parse_query()
+            self.expect_op(")")
+            return node
+        self.expect_kw("select")
+        distinct = False
+        if self.accept_kw("distinct"):
+            distinct = True
+        else:
+            self.accept_kw("all")
+        items = self.parse_select_list()
+        from_ = None
+        if self.accept_kw("from"):
+            from_ = self.parse_from()
+        where = None
+        if self.accept_kw("where"):
+            where = self.parse_expr()
+        group_by: Tuple[ast.Node, ...] = ()
+        if self.is_kw("group"):
+            self.advance()
+            self.expect_kw("by")
+            exprs = [self.parse_expr()]
+            while self.accept_op(","):
+                exprs.append(self.parse_expr())
+            group_by = tuple(exprs)
+        having = None
+        if self.accept_kw("having"):
+            having = self.parse_expr()
+        order_by = self.parse_order_by() if self.is_kw("order") else ()
+        limit = offset = None
+        if self.accept_kw("limit"):
+            limit = None if self.accept_kw("all") else self.parse_expr()
+        if self.accept_kw("offset"):
+            offset = self.parse_expr()
+        return ast.Select(
+            items=items, from_=from_, where=where, group_by=group_by,
+            having=having, order_by=order_by, limit=limit, offset=offset,
+            distinct=distinct,
+        )
+
+    def parse_order_by(self) -> Tuple[ast.SortItem, ...]:
+        self.expect_kw("order")
+        self.expect_kw("by")
+        out: List[ast.SortItem] = []
+        while True:
+            expr = self.parse_expr()
+            ascending = True
+            if self.accept_kw("desc"):
+                ascending = False
+            else:
+                self.accept_kw("asc")
+            nulls = None
+            if self.accept_kw("nulls"):
+                nulls = self.accept_kw("first", "last")
+                if nulls is None:
+                    raise self.error("expected FIRST or LAST after NULLS")
+            out.append(ast.SortItem(expr=expr, ascending=ascending, nulls=nulls))
+            if not self.accept_op(","):
+                break
+        return tuple(out)
+
+    def parse_select_list(self) -> Tuple[ast.Node, ...]:
+        items: List[ast.Node] = []
+        while True:
+            items.append(self.parse_select_item())
+            if not self.accept_op(","):
+                break
+        return tuple(items)
+
+    def parse_select_item(self) -> ast.Node:
+        # bare * / t.* / t.schema.*
+        if self.is_op("*"):
+            self.advance()
+            return ast.Star()
+        expr = self.parse_expr()
+        if isinstance(expr, ast.Star):
+            return expr
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.parse_name()
+        else:
+            tok = self.peek()
+            if tok is not None and (
+                (tok.kind == "name" and tok.value.lower() not in RESERVED_STOP)
+                or tok.kind == "qname"
+            ):
+                alias = self.parse_name()
+        return ast.SelectItem(expr=expr, alias=alias)
+
+    # ------------------------------------------------------------------- FROM
+
+    def parse_from(self) -> ast.Node:
+        rel = self.parse_join_chain()
+        while self.accept_op(","):
+            if self.accept_kw("lateral"):
+                right = self.parse_table_primary()
+                if isinstance(right, ast.TableFunction):
+                    right = ast.TableFunction(
+                        name=right.name, args=right.args, alias=right.alias,
+                        lateral=True,
+                    )
+                rel = ast.Join(kind="cross", left=rel, right=right)
+            else:
+                right = self.parse_join_chain()
+                rel = ast.Join(kind="cross", left=rel, right=right)
+        return rel
+
+    def parse_join_chain(self) -> ast.Node:
+        left = self.parse_table_primary()
+        while True:
+            kind = None
+            if self.accept_kw("cross"):
+                self.expect_kw("join")
+                right = self.parse_table_primary()
+                left = ast.Join(kind="cross", left=left, right=right)
+                continue
+            if self.is_kw("inner", "left", "right", "full"):
+                kind = self.advance().value.lower()
+                self.accept_kw("outer")
+                self.expect_kw("join")
+            elif self.is_kw("join"):
+                self.advance()
+                kind = "inner"
+            else:
+                break
+            right = self.parse_table_primary()
+            if self.accept_kw("using"):
+                self.expect_op("(")
+                cols = [self.parse_name()]
+                while self.accept_op(","):
+                    cols.append(self.parse_name())
+                self.expect_op(")")
+                left = ast.Join(kind=kind, left=left, right=right, using=tuple(cols))
+            else:
+                self.expect_kw("on")
+                cond = self.parse_expr()
+                left = ast.Join(kind=kind, left=left, right=right, condition=cond)
+        return left
+
+    def parse_table_primary(self) -> ast.Node:
+        lateral = bool(self.accept_kw("lateral"))
+        if self.is_op("("):
+            self.advance()
+            query = self.parse_query()
+            self.expect_op(")")
+            alias = self.parse_optional_alias()
+            if alias is None:
+                raise ParseError("subquery in FROM requires an alias")
+            if not isinstance(query, ast.Select):
+                # wrap set-op in a trivial select for uniform handling
+                query = ast.Select(items=(ast.Star(),), from_=ast.SubqueryRel(query=query, alias="__setop"))
+            return ast.SubqueryRel(query=query, alias=alias)
+        parts = self.parse_dotted_name()
+        if self.is_op("("):
+            # table function
+            self.advance()
+            args: List[ast.Node] = []
+            if not self.is_op(")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            alias = self.parse_optional_alias()
+            return ast.TableFunction(
+                name=parts[-1].lower(), args=tuple(args), alias=alias, lateral=lateral,
+            )
+        alias = self.parse_optional_alias()
+        return ast.TableRef(parts=tuple(parts), alias=alias)
+
+    def parse_optional_alias(self) -> Optional[str]:
+        if self.accept_kw("as"):
+            return self.parse_name()
+        tok = self.peek()
+        if tok is not None and (
+            (tok.kind == "name" and tok.value.lower() not in RESERVED_STOP)
+            or tok.kind == "qname"
+        ):
+            return self.parse_name()
+        return None
+
+    def parse_dotted_name(self) -> List[str]:
+        parts = [self.parse_name()]
+        while self.is_op(".") and not self.is_op("*", offset=1):
+            self.advance()
+            parts.append(self.parse_name())
+        return parts
+
+    # ------------------------------------------------------------ expressions
+
+    def parse_expr(self) -> ast.Node:
+        return self.parse_or()
+
+    def parse_or(self) -> ast.Node:
+        left = self.parse_and()
+        while self.is_kw("or"):
+            self.advance()
+            left = ast.Binary(op="or", left=left, right=self.parse_and())
+        return left
+
+    def parse_and(self) -> ast.Node:
+        left = self.parse_not()
+        while self.is_kw("and"):
+            self.advance()
+            left = ast.Binary(op="and", left=left, right=self.parse_not())
+        return left
+
+    def parse_not(self) -> ast.Node:
+        if self.accept_kw("not"):
+            return ast.Unary(op="not", operand=self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self) -> ast.Node:
+        left = self.parse_concat()
+        while True:
+            if self.is_op("=", "!=", "<>", "<", "<=", ">", ">="):
+                op = self.advance().value
+                right = self.parse_concat()
+                left = ast.Binary(op=op, left=left, right=right)
+                continue
+            negated = False
+            save = self.i
+            if self.accept_kw("not"):
+                negated = True
+                if not self.is_kw("in", "like", "ilike", "between"):
+                    self.i = save
+                    break
+            if self.accept_kw("is"):
+                neg2 = bool(self.accept_kw("not"))
+                if self.accept_kw("null"):
+                    left = ast.IsNull(expr=left, negated=neg2)
+                elif self.accept_kw("true"):
+                    cmp_ = ast.Binary(op="=", left=left, right=ast.Literal(True, "bool"))
+                    left = ast.Unary(op="not", operand=cmp_) if neg2 else cmp_
+                elif self.accept_kw("false"):
+                    cmp_ = ast.Binary(op="=", left=left, right=ast.Literal(False, "bool"))
+                    left = ast.Unary(op="not", operand=cmp_) if neg2 else cmp_
+                elif self.accept_kw("distinct"):
+                    self.expect_kw("from")
+                    right = self.parse_concat()
+                    node = ast.Call(name="__is_distinct_from", args=(left, right))
+                    left = ast.Unary(op="not", operand=node) if neg2 else node
+                else:
+                    raise self.error("expected NULL/TRUE/FALSE/DISTINCT FROM after IS")
+                continue
+            if self.accept_kw("in"):
+                self.expect_op("(")
+                if self.is_kw("select", "with"):
+                    query = self.parse_query()
+                    self.expect_op(")")
+                    left = ast.InSubquery(expr=left, query=query, negated=negated)
+                else:
+                    items = [self.parse_expr()]
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                    self.expect_op(")")
+                    left = ast.InList(expr=left, items=tuple(items), negated=negated)
+                continue
+            if self.is_kw("like", "ilike"):
+                ci = self.advance().value.lower() == "ilike"
+                pattern = self.parse_concat()
+                left = ast.Like(expr=left, pattern=pattern, negated=negated,
+                                case_insensitive=ci)
+                continue
+            if self.accept_kw("between"):
+                low = self.parse_concat()
+                self.expect_kw("and")
+                high = self.parse_concat()
+                left = ast.Between(expr=left, low=low, high=high, negated=negated)
+                continue
+            if negated:
+                self.i = save
+            break
+        return left
+
+    def parse_concat(self) -> ast.Node:
+        left = self.parse_bitor()
+        while self.is_op("||"):
+            self.advance()
+            left = ast.Binary(op="||", left=left, right=self.parse_bitor())
+        return left
+
+    def parse_bitor(self) -> ast.Node:
+        left = self.parse_bitxor()
+        while self.is_op("|"):
+            self.advance()
+            left = ast.Binary(op="|", left=left, right=self.parse_bitxor())
+        return left
+
+    def parse_bitxor(self) -> ast.Node:
+        left = self.parse_bitand()
+        while self.is_op("#"):
+            self.advance()
+            left = ast.Binary(op="#", left=left, right=self.parse_bitand())
+        return left
+
+    def parse_bitand(self) -> ast.Node:
+        left = self.parse_shift()
+        while self.is_op("&"):
+            self.advance()
+            left = ast.Binary(op="&", left=left, right=self.parse_shift())
+        return left
+
+    def parse_shift(self) -> ast.Node:
+        left = self.parse_add()
+        while self.is_op("<<", ">>"):
+            op = self.advance().value
+            left = ast.Binary(op=op, left=left, right=self.parse_add())
+        return left
+
+    def parse_add(self) -> ast.Node:
+        left = self.parse_mul()
+        while self.is_op("+", "-"):
+            op = self.advance().value
+            left = ast.Binary(op=op, left=left, right=self.parse_mul())
+        return left
+
+    def parse_mul(self) -> ast.Node:
+        left = self.parse_pow()
+        while self.is_op("*", "/", "%"):
+            op = self.advance().value
+            left = ast.Binary(op=op, left=left, right=self.parse_pow())
+        return left
+
+    def parse_pow(self) -> ast.Node:
+        left = self.parse_unary()
+        if self.is_op("^"):
+            self.advance()
+            # pg ^ is left-assoc; loop keeps it so
+            right = self.parse_unary()
+            left = ast.Binary(op="^", left=left, right=right)
+            while self.is_op("^"):
+                self.advance()
+                left = ast.Binary(op="^", left=left, right=self.parse_unary())
+        return left
+
+    def parse_unary(self) -> ast.Node:
+        if self.is_op("-", "+", "~"):
+            op = self.advance().value
+            operand = self.parse_unary()
+            if op == "+":
+                return operand
+            if op == "-" and isinstance(operand, ast.Literal) and operand.kind in ("int", "float"):
+                return ast.Literal(-operand.value, operand.kind)
+            return ast.Unary(op=op, operand=operand)
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> ast.Node:
+        node = self.parse_primary()
+        while True:
+            if self.is_op("::"):
+                self.advance()
+                node = ast.Cast(expr=node, type_name=self.parse_type_name())
+                continue
+            if self.is_op("["):
+                self.advance()
+                index = self.parse_expr()
+                self.expect_op("]")
+                node = ast.Call(name="__subscript", args=(node, index))
+                continue
+            break
+        return node
+
+    def parse_type_name(self) -> str:
+        parts = [self.parse_name()]
+        # multi-word types: double precision, timestamp with time zone, etc.
+        while self.is_kw("precision", "varying", "with", "without", "time", "zone"):
+            parts.append(self.advance().value.lower())
+        name = " ".join(parts)
+        if self.accept_op("("):
+            args = [self.advance().value]
+            while self.accept_op(","):
+                args.append(self.advance().value)
+            self.expect_op(")")
+            name += "(" + ",".join(args) + ")"
+        return name
+
+    def parse_primary(self) -> ast.Node:
+        tok = self.peek()
+        if tok is None:
+            raise self.error("unexpected end of expression")
+
+        if tok.kind == "number":
+            self.advance()
+            text = tok.value
+            if "." in text or "e" in text or "E" in text:
+                return ast.Literal(float(text), "float")
+            return ast.Literal(int(text), "int")
+        if tok.kind == "string":
+            self.advance()
+            return ast.Literal(unquote_string(tok.value), "string")
+        if tok.kind == "param":
+            self.advance()
+            return ast.Param(name=tok.value[2:-2])
+        if tok.kind == "op" and tok.value == "(":
+            self.advance()
+            if self.is_kw("select", "with"):
+                query = self.parse_query()
+                self.expect_op(")")
+                return ast.ScalarSubquery(query=query)
+            node = self.parse_expr()
+            self.expect_op(")")
+            return node
+        if tok.kind == "op" and tok.value == "*":
+            self.advance()
+            return ast.Star()
+
+        if tok.kind in ("name", "qname"):
+            low = tok.value.lower() if tok.kind == "name" else None
+            if low == "case":
+                return self.parse_case()
+            if low == "cast":
+                self.advance()
+                self.expect_op("(")
+                expr = self.parse_expr()
+                self.expect_kw("as")
+                type_name = self.parse_type_name()
+                self.expect_op(")")
+                return ast.Cast(expr=expr, type_name=type_name)
+            if low == "exists":
+                self.advance()
+                self.expect_op("(")
+                query = self.parse_query()
+                self.expect_op(")")
+                return ast.Exists(query=query)
+            if low == "null":
+                self.advance()
+                return ast.Literal(None, "null")
+            if low in ("true", "false"):
+                self.advance()
+                return ast.Literal(low == "true", "bool")
+            if low in ("date", "timestamp", "interval") and self.peek(1) is not None \
+                    and self.peek(1).kind == "string":
+                self.advance()
+                lit = unquote_string(self.advance().value)
+                return ast.Literal(lit, low)
+            if low == "trim" and self.is_op("(", offset=1):
+                return self.parse_trim()
+            if low == "position" and self.is_op("(", offset=1):
+                return self.parse_position()
+            if low == "substring" and self.is_op("(", offset=1):
+                return self.parse_substring()
+            if low == "extract" and self.is_op("(", offset=1):
+                self.advance()
+                self.advance()
+                field = self.parse_name()
+                self.expect_kw("from")
+                expr = self.parse_expr()
+                self.expect_op(")")
+                return ast.Extract(field=field, expr=expr)
+
+            # qualified name or function call
+            parts = [self.parse_name()] if tok.kind == "qname" else [self.advance().value]
+            quoted = tok.kind == "qname"
+            while self.is_op("."):
+                if self.is_op("*", offset=1):
+                    self.advance()
+                    self.advance()
+                    return ast.Star(table=parts[-1].lower() if not quoted else parts[-1])
+                self.advance()
+                nxt = self.peek()
+                if nxt is None:
+                    raise self.error("dangling '.'")
+                if nxt.kind == "qname":
+                    parts.append(unquote_name(self.advance().value))
+                elif nxt.kind == "name":
+                    parts.append(self.advance().value)
+                else:
+                    raise self.error("expected name after '.'")
+            if self.is_op("(") and len(parts) == 1:
+                return self.parse_call(parts[0].lower())
+            # plain column ref: lowercase unquoted parts (pg folds to lower)
+            norm = tuple(p if quoted else p.lower() for p in parts)
+            return ast.ColumnRef(parts=norm, quoted=quoted)
+
+        raise self.error("unexpected token in expression")
+
+    def parse_call(self, name: str) -> ast.Node:
+        self.expect_op("(")
+        distinct = False
+        star = False
+        args: List[ast.Node] = []
+        if self.is_op("*") and self.is_op(")", offset=1):
+            self.advance()
+            star = True
+        elif not self.is_op(")"):
+            if self.accept_kw("distinct"):
+                distinct = True
+            else:
+                self.accept_kw("all")
+            args.append(self.parse_expr())
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+        self.expect_op(")")
+        call = ast.Call(name=name, args=tuple(args), distinct=distinct, star=star)
+        if self.is_kw("over"):
+            self.advance()
+            spec = self.parse_window_spec()
+            return ast.WindowCall(call=call, spec=spec)
+        return call
+
+    def parse_window_spec(self) -> ast.WindowSpec:
+        self.expect_op("(")
+        partition_by: Tuple[ast.Node, ...] = ()
+        order_by: Tuple[ast.SortItem, ...] = ()
+        frame_type = None
+        frame_start = frame_end = None
+        if self.is_kw("partition"):
+            self.advance()
+            self.expect_kw("by")
+            exprs = [self.parse_expr()]
+            while self.accept_op(","):
+                exprs.append(self.parse_expr())
+            partition_by = tuple(exprs)
+        if self.is_kw("order"):
+            order_by = self.parse_order_by()
+        if self.is_kw("rows", "range"):
+            frame_type = self.advance().value.lower()
+            if self.accept_kw("between"):
+                frame_start = self.parse_frame_bound()
+                self.expect_kw("and")
+                frame_end = self.parse_frame_bound()
+            else:
+                frame_start = self.parse_frame_bound()
+                frame_end = ast.FrameBound(kind="current_row")
+        self.expect_op(")")
+        return ast.WindowSpec(
+            partition_by=partition_by, order_by=order_by, frame_type=frame_type,
+            frame_start=frame_start, frame_end=frame_end,
+        )
+
+    def parse_frame_bound(self) -> ast.FrameBound:
+        if self.accept_kw("unbounded"):
+            which = self.accept_kw("preceding", "following")
+            if which is None:
+                raise self.error("expected PRECEDING or FOLLOWING")
+            return ast.FrameBound(kind=f"unbounded_{which}")
+        if self.accept_kw("current"):
+            self.expect_kw("row")
+            return ast.FrameBound(kind="current_row")
+        tok = self.peek()
+        if tok is not None and tok.kind == "number":
+            self.advance()
+            n = int(tok.value)
+            which = self.accept_kw("preceding", "following")
+            if which is None:
+                raise self.error("expected PRECEDING or FOLLOWING")
+            return ast.FrameBound(kind=which, value=n)
+        raise self.error("bad frame bound")
+
+    def parse_case(self) -> ast.Case:
+        self.expect_kw("case")
+        operand = None
+        if not self.is_kw("when"):
+            operand = self.parse_expr()
+        whens: List[Tuple[ast.Node, ast.Node]] = []
+        while self.accept_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            result = self.parse_expr()
+            if operand is not None:
+                # desugar simple CASE to searched (reference does the same,
+                # src/framequery/parser/_parser.py:289-302)
+                cond = ast.Binary(op="=", left=operand, right=cond)
+            whens.append((cond, result))
+        default = None
+        if self.accept_kw("else"):
+            default = self.parse_expr()
+        self.expect_kw("end")
+        return ast.Case(whens=tuple(whens), default=default)
+
+    def parse_trim(self) -> ast.Node:
+        self.advance()  # trim
+        self.expect_op("(")
+        mode = "both"
+        chars = None
+        if self.is_kw("both", "leading", "trailing"):
+            mode = self.advance().value.lower()
+            if not self.is_kw("from"):
+                chars = self.parse_expr()
+            self.expect_kw("from")
+            source = self.parse_expr()
+        else:
+            first = self.parse_expr()
+            if self.accept_kw("from"):
+                chars = first
+                source = self.parse_expr()
+            elif self.accept_op(","):
+                source = first
+                chars = self.parse_expr()
+            else:
+                source = first
+        self.expect_op(")")
+        return ast.TrimCall(mode=mode, chars=chars, source=source)
+
+    def parse_position(self) -> ast.Node:
+        self.advance()  # position
+        self.expect_op("(")
+        needle = self.parse_concat()
+        self.expect_kw("in")
+        haystack = self.parse_expr()
+        self.expect_op(")")
+        return ast.PositionCall(needle=needle, haystack=haystack)
+
+    def parse_substring(self) -> ast.Node:
+        self.advance()  # substring
+        self.expect_op("(")
+        source = self.parse_expr()
+        if self.accept_kw("from"):
+            start = self.parse_expr()
+            length = None
+            if self.accept_kw("for"):
+                length = self.parse_expr()
+            self.expect_op(")")
+            return ast.SubstringCall(source=source, start=start, length=length)
+        if self.accept_op(","):
+            start = self.parse_expr()
+            length = None
+            if self.accept_op(","):
+                length = self.parse_expr()
+            self.expect_op(")")
+            return ast.SubstringCall(source=source, start=start, length=length)
+        self.expect_op(")")
+        return ast.Call(name="substring", args=(source,))
+
+
+def _select_kwargs(sel: ast.Select) -> dict:
+    return {
+        "items": sel.items, "from_": sel.from_, "where": sel.where,
+        "group_by": sel.group_by, "having": sel.having, "order_by": sel.order_by,
+        "limit": sel.limit, "offset": sel.offset, "distinct": sel.distinct,
+        "ctes": sel.ctes,
+    }
+
+
+def _attach_ctes(node: ast.Node, ctes: Tuple[ast.CTE, ...]) -> ast.Node:
+    if isinstance(node, ast.Select):
+        return ast.Select(**{**_select_kwargs(node), "ctes": ctes + node.ctes})
+    if isinstance(node, ast.SetOp):
+        return ast.SetOp(op=node.op, left=_attach_ctes(node.left, ctes),
+                         right=_attach_ctes(node.right, ctes),
+                         order_by=node.order_by, limit=node.limit, offset=node.offset)
+    return node
+
+
+def parse(sql: str) -> ast.Node:
+    """Parse a single SQL statement into an AST."""
+    tokens = tokenize(sql)
+    p = Parser(tokens, sql)
+    node = p.parse_statement()
+    p.accept_op(";")
+    if not p.at_end():
+        raise p.error("unexpected trailing input")
+    return node

@@ -1,0 +1,112 @@
+"""Table-valued functions in FROM (+ LATERAL variants).
+
+Reference surface: copy_from, json_each, json_array_elements
+(src/framequery/executor/_pandas.py:58-62, src/framequery/util/_funcs.py:117-167)
+plus generate_series (defined but unregistered in the reference — we register
+it, SURVEY §2.9) and unnest. The json/unnest functions compile to native
+`explode` plans instead of the reference's per-row iterrows loop
+(src/framequery/executor/_pandas.py:307-317 — the anti-pattern at scale).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..parser import ast
+from ..compiler.expressions import CompileError
+
+
+def _literal_args(args) -> List[object]:
+    out = []
+    for a in args:
+        if isinstance(a, ast.Literal):
+            out.append(a.value)
+        elif isinstance(a, ast.Unary) and a.op == "-" and isinstance(a.operand, ast.Literal):
+            out.append(-a.operand.value)
+        else:
+            raise CompileError("table function arguments must be literals here "
+                               "(use LATERAL for per-row invocation)")
+    return out
+
+
+def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
+    spark = qc.session.spark
+    name = tf.name
+    alias = tf.alias or name
+
+    if name == "generate_series":
+        args = _literal_args(tf.args)
+        start = int(args[0])
+        stop = int(args[1])
+        step = int(args[2]) if len(args) > 2 else 1
+        # inclusive stop (pg semantics; reference util/_funcs.py:161-167)
+        end = stop + (1 if step > 0 else -1)
+        return spark.range(start, end, step).toDF("generate_series").alias(alias)
+
+    if name == "copy_from":
+        # copy_from('<file>', 'delimiter', ';', ...)
+        # (reference executor/_pandas.py:222-230)
+        args = _literal_args(tf.args)
+        path = args[0]
+        options = dict(zip(args[1::2], args[2::2]))
+        from .copy import read_csv
+
+        return read_csv(qc.session, path, options).alias(alias)
+
+    if name in ("json_each", "json_array_elements", "unnest"):
+        # constant-argument form: build a one-row frame then explode
+        ec = qc._expr_compiler()
+        col = ec.compile(tf.args[0])
+        base = spark.range(1).select(col.alias("__arg"))
+        return _explode_json(base, F.col("__arg"), name, alias).drop("__arg")
+
+    if name in qc.session.table_functions:
+        args = _literal_args(tf.args)
+        df = qc.session.table_functions[name](*args)
+        df = qc.session._ensure_df(df)
+        return df.alias(alias)
+
+    raise CompileError(f"unknown table function: {name}")
+
+
+def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
+    """LATERAL f(expr-over-left) — compiles to native explode for the json
+    built-ins; user lateral functions run as Arrow-batched UDTF-style
+    applyInPandas (never a driver-side loop)."""
+    name = tf.name
+    alias = tf.alias or name
+    if name in ("json_each", "json_array_elements", "unnest"):
+        ec = qc._expr_compiler()
+        arg = ec.compile(tf.args[0])
+        return _explode_json(left, arg, name, alias)
+
+    if name in qc.session.lateral_functions:
+        from .lateral_udtf import apply_lateral_udtf
+
+        func, schema = qc.session.lateral_functions[name]
+        ec = qc._expr_compiler()
+        arg_cols = [ec.compile(a) for a in tf.args]
+        return apply_lateral_udtf(left, func, schema, arg_cols, alias)
+
+    raise CompileError(f"unknown lateral table function: {name}")
+
+
+def _explode_json(df: DataFrame, arg, name: str, alias: str) -> DataFrame:
+    """Explode a JSON value column. Values are returned as JSON text (the
+    scalar-typed analogue of the reference's Python objects)."""
+    s = arg.cast("string")
+    if name == "json_each":
+        entries = F.map_entries(F.from_json(s, "map<string,string>"))
+        kv = F.explode(entries).alias("__kv")
+        return (df.select("*", kv)
+                .select("*", F.col("__kv.key").alias("key"),
+                        F.col("__kv.value").alias("value"))
+                .drop("__kv"))
+    if name == "json_array_elements":
+        arr = F.from_json(s, "array<string>")
+        return df.select("*", F.explode(arr).alias("value"))
+    # unnest: native array column
+    return df.select("*", F.explode(arg).alias("value"))

@@ -1,0 +1,234 @@
+"""Executor golden tests (reference model: tests/test__executor__execute.py)."""
+
+import pandas as pd
+import pytest
+
+import framequery_spark as fq
+
+from .conftest import rows
+
+
+@pytest.fixture(scope="module")
+def scope(spark):
+    return {
+        "test": spark.createDataFrame(pd.DataFrame({
+            "a": [1, 2, 3, 4], "b": [10.0, 20.0, 30.0, 40.0],
+            "g": ["x", "x", "y", "y"],
+        })),
+        "other": spark.createDataFrame(pd.DataFrame({
+            "a": [1, 2, 5], "c": ["p", "q", "r"],
+        })),
+        "withnull": spark.createDataFrame(
+            pd.DataFrame({"a": [1.0, None, 3.0], "s": ["u", None, "w"]})),
+    }
+
+
+def run(q, scope, spark):
+    return fq.execute(q, scope, spark=spark)
+
+
+def test_select_star(spark, scope):
+    assert rows(run("select * from test", scope, spark)) == [
+        (1, 10.0, "x"), (2, 20.0, "x"), (3, 30.0, "y"), (4, 40.0, "y")]
+
+
+def test_projection_arithmetic(spark, scope):
+    assert rows(run("select a + 1 as a1, b * 2 as b2 from test where a <= 2", scope, spark)) == [
+        (2, 20.0), (3, 40.0)]
+
+
+def test_select_no_from(spark, scope):
+    assert rows(run("select 1 as x, 'a' as s, true as t, null as n", scope, spark)) == [
+        (1, "a", True, None)]
+
+
+def test_group_by_column(spark, scope):
+    assert rows(run("select g, sum(b) as s, count(*) as n from test group by g", scope, spark)) == [
+        ("x", 30.0, 2), ("y", 70.0, 2)]
+
+
+def test_group_by_expression_and_post_agg(spark, scope):
+    out = rows(run("select a % 2 as par, sum(a + 1) * 2 as v from test group by a % 2", scope, spark))
+    assert out == [(0, 16), (1, 12)]
+
+
+def test_group_by_ordinal_and_alias(spark, scope):
+    expected = [("x", 2), ("y", 2)]
+    assert rows(run("select g, count(*) as n from test group by 1", scope, spark)) == expected
+    assert rows(run("select g as grp, count(*) as n from test group by grp", scope, spark)) == expected
+
+
+def test_global_aggregate(spark, scope):
+    assert rows(run("select sum(b) as s, avg(a) as m from test", scope, spark)) == [(100.0, 2.5)]
+
+
+def test_having(spark, scope):
+    assert rows(run("select g, sum(b) as s from test group by g having sum(b) > 50", scope, spark)) == [
+        ("y", 70.0)]
+
+
+def test_equi_join(spark, scope):
+    q = "select test.a, other.c from test join other on test.a = other.a"
+    assert rows(run(q, scope, spark)) == [(1, "p"), (2, "q")]
+
+
+def test_left_join(spark, scope):
+    q = "select test.a, other.c from test left join other on test.a = other.a"
+    assert rows(run(q, scope, spark)) == [(1, "p"), (2, "q"), (3, None), (4, None)]
+
+
+def test_full_join(spark, scope):
+    q = "select test.a as ta, other.a as oa from test full join other on test.a = other.a"
+    out = rows(run(q, scope, spark))
+    assert (None, 5) in out and (3, None) in out and (1, 1) in out
+
+
+def test_cross_join_with_where_hoist(spark, scope):
+    q = "select test.a, other.c from test, other where test.a = other.a and test.a > 1"
+    assert rows(run(q, scope, spark)) == [(2, "q")]
+
+
+def test_non_equi_join(spark, scope):
+    q = "select test.a, other.a as oa from test join other on test.a < other.a where other.a = 5"
+    assert len(rows(run(q, scope, spark))) == 4
+
+
+def test_self_join_aliases(spark, scope):
+    q = "select x.a as xa, y.a as ya from test as x, test as y where x.a = y.a"
+    assert len(rows(run(q, scope, spark))) == 4
+
+
+def test_order_by_limit_offset(spark, scope):
+    q = "select a from test order by a desc limit 2 offset 1"
+    assert [r[0] for r in run(q, scope, spark).collect()] == [3, 2]
+
+
+def test_order_by_expression_not_in_select(spark, scope):
+    q = "select g from test order by a desc limit 1"
+    assert rows(run(q, scope, spark)) == [("y",)]
+
+
+def test_distinct(spark, scope):
+    assert rows(run("select distinct g from test", scope, spark)) == [("x",), ("y",)]
+
+
+def test_case_when(spark, scope):
+    q = "select case when a < 3 then 'lo' else 'hi' end as c from test"
+    assert rows(run(q, scope, spark)) == [("hi",), ("hi",), ("lo",), ("lo",)]
+
+
+def test_string_ops(spark, scope):
+    q = ("select upper(g) as u, g || '!' as e, concat(s, 'z') as c "
+         "from test, withnull where test.a = 1 and withnull.a = 1")
+    assert rows(run(q, scope, spark)) == [("X", "x!", "uz")]
+
+
+def test_concat_null_semantics(spark, scope):
+    # || propagates NULL (pg); concat() treats NULL as ''
+    q = "select s || 'x' as pipe, concat(s, 'x') as cc from withnull where a is null"
+    assert rows(run(q, scope, spark)) == [(None, "x")]
+
+
+def test_in_between_isnull(spark, scope):
+    assert rows(run("select a from test where a in (1, 4)", scope, spark)) == [(1,), (4,)]
+    assert rows(run("select a from test where a not between 2 and 3", scope, spark)) == [(1,), (4,)]
+    assert rows(run("select s from withnull where a is not null", scope, spark)) == [("u",), ("w",)]
+
+
+def test_like(spark, scope):
+    assert rows(run("select c from other where c like '_'", scope, spark)) == [("p",), ("q",), ("r",)]
+    assert rows(run("select c from other where c not like 'p%'", scope, spark)) == [("q",), ("r",)]
+
+
+def test_cast(spark, scope):
+    assert rows(run("select cast(a as varchar) as s, b::int as i from test where a = 1", scope, spark)) == [("1", 10)]
+
+
+def test_subquery_in_from(spark, scope):
+    q = "select t.v from (select a * 2 as v from test) t where t.v > 4"
+    assert rows(run(q, scope, spark)) == [(6,), (8,)]
+
+
+def test_cte(spark, scope):
+    q = "with doubled as (select a * 2 as v from test) select sum(v) as s from doubled"
+    assert rows(run(q, scope, spark)) == [(20,)]
+
+
+def test_scalar_subquery(spark, scope):
+    q = "select a from test where a = (select max(a) from other) - 1"
+    assert rows(run(q, scope, spark)) == [(4,)]
+
+
+def test_in_subquery(spark, scope):
+    q = "select a from test where a in (select a from other)"
+    assert rows(run(q, scope, spark)) == [(1,), (2,)]
+    q = "select a from test where a not in (select a from other)"
+    assert rows(run(q, scope, spark)) == [(3,), (4,)]
+
+
+def test_set_ops(spark, scope):
+    assert rows(run("select a from test union select a from other", scope, spark)) == [
+        (1,), (2,), (3,), (4,), (5,)]
+    assert rows(run("select a from test intersect select a from other", scope, spark)) == [
+        (1,), (2,)]
+    assert rows(run("select a from test except select a from other", scope, spark)) == [
+        (3,), (4,)]
+
+
+def test_window_function(spark, scope):
+    q = "select a, row_number() over (partition by g order by a) as rn from test"
+    assert rows(run(q, scope, spark)) == [(1, 1), (2, 2), (3, 1), (4, 2)]
+
+
+def test_window_running_sum(spark, scope):
+    q = ("select a, sum(b) over (order by a rows between unbounded preceding "
+         "and current row) as rs from test")
+    assert rows(run(q, scope, spark)) == [
+        (1, 10.0), (2, 30.0), (3, 60.0), (4, 100.0)]
+
+
+def test_executor_session_ddl(spark, scope):
+    ex = fq.Executor(dict(scope), spark=spark)
+    ex.execute("create table doubled as select a * 2 as v from test")
+    assert rows(ex.execute("select max(v) as m from doubled")) == [(8,)]
+    ex.execute("drop table doubled")
+    assert "doubled" not in ex.scope
+
+
+def test_user_scalar_function(spark, scope):
+    ex = fq.Executor(dict(scope), spark=spark)
+    ex.add_function("plus_one", lambda s: s + 1, returns="long")
+    assert rows(ex.execute("select plus_one(a) as p from test where a = 1")) == [(2,)]
+
+
+def test_column_function(spark, scope):
+    from pyspark.sql import functions as F
+
+    ex = fq.Executor(dict(scope), spark=spark)
+    ex.add_column_function("double_it", lambda c: c * 2)
+    assert rows(ex.execute("select double_it(a) as d from test where a = 2")) == [(4,)]
+
+
+def test_generate_series(spark, scope):
+    assert rows(run("select * from generate_series(1, 4)", scope, spark)) == [
+        (1,), (2,), (3,), (4,)]
+
+
+def test_show(spark, scope):
+    out = run("show transaction isolation level", scope, spark)
+    assert out.collect()[0][0] == "read committed"
+
+
+def test_version_function(spark, scope):
+    assert rows(run("select version() as v", scope, spark)) == [("PostgreSQL 9.6.0",)]
+
+
+def test_scope_capture_from_frame(spark):
+    test_frame = spark.createDataFrame(pd.DataFrame({"q": [1, 2]}))
+    out = fq.execute("select sum(q) as s from test_frame", spark=spark)
+    assert rows(out) == [(3,)]
+
+
+def test_pg_namespace(spark, scope):
+    out = rows(run("select nspname from pg_namespace", scope, spark))
+    assert ("public",) in out

@@ -1,0 +1,115 @@
+"""Parser unit tests (reference model: tests/test__parser__parse.py)."""
+
+from framequery_spark.parser import ast, parse
+from framequery_spark.parser.tokenizer import tokenize
+
+
+def test_tokenize_basics():
+    toks = [t.value for t in tokenize("SELECT a, 1.5e3 FROM t -- comment\nWHERE x<>'it''s'")]
+    assert toks == ["SELECT", "a", ",", "1.5e3", "FROM", "t", "WHERE", "x", "<>", "'it''s'"]
+
+
+def test_simple_select():
+    node = parse("select a, b as c from t")
+    assert isinstance(node, ast.Select)
+    assert node.items[0] == ast.SelectItem(expr=ast.ColumnRef(parts=("a",)), alias=None)
+    assert node.items[1].alias == "c"
+    assert node.from_ == ast.TableRef(parts=("t",), alias=None)
+
+
+def test_precedence_power_vs_mul():
+    node = parse("select 2 * 3 ^ 2")
+    expr = node.items[0].expr
+    assert expr.op == "*"
+    assert expr.right.op == "^"
+
+
+def test_unary_minus_folds_literal():
+    node = parse("select -5")
+    assert node.items[0].expr == ast.Literal(-5, "int")
+
+
+def test_case_simple_desugars():
+    node = parse("select case a when 1 then 'x' end from t")
+    case = node.items[0].expr
+    assert isinstance(case, ast.Case)
+    cond = case.whens[0][0]
+    assert cond == ast.Binary(op="=", left=ast.ColumnRef(parts=("a",)),
+                              right=ast.Literal(1, "int"))
+
+
+def test_join_chain_kinds():
+    node = parse("select * from a join b on a.x=b.x left join c on b.y=c.y")
+    j = node.from_
+    assert j.kind == "left"
+    assert j.left.kind == "inner"
+
+
+def test_comma_join_is_cross():
+    node = parse("select * from a, b")
+    assert node.from_.kind == "cross"
+
+
+def test_group_order_limit():
+    node = parse("select a, count(*) from t group by 1 order by 2 desc limit 3 offset 1")
+    assert node.group_by == (ast.Literal(1, "int"),)
+    assert node.order_by[0].ascending is False
+    assert node.limit == ast.Literal(3, "int")
+    assert node.offset == ast.Literal(1, "int")
+
+
+def test_order_by_default_asc():
+    # deliberate deviation from the reference's desc default (SURVEY §2.6)
+    node = parse("select a from t order by a")
+    assert node.order_by[0].ascending is True
+
+
+def test_window_call():
+    node = parse("select sum(x) over (partition by a order by b rows between unbounded preceding and current row) from t")
+    w = node.items[0].expr
+    assert isinstance(w, ast.WindowCall)
+    assert w.spec.frame_type == "rows"
+    assert w.spec.frame_start.kind == "unbounded_preceding"
+
+
+def test_cast_forms():
+    node = parse("select cast(a as varchar), b::json from t")
+    assert node.items[0].expr == ast.Cast(expr=ast.ColumnRef(parts=("a",)), type_name="varchar")
+    assert node.items[1].expr.type_name == "json"
+
+
+def test_statements():
+    assert isinstance(parse("copy t from 'f.csv' with (delimiter ';')"), ast.CopyFrom)
+    assert isinstance(parse("copy t to 'f.csv'"), ast.CopyTo)
+    assert isinstance(parse("create table x as select 1"), ast.CreateTableAs)
+    assert parse("drop table a, b").names == ("a", "b")
+    assert parse("show transaction isolation level").option == "transaction isolation level"
+
+
+def test_set_ops():
+    node = parse("select 1 union all select 2 union select 3")
+    assert node.op == "union"
+    assert node.left.op == "union all"
+
+
+def test_cte():
+    node = parse("with a as (select 1 as x), b as (select 2 as y) select * from a, b")
+    assert [c.name for c in node.ctes] == ["a", "b"]
+
+
+def test_quoted_identifiers_preserved():
+    node = parse('select "MiXeD" from "My Table"')
+    assert node.items[0].expr.parts == ("MiXeD",)
+    assert node.from_.parts == ("My Table",)
+
+
+def test_like_ilike_not():
+    node = parse("select * from t where a like 'x%' and b not ilike '_y'")
+    conj = node.where
+    assert conj.right.negated and conj.right.case_insensitive
+
+
+def test_lateral_parses():
+    node = parse("select * from t, lateral json_each(t.payload) as kv")
+    assert node.from_.right.lateral is True
+    assert node.from_.right.name == "json_each"
