@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exercises the framequery_spark engine end-to-end: each SQL entry
+is parsed by our pg-flavored parser and compiled to Spark DataFrame ops;
+operator entries call the LLM-pipeline operator APIs directly. `oracle_sql()`
+returns the DuckDB-equivalent SQL for the driver's differential check.
+
+Float discipline: aggregate outputs are wrapped in round(...) and ordered
+with unique tie-breakers so Spark and DuckDB hash identically.
 """
 
 from __future__ import annotations
@@ -13,26 +15,325 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _scope(spark: SparkSession, sf_dir: str) -> dict:
+    from framequery_spark.sources.testdata import load_tables
+
+    return load_tables(spark, sf_dir)
+
+
+def _sql_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import framequery_spark as fq
+
+        return fq.execute(sql, _scope(spark, sf_dir), spark=spark)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# SQL queries: {name: (engine_sql, oracle_sql)}. oracle None -> rows-only.
+# Most oracle strings are identical to the engine SQL (the dialect overlaps);
+# they are spelled out separately where DuckDB syntax differs.
+# ---------------------------------------------------------------------------
+
+_Q: dict[str, tuple[str, str | None]] = {}
+
+
+def _q(name: str, sql: str, oracle: str | None = "same") -> None:
+    _Q[name] = (sql, sql if oracle == "same" else oracle)
+
+
+_q("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(cast(cast(sum(l_quantity) AS decimal(20,2)) AS double) / count(*) + 0.0000001, 4) AS avg_qty,
+       round(cast(cast(sum(l_extendedprice) AS decimal(20,2)) AS double) / count(*) + 0.0000001, 4) AS avg_price,
+       round(cast(cast(sum(l_discount) AS decimal(20,2)) AS double) / count(*) + 0.0000001, 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+
+_q("q02_top_orders", """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < date '1997-03-15'
+  AND l_shipdate > date '1997-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+
+_q("q03_region_revenue", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= date '1996-01-01' AND o_orderdate < date '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+
+_q("q04_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= date '1996-07-01' AND o_orderdate < date '1996-10-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+
+_q("q05_nation_balance", """
+SELECT n_name, round(cast(cast(sum(c_acctbal) AS decimal(20,2)) AS double) / count(*) + 0.0000001, 4) AS avg_bal, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING count(*) > 1
+ORDER BY n_name
+""")
+
+_q("q06_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= date '1996-01-01' AND l_shipdate < date '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24
+""")
+
+_q("q07_parts_by_brand", """
+SELECT p_brand, count(*) AS n, round(cast(cast(sum(p_retailprice) AS decimal(20,2)) AS double) / count(*) + 0.0000001, 4) AS avg_price,
+       round(min(p_retailprice), 2) AS min_price, round(max(p_retailprice), 2) AS max_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""")
+
+_q("q08_price_buckets", """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       count(*) AS n, round(sum(o_totalprice), 2) AS volume
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""")
+
+_q("q09_yearly_volume", """
+SELECT extract(year FROM o_orderdate) AS yr, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS volume
+FROM orders
+GROUP BY 1
+ORDER BY yr
+""")
+
+_q("q10_top_customers", """
+WITH cust_rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, total
+FROM customer JOIN cust_rev ON c_custkey = o_custkey
+ORDER BY total DESC, c_custkey
+LIMIT 10
+""")
+
+_q("q11_segment_top3", """
+SELECT c_mktsegment, c_custkey, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) ranked
+WHERE rn <= 3
+ORDER BY c_mktsegment, c_custkey
+""")
+
+_q("q12_running_total", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WHERE o_custkey <= 30
+ORDER BY o_custkey, o_orderkey
+""")
+
+_q("q13_union_keys", """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+""")
+
+_q("q14_except_keys", """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""")
+
+_q("q15_intersect_keys", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""")
+
+_q("q16_in_subquery", """
+SELECT count(*) AS n
+FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+)
+""")
+
+_q("q17_customers_without_orders", """
+SELECT count(*) AS n
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IS NULL
+""")
+
+_q("q18_string_functions", """
+SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+       substring(c_name, 1, 9) AS prefix, c_name || '!' AS bang,
+       position('_' in c_name) AS uscore
+FROM customer
+WHERE c_custkey <= 50
+ORDER BY c_custkey
+""", oracle="""
+SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+       substring(c_name, 1, 9) AS prefix, c_name || '!' AS bang,
+       position('_' in c_name) AS uscore
+FROM customer
+WHERE c_custkey <= 50
+ORDER BY c_custkey
+""")
+
+_q("q19_events_daily", """
+SELECT event_type, date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+       count(*) AS n, round(cast(cast(sum(value) AS decimal(20,2)) AS double) / count(*) + 0.0000001, 4) AS avg_value
+FROM events
+GROUP BY event_type, date_format(date_trunc('day', ts), 'yyyy-MM-dd')
+ORDER BY event_type, day
+""", oracle="""
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n, round(cast(cast(sum(value) AS decimal(20,2)) AS double) / count(*) + 0.0000001, 4) AS avg_value
+FROM events
+GROUP BY event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+ORDER BY event_type, day
+""")
+
+_q("q20_limit_offset", """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+ORDER BY o_orderkey
+LIMIT 10 OFFSET 5
+""")
+
+_q("q21_having_counts", """
+SELECT o_custkey, count(*) AS n
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 3
+ORDER BY n DESC, o_custkey
+LIMIT 20
+""")
+
+_q("q22_above_avg", """
+SELECT count(*) AS n
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+""")
+
+_q("q23_generate_series", """
+SELECT count(*) AS n, cast(sum(generate_series) AS bigint) AS total
+FROM generate_series(1, 1000)
+""")
+
+_q("q24_json_extract", """
+SELECT cast(json_extract(props, '$.k') AS bigint) % 10 AS k_mod,
+       count(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY k_mod
+""", oracle="""
+SELECT cast(props->>'$.k' AS bigint) % 10 AS k_mod, count(*) AS n
+FROM events
+GROUP BY 1
+ORDER BY k_mod
+""")
+
+_q("q25_distinct_pairs", """
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY 1, 2
+""")
+
+_q("q26_implicit_join", """
+SELECT r_name, count(*) AS n_nations
+FROM region, nation
+WHERE r_regionkey = n_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""")
+
+_q("q27_theta_join", """
+SELECT count(*) AS n
+FROM supplier s1, supplier s2
+WHERE s1.s_acctbal > s2.s_acctbal
+""")
+
+_q("q28_full_join_counts", """
+SELECT coalesce(c.nk, s.nk) AS nationkey, c.cnt AS customer_cnt, s.cnt AS supplier_cnt
+FROM (SELECT c_nationkey AS nk, count(*) AS cnt FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS nk, count(*) AS cnt FROM supplier GROUP BY 1) s
+  ON c.nk = s.nk
+ORDER BY nationkey
+""")
+
+_q("q29_decile_stats", """
+SELECT cast(l_quantity AS bigint) % 10 AS decile,
+       round(stddev_samp(l_extendedprice), 2) AS sd,
+       round(var_pop(l_discount), 8) AS vp,
+       count(DISTINCT l_partkey) AS nparts
+FROM lineitem
+GROUP BY 1
+ORDER BY decile
+""")
+
+_q("q30_lag_lead", """
+SELECT o_orderkey,
+       lag(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS prev_key,
+       lead(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS next_key
+FROM orders
+WHERE o_custkey <= 10
+ORDER BY o_orderkey
+""")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (sql, _) in _Q.items():
+        out[name] = _sql_runner(sql)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: oracle for name, (_, oracle) in _Q.items() if oracle is not None}

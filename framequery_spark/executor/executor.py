@@ -83,10 +83,12 @@ class Executor:
             # hard-coded catalog emulation
             # (reference: src/framequery/executor/_pandas.py:103-116)
             return self.spark.createDataFrame(
-                [(11, "pg_catalog"), (99, "information_schema"), (2200, "public")],
+                [("public", 0, None), ("pg_catalog", 0, None),
+                 ("information_schema", 0, None)],
                 T.StructType([
-                    T.StructField("oid", T.LongType()),
                     T.StructField("nspname", T.StringType()),
+                    T.StructField("nspowner", T.IntegerType()),
+                    T.StructField("nspacl", T.StringType()),
                 ]),
             )
         try:

@@ -93,9 +93,9 @@ _fixed("lower", lambda a: F.lower(a[0]))
 _fixed("length", lambda a: F.length(a[0]), "char_length", "character_length")
 _fixed("octet_length", lambda a: F.octet_length(a[0]))
 _fixed("bit_length", lambda a: F.bit_length(a[0]))
-_fixed("lpad", lambda a: F.lpad(a[0], a[1], a[2] if len(a) > 2 else F.lit(" ")))
-_fixed("rpad", lambda a: F.rpad(a[0], a[1], a[2] if len(a) > 2 else F.lit(" ")))
-_fixed("repeat", lambda a: F.repeat(a[0], a[1]))
+_fixed("lpad", lambda a: F.call_function("lpad", a[0], a[1], a[2] if len(a) > 2 else F.lit(" ")))
+_fixed("rpad", lambda a: F.call_function("rpad", a[0], a[1], a[2] if len(a) > 2 else F.lit(" ")))
+_fixed("repeat", lambda a: F.call_function("repeat", a[0], a[1]))
 _fixed("reverse", lambda a: F.reverse(a[0]))
 _fixed("replace", lambda a: F.replace(a[0], a[1], a[2]))
 _fixed("split_part", lambda a: F.split_part(a[0], a[1], a[2]))
@@ -111,7 +111,7 @@ _fixed("starts_with", lambda a: a[0].startswith(a[1]), "startswith")
 _fixed("ends_with", lambda a: a[0].endswith(a[1]), "endswith")
 _fixed("contains", lambda a: F.contains(a[0], a[1]))
 _fixed("regexp_replace", lambda a: F.regexp_replace(a[0], a[1], a[2]))
-_fixed("regexp_extract", lambda a: F.regexp_extract(a[0], a[1], a[2] if len(a) > 2 else 0))
+_fixed("regexp_extract", lambda a: F.call_function("regexp_extract", a[0], a[1], a[2] if len(a) > 2 else F.lit(0)))
 _fixed("regexp_matches", lambda a: F.regexp_like(a[0], a[1]), "regexp_like")
 _fixed("regexp_count", lambda a: F.regexp_count(a[0], a[1]))
 
@@ -179,7 +179,7 @@ _fixed("__is_distinct_from", lambda a: ~a[0].eqNullSafe(a[1]))
 # ------------------------------------------------------------- date / time
 _fixed("now", lambda a: F.current_timestamp(), "current_timestamp")
 _fixed("current_date", lambda a: F.current_date())
-_fixed("date_trunc", lambda a: F.call_function("date_trunc", a[0], a[1]))
+_fixed("date_trunc", lambda a: F.call_function("date_trunc", a[0], a[1]), "datetrunc")
 _fixed("to_date", lambda a: F.to_date(a[0]) if len(a) == 1 else F.to_date(a[0], None))
 _fixed("to_timestamp", lambda a: F.to_timestamp(a[0]))
 _fixed("year", lambda a: F.year(a[0]))
@@ -193,7 +193,7 @@ _fixed("week", lambda a: F.weekofyear(a[0]))
 _fixed("dayofweek", lambda a: F.dayofweek(a[0]) - 1)
 _fixed("make_date", lambda a: F.make_date(a[0], a[1], a[2]))
 _fixed("epoch", lambda a: F.unix_timestamp(a[0]).cast("double"))
-_fixed("strftime", lambda a: F.date_format(a[0], a[1]), "date_format")
+_fixed("strftime", lambda a: F.call_function("date_format", a[0], a[1]), "date_format")
 
 # ------------------------------------------------------------------ arrays
 _fixed("cardinality", lambda a: F.size(a[0]), "array_length", "len")
@@ -231,7 +231,7 @@ def _cosine(a):
 
 
 # ------------------------------------------------------------------- json
-_fixed("json_extract", lambda a: F.get_json_object(a[0], a[1]), "json_extract_path_text")
+_fixed("json_extract", lambda a: F.call_function("get_json_object", a[0], a[1]), "json_extract_path_text")
 
 
 def lookup(name: str) -> Builder:

@@ -239,17 +239,22 @@ class Parser:
                 self.accept_kw("distinct")
             right = self.parse_select_core()
             left = ast.SetOp(op=op, left=left, right=right)
-        # trailing ORDER BY / LIMIT of a set-op chain
-        if isinstance(left, ast.SetOp):
-            order_by = self.parse_order_by() if self.is_kw("order") else ()
-            limit = offset = None
-            if self.accept_kw("limit"):
-                limit = None if self.accept_kw("all") else self.parse_expr()
-            if self.accept_kw("offset"):
-                offset = self.parse_expr()
-            if order_by or limit is not None or offset is not None:
+        # trailing ORDER BY / LIMIT / OFFSET applies to the whole query
+        # (set-op chain or single select)
+        order_by = self.parse_order_by() if self.is_kw("order") else ()
+        limit = offset = None
+        if self.accept_kw("limit"):
+            limit = None if self.accept_kw("all") else self.parse_expr()
+        if self.accept_kw("offset"):
+            offset = self.parse_expr()
+        if order_by or limit is not None or offset is not None:
+            if isinstance(left, ast.SetOp):
                 left = ast.SetOp(op=left.op, left=left.left, right=left.right,
                                  order_by=order_by, limit=limit, offset=offset)
+            else:
+                left = ast.Select(**{**_select_kwargs(left),
+                                     "order_by": order_by, "limit": limit,
+                                     "offset": offset})
         return left
 
     def parse_select_core(self) -> ast.Node:
@@ -281,16 +286,11 @@ class Parser:
         having = None
         if self.accept_kw("having"):
             having = self.parse_expr()
-        order_by = self.parse_order_by() if self.is_kw("order") else ()
-        limit = offset = None
-        if self.accept_kw("limit"):
-            limit = None if self.accept_kw("all") else self.parse_expr()
-        if self.accept_kw("offset"):
-            offset = self.parse_expr()
+        # ORDER BY / LIMIT / OFFSET are parsed at the set-expression level
+        # (parse_set_expr) so they bind to a whole UNION chain
         return ast.Select(
             items=items, from_=from_, where=where, group_by=group_by,
-            having=having, order_by=order_by, limit=limit, offset=offset,
-            distinct=distinct,
+            having=having, distinct=distinct,
         )
 
     def parse_order_by(self) -> Tuple[ast.SortItem, ...]:

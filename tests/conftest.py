@@ -32,7 +32,9 @@ def spark():
 
 @pytest.fixture(scope="session")
 def tpch_scope(spark):
-    return {t: spark.read.parquet(f"{SF_DIR}/{t}.parquet") for t in TABLES}
+    from framequery_spark.sources.testdata import load_tables
+
+    return load_tables(spark, SF_DIR)
 
 
 def rows(df):

@@ -1,0 +1,114 @@
+"""Differential conformance: engine vs DuckDB oracle (the driver's t2 gate).
+
+Mirrors the driver: run each __spark_entry__.queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet, then compare row count, column
+names, and order-insensitive values (reference trick:
+tests/test__postgres_conformance.py:303-311).
+"""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from .conftest import SF_DIR, TABLES  # noqa: E402
+
+
+def _duckdb_con():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return v
+    if isinstance(v, int):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _sorted_rows(rows):
+    return sorted(
+        [tuple(_norm(v) for v in r) for r in rows],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def _values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def _queries():
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    return [(name, fn, o.get(name)) for name, fn in q.items()]
+
+
+@pytest.mark.parametrize("name,fn,oracle", _queries(),
+                         ids=[n for n, _, _ in _queries()])
+def test_query_matches_oracle(spark, name, fn, oracle):
+    sdf = fn(spark, SF_DIR)
+    spark_rows = _sorted_rows([tuple(r) for r in sdf.collect()])
+    spark_cols = [c.lower() for c in sdf.columns]
+
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+
+    con = _duckdb_con()
+    res = con.execute(oracle)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = _sorted_rows(res.fetchall())
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
+
+    # compare in driver column order: sort columns by name as the driver does
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    exact_mismatch = []
+    for i, (sr, dr) in enumerate(zip(spark_rows, duck_rows)):
+        sv = tuple(sr[j] for j in s_idx)
+        dv = tuple(dr[j] for j in d_idx)
+        for a, b in zip(sv, dv):
+            if not _values_equal(a, b):
+                assert False, f"{name}: row {i} differs: {sv} vs {dv}"
+            if isinstance(a, float) and a != b and not (
+                    math.isnan(a) and math.isnan(b)):
+                exact_mismatch.append((i, a, b))
+    # strict-hash check: floats should be bit-identical for the driver's gate
+    assert not exact_mismatch, (
+        f"{name}: {len(exact_mismatch)} float values differ at ulp level "
+        f"(first: {exact_mismatch[0]}) — tighten rounding in the query")
