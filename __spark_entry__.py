@@ -323,6 +323,242 @@ ORDER BY o_orderkey
 """)
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline operator entries (dedup / similarity / text / multimodal /
+# streaming). These call the operator APIs directly; oracles replicate the
+# semantics in DuckDB SQL. Entries without an oracle get rows-only checks.
+# ---------------------------------------------------------------------------
+
+# DuckDB trigram-shingle exact-Jaccard pair SQL (shared by jaccard + minhash
+# oracles — minhash params give P(miss @0.7) ≈ 2e-19, effectively exact)
+_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2,
+       round(common * 1.0 / (c1.n + c2.n - common), 4) AS jaccard
+FROM pairs
+JOIN cnt c1 ON pairs.id1 = c1.doc_id
+JOIN cnt c2 ON pairs.id2 = c2.doc_id
+WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.7
+"""
+
+_SW_EN10 = ["the", "and", "of", "to", "is", "a", "in", "it", "on", "for"]
+_LANGS = [("en", ["the", "and", "of", "to", "is"]),
+          ("de", ["der", "die", "und", "das", "ist"]),
+          ("fr", ["le", "la", "et", "les", "est"]),
+          ("es", ["el", "la", "los", "que", "es"])]
+
+
+def _sw_count_sql(words: list[str]) -> str:
+    terms = [
+        f"(length(text) - length(regexp_replace(text, '\\b{w}\\b', '', 'g'))) / {len(w)}"
+        for w in words
+    ]
+    return "CAST(" + " + ".join(terms) + " AS DOUBLE)"
+
+
+def _text_stats_oracle() -> str:
+    score = {lang: _sw_count_sql(ws) for lang, ws in _LANGS}
+    langs = [lang for lang, _ in _LANGS]
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score[lang]} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"{score[lang]} > {score[other]}")
+            elif j > i:
+                conds.append(f"{score[lang]} >= {score[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    n_tok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    n_punct = "length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))"
+    sw_ratio = f"({_sw_count_sql(_SW_EN10)} / {n_tok})"
+    len_score = (f"CASE WHEN {n_tok} BETWEEN 10 AND 10000 THEN 1.0 "
+                 f"WHEN {n_tok} < 10 THEN CAST({n_tok} AS DOUBLE) / 10.0 ELSE 0.5 END")
+    p_ratio = f"CAST({n_punct} AS DOUBLE) / greatest(length(text), 1)"
+    return f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       {n_tok} AS n_tokens,
+       {n_punct} AS n_punct,
+       round({sw_ratio}, 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+             / {n_tok}, 6) AS avg_token_len,
+       round(0.5 * ({len_score}) + 0.3 * least({sw_ratio} * 5.0, 1.0)
+             + 0.2 * (1.0 - ({p_ratio})), 6) AS quality,
+       {lang_sql} AS lang_guess,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def _op(name: str, fn: Callable[[SparkSession, str], DataFrame],
+        oracle: str | None) -> None:
+    _OPS[name] = (fn, oracle)
+
+
+_OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _op_text_stats(spark, sf_dir):
+    from framequery_spark.operators.text import text_stats
+
+    return text_stats(_scope(spark, sf_dir)["documents"])
+
+
+def _op_exact_dedup(spark, sf_dir):
+    from framequery_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_scope(spark, sf_dir)["documents"],
+                            ["lang", "source"])
+
+
+def _op_jaccard(spark, sf_dir):
+    from framequery_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_scope(spark, sf_dir)["documents"], threshold=0.7)
+
+
+def _op_minhash(spark, sf_dir):
+    from framequery_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_scope(spark, sf_dir)["documents"], threshold=0.7)
+
+
+def _op_simhash(spark, sf_dir):
+    from framequery_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_scope(spark, sf_dir)["documents"], max_hamming=8)
+
+
+def _op_embedding_near_dup(spark, sf_dir):
+    from framequery_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_scope(spark, sf_dir)["embeddings"],
+                                    threshold=0.45)
+
+
+def _op_cosine_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import cosine_topk
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _op_ann_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import lsh_ann_topk
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _op_blob_metadata(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.multimodal import attach_blob, blob_metadata
+
+    docs = _scope(spark, sf_dir)["documents"]
+    out = blob_metadata(attach_blob(docs))
+    return out.select("doc_id", F.col("blob_meta.n_bytes").alias("n_bytes"),
+                      F.col("blob_meta.sha256").alias("sha256"),
+                      F.lower(F.col("blob_meta.magic")).alias("magic"))
+
+
+def _op_stream_hourly(spark, sf_dir):
+    from framequery_spark.streaming.stream import run_stream_to_df
+
+    return run_stream_to_df(spark, f"{sf_dir}/events.parquet", window="1 hour")
+
+
+def _op_sessions(spark, sf_dir):
+    from framequery_spark.streaming.stream import session_stats
+
+    return session_stats(_scope(spark, sf_dir)["events"], gap_minutes=30)
+
+
+_op("op_text_stats", _op_text_stats, _text_stats_oracle())
+
+_op("op_exact_dedup", _op_exact_dedup, """
+SELECT lang, source, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY lang, source HAVING count(*) > 1
+""")
+
+_op("op_jaccard_pairs", _op_jaccard, _JACCARD_ORACLE)
+
+_op("op_minhash_dedup", _op_minhash, _JACCARD_ORACLE)
+
+_op("op_simhash_pairs", _op_simhash, None)  # hash-dependent: rows-only
+
+_op("op_embedding_near_dup", _op_embedding_near_dup, """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+""")
+
+_op("op_cosine_topk", _op_cosine_topk, """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) t
+WHERE rank <= 5
+""")
+
+_op("op_ann_topk", _op_ann_topk, None)  # approximate: rows-only
+
+_op("op_blob_metadata", _op_blob_metadata, """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       lower(hex(encode(substring(text, 1, 4)))) AS magic
+FROM documents
+""")
+
+_op("op_stream_hourly", _op_stream_hourly, """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+
+_op("op_sessions", _op_sessions, """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value, min(ts) AS session_start
+FROM s GROUP BY 1, 2
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -332,8 +568,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (sql, _) in _Q.items():
         out[name] = _sql_runner(sql)
+    for name, (fn, _) in _OPS.items():
+        out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: oracle for name, (_, oracle) in _Q.items() if oracle is not None}
+    out = {name: oracle for name, (_, oracle) in _Q.items() if oracle is not None}
+    out.update({name: oracle for name, (_, oracle) in _OPS.items()
+                if oracle is not None})
+    return out

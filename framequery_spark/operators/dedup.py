@@ -1,0 +1,256 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the 100 TB contract):
+  - exact dedup is a hash groupBy — one shuffle on the content key.
+  - MinHash/LSH: signatures are computed row-local with JVM hash functions
+    (xxhash64), candidates come from a band-bucket shuffle join (never an
+    all-pairs cross join), then candidates are verified with exact Jaccard.
+  - n-gram Jaccard join: explode distinct shingles, self-join on shingle with
+    a document-frequency cap to drop stopword-shingles (the skew killer),
+    group to count intersections.
+  - SimHash: 64-bit signature; near-pairs via the band trick (k bands of
+    64/k bits — any pair within Hamming distance k-1 shares a full band).
+  - embedding near-dup: exact cosine over block pairs; the ANN path is in
+    operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dup_groups(df: DataFrame, keys: List[str],
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 row for the given key columns:
+    (key..., n_dups, keep_id) where keep_id is the smallest id."""
+    return (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+def exact_dedup(df: DataFrame, keys: List[str],
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (the min id) per key combination. Implemented as
+    min-id groupBy + semi join so the choice is deterministic (dropDuplicates
+    keeps an arbitrary row)."""
+    keep = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=keys + [id_col], how="left_semi")
+
+
+# --------------------------------------------------------------- shingles
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of whitespace-tokenized text (JVM-side
+    higher-order functions; no UDF)."""
+    ws = F.split(F.trim(text), r"\s+")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(gram)
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str,
+                   k: int) -> DataFrame:
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.explode(shingles(F.col(text_col), k)).alias("__shingle")))
+
+
+# ------------------------------------------------------- n-gram Jaccard join
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  threshold: float = 0.7,
+                  max_doc_freq: Optional[int] = None) -> DataFrame:
+    """All pairs (id1 < id2) with word-k-gram Jaccard >= threshold.
+
+    Candidate generation is the shingle self-join; `max_doc_freq` drops
+    shingles occurring in more than that many documents before the join —
+    at corpus scale the frequent-shingle skew dominates the join, and a
+    shingle shared by m docs contributes m^2 candidate rows.
+    """
+    sh = _shingle_table(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        rare = (sh.groupBy("__shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_doc_freq))
+        sh = sh.join(F.broadcast(rare.select("__shingle")), "__shingle")
+    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    a = sh.toDF("id1", "__shingle")
+    b = sh.toDF("id2", "__shingle")
+    common = (a.join(b, "__shingle")
+              .filter(F.col("id1") < F.col("id2"))
+              .groupBy("id1", "id2")
+              .agg(F.count(F.lit(1)).alias("__common")))
+    c1 = counts.toDF("id1", "__n1")
+    c2 = counts.toDF("id2", "__n2")
+    jac = (common.join(c1, "id1").join(c2, "id2")
+           .withColumn("jaccard",
+                       F.col("__common")
+                       / (F.col("__n1") + F.col("__n2") - F.col("__common"))))
+    return (jac.filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", F.round("jaccard", 4).alias("jaccard")))
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+# 31-bit Mersenne prime: (h31 * a31) < 2^62 never overflows a long, so the
+# universal hash stays inside ANSI-safe JVM integer arithmetic
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_perm: int = 128, seed: int = 42) -> DataFrame:
+    """(id, array<long> signature). Each permutation i applies the universal
+    hash h_i(x) = (a_i * h31(x) + b_i) mod p to every shingle and takes
+    the min — all inside JVM codegen, no Python in the row path."""
+    import random
+
+    rnd = random.Random(seed)
+    params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+              for _ in range(num_perm)]
+    sh = shingles(F.col(text_col), k)
+    base = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE)))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)))
+        for a, b in params
+    ])
+    return df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_perm: int = 128, bands: int = 64,
+                      threshold: float = 0.7,
+                      verify: bool = True, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    With num_perm=128, bands=64 (rows=2), a pair at Jaccard 0.7 is missed
+    with probability (1-0.49)^64 ≈ 2e-19 — effectively exhaustive — while
+    candidate volume stays ~linear. Candidates are then verified with exact
+    Jaccard (verify=True) so false positives never escape.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm, seed)
+    band_cols = F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", *[F.element_at(F.col("__sig"), b * rows + r + 1).cast("string")
+                   for r in range(rows)]), F.lit(b))
+        for b in range(bands)
+    ])
+    buckets = (sigs.select("__id", F.posexplode(band_cols)
+                           .alias("__band", "__bucket")))
+    a = buckets.toDF("id1", "__band", "__bucket")
+    b = buckets.toDF("id2", "__band", "__bucket")
+    cands = (a.join(b, ["__band", "__bucket"])
+             .filter(F.col("id1") < F.col("id2"))
+             .select("id1", "id2").distinct())
+    if not verify:
+        return cands
+    exact = jaccard_pairs(df, id_col, text_col, k, threshold)
+    return (cands.join(exact, ["id1", "id2"])
+            .select("id1", "id2", "jaccard"))
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash64(text: Column, k: int = 3) -> Column:
+    """64-bit SimHash over word k-gram shingles: per-bit majority vote of
+    shingle hashes, computed as 64 fold expressions over the shingle array."""
+    sh = shingles(text, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n = F.size(sh)
+    bit_exprs = []
+    for bit in range(64):
+        ones = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        bit_value = (1 << bit) if bit < 63 else -(1 << 63)  # two's complement
+        bit_exprs.append(
+            F.when(ones * 2 >= n, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out.bitwiseOR(e)
+    return out
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming using the band
+    trick: split the 64-bit signature into (max_hamming+1) bands; any pair
+    within the distance agrees exactly on >= 1 band, so candidates come from
+    band-equality joins (shuffle on 16-bit bucket, never all-pairs)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1 if width < 64 else -1  # -1 = all 64 bits set
+    sig_df = df.select(F.col(id_col).alias("__id"),
+                       simhash64(F.col(text_col), k).alias("__sim"))
+    bands = F.array(*[
+        F.shiftrightunsigned(F.col("__sim"), i * width)
+        .bitwiseAND(F.lit(mask))
+        for i in range(n_bands)
+    ])
+    buckets = sig_df.select("__id", "__sim",
+                            F.posexplode(bands).alias("__band", "__bucket"))
+    a = buckets.toDF("id1", "sim1", "__band", "__bucket")
+    b = buckets.toDF("id2", "sim2", "__band", "__bucket")
+    cands = (a.join(b, ["__band", "__bucket"])
+             .filter(F.col("id1") < F.col("id2"))
+             .select("id1", "id2", "sim1", "sim2").distinct())
+    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns in double precision,
+    sequential fold (bit-compatible with a plain loop)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.9,
+                             block_col: Optional[str] = None) -> DataFrame:
+    """Exact cosine near-dup pairs (id1 < id2, cosine >= threshold).
+
+    block_col limits comparisons to equal-block pairs (e.g. an IVF/LSH
+    bucket or a metadata partition) — at corpus scale always pass one; the
+    unblocked variant is quadratic and only for modest partitions."""
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"),
+                  *([F.col(block_col).alias("__blk")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"),
+                  *([F.col(block_col).alias("__blk")] if block_col else []))
+    joined = (a.join(b, on="__blk") if block_col else a.crossJoin(b))
+    joined = joined.filter(F.col("id1") < F.col("id2"))
+    sim = cosine(F.col("__v1"), F.col("__v2"))
+    return (joined.withColumn("cosine", sim)
+            .filter(F.col("cosine") >= threshold)
+            .select("id1", "id2", F.round("cosine", 4).alias("cosine")))

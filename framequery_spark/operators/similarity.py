@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns.
+
+- cosine_topk: brute-force exact top-k (the correctness baseline). Query
+  side is broadcast; the corpus is scanned once per batch of queries —
+  at 100 TB this is the "small query set against huge corpus" shape.
+- lsh_ann_topk: random-hyperplane LSH buckets as the scale path — signature
+  computation is row-local; candidates come from bucket joins; final ranking
+  re-scores candidates with exact cosine.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: Optional[str] = None) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank). Self-matches
+    (query_id == neighbor_id) are excluded. The query side is broadcast —
+    the corpus never shuffles."""
+    query_id_col = query_id_col or id_col
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id"))
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = joined.withColumn("cosine", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> List[List[float]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def lsh_signature(vec: Column, planes: List[List[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(<v, plane_i>). Returns a
+    long (n_bits <= 63). Pure JVM fold expressions."""
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot >= 0, F.lit(1 << i).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_bits: int = 8, n_tables: int = 8, dim: int = 64,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in >= 1 of
+    n_tables signature tables, then exact cosine re-ranks. Recall grows with
+    n_tables; cost stays ~ bucket-collision volume instead of |corpus|×|q|."""
+    tables = [_hyperplanes(dim, n_bits, seed + 97 * t) for t in range(n_tables)]
+
+    def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        sigs = F.array(*[lsh_signature(F.col(vec_alias), planes)
+                         for planes in tables])
+        return df.select(F.col(id_alias), F.col(vec_alias),
+                         F.posexplode(sigs).alias("__table", "__bucket"))
+
+    c = bucketize(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("__cv")),
+                  "neighbor_id", "__cv")
+    q = bucketize(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("__qv")),
+                  "query_id", "__qv")
+    cands = (c.join(q, ["__table", "__bucket"])
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", "__qv", "__cv")
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cands.withColumn("cosine", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -1,0 +1,130 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions over built-in JVM functions —
+no Python UDFs — so they whole-stage-codegen and scale linearly with
+partitions. Designed for a `documents(doc_id, text, lang, source, n_chars)`
+shaped table but parameterized by column.
+
+Beyond-reference surface (BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword seed lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ["a", "in", "it", "on", "for"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (BPE-ish regex splitting is regex-swappable)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Count whole-word occurrences via length-delta (portable to any SQL
+    oracle: no regexp_count needed)."""
+    stripped = F.regexp_replace(text, rf"\b{word}\b", "")
+    return (F.length(text) - F.length(stripped)) / len(word)
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(
+        F.regexp_replace(text, r"[^A-Za-z0-9\s]", ""))
+
+
+def stopword_count(text: Column, stopwords: List[str] = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    c = F.lit(0.0)
+    for w in sw:
+        c = c + word_occurrences(text, w)
+    return c.cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: List[str] = None) -> Column:
+    return stopword_count(text, stopwords) / token_count(text)
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence − punct
+    noise. Mirrors the shape of public quality filters (C4-style)."""
+    n_tok = token_count(text)
+    len_score = F.when(n_tok.between(10, 10000), F.lit(1.0)).otherwise(
+        F.when(n_tok < 10, n_tok.cast("double") / 10.0).otherwise(F.lit(0.5)))
+    sw_ratio = stopword_ratio(text)
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    p_ratio = punct_count(text).cast("double") / F.greatest(char_count(text), F.lit(1))
+    return F.round(0.5 * len_score + 0.3 * sw_score + 0.2 * (1.0 - p_ratio), 6)
+
+
+def lang_scores(text: Column) -> Dict[str, Column]:
+    """Per-language stopword-hit scores."""
+    return {lang: stopword_count(text, words)
+            for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword scores; 'und' (undetermined) if all 0.
+    First-listed language wins ties (deterministic)."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for j, other in enumerate(langs):
+            if j < i:
+                cond = cond & (scores[lang] > scores[other])
+            elif j > i:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Stable content fingerprint: md5 of whitespace-normalized lowercase
+    text. (The rolling-hash shingle fingerprint lives in dedup.simhash64 /
+    dedup.minhash_signatures.)"""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """One row per document with the standard text-analysis columns."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        char_count(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        punct_count(t).alias("n_punct"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(avg_token_length(t), 6).alias("avg_token_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        content_fingerprint(t).alias("fingerprint"),
+    )

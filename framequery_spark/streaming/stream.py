@@ -1,0 +1,105 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY §2.1) — this is the
+beyond-parity Spark-native path: `readStream` → windowed aggregation →
+`writeStream`. Batch/stream parity: a tumbling-window aggregation with
+`Trigger.AvailableNow` over a static parquet directory must equal the batch
+GROUP BY date_trunc — which is exactly how the driver's DuckDB oracle checks
+it.
+
+At scale: the same code runs against a Kafka/file source; state lives in the
+state store keyed by (event_type, window), watermark bounds state size.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stream over the events parquet; ns epoch -> timestamp.
+    FileStreamSource wants a directory — a single-file path is turned into
+    (parent dir + pathGlobFilter)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isfile(path):
+        parent, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = parent
+    raw = reader.parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_stats(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-type counts + value sums with late-data watermark."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.col("event_type"), F.window("ts", window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("event_type",
+                    F.col("w.start").alias("window_start"),
+                    "n", "sum_value"))
+
+
+def run_stream_to_df(spark: SparkSession, events_path: str,
+                     window: str = "1 hour") -> DataFrame:
+    """Run the windowed aggregation as a real streaming query
+    (Trigger.AvailableNow, memory sink, complete mode) and return the final
+    result as a DataFrame."""
+    stream = read_event_stream(spark, events_path)
+    agg = windowed_event_stats(stream, window=window)
+    name = "stream_" + uuid.uuid4().hex[:12]
+    q = (agg.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization (gap-based) — the stateful-streaming analogue
+    uses applyInPandasWithState; this DataFrame version is the oracle-able
+    equivalent: session starts where the gap from the previous event of the
+    same user exceeds the threshold."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    # microsecond precision (unix_timestamp would truncate sub-second gaps)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    session_idx = F.sum(new_session).over(
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn("session_id", session_idx)
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session stats: (user_id, session_id, n_events, sum_value)."""
+    s = sessionize(events, gap_minutes)
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.min("ts").alias("session_start")))
