@@ -189,9 +189,9 @@ class ExprCompiler:
         if op == "#":
             return left.bitwiseXOR(right)  # pg XOR spelling
         if op == "<<":
-            return F.shiftleft(left, right)
+            return F.call_function("shiftleft", left, right)
         if op == ">>":
-            return F.shiftright(left, right)
+            return F.call_function("shiftright", left, right)
         if op == "=":
             return left == right
         if op in ("!=", "<>"):

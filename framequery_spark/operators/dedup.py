@@ -22,6 +22,18 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition an under-partitioned input up to the session default
+    parallelism before expression-heavy stages. Small single-file sources
+    (one parquet = one partition) would otherwise serialize shingle/hash
+    computation onto one core; at cluster scale inputs already have enough
+    partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -62,6 +74,7 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str,
                    k: int) -> DataFrame:
+    df = _spread(df)
     return (df.select(F.col(id_col).alias("__id"),
                       F.explode(shingles(F.col(text_col), k)).alias("__shingle")))
 
@@ -114,22 +127,31 @@ _MERSENNE = (1 << 31) - 1
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_perm: int = 128, seed: int = 42) -> DataFrame:
-    """(id, array<long> signature). Each permutation i applies the universal
-    hash h_i(x) = (a_i * h31(x) + b_i) mod p to every shingle and takes
-    the min — all inside JVM codegen, no Python in the row path."""
+    """(id, shingle array, array<long> signature). Each permutation i applies
+    the universal hash h_i(x) = (a_i * h31(x) + b_i) mod p to every shingle
+    and takes the min — all inside JVM codegen, no Python in the row path.
+
+    Staged as separate projections (shingles -> base hashes -> signature) so
+    the shingle expression is evaluated once, not inlined num_perm times —
+    inlining blows up the Catalyst tree and optimizer time superlinearly.
+    """
     import random
 
     rnd = random.Random(seed)
     params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
               for _ in range(num_perm)]
-    sh = shingles(F.col(text_col), k)
-    base = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE)))
+    staged = (_spread(df)
+              .select(F.col(id_col).alias("__id"),
+                      shingles(F.col(text_col), k).alias("__sh"))
+              .select("__id", "__sh",
+                      F.transform("__sh", lambda s: F.xxhash64(s)
+                                  .bitwiseAND(F.lit(_MERSENNE))).alias("__h")))
     sig = F.array(*[
         F.array_min(F.transform(
-            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)))
+            "__h", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)))
         for a, b in params
     ])
-    return df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    return staged.select("__id", "__sh", sig.alias("__sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -161,20 +183,26 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
              .select("id1", "id2").distinct())
     if not verify:
         return cands
-    exact = jaccard_pairs(df, id_col, text_col, k, threshold)
-    return (cands.join(exact, ["id1", "id2"])
+    # verify ONLY the candidates with exact Jaccard on the shingle sets —
+    # never the all-pairs recompute (that would defeat LSH at scale)
+    sh = sigs.select("__id", "__sh")
+    verified = (cands
+                .join(sh.toDF("id1", "__sh1"), "id1")
+                .join(sh.toDF("id2", "__sh2"), "id2"))
+    inter = F.size(F.array_intersect("__sh1", "__sh2"))
+    union = F.size("__sh1") + F.size("__sh2") - inter
+    jac = inter / union
+    return (verified.withColumn("jaccard", F.round(jac, 4))
+            .filter(jac >= threshold)
             .select("id1", "id2", "jaccard"))
 
 
 # ------------------------------------------------------------------ SimHash
 
 
-def simhash64(text: Column, k: int = 3) -> Column:
-    """64-bit SimHash over word k-gram shingles: per-bit majority vote of
-    shingle hashes, computed as 64 fold expressions over the shingle array."""
-    sh = shingles(text, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n = F.size(sh)
+def _simhash_from_hashes(hashes: Column, n: Column) -> Column:
+    """64-bit SimHash from a pre-materialized array<long> of shingle hashes:
+    per-bit majority vote, 64 fold expressions over the (column) array."""
     bit_exprs = []
     for bit in range(64):
         ones = F.aggregate(
@@ -190,6 +218,15 @@ def simhash64(text: Column, k: int = 3) -> Column:
     return out
 
 
+def simhash64(text: Column, k: int = 3) -> Column:
+    """64-bit SimHash of a text column. NOTE: when applying to a whole
+    DataFrame prefer the staged path in simhash_near_pairs — inlining this
+    expression recomputes the shingle array 64 times."""
+    sh = shingles(text, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return _simhash_from_hashes(hashes, F.size(sh))
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        max_hamming: int = 3) -> DataFrame:
@@ -200,8 +237,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     n_bands = max_hamming + 1
     width = 64 // n_bands
     mask = (1 << width) - 1 if width < 64 else -1  # -1 = all 64 bits set
-    sig_df = df.select(F.col(id_col).alias("__id"),
-                       simhash64(F.col(text_col), k).alias("__sim"))
+    staged = (_spread(df)
+              .select(F.col(id_col).alias("__id"),
+                      shingles(F.col(text_col), k).alias("__sh"))
+              .select("__id",
+                      F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h"),
+                      F.size("__sh").alias("__n")))
+    sig_df = staged.select(
+        "__id", _simhash_from_hashes(F.col("__h"), F.col("__n")).alias("__sim"))
     bands = F.array(*[
         F.shiftrightunsigned(F.col("__sim"), i * width)
         .bitwiseAND(F.lit(mask))
@@ -244,13 +287,22 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     block_col limits comparisons to equal-block pairs (e.g. an IVF/LSH
     bucket or a metadata partition) — at corpus scale always pass one; the
     unblocked variant is quadratic and only for modest partitions."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"),
-                  *([F.col(block_col).alias("__blk")] if block_col else []))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"),
-                  *([F.col(block_col).alias("__blk")] if block_col else []))
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    staged = _spread(df).select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).alias("__v"), norm.alias("__norm"),
+                       *([F.col(block_col).alias("__blk")] if block_col else []))
+    a = staged.toDF("id1", "__v1", "__n1", *(["__blk"] if block_col else []))
+    b = staged.toDF("id2", "__v2", "__n2", *(["__blk"] if block_col else []))
     joined = (a.join(b, on="__blk") if block_col else a.crossJoin(b))
     joined = joined.filter(F.col("id1") < F.col("id2"))
-    sim = cosine(F.col("__v1"), F.col("__v2"))
+    # norms are precomputed per row; dot/(n1*n2) keeps the exact float
+    # expression shape of cosine() so results stay bit-identical
+    dot = F.aggregate(F.zip_with("__v1", "__v2",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    sim = dot / (F.col("__n1") * F.col("__n2"))
     return (joined.withColumn("cosine", sim)
             .filter(F.col("cosine") >= threshold)
             .select("id1", "id2", F.round("cosine", 4).alias("cosine")))

@@ -29,13 +29,26 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (query_id == neighbor_id) are excluded. The query side is broadcast —
     the corpus never shuffles."""
     query_id_col = query_id_col or id_col
+
+    def _norm(col):
+        return F.sqrt(F.aggregate(
+            col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"))
+                       F.col(vec_col).alias("__qv"),
+                       _norm(F.col(vec_col)).alias("__qn"))
+    from .dedup import _spread
+
+    c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      _norm(F.col(vec_col)).alias("__cn"))
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    # precomputed norms; same float expression shape as cosine() (dot/(qn*cn))
+    dot = F.aggregate(F.zip_with("__qv", "__cv",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    sim = F.round(dot / (F.col("__qn") * F.col("__cn")), 6)
     scored = joined.withColumn("cosine", sim)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
@@ -83,7 +96,9 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return df.select(F.col(id_alias), F.col(vec_alias),
                          F.posexplode(sigs).alias("__table", "__bucket"))
 
-    c = bucketize(corpus.select(F.col(id_col).alias("neighbor_id"),
+    from .dedup import _spread
+
+    c = bucketize(_spread(corpus).select(F.col(id_col).alias("neighbor_id"),
                                 F.col(vec_col).alias("__cv")),
                   "neighbor_id", "__cv")
     q = bucketize(queries.select(F.col(id_col).alias("query_id"),

@@ -1,0 +1,94 @@
+"""DBAPI shim tests (reference model: tests/test__alchemy.py)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from framequery_spark.alchemy import connect, escape
+
+
+@pytest.fixture()
+def conn(spark, tmp_path):
+    # scope spec file with setup statements (reference scope.json shape)
+    csv = tmp_path / "test.csv"
+    pd.DataFrame({"g": [0, 0, 0, 1, 1, 2], "i": [1, 2, 3, 4, 5, 6],
+                  "f": [7.0, 8.0, 9.0, 0.0, 1.0, 2.0]}).to_csv(
+        csv, sep=";", index=False)
+    spec = tmp_path / "scope.json"
+    spec.write_text(json.dumps({
+        "setup": [f"COPY foo FROM '{csv}' WITH (delimiter ';', format 'csv')"],
+    }))
+    c = connect(scope_spec=str(spec), spark=spark)
+    yield c
+    c.close()
+
+
+def test_cursor_roundtrip(conn):
+    cur = conn.cursor()
+    cur.execute("SELECT g, sum(f) AS total FROM foo GROUP BY g ORDER BY g")
+    assert cur.description[0][0] == "g"
+    assert cur.description[1][0] == "total"
+    assert cur.fetchall() == [(0, 24.0), (1, 1.0), (2, 2.0)]
+
+
+def test_fetch_modes(conn):
+    cur = conn.cursor()
+    cur.execute("SELECT i FROM foo ORDER BY i")
+    assert cur.fetchone() == (1,)
+    assert cur.fetchmany(2) == [(2,), (3,)]
+    assert cur.fetchall() == [(4,), (5,), (6,)]
+    assert cur.fetchone() is None
+
+
+def test_pyformat_params(conn):
+    cur = conn.cursor()
+    cur.execute("SELECT count(*) AS n FROM foo WHERE g = %(g)s AND f > %(f)s",
+                {"g": 0, "f": 7.5})
+    assert cur.fetchall() == [(2,)]
+
+
+def test_param_escaping_quotes(conn):
+    cur = conn.cursor()
+    cur.execute("SELECT %(v)s AS s", {"v": "it's"})
+    assert cur.fetchall() == [("it's",)]
+
+
+def test_escape_values():
+    assert escape(None) == "NULL"
+    assert escape(True) == "TRUE"
+    assert escape(42) == "42"
+    assert escape(-42.0) == "-42.0"
+    assert escape("bar'baz") == "'bar''baz'"
+
+
+def test_ddl_and_introspection(conn):
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE bar AS SELECT g, i FROM foo WHERE g = 0")
+    assert cur.description is None
+    assert conn.table_names() == ["bar", "foo"]
+    cur.execute("SELECT count(*) AS n FROM bar")
+    assert cur.fetchall() == [(3,)]
+    cur.execute("DROP TABLE bar")
+    assert conn.table_names() == ["foo"]
+
+
+def test_copy_to_roundtrip(conn, tmp_path):
+    out = tmp_path / "out.csv"
+    cur = conn.cursor()
+    cur.execute(f"COPY foo TO '{out}' WITH (delimiter ';')")
+    assert out.exists()
+    df = pd.read_csv(out, sep=";")
+    assert len(df) == 6
+
+
+def test_pg_introspection_queries(conn):
+    cur = conn.cursor()
+    cur.execute("SELECT nspname FROM pg_namespace ORDER BY nspname")
+    names = [r[0] for r in cur.fetchall()]
+    assert names == ["information_schema", "pg_catalog", "public"]
+    cur.execute("SHOW transaction isolation level")
+    assert cur.fetchone() == ("read committed",)
+    cur.execute("SELECT version() AS v")
+    assert cur.fetchone()[0].startswith("PostgreSQL")

@@ -1,0 +1,141 @@
+"""Differential conformance on the reference's fixture tables (SURVEY §5.1).
+
+Replays the shape of the reference's postgres-conformance corpus
+(reference: tests/test__postgres_conformance.py:81-255) with DuckDB as the
+oracle: each query runs through our engine on Spark and verbatim on DuckDB
+over identical tiny tables; row sets are compared order-insensitively.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+import framequery_spark as fq
+
+TEST = pd.DataFrame({"c1": [0, 1, 0, 1, 0, 1], "c2": [1, 2, 3, 4, 5, 6]})
+OTHER = pd.DataFrame({"c3": [0, 1, 0, 1, 0, 1], "c4": [7, 8, 9, 0, 1, 2]})
+NAMES = pd.DataFrame({"name": ["foo", "bar", "baz"], "id": [0, 1, 2]})
+AGES = pd.DataFrame({"age": [20, 30, 40], "id": [0, 1, 2]})
+
+QUERIES = [
+    "select * from test",
+    "select c1 from test",
+    "select c1 as a, c2 as b from test",
+    "select c1 + c2 from test",
+    "select c1 * 2 + c2 / 2 - 1 from test",
+    "select c2 % 2 from test",
+    "select 2 ^ c1 from test",
+    ("select c2 # c1, c2 & c1, c2 | c1 from test",
+     "select xor(c2, c1), c2 & c1, c2 | c1 from test"),
+    ("select c2 << 1, c2 >> 1 from test",
+     "select c2 * 2, c2 // 2 from test"),
+    "select -c2, +c2 from test",
+    "select not c1 = 0 from test",
+    "select c1 = c3 from test, other",
+    "select * from test where c1 = 0",
+    "select * from test where c1 <> 1",
+    "select * from test where c2 > 2 and c1 = 0",
+    "select * from test where c2 between 2 and 4",
+    "select * from test where c2 in (1, 3, 5)",
+    "select * from test where c2 not in (1, 3, 5)",
+    "select case when c1 = 0 then 'even' else 'odd' end from test",
+    "select case c1 when 0 then c2 else -c2 end from test",
+    "select cast(c2 as varchar) from test",
+    "select count(*) from test",
+    "select count(*) as n from test",
+    "select sum(c2), min(c2), max(c2), avg(c2) from test",
+    "select c1, sum(c2) from test group by c1",
+    "select c1, sum(c2) as total from test group by c1",
+    "select c1, sum(c2) from test group by 1",
+    "select c1 + 1, sum(c2) from test group by c1 + 1",
+    "select c1 as k, sum(c2) from test group by k",
+    "select sum(c2 + 1) * 2 from test",
+    "select c1, count(*) from test group by c1",
+    ("select every(c2 > 0), any(c2 > 5) from test",
+     "select bool_and(c2 > 0), bool_or(c2 > 5) from test"),
+    "select name, age from names join ages on names.id = ages.id",
+    "select name, age from names, ages where names.id = ages.id",
+    "select n.name, a.age from names n inner join ages a on n.id = a.id",
+    "select name from names left join ages on names.id = ages.id where age > 25",
+    "select a.name as n1, b.name as n2 from names a, names b where a.id < b.id",
+    "select test.c2, other.c4 from test join other on test.c1 = other.c3 and test.c2 < other.c4",
+    "select distinct c1 from test",
+    "select distinct c1, c2 % 2 from test",
+    "select c2 from test order by c2 desc",
+    "select c2 from test order by c2 asc limit 3",
+    "select c2 from test order by 1 desc limit 2 offset 1",
+    "select upper(name), lower(name) from names",
+    "select name || '_x' from names",
+    "select concat(name, '!') from names",
+    "select trim(both 'f' from name) from names",
+    "select trim(leading 'b' from name), trim(trailing 'z' from name) from names",
+    "select position('a' in name) from names",
+    "select length(name) from names",
+    "select * from names where name like 'ba%'",
+    "select * from names where name not like '%z'",
+    "select coalesce(null, c2) from test",
+    "select nullif(c1, 0) from test",
+    "select greatest(c1, 1), least(c2, 3) from test",
+    "select abs(-c2), power(c2, 2) from test",
+    "select id from names union select id from ages",
+    "select id from names union all select id from ages",
+    "select c2 from test intersect select c4 from other",
+    "select c2 from test except select c4 from other",
+    "select sum(q.s) from (select c1, sum(c2) as s from test group by c1) q",
+    "with t as (select c1, c2 * 2 as d from test) select c1, sum(d) from t group by c1",
+    "select c2, sum(c2) over (order by c2 rows between unbounded preceding and current row) from test",
+    "select c1, c2, row_number() over (partition by c1 order by c2) from test",
+    "select * from test where c2 > (select avg(c2) from test)",
+    "select * from test where c1 in (select c3 from other where c4 > 6)",
+    "select 1",
+    "select 1 + 1 as two, 'x' as s",
+    "select 3.5, 4., .001, 5e2, 1.925e-3",
+    "select true, false, null",
+]
+
+
+@pytest.fixture(scope="module")
+def scope(spark):
+    return {name: spark.createDataFrame(df)
+            for name, df in [("test", TEST), ("other", OTHER),
+                             ("names", NAMES), ("ages", AGES)]}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for name, df in [("test", TEST), ("other", OTHER), ("names", NAMES),
+                     ("ages", AGES)]:
+        con.register(name, df)
+    return con
+
+
+def _norm_rows(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            import decimal
+            if isinstance(v, decimal.Decimal):
+                v = float(v)
+            if isinstance(v, float) and not math.isnan(v):
+                v = round(v, 9)
+            if hasattr(v, "item"):
+                v = v.item()
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+@pytest.mark.parametrize("query", QUERIES,
+                         ids=[q if isinstance(q, str) else q[0] for q in QUERIES])
+def test_conformance(spark, scope, duck, query):
+    oracle = query if isinstance(query, str) else query[1]
+    query = query if isinstance(query, str) else query[0]
+    ours = _norm_rows([tuple(r) for r in
+                       fq.execute(query, scope, spark=spark).collect()])
+    theirs = _norm_rows(duck.execute(oracle).fetchall())
+    assert ours == theirs, f"{query}\n ours: {ours}\n duck: {theirs}"

@@ -1,0 +1,93 @@
+"""Plan-quality tests: the properties we rely on at 100 TB scale must be
+visible in the physical plans Catalyst produces for compiled queries
+(SURVEY §4: zero custom rules needed — but verify we don't *break* them)."""
+
+import pytest
+
+import framequery_spark as fq
+from framequery_spark.plans.explain import (
+    codegen_stage_count,
+    formatted_plan,
+    has_partial_aggregation,
+    has_pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+
+
+@pytest.fixture(scope="module")
+def scope(tpch_scope):
+    return tpch_scope
+
+
+def test_filter_pushdown_reaches_parquet(spark, scope):
+    df = fq.execute(
+        "select l_orderkey from lineitem where l_quantity < 5",
+        scope, spark=spark)
+    assert has_pushed_filters(df, "l_quantity"), formatted_plan(df)
+
+
+def test_column_pruning(spark, scope):
+    df = fq.execute(
+        "select l_orderkey, l_quantity from lineitem where l_quantity < 5",
+        scope, spark=spark)
+    cols = scan_read_schema(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_small_dim_join_broadcasts(spark, scope):
+    df = fq.execute(
+        "select n_name, count(*) as n from customer "
+        "join nation on c_nationkey = n_nationkey group by n_name",
+        scope, spark=spark)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_aggregation_is_partial_then_final(spark, scope):
+    df = fq.execute(
+        "select l_returnflag, sum(l_quantity) as s from lineitem "
+        "group by l_returnflag", scope, spark=spark)
+    assert has_partial_aggregation(df), formatted_plan(df)
+
+
+def test_expressions_stay_in_codegen(spark, scope):
+    # AQE wraps the plan in AdaptiveSparkPlan and hides codegen markers until
+    # execution — disable it for this assertion only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = fq.execute(
+            "select l_returnflag, sum(l_extendedprice * (1 - l_discount)) as rev "
+            "from lineitem where l_shipdate > date '1996-01-01' "
+            "group by l_returnflag", scope, spark=spark)
+        plan = formatted_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert codegen_stage_count(df) >= 1, plan
+    # the whole pipeline (scan->filter->partial agg) is codegen'd JVM work —
+    # no Python evaluation nodes anywhere
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_sort_limit_becomes_top_k(spark, scope):
+    df = fq.execute(
+        "select o_orderkey, o_totalprice from orders "
+        "order by o_totalprice desc limit 10", scope, spark=spark)
+    assert "TakeOrderedAndProject" in formatted_plan(df), formatted_plan(df)
+
+
+def test_semi_join_for_in_subquery(spark, scope):
+    df = fq.execute(
+        "select count(*) as n from customer where c_nationkey in "
+        "(select n_nationkey from nation where n_regionkey = 0)",
+        scope, spark=spark)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan or "leftsemi" in plan.lower(), plan
+
+
+def test_scalar_subquery_is_broadcast(spark, scope):
+    df = fq.execute(
+        "select count(*) as n from orders "
+        "where o_totalprice > (select avg(o_totalprice) from orders)",
+        scope, spark=spark)
+    assert uses_broadcast_join(df), formatted_plan(df)

@@ -1,0 +1,86 @@
+"""Table functions, LATERAL, COPY statements (reference surface §2.1/§2.9)."""
+
+import pandas as pd
+import pytest
+
+import framequery_spark as fq
+
+from .conftest import rows
+
+
+@pytest.fixture(scope="module")
+def scope(spark):
+    return {
+        "payloads": spark.createDataFrame(pd.DataFrame({
+            "id": [1, 2],
+            "payload": ['{"foo": "bar", "hello": "world"}', '{"a": "1"}'],
+            "arr": ['["x", "y"]', '["z"]'],
+        })),
+    }
+
+
+def test_json_each_lateral(spark, scope):
+    q = "select id, key, value from payloads, lateral json_each(payload)"
+    out = rows(fq.execute(q, scope, spark=spark))
+    assert out == [(1, "foo", "bar"), (1, "hello", "world"), (2, "a", "1")]
+
+
+def test_json_array_elements_lateral(spark, scope):
+    q = "select id, value from payloads, lateral json_array_elements(arr)"
+    out = rows(fq.execute(q, scope, spark=spark))
+    assert out == [(1, "x"), (1, "y"), (2, "z")]
+
+
+def test_json_each_constant(spark, scope):
+    q = """select key, value from json_each('{"a": "1", "b": "2"}')"""
+    out = rows(fq.execute(q, scope, spark=spark))
+    assert out == [("a", "1"), ("b", "2")]
+
+
+def test_generate_series_with_step(spark, scope):
+    q = "select * from generate_series(0, 10, 5)"
+    out = {r[0] for r in fq.execute(q, scope, spark=spark).collect()}
+    assert out == {0, 5, 10}
+
+
+def test_copy_from_table_function(spark, scope, tmp_path):
+    csv = tmp_path / "f.csv"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(csv, sep=";", index=False)
+    q = f"select a, b from copy_from('{csv}', 'delimiter', ';')"
+    assert rows(fq.execute(q, scope, spark=spark)) == [(1, "x"), (2, "y")]
+
+
+def test_user_table_function(spark, scope):
+    ex = fq.Executor(dict(scope), spark=spark)
+    ex.add_table_function(
+        "two_rows", lambda: pd.DataFrame({"v": [10, 20]}))
+    assert rows(ex.execute("select v from two_rows()")) == [(10,), (20,)]
+
+
+def test_user_lateral_function(spark, scope):
+    ex = fq.Executor(dict(scope), spark=spark)
+    ex.add_lateral_function(
+        "repeat_id", lambda n: pd.DataFrame({"n": range(int(n))}),
+        [("n", "long")])
+    out = rows(ex.execute("select id, n from payloads, lateral repeat_id(id)"))
+    assert out == [(1, 0), (2, 0), (2, 1)]
+
+
+def test_copy_parquet_roundtrip(spark, scope, tmp_path):
+    ex = fq.Executor(dict(scope), spark=spark)
+    target = tmp_path / "out.parquet"
+    ex.execute(f"COPY payloads TO '{target}' WITH (format 'parquet')")
+    ex.execute(f"COPY back FROM '{target}' WITH (format 'parquet')")
+    assert rows(ex.execute("select count(*) as n from back")) == [(2,)]
+
+
+def test_unnest_lateral(spark):
+    from pyspark.sql import functions as F
+
+    df = (
+        pytest.importorskip("pyspark").sql.SparkSession.builder.getOrCreate()
+        .range(2).select(F.col("id"), F.array(F.lit(1), F.lit(2)).alias("xs"))
+    )
+    out = rows(fq.execute("select id, value from t, lateral unnest(t.xs)",
+                          {"t": df}))
+    assert out == [(0, 1), (0, 2), (1, 1), (1, 2)]
