@@ -313,6 +313,22 @@ GROUP BY 1
 ORDER BY decile
 """)
 
+_q("q31_rollup", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS volume
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""")
+
+_q("q32_cube_grouping", """
+SELECT o_orderstatus, extract(year FROM o_orderdate) AS yr,
+       grouping(o_orderstatus) AS g_status, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, extract(year FROM o_orderdate))
+ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST
+""")
+
 _q("q30_lag_lead", """
 SELECT o_orderkey,
        lag(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS prev_key,

@@ -47,7 +47,7 @@ AGG_MAP = {
 
 AGG_NAMES = set(AGG_MAP) | {
     "count", "string_agg", "corr", "covar_pop", "covar_samp", "first_value",
-    "percentile_cont",
+    "percentile_cont", "grouping", "grouping_id",
 }
 
 WINDOW_FUNCS = {
@@ -340,6 +340,10 @@ class ExprCompiler:
 
     def _compile_agg(self, node: ast.Call) -> Column:
         name = node.name
+        if name == "grouping":
+            return F.grouping(self.compile(node.args[0])).cast("long")
+        if name == "grouping_id":
+            return F.grouping_id(*[self.compile(a) for a in node.args]).cast("long")
         if name == "count":
             if node.star or not node.args:
                 # count(*) -> count(1) (reference rewrite,

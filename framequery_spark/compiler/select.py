@@ -186,7 +186,26 @@ class QueryCompiler:
 
     def _compile_aggregate(self, df: DataFrame, sel: ast.Select,
                            items: List[Tuple[ast.Node, str]]) -> DataFrame:
-        group_exprs = self._resolve_group_by(sel, items, df)
+        mode = "groupby"
+        sets_idx = None
+        gb = sel.group_by
+        if len(gb) == 1 and isinstance(gb[0], (ast.Rollup, ast.Cube,
+                                               ast.GroupingSets)):
+            node = gb[0]
+            if isinstance(node, ast.GroupingSets):
+                mode = "sets"
+                group_exprs = []
+                for s in node.sets:
+                    for e in s:
+                        if e not in group_exprs:
+                            group_exprs.append(e)
+                sets_idx = [[group_exprs.index(e) for e in s]
+                            for s in node.sets]
+            else:
+                mode = "rollup" if isinstance(node, ast.Rollup) else "cube"
+                group_exprs = list(node.exprs)
+        else:
+            group_exprs = self._resolve_group_by(sel, items, df)
 
         # materialize group keys as hidden columns, build the rewrite map
         pre_cols: List[Column] = []
@@ -230,7 +249,16 @@ class QueryCompiler:
             agg_cols.append(F.count(F.lit(1)).alias("__dummy"))
 
         keys = [F.col(f"__g{i}") for i in range(len(group_exprs))]
-        result = df_pre.groupBy(*keys).agg(*agg_cols)
+        if mode == "rollup":
+            grouped = df_pre.rollup(*keys)
+        elif mode == "cube":
+            grouped = df_pre.cube(*keys)
+        elif mode == "sets":
+            grouped = df_pre.groupingSets(
+                [[F.col(f"__g{i}") for i in s] for s in sets_idx], *keys)
+        else:
+            grouped = df_pre.groupBy(*keys)
+        result = grouped.agg(*agg_cols)
 
         if sel.having is not None:
             result = result.filter(F.col("__having"))

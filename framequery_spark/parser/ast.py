@@ -270,6 +270,21 @@ class Join(Node):
 
 
 @dataclass(frozen=True)
+class Rollup(Node):
+    exprs: Tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class Cube(Node):
+    exprs: Tuple[Node, ...]
+
+
+@dataclass(frozen=True)
+class GroupingSets(Node):
+    sets: Tuple[Tuple[Node, ...], ...]
+
+
+@dataclass(frozen=True)
 class SelectItem(Node):
     expr: Node
     alias: Optional[str] = None

@@ -279,10 +279,38 @@ class Parser:
         if self.is_kw("group"):
             self.advance()
             self.expect_kw("by")
-            exprs = [self.parse_expr()]
-            while self.accept_op(","):
-                exprs.append(self.parse_expr())
-            group_by = tuple(exprs)
+            if self.is_kw("rollup", "cube") and self.is_op("(", offset=1):
+                kind = self.advance().value.lower()
+                self.advance()
+                exprs = [self.parse_expr()]
+                while self.accept_op(","):
+                    exprs.append(self.parse_expr())
+                self.expect_op(")")
+                cls = ast.Rollup if kind == "rollup" else ast.Cube
+                group_by = (cls(exprs=tuple(exprs)),)
+            elif self.is_kw("grouping") and self.is_kw("sets", offset=1):
+                self.advance()
+                self.advance()
+                self.expect_op("(")
+                sets = []
+                while True:
+                    self.expect_op("(")
+                    one: List[ast.Node] = []
+                    if not self.is_op(")"):
+                        one.append(self.parse_expr())
+                        while self.accept_op(","):
+                            one.append(self.parse_expr())
+                    self.expect_op(")")
+                    sets.append(tuple(one))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                group_by = (ast.GroupingSets(sets=tuple(sets)),)
+            else:
+                exprs = [self.parse_expr()]
+                while self.accept_op(","):
+                    exprs.append(self.parse_expr())
+                group_by = tuple(exprs)
         having = None
         if self.accept_kw("having"):
             having = self.parse_expr()

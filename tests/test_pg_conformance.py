@@ -91,6 +91,10 @@ QUERIES = [
     "select 1",
     "select 1 + 1 as two, 'x' as s",
     "select 3.5, 4., .001, 5e2, 1.925e-3",
+    "select c1, sum(c2) from test group by rollup (c1)",
+    "select c1, c2 % 2, sum(c2) from test group by cube (c1, c2 % 2)",
+    "select c1, c2 % 2, sum(c2) from test group by grouping sets ((c1), (c2 % 2), ())",
+    "select c1, grouping(c1), sum(c2) from test group by rollup (c1)",
     "select true, false, null",
 ]
 
