@@ -500,6 +500,12 @@ def _op_stream_hourly(spark, sf_dir):
     return run_stream_to_df(spark, f"{sf_dir}/events.parquet", window="1 hour")
 
 
+def _op_stateful_counts(spark, sf_dir):
+    from framequery_spark.streaming.stream import stateful_user_stats
+
+    return stateful_user_stats(spark, f"{sf_dir}/events.parquet")
+
+
 def _op_sessions(spark, sf_dir):
     from framequery_spark.streaming.stream import session_stats
 
@@ -555,6 +561,11 @@ _op("op_stream_hourly", _op_stream_hourly, """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""")
+
+_op("op_stateful_counts", _op_stateful_counts, """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
 """)
 
 _op("op_sessions", _op_sessions, """

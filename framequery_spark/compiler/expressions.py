@@ -41,6 +41,8 @@ AGG_MAP = {
     "collect": lambda c: F.collect_list(c),
     "array_agg": lambda c: F.collect_list(c),
     "first_value_agg": lambda c: F.first(c),
+    "first_value": lambda c: F.first(c),
+    "last_value_agg": lambda c: F.last(c),
     "median": lambda c: F.median(c),
     "approx_count_distinct": lambda c: F.approx_count_distinct(c),
 }
@@ -323,7 +325,7 @@ class ExprCompiler:
 
     def _c_Call(self, node: ast.Call) -> Column:
         name = node.name
-        if name in AGG_NAMES and name not in ("first_value",):
+        if name in AGG_NAMES:
             if not self.agg_context:
                 raise CompileError(
                     f"aggregate {name}() not allowed here (no GROUP BY context)"
@@ -372,7 +374,7 @@ class ExprCompiler:
             if name == "sum":
                 return F.sum_distinct(arg)
             if name == "avg":
-                return F.avg(arg)  # avg distinct: rewritten below
+                return F.sum_distinct(arg) / F.count_distinct(arg)
             if name == "collect":
                 return F.collect_set(arg)
             if name == "count":

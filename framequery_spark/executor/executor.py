@@ -38,7 +38,10 @@ class Executor:
     """A persistent query session over a mutable table scope."""
 
     def __init__(self, scope: Optional[dict] = None,
-                 spark: Optional[SparkSession] = None, basepath: str = "."):
+                 spark: Optional[SparkSession] = None, basepath: str = ".",
+                 model: Optional[str] = None):
+        # `model` accepted for drop-in compatibility with the reference
+        # signature (pandas/dask model selection); Spark is the only model
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.scope: Dict[str, DataFrame] = {}
         self.basepath = basepath
@@ -204,8 +207,10 @@ def _capture_caller_scope(spark: SparkSession, depth: int = 2) -> dict:
 
 
 def execute(q: str, scope: Optional[dict] = None,
-            spark: Optional[SparkSession] = None, basepath: str = "."):
-    """One-shot execute; returns a (lazy) Spark DataFrame or None for DDL."""
+            spark: Optional[SparkSession] = None, basepath: str = ".",
+            model: Optional[str] = None):
+    """One-shot execute; returns a (lazy) Spark DataFrame or None for DDL.
+    `model` is accepted for reference-signature compatibility and ignored."""
     spark = spark or SparkSession.builder.getOrCreate()
     if scope is None:
         scope = _capture_caller_scope(spark)

@@ -77,6 +77,55 @@ def run_stream_to_df(spark: SparkSession, events_path: str,
     return spark.table(name)
 
 
+def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    accumulates per-user (n_events, sum_value) in the state store across
+    micro-batches and emits the updated totals each batch.
+
+    With Trigger.AvailableNow over a static directory the final emission per
+    user equals the batch GROUP BY — which is how the oracle checks it. At
+    scale the same operator runs over Kafka with ProcessingTimeTimeout for
+    state expiry."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_event_stream(spark, events_path)
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [round(total, 2)]})
+
+    agg = (stream.groupBy("user_id")
+           .applyInPandasWithState(update, out_schema, state_schema,
+                                   "update", GroupStateTimeout.NoTimeout))
+    name = "stateful_" + uuid.uuid4().hex[:12]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    latest = spark.table(name)
+    # update mode appends one row per user per batch; keep the last emission
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (latest.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "n_events", "sum_value"))
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization (gap-based) — the stateful-streaming analogue
     uses applyInPandasWithState; this DataFrame version is the oracle-able
