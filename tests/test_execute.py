@@ -232,3 +232,42 @@ def test_scope_capture_from_frame(spark):
 def test_pg_namespace(spark, scope):
     out = rows(run("select nspname from pg_namespace", scope, spark))
     assert ("public",) in out
+
+
+def test_mixed_case_quoted_identifiers(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"MiXeD": [1, 2], "low": [3, 4]}))
+    out = fq.execute('select "MiXeD" as m, low from "My Table" where "MiXeD" = 2',
+                     {"My Table": df}, spark=spark)
+    assert rows(out) == [(2, 4)]
+
+
+def test_json_cast_variant_roundtrip(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"j": ['{"a": 1, "b": [2, 3]}']}))
+    out = fq.execute("select cast(j as json)::varchar as s from t",
+                     {"t": df}, spark=spark)
+    import json
+
+    assert json.loads(rows(out)[0][0]) == {"a": 1, "b": [2, 3]}
+
+
+def test_json_cast_then_lateral(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"j": ['{"x": "1"}']}))
+    out = fq.execute("select key, value from t, lateral json_each(t.j::json)",
+                     {"t": df}, spark=spark)
+    assert rows(out) == [("x", "1")]
+
+
+def test_limit_all_is_noop(spark, scope):
+    assert len(rows(run("select a from test limit all", scope, spark))) == 4
+
+
+def test_is_distinct_from(spark, scope):
+    q = "select a from withnull where a is distinct from 1"
+    out = rows(run(q, scope, spark))
+    assert out == [(3.0,), (None,)]

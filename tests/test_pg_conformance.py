@@ -17,6 +17,11 @@ TEST = pd.DataFrame({"c1": [0, 1, 0, 1, 0, 1], "c2": [1, 2, 3, 4, 5, 6]})
 OTHER = pd.DataFrame({"c3": [0, 1, 0, 1, 0, 1], "c4": [7, 8, 9, 0, 1, 2]})
 NAMES = pd.DataFrame({"name": ["foo", "bar", "baz"], "id": [0, 1, 2]})
 AGES = pd.DataFrame({"age": [20, 30, 40], "id": [0, 1, 2]})
+NULLS = pd.DataFrame({
+    "k": ["a", "a", None, "b", None, "b"],
+    "v": [1.0, None, 3.0, None, 5.0, 6.0],
+    "s": ["x", None, "y", None, "z", None],
+})
 
 QUERIES = [
     "select * from test",
@@ -95,6 +100,24 @@ QUERIES = [
     "select c1, c2 % 2, sum(c2) from test group by cube (c1, c2 % 2)",
     "select c1, c2 % 2, sum(c2) from test group by grouping sets ((c1), (c2 % 2), ())",
     "select c1, grouping(c1), sum(c2) from test group by rollup (c1)",
+    # NULL semantics (keys kept in GROUP BY, skipped by aggregates, 3VL)
+    "select k, count(*) from nulls group by k",
+    "select k, count(v), sum(v), avg(v) from nulls group by k",
+    "select count(v), count(*), count(distinct k) from nulls",
+    "select * from nulls where v > 2",
+    "select * from nulls where v is null",
+    "select * from nulls where not (v > 2)",
+    "select coalesce(v, -1), coalesce(s, k, '?') from nulls",
+    "select k, v from nulls order by v asc nulls first",
+    "select k, v from nulls order by v desc nulls last",
+    "select v + 1, v = v, v || '' from nulls",
+    "select nullif(k, 'a') from nulls",
+    "select s is distinct from k from nulls",
+    "select case when v is null then 'missing' else 'present' end from nulls",
+    "select distinct k from nulls",
+    "select min(v), max(v) from nulls where v is null",
+    "select k from nulls group by k having count(v) > 0",
+    "select sum(case when v is null then 1 else 0 end) from nulls",
     "select true, false, null",
 ]
 
@@ -103,7 +126,8 @@ QUERIES = [
 def scope(spark):
     return {name: spark.createDataFrame(df)
             for name, df in [("test", TEST), ("other", OTHER),
-                             ("names", NAMES), ("ages", AGES)]}
+                             ("names", NAMES), ("ages", AGES),
+                             ("nulls", NULLS)]}
 
 
 @pytest.fixture(scope="module")
@@ -112,7 +136,7 @@ def duck():
 
     con = duckdb.connect()
     for name, df in [("test", TEST), ("other", OTHER), ("names", NAMES),
-                     ("ages", AGES)]:
+                     ("ages", AGES), ("nulls", NULLS)]:
         con.register(name, df)
     return con
 
