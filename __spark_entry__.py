@@ -448,7 +448,10 @@ def _op_jaccard(spark, sf_dir):
 def _op_minhash(spark, sf_dir):
     from framequery_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_scope(spark, sf_dir)["documents"], threshold=0.7)
+    # num_perm=64/bands=32 (rows=2): P(miss @ jaccard 0.7) = (1-0.49)^32 ≈ 4e-10
+    # — still effectively exact vs the brute-force oracle, half the signature cost
+    return minhash_lsh_pairs(_scope(spark, sf_dir)["documents"],
+                             num_perm=64, bands=32, threshold=0.7)
 
 
 def _op_simhash(spark, sf_dir):
@@ -479,7 +482,8 @@ def _op_ann_topk(spark, sf_dir):
     from framequery_spark.operators.similarity import lsh_ann_topk
 
     emb = _scope(spark, sf_dir)["embeddings"]
-    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_bits=8, n_tables=4)
 
 
 def _op_blob_metadata(spark, sf_dir):

@@ -34,6 +34,9 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from framequery_spark.plans.tuning import configure_session
+
+    configure_session(spark, cpus)
 
     import __spark_entry__ as entry
 

@@ -10,4 +10,11 @@ from .executor.executor import Executor, execute
 from .parser import parse
 
 __version__ = "0.1.0"
-__all__ = ["execute", "Executor", "parse", "__version__"]
+__all__ = ["execute", "Executor", "parse", "compute", "__version__"]
+
+
+def compute(result):
+    """Materialize an execute() result to pandas — the analogue of the
+    reference's model.compute() barrier (src/framequery/executor/_dask.py:110).
+    DDL results (None) pass through."""
+    return None if result is None else result.toPandas()

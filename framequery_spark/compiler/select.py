@@ -303,6 +303,27 @@ class QueryCompiler:
     def _compile_project(self, df: DataFrame, sel: ast.Select,
                          items: List[Tuple[ast.Node, str]]) -> DataFrame:
         ec = self._expr_compiler()
+
+        if sel.distinct_on:
+            # pg DISTINCT ON (the reference's xfail gap): keep the first row
+            # per key under the query's ORDER BY, via a ranking window
+            from pyspark.sql import Window
+
+            keys = [ec.compile(g) for g in sel.distinct_on]
+            order_cols = []
+            alias_map = {name.lower(): expr for expr, name in items}
+            for s in sel.order_by:
+                expr = s.expr
+                if isinstance(expr, ast.Literal) and expr.kind == "int":
+                    expr = items[expr.value - 1][0]
+                elif (isinstance(expr, ast.ColumnRef) and len(expr.parts) == 1
+                      and expr.parts[0] in alias_map):
+                    expr = alias_map[expr.parts[0]]
+                order_cols.append(_apply_sort_direction(ec.compile(expr), s))
+            w = Window.partitionBy(*keys).orderBy(
+                *(order_cols or [F.lit(1)]))
+            df = (df.withColumn("__don", F.row_number().over(w))
+                  .filter(F.col("__don") == 1).drop("__don"))
         out_cols = [ec.compile(expr).alias(f"__out{i}")
                     for i, (expr, _) in enumerate(items)]
 

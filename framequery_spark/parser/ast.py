@@ -307,6 +307,7 @@ class Select(Node):
     limit: Optional[Node] = None  # Literal int or 'all'
     offset: Optional[Node] = None
     distinct: bool = False
+    distinct_on: Tuple[Node, ...] = ()  # pg DISTINCT ON (reference xfail)
     ctes: Tuple[CTE, ...] = ()
 
 

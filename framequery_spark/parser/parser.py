@@ -264,8 +264,17 @@ class Parser:
             return node
         self.expect_kw("select")
         distinct = False
+        distinct_on = ()
         if self.accept_kw("distinct"):
             distinct = True
+            if self.accept_kw("on"):
+                self.expect_op("(")
+                exprs = [self.parse_expr()]
+                while self.accept_op(","):
+                    exprs.append(self.parse_expr())
+                self.expect_op(")")
+                distinct_on = tuple(exprs)
+                distinct = False
         else:
             self.accept_kw("all")
         items = self.parse_select_list()
@@ -318,7 +327,7 @@ class Parser:
         # (parse_set_expr) so they bind to a whole UNION chain
         return ast.Select(
             items=items, from_=from_, where=where, group_by=group_by,
-            having=having, distinct=distinct,
+            having=having, distinct=distinct, distinct_on=distinct_on,
         )
 
     def parse_order_by(self) -> Tuple[ast.SortItem, ...]:
@@ -911,7 +920,7 @@ def _select_kwargs(sel: ast.Select) -> dict:
         "items": sel.items, "from_": sel.from_, "where": sel.where,
         "group_by": sel.group_by, "having": sel.having, "order_by": sel.order_by,
         "limit": sel.limit, "offset": sel.offset, "distinct": sel.distinct,
-        "ctes": sel.ctes,
+        "distinct_on": sel.distinct_on, "ctes": sel.ctes,
     }
 
 

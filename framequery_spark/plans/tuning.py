@@ -1,0 +1,42 @@
+"""Session tuning for scale.
+
+One place for the runtime confs the engine relies on. `configure_session`
+applies them idempotently; callers pass the target parallelism (executor
+cores × executors on a cluster; local CPU count on local[N]).
+
+The 100 TB rationale per conf:
+  - AQE + coalesce/skew-join: runtime re-planning fixes both over-partitioned
+    shuffles (small SFs) and skewed keys (hot join keys at corpus scale).
+  - shuffle.partitions ≈ 2-3× total cores: enough tasks for stragglers
+    without scheduler overhead; AQE coalesces the excess.
+  - files.maxPartitionBytes 128 MB: scan tasks sized so a row-group fits in
+    executor memory with headroom for the shingle/hash expression state.
+  - autoBroadcastJoinThreshold 64 MB: TPC-H-style dims (region/nation/
+    supplier/part at most SFs) broadcast instead of shuffling the fact table.
+  - arrow enabled: all pandas_udf / mapInPandas boundaries batch via Arrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def configure_session(spark: SparkSession, parallelism: int = None) -> SparkSession:
+    cores = parallelism or spark.sparkContext.defaultParallelism
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(max(2 * cores, 8)),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep going
+    return spark

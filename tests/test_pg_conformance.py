@@ -118,6 +118,8 @@ QUERIES = [
     "select min(v), max(v) from nulls where v is null",
     "select k from nulls group by k having count(v) > 0",
     "select sum(case when v is null then 1 else 0 end) from nulls",
+    "select distinct on (c1) c1, c2 from test order by c1, c2 desc",
+    "select distinct on (k) k, v from nulls order by k nulls first, v asc nulls last",
     "select true, false, null",
 ]
 
