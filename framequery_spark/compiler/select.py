@@ -394,6 +394,8 @@ class QueryCompiler:
         if isinstance(rel, ast.SubqueryRel):
             sub = QueryCompiler(self.session, self.scope).compile_query(rel.query)
             return sub.alias(rel.alias)
+        if isinstance(rel, ast.Values):
+            return self._compile_values(rel)
         if isinstance(rel, ast.TableFunction):
             return self._compile_table_function(rel)
         if isinstance(rel, ast.Join):
@@ -413,6 +415,23 @@ class QueryCompiler:
             return left.join(right, list(join.using), how)
         cond = self._expr_compiler().compile(join.condition)
         return left.join(right, cond, how)
+
+    def _compile_values(self, rel: "ast.Values") -> DataFrame:
+        """VALUES rows: literal-only; built as a local DataFrame (the row set
+        is inline query text, so driver-side construction is correct)."""
+        def value_of(node):
+            if isinstance(node, ast.Literal):
+                return node.value
+            if isinstance(node, ast.Unary) and node.op == "-" and \
+                    isinstance(node.operand, ast.Literal):
+                return -node.operand.value
+            raise CompileError("VALUES rows must be literals")
+
+        rows = [tuple(value_of(v) for v in row) for row in rel.rows]
+        ncols = len(rows[0])
+        names = list(rel.column_names) or [f"col{i}" for i in range(ncols)]
+        df = self.session.spark.createDataFrame(rows, names)
+        return df.alias(rel.alias or "values")
 
     # --------------------------------------------------------- table functions
 

@@ -247,6 +247,15 @@ class SubqueryRel(Node):
 
 
 @dataclass(frozen=True)
+class Values(Node):
+    """VALUES (..),(..) row constructor in FROM; literal rows only."""
+
+    rows: Tuple[Tuple[Node, ...], ...]
+    alias: Optional[str] = None
+    column_names: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class TableFunction(Node):
     """Table-valued function in FROM, e.g. copy_from(...), json_each(...),
     generate_series(...). lateral=True when prefixed with LATERAL."""

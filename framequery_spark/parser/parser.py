@@ -433,6 +433,12 @@ class Parser:
         lateral = bool(self.accept_kw("lateral"))
         if self.is_op("("):
             self.advance()
+            if self.is_kw("values"):
+                node = self.parse_values()
+                self.expect_op(")")
+                alias, colnames = self.parse_values_alias()
+                return ast.Values(rows=node.rows, alias=alias,
+                                  column_names=colnames)
             query = self.parse_query()
             self.expect_op(")")
             alias = self.parse_optional_alias()
@@ -458,6 +464,31 @@ class Parser:
             )
         alias = self.parse_optional_alias()
         return ast.TableRef(parts=tuple(parts), alias=alias)
+
+    def parse_values(self) -> ast.Values:
+        self.expect_kw("values")
+        rows = []
+        while True:
+            self.expect_op("(")
+            row = [self.parse_expr()]
+            while self.accept_op(","):
+                row.append(self.parse_expr())
+            self.expect_op(")")
+            rows.append(tuple(row))
+            if not self.accept_op(","):
+                break
+        return ast.Values(rows=tuple(rows))
+
+    def parse_values_alias(self):
+        alias = self.parse_optional_alias()
+        colnames = ()
+        if alias is not None and self.accept_op("("):
+            names = [self.parse_name()]
+            while self.accept_op(","):
+                names.append(self.parse_name())
+            self.expect_op(")")
+            colnames = tuple(names)
+        return alias, colnames
 
     def parse_optional_alias(self) -> Optional[str]:
         if self.accept_kw("as"):

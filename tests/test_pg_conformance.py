@@ -120,6 +120,8 @@ QUERIES = [
     "select sum(case when v is null then 1 else 0 end) from nulls",
     "select distinct on (c1) c1, c2 from test order by c1, c2 desc",
     "select distinct on (k) k, v from nulls order by k nulls first, v asc nulls last",
+    "select * from (values (1, 'a'), (2, 'b')) v(n, s)",
+    "select t.c1, v.s from test t join (values (0, 'even'), (1, 'odd')) v(n, s) on t.c1 = v.n",
     "select true, false, null",
 ]
 
