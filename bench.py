@@ -42,8 +42,13 @@ def main() -> None:
 
     qs = entry.queries()
 
-    # warm up the JVM + file system cache with one tiny action
+    # warm up JVM, codegen, and the parquet read path with the flagship
+    # query at the smallest scale factor before timing anything
     spark.range(1000).count()
+    try:
+        entry.entry(spark).collect()
+    except Exception as exc:
+        print(f"bench: warmup failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""End-to-end tour of framequery_spark (run: python examples/demo.py).
+
+Mirrors the reference's README example (reference Readme.md:27-35) and then
+shows the beyond-parity surface: windows, set ops, LATERAL json, the
+Executor session, and the LLM-pipeline operators.
+"""
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import framequery_spark as fq
+
+    # --- the reference README example -------------------------------------
+    sales = spark.createDataFrame(pd.DataFrame({
+        "store_id": [1, 2, 3, 4], "sales": [5, 6, 7, 8]}))
+    stores = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 3, 4], "country": ["US", "US", "DE", "DE"]}))
+
+    fq.execute("""
+        SELECT country, sum(sales) AS total_sales
+        FROM sales JOIN stores ON sales.store_id = stores.id
+        GROUP BY country
+    """, {"sales": sales, "stores": stores}, spark=spark).show()
+
+    # --- persistent session with DDL + user functions ---------------------
+    ex = fq.Executor({"sales": sales, "stores": stores}, spark=spark)
+    ex.execute("CREATE TABLE by_country AS "
+               "SELECT country, sum(sales) AS total FROM sales "
+               "JOIN stores ON store_id = id GROUP BY country")
+    ex.add_column_function("double_it", lambda c: c * 2)
+    ex.execute("SELECT country, double_it(total) AS twice FROM by_country "
+               "ORDER BY country").show()
+
+    # --- windows / set ops / lateral json ---------------------------------
+    fq.execute("""
+        SELECT country, sales,
+               rank() OVER (PARTITION BY country ORDER BY sales DESC) AS r
+        FROM sales JOIN stores ON store_id = id
+    """, ex.scope, spark=spark).show()
+
+    payloads = spark.createDataFrame(pd.DataFrame({
+        "id": [1], "j": ['{"lang": "en", "split": "train"}']}))
+    fq.execute("SELECT id, key, value FROM p, LATERAL json_each(p.j)",
+               {"p": payloads}, spark=spark).show()
+
+    # --- LLM-pipeline operators on the synthetic documents table ----------
+    sf_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(sf_dir):
+        from framequery_spark.operators.dedup import minhash_lsh_pairs
+        from framequery_spark.operators.text import text_stats
+        from framequery_spark.sources.testdata import load_tables
+
+        scope = load_tables(spark, sf_dir)
+        text_stats(scope["documents"]).show(5)
+        minhash_lsh_pairs(scope["documents"], threshold=0.7).show(5)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,7 +93,14 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     at corpus scale the frequent-shingle skew dominates the join, and a
     shingle shared by m docs contributes m^2 candidate rows.
     """
-    sh = _shingle_table(df, id_col, text_col, k)
+    # persist: the shingle table feeds three branches (both join sides +
+    # per-doc counts); without it the shingle expression recomputes 3x.
+    # At corpus scale prefer MEMORY_AND_DISK (set here) or checkpoint the
+    # shingle table to parquet between stages.
+    from pyspark import StorageLevel
+
+    sh = _shingle_table(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK)
     if max_doc_freq is not None:
         rare = (sh.groupBy("__shingle")
                 .agg(F.count(F.lit(1)).alias("__df"))
@@ -167,7 +174,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Jaccard (verify=True) so false positives never escape.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm, seed)
+    from pyspark import StorageLevel
+
+    # signatures feed both band-join sides and candidate verification
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm, seed).persist(
+        StorageLevel.MEMORY_AND_DISK)
     band_cols = F.array(*[
         F.xxhash64(F.concat_ws(
             ",", *[F.element_at(F.col("__sig"), b * rows + r + 1).cast("string")
@@ -243,8 +254,13 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
               .select("__id",
                       F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h"),
                       F.size("__sh").alias("__n")))
+    from pyspark import StorageLevel
+
+    # signatures feed both band-join sides — persist to compute the 64-bit
+    # majority votes once per document
     sig_df = staged.select(
-        "__id", _simhash_from_hashes(F.col("__h"), F.col("__n")).alias("__sim"))
+        "__id", _simhash_from_hashes(F.col("__h"), F.col("__n")).alias("__sim"))\
+        .persist(StorageLevel.MEMORY_AND_DISK)
     bands = F.array(*[
         F.shiftrightunsigned(F.col("__sim"), i * width)
         .bitwiseAND(F.lit(mask))
