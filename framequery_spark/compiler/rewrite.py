@@ -53,6 +53,38 @@ def transform(node, fn: Callable):
     return fn(node)
 
 
+def map_children(node, fn: Callable):
+    """Rebuild *node* with fn applied to each direct child Node (fn is
+    responsible for its own recursion). Subquery bodies are left alone."""
+    if isinstance(node, (ast.Select, ast.SetOp)) or not isinstance(node, ast.Node):
+        return node
+    changed = {}
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, ast.Node):
+            nv = fn(v)
+            if nv is not v:
+                changed[f.name] = nv
+        elif isinstance(v, tuple):
+            nvs = []
+            any_changed = False
+            for item in v:
+                if isinstance(item, ast.Node):
+                    ni = fn(item)
+                    any_changed |= ni is not item
+                    nvs.append(ni)
+                elif isinstance(item, tuple):
+                    ni = tuple(fn(x) if isinstance(x, ast.Node) else x
+                               for x in item)
+                    any_changed |= ni != item
+                    nvs.append(ni)
+                else:
+                    nvs.append(item)
+            if any_changed:
+                changed[f.name] = tuple(nvs)
+    return dataclasses.replace(node, **changed) if changed else node
+
+
 def walk(node, into_subqueries: bool = False) -> Iterator[ast.Node]:
     """Pre-order traversal of all Node instances."""
     if not isinstance(node, ast.Node):

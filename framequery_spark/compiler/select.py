@@ -30,7 +30,7 @@ from .expressions import (
     _apply_sort_direction,
     _bt,
 )
-from .rewrite import contains_aggregate, transform
+from .rewrite import contains_aggregate, map_children, transform
 
 
 class QueryCompiler:
@@ -224,9 +224,39 @@ class QueryCompiler:
         ec = ExprCompiler(self.session, agg_context=True, scope=self.scope)
         agg_cols: List[Column] = []
         final_names: List[str] = []
+        # items containing window calls (e.g. rank() OVER (ORDER BY sum(x)))
+        # are evaluated AFTER aggregation: their aggregate subtrees become
+        # hidden agg columns, the window expression runs over the result
+        window_items: Dict[int, ast.Node] = {}
+        agg_sub: Dict[ast.Node, ast.Node] = {}
+
+        def hoist_aggs(node: ast.Node) -> ast.Node:
+            # replace aggregate calls with hidden agg columns, but keep the
+            # head call of a WindowCall (sum(sum(x)) OVER () hoists only the
+            # inner sum — the outer one runs as the window function)
+            if isinstance(node, ast.WindowCall):
+                call = node.call
+                new_call = ast.Call(
+                    name=call.name,
+                    args=tuple(hoist_aggs(a) for a in call.args),
+                    distinct=call.distinct, star=call.star)
+                return ast.WindowCall(call=new_call,
+                                      spec=map_children(node.spec, hoist_aggs))
+            if isinstance(node, ast.Call) and node.name in AGG_NAMES:
+                if node not in agg_sub:
+                    aname = f"__a{len(agg_sub)}"
+                    agg_cols.append(ec.compile(node).alias(aname))
+                    agg_sub[node] = ast.ColumnRef(parts=(aname,), quoted=True)
+                return agg_sub[node]
+            return map_children(node, hoist_aggs)
+
         for i, (expr, name) in enumerate(items):
-            col = ec.compile(rewrite(expr))
-            agg_cols.append(col.alias(f"__out{i}"))
+            rewritten = rewrite(expr)
+            if _contains_window(rewritten):
+                window_items[i] = hoist_aggs(rewritten)
+            else:
+                col = ec.compile(rewritten)
+                agg_cols.append(col.alias(f"__out{i}"))
             final_names.append(name)
 
         if sel.having is not None:
@@ -262,6 +292,15 @@ class QueryCompiler:
 
         if sel.having is not None:
             result = result.filter(F.col("__having"))
+
+        if window_items:
+            # post-aggregation window phase: expressions over agg outputs
+            ec_post = ExprCompiler(self.session, agg_context=False,
+                                   scope=self.scope)
+            result = result.select(
+                "*", *[ec_post.compile(expr).alias(f"__out{i}")
+                       for i, expr in window_items.items()])
+
         if sel.distinct:
             result = result.select(
                 *[F.col(f"__out{i}") for i in range(len(items))]).distinct()
@@ -466,6 +505,12 @@ class QueryCompiler:
         if limit is not None:
             df = df.limit(_int_literal(limit, "LIMIT"))
         return df
+
+
+def _contains_window(node: ast.Node) -> bool:
+    from .rewrite import walk
+
+    return any(isinstance(n, ast.WindowCall) for n in walk(node))
 
 
 def _split_conjuncts(node: ast.Node) -> List[ast.Node]:

@@ -122,6 +122,8 @@ QUERIES = [
     "select distinct on (k) k, v from nulls order by k nulls first, v asc nulls last",
     "select * from (values (1, 'a'), (2, 'b')) v(n, s)",
     "select t.c1, v.s from test t join (values (0, 'even'), (1, 'odd')) v(n, s) on t.c1 = v.n",
+    "select c1, sum(c2) as s, rank() over (order by sum(c2) desc) as r from test group by c1",
+    "select c1, count(*) as n, sum(count(*)) over () as total from test group by c1",
     "select true, false, null",
 ]
 
