@@ -24,6 +24,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.warehouse.dir", "/tmp/fq_test_warehouse")
         .getOrCreate()
     )
     session.sparkContext.setLogLevel("ERROR")

@@ -91,3 +91,24 @@ def test_scalar_subquery_is_broadcast(spark, scope):
         "where o_totalprice > (select avg(o_totalprice) from orders)",
         scope, spark=spark)
     assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, scope):
+    from framequery_spark.sources.bucketed import bucketed_join, save_bucketed
+
+    save_bucketed(scope["orders"], "b_orders", ["o_custkey"], buckets=8)
+    save_bucketed(scope["customer"], "b_customer", ["c_custkey"], buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = (spark.table("b_orders")
+                  .join(spark.table("b_customer"),
+                        spark.table("b_orders").o_custkey
+                        == spark.table("b_customer").c_custkey))
+        plan = formatted_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
