@@ -329,6 +329,26 @@ GROUP BY CUBE (o_orderstatus, extract(year FROM o_orderdate))
 ORDER BY o_orderstatus NULLS FIRST, yr NULLS FIRST
 """)
 
+_q("q33_exists_correlated", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= date '1996-01-01' AND o_orderdate < date '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+
+_q("q34_not_exists", """
+SELECT count(*) AS n
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+""")
+
 _q("q30_lag_lead", """
 SELECT o_orderkey,
        lag(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS prev_key,

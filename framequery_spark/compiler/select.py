@@ -165,22 +165,104 @@ class QueryCompiler:
         return df
 
     def _apply_in_subquery(self, df: DataFrame, node: ast.InSubquery) -> DataFrame:
+        how = "left_anti" if node.negated else "left_semi"
+        sel = node.query
+        in_expr = None
+        if isinstance(sel, ast.Select) and len(sel.items) == 1 \
+                and not isinstance(sel.items[0], ast.Star):
+            in_expr = sel.items[0].expr
+        split = self._split_correlation(sel, extra_inner=(in_expr,)
+                                        if in_expr is not None else ())
+        if split is not None:
+            sub_df, corr_cond, extra = split
+            ec = self._expr_compiler()
+            cond = (ec.compile(node.expr) == F.col(extra[0])) & corr_cond
+            return df.join(sub_df, cond, how)
         sub = QueryCompiler(self.session, self.scope).compile_query(node.query)
         if len(sub.columns) != 1:
             raise CompileError("IN subquery must return exactly one column")
         sub = sub.toDF("__in_val")
         ec = self._expr_compiler()
         cond = ec.compile(node.expr) == F.col("__in_val")
-        how = "left_anti" if node.negated else "left_semi"
         return df.join(sub, cond, how)
 
     def _apply_exists(self, df: DataFrame, node: ast.Exists) -> DataFrame:
-        # uncorrelated EXISTS only (correlated subqueries are beyond the
-        # reference surface; docs/SQL_Support.md:20)
+        how = "left_anti" if node.negated else "left_semi"
+        split = self._split_correlation(node.query)
+        if split is not None:
+            sub_df, corr_cond, _ = split
+            return df.join(sub_df, corr_cond, how)
+        # uncorrelated: probe for non-emptiness
         sub = QueryCompiler(self.session, self.scope).compile_query(node.query)
         probe = sub.limit(1).select(F.lit(1).alias("__exists"))
-        how = "left_anti" if node.negated else "left_semi"
         return df.join(probe, F.lit(True), how)
+
+    def _split_correlation(self, sel: ast.Node, extra_inner: tuple = ()):
+        """Decompose a (possibly) correlated subquery: WHERE conjuncts that
+        reference columns outside the subquery's own relations become the
+        semi/anti-join condition; the rest stay as inner filters. Inner-side
+        references in the join condition are projected to hidden `__c{i}`
+        columns so the joined namespace has no ambiguity.
+
+        Returns (inner_df, correlated_condition, extra_col_names) or None
+        when uncorrelated. Beyond the reference surface (docs/
+        SQL_Support.md:20); supports arbitrary correlated predicates
+        (equality or theta) — the TPC-H Q4/Q21 shape.
+        """
+        if not isinstance(sel, ast.Select) or sel.where is None \
+                or sel.from_ is None or sel.group_by or sel.having is not None:
+            return None
+        inner_rel = QueryCompiler(self.session, self.scope) \
+            .compile_relation(sel.from_)
+        inner_cols = {c.lower() for c in inner_rel.columns}
+        inner_aliases = _relation_aliases(sel.from_)
+
+        def is_outer(ref: ast.ColumnRef) -> bool:
+            if ref.qualifier is not None:
+                return ref.qualifier.lower() not in inner_aliases
+            return ref.name.lower() not in inner_cols
+
+        corr: List[ast.Node] = []
+        local: List[ast.Node] = []
+        from .rewrite import walk
+
+        for conj in _split_conjuncts(sel.where):
+            refs = [n for n in walk(conj) if isinstance(n, ast.ColumnRef)]
+            (corr if any(is_outer(r) for r in refs) else local).append(conj)
+        if not corr:
+            return None
+
+        # hidden projection of every inner-side expr used in the condition
+        proj: Dict[ast.Node, str] = {}
+
+        def rewrite_inner(node: ast.Node) -> ast.Node:
+            def repl(n):
+                if isinstance(n, ast.ColumnRef) and not is_outer(n):
+                    name = proj.setdefault(n, f"__c{len(proj)}")
+                    return ast.ColumnRef(parts=(name,), quoted=True)
+                return n
+            return transform(node, repl)
+
+        corr_rw = [rewrite_inner(c) for c in corr]
+        extra_names: List[str] = []
+        for e in extra_inner:
+            extra_names.append(proj.setdefault(e, f"__c{len(proj)}"))
+
+        ec = self._expr_compiler()
+        sub_df = inner_rel
+        if local:
+            cond = None
+            for c in local:
+                cc = ec.compile(c)
+                cond = cc if cond is None else (cond & cc)
+            sub_df = sub_df.filter(cond)
+        sub_df = sub_df.select(*[
+            ec.compile(ref).alias(name) for ref, name in proj.items()])
+        corr_cond = None
+        for c in corr_rw:
+            cc = ec.compile(c)
+            corr_cond = cc if corr_cond is None else (corr_cond & cc)
+        return sub_df, corr_cond, extra_names
 
     # ------------------------------------------------------------- aggregation
 
@@ -505,6 +587,24 @@ class QueryCompiler:
         if limit is not None:
             df = df.limit(_int_literal(limit, "LIMIT"))
         return df
+
+
+def _relation_aliases(rel: ast.Node) -> set:
+    """All table aliases/names visible inside a FROM tree."""
+    out = set()
+    stack = [rel]
+    while stack:
+        r = stack.pop()
+        if isinstance(r, ast.TableRef):
+            out.add((r.alias or r.parts[-1]).lower())
+        elif isinstance(r, (ast.SubqueryRel, ast.Values)):
+            if r.alias:
+                out.add(r.alias.lower())
+        elif isinstance(r, ast.TableFunction):
+            out.add((r.alias or r.name).lower())
+        elif isinstance(r, ast.Join):
+            stack.extend([r.left, r.right])
+    return out
 
 
 def _contains_window(node: ast.Node) -> bool:

@@ -25,6 +25,15 @@ def save_bucketed(df: DataFrame, name: str, keys: List[str],
     both sides of a co-located join must use the same keys and bucket count.
     """
     spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # an orphaned managed-table location (e.g. from a previous session)
+    # blocks re-creation — clear it
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{path}/{name.lower()}", ignore_errors=True)
     writer = (df.write.mode("overwrite").format("parquet")
               .bucketBy(buckets, *keys))
     if sorted_by:

@@ -124,6 +124,10 @@ QUERIES = [
     "select t.c1, v.s from test t join (values (0, 'even'), (1, 'odd')) v(n, s) on t.c1 = v.n",
     "select c1, sum(c2) as s, rank() over (order by sum(c2) desc) as r from test group by c1",
     "select c1, count(*) as n, sum(count(*)) over () as total from test group by c1",
+    # correlated subqueries (TPC-H Q4/Q21 shape; beyond reference surface)
+    "select c1, c2 from test t where exists (select 1 from other o where o.c3 = t.c1 and o.c4 > t.c2)",
+    "select c1, c2 from test t where not exists (select 1 from other o where o.c3 = t.c1 and o.c4 > 6)",
+    "select name from names n where n.id in (select id from ages a where a.age < 35 and a.id = n.id)",
     "select true, false, null",
 ]
 
