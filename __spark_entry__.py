@@ -610,6 +610,101 @@ FROM s GROUP BY 1, 2
 """)
 
 
+def _op_asof_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.asof import asof_join
+
+    ev = _scope(spark, sf_dir)["events"]
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "click")
+             .select(F.col("event_id").alias("click_id"), "user_id",
+                     F.col("ts").alias("click_ts")))
+    return asof_join(left, right, on=["user_id"], left_ts="ts",
+                     right_ts="click_ts", right_cols=["click_id", "click_ts"],
+                     strict=True, tiebreak="click_id")
+
+
+def _op_range_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.asof import range_join
+
+    ev = _scope(spark, sf_dir)["events"]
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "click")
+             .select(F.col("event_id").alias("click_id"), "user_id",
+                     F.col("ts").alias("click_ts")))
+    return range_join(left, right, on=["user_id"], left_ts="ts",
+                      right_ts="click_ts", lower_seconds=0,
+                      upper_seconds=3600).select(
+        "event_id", "user_id", "ts", "click_id", "click_ts")
+
+
+def _op_doc_chunks(spark, sf_dir):
+    from framequery_spark.operators.text import doc_chunks
+
+    return doc_chunks(_scope(spark, sf_dir)["documents"], size=120, overlap=20)
+
+
+def _op_levenshtein_pairs(spark, sf_dir):
+    from framequery_spark.operators.dedup import levenshtein_pairs
+
+    return levenshtein_pairs(_scope(spark, sf_dir)["documents"],
+                             max_distance=8, prefix=64, band=16)
+
+
+def _op_ivf_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import ivf_topk
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                    n_centroids=16, n_probe=6)
+
+
+_op("op_asof_join", _op_asof_join, """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts > r.click_ts
+""")
+
+_op("op_range_join", _op_range_join, """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
+FROM l JOIN r ON l.user_id = r.user_id
+ AND r.click_ts >= l.ts - INTERVAL 1 HOUR AND r.click_ts < l.ts
+""")
+
+_op("op_doc_chunks", _op_doc_chunks, """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(0, (greatest(length(text) - 1, 0)) // 100 + 1)) AS i
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id, CAST(i AS INT) AS chunk_id, substr(text, i * 100 + 1, 120) AS chunk,
+       CAST(length(substr(text, i * 100 + 1, 120)) AS INT) AS chunk_len
+FROM s
+""")
+
+_op("op_levenshtein_pairs", _op_levenshtein_pairs, """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS INT) AS distance
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND abs(length(a.text) - length(b.text)) <= 16
+WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 8
+""")
+
+_op("op_ivf_topk", _op_ivf_topk, None)  # approximate (IVF cells): rows-only
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")

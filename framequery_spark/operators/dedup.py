@@ -322,3 +322,43 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     return (joined.withColumn("cosine", sim)
             .filter(F.col("cosine") >= threshold)
             .select("id1", "id2", F.round("cosine", 4).alias("cosine")))
+
+
+# ------------------------------------------------------------- edit distance
+
+
+def levenshtein_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_distance: int = 8,
+                      prefix: int = 64, band: int = 16) -> DataFrame:
+    """Near-duplicate pairs by edit distance on the first `prefix` chars,
+    with a length-band blocker: only pairs whose full-text lengths differ
+    by <= band are compared (a pair further apart than the band cannot be
+    within `band` edits of each other anyway when band >= max_distance).
+
+    Scale shape: blocking buckets = floor(length / band); one side keeps
+    its bucket, the other explodes into {b-1, b, b+1}, so the candidate
+    join is an equi shuffle join on the bucket id — never an all-pairs
+    cross join — and levenshtein (JVM built-in) runs only on candidates.
+    Returns (id_a, id_b, distance) with id_a < id_b.
+    """
+    base = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.substring(F.col(text_col), 1, prefix).alias("__t"),
+        F.length(F.col(text_col)).alias("__n"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__t").alias("__ta"),
+                    F.col("__n").alias("__na"),
+                    F.floor(F.col("__n") / band).alias("__bucket"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__t").alias("__tb"),
+                    F.col("__n").alias("__nb"),
+                    F.explode(F.array(
+                        F.floor(F.col("__n") / band) - 1,
+                        F.floor(F.col("__n") / band),
+                        F.floor(F.col("__n") / band) + 1)).alias("__bucket"))
+    cands = (a.join(b, "__bucket")
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.abs(F.col("__na") - F.col("__nb")) <= band)))
+    out = (cands
+           .withColumn("distance", F.levenshtein("__ta", "__tb"))
+           .filter(F.col("distance") <= max_distance)
+           .select("id_a", "id_b", "distance"))
+    return out

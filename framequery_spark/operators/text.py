@@ -128,3 +128,28 @@ def text_stats(df: DataFrame, text_col: str = "text",
         lang_id(t).alias("lang_guess"),
         content_fingerprint(t).alias("fingerprint"),
     )
+
+
+def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               size: int = 512, overlap: int = 64) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the standard pre-tokenization step of a training-data pipeline.
+
+    Chunk i covers [i*stride, i*stride + size) with stride = size - overlap;
+    the last chunk starts at the final stride boundary < len(text). Empty
+    and NULL texts produce no chunks. Fully row-local (sequence + transform
+    + posexplode, all JVM-side): no shuffle, scales linearly and keeps
+    whole-stage codegen intact. Beyond-reference operator (chmp/framequery
+    has no text processing; cf. /root/reference/docs/SQL_Support.md).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.substring(t, s + 1, size))
+    exploded = (df.filter(n > 0)
+                .select(F.col(id_col),
+                        F.posexplode(chunks).alias("chunk_id", "chunk")))
+    return exploded.withColumn("chunk_len", F.length("chunk"))

@@ -152,3 +152,115 @@ def test_streaming_matches_batch(spark, tpch_scope):
              .agg(F.count(F.lit(1)).alias("n"),
                   F.round(F.sum("value"), 2).alias("sum_value")))
     assert sorted(map(tuple, stream_out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+# ---------------------------------------------------------------- asof/range
+
+
+def _mk_events(spark):
+    import datetime as dt
+
+    rows = [
+        # (event_id, user_id, ts-second)
+        (1, 1, 10), (2, 1, 20), (3, 1, 20), (4, 1, 30),  # rights for user 1
+    ]
+    right = spark.createDataFrame(
+        [(i, u, dt.datetime(2024, 1, 1, 0, 0, s)) for i, u, s in rows],
+        "click_id long, user_id long, click_ts timestamp")
+    left = spark.createDataFrame(
+        [(100, 1, dt.datetime(2024, 1, 1, 0, 0, 20)),   # ties with clicks 2,3
+         (101, 1, dt.datetime(2024, 1, 1, 0, 0, 25)),
+         (102, 2, dt.datetime(2024, 1, 1, 0, 0, 25))],  # no right rows at all
+        "event_id long, user_id long, ts timestamp")
+    return left, right
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    from framequery_spark.operators.asof import asof_join
+
+    left, right = _mk_events(spark)
+    out = {r["event_id"]: r["click_id"] for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"], strict=True,
+        tiebreak="click_id").collect()}
+    assert out[100] == 1          # equal-ts clicks 2,3 NOT matched
+    assert out[101] in (2, 3)     # any equal-ts click is admissible...
+    assert out[101] == 3          # ...tiebreak picks greatest click_id
+    assert out[102] is None       # left-outer: no right rows for user 2
+
+
+def test_asof_non_strict_includes_equal_ts(spark):
+    from framequery_spark.operators.asof import asof_join
+
+    left, right = _mk_events(spark)
+    out = {r["event_id"]: r["click_id"] for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"], strict=False,
+        tiebreak="click_id").collect()}
+    assert out[100] == 3          # equal-ts click matched, greatest id wins
+
+
+def test_asof_tolerance(spark):
+    from framequery_spark.operators.asof import asof_join
+
+    left, right = _mk_events(spark)
+    out = {r["event_id"]: r["click_id"] for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"], strict=True,
+        tolerance_seconds=4, tiebreak="click_id").collect()}
+    assert out[100] is None       # nearest prior click (ts=10) is 10s away
+    assert out[101] is None       # nearest prior click (ts=20) is 5s > 4s away
+    out6 = {r["event_id"]: r["click_id"] for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        right_cols=["click_id", "click_ts"], strict=True,
+        tolerance_seconds=6, tiebreak="click_id").collect()}
+    assert out6[101] == 3         # within a 6s tolerance it matches
+
+
+def test_range_join_boundaries(spark):
+    from framequery_spark.operators.asof import range_join
+
+    left, right = _mk_events(spark)
+    got = {(r["event_id"], r["click_id"]) for r in range_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        lower_seconds=0, upper_seconds=10).collect()}
+    # event 100 @20: window [10, 20) -> click 1 (ts=10) only
+    # event 101 @25: window [15, 25) -> clicks 2,3 (ts=20)
+    assert got == {(100, 1), (101, 2), (101, 3)}
+
+
+def test_doc_chunks_exact_boundaries(spark):
+    from framequery_spark.operators.text import doc_chunks
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["chunk_len"])
+            for r in doc_chunks(df, size=4, overlap=1).collect()}
+    # stride 3: starts 0,3,6,9 for len 10
+    assert rows[(1, 0)] == ("abcd", 4)
+    assert rows[(1, 1)] == ("defg", 4)
+    assert rows[(1, 2)] == ("ghij", 4)
+    assert rows[(1, 3)] == ("j", 1)
+    assert rows[(2, 0)] == ("abc", 3)
+    assert not any(d in (3, 4) for d, _ in rows)  # empty/null -> no chunks
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    from framequery_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, queries, k=5,
+                                n_centroids=16, n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.3f} too low"
+
+
+def test_levenshtein_pairs_symmetric_and_bounded(spark, docs):
+    got = DD.levenshtein_pairs(docs, max_distance=8).collect()
+    assert all(r["id_a"] < r["id_b"] for r in got)
+    assert all(0 <= r["distance"] <= 8 for r in got)
+    assert len(got) > 0  # the generator plants near-duplicates
