@@ -59,17 +59,30 @@ def exact_dedup(df: DataFrame, keys: List[str],
 # --------------------------------------------------------------- shingles
 
 
+def _let(value: Column, body) -> Column:
+    """Let-bind an expression as a higher-order-function lambda variable so
+    `body` sees it evaluated exactly once per row. Interpreted HOFs
+    (CodegenFallback) re-evaluate every non-variable subtree once per array
+    element — inlining e.g. a regexp split() into a transform() lambda turns
+    O(words) shingling into O(words^2) regex work."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of whitespace-tokenized text (JVM-side
-    higher-order functions; no UDF)."""
-    ws = F.split(F.trim(text), r"\s+")
-    n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(gram)
+    higher-order functions; no UDF). The token array is let-bound so the
+    regexp split runs once per row, not once per element."""
+
+    def body(ws: Column) -> Column:
+        n = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+        gram = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
+        )
+        return F.array_distinct(gram)
+
+    return _let(F.split(F.trim(text), r"\s+"), body)
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str,
@@ -96,11 +109,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # persist: the shingle table feeds three branches (both join sides +
     # per-doc counts); without it the shingle expression recomputes 3x.
     # At corpus scale prefer MEMORY_AND_DISK (set here) or checkpoint the
-    # shingle table to parquet between stages.
+    # shingle table to parquet between stages. Shingles are joined by their
+    # 64-bit xxhash64, not the string: 8-byte fixed keys shuffle and compare
+    # far faster, and a collision needs ~2^32 distinct shingles to appear
+    # once (birthday bound) — negligible against the oracle.
     from pyspark import StorageLevel
 
-    sh = _shingle_table(df, id_col, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    sh = (_shingle_table(df, id_col, text_col, k)
+          .select("__id", F.xxhash64("__shingle").alias("__shingle"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     if max_doc_freq is not None:
         rare = (sh.groupBy("__shingle")
                 .agg(F.count(F.lit(1)).alias("__df"))
@@ -136,29 +153,35 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        num_perm: int = 128, seed: int = 42) -> DataFrame:
     """(id, shingle array, array<long> signature). Each permutation i applies
     the universal hash h_i(x) = (a_i * h31(x) + b_i) mod p to every shingle
-    and takes the min — all inside JVM codegen, no Python in the row path.
+    and takes the min.
 
-    Staged as separate projections (shingles -> base hashes -> signature) so
-    the shingle expression is evaluated once, not inlined num_perm times —
-    inlining blows up the Catalyst tree and optimizer time superlinearly.
+    Computed as explode + ONE hash aggregate carrying num_perm codegen'd
+    MIN columns (map-side partial agg, one shuffle on the id). The
+    array-fold formulation (array_min over transform, once per permutation)
+    is an order of magnitude slower: higher-order functions are interpreted
+    (CodegenFallback), so it pays num_perm interpreted array passes per
+    document.
     """
     import random
 
     rnd = random.Random(seed)
     params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
               for _ in range(num_perm)]
-    staged = (_spread(df)
-              .select(F.col(id_col).alias("__id"),
-                      shingles(F.col(text_col), k).alias("__sh"))
-              .select("__id", "__sh",
-                      F.transform("__sh", lambda s: F.xxhash64(s)
-                                  .bitwiseAND(F.lit(_MERSENNE))).alias("__h")))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            "__h", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)))
-        for a, b in params
+    base = (_spread(df)
+            .select(F.col(id_col).alias("__id"),
+                    shingles(F.col(text_col), k).alias("__sh")))
+    ex = (base.select("__id", F.explode("__sh").alias("__s"))
+          .select("__id",
+                  F.xxhash64("__s").bitwiseAND(F.lit(_MERSENNE)).alias("__h")))
+    mins = ex.groupBy("__id").agg(*[
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+        .alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
     ])
-    return staged.select("__id", "__sh", sig.alias("__sig"))
+    sig = F.array(*[f"__m{i}" for i in range(num_perm)])
+    # left join keeps zero-shingle docs (null signature), matching the old
+    # array-fold semantics (array_min of empty = null)
+    return base.join(mins.select("__id", sig.alias("__sig")), "__id", "left")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -248,19 +271,29 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     n_bands = max_hamming + 1
     width = 64 // n_bands
     mask = (1 << width) - 1 if width < 64 else -1  # -1 = all 64 bits set
-    staged = (_spread(df)
-              .select(F.col(id_col).alias("__id"),
-                      shingles(F.col(text_col), k).alias("__sh"))
-              .select("__id",
-                      F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h"),
-                      F.size("__sh").alias("__n")))
+    # explode + ONE hash aggregate with 64 codegen'd bit-count SUM columns;
+    # the array-fold formulation (64 F.aggregate passes) is interpreted
+    # (CodegenFallback) and an order of magnitude slower
+    ex = (_spread(df)
+          .select(F.col(id_col).alias("__id"),
+                  F.explode(shingles(F.col(text_col), k)).alias("__s"))
+          .select("__id", F.xxhash64("__s").alias("__h")))
+    votes = ex.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.shiftrightunsigned("__h", bit).bitwiseAND(F.lit(1)))
+          .alias(f"__o{bit}") for bit in range(64)])
+    sim = None
+    for bit in range(64):
+        bit_value = (1 << bit) if bit < 63 else -(1 << 63)  # two's complement
+        e = F.when(F.col(f"__o{bit}") * 2 >= F.col("__n"),
+                   F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = e if sim is None else sim.bitwiseOR(e)
     from pyspark import StorageLevel
 
     # signatures feed both band-join sides — persist to compute the 64-bit
     # majority votes once per document
-    sig_df = staged.select(
-        "__id", _simhash_from_hashes(F.col("__h"), F.col("__n")).alias("__sim"))\
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig_df = votes.select("__id", sim.alias("__sim")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     bands = F.array(*[
         F.shiftrightunsigned(F.col("__sim"), i * width)
         .bitwiseAND(F.lit(mask))
@@ -297,31 +330,95 @@ def cosine(a: Column, b: Column) -> Column:
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.9,
-                             block_col: Optional[str] = None) -> DataFrame:
+                             block_col: Optional[str] = None,
+                             n_blocks: int = 16) -> DataFrame:
     """Exact cosine near-dup pairs (id1 < id2, cosine >= threshold).
 
     block_col limits comparisons to equal-block pairs (e.g. an IVF/LSH
-    bucket or a metadata partition) — at corpus scale always pass one; the
-    unblocked variant is quadratic and only for modest partitions."""
-    norm = F.sqrt(F.aggregate(
-        F.col(vec_col), F.lit(0.0),
-        lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    staged = _spread(df).select(F.col(id_col).alias("__id"),
-                       F.col(vec_col).alias("__v"), norm.alias("__norm"),
-                       *([F.col(block_col).alias("__blk")] if block_col else []))
-    a = staged.toDF("id1", "__v1", "__n1", *(["__blk"] if block_col else []))
-    b = staged.toDF("id2", "__v2", "__n2", *(["__blk"] if block_col else []))
-    joined = (a.join(b, on="__blk") if block_col else a.crossJoin(b))
-    joined = joined.filter(F.col("id1") < F.col("id2"))
-    # norms are precomputed per row; dot/(n1*n2) keeps the exact float
-    # expression shape of cosine() so results stay bit-identical
-    dot = F.aggregate(F.zip_with("__v1", "__v2",
-                                 lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    sim = dot / (F.col("__n1") * F.col("__n2"))
-    return (joined.withColumn("cosine", sim)
-            .filter(F.col("cosine") >= threshold)
-            .select("id1", "id2", F.round("cosine", 4).alias("cosine")))
+    bucket or a metadata partition); without it ALL pairs are compared via
+    a blocked matrix multiply: rows are hashed into n_blocks row-blocks and
+    each of the n_blocks*(n_blocks+1)/2 block pairs becomes one
+    applyInPandas group computing a dense normalized A @ B.T (numpy GEMM,
+    Arrow-batched) and emitting only above-threshold pairs. Each row ships
+    to n_blocks groups, so shuffle volume is n_blocks x |data| while the
+    quadratic dot-product work parallelizes over the block-pair grid — at
+    cluster scale pick n_blocks ~ sqrt(cores) so per-group matrices stay
+    (|data|/n_blocks)^2. A per-pair JVM fold was tried first and is ~10x
+    slower: higher-order functions are interpreted, and BLAS beats
+    expression eval on dense float math regardless.
+    """
+    if block_col is not None:
+        norm = F.sqrt(F.aggregate(
+            F.col(vec_col), F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+        staged = _spread(df).select(F.col(id_col).alias("__id"),
+                                    F.col(vec_col).alias("__v"),
+                                    norm.alias("__norm"),
+                                    F.col(block_col).alias("__blk"))
+        a = staged.toDF("id1", "__v1", "__n1", "__blk")
+        b = staged.toDF("id2", "__v2", "__n2", "__blk")
+        joined = a.join(b, on="__blk").filter(F.col("id1") < F.col("id2"))
+        dot = F.aggregate(
+            F.zip_with("__v1", "__v2",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sim = dot / (F.col("__n1") * F.col("__n2"))
+        return (joined.withColumn("cosine", sim)
+                .filter(F.col("cosine") >= threshold)
+                .select("id1", "id2", F.round("cosine", 4).alias("cosine")))
+
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+        .alias("__blk"))
+    # replicate each row to every block pair it participates in: row in
+    # block b joins group (min(b,g), max(b,g)) for g in 0..n_blocks-1 —
+    # each unordered block pair is covered exactly once per member row
+    rep = (base
+           .select("__id", "__v", "__blk",
+                   F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+                   .alias("__g"))
+           .select("__id", "__v", "__blk",
+                   F.least("__blk", "__g").alias("__ga"),
+                   F.greatest("__blk", "__g").alias("__gb")))
+
+    thr = float(threshold)
+
+    def gemm(key, pdf):
+        ga, gb = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                              "id2": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        a = pdf[pdf["__blk"] == ga]
+        b = a if ga == gb else pdf[pdf["__blk"] == gb]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ma = np.stack(a["__v"].to_numpy()).astype(np.float64)
+        mb = ma if ga == gb else np.stack(b["__v"].to_numpy()).astype(np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = na if ga == gb else np.sqrt((mb * mb).sum(axis=1))
+        sims = (ma @ mb.T) / np.outer(na, nb)
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        ii, jj = np.nonzero(sims >= thr)
+        if len(ii) == 0:
+            return empty
+        ia, ib = ids_a[ii], ids_b[jj]
+        vals = sims[ii, jj]
+        if ga == gb:  # both orientations present: keep the id1 < id2 one
+            keep = ia < ib
+            ia, ib, vals = ia[keep], ib[keep], vals[keep]
+        else:  # each cross-block pair appears once: orient it
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        # round half-up (matches SQL round(); np.round is banker's)
+        return pd.DataFrame({"id1": ia, "id2": ib,
+                             "cosine": np.floor(vals * 1e4 + 0.5) / 1e4})
+
+    return (rep.groupBy("__ga", "__gb")
+            .applyInPandas(gemm, "id1 long, id2 long, cosine double"))
 
 
 # ------------------------------------------------------------- edit distance

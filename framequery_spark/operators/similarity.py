@@ -14,6 +14,9 @@ from typing import List, Optional
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,6 +84,29 @@ def lsh_signature(vec: Column, planes: List[List[float]]) -> Column:
     return out
 
 
+def _lsh_sigs_udf(tables: List[List[List[float]]]):
+    """Arrow-batched signature computation for all tables at once: one
+    (n, dim) x (dim, tables*bits) GEMM per batch, sign-bits packed into a
+    long per table. Bit convention matches lsh_signature (dot >= 0 -> set).
+    The per-table JVM fold version pays n_tables*n_bits interpreted array
+    passes per row — vectorized numpy is the sanctioned slow-path escape."""
+    planes = np.asarray(tables, dtype=np.float64)      # (T, bits, dim)
+    n_tables_, n_bits_ = planes.shape[0], planes.shape[1]
+    flat = planes.reshape(n_tables_ * n_bits_, -1).T   # (dim, T*bits)
+    bitvals = (1 << np.arange(n_bits_, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        dots = (m @ flat).reshape(len(m), n_tables_, n_bits_)
+        packed = ((dots >= 0) * bitvals[None, None, :]).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return sigs
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_bits: int = 8, n_tables: int = 8, dim: int = 64,
@@ -89,12 +115,12 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     n_tables signature tables, then exact cosine re-ranks. Recall grows with
     n_tables; cost stays ~ bucket-collision volume instead of |corpus|×|q|."""
     tables = [_hyperplanes(dim, n_bits, seed + 97 * t) for t in range(n_tables)]
+    sigs_udf = _lsh_sigs_udf(tables)
 
     def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        sigs = F.array(*[lsh_signature(F.col(vec_alias), planes)
-                         for planes in tables])
         return df.select(F.col(id_alias), F.col(vec_alias),
-                         F.posexplode(sigs).alias("__table", "__bucket"))
+                         F.posexplode(sigs_udf(F.col(vec_alias)))
+                         .alias("__table", "__bucket"))
 
     from .dedup import _spread
 
@@ -120,33 +146,37 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # ------------------------------------------------------------------ IVF
 
 
-def _nearest_centroid(vec: Column, centroids: List[List[float]]) -> Column:
-    """Index of the nearest centroid by squared L2 — array_min over
-    (distance, index) structs, all JVM-side expressions."""
-    entries = []
-    for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y)
-                       * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*entries))["i"]
+def _centroid_udf(centroids: List[List[float]], n_probe: Optional[int] = None):
+    """Arrow-batched centroid assignment: squared-L2 distances to all
+    centroids via one GEMM per batch (|v|^2 - 2 v.C^T + |c|^2). With
+    n_probe=None returns the argmin cell id; otherwise the n_probe nearest
+    cell ids sorted by distance (ties by cell id — stable argsort). The
+    centroid matrix is a closure constant shipped to workers, KB-sized even
+    for thousands of cells."""
+    cm = np.asarray(centroids, dtype=np.float64)  # (m, d)
+    c2 = (cm * cm).sum(axis=1)
 
+    def dists(v: pd.Series):
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        return (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cm.T) + c2[None, :]
 
-def _probe_centroids(vec: Column, centroids: List[List[float]],
-                     n_probe: int) -> Column:
-    """Array of the n_probe nearest centroid ids (sorted by distance)."""
-    entries = []
-    for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y)
-                       * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    ranked = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
+    if n_probe is None:
+        @F.pandas_udf("int")
+        def assign(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            return pd.Series(np.argmin(dists(v), axis=1).astype(np.int32))
+        return assign
+
+    probe_n = int(n_probe)
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        order = np.argsort(dists(v), axis=1, kind="stable")[:, :probe_n]
+        return pd.Series(list(order.astype(np.int32)))
+    return probe
 
 
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
@@ -167,7 +197,7 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
     vecs = _spread(corpus).select(F.col(vec_col).alias("__v"))
     for _ in range(iters):
         assigned = vecs.withColumn(
-            "__cluster", _nearest_centroid(F.col("__v"), centroids))
+            "__cluster", _centroid_udf(centroids)(F.col("__v")))
         sums = (assigned
                 .select("__cluster", F.posexplode("__v").alias("__dim", "__x"))
                 .groupBy("__cluster", "__dim")
@@ -204,12 +234,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = (_spread(corpus)
          .select(F.col(id_col).alias("neighbor_id"),
                  F.col(vec_col).alias("__cv"))
-         .withColumn("__cell", _nearest_centroid(F.col("__cv"), centroids)))
+         .withColumn("__cell", _centroid_udf(centroids)(F.col("__cv"))))
     q = (queries
          .select(F.col(id_col).alias("query_id"),
                  F.col(vec_col).alias("__qv"))
          .withColumn("__cell", F.explode(
-             _probe_centroids(F.col("__qv"), centroids, n_probe))))
+             _centroid_udf(centroids, n_probe)(F.col("__qv")))))
     cands = (c.join(q, "__cell")
              .filter(F.col("query_id") != F.col("neighbor_id")))
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), 6)

@@ -70,16 +70,20 @@ def avg_token_length(text: Column) -> Column:
     return total.cast("double") / F.size(toks)
 
 
+def _quality_from(n_tok: Column, sw_ratio: Column, n_punct: Column,
+                  n_chars: Column) -> Column:
+    len_score = F.when(n_tok.between(10, 10000), F.lit(1.0)).otherwise(
+        F.when(n_tok < 10, n_tok.cast("double") / 10.0).otherwise(F.lit(0.5)))
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    p_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    return F.round(0.5 * len_score + 0.3 * sw_score + 0.2 * (1.0 - p_ratio), 6)
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic quality in [0,1]: length band + stopword presence − punct
     noise. Mirrors the shape of public quality filters (C4-style)."""
-    n_tok = token_count(text)
-    len_score = F.when(n_tok.between(10, 10000), F.lit(1.0)).otherwise(
-        F.when(n_tok < 10, n_tok.cast("double") / 10.0).otherwise(F.lit(0.5)))
-    sw_ratio = stopword_ratio(text)
-    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
-    p_ratio = punct_count(text).cast("double") / F.greatest(char_count(text), F.lit(1))
-    return F.round(0.5 * len_score + 0.3 * sw_score + 0.2 * (1.0 - p_ratio), 6)
+    return _quality_from(token_count(text), stopword_ratio(text),
+                         punct_count(text), char_count(text))
 
 
 def lang_scores(text: Column) -> Dict[str, Column]:
@@ -88,10 +92,9 @@ def lang_scores(text: Column) -> Dict[str, Column]:
             for lang, words in LANG_STOPWORDS.items()}
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax of per-language stopword scores; 'und' (undetermined) if all 0.
-    First-listed language wins ties (deterministic)."""
-    scores = lang_scores(text)
+def _argmax_lang(scores: Dict[str, Column]) -> Column:
+    """Argmax over per-language score columns; 'und' if all 0. First-listed
+    language wins ties (deterministic)."""
     langs = list(scores)
     expr = None
     for i, lang in enumerate(langs):
@@ -105,6 +108,14 @@ def lang_id(text: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword scores; 'und' (undetermined) if all 0.
+    NOTE: inlines every language's score expression into each when-branch —
+    for whole-table scans prefer text_stats, which stages the scores as
+    columns so each regex runs once per row."""
+    return _argmax_lang(lang_scores(text))
+
+
 def content_fingerprint(text: Column) -> Column:
     """Stable content fingerprint: md5 of whitespace-normalized lowercase
     text. (The rolling-hash shingle fingerprint lives in dedup.simhash64 /
@@ -115,18 +126,37 @@ def content_fingerprint(text: Column) -> Column:
 
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    """One row per document with the standard text-analysis columns."""
+    """One row per document with the standard text-analysis columns.
+
+    Two-stage projection: the regex-heavy counts (a regexp_replace per
+    stopword per language) are staged as columns first, then ratios /
+    quality / argmax-language are cheap scalar expressions over them.
+    Inlining everything into one select repeats each regex in every
+    when-branch (conditional branches defeat subexpression elimination) —
+    ~4x the regex work per row."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         char_count(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
         punct_count(t).alias("n_punct"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(avg_token_length(t), 6).alias("avg_token_len"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_guess"),
+        stopword_count(t).alias("__sw"),
+        avg_token_length(t).alias("__avg_tok"),
         content_fingerprint(t).alias("fingerprint"),
+        *[stopword_count(t, words).alias(f"__s_{lang}")
+          for lang, words in LANG_STOPWORDS.items()],
+    )
+    sw_ratio = F.col("__sw") / F.col("n_tokens")
+    return staged.select(
+        F.col(id_col),
+        "n_chars", "n_tokens", "n_punct",
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("__avg_tok"), 6).alias("avg_token_len"),
+        _quality_from(F.col("n_tokens"), sw_ratio, F.col("n_punct"),
+                      F.col("n_chars")).alias("quality"),
+        _argmax_lang({lang: F.col(f"__s_{lang}")
+                      for lang in LANG_STOPWORDS}).alias("lang_guess"),
+        "fingerprint",
     )
 
 

@@ -15,9 +15,28 @@ from __future__ import annotations
 
 import uuid
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int):
+    """Cap shuffle partitions while a streaming query STARTS (the number of
+    state-store instances — each with its own checkpoint files and python
+    worker — is fixed from this setting at the first batch). Dozens of
+    stores for a bench-scale input is pure fixed overhead; a real deployment
+    sizes this to the cluster before calling. Restored immediately after
+    start; the downstream batch reads of the sink are unaffected."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -67,13 +86,14 @@ def run_stream_to_df(spark: SparkSession, events_path: str,
     stream = read_event_stream(spark, events_path)
     agg = windowed_event_stats(stream, window=window)
     name = "stream_" + uuid.uuid4().hex[:12]
-    q = (agg.writeStream
-         .format("memory")
-         .queryName(name)
-         .outputMode("complete")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark, 8):
+        q = (agg.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("complete")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -113,9 +133,10 @@ def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
            .applyInPandasWithState(update, out_schema, state_schema,
                                    "update", GroupStateTimeout.NoTimeout))
     name = "stateful_" + uuid.uuid4().hex[:12]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _stream_shuffle_partitions(spark, 8):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
     latest = spark.table(name)
     # update mode appends one row per user per batch; keep the last emission
     from pyspark.sql import Window
