@@ -65,6 +65,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"bench: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # queries are independent: drop persisted intermediates the
+        # operators leave behind (outside the timed window) so later
+        # queries aren't competing with dead cache blocks
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -74,15 +74,22 @@ def shingles(text: Column, k: int = 3) -> Column:
     regexp split runs once per row, not once per element."""
 
     def body(ws: Column) -> Column:
-        n = F.size(ws)
-        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-        gram = F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
-        )
-        return F.array_distinct(gram)
+        return F.array_distinct(_grams(ws, k))
 
     return _let(F.split(F.trim(text), r"\s+"), body)
+
+
+def _grams(ws: Column, k: int) -> Column:
+    """Word k-grams of a token-array column (with duplicates). Guarded for
+    short docs: sequence(1, 0) would run DESCENDING ([1, 0]) and element_at
+    index 0 errors under ANSI — docs with < k words yield an empty array."""
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
+    )
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str,
@@ -115,6 +122,8 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # once (birthday bound) — negligible against the oracle.
     from pyspark import StorageLevel
 
+    # row-local distinct shingle hashes (array_distinct inside shingles() —
+    # per-doc dedup without any exchange)
     sh = (_shingle_table(df, id_col, text_col, k)
           .select("__id", F.xxhash64("__shingle").alias("__shingle"))
           .persist(StorageLevel.MEMORY_AND_DISK))
@@ -148,6 +157,33 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 _MERSENNE = (1 << 31) - 1
 
 
+def _minhash_params(num_perm: int, seed: int):
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+            for _ in range(num_perm)]
+
+
+def _shingle_hashes_flat(df: DataFrame, id_col: str, text_col: str,
+                         k: int) -> DataFrame:
+    """(__id, __h64) — one row per word-k-gram OCCURRENCE (not distinct),
+    computed entirely row-local (explode of a per-row gram array — no
+    exchange). Downstream per-id hash aggregates see doc rows adjacent
+    within each partition, so map-side partial aggregation collapses them
+    before any shuffle: the exchange carries ~one row per document, not the
+    gram stream. (A window-lead formulation was tried and rejected — it
+    shuffles the full tokenized text.) Duplicates are kept: MIN/collect_set
+    downstream are duplicate-insensitive, and skipping array_distinct saves
+    an interpreted pass."""
+    grams = _let(F.split(F.trim(F.col(text_col)), r"\s+"),
+                 lambda ws: _grams(ws, k))
+    return (_spread(df)
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(grams).alias("__s"))
+            .select("__id", F.xxhash64("__s").alias("__h64")))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_perm: int = 128, seed: int = 42) -> DataFrame:
@@ -155,27 +191,21 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     the universal hash h_i(x) = (a_i * h31(x) + b_i) mod p to every shingle
     and takes the min.
 
-    Computed as explode + ONE hash aggregate carrying num_perm codegen'd
-    MIN columns (map-side partial agg, one shuffle on the id). The
+    Computed as flat shingle hashes + ONE hash aggregate carrying num_perm
+    codegen'd MIN columns (map-side partial agg, one shuffle on the id). The
     array-fold formulation (array_min over transform, once per permutation)
     is an order of magnitude slower: higher-order functions are interpreted
     (CodegenFallback), so it pays num_perm interpreted array passes per
     document.
     """
-    import random
-
-    rnd = random.Random(seed)
-    params = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
-              for _ in range(num_perm)]
+    params = _minhash_params(num_perm, seed)
     base = (_spread(df)
             .select(F.col(id_col).alias("__id"),
                     shingles(F.col(text_col), k).alias("__sh")))
-    ex = (base.select("__id", F.explode("__sh").alias("__s"))
-          .select("__id",
-                  F.xxhash64("__s").bitwiseAND(F.lit(_MERSENNE)).alias("__h")))
+    ex = _shingle_hashes_flat(df, id_col, text_col, k)
+    h31 = F.col("__h64").bitwiseAND(F.lit(_MERSENNE))
     mins = ex.groupBy("__id").agg(*[
-        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        .alias(f"__m{i}")
+        F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"__m{i}")
         for i, (a, b) in enumerate(params)
     ])
     sig = F.array(*[f"__m{i}" for i in range(num_perm)])
@@ -199,12 +229,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     rows = num_perm // bands
     from pyspark import StorageLevel
 
-    # signatures feed both band-join sides and candidate verification
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm, seed).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    params = _minhash_params(num_perm, seed)
+    ex = _shingle_hashes_flat(df, id_col, text_col, k)
+    h31 = F.col("__h64").bitwiseAND(F.lit(_MERSENNE))
+    # ONE aggregate builds everything downstream needs: the num_perm minima
+    # AND the distinct 64-bit shingle-hash set used for exact-Jaccard
+    # verification (set Jaccard over xxhash64 values == string-shingle
+    # Jaccard up to a ~2^-64-per-pair collision). The window shuffle inside
+    # _shingle_hashes_flat already partitions by __id, so this aggregate adds
+    # no exchange. Persisted skinny (id, set, longs) — it feeds both band-join
+    # sides and both verification joins.
+    sigs = ex.groupBy("__id").agg(
+        F.collect_set("__h64").alias("__hs"),
+        *[F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+          .alias(f"__m{i}") for i, (a, b) in enumerate(params)],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # band key straight from the min columns — no array materialization
     band_cols = F.array(*[
         F.xxhash64(F.concat_ws(
-            ",", *[F.element_at(F.col("__sig"), b * rows + r + 1).cast("string")
+            ",", *[F.col(f"__m{b * rows + r}").cast("string")
                    for r in range(rows)]), F.lit(b))
         for b in range(bands)
     ])
@@ -217,14 +260,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
              .select("id1", "id2").distinct())
     if not verify:
         return cands
-    # verify ONLY the candidates with exact Jaccard on the shingle sets —
-    # never the all-pairs recompute (that would defeat LSH at scale)
-    sh = sigs.select("__id", "__sh")
+    # verify ONLY the candidates with exact Jaccard on the shingle-hash sets
+    # — never the all-pairs recompute (that would defeat LSH at scale)
+    sh = sigs.select("__id", "__hs")
     verified = (cands
-                .join(sh.toDF("id1", "__sh1"), "id1")
-                .join(sh.toDF("id2", "__sh2"), "id2"))
-    inter = F.size(F.array_intersect("__sh1", "__sh2"))
-    union = F.size("__sh1") + F.size("__sh2") - inter
+                .join(sh.toDF("id1", "__hs1"), "id1")
+                .join(sh.toDF("id2", "__hs2"), "id2"))
+    inter = F.size(F.array_intersect("__hs1", "__hs2"))
+    union = F.size("__hs1") + F.size("__hs2") - inter
     jac = inter / union
     return (verified.withColumn("jaccard", F.round(jac, 4))
             .filter(jac >= threshold)
@@ -271,16 +314,17 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     n_bands = max_hamming + 1
     width = 64 // n_bands
     mask = (1 << width) - 1 if width < 64 else -1  # -1 = all 64 bits set
-    # explode + ONE hash aggregate with 64 codegen'd bit-count SUM columns;
-    # the array-fold formulation (64 F.aggregate passes) is interpreted
-    # (CodegenFallback) and an order of magnitude slower
+    # row-local distinct shingles (array_distinct, no exchange) + ONE hash
+    # aggregate with 64 codegen'd bit-count SUM columns; the array-fold
+    # formulation (64 F.aggregate passes) is interpreted (CodegenFallback)
+    # and an order of magnitude slower
     ex = (_spread(df)
           .select(F.col(id_col).alias("__id"),
                   F.explode(shingles(F.col(text_col), k)).alias("__s"))
-          .select("__id", F.xxhash64("__s").alias("__h")))
+          .select("__id", F.xxhash64("__s").alias("__h64")))
     votes = ex.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.sum(F.shiftrightunsigned("__h", bit).bitwiseAND(F.lit(1)))
+        *[F.sum(F.shiftrightunsigned("__h64", bit).bitwiseAND(F.lit(1)))
           .alias(f"__o{bit}") for bit in range(64)])
     sim = None
     for bit in range(64):
@@ -303,13 +347,17 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                             F.posexplode(bands).alias("__band", "__bucket"))
     a = buckets.toDF("id1", "sim1", "__band", "__bucket")
     b = buckets.toDF("id2", "sim2", "__band", "__bucket")
-    cands = (a.join(b, ["__band", "__bucket"])
-             .filter(F.col("id1") < F.col("id2"))
-             .select("id1", "id2", "sim1", "sim2").distinct())
+    # Hamming filter BEFORE the distinct: with narrow bands (width 64/(h+1))
+    # bucket collisions are common, and the join can emit orders of magnitude
+    # more candidate rows than true pairs — filtering map-side means the
+    # distinct shuffle only carries rows that already passed the distance
+    # test, not the collision volume.
     ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
-    return (cands.withColumn("hamming", ham)
+    return (a.join(b, ["__band", "__bucket"])
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select("id1", "id2", "hamming"))
+            .select("id1", "id2", "hamming").distinct())
 
 
 # ------------------------------------------------- embedding cosine near-dup
@@ -331,7 +379,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.9,
                              block_col: Optional[str] = None,
-                             n_blocks: int = 16) -> DataFrame:
+                             n_blocks: Optional[int] = None,
+                             rows_per_block: int = 2000) -> DataFrame:
     """Exact cosine near-dup pairs (id1 < id2, cosine >= threshold).
 
     block_col limits comparisons to equal-block pairs (e.g. an IVF/LSH
@@ -369,6 +418,15 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        # adaptive: ~rows_per_block rows per block, so per-group GEMMs stay
+        # dense-cache-sized while the block-pair grid covers the cluster.
+        # The count() is a cheap metadata action on columnar sources; tiny
+        # inputs collapse to one group (no point shipping each row 16x).
+        # cap at 64: shuffle volume is n_blocks x |data|, so past the cap we
+        # grow per-group GEMM size instead of replication
+        n_blocks = min(64, max(1, -(-df.count() // rows_per_block)))
 
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
