@@ -128,10 +128,21 @@ class QueryCompiler:
                     for c in cols:
                         out.append((ast.ColumnRef(parts=(item.table, c)), c))
                 else:
-                    for c in df.columns:
-                        if c.startswith("__"):
-                            continue
-                        out.append((ast.ColumnRef(parts=(c,), quoted=True), c))
+                    cols = [c for c in df.columns if not c.startswith("__")]
+                    if len(set(cols)) < len(cols) and sel.from_ is not None:
+                        # duplicate names across join sides (e.g. FROM t AS a,
+                        # t AS b): bare names are ambiguous, so expand per
+                        # relation alias in FROM order — pg's column order
+                        for alias in _ordered_aliases(sel.from_):
+                            for c in df.select(_bt(alias) + ".*").columns:
+                                if c.startswith("__"):
+                                    continue
+                                out.append(
+                                    (ast.ColumnRef(parts=(alias, c)), c))
+                    else:
+                        for c in cols:
+                            out.append(
+                                (ast.ColumnRef(parts=(c,), quoted=True), c))
             else:
                 name = item.alias or _auto_name(item.expr, len(out))
                 out.append((item.expr, name))
@@ -587,6 +598,19 @@ class QueryCompiler:
         if limit is not None:
             df = df.limit(_int_literal(limit, "LIMIT"))
         return df
+
+
+def _ordered_aliases(rel: ast.Node) -> List[str]:
+    """Relation aliases of a FROM tree in left-to-right (pg output) order."""
+    if isinstance(rel, ast.TableRef):
+        return [rel.alias or rel.parts[-1]]
+    if isinstance(rel, (ast.SubqueryRel, ast.Values)):
+        return [rel.alias] if rel.alias else []
+    if isinstance(rel, ast.TableFunction):
+        return [rel.alias or rel.name]
+    if isinstance(rel, ast.Join):
+        return _ordered_aliases(rel.left) + _ordered_aliases(rel.right)
+    return []
 
 
 def _relation_aliases(rel: ast.Node) -> set:

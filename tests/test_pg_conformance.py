@@ -129,6 +129,47 @@ QUERIES = [
     "select c1, c2 from test t where not exists (select 1 from other o where o.c3 = t.c1 and o.c4 > 6)",
     "select name from names n where n.id in (select id from ages a where a.age < 35 and a.id = n.id)",
     "select true, false, null",
+    # --- reference-corpus parity batch (tests/test__postgres_conformance.py
+    # :81-255): every query the reference's own suite runs, adapted only
+    # where the DuckDB oracle needs different spelling ---
+    "select test.* from test",
+    "select c1, count(1) as cnt, sum(c2) from test group by c1",
+    ("select count(*) from test group by 1 = 1",
+     "select count(*) from test group by (1 = 1)"),
+    "select c1, count(1) as cnt, sum(c2) from "
+    "(select c1, 2 * c2 as c2 from test) sq group by c1",
+    "select c2, c4 from test join other on c1 = c3",
+    "select c2, c4 from test join other on c1 = c3 and c1 = 0",
+    "select c2, c4 from test join other on c1 = c3 and c3 = 0",
+    "select c2, c4 from test join other on (c1 + 1) % 2 = c3",
+    "select c2, c4 from test join other on c1 = (c3 + 1) % 2",
+    "select c2, c4 from test, other where c1 = (c3 + 1) % 2",
+    "select c2, c4 from test join other on c1 <= c3",
+    "select * from test left join other on c1 < c3",
+    "select * from other right join test on c1 < c3",
+    "select c2, c4 from test left join other on c1 = (c3 + 1) % 2",
+    "select sum(c2), avg(c4) from test join other on c1 = c3 group by c1",
+    'select "c1", "test"."c2" from test',
+    "select names.id, avg(age) from names join ages on names.id = ages.id "
+    "group by 1",
+    "select 'Foo' like '%oo'",
+    "select 'Foo' like '%OO'",
+    "select upper('Foo') like '%OO'",
+    "select 'Foo' like lower('%OO')",
+    "select concat('foo', null, 'bar')",
+    ("select 2 + 3, 2 - 3, 2 * 3, 4 / 2, 5 % 4, 2.0 ^ 3.0, 91 & 15, "
+     "32 | 3, 17 # 5, ~1, 1 << 4, 8 >> 2",
+     "select 2 + 3, 2 - 3, 2 * 3, 4 / 2, 5 % 4, 2.0 ^ 3.0, 91 & 15, "
+     "32 | 3, xor(17, 5), ~1, 1 << 4, 8 >> 2"),
+    "select (2.0 + 3.0) ^ 2.0 + (1.0 - 2.0) ^ 2.0, 2.0 * 3.0 ^ 2.0, "
+    "2.0 * 4.0 + 3.0",
+    "select c2, case when c2 = 1 then 'one' when c2 = 2 then 'two' "
+    "else 'other' end from test",
+    "select c2, case c2 when 1 then 'one' when 2 then 'two' "
+    "else 'other' end from test",
+    "select false and true or true",
+    "select c1, c2 from test order by 1, c2",
+    "select * from test as a, test as b",
 ]
 
 
