@@ -97,7 +97,12 @@ class Executor:
         try:
             return self.spark.table(name)
         except Exception:
-            raise KeyError(f"table not found in scope: {name}") from None
+            from ..compiler.expressions import CompileError
+
+            known = ", ".join(sorted(str(k) for k in scope)[:20]) or "(empty)"
+            raise CompileError(
+                f"table not found in scope: '{name}' "
+                f"(available: {known})") from None
 
     # ---------------------------------------------------------- UDF registries
 

@@ -771,6 +771,14 @@ class Parser:
                 self.expect_op(")")
                 return ast.Extract(field=field, expr=expr)
 
+            # reserved words can't start a column reference (they'd swallow a
+            # following clause, producing a confusing downstream error) —
+            # still allowed as calls (any(...), left(...)) or qualifiers
+            if (low in RESERVED_STOP
+                    and not self.is_op("(", offset=1)
+                    and not self.is_op(".", offset=1)):
+                raise self.error(f"unexpected keyword '{low}' in expression")
+
             # qualified name or function call
             parts = [self.parse_name()] if tok.kind == "qname" else [self.advance().value]
             quoted = tok.kind == "qname"

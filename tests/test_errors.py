@@ -1,0 +1,48 @@
+"""Error-quality tests: bad input should fail fast with a targeted message
+(parse errors at parse time, resolution errors at compile time), not a deep
+Spark stack trace for what is really a user typo."""
+
+import pytest
+
+import framequery_spark as fq
+from framequery_spark.compiler.expressions import CompileError
+from framequery_spark.parser.parser import ParseError
+
+
+@pytest.fixture(scope="module")
+def scope(spark):
+    import pandas as pd
+
+    return {"t": spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))}
+
+
+def test_unknown_function(spark, scope):
+    with pytest.raises(CompileError, match="unknown function: nosuchfunc"):
+        fq.execute("select nosuchfunc(a) from t", scope, spark=spark)
+
+
+def test_missing_table_lists_scope(spark, scope):
+    with pytest.raises(CompileError,
+                       match=r"table not found in scope: 'missing'.*available: t"):
+        fq.execute("select * from missing", scope, spark=spark)
+
+
+def test_typo_keyword_is_parse_error(spark, scope):
+    with pytest.raises(ParseError, match="trailing input"):
+        fq.execute("select a from t wher a > 1", scope, spark=spark)
+
+
+def test_reserved_word_in_expression(spark, scope):
+    with pytest.raises(ParseError, match="unexpected keyword 'from'"):
+        fq.execute("select a + from t", scope, spark=spark)
+
+
+def test_reserved_word_call_still_allowed(spark, scope):
+    # any(...) is an aggregate spelled with a reserved-ish word
+    rows = fq.execute("select any(a > 1) from t", scope, spark=spark).collect()
+    assert rows[0][0] is True
+
+
+def test_limit_requires_integer(spark, scope):
+    with pytest.raises(CompileError, match="LIMIT"):
+        fq.execute("select a from t limit 'x'", scope, spark=spark)
