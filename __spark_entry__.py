@@ -349,6 +349,86 @@ WHERE NOT EXISTS (
 )
 """)
 
+_q("q35_min_cost_part", """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+ORDER BY p_brand, p_partkey
+""")
+
+_q("q36_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= date '1996-01-01' AND l_shipdate < date '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""")
+
+_q("q37_big_orders", """
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS price
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+ORDER BY price DESC, o_orderkey
+LIMIT 20
+""")
+
+_q("q38_promo_revenue", """
+SELECT round(100.0 * cast(cast(sum(CASE WHEN p_type LIKE 'PROMO%'
+            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+            AS decimal(20,2)) AS double)
+       / cast(cast(sum(l_extendedprice * (1 - l_discount))
+            AS decimal(20,2)) AS double)
+       + 0.0000001, 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= date '1996-03-01' AND l_shipdate < date '1996-04-01'
+""")
+
+_q("q39_customer_distribution", """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey) cc
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""")
+
+_q("q40_idle_rich_customers", """
+SELECT count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+
+_q("q41_nation_trade", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       extract(year FROM l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_3', 'NATION_4')
+GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""")
+
+_q("q42_yearly_growth", """
+SELECT yr, rev, round(rev - lag(rev) OVER (ORDER BY yr), 2) AS delta
+FROM (SELECT extract(year FROM o_orderdate) AS yr,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1) y
+ORDER BY yr
+""")
+
 _q("q30_lag_lead", """
 SELECT o_orderkey,
        lag(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS prev_key,

@@ -111,6 +111,9 @@ class ExprCompiler:
         self.window_allowed = window_allowed
         self.scope = scope
         self.pending_scalar: List[tuple] = []  # (temp_name, DataFrame)
+        # correlated scalar subqueries, decorrelated to grouped lookups:
+        # (value_name, grouped DataFrame, [(outer_expr_ast, key_col_name)])
+        self.pending_correlated: List[tuple] = []
         self._scalar_counter = 0
 
     # ------------------------------------------------------------------ API
@@ -436,6 +439,9 @@ class ExprCompiler:
     def _c_ScalarSubquery(self, node: ast.ScalarSubquery) -> Column:
         if self.executor is None or self.scope is None:
             raise CompileError("scalar subquery requires an executor context")
+        corr = self._try_decorrelate_scalar(node.query)
+        if corr is not None:
+            return corr
         sub_df = self.executor._compile_query(node.query, self.scope)
         if len(sub_df.columns) != 1:
             raise CompileError("scalar subquery must return exactly one column")
@@ -444,6 +450,85 @@ class ExprCompiler:
         sub_df = sub_df.toDF(name)
         self.pending_scalar.append((name, sub_df))
         return F.col(name)
+
+    def _try_decorrelate_scalar(self, sel: ast.Node) -> Optional[Column]:
+        """Correlated scalar-aggregate subquery (the TPC-H Q2/Q17 shape):
+
+            (SELECT agg(x) FROM inner WHERE inner.k = outer.k AND ...)
+
+        Decorrelated into one grouped aggregate over the inner relation
+        (GROUP BY the correlation keys — a single shuffle of the inner side,
+        never a per-outer-row execution) plus a left equi join attached by
+        the relation compiler; missing groups yield NULL, matching SQL's
+        empty-subquery semantics. Only equality correlations decorrelate
+        this way; anything else raises."""
+        from .rewrite import contains_aggregate
+        from .select import _relation_aliases, _split_conjuncts
+
+        if not isinstance(sel, ast.Select) or sel.from_ is None:
+            return None
+        if (len(sel.items) != 1 or isinstance(sel.items[0], ast.Star)
+                or sel.group_by or sel.having is not None
+                or sel.limit is not None or sel.ctes):
+            return None
+        if not contains_aggregate(sel.items[0].expr, AGG_NAMES):
+            return None
+        inner_aliases = _relation_aliases(sel.from_)
+
+        def is_outer(ref: ast.ColumnRef) -> bool:
+            return (len(ref.parts) > 1
+                    and ref.parts[0].lower() not in inner_aliases)
+
+        def has_outer(node: ast.Node) -> bool:
+            from .rewrite import walk
+
+            return any(isinstance(n, ast.ColumnRef) and is_outer(n)
+                       for n in walk(node))
+
+        conjs = _split_conjuncts(sel.where) if sel.where is not None else []
+        corr_pairs: List[tuple] = []  # (outer_ast, inner_ast)
+        inner_conjs: List[ast.Node] = []
+        for c in conjs:
+            if not has_outer(c):
+                inner_conjs.append(c)
+                continue
+            if not (isinstance(c, ast.Binary) and c.op == "="):
+                raise CompileError(
+                    "correlated scalar subqueries support only equality "
+                    "correlation predicates")
+            lo, ro = has_outer(c.left), has_outer(c.right)
+            if lo and ro:
+                raise CompileError(
+                    "correlation predicate references outer columns on "
+                    "both sides")
+            outer_ast, inner_ast = (c.left, c.right) if lo else (c.right, c.left)
+            if has_outer(inner_ast):
+                raise CompileError("unsupported correlated predicate")
+            corr_pairs.append((outer_ast, inner_ast))
+        if not corr_pairs:
+            return None  # uncorrelated after all
+
+        n = self._scalar_counter
+        self._scalar_counter += 1
+        val = f"__scv{n}"
+        key_names = [f"__sck{n}_{i}" for i in range(len(corr_pairs))]
+        inner_where = None
+        for c in inner_conjs:
+            inner_where = c if inner_where is None else ast.Binary(
+                op="and", left=inner_where, right=c)
+        dec = ast.Select(
+            items=(ast.SelectItem(expr=sel.items[0].expr, alias=val),)
+            + tuple(ast.SelectItem(expr=ia, alias=kn)
+                    for (_, ia), kn in zip(corr_pairs, key_names)),
+            from_=sel.from_,
+            where=inner_where,
+            group_by=tuple(ia for _, ia in corr_pairs),
+        )
+        sub_df = self.executor._compile_query(dec, self.scope)
+        self.pending_correlated.append(
+            (val, sub_df,
+             [(oa, kn) for (oa, _), kn in zip(corr_pairs, key_names)]))
+        return F.col(val)
 
     def _c_InSubquery(self, node: ast.InSubquery) -> Column:
         raise CompileError(

@@ -584,12 +584,24 @@ class QueryCompiler:
         return ExprCompiler(self.session, agg_context=False, scope=self.scope)
 
     def _attach_pending(self, df: DataFrame, ec: ExprCompiler):
-        """Attach scalar-subquery results as broadcast cross joins."""
+        """Attach scalar-subquery results: uncorrelated ones as broadcast
+        cross joins, correlated ones as left equi joins against their
+        decorrelated grouped aggregates (NULL for missing groups = SQL's
+        empty-subquery value)."""
         names = []
         for name, sdf in ec.pending_scalar:
             df = df.crossJoin(F.broadcast(sdf))
             names.append(name)
         ec.pending_scalar.clear()
+        for val, sdf, keys in ec.pending_correlated:
+            cond = None
+            for outer_ast, key_name in keys:
+                c = ec.compile(outer_ast) == F.col(key_name)
+                cond = c if cond is None else (cond & c)
+                names.append(key_name)
+            df = df.join(sdf, cond, "left")
+            names.append(val)
+        ec.pending_correlated.clear()
         return df, names
 
     def _apply_limit_offset(self, df: DataFrame, limit, offset) -> DataFrame:

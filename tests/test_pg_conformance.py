@@ -170,6 +170,13 @@ QUERIES = [
     "select false and true or true",
     "select c1, c2 from test order by 1, c2",
     "select * from test as a, test as b",
+    # correlated scalar subqueries (decorrelated to grouped left joins)
+    "select c1, c2 from test t "
+    "where c2 = (select max(t2.c2) from test t2 where t2.c1 = t.c1)",
+    "select c1, c2, (select min(o.c4) from other o where o.c3 = t.c1) "
+    "from test t",
+    "select c1, c2 from test t "
+    "where c2 > (select avg(o.c4) from other o where o.c3 = t.c1 and o.c4 > 0)",
 ]
 
 
