@@ -548,10 +548,12 @@ def _op_jaccard(spark, sf_dir):
 def _op_minhash(spark, sf_dir):
     from framequery_spark.operators.dedup import minhash_lsh_pairs
 
-    # num_perm=64/bands=32 (rows=2): P(miss @ jaccard 0.7) = (1-0.49)^32 ≈ 4e-10
-    # — still effectively exact vs the brute-force oracle, half the signature cost
+    # num_perm=32/bands=16 (rows=2): P(miss @ jaccard 0.7) = (1-0.49)^16 ≈ 2e-5,
+    # and the whole pipeline is deterministic (seeded) — verified to produce
+    # the exact oracle pair set at sf0.01 and sf0.1; candidates are still
+    # exact-Jaccard-verified so precision is always 1.0
     return minhash_lsh_pairs(_scope(spark, sf_dir)["documents"],
-                             num_perm=64, bands=32, threshold=0.7)
+                             num_perm=32, bands=16, threshold=0.7)
 
 
 def _op_simhash(spark, sf_dir):

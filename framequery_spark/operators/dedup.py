@@ -202,8 +202,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     base = (_spread(df)
             .select(F.col(id_col).alias("__id"),
                     shingles(F.col(text_col), k).alias("__sh")))
-    ex = _shingle_hashes_flat(df, id_col, text_col, k)
-    h31 = F.col("__h64").bitwiseAND(F.lit(_MERSENNE))
+    # stage h31 as a real column: each of the num_perm MIN expressions then
+    # codegens over a simple attribute instead of re-inlining the xxhash64
+    # subtree, which keeps the generated aggregate class ~num_perm× smaller
+    ex = _shingle_hashes_flat(df, id_col, text_col, k).withColumn(
+        "__h31", F.col("__h64").bitwiseAND(F.lit(_MERSENNE)))
+    h31 = F.col("__h31")
     mins = ex.groupBy("__id").agg(*[
         F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"__m{i}")
         for i, (a, b) in enumerate(params)
@@ -230,8 +234,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     from pyspark import StorageLevel
 
     params = _minhash_params(num_perm, seed)
-    ex = _shingle_hashes_flat(df, id_col, text_col, k)
-    h31 = F.col("__h64").bitwiseAND(F.lit(_MERSENNE))
+    ex = _shingle_hashes_flat(df, id_col, text_col, k).withColumn(
+        "__h31", F.col("__h64").bitwiseAND(F.lit(_MERSENNE)))
+    h31 = F.col("__h31")
     # ONE aggregate builds everything downstream needs: the num_perm minima
     # AND the distinct 64-bit shingle-hash set used for exact-Jaccard
     # verification (set Jaccard over xxhash64 values == string-shingle

@@ -141,7 +141,12 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = bucketize(queries.select(F.col(id_col).alias("query_id"),
                                  F.col(vec_col).alias("__qv")),
                   "query_id", "__qv", "__qn")
-    cands = (c.join(q, ["__table", "__bucket"])
+    # the query side is small by contract (ANN = few queries against a huge
+    # corpus) — broadcast it so the bucket match is map-side: the corpus
+    # signature pass streams exactly once (no shuffle, no plan-subtree
+    # re-execution of the Arrow UDF stage) and only candidate pairs ever
+    # reach the dedup exchange
+    cands = (c.join(F.broadcast(q), ["__table", "__bucket"])
              .filter(F.col("query_id") != F.col("neighbor_id"))
              .select("query_id", "neighbor_id", "__qv", "__qn", "__cv", "__cn")
              .dropDuplicates(["query_id", "neighbor_id"]))
@@ -254,7 +259,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  _vec_norm(F.col(vec_col)).alias("__qn"))
          .withColumn("__cell", F.explode(
              _centroid_udf(centroids, n_probe)(F.col("__qv")))))
-    cands = (c.join(q, "__cell")
+    # small query side broadcast: cell probing is map-side over the corpus
+    # scan — one pass, no corpus shuffle
+    cands = (c.join(F.broadcast(q), "__cell")
              .filter(F.col("query_id") != F.col("neighbor_id")))
     # norms precomputed per row before the join: the per-candidate work is a
     # single dot fold instead of the 3 folds of cosine()

@@ -60,6 +60,17 @@ def stopword_count(text: Column, stopwords: List[str] = None) -> Column:
     return c.cast("double")
 
 
+def stopword_count_fused(text: Column, stopwords: List[str] = None) -> Column:
+    """Same value as stopword_count, one regex pass: whole-word alternation
+    counted with regexp_count. \\b-delimited alternatives are disjoint (a
+    token matches at most one stopword), so the single-pass count equals the
+    per-word sum — at ~1/len(stopwords) the scan cost, and regexp_count
+    avoids regexp_replace's rewritten-string allocation entirely."""
+    sw = stopwords or STOPWORDS_EN
+    pat = r"\b(" + "|".join(sw) + r")\b"
+    return F.regexp_count(text, F.lit(pat)).cast("double")
+
+
 def stopword_ratio(text: Column, stopwords: List[str] = None) -> Column:
     return stopword_count(text, stopwords) / token_count(text)
 
@@ -128,8 +139,8 @@ def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """One row per document with the standard text-analysis columns.
 
-    Two-stage projection: the regex-heavy counts (a regexp_replace per
-    stopword per language) are staged as columns first, then ratios /
+    Two-stage projection: the regex-heavy counts (one fused alternation
+    regexp_count per language) are staged as columns first, then ratios /
     quality / argmax-language are cheap scalar expressions over them.
     Inlining everything into one select repeats each regex in every
     when-branch (conditional branches defeat subexpression elimination) —
@@ -140,10 +151,10 @@ def text_stats(df: DataFrame, text_col: str = "text",
         char_count(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
         punct_count(t).alias("n_punct"),
-        stopword_count(t).alias("__sw"),
+        stopword_count_fused(t).alias("__sw"),
         avg_token_length(t).alias("__avg_tok"),
         content_fingerprint(t).alias("fingerprint"),
-        *[stopword_count(t, words).alias(f"__s_{lang}")
+        *[stopword_count_fused(t, words).alias(f"__s_{lang}")
           for lang, words in LANG_STOPWORDS.items()],
     )
     sw_ratio = F.col("__sw") / F.col("n_tokens")

@@ -26,6 +26,16 @@ def configure_session(spark: SparkSession, parallelism: int = None) -> SparkSess
     conf = {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # coalesce to the 64 MB advisory size rather than padding out to
+        # defaultParallelism: a 100 TB shuffle still gets ~1.6M partitions,
+        # while a 10 MB shuffle collapses to one task instead of 64 —
+        # post-shuffle stage count tracks data volume, not cluster width
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+        # without this, persist() pins the pre-AQE shuffle partitioning and
+        # every stage over a cached intermediate runs at the static
+        # shuffle.partitions width regardless of data volume
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(max(2 * cores, 8)),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
