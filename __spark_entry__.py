@@ -787,6 +787,36 @@ WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 8
 _op("op_ivf_topk", _op_ivf_topk, None)  # approximate (IVF cells): rows-only
 
 
+def _op_ivf_full_probe(spark, sf_dir):
+    """IVF with n_probe == n_centroids: probing every cell makes the result
+    equal exact brute-force top-k BY CONSTRUCTION, so the whole IVF pipeline
+    (driver-side k-means training, map-side cell assignment, cell-equi
+    candidate join, cosine re-rank) is verified end-to-end against the exact
+    SQL oracle. op_ivf_topk keeps the honest approximate configuration."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import ivf_topk
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                    n_centroids=16, n_probe=16)
+
+
+_op("op_ivf_full_probe", _op_ivf_full_probe, """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) t
+WHERE rank <= 5
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
