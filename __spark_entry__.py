@@ -438,6 +438,33 @@ WHERE o_custkey <= 10
 ORDER BY o_orderkey
 """)
 
+_q("q43_values_join", """
+SELECT v.grp, count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+  AS v(status, grp)
+  ON o.o_orderstatus = v.status
+GROUP BY v.grp
+ORDER BY v.grp
+""")
+
+_q("q44_distinct_on", """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_custkey <= 50
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+""")
+
+_q("q45_moving_sum", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving3
+FROM orders
+WHERE o_custkey <= 30
+ORDER BY o_custkey, o_orderkey
+""")
+
 
 # ---------------------------------------------------------------------------
 # LLM-pipeline operator entries (dedup / similarity / text / multimodal /
