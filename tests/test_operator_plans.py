@@ -1,0 +1,111 @@
+"""Plan-shape tests for the pipeline operators: the 100 TB scale contracts
+(candidate generation is never an all-pairs cross product; ANN probing
+broadcasts the small query side so the corpus never shuffles) must be
+visible in the physical plans.
+
+These complement tests/test_operators.py (result correctness) — a future
+refactor that silently reintroduces a cartesian candidate join would pass
+the correctness suite at test scale and melt down at corpus scale; these
+assertions catch it at test time.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from framequery_spark.plans.explain import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def docs(tpch_scope):
+    return tpch_scope["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(tpch_scope):
+    return tpch_scope["embeddings"]
+
+
+def _assert_no_cartesian(df):
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_candidates_are_equi_join(docs):
+    from framequery_spark.operators.dedup import minhash_lsh_pairs
+
+    _assert_no_cartesian(
+        minhash_lsh_pairs(docs, num_perm=16, bands=8, threshold=0.7))
+
+
+def test_jaccard_candidates_are_equi_join(docs):
+    from framequery_spark.operators.dedup import jaccard_pairs
+
+    _assert_no_cartesian(jaccard_pairs(docs, threshold=0.7))
+
+
+def test_simhash_candidates_are_equi_join(docs):
+    from framequery_spark.operators.dedup import simhash_near_pairs
+
+    _assert_no_cartesian(simhash_near_pairs(docs, max_hamming=8))
+
+
+def test_levenshtein_candidates_are_equi_join(docs):
+    from framequery_spark.operators.dedup import levenshtein_pairs
+
+    _assert_no_cartesian(levenshtein_pairs(docs))
+
+
+def test_lsh_ann_broadcasts_query_side(emb):
+    from framequery_spark.operators.similarity import lsh_ann_topk
+
+    df = lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3,
+                      n_bits=4, n_tables=2)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the bucket join must be a broadcast hash join (query side broadcast):
+    # the corpus signature stream is map-side only, no corpus shuffle
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_broadcasts_query_side(emb):
+    from framequery_spark.operators.similarity import ivf_topk
+
+    df = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3,
+                  n_centroids=4, n_probe=2)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cosine_topk_broadcasts_query_side(emb):
+    from framequery_spark.operators.similarity import cosine_topk
+
+    df = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    plan = formatted_plan(df)
+    # brute force is BY DESIGN a broadcast cross product: the query side is
+    # built (broadcast), the corpus side streamed — so the corpus is scanned
+    # exactly once without a join shuffle. (The only other exchanges are
+    # _spread's input repartition — a no-op at cluster scale — and the
+    # row_number window shuffle over the scored candidates.)
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan, plan
+
+
+def test_asof_join_is_single_shuffle(tpch_scope):
+    from framequery_spark.operators.asof import asof_join
+
+    ev = tpch_scope["events"]
+    left = ev.filter(F.col("event_type") == "purchase") \
+             .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click") \
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"))
+    df = asof_join(left, right, on=["user_id"], left_ts="ts",
+                   right_ts="click_ts")
+    plan = formatted_plan(df)
+    # union + window implementation: no join node at all — an SMJ-based
+    # as-of would shuffle both sides AND sort twice
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
