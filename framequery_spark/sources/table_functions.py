@@ -95,18 +95,37 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
 
 
 def _explode_json(df: DataFrame, arg, name: str, alias: str) -> DataFrame:
-    """Explode a JSON value column. Values are returned as JSON text (the
-    scalar-typed analogue of the reference's Python objects)."""
-    s = arg.cast("string")
+    """Explode a JSON value column via a native lateral join (Spark 4
+    DataFrame.lateralJoin + spark.tvf.explode). Values are returned as JSON
+    text (the scalar-typed analogue of the reference's Python objects).
+
+    The lateral right side is a proper aliased relation, so the produced
+    columns resolve BOTH bare (`key`) and alias-qualified (`b.key`) —
+    matching the reference's `alias/@/col` prefixing for lateral children
+    (reference: executor/_pandas.py:292-319). The correlated argument is
+    staged as a hidden left column first: `.outer()` marks a single
+    attribute, while the argument may be an arbitrary expression.
+
+    Physically this stays a Generate (explode) over the left rows — no join
+    shuffle; the plan is identical to the old select("*", explode(...))
+    formulation."""
+    import uuid
+
+    spark = df.sparkSession
+    tmp = "__lat_" + uuid.uuid4().hex[:8]
+    if name == "unnest":
+        staged = df.withColumn(tmp, arg)
+    else:
+        staged = df.withColumn(tmp, arg.cast("string"))
+    ref = F.col(tmp).outer()
     if name == "json_each":
-        entries = F.map_entries(F.from_json(s, "map<string,string>"))
-        kv = F.explode(entries).alias("__kv")
-        return (df.select("*", kv)
-                .select("*", F.col("__kv.key").alias("key"),
-                        F.col("__kv.value").alias("value"))
-                .drop("__kv"))
-    if name == "json_array_elements":
-        arr = F.from_json(s, "array<string>")
-        return df.select("*", F.explode(arr).alias("value"))
-    # unnest: native array column
-    return df.select("*", F.explode(arg).alias("value"))
+        entries = F.map_entries(F.from_json(ref, "map<string,string>"))
+        right = (spark.tvf.explode(entries)
+                 .select(F.col("col.key").alias("key"),
+                         F.col("col.value").alias("value")))
+    elif name == "json_array_elements":
+        right = (spark.tvf.explode(F.from_json(ref, "array<string>"))
+                 .select(F.col("col").alias("value")))
+    else:  # unnest: native array column
+        right = spark.tvf.explode(ref).select(F.col("col").alias("value"))
+    return staged.lateralJoin(right.alias(alias)).drop(tmp)

@@ -66,6 +66,7 @@ QUERIES = [
     "select a.name as n1, b.name as n2 from names a, names b where a.id < b.id",
     "select test.c2, other.c4 from test join other on test.c1 = other.c3 and test.c2 < other.c4",
     "select distinct c1 from test",
+    "select all c1 from test",
     "select distinct c1, c2 % 2 from test",
     "select c2 from test order by c2 desc",
     "select c2 from test order by c2 asc limit 3",

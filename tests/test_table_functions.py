@@ -37,6 +37,40 @@ def test_json_each_constant(spark, scope):
     assert out == [("a", "1"), ("b", "2")]
 
 
+def test_json_each_constant_cast_forms(spark, scope):
+    # reference: tests/test__postgres_conformance.py:184-185 — the argument
+    # may arrive as cast(... as json) or ...::json
+    for q in (
+        """select * from json_each(cast('{"foo": "bar", "hello": "world"}' as json))""",
+        """select * from json_each('{"foo": "bar", "hello": "world"}' :: json)""",
+    ):
+        out = rows(fq.execute(q, scope, spark=spark))
+        assert out == [("foo", "bar"), ("hello", "world")], q
+
+
+def test_chained_table_function_then_lateral(spark, scope):
+    # reference: tests/test__postgres_conformance.py:186-192 — a table
+    # function in FROM followed by a LATERAL over its output column, with
+    # the lateral's alias qualifying its produced columns
+    q = """
+        select b.key
+        from
+            json_array_elements('[{"foo": "bar"}]' :: json),
+            lateral json_each(value) as b
+        order by key
+    """
+    out = rows(fq.execute(q, scope, spark=spark))
+    assert out == [("foo",)]
+
+
+def test_lateral_alias_qualifies_columns(spark, scope):
+    q = ("select p.id, kv.key, kv.value "
+         "from payloads p, lateral json_each(p.payload) as kv "
+         "order by p.id, kv.key")
+    out = rows(fq.execute(q, scope, spark=spark))
+    assert out == [(1, "foo", "bar"), (1, "hello", "world"), (2, "a", "1")]
+
+
 def test_generate_series_with_step(spark, scope):
     q = "select * from generate_series(0, 10, 5)"
     out = {r[0] for r in fq.execute(q, scope, spark=spark).collect()}
