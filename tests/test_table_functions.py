@@ -98,6 +98,11 @@ def test_user_lateral_function(spark, scope):
         [("n", "long")])
     out = rows(ex.execute("select id, n from payloads, lateral repeat_id(id)"))
     assert out == [(1, 0), (2, 0), (2, 1)]
+    # the lateral's alias must qualify its produced columns (reference
+    # prefixes lateral children alias/@/col)
+    out = rows(ex.execute(
+        "select p.id, r.n from payloads p, lateral repeat_id(p.id) as r"))
+    assert out == [(1, 0), (2, 0), (2, 1)]
 
 
 def test_copy_parquet_roundtrip(spark, scope, tmp_path):
