@@ -69,7 +69,81 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         df = qc.session._ensure_df(df)
         return df.alias(alias)
 
+    if name in _OPERATOR_TFS:
+        args = _literal_args(tf.args)
+        return _OPERATOR_TFS[name](qc, args).alias(alias)
+
     raise CompileError(f"unknown table function: {name}")
+
+
+# --------------------------------------------- pipeline operators in SQL
+# SURVEY §7 milestone 6: every LLM-pipeline operator is exposed both as a
+# DataFrame op (operators/) and as a table function in the SQL dialect.
+# The first argument is the scope table's name (CTEs included); remaining
+# literal arguments are the operator's tuning knobs.
+#
+#   SELECT * FROM minhash_pairs('documents', 0.7) WHERE jaccard > 0.9
+#   SELECT lang, count(*) FROM text_stats('documents') GROUP BY lang
+
+
+def _op_table(qc, table_name) -> "DataFrame":
+    return qc.session.resolve_table(qc.scope, str(table_name))
+
+
+def _register_operator_tfs() -> dict:
+    from ..operators import dedup, similarity, text
+
+    def text_stats(qc, a):
+        return text.text_stats(_op_table(qc, a[0]))
+
+    def doc_chunks(qc, a):
+        kw = {"size": int(a[1])} if len(a) > 1 else {}
+        return text.doc_chunks(_op_table(qc, a[0]), **kw)
+
+    def exact_dups(qc, a):
+        return dedup.exact_dup_groups(_op_table(qc, a[0]),
+                                      [str(k) for k in a[1:]])
+
+    def minhash_pairs(qc, a):
+        kw = {"threshold": float(a[1])} if len(a) > 1 else {}
+        return dedup.minhash_lsh_pairs(_op_table(qc, a[0]),
+                                       num_perm=32, bands=16, **kw)
+
+    def simhash_pairs(qc, a):
+        kw = {"max_hamming": int(a[1])} if len(a) > 1 else {}
+        return dedup.simhash_near_pairs(_op_table(qc, a[0]), **kw)
+
+    def jaccard_pairs(qc, a):
+        kw = {"threshold": float(a[1])} if len(a) > 1 else {}
+        return dedup.jaccard_pairs(_op_table(qc, a[0]), **kw)
+
+    def levenshtein_pairs(qc, a):
+        kw = {"max_distance": int(a[1])} if len(a) > 1 else {}
+        return dedup.levenshtein_pairs(_op_table(qc, a[0]), **kw)
+
+    def embedding_near_dups(qc, a):
+        kw = {"threshold": float(a[1])} if len(a) > 1 else {}
+        return dedup.embedding_near_dup_pairs(_op_table(qc, a[0]), **kw)
+
+    def cosine_topk(qc, a):
+        corpus = _op_table(qc, a[0])
+        queries = _op_table(qc, a[1])
+        k = int(a[2]) if len(a) > 2 else 5
+        return similarity.cosine_topk(corpus, queries, k=k)
+
+    def ivf_topk(qc, a):
+        corpus = _op_table(qc, a[0])
+        queries = _op_table(qc, a[1])
+        k = int(a[2]) if len(a) > 2 else 5
+        return similarity.ivf_topk(corpus, queries, k=k)
+
+    return {f.__name__: f for f in (
+        text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
+        jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
+        ivf_topk)}
+
+
+_OPERATOR_TFS = _register_operator_tfs()
 
 
 def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:

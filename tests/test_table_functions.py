@@ -105,6 +105,29 @@ def test_user_lateral_function(spark, scope):
     assert out == [(1, 0), (2, 0), (2, 1)]
 
 
+def test_pipeline_operators_in_sql(spark, tpch_scope):
+    # SURVEY §7 milestone 6: LLM-pipeline operators are table functions in
+    # the SQL dialect — first arg names a scope table (CTEs included)
+    q = ("select lang_guess, count(*) as n from text_stats('documents') "
+         "group by lang_guess order by n desc, lang_guess")
+    out = fq.execute(q, tpch_scope, spark=spark).collect()
+    assert len(out) >= 1 and out[0]["n"] >= 1
+
+    q = "select count(*) as n from exact_dups('documents', 'lang', 'source')"
+    assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] > 0
+
+    q = ("select * from cosine_topk('embeddings', 'embeddings', 3) "
+         "where query_id = 0 order by rank")
+    out = fq.execute(q, tpch_scope, spark=spark).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+    # a CTE is a valid operator input: the scope the operator resolves
+    # against includes WITH bindings
+    q = ("with en_docs as (select * from documents where lang = 'en') "
+         "select count(*) as n from minhash_pairs('en_docs', 0.5)")
+    assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] >= 0
+
+
 def test_copy_parquet_roundtrip(spark, scope, tmp_path):
     ex = fq.Executor(dict(scope), spark=spark)
     target = tmp_path / "out.parquet"
