@@ -70,6 +70,17 @@ def main() -> None:
         text_stats(scope["documents"]).show(5)
         minhash_lsh_pairs(scope["documents"], threshold=0.7).show(5)
 
+        # the same operators are table functions in the SQL dialect
+        fq.execute("""
+            SELECT lang_guess, count(*) AS n, round(avg(quality), 3) AS q
+            FROM text_stats('documents')
+            GROUP BY lang_guess ORDER BY n DESC
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM minhash_pairs('documents', 0.7)
+            WHERE jaccard > 0.9 ORDER BY id1 LIMIT 5
+        """, scope, spark=spark).show()
+
 
 if __name__ == "__main__":
     main()
