@@ -465,6 +465,45 @@ WHERE o_custkey <= 30
 ORDER BY o_custkey, o_orderkey
 """)
 
+_q("q46_conditional_agg", """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+       round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev,
+       round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS f_avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+
+_q("q47_quantiles", """
+SELECT l_returnflag,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_qty,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+
+_q("q48_ordered_string_agg", """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""")
+
+_q("q49_recursive_months", """
+WITH RECURSIVE months(m) AS (
+  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+)
+SELECT m AS month_num, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders
+  ON extract(month FROM o_orderdate) = m
+ AND extract(year FROM o_orderdate) = 1995
+GROUP BY m
+ORDER BY m
+""")
+
 
 # ---------------------------------------------------------------------------
 # LLM-pipeline operator entries (dedup / similarity / text / multimodal /
@@ -841,6 +880,152 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
                                ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs) t
 WHERE rank <= 5
+""")
+
+
+def _op_hash_split(spark, sf_dir):
+    """Deterministic md5-threshold train/val/test split: narrow (no shuffle),
+    byte-exact across engines; keysum pins exact membership, not just
+    counts."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.sampling import hash_split
+
+    return (hash_split(_scope(spark, sf_dir)["orders"], "o_orderkey")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("keysum"))
+            .orderBy("split"))
+
+
+_op("op_hash_split", _op_hash_split, """
+WITH h AS (
+  SELECT o_orderkey,
+         substr(md5(concat(cast(o_orderkey AS varchar), 'split')), 1, 8) AS hx
+  FROM orders)
+SELECT CASE WHEN hx < 'cccccccd' THEN 'train'
+            WHEN hx < 'e6666666' THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n, sum(o_orderkey) AS keysum
+FROM h GROUP BY 1 ORDER BY 1
+""")
+
+
+def _op_det_sample(spark, sf_dir):
+    """Hash-threshold key sampling (leakage-proof: all lineitems of a kept
+    order are kept); pure pushdown-able filter."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.sampling import deterministic_sample
+
+    return (deterministic_sample(_scope(spark, sf_dir)["lineitem"],
+                                 "l_orderkey", 0.25)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty"))
+            .orderBy("l_returnflag"))
+
+
+_op("op_det_sample", _op_det_sample, """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+WHERE substr(md5(concat(cast(l_orderkey AS varchar), 'sample')), 1, 8)
+      < '40000000'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+
+
+def _op_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k (map-side partial agg + TakeOrderedAndProject;
+    deterministic term-asc tiebreak)."""
+    from framequery_spark.operators.text import vocab_topk
+
+    return vocab_topk(_scope(spark, sf_dir)["documents"], "text", 50)
+
+
+_op("op_vocab_topk", _op_vocab_topk, r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents)
+SELECT term, count(*) AS term_count
+FROM t WHERE term <> ''
+GROUP BY term ORDER BY term_count DESC, term LIMIT 50
+""")
+
+
+def _op_tf_idf(spark, sf_dir):
+    """Per-(doc, term) TF-IDF; N via broadcast 1-row aggregate (no driver
+    round-trip). Restricted to doc_id < 50 to keep the oracle compare
+    small; the plan is the full-corpus plan."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import tf_idf
+
+    return (tf_idf(_scope(spark, sf_dir)["documents"], "text", "doc_id")
+            .filter(F.col("doc_id") < 50))
+
+
+_op("op_tf_idf", _op_tf_idf, r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df_t,
+       round(tf * ln(n_docs * 1.0 / df_t), 6) AS tfidf
+FROM tf JOIN dft USING (term) CROSS JOIN n
+WHERE doc_id < 50
+""")
+
+
+def _op_pack_bins(spark, sf_dir):
+    """Sequence packing into 2048-token bins, sharded by lang (window cumsum
+    — one shuffle, parallel per shard)."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.packing import pack_bins
+    from framequery_spark.operators.text import token_count
+
+    docs = _scope(spark, sf_dir)["documents"]
+    packed = pack_bins(docs.withColumn("n_tokens", token_count(F.col("text"))),
+                       "n_tokens", 2048, "lang", ("doc_id",))
+    return (packed.groupBy("lang", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tok"))
+            .orderBy("lang", "bin_id"))
+
+
+_op("op_pack_bins", _op_pack_bins, r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT lang, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+          - n_tokens) // 2048 AS bin_id
+  FROM t)
+SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS tok
+FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id
+""")
+
+
+def _op_det_shuffle(spark, sf_dir):
+    """Deterministic (engine-exact) dataset shuffle: the first 100 docs of
+    the md5 permutation — pins the permutation prefix."""
+    from framequery_spark.operators.packing import deterministic_shuffle
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return deterministic_shuffle(docs, "doc_id").select("doc_id").limit(100)
+
+
+_op("op_det_shuffle", _op_det_shuffle, """
+SELECT doc_id FROM documents
+ORDER BY md5(concat(cast(doc_id AS varchar), 'shuffle')), doc_id
+LIMIT 100
 """)
 
 

@@ -13,6 +13,7 @@ user-registered functions (Executor.add_function), as Arrow pandas_udfs.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional
 
 from pyspark.sql import Column
@@ -49,7 +50,7 @@ AGG_MAP = {
 
 AGG_NAMES = set(AGG_MAP) | {
     "count", "string_agg", "corr", "covar_pop", "covar_samp", "first_value",
-    "percentile_cont", "grouping", "grouping_id",
+    "percentile_cont", "percentile_disc", "mode", "grouping", "grouping_id",
 }
 
 WINDOW_FUNCS = {
@@ -343,8 +344,34 @@ class ExprCompiler:
             return REGISTRY[name](args)
         raise CompileError(f"unknown function: {name}")
 
+    @staticmethod
+    def _desugar_agg_filter(node: ast.Call) -> ast.Call:
+        """`agg(x) FILTER (WHERE c)` -> `agg(CASE WHEN c THEN x END)`.
+        Exact: every Spark aggregate skips NULL inputs. count(*) becomes
+        count(CASE WHEN c THEN 1 END). Only value arguments are wrapped —
+        trailing parameter literals (string_agg separator, percentile
+        fraction) stay as-is."""
+        cond = node.filter_where
+        if node.name in ("grouping", "grouping_id"):
+            raise CompileError(f"FILTER not allowed on {node.name}()")
+        if node.star or not node.args:
+            args = (ast.Case(whens=((cond, ast.Literal(1, "int")),)),)
+            return dataclasses.replace(node, name="count", args=args,
+                                       star=False, filter_where=None)
+        n_values = 2 if node.name in ("corr", "covar_pop", "covar_samp") else 1
+        args = tuple(
+            ast.Case(whens=((cond, a),)) if i < n_values else a
+            for i, a in enumerate(node.args))
+        return dataclasses.replace(node, args=args, filter_where=None)
+
     def _compile_agg(self, node: ast.Call) -> Column:
         name = node.name
+        if node.filter_where is not None:
+            node = self._desugar_agg_filter(node)
+        if node.order_within:
+            return self._compile_ordered_agg(node)
+        if name in ("percentile_disc", "mode") :
+            raise CompileError(f"{name}() requires WITHIN GROUP (ORDER BY ...)")
         if name == "grouping":
             return F.grouping(self.compile(node.args[0])).cast("long")
         if name == "grouping_id":
@@ -388,6 +415,65 @@ class ExprCompiler:
             raise CompileError(f"unknown aggregate: {name}")
         return fn(arg)
 
+    def _compile_ordered_agg(self, node: ast.Call) -> Column:
+        """Ordered-set aggregates: `percentile_cont/disc(f) WITHIN GROUP
+        (ORDER BY c)`, `mode() WITHIN GROUP (ORDER BY c)`, and ordered
+        `string_agg`/`array_agg` (either syntax). Beyond parity — the
+        reference grammar has no WITHIN GROUP."""
+        name = node.name
+        keys = node.order_within
+        if name in ("percentile_cont", "percentile_disc"):
+            if len(node.args) != 1 or len(keys) != 1:
+                raise CompileError(
+                    f"{name}(fraction) WITHIN GROUP (ORDER BY col) takes "
+                    "exactly one fraction and one sort key")
+            frac = self.compile(node.args[0])
+            col = self.compile(keys[0].expr)
+            if name == "percentile_cont":
+                # DESC ordering: continuous percentile is symmetric,
+                # P_desc(f) == P_asc(1 - f)
+                if not keys[0].ascending:
+                    frac = F.lit(1.0) - frac
+                return F.percentile(col, frac)
+            if not keys[0].ascending:
+                raise CompileError("percentile_disc with DESC not supported")
+            # pg percentile_disc: first value whose cume_dist >= fraction.
+            # Exact via per-group sorted collect — each GROUP's values must
+            # fit in executor memory (same caveat as collect_list/median).
+            arr = F.sort_array(F.collect_list(col))
+            idx = F.greatest(F.lit(1),
+                             F.ceil(frac * F.size(arr)).cast("int"))
+            return F.element_at(arr, idx)
+        if name == "mode":
+            if node.args or len(keys) != 1:
+                raise CompileError("mode() WITHIN GROUP (ORDER BY col) takes "
+                                   "no direct args and one sort key")
+            # most frequent value; ties break arbitrarily (Spark F.mode)
+            return F.mode(self.compile(keys[0].expr))
+        if name in ("string_agg", "collect", "array_agg"):
+            # deterministic ordered aggregation: collect structs of
+            # (sort keys..., value), sort_array (lexicographic over fields —
+            # value last acts as a tiebreak), then project the value back out.
+            # collect_list alone is partition-order-dependent; this is the
+            # only distributed-safe way to get a stable ordering.
+            ascending = {k.ascending for k in keys}
+            if len(ascending) != 1:
+                raise CompileError(
+                    "ordered aggregates need a uniform ASC/DESC direction "
+                    "(sort_array flips all keys together)")
+            val = self.compile(node.args[0])
+            parts = [self.compile(k.expr).alias(f"k{i}")
+                     for i, k in enumerate(keys)] + [val.alias("v")]
+            arr = F.sort_array(F.collect_list(F.struct(*parts)),
+                               asc=ascending.pop())
+            vals = F.transform(arr, lambda s: s["v"])
+            if name == "string_agg":
+                sep = node.args[1].value if len(node.args) > 1 and isinstance(
+                    node.args[1], ast.Literal) else ","
+                return F.array_join(vals, sep)
+            return vals
+        raise CompileError(f"WITHIN GROUP / ORDER BY not supported for {name}()")
+
     # ---------------------------------------------------------------- windows
 
     def _c_WindowCall(self, node: ast.WindowCall) -> Column:
@@ -410,6 +496,9 @@ class ExprCompiler:
                 w = w.rangeBetween(start, end)
         name = call.name
         if name in WINDOW_FUNCS:
+            if call.filter_where is not None:
+                # pg: FILTER applies only to aggregates, not pure window fns
+                raise CompileError(f"FILTER not allowed on {name}() window function")
             if name in _WINDOW_INT_ARGS:
                 args = []
                 for i, a in enumerate(call.args):

@@ -85,9 +85,91 @@ class QueryCompiler:
             scope = dict(self.scope)
             for cte in sel.ctes:
                 sub = QueryCompiler(self.session, scope)
-                scope[cte.name] = sub.compile_query(cte.query)
+                if cte.recursive:
+                    df = sub._compile_recursive_cte(cte)
+                else:
+                    df = sub.compile_query(cte.query)
+                    if cte.columns:
+                        df = df.toDF(*cte.columns)
+                scope[cte.name] = df
             compiler = QueryCompiler(self.session, scope)
         return compiler._compile_select_body(sel)
+
+    def _compile_recursive_cte(self, cte: ast.CTE) -> DataFrame:
+        """`WITH RECURSIVE name AS (base UNION [ALL] step)`: driver-
+        coordinated fixpoint iteration (Pregel-style — how iterative graph
+        algorithms run on Spark). Each step is one distributed job over ONLY
+        the previous frontier, and every frontier is localCheckpoint()ed so
+        the step plan stays O(1) deep instead of O(iterations); the final
+        result is a flat union of checkpointed frontiers. UNION (distinct)
+        follows pg semantics: the step sees only the last iteration's rows,
+        new rows are deduped against everything produced so far, and
+        iteration stops when no new rows appear. Beyond parity — the
+        reference has no WITH RECURSIVE."""
+        body = cte.query
+        distinct = body.op == "union"
+        base = self.compile_query(body.left)  # cte name not in scope yet
+        if cte.columns:
+            base = base.toDF(*cte.columns)
+        if distinct:
+            base = base.distinct()
+        frontier = base.localCheckpoint(eager=True)
+        frontiers = [frontier]
+        limit = getattr(self.session, "recursive_max_iterations", 100)
+        # UNION ALL blocks are unrolled: chain K steps lazily, persist each,
+        # then one job materializes the block's union — ~K× fewer driver
+        # round-trips than per-step checkpointing, and the next frontier
+        # (the last step) checkpoints straight from the persist cache, so
+        # nothing is computed twice. UNION (distinct) stays unroll=1: per-
+        # step dedup against `seen` is what guarantees termination on
+        # cyclic data.
+        unroll = 1 if distinct else max(
+            1, int(getattr(self.session, "recursive_unroll", 4)))
+        step_scope = dict(self.scope)
+        rounds = 0
+        while True:
+            if frontier.isEmpty():
+                break
+            if rounds >= limit:
+                raise CompileError(
+                    f"recursive CTE '{cte.name}' exceeded {limit} "
+                    "iterations (set recursive_max_iterations to raise)")
+            block = []
+            step = frontier
+            for _ in range(min(unroll, limit - rounds)):
+                step_scope[cte.name] = step
+                step = QueryCompiler(self.session, step_scope) \
+                    .compile_query(body.right).toDF(*base.columns)
+                block.append(step)
+                rounds += 1
+            if distinct:
+                seen = frontiers[0]
+                for f in frontiers[1:]:
+                    seen = seen.union(f)
+                frontier = block[0].distinct().subtract(seen) \
+                    .localCheckpoint(eager=True)
+            else:
+                for b in block:
+                    b.persist()
+                new_rows = block[0]
+                for b in block[1:]:
+                    new_rows = new_rows.union(b)
+                new_rows = new_rows.localCheckpoint(eager=True)
+                # next frontier = last step only; reads the persist cache
+                frontier = block[-1].localCheckpoint(eager=True) \
+                    if len(block) > 1 else new_rows
+                for b in block:
+                    b.unpersist()
+                if new_rows.isEmpty():
+                    break
+                frontiers.append(new_rows)
+                continue
+            if not frontier.isEmpty():
+                frontiers.append(frontier)
+        out = frontiers[0]
+        for f in frontiers[1:]:
+            out = out.union(f)
+        return out
 
     def _compile_select_body(self, sel: ast.Select) -> DataFrame:
         if sel.from_ is not None:

@@ -48,6 +48,9 @@ class Executor:
         self.user_functions: Dict[str, Callable] = {}
         self.table_functions: Dict[str, Callable] = {}
         self.lateral_functions: Dict[str, tuple] = {}
+        # WITH RECURSIVE fixpoint cap (pg has none and can loop forever; we
+        # fail fast instead — raise it for deep hierarchies)
+        self.recursive_max_iterations = 100
         if scope:
             self.update(**scope)
 

@@ -1,0 +1,54 @@
+"""Sequence packing and deterministic dataset ordering.
+
+The last mile of a training-data pipeline: chunks/documents get packed into
+fixed token budgets (one bin ≈ one training sequence) and the dataset gets a
+reproducible global shuffle. Both are pure DataFrame ops — window cumsum and
+a hash sort — so they scale as ordinary shuffles, and both are deterministic,
+so the same inputs produce the same bins/order on any engine (SQL-oracle-able).
+
+Beyond-reference surface (the reference has no pipeline operators;
+cf. /root/reference/docs/SQL_Support.md).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_bins(df: DataFrame, token_col: str = "n_tokens", budget: int = 2048,
+              shard_col: Optional[str] = None,
+              order_cols: Sequence[str] = ("doc_id",),
+              out_col: str = "bin_id") -> DataFrame:
+    """Boundary packing: walk rows in `order_cols` order within each shard,
+    assign each row to bin `floor(preceding_token_sum / budget)`.
+
+    Properties: deterministic, one window shuffle, bins are contiguous runs
+    of the ordered input (locality: a document's chunks stay adjacent).
+    Bins can overfill by at most one row's tokens (the straddling row joins
+    the bin where it starts) — the standard streaming approximation; exact
+    first-fit is inherently sequential. A row with tokens > budget gets its
+    own overfull bin.
+
+    At scale the window partitions by `shard_col` (source, language, shard
+    id) so packing parallelizes per shard; shard_col=None means ONE global
+    sequence — fine for tests, a single-reducer bottleneck at 100 TB, so
+    pass a shard at scale.
+    """
+    part = [F.col(shard_col)] if shard_col else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(*[F.col(c) for c in order_cols])
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(out_col, F.floor(start / F.lit(budget)))
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str,
+                          salt: str = "shuffle") -> DataFrame:
+    """Reproducible global shuffle: order by md5(key || salt). Same
+    epoch-reshuffle trick used for training-data ordering — change `salt`
+    per epoch for a new-but-reproducible permutation. Costs one range-
+    partitioning sort shuffle; the order is engine-independent (md5 is
+    byte-exact, hex strings compare lexicographically everywhere)."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.orderBy(h, F.col(key_col))

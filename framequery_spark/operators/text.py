@@ -194,3 +194,44 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 .select(F.col(id_col),
                         F.posexplode(chunks).alias("chunk_id", "chunk")))
     return exploded.withColumn("chunk_len", F.length("chunk"))
+
+
+def term_table(df: DataFrame, text_col: str = "text",
+               id_col: str | None = "doc_id") -> DataFrame:
+    """Explode documents into one row per (doc, token): lowercase,
+    whitespace-split, empties dropped. Row-local explode — no shuffle;
+    downstream groupBys partial-aggregate map-side."""
+    term = F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    cols = [F.col(id_col), term] if id_col else [term]
+    return df.select(*cols).filter(F.col("term") != "")
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", n: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-n tokens by frequency (term asc tiebreak so
+    the cut is deterministic). groupBy(term) partial-aggregates map-side;
+    the top-n runs as TakeOrderedAndProject — no global sort."""
+    counts = (term_table(df, text_col, id_col=None)
+              .groupBy("term").agg(F.count(F.lit(1)).alias("term_count")))
+    return counts.orderBy(F.desc("term_count"), F.asc("term")).limit(n)
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+           min_df: int = 1) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf = in-doc term count, idf = ln(N / df_t)
+    with N = corpus size, df_t = #docs containing the term.
+
+    Plan shape: one explode (narrow) → tf groupBy (shuffle on (doc, term))
+    → df_t groupBy (map-side combine over tf, shuffle on term) → tf ⋈ df_t
+    on term. N comes from a 1-row aggregate cross-joined in (broadcast —
+    no driver round-trip, stays one lazy plan)."""
+    terms = term_table(df, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+           .filter(F.col("df_t") >= min_df))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = (tf.join(dft, "term")
+           .crossJoin(F.broadcast(n_docs)))
+    return out.select(
+        id_col, "term", "tf", "df_t",
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6)
+        .alias("tfidf"))

@@ -81,12 +81,19 @@ class Binary(Node):
 @dataclass(frozen=True)
 class Call(Node):
     """Function call `name(args)`; set-functions share this node.
-    star=True for count(*); distinct=True for agg DISTINCT."""
+    star=True for count(*); distinct=True for agg DISTINCT.
+
+    filter_where: aggregate `FILTER (WHERE cond)` clause (pg; beyond parity —
+    reference grammar has no FILTER, src/framequery/parser/_parser.py).
+    order_within: sort keys from either `WITHIN GROUP (ORDER BY ...)` or the
+    in-parens form `agg(x ORDER BY y)`; () when absent."""
 
     name: str
     args: Tuple[Node, ...] = ()
     distinct: bool = False
     star: bool = False
+    filter_where: Optional[Node] = None
+    order_within: Tuple["SortItem", ...] = ()
 
 
 @dataclass(frozen=True)
@@ -301,8 +308,15 @@ class SelectItem(Node):
 
 @dataclass(frozen=True)
 class CTE(Node):
+    """WITH item. recursive=True for `WITH RECURSIVE name (cols) AS
+    (base UNION [ALL] step)` — the body is then a SetOp whose right arm may
+    reference *name* (beyond parity; reference has no WITH RECURSIVE).
+    columns: optional column-alias list `name (a, b) AS ...`."""
+
     name: str
-    query: "Select"
+    query: Node  # Select, or SetOp for recursive bodies
+    recursive: bool = False
+    columns: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

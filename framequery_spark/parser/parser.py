@@ -215,16 +215,32 @@ class Parser:
 
     def parse_with(self) -> Tuple[ast.CTE, ...]:
         self.expect_kw("with")
+        recursive = bool(self.accept_kw("recursive"))
         ctes: List[ast.CTE] = []
         while True:
             name = self.parse_name()
+            columns: Tuple[str, ...] = ()
+            if self.is_op("("):
+                self.advance()
+                cols = [self.parse_name()]
+                while self.accept_op(","):
+                    cols.append(self.parse_name())
+                self.expect_op(")")
+                columns = tuple(cols)
             self.expect_kw("as")
             self.expect_op("(")
             query = self.parse_query()
             self.expect_op(")")
-            if not isinstance(query, ast.Select):
+            # a WITH RECURSIVE item whose body is `base UNION [ALL] step` is
+            # the iterative form; a recursive item without a set-op body is
+            # treated as plain (pg does the same — RECURSIVE marks the WITH
+            # list, not each item)
+            is_rec = recursive and isinstance(query, ast.SetOp) \
+                and query.op in ("union", "union all")
+            if not is_rec and not isinstance(query, ast.Select):
                 raise self.error("set operations in CTE bodies must be parenthesized selects")
-            ctes.append(ast.CTE(name=name, query=query))
+            ctes.append(ast.CTE(name=name, query=query, recursive=is_rec,
+                                columns=columns))
             if not self.accept_op(","):
                 break
         return tuple(ctes)
@@ -821,8 +837,32 @@ class Parser:
             args.append(self.parse_expr())
             while self.accept_op(","):
                 args.append(self.parse_expr())
+        # in-parens ordered aggregate: string_agg(x, ',' ORDER BY y)
+        order_within: Tuple[ast.SortItem, ...] = ()
+        if self.is_kw("order"):
+            order_within = self.parse_order_by()
         self.expect_op(")")
-        call = ast.Call(name=name, args=tuple(args), distinct=distinct, star=star)
+        # ordered-set aggregate: percentile_cont(f) WITHIN GROUP (ORDER BY c)
+        if self.is_kw("within"):
+            self.advance()
+            self.expect_kw("group")
+            self.expect_op("(")
+            if order_within:
+                raise self.error(
+                    "cannot combine in-parens ORDER BY with WITHIN GROUP")
+            order_within = self.parse_order_by()
+            self.expect_op(")")
+        # aggregate FILTER (WHERE cond)
+        filter_where = None
+        if self.is_kw("filter") and self.is_op("(", offset=1):
+            self.advance()
+            self.advance()
+            self.expect_kw("where")
+            filter_where = self.parse_expr()
+            self.expect_op(")")
+        call = ast.Call(name=name, args=tuple(args), distinct=distinct,
+                        star=star, filter_where=filter_where,
+                        order_within=order_within)
         if self.is_kw("over"):
             self.advance()
             spec = self.parse_window_spec()

@@ -91,7 +91,7 @@ def _op_table(qc, table_name) -> "DataFrame":
 
 
 def _register_operator_tfs() -> dict:
-    from ..operators import dedup, similarity, text
+    from ..operators import dedup, packing, sampling, similarity, text
 
     def text_stats(qc, a):
         return text.text_stats(_op_table(qc, a[0]))
@@ -137,10 +137,35 @@ def _register_operator_tfs() -> dict:
         k = int(a[2]) if len(a) > 2 else 5
         return similarity.ivf_topk(corpus, queries, k=k)
 
+    def hash_split(qc, a):
+        # hash_split('orders', 'o_orderkey') -> rows + split column
+        return sampling.hash_split(_op_table(qc, a[0]), str(a[1]))
+
+    def sample_by_key(qc, a):
+        return sampling.deterministic_sample(_op_table(qc, a[0]), str(a[1]),
+                                             float(a[2]))
+
+    def vocab_topk(qc, a):
+        kw = {"n": int(a[1])} if len(a) > 1 else {}
+        return text.vocab_topk(_op_table(qc, a[0]), **kw)
+
+    def tf_idf(qc, a):
+        return text.tf_idf(_op_table(qc, a[0]))
+
+    def pack_bins(qc, a):
+        # pack_bins('documents', token_col, budget[, shard_col])
+        kw = {"shard_col": str(a[3])} if len(a) > 3 else {}
+        return packing.pack_bins(_op_table(qc, a[0]), str(a[1]), int(a[2]),
+                                 **kw)
+
+    def shuffled(qc, a):
+        return packing.deterministic_shuffle(_op_table(qc, a[0]), str(a[1]))
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
-        ivf_topk)}
+        ivf_topk, hash_split, sample_by_key, vocab_topk, tf_idf, pack_bins,
+        shuffled)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

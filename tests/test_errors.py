@@ -46,3 +46,12 @@ def test_reserved_word_call_still_allowed(spark, scope):
 def test_limit_requires_integer(spark, scope):
     with pytest.raises(CompileError, match="LIMIT"):
         fq.execute("select a from t limit 'x'", scope, spark=spark)
+
+
+def test_filter_on_pure_window_function_rejected(spark):
+    import framequery_spark as fq
+    import pandas as pd
+    scope = {"t": spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))}
+    with pytest.raises(Exception, match="FILTER not allowed"):
+        fq.execute("select row_number() filter (where a > 1) "
+                   "over (order by a) from t", scope, spark=spark)

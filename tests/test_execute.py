@@ -271,3 +271,106 @@ def test_is_distinct_from(spark, scope):
     q = "select a from withnull where a is distinct from 1"
     out = rows(run(q, scope, spark))
     assert out == [(3.0,), (None,)]
+
+
+# --------------------------------------------------------------------------
+# aggregate FILTER (WHERE ...)  (pg feature; beyond reference parity)
+
+def test_agg_filter_where(spark, scope):
+    q = ("select g, count(*) filter (where a > 1) as c, "
+         "sum(a) filter (where a % 2 = 1) as odd_sum from test "
+         "group by g order by g")
+    assert rows(run(q, scope, spark)) == [("x", 1, 1), ("y", 2, 3)]
+
+
+def test_agg_filter_all_false_yields_null_sum_zero_count(spark, scope):
+    q = ("select count(a) filter (where a > 99) as c, "
+         "sum(a) filter (where a > 99) as s from test")
+    assert rows(run(q, scope, spark)) == [(0, None)]
+
+
+def test_agg_filter_with_distinct(spark, scope):
+    q = ("select count(distinct g) filter (where a >= 2) as gs from test")
+    assert rows(run(q, scope, spark)) == [(2,)]
+
+
+# --------------------------------------------------------------------------
+# ordered-set aggregates: WITHIN GROUP / in-parens ORDER BY
+
+def test_percentile_cont_within_group(spark, scope):
+    q = ("select g, percentile_cont(0.5) within group (order by a) as med "
+         "from test group by g order by g")
+    assert rows(run(q, scope, spark)) == [("x", 1.5), ("y", 3.5)]
+
+
+def test_percentile_cont_desc_is_symmetric(spark, scope):
+    q = ("select percentile_cont(0.25) within group (order by a desc) as p "
+         "from test")
+    # P_desc(0.25) == P_asc(0.75) == 3.25 over {1,2,3,4}
+    assert rows(run(q, scope, spark)) == [(3.25,)]
+
+
+def test_percentile_disc_within_group(spark, scope):
+    # pg: first value whose cume_dist >= f; over {1,2,3,4} f=0.5 -> 2
+    q = "select percentile_disc(0.5) within group (order by a) as p from test"
+    assert rows(run(q, scope, spark)) == [(2,)]
+
+
+def test_mode_within_group(spark, scope):
+    q = "select mode() within group (order by g) as m from test where a < 4"
+    assert rows(run(q, scope, spark)) == [("x",)]
+
+
+def test_string_agg_ordered_both_syntaxes(spark, scope):
+    q1 = "select string_agg(g, ',' order by a desc) as j from test"
+    q2 = "select string_agg(g, ',') within group (order by a desc) as j from test"
+    assert rows(run(q1, scope, spark)) == [("y,y,x,x",)]
+    assert rows(run(q2, scope, spark)) == [("y,y,x,x",)]
+
+
+def test_array_agg_ordered(spark, scope):
+    q = "select array_agg(a order by b desc) as xs from test"
+    assert rows(run(q, scope, spark)) == [([4, 3, 2, 1],)]
+
+
+# --------------------------------------------------------------------------
+# WITH RECURSIVE (beyond reference parity)
+
+def test_recursive_union_all_sequence(spark, scope):
+    q = ("with recursive seq(n) as (select 1 union all "
+         "select n + 1 from seq where n < 10) "
+         "select count(*) as c, sum(n) as s from seq")
+    assert rows(run(q, scope, spark)) == [(10, 55)]
+
+
+def test_recursive_union_distinct_converges_on_cycle(spark, scope):
+    q = ("with recursive c(n) as (select 1 union select (n % 3) + 1 from c) "
+         "select count(*) as c from c")
+    assert rows(run(q, scope, spark)) == [(3,)]
+
+
+def test_recursive_joins_base_tables(spark, scope):
+    # walk a + offsets, joining the real table at each step
+    q = ("with recursive walk(a, depth) as ("
+         "select a, 0 from test where a = 1 "
+         "union all "
+         "select t.a, w.depth + 1 from test t join walk w on t.a = w.a + 1) "
+         "select max(depth) as d, count(*) as c from walk")
+    assert rows(run(q, scope, spark)) == [(3, 4)]
+
+
+def test_recursive_iteration_cap(spark, scope):
+    import framequery_spark as fq_mod
+    from framequery_spark.executor.executor import Executor
+    ex = Executor(scope={}, spark=spark)
+    ex.recursive_max_iterations = 5
+    ex.update(test=scope["test"])
+    with pytest.raises(Exception, match="exceeded"):
+        ex.execute("with recursive s(n) as (select 1 union all "
+                   "select n + 1 from s) select * from s").collect()
+
+
+def test_plain_cte_column_alias_list(spark, scope):
+    q = ("with t2(p, q) as (select a, g from test) "
+         "select p from t2 where q = 'y' order by p")
+    assert rows(run(q, scope, spark)) == [(3,), (4,)]

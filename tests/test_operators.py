@@ -264,3 +264,158 @@ def test_levenshtein_pairs_symmetric_and_bounded(spark, docs):
     assert all(r["id_a"] < r["id_b"] for r in got)
     assert all(0 <= r["distance"] <= 8 for r in got)
     assert len(got) > 0  # the generator plants near-duplicates
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_hash_split_is_deterministic_and_partitioning_invariant(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    orders = tpch_scope["orders"]
+    a = SA.hash_split(orders, "o_orderkey").groupBy("split").count()
+    b = SA.hash_split(orders.repartition(13), "o_orderkey") \
+        .groupBy("split").count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_split_matches_python_md5(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    rows = SA.hash_split(tpch_scope["orders"], "o_orderkey") \
+        .select("o_orderkey", "split").limit(200).collect()
+    for r in rows:
+        hx = hashlib.md5(f"{r.o_orderkey}split".encode()).hexdigest()[:8]
+        expected = ("train" if hx < SA.fraction_threshold_hex(0.8)
+                    else "val" if hx < SA.fraction_threshold_hex(0.9)
+                    else "test")
+        assert r.split == expected
+
+
+def test_hash_split_fractions_roughly_hold(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    counts = dict(SA.hash_split(tpch_scope["orders"], "o_orderkey")
+                  .groupBy("split").count().collect())
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.8) < 0.05
+    assert abs(counts["val"] / total - 0.1) < 0.04
+
+
+def test_deterministic_sample_groups_keys(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    li = tpch_scope["lineitem"]
+    kept = SA.deterministic_sample(li, "l_orderkey", 0.3)
+    # every kept order's full lineitem set is kept: per-key row counts match
+    orig = dict(li.groupBy("l_orderkey").count().collect())
+    for k, n in kept.groupBy("l_orderkey").count().limit(50).collect():
+        assert orig[k] == n
+
+
+def test_deterministic_sample_predicate_is_narrow(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    plan = SA.deterministic_sample(
+        tpch_scope["lineitem"], "l_orderkey", 0.3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: no shuffle
+
+
+def test_stratified_sample_respects_fractions(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    docs = tpch_scope["documents"]
+    out = SA.stratified_sample(docs, "lang", {"en": 0.5}, seed=7)
+    assert set(r.lang for r in out.select("lang").distinct().collect()) <= {"en"}
+    n_en = docs.filter("lang = 'en'").count()
+    assert 0.3 * n_en < out.count() < 0.7 * n_en
+
+
+# ------------------------------------------------------------- vocab / tfidf
+
+def test_vocab_topk_matches_python(spark, docs):
+    from collections import Counter
+
+    from framequery_spark.operators.text import vocab_topk
+
+    got = [(r.term, r.term_count) for r in vocab_topk(docs, "text", 20).collect()]
+    c = Counter()
+    for r in docs.select("text").collect():
+        c.update(w for w in r.text.strip().lower().split() if w)
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == expected
+
+
+def test_tf_idf_matches_python(spark, docs):
+    import math
+    from collections import Counter
+
+    from framequery_spark.operators.text import tf_idf
+
+    sample = docs.filter("doc_id < 20")
+    n_docs = sample.count()
+    got = {(r.doc_id, r.term): (r.tf, r.df_t, r.tfidf)
+           for r in tf_idf(sample, "text", "doc_id").collect()}
+    texts = {r.doc_id: r.text for r in sample.collect()}
+    dft = Counter()
+    tfs = {}
+    for d, t in texts.items():
+        tf = Counter(w for w in t.strip().lower().split() if w)
+        tfs[d] = tf
+        dft.update(tf.keys())
+    for d, tf in tfs.items():
+        for w, n in tf.items():
+            etf, edf, escore = got[(d, w)]
+            assert (etf, edf) == (n, dft[w])
+            assert abs(escore - round(n * math.log(n_docs / dft[w]), 6)) < 1e-9
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_bins_respects_order_and_budget(spark, docs):
+    from framequery_spark.operators.packing import pack_bins
+    from framequery_spark.operators.text import token_count
+
+    d = docs.withColumn("n_tokens", token_count(F.col("text")))
+    out = pack_bins(d, "n_tokens", 1000, "lang", ("doc_id",)) \
+        .select("lang", "doc_id", "n_tokens", "bin_id").collect()
+    by_lang = {}
+    for r in sorted(out, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        # bin ids are non-decreasing along doc order, and each bin's
+        # preceding-sum start lies in [bin*B, (bin+1)*B)
+        cum = 0
+        last_bin = 0
+        for r in rows:
+            assert r.bin_id == cum // 1000
+            assert r.bin_id >= last_bin
+            last_bin = r.bin_id
+            cum += r.n_tokens
+
+
+def test_pack_bins_single_oversized_row_gets_own_bin(spark):
+    import pandas as pd
+
+    from framequery_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "n_tokens": [10, 5000, 10]}))
+    rows = {r.doc_id: r.bin_id for r in
+            pack_bins(df, "n_tokens", 100, None, ("doc_id",)).collect()}
+    assert rows[1] == 0 and rows[2] == 0 and rows[3] == 50
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark, docs):
+    from framequery_spark.operators.packing import deterministic_shuffle
+
+    a = [r.doc_id for r in deterministic_shuffle(docs, "doc_id")
+         .select("doc_id").collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs.repartition(7), "doc_id")
+         .select("doc_id").collect()]
+    assert a == b                      # partitioning-invariant
+    assert sorted(a) != a              # actually shuffled
+    assert len(set(a)) == len(a)       # a permutation
+    c = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", salt="epoch2")
+         .select("doc_id").collect()]
+    assert a != c                      # new salt, new permutation

@@ -146,3 +146,40 @@ def test_unnest_lateral(spark):
     out = rows(fq.execute("select id, value from t, lateral unnest(t.xs)",
                           {"t": df}))
     assert out == [(0, 1), (0, 2), (1, 1), (1, 2)]
+
+
+def test_new_pipeline_operators_in_sql(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        "SELECT split, count(*) AS n FROM hash_split('orders', 'o_orderkey') "
+        "GROUP BY split ORDER BY split", tpch_scope, spark=spark).collect()
+    assert [r.split for r in out] == ["test", "train", "val"]
+
+    n_all = tpch_scope["lineitem"].count()
+    n = fq.execute(
+        "SELECT count(*) AS n FROM sample_by_key('lineitem', 'l_orderkey', 0.25)",
+        tpch_scope, spark=spark).collect()[0].n
+    assert 0 < n < n_all
+
+    v = fq.execute(
+        "SELECT * FROM vocab_topk('documents', 5)", tpch_scope,
+        spark=spark).collect()
+    assert len(v) == 5 and v[0].term_count >= v[-1].term_count
+
+    t = fq.execute(
+        "SELECT count(*) AS n FROM tf_idf('documents') WHERE tfidf > 0",
+        tpch_scope, spark=spark).collect()[0].n
+    assert t > 0
+
+    p = fq.execute(
+        "WITH d AS (SELECT *, char_length(text) AS n_tokens FROM documents) "
+        "SELECT count(distinct bin_id) AS bins "
+        "FROM pack_bins('d', 'n_tokens', 100000, 'lang')",
+        tpch_scope, spark=spark).collect()[0].bins
+    assert p >= 1
+
+    s = fq.execute(
+        "SELECT doc_id FROM shuffled('documents', 'doc_id') LIMIT 3",
+        tpch_scope, spark=spark).collect()
+    assert len(s) == 3
