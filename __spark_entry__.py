@@ -1029,6 +1029,85 @@ LIMIT 100
 """)
 
 
+def _op_ngram_topk(spark, sf_dir):
+    """Top word-bigrams (row-local gram construction via let-bound HOFs; one
+    count shuffle; TakeOrderedAndProject top-k)."""
+    from framequery_spark.operators.text import ngram_counts
+
+    return ngram_counts(_scope(spark, sf_dir)["documents"], "text", 2, 30)
+
+
+_op("op_ngram_topk", _op_ngram_topk, r"""
+WITH arr AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a FROM documents),
+bi AS (
+  SELECT unnest([a[i] || ' ' || a[i+1] FOR i IN generate_series(1, len(a)-1)])
+         AS ngram
+  FROM arr WHERE len(a) >= 2)
+SELECT ngram, count(*) AS ngram_count
+FROM bi GROUP BY ngram ORDER BY ngram_count DESC, ngram LIMIT 30
+""")
+
+
+def _op_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data pipeline composed from the operator library:
+    lang+length filter → exact dedup on content fingerprint → 256-char
+    chunking → 512-token sequence packing per shard. Every stage is
+    deterministic, so the whole composition oracles exactly."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.dedup import exact_dedup
+    from framequery_spark.operators.packing import pack_bins
+    from framequery_spark.operators.text import (content_fingerprint,
+                                                 doc_chunks, token_count)
+
+    docs = _scope(spark, sf_dir)["documents"]
+    filtered = (docs.withColumn("fp", content_fingerprint(F.col("text")))
+                .filter((F.col("lang") == "en")
+                        & (token_count(F.col("text")) >= 20)))
+    deduped = exact_dedup(filtered, ["fp"], "doc_id")
+    chunks = (doc_chunks(deduped, size=256, overlap=0)
+              .withColumn("shard", F.col("doc_id") % 4)
+              .withColumn("n_tokens", token_count(F.col("chunk"))))
+    packed = pack_bins(chunks, "n_tokens", 512, "shard",
+                       ("doc_id", "chunk_id"))
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_tokens").alias("tok"))
+            .orderBy("shard", "bin_id"))
+
+
+_op("op_pipeline_e2e", _op_pipeline_e2e, r"""
+WITH filtered AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+  WHERE lang = 'en'
+    AND len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+deduped AS (
+  SELECT doc_id, text FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         substr(text, i * 256 + 1, 256) AS chunk
+  FROM (SELECT doc_id, text,
+               unnest(range(0, (greatest(length(text) - 1, 0)) // 256 + 1)) AS i
+        FROM deduped WHERE length(text) > 0)),
+toks AS (
+  SELECT doc_id % 4 AS shard, doc_id, chunk_id,
+         len(regexp_split_to_array(trim(chunk), '\s+')) AS n_tokens
+  FROM chunks),
+packed AS (
+  SELECT shard,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id)
+          - n_tokens) // 512 AS bin_id,
+         n_tokens
+  FROM toks)
+SELECT shard, bin_id, count(*) AS n_chunks, sum(n_tokens) AS tok
+FROM packed GROUP BY shard, bin_id ORDER BY shard, bin_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")

@@ -235,3 +235,19 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         id_col, "term", "tf", "df_t",
         F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6)
         .alias("tfidf"))
+
+
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
+                 k: int = 100) -> DataFrame:
+    """Top-k word n-grams by corpus frequency (n-gram asc tiebreak).
+
+    Reuses dedup's let-bound `_grams` higher-order expression, so the
+    tokenizing regex runs once per row and the gram construction is fully
+    row-local JVM code — the only shuffle is the count groupBy (map-side
+    partial agg), and the top-k is TakeOrderedAndProject."""
+    from .dedup import _grams, _let
+
+    gram = _let(tokens(F.lower(F.col(text_col))), lambda ws: _grams(ws, n))
+    return (df.select(F.explode(gram).alias("ngram"))
+            .groupBy("ngram").agg(F.count(F.lit(1)).alias("ngram_count"))
+            .orderBy(F.desc("ngram_count"), F.asc("ngram")).limit(k))

@@ -419,3 +419,29 @@ def test_deterministic_shuffle_is_stable_permutation(spark, docs):
     c = [r.doc_id for r in deterministic_shuffle(docs, "doc_id", salt="epoch2")
          .select("doc_id").collect()]
     assert a != c                      # new salt, new permutation
+
+
+def test_ngram_counts_match_python(spark, docs):
+    from collections import Counter
+
+    from framequery_spark.operators.text import ngram_counts
+
+    got = [(r.ngram, r.ngram_count)
+           for r in ngram_counts(docs, "text", 2, 15).collect()]
+    c = Counter()
+    for r in docs.select("text").collect():
+        ws = r.text.strip().lower().split()
+        c.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    assert got == sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+
+def test_trigram_counts_short_docs_excluded(spark):
+    import pandas as pd
+
+    from framequery_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"text": ["a b c d", "x y", "", "one"]}))
+    got = dict((r.ngram, r.ngram_count)
+               for r in ngram_counts(df, "text", 3, 10).collect())
+    assert got == {"a b c": 1, "b c d": 1}
