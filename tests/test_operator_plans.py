@@ -109,3 +109,42 @@ def test_asof_join_is_single_shuffle(tpch_scope):
     # as-of would shuffle both sides AND sort twice
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hash_split_is_shuffle_free(tpch_scope):
+    from framequery_spark.operators.sampling import hash_split
+
+    plan = formatted_plan(hash_split(tpch_scope["orders"], "o_orderkey"))
+    assert "Exchange" not in plan, plan  # narrow: label is row-local
+
+
+def test_pack_bins_single_shuffle(docs):
+    from framequery_spark.operators.packing import pack_bins
+    from framequery_spark.operators.text import token_count
+
+    import re
+
+    d = docs.withColumn("n_tokens", token_count(F.col("text")))
+    plan = formatted_plan(pack_bins(d, "n_tokens", 2048, "lang", ("doc_id",)))
+    # one window shuffle, no more (count detail-section headers, the tree
+    # prints each node a second time)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_tf_idf_broadcasts_corpus_size(docs):
+    from framequery_spark.operators.text import tf_idf
+
+    plan = formatted_plan(tf_idf(docs))
+    # N joins in via BroadcastExchange of a 1-row aggregate; the tf<->df_t
+    # join must NOT be a nested loop
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_topk_avoids_global_sort(docs):
+    from framequery_spark.operators.text import vocab_topk
+
+    plan = formatted_plan(vocab_topk(docs, "text", 10))
+    assert "TakeOrderedAndProject" in plan, plan
+    # partial aggregation must run before the exchange (map-side combine)
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
