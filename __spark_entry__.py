@@ -492,6 +492,15 @@ GROUP BY r_name
 ORDER BY r_name
 """)
 
+_q("q50_quantified_compare", """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_custkey = 1)
+   OR o_totalprice < ANY (SELECT o_totalprice FROM orders WHERE o_custkey = 2)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+
 _q("q49_recursive_months", """
 WITH RECURSIVE months(m) AS (
   SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12

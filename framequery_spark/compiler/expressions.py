@@ -525,6 +525,54 @@ class ExprCompiler:
 
     # -------------------------------------------------------------- subqueries
 
+    def _c_QuantComp(self, node: ast.QuantComp) -> Column:
+        """`x op ANY|ALL (subquery)` for ordering ops, with exact pg 3-valued
+        logic, via ONE 1-row aggregate of the subquery (count / null-count /
+        min / max) broadcast-cross-joined in — never a per-row subquery:
+
+          x > ALL(S):  FALSE if x <= max(S');  NULL if x is NULL (S nonempty)
+                       or S has NULLs;  else TRUE   (S' = non-null S; empty
+                       S -> TRUE).  ANY mirrors with min/max swapped.
+
+        A definite answer needs only the extreme value: x > ALL(S) is
+        refuted exactly by max(S') and witnessed by comparing against it."""
+        if self.executor is None or self.scope is None:
+            raise CompileError("quantified comparison requires an executor context")
+        op = node.op
+        if op not in ("<", "<=", ">", ">="):
+            raise CompileError(
+                f"{op} {node.quantifier.upper()} (subquery) is not supported: "
+                "use IN for = ANY and NOT IN for <> ALL")
+        sub_df = self.executor._compile_query(node.query, self.scope)
+        if len(sub_df.columns) != 1:
+            raise CompileError("quantified subquery must return exactly one column")
+        y = F.col(sub_df.columns[0])
+        i = self._scalar_counter
+        self._scalar_counter += 1
+        n, nn, mn, mx = (f"__q{i}_n", f"__q{i}_nn", f"__q{i}_mn", f"__q{i}_mx")
+        agg = sub_df.agg(F.count(F.lit(1)).alias(n),
+                         F.count(F.when(y.isNull(), F.lit(1))).alias(nn),
+                         F.min(y).alias(mn), F.max(y).alias(mx))
+        self.pending_scalar.append(((n, nn, mn, mx), agg))
+        x = self.compile(node.expr)
+        null_b = F.lit(None).cast("boolean")
+        if node.quantifier == "all":
+            # decided FALSE by the witness extreme; min/max ignore NULLs
+            refute = {"<": x >= F.col(mn), "<=": x > F.col(mn),
+                      ">": x <= F.col(mx), ">=": x < F.col(mx)}[op]
+            return (F.when(F.col(n) == 0, F.lit(True))
+                    .when(x.isNull(), null_b)
+                    .when(refute, F.lit(False))
+                    .when(F.col(nn) > 0, null_b)
+                    .otherwise(F.lit(True)))
+        witness = {"<": x < F.col(mx), "<=": x <= F.col(mx),
+                   ">": x > F.col(mn), ">=": x >= F.col(mn)}[op]
+        return (F.when(F.col(n) == 0, F.lit(False))
+                .when(x.isNull(), null_b)
+                .when(witness, F.lit(True))
+                .when(F.col(nn) > 0, null_b)
+                .otherwise(F.lit(False)))
+
     def _c_ScalarSubquery(self, node: ast.ScalarSubquery) -> Column:
         if self.executor is None or self.scope is None:
             raise CompileError("scalar subquery requires an executor context")

@@ -673,7 +673,8 @@ class QueryCompiler:
         names = []
         for name, sdf in ec.pending_scalar:
             df = df.crossJoin(F.broadcast(sdf))
-            names.append(name)
+            # quantified comparisons attach one multi-column aggregate
+            names.extend(name) if isinstance(name, tuple) else names.append(name)
         ec.pending_scalar.clear()
         for val, sdf, keys in ec.pending_correlated:
             cond = None

@@ -172,7 +172,9 @@ class Executor:
         if isinstance(node, ast.CopyTo):
             from ..sources.copy import write_csv
 
-            df = self.resolve_table(scope, node.table)
+            df = (self._compile_query(node.query, scope)
+                  if node.query is not None
+                  else self.resolve_table(scope, node.table))
             write_csv(self, df, node.path, dict(node.options))
             return None
         if isinstance(node, ast.ShowOption):

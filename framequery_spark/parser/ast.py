@@ -220,6 +220,19 @@ class Extract(Node):
 
 
 @dataclass(frozen=True)
+class QuantComp(Node):
+    """Quantified comparison `expr op ANY|SOME|ALL (subquery)` for ordering
+    operators (pg feature; beyond parity — the reference grammar has no
+    quantified comparisons). `= ANY` / `<> ALL` are IN / NOT IN and raise a
+    pointer to those."""
+
+    op: str  # '<' '<=' '>' '>='
+    expr: Node
+    quantifier: str  # 'any' | 'all'
+    query: Node
+
+
+@dataclass(frozen=True)
 class ScalarSubquery(Node):
     query: "Select"
 
@@ -359,9 +372,13 @@ class CopyFrom(Node):
 
 @dataclass(frozen=True)
 class CopyTo(Node):
+    """COPY t TO 'path', or pg's COPY (query) TO 'path' (query set, table
+    empty — beyond parity, reference grammar only has the table form)."""
+
     table: str
     path: str
     options: Tuple[Tuple[str, str], ...] = ()
+    query: Optional[Node] = None
 
 
 @dataclass(frozen=True)

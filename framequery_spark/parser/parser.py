@@ -135,10 +135,19 @@ class Parser:
 
     def parse_copy(self) -> ast.Node:
         self.expect_kw("copy")
-        table = ".".join(self.parse_dotted_name())
+        query = None
+        table = ""
+        if self.is_op("("):
+            self.advance()
+            query = self.parse_query()
+            self.expect_op(")")
+        else:
+            table = ".".join(self.parse_dotted_name())
         direction = self.accept_kw("from", "to")
         if direction is None:
             raise self.error("expected FROM or TO in COPY")
+        if query is not None and direction != "to":
+            raise self.error("COPY (query) supports only TO")
         tok = self.peek()
         if tok is None or tok.kind != "string":
             raise self.error("expected quoted path in COPY")
@@ -162,8 +171,10 @@ class Parser:
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
-        cls = ast.CopyFrom if direction == "from" else ast.CopyTo
-        return cls(table=table, path=path, options=tuple(options))
+        if direction == "from":
+            return ast.CopyFrom(table=table, path=path, options=tuple(options))
+        return ast.CopyTo(table=table, path=path, options=tuple(options),
+                          query=query)
 
     def parse_create_table_as(self) -> ast.CreateTableAs:
         self.expect_kw("create")
@@ -553,6 +564,18 @@ class Parser:
         while True:
             if self.is_op("=", "!=", "<>", "<", "<=", ">", ">="):
                 op = self.advance().value
+                # quantified comparison: op ANY|SOME|ALL (subquery)
+                if (self.is_kw("any", "some", "all") and self.is_op("(", offset=1)
+                        and self.is_kw("select", "with", offset=2)):
+                    quant = self.advance().value.lower()
+                    self.advance()  # (
+                    query = self.parse_query()
+                    self.expect_op(")")
+                    left = ast.QuantComp(
+                        op=op, expr=left,
+                        quantifier="any" if quant == "some" else quant,
+                        query=query)
+                    continue
                 right = self.parse_concat()
                 left = ast.Binary(op=op, left=left, right=right)
                 continue

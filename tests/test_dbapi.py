@@ -92,3 +92,25 @@ def test_pg_introspection_queries(conn):
     assert cur.fetchone() == ("read committed",)
     cur.execute("SELECT version() AS v")
     assert cur.fetchone()[0].startswith("PostgreSQL")
+
+
+def test_copy_query_to_roundtrip(spark, tmp_path):
+    import framequery_spark as fq
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"a": [3, 1, 2], "b": ["x", "y", "z"]}))}
+    ex = fq.Executor(scope=scope, spark=spark, basepath=str(tmp_path))
+    ex.execute("copy (select a, b from t where a >= 2 order by a) to 'out.csv' "
+               "with (format 'csv', header 'true')")
+    ex.execute("copy back from 'out.csv' with (format 'csv', header 'true')")
+    got = sorted(tuple(r) for r in ex.execute("select * from back").collect())
+    assert got == [(2, "z"), (3, "x")]
+
+
+def test_copy_query_from_rejected(spark):
+    import framequery_spark as fq
+
+    ex = fq.Executor(scope={}, spark=spark)
+    with pytest.raises(Exception, match="only TO"):
+        ex.execute("copy (select 1) from 'x.csv'")

@@ -374,3 +374,55 @@ def test_plain_cte_column_alias_list(spark, scope):
     q = ("with t2(p, q) as (select a, g from test) "
          "select p from t2 where q = 'y' order by p")
     assert rows(run(q, scope, spark)) == [(3,), (4,)]
+
+
+# --------------------------------------------------------------------------
+# quantified comparisons: op ANY/SOME/ALL (subquery)
+
+@pytest.fixture(scope="module")
+def qscope(spark):
+    return {
+        "t": spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "a double"),
+        "s": spark.createDataFrame([(2.0,), (3.0,)], "b double"),
+        "sn": spark.createDataFrame([(2.0,), (3.0,), (None,)], "b double"),
+        "se": spark.createDataFrame([], "b double"),
+    }
+
+
+def test_quantified_all_basic(spark, qscope):
+    q = "select a from t where a > all (select b from s) order by a"
+    assert rows(run(q, qscope, spark)) == [(4.0,)]
+
+
+def test_quantified_any_and_some(spark, qscope):
+    q1 = "select a from t where a >= any (select b from s) order by a"
+    q2 = "select a from t where a >= some (select b from s) order by a"
+    assert rows(run(q1, qscope, spark)) == [(2.0,), (3.0,), (4.0,)]
+    assert rows(run(q1, qscope, spark)) == rows(run(q2, qscope, spark))
+
+
+def test_quantified_three_valued_logic(spark, qscope):
+    # pg semantics: NULL in the set blocks a definite TRUE for ALL /
+    # definite FALSE for ANY; empty set -> ALL TRUE, ANY FALSE
+    q = ("select a, a > all (select b from sn) as r_all, "
+         "a > any (select b from sn) as r_any, "
+         "a > all (select b from se) as r_empty_all, "
+         "a > any (select b from se) as r_empty_any from t order by a nulls last")
+    assert rows(run(q, qscope, spark)) == [
+        (1.0, False, None, True, False),
+        (2.0, False, None, True, False),
+        (3.0, False, True, True, False),
+        (4.0, None, True, True, False),
+        (None, None, None, True, False),
+    ]
+
+
+def test_quantified_in_select_list_and_or(spark, qscope):
+    q = ("select a from t where a > all (select b from s) "
+         "or a < any (select b from s) order by a")
+    assert rows(run(q, qscope, spark)) == [(1.0,), (2.0,), (4.0,)]
+
+
+def test_quantified_eq_points_to_in(spark, qscope):
+    with pytest.raises(Exception, match="use IN"):
+        run("select a = any (select b from s) from t", qscope, spark)
