@@ -481,6 +481,8 @@ class ExprCompiler:
 
         if not self.window_allowed:
             raise CompileError("window functions not allowed in this clause")
+        if node.ref is not None:
+            raise CompileError(f"window \"{node.ref}\" is not defined")
         call = node.call
         spec = node.spec
         w = Window.partitionBy(*[self.compile(p) for p in spec.partition_by]) \

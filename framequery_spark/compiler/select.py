@@ -171,7 +171,32 @@ class QueryCompiler:
             out = out.union(f)
         return out
 
+    def _desugar_named_windows(self, sel: ast.Select) -> ast.Select:
+        """Replace `OVER w` references with the WINDOW clause's spec (a pure
+        AST rewrite before compilation, so the expression compiler never
+        sees a named reference)."""
+        specs = dict(sel.windows)
+
+        def fix(node):
+            if isinstance(node, ast.WindowCall) and node.ref is not None:
+                spec = specs.get(node.ref)
+                if spec is None:
+                    raise CompileError(f"window \"{node.ref}\" is not defined")
+                return ast.WindowCall(call=node.call, spec=spec)
+            return node
+
+        import dataclasses
+
+        return dataclasses.replace(
+            sel,
+            items=tuple(transform(i, fix) for i in sel.items),
+            order_by=tuple(transform(s, fix) for s in sel.order_by),
+            having=transform(sel.having, fix) if sel.having is not None else None,
+            windows=())
+
     def _compile_select_body(self, sel: ast.Select) -> DataFrame:
+        if sel.windows:
+            sel = self._desugar_named_windows(sel)
         if sel.from_ is not None:
             df = self.compile_relation(sel.from_)
         else:
@@ -603,6 +628,21 @@ class QueryCompiler:
     def compile_relation(self, rel: ast.Node) -> DataFrame:
         if isinstance(rel, ast.TableRef):
             df = self.session.resolve_table(self.scope, rel.name)
+            if rel.sample_percent is not None:
+                # TABLESAMPLE: Bernoulli row sampling (SYSTEM maps to the
+                # same — Spark has no block sampling). A row-local filter on
+                # the scan side: a 1% sample reads 1% forward of any shuffle.
+                # REPEATABLE(seed) uses an xxhash64-of-row threshold rather
+                # than Spark's sample(seed), which is not stable across
+                # actions; the hash filter is exactly repeatable (duplicate
+                # rows sample together — documented deviation).
+                frac = rel.sample_percent / 100.0
+                if rel.sample_seed is None:
+                    df = df.sample(frac)
+                else:
+                    h = F.abs(F.xxhash64(F.struct(*df.columns),
+                                         F.lit(rel.sample_seed)))
+                    df = df.filter(h % 1000000 < int(frac * 1000000))
             alias = rel.alias or rel.parts[-1]
             return df.alias(alias)
         if isinstance(rel, ast.SubqueryRel):

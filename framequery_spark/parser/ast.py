@@ -124,10 +124,13 @@ class WindowSpec(Node):
 @dataclass(frozen=True)
 class WindowCall(Node):
     """`call OVER (spec)` — reference parses this but never executes it
-    (reference: src/framequery/parser/_parser.py:380-389); we execute."""
+    (reference: src/framequery/parser/_parser.py:380-389); we execute.
+    `call OVER w` (named window) parses with spec=None + ref='w' and is
+    desugared against the SELECT's WINDOW clause before compilation."""
 
     call: Call
-    spec: WindowSpec
+    spec: Optional[WindowSpec]
+    ref: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -254,6 +257,9 @@ class TableRef(Node):
 
     parts: Tuple[str, ...]
     alias: Optional[str] = None
+    # pg TABLESAMPLE BERNOULLI|SYSTEM (percent) [REPEATABLE (seed)]
+    sample_percent: Optional[float] = None
+    sample_seed: Optional[int] = None
 
     @property
     def name(self) -> str:
@@ -345,6 +351,7 @@ class Select(Node):
     distinct: bool = False
     distinct_on: Tuple[Node, ...] = ()  # pg DISTINCT ON (reference xfail)
     ctes: Tuple[CTE, ...] = ()
+    windows: Tuple[Tuple[str, WindowSpec], ...] = ()  # pg WINDOW clause
 
 
 @dataclass(frozen=True)

@@ -36,6 +36,8 @@ RESERVED_STOP = {
     "cross", "lateral", "as", "and", "or", "not", "in", "is", "like", "ilike",
     "between", "case", "when", "then", "else", "end", "asc", "desc", "nulls",
     "distinct", "all", "by", "with", "using", "select",
+    # pg reserves these; keeping them alias-stoppers lets the clauses parse
+    "window", "tablesample", "fetch",
 }
 
 AGGREGATE_NAMES = {
@@ -274,6 +276,20 @@ class Parser:
             limit = None if self.accept_kw("all") else self.parse_expr()
         if self.accept_kw("offset"):
             offset = self.parse_expr()
+            self.accept_kw("row") or self.accept_kw("rows")  # ANSI form
+        if self.is_kw("fetch"):
+            # ANSI: FETCH FIRST|NEXT [n] ROW|ROWS ONLY  (== LIMIT n)
+            self.advance()
+            if self.accept_kw("first") is None and self.accept_kw("next") is None:
+                raise self.error("expected FIRST or NEXT after FETCH")
+            tok = self.peek()
+            if tok is not None and tok.kind == "number":
+                limit = self.parse_expr()
+            else:
+                limit = ast.Literal(1, "int")
+            if self.accept_kw("row") is None and self.accept_kw("rows") is None:
+                raise self.error("expected ROW or ROWS in FETCH")
+            self.expect_kw("only")
         if order_by or limit is not None or offset is not None:
             if isinstance(left, ast.SetOp):
                 left = ast.SetOp(op=left.op, left=left.left, right=left.right,
@@ -350,11 +366,21 @@ class Parser:
         having = None
         if self.accept_kw("having"):
             having = self.parse_expr()
+        windows: List[Tuple[str, ast.WindowSpec]] = []
+        if self.is_kw("window"):
+            self.advance()
+            while True:
+                wname = self.parse_name()
+                self.expect_kw("as")
+                windows.append((wname, self.parse_window_spec()))
+                if not self.accept_op(","):
+                    break
         # ORDER BY / LIMIT / OFFSET are parsed at the set-expression level
         # (parse_set_expr) so they bind to a whole UNION chain
         return ast.Select(
             items=items, from_=from_, where=where, group_by=group_by,
             having=having, distinct=distinct, distinct_on=distinct_on,
+            windows=tuple(windows),
         )
 
     def parse_order_by(self) -> Tuple[ast.SortItem, ...]:
@@ -490,7 +516,30 @@ class Parser:
                 name=parts[-1].lower(), args=tuple(args), alias=alias, lateral=lateral,
             )
         alias = self.parse_optional_alias()
-        return ast.TableRef(parts=tuple(parts), alias=alias)
+        sample_percent = sample_seed = None
+        if self.is_kw("tablesample"):
+            self.advance()
+            method = self.parse_name().lower()
+            if method not in ("bernoulli", "system"):
+                raise self.error("TABLESAMPLE method must be BERNOULLI or SYSTEM")
+            self.expect_op("(")
+            tok = self.peek()
+            if tok is None or tok.kind != "number":
+                raise self.error("expected sample percentage")
+            self.advance()
+            sample_percent = float(tok.value)
+            self.expect_op(")")
+            if self.accept_kw("repeatable"):
+                self.expect_op("(")
+                tok = self.peek()
+                if tok is None or tok.kind != "number":
+                    raise self.error("expected REPEATABLE seed")
+                self.advance()
+                sample_seed = int(float(tok.value))
+                self.expect_op(")")
+        return ast.TableRef(parts=tuple(parts), alias=alias,
+                            sample_percent=sample_percent,
+                            sample_seed=sample_seed)
 
     def parse_values(self) -> ast.Values:
         self.expect_kw("values")
@@ -888,8 +937,10 @@ class Parser:
                         order_within=order_within)
         if self.is_kw("over"):
             self.advance()
-            spec = self.parse_window_spec()
-            return ast.WindowCall(call=call, spec=spec)
+            if self.is_op("("):
+                return ast.WindowCall(call=call, spec=self.parse_window_spec())
+            # OVER w — named window from the WINDOW clause
+            return ast.WindowCall(call=call, spec=None, ref=self.parse_name())
         return call
 
     def parse_window_spec(self) -> ast.WindowSpec:
@@ -1023,6 +1074,7 @@ def _select_kwargs(sel: ast.Select) -> dict:
         "group_by": sel.group_by, "having": sel.having, "order_by": sel.order_by,
         "limit": sel.limit, "offset": sel.offset, "distinct": sel.distinct,
         "distinct_on": sel.distinct_on, "ctes": sel.ctes,
+        "windows": sel.windows,
     }
 
 

@@ -426,3 +426,48 @@ def test_quantified_in_select_list_and_or(spark, qscope):
 def test_quantified_eq_points_to_in(spark, qscope):
     with pytest.raises(Exception, match="use IN"):
         run("select a = any (select b from s) from t", qscope, spark)
+
+
+# --------------------------------------------------------------------------
+# named WINDOW clause, FETCH FIRST, TABLESAMPLE
+
+def test_named_window_clause_shared_spec(spark, scope):
+    q = ("select g, a, row_number() over w as rn, sum(a) over w as run "
+         "from test window w as (partition by g order by a) "
+         "order by g, a")
+    assert rows(run(q, scope, spark)) == [
+        ("x", 1, 1, 1), ("x", 2, 2, 3), ("y", 3, 1, 3), ("y", 4, 2, 7)]
+
+
+def test_named_window_multiple_defs(spark, scope):
+    q = ("select a, rank() over w1 as r, count(*) over w2 as n from test "
+         "window w1 as (order by a desc), w2 as (partition by g) "
+         "order by a")
+    assert rows(run(q, scope, spark)) == [
+        (1, 4, 2), (2, 3, 2), (3, 2, 2), (4, 1, 2)]
+
+
+def test_undefined_window_name_errors(spark, scope):
+    with pytest.raises(Exception, match="not defined"):
+        run("select row_number() over w from test", scope, spark)
+
+
+def test_fetch_first_and_offset_rows(spark, scope):
+    q = "select a from test order by a offset 1 rows fetch next 2 rows only"
+    assert rows(run(q, scope, spark)) == [(2,), (3,)]
+    q1 = "select a from test order by a fetch first row only"
+    assert rows(run(q1, scope, spark)) == [(1,)]
+
+
+def test_tablesample_bounds_and_repeatable(spark):
+    import framequery_spark as fq
+
+    big = {"n": spark.range(2000).toDF("x")}
+    a = rows(fq.execute(
+        "select count(*) as n from n tablesample bernoulli(25) repeatable(7)",
+        big, spark=spark))[0][0]
+    b = rows(fq.execute(
+        "select count(*) as n from n tablesample bernoulli(25) repeatable(7)",
+        big, spark=spark))[0][0]
+    assert 2000 * 0.1 < a < 2000 * 0.45   # loose Bernoulli bounds
+    assert a == b                          # repeatable seed
