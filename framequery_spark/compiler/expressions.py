@@ -366,10 +366,14 @@ class ExprCompiler:
 
     def _compile_agg(self, node: ast.Call) -> Column:
         name = node.name
+        if node.order_within:
+            # ordered aggregates handle FILTER themselves: CASE-wrapping the
+            # value arg here would turn filtered rows into NULL *elements*
+            # of the collected array (and would wrap the percentile
+            # fraction) instead of excluding the rows.
+            return self._compile_ordered_agg(node)
         if node.filter_where is not None:
             node = self._desugar_agg_filter(node)
-        if node.order_within:
-            return self._compile_ordered_agg(node)
         if name in ("percentile_disc", "mode") :
             raise CompileError(f"{name}() requires WITHIN GROUP (ORDER BY ...)")
         if name == "grouping":
@@ -419,9 +423,17 @@ class ExprCompiler:
         """Ordered-set aggregates: `percentile_cont/disc(f) WITHIN GROUP
         (ORDER BY c)`, `mode() WITHIN GROUP (ORDER BY c)`, and ordered
         `string_agg`/`array_agg` (either syntax). Beyond parity — the
-        reference grammar has no WITHIN GROUP."""
+        reference grammar has no WITHIN GROUP.
+
+        FILTER (WHERE c) semantics: filtered rows are excluded from the
+        aggregate entirely. For percentile/mode the sort-key value is
+        NULLed out (both ignore NULL inputs); for the collect family the
+        whole (keys, value) struct is NULLed so collect_list skips the row
+        while legitimately-NULL values in kept rows survive."""
         name = node.name
         keys = node.order_within
+        fcond = (self.compile(node.filter_where)
+                 if node.filter_where is not None else None)
         if name in ("percentile_cont", "percentile_disc"):
             if len(node.args) != 1 or len(keys) != 1:
                 raise CompileError(
@@ -429,6 +441,8 @@ class ExprCompiler:
                     "exactly one fraction and one sort key")
             frac = self.compile(node.args[0])
             col = self.compile(keys[0].expr)
+            if fcond is not None:
+                col = F.when(fcond, col)
             if name == "percentile_cont":
                 # DESC ordering: continuous percentile is symmetric,
                 # P_desc(f) == P_asc(1 - f)
@@ -449,7 +463,10 @@ class ExprCompiler:
                 raise CompileError("mode() WITHIN GROUP (ORDER BY col) takes "
                                    "no direct args and one sort key")
             # most frequent value; ties break arbitrarily (Spark F.mode)
-            return F.mode(self.compile(keys[0].expr))
+            col = self.compile(keys[0].expr)
+            if fcond is not None:
+                col = F.when(fcond, col)
+            return F.mode(col)
         if name in ("string_agg", "collect", "array_agg"):
             # deterministic ordered aggregation: collect structs of
             # (sort keys..., value), sort_array (lexicographic over fields —
@@ -464,7 +481,10 @@ class ExprCompiler:
             val = self.compile(node.args[0])
             parts = [self.compile(k.expr).alias(f"k{i}")
                      for i, k in enumerate(keys)] + [val.alias("v")]
-            arr = F.sort_array(F.collect_list(F.struct(*parts)),
+            entry = F.struct(*parts)
+            if fcond is not None:
+                entry = F.when(fcond, entry)  # collect_list skips NULL structs
+            arr = F.sort_array(F.collect_list(entry),
                                asc=ascending.pop())
             vals = F.transform(arr, lambda s: s["v"])
             if name == "string_agg":
@@ -667,7 +687,37 @@ class ExprCompiler:
         self.pending_correlated.append(
             (val, sub_df,
              [(oa, kn) for (oa, _), kn in zip(corr_pairs, key_names)]))
-        return F.col(val)
+        col = F.col(val)
+        fill = self._empty_group_fill(sel, sub_df, val)
+        if fill is not None:
+            col = F.coalesce(col, fill)
+        return col
+
+    def _empty_group_fill(self, sel: ast.Select, sub_df,
+                          val: str) -> Optional[Column]:
+        """Value the correlated subquery takes for outer rows with no
+        matching inner group. SQL semantics: the aggregate evaluated over
+        zero rows — 0 for count, NULL for sum/min/max/avg/... (the left
+        join's NULL is then already correct, PostgreSQL-verified). For a
+        bare aggregate call this is decided structurally; a composite
+        expression (count(*)+1, coalesce(sum(x), 0)) falls back to
+        evaluating the select item once over WHERE FALSE — a constant-fold
+        job at compile time, not a per-row cost."""
+        expr = sel.items[0].expr
+        dtype = sub_df.schema[val].dataType
+        if isinstance(expr, ast.Call) and expr.name.lower() in AGG_NAMES:
+            if expr.name.lower() in ("count", "approx_count_distinct"):
+                return F.lit(0).cast(dtype)
+            return None
+        empty = ast.Select(
+            items=(ast.SelectItem(expr=expr, alias=val),),
+            from_=sel.from_,
+            where=ast.Literal(value=False, kind="bool"),
+        )
+        row = self.executor._compile_query(empty, self.scope).first()
+        if row is None or row[0] is None:
+            return None
+        return F.lit(row[0]).cast(dtype)
 
     def _c_InSubquery(self, node: ast.InSubquery) -> Column:
         raise CompileError(

@@ -33,6 +33,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ts_seconds(col):
+    """Epoch seconds (fractional) from a time-ish column. The intermediate
+    cast("timestamp") makes TIMESTAMP_NTZ inputs work (Spark >=4.1 reads
+    parquet TIMESTAMP(NANOS) as NTZ, which cannot cast to double directly)
+    and is the identity for TIMESTAMP and for numeric epoch-second
+    columns."""
+    return col.cast("timestamp").cast("double")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: List[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: Optional[List[str]] = None,
@@ -99,8 +108,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
                .filter(F.col("__is_left") == 1))
 
     if tolerance_seconds is not None:
-        in_tol = (F.col("__ts").cast("double")
-                  - F.col(f"__m.{right_ts}").cast("double")) <= F.lit(float(tolerance_seconds))
+        in_tol = (_ts_seconds(F.col("__ts"))
+                  - _ts_seconds(F.col(f"__m.{right_ts}"))) <= F.lit(float(tolerance_seconds))
         matched = matched.withColumn(
             "__m", F.when(in_tol, F.col("__m")))
 
@@ -136,18 +145,18 @@ def range_join(left: DataFrame, right: DataFrame, on: List[str],
     r_ts_out = right_ts + suffix if right_ts in left.columns else right_ts
 
     r_b = renamed.withColumn(
-        "__bucket", F.floor(F.col(r_ts_out).cast("double") / width))
+        "__bucket", F.floor(_ts_seconds(F.col(r_ts_out)) / width))
     # left window [ts-upper, ts-lower) spans buckets floor((ts-upper)/w) ..
     # floor((ts-lower)/w) — at most 2 consecutive buckets since the window
     # length equals the bucket width.
-    lo = F.col(left_ts).cast("double") - F.lit(float(upper_seconds))
-    hi = F.col(left_ts).cast("double") - F.lit(float(lower_seconds))
+    lo = _ts_seconds(F.col(left_ts)) - F.lit(float(upper_seconds))
+    hi = _ts_seconds(F.col(left_ts)) - F.lit(float(lower_seconds))
     l_b = left.withColumn(
         "__bucket",
         F.explode(F.array_distinct(F.array(F.floor(lo / width),
                                            F.floor(hi / width)))))
 
     joined = l_b.join(r_b, on=on + ["__bucket"], how="inner")
-    rd = F.col(r_ts_out).cast("double")
+    rd = _ts_seconds(F.col(r_ts_out))
     exact = joined.filter((rd >= lo) & (rd < hi))
     return exact.drop("__bucket")

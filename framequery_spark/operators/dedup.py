@@ -431,7 +431,19 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         # inputs collapse to one group (no point shipping each row 16x).
         # cap at 64: shuffle volume is n_blocks x |data|, so past the cap we
         # grow per-group GEMM size instead of replication
-        n_blocks = min(64, max(1, -(-df.count() // rows_per_block)))
+        n_rows = df.count()
+        if n_rows > 1_000_000:
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dup_pairs without block_col is an EXACT "
+                f"all-pairs comparison — O(n^2) dot products over "
+                f"{n_rows} rows. The block-pair grid parallelizes the "
+                f"work but cannot shrink it; at this size use "
+                f"lsh_topk/minhash near-dup for candidate generation or "
+                f"pass block_col (an LSH/IVF bucket) to restrict "
+                f"comparisons.", RuntimeWarning, stacklevel=2)
+        n_blocks = min(64, max(1, -(-n_rows // rows_per_block)))
 
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
@@ -500,7 +512,12 @@ def levenshtein_pairs(df: DataFrame, id_col: str = "doc_id",
     join is an equi shuffle join on the bucket id — never an all-pairs
     cross join — and levenshtein (JVM built-in) runs only on candidates.
     Returns (id_a, id_b, distance) with id_a < id_b.
+
+    Soundness: two texts within `max_distance` edits can differ in length
+    by up to `max_distance`, so a band narrower than that would silently
+    drop valid pairs — the band is clamped up to max_distance.
     """
+    band = max(band, max_distance)
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.substring(F.col(text_col), 1, prefix).alias("__t"),

@@ -35,8 +35,18 @@ def pack_bins(df: DataFrame, token_col: str = "n_tokens", budget: int = 2048,
     At scale the window partitions by `shard_col` (source, language, shard
     id) so packing parallelizes per shard; shard_col=None means ONE global
     sequence — fine for tests, a single-reducer bottleneck at 100 TB, so
-    pass a shard at scale.
+    pass a shard at scale (a RuntimeWarning fires on the unsharded path to
+    keep the unsafe default from going to production silently).
     """
+    if shard_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_bins(shard_col=None) packs ONE global sequence — the "
+            "window funnels every row through a single reducer. Pass "
+            "shard_col (source / language / shard id) for any dataset "
+            "larger than one executor's memory.",
+            RuntimeWarning, stacklevel=2)
     part = [F.col(shard_col)] if shard_col else [F.lit(0)]
     w = Window.partitionBy(*part).orderBy(*[F.col(c) for c in order_cols])
     start = F.sum(token_col).over(w) - F.col(token_col)

@@ -44,12 +44,38 @@ def write_csv(session, df: DataFrame, path: str, options: Dict[str, str]) -> Non
     if fmt == "json":
         df.write.mode("overwrite").json(full)
         return
+    sep = options.get("delimiter", ",")
     if str(options.get("single_file", "true")).lower() in ("true", "1", "yes"):
-        # single-file parity with the reference (pandas .to_csv); only for
-        # small results — the distributed path writes a directory
-        df.toPandas().to_csv(full, sep=options.get("delimiter", ","), index=False)
+        _write_single_csv(df, full, sep)
     else:
         (df.write.mode("overwrite")
          .option("header", "true")
-         .option("sep", options.get("delimiter", ","))
+         .option("sep", sep)
          .csv(full))
+
+
+def _write_single_csv(df: DataFrame, full: str, sep: str) -> None:
+    """Single-file COPY TO (reference parity: one CSV file, not a
+    directory) without materializing the result on the driver: executors
+    format the CSV in parallel via the distributed writer, then the driver
+    streams the part files into the target with constant memory
+    (shutil.copyfileobj). Replaces the old `df.toPandas().to_csv(...)`
+    path, which held the whole result in driver memory. Part files sort in
+    partition order and rows keep their within-partition order, so output
+    order matches the frame's order, same as before."""
+    import glob
+    import shutil
+
+    tmp = full + ".__spark_tmp__"
+    (df.write.mode("overwrite")
+     .option("header", "false")
+     .option("sep", sep)
+     .option("emptyValue", "")
+     .csv(tmp))
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    with open(full, "w", encoding="utf-8", newline="") as out:
+        out.write(sep.join(df.columns) + "\n")
+        for p in parts:
+            with open(p, "r", encoding="utf-8", newline="") as fh:
+                shutil.copyfileobj(fh, out)
+    shutil.rmtree(tmp)

@@ -38,31 +38,28 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set(key, old)
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-based stream over the events parquet; ns epoch -> timestamp.
-    FileStreamSource wants a directory — a single-file path is turned into
-    (parent dir + pathGlobFilter)."""
+    """File-based stream over the events parquet; event-time normalized to
+    session-timezone TIMESTAMP. The stream schema is probed from a batch
+    read of the same path rather than hardcoded: Spark <=4.0 (with the
+    nanosAsLong legacy flag) materializes parquet TIMESTAMP(NANOS) as
+    LongType raw nanos while Spark >=4.1 reads it natively as
+    TIMESTAMP_NTZ, and declaring the wrong one either errors or silently
+    rescales the values. FileStreamSource wants a directory — a single-file
+    path is turned into (parent dir + pathGlobFilter)."""
     import os
 
+    from ..sources.testdata import normalize_ts_column
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         parent, fname = os.path.split(path)
         reader = reader.option("pathGlobFilter", fname)
         path = parent
     raw = reader.parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts_column(raw, "ts")
 
 
 def windowed_event_stats(events: DataFrame, window: str = "1 hour",
@@ -156,8 +153,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy("ts")
     prev_ts = F.lag("ts").over(w)
-    # microsecond precision (unix_timestamp would truncate sub-second gaps)
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    # microsecond precision (unix_timestamp would truncate sub-second gaps);
+    # cast("timestamp") first so TIMESTAMP_NTZ inputs (Spark >=4.1 parquet
+    # nanos reads) are accepted — unix_micros rejects NTZ directly.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(prev_ts.cast("timestamp"))
     new_session = F.when(
         prev_ts.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     session_idx = F.sum(new_session).over(

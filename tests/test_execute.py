@@ -159,6 +159,31 @@ def test_scalar_subquery(spark, scope):
     assert rows(run(q, scope, spark)) == [(4,)]
 
 
+def test_correlated_count_subquery_empty_group_is_zero(spark, scope):
+    # PostgreSQL/DuckDB: count() over an empty correlated group is 0, not
+    # NULL — test rows a=3,4 have no match in other.
+    q = ("select a, (select count(*) from other o where o.a = test.a) as n "
+         "from test order by a")
+    assert rows(run(q, scope, spark)) == [(1, 1), (2, 1), (3, 0), (4, 0)]
+    q = ("select a, (select count(c) from other o where o.a = test.a) as n "
+         "from test order by a")
+    assert rows(run(q, scope, spark)) == [(1, 1), (2, 1), (3, 0), (4, 0)]
+
+
+def test_correlated_sum_subquery_empty_group_stays_null(spark, scope):
+    q = ("select a, (select sum(o.a) from other o where o.a = test.a) as s "
+         "from test order by a")
+    assert rows(run(q, scope, spark)) == [(1, 1), (2, 2), (3, None), (4, None)]
+
+
+def test_correlated_count_expr_subquery_empty_group(spark, scope):
+    # composite aggregate expression: empty-group value comes from the
+    # WHERE-FALSE constant fold (count(*)+1 over zero rows = 1)
+    q = ("select a, (select count(*) + 1 from other o where o.a = test.a) "
+         "as n from test order by a")
+    assert rows(run(q, scope, spark)) == [(1, 2), (2, 2), (3, 1), (4, 1)]
+
+
 def test_in_subquery(spark, scope):
     q = "select a from test where a in (select a from other)"
     assert rows(run(q, scope, spark)) == [(1,), (2,)]
@@ -331,6 +356,32 @@ def test_string_agg_ordered_both_syntaxes(spark, scope):
 def test_array_agg_ordered(spark, scope):
     q = "select array_agg(a order by b desc) as xs from test"
     assert rows(run(q, scope, spark)) == [([4, 3, 2, 1],)]
+
+
+def test_array_agg_ordered_with_filter_excludes_rows(spark, scope):
+    # filtered rows must vanish, not become NULL elements
+    q = ("select array_agg(a order by b desc) filter (where a <> 2) as xs "
+         "from test")
+    assert rows(run(q, scope, spark)) == [([4, 3, 1],)]
+
+
+def test_string_agg_ordered_with_filter(spark, scope):
+    q = ("select string_agg(g, ',' order by a) filter (where a > 1) as j "
+         "from test")
+    assert rows(run(q, scope, spark)) == [("x,y,y",)]
+
+
+def test_percentile_cont_within_group_with_filter(spark, scope):
+    # over {2,3,4} (a>1): median = 3; FILTER must hit the rows, not the frac
+    q = ("select percentile_cont(0.5) within group (order by a) "
+         "filter (where a > 1) as p from test")
+    assert rows(run(q, scope, spark)) == [(3.0,)]
+
+
+def test_mode_within_group_with_filter(spark, scope):
+    q = ("select mode() within group (order by g) "
+         "filter (where a >= 3) as m from test")
+    assert rows(run(q, scope, spark)) == [("y",)]
 
 
 # --------------------------------------------------------------------------
