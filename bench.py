@@ -86,28 +86,41 @@ def main() -> None:
         print(f"bench: scope warmup failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # n>=3 repetitions, median per query: single runs showed +-2-4s swings
+    # on the heavier operators across rounds (GC/compile noise), which made
+    # real regressions indistinguishable from variance.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
-        except Exception as exc:  # a failing query should not zero the bench
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        runs: list[float] = []
+        failed = False
+        for r in range(reps):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = len(df.collect())
+            except Exception as exc:  # a failing query must not zero the bench
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                failed = True
+                break
+            runs.append(time.perf_counter() - t0)
+            # queries are independent: drop persisted intermediates the
+            # operators leave behind and collect the query's garbage now,
+            # all outside the timed window — otherwise the async
+            # ContextCleaner/GC work lands unpredictably inside LATER timed
+            # runs (observed as ±2-4 s noise on individual queries)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        if failed or not runs:
             timings[name] = -1.0
             continue
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"bench: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        # queries are independent: drop persisted intermediates the
-        # operators leave behind and collect the query's garbage now, all
-        # outside the timed window — otherwise the async ContextCleaner/GC
-        # work lands unpredictably inside LATER timed queries (observed as
-        # ±2-4 s noise on individual queries)
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
+        med = sorted(runs)[len(runs) // 2]
+        timings[name] = round(med, 3)
+        total += med
+        print(f"bench: {name}: median {med:.3f}s over {len(runs)} runs "
+              f"[{', '.join(f'{x:.3f}' for x in runs)}] ({n} rows)",
+              file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -120,6 +133,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "reps": reps,
+        "aggregation": "median_per_query",
     }))
 
 

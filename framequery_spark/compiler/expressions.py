@@ -22,6 +22,35 @@ from pyspark.sql import functions as F
 from ..functions.registry import REGISTRY
 from ..parser import ast
 
+def _multiset_fusion(c):
+    """SQL:2003 FUSION: multiset union-all of the group's array values.
+    Canonical (sorted) representation — multisets are unordered, and
+    collect_list order is partition-dependent. The reference parses
+    fusion/intersection (reference: src/framequery/parser/_parser.py:323-334)
+    but cannot execute them (its pandas groupby has no such aggs,
+    src/framequery/executor/_pandas.py:167-181); semantics here follow the
+    SQL standard."""
+    return F.sort_array(F.flatten(F.collect_list(c)))
+
+
+def _multiset_intersection(c):
+    """SQL:2003 INTERSECTION: for each distinct element, min(count) across
+    the group's multisets. Pure higher-order-function expression — per-group
+    cost O(distinct_values x rows), no Python in the loop."""
+    arrs = F.collect_list(c)
+    vals = F.array_distinct(F.flatten(arrs))
+    counted = F.transform(vals, lambda v: F.struct(
+        v.alias("v"),
+        F.reduce(
+            arrs, F.lit(2147483647),
+            lambda m, arr: F.least(
+                m, F.size(F.filter(arr, lambda e: e.eqNullSafe(v))))
+        ).alias("n")))
+    return F.sort_array(
+        F.flatten(F.transform(counted,
+                              lambda s: F.array_repeat(s["v"], s["n"]))))
+
+
 AGG_MAP = {
     "sum": lambda c: F.sum(c),
     "avg": lambda c: F.avg(c),
@@ -46,6 +75,8 @@ AGG_MAP = {
     "last_value_agg": lambda c: F.last(c),
     "median": lambda c: F.median(c),
     "approx_count_distinct": lambda c: F.approx_count_distinct(c),
+    "fusion": _multiset_fusion,
+    "intersection": _multiset_intersection,
 }
 
 AGG_NAMES = set(AGG_MAP) | {
@@ -633,10 +664,25 @@ class ExprCompiler:
         if not contains_aggregate(sel.items[0].expr, AGG_NAMES):
             return None
         inner_aliases = _relation_aliases(sel.from_)
+        # Unqualified refs resolve inner-first (SQL scoping); one that names
+        # no inner column is an outer correlation ref (pg allows
+        # `WHERE o.k = outer_col` without qualifying outer_col). The inner
+        # relation is compiled once, lazily, just to read its column set.
+        try:
+            from .select import QueryCompiler
+
+            inner_cols = {
+                c.lower()
+                for c in QueryCompiler(self.executor, self.scope)
+                .compile_relation(sel.from_).columns}
+        except Exception:
+            inner_cols = None  # treat unqualified refs as inner (old rule)
 
         def is_outer(ref: ast.ColumnRef) -> bool:
-            return (len(ref.parts) > 1
-                    and ref.parts[0].lower() not in inner_aliases)
+            if len(ref.parts) > 1:
+                return ref.parts[0].lower() not in inner_aliases
+            return (inner_cols is not None
+                    and ref.parts[0].lower() not in inner_cols)
 
         def has_outer(node: ast.Node) -> bool:
             from .rewrite import walk

@@ -611,8 +611,12 @@ class Parser:
     def parse_predicate(self) -> ast.Node:
         left = self.parse_concat()
         while True:
-            if self.is_op("=", "!=", "<>", "<", "<=", ">", ">="):
+            if self.is_op("=", "!=", "<>", "<", "<=", ">", ">=", "!>", "!<"):
+                # T-SQL negated comparisons (tokenized by the reference,
+                # reference: src/framequery/parser/_parser.py:206):
+                # !> is "not greater" == <=, !< is "not less" == >=
                 op = self.advance().value
+                op = {"!>": "<=", "!<": ">="}.get(op, op)
                 # quantified comparison: op ANY|SOME|ALL (subquery)
                 if (self.is_kw("any", "some", "all") and self.is_op("(", offset=1)
                         and self.is_kw("select", "with", offset=2)):

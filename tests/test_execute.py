@@ -170,6 +170,19 @@ def test_correlated_count_subquery_empty_group_is_zero(spark, scope):
     assert rows(run(q, scope, spark)) == [(1, 1), (2, 1), (3, 0), (4, 0)]
 
 
+def test_correlated_subquery_unqualified_outer_ref(spark, scope):
+    # pg scoping: an unqualified ref that names no inner column resolves to
+    # the outer relation ('g' exists only in test, not other)
+    q = ("select g, (select count(*) from other o where o.c = g) as n "
+         "from test order by g")
+    assert rows(run(q, scope, spark)) == [
+        ("x", 0), ("x", 0), ("y", 0), ("y", 0)]
+    # and a shared name keeps resolving inner-first
+    q = "select a, (select max(a) from other) as m from test order by a"
+    out = rows(run(q, scope, spark))
+    assert out == [(1, 5), (2, 5), (3, 5), (4, 5)]
+
+
 def test_correlated_sum_subquery_empty_group_stays_null(spark, scope):
     q = ("select a, (select sum(o.a) from other o where o.a = test.a) as s "
          "from test order by a")
@@ -382,6 +395,26 @@ def test_mode_within_group_with_filter(spark, scope):
     q = ("select mode() within group (order by g) "
          "filter (where a >= 3) as m from test")
     assert rows(run(q, scope, spark)) == [("y",)]
+
+
+# --------------------------------------------------------------------------
+# SQL:2003 multiset aggregates (reference parses but cannot execute these)
+
+@pytest.fixture(scope="module")
+def multiset_scope(spark):
+    return {"t": spark.createDataFrame(pd.DataFrame({
+        "g": ["x", "x", "y"], "m": [[1, 2, 2, 3], [2, 2, 4], [7]]}))}
+
+
+def test_fusion_multiset_union_all(spark, multiset_scope):
+    q = "select g, fusion(m) as f from t group by g order by g"
+    assert rows(run(q, multiset_scope, spark)) == [
+        ("x", [1, 2, 2, 2, 2, 3, 4]), ("y", [7])]
+
+
+def test_intersection_multiset_min_counts(spark, multiset_scope):
+    q = "select g, intersection(m) as i from t group by g order by g"
+    assert rows(run(q, multiset_scope, spark)) == [("x", [2, 2]), ("y", [7])]
 
 
 # --------------------------------------------------------------------------

@@ -113,3 +113,11 @@ def test_lateral_parses():
     node = parse("select * from t, lateral json_each(t.payload) as kv")
     assert node.from_.right.lateral is True
     assert node.from_.right.name == "json_each"
+
+
+def test_tsql_negated_comparisons_normalize():
+    # !> ("not greater") == <=, !< ("not less") == >=
+    node = parse("select * from t where a !> 3 and b !< 1")
+    conj = node.where
+    assert conj.left.op == "<="
+    assert conj.right.op == ">="
