@@ -693,6 +693,13 @@ def _op_sessions(spark, sf_dir):
     return session_stats(_scope(spark, sf_dir)["events"], gap_minutes=30)
 
 
+def _op_stream_sessions(spark, sf_dir):
+    from framequery_spark.streaming.stream import stream_session_stats
+
+    return stream_session_stats(spark, f"{sf_dir}/events.parquet",
+                                gap="30 minutes")
+
+
 _op("op_text_stats", _op_text_stats, _text_stats_oracle())
 
 _op("op_exact_dedup", _op_exact_dedup, """
@@ -764,6 +771,26 @@ s AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        round(sum(value), 2) AS sum_value, min(ts) AS session_start
 FROM s GROUP BY 1, 2
+""")
+
+
+# Spark merges an event into an open session only while ts < last_ts + gap,
+# so a gap of exactly 30 min STARTS a new session -> oracle uses >=.
+_op("op_stream_sessions", _op_stream_sessions, """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
 """)
 
 

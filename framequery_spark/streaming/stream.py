@@ -75,6 +75,22 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour",
                     "n", "sum_value"))
 
 
+def _run_to_memory(spark: SparkSession, agg: DataFrame, prefix: str,
+                   mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion (Trigger.AvailableNow,
+    memory sink) and return the sink table as a DataFrame."""
+    name = prefix + uuid.uuid4().hex[:12]
+    with _stream_shuffle_partitions(spark, 8):
+        q = (agg.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode(mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_to_df(spark: SparkSession, events_path: str,
                      window: str = "1 hour") -> DataFrame:
     """Run the windowed aggregation as a real streaming query
@@ -82,16 +98,33 @@ def run_stream_to_df(spark: SparkSession, events_path: str,
     result as a DataFrame."""
     stream = read_event_stream(spark, events_path)
     agg = windowed_event_stats(stream, window=window)
-    name = "stream_" + uuid.uuid4().hex[:12]
-    with _stream_shuffle_partitions(spark, 8):
-        q = (agg.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode("complete")
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(spark, agg, "stream_")
+
+
+def stream_session_stats(spark: SparkSession, events_path: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Native Spark stateful sessionization: per-user session windows that
+    close after `gap` of inactivity, as a real streaming query
+    (F.session_window — the state store merges windows as events arrive;
+    the watermark bounds state and admits late data up to its horizon).
+
+    Session semantics match the batch `sessionize`/oracle: a new session
+    starts when the gap from the previous event is >= `gap` (Spark merges
+    an event into a session only while ts < session_end = last_ts + gap).
+    Output: (user_id, session_start, n_events, sum_value) — session_start
+    is the first event's timestamp, so batch and streaming agree exactly.
+    """
+    stream = read_event_stream(spark, events_path)
+    agg = (stream
+           .withWatermark("ts", watermark)
+           .groupBy(F.col("user_id"),
+                    F.session_window("ts", gap).alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"))
+           .select("user_id", F.col("w.start").alias("session_start"),
+                   "n_events", "sum_value"))
+    return _run_to_memory(spark, agg, "sessions_")
 
 
 def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
@@ -129,12 +162,7 @@ def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
     agg = (stream.groupBy("user_id")
            .applyInPandasWithState(update, out_schema, state_schema,
                                    "update", GroupStateTimeout.NoTimeout))
-    name = "stateful_" + uuid.uuid4().hex[:12]
-    with _stream_shuffle_partitions(spark, 8):
-        q = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination()
-    latest = spark.table(name)
+    latest = _run_to_memory(spark, agg, "stateful_", mode="update")
     # update mode appends one row per user per batch; keep the last emission
     from pyspark.sql import Window
 
