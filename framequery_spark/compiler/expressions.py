@@ -360,6 +360,8 @@ class ExprCompiler:
 
     def _c_Call(self, node: ast.Call) -> Column:
         name = node.name
+        if name in ("__json_arrow", "__json_arrow_text"):
+            return self._compile_json_arrow(node)
         if name in AGG_NAMES:
             if not self.agg_context:
                 raise CompileError(
@@ -374,6 +376,25 @@ class ExprCompiler:
             args = [self.compile(a) for a in node.args]
             return REGISTRY[name](args)
         raise CompileError(f"unknown function: {name}")
+
+    def _compile_json_arrow(self, node: ast.Call) -> Column:
+        """pg `json -> key` / `json ->> key` (beyond parity — the reference
+        surfaces json only via `::json` + `json_each`). Compiles to JVM
+        get_json_object with a JSONPath built from the literal key: string
+        key -> field access, int key -> array index. Chaining works
+        (`a->'b'->>'c'`) because nested objects come back as json text.
+        Deviation from pg: scalar values are unquoted for `->` as well
+        (get_json_object always unwraps scalars)."""
+        obj = self.compile(node.args[0])
+        key = node.args[1]
+        if isinstance(key, ast.Literal) and key.kind == "string":
+            k = key.value
+            path = f"$.{k}" if k.replace("_", "a").isalnum() else f"$['{k}']"
+        elif isinstance(key, ast.Literal) and key.kind == "int":
+            path = f"$[{key.value}]"
+        else:
+            raise CompileError("-> / ->> requires a literal string or int key")
+        return F.get_json_object(obj, path)
 
     @staticmethod
     def _desugar_agg_filter(node: ast.Call) -> ast.Call:

@@ -772,6 +772,14 @@ class Parser:
                 self.expect_op("]")
                 node = ast.Call(name="__subscript", args=(node, index))
                 continue
+            if self.is_op("->", "->>"):
+                # pg JSON access: -> keeps json (chainable), ->> gets text
+                op = self.advance().value
+                key = self.parse_primary()
+                node = ast.Call(
+                    name="__json_arrow" if op == "->" else "__json_arrow_text",
+                    args=(node, key))
+                continue
             break
         return node
 

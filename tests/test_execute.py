@@ -398,6 +398,29 @@ def test_mode_within_group_with_filter(spark, scope):
 
 
 # --------------------------------------------------------------------------
+# pg JSON arrow operators (beyond parity)
+
+@pytest.fixture(scope="module")
+def json_scope(spark):
+    return {"j": spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2],
+        "doc": ['{"a": {"b": "x"}, "n": 7, "arr": [10, 20]}',
+                '{"a": {"b": "y"}, "n": 8, "arr": [30]}'],
+    }))}
+
+
+def test_json_arrow_field_and_chain(spark, json_scope):
+    q = ("select id, doc -> 'a' ->> 'b' as ab, doc ->> 'n' as n "
+         "from j order by id")
+    assert rows(run(q, json_scope, spark)) == [(1, "x", "7"), (2, "y", "8")]
+
+
+def test_json_arrow_array_index(spark, json_scope):
+    q = "select id, doc -> 'arr' ->> 0 as first from j order by id"
+    assert rows(run(q, json_scope, spark)) == [(1, "10"), (2, "30")]
+
+
+# --------------------------------------------------------------------------
 # SQL:2003 multiset aggregates (reference parses but cannot execute these)
 
 @pytest.fixture(scope="module")
