@@ -794,6 +794,72 @@ FROM s GROUP BY user_id, session_id
 """)
 
 
+def _op_pii_scrub(spark, sf_dir):
+    """PII redaction over documents. The testdata has no natural PII, so a
+    deterministic synthetic email+phone is appended per doc (mirrored in
+    the oracle) — every row exercises the actual replacement path."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import pii_scrub
+
+    docs = _scope(spark, sf_dir)["documents"]
+    docs = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com or 555-123-4567.")))
+    return pii_scrub(docs).select("doc_id", "clean_text", "pii_found")
+
+
+_op("op_pii_scrub", _op_pii_scrub, r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567.' AS text
+  FROM documents),
+c AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<ssn>', 'g'),
+             '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<phone>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g') AS clean_text
+  FROM t)
+SELECT doc_id, clean_text, clean_text <> text AS pii_found FROM c
+""")
+
+
+def _op_repetition_stats(spark, sf_dir):
+    from framequery_spark.operators.text import repetition_stats
+
+    return repetition_stats(_scope(spark, sf_dir)["documents"])
+
+
+_op("op_repetition_stats", _op_repetition_stats, r"""
+WITH base AS (
+  SELECT doc_id,
+         str_split_regex(trim(lower(text)), '\s+') AS toks,
+         list_filter(str_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS ls
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM base),
+freq AS (
+  SELECT doc_id, max(c) AS maxc, sum(c) AS n FROM (
+    SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       round(CASE WHEN len(ls) > 0
+                  THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                  ELSE 0.0 END, 4) AS dup_line_ratio,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+         AS dup_token_ratio,
+       round(CAST(f.maxc AS DOUBLE) / f.n, 4) AS top_token_ratio
+FROM base b JOIN freq f USING (doc_id)
+""")
+
+
 def _op_asof_join(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -77,6 +77,12 @@ AGG_MAP = {
     "approx_count_distinct": lambda c: F.approx_count_distinct(c),
     "fusion": _multiset_fusion,
     "intersection": _multiset_intersection,
+    # Datasketches HLL (beyond parity): the mergeable-sketch pattern for
+    # distinct counts at 100 TB — partial sketches merge map-side, only
+    # fixed-size binaries shuffle, and sketches stored per partition/day
+    # can be re-merged later without rescanning (hll_union_agg).
+    "hll_sketch_agg": lambda c: F.hll_sketch_agg(c),
+    "hll_union_agg": lambda c: F.hll_union_agg(c),
 }
 
 AGG_NAMES = set(AGG_MAP) | {

@@ -230,6 +230,11 @@ def _cosine(a):
     return _dot(a) / (_l2norm([a[0]]) * _l2norm([a[1]]))
 
 
+# ------------------------------------------------- sketches (Datasketches)
+_fixed("hll_sketch_estimate", lambda a: F.hll_sketch_estimate(a[0]))
+_fixed("hll_union", lambda a: F.hll_union(a[0], a[1]))
+
+
 # ------------------------------------------------------------------- json
 _fixed("json_extract", lambda a: F.call_function("get_json_object", a[0], a[1]), "json_extract_path_text")
 

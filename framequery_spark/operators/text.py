@@ -251,3 +251,83 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
     return (df.select(F.explode(gram).alias("ngram"))
             .groupBy("ngram").agg(F.count(F.lit(1)).alias("ngram_count"))
             .orderBy(F.desc("ngram_count"), F.asc("ngram")).limit(k))
+
+
+# ------------------------------------------------------------ PII scrubbing
+
+# Conservative, fixed-shape patterns valid in both Java regex (Spark JVM)
+# and RE2 (DuckDB oracle) so the scrub is engine-exact. Order matters:
+# email before phone so the phone pattern cannot eat digits of an address.
+PII_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(text: Column, kinds: List[str] = None) -> Column:
+    """Replace PII spans with `<kind>` placeholders. Pure chained JVM
+    regexp_replace — codegen'd, zero shuffle, linear scan per row."""
+    out = text
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "clean_text",
+              kinds: List[str] = None) -> DataFrame:
+    """Dataset-level PII scrub: adds `out_col` plus a `pii_found` flag
+    (whether anything was redacted) for downstream filtering/metrics."""
+    clean = scrub_pii(F.col(text_col), kinds)
+    return (df.withColumn(out_col, clean)
+            .withColumn("pii_found", F.col(text_col) != F.col(out_col)))
+
+
+# ----------------------------------------------------- repetition / quality
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document, all row-local JVM
+    expressions (one codegen stage, zero shuffle):
+
+      - dup_line_ratio:  1 - distinct_lines / lines
+      - dup_token_ratio: 1 - distinct_tokens / tokens
+      - top_token_ratio: occurrences of the most frequent token / tokens
+
+    High values flag boilerplate/spam for quality filtering. top_token_ratio
+    uses a sorted-token trick (aggregate over the sorted array counting the
+    longest equal run) so no per-row map state is needed."""
+    toks = tokens(F.lower(F.col(text_col)))
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_tok = F.size(toks)
+    n_lines = F.size(lines)
+    dup_line = F.when(n_lines > 0,
+                      1.0 - F.size(F.array_distinct(lines)) / n_lines
+                      ).otherwise(0.0)
+    dup_tok = F.when(n_tok > 0,
+                     1.0 - F.size(F.array_distinct(toks)) / n_tok
+                     ).otherwise(0.0)
+    # longest equal run over the sorted tokens == max token frequency
+    sorted_toks = F.sort_array(toks)
+    runs = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    top_tok = F.when(n_tok > 0, runs / n_tok).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.round(dup_line, 4).alias("dup_line_ratio"),
+        F.round(dup_tok, 4).alias("dup_token_ratio"),
+        F.round(top_tok, 4).alias("top_token_ratio"))

@@ -441,6 +441,18 @@ def test_intersection_multiset_min_counts(spark, multiset_scope):
 
 
 # --------------------------------------------------------------------------
+# Datasketches HLL (mergeable-sketch distinct counts; beyond parity)
+
+def test_hll_sketch_group_union_estimate(spark, scope):
+    # sketches built per group merge into a global estimate — the
+    # partial-aggregate pattern that scales distinct counts to 100 TB
+    q = ("with sk as (select g, hll_sketch_agg(a) as s from test group by g) "
+         "select hll_sketch_estimate(hll_union(a.s, b.s)) as est "
+         "from sk a join sk b on a.g = 'x' and b.g = 'y'")
+    assert rows(run(q, scope, spark)) == [(4,)]
+
+
+# --------------------------------------------------------------------------
 # WITH RECURSIVE (beyond reference parity)
 
 def test_recursive_union_all_sequence(spark, scope):

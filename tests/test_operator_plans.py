@@ -148,3 +148,11 @@ def test_vocab_topk_avoids_global_sort(docs):
     assert "TakeOrderedAndProject" in plan, plan
     # partial aggregation must run before the exchange (map-side combine)
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_pii_scrub_and_repetition_are_shuffle_free(docs):
+    from framequery_spark.operators.text import pii_scrub, repetition_stats
+
+    for df in (pii_scrub(docs), repetition_stats(docs)):
+        plan = formatted_plan(df)
+        assert "Exchange" not in plan, plan

@@ -445,3 +445,37 @@ def test_trigram_counts_short_docs_excluded(spark):
     got = dict((r.ngram, r.ngram_count)
                for r in ngram_counts(df, "text", 3, 10).collect())
     assert got == {"a b c": 1, "b c d": 1}
+
+
+# ------------------------------------------------------------- pii / repetition
+
+
+def test_scrub_pii_kinds_and_order(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail a.b-c@x-mail.co.uk now",
+                 "ssn 123-45-6789 ip 10.0.0.255 phone 555-123-4567",
+                 "clean text, no pii at all"],
+    }))
+    out = {r["doc_id"]: (r["clean_text"], r["pii_found"])
+           for r in TX.pii_scrub(df).collect()}
+    assert out[1] == ("mail <email> now", True)
+    assert out[2] == ("ssn <ssn> ip <ipv4> phone <phone>", True)
+    assert out[3] == ("clean text, no pii at all", False)
+
+
+def test_repetition_stats_edges(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a a",                 # one token repeated
+                 "x\nx\ny\n\n",             # dup lines (blank dropped)
+                 "all words differ here"],
+    }))
+    out = {r["doc_id"]: r.asDict() for r in TX.repetition_stats(df).collect()}
+    assert out[1]["dup_token_ratio"] == 0.75 and out[1]["top_token_ratio"] == 1.0
+    assert out[2]["dup_line_ratio"] == round(1 - 2 / 3, 4)
+    assert out[3]["dup_token_ratio"] == 0.0 and out[3]["top_token_ratio"] == 0.25
