@@ -38,11 +38,28 @@ def read_csv(session, path: str, options: Dict[str, str]) -> DataFrame:
 def write_csv(session, df: DataFrame, path: str, options: Dict[str, str]) -> None:
     fmt = str(options.get("format", "csv")).lower()
     full = _resolve(session.basepath, path)
+    # partition_by 'a, b': hive-style partitioned layout — the 100 TB sink
+    # shape (partition pruning on read, per-partition parallel write).
+    # Applies to the directory formats (parquet/json/multi-file csv).
+    part_cols = [c.strip() for c in
+                 str(options.get("partition_by", "")).split(",") if c.strip()]
     if fmt == "parquet":
-        df.write.mode("overwrite").parquet(full)
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(full)
         return
     if fmt == "json":
-        df.write.mode("overwrite").json(full)
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.json(full)
+        return
+    if part_cols:
+        (df.write.mode("overwrite").partitionBy(*part_cols)
+         .option("header", "true")
+         .option("sep", options.get("delimiter", ","))
+         .csv(full))
         return
     sep = options.get("delimiter", ",")
     if str(options.get("single_file", "true")).lower() in ("true", "1", "yes"):

@@ -127,6 +127,32 @@ def stream_session_stats(spark: SparkSession, events_path: str,
     return _run_to_memory(spark, agg, "sessions_")
 
 
+def stream_events_to_parquet(spark: SparkSession, events_path: str,
+                             out_dir: str, checkpoint_dir: str,
+                             partition_by=("event_type",)) -> DataFrame:
+    """Streaming ingest to a real fault-tolerant sink: events stream into a
+    hive-partitioned parquet layout with exactly-once file-sink semantics
+    (the checkpoint + _spark_metadata commit log make restarts idempotent —
+    rerunning after a crash neither loses nor duplicates rows). This is the
+    100 TB ingest shape: per-partition parallel writes, partition pruning
+    for readers, checkpointed progress for the continuous pipeline.
+
+    Trigger.AvailableNow drains the source and stops, so the function is
+    synchronous; returns a batch DataFrame over the written output."""
+    stream = read_event_stream(spark, events_path)
+    with _stream_shuffle_partitions(spark, 8):
+        q = (stream.writeStream
+             .format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .partitionBy(*partition_by)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     accumulates per-user (n_events, sum_value) in the state store across

@@ -154,6 +154,27 @@ def test_streaming_matches_batch(spark, tpch_scope):
     assert sorted(map(tuple, stream_out.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_stream_to_partitioned_parquet_sink(spark, tpch_scope, tmp_path):
+    import os
+
+    from framequery_spark.streaming.stream import stream_events_to_parquet
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "ckpt")
+    written = stream_events_to_parquet(
+        spark, f"{SF_DIR}/events.parquet", out, ckpt)
+    batch = tpch_scope["events"]
+    assert written.count() == batch.count()
+    # hive-partitioned layout by event_type
+    parts = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(parts) == batch.select("event_type").distinct().count()
+    # idempotent restart: rerunning with the same checkpoint adds nothing
+    again = stream_events_to_parquet(
+        spark, f"{SF_DIR}/events.parquet", out, ckpt)
+    assert again.count() == batch.count()
+
+
 # ---------------------------------------------------------------- asof/range
 
 

@@ -136,6 +136,21 @@ def test_copy_parquet_roundtrip(spark, scope, tmp_path):
     assert rows(ex.execute("select count(*) as n from back")) == [(2,)]
 
 
+def test_copy_partitioned_parquet(spark, tpch_scope, tmp_path):
+    import os
+
+    ex = fq.Executor(dict(tpch_scope), spark=spark)
+    target = tmp_path / "docs_by_lang"
+    ex.execute(f"COPY documents TO '{target}' "
+               f"WITH (format 'parquet', partition_by 'lang')")
+    parts = [d for d in os.listdir(target) if d.startswith("lang=")]
+    n_langs = tpch_scope["documents"].select("lang").distinct().count()
+    assert len(parts) == n_langs
+    ex.execute(f"COPY back FROM '{target}' WITH (format 'parquet')")
+    n = tpch_scope["documents"].count()
+    assert rows(ex.execute("select count(*) as n from back")) == [(n,)]
+
+
 def test_unnest_lateral(spark):
     from pyspark.sql import functions as F
 
