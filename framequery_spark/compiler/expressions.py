@@ -507,14 +507,16 @@ class ExprCompiler:
                 if not keys[0].ascending:
                     frac = F.lit(1.0) - frac
                 return F.percentile(col, frac)
-            if not keys[0].ascending:
-                raise CompileError("percentile_disc with DESC not supported")
-            # pg percentile_disc: first value whose cume_dist >= fraction.
-            # Exact via per-group sorted collect — each GROUP's values must
-            # fit in executor memory (same caveat as collect_list/median).
+            # pg percentile_disc: first value (in the declared order) whose
+            # cume_dist >= fraction. Exact via per-group sorted collect —
+            # each GROUP's values must fit in executor memory (same caveat
+            # as collect_list/median). DESC = take from the descending
+            # order, i.e. index from the other end of the asc-sorted array.
             arr = F.sort_array(F.collect_list(col))
             idx = F.greatest(F.lit(1),
                              F.ceil(frac * F.size(arr)).cast("int"))
+            if not keys[0].ascending:
+                idx = F.size(arr) - idx + 1
             return F.element_at(arr, idx)
         if name == "mode":
             if node.args or len(keys) != 1:

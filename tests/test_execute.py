@@ -354,6 +354,14 @@ def test_percentile_disc_within_group(spark, scope):
     assert rows(run(q, scope, spark)) == [(2,)]
 
 
+def test_percentile_disc_desc(spark, scope):
+    # pg/DuckDB: over {1,2,3,4} desc, f=0.5 -> 3, f=0.25 -> 4
+    q = "select percentile_disc(0.5) within group (order by a desc) as p from test"
+    assert rows(run(q, scope, spark)) == [(3,)]
+    q = "select percentile_disc(0.25) within group (order by a desc) as p from test"
+    assert rows(run(q, scope, spark)) == [(4,)]
+
+
 def test_mode_within_group(spark, scope):
     q = "select mode() within group (order by g) as m from test where a < 4"
     assert rows(run(q, scope, spark)) == [("x",)]

@@ -500,3 +500,25 @@ def test_repetition_stats_edges(spark):
     assert out[1]["dup_token_ratio"] == 0.75 and out[1]["top_token_ratio"] == 1.0
     assert out[2]["dup_line_ratio"] == round(1 - 2 / 3, 4)
     assert out[3]["dup_token_ratio"] == 0.0 and out[3]["top_token_ratio"] == 0.25
+
+
+def test_scrub_pii_idempotent_and_ratios_bounded(spark):
+    import pandas as pd
+
+    texts = [
+        "a@b.co x@y.io back-to-back a@b.co",   # multiple + repeated
+        "edge@case.com",                        # entire string is PII
+        "unicode ü emails é a@b.de ok",         # non-ascii around PII
+        "1.2.3.4 5.6.7.8",                      # adjacent ipv4s
+        "",                                     # empty
+    ]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    once = TX.pii_scrub(df, out_col="c1")
+    twice = once.withColumn("c2", TX.scrub_pii(F.col("c1")))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], r  # idempotent: placeholders never re-match
+    stats = TX.repetition_stats(df.filter(F.col("text") != ""))
+    for r in stats.collect():
+        for c in ("dup_line_ratio", "dup_token_ratio", "top_token_ratio"):
+            assert 0.0 <= r[c] <= 1.0, r
