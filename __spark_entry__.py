@@ -501,6 +501,16 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """)
 
+# the ASOF text is valid in BOTH dialects (ours and DuckDB's), so the
+# oracle string is the engine string verbatim
+_q("q51_asof_join_sql", """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.click_ts
+""")
+
 _q("q49_recursive_months", """
 WITH RECURSIVE months(m) AS (
   SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12

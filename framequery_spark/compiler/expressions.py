@@ -143,11 +143,17 @@ class ExprCompiler:
     """
 
     def __init__(self, executor=None, agg_context: bool = False,
-                 window_allowed: bool = True, scope: Optional[dict] = None):
+                 window_allowed: bool = True, scope: Optional[dict] = None,
+                 alias_rewrites: Optional[dict] = None):
         self.executor = executor
         self.agg_context = agg_context
         self.window_allowed = window_allowed
         self.scope = scope
+        # aliases flattened into a single relation (ASOF JOIN output):
+        # alias -> {original_column: output_column}. Qualified refs through
+        # these aliases strip the qualifier (the flat output has unique
+        # names) and apply the rename map.
+        self.alias_rewrites = alias_rewrites or {}
         self.pending_scalar: List[tuple] = []  # (temp_name, DataFrame)
         # correlated scalar subqueries, decorrelated to grouped lookups:
         # (value_name, grouped DataFrame, [(outer_expr_ast, key_col_name)])
@@ -177,6 +183,9 @@ class ExprCompiler:
 
     def _c_ColumnRef(self, node: ast.ColumnRef) -> Column:
         parts = node.parts[-2:] if len(node.parts) > 2 else node.parts
+        if len(parts) == 2 and parts[0].lower() in self.alias_rewrites:
+            ren = self.alias_rewrites[parts[0].lower()]
+            return F.col(_bt(ren.get(parts[1], parts[1])))
         return F.col(".".join(_bt(p) for p in parts))
 
     def _c_Star(self, node: ast.Star) -> Column:
@@ -595,7 +604,8 @@ class ExprCompiler:
             col = WINDOW_FUNCS[name](args)
         elif name in AGG_NAMES or name in ("count",):
             inner = ExprCompiler(self.executor, agg_context=True,
-                                 scope=self.scope)
+                                 scope=self.scope,
+                                 alias_rewrites=self.alias_rewrites)
             col = inner._compile_agg(call)
         else:
             raise CompileError(f"unknown window function: {name}")

@@ -421,7 +421,8 @@ class QueryCompiler:
         def rewrite(node: ast.Node) -> ast.Node:
             return transform(node, lambda n: mapping.get(n, n))
 
-        ec = ExprCompiler(self.session, agg_context=True, scope=self.scope)
+        ec = ExprCompiler(self.session, agg_context=True, scope=self.scope,
+                          alias_rewrites=getattr(self, "_alias_rewrites", None))
         agg_cols: List[Column] = []
         final_names: List[str] = []
         # items containing window calls (e.g. rank() OVER (ORDER BY sum(x)))
@@ -663,12 +664,104 @@ class QueryCompiler:
         right = self.compile_relation(join.right)
         if join.kind == "cross":
             return left.crossJoin(right)
+        if join.kind in ("asof_left", "asof_inner"):
+            return self._compile_asof_join(join, left, right)
         how = {"inner": "inner", "left": "left", "right": "right",
                "full": "full"}[join.kind]
         if join.using:
             return left.join(right, list(join.using), how)
         cond = self._expr_compiler().compile(join.condition)
         return left.join(right, cond, how)
+
+    def _compile_asof_join(self, join: ast.Join, left: DataFrame,
+                           right: DataFrame) -> DataFrame:
+        """`l ASOF [LEFT|INNER] JOIN r ON l.k = r.k AND l.ts > r.ts`
+        (DuckDB syntax) → the union+window asof operator (operators/asof.py):
+        for each left row, the single most recent right row per key. ON must
+        be equalities plus exactly ONE >/>= between the two timestamps
+        (backward as-of; > is strict). One shuffle on the key — never a
+        per-key cross product."""
+        from ..operators.asof import asof_join
+
+        left_aliases = _relation_aliases(join.left)
+        right_aliases = _relation_aliases(join.right)
+
+        def side(ref: ast.ColumnRef) -> str:
+            q = ref.qualifier
+            if q is not None:
+                if q.lower() in left_aliases:
+                    return "l"
+                if q.lower() in right_aliases:
+                    return "r"
+                raise CompileError(f"unknown alias in ASOF ON: {q}")
+            inl, inr = ref.name in left.columns, ref.name in right.columns
+            if inl and not inr:
+                return "l"
+            if inr and not inl:
+                return "r"
+            raise CompileError(
+                f"ambiguous or unknown column in ASOF ON: {ref.name}")
+
+        eq_pairs: list = []
+        ineq = None
+        for c in _split_conjuncts(join.condition):
+            if not (isinstance(c, ast.Binary)
+                    and isinstance(c.left, ast.ColumnRef)
+                    and isinstance(c.right, ast.ColumnRef)):
+                raise CompileError(
+                    "ASOF JOIN ON supports only column = column and "
+                    "column >/>= column conjuncts")
+            ls, rs = side(c.left), side(c.right)
+            if ls == rs:
+                raise CompileError(
+                    "ASOF JOIN ON conjuncts must compare left vs right")
+            lref, rref = ((c.left, c.right) if ls == "l"
+                          else (c.right, c.left))
+            op = c.op
+            if ls == "r":  # normalize to left-op-right orientation
+                op = {">": "<", ">=": "<=", "<": ">", "<=": ">=",
+                      "=": "="}[op]
+            if op == "=":
+                eq_pairs.append((lref.name, rref.name))
+            elif op in (">", ">="):
+                if ineq is not None:
+                    raise CompileError("ASOF JOIN needs exactly one "
+                                       "inequality in ON")
+                ineq = (lref.name, rref.name, op)
+            else:
+                raise CompileError(
+                    "forward ASOF (l.ts < r.ts) is not supported; use "
+                    "l.ts > r.ts / >= for the backward as-of")
+        if ineq is None:
+            raise CompileError("ASOF JOIN ON requires l.ts >/>= r.ts")
+        left_ts, right_ts, op = ineq
+
+        # the operator matches on shared key names: align right to left
+        for ln, rn in eq_pairs:
+            if ln != rn:
+                right = right.withColumnRenamed(rn, ln)
+        on = [ln for ln, _ in eq_pairs]
+        r_payload = [c for c in right.columns if c not in on]
+        out = asof_join(left, right, on=on, left_ts=left_ts,
+                        right_ts=right_ts, right_cols=r_payload,
+                        strict=(op == ">"))
+        if join.kind == "asof_inner":
+            ts_out = (right_ts + "_right" if right_ts in left.columns
+                      else right_ts)
+            out = out.filter(F.col(ts_out).isNotNull())
+        # The asof output is ONE flat relation — the original aliases are
+        # gone from the plan, so register rewrite maps that let later
+        # clauses keep using them: left refs resolve bare; right refs go
+        # through the key renames and collision suffixes.
+        rmap = {rn: ln for ln, rn in eq_pairs}
+        rmap.update({c: c + "_right" for c in r_payload if c in left.columns})
+        rewrites = getattr(self, "_alias_rewrites", None) or {}
+        for a in _relation_aliases(join.left):
+            rewrites[a] = {}
+        for a in _relation_aliases(join.right):
+            rewrites[a] = rmap
+        self._alias_rewrites = rewrites
+        return out
 
     def _compile_values(self, rel: "ast.Values") -> DataFrame:
         """VALUES rows: literal-only; built as a local DataFrame (the row set
@@ -703,7 +796,8 @@ class QueryCompiler:
     # ----------------------------------------------------------------- helpers
 
     def _expr_compiler(self) -> ExprCompiler:
-        return ExprCompiler(self.session, agg_context=False, scope=self.scope)
+        return ExprCompiler(self.session, agg_context=False, scope=self.scope,
+                            alias_rewrites=getattr(self, "_alias_rewrites", None))
 
     def _attach_pending(self, df: DataFrame, ec: ExprCompiler):
         """Attach scalar-subquery results: uncorrelated ones as broadcast

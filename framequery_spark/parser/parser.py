@@ -459,6 +459,22 @@ class Parser:
                 right = self.parse_table_primary()
                 left = ast.Join(kind="cross", left=left, right=right)
                 continue
+            if self.is_kw("asof") and (
+                    self.is_kw("join", offset=1)
+                    or (self.is_kw("left", "inner", offset=1)
+                        and self.is_kw("join", offset=2))):
+                # DuckDB-style ASOF [LEFT|INNER] JOIN — time-series join
+                # sugar over the asof operator; `asof` stays usable as an
+                # ordinary identifier (the lookahead requires JOIN).
+                self.advance()
+                kind = "asof_" + (self.accept_kw("left", "inner") or "inner")
+                self.expect_kw("join")
+                right = self.parse_table_primary()
+                self.expect_kw("on")
+                cond = self.parse_expr()
+                left = ast.Join(kind=kind, left=left, right=right,
+                                condition=cond)
+                continue
             if self.is_kw("inner", "left", "right", "full"):
                 kind = self.advance().value.lower()
                 self.accept_kw("outer")
@@ -570,6 +586,12 @@ class Parser:
         if self.accept_kw("as"):
             return self.parse_name()
         tok = self.peek()
+        if (tok is not None and tok.kind == "name"
+                and tok.value.lower() == "asof"
+                and (self.is_kw("join", offset=1)
+                     or (self.is_kw("left", "inner", offset=1)
+                         and self.is_kw("join", offset=2)))):
+            return None  # ASOF [LEFT|INNER] JOIN, not an implicit alias
         if tok is not None and (
             (tok.kind == "name" and tok.value.lower() not in RESERVED_STOP)
             or tok.kind == "qname"

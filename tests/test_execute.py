@@ -406,6 +406,39 @@ def test_mode_within_group_with_filter(spark, scope):
 
 
 # --------------------------------------------------------------------------
+# ASOF JOIN (DuckDB-compatible time-series join syntax)
+
+@pytest.fixture(scope="module")
+def asof_scope(spark):
+    return {
+        "trades": spark.createDataFrame(pd.DataFrame({
+            "sym": ["a", "a", "b"], "t": [10, 25, 10],
+            "px": [1.0, 2.0, 9.0]})),
+        "quotes": spark.createDataFrame(pd.DataFrame({
+            "sym": ["a", "a", "a", "b"], "qt": [5, 10, 20, 50],
+            "bid": [0.9, 1.1, 1.9, 8.5]})),
+    }
+
+
+def test_asof_left_join_strict(spark, asof_scope):
+    q = ("select trades.sym, trades.t, quotes.bid from trades "
+         "asof left join quotes on trades.sym = quotes.sym "
+         "and trades.t > quotes.qt order by trades.sym, trades.t")
+    # t=10 strict: quote at 10 excluded -> bid 0.9; t=25 -> 1.9; b: no quote <50
+    assert rows(run(q, asof_scope, spark)) == [
+        ("a", 10, 0.9), ("a", 25, 1.9), ("b", 10, None)]
+
+
+def test_asof_inner_join_non_strict(spark, asof_scope):
+    q = ("select trades.sym, trades.t, quotes.bid from trades "
+         "asof join quotes on trades.sym = quotes.sym "
+         "and trades.t >= quotes.qt order by trades.sym, trades.t")
+    # non-strict: t=10 matches the qt=10 quote; b unmatched row dropped
+    assert rows(run(q, asof_scope, spark)) == [
+        ("a", 10, 1.1), ("a", 25, 1.9)]
+
+
+# --------------------------------------------------------------------------
 # pg JSON arrow operators (beyond parity)
 
 @pytest.fixture(scope="module")

@@ -121,3 +121,13 @@ def test_tsql_negated_comparisons_normalize():
     conj = node.where
     assert conj.left.op == "<="
     assert conj.right.op == ">="
+
+
+def test_asof_join_parses_and_alias_not_eaten():
+    node = parse("select * from l asof left join r on l.k = r.k and l.ts > r.ts")
+    assert node.from_.kind == "asof_left"
+    node = parse("select * from l asof join r on l.k = r.k and l.ts >= r.ts")
+    assert node.from_.kind == "asof_inner"
+    # 'asof' still works as an ordinary implicit alias
+    node = parse("select asof.x from t asof")
+    assert node.from_.alias == "asof"
