@@ -665,19 +665,24 @@ class Parser:
                 neg2 = bool(self.accept_kw("not"))
                 if self.accept_kw("null"):
                     left = ast.IsNull(expr=left, negated=neg2)
-                elif self.accept_kw("true"):
-                    cmp_ = ast.Binary(op="=", left=left, right=ast.Literal(True, "bool"))
-                    left = ast.Unary(op="not", operand=cmp_) if neg2 else cmp_
-                elif self.accept_kw("false"):
-                    cmp_ = ast.Binary(op="=", left=left, right=ast.Literal(False, "bool"))
-                    left = ast.Unary(op="not", operand=cmp_) if neg2 else cmp_
+                elif self.is_kw("true", "false"):
+                    # pg IS [NOT] TRUE/FALSE never returns NULL: NULL input
+                    # -> IS TRUE/FALSE false, IS NOT TRUE/FALSE true. That
+                    # is exactly null-safe (not-)distinct-from the literal.
+                    val = self.advance().value.lower() == "true"
+                    dist = ast.Call(name="__is_distinct_from",
+                                    args=(left, ast.Literal(val, "bool")))
+                    left = dist if neg2 else ast.Unary(op="not", operand=dist)
+                elif self.accept_kw("unknown"):
+                    # boolean IS UNKNOWN == IS NULL
+                    left = ast.IsNull(expr=left, negated=neg2)
                 elif self.accept_kw("distinct"):
                     self.expect_kw("from")
                     right = self.parse_concat()
                     node = ast.Call(name="__is_distinct_from", args=(left, right))
                     left = ast.Unary(op="not", operand=node) if neg2 else node
                 else:
-                    raise self.error("expected NULL/TRUE/FALSE/DISTINCT FROM after IS")
+                    raise self.error("expected NULL/TRUE/FALSE/UNKNOWN/DISTINCT FROM after IS")
                 continue
             if self.accept_kw("in"):
                 self.expect_op("(")
@@ -699,9 +704,16 @@ class Parser:
                                 case_insensitive=ci)
                 continue
             if self.accept_kw("between"):
+                symmetric = bool(self.accept_kw("symmetric"))
+                self.accept_kw("asymmetric")
                 low = self.parse_concat()
                 self.expect_kw("and")
                 high = self.parse_concat()
+                if symmetric:
+                    # BETWEEN SYMMETRIC: bounds order-insensitive
+                    low, high = (
+                        ast.Call(name="least", args=(low, high)),
+                        ast.Call(name="greatest", args=(low, high)))
                 left = ast.Between(expr=left, low=low, high=high, negated=negated)
                 continue
             if negated:

@@ -406,6 +406,26 @@ def test_mode_within_group_with_filter(spark, scope):
 
 
 # --------------------------------------------------------------------------
+# IS TRUE/FALSE/UNKNOWN 3-valued semantics + BETWEEN SYMMETRIC
+
+def test_is_true_false_unknown_never_null(spark):
+    scope = {"bt": spark.createDataFrame(
+        pd.DataFrame({"b": [True, False, None]}))}
+    q = ("select b, b is true as t, b is not true as nt, "
+         "b is false as f, b is unknown as u, b is not unknown as nu "
+         "from bt")
+    out = {r[0]: r[1:] for r in rows(run(q, scope, spark))}
+    assert out[True] == (True, False, False, False, True)
+    assert out[False] == (False, True, True, False, True)
+    assert out[None] == (False, True, False, True, False)  # pg: never NULL
+
+
+def test_between_symmetric(spark, scope):
+    q = ("select a from test where a between symmetric 3 and 2 order by a")
+    assert rows(run(q, scope, spark)) == [(2,), (3,)]
+
+
+# --------------------------------------------------------------------------
 # ASOF JOIN (DuckDB-compatible time-series join syntax)
 
 @pytest.fixture(scope="module")

@@ -156,3 +156,29 @@ def test_pii_scrub_and_repetition_are_shuffle_free(docs):
     for df in (pii_scrub(docs), repetition_stats(docs)):
         plan = formatted_plan(df)
         assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tpch_scope, tmp_path):
+    """Bucketing contract: two tables bucketed on the same key and count
+    join with ZERO Exchange — the write-time shuffle is reused."""
+    import uuid
+
+    from framequery_spark.sources.bucketing import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"b_orders_{tag}", f"b_customer_{tag}"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = write_bucketed(tpch_scope["orders"], t_o,
+                           ["o_custkey"], 8, sort_cols=["o_custkey"])
+        c = write_bucketed(tpch_scope["customer"], t_c,
+                           ["c_custkey"], 8, sort_cols=["c_custkey"])
+        joined = o.join(c, o.o_custkey == c.c_custkey)
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == tpch_scope["orders"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
