@@ -377,6 +377,8 @@ class ExprCompiler:
         name = node.name
         if name in ("__json_arrow", "__json_arrow_text"):
             return self._compile_json_arrow(node)
+        if name == "__similar_to":
+            return self._compile_similar_to(node)
         if name in AGG_NAMES:
             if not self.agg_context:
                 raise CompileError(
@@ -391,6 +393,42 @@ class ExprCompiler:
             args = [self.compile(a) for a in node.args]
             return REGISTRY[name](args)
         raise CompileError(f"unknown function: {name}")
+
+    def _compile_similar_to(self, node: ast.Call) -> Column:
+        """pg `x SIMILAR TO p`: SQL-regex matching the WHOLE string, where
+        % = .* and _ = . while |, *, +, ?, {m,n}, (), [...] keep their regex
+        meaning and ., ^, $ are literal. Converted to a Java regex at
+        compile time (literal patterns only) and evaluated JVM-side via
+        rlike."""
+        pat = node.args[1]
+        if not (isinstance(pat, ast.Literal) and pat.kind == "string"):
+            raise CompileError("SIMILAR TO requires a literal pattern")
+        p = pat.value
+        out, i, in_class = [], 0, False
+        while i < len(p):
+            ch = p[i]
+            if ch == "\\" and i + 1 < len(p):  # escape char: next is literal
+                out.append("\\" + p[i + 1] if p[i + 1] in r"\^$.|?*+()[]{}"
+                           else p[i + 1])
+                i += 2
+                continue
+            if in_class:
+                out.append(ch)
+                in_class = ch != "]"
+            elif ch == "[":
+                in_class = True
+                out.append(ch)
+            elif ch == "%":
+                out.append(".*")
+            elif ch == "_":
+                out.append(".")
+            elif ch in ".^$":  # regex-special but literal in SIMILAR TO
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+            i += 1
+        regex = "^(?:" + "".join(out) + ")$"
+        return self.compile(node.args[0]).rlike(regex)
 
     def _compile_json_arrow(self, node: ast.Call) -> Column:
         """pg `json -> key` / `json ->> key` (beyond parity — the reference

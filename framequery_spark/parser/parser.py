@@ -658,7 +658,7 @@ class Parser:
             save = self.i
             if self.accept_kw("not"):
                 negated = True
-                if not self.is_kw("in", "like", "ilike", "between"):
+                if not self.is_kw("in", "like", "ilike", "between", "similar"):
                     self.i = save
                     break
             if self.accept_kw("is"):
@@ -702,6 +702,12 @@ class Parser:
                 pattern = self.parse_concat()
                 left = ast.Like(expr=left, pattern=pattern, negated=negated,
                                 case_insensitive=ci)
+                continue
+            if self.accept_kw("similar"):
+                self.expect_kw("to")
+                pattern = self.parse_concat()
+                node = ast.Call(name="__similar_to", args=(left, pattern))
+                left = ast.Unary(op="not", operand=node) if negated else node
                 continue
             if self.accept_kw("between"):
                 symmetric = bool(self.accept_kw("symmetric"))

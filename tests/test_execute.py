@@ -420,6 +420,22 @@ def test_is_true_false_unknown_never_null(spark):
     assert out[None] == (False, True, False, True, False)  # pg: never NULL
 
 
+def test_similar_to_pg_semantics(spark):
+    # PostgreSQL SIMILAR TO: % and _ are wildcards, |()*+?{}[] keep regex
+    # meaning, '.' is literal, whole-string anchored. (DuckDB deviates —
+    # it treats the pattern as a raw regex — so these are pg-verified.)
+    scope = {"st": spark.createDataFrame(
+        pd.DataFrame({"s": ["abc", "a.c", "xyz", "ab"]}))}
+    q = ("select s, s similar to 'ab%' as pre, s similar to '%(b|y)%' as alt, "
+         "s similar to 'a_c' as und, s similar to 'a.c' as dot, "
+         "s not similar to '%b%' as neg from st order by s")
+    assert rows(run(q, scope, spark)) == [
+        ("a.c", False, False, True, True, True),
+        ("ab", True, True, False, False, False),
+        ("abc", True, True, True, False, False),
+        ("xyz", False, True, False, False, True)]
+
+
 def test_between_symmetric(spark, scope):
     q = ("select a from test where a between symmetric 3 and 2 order by a")
     assert rows(run(q, scope, spark)) == [(2,), (3,)]
