@@ -81,6 +81,29 @@ def main() -> None:
             WHERE jaccard > 0.9 ORDER BY id1 LIMIT 5
         """, scope, spark=spark).show()
 
+        # --- round-4 surface: ASOF JOIN, JSON arrows, HLL sketches --------
+        fq.execute("""
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                       FROM events WHERE event_type = 'click')
+            SELECT count(r.click_id) AS purchases_with_prior_click,
+                   count(*) AS purchases
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts > r.click_ts
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT props ->> 'k' AS k, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY n DESC LIMIT 3
+        """, scope, spark=spark).show()
+        fq.execute("""
+            WITH sk AS (SELECT event_type,
+                               hll_sketch_agg(user_id) AS s
+                        FROM events GROUP BY event_type)
+            SELECT event_type, hll_sketch_estimate(s) AS approx_users
+            FROM sk ORDER BY event_type
+        """, scope, spark=spark).show()
+
 
 if __name__ == "__main__":
     main()
