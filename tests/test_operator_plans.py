@@ -182,3 +182,21 @@ def test_bucketed_join_has_no_exchange(spark, tpch_scope, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
+def test_asof_sql_join_is_single_window_pass(spark, tpch_scope):
+    """ASOF JOIN SQL compiles to the union+window operator: no cartesian,
+    no broadcast-nested-loop — the same contract as the DataFrame op."""
+    import framequery_spark as fq
+
+    df = fq.execute(
+        "SELECT e.event_id, c.click_ts FROM e ASOF LEFT JOIN c "
+        "ON e.user_id = c.user_id AND e.ts > c.click_ts",
+        {"e": tpch_scope["events"].select("event_id", "user_id", "ts"),
+         "c": tpch_scope["events"].selectExpr(
+             "event_id AS click_id", "user_id", "ts AS click_ts")},
+        spark=spark)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
