@@ -677,10 +677,11 @@ class QueryCompiler:
                            right: DataFrame) -> DataFrame:
         """`l ASOF [LEFT|INNER] JOIN r ON l.k = r.k AND l.ts > r.ts`
         (DuckDB syntax) → the union+window asof operator (operators/asof.py):
-        for each left row, the single most recent right row per key. ON must
-        be equalities plus exactly ONE >/>= between the two timestamps
-        (backward as-of; > is strict). One shuffle on the key — never a
-        per-key cross product."""
+        for each left row, the single most recent (or, for </<=, earliest
+        later) right row per key. ON must be equalities plus exactly ONE
+        inequality between the two timestamps: >/>= = backward, </<= =
+        forward; strict when the bound excludes equality. One shuffle on
+        the key — never a per-key cross product."""
         from ..operators.asof import asof_join
 
         left_aliases = _relation_aliases(join.left)
@@ -723,18 +724,21 @@ class QueryCompiler:
                       "=": "="}[op]
             if op == "=":
                 eq_pairs.append((lref.name, rref.name))
-            elif op in (">", ">="):
+            elif op in (">", ">=", "<", "<="):
+                # >/>= = backward (most recent earlier right row);
+                # </<= = forward (earliest later right row)
                 if ineq is not None:
                     raise CompileError("ASOF JOIN needs exactly one "
                                        "inequality in ON")
                 ineq = (lref.name, rref.name, op)
             else:
                 raise CompileError(
-                    "forward ASOF (l.ts < r.ts) is not supported; use "
-                    "l.ts > r.ts / >= for the backward as-of")
+                    "ASOF JOIN ON supports =, >, >=, <, <= conjuncts")
         if ineq is None:
-            raise CompileError("ASOF JOIN ON requires l.ts >/>= r.ts")
+            raise CompileError("ASOF JOIN ON requires an inequality "
+                               "between the two timestamps")
         left_ts, right_ts, op = ineq
+        direction = "forward" if op in ("<", "<=") else "backward"
 
         # the operator matches on shared key names: align right to left
         for ln, rn in eq_pairs:
@@ -744,7 +748,7 @@ class QueryCompiler:
         r_payload = [c for c in right.columns if c not in on]
         out = asof_join(left, right, on=on, left_ts=left_ts,
                         right_ts=right_ts, right_cols=r_payload,
-                        strict=(op == ">"))
+                        strict=op in (">", "<"), direction=direction)
         if join.kind == "asof_inner":
             ts_out = (right_ts + "_right" if right_ts in left.columns
                       else right_ts)

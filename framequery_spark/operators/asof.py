@@ -48,12 +48,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
               suffix: str = "_right",
               strict: bool = True,
               tolerance_seconds: Optional[float] = None,
-              tiebreak: Optional[str] = None) -> DataFrame:
+              tiebreak: Optional[str] = None,
+              direction: str = "backward") -> DataFrame:
     """For each left row, attach the most recent right row with
     right.ts < left.ts (or <= when strict=False), matching on `on` keys.
+    direction="forward" flips the time sense: the EARLIEST right row with
+    right.ts > left.ts (>= when strict=False) — pandas merge_asof's
+    direction parameter; same single-shuffle plan, the window just scans
+    time descending.
 
-    Left rows with no prior right row keep NULLs (left-outer semantics,
-    matching DuckDB/pandas ASOF LEFT JOIN "backward").
+    Left rows with no prior (next, for forward) right row keep NULLs
+    (left-outer semantics, matching DuckDB/pandas ASOF LEFT JOIN
+    "backward").
 
     Implementation: tag rows, union, window. The only shuffle is the
     window's partitionBy(on) — the same cost as one groupBy over the union.
@@ -62,6 +68,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     right sorts first. Among right rows sharing the same ts, the one with
     the greatest `tiebreak` column wins (pass one for deterministic output).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    forward = direction == "forward"
     right_cols = right_cols or [c for c in right.columns
                                 if c not in on and c != right_ts]
     out_names = [c + suffix if c in left.columns else c for c in right_cols]
@@ -94,7 +103,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
         right_payload.alias("__r"),
     )
 
-    order = [F.col("__ts"), F.col("__tb")]
+    ts_ord = F.col("__ts").desc() if forward else F.col("__ts").asc()
+    order = [ts_ord, F.col("__tb")]
     if tiebreak is not None:
         # right rows carry the tiebreak inside __r; left rows sort as NULL
         # which Spark places first ascending — harmless, ordering among
@@ -108,8 +118,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
                .filter(F.col("__is_left") == 1))
 
     if tolerance_seconds is not None:
-        in_tol = (_ts_seconds(F.col("__ts"))
-                  - _ts_seconds(F.col(f"__m.{right_ts}"))) <= F.lit(float(tolerance_seconds))
+        gap = (_ts_seconds(F.col(f"__m.{right_ts}")) - _ts_seconds(F.col("__ts"))
+               if forward else
+               _ts_seconds(F.col("__ts")) - _ts_seconds(F.col(f"__m.{right_ts}")))
+        in_tol = gap <= F.lit(float(tolerance_seconds))
         matched = matched.withColumn(
             "__m", F.when(in_tol, F.col("__m")))
 

@@ -667,3 +667,16 @@ def test_tablesample_bounds_and_repeatable(spark):
         big, spark=spark))[0][0]
     assert 2000 * 0.1 < a < 2000 * 0.45   # loose Bernoulli bounds
     assert a == b                          # repeatable seed
+
+
+def test_asof_forward_join(spark, asof_scope):
+    # forward: earliest quote strictly AFTER the trade
+    q = ("select trades.sym, trades.t, quotes.bid from trades "
+         "asof left join quotes on trades.sym = quotes.sym "
+         "and trades.t < quotes.qt order by trades.sym, trades.t")
+    assert rows(run(q, asof_scope, spark)) == [
+        ("a", 10, 1.9), ("a", 25, None), ("b", 10, 8.5)]
+    # non-strict forward: the qt=10 quote matches the t=10 trade
+    q = q.replace("trades.t < quotes.qt", "trades.t <= quotes.qt")
+    assert rows(run(q, asof_scope, spark)) == [
+        ("a", 10, 1.1), ("a", 25, None), ("b", 10, 8.5)]
