@@ -154,6 +154,14 @@ class Executor:
     def _execute_statement(self, node, scope: dict):
         if isinstance(node, (ast.Select, ast.SetOp)):
             return self._compile_query(node, scope)
+        if isinstance(node, ast.Explain):
+            df = self._compile_query(node.query, scope)
+            mode = "cost" if node.analyze else "formatted"
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString(mode))
+            rows = [(line,) for line in plan.splitlines()]
+            return self.spark.createDataFrame(rows, "`QUERY PLAN` string")
         if isinstance(node, ast.CreateTableAs):
             scope[node.name] = self._compile_query(node.query, scope)
             return None

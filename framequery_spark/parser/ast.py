@@ -408,4 +408,15 @@ class ShowOption(Node):
     option: str
 
 
-Statement = Union[Select, SetOp, CopyFrom, CopyTo, CreateTableAs, DropTable, ShowOption]
+@dataclass(frozen=True)
+class Explain(Node):
+    """EXPLAIN [ANALYZE] <query> — returns the Spark physical plan as rows
+    (pg surface shape; the plan text is Catalyst's, which is the truth for
+    this engine). Beyond parity — the reference has no EXPLAIN."""
+
+    query: Node
+    analyze: bool = False
+
+
+Statement = Union[Select, SetOp, CopyFrom, CopyTo, CreateTableAs, DropTable,
+                  ShowOption, Explain]

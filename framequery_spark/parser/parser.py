@@ -133,6 +133,11 @@ class Parser:
             return self.parse_drop_table()
         if self.is_kw("show"):
             return self.parse_show()
+        if self.is_kw("explain"):
+            self.advance()
+            analyze = bool(self.accept_kw("analyze"))
+            self.accept_kw("verbose")
+            return ast.Explain(query=self.parse_query(), analyze=analyze)
         raise self.error("expected a statement")
 
     def parse_copy(self) -> ast.Node:

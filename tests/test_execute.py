@@ -680,3 +680,14 @@ def test_asof_forward_join(spark, asof_scope):
     q = q.replace("trades.t < quotes.qt", "trades.t <= quotes.qt")
     assert rows(run(q, asof_scope, spark)) == [
         ("a", 10, 1.1), ("a", 25, None), ("b", 10, 8.5)]
+
+
+def test_explain_statement_returns_plan_rows(spark, scope):
+    out = run("explain select g, sum(a) as s from test group by g",
+              scope, spark)
+    assert out.columns == ["QUERY PLAN"]
+    text = "\n".join(r[0] for r in out.collect())
+    assert "HashAggregate" in text
+    # EXPLAIN ANALYZE -> cost mode (plan + stats; does not execute)
+    out2 = run("explain analyze select a from test where a > 1", scope, spark)
+    assert out2.count() > 0
