@@ -379,6 +379,8 @@ class ExprCompiler:
             return self._compile_json_arrow(node)
         if name == "__similar_to":
             return self._compile_similar_to(node)
+        if name == "__quant_array":
+            return self._compile_quant_array(node)
         if name in AGG_NAMES:
             if not self.agg_context:
                 raise CompileError(
@@ -393,6 +395,24 @@ class ExprCompiler:
             args = [self.compile(a) for a in node.args]
             return REGISTRY[name](args)
         raise CompileError(f"unknown function: {name}")
+
+    def _compile_quant_array(self, node: ast.Call) -> Column:
+        """pg `x op ANY|ALL (array)` — JVM higher-order exists/forall, which
+        follow SQL 3-valued logic (a NULL element makes an undecided ANY
+        NULL, an undecided ALL NULL) without touching Python."""
+        x = self.compile(node.args[0])
+        arr = self.compile(node.args[1])
+        op = node.args[2].value
+        quant = node.args[3].value
+
+        def cmp(e: Column) -> Column:
+            return {"=": x == e, "!=": x != e, "<>": x != e,
+                    "<": x < e, "<=": x <= e,
+                    ">": x > e, ">=": x >= e}[op]
+
+        if quant == "all":
+            return F.forall(arr, cmp)
+        return F.exists(arr, cmp)
 
     def _compile_similar_to(self, node: ast.Call) -> Column:
         """pg `x SIMILAR TO p`: SQL-regex matching the WHOLE string, where

@@ -202,6 +202,11 @@ _fixed("array_distinct", lambda a: F.array_distinct(a[0]))
 _fixed("array_sort", lambda a: F.array_sort(a[0]))
 _fixed("array_join", lambda a: F.array_join(a[0], a[1]))
 _fixed("__subscript", lambda a: F.get(a[0], a[1] - F.lit(1)))  # pg arrays are 1-based
+_fixed("__array", lambda a: F.array(*a))  # ARRAY[...] constructor
+_fixed("row", lambda a: F.struct(*a))  # pg ROW(...) record constructor
+# select-list unnest: pg `SELECT unnest(arr)` == one explode generator
+# (the FROM-position unnest table function lives in sources/table_functions)
+_fixed("unnest", lambda a: F.explode(a[0]))
 
 
 # ------------------------------------------------- vector math (embeddings)

@@ -55,6 +55,29 @@ WINDOW_ONLY_NAMES = {
 }
 
 
+def _contains_agg_or_window(node: ast.Node) -> bool:
+    """AST walk for GROUP BY ALL desugaring: True if the expression contains
+    an aggregate call or a window call (those stay out of the group keys)."""
+    import dataclasses as _dc
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ast.WindowCall):
+            return True
+        if isinstance(n, ast.Call) and (
+                n.name.lower() in AGGREGATE_NAMES or n.name.lower() == "count"):
+            return True
+        if _dc.is_dataclass(n):
+            for f in _dc.fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, ast.Node):
+                    stack.append(v)
+                elif isinstance(v, tuple):
+                    stack.extend(e for e in v if isinstance(e, ast.Node))
+    return False
+
+
 class Parser:
     def __init__(self, tokens: List[Token], sql: str = ""):
         self.tokens = tokens
@@ -363,6 +386,19 @@ class Parser:
                         break
                 self.expect_op(")")
                 group_by = (ast.GroupingSets(sets=tuple(sets)),)
+            elif self.is_kw("all"):
+                # GROUP BY ALL (DuckDB/modern SQL): group by every
+                # select-list expression that contains no aggregate or
+                # window call — desugared here, where the items are in hand
+                self.advance()
+                keys = []
+                for it in items:
+                    if not isinstance(it, ast.SelectItem):
+                        raise self.error(
+                            "GROUP BY ALL cannot expand a * select item")
+                    if not _contains_agg_or_window(it.expr):
+                        keys.append(it.expr)
+                group_by = tuple(keys)
             else:
                 exprs = [self.parse_expr()]
                 while self.accept_op(","):
@@ -656,6 +692,20 @@ class Parser:
                         quantifier="any" if quant == "some" else quant,
                         query=query)
                     continue
+                # pg array form: x op ANY|ALL(array_expr)
+                if self.is_kw("any", "some", "all") and self.is_op("(", offset=1):
+                    quant = self.advance().value.lower()
+                    self.advance()  # (
+                    arr = self.parse_expr()
+                    self.expect_op(")")
+                    left = ast.Call(
+                        name="__quant_array",
+                        args=(left, arr,
+                              ast.Literal(op, "string"),
+                              ast.Literal(
+                                  "any" if quant == "some" else quant,
+                                  "string")))
+                    continue
                 right = self.parse_concat()
                 left = ast.Binary(op=op, left=left, right=right)
                 continue
@@ -874,6 +924,17 @@ class Parser:
 
         if tok.kind in ("name", "qname"):
             low = tok.value.lower() if tok.kind == "name" else None
+            if low == "array" and self.is_op("[", offset=1):
+                # pg ARRAY[...] constructor
+                self.advance()
+                self.advance()
+                items: List[ast.Node] = []
+                if not self.is_op("]"):
+                    items.append(self.parse_expr())
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                self.expect_op("]")
+                return ast.Call(name="__array", args=tuple(items))
             if low == "case":
                 return self.parse_case()
             if low == "cast":

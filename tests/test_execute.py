@@ -691,3 +691,46 @@ def test_explain_statement_returns_plan_rows(spark, scope):
     # EXPLAIN ANALYZE -> cost mode (plan + stats; does not execute)
     out2 = run("explain analyze select a from test where a > 1", scope, spark)
     assert out2.count() > 0
+
+
+# --------------------------------------------------------------------------
+# pg array surface: ARRAY[...], ROW(...), select-list unnest, op ANY(array),
+# GROUP BY ALL
+
+@pytest.fixture(scope="module")
+def arr_scope(spark):
+    return {"at": spark.createDataFrame(pd.DataFrame({
+        "a": [1, 2], "g": ["x", "y"], "arr": [[1, 2], [3]]}))}
+
+
+def test_array_constructor_and_subscript(spark, arr_scope):
+    q = "select array[10, a] as xs, (array[10, a])[1] as first from at order by a"
+    assert rows(run(q, arr_scope, spark)) == [
+        ([10, 1], 10), ([10, 2], 10)]
+
+
+def test_row_constructor(spark, arr_scope):
+    out = run("select row(a, g) as r from at order by a", arr_scope, spark).collect()
+    assert [tuple(r.r) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_select_list_unnest(spark, arr_scope):
+    q = "select unnest(arr) as v from at"
+    assert sorted(r[0] for r in run(q, arr_scope, spark).collect()) == [1, 2, 3]
+
+
+def test_quantified_array_comparisons(spark, arr_scope):
+    q = "select a from at where g = any(array['x', 'z'])"
+    assert rows(run(q, arr_scope, spark)) == [(1,)]
+    q = "select a from at where a >= all(array[1, 2]) order by a"
+    assert rows(run(q, arr_scope, spark)) == [(2,)]
+    # 3VL: undecided ANY over a NULL element is NULL (DuckDB-verified)
+    q = "select 2 = any(array[1, null, 3]) as u from at limit 1"
+    assert rows(run(q, arr_scope, spark)) == [(None,)]
+
+
+def test_group_by_all(spark, arr_scope):
+    q = "select g, sum(a) as s from at group by all order by g"
+    assert rows(run(q, arr_scope, spark)) == [("x", 1), ("y", 2)]
+    q = "select upper(g) as ug, count(*) as n from at group by all order by ug"
+    assert rows(run(q, arr_scope, spark)) == [("X", 1), ("Y", 1)]
