@@ -511,6 +511,23 @@ SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.click_ts
 """)
 
+# JSON arrow extraction — identical text in both dialects
+_q("q52_json_arrows", """
+SELECT props ->> 'k' AS k, count(*) AS n, round(sum(value), 2) AS sv
+FROM events
+GROUP BY props ->> 'k'
+ORDER BY n DESC, k
+LIMIT 20
+""")
+
+# GROUP BY ALL — identical text in both dialects
+_q("q53_group_by_all", """
+SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+FROM events
+GROUP BY ALL
+ORDER BY event_type, cohort
+""")
+
 _q("q49_recursive_months", """
 WITH RECURSIVE months(m) AS (
   SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
