@@ -88,6 +88,7 @@ AGG_MAP = {
 AGG_NAMES = set(AGG_MAP) | {
     "count", "string_agg", "corr", "covar_pop", "covar_samp", "first_value",
     "percentile_cont", "percentile_disc", "mode", "grouping", "grouping_id",
+    "approx_percentile",
 }
 
 WINDOW_FUNCS = {
@@ -528,6 +529,11 @@ class ExprCompiler:
             # percentile_cont(col, frac)
             return F.percentile(self.compile(node.args[0]),
                                 self.compile(node.args[1]))
+        if name == "approx_percentile":
+            # sketch-based quantile (t-digest-style): fixed-size state
+            # merges map-side — the scalable form of percentile at 100 TB
+            return F.percentile_approx(self.compile(node.args[0]),
+                                       self.compile(node.args[1]))
         arg = self.compile(node.args[0])
         if node.distinct:
             if name == "sum":

@@ -100,3 +100,39 @@ def frame_sample(df: DataFrame, blob_col: str = "blob",
                         F.sha2(F.concat(F.col(blob_col),
                                         F.encode(F.col("frame_idx").cast("string"),
                                                  "UTF-8")), 256)))
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_image(df: DataFrame, target: int = 224, blob_col: str = "blob",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Resize stub with real Spark plumbing: Arrow-batched mapInPandas with
+    a declared (doc_id, width, height, resized_bytes) schema. The actual
+    pixel resample is STUBBED (no image libs in this container) as a
+    deterministic byte-fold to `target*target//64` bytes — swap
+    `_fake_resize` for PIL's `Image.resize` in a full container; schema,
+    batching, and partitioning are unchanged."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        n = max(1, target * target // 64)
+        if not payload:
+            return b"\x00" * n
+        reps = -(-n // len(payload))
+        return (payload * reps)[:n]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [bytes(b) for b in pdf[blob_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "width": target, "height": target,
+                "resized": [_fake_resize(b) for b in blobs],
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema=RESIZED_SCHEMA)

@@ -734,3 +734,12 @@ def test_group_by_all(spark, arr_scope):
     assert rows(run(q, arr_scope, spark)) == [("x", 1), ("y", 2)]
     q = "select upper(g) as ug, count(*) as n from at group by all order by ug"
     assert rows(run(q, arr_scope, spark)) == [("X", 1), ("Y", 1)]
+
+
+def test_approx_percentile_agg(spark):
+    scope = {"n100": spark.createDataFrame(
+        pd.DataFrame({"a": list(range(100)), "g": ["x", "y"] * 50}))}
+    q = "select g, approx_percentile(a, 0.5) as med from n100 group by g order by g"
+    out = rows(run(q, scope, spark))
+    assert [r[0] for r in out] == ["x", "y"]
+    assert all(45 <= r[1] <= 55 for r in out)

@@ -522,3 +522,11 @@ def test_scrub_pii_idempotent_and_ratios_bounded(spark):
     for r in stats.collect():
         for c in ("dup_line_ratio", "dup_token_ratio", "top_token_ratio"):
             assert 0.0 <= r[c] <= 1.0, r
+
+
+def test_resize_image_stub_plumbing(spark, docs):
+    out = MM.resize_image(MM.attach_blob(docs.limit(4)), target=32).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.width == 32 and r.height == 32
+        assert len(r.resized) == 32 * 32 // 64
