@@ -821,6 +821,46 @@ FROM s GROUP BY user_id, session_id
 """)
 
 
+def _op_decode_image(spark, sf_dir):
+    """Multimodal decode plumbing, driver-verified: the deterministic
+    stand-in decoder derives dims from the content sha256, which the SQL
+    oracle replicates byte-for-byte (the float32 feature vector is omitted
+    from the compare — float32 vs DuckDB float64 would hash-differ)."""
+    from framequery_spark.operators.multimodal import attach_blob, decode_image
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return decode_image(attach_blob(docs)).select(
+        "doc_id", "width", "height", "n_channels")
+
+
+_op("op_decode_image", _op_decode_image, """
+SELECT doc_id,
+       64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width,
+       64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS height,
+       3 AS n_channels
+FROM documents
+""")
+
+
+def _op_frame_sample(spark, sf_dir):
+    from framequery_spark.operators.multimodal import attach_blob, frame_sample
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return frame_sample(attach_blob(docs), every_n=10).select(
+        "doc_id", "frame_idx", "frame_sha")
+
+
+_op("op_frame_sample", _op_frame_sample, """
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) // 32 AS INT) AS n_frames
+  FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       sha256(text || CAST(i AS VARCHAR)) AS frame_sha
+FROM f, LATERAL unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS t(i)
+""")
+
+
 def _op_pii_scrub(spark, sf_dir):
     """PII redaction over documents. The testdata has no natural PII, so a
     deterministic synthetic email+phone is appended per doc (mirrored in
