@@ -128,6 +128,34 @@ CAST_MAP = {
 
 COMPARISONS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 
+# pg to_char/to_date template patterns -> Java SimpleDateFormat-style
+# patterns (longest-first so MM does not eat Month, etc.)
+_PG_DATEFMT = [
+    ("HH24", "HH"), ("HH12", "hh"), ("Month", "MMMM"), ("MONTH", "MMMM"),
+    ("YYYY", "yyyy"), ("YYY", "yyy"), ("Day", "EEEE"), ("DAY", "EEEE"),
+    ("Mon", "MMM"), ("MON", "MMM"), ("MS", "SSS"), ("US", "SSSSSS"),
+    ("YY", "yy"), ("MM", "MM"), ("DD", "dd"), ("HH", "hh"), ("MI", "mm"),
+    ("SS", "ss"), ("AM", "a"), ("PM", "a"), ("Dy", "E"), ("DY", "E"),
+    ("TZ", "z"), ("J", "DDD"),
+]
+
+
+def _pg_to_java_datefmt(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        for k, v in _PG_DATEFMT:
+            if fmt.startswith(k, i):
+                out.append(v)
+                i += len(k)
+                break
+        else:
+            ch = fmt[i]
+            # bare letters are literals in pg but pattern chars in Java
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
 
 class CompileError(ValueError):
     pass
@@ -382,6 +410,19 @@ class ExprCompiler:
             return self._compile_similar_to(node)
         if name == "__quant_array":
             return self._compile_quant_array(node)
+        if name in ("to_char", "to_date", "to_timestamp") and \
+                len(node.args) == 2 and \
+                isinstance(node.args[1], ast.Literal) and \
+                node.args[1].kind == "string":
+            # pg format strings (YYYY/DD/HH24/MI/...) are converted to Java
+            # patterns at compile time; the runtime call is pure JVM
+            fmt = _pg_to_java_datefmt(node.args[1].value)
+            arg = self.compile(node.args[0])
+            if name == "to_char":
+                return F.date_format(arg, fmt)
+            if name == "to_date":
+                return F.to_date(arg, fmt)
+            return F.to_timestamp(arg, fmt)
         if name in AGG_NAMES:
             if not self.agg_context:
                 raise CompileError(

@@ -106,7 +106,7 @@ _fixed("chr", lambda a: F.char(a[0]))
 _fixed("md5", lambda a: F.md5(a[0].cast("string")))
 _fixed("sha256", lambda a: F.sha2(a[0].cast("string"), 256))
 _fixed("to_hex", lambda a: F.hex(a[0]))
-_fixed("translate", lambda a: F.translate(a[0], a[1], a[2]))
+_fixed("translate", lambda a: F.call_function("translate", a[0], a[1], a[2]))
 _fixed("starts_with", lambda a: a[0].startswith(a[1]), "startswith")
 _fixed("ends_with", lambda a: a[0].endswith(a[1]), "endswith")
 _fixed("contains", lambda a: F.contains(a[0], a[1]))
@@ -181,6 +181,14 @@ _fixed("now", lambda a: F.current_timestamp(), "current_timestamp")
 _fixed("current_date", lambda a: F.current_date())
 _fixed("date_trunc", lambda a: F.call_function("date_trunc", a[0], a[1]), "datetrunc")
 _fixed("to_date", lambda a: F.to_date(a[0]) if len(a) == 1 else F.to_date(a[0], None))
+# pg date_part(field, src) — Spark has the same function natively
+_fixed("date_part", lambda a: F.call_function("date_part", a[0], a[1]))
+_fixed("age", lambda a: a[0] - a[1])  # pg age(a, b) = interval a - b
+_fixed("width_bucket", lambda a: F.width_bucket(a[0], a[1], a[2], a[3]))
+# NOTE: the delimiter is a regex at the Spark layer — plain single-char
+# pg delimiters behave identically except regex metachars
+_fixed("string_to_array", lambda a: F.call_function("split", a[0], a[1]))
+_fixed("array_to_string", lambda a: F.call_function("array_join", a[0], a[1]))
 _fixed("to_timestamp", lambda a: F.to_timestamp(a[0]))
 _fixed("year", lambda a: F.year(a[0]))
 _fixed("month", lambda a: F.month(a[0]))

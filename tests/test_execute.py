@@ -743,3 +743,25 @@ def test_approx_percentile_agg(spark):
     out = rows(run(q, scope, spark))
     assert [r[0] for r in out] == ["x", "y"]
     assert all(45 <= r[1] <= 55 for r in out)
+
+
+def test_pg_datetime_and_string_functions(spark):
+    scope = {"fx": spark.createDataFrame(pd.DataFrame({
+        "a": [7.5], "s": ["Hello World"],
+        "d": [pd.Timestamp("2024-03-15 14:30:45")]}))}
+    q = ("select to_char(d, 'YYYY-MM-DD HH24:MI:SS') as iso, "
+         "to_char(d, 'Mon DD, YYYY') as pretty, "
+         "to_date('15/03/2024', 'DD/MM/YYYY') as parsed, "
+         "date_part('hour', d) as hr, "
+         "translate(s, 'lo', '01') as tr, "
+         "width_bucket(a, 0, 10, 5) as wb, "
+         "array_to_string(string_to_array(s, ' '), ',') as joined "
+         "from fx")
+    out = rows(run(q, scope, spark))[0]
+    assert out[0] == "2024-03-15 14:30:45"
+    assert out[1] == "Mar 15, 2024"
+    assert str(out[2]) == "2024-03-15"
+    assert out[3] == 14
+    assert out[4] == "He001 W1r0d"  # pg translate: l->0, o->1
+    assert out[5] == 4
+    assert out[6] == "Hello,World"
