@@ -511,6 +511,17 @@ SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.click_ts
 """)
 
+# correlated LATERAL top-N-per-group — identical text in both dialects
+_q("q54_lateral_topk", """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+     LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c_custkey <= 100
+ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+""")
+
 # JSON arrow extraction — identical text in both dialects
 _q("q52_json_arrows", """
 SELECT props ->> 'k' AS k, count(*) AS n, round(sum(value), 2) AS sv

@@ -661,6 +661,14 @@ class QueryCompiler:
         left = self.compile_relation(join.left)
         if isinstance(join.right, ast.TableFunction) and join.right.lateral:
             return self._compile_lateral(left, join.right)
+        if isinstance(join.right, ast.SubqueryRel) and join.right.lateral:
+            how = {"cross": "inner", "inner": "inner",
+                   "left": "left"}.get(join.kind)
+            if how is None:
+                raise CompileError(
+                    f"LATERAL subquery does not support {join.kind} join")
+            return self._compile_lateral_subquery(
+                left, join.right, how, join.condition)
         right = self.compile_relation(join.right)
         if join.kind == "cross":
             return left.crossJoin(right)
@@ -672,6 +680,116 @@ class QueryCompiler:
             return left.join(right, list(join.using), how)
         cond = self._expr_compiler().compile(join.condition)
         return left.join(right, cond, how)
+
+    def _compile_lateral_subquery(self, left: DataFrame,
+                                  rel: ast.SubqueryRel, how: str,
+                                  on_cond) -> DataFrame:
+        """Correlated `[LEFT JOIN] LATERAL (SELECT ... WHERE inner.k =
+        outer.k [ORDER BY ...] [LIMIT n]) alias` — the pg top-N-per-group
+        staple. Decorrelated into ONE pass over the inner relation: the
+        correlation keys become hidden projected columns, the per-outer-row
+        LIMIT becomes a row_number window partitioned by those keys, and
+        the lateral apply becomes a plain equi shuffle join — never a
+        per-outer-row subquery execution. Only equality correlations
+        decorrelate this way (same restriction as scalar subqueries)."""
+        from pyspark.sql import Window
+
+        from .rewrite import walk
+
+        sel = rel.query
+        if not isinstance(sel, ast.Select) or sel.from_ is None:
+            raise CompileError("LATERAL subquery must be a SELECT with FROM")
+        if sel.group_by or sel.having is not None or sel.ctes or sel.distinct:
+            raise CompileError(
+                "LATERAL subquery supports plain correlated SELECTs "
+                "(optionally ORDER BY ... LIMIT n)")
+        probe = QueryCompiler(self.session, self.scope) \
+            .compile_relation(sel.from_)
+        inner_cols = {c.lower() for c in probe.columns}
+        inner_aliases = _relation_aliases(sel.from_)
+        left_cols = {c.lower() for c in left.columns}
+
+        def is_outer(ref: ast.ColumnRef) -> bool:
+            q = ref.qualifier
+            if q is not None:
+                return q.lower() not in inner_aliases
+            return (ref.name.lower() not in inner_cols
+                    and ref.name.lower() in left_cols)
+
+        def has_outer(node: ast.Node) -> bool:
+            return any(isinstance(n, ast.ColumnRef) and is_outer(n)
+                       for n in walk(node))
+
+        conjs = _split_conjuncts(sel.where) if sel.where is not None else []
+        corr: List[tuple] = []
+        inner_conjs: List[ast.Node] = []
+        for c in conjs:
+            if not has_outer(c):
+                inner_conjs.append(c)
+                continue
+            if not (isinstance(c, ast.Binary) and c.op == "="):
+                raise CompileError(
+                    "LATERAL correlation predicates must be equalities")
+            lo, ro = has_outer(c.left), has_outer(c.right)
+            if lo and ro:
+                raise CompileError(
+                    "LATERAL correlation references outer columns on "
+                    "both sides")
+            outer_ast, inner_ast = (c.left, c.right) if lo else (c.right, c.left)
+            if has_outer(inner_ast):
+                raise CompileError("unsupported LATERAL correlation")
+            corr.append((outer_ast, inner_ast))
+        if not corr:
+            raise CompileError(
+                "LATERAL subquery has no equality correlation — use a "
+                "plain subquery in FROM instead")
+
+        n = getattr(self, "_lateral_counter", 0)
+        self._lateral_counter = n + 1
+        keys = [f"__lk{n}_{i}" for i in range(len(corr))]
+        inner_where = None
+        for c in inner_conjs:
+            inner_where = c if inner_where is None else ast.Binary(
+                op="and", left=inner_where, right=c)
+        # hidden projections: correlation keys + sort expressions (the
+        # ORDER BY column need not be in the select list)
+        sort_keys = [f"__ls{n}_{j}" for j in range(len(sel.order_by))] \
+            if sel.limit is not None else []
+        dec = ast.Select(
+            items=tuple(sel.items)
+            + tuple(ast.SelectItem(expr=ia, alias=k)
+                    for (_, ia), k in zip(corr, keys))
+            + tuple(ast.SelectItem(expr=s.expr, alias=k)
+                    for s, k in zip(sel.order_by, sort_keys)),
+            from_=sel.from_, where=inner_where)
+        inner_df = QueryCompiler(self.session, self.scope).compile_query(dec)
+
+        if sel.limit is not None:
+            limit_val = sel.limit.value if isinstance(sel.limit, ast.Literal) \
+                else None
+            if not isinstance(limit_val, int):
+                raise CompileError("LATERAL LIMIT must be an integer literal")
+            order_cols = [_apply_sort_direction(F.col(k), s)
+                          for k, s in zip(sort_keys, sel.order_by)] \
+                or [F.lit(1)]
+            w = Window.partitionBy(*[F.col(k) for k in keys]) \
+                .orderBy(*order_cols)
+            inner_df = (inner_df
+                        .withColumn("__lrn", F.row_number().over(w))
+                        .filter(F.col("__lrn") <= limit_val)
+                        .drop("__lrn", *sort_keys))
+            if sel.offset is not None:
+                raise CompileError("LATERAL OFFSET is not supported")
+
+        right = inner_df.alias(rel.alias)
+        ec = self._expr_compiler()
+        cond = None
+        for (outer_ast, _), k in zip(corr, keys):
+            eq = ec.compile(outer_ast) == F.col(f"{rel.alias}.{k}")
+            cond = eq if cond is None else cond & eq
+        if on_cond is not None:
+            cond = cond & ec.compile(on_cond)
+        return left.join(right, cond, how).drop(*keys)
 
     def _compile_asof_join(self, join: ast.Join, left: DataFrame,
                            right: DataFrame) -> DataFrame:

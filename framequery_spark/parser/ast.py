@@ -270,6 +270,7 @@ class TableRef(Node):
 class SubqueryRel(Node):
     query: "Select"
     alias: str
+    lateral: bool = False  # pg LATERAL (SELECT ... correlated)
 
 
 @dataclass(frozen=True)

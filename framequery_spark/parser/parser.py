@@ -485,6 +485,10 @@ class Parser:
                         name=right.name, args=right.args, alias=right.alias,
                         lateral=True,
                     )
+                elif isinstance(right, ast.SubqueryRel):
+                    import dataclasses as _dc
+
+                    right = _dc.replace(right, lateral=True)
                 rel = ast.Join(kind="cross", left=rel, right=right)
             else:
                 right = self.parse_join_chain()
@@ -557,7 +561,7 @@ class Parser:
             if not isinstance(query, ast.Select):
                 # wrap set-op in a trivial select for uniform handling
                 query = ast.Select(items=(ast.Star(),), from_=ast.SubqueryRel(query=query, alias="__setop"))
-            return ast.SubqueryRel(query=query, alias=alias)
+            return ast.SubqueryRel(query=query, alias=alias, lateral=lateral)
         parts = self.parse_dotted_name()
         if self.is_op("("):
             # table function

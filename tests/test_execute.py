@@ -765,3 +765,38 @@ def test_pg_datetime_and_string_functions(spark):
     assert out[4] == "He001 W1r0d"  # pg translate: l->0, o->1
     assert out[5] == 4
     assert out[6] == "Hello,World"
+
+
+# --------------------------------------------------------------------------
+# correlated LATERAL subqueries (pg top-N-per-group staple)
+
+@pytest.fixture(scope="module")
+def lat_scope(spark):
+    return {
+        "c": spark.createDataFrame(pd.DataFrame({"ck": [1, 2, 3]})),
+        "o": spark.createDataFrame(pd.DataFrame({
+            "ok": [10, 11, 12, 13, 14], "ock": [1, 1, 1, 2, 2],
+            "amt": [5.0, 9.0, 7.0, 3.0, 8.0]})),
+    }
+
+
+def test_lateral_subquery_topk_per_row(spark, lat_scope):
+    q = ("SELECT c.ck, t.ok, t.amt FROM c, LATERAL ("
+         "SELECT ok, amt FROM o WHERE o.ock = c.ck "
+         "ORDER BY amt DESC LIMIT 2) t ORDER BY c.ck, t.amt DESC")
+    assert rows(run(q, lat_scope, spark)) == [
+        (1, 11, 9.0), (1, 12, 7.0), (2, 13, 3.0), (2, 14, 8.0)]
+
+
+def test_left_join_lateral_keeps_unmatched(spark, lat_scope):
+    q = ("SELECT c.ck, t.ok FROM c LEFT JOIN LATERAL ("
+         "SELECT ok FROM o WHERE o.ock = c.ck ORDER BY amt DESC LIMIT 1) t "
+         "ON true ORDER BY c.ck")
+    assert rows(run(q, lat_scope, spark)) == [(1, 11), (2, 14), (3, None)]
+
+
+def test_lateral_subquery_without_limit(spark, lat_scope):
+    q = ("SELECT c.ck, t.ok FROM c, LATERAL ("
+         "SELECT ok FROM o WHERE o.ock = c.ck) t ORDER BY c.ck, t.ok")
+    assert rows(run(q, lat_scope, spark)) == [
+        (1, 10), (1, 11), (1, 12), (2, 13), (2, 14)]
