@@ -172,6 +172,53 @@ class Executor:
                 elif not node.if_exists:
                     raise KeyError(f"table not found: {name}")
             return None
+        if isinstance(node, ast.InsertInto):
+            df = self._compile_query(node.query, scope)
+            base = self.resolve_table(scope, node.table)
+            if node.columns:
+                # named columns: missing ones fill NULL, order normalized
+                from pyspark.sql import functions as F
+
+                df = df.toDF(*node.columns)
+                df = df.select(*[
+                    F.col(c) if c in df.columns
+                    else F.lit(None).cast(base.schema[c].dataType).alias(c)
+                    for c in base.columns])
+            else:
+                df = df.toDF(*base.columns)  # positional, SQL-style
+            scope[node.table] = base.unionByName(df)
+            return None
+        if isinstance(node, ast.Delete):
+            base = self.resolve_table(scope, node.table)
+            if node.where is None:
+                scope[node.table] = base.limit(0)
+                return None
+            from ..compiler.expressions import ExprCompiler
+
+            cond = ExprCompiler(self, scope=scope).compile(node.where)
+            # keep rows where the predicate is NOT satisfied (3VL: NULL
+            # predicate rows survive, matching pg DELETE)
+            scope[node.table] = base.filter(~cond.eqNullSafe(True))
+            return None
+        if isinstance(node, ast.Update):
+            from pyspark.sql import functions as F
+
+            from ..compiler.expressions import ExprCompiler
+
+            base = self.resolve_table(scope, node.table)
+            ec = ExprCompiler(self, scope=scope)
+            cond = (ec.compile(node.where).eqNullSafe(True)
+                    if node.where is not None else F.lit(True))
+            out = base
+            # all assignment RHS evaluate against the PRE-update row (SQL
+            # semantics) — compile against `base`, apply in one select
+            new_vals = {c: ec.compile(e) for c, e in node.assignments}
+            out = base.select(*[
+                (F.when(cond, new_vals[c]).otherwise(F.col(c)).alias(c)
+                 if c in new_vals else F.col(c))
+                for c in base.columns])
+            scope[node.table] = out
+            return None
         if isinstance(node, ast.CopyFrom):
             from ..sources.copy import read_csv
 

@@ -410,6 +410,36 @@ class ShowOption(Node):
 
 
 @dataclass(frozen=True)
+class InsertInto(Node):
+    """INSERT INTO t [(cols)] SELECT ... | VALUES ... — beyond parity;
+    appends to the scope entry (DataFrames are immutable: the scope is
+    rebound to the union)."""
+
+    table: str
+    query: Node
+    columns: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Delete(Node):
+    """DELETE FROM t [WHERE cond] — rebinds the scope entry to the
+    filtered complement."""
+
+    table: str
+    where: Optional[Node] = None
+
+
+@dataclass(frozen=True)
+class Update(Node):
+    """UPDATE t SET col = expr, ... [WHERE cond] — rebinds the scope
+    entry with conditional column replacement."""
+
+    table: str
+    assignments: Tuple[Tuple[str, Node], ...] = ()
+    where: Optional[Node] = None
+
+
+@dataclass(frozen=True)
 class Explain(Node):
     """EXPLAIN [ANALYZE] <query> — returns the Spark physical plan as rows
     (pg surface shape; the plan text is Catalyst's, which is the truth for

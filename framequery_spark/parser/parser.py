@@ -161,7 +161,51 @@ class Parser:
             analyze = bool(self.accept_kw("analyze"))
             self.accept_kw("verbose")
             return ast.Explain(query=self.parse_query(), analyze=analyze)
+        if self.is_kw("insert"):
+            return self.parse_insert()
+        if self.is_kw("delete"):
+            self.advance()
+            self.expect_kw("from")
+            table = ".".join(self.parse_dotted_name())
+            where = self.parse_expr() if self.accept_kw("where") else None
+            return ast.Delete(table=table, where=where)
+        if self.is_kw("update"):
+            self.advance()
+            table = ".".join(self.parse_dotted_name())
+            self.expect_kw("set")
+            assigns = []
+            while True:
+                col = self.parse_name()
+                self.expect_op("=")
+                assigns.append((col, self.parse_expr()))
+                if not self.accept_op(","):
+                    break
+            where = self.parse_expr() if self.accept_kw("where") else None
+            return ast.Update(table=table, assignments=tuple(assigns),
+                              where=where)
         raise self.error("expected a statement")
+
+    def parse_insert(self) -> ast.Node:
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        table = ".".join(self.parse_dotted_name())
+        columns: List[str] = []
+        if self.is_op("(") :
+            self.advance()
+            columns.append(self.parse_name())
+            while self.accept_op(","):
+                columns.append(self.parse_name())
+            self.expect_op(")")
+        if self.is_kw("values"):
+            vals = self.parse_values()
+            query = ast.Select(items=(ast.Star(),),
+                               from_=ast.Values(rows=vals.rows,
+                                                alias="__ins",
+                                                column_names=tuple(columns)))
+        else:
+            query = self.parse_query()
+        return ast.InsertInto(table=table, query=query,
+                              columns=tuple(columns))
 
     def parse_copy(self) -> ast.Node:
         self.expect_kw("copy")

@@ -114,3 +114,24 @@ def test_copy_query_from_rejected(spark):
     ex = fq.Executor(scope={}, spark=spark)
     with pytest.raises(Exception, match="only TO"):
         ex.execute("copy (select 1) from 'x.csv'")
+
+
+def test_dml_insert_delete_update(spark):
+    import pandas as pd
+
+    import framequery_spark as fq
+
+    ex = fq.Executor({"t": spark.createDataFrame(pd.DataFrame(
+        {"a": [1, 2, 3], "s": ["x", "y", "z"]}))}, spark=spark)
+    ex.execute("INSERT INTO t VALUES (4, 'w')")
+    ex.execute("INSERT INTO t (s, a) SELECT 'q', 9")
+    got = sorted(map(tuple, ex.execute("select * from t").collect()))
+    assert got == [(1, "x"), (2, "y"), (3, "z"), (4, "w"), (9, "q")]
+    ex.execute("DELETE FROM t WHERE a >= 4")
+    assert ex.execute("select count(*) as n from t").collect()[0][0] == 3
+    # UPDATE: all RHS see the pre-update row (SQL semantics)
+    ex.execute("UPDATE t SET s = upper(s), a = a * 10 WHERE a > 1")
+    got = sorted(map(tuple, ex.execute("select * from t").collect()))
+    assert got == [(1, "x"), (20, "Y"), (30, "Z")]
+    ex.execute("DELETE FROM t")
+    assert ex.execute("select count(*) as n from t").collect()[0][0] == 0
