@@ -161,6 +161,10 @@ class Parser:
             analyze = bool(self.accept_kw("analyze"))
             self.accept_kw("verbose")
             return ast.Explain(query=self.parse_query(), analyze=analyze)
+        if self.is_kw("truncate"):
+            self.advance()
+            self.accept_kw("table")
+            return ast.Delete(table=".".join(self.parse_dotted_name()))
         if self.is_kw("insert"):
             return self.parse_insert()
         if self.is_kw("delete"):
@@ -256,7 +260,10 @@ class Parser:
         if self.accept_kw("or"):
             self.expect_kw("replace")
             replace = True
-        self.expect_kw("table")
+        # CREATE VIEW == CREATE TABLE AS here: scope entries are lazy
+        # DataFrames, so every "table" in the scope already IS a view
+        if not self.accept_kw("view"):
+            self.expect_kw("table")
         name = ".".join(self.parse_dotted_name())
         self.expect_kw("as")
         query = self.parse_query()

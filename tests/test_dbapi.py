@@ -135,3 +135,16 @@ def test_dml_insert_delete_update(spark):
     assert got == [(1, "x"), (20, "Y"), (30, "Z")]
     ex.execute("DELETE FROM t")
     assert ex.execute("select count(*) as n from t").collect()[0][0] == 0
+
+
+def test_create_view_and_truncate(spark):
+    import pandas as pd
+
+    import framequery_spark as fq
+
+    ex = fq.Executor({"t": spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3]}))}, spark=spark)
+    ex.execute("CREATE VIEW big AS SELECT a FROM t WHERE a > 1")
+    assert sorted(r[0] for r in ex.execute("select * from big").collect()) == [2, 3]
+    ex.execute("TRUNCATE TABLE t")
+    assert ex.execute("select count(*) as n from t").collect()[0][0] == 0
