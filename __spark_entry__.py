@@ -872,6 +872,22 @@ FROM f, LATERAL unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS t(i
 """)
 
 
+def _op_skew_count_distinct(spark, sf_dir):
+    """Two-phase (skew-safe) exact distinct users per event type — hot keys
+    spread across the cluster on the dedup shuffle instead of funneling
+    into one reducer."""
+    from framequery_spark.operators.skew import skew_safe_count_distinct
+
+    ev = _scope(spark, sf_dir)["events"]
+    return skew_safe_count_distinct(ev, ["event_type"], "user_id")
+
+
+_op("op_skew_count_distinct", _op_skew_count_distinct, """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+""")
+
+
 def _op_pii_scrub(spark, sf_dir):
     """PII redaction over documents. The testdata has no natural PII, so a
     deterministic synthetic email+phone is appended per doc (mirrored in

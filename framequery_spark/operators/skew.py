@@ -1,68 +1,56 @@
-"""Skew-aware join helpers.
+"""Skew-handling operators: the patterns for hot keys at 100 TB.
 
-AQE's skew-join handles most runtime skew (enabled in plans/tuning.py), but
-two patterns still need explicit handling at corpus scale:
+AQE's skew-join splitting (on in `plans/tuning.py`) handles most join skew
+at runtime; these operators cover the cases AQE cannot re-plan:
 
-  - joining a huge fact table against a medium dim on a key whose
-    distribution is pathological (a handful of keys own most rows) —
-    `salted_join` spreads each hot key over `salt` buckets by replicating
-    the build side;
-  - aggregating by a skewed key — `two_phase_agg` pre-aggregates on
-    (key, salt) then re-aggregates on key, cutting the single hot-partition
-    reduce into `salt` parallel partials.
+  - `skew_safe_count_distinct`: COUNT(DISTINCT col) per key normally hashes
+    every value of a hot key into ONE reducer. The two-phase form shuffles
+    by (key, value) first — the hot key's values spread across the cluster
+    for the dedup — then counts tiny per-key partials. Exact, same answer,
+    bounded reducers.
+
+  - `salted_join`: explicit salting for engines/paths where AQE is off or
+    the skew is known up front. The big (skewed) side gets a DETERMINISTIC
+    pseudo-salt from a row hash (never rand() — results must be stable
+    across retries/stragglers, and task retry with rand() silently
+    duplicates or drops rows); the small side replicates into every salt
+    bucket. The join becomes n_salts smaller joins that land on different
+    reducers.
+
+Beyond-reference surface (the reference has no physical tuning at all).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def salted_join(fact: DataFrame, dim: DataFrame, keys: List[str],
-                salt: int = 16, how: str = "inner") -> DataFrame:
-    """Equi-join with salting: the fact side gets a random salt in [0,salt),
-    the dim side is replicated once per salt value, and the join key becomes
-    (keys..., salt). Result equals fact.join(dim, keys, how) for inner/left.
+def skew_safe_count_distinct(df: DataFrame, keys: Sequence[str],
+                             col: str, out_col: str = "n_distinct") -> DataFrame:
+    """Exact per-key distinct count as two shuffles of bounded width:
+    dedup on (keys, col) — the value spreads the hot key — then a plain
+    count per key (map-side partial combine applies)."""
+    return (df.select(*keys, col)
+            .distinct()
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(out_col)))
 
-    Use when the fact side is skewed on `keys` and the dim side is too big
-    to broadcast but cheap to replicate `salt` times."""
+
+def salted_join(left: DataFrame, right: DataFrame, on: List[str],
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join with the left (big/skewed) side salted deterministically
+    and the right (small) side replicated n_salts times. Result is
+    identical to `left.join(right, on, how)`; the shuffle for a hot key is
+    spread over n_salts reducers at the cost of replicating the right side
+    n_salts-fold — size the salt count to the skew, not the cluster."""
     if how not in ("inner", "left"):
-        raise ValueError("salted_join supports inner/left joins")
-    salted_fact = fact.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int"))
-    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
-    salted_dim = dim.select("*", salts)
-    out = salted_fact.join(salted_dim, keys + ["__salt"], how)
-    return out.drop("__salt")
-
-
-def two_phase_agg(df: DataFrame, keys: List[str], aggs: Dict[str, str],
-                  salt: int = 16) -> DataFrame:
-    """Aggregate by skewed keys in two phases: (key, salt) partials, then a
-    final combine on key. Supports count/sum/min/max (algebraic aggregates).
-
-    aggs: {column: 'count'|'sum'|'min'|'max'} -> output column `fn_col`."""
-    salted = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
-    partial_exprs: List[Column] = []
-    final_exprs: List[Column] = []
-    for col, fn in aggs.items():
-        pname = f"__p_{fn}_{col}"
-        out = f"{fn}_{col}"
-        if fn == "count":
-            partial_exprs.append(F.count(F.lit(1)).alias(pname))
-            final_exprs.append(F.sum(pname).alias(out))
-        elif fn == "sum":
-            partial_exprs.append(F.sum(col).alias(pname))
-            final_exprs.append(F.sum(pname).alias(out))
-        elif fn == "min":
-            partial_exprs.append(F.min(col).alias(pname))
-            final_exprs.append(F.min(pname).alias(out))
-        elif fn == "max":
-            partial_exprs.append(F.max(col).alias(pname))
-            final_exprs.append(F.max(pname).alias(out))
-        else:
-            raise ValueError(f"two_phase_agg: non-algebraic aggregate {fn}")
-    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
-    return partial.groupBy(*keys).agg(*final_exprs)
+        raise ValueError("salted_join supports inner and left joins")
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+                  F.lit(n_salts)).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return l.join(r, on=list(on) + ["__salt"], how=how).drop("__salt")

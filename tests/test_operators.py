@@ -530,3 +530,35 @@ def test_resize_image_stub_plumbing(spark, docs):
     for r in out:
         assert r.width == 32 and r.height == 32
         assert len(r.resized) == 32 * 32 // 64
+
+
+# ------------------------------------------------------------------- skew
+
+
+def test_skew_safe_count_distinct_matches_exact(spark, tpch_scope):
+    from framequery_spark.operators.skew import skew_safe_count_distinct
+
+    ev = tpch_scope["events"]
+    got = {(r.event_type,): r.n_distinct for r in
+           skew_safe_count_distinct(ev, ["event_type"], "user_id").collect()}
+    want = {(r.event_type,): r.n for r in
+            ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert got == want
+
+
+def test_salted_join_matches_plain_join(spark, tpch_scope):
+    from framequery_spark.operators.skew import salted_join
+
+    o = tpch_scope["orders"].select("o_orderkey", "o_custkey")
+    c = tpch_scope["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_name")
+    plain = sorted(map(tuple, o.join(c, "o_custkey").collect()))
+    salted = sorted(map(tuple, salted_join(o, c, ["o_custkey"], 8).collect()))
+    assert salted == plain
+    # left join keeps unmatched left rows exactly once
+    c2 = c.filter(F.col("o_custkey") < 10)
+    plain_l = sorted(map(tuple, o.join(c2, "o_custkey", "left").collect()))
+    salted_l = sorted(map(tuple,
+                          salted_join(o, c2, ["o_custkey"], 8, "left").collect()))
+    assert salted_l == plain_l
