@@ -800,3 +800,38 @@ def test_lateral_subquery_without_limit(spark, lat_scope):
          "SELECT ok FROM o WHERE o.ock = c.ck) t ORDER BY c.ck, t.ok")
     assert rows(run(q, lat_scope, spark)) == [
         (1, 10), (1, 11), (1, 12), (2, 13), (2, 14)]
+
+
+# --------------------------------------------------------------------------
+# feature-interaction hardening
+
+def test_lateral_inside_cte(spark, lat_scope):
+    q = ("WITH top AS (SELECT c.ck, t.ok FROM c, LATERAL ("
+         "SELECT ok FROM o WHERE o.ock = c.ck ORDER BY amt DESC LIMIT 1) t) "
+         "SELECT count(*) AS n FROM top")
+    assert rows(run(q, lat_scope, spark)) == [(2,)]
+
+
+def test_group_by_all_with_json_arrow(spark):
+    scope = {"jt": spark.createDataFrame(pd.DataFrame({
+        "doc": ['{"k": "a"}', '{"k": "a"}', '{"k": "b"}']}))}
+    q = ("select doc ->> 'k' as k, count(*) as n from jt "
+         "group by all order by k")
+    assert rows(run(q, scope, spark)) == [("a", 2), ("b", 1)]
+
+
+def test_asof_join_then_aggregate_with_filter(spark, asof_scope):
+    q = ("select trades.sym, count(quotes.bid) filter (where quotes.bid > 1) "
+         "as big from trades asof left join quotes "
+         "on trades.sym = quotes.sym and trades.t > quotes.qt "
+         "group by trades.sym order by trades.sym")
+    assert rows(run(q, asof_scope, spark)) == [("a", 1), ("b", 0)]
+
+
+def test_two_laterals_in_one_query(spark, lat_scope):
+    q = ("SELECT c.ck, hi.ok AS hi_ok, lo.ok AS lo_ok FROM c, "
+         "LATERAL (SELECT ok FROM o WHERE o.ock = c.ck "
+         "ORDER BY amt DESC LIMIT 1) hi, "
+         "LATERAL (SELECT ok FROM o WHERE o.ock = c.ck "
+         "ORDER BY amt ASC LIMIT 1) lo ORDER BY c.ck")
+    assert rows(run(q, lat_scope, spark)) == [(1, 11, 10), (2, 14, 13)]
