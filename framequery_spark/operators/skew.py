@@ -40,17 +40,54 @@ def skew_safe_count_distinct(df: DataFrame, keys: Sequence[str],
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: List[str],
-                n_salts: int = 16, how: str = "inner") -> DataFrame:
+                salt: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join with the left (big/skewed) side salted deterministically
-    and the right (small) side replicated n_salts times. Result is
+    and the right (small) side replicated `salt` times. Result is
     identical to `left.join(right, on, how)`; the shuffle for a hot key is
-    spread over n_salts reducers at the cost of replicating the right side
-    n_salts-fold — size the salt count to the skew, not the cluster."""
+    spread over `salt` reducers at the cost of replicating the right side
+    salt-fold — size the salt count to the skew, not the cluster."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
-    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
-                  F.lit(n_salts)).cast("int")
-    l = left.withColumn("__salt", salt)
+    salt_col = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+                      F.lit(salt)).cast("int")
+    l = left.withColumn("__salt", salt_col)
     r = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return l.join(r, on=list(on) + ["__salt"], how=how).drop("__salt")
+
+
+# partial-phase and merge-phase functions per supported aggregate: the
+# partial runs per (keys, salt) group, the merge re-aggregates per keys.
+_TWO_PHASE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def two_phase_agg(df: DataFrame, keys: Sequence[str], aggs: dict,
+                  salt: int = 16) -> DataFrame:
+    """Salted two-phase aggregation for hot group keys: rows first
+    aggregate per (keys, salt-bucket) — a hot key's rows spread over
+    `salt` reducers — then the small per-bucket partials merge per key.
+    `aggs` maps column -> one of sum/count/min/max (the decomposable
+    aggregates; avg = sum/count composed by the caller). Output columns
+    are named `{agg}_{col}`. Exact: each supported aggregate is
+    associative, so bucket partials merge losslessly."""
+    for col, fn in aggs.items():
+        if fn not in _TWO_PHASE:
+            raise ValueError(
+                f"two_phase_agg supports {sorted(_TWO_PHASE)}; got {fn!r} "
+                f"for {col!r} (compose avg from sum and count)")
+    salt_col = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                      F.lit(salt)).cast("int")
+    partials = [
+        _TWO_PHASE[fn][0](F.col(col)).alias(f"__p_{fn}_{col}")
+        for col, fn in aggs.items()]
+    merged = [
+        _TWO_PHASE[fn][1](F.col(f"__p_{fn}_{col}")).alias(f"{fn}_{col}")
+        for col, fn in aggs.items()]
+    return (df.withColumn("__salt", salt_col)
+            .groupBy(*list(keys), "__salt").agg(*partials)
+            .groupBy(*list(keys)).agg(*merged))
