@@ -172,6 +172,12 @@ class Executor:
                 elif not node.if_exists:
                     raise KeyError(f"table not found: {name}")
             return None
+        if isinstance(node, ast.Describe):
+            df = self.resolve_table(scope, node.table)
+            rows = [(f.name, f.dataType.simpleString())
+                    for f in df.schema.fields]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string")
         if isinstance(node, ast.InsertInto):
             df = self._compile_query(node.query, scope)
             base = self.resolve_table(scope, node.table)

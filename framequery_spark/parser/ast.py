@@ -440,6 +440,13 @@ class Update(Node):
 
 
 @dataclass(frozen=True)
+class Describe(Node):
+    """DESCRIBE t — (col_name, data_type) rows from the frame's schema."""
+
+    table: str
+
+
+@dataclass(frozen=True)
 class Explain(Node):
     """EXPLAIN [ANALYZE] <query> — returns the Spark physical plan as rows
     (pg surface shape; the plan text is Catalyst's, which is the truth for

@@ -161,6 +161,10 @@ class Parser:
             analyze = bool(self.accept_kw("analyze"))
             self.accept_kw("verbose")
             return ast.Explain(query=self.parse_query(), analyze=analyze)
+        if self.is_kw("describe", "desc") and self.peek(1) is not None \
+                and self.peek(1).kind in ("name", "qname"):
+            self.advance()
+            return ast.Describe(table=".".join(self.parse_dotted_name()))
         if self.is_kw("truncate"):
             self.advance()
             self.accept_kw("table")

@@ -148,3 +148,14 @@ def test_create_view_and_truncate(spark):
     assert sorted(r[0] for r in ex.execute("select * from big").collect()) == [2, 3]
     ex.execute("TRUNCATE TABLE t")
     assert ex.execute("select count(*) as n from t").collect()[0][0] == 0
+
+
+def test_describe_statement(spark):
+    import pandas as pd
+
+    import framequery_spark as fq
+
+    ex = fq.Executor({"t": spark.createDataFrame(
+        pd.DataFrame({"a": [1], "s": ["x"]}))}, spark=spark)
+    got = [tuple(r) for r in ex.execute("DESCRIBE t").collect()]
+    assert got == [("a", "bigint"), ("s", "string")]
