@@ -178,6 +178,20 @@ QUERIES = [
     "from test t",
     "select c1, c2 from test t "
     "where c2 > (select avg(o.c4) from other o where o.c3 = t.c1 and o.c4 > 0)",
+    # round-4 surface, dialect-shared with DuckDB
+    "select c1, count(*) from test group by all",
+    ("select c2 from test where c2 between symmetric 4 and 2",
+     "select c2 from test where c2 between 2 and 4"),
+    "select c2 is true, c2 is not false from (select c1 = 0 as c2 from test) x",
+    ("select greatest(c1, c2), least(c1, c2), width_bucket(c2, 0, 10, 5) from test",
+     "select greatest(c1, c2), least(c1, c2), "
+     "least(cast(floor(c2 / 2) as int) + 1, 6) from test"),
+    "select translate(name, 'ab', 'AB') from names",
+    "select name from names, lateral (select age from ages "
+    "where ages.id = names.id order by age limit 1) t where t.age > 25",
+    "select c1, sum(c2) filter (where c2 > 2) from test group by c1",
+    "select percentile_disc(0.5) within group (order by c2 desc) from test",
+    "select date_part('year', date '2024-05-17')",
 ]
 
 
