@@ -148,6 +148,12 @@ class Parser:
     def parse_statement(self) -> ast.Node:
         if self.is_kw("select", "with") or self.is_op("("):
             return self.parse_query()
+        if self.is_kw("values"):
+            # top-level VALUES (1, 'a'), (2, 'b') — pg/DuckDB statement form
+            vals = self.parse_values()
+            return ast.Select(items=(ast.Star(),),
+                              from_=ast.Values(rows=vals.rows,
+                                               alias="__values"))
         if self.is_kw("copy"):
             return self.parse_copy()
         if self.is_kw("create"):

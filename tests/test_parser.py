@@ -131,3 +131,29 @@ def test_asof_join_parses_and_alias_not_eaten():
     # 'asof' still works as an ordinary implicit alias
     node = parse("select asof.x from t asof")
     assert node.from_.alias == "asof"
+
+
+def test_top_level_values_statement():
+    node = parse("values (1, 'a'), (2, 'b')")
+    assert node.from_.rows and len(node.from_.rows) == 2
+
+
+def test_parser_fuzz_raises_only_parse_errors():
+    # robustness: arbitrary garbage must fail with ParseError/TokenizeError,
+    # never an internal exception
+    import itertools
+    import random
+
+    from framequery_spark.parser.parser import ParseError
+    from framequery_spark.parser.tokenizer import TokenizeError
+
+    rnd = random.Random(7)
+    atoms = ["select", "from", "(", ")", "*", ",", "'x'", "1", "a", "+",
+             "where", "group", "by", "order", "join", "on", "::", "[", "]",
+             "case", "when", "end", "asof", "lateral", "->", "!>", "%", ";"]
+    for i in range(400):
+        q = " ".join(rnd.choice(atoms) for _ in range(rnd.randrange(1, 12)))
+        try:
+            parse(q)
+        except (ParseError, TokenizeError):
+            pass  # expected failure mode
