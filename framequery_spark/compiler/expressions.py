@@ -910,14 +910,46 @@ class ExprCompiler:
         return F.lit(row[0]).cast(dtype)
 
     def _c_InSubquery(self, node: ast.InSubquery) -> Column:
-        raise CompileError(
-            "IN (SELECT ...) is only supported as a top-level WHERE conjunct"
-        )
+        # expression-context `x IN (SELECT col FROM ...)` (WHERE-conjunct
+        # positions take the semi-join fast path in select.py before ever
+        # reaching here): desugared to a correlated EXISTS with the
+        # membership equality folded into the subquery's WHERE, which the
+        # scalar-count decorrelation turns into ONE grouped aggregate +
+        # left join. NULL semantics are simplified to 2-valued (pg IN
+        # returns NULL when no match and the list has NULLs).
+        sel = node.query
+        if not (isinstance(sel, ast.Select) and len(sel.items) == 1
+                and not isinstance(sel.items[0], ast.Star)):
+            raise CompileError(
+                "IN subquery must select exactly one column")
+        # the subquery collects its column (correlated filters decorrelate
+        # as usual); the membership expr compiles in the OUTER context and
+        # probes the array — folding `subcol = x` into the inner WHERE
+        # would capture x's unqualified refs in the inner scope.
+        coll = ast.Select(
+            items=(ast.SelectItem(
+                expr=ast.Call(name="collect",
+                              args=(sel.items[0].expr,)), alias=None),),
+            from_=sel.from_, where=sel.where, ctes=sel.ctes)
+        arr = self._c_ScalarSubquery(ast.ScalarSubquery(query=coll))
+        x = self.compile(node.expr)
+        col = F.coalesce(F.array_contains(arr, x), F.lit(False))
+        return ~col if node.negated else col
 
     def _c_Exists(self, node: ast.Exists) -> Column:
-        raise CompileError(
-            "EXISTS is only supported as a top-level WHERE conjunct"
-        )
+        # expression-context EXISTS: count(*) over the subquery (correlated
+        # equality predicates decorrelate via _try_decorrelate_scalar, with
+        # the empty-group coalesce-to-0) compared against 0 — no per-row
+        # execution, one grouped aggregate + left join.
+        sel = node.query
+        if not isinstance(sel, ast.Select):
+            raise CompileError("EXISTS requires a SELECT subquery")
+        cnt = ast.Select(
+            items=(ast.SelectItem(
+                expr=ast.Call(name="count", star=True), alias=None),),
+            from_=sel.from_, where=sel.where, ctes=sel.ctes)
+        col = self._c_ScalarSubquery(ast.ScalarSubquery(query=cnt)) > F.lit(0)
+        return ~col if node.negated else col
 
 
 def _apply_sort_direction(c: Column, item: ast.SortItem) -> Column:

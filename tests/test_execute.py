@@ -835,3 +835,22 @@ def test_two_laterals_in_one_query(spark, lat_scope):
          "LATERAL (SELECT ok FROM o WHERE o.ock = c.ck "
          "ORDER BY amt ASC LIMIT 1) lo ORDER BY c.ck")
     assert rows(run(q, lat_scope, spark)) == [(1, 11, 10), (2, 14, 13)]
+
+
+def test_exists_and_in_projection_context(spark, scope):
+    # EXISTS / IN as select-list expressions (not WHERE conjuncts),
+    # DuckDB-verified
+    q = ("select a, exists(select 1 from other o where o.a = test.a) as e, "
+         "a in (select a from other) as m, "
+         "a not in (select a from other where a < 3) as nm "
+         "from test order by a")
+    assert rows(run(q, scope, spark)) == [
+        (1, True, True, False), (2, True, True, False),
+        (3, False, False, True), (4, False, False, True)]
+    # uncorrelated EXISTS and correlated IN
+    q = ("select a, exists(select 1 from other) as ue, "
+         "a in (select o.a from other o where o.c = test.g) as cm "
+         "from test order by a")
+    assert rows(run(q, scope, spark)) == [
+        (1, True, False), (2, True, False),
+        (3, True, False), (4, True, False)]
