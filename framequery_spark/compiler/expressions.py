@@ -783,7 +783,10 @@ class ExprCompiler:
         self._scalar_counter += 1
         sub_df = sub_df.toDF(name)
         self.pending_scalar.append((name, sub_df))
-        return F.col(name)
+        col = F.col(name)
+        # inside .agg(...) a plain column ref is illegal — the attached
+        # scalar is constant per group, so first() is exact
+        return F.first(col) if self.agg_context else col
 
     def _try_decorrelate_scalar(self, sel: ast.Node) -> Optional[Column]:
         """Correlated scalar-aggregate subquery (the TPC-H Q2/Q17 shape):
@@ -881,7 +884,8 @@ class ExprCompiler:
         fill = self._empty_group_fill(sel, sub_df, val)
         if fill is not None:
             col = F.coalesce(col, fill)
-        return col
+        # see _c_ScalarSubquery: constant per group inside .agg(...)
+        return F.first(col) if self.agg_context else col
 
     def _empty_group_fill(self, sel: ast.Select, sub_df,
                           val: str) -> Optional[Column]:

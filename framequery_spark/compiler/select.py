@@ -479,6 +479,11 @@ class QueryCompiler:
         if not agg_cols:
             agg_cols.append(F.count(F.lit(1)).alias("__dummy"))
 
+        # scalar subqueries referenced from aggregate-context expressions
+        # (HAVING, post-agg select arithmetic) attach to the PRE-agg input;
+        # their values are group constants and compile as first(__scalar_N)
+        df_pre, _ = self._attach_pending(df_pre, ec)
+
         keys = [F.col(f"__g{i}") for i in range(len(group_exprs))]
         if mode == "rollup":
             grouped = df_pre.rollup(*keys)

@@ -854,3 +854,14 @@ def test_exists_and_in_projection_context(spark, scope):
     assert rows(run(q, scope, spark)) == [
         (1, True, False), (2, True, False),
         (3, True, False), (4, True, False)]
+
+
+def test_scalar_subquery_in_having_and_post_agg(spark, scope):
+    # scalar subqueries in aggregate context: attached pre-agg, read back
+    # as group constants via first() (DuckDB-verified)
+    q = ("select g, sum(a) as s from test group by g "
+         "having sum(a) > (select max(a) from other) order by g")
+    assert rows(run(q, scope, spark)) == [("y", 7)]
+    q = ("select g, sum(a) + (select count(*) from other) as s "
+         "from test group by g order by g")
+    assert rows(run(q, scope, spark)) == [("x", 6), ("y", 10)]
