@@ -195,35 +195,42 @@ class Executor:
             scope[node.table] = base.unionByName(df)
             return None
         if isinstance(node, ast.Delete):
-            base = self.resolve_table(scope, node.table)
+            # alias to the table name so qualified self-refs (t.a) and
+            # correlated subquery outer refs resolve
+            base = self.resolve_table(scope, node.table).alias(node.table)
             if node.where is None:
                 scope[node.table] = base.limit(0)
                 return None
             from ..compiler.expressions import ExprCompiler
 
-            cond = ExprCompiler(self, scope=scope).compile(node.where)
+            ec = ExprCompiler(self, scope=scope)
+            cond = ec.compile(node.where)
+            cols = list(base.columns)
+            base, _ = QueryCompiler(self, scope)._attach_pending(base, ec)
             # keep rows where the predicate is NOT satisfied (3VL: NULL
-            # predicate rows survive, matching pg DELETE)
-            scope[node.table] = base.filter(~cond.eqNullSafe(True))
+            # predicate rows survive, matching pg DELETE); reproject to the
+            # original columns to shed any attached subquery helpers
+            scope[node.table] = base.filter(~cond.eqNullSafe(True)) \
+                .select(*cols)
             return None
         if isinstance(node, ast.Update):
             from pyspark.sql import functions as F
 
             from ..compiler.expressions import ExprCompiler
 
-            base = self.resolve_table(scope, node.table)
+            base = self.resolve_table(scope, node.table).alias(node.table)
             ec = ExprCompiler(self, scope=scope)
             cond = (ec.compile(node.where).eqNullSafe(True)
                     if node.where is not None else F.lit(True))
-            out = base
             # all assignment RHS evaluate against the PRE-update row (SQL
             # semantics) — compile against `base`, apply in one select
             new_vals = {c: ec.compile(e) for c, e in node.assignments}
-            out = base.select(*[
+            cols = list(base.columns)
+            base, _ = QueryCompiler(self, scope)._attach_pending(base, ec)
+            scope[node.table] = base.select(*[
                 (F.when(cond, new_vals[c]).otherwise(F.col(c)).alias(c)
                  if c in new_vals else F.col(c))
-                for c in base.columns])
-            scope[node.table] = out
+                for c in cols])
             return None
         if isinstance(node, ast.CopyFrom):
             from ..sources.copy import read_csv

@@ -159,3 +159,19 @@ def test_describe_statement(spark):
         pd.DataFrame({"a": [1], "s": ["x"]}))}, spark=spark)
     got = [tuple(r) for r in ex.execute("DESCRIBE t").collect()]
     assert got == [("a", "bigint"), ("s", "string")]
+
+
+def test_dml_with_subqueries(spark):
+    import pandas as pd
+
+    import framequery_spark as fq
+
+    ex = fq.Executor({"t": spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3, 4]})),
+                      "o": spark.createDataFrame(pd.DataFrame({"a": [1, 2]}))},
+                     spark=spark)
+    ex.execute("DELETE FROM t WHERE a IN (SELECT a FROM o)")
+    assert sorted(r[0] for r in ex.execute("select * from t").collect()) == [3, 4]
+    ex.execute("UPDATE t SET a = a + (SELECT count(*) FROM o) WHERE a > 3")
+    assert sorted(r[0] for r in ex.execute("select * from t").collect()) == [3, 6]
+    ex.execute("DELETE FROM t WHERE EXISTS (SELECT 1 FROM o WHERE o.a + 2 = t.a)")
+    assert sorted(r[0] for r in ex.execute("select * from t").collect()) == [6]
