@@ -522,6 +522,15 @@ WHERE c_custkey <= 100
 ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
 """)
 
+# scalar subquery in HAVING — identical text in both dialects
+_q("q55_having_subquery", """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+HAVING count(*) > (SELECT count(*) FROM orders) / 10
+ORDER BY o_orderpriority
+""")
+
 # JSON arrow extraction — identical text in both dialects
 _q("q52_json_arrows", """
 SELECT props ->> 'k' AS k, count(*) AS n, round(sum(value), 2) AS sv
