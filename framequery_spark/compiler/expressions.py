@@ -88,7 +88,8 @@ AGG_MAP = {
 AGG_NAMES = set(AGG_MAP) | {
     "count", "string_agg", "corr", "covar_pop", "covar_samp", "first_value",
     "percentile_cont", "percentile_disc", "mode", "grouping", "grouping_id",
-    "approx_percentile",
+    "approx_percentile", "regr_slope", "regr_intercept", "regr_count",
+    "regr_r2", "regr_avgx", "regr_avgy",
 }
 
 WINDOW_FUNCS = {
@@ -525,7 +526,8 @@ class ExprCompiler:
             args = (ast.Case(whens=((cond, ast.Literal(1, "int")),)),)
             return dataclasses.replace(node, name="count", args=args,
                                        star=False, filter_where=None)
-        n_values = 2 if node.name in ("corr", "covar_pop", "covar_samp") else 1
+        n_values = 2 if (node.name in ("corr", "covar_pop", "covar_samp")
+                         or node.name.startswith("regr_")) else 1
         args = tuple(
             ast.Case(whens=((cond, a),)) if i < n_values else a
             for i, a in enumerate(node.args))
@@ -565,6 +567,9 @@ class ExprCompiler:
             return F.covar_pop(self.compile(node.args[0]), self.compile(node.args[1]))
         if name == "covar_samp":
             return F.covar_samp(self.compile(node.args[0]), self.compile(node.args[1]))
+        if name.startswith("regr_"):
+            return getattr(F, name)(self.compile(node.args[0]),
+                                    self.compile(node.args[1]))
         if name == "percentile_cont":
             # percentile_cont(frac) WITHIN GROUP unsupported; 2-arg form:
             # percentile_cont(col, frac)

@@ -243,6 +243,29 @@ def _cosine(a):
     return _dot(a) / (_l2norm([a[0]]) * _l2norm([a[1]]))
 
 
+# --------------------------------------------------------- regression aggs
+_fixed("regr_slope", lambda a: F.regr_slope(a[0], a[1]))
+_fixed("regr_intercept", lambda a: F.regr_intercept(a[0], a[1]))
+_fixed("regr_count", lambda a: F.regr_count(a[0], a[1]))
+_fixed("regr_r2", lambda a: F.regr_r2(a[0], a[1]))
+_fixed("regr_avgx", lambda a: F.regr_avgx(a[0], a[1]))
+_fixed("regr_avgy", lambda a: F.regr_avgy(a[0], a[1]))
+
+# ------------------------------------------------------------ more pg misc
+_fixed("format", lambda a: F.format_string(None, *a) if False else
+       F.call_function("format_string", *a))  # printf-style %s
+_fixed("quote_ident", lambda a: F.concat(
+    F.lit('"'), F.regexp_replace(a[0], '"', '""'), F.lit('"')))
+_fixed("quote_literal", lambda a: F.concat(
+    F.lit("'"), F.regexp_replace(a[0], "'", "''"), F.lit("'")))
+_fixed("factorial", lambda a: F.factorial(a[0]))
+_fixed("sinh", lambda a: F.sinh(a[0]))
+_fixed("cosh", lambda a: F.cosh(a[0]))
+_fixed("tanh", lambda a: F.tanh(a[0]))
+# pg div(a, b): integer quotient truncated toward zero
+_fixed("div", lambda a: (a[0] / a[1]).cast("long"))
+
+
 # ------------------------------------------------- sketches (Datasketches)
 _fixed("hll_sketch_estimate", lambda a: F.hll_sketch_estimate(a[0]))
 _fixed("hll_union", lambda a: F.hll_union(a[0], a[1]))

@@ -865,3 +865,22 @@ def test_scalar_subquery_in_having_and_post_agg(spark, scope):
     q = ("select g, sum(a) + (select count(*) from other) as s "
          "from test group by g order by g")
     assert rows(run(q, scope, spark)) == [("x", 6), ("y", 10)]
+
+
+def test_regression_aggregates(spark):
+    scope = {"rt": spark.createDataFrame(pd.DataFrame({
+        "a": [1.0, 2.0, 3.0, 4.0], "b": [2.0, 4.1, 5.9, 8.0],
+        "g": ["x", "x", "y", "y"]}))}
+    q = ("select g, round(regr_slope(b, a), 4) as sl, "
+         "round(regr_intercept(b, a), 4) as ic, regr_count(b, a) as n "
+         "from rt group by g order by g")
+    assert rows(run(q, scope, spark)) == [
+        ("x", 2.1, -0.1, 2), ("y", 2.1, -0.4, 2)]
+
+
+def test_misc_pg_scalars(spark, scope):
+    q = ("select format('%s=%s', g, a) as f, quote_ident(g) as qi, "
+         "quote_literal(g) as ql, factorial(a) as fac, div(7, a) as d "
+         "from test where a <= 2 order by a")
+    assert rows(run(q, scope, spark)) == [
+        ("x=1", '"x"', "'x'", 1, 7), ("x=2", '"x"', "'x'", 2, 3)]
