@@ -522,6 +522,16 @@ WHERE c_custkey <= 100
 ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
 """)
 
+# regression aggregates — identical text in both dialects
+_q("q56_regression_aggs", """
+SELECT o_orderpriority, round(regr_slope(o_totalprice, o_custkey), 6) AS sl,
+       round(regr_intercept(o_totalprice, o_custkey), 4) AS ic,
+       regr_count(o_totalprice, o_custkey) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+
 # scalar subquery in HAVING — identical text in both dialects
 _q("q55_having_subquery", """
 SELECT o_orderpriority, count(*) AS n
