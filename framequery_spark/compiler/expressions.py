@@ -411,6 +411,19 @@ class ExprCompiler:
             return self._compile_similar_to(node)
         if name == "__quant_array":
             return self._compile_quant_array(node)
+        if name in ("encode", "decode") and len(node.args) == 2 and \
+                isinstance(node.args[1], ast.Literal) and \
+                node.args[1].kind == "string":
+            # pg bytea <-> text: encode(x, 'base64'|'hex'), decode inverse
+            fmt = node.args[1].value.lower()
+            arg = self.compile(node.args[0])
+            pairs = {"base64": (F.base64, F.unbase64),
+                     "hex": (F.hex, F.unhex)}
+            if fmt not in pairs:
+                raise CompileError(
+                    f"encode/decode supports base64 and hex, got {fmt!r}")
+            enc, dec = pairs[fmt]
+            return enc(arg) if name == "encode" else dec(arg)
         if name in ("to_char", "to_date", "to_timestamp") and \
                 len(node.args) == 2 and \
                 isinstance(node.args[1], ast.Literal) and \

@@ -266,6 +266,21 @@ _fixed("tanh", lambda a: F.tanh(a[0]))
 _fixed("div", lambda a: (a[0] / a[1]).cast("long"))
 
 
+_fixed("__overlay", lambda a: F.overlay(a[0], a[1], a[2])
+       if len(a) == 3 else F.overlay(a[0], a[1], a[2], a[3]))
+
+
+def _count_nonnull(a):
+    import functools
+
+    cols = [c.isNotNull().cast("int") for c in a]
+    return functools.reduce(lambda x, y: x + y, cols)
+
+
+_fixed("num_nonnulls", _count_nonnull)
+_fixed("num_nulls", lambda a: F.lit(len(a)) - _count_nonnull(a))
+
+
 # ------------------------------------------------- sketches (Datasketches)
 _fixed("hll_sketch_estimate", lambda a: F.hll_sketch_estimate(a[0]))
 _fixed("hll_union", lambda a: F.hll_union(a[0], a[1]))

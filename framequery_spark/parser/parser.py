@@ -1033,6 +1033,20 @@ class Parser:
                 return self.parse_position()
             if low == "substring" and self.is_op("(", offset=1):
                 return self.parse_substring()
+            if low == "overlay" and self.is_op("(", offset=1):
+                # pg: overlay(x placing y from i [for n])
+                self.advance()
+                self.advance()
+                x = self.parse_expr()
+                self.expect_kw("placing")
+                y = self.parse_expr()
+                self.expect_kw("from")
+                i = self.parse_expr()
+                args = [x, y, i]
+                if self.accept_kw("for"):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.Call(name="__overlay", args=tuple(args))
             if low == "extract" and self.is_op("(", offset=1):
                 self.advance()
                 self.advance()

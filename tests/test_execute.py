@@ -884,3 +884,14 @@ def test_misc_pg_scalars(spark, scope):
          "from test where a <= 2 order by a")
     assert rows(run(q, scope, spark)) == [
         ("x=1", '"x"', "'x'", 1, 7), ("x=2", '"x"', "'x'", 2, 3)]
+
+
+def test_overlay_numnulls_encode(spark):
+    scope = {"ov": spark.createDataFrame(pd.DataFrame(
+        {"a": [1], "s": ["abcdef"]}))}
+    q = ("select overlay(s placing 'ZZ' from 2) as o1, "
+         "overlay(s placing 'ZZ' from 2 for 4) as o2, "
+         "num_nonnulls(a, null, s) as nn, num_nulls(a, null) as nz, "
+         "encode(s, 'base64') as b64, encode(s, 'hex') as hx from ov")
+    assert rows(run(q, scope, spark)) == [
+        ("aZZdef", "aZZf", 2, 1, "YWJjZGVm", "616263646566")]
