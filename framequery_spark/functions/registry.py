@@ -183,6 +183,14 @@ _fixed("date_trunc", lambda a: F.call_function("date_trunc", a[0], a[1]), "datet
 _fixed("to_date", lambda a: F.to_date(a[0]) if len(a) == 1 else F.to_date(a[0], None))
 # pg date_part(field, src) — Spark has the same function natively
 _fixed("date_part", lambda a: F.call_function("date_part", a[0], a[1]))
+_fixed("make_timestamp",
+       lambda a: F.make_timestamp(a[0], a[1], a[2], a[3], a[4], a[5]))
+_fixed("last_day", lambda a: F.last_day(a[0]))
+_fixed("date_add", lambda a: F.date_add(a[0], a[1]))
+_fixed("date_sub", lambda a: F.date_sub(a[0], a[1]))
+_fixed("datediff", lambda a: F.datediff(a[0], a[1]), "date_diff")
+_fixed("months_between", lambda a: F.months_between(a[0], a[1]))
+_fixed("add_months", lambda a: F.add_months(a[0], a[1]))
 _fixed("age", lambda a: a[0] - a[1])  # pg age(a, b) = interval a - b
 _fixed("width_bucket", lambda a: F.width_bucket(a[0], a[1], a[2], a[3]))
 # NOTE: the delimiter is a regex at the Spark layer — plain single-char

@@ -895,3 +895,15 @@ def test_overlay_numnulls_encode(spark):
          "encode(s, 'base64') as b64, encode(s, 'hex') as hx from ov")
     assert rows(run(q, scope, spark)) == [
         ("aZZdef", "aZZf", 2, 1, "YWJjZGVm", "616263646566")]
+
+
+def test_datetime_constructors(spark, scope):
+    q = ("select make_timestamp(2024, 3, 15, 14, 30, 45.5) as mt, "
+         "last_day(date '2024-02-10') as ld, "
+         "date_add(date '2024-01-01', 30) as da, "
+         "datediff(date '2024-02-01', date '2024-01-01') as dd "
+         "from test limit 1")
+    out = rows(run(q, scope, spark))[0]
+    assert str(out[0]) == "2024-03-15 14:30:45.500000"
+    assert str(out[1]) == "2024-02-29" and str(out[2]) == "2024-01-31"
+    assert out[3] == 31
