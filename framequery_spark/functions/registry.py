@@ -218,6 +218,17 @@ _fixed("array_distinct", lambda a: F.array_distinct(a[0]))
 _fixed("array_sort", lambda a: F.array_sort(a[0]))
 _fixed("array_join", lambda a: F.array_join(a[0], a[1]))
 _fixed("__subscript", lambda a: F.get(a[0], a[1] - F.lit(1)))  # pg arrays are 1-based
+_fixed("array_cat", lambda a: F.concat(a[0], a[1]))
+_fixed("array_position", lambda a: F.array_position(a[0], a[1]))
+_fixed("array_remove", lambda a: F.array_remove(a[0], a[1]))
+_fixed("array_min", lambda a: F.array_min(a[0]))
+_fixed("array_max", lambda a: F.array_max(a[0]))
+# pg 1-based, 1-dim arrays: upper = length, lower = 1 (NULL when empty)
+_fixed("array_upper", lambda a: F.when(F.size(a[0]) > 0, F.size(a[0])))
+_fixed("array_lower", lambda a: F.when(F.size(a[0]) > 0, F.lit(1)))
+_fixed("array_contains_all",
+       lambda a: F.forall(a[1], lambda e: F.array_contains(a[0], e)))
+_fixed("array_overlaps", lambda a: F.arrays_overlap(a[0], a[1]))
 _fixed("__array", lambda a: F.array(*a))  # ARRAY[...] constructor
 _fixed("row", lambda a: F.struct(*a))  # pg ROW(...) record constructor
 # select-list unnest: pg `SELECT unnest(arr)` == one explode generator

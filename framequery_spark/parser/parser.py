@@ -823,6 +823,18 @@ class Parser:
                 left = ast.Like(expr=left, pattern=pattern, negated=negated,
                                 case_insensitive=ci)
                 continue
+            if self.is_op("@>", "<@", "&&"):
+                # pg array operators: contains / contained-by / overlaps
+                op = self.advance().value
+                right = self.parse_concat()
+                fn = {"@>": "array_contains_all",
+                      "<@": "__array_contained", "&&": "array_overlaps"}[op]
+                if fn == "__array_contained":
+                    left = ast.Call(name="array_contains_all",
+                                    args=(right, left))
+                else:
+                    left = ast.Call(name=fn, args=(left, right))
+                continue
             if self.accept_kw("similar"):
                 self.expect_kw("to")
                 pattern = self.parse_concat()

@@ -907,3 +907,15 @@ def test_datetime_constructors(spark, scope):
     assert str(out[0]) == "2024-03-15 14:30:45.500000"
     assert str(out[1]) == "2024-02-29" and str(out[2]) == "2024-01-31"
     assert out[3] == 31
+
+
+def test_array_functions_and_operators(spark):
+    scope = {"af": spark.createDataFrame(pd.DataFrame(
+        {"arr": [[1, 2, 3]], "a": [9]}))}
+    q = ("select array_cat(arr, array[9]) as c, array_position(arr, 2) as p, "
+         "array_remove(arr, 2) as r, array_upper(arr, 1) as u, "
+         "arr @> array[1, 2] as cont, arr @> array[1, 9] as ncont, "
+         "array[2] <@ arr as sub, arr && array[3, 9] as ov, "
+         "arr && array[8, 9] as nov from af")
+    assert rows(run(q, scope, spark)) == [
+        ([1, 2, 3, 9], 2, [1, 3], 3, True, False, True, True, False)]
