@@ -1120,7 +1120,7 @@ WITH h AS (
   FROM orders)
 SELECT CASE WHEN hx < 'cccccccd' THEN 'train'
             WHEN hx < 'e6666666' THEN 'val' ELSE 'test' END AS split,
-       count(*) AS n, sum(o_orderkey) AS keysum
+       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS keysum
 FROM h GROUP BY 1 ORDER BY 1
 """)
 
@@ -1220,10 +1220,10 @@ WITH t AS (
   FROM documents),
 b AS (
   SELECT lang, doc_id, n_tokens,
-         (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
-          - n_tokens) // 2048 AS bin_id
+         CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+               - n_tokens) // 2048 AS BIGINT) AS bin_id
   FROM t)
-SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS tok
+SELECT lang, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok
 FROM b GROUP BY lang, bin_id ORDER BY lang, bin_id
 """)
 
@@ -1314,11 +1314,12 @@ toks AS (
   FROM chunks),
 packed AS (
   SELECT shard,
-         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id)
-          - n_tokens) // 512 AS bin_id,
+         CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id)
+               - n_tokens) // 512 AS BIGINT) AS bin_id,
          n_tokens
   FROM toks)
-SELECT shard, bin_id, count(*) AS n_chunks, sum(n_tokens) AS tok
+SELECT CAST(shard AS BIGINT) AS shard, bin_id, count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS tok
 FROM packed GROUP BY shard, bin_id ORDER BY shard, bin_id
 """)
 
