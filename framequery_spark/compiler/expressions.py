@@ -137,7 +137,7 @@ _PG_DATEFMT = [
     ("Mon", "MMM"), ("MON", "MMM"), ("MS", "SSS"), ("US", "SSSSSS"),
     ("YY", "yy"), ("MM", "MM"), ("DD", "dd"), ("HH", "hh"), ("MI", "mm"),
     ("SS", "ss"), ("AM", "a"), ("PM", "a"), ("Dy", "E"), ("DY", "E"),
-    ("TZ", "z"), ("J", "DDD"),
+    ("TZ", "z"),
 ]
 
 
@@ -152,6 +152,12 @@ def _pg_to_java_datefmt(fmt: str) -> str:
                 break
         else:
             ch = fmt[i]
+            if ch == "J":
+                # pg 'J' is the absolute Julian Day number (~2460900 today);
+                # Java has no such pattern (DDD is day-of-year, 1-366) —
+                # refuse rather than silently return the wrong quantity
+                raise CompileError(
+                    "to_char template 'J' (Julian Day) is not supported")
             # bare letters are literals in pg but pattern chars in Java
             out.append(f"'{ch}'" if ch.isalpha() else ch)
             i += 1
@@ -944,16 +950,41 @@ class ExprCompiler:
                 and not isinstance(sel.items[0], ast.Star)):
             raise CompileError(
                 "IN subquery must select exactly one column")
-        # the subquery collects its column (correlated filters decorrelate
-        # as usual); the membership expr compiles in the OUTER context and
-        # probes the array — folding `subcol = x` into the inner WHERE
-        # would capture x's unqualified refs in the inner scope.
-        coll = ast.Select(
-            items=(ast.SelectItem(
-                expr=ast.Call(name="collect",
-                              args=(sel.items[0].expr,)), alias=None),),
-            from_=sel.from_, where=sel.where, ctes=sel.ctes)
-        arr = self._c_ScalarSubquery(ast.ScalarSubquery(query=coll))
+        if _subquery_shapes_rows(sel):
+            # GROUP BY / HAVING / LIMIT / OFFSET / DISTINCT ON change the
+            # membership set, so the subquery must compile in full: wrap it
+            # as a derived table and collect from that. Correlated refs
+            # cannot resolve inside the derived table — surfaced as a
+            # CompileError instead of a silently-wrong membership test.
+            inner = dataclasses.replace(
+                sel, items=(ast.SelectItem(expr=sel.items[0].expr,
+                                           alias="__in_v"),))
+            coll = ast.Select(
+                items=(ast.SelectItem(
+                    expr=ast.Call(name="collect",
+                                  args=(ast.ColumnRef(parts=("__in_v",),
+                                                      quoted=True),)),
+                    alias=None),),
+                from_=ast.SubqueryRel(query=inner, alias="__in_sub"))
+            try:
+                arr = self._c_ScalarSubquery(ast.ScalarSubquery(query=coll))
+            except Exception as exc:
+                raise CompileError(
+                    "correlated IN subquery with GROUP BY/HAVING/LIMIT/"
+                    "OFFSET/DISTINCT ON is not supported in expression "
+                    f"position: {exc}") from exc
+        else:
+            # the subquery collects its column (correlated filters
+            # decorrelate as usual); the membership expr compiles in the
+            # OUTER context and probes the array — folding `subcol = x`
+            # into the inner WHERE would capture x's unqualified refs in
+            # the inner scope.
+            coll = ast.Select(
+                items=(ast.SelectItem(
+                    expr=ast.Call(name="collect",
+                                  args=(sel.items[0].expr,)), alias=None),),
+                from_=sel.from_, where=sel.where, ctes=sel.ctes)
+            arr = self._c_ScalarSubquery(ast.ScalarSubquery(query=coll))
         x = self.compile(node.expr)
         col = F.coalesce(F.array_contains(arr, x), F.lit(False))
         return ~col if node.negated else col
@@ -966,12 +997,65 @@ class ExprCompiler:
         sel = node.query
         if not isinstance(sel, ast.Select):
             raise CompileError("EXISTS requires a SELECT subquery")
+        if _subquery_shapes_rows(sel):
+            # GROUP BY / HAVING / LIMIT / OFFSET / DISTINCT ON change the
+            # subquery's row count, so count over the full subquery as a
+            # derived table instead of count(*) over its bare FROM/WHERE.
+            cnt = ast.Select(
+                items=(ast.SelectItem(
+                    expr=ast.Call(name="count", star=True), alias=None),),
+                from_=ast.SubqueryRel(query=sel, alias="__exists_sub"))
+            try:
+                n = self._c_ScalarSubquery(ast.ScalarSubquery(query=cnt))
+            except Exception as exc:
+                raise CompileError(
+                    "correlated EXISTS subquery with GROUP BY/HAVING/LIMIT/"
+                    "OFFSET/DISTINCT ON is not supported in expression "
+                    f"position: {exc}") from exc
+            col = n > F.lit(0)
+            return ~col if node.negated else col
+        if any(not isinstance(it, ast.Star)
+               and _contains_plain_agg(it.expr) for it in sel.items):
+            # pg: an aggregate subquery without GROUP BY yields exactly one
+            # row even over zero inputs, so EXISTS is constant TRUE
+            # (e.g. EXISTS (SELECT max(x) FROM t WHERE false)).
+            return F.lit(bool(node.negated) is False)
         cnt = ast.Select(
             items=(ast.SelectItem(
                 expr=ast.Call(name="count", star=True), alias=None),),
             from_=sel.from_, where=sel.where, ctes=sel.ctes)
         col = self._c_ScalarSubquery(ast.ScalarSubquery(query=cnt)) > F.lit(0)
         return ~col if node.negated else col
+
+
+def _subquery_shapes_rows(sel: ast.Select) -> bool:
+    """True when the subquery has clauses that change its result SET beyond
+    plain FROM/WHERE (so IN/EXISTS desugaring cannot copy just those two):
+    GROUP BY, HAVING, LIMIT, OFFSET, DISTINCT ON. Plain DISTINCT and
+    ORDER BY (without LIMIT) are membership/emptiness-neutral."""
+    return (bool(sel.group_by) or sel.having is not None
+            or sel.limit is not None or sel.offset is not None
+            or bool(sel.distinct_on))
+
+
+def _contains_plain_agg(node: ast.Node) -> bool:
+    """True if the expression tree contains a non-window aggregate call
+    (WindowCall nodes are distinct from Call, so windows never match)."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ast.Call) and n.name.lower() in AGG_NAMES:
+            return True
+        if isinstance(n, ast.Select):
+            continue  # aggregates inside a nested subquery don't count
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if isinstance(v, ast.Node):
+                    stack.append(v)
+                elif isinstance(v, tuple):
+                    stack.extend(e for e in v if isinstance(e, ast.Node))
+    return False
 
 
 def _apply_sort_direction(c: Column, item: ast.SortItem) -> Column:

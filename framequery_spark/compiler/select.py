@@ -769,6 +769,10 @@ class QueryCompiler:
             from_=sel.from_, where=inner_where)
         inner_df = QueryCompiler(self.session, self.scope).compile_query(dec)
 
+        if sel.offset is not None:
+            # hoisted out of the limit branch: OFFSET without LIMIT must
+            # error too, not silently return all rows
+            raise CompileError("LATERAL OFFSET is not supported")
         if sel.limit is not None:
             limit_val = sel.limit.value if isinstance(sel.limit, ast.Literal) \
                 else None
@@ -783,8 +787,6 @@ class QueryCompiler:
                         .withColumn("__lrn", F.row_number().over(w))
                         .filter(F.col("__lrn") <= limit_val)
                         .drop("__lrn", *sort_keys))
-            if sel.offset is not None:
-                raise CompileError("LATERAL OFFSET is not supported")
 
         right = inner_df.alias(rel.alias)
         ec = self._expr_compiler()

@@ -32,11 +32,13 @@ def skew_safe_count_distinct(df: DataFrame, keys: Sequence[str],
                              col: str, out_col: str = "n_distinct") -> DataFrame:
     """Exact per-key distinct count as two shuffles of bounded width:
     dedup on (keys, col) — the value spreads the hot key — then a plain
-    count per key (map-side partial combine applies)."""
+    count per key (map-side partial combine applies). The final count is
+    over `col`, not *, so the NULL row the distinct keeps is excluded —
+    matching SQL COUNT(DISTINCT col) semantics exactly."""
     return (df.select(*keys, col)
             .distinct()
             .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias(out_col)))
+            .agg(F.count(F.col(col)).alias(out_col)))
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: List[str],

@@ -49,6 +49,21 @@ AGGREGATE_NAMES = {
     "covar_samp", "median", "percentile_cont", "mode",
 }
 
+def _all_aggregate_names() -> set:
+    """Aggregate membership for GROUP BY ALL classification: the parser's
+    reference-derived set unioned with the compiler's full AGG_NAMES (single
+    source of truth for newly added aggregates — regr_*, approx_percentile,
+    percentile_disc, hll_*, grouping, ... — so a select list using one of
+    them never misclassifies the aggregate as a group key). Lazy import:
+    the compiler imports parser.ast, so importing it at module load would
+    be circular."""
+    try:
+        from ..compiler.expressions import AGG_NAMES
+        return AGGREGATE_NAMES | AGG_NAMES
+    except ImportError:  # pragma: no cover - parser used standalone
+        return AGGREGATE_NAMES
+
+
 WINDOW_ONLY_NAMES = {
     "row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile",
     "lag", "lead", "first_value", "last_value", "nth_value",
@@ -66,7 +81,8 @@ def _contains_agg_or_window(node: ast.Node) -> bool:
         if isinstance(n, ast.WindowCall):
             return True
         if isinstance(n, ast.Call) and (
-                n.name.lower() in AGGREGATE_NAMES or n.name.lower() == "count"):
+                n.name.lower() in _all_aggregate_names()
+                or n.name.lower() == "count"):
             return True
         if _dc.is_dataclass(n):
             for f in _dc.fields(n):

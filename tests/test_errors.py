@@ -55,3 +55,18 @@ def test_filter_on_pure_window_function_rejected(spark):
     with pytest.raises(Exception, match="FILTER not allowed"):
         fq.execute("select row_number() filter (where a > 1) "
                    "over (order by a) from t", scope, spark=spark)
+
+
+def test_lateral_offset_without_limit_rejected(spark, scope):
+    # OFFSET without LIMIT used to be silently dropped (all rows returned)
+    with pytest.raises(CompileError, match="LATERAL OFFSET"):
+        fq.execute("select * from t t1, lateral (select a as x from t t2 "
+                   "where t2.a = t1.a order by x offset 5) s",
+                   scope, spark=spark)
+
+
+def test_to_char_julian_day_rejected(spark, scope):
+    # pg 'J' is the absolute Julian Day; refusing beats returning day-of-year
+    with pytest.raises(CompileError, match="Julian"):
+        fq.execute("select to_char(date '2024-05-17', 'J') from t",
+                   scope, spark=spark).collect()

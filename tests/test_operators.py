@@ -547,6 +547,19 @@ def test_skew_safe_count_distinct_matches_exact(spark, tpch_scope):
     assert got == want
 
 
+def test_skew_safe_count_distinct_excludes_nulls(spark):
+    # SQL COUNT(DISTINCT col) excludes NULLs; the distinct() step keeps the
+    # NULL row, so the final count must count col, not *
+    from framequery_spark.operators.skew import skew_safe_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("a", 2), ("b", None)],
+        "k string, v int")
+    got = {r.k: r.n_distinct for r in
+           skew_safe_count_distinct(df, ["k"], "v").collect()}
+    assert got == {"a": 2, "b": 0}
+
+
 def test_salted_join_matches_plain_join(spark, tpch_scope):
     from framequery_spark.operators.skew import salted_join
 

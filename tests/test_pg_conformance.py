@@ -192,6 +192,20 @@ QUERIES = [
     "select c1, sum(c2) filter (where c2 > 2) from test group by c1",
     "select percentile_disc(0.5) within group (order by c2 desc) from test",
     "select date_part('year', date '2024-05-17')",
+    # round-5: expression-position IN/EXISTS with row-shaping clauses
+    # (GROUP BY / HAVING / LIMIT) — previously silently dropped
+    "select c1, c1 in (select c3 from other group by c3 having count(*) > 2) "
+    "from test",
+    "select c1 from test where c1 in "
+    "(select c3 from other group by c3 having count(*) >= 3) or c1 = -1",
+    "select case when exists (select c3 from other group by c3 "
+    "having count(*) > 100) then 1 else 0 end",
+    "select case when exists (select c2 from test limit 0) then 1 else 0 end",
+    # pg: aggregate subquery yields one row even over zero inputs
+    "select case when exists (select max(c2) from test where false) "
+    "then 1 else 0 end",
+    # GROUP BY ALL classifying newly-added aggregates (regr_*) correctly
+    "select c1, round(regr_slope(c2, c2), 6) from test group by all",
 ]
 
 
