@@ -795,6 +795,85 @@ WHERE rank <= 5
 
 _op("op_ann_topk", _op_ann_topk, None)  # approximate: rows-only
 
+
+def _op_ann_full(spark, sf_dir):
+    """LSH-ANN in the exhaustive configuration (n_bits=0: one all-zero
+    hyperplane puts every vector in a single bucket), so the bucketize /
+    signature / bucket-join / exact-re-rank machinery runs end-to-end and
+    the result equals brute-force top-k BY CONSTRUCTION — hash-verified
+    against the exact-cosine oracle. op_ann_topk keeps the honest
+    approximate configuration (rows-only)."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import lsh_ann_topk
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_bits=0, n_tables=1)
+
+
+_ANN_EXACT_ORACLE = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) t
+WHERE rank <= 5
+"""
+
+_op("op_ann_full", _op_ann_full, _ANN_EXACT_ORACLE)
+
+
+def _op_simhash_exact(spark, sf_dir):
+    """SimHash with the SQL-reproducible hash (md5-hex prefix -> 60-bit int
+    instead of xxhash64): the ENTIRE algorithm — shingling, per-shingle
+    hash, per-bit majority vote, signature assembly, band-bucket candidate
+    join, exact Hamming filter — is mirrored bit-for-bit by the DuckDB
+    oracle below, so a green row verifies the whole pipeline including the
+    band trick's recall guarantee. op_simhash_pairs keeps the production
+    xxhash64 configuration (rows-only: xxhash64 has no SQL equivalent)."""
+    from framequery_spark.operators.dedup import md5_hash60, simhash_near_pairs
+
+    return simhash_near_pairs(_scope(spark, sf_dir)["documents"],
+                              max_hamming=8, sig_bits=60,
+                              hash_fn=md5_hash60)
+
+
+def _simhash_oracle(sig_bits: int = 60, max_hamming: int = 8) -> str:
+    """DuckDB mirror of simhash_near_pairs(hash_fn=md5_hash60): all-pairs
+    exact Hamming (fine at oracle scale) — the engine's banded candidate
+    generation must produce exactly this set (band recall is guaranteed by
+    pigeonhole, the final filter is exact)."""
+    ones = ", ".join(
+        f"sum((hv >> {b}) & 1) AS o{b}" for b in range(sig_bits))
+    sig = " | ".join(
+        f"(CASE WHEN o{b} * 2 >= n THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(sig_bits))
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM sh),
+votes AS (SELECT doc_id, count(*) AS n, {ones} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS sim FROM votes)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+_op("op_simhash_exact", _op_simhash_exact, _simhash_oracle())
+
 _op("op_blob_metadata", _op_blob_metadata, """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256,

@@ -309,30 +309,51 @@ def simhash64(text: Column, k: int = 3) -> Column:
     return _simhash_from_hashes(hashes, F.size(sh))
 
 
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix. Slower than xxhash64 but
+    reproducible in ANSI SQL / DuckDB (`('0x' || substr(md5(s),1,15))::
+    BIGINT`), which makes the full SimHash pipeline cross-engine-verifiable
+    — used by the exactness-mirror driver entry."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3, sig_bits: int = 64,
+                       hash_fn=None) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming using the band
-    trick: split the 64-bit signature into (max_hamming+1) bands; any pair
-    within the distance agrees exactly on >= 1 band, so candidates come from
-    band-equality joins (shuffle on 16-bit bucket, never all-pairs)."""
+    trick: split the sig_bits-bit signature into (max_hamming+1) bands; any
+    pair within the distance agrees exactly on >= 1 band, so candidates come
+    from band-equality joins (shuffle on the band bucket, never all-pairs).
+    When sig_bits isn't a multiple of the band count the top remainder bits
+    are band-uncovered — recall still holds by pigeonhole over the covered
+    bits, and the exact Hamming filter runs afterwards regardless.
+
+    hash_fn/sig_bits default to xxhash64/64 (fastest, JVM-side). Pass
+    hash_fn=md5_hash60, sig_bits=60 for the SQL-reproducible variant the
+    DuckDB differential oracle can mirror bit-for-bit."""
+    if not 1 <= sig_bits <= 64:
+        raise ValueError("sig_bits must be in [1, 64]")
     n_bands = max_hamming + 1
-    width = 64 // n_bands
+    width = sig_bits // n_bands
+    if width < 1:
+        raise ValueError("max_hamming too large for sig_bits signature")
     mask = (1 << width) - 1 if width < 64 else -1  # -1 = all 64 bits set
+    hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     # row-local distinct shingles (array_distinct, no exchange) + ONE hash
-    # aggregate with 64 codegen'd bit-count SUM columns; the array-fold
+    # aggregate with sig_bits codegen'd bit-count SUM columns; the array-fold
     # formulation (64 F.aggregate passes) is interpreted (CodegenFallback)
     # and an order of magnitude slower
     ex = (_spread(df)
           .select(F.col(id_col).alias("__id"),
                   F.explode(shingles(F.col(text_col), k)).alias("__s"))
-          .select("__id", F.xxhash64("__s").alias("__h64")))
+          .select("__id", hash_fn(F.col("__s")).alias("__h64")))
     votes = ex.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.sum(F.shiftrightunsigned("__h64", bit).bitwiseAND(F.lit(1)))
-          .alias(f"__o{bit}") for bit in range(64)])
+          .alias(f"__o{bit}") for bit in range(sig_bits)])
     sim = None
-    for bit in range(64):
+    for bit in range(sig_bits):
         bit_value = (1 << bit) if bit < 63 else -(1 << 63)  # two's complement
         e = F.when(F.col(f"__o{bit}") * 2 >= F.col("__n"),
                    F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))

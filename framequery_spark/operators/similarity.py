@@ -122,8 +122,19 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >= 1 of
     n_tables signature tables, then exact cosine re-ranks. Recall grows with
-    n_tables; cost stays ~ bucket-collision volume instead of |corpus|×|q|."""
-    tables = [_hyperplanes(dim, n_bits, seed + 97 * t) for t in range(n_tables)]
+    n_tables; cost stays ~ bucket-collision volume instead of |corpus|×|q|.
+
+    n_bits=0 is the exhaustive verification configuration: a single
+    all-zero hyperplane puts every vector in one bucket (dot == 0 counts as
+    the set bit), so candidates = all pairs and the exact re-rank makes the
+    result equal brute-force top-k BY CONSTRUCTION — same bucketize/join/
+    re-rank plan as the approximate path, oracle-checkable against the
+    exact-cosine SQL. Never use it at scale (it IS the quadratic path)."""
+    if n_bits == 0:
+        tables = [[[0.0] * dim]]
+    else:
+        tables = [_hyperplanes(dim, n_bits, seed + 97 * t)
+                  for t in range(n_tables)]
     sigs_udf = _lsh_sigs_udf(tables)
 
     def bucketize(df: DataFrame, id_alias: str, vec_alias: str,

@@ -68,6 +68,48 @@ def test_simhash_identical_distance_zero(spark, docs):
     assert len(pairs) == 1 and pairs[0].hamming == 0
 
 
+def test_simhash_md5_variant_matches_python(spark, docs):
+    # md5_hash60 path: recompute signatures in pure python and check the
+    # engine's banded pair set equals exact all-pairs hamming <= 8
+    import hashlib
+
+    sub = docs.limit(60).select("doc_id", "text")
+    sigs = {}
+    for r in sub.collect():
+        ws = r.text.strip().split()
+        sh = list(dict.fromkeys(
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)))
+        if not sh:
+            continue
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh]
+        sig = 0
+        for bit in range(60):
+            ones = sum((h >> bit) & 1 for h in hs)
+            if ones * 2 >= len(hs):
+                sig |= 1 << bit
+        sigs[r.doc_id] = sig
+    expect = {(a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+              for a in sigs for b in sigs
+              if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 8}
+    got = {(r.id1, r.id2, r.hamming) for r in
+           DD.simhash_near_pairs(sub, max_hamming=8, sig_bits=60,
+                                 hash_fn=DD.md5_hash60).collect()}
+    assert got == expect
+
+
+def test_lsh_ann_exhaustive_equals_exact(spark, emb):
+    # n_bits=0: one all-zero hyperplane -> single bucket -> candidates are
+    # all pairs -> re-rank must reproduce brute-force top-k exactly
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+             SIM.cosine_topk(emb, queries, k=5)
+             .orderBy("query_id", "rank").collect()]
+    full = [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+            SIM.lsh_ann_topk(emb, queries, k=5, n_bits=0, n_tables=1)
+            .orderBy("query_id", "rank").collect()]
+    assert full == exact
+
+
 def test_exact_dedup_keeps_min_id(spark, docs):
     deduped = DD.exact_dedup(docs, ["lang", "source"])
     keep = deduped.groupBy("lang", "source").count().collect()
