@@ -136,6 +136,19 @@ def main() -> None:
         "reps": reps,
         "aggregation": "median_per_query",
     }))
+    # the driver records only the tail of the output and the full per-query
+    # JSON above can overflow it — emit a compact (<1 KB) machine-parseable
+    # summary as the LAST line
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "total_s": round(total, 3),
+        "n": len(timings),
+        "sf": sf_val,
+        "reps": reps,
+        "failed": [k for k, v in timings.items() if v < 0],
+    }))
 
 
 if __name__ == "__main__":

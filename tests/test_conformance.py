@@ -112,3 +112,33 @@ def test_query_matches_oracle(spark, name, fn, oracle):
     assert not exact_mismatch, (
         f"{name}: {len(exact_mismatch)} float values differ at ulp level "
         f"(first: {exact_mismatch[0]}) — tighten rounding in the query")
+
+
+# rows-only entries (no DuckDB oracle BY DESIGN) must be explicitly listed
+# here; each has an exact-configuration mirror entry that IS hash-verified
+# (op_simhash_exact, op_ann_full, op_ivf_full_probe).
+ROWS_ONLY = {"op_simhash_pairs", "op_ann_topk", "op_ivf_topk"}
+
+
+def test_every_entry_has_oracle_or_is_listed_rows_only():
+    # guards the suite against silently dropping oracle coverage when
+    # entries are edited or the driver window is rotated
+    import __spark_entry__ as entry
+
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+    assert q - o == ROWS_ONLY, (
+        f"entries missing an oracle and not declared rows-only: "
+        f"{sorted((q - o) - ROWS_ONLY)}; stale rows-only: "
+        f"{sorted(ROWS_ONLY - (q - o))}")
+
+
+def test_driver_window_contains_every_operator_entry():
+    # the driver records only the first 50 entries; every op_* entry must be
+    # inside that window (the SQL corpus additionally has in-repo coverage)
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    ops = {n for n in names if n.startswith("op_")}
+    assert ops <= set(names[:50])
