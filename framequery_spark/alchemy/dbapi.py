@@ -43,6 +43,10 @@ def escape(value) -> str:
     if isinstance(value, (_dt.date, _dt.datetime)):
         return "'" + value.isoformat(sep=" " if isinstance(value, _dt.datetime) else "-") + "'"
     s = str(value)
+    if "\x00" in s:
+        # pg text cannot contain NUL either; refusing beats silently
+        # truncating or producing an unparseable literal
+        raise ProgrammingError("string parameter contains a NUL byte")
     return "'" + s.replace("'", "''") + "'"
 
 

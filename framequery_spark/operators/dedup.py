@@ -24,12 +24,22 @@ from pyspark.sql import functions as F
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition an under-partitioned input up to the session default
-    parallelism before expression-heavy stages. Small single-file sources
+    parallelism before expression-heavy stages. Small few-file sources
     (one parquet = one partition) would otherwise serialize shingle/hash
     computation onto one core; at cluster scale inputs already have enough
-    partitions and this is a no-op."""
+    files and this is a no-op.
+
+    Width is probed via `inputFiles()` (a file listing — no job, no
+    `df.rdd` materialization, which would force plan conversion and bypass
+    AQE's own coalescing). Non-file inputs (createDataFrame, views over
+    in-memory relations) report no files and are left untouched — they
+    already default to session parallelism."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - exotic sources without listings
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target, *cols) if cols else df.repartition(target)
     return df
 

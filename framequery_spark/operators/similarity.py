@@ -209,6 +209,13 @@ def _centroid_udf(centroids: List[List[float]], n_probe: Optional[int] = None):
     return probe
 
 
+# hard ceiling on the driver-side k-means collect: 200k x 64 doubles ≈ 100 MB.
+# Centroid quality saturates far below this (the faiss guidance is ~(39..256)
+# vectors per centroid), so a larger request is almost certainly a mistake —
+# refuse it rather than OOM the driver at corpus scale.
+MAX_IVF_TRAIN_SAMPLE = 200_000
+
+
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
                         iters: int = 2, id_col: str = "vec_id",
                         vec_col: str = "embedding",
@@ -225,6 +232,11 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
     of the full corpus stays distributed in ivf_topk. Init = the n_centroids
     smallest-id vectors; empty clusters keep their previous centroid —
     identical semantics to the distributed version it replaces."""
+    if train_sample > MAX_IVF_TRAIN_SAMPLE:
+        raise ValueError(
+            f"train_sample={train_sample} exceeds the driver-collect cap "
+            f"({MAX_IVF_TRAIN_SAMPLE}); centroid quality saturates far below "
+            "this — sample the corpus upstream instead")
     seed_rows = (corpus.orderBy(id_col).limit(max(n_centroids, train_sample))
                  .select(vec_col).collect())
     x = np.asarray([list(r[0]) for r in seed_rows], dtype=np.float64)

@@ -175,3 +175,24 @@ def test_dml_with_subqueries(spark):
     assert sorted(r[0] for r in ex.execute("select * from t").collect()) == [3, 6]
     ex.execute("DELETE FROM t WHERE EXISTS (SELECT 1 FROM o WHERE o.a + 2 = t.a)")
     assert sorted(r[0] for r in ex.execute("select * from t").collect()) == [6]
+
+
+@pytest.mark.parametrize("val", ["foo", "bar'baz", 1, 4, -42.0, None,
+                                 False, True])
+def test_pyformat_escape_roundtrip(conn, val):
+    """Port of the reference's escape round-trip matrix
+    (reference: tests/test__alchemy.py:113-139): every python value binds
+    through pyformat params and comes back unchanged."""
+    cur = conn.cursor()
+    cur.execute("SELECT %(v)s AS v", {"v": val})
+    assert cur.fetchall() == [(val,)]
+
+
+def test_param_with_nul_byte_rejected(conn):
+    # pg text cannot hold NUL; reject at escape time, never emit a broken
+    # literal into the SQL string
+    from framequery_spark.alchemy.dbapi import ProgrammingError
+
+    cur = conn.cursor()
+    with pytest.raises(ProgrammingError, match="NUL"):
+        cur.execute("SELECT %(v)s AS v", {"v": "a\x00b"})

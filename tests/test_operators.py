@@ -617,3 +617,57 @@ def test_salted_join_matches_plain_join(spark, tpch_scope):
     salted_l = sorted(map(tuple,
                           salted_join(o, c2, ["o_custkey"], 8, "left").collect()))
     assert salted_l == plain_l
+
+
+def test_decode_payload_upgrades_when_pil_importable(monkeypatch):
+    # auto-upgrade branch: a mocked Pillow module drives the real-decode
+    # path without image libs in the container
+    from framequery_spark.operators import multimodal as mm
+
+    class FakeImg:
+        size = (320, 200)
+
+        def load(self):
+            return None
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def convert(self, mode):
+            return self
+
+        def histogram(self):
+            return [1] * 256
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "_PILImage", FakePIL)
+    out = mm._decode_payload(b"anything")
+    assert (out["width"], out["height"], out["n_channels"]) == (320, 200, 3)
+    assert len(out["feature"]) == 8
+    assert abs(sum(out["feature"]) - 1.0) < 1e-9
+
+
+def test_decode_payload_falls_back_on_decode_failure(monkeypatch):
+    # non-image payloads (or absent Pillow) must hit the deterministic stub,
+    # never fail the task
+    from framequery_spark.operators import multimodal as mm
+
+    class RaisingPIL:
+        @staticmethod
+        def open(buf):
+            raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(mm, "_PILImage", RaisingPIL)
+    payload = b"plain text payload"
+    assert mm._decode_payload(payload) == mm._fake_decode(payload)
+    monkeypatch.setattr(mm, "_PILImage", None)
+    assert mm._decode_payload(payload) == mm._fake_decode(payload)
+
+
+def test_train_ivf_sample_cap_enforced(spark, emb):
+    with pytest.raises(ValueError, match="driver-collect cap"):
+        SIM.train_ivf_centroids(emb, train_sample=10_000_000)
