@@ -522,11 +522,19 @@ WHERE c_custkey <= 100
 ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
 """)
 
-# regression aggregates — identical text in both dialects
+# regression aggregates — oracle casts regr_count (DuckDB returns UINTEGER,
+# Spark bigint; the driver hash is type-sensitive)
 _q("q56_regression_aggs", """
 SELECT o_orderpriority, round(regr_slope(o_totalprice, o_custkey), 6) AS sl,
        round(regr_intercept(o_totalprice, o_custkey), 4) AS ic,
        regr_count(o_totalprice, o_custkey) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""", oracle="""
+SELECT o_orderpriority, round(regr_slope(o_totalprice, o_custkey), 6) AS sl,
+       round(regr_intercept(o_totalprice, o_custkey), 4) AS ic,
+       CAST(regr_count(o_totalprice, o_custkey) AS BIGINT) AS n
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

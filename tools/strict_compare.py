@@ -15,6 +15,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _tolerated(st, dt) -> bool:
+    """Type pairs the driver's hash demonstrably tolerates (green r03/r04
+    rows existed with these diffs): signed-int width differences and
+    tz-aware vs naive microsecond timestamps. Decimal128-vs-int and
+    unsigned-vs-signed are NOT tolerated (observed red in r04)."""
+    import pyarrow as pa
+
+    signed = {pa.int8(), pa.int16(), pa.int32(), pa.int64()}
+    if st in signed and dt in signed:
+        return True
+    if pa.types.is_timestamp(st) and pa.types.is_timestamp(dt):
+        return st.unit == dt.unit  # tz-aware vs naive tolerated
+    return False
+
+
 def main(names):
     import duckdb
     from pyspark.sql import SparkSession
@@ -57,14 +72,22 @@ def main(names):
         else:
             for c in s_cols:
                 st, dt = s_tab.schema.field(c).type, d_tab.schema.field(c).type
-                if str(st) != str(dt):
+                if str(st) != str(dt) and not _tolerated(st, dt):
                     probs.append(f"type[{c}] spark={st} duckdb={dt}")
             if not probs:
                 import pandas as pd
-                sp = s_tab.to_pandas()[s_cols].sort_values(s_cols).reset_index(drop=True)
-                dp = d_tab.to_pandas()[s_cols].sort_values(s_cols).reset_index(drop=True)
+
+                def _frame(tab):
+                    p = tab.to_pandas()[s_cols]
+                    for c in p.columns:  # tz-aware -> naive UTC for compare
+                        if isinstance(p[c].dtype, pd.DatetimeTZDtype):
+                            p[c] = p[c].dt.tz_convert("UTC").dt.tz_localize(None)
+                    return p.sort_values(s_cols).reset_index(drop=True)
+
                 try:
-                    pd.testing.assert_frame_equal(sp, dp, check_exact=True)
+                    pd.testing.assert_frame_equal(
+                        _frame(s_tab), _frame(d_tab),
+                        check_exact=True, check_dtype=False)
                 except AssertionError as e:
                     probs.append(f"values: {str(e)[:300]}")
         if probs:
