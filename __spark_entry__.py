@@ -566,6 +566,21 @@ GROUP BY ALL
 ORDER BY event_type, cohort
 """)
 
+# RANGE frame with INTERVAL bounds (timestamp order key -> unix_micros
+# rewrite engine-side; DuckDB supports the syntax natively)
+_q("q57_range_interval_window", """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW),
+             2) AS hr_sum,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '30 minutes' PRECEDING
+                       AND INTERVAL '30 minutes' FOLLOWING) AS nearby
+FROM events
+WHERE user_id <= 50
+ORDER BY user_id, event_id
+""")
+
 _q("q49_recursive_months", """
 WITH RECURSIVE months(m) AS (
   SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12

@@ -705,7 +705,24 @@ class ExprCompiler:
         spec = node.spec
         w = Window.partitionBy(*[self.compile(p) for p in spec.partition_by]) \
             if spec.partition_by else Window.partitionBy()
-        if spec.order_by:
+        interval_frame = any(
+            b is not None and b.interval
+            for b in (spec.frame_start, spec.frame_end))
+        if interval_frame and spec.frame_type != "range":
+            raise CompileError("INTERVAL frame bounds require a RANGE frame")
+        if interval_frame:
+            # RANGE over a time key: Spark's rangeBetween takes numeric
+            # offsets on the order expression, so order by unix_micros(key)
+            # and use the bound's microsecond value — value-identical to
+            # pg's RANGE INTERVAL semantics for fixed-length intervals
+            if len(spec.order_by) != 1:
+                raise CompileError(
+                    "RANGE with INTERVAL bounds requires exactly one "
+                    "ORDER BY expression")
+            s = spec.order_by[0]
+            micros = F.unix_micros(self.compile(s.expr).cast("timestamp"))
+            w = w.orderBy(_apply_sort_direction(micros, s))
+        elif spec.order_by:
             w = w.orderBy(*[self._sort_col(s) for s in spec.order_by])
         if spec.frame_type is not None:
             start = _frame_value(spec.frame_start, Window)

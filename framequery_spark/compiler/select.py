@@ -683,8 +683,23 @@ class QueryCompiler:
                "full": "full"}[join.kind]
         if join.using:
             return left.join(right, list(join.using), how)
-        cond = self._expr_compiler().compile(join.condition)
-        return left.join(right, cond, how)
+        ec = self._expr_compiler()
+        cond = ec.compile(join.condition)
+        if ec.pending_correlated:
+            raise CompileError(
+                "correlated subqueries in JOIN ON are not supported — "
+                "move the predicate to WHERE")
+        # uncorrelated IN/EXISTS/scalar subqueries in ON compile to pending
+        # broadcast frames: attach them to the left input so the condition
+        # can reference them, then drop the helper columns
+        cleanup: List[str] = []
+        for name, sdf in ec.pending_scalar:
+            left = left.crossJoin(F.broadcast(sdf))
+            cleanup.extend(name) if isinstance(name, tuple) \
+                else cleanup.append(name)
+        ec.pending_scalar.clear()
+        out = left.join(right, cond, how)
+        return out.drop(*cleanup) if cleanup else out
 
     def _compile_lateral_subquery(self, left: DataFrame,
                                   rel: ast.SubqueryRel, how: str,

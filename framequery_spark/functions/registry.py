@@ -50,6 +50,37 @@ _fixed("ln", lambda a: F.log(a[0]))
 _fixed("log10", lambda a: F.log10(a[0]))
 _fixed("log2", lambda a: F.log2(a[0]))
 _fixed("sign", lambda a: F.signum(a[0]))
+
+
+def _gcd_col(x: Column, y: Column) -> Column:
+    """Euclid's algorithm as a row-local fold over a constant 94-step
+    sequence (the 64-bit worst case — consecutive Fibonacci numbers — needs
+    ~92 iterations; converged accumulators pass through unchanged). Spark
+    has no gcd builtin and this module's contract is no Python UDFs, so the
+    loop runs as a JVM higher-order aggregate. NULL in -> NULL out."""
+    a0 = F.abs(x.cast("long"))
+    b0 = F.abs(y.cast("long"))
+    acc0 = F.struct(a0.alias("a"), b0.alias("b"))
+
+    def step(acc, _):
+        return F.when(acc["b"] == F.lit(0), acc).otherwise(
+            F.struct(acc["b"].alias("a"), (acc["a"] % acc["b"]).alias("b")))
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(94)), acc0, step)["a"]
+
+
+def _lcm_col(x: Column, y: Column) -> Column:
+    # |x|/gcd * |y| (divide first: exact and overflow-minimal); pg's
+    # lcm(0, 0) = 0 special case via the gcd=0 guard
+    g = _gcd_col(x, y)
+    ax = F.abs(x.cast("long"))
+    ay = F.abs(y.cast("long"))
+    return F.when(g == F.lit(0), F.lit(0).cast("long")).otherwise(
+        F.call_function("div", ax, g) * ay)
+
+
+_fixed("gcd", lambda a: _gcd_col(a[0], a[1]))
+_fixed("lcm", lambda a: _lcm_col(a[0], a[1]))
 _fixed("pi", lambda a: F.lit(3.141592653589793))
 _fixed("degrees", lambda a: F.degrees(a[0]))
 _fixed("radians", lambda a: F.radians(a[0]))

@@ -106,10 +106,13 @@ class SortItem(Node):
 @dataclass(frozen=True)
 class FrameBound(Node):
     """Window frame bound: kind in {'unbounded_preceding','preceding',
-    'current_row','following','unbounded_following'}; value for N PRECEDING."""
+    'current_row','following','unbounded_following'}; value for N PRECEDING.
+    interval=True marks `INTERVAL '...' PRECEDING/FOLLOWING` (value is then
+    the offset in microseconds; RANGE frames over a timestamp key only)."""
 
     kind: str
     value: Optional[int] = None
+    interval: bool = False
 
 
 @dataclass(frozen=True)

@@ -49,6 +49,44 @@ AGGREGATE_NAMES = {
     "covar_samp", "median", "percentile_cont", "mode",
 }
 
+_INTERVAL_UNIT_MICROS = {
+    "microsecond": 1, "microseconds": 1, "us": 1,
+    "millisecond": 1_000, "milliseconds": 1_000, "ms": 1_000,
+    "second": 1_000_000, "seconds": 1_000_000, "s": 1_000_000,
+    "sec": 1_000_000, "secs": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000, "min": 60_000_000,
+    "mins": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000, "h": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000, "d": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000, "w": 604_800_000_000,
+}
+
+
+def _interval_micros(text: str, parser) -> int:
+    """Parse a fixed-length interval string ('1 hour', '90 minutes',
+    '1 day 12 hours') to microseconds for RANGE frame bounds. Months and
+    years are variable-length, so they cannot define a fixed RANGE offset
+    and are rejected (matching Spark's own rangeBetween contract)."""
+    parts = text.strip().lower().split()
+    if not parts or len(parts) % 2 != 0:
+        raise parser.error(f"cannot parse interval {text!r} for a frame bound")
+    total = 0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        try:
+            n = int(qty)
+        except ValueError:
+            raise parser.error(
+                f"interval frame bounds need integer quantities, got {qty!r}")
+        if unit in ("month", "months", "year", "years", "mon"):
+            raise parser.error(
+                "month/year intervals are variable-length and cannot define "
+                "a fixed RANGE frame offset")
+        if unit not in _INTERVAL_UNIT_MICROS:
+            raise parser.error(f"unknown interval unit {unit!r}")
+        total += n * _INTERVAL_UNIT_MICROS[unit]
+    return total
+
+
 def _all_aggregate_names() -> set:
     """Aggregate membership for GROUP BY ALL classification: the parser's
     reference-derived set unioned with the compiler's full AGG_NAMES (single
@@ -1207,6 +1245,16 @@ class Parser:
         if self.accept_kw("current"):
             self.expect_kw("row")
             return ast.FrameBound(kind="current_row")
+        if self.accept_kw("interval"):
+            tok = self.peek()
+            if tok is None or tok.kind != "string":
+                raise self.error("expected string literal after INTERVAL")
+            self.advance()
+            micros = _interval_micros(unquote_string(tok.value), self)
+            which = self.accept_kw("preceding", "following")
+            if which is None:
+                raise self.error("expected PRECEDING or FOLLOWING")
+            return ast.FrameBound(kind=which, value=micros, interval=True)
         tok = self.peek()
         if tok is not None and tok.kind == "number":
             self.advance()

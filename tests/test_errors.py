@@ -70,3 +70,25 @@ def test_to_char_julian_day_rejected(spark, scope):
     with pytest.raises(CompileError, match="Julian"):
         fq.execute("select to_char(date '2024-05-17', 'J') from t",
                    scope, spark=spark).collect()
+
+
+def test_interval_bound_requires_range_frame(spark, scope):
+    with pytest.raises(CompileError, match="RANGE"):
+        fq.execute("select sum(a) over (order by a rows between "
+                   "interval '1 hour' preceding and current row) from t",
+                   scope, spark=spark)
+
+
+def test_month_interval_frame_bound_rejected(spark, scope):
+    # months are variable-length: no fixed RANGE offset exists
+    with pytest.raises(ParseError, match="variable-length"):
+        fq.execute("select sum(a) over (order by a range between "
+                   "interval '1 month' preceding and current row) from t",
+                   scope, spark=spark)
+
+
+def test_correlated_subquery_in_join_on_rejected(spark, scope):
+    with pytest.raises(CompileError, match="JOIN ON"):
+        fq.execute("select * from t a join t b on a.a = b.a and "
+                   "exists (select 1 from t c where c.a = a.a)",
+                   scope, spark=spark)

@@ -206,6 +206,14 @@ QUERIES = [
     "then 1 else 0 end",
     # GROUP BY ALL classifying newly-added aggregates (regr_*) correctly
     "select c1, round(regr_slope(c2, c2), 6) from test group by all",
+    # round-5: gcd/lcm (JVM-side Euclid fold; Spark has no builtin)
+    "select gcd(c2, c4), lcm(c2, c4) from test join other on c1 = c3",
+    "select gcd(0, 0), gcd(12, 0), gcd(-12, 18), lcm(0, 0), lcm(4, 6)",
+    # round-5: uncorrelated subqueries inside JOIN ON conditions
+    "select c2, c4 from test join other on c1 = c3 "
+    "and c4 in (select c2 from test where c2 > 3)",
+    "select c2, c4 from test join other on c1 = c3 "
+    "and c2 > (select avg(c2) from test)",
 ]
 
 
