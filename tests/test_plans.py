@@ -112,3 +112,37 @@ def test_bucketed_join_has_no_exchange(spark, scope):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_gcd_lcm_stay_jvm_side(spark, scope):
+    # the registry contract: no Python UDFs — the Euclid fold must compile
+    # to JVM higher-order expressions, never an Arrow/Python eval node
+    df = fq.execute(
+        "select gcd(o_orderkey, o_custkey) as g, "
+        "lcm(o_orderkey % 24, o_custkey % 36) as l from orders",
+        scope, spark=spark)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_range_interval_window_single_shuffle(spark, scope):
+    # the unix_micros rewrite must stay a single window Exchange, same as a
+    # plain ROWS frame — no extra shuffle for the timestamp conversion
+    import re
+
+    df = fq.execute(
+        "select user_id, sum(value) over (partition by user_id order by ts "
+        "range between interval '1 hour' preceding and current row) as s "
+        "from events", scope, spark=spark)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_join_on_in_subquery_broadcasts(spark, scope):
+    # the pending IN-array frame must attach as a broadcast, not a shuffle
+    df = fq.execute(
+        "select count(*) as n from customer join orders "
+        "on c_custkey = o_custkey and o_orderpriority in "
+        "(select distinct o_orderpriority from orders "
+        " where o_totalprice > 200000)", scope, spark=spark)
+    assert uses_broadcast_join(df), formatted_plan(df)
