@@ -1426,6 +1426,38 @@ FROM packed GROUP BY shard, bin_id ORDER BY shard, bin_id
 """)
 
 
+def _op_dup_clusters(spark, sf_dir):
+    """Connected components (large-star/small-star, operators/graph.py) over
+    a chain-shaped pair graph: consecutive doc_ids within each (lang, source)
+    group are paired, so the component label must propagate TRANSITIVELY down
+    chains of dozens-to-hundreds of docs — a direct test of the fixpoint, not
+    just one join hop. The expected clusters are exactly the (lang, source)
+    groups, which a window-function oracle states declaratively."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.graph import dup_clusters
+
+    docs = _scope(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    pairs = (docs.select("doc_id", "lang", "source",
+                         F.lag("doc_id").over(w).alias("prev_id"))
+             .where(F.col("prev_id").isNotNull())
+             .select(F.col("prev_id").alias("id1"),
+                     F.col("doc_id").alias("id2")))
+    return dup_clusters(pairs).orderBy("doc_id")
+
+
+_op("op_dup_clusters", _op_dup_clusters, """
+WITH g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY lang, source) AS cluster_id,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents)
+SELECT doc_id, cluster_id FROM g WHERE n > 1 ORDER BY doc_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -1434,11 +1466,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness for only the FIRST 50 queries() entries, so
 # the window rotates per round until every entry has a green driver row:
 #   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window (this one): all 34 op_* (incl. the two new exact mirrors) +
-#     q51-q56 (never driver-verified before) + the 10 highest-churn SQL
-#     entries (q44-q50, q33-q35).
-#   r06 plan: keep the weak/new ops, rotate q19-q43 + q24 + q29 into the
-#     window (all will then have a green row in the r04 U r05 U r06 union).
+#   r05 window (this one): all 35 op_* (incl. the two exact mirrors and the
+#     new connected-components entry) + q51-q56 (never driver-verified
+#     before) + the highest-churn SQL entries (q44-q50, q33, q34).
+#   r06 plan: keep the weak/new ops, rotate q19-q43 + q24 + q29 + q35 into
+#     the window (all will then have a green row in the r04 U r05 U r06
+#     union).
 # Entries outside the window stay covered by tests/test_conformance.py, which
 # runs the same differential over ALL entries.
 _Q_WINDOW = [
@@ -1447,7 +1480,6 @@ _Q_WINDOW = [
     "q44_distinct_on", "q45_moving_sum", "q46_conditional_agg",
     "q47_quantiles", "q48_ordered_string_agg", "q49_recursive_months",
     "q50_quantified_compare", "q33_exists_correlated", "q34_not_exists",
-    "q35_min_cost_part",
 ]
 
 

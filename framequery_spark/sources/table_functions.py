@@ -161,11 +161,27 @@ def _register_operator_tfs() -> dict:
     def shuffled(qc, a):
         return packing.deterministic_shuffle(_op_table(qc, a[0]), str(a[1]))
 
+    def dup_clusters(qc, a):
+        # dup_clusters('pairs_table'[, id1, id2]) -> (doc_id, cluster_id)
+        from ..operators import graph
+        kw = {}
+        if len(a) > 1:
+            kw["id1"] = str(a[1])
+        if len(a) > 2:
+            kw["id2"] = str(a[2])
+        return graph.dup_clusters(_op_table(qc, a[0]), **kw)
+
+    def minhash_clusters(qc, a):
+        # minhash_clusters('documents'[, threshold])
+        from ..operators import graph
+        kw = {"threshold": float(a[1])} if len(a) > 1 else {}
+        return graph.minhash_dup_clusters(_op_table(qc, a[0]), **kw)
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, hash_split, sample_by_key, vocab_topk, tf_idf, pack_bins,
-        shuffled)}
+        shuffled, dup_clusters, minhash_clusters)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -200,3 +200,24 @@ def test_asof_sql_join_is_single_window_pass(spark, tpch_scope):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_connected_components_rounds_are_equi_joins(spark):
+    # each large-star/small-star round must be a grouped-aggregate +
+    # hash-partitioned equi join on the node column — never a cartesian or
+    # nested-loop expansion of neighborhoods
+    from framequery_spark.operators import graph
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(50)],
+                              ["u", "v"])
+    for step in (graph._large_star, graph._small_star):
+        df = step(e)
+        _assert_no_cartesian(df)
+
+
+def test_connected_components_output_plan_is_equi_join(spark):
+    from framequery_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["src", "dst"])
+    out = connected_components(e)
+    _assert_no_cartesian(out)

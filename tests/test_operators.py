@@ -671,3 +671,101 @@ def test_decode_payload_falls_back_on_decode_failure(monkeypatch):
 def test_train_ivf_sample_cap_enforced(spark, emb):
     with pytest.raises(ValueError, match="driver-collect cap"):
         SIM.train_ivf_centroids(emb, train_sample=10_000_000)
+
+
+# ------------------------------------------------------- connected components
+
+
+def _py_components(edges):
+    """Union-find reference; components labeled by their minimum node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(groups[find(n)]) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from framequery_spark.operators.graph import connected_components
+
+    rng = random.Random(1234)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(400)]
+    out = connected_components(spark.createDataFrame(edges, ["src", "dst"]))
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == _py_components(edges)
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    # a 256-node chain has diameter 255; naive min-propagation needs ~255
+    # rounds, large-star/small-star must finish in O(log n)
+    from framequery_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(255)]
+    out, rounds = connected_components(
+        spark.createDataFrame(chain, ["src", "dst"]), return_stats=True)
+    assert rounds <= 12, rounds
+    assert out.where(F.col("component") != 0).count() == 0
+
+
+def test_connected_components_handles_dirty_input(spark):
+    # duplicates, reversed edges, self-loops; edges with a NULL endpoint are
+    # invalid and dropped entirely (neither endpoint becomes a node)
+    from framequery_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (None, 4), (5, None), (6, 7)]
+    out = connected_components(
+        spark.createDataFrame(edges, "src: int, dst: int"))
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 6: 6, 7: 6}
+
+
+def test_connected_components_string_ids(spark):
+    from framequery_spark.operators.graph import connected_components
+
+    out = connected_components(
+        spark.createDataFrame([("b", "c"), ("a", "b"), ("x", "y")],
+                              ["src", "dst"]))
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_iteration_cap_raises(spark):
+    from framequery_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(64)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(spark.createDataFrame(chain, ["src", "dst"]),
+                             max_iterations=1)
+
+
+def test_minhash_dup_clusters_groups_near_dups(spark):
+    # two fuzzy-dup families + one unique doc; clusters = transitive closure
+    from framequery_spark.operators.graph import minhash_dup_clusters
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    base_b = "pack my box with five dozen liquor jugs for the long trip " * 4
+    rows = [
+        (0, base_a), (1, base_a + "extra tail"), (2, "prefix " + base_a),
+        (10, base_b), (11, base_b + "slightly changed tail here"),
+        (20, "completely unrelated tiny document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_dup_clusters(df, threshold=0.5, num_perm=32, bands=16)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == 10
+    assert 20 not in got  # no pair -> not in the pair graph

@@ -128,6 +128,18 @@ def test_pipeline_operators_in_sql(spark, tpch_scope):
     assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] >= 0
 
 
+def test_dup_clusters_in_sql(spark, tpch_scope):
+    # pair list in a CTE -> connected components via the table function; the
+    # two chained pairs must merge transitively into one cluster
+    q = ("with pairs as ("
+         "  select * from (values (1, 2), (2, 3), (8, 9)) as v(id1, id2))"
+         " select doc_id, cluster_id from dup_clusters('pairs')"
+         " order by doc_id")
+    out = [(r["doc_id"], r["cluster_id"])
+           for r in fq.execute(q, tpch_scope, spark=spark).collect()]
+    assert out == [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)]
+
+
 def test_copy_parquet_roundtrip(spark, scope, tmp_path):
     ex = fq.Executor(dict(scope), spark=spark)
     target = tmp_path / "out.parquet"
