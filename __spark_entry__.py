@@ -581,6 +581,19 @@ WHERE user_id <= 50
 ORDER BY user_id, event_id
 """)
 
+# QUALIFY (post-window filter; DuckDB supports the clause natively) —
+# identical text in both dialects. Mixes an aliased window ref with a
+# second inline window predicate over an aggregate query.
+_q("q58_qualify", """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total,
+       rank() OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) AS rk
+FROM orders
+GROUP BY o_custkey
+QUALIFY rk <= 10
+    AND row_number() OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) <= 10
+ORDER BY rk, o_custkey
+""")
+
 _q("q49_recursive_months", """
 WITH RECURSIVE months(m) AS (
   SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12

@@ -847,6 +847,7 @@ class ExprCompiler:
             return None
         if (len(sel.items) != 1 or isinstance(sel.items[0], ast.Star)
                 or sel.group_by or sel.having is not None
+                or sel.qualify is not None
                 or sel.limit is not None or sel.ctes):
             return None
         if not contains_aggregate(sel.items[0].expr, AGG_NAMES):
@@ -1048,9 +1049,10 @@ class ExprCompiler:
 def _subquery_shapes_rows(sel: ast.Select) -> bool:
     """True when the subquery has clauses that change its result SET beyond
     plain FROM/WHERE (so IN/EXISTS desugaring cannot copy just those two):
-    GROUP BY, HAVING, LIMIT, OFFSET, DISTINCT ON. Plain DISTINCT and
-    ORDER BY (without LIMIT) are membership/emptiness-neutral."""
+    GROUP BY, HAVING, QUALIFY, LIMIT, OFFSET, DISTINCT ON. Plain DISTINCT
+    and ORDER BY (without LIMIT) are membership/emptiness-neutral."""
     return (bool(sel.group_by) or sel.having is not None
+            or sel.qualify is not None
             or sel.limit is not None or sel.offset is not None
             or bool(sel.distinct_on))
 

@@ -192,6 +192,8 @@ class QueryCompiler:
             items=tuple(transform(i, fix) for i in sel.items),
             order_by=tuple(transform(s, fix) for s in sel.order_by),
             having=transform(sel.having, fix) if sel.having is not None else None,
+            qualify=(transform(sel.qualify, fix)
+                     if sel.qualify is not None else None),
             windows=())
 
     def _compile_select_body(self, sel: ast.Select) -> DataFrame:
@@ -213,7 +215,8 @@ class QueryCompiler:
             contains_aggregate(e, AGG_NAMES) for e, _ in items
         ) or any(
             contains_aggregate(s.expr, AGG_NAMES) for s in sel.order_by
-        )
+        ) or (sel.qualify is not None
+              and contains_aggregate(sel.qualify, AGG_NAMES))
 
         if has_agg:
             df = self._compile_aggregate(df, sel, items)
@@ -328,7 +331,8 @@ class QueryCompiler:
         (equality or theta) — the TPC-H Q4/Q21 shape.
         """
         if not isinstance(sel, ast.Select) or sel.where is None \
-                or sel.from_ is None or sel.group_by or sel.having is not None:
+                or sel.from_ is None or sel.group_by \
+                or sel.having is not None or sel.qualify is not None:
             return None
         inner_rel = QueryCompiler(self.session, self.scope) \
             .compile_relation(sel.from_)
@@ -463,6 +467,15 @@ class QueryCompiler:
         if sel.having is not None:
             agg_cols.append(ec.compile(rewrite(sel.having)).alias("__having"))
 
+        qualify_expr = None
+        if sel.qualify is not None:
+            # QUALIFY in agg context: aliases resolve to item expressions,
+            # group keys rewrite to hidden __g columns, aggregate subtrees
+            # hoist to hidden agg columns; the remaining (window) expression
+            # evaluates post-aggregation like window_items do
+            q = self._resolve_item_aliases(sel.qualify, items, ())
+            qualify_expr = hoist_aggs(rewrite(q))
+
         # ORDER BY in agg context: resolve to outputs or compile as extra aggs
         sort_cols: List[Column] = []
         n_ord = 0
@@ -506,6 +519,12 @@ class QueryCompiler:
             result = result.select(
                 "*", *[ec_post.compile(expr).alias(f"__out{i}")
                        for i, expr in window_items.items()])
+
+        if qualify_expr is not None:
+            ec_q = ExprCompiler(self.session, agg_context=False,
+                                scope=self.scope)
+            result = (result.withColumn("__qualify", ec_q.compile(qualify_expr))
+                      .filter(F.col("__qualify")).drop("__qualify"))
 
         if sel.distinct:
             result = result.select(
@@ -572,6 +591,15 @@ class QueryCompiler:
         out_cols = [ec.compile(expr).alias(f"__out{i}")
                     for i, (expr, _) in enumerate(items)]
 
+        qual_col = None
+        if sel.qualify is not None:
+            # QUALIFY: post-window row filter (DuckDB/Snowflake/BigQuery).
+            # Compiled as a hidden column alongside the projection so window
+            # expressions (and aliases of them) evaluate exactly once, then
+            # filtered before DISTINCT, matching the standard clause order.
+            qexpr = self._resolve_item_aliases(sel.qualify, items, df.columns)
+            qual_col = ec.compile(qexpr).alias("__qualify")
+
         # ORDER BY: output refs sort post-projection; other expressions are
         # computed as hidden sort columns against the *input* relation
         sort_cols: List[Column] = []
@@ -589,7 +617,10 @@ class QueryCompiler:
                 sort_cols.append(_apply_sort_direction(F.col(sname), s))
 
         df, _ = self._attach_pending(df, ec)
-        df = df.select(*out_cols, *extra_cols)
+        df = df.select(*out_cols, *extra_cols,
+                       *([qual_col] if qual_col is not None else []))
+        if qual_col is not None:
+            df = df.filter(F.col("__qualify")).drop("__qualify")
         if sel.distinct:
             df = df.distinct()
         if sort_cols:
@@ -598,6 +629,25 @@ class QueryCompiler:
             F.col(f"__out{i}").alias(name)
             for i, (_, name) in enumerate(items)
         ])
+
+    def _resolve_item_aliases(self, expr: ast.Node,
+                              items: List[Tuple[ast.Node, str]],
+                              input_cols) -> ast.Node:
+        """Replace bare ColumnRefs naming a select-list alias (and no input
+        column — pg scoping resolves input columns first) with the aliased
+        expression. Used by QUALIFY, which may filter on window-expression
+        aliases."""
+        cols = {c.lower() for c in input_cols}
+        alias_map = {name.lower(): e for e, name in items}
+
+        def fix(n: ast.Node) -> ast.Node:
+            if (isinstance(n, ast.ColumnRef) and len(n.parts) == 1
+                    and n.parts[0].lower() not in cols
+                    and n.parts[0].lower() in alias_map):
+                return alias_map[n.parts[0].lower()]
+            return n
+
+        return transform(expr, fix)
 
     def _match_output(self, expr: ast.Node,
                       items: List[Tuple[ast.Node, str]]) -> Optional[int]:
@@ -719,7 +769,8 @@ class QueryCompiler:
         sel = rel.query
         if not isinstance(sel, ast.Select) or sel.from_ is None:
             raise CompileError("LATERAL subquery must be a SELECT with FROM")
-        if sel.group_by or sel.having is not None or sel.ctes or sel.distinct:
+        if sel.group_by or sel.having is not None or sel.ctes \
+                or sel.distinct or sel.qualify is not None:
             raise CompileError(
                 "LATERAL subquery supports plain correlated SELECTs "
                 "(optionally ORDER BY ... LIMIT n)")

@@ -356,6 +356,8 @@ class Select(Node):
     distinct_on: Tuple[Node, ...] = ()  # pg DISTINCT ON (reference xfail)
     ctes: Tuple[CTE, ...] = ()
     windows: Tuple[Tuple[str, WindowSpec], ...] = ()  # pg WINDOW clause
+    qualify: Optional[Node] = None  # QUALIFY (DuckDB/Snowflake/BigQuery):
+    # post-window row filter; evaluated after windows, before DISTINCT
 
 
 @dataclass(frozen=True)

@@ -37,7 +37,7 @@ RESERVED_STOP = {
     "between", "case", "when", "then", "else", "end", "asc", "desc", "nulls",
     "distinct", "all", "by", "with", "using", "select",
     # pg reserves these; keeping them alias-stoppers lets the clauses parse
-    "window", "tablesample", "fetch",
+    "window", "tablesample", "fetch", "qualify",
 }
 
 AGGREGATE_NAMES = {
@@ -531,12 +531,15 @@ class Parser:
                 windows.append((wname, self.parse_window_spec()))
                 if not self.accept_op(","):
                     break
+        qualify = None
+        if self.accept_kw("qualify"):
+            qualify = self.parse_expr()
         # ORDER BY / LIMIT / OFFSET are parsed at the set-expression level
         # (parse_set_expr) so they bind to a whole UNION chain
         return ast.Select(
             items=items, from_=from_, where=where, group_by=group_by,
             having=having, distinct=distinct, distinct_on=distinct_on,
-            windows=tuple(windows),
+            windows=tuple(windows), qualify=qualify,
         )
 
     def parse_order_by(self) -> Tuple[ast.SortItem, ...]:
@@ -1347,7 +1350,7 @@ def _select_kwargs(sel: ast.Select) -> dict:
         "group_by": sel.group_by, "having": sel.having, "order_by": sel.order_by,
         "limit": sel.limit, "offset": sel.offset, "distinct": sel.distinct,
         "distinct_on": sel.distinct_on, "ctes": sel.ctes,
-        "windows": sel.windows,
+        "windows": sel.windows, "qualify": sel.qualify,
     }
 
 

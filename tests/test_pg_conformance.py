@@ -214,6 +214,23 @@ QUERIES = [
     "and c4 in (select c2 from test where c2 > 3)",
     "select c2, c4 from test join other on c1 = c3 "
     "and c2 > (select avg(c2) from test)",
+    # round-5: QUALIFY (post-window filter; DuckDB shares the clause)
+    "select c1, c2 from test "
+    "qualify row_number() over (partition by c1 order by c2 desc) = 1",
+    "select c1, c2, rank() over (partition by c1 order by c2) as rk "
+    "from test qualify rk <= 2",
+    "select distinct c1 from test "
+    "qualify row_number() over (partition by c1, c2 order by c2) = 1",
+    "select c1, sum(c2) as s from test group by c1 "
+    "qualify rank() over (order by sum(c2) desc) = 1",
+    "select c1, count(*) as n from test group by c1 having count(*) > 1 "
+    "qualify row_number() over (order by count(*) desc, c1) <= 1",
+    # QUALIFY referencing a WINDOW-clause named window
+    "select c1, c2 from test window w as (partition by c1 order by c2) "
+    "qualify row_number() over w = 1",
+    # alias shadowed by an input column: input wins (pg scoping)
+    "select c2 + 10 as c2 from test "
+    "qualify row_number() over (order by c2) <= 3",
 ]
 
 
