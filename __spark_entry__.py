@@ -793,6 +793,13 @@ def _op_stream_sessions(spark, sf_dir):
                                 gap="30 minutes")
 
 
+def _op_stream_dedup(spark, sf_dir):
+    from framequery_spark.streaming.stream import stream_dedup_counts
+
+    return (stream_dedup_counts(spark, f"{sf_dir}/events.parquet")
+            .orderBy("event_type"))
+
+
 _op("op_text_stats", _op_text_stats, _text_stats_oracle())
 
 _op("op_exact_dedup", _op_exact_dedup, """
@@ -963,6 +970,13 @@ s AS (
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, session_id
+""")
+
+_op("op_stream_dedup", _op_stream_dedup, """
+SELECT event_type, count(*) AS n_unique
+FROM (SELECT DISTINCT event_type, user_id, date_trunc('minute', ts)
+      FROM events)
+GROUP BY event_type ORDER BY event_type
 """)
 
 
@@ -1521,10 +1535,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness for only the FIRST 50 queries() entries, so
 # the window rotates per round until every entry has a green driver row:
 #   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window (this one): all 36 op_* (incl. the two exact mirrors, the new
-#     connected-components and incremental-dedup entries) + q51-q56 (never
-#     driver-verified before) + the highest-churn SQL entries (q44-q50, q33).
-#   r06 plan: keep the weak/new ops, rotate q19-q43 + q24 + q29 + q34 + q35
+#   r05 window (this one): all 37 op_* (incl. the two exact mirrors and the
+#     new connected-components / incremental-dedup / streaming-dedup
+#     entries) + q51-q56 (never driver-verified before) + the highest-churn
+#     SQL entries (q44-q50).
+#   r06 plan: keep the weak/new ops, rotate q19-q43 + q24 + q29 + q33-q35
 #     into the window (all will then have a green row in the r04 U r05 U r06
 #     union).
 # Entries outside the window stay covered by tests/test_conformance.py, which
@@ -1534,7 +1549,7 @@ _Q_WINDOW = [
     "q54_lateral_topk", "q55_having_subquery", "q56_regression_aggs",
     "q44_distinct_on", "q45_moving_sum", "q46_conditional_agg",
     "q47_quantiles", "q48_ordered_string_agg", "q49_recursive_months",
-    "q50_quantified_compare", "q33_exists_correlated",
+    "q50_quantified_compare",
 ]
 
 

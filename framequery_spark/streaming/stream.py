@@ -127,6 +127,31 @@ def stream_session_stats(spark: SparkSession, events_path: str,
     return _run_to_memory(spark, agg, "sessions_")
 
 
+def stream_dedup_counts(spark: SparkSession, events_path: str,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication chained into a streaming aggregation — two
+    stateful operators in one query (Spark >= 3.5 multi-stateful support):
+    events are deduplicated on (event_type, user_id, minute) with
+    `dropDuplicates` state bounded by the event-time watermark, then the
+    survivors feed a per-type count. Equals the batch
+    COUNT(DISTINCT user_id, minute) per type, which is the oracle.
+
+    At scale this is the at-least-once-source cleanup shape: upstream
+    retries/replays collapse in the dedup state store (watermark evicts
+    keys older than the horizon, so state is bounded by arrival skew, not
+    history), and only deduplicated rows reach the aggregation."""
+    stream = read_event_stream(spark, events_path)
+    keyed = (stream
+             .withWatermark("ts", watermark)
+             .select("event_type", "user_id",
+                     F.date_trunc("minute", F.col("ts")).alias("ts_min"),
+                     "ts"))
+    deduped = keyed.dropDuplicates(["event_type", "user_id", "ts_min"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_memory(spark, agg, "dedup_")
+
+
 def stream_events_to_parquet(spark: SparkSession, events_path: str,
                              out_dir: str, checkpoint_dir: str,
                              partition_by=("event_type",)) -> DataFrame:
