@@ -810,3 +810,41 @@ def test_dedup_against_drops_exact_and_near(spark):
     # exact_keys-only mode: drop rows whose text already exists verbatim
     out2 = DD.dedup_against(new, corpus, exact_keys=["text"], threshold=None)
     assert sorted(r["doc_id"] for r in out2.collect()) == [11, 12]
+
+
+# ----------------------------------------------------------- z-order layout
+
+
+def test_zorder_tightens_all_clustered_dims(spark, tmp_path, tpch_scope):
+    from framequery_spark.sources.zorder import (file_span_stats,
+                                                 write_zordered)
+
+    ev = tpch_scope["events"]
+    z = write_zordered(ev, str(tmp_path / "z"), ["user_id", "value"],
+                       n_files=8)
+    assert z.count() == ev.count()
+    spans = file_span_stats(z, ["user_id", "value"]).agg(
+        F.avg("span_user_id").alias("u"), F.avg("span_value").alias("v")
+    ).collect()[0]
+    # 1-d sorted layout gives ~1/n_files on its key and ~1.0 on the other;
+    # z-order must be materially narrow on BOTH clustered dimensions
+    assert spans["u"] < 0.7, spans
+    assert spans["v"] < 0.7, spans
+
+    naive = str(tmp_path / "naive")
+    (ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+       .write.mode("overwrite").parquet(naive))
+    nspans = file_span_stats(spark.read.parquet(naive),
+                             ["user_id", "value"]).agg(
+        F.avg("span_value").alias("v")).collect()[0]
+    assert spans["v"] < 0.7 * nspans["v"], (spans["v"], nspans["v"])
+
+
+def test_zorder_key_validates_budget(spark, tpch_scope):
+    from framequery_spark.sources.zorder import zorder_key
+
+    ev = tpch_scope["events"]
+    with pytest.raises(ValueError, match="<= 62"):
+        zorder_key(ev, ["user_id", "value"], bits=32)
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key(ev, [])
