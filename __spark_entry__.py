@@ -872,6 +872,42 @@ WHERE rank <= 5
 _op("op_ann_full", _op_ann_full, _ANN_EXACT_ORACLE)
 
 
+def _op_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): 32x-compressed codes,
+    ADC lookup-table scan, exact re-rank of the top candidates. Honest
+    approximate configuration (16 centroids/subspace) — rows-only; the
+    lossless configuration below is the hash-verified mirror."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.pq import pq_topk
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                   n_subvectors=8, n_centroids=16)
+
+
+_op("op_pq_topk", _op_pq_topk, None)  # approximate by contract: rows-only
+
+
+def _op_pq_full(spark, sf_dir):
+    """PQ in the lossless configuration (n_centroids covers every distinct
+    subvector, so codebooks enumerate the subvectors, encoding is exact,
+    and ADC ranking equals exact ranking): the whole train / encode / LUT /
+    ADC / refine pipeline must reproduce brute-force top-k bit-for-bit
+    against the same oracle as op_cosine_topk/op_ann_full. (Lossless needs
+    the training sample to cover the corpus: 20k >= 5000 rows at sf0.1.)"""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.pq import pq_topk
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                   n_subvectors=8, n_centroids=20000)
+
+
+_op("op_pq_full", _op_pq_full, _ANN_EXACT_ORACLE)
+
+
 def _op_simhash_exact(spark, sf_dir):
     """SimHash with the SQL-reproducible hash (md5-hex prefix -> 60-bit int
     instead of xxhash64): the ENTIRE algorithm — shingling, per-shingle
@@ -1535,11 +1571,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness for only the FIRST 50 queries() entries, so
 # the window rotates per round until every entry has a green driver row:
 #   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window (this one): all 37 op_* (incl. the two exact mirrors and the
-#     new connected-components / incremental-dedup / streaming-dedup
+#   r05 window (this one): all 39 op_* (incl. the exact mirrors and the new
+#     connected-components / incremental-dedup / streaming-dedup / PQ
 #     entries) + q51-q56 (never driver-verified before) + the highest-churn
-#     SQL entries (q44-q50).
-#   r06 plan: keep the weak/new ops, rotate q19-q43 + q24 + q29 + q33-q35
+#     SQL entries (q46-q50).
+#   r06 plan: keep the weak/new ops, rotate q19-q45 + q24 + q29 + q33-q35
 #     into the window (all will then have a green row in the r04 U r05 U r06
 #     union).
 # Entries outside the window stay covered by tests/test_conformance.py, which
@@ -1547,7 +1583,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _Q_WINDOW = [
     "q51_asof_join_sql", "q52_json_arrows", "q53_group_by_all",
     "q54_lateral_topk", "q55_having_subquery", "q56_regression_aggs",
-    "q44_distinct_on", "q45_moving_sum", "q46_conditional_agg",
+    "q46_conditional_agg",
     "q47_quantiles", "q48_ordered_string_agg", "q49_recursive_months",
     "q50_quantified_compare",
 ]

@@ -137,6 +137,13 @@ def _register_operator_tfs() -> dict:
         k = int(a[2]) if len(a) > 2 else 5
         return similarity.ivf_topk(corpus, queries, k=k)
 
+    def pq_topk(qc, a):
+        from ..operators import pq
+        corpus = _op_table(qc, a[0])
+        queries = _op_table(qc, a[1])
+        k = int(a[2]) if len(a) > 2 else 5
+        return pq.pq_topk(corpus, queries, k=k)
+
     def hash_split(qc, a):
         # hash_split('orders', 'o_orderkey') -> rows + split column
         return sampling.hash_split(_op_table(qc, a[0]), str(a[1]))
@@ -186,8 +193,8 @@ def _register_operator_tfs() -> dict:
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
-        ivf_topk, hash_split, sample_by_key, vocab_topk, tf_idf, pack_bins,
-        shuffled, dup_clusters, minhash_clusters, dedup_against)}
+        ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,
+        pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

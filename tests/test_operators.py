@@ -848,3 +848,64 @@ def test_zorder_key_validates_budget(spark, tpch_scope):
         zorder_key(ev, ["user_id", "value"], bits=32)
     with pytest.raises(ValueError, match="at least one column"):
         zorder_key(ev, [])
+
+
+# --------------------------------------------------------- product quantization
+
+
+def test_pq_lossless_equals_brute_force(spark, emb):
+    from framequery_spark.operators import pq as PQ
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+             SIM.cosine_topk(emb, queries, k=5)
+             .orderBy("query_id", "rank").collect()]
+    # n_centroids covers every distinct subvector -> lossless codes -> the
+    # whole train/encode/LUT/ADC/refine pipeline reproduces brute force
+    full = [(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+            PQ.pq_topk(emb, queries, k=5, n_subvectors=8, n_centroids=20000)
+            .orderBy("query_id", "rank").collect()]
+    assert full == exact
+
+
+def test_pq_encode_matches_numpy(spark, emb):
+    import numpy as np
+
+    from framequery_spark.operators import pq as PQ
+
+    books = PQ.train_pq_codebooks(emb, n_subvectors=8, n_centroids=16)
+    enc = {r.vec_id: (list(r.pq_code), r.pq_norm)
+           for r in PQ.pq_encode(emb.filter(F.col("vec_id") < 20), books).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.filter(F.col("vec_id") < 20).collect()}
+    cbs = [np.array(b) for b in books]
+    for vid, v in vecs.items():
+        code, norm = enc[vid]
+        norm_sq = 0.0
+        for s, cb in enumerate(cbs):
+            xs = v[s * 8:(s + 1) * 8]
+            d = ((xs - cb) ** 2).sum(axis=1)
+            assert code[s] == int(np.argmin(d)), (vid, s)
+            norm_sq += (cb[code[s]] ** 2).sum()
+        assert abs(norm - np.sqrt(norm_sq)) < 1e-9
+
+
+def test_pq_approx_recall_reasonable(spark, emb):
+    from framequery_spark.operators import pq as PQ
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             SIM.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in
+              PQ.pq_topk(emb, queries, k=5, n_centroids=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"PQ recall collapsed: {recall}"
+
+
+def test_pq_validates_inputs(spark, emb):
+    from framequery_spark.operators import pq as PQ
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.train_pq_codebooks(emb, n_subvectors=7)
+    with pytest.raises(ValueError, match="driver-collect cap"):
+        PQ.train_pq_codebooks(emb, train_sample=10_000_000)
