@@ -581,6 +581,13 @@ WHERE user_id <= 50
 ORDER BY user_id, event_id
 """)
 
+# PIVOT (DuckDB statement form; compiled to Spark's native
+# groupBy().pivot().agg()) — identical text in both dialects; dynamic
+# column discovery exercises the bounded distinct-collect path
+_q("q59_pivot", """
+PIVOT documents ON lang USING count(*) GROUP BY source ORDER BY source
+""")
+
 # QUALIFY (post-window filter; DuckDB supports the clause natively) —
 # identical text in both dialects. Mixes an aliased window ref with a
 # second inline window predicate over an aggregate query.
@@ -1583,7 +1590,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _Q_WINDOW = [
     "q51_asof_join_sql", "q52_json_arrows", "q53_group_by_all",
     "q54_lateral_topk", "q55_having_subquery", "q56_regression_aggs",
-    "q46_conditional_agg",
+    "q59_pivot",
     "q47_quantiles", "q48_ordered_string_agg", "q49_recursive_months",
     "q50_quantified_compare",
 ]

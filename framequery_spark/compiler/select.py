@@ -51,7 +51,83 @@ class QueryCompiler:
             return self.compile_select(node)
         if isinstance(node, ast.SetOp):
             return self.compile_setop(node)
+        if isinstance(node, ast.Pivot):
+            return self.compile_pivot(node)
+        if isinstance(node, ast.Unpivot):
+            return self.compile_unpivot(node)
         raise CompileError(f"not a query: {type(node).__name__}")
+
+    # maximum dynamic pivot width: the distinct-value collect is a bounded
+    # 1-column driver fetch, and a pivot wider than this is almost certainly
+    # a mistaken ON column (DuckDB's own dynamic cap is 100k)
+    MAX_PIVOT_VALUES = 10000
+
+    def compile_pivot(self, node: ast.Pivot) -> DataFrame:
+        """DuckDB-style PIVOT: Spark's native groupBy().pivot(values).agg()
+        — the pivot aggregation stays one (map-side partial) shuffle, with
+        the value list either static (IN) or discovered by a bounded
+        distinct collect of the ON column only."""
+        from .expressions import ExprCompiler
+        from .rewrite import walk
+
+        src = node.source
+        df = (self.compile_relation(src) if isinstance(src, ast.TableRef)
+              else self.compile_query(src))
+        agg_refs = {n.parts[-1].lower() for n in walk(node.using)
+                    if isinstance(n, ast.ColumnRef)}
+        on_l = node.on_col.lower()
+        if node.group_by:
+            groups = list(node.group_by)
+        else:
+            groups = [c for c in df.columns
+                      if c.lower() != on_l and c.lower() not in agg_refs]
+        if node.in_values:
+            vals = []
+            for v in node.in_values:
+                if not isinstance(v, ast.Literal):
+                    raise CompileError("PIVOT IN list expects literals")
+                vals.append(v.value)
+        else:
+            limit = self.MAX_PIVOT_VALUES
+            vals = [r[0] for r in df.select(node.on_col).distinct()
+                    .orderBy(node.on_col).limit(limit + 1).collect()]
+            if len(vals) > limit:
+                raise CompileError(
+                    f"dynamic PIVOT exceeds {limit} distinct values of "
+                    f"{node.on_col}; pass an explicit IN (...) list")
+            vals = [v for v in vals if v is not None]
+        ec = ExprCompiler(self.session, agg_context=True, scope=self.scope)
+        agg = ec.compile(node.using)
+        out = df.groupBy(*groups).pivot(node.on_col, vals).agg(agg)
+        if node.using.name.lower() == "count":
+            # empty pivot cells: Spark leaves NULL, but COUNT over zero rows
+            # is 0 (what DuckDB's PIVOT returns)
+            out = out.select(*groups, *[
+                F.coalesce(F.col(_bt(str(v))), F.lit(0).cast("long"))
+                .alias(str(v)) for v in vals])
+        if node.using_alias:
+            # DuckDB naming: value_alias (Spark's single-agg pivot names
+            # columns by the bare value even when the agg is aliased)
+            for v in vals:
+                out = out.withColumnRenamed(
+                    str(v), f"{v}_{node.using_alias}")
+        if node.order_by:
+            out = self._order_output_only(out, node.order_by)
+        return out
+
+    def compile_unpivot(self, node: ast.Unpivot) -> DataFrame:
+        """DuckDB-style UNPIVOT via Spark's native unpivot (melt): row-local
+        narrow transform, no shuffle; NULL values dropped (DuckDB default)."""
+        src = node.source
+        df = (self.compile_relation(src) if isinstance(src, ast.TableRef)
+              else self.compile_query(src))
+        missing = [c for c in node.on_cols if c not in df.columns]
+        if missing:
+            raise CompileError(f"UNPIVOT column(s) not found: {missing}")
+        ids = [c for c in df.columns if c not in node.on_cols]
+        out = df.unpivot(ids, list(node.on_cols),
+                         node.name_col, node.value_col)
+        return out.where(F.col(node.value_col).isNotNull())
 
     def compile_setop(self, node: ast.SetOp) -> DataFrame:
         left = self.compile_query(node.left)

@@ -152,7 +152,7 @@ class Executor:
         return QueryCompiler(self, scope).compile_query(node)
 
     def _execute_statement(self, node, scope: dict):
-        if isinstance(node, (ast.Select, ast.SetOp)):
+        if isinstance(node, (ast.Select, ast.SetOp, ast.Pivot, ast.Unpivot)):
             return self._compile_query(node, scope)
         if isinstance(node, ast.Explain):
             df = self._compile_query(node.query, scope)

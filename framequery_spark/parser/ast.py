@@ -445,6 +445,35 @@ class Update(Node):
 
 
 @dataclass(frozen=True)
+class Pivot(Node):
+    """DuckDB-style PIVOT statement: `PIVOT source ON col [IN (v, ...)]
+    USING agg(expr) [AS alias] [GROUP BY cols] [ORDER BY ...]`. Dynamic
+    column discovery (no IN list) collects the DISTINCT pivot values —
+    bounded, like every engine's dynamic pivot. Beyond parity — the
+    reference has no PIVOT."""
+
+    source: Node  # TableRef or query node
+    on_col: str
+    using: Node  # aggregate Call
+    using_alias: Optional[str] = None
+    in_values: Tuple[Node, ...] = ()  # literals; empty = dynamic
+    group_by: Tuple[str, ...] = ()  # empty = all remaining columns
+    order_by: Tuple[SortItem, ...] = ()
+
+
+@dataclass(frozen=True)
+class Unpivot(Node):
+    """DuckDB-style UNPIVOT statement: `UNPIVOT source ON c1, c2, ... INTO
+    NAME name_col VALUE value_col` — melts the ON columns into
+    (name, value) rows, dropping NULL values (DuckDB default)."""
+
+    source: Node
+    on_cols: Tuple[str, ...]
+    name_col: str = "name"
+    value_col: str = "value"
+
+
+@dataclass(frozen=True)
 class Describe(Node):
     """DESCRIBE t — (col_name, data_type) rows from the frame's schema."""
 

@@ -208,6 +208,10 @@ class Parser:
             return ast.Select(items=(ast.Star(),),
                               from_=ast.Values(rows=vals.rows,
                                                alias="__values"))
+        if self.is_kw("pivot"):
+            return self.parse_pivot()
+        if self.is_kw("unpivot"):
+            return self.parse_unpivot()
         if self.is_kw("copy"):
             return self.parse_copy()
         if self.is_kw("create"):
@@ -252,6 +256,60 @@ class Parser:
             return ast.Update(table=table, assignments=tuple(assigns),
                               where=where)
         raise self.error("expected a statement")
+
+    def _parse_pivot_source(self) -> ast.Node:
+        if self.is_op("("):
+            self.advance()
+            query = self.parse_query()
+            self.expect_op(")")
+            return query
+        return ast.TableRef(parts=tuple(self.parse_dotted_name()))
+
+    def parse_pivot(self) -> ast.Node:
+        self.expect_kw("pivot")
+        source = self._parse_pivot_source()
+        self.expect_kw("on")
+        on_col = self.parse_name()
+        in_values: List[ast.Node] = []
+        if self.accept_kw("in"):
+            self.expect_op("(")
+            in_values.append(self.parse_expr())
+            while self.accept_op(","):
+                in_values.append(self.parse_expr())
+            self.expect_op(")")
+        self.expect_kw("using")
+        using = self.parse_expr()
+        if not isinstance(using, ast.Call):
+            raise self.error("PIVOT USING expects an aggregate call")
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.parse_name()
+        group_by: List[str] = []
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            group_by.append(self.parse_name())
+            while self.accept_op(","):
+                group_by.append(self.parse_name())
+        order_by = self.parse_order_by() if self.is_kw("order") else ()
+        return ast.Pivot(source=source, on_col=on_col, using=using,
+                         using_alias=alias, in_values=tuple(in_values),
+                         group_by=tuple(group_by), order_by=tuple(order_by))
+
+    def parse_unpivot(self) -> ast.Node:
+        self.expect_kw("unpivot")
+        source = self._parse_pivot_source()
+        self.expect_kw("on")
+        on_cols = [self.parse_name()]
+        while self.accept_op(","):
+            on_cols.append(self.parse_name())
+        name_col, value_col = "name", "value"
+        if self.accept_kw("into"):
+            self.expect_kw("name")
+            name_col = self.parse_name()
+            self.expect_kw("value")
+            value_col = self.parse_name()
+        return ast.Unpivot(source=source, on_cols=tuple(on_cols),
+                           name_col=name_col, value_col=value_col)
 
     def parse_insert(self) -> ast.Node:
         self.expect_kw("insert")

@@ -231,6 +231,14 @@ QUERIES = [
     # alias shadowed by an input column: input wins (pg scoping)
     "select c2 + 10 as c2 from test "
     "qualify row_number() over (order by c2) <= 3",
+    # round-5: PIVOT / UNPIVOT (DuckDB statement forms)
+    "pivot test on c1 using sum(c2)",
+    "pivot test on c1 using sum(c2) as s group by c2 order by c2",
+    "pivot test on c1 in (1, 0) using count(*) group by c2",
+    "pivot (select c1, c2 % 2 as p, c2 from test) on p using max(c2) "
+    "group by c1 order by c1",
+    "unpivot test on c1, c2 into name k value v",
+    "unpivot (select * from nulls) on v",
 ]
 
 
