@@ -176,7 +176,7 @@ def _minhash_params(num_perm: int, seed: int):
 
 
 def _shingle_hashes_flat(df: DataFrame, id_col: str, text_col: str,
-                         k: int) -> DataFrame:
+                         k: int, tag_col: Optional[str] = None) -> DataFrame:
     """(__id, __h64) — one row per word-k-gram OCCURRENCE (not distinct),
     computed entirely row-local (explode of a per-row gram array — no
     exchange). Downstream per-id hash aggregates see doc rows adjacent
@@ -188,10 +188,12 @@ def _shingle_hashes_flat(df: DataFrame, id_col: str, text_col: str,
     an interpreted pass."""
     grams = _let(F.split(F.trim(F.col(text_col)), r"\s+"),
                  lambda ws: _grams(ws, k))
+    tag = [F.col(tag_col)] if tag_col else []
     return (_spread(df)
-            .select(F.col(id_col).alias("__id"),
+            .select(F.col(id_col).alias("__id"), *tag,
                     F.explode(grams).alias("__s"))
-            .select("__id", F.xxhash64("__s").alias("__h64")))
+            .select("__id", *([tag_col] if tag_col else []),
+                    F.xxhash64("__s").alias("__h64")))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -229,15 +231,18 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def _lsh_sigs(df: DataFrame, id_col: str, text_col: str, k: int,
-              params) -> DataFrame:
-    """(__id, __hs, __m0..__mN) — the distinct 64-bit shingle-hash set (for
-    exact-Jaccard verification) plus the MinHash minima, built in ONE hash
-    aggregate (map-side partial agg; the only exchange is on __id). Callers
-    persist it: it feeds band-join and verification sides."""
-    ex = _shingle_hashes_flat(df, id_col, text_col, k).withColumn(
+              params, tag_col: Optional[str] = None) -> DataFrame:
+    """(__id[, tag], __hs, __m0..__mN) — the distinct 64-bit shingle-hash
+    set (for exact-Jaccard verification) plus the MinHash minima, built in
+    ONE hash aggregate (map-side partial agg; the only exchange is on the
+    group key). tag_col (e.g. a corpus-side marker) joins the group key so
+    ids need only be unique per tag. Callers persist the result: it feeds
+    band-join and verification sides."""
+    ex = _shingle_hashes_flat(df, id_col, text_col, k, tag_col).withColumn(
         "__h31", F.col("__h64").bitwiseAND(F.lit(_MERSENNE)))
     h31 = F.col("__h31")
-    return ex.groupBy("__id").agg(
+    keys = ["__id"] + ([tag_col] if tag_col else [])
+    return ex.groupBy(*keys).agg(
         F.collect_set("__h64").alias("__hs"),
         *[F.min((h31 * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
           .alias(f"__m{i}") for i, (a, b) in enumerate(params)],
@@ -318,16 +323,25 @@ def minhash_pairs_against(new: DataFrame, corpus: DataFrame,
 
     This is the incremental-ingest shape: `corpus` signatures depend only on
     `corpus`, so at scale they are computed once and persisted (parquet) by
-    the caller while each new batch re-joins against them.
+    the caller while each new batch re-joins against them. When both sides
+    arrive together (as here), signatures are computed in ONE shingle->agg
+    pass over the tagged union — the expensive stage runs once, not twice —
+    and the tag splits the result for the cross-side band join.
     """
     rows = num_perm // bands
     from pyspark import StorageLevel
 
     params = _minhash_params(num_perm, seed)
-    sig_new = _lsh_sigs(new, id_col, text_col, k, params) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    sig_old = _lsh_sigs(corpus, id_col, text_col, k, params) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tagged = (new.select(F.col(id_col), F.col(text_col),
+                         F.lit(True).alias("__is_new"))
+              .unionByName(corpus.select(F.col(id_col), F.col(text_col),
+                                         F.lit(False).alias("__is_new"))))
+    # tag joins the group key, so ids need only be unique per side (a new
+    # batch may legitimately reuse corpus ids)
+    sigs = _lsh_sigs(tagged, id_col, text_col, k, params,
+                     tag_col="__is_new").persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new = sigs.filter(F.col("__is_new"))
+    sig_old = sigs.filter(~F.col("__is_new"))
     a = _band_buckets(sig_new, bands, rows).toDF("id1", "__band", "__bucket")
     b = _band_buckets(sig_old, bands, rows).toDF("id2", "__band", "__bucket")
     cands = a.join(b, ["__band", "__bucket"]).select("id1", "id2").distinct()

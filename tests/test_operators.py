@@ -909,3 +909,20 @@ def test_pq_validates_inputs(spark, emb):
         PQ.train_pq_codebooks(emb, n_subvectors=7)
     with pytest.raises(ValueError, match="driver-collect cap"):
         PQ.train_pq_codebooks(emb, train_sample=10_000_000)
+
+
+def test_dedup_against_sides_may_share_ids(spark):
+    # the tag joins the signature group key, so a new batch may legitimately
+    # reuse corpus ids without cross-side aggregation mixing them
+    base = "one two three four five six seven eight nine ten " * 3
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different words entirely here")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "unrelated new document with fresh content"), (3, base)],
+        ["doc_id", "text"])
+    pairs = DD.minhash_pairs_against(new, corpus, threshold=0.7)
+    assert sorted((r["new_id"], r["corpus_id"])
+                  for r in pairs.collect()) == [(3, 1)]
+    out = DD.dedup_against(new, corpus, threshold=0.7)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
