@@ -677,10 +677,14 @@ def _text_stats_oracle() -> str:
     len_score = (f"CASE WHEN {n_tok} BETWEEN 10 AND 10000 THEN 1.0 "
                  f"WHEN {n_tok} < 10 THEN CAST({n_tok} AS DOUBLE) / 10.0 ELSE 0.5 END")
     p_ratio = f"CAST({n_punct} AS DOUBLE) / greatest(length(text), 1)"
+    # the contraction branch contains a literal apostrophe: SQL-escape it
+    bpe_pat = (r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+               r"| ?[^\s\p{L}\p{N}]+|\s+")
     return f"""
 SELECT doc_id,
        length(text) AS n_chars,
        {n_tok} AS n_tokens,
+       len(regexp_extract_all(text, '{bpe_pat}')) AS n_bpe_tokens,
        {n_punct} AS n_punct,
        round({sw_ratio}, 6) AS stopword_ratio,
        round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)

@@ -36,6 +36,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer pieces (Radford et al. 2019 / tiktoken), minus
+# the trailing-whitespace lookahead (RE2 — the DuckDB oracle's engine — has
+# no lookahead; dropping it only changes how runs of trailing spaces group,
+# deterministically in both engines): contraction suffixes, optionally
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-tokenizer piece count under the GPT-2 split regex — the standard
+    fast proxy for BPE token counts in data-pipeline budgeting (actual BPE
+    merges only split pieces further, never across pieces). One JVM
+    regexp_count pass, row-local."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 
@@ -150,6 +166,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         char_count(t).alias("n_chars"),
         token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
         punct_count(t).alias("n_punct"),
         stopword_count_fused(t).alias("__sw"),
         avg_token_length(t).alias("__avg_tok"),
@@ -160,7 +177,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
     sw_ratio = F.col("__sw") / F.col("n_tokens")
     return staged.select(
         F.col(id_col),
-        "n_chars", "n_tokens", "n_punct",
+        "n_chars", "n_tokens", "n_bpe_tokens", "n_punct",
         F.round(sw_ratio, 6).alias("stopword_ratio"),
         F.round(F.col("__avg_tok"), 6).alias("avg_token_len"),
         _quality_from(F.col("n_tokens"), sw_ratio, F.col("n_punct"),

@@ -926,3 +926,18 @@ def test_dedup_against_sides_may_share_ids(spark):
                   for r in pairs.collect()) == [(3, 1)]
     out = DD.dedup_against(new, corpus, threshold=0.7)
     assert sorted(r["doc_id"] for r in out.collect()) == [1]
+
+
+def test_bpe_token_count_matches_python(spark):
+    # reference count with python's regex module semantics via re flags
+    import re
+
+    texts = ["Hello world, it's 2026!", "don't you'll we're I'm it'd",
+             "naïve café №42 — em-dash… 3.14", "  spaced   out\ttabs\n", ""]
+    # python re: \p{L}/\p{N} unsupported — translate to unicode-aware classes
+    pat = (r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+"
+           r"| ?[^\s\w]+| ?_+|\s+")
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [r[0] for r in df.select(TX.bpe_token_count(F.col("t"))).collect()]
+    expect = [len(re.findall(pat, t, re.UNICODE)) for t in texts]
+    assert got == expect, (got, expect)
