@@ -104,6 +104,37 @@ def main() -> None:
             FROM sk ORDER BY event_type
         """, scope, spark=spark).show()
 
+        # --- round-5 surface: QUALIFY, PIVOT, dup clustering, PQ ANN ------
+        fq.execute("""
+            SELECT user_id, event_id, value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY value DESC) = 1
+            ORDER BY user_id LIMIT 5
+        """, scope, spark=spark).show()
+        fq.execute("PIVOT documents ON lang USING count(*) GROUP BY source "
+                   "ORDER BY source", scope, spark=spark).show(5)
+        # near-dup pairs -> transitive clusters -> keep-one-per-cluster
+        fq.execute("""
+            WITH pairs AS (SELECT id1, id2 FROM minhash_pairs('documents', 0.5))
+            SELECT count(*) AS docs_in_dup_clusters,
+                   count(DISTINCT cluster_id) AS n_clusters
+            FROM dup_clusters('pairs')
+        """, scope, spark=spark).show()
+        # incremental ingest: drop new docs that near-dup the corpus
+        fq.execute("""
+            WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+                 batch  AS (SELECT * FROM documents WHERE doc_id % 2 = 1)
+            SELECT count(*) AS surviving_new_docs
+            FROM dedup_against('batch', 'corpus', 0.7)
+        """, scope, spark=spark).show()
+        # compressed ANN: PQ codes + ADC scan + exact re-rank
+        fq.execute("""
+            WITH q AS (SELECT * FROM embeddings WHERE vec_id < 3)
+            SELECT query_id, neighbor_id, cosine
+            FROM pq_topk('embeddings', 'q', 3) ORDER BY query_id, rank
+        """, scope, spark=spark).show()
+
 
 if __name__ == "__main__":
     main()
