@@ -919,6 +919,40 @@ def _op_pq_full(spark, sf_dir):
 _op("op_pq_full", _op_pq_full, _ANN_EXACT_ORACLE)
 
 
+def _op_quantize_emb(spark, sf_dir):
+    """Int8 embedding quantization (operators/quantize.py): symmetric
+    per-vector scale, codes bit-for-bit reproducible in ANSI SQL (rounding
+    pinned to floor(x+0.5) in both engines). Output exploded to scalar rows
+    so the driver hash covers every code."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.quantize import quantize_embeddings
+
+    emb = _scope(spark, sf_dir)["embeddings"].where(F.col("vec_id") < 50)
+    q = quantize_embeddings(emb)
+    return (q.select("vec_id", "q_scale",
+                     F.posexplode("q_codes").alias("idx", "code"))
+            .select("vec_id", F.col("idx").cast("int").alias("idx"),
+                    "code", "q_scale")
+            .orderBy("vec_id", "idx"))
+
+
+_op("op_quantize_emb", _op_quantize_emb, """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) / 127.0 AS q_scale,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(greatest(least(floor(x / (list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0) + 0.5),
+                  127), -127) AS TINYINT)) AS codes
+  FROM embeddings WHERE vec_id < 50)
+SELECT vec_id, CAST(i AS INT) AS idx, codes[i + 1] AS code, q_scale
+FROM q, unnest(range(len(codes))) AS t(i)
+ORDER BY vec_id, idx
+""")
+
+
 def _op_simhash_exact(spark, sf_dir):
     """SimHash with the SQL-reproducible hash (md5-hex prefix -> 60-bit int
     instead of xxhash64): the ENTIRE algorithm — shingling, per-shingle
@@ -1595,7 +1629,7 @@ _Q_WINDOW = [
     "q51_asof_join_sql", "q52_json_arrows", "q53_group_by_all",
     "q54_lateral_topk", "q55_having_subquery", "q56_regression_aggs",
     "q59_pivot",
-    "q47_quantiles", "q48_ordered_string_agg", "q49_recursive_months",
+    "q48_ordered_string_agg", "q49_recursive_months",
     "q50_quantified_compare",
 ]
 

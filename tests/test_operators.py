@@ -941,3 +941,44 @@ def test_bpe_token_count_matches_python(spark):
     got = [r[0] for r in df.select(TX.bpe_token_count(F.col("t"))).collect()]
     expect = [len(re.findall(pat, t, re.UNICODE)) for t in texts]
     assert got == expect, (got, expect)
+
+
+# --------------------------------------------------------- int8 quantization
+
+
+def test_quantize_roundtrip_error_small(spark, emb):
+    from framequery_spark.operators.quantize import quantization_error
+
+    err = quantization_error(emb).agg(F.max("rel_l2_error")).collect()[0][0]
+    assert err < 0.05, err
+
+
+def test_quantize_matches_numpy(spark, emb):
+    import numpy as np
+
+    from framequery_spark.operators.quantize import quantize_embeddings
+
+    got = {r["vec_id"]: (list(r["q_codes"]), r["q_scale"])
+           for r in quantize_embeddings(emb.filter(F.col("vec_id") < 20)).collect()}
+    for r in emb.filter(F.col("vec_id") < 20).collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        sc = np.abs(v).max() / 127.0
+        codes = np.clip(np.floor(v / sc + 0.5), -127, 127).astype(int)
+        gcodes, gsc = got[r["vec_id"]]
+        assert gcodes == codes.tolist()
+        assert abs(gsc - sc) < 1e-15
+
+
+def test_quantize_zero_vector(spark):
+    from framequery_spark.operators.quantize import (dequantize_embeddings,
+                                                     quantize_embeddings)
+
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+                               ["vec_id", "embedding"])
+    q = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert list(rows[0]["q_codes"]) == [0, 0, 0] and rows[0]["q_scale"] is None
+    de = {r["vec_id"]: list(r["embedding"])
+          for r in dequantize_embeddings(q).collect()}
+    assert de[0] == [0.0, 0.0, 0.0]
+    assert abs(de[1][1] + 2.0) < 0.02
