@@ -729,7 +729,12 @@ class Parser:
                 alias, colnames = self.parse_values_alias()
                 return ast.Values(rows=node.rows, alias=alias,
                                   column_names=colnames)
-            query = self.parse_query()
+            if self.is_kw("pivot"):
+                query = self.parse_pivot()
+            elif self.is_kw("unpivot"):
+                query = self.parse_unpivot()
+            else:
+                query = self.parse_query()
             self.expect_op(")")
             alias = self.parse_optional_alias()
             if alias is None:

@@ -184,6 +184,12 @@ def _register_operator_tfs() -> dict:
         kw = {"threshold": float(a[1])} if len(a) > 1 else {}
         return graph.minhash_dup_clusters(_op_table(qc, a[0]), **kw)
 
+    def quantize_embeddings(qc, a):
+        # quantize_embeddings('embeddings'[, vec_col])
+        from ..operators import quantize
+        kw = {"vec_col": str(a[1])} if len(a) > 1 else {}
+        return quantize.quantize_embeddings(_op_table(qc, a[0]), **kw)
+
     def dedup_against(qc, a):
         # dedup_against('new_docs', 'corpus'[, threshold])
         kw = {"threshold": float(a[2])} if len(a) > 2 else {}
@@ -194,7 +200,8 @@ def _register_operator_tfs() -> dict:
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,
-        pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against)}
+        pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
+        quantize_embeddings)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

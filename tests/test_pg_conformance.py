@@ -239,6 +239,10 @@ QUERIES = [
     "group by c1 order by c1",
     "unpivot test on c1, c2 into name k value v",
     "unpivot (select * from nulls) on v",
+    # PIVOT/UNPIVOT as FROM relations (parenthesized)
+    "select k, sum(v) as sv from (unpivot test on c1, c2 into name k value v) u "
+    "group by k order by k",
+    "select c2 from (pivot test on c1 using count(*) group by c2) p order by c2",
 ]
 
 
