@@ -930,8 +930,12 @@ def _op_quantize_emb(spark, sf_dir):
 
     emb = _scope(spark, sf_dir)["embeddings"].where(F.col("vec_id") < 50)
     q = quantize_embeddings(emb)
+    # posexplode_outer: plain posexplode makes Catalyst infer a
+    # size(codes)>0 pre-filter that INLINES the whole quantize expression
+    # and evaluates it on every scanned row (measured 30x slowdown);
+    # embeddings are never empty so outer-vs-inner is value-identical here
     return (q.select("vec_id", "q_scale",
-                     F.posexplode("q_codes").alias("idx", "code"))
+                     F.posexplode_outer("q_codes").alias("idx", "code"))
             .select("vec_id", F.col("idx").cast("int").alias("idx"),
                     "code", "q_scale")
             .orderBy("vec_id", "idx"))

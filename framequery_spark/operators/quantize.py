@@ -24,11 +24,16 @@ def _scale(vec: Column) -> Column:
     return F.when(mx > 0, mx / F.lit(127.0))
 
 
-def quantize_vec(vec: Column) -> Column:
+def quantize_vec(vec: Column, scale: Column = None) -> Column:
     """array<tinyint> codes: clamp(floor(x / scale + 0.5), -127, 127).
     floor(x + 0.5) (round-half-up) is used instead of round() so both
-    engines of the differential gate agree on every tie."""
-    s = _scale(vec)
+    engines of the differential gate agree on every tie.
+
+    PASS A STAGED scale COLUMN when quantizing a whole frame: higher-order
+    lambdas are interpreted, so an inlined scale subtree (array_max over a
+    transform) re-evaluates once PER ELEMENT — O(d^2) per row; a staged
+    column is a plain attribute read."""
+    s = _scale(vec) if scale is None else scale
     # the NULL (zero-vector) scale must yield code 0 — Spark's least/
     # greatest SKIP null arguments rather than propagate them, so the
     # null case is branched explicitly before clamping
@@ -52,9 +57,12 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         code_col: str = "q_codes",
                         scale_col: str = "q_scale") -> DataFrame:
     """Attach (codes array<tinyint>, scale double) per row; the original
-    vector column is dropped — that is the point (4x smaller table)."""
+    vector column is dropped — that is the point (4x smaller table). The
+    scale is staged as a column first so the per-element lambda reads an
+    attribute instead of re-evaluating the array_max subtree d times."""
     return (df.withColumn(scale_col, _scale(F.col(vec_col)))
-            .withColumn(code_col, quantize_vec(F.col(vec_col)))
+            .withColumn(code_col,
+                        quantize_vec(F.col(vec_col), F.col(scale_col)))
             .drop(vec_col))
 
 
@@ -71,13 +79,15 @@ def quantization_error(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-row relative L2 reconstruction error — the quality diagnostic
     (symmetric int8 on unit-ish vectors lands around 1e-2)."""
     v = F.col(vec_col)
-    s = _scale(v)
-    recon = dequantize_vec(quantize_vec(v), s)
+    staged = df.withColumn("__qscale", _scale(v))
+    recon = dequantize_vec(quantize_vec(v, F.col("__qscale")),
+                           F.col("__qscale"))
     diff2 = F.aggregate(F.zip_with(v, recon,
                                    lambda a, b: (a.cast("double") - b)
                                    * (a.cast("double") - b)),
                         F.lit(0.0), lambda acc, x: acc + x)
     norm2 = F.aggregate(v, F.lit(0.0),
                         lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    return df.select("*", F.sqrt(diff2 / F.nullif(norm2, F.lit(0.0)))
-                     .alias("rel_l2_error"))
+    return (staged.select("*", F.sqrt(diff2 / F.nullif(norm2, F.lit(0.0)))
+                          .alias("rel_l2_error"))
+            .drop("__qscale"))
