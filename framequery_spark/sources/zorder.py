@@ -30,6 +30,21 @@ from typing import List, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(df: DataFrame, c: str) -> Column:
+    """Orderable column -> double, including temporal types (ANSI mode
+    rejects a direct temporal->double cast): timestamps map to epoch
+    micros, dates to epoch days. Monotone mappings, so quantile buckets
+    and min-max spans are preserved."""
+    dt = df.schema[c].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(c), F.lit("1970-01-01").cast("date")) \
+            .cast("double")
+    return F.col(c).cast("double")
 
 
 def _bucket_code(col: Column, boundaries: List[float], bits: int) -> Column:
@@ -70,9 +85,10 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8,
             "bits; must be <= 62 (lower bits= or cluster fewer columns)")
     n_bounds = (1 << bits) - 1
     probs = [(i + 1) / (1 << bits) for i in range(n_bounds)]
-    numeric = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    numeric_exprs = {c: _as_double(df, c) for c in cols}
+    numeric = df.select(*[e.alias(c) for c, e in numeric_exprs.items()])
     all_bounds = numeric.approxQuantile(cols, probs, rel_error)
-    codes = [_bucket_code(F.col(c), bounds, bits)
+    codes = [_bucket_code(numeric_exprs[c], bounds, bits)
              for c, bounds in zip(cols, all_bounds)]
     return _interleave(codes, bits)
 
@@ -97,14 +113,16 @@ def file_span_stats(df_from_files: DataFrame, cols: Sequence[str]) -> DataFrame:
     the data-skipping figure of merit (mean spans near 1/n_files in every
     dimension mean filters on any clustered column prune most files).
     Diagnostic helper for layout tests/tuning."""
+    nums = {c: _as_double(df_from_files, c) for c in cols}
     per_file = (df_from_files
                 .groupBy(F.input_file_name().alias("file"))
                 .agg(*[f for c in cols
-                       for f in (F.min(c).alias(f"min_{c}"),
-                                 F.max(c).alias(f"max_{c}"))]))
+                       for f in (F.min(nums[c]).alias(f"min_{c}"),
+                                 F.max(nums[c]).alias(f"max_{c}"))]))
     glob = df_from_files.agg(
         *[f for c in cols
-          for f in (F.min(c).alias(f"gmin_{c}"), F.max(c).alias(f"gmax_{c}"))])
+          for f in (F.min(nums[c]).alias(f"gmin_{c}"),
+                    F.max(nums[c]).alias(f"gmax_{c}"))])
     out = per_file.crossJoin(F.broadcast(glob))
     for c in cols:
         span = (F.col(f"max_{c}") - F.col(f"min_{c}")).cast("double")

@@ -982,3 +982,19 @@ def test_quantize_zero_vector(spark):
           for r in dequantize_embeddings(q).collect()}
     assert de[0] == [0.0, 0.0, 0.0]
     assert abs(de[1][1] + 2.0) < 0.02
+
+
+def test_zorder_supports_temporal_columns(spark, tmp_path, tpch_scope):
+    # ANSI mode rejects temporal->double casts; zorder must map timestamps
+    # to epoch micros internally
+    from framequery_spark.sources.zorder import (file_span_stats,
+                                                 write_zordered)
+
+    ev = tpch_scope["events"]
+    z = write_zordered(ev, str(tmp_path / "zt"), ["ts", "user_id"],
+                       n_files=4)
+    assert z.count() == ev.count()
+    spans = file_span_stats(z, ["ts", "user_id"]).agg(
+        F.avg("span_ts").alias("t"), F.avg("span_user_id").alias("u")
+    ).collect()[0]
+    assert spans["t"] < 0.8 and spans["u"] < 0.8, spans
