@@ -161,3 +161,18 @@ def minhash_dup_clusters(df: DataFrame, id_col: str = "doc_id",
                               threshold=threshold, num_perm=num_perm,
                               bands=bands, k=k)
     return dup_clusters(pairs, "id1", "id2", id_col=id_col)
+
+
+def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", threshold: float = 0.7,
+                num_perm: int = 64, bands: int = 16, k: int = 3) -> DataFrame:
+    """Keep exactly one document (the min id) per transitive near-dup
+    cluster — the terminal step of the standard corpus-dedup pipeline.
+    Docs in no cluster pass through; the drop set is a left-anti join on
+    the id, so the full rows never shuffle twice."""
+    clusters = minhash_dup_clusters(df, id_col=id_col, text_col=text_col,
+                                    threshold=threshold, num_perm=num_perm,
+                                    bands=bands, k=k)
+    drop = (clusters.where(F.col(id_col) != F.col("cluster_id"))
+            .select(id_col))
+    return df.join(drop, id_col, "left_anti")

@@ -998,3 +998,17 @@ def test_zorder_supports_temporal_columns(spark, tmp_path, tpch_scope):
         F.avg("span_ts").alias("t"), F.avg("span_user_id").alias("u")
     ).collect()[0]
     assert spans["t"] < 0.8 and spans["u"] < 0.8, spans
+
+
+def test_fuzzy_dedup_keeps_one_per_cluster(spark):
+    from framequery_spark.operators.graph import fuzzy_dedup
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    base_b = "pack my box with five dozen liquor jugs for the long trip " * 4
+    rows = [(0, base_a), (1, base_a + "tail"), (2, "prefix " + base_a),
+            (10, base_b), (11, base_b + "changed tail"),
+            (20, "completely unrelated tiny document")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(r["doc_id"] for r in
+                 fuzzy_dedup(df, threshold=0.5, num_perm=32).collect())
+    assert out == [0, 10, 20]
