@@ -1654,6 +1654,32 @@ ORDER BY doc_id
 """)
 
 
+def _op_bloom_dedup(spark, sf_dir):
+    """Bloom-prefiltered incremental exact dedup (operators/bloom.py):
+    odd-doc_id docs surviving an exact-text check against the even-doc_id
+    corpus. The broadcast Bloom filter routes bloom-negative rows around the
+    anti join entirely (map-side, no shuffle); no false negatives means the
+    result is EXACTLY the anti join, so the oracle is exact."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.bloom import bloom_dedup_against
+
+    docs = _scope(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return (bloom_dedup_against(new, corpus, ["text"])
+            .select("doc_id").orderBy("doc_id"))
+
+
+_op("op_bloom_dedup", _op_bloom_dedup, """
+SELECT doc_id FROM documents d
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id % 2 = 0 AND c.text = d.text)
+ORDER BY doc_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -1662,10 +1688,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness for only the FIRST 50 queries() entries, so
 # the window rotates per round until every entry has a green driver row:
 #   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window (this one): all 39 op_* (incl. the exact mirrors and the new
+#   r05 window (this one): 39 op_* (incl. the exact mirrors and the new
 #     connected-components / incremental-dedup / streaming-dedup / PQ
-#     entries) + q51-q56 (never driver-verified before) + the highest-churn
-#     SQL entries (q46-q50).
+#     entries; op_asof_join/op_range_join deferred — r04-green, code
+#     untouched) + q51-q59 (never driver-verified before) + q49/q50.
 #   r06 plan: keep the weak/new ops, rotate q19-q45 + q24 + q29 + q33-q35
 #     into the window (all will then have a green row in the r04 U r05 U r06
 #     union).
@@ -1675,17 +1701,28 @@ _Q_WINDOW = [
     "q51_asof_join_sql", "q52_json_arrows", "q53_group_by_all",
     "q54_lateral_topk", "q55_having_subquery", "q56_regression_aggs",
     "q59_pivot",
+    "q57_range_interval_window",
+    "q58_qualify",
     "q49_recursive_months",
     "q50_quantified_compare",
 ]
+
+# Ops pushed past the 50-entry driver window this round to make room for
+# never-verified entries. All were hash-green in CORRECTNESS_r04 with
+# low-churn code paths since; the in-repo conformance test still runs them
+# every pytest session.
+_OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (fn, _) in _OPS.items():
-        out[name] = fn
+        if name not in _OP_DEFER:
+            out[name] = fn
     for name in _Q_WINDOW:
         out[name] = _sql_runner(_Q[name][0])
+    for name in _OP_DEFER:
+        out[name] = _OPS[name][0]
     for name, (sql, _) in _Q.items():
         if name not in out:
             out[name] = _sql_runner(sql)

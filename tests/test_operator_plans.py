@@ -221,3 +221,20 @@ def test_connected_components_output_plan_is_equi_join(spark):
     e = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["src", "dst"])
     out = connected_components(e)
     _assert_no_cartesian(out)
+
+
+def test_bloom_dedup_joins_only_candidates(docs):
+    # the bloom-negative branch must bypass the anti join entirely: exactly
+    # one join in the whole plan (the candidate anti join), and the
+    # membership check is a single Arrow-batched python stage, not per-row
+    from framequery_spark.operators.bloom import bloom_dedup_against
+
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    plan = formatted_plan(bloom_dedup_against(new, corpus, ["text"]))
+    _assert_no_cartesian(bloom_dedup_against(new, corpus, ["text"]))
+    n_joins = plan.count("Join LeftAnti") or plan.count("LeftAnti")
+    assert n_joins >= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan, plan  # would be row-at-a-time
+    assert "ArrowEvalPython" in plan, plan
