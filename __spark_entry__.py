@@ -1680,6 +1680,31 @@ ORDER BY doc_id
 """)
 
 
+def _op_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/stream.py:
+    stream_interval_join): click→purchase attribution within 15 minutes per
+    user, run as a real two-stream Structured Streaming query
+    (Trigger.AvailableNow). Inner matches are emitted eagerly, so the
+    result equals the batch interval join — the oracle compares at exact
+    µs integers (delta_us BIGINT) to stay unit-exact across engines."""
+    from framequery_spark.streaming.stream import stream_interval_join
+
+    return (stream_interval_join(spark, f"{sf_dir}/events.parquet")
+            .orderBy("user_id", "left_id", "right_id"))
+
+
+_op("op_stream_join", _op_stream_join, """
+SELECT c.user_id, c.event_id AS left_id, p.event_id AS right_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(c.ts)
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 15*60*1000000
+ORDER BY 1, 2, 3
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -1711,7 +1736,8 @@ _Q_WINDOW = [
 # never-verified entries. All were hash-green in CORRECTNESS_r04 with
 # low-churn code paths since; the in-repo conformance test still runs them
 # every pytest session.
-_OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks"]
+_OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
+             "op_det_shuffle"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -252,3 +252,47 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value"),
                  F.min("ts").alias("session_start")))
+
+
+def stream_interval_join(spark: SparkSession, events_path: str,
+                         left_type: str = "click",
+                         right_type: str = "purchase",
+                         horizon_minutes: int = 15,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: every `right_type` event
+    that follows a `left_type` event by the same user within
+    `horizon_minutes` (click→purchase attribution). Both sides are real
+    streams; the event-time range condition plus the two watermarks let
+    Spark evict join state once the watermark passes left_ts + horizon, so
+    state is bounded by (arrival skew + horizon), not by history.
+
+    Inner-join matches are emitted as soon as they occur (only outer-join
+    null padding waits for the watermark), so a Trigger.AvailableNow run
+    over a static directory equals the batch interval join exactly — which
+    is how the driver's oracle checks it. `delta_us` is the µs gap, exposed
+    as a plain BIGINT so the cross-engine comparison is unit-exact.
+    """
+    left = (read_event_stream(spark, events_path)
+            .where(F.col("event_type") == left_type)
+            .select(F.col("user_id"),
+                    F.col("event_id").alias("left_id"),
+                    F.col("ts").alias("left_ts"))
+            .withWatermark("left_ts", watermark))
+    right = (read_event_stream(spark, events_path)
+             .where(F.col("event_type") == right_type)
+             .select(F.col("user_id").alias("r_user_id"),
+                     F.col("event_id").alias("right_id"),
+                     F.col("ts").alias("right_ts"))
+             .withWatermark("right_ts", watermark))
+    joined = left.join(
+        right,
+        on=[left["user_id"] == right["r_user_id"],
+            F.col("right_ts") >= F.col("left_ts"),
+            F.col("right_ts") <=
+            F.col("left_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")],
+        how="inner")
+    out = joined.select(
+        "user_id", "left_id", "right_id",
+        (F.unix_micros("right_ts") - F.unix_micros("left_ts"))
+        .alias("delta_us"))
+    return _run_to_memory(spark, out, "ij_", mode="append")

@@ -1012,3 +1012,29 @@ def test_fuzzy_dedup_keeps_one_per_cluster(spark):
     out = sorted(r["doc_id"] for r in
                  fuzzy_dedup(df, threshold=0.5, num_perm=32).collect())
     assert out == [0, 10, 20]
+
+
+def test_stream_interval_join_matches_batch(spark, tpch_scope):
+    # stream-stream click->purchase attribution must equal the batch
+    # interval join exactly (inner matches are emitted eagerly, so the
+    # AvailableNow run over the static directory is complete)
+    from framequery_spark.streaming.stream import stream_interval_join
+    from tests.conftest import SF_DIR
+
+    got = stream_interval_join(spark, f"{SF_DIR}/events.parquet",
+                               horizon_minutes=60)
+    ev = tpch_scope["events"]
+    c = (ev.where(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("left_id"),
+                 F.col("ts").alias("lts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("ru"),
+                 F.col("event_id").alias("right_id"),
+                 F.col("ts").alias("rts")))
+    batch = (c.join(p, [c.user_id == p.ru,
+                        F.col("rts") >= F.col("lts"),
+                        F.col("rts") <= F.col("lts") + F.expr("INTERVAL 60 MINUTES")])
+             .select("user_id", "left_id", "right_id",
+                     (F.unix_micros("rts") - F.unix_micros("lts")).alias("delta_us")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, got.collect()))  # non-empty at test scale
