@@ -1680,6 +1680,83 @@ ORDER BY doc_id
 """)
 
 
+def _op_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py:
+    contaminated_docs): training docs (doc_id % 10 != 0) sharing >= 1 exact
+    8-token span with the "benchmark" slice (doc_id % 10 == 0). Benchmark
+    gram set broadcast; corpus grams filtered map-side, only hits shuffle.
+    Exact by construction — the oracle replays the identical normalization
+    (lower + \\s+ split) and span join."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.contamination import contaminated_docs
+
+    docs = _scope(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return contaminated_docs(train, bench, n=8).orderBy("doc_id")
+
+
+_op("op_decontaminate", _op_decontaminate, """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+     train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+     tg AS (
+       SELECT t.doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+       FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+             FROM train) t,
+            LATERAL (SELECT unnest(generate_series(1, len(t.toks) - 7)) AS i) g),
+     bg AS (
+       SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+       FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+             FROM bench) b,
+            LATERAL (SELECT unnest(generate_series(1, len(b.toks) - 7)) AS i) g)
+SELECT tg.doc_id, count(DISTINCT tg.gram) AS n_hits
+FROM tg JOIN bg USING (gram)
+GROUP BY tg.doc_id
+ORDER BY doc_id
+""")
+
+
+def _op_split_leakage(spark, sf_dir):
+    """Cross-split near-dup leakage audit (operators/contamination.py:
+    split_leakage_ngrams over sampling.hash_split): pairs of docs in
+    different train/val/test splits sharing >= 1 distinct 8-gram. The split
+    is the byte-exact md5-threshold split, so both engines assign identical
+    labels; the gram join mirrors op_decontaminate."""
+    from framequery_spark.operators.contamination import split_leakage_ngrams
+    from framequery_spark.operators.sampling import hash_split
+
+    docs = hash_split(_scope(spark, sf_dir)["documents"], "doc_id")
+    return split_leakage_ngrams(docs, n=8).orderBy("id_a", "id_b")
+
+
+_op("op_split_leakage", _op_split_leakage, """
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(doc_id::VARCHAR || 'split'), 1, 8) < 'cccccccd'
+                THEN 'train'
+              WHEN substr(md5(doc_id::VARCHAR || 'split'), 1, 8) < 'e6666666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+g0 AS (
+  SELECT doc_id, split, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM sp),
+g AS (
+  SELECT DISTINCT doc_id, split, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM g0, LATERAL (SELECT unnest(generate_series(1, len(g0.toks) - 7)) AS i) s),
+rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 1000),
+gr AS (SELECT g.* FROM g JOIN rare USING (gram))
+SELECT a.doc_id AS id_a, a.split AS split_a,
+       b.doc_id AS id_b, b.split AS split_b,
+       count(*) AS n_shared
+FROM gr a JOIN gr b ON a.gram = b.gram
+WHERE a.doc_id < b.doc_id AND a.split <> b.split
+GROUP BY 1, 2, 3, 4
+ORDER BY id_a, id_b
+""")
+
+
 def _op_stream_join(spark, sf_dir):
     """Watermarked stream-stream interval join (streaming/stream.py:
     stream_interval_join): click→purchase attribution within 15 minutes per
@@ -1733,11 +1810,12 @@ _Q_WINDOW = [
 ]
 
 # Ops pushed past the 50-entry driver window this round to make room for
-# never-verified entries. All were hash-green in CORRECTNESS_r04 with
-# low-churn code paths since; the in-repo conformance test still runs them
-# every pytest session.
+# never-verified entries (incl. the new contamination/leakage audits). All
+# were hash-green in CORRECTNESS_r04 with low-churn code paths since
+# (sampling.py / packing.py / the tf-idf term path untouched); the in-repo
+# conformance test still runs them every pytest session.
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
-             "op_det_shuffle"]
+             "op_det_shuffle", "op_det_sample", "op_vocab_topk"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,184 @@
+"""Benchmark-contamination detection and cross-split leakage audits.
+
+The two checks every LLM training-data pipeline runs before a training job:
+
+1. **n-gram decontamination** (GPT-3 appendix C / PaLM style): flag any
+   training document sharing an exact n-token span with an evaluation
+   benchmark, then drop or redact the hits.
+2. **Split-leakage audit**: after a train/val/test split, verify no two
+   splits share (near-)identical documents — identical content in train and
+   test silently inflates eval numbers.
+
+Scale design (100 TB corpus, MB-scale benchmark):
+
+- The benchmark side is always tiny relative to the corpus, so its distinct
+  n-gram set is **broadcast**; the corpus-side gram stream is filtered
+  map-side by the broadcast hash table and only *hits* ever reach a shuffle
+  (the final per-doc count). The corpus is scanned exactly once, no
+  corpus-side self-join, no global sort.
+- Gram generation is pure JVM higher-order functions (`transform` over
+  `sequence` + `slice` + `array_join`) — whole-stage-codegen'd, zero
+  Python, zero shuffle, linear in token count.
+- `array_distinct` runs *before* the explode so duplicate grams within a
+  document never multiply the row count.
+- The leakage audit joins on a fixed-width content fingerprint (md5 of
+  whitespace-normalized text), not raw text: shuffle keys are 32 bytes
+  regardless of document size, and the equi join is hash-partitioned on the
+  fingerprint — near-perfectly balanced because md5 is uniform.
+
+Everything here is byte-reproducible across engines (md5 + plain string
+ops), which is what makes the DuckDB oracles in `__spark_entry__.py` exact.
+
+Beyond-reference surface: the reference (chmp/framequery, see
+docs/SQL_Support.md) has no corpus-hygiene operators at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — the standard decontamination
+    normalization (case and spacing changes must not hide an overlap)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def ngram_strings(text: Column, n: int) -> Column:
+    """Array of the distinct space-joined token n-grams of ``text``.
+
+    Row-local JVM expression: sequence(1, len-n+1) -> slice -> array_join.
+    Documents shorter than n tokens yield an empty array (guarded — Spark's
+    ``sequence(1, 0)`` would otherwise count *down*).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _norm_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def doc_ngrams(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """(id, gram) stream of distinct n-grams per document. Narrow except for
+    the explode (which is row-local); no shuffle."""
+    return (df
+            .select(F.col(id_col),
+                    F.explode(ngram_strings(F.col(text_col), n)).alias("gram")))
+
+
+def contaminated_docs(train: DataFrame, benchmark: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 8) -> DataFrame:
+    """Training documents sharing >= 1 exact n-token span with the benchmark.
+
+    Returns (id_col, n_hits) where n_hits = number of *distinct* training-doc
+    n-grams that appear anywhere in the benchmark. The benchmark gram set is
+    broadcast (benchmarks are MBs; corpora are TBs), so the corpus-side
+    stream is filtered map-side and only matching grams shuffle into the
+    per-document count.
+    """
+    bench_grams = (doc_ngrams(benchmark, text_col, id_col, n)
+                   .select("gram").distinct())
+    hits = (doc_ngrams(train, text_col, id_col, n)
+            .join(F.broadcast(bench_grams), "gram"))
+    return (hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """Drop every training document flagged by :func:`contaminated_docs`.
+
+    Left-anti join on the id — the flag set is small (it's the contaminated
+    subset), so Catalyst broadcasts it and the drop is map-side.
+    """
+    flagged = contaminated_docs(train, benchmark, text_col, id_col, n)
+    return train.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
+
+
+def content_key(text: Column) -> Column:
+    """md5 of whitespace-normalized lowercase text — the fixed-width exact
+    dedup / leakage join key (engine-portable, uniform for partitioning)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def split_leakage_pairs(df: DataFrame, split_col: str = "split",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """All cross-split pairs of documents with identical normalized content.
+
+    Returns (id_a, split_a, id_b, split_b) with id_a < id_b and
+    split_a <> split_b. One equi self-join on the 32-byte content
+    fingerprint — hash-partitioned, balanced, never all-pairs; rows with a
+    unique fingerprint are dropped by the join itself.
+    """
+    keyed = df.select(
+        F.col(id_col), F.col(split_col),
+        content_key(F.col(text_col)).alias("ck"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (a.join(b, "ck")
+            .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   & (F.col(f"a.{split_col}") != F.col(f"b.{split_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"a.{split_col}").alias("split_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"b.{split_col}").alias("split_b")))
+
+
+def split_leakage_ngrams(df: DataFrame, split_col: str = "split",
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 8, min_shared: int = 1,
+                         max_doc_freq: int = 1000) -> DataFrame:
+    """Cross-split *near*-duplicate audit: pairs of documents in different
+    splits sharing >= ``min_shared`` distinct n-grams.
+
+    Exact-content equality (:func:`split_leakage_pairs`) misses the common
+    real-world leak — the same article with a changed byline or added
+    boilerplate. Shared long n-grams catch it.
+
+    Shape: gram-stream self-equi-join on the gram string (never all-pairs —
+    candidates only materialize for documents that actually share a gram),
+    then a (id_a, id_b) count. Grams occurring in more than ``max_doc_freq``
+    documents are dropped first (same doc-freq discipline as
+    ``dedup.jaccard_pairs``): at n >= 8 a gram that common is boilerplate,
+    and it is exactly the key whose join output would otherwise be
+    quadratic in its document frequency.
+    """
+    grams = (df.select(F.col(id_col), F.col(split_col),
+                       F.explode(ngram_strings(F.col(text_col), n))
+                       .alias("gram")))
+    if max_doc_freq is not None:
+        rare = (grams.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("df_"))
+                .where(F.col("df_") <= max_doc_freq)
+                .select("gram"))
+        grams = grams.join(rare, "gram")
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (a.join(b, "gram")
+             .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                    & (F.col(f"a.{split_col}") != F.col(f"b.{split_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"a.{split_col}").alias("split_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col(f"b.{split_col}").alias("split_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    return pairs.where(F.col("n_shared") >= F.lit(min_shared))
+
+
+def split_leakage_summary(df: DataFrame, split_col: str = "split",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Leaked-pair count per (split_a, split_b) — the audit dashboard row.
+    Empty result == clean split."""
+    return (split_leakage_pairs(df, split_col, text_col, id_col)
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -238,3 +238,24 @@ def test_bloom_dedup_joins_only_candidates(docs):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan, plan  # would be row-at-a-time
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark(docs):
+    from framequery_spark.operators.contamination import contaminated_docs
+
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    df = contaminated_docs(train, bench, n=8)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan     # bench gram set broadcast
+    _assert_no_cartesian(df)
+
+
+def test_split_leakage_is_equi_join(docs):
+    from framequery_spark.operators.contamination import (
+        split_leakage_ngrams, split_leakage_pairs)
+    from framequery_spark.operators.sampling import hash_split
+
+    tagged = hash_split(docs, "doc_id")
+    _assert_no_cartesian(split_leakage_ngrams(tagged, n=8))
+    _assert_no_cartesian(split_leakage_pairs(tagged))

@@ -1038,3 +1038,75 @@ def test_stream_interval_join_matches_batch(spark, tpch_scope):
                      (F.unix_micros("rts") - F.unix_micros("lts")).alias("delta_us")))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert sorted(map(tuple, got.collect()))  # non-empty at test scale
+
+
+# ---- contamination / split-leakage ----------------------------------------
+
+def test_ngram_strings_edges(spark):
+    from framequery_spark.operators.contamination import ngram_strings
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("  x  Y  z ",)], ["text"])
+    rows = df.select(ngram_strings(F.col("text"), 3).alias("g")).collect()
+    assert rows[0].g == ["a b c", "b c d"]
+    assert rows[1].g == []          # shorter than n: empty, never sequence(1,0)
+    assert rows[2].g == []
+    assert rows[3].g == ["x y z"]   # lowercased, whitespace-run split
+
+
+def test_ngram_strings_distinct(spark):
+    from framequery_spark.operators.contamination import ngram_strings
+
+    df = spark.createDataFrame([("a b a b a b",)], ["text"])
+    (row,) = df.select(ngram_strings(F.col("text"), 2).alias("g")).collect()
+    assert sorted(row.g) == ["a b", "b a"]  # duplicates collapsed row-local
+
+
+def test_decontaminate_drops_flagged(spark):
+    from framequery_spark.operators.contamination import (
+        contaminated_docs, decontaminate)
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about training pipelines"),
+         (3, "ok THE QUICK  BROWN fox Jumps Over The Lazy dog extra")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    flagged = {r.doc_id for r in
+               contaminated_docs(train, bench, n=8).collect()}
+    assert flagged == {1, 3}  # case/spacing-normalized span match
+    kept = {r.doc_id for r in decontaminate(train, bench, n=8).collect()}
+    assert kept == {2}
+
+
+def test_split_leakage_pairs_exact(spark):
+    from framequery_spark.operators.contamination import (
+        split_leakage_pairs, split_leakage_summary)
+
+    df = spark.createDataFrame(
+        [(1, "train", "same  CONTENT here"),
+         (2, "test", "same content HERE"),      # normalized-identical to 1
+         (3, "test", "different content"),
+         (4, "train", "same content here"),     # same split as 1 -> excluded
+         (5, "val", "different content")],      # pairs with 3
+        ["doc_id", "split", "text"])
+    pairs = {(r.id_a, r.id_b) for r in split_leakage_pairs(df).collect()}
+    assert pairs == {(1, 2), (2, 4), (3, 5)}
+    summ = {(r.split_a, r.split_b): r.n_pairs
+            for r in split_leakage_summary(df).collect()}
+    assert sum(summ.values()) == 3
+
+
+def test_split_leakage_ngrams_min_shared(spark):
+    from framequery_spark.operators.contamination import split_leakage_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "train", "a b c d e f"),
+         (2, "test", "a b c d e f g"),   # shares 4 distinct 3-grams with 1
+         (3, "test", "z z z")],
+        ["doc_id", "split", "text"])
+    out = split_leakage_ngrams(df, n=3, min_shared=4).collect()
+    assert [(r.id_a, r.id_b, r.n_shared) for r in out] == [(1, 2, 4)]
+    assert split_leakage_ngrams(df, n=3, min_shared=5).count() == 0
