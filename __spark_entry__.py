@@ -1680,6 +1680,36 @@ ORDER BY doc_id
 """)
 
 
+def _op_chunk_dedup(spark, sf_dir):
+    """Passage-level exact dedup (operators/text.py:chunk_dedup): 128-char
+    chunks, one canonical (doc, chunk) per distinct content with its copy
+    count. Single groupBy shuffle on md5(chunk) — fixed-width uniform keys,
+    map-side partial agg; chunk text never shuffles."""
+    from framequery_spark.operators.text import chunk_dedup
+
+    return (chunk_dedup(_scope(spark, sf_dir)["documents"],
+                        size=128, overlap=0)
+            .orderBy("doc_id", "chunk_id"))
+
+
+_op("op_chunk_dedup", _op_chunk_dedup, """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(0, (greatest(length(text) - 1, 0)) // 128 + 1)) AS i
+  FROM documents WHERE length(text) > 0),
+c AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             substr(text, i * 128 + 1, 128) AS chunk
+      FROM s),
+w AS (SELECT doc_id, chunk_id,
+             count(*) OVER (PARTITION BY chunk) AS n_copies,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM c)
+SELECT doc_id, chunk_id, n_copies FROM w WHERE rn = 1
+ORDER BY doc_id, chunk_id
+""")
+
+
 def _op_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/contamination.py:
     contaminated_docs): training docs (doc_id % 10 != 0) sharing >= 1 exact
@@ -1815,7 +1845,8 @@ _Q_WINDOW = [
 # (sampling.py / packing.py / the tf-idf term path untouched); the in-repo
 # conformance test still runs them every pytest session.
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
-             "op_det_shuffle", "op_det_sample", "op_vocab_topk"]
+             "op_det_shuffle", "op_det_sample", "op_vocab_topk",
+             "op_ngram_topk"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -213,6 +213,35 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return exploded.withColumn("chunk_len", F.length("chunk"))
 
 
+def chunk_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", size: int = 512,
+                overlap: int = 0) -> DataFrame:
+    """Passage-level exact dedup (RefinedWeb/C4-style): chunk every document
+    with :func:`doc_chunks`, then keep ONE canonical copy of each distinct
+    chunk content — the lexicographically smallest (doc, chunk_id) — with
+    its corpus-wide copy count.
+
+    Returns (id_col, chunk_id, n_copies), one row per distinct content.
+
+    Scale shape: the only shuffle is a groupBy on ``md5(chunk)`` — a
+    fixed-width 32-byte key regardless of chunk size, uniform by
+    construction, with map-side partial aggregation (min + count). The
+    chunk text itself never shuffles and nothing is all-pairs; 100 TB of
+    text reduces to |distinct chunks| keys.
+    """
+    chunks = doc_chunks(df, text_col, id_col, size=size, overlap=overlap)
+    keyed = chunks.select(
+        F.md5(F.col("chunk")).alias("ck"),
+        F.struct(F.col(id_col), F.col("chunk_id")).alias("pos"),
+    )
+    return (keyed.groupBy("ck")
+            .agg(F.min("pos").alias("keeper"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select(F.col(f"keeper.{id_col}").alias(id_col),
+                    F.col("keeper.chunk_id").alias("chunk_id"),
+                    "n_copies"))
+
+
 def term_table(df: DataFrame, text_col: str = "text",
                id_col: str | None = "doc_id") -> DataFrame:
     """Explode documents into one row per (doc, token): lowercase,

@@ -1110,3 +1110,13 @@ def test_split_leakage_ngrams_min_shared(spark):
     out = split_leakage_ngrams(df, n=3, min_shared=4).collect()
     assert [(r.id_a, r.id_b, r.n_shared) for r in out] == [(1, 2, 4)]
     assert split_leakage_ngrams(df, n=3, min_shared=5).count() == 0
+
+
+def test_chunk_dedup_keeps_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "AAAABBBB"), (2, "AAAACCCC"), (3, "BBBBAAAA")],
+        ["doc_id", "text"])
+    out = {(r.doc_id, r.chunk_id): r.n_copies
+           for r in TX.chunk_dedup(df, size=4).collect()}
+    # contents: AAAA x3 (keeper 1/0), BBBB x2 (keeper 1/1), CCCC x1 (2/1)
+    assert out == {(1, 0): 3, (1, 1): 2, (2, 1): 1}
