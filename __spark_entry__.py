@@ -1747,6 +1747,26 @@ ORDER BY doc_id
 """)
 
 
+def _op_stream_decontam(spark, sf_dir):
+    """Streaming contamination screen (streaming/stream.py:
+    stream_decontaminate): the training docs arrive as a file stream and are
+    screened against the static broadcast benchmark gram set as they land
+    (Trigger.AvailableNow). Result equals batch op_decontaminate, so they
+    share the oracle."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.streaming.stream import stream_decontaminate
+
+    bench = (_scope(spark, sf_dir)["documents"]
+             .where(F.col("doc_id") % 10 == 0))
+    return (stream_decontaminate(spark, f"{sf_dir}/documents.parquet", bench,
+                                 n=8, doc_filter=F.col("doc_id") % 10 != 0)
+            .orderBy("doc_id"))
+
+
+_op("op_stream_decontam", _op_stream_decontam, _OPS["op_decontaminate"][1])
+
+
 def _op_split_leakage(spark, sf_dir):
     """Cross-split near-dup leakage audit (operators/contamination.py:
     split_leakage_ngrams over sampling.hash_split): pairs of docs in
@@ -1846,7 +1866,7 @@ _Q_WINDOW = [
 # conformance test still runs them every pytest session.
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
              "op_det_shuffle", "op_det_sample", "op_vocab_topk",
-             "op_ngram_topk"]
+             "op_ngram_topk", "op_tf_idf"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -38,6 +38,49 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set(key, old)
 
+def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stream over a parquet path (schema probed from a batch
+    read; single-file paths become parent dir + pathGlobFilter, since
+    FileStreamSource wants a directory)."""
+    import os
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        parent, fname = os.path.split(path)
+        reader = reader.option("pathGlobFilter", fname)
+        path = parent
+    return reader.parquet(path)
+
+
+def stream_decontaminate(spark: SparkSession, docs_path: str,
+                         benchmark: DataFrame, n: int = 8,
+                         doc_filter=None) -> DataFrame:
+    """Streaming benchmark-contamination screen: documents arrive as a file
+    stream, each micro-batch's n-grams are filtered map-side by the
+    **static broadcast** benchmark gram set (stream-static equi join — no
+    stream-side state for the join), and per-document hit counts accumulate
+    in the aggregation state store (complete mode).
+
+    Equals batch ``contamination.contaminated_docs`` exactly — the oracle.
+    At scale this is the ingest-time screen: new crawl shards stream in,
+    the benchmark set changes rarely (re-broadcast per batch), and state is
+    one counter per *contaminated* doc (clean docs never reach the agg
+    because the join drops them map-side)."""
+    from ..operators.contamination import doc_ngrams, ngram_strings
+
+    stream = read_parquet_stream(spark, docs_path)
+    if doc_filter is not None:
+        stream = stream.where(doc_filter)
+    grams = stream.select(
+        F.col("doc_id"),
+        F.explode(ngram_strings(F.col("text"), n)).alias("gram"))
+    bench_grams = doc_ngrams(benchmark, n=n).select("gram").distinct()
+    hits = grams.join(F.broadcast(bench_grams), "gram")
+    agg = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return _run_to_memory(spark, agg, "decontam_", mode="complete")
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based stream over the events parquet; event-time normalized to
     session-timezone TIMESTAMP. The stream schema is probed from a batch
