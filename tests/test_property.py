@@ -47,9 +47,14 @@ PREDS = st.tuples(EXPRS, st.sampled_from(["<", "<=", "=", ">=", ">", "<>"]),
                   EXPRS).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
 
 
+def _key(row):
+    return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+
 def _run_both(q, scope, spark, duck):
-    ours = sorted(tuple(r) for r in fq.execute(q, scope, spark=spark).collect())
-    theirs = sorted(tuple(r) for r in duck.execute(q).fetchall())
+    ours = sorted((tuple(r) for r in fq.execute(q, scope, spark=spark).collect()),
+                  key=_key)
+    theirs = sorted((tuple(r) for r in duck.execute(q).fetchall()), key=_key)
     assert ours == theirs, q
 
 
@@ -74,6 +79,107 @@ def test_grouped_aggregates(spark, scope, duck, e, p):
     q = (f"select a % 2 as k, count(*) as n, sum({e}) as s "
          f"from t where {p} group by a % 2")
     _run_both(q, scope, spark, duck)
+
+
+# ---- string expressions (NULLs, unicode, quotes) --------------------------
+
+SDATA = pd.DataFrame({
+    "s": ["abc", "", "It's", "AeOeUe", None, "a b  c", 'x"y'],
+    "k": [1, 2, 3, 1, 2, 3, 1],
+})
+
+
+@pytest.fixture(scope="module")
+def sscope(spark):
+    return {"st_": spark.createDataFrame(SDATA)}
+
+
+@pytest.fixture(scope="module")
+def sduck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("st_", SDATA)
+    return con
+
+
+def _sexpr(depth: int):
+    if depth <= 0:
+        return st.sampled_from(["s", "'lit'", "''", "'a b'", "NULL"])
+    sub = _sexpr(depth - 1)
+    concat = st.tuples(sub, sub).map(lambda t: f"({t[0]} || {t[1]})")
+    fn1 = st.tuples(st.sampled_from(["upper", "lower", "trim", "reverse"]),
+                    sub).map(lambda t: f"{t[0]}({t[1]})")
+    fn2 = st.tuples(st.sampled_from(["coalesce", "nullif"]), sub, sub).map(
+        lambda t: f"{t[0]}({t[1]}, {t[2]})")
+    substr = st.tuples(sub, st.integers(1, 4), st.integers(0, 3)).map(
+        lambda t: f"substr({t[0]}, {t[1]}, {t[2]})")
+    repl = st.tuples(sub, st.sampled_from(["a", "b", " "]),
+                     st.sampled_from(["", "z", "--"])).map(
+        lambda t: f"replace({t[0]}, '{t[1]}', '{t[2]}')")
+    return st.one_of(sub, concat, fn1, fn2, substr, repl)
+
+
+SEXPRS = _sexpr(2)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(e=SEXPRS)
+def test_string_expressions(spark, sscope, sduck, e):
+    # length() wrapper exercises the value AND keeps result types aligned;
+    # the raw string is compared too (pg '||' NULL-propagation vs concat)
+    _run_both(f"select {e} as x, length({e}) as n from st_",
+              sscope, spark, sduck)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(e=SEXPRS)
+def test_string_predicates_and_grouping(spark, sscope, sduck, e):
+    q = (f"select k, count({e}) as n, min({e}) as lo, max({e}) as hi "
+         f"from st_ group by k")
+    _run_both(q, sscope, spark, sduck)
+
+
+# ---- integer expressions over data WITH NULLs ------------------------------
+
+NDATA = pd.DataFrame({
+    "a": pd.array([0, 1, None, 3, -4, None], dtype="Int64"),
+    "b": pd.array([7, None, 3, 0, None, 2], dtype="Int64"),
+})
+
+
+@pytest.fixture(scope="module")
+def nscope(spark):
+    return {"nt": spark.createDataFrame(NDATA)}
+
+
+@pytest.fixture(scope="module")
+def nduck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("nt", NDATA)
+    return con
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(e=EXPRS)
+def test_null_projection_expressions(spark, nscope, nduck, e):
+    _run_both(f"select {e} as x from nt", nscope, spark, nduck)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(p=PREDS)
+def test_null_3vl_predicates(spark, nscope, nduck, p):
+    # rows where p is NULL must be excluded by both engines (3VL WHERE),
+    # and kept by the IS-NOT-TRUE complement — the two halves partition nt
+    _run_both(f"select a, b from nt where {p}", nscope, spark, nduck)
+    _run_both(f"select a, b from nt where ({p}) is not true",
+              nscope, spark, nduck)
 
 
 def test_salted_join_equals_plain(spark, scope):
