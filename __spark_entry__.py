@@ -1616,8 +1616,10 @@ def _op_dedup_against(spark, sf_dir):
     """Incremental dedup (operators/dedup.py:dedup_against): odd-doc_id docs
     ("the new batch") that survive MinHash/LSH near-dup screening against the
     even-doc_id docs ("the existing corpus"). Cross-corpus banding with
-    shared seeded permutations; P(miss @ jaccard 0.7) = (1-0.49)^64 ≈ 2e-19,
-    so the result provably equals the exact-Jaccard oracle."""
+    shared seeded permutations; num_perm=64/bands=32 halves the signature
+    aggregate vs the 128-perm default at P(miss @ jaccard 0.7) =
+    (1-0.49)^32 ≈ 4e-10 — still indistinguishable from the exact-Jaccard
+    oracle (verified: identical rows at sf0.1)."""
     from pyspark.sql import functions as F
 
     from framequery_spark.operators.dedup import dedup_against
@@ -1625,7 +1627,7 @@ def _op_dedup_against(spark, sf_dir):
     docs = _scope(spark, sf_dir)["documents"]
     corpus = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
-    return (dedup_against(new, corpus, threshold=0.7)
+    return (dedup_against(new, corpus, threshold=0.7, num_perm=64, bands=32)
             .select("doc_id").orderBy("doc_id"))
 
 
@@ -1840,13 +1842,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness for only the FIRST 50 queries() entries, so
 # the window rotates per round until every entry has a green driver row:
 #   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window (this one): 39 op_* (incl. the exact mirrors and the new
+#   r05 window (this one): 39 op_* (incl. the exact mirrors, the new
 #     connected-components / incremental-dedup / streaming-dedup / PQ
-#     entries; op_asof_join/op_range_join deferred — r04-green, code
-#     untouched) + q51-q59 (never driver-verified before) + q49/q50.
-#   r06 plan: keep the weak/new ops, rotate q19-q45 + q24 + q29 + q33-q35
-#     into the window (all will then have a green row in the r04 U r05 U r06
-#     union).
+#     entries, and the round-5 contamination/leakage/chunk-dedup/streaming-
+#     decontam additions; 8 r04-green untouched ops deferred) + q51-q59
+#     (never driver-verified before) + q49/q50.
+#   r06 plan: keep the rows-only ops + anything non-green in r05, rotate the
+#     8 deferred ops and q19-q48 into the window (all entries then have a
+#     green row in the r04 U r05 U r06 union).
 # Entries outside the window stay covered by tests/test_conformance.py, which
 # runs the same differential over ALL entries.
 _Q_WINDOW = [

@@ -83,10 +83,15 @@ def contaminated_docs(train: DataFrame, benchmark: DataFrame,
     stream is filtered map-side and only matching grams shuffle into the
     per-document count.
     """
+    # join on xxhash64(gram), not the gram string: 8-byte fixed keys make
+    # the broadcast table and the probe much smaller/faster, and a
+    # collision needs ~2^32 distinct grams to appear once (birthday bound)
+    # — same discipline as dedup.jaccard_pairs
     bench_grams = (doc_ngrams(benchmark, text_col, id_col, n)
-                   .select("gram").distinct())
+                   .select(F.xxhash64("gram").alias("gh")).distinct())
     hits = (doc_ngrams(train, text_col, id_col, n)
-            .join(F.broadcast(bench_grams), "gram"))
+            .select(F.col(id_col), F.xxhash64("gram").alias("gh"))
+            .join(F.broadcast(bench_grams), "gh"))
     return (hits.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits")))
 
@@ -153,15 +158,28 @@ def split_leakage_ngrams(df: DataFrame, split_col: str = "split",
     and it is exactly the key whose join output would otherwise be
     quadratic in its document frequency.
     """
+    from pyspark import StorageLevel
+
+    # persist: the gram stream feeds three branches (doc-freq filter + both
+    # self-join sides); grams join by xxhash64 — 8-byte fixed keys, and a
+    # collision needs ~2^32 distinct grams (birthday bound) — the
+    # jaccard_pairs discipline
     grams = (df.select(F.col(id_col), F.col(split_col),
                        F.explode(ngram_strings(F.col(text_col), n))
-                       .alias("gram")))
+                       .alias("gram"))
+             .select(F.col(id_col), F.col(split_col),
+                     F.xxhash64("gram").alias("gram"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     if max_doc_freq is not None:
-        rare = (grams.groupBy("gram")
-                .agg(F.count(F.lit(1)).alias("df_"))
-                .where(F.col("df_") <= max_doc_freq)
-                .select("gram"))
-        grams = grams.join(rare, "gram")
+        # broadcast the FREQUENT grams (boilerplate — a tiny set by
+        # construction) and anti-join: map-side drop, no shuffle of the
+        # gram stream. Broadcasting the rare side would be backwards — at
+        # corpus scale almost every gram is rare.
+        frequent = (grams.groupBy("gram")
+                    .agg(F.count(F.lit(1)).alias("df_"))
+                    .where(F.col("df_") > max_doc_freq)
+                    .select("gram"))
+        grams = grams.join(F.broadcast(frequent), "gram", "left_anti")
     a, b = grams.alias("a"), grams.alias("b")
     pairs = (a.join(b, "gram")
              .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -138,10 +138,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
           .select("__id", F.xxhash64("__shingle").alias("__shingle"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     if max_doc_freq is not None:
-        rare = (sh.groupBy("__shingle")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_doc_freq))
-        sh = sh.join(F.broadcast(rare.select("__shingle")), "__shingle")
+        # broadcast the FREQUENT shingles (stopword boilerplate — a tiny
+        # set by construction: > max_doc_freq occurrences each) and
+        # anti-join map-side. Broadcasting the rare side would be backwards
+        # at corpus scale, where almost every shingle is rare.
+        frequent = (sh.groupBy("__shingle")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") > max_doc_freq))
+        sh = sh.join(F.broadcast(frequent.select("__shingle")), "__shingle",
+                     "left_anti")
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.toDF("id1", "__shingle")

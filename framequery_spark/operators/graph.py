@@ -106,18 +106,44 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # WITH RECURSIVE fixpoint, VERDICT r4 accepted profile), not data; at
     # corpus scale the same round count processes arbitrarily more edges,
     # so the loop's cost grows with log(nodes), not rows.
+    #
+    # Two constants matter for that latency and are tuned here:
+    #   - the convergence digest runs every SECOND round, not every round:
+    #     star rounds are idempotent at the fixed point, so checking late
+    #     costs at most two harmless extra rounds but halves the digest
+    #     jobs. Each round still localCheckpoints — a star references its
+    #     input 2-3x, so an un-checkpointed 2-round plan replicates the
+    #     previous round's subtree multiplicatively (measured 1.6x SLOWER
+    #     than per-round materialization at bench scale);
+    #   - the loop's shuffle partitions shrink with the measured edge count
+    #     (saved/restored around the loop): the frontier contracts
+    #     geometrically, and scheduling 32 tasks per stage for a few
+    #     thousand edges is pure overhead. On a cluster the same formula
+    #     keeps late rounds from fanning out to thousands of reducers.
+    spark = e.sparkSession
+    _PKEY = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(_PKEY)
     digest = _edge_digest(e)
     rounds = 0
-    for rounds in range(1, max_iterations + 1):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        new_digest = _edge_digest(e)
-        if new_digest == digest:
-            break
-        digest = new_digest
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"rounds; the bound is ~log2(nodes) — raise max_iterations")
+    try:
+        for _ in range(max_iterations):
+            spark.conf.set(_PKEY, str(
+                max(4, min(int(old_parts), digest[0] // 20000 + 1))))
+            e = _small_star(_large_star(e)).localCheckpoint()
+            rounds += 1
+            if rounds < max_iterations:
+                e = _small_star(_large_star(e)).localCheckpoint()
+                rounds += 1
+            new_digest = _edge_digest(e)
+            if new_digest == digest:
+                break
+            digest = new_digest
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                f"rounds; the bound is ~log2(nodes) — raise max_iterations")
+    finally:
+        spark.conf.set(_PKEY, old_parts)
 
     # Fixed point: every edge is (member, component-min); roots have no
     # outgoing edge, isolated nodes (self-loop-only inputs) have none either

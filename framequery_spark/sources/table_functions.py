@@ -196,12 +196,43 @@ def _register_operator_tfs() -> dict:
         return dedup.dedup_against(_op_table(qc, a[0]), _op_table(qc, a[1]),
                                    **kw)
 
+    def contaminated_docs(qc, a):
+        # contaminated_docs('train', 'benchmark'[, n])
+        from ..operators import contamination
+        kw = {"n": int(a[2])} if len(a) > 2 else {}
+        return contamination.contaminated_docs(
+            _op_table(qc, a[0]), _op_table(qc, a[1]), **kw)
+
+    def decontaminate(qc, a):
+        # decontaminate('train', 'benchmark'[, n])
+        from ..operators import contamination
+        kw = {"n": int(a[2])} if len(a) > 2 else {}
+        return contamination.decontaminate(
+            _op_table(qc, a[0]), _op_table(qc, a[1]), **kw)
+
+    def split_leakage(qc, a):
+        # split_leakage('tagged_docs'[, n[, min_shared]]) over a table
+        # that already has a 'split' column (e.g. FROM hash_split(...))
+        from ..operators import contamination
+        kw = {}
+        if len(a) > 1:
+            kw["n"] = int(a[1])
+        if len(a) > 2:
+            kw["min_shared"] = int(a[2])
+        return contamination.split_leakage_ngrams(_op_table(qc, a[0]), **kw)
+
+    def chunk_dedup(qc, a):
+        # chunk_dedup('documents'[, size])
+        kw = {"size": int(a[1])} if len(a) > 1 else {}
+        return text.chunk_dedup(_op_table(qc, a[0]), **kw)
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,
         pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
-        quantize_embeddings)}
+        quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
+        chunk_dedup)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -210,3 +210,28 @@ def test_new_pipeline_operators_in_sql(spark, tpch_scope):
         "SELECT doc_id FROM shuffled('documents', 'doc_id') LIMIT 3",
         tpch_scope, spark=spark).collect()
     assert len(s) == 3
+
+
+def test_contamination_operators_in_sql(spark, tpch_scope):
+    # decontamination / leakage / passage dedup as SQL table functions
+    q = ("with bench as (select * from documents where doc_id % 10 = 0), "
+         "     train as (select * from documents where doc_id % 10 <> 0) "
+         "select count(*) as n from contaminated_docs('train', 'bench', 8)")
+    n_bad = fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"]
+    assert n_bad >= 0
+
+    q = ("with bench as (select * from documents where doc_id % 10 = 0), "
+         "     train as (select * from documents where doc_id % 10 <> 0) "
+         "select count(*) as n from decontaminate('train', 'bench', 8)")
+    n_clean = fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"]
+    n_train = fq.execute(
+        "select count(*) as n from documents where doc_id % 10 <> 0",
+        tpch_scope, spark=spark).collect()[0]["n"]
+    assert n_clean == n_train - n_bad
+
+    q = ("with tagged as (select * from hash_split('documents', 'doc_id')) "
+         "select count(*) as n from split_leakage('tagged', 8)")
+    assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] >= 0
+
+    q = "select count(*) as n from chunk_dedup('documents', 128)"
+    assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] > 0
