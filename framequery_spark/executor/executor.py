@@ -148,6 +148,126 @@ class Executor:
         finally:
             self.basepath = old
 
+    def _exec_merge(self, node, scope: dict) -> None:
+        """MERGE INTO: one full-outer join of target and source on the ON
+        condition, then a single conditional projection implements every
+        WHEN arm with first-match semantics — matched rows take the first
+        satisfied MATCHED arm, target-only rows the first NOT MATCHED BY
+        SOURCE arm (default: keep), source-only rows the first NOT MATCHED
+        [BY TARGET] arm (default: no insert). A window count over the
+        target row id raises at execution time if a target row matches
+        more than one source row (pg: "MERGE command cannot affect row a
+        second time") — the check rides the same plan, no second pass.
+        Scale shape: one equi/theta join + one hash-partitioned window;
+        nothing is collected. Beyond parity: the reference has no MERGE."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..compiler.expressions import CompileError, ExprCompiler
+
+        t_name = node.target_alias or node.target.split(".")[-1]
+        base = self.resolve_table(scope, node.target)
+        t_cols = list(base.columns)
+        tj = (base.withColumn("__t_id", F.monotonically_increasing_id())
+              .withColumn("__t_mark", F.lit(True))
+              .alias(t_name))
+        if isinstance(node.source, ast.TableRef):
+            s_df = self.resolve_table(scope, ".".join(node.source.parts))
+            s_name = node.source_alias or node.source.parts[-1]
+        else:
+            s_df = self._compile_query(node.source, scope)
+            s_name = node.source_alias or "__source"
+        s_df = s_df.withColumn("__s_mark", F.lit(True)).alias(s_name)
+
+        ec = ExprCompiler(self, scope=scope)
+        joined = tj.join(s_df, ec.compile(node.on), "full_outer")
+
+        m_cond = F.col("__t_mark").eqNullSafe(True) \
+            & F.col("__s_mark").eqNullSafe(True)
+        to_cond = F.col("__t_mark").eqNullSafe(True) & F.col("__s_mark").isNull()
+        so_cond = F.col("__t_mark").isNull() & F.col("__s_mark").eqNullSafe(True)
+
+        def tcol(c):
+            return F.col(f"`{t_name}`.`{c}`")
+
+        def insert_map(action):
+            cols = list(action.insert_columns) or t_cols
+            if len(cols) != len(action.insert_values):
+                raise CompileError(
+                    "MERGE INSERT has %d columns but %d values"
+                    % (len(cols), len(action.insert_values)))
+            unknown = [c for c in cols if c not in t_cols]
+            if unknown:
+                raise CompileError(
+                    f"MERGE INSERT: unknown target column(s) {unknown}")
+            return dict(zip(cols, action.insert_values))
+
+        segments = (
+            (m_cond, node.matched, "matched"),
+            (to_cond, node.not_matched_by_source, "by_source"),
+            (so_cond, node.not_matched, "insert"),
+        )
+
+        def build(value_of, defaults):
+            chain = None
+            for seg_cond, actions, seg_kind in segments:
+                for a in actions:
+                    c = seg_cond
+                    if a.condition is not None:
+                        c = c & ec.compile(a.condition).eqNullSafe(True)
+                    v = value_of(a, seg_kind)
+                    chain = F.when(c, v) if chain is None else chain.when(c, v)
+                d = defaults[seg_kind]
+                chain = (F.when(seg_cond, d) if chain is None
+                         else chain.when(seg_cond, d))
+            return chain
+
+        out_cols = []
+        for c in t_cols:
+            dtype = base.schema[c].dataType
+
+            def value_of(a, seg_kind, c=c, dtype=dtype):
+                if a.kind == "update":
+                    vals = dict(a.assignments)
+                    if c in vals:
+                        return ec.compile(vals[c]).cast(dtype)
+                    return tcol(c)
+                if a.kind == "insert":
+                    v = insert_map(a).get(c)
+                    if v is None:
+                        return F.lit(None).cast(dtype)
+                    return ec.compile(v).cast(dtype)
+                return tcol(c)  # delete/nothing: value unused or original
+
+            out_cols.append(build(value_of, {
+                "matched": tcol(c), "by_source": tcol(c),
+                "insert": F.lit(None).cast(dtype)}).alias(c))
+
+        def keep_of(a, seg_kind):
+            if seg_kind == "insert":
+                return F.lit(a.kind == "insert")
+            return F.lit(a.kind != "delete")
+
+        keep = build(keep_of, {
+            "matched": F.lit(True), "by_source": F.lit(True),
+            "insert": F.lit(False)})
+
+        # pg duplicate-match guard, evaluated inside the plan
+        n_match = F.sum(F.when(m_cond, 1).otherwise(0)) \
+            .over(Window.partitionBy("__t_id"))
+        guard = F.when(
+            F.col("__t_id").isNotNull() & (n_match > 1),
+            F.raise_error(F.lit(
+                "MERGE command cannot affect row a second time: a target "
+                "row matched more than one source row")).cast("boolean"),
+        ).otherwise(F.lit(True))
+
+        joined, _ = QueryCompiler(self, scope)._attach_pending(joined, ec)
+        joined = joined.withColumn("__guard", guard)  # window not legal in WHERE
+        scope[node.target] = (joined
+                              .where(keep & F.col("__guard"))
+                              .select(*out_cols))
+
     def _compile_query(self, node, scope: dict) -> DataFrame:
         return QueryCompiler(self, scope).compile_query(node)
 
@@ -231,6 +351,9 @@ class Executor:
                 (F.when(cond, new_vals[c]).otherwise(F.col(c)).alias(c)
                  if c in new_vals else F.col(c))
                 for c in cols])
+            return None
+        if isinstance(node, ast.Merge):
+            self._exec_merge(node, scope)
             return None
         if isinstance(node, ast.CopyFrom):
             from ..sources.copy import read_csv

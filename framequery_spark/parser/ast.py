@@ -445,6 +445,33 @@ class Update(Node):
 
 
 @dataclass(frozen=True)
+class MergeAction(Node):
+    """One WHEN ... THEN ... arm of a MERGE statement."""
+
+    kind: str  # 'update' | 'delete' | 'insert' | 'nothing'
+    condition: Optional[Node] = None  # the AND <cond> refinement
+    assignments: Tuple[Tuple[str, Node], ...] = ()  # update
+    insert_columns: Tuple[str, ...] = ()  # insert; empty = positional
+    insert_values: Tuple[Node, ...] = ()  # insert
+
+
+@dataclass(frozen=True)
+class Merge(Node):
+    """PostgreSQL 15/17-style `MERGE INTO target USING source ON cond
+    WHEN [NOT] MATCHED [BY SOURCE] [AND c] THEN ...` — beyond parity
+    (the reference has no MERGE). Rebinds the target scope entry."""
+
+    target: str
+    source: Node  # TableRef or query node
+    on: Node
+    target_alias: Optional[str] = None
+    source_alias: Optional[str] = None
+    matched: Tuple[MergeAction, ...] = ()
+    not_matched: Tuple[MergeAction, ...] = ()  # BY TARGET (default)
+    not_matched_by_source: Tuple[MergeAction, ...] = ()
+
+
+@dataclass(frozen=True)
 class Pivot(Node):
     """DuckDB-style PIVOT statement: `PIVOT source ON col [IN (v, ...)]
     USING agg(expr) [AS alias] [GROUP BY cols] [ORDER BY ...]`. Dynamic

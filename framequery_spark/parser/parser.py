@@ -235,6 +235,8 @@ class Parser:
             return ast.Delete(table=".".join(self.parse_dotted_name()))
         if self.is_kw("insert"):
             return self.parse_insert()
+        if self.is_kw("merge"):
+            return self.parse_merge()
         if self.is_kw("delete"):
             self.advance()
             self.expect_kw("from")
@@ -256,6 +258,109 @@ class Parser:
             return ast.Update(table=table, assignments=tuple(assigns),
                               where=where)
         raise self.error("expected a statement")
+
+    def _merge_opt_alias(self, *stop_kws: str):
+        if self.accept_kw("as"):
+            return self.parse_name()
+        tok = self.peek()
+        if tok is not None and tok.kind in ("name", "qname") \
+                and tok.value.lower() not in stop_kws:
+            return self.parse_name()
+        return None
+
+    def parse_merge(self) -> ast.Node:
+        """MERGE INTO t [AS a] USING s [AS b] ON cond WHEN ... THEN ...
+        (pg 15 grammar + pg 17's NOT MATCHED BY SOURCE)."""
+        self.expect_kw("merge")
+        self.expect_kw("into")
+        target = ".".join(self.parse_dotted_name())
+        target_alias = self._merge_opt_alias("using")
+        self.expect_kw("using")
+        if self.is_op("("):
+            self.advance()
+            source: ast.Node = self.parse_query()
+            self.expect_op(")")
+        else:
+            source = ast.TableRef(parts=tuple(self.parse_dotted_name()))
+        source_alias = self._merge_opt_alias("on")
+        self.expect_kw("on")
+        on = self.parse_expr()
+
+        matched: List[ast.MergeAction] = []
+        not_matched: List[ast.MergeAction] = []
+        by_source: List[ast.MergeAction] = []
+        while self.accept_kw("when"):
+            if self.accept_kw("matched"):
+                group = matched
+            else:
+                self.expect_kw("not")
+                self.expect_kw("matched")
+                group = not_matched
+                if self.accept_kw("by"):
+                    side = self.parse_name()
+                    if side == "source":
+                        group = by_source
+                    elif side != "target":
+                        raise self.error(
+                            "expected TARGET or SOURCE after MATCHED BY")
+            cond = self.parse_expr() if self.accept_kw("and") else None
+            self.expect_kw("then")
+            if self.accept_kw("update"):
+                if group is not_matched:
+                    raise self.error(
+                        "UPDATE action requires WHEN MATCHED "
+                        "or WHEN NOT MATCHED BY SOURCE")
+                self.expect_kw("set")
+                assigns = []
+                while True:
+                    col = self.parse_name()
+                    self.expect_op("=")
+                    assigns.append((col, self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+                group.append(ast.MergeAction(
+                    kind="update", condition=cond,
+                    assignments=tuple(assigns)))
+            elif self.accept_kw("delete"):
+                if group is not_matched:
+                    raise self.error(
+                        "DELETE action requires WHEN MATCHED "
+                        "or WHEN NOT MATCHED BY SOURCE")
+                group.append(ast.MergeAction(kind="delete", condition=cond))
+            elif self.accept_kw("insert"):
+                if group is not not_matched:
+                    raise self.error(
+                        "INSERT action requires WHEN NOT MATCHED [BY TARGET]")
+                cols: List[str] = []
+                if self.is_op("("):
+                    self.advance()
+                    cols.append(self.parse_name())
+                    while self.accept_op(","):
+                        cols.append(self.parse_name())
+                    self.expect_op(")")
+                self.expect_kw("values")
+                self.expect_op("(")
+                vals = [self.parse_expr()]
+                while self.accept_op(","):
+                    vals.append(self.parse_expr())
+                self.expect_op(")")
+                group.append(ast.MergeAction(
+                    kind="insert", condition=cond,
+                    insert_columns=tuple(cols), insert_values=tuple(vals)))
+            elif self.accept_kw("do"):
+                self.expect_kw("nothing")
+                group.append(ast.MergeAction(kind="nothing", condition=cond))
+            else:
+                raise self.error(
+                    "expected UPDATE, DELETE, INSERT, or DO NOTHING")
+        if not (matched or not_matched or by_source):
+            raise self.error("MERGE requires at least one WHEN clause")
+        return ast.Merge(target=target, source=source, on=on,
+                         target_alias=target_alias,
+                         source_alias=source_alias,
+                         matched=tuple(matched),
+                         not_matched=tuple(not_matched),
+                         not_matched_by_source=tuple(by_source))
 
     def _parse_pivot_source(self) -> ast.Node:
         if self.is_op("("):

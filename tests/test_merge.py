@@ -1,0 +1,121 @@
+"""MERGE INTO statement tests (beyond parity — the reference has no MERGE;
+DuckDB 1.0 has none either, so the upsert case is checked against a composed
+UPDATE+INSERT DuckDB script and the rest against hand-computed rows)."""
+
+import pandas as pd
+import pytest
+
+import framequery_spark as fq
+
+from framequery_spark.parser.parser import ParseError
+
+
+def _executor(spark):
+    """A persistent Executor: MERGE rebinds the executor's own scope (the
+    one-shot fq.execute copies the caller dict, like the reference)."""
+    t = pd.DataFrame({"a": [1, 2, 3], "b": [10, 20, 30]})
+    s = pd.DataFrame({"a": [2, 3, 4], "b": [99, 88, 77]})
+    return fq.Executor(scope={"t": spark.createDataFrame(t),
+                              "s": spark.createDataFrame(s)}, spark=spark)
+
+
+def _rows(ex):
+    return sorted(tuple(r) for r in
+                  ex.execute("select * from t order by a").collect())
+
+
+def test_merge_upsert_matches_duckdb(spark):
+    import duckdb
+
+    ex = _executor(spark)
+    ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED THEN UPDATE SET b = s.b "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.a, s.b)")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a INT, b INT); "
+                "INSERT INTO t VALUES (1,10),(2,20),(3,30); "
+                "CREATE TABLE s(a INT, b INT); "
+                "INSERT INTO s VALUES (2,99),(3,88),(4,77); "
+                "UPDATE t SET b = s.b FROM s WHERE t.a = s.a; "
+                "INSERT INTO t SELECT a, b FROM s "
+                "WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.a = s.a)")
+    expected = sorted(map(tuple, con.execute(
+        "SELECT * FROM t ORDER BY a").fetchall()))
+    assert _rows(ex) == expected == [(1, 10), (2, 99), (3, 88), (4, 77)]
+
+
+def test_merge_conditional_arms_first_match_wins(spark):
+    ex = _executor(spark)
+    ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED AND s.b > 90 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET b = t.b + s.b "
+        "WHEN NOT MATCHED AND s.b < 80 THEN INSERT VALUES (s.a, s.b)")
+    # a=2: s.b=99 > 90 -> deleted (first arm wins over the update arm);
+    # a=3: updated to 30+88; a=4: s.b=77 < 80 -> inserted; a=1: untouched
+    assert _rows(ex) == [(1, 10), (3, 118), (4, 77)]
+
+
+def test_merge_do_nothing_and_unmatched_default(spark):
+    ex = _executor(spark)
+    ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED AND s.b = 99 THEN DO NOTHING "
+        "WHEN MATCHED THEN UPDATE SET b = 0")
+    # no NOT MATCHED arm: source-only rows are not inserted; DO NOTHING
+    # shields a=2 from the later update arm
+    assert _rows(ex) == [(1, 10), (2, 20), (3, 0)]
+
+
+def test_merge_not_matched_by_source(spark):
+    ex = _executor(spark)
+    ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED THEN UPDATE SET b = s.b "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT VALUES (s.a, s.b)")
+    # full sync: a=1 (target-only) deleted, matched rows updated, a=4 added
+    assert _rows(ex) == [(2, 99), (3, 88), (4, 77)]
+
+
+def test_merge_insert_column_list_fills_null(spark):
+    ex = _executor(spark)
+    ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN NOT MATCHED THEN INSERT (a) VALUES (s.a)")
+    assert _rows(ex) == [(1, 10), (2, 20), (3, 30), (4, None)]
+
+
+def test_merge_source_subquery_and_aliases(spark):
+    ex = _executor(spark)
+    ex.execute(
+        "MERGE INTO t AS tgt "
+        "USING (SELECT a, b * 2 AS b2 FROM s WHERE a <= 3) src "
+        "ON tgt.a = src.a "
+        "WHEN MATCHED THEN UPDATE SET b = src.b2")
+    assert _rows(ex) == [(1, 10), (2, 198), (3, 176)]
+
+
+def test_merge_duplicate_source_match_errors(spark):
+    ex = _executor(spark)
+    dup = pd.DataFrame({"a": [2, 2], "b": [1, 2]})
+    ex.update(s=spark.createDataFrame(dup))
+    ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED THEN UPDATE SET b = s.b")
+    with pytest.raises(Exception, match="second time"):
+        ex.scope["t"].collect()
+
+
+def test_merge_parse_errors(spark):
+    ex = _executor(spark)
+    with pytest.raises(ParseError, match="INSERT action"):
+        ex.execute("MERGE INTO t USING s ON t.a = s.a "
+                   "WHEN MATCHED THEN INSERT VALUES (1, 2)")
+    with pytest.raises(ParseError, match="UPDATE action"):
+        ex.execute("MERGE INTO t USING s ON t.a = s.a "
+                   "WHEN NOT MATCHED THEN UPDATE SET b = 1")
+    with pytest.raises(ParseError, match="WHEN clause"):
+        ex.execute("MERGE INTO t USING s ON t.a = s.a")
