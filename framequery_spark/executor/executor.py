@@ -148,6 +148,18 @@ class Executor:
         finally:
             self.basepath = old
 
+    def _returning(self, scope: dict, table: str, affected: DataFrame,
+                   items) -> DataFrame:
+        """pg RETURNING: project the affected-row set through the item list
+        using the full select machinery (aliases, expressions, `*`). The
+        affected frame is bound under the statement's table name so
+        qualified refs (`t.col`) resolve."""
+        tmp = dict(scope)
+        tmp[table] = affected
+        sel = ast.Select(items=tuple(items),
+                         from_=ast.TableRef(parts=(table,)))
+        return QueryCompiler(self, tmp).compile_query(sel)
+
     def _exec_merge(self, node, scope: dict) -> None:
         """MERGE INTO: one full-outer join of target and source on the ON
         condition, then a single conditional projection implements every
@@ -299,12 +311,15 @@ class Executor:
             return self.spark.createDataFrame(
                 rows, "col_name string, data_type string")
         if isinstance(node, ast.InsertInto):
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            from ..compiler.expressions import CompileError
+
             df = self._compile_query(node.query, scope)
             base = self.resolve_table(scope, node.table)
             if node.columns:
                 # named columns: missing ones fill NULL, order normalized
-                from pyspark.sql import functions as F
-
                 df = df.toDF(*node.columns)
                 df = df.select(*[
                     F.col(c) if c in df.columns
@@ -312,14 +327,72 @@ class Executor:
                     for c in base.columns])
             else:
                 df = df.toDF(*base.columns)  # positional, SQL-style
-            scope[node.table] = base.unionByName(df)
+            if node.conflict_action is None:
+                affected = df
+                scope[node.table] = base.unionByName(df)
+            elif node.conflict_action == "nothing":
+                keys = list(node.conflict_cols)
+                # batch-internal first-wins (pg inserts the first row, the
+                # second then conflicts with it), then drop pre-existing keys
+                w = Window.partitionBy(*keys).orderBy("__seq")
+                first = (df.withColumn(
+                             "__seq", F.monotonically_increasing_id())
+                         .withColumn("__rn", F.row_number().over(w))
+                         .where(F.col("__rn") == 1).drop("__rn", "__seq"))
+                affected = (first.join(base.select(*keys).distinct(),
+                                       keys, "left_anti")
+                            .select(*base.columns))
+                scope[node.table] = base.unionByName(affected)
+            else:  # DO UPDATE — desugar to MERGE (excluded = proposed row)
+                if node.returning and node.conflict_where is not None:
+                    raise CompileError(
+                        "RETURNING with ON CONFLICT DO UPDATE ... WHERE is "
+                        "not supported (the affected-row set depends on the "
+                        "per-row WHERE outcome)")
+                on = None
+                for c in node.conflict_cols:
+                    eq = ast.Binary(op="=",
+                                    left=ast.ColumnRef(
+                                        parts=(node.table, c)),
+                                    right=ast.ColumnRef(
+                                        parts=("excluded", c)))
+                    on = eq if on is None else ast.Binary(
+                        op="and", left=on, right=eq)
+                merge = ast.Merge(
+                    target=node.table,
+                    source=ast.TableRef(parts=("__excluded",)),
+                    on=on, source_alias="excluded",
+                    matched=(ast.MergeAction(
+                        kind="update", condition=node.conflict_where,
+                        assignments=node.conflict_assignments),),
+                    not_matched=(ast.MergeAction(
+                        kind="insert",
+                        insert_values=tuple(
+                            ast.ColumnRef(parts=("excluded", c))
+                            for c in base.columns)),))
+                tmp = dict(scope)
+                tmp["__excluded"] = df
+                self._exec_merge(merge, tmp)
+                scope[node.table] = tmp[node.table]
+                # affected = inserted + updated rows (post-image): exactly
+                # the new-table rows whose conflict key is in the batch
+                keys = list(node.conflict_cols)
+                affected = scope[node.table].join(
+                    df.select(*keys).distinct(), keys, "left_semi")
+            if node.returning:
+                return self._returning(scope, node.table, affected,
+                                       node.returning)
             return None
         if isinstance(node, ast.Delete):
             # alias to the table name so qualified self-refs (t.a) and
             # correlated subquery outer refs resolve
             base = self.resolve_table(scope, node.table).alias(node.table)
             if node.where is None:
+                deleted = base
                 scope[node.table] = base.limit(0)
+                if node.returning:
+                    return self._returning(scope, node.table, deleted,
+                                           node.returning)
                 return None
             from ..compiler.expressions import ExprCompiler
 
@@ -332,6 +405,10 @@ class Executor:
             # original columns to shed any attached subquery helpers
             scope[node.table] = base.filter(~cond.eqNullSafe(True)) \
                 .select(*cols)
+            if node.returning:
+                deleted = base.filter(cond.eqNullSafe(True)).select(*cols)
+                return self._returning(scope, node.table, deleted,
+                                       node.returning)
             return None
         if isinstance(node, ast.Update):
             from pyspark.sql import functions as F
@@ -347,10 +424,16 @@ class Executor:
             new_vals = {c: ec.compile(e) for c, e in node.assignments}
             cols = list(base.columns)
             base, _ = QueryCompiler(self, scope)._attach_pending(base, ec)
-            scope[node.table] = base.select(*[
+            updated = base.select(*[
                 (F.when(cond, new_vals[c]).otherwise(F.col(c)).alias(c)
                  if c in new_vals else F.col(c))
-                for c in cols])
+                for c in cols], cond.eqNullSafe(True).alias("__upd"))
+            scope[node.table] = updated.drop("__upd")
+            if node.returning:
+                # pg RETURNING: the post-update image of rows the WHERE hit
+                affected = updated.where("__upd").drop("__upd")
+                return self._returning(scope, node.table, affected,
+                                       node.returning)
             return None
         if isinstance(node, ast.Merge):
             self._exec_merge(node, scope)

@@ -416,32 +416,40 @@ class ShowOption(Node):
 
 @dataclass(frozen=True)
 class InsertInto(Node):
-    """INSERT INTO t [(cols)] SELECT ... | VALUES ... — beyond parity;
-    appends to the scope entry (DataFrames are immutable: the scope is
-    rebound to the union)."""
+    """INSERT INTO t [(cols)] SELECT ... | VALUES ...
+    [ON CONFLICT (cols) DO NOTHING | DO UPDATE SET ... [WHERE c]]
+    [RETURNING items] — beyond parity; appends to the scope entry
+    (DataFrames are immutable: the scope is rebound to the union)."""
 
     table: str
     query: Node
     columns: Tuple[str, ...] = ()
+    conflict_cols: Tuple[str, ...] = ()
+    conflict_action: Optional[str] = None  # 'nothing' | 'update'
+    conflict_assignments: Tuple[Tuple[str, Node], ...] = ()
+    conflict_where: Optional[Node] = None
+    returning: Tuple[Node, ...] = ()
 
 
 @dataclass(frozen=True)
 class Delete(Node):
-    """DELETE FROM t [WHERE cond] — rebinds the scope entry to the
-    filtered complement."""
+    """DELETE FROM t [WHERE cond] [RETURNING items] — rebinds the scope
+    entry to the filtered complement."""
 
     table: str
     where: Optional[Node] = None
+    returning: Tuple[Node, ...] = ()
 
 
 @dataclass(frozen=True)
 class Update(Node):
-    """UPDATE t SET col = expr, ... [WHERE cond] — rebinds the scope
-    entry with conditional column replacement."""
+    """UPDATE t SET col = expr, ... [WHERE cond] [RETURNING items] —
+    rebinds the scope entry with conditional column replacement."""
 
     table: str
     assignments: Tuple[Tuple[str, Node], ...] = ()
     where: Optional[Node] = None
+    returning: Tuple[Node, ...] = ()
 
 
 @dataclass(frozen=True)

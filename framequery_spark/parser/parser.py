@@ -242,7 +242,9 @@ class Parser:
             self.expect_kw("from")
             table = ".".join(self.parse_dotted_name())
             where = self.parse_expr() if self.accept_kw("where") else None
-            return ast.Delete(table=table, where=where)
+            returning = (self.parse_select_list()
+                         if self.accept_kw("returning") else ())
+            return ast.Delete(table=table, where=where, returning=returning)
         if self.is_kw("update"):
             self.advance()
             table = ".".join(self.parse_dotted_name())
@@ -255,8 +257,10 @@ class Parser:
                 if not self.accept_op(","):
                     break
             where = self.parse_expr() if self.accept_kw("where") else None
+            returning = (self.parse_select_list()
+                         if self.accept_kw("returning") else ())
             return ast.Update(table=table, assignments=tuple(assigns),
-                              where=where)
+                              where=where, returning=returning)
         raise self.error("expected a statement")
 
     def _merge_opt_alias(self, *stop_kws: str):
@@ -435,8 +439,46 @@ class Parser:
                                                 column_names=tuple(columns)))
         else:
             query = self.parse_query()
+        conflict_cols: List[str] = []
+        action = None
+        assigns: List[Tuple[str, ast.Node]] = []
+        conflict_where = None
+        if self.accept_kw("on"):
+            self.expect_kw("conflict")
+            if self.is_op("("):
+                self.advance()
+                conflict_cols.append(self.parse_name())
+                while self.accept_op(","):
+                    conflict_cols.append(self.parse_name())
+                self.expect_op(")")
+            self.expect_kw("do")
+            if self.accept_kw("nothing"):
+                action = "nothing"
+            else:
+                self.expect_kw("update")
+                self.expect_kw("set")
+                action = "update"
+                while True:
+                    col = self.parse_name()
+                    self.expect_op("=")
+                    assigns.append((col, self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+                if self.accept_kw("where"):
+                    conflict_where = self.parse_expr()
+            if not conflict_cols:
+                raise self.error(
+                    "ON CONFLICT requires an explicit column list "
+                    "(scope tables carry no unique constraints to infer)")
+        returning = (self.parse_select_list()
+                     if self.accept_kw("returning") else ())
         return ast.InsertInto(table=table, query=query,
-                              columns=tuple(columns))
+                              columns=tuple(columns),
+                              conflict_cols=tuple(conflict_cols),
+                              conflict_action=action,
+                              conflict_assignments=tuple(assigns),
+                              conflict_where=conflict_where,
+                              returning=returning)
 
     def parse_copy(self) -> ast.Node:
         self.expect_kw("copy")
