@@ -46,6 +46,17 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         end = stop + (1 if step > 0 else -1)
         return spark.range(start, end, step).toDF("generate_series").alias(alias)
 
+    if name in ("read_parquet", "read_csv", "read_json"):
+        # DuckDB-style file table functions:
+        #   SELECT * FROM read_parquet('path'), read_csv('f.csv','delimiter',';')
+        # Scans stay fully declarative, so Catalyst pushdown/pruning applies.
+        from .copy import read_csv as _read_any
+
+        args = _literal_args(tf.args)
+        options = dict(zip(args[1::2], args[2::2]))
+        options["format"] = name.split("_", 1)[1]
+        return _read_any(qc.session, args[0], options).alias(alias)
+
     if name == "copy_from":
         # copy_from('<file>', 'delimiter', ';', ...)
         # (reference executor/_pandas.py:222-230)

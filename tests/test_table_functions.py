@@ -235,3 +235,32 @@ def test_contamination_operators_in_sql(spark, tpch_scope):
 
     q = "select count(*) as n from chunk_dedup('documents', 128)"
     assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] > 0
+
+
+def test_read_file_table_functions(spark, tmp_path):
+    # DuckDB-style read_parquet / read_csv / read_json in FROM position
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3], "b": list("xyz")}))
+    pq = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(pq)
+    csv = str(tmp_path / "t.csv")
+    df.coalesce(1).write.option("header", "true").csv(csv)
+    js = str(tmp_path / "t.json")
+    df.coalesce(1).write.json(js)
+
+    for fn, path in [("read_parquet", pq), ("read_csv", csv),
+                     ("read_json", js)]:
+        out = fq.execute(
+            f"select a, b from {fn}('{path}') where a >= 2 order by a",
+            {}, spark=spark).collect()
+        assert [(r.a, r.b) for r in out] == [(2, "y"), (3, "z")], fn
+
+    # options ride as name/value pairs (copy_from convention)
+    semi = str(tmp_path / "semi.csv")
+    with open(semi, "w") as f:
+        f.write("a;b\n1;x\n2;y\n")
+    out = fq.execute(
+        f"select * from read_csv('{semi}', 'delimiter', ';') order by a",
+        {}, spark=spark).collect()
+    assert [(r.a, r.b) for r in out] == [(1, "x"), (2, "y")]
