@@ -415,6 +415,16 @@ class ExprCompiler:
             return self._compile_json_arrow(node)
         if name == "__similar_to":
             return self._compile_similar_to(node)
+        if name == "__regex_match":
+            # pg `~` / `~*`: PARTIAL regex match (Spark regexp_like is
+            # partial too); case-insensitive variant prepends (?i). The
+            # negated forms wrap in NOT at parse time (3VL preserved:
+            # NULL input stays NULL through regexp_like and NOT).
+            text = self.compile(node.args[0])
+            pat = self.compile(node.args[1])
+            if node.args[2].value:
+                pat = F.concat(F.lit("(?i)"), pat)
+            return F.regexp_like(text, pat)
         if name == "__quant_array":
             return self._compile_quant_array(node)
         if name in ("encode", "decode") and len(node.args) == 2 and \

@@ -1090,6 +1090,18 @@ class Parser:
                 left = ast.Like(expr=left, pattern=pattern, negated=negated,
                                 case_insensitive=ci)
                 continue
+            if self.is_op("~", "~*", "!~", "!~*"):
+                # pg POSIX regex match operators (partial match, unlike
+                # DuckDB's anchored ~)
+                op = self.advance().value
+                pattern = self.parse_concat()
+                node = ast.Call(
+                    name="__regex_match",
+                    args=(left, pattern,
+                          ast.Literal(op in ("~*", "!~*"), "bool")))
+                left = (ast.Unary(op="not", operand=node)
+                        if op.startswith("!") else node)
+                continue
             if self.is_op("@>", "<@", "&&"):
                 # pg array operators: contains / contained-by / overlaps
                 op = self.advance().value

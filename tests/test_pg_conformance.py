@@ -243,6 +243,21 @@ QUERIES = [
     "select k, sum(v) as sv from (unpivot test on c1, c2 into name k value v) u "
     "group by k order by k",
     "select c2 from (pivot test on c1 using count(*) group by c2) p order by c2",
+    # pg POSIX regex operators ~ ~* !~ !~* (partial match — DuckDB's ~ is
+    # anchored, so the oracle spells them as regexp_matches)
+    ("select name, name ~ 'ba.' as m from names order by id",
+     "select name, regexp_matches(name, 'ba.') as m from names order by id"),
+    ("select name ~* 'BA.' as m from names order by id",
+     "select regexp_matches(name, '(?i)BA.') as m from names order by id"),
+    ("select name !~ 'o' as m from names order by id",
+     "select not regexp_matches(name, 'o') as m from names order by id"),
+    ("select s, s ~ '[xy]' as m from nulls",
+     "select s, regexp_matches(s, '[xy]') as m from nulls"),
+    ("select name from names where name !~* 'B.R'",
+     "select name from names where not regexp_matches(name, '(?i)B.R')"),
+    ("select name from names where name ~ '^b' and name ~ 'z$'",
+     "select name from names where regexp_matches(name, '^b') "
+     "and regexp_matches(name, 'z$')"),
 ]
 
 
