@@ -1682,6 +1682,57 @@ ORDER BY doc_id
 """)
 
 
+def _op_strip_html(spark, sf_dir):
+    """HTML boilerplate removal (operators/text.py:strip_html). The testdata
+    is plain text, so each doc is wrapped in deterministic HTML (tags,
+    script/style blocks, entities, comments — mirrored in the oracle) so
+    every row exercises the full stripping chain. Chained JVM
+    regexp_replace, row-local, patterns RE2-compatible by construction."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import html_to_text
+
+    docs = _scope(spark, sf_dir)["documents"]
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><head><style>p{x:1}</style></head><body "
+                  "class='d'><h1>Doc &amp; &#39;"),
+            F.col("doc_id").cast("string"),
+            F.lit("&#39;</h1><!-- meta --><p>"),
+            F.col("text"),
+            F.lit("</p><script>track(1 < 2);</script>&nbsp;</body></html>")))
+    return (html_to_text(docs)
+            .select("doc_id", "clean_text",
+                    F.length("clean_text").alias("clean_len"))
+            .orderBy("doc_id"))
+
+
+_op("op_strip_html", _op_strip_html, r"""
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><style>p{x:1}</style></head><body class=''d''><h1>Doc &amp; &#39;'
+         || doc_id::VARCHAR || '&#39;</h1><!-- meta --><p>' || text
+         || '</p><script>track(1 < 2);</script>&nbsp;</body></html>' AS text
+  FROM documents),
+clean AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM wrapped)
+SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_len
+FROM clean ORDER BY doc_id
+""")
+
+
 def _op_chunk_dedup(spark, sf_dir):
     """Passage-level exact dedup (operators/text.py:chunk_dedup): 128-char
     chunks, one canonical (doc, chunk) per distinct content with its copy
@@ -1869,7 +1920,7 @@ _Q_WINDOW = [
 # conformance test still runs them every pytest session.
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
              "op_det_shuffle", "op_det_sample", "op_vocab_topk",
-             "op_ngram_topk", "op_tf_idf"]
+             "op_ngram_topk", "op_tf_idf", "op_pii_scrub"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -213,6 +213,36 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return exploded.withColumn("chunk_len", F.length("chunk"))
 
 
+# entity map kept to the handful that dominate web text; applied after tag
+# removal so the replacements stay a short chained-regexp pipeline
+_HTML_ENTITIES = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                  ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate removal for web-crawl text: drop script/style blocks
+    (with their contents), strip remaining tags, decode the common
+    entities, collapse whitespace. Chained JVM regexp_replace — row-local,
+    zero UDF, zero shuffle; the patterns avoid lookarounds so the same
+    chain runs verbatim on RE2 engines (the DuckDB oracle)."""
+    # two patterns, not one with a </\1> backreference: RE2 (the oracle's
+    # engine) has no backreferences
+    out = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text(df: DataFrame, text_col: str = "text",
+                 out_col: str = "clean_text") -> DataFrame:
+    """Apply :func:`strip_html` as a column — the ingest-time cleanup step
+    of a crawl pipeline."""
+    return df.withColumn(out_col, strip_html(F.col(text_col)))
+
+
 def chunk_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", size: int = 512,
                 overlap: int = 0) -> DataFrame:

@@ -237,13 +237,17 @@ def _register_operator_tfs() -> dict:
         kw = {"size": int(a[1])} if len(a) > 1 else {}
         return text.chunk_dedup(_op_table(qc, a[0]), **kw)
 
+    def html_to_text(qc, a):
+        # html_to_text('documents') -> rows + clean_text
+        return text.html_to_text(_op_table(qc, a[0]))
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,
         pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
-        chunk_dedup)}
+        chunk_dedup, html_to_text)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -1120,3 +1120,16 @@ def test_chunk_dedup_keeps_canonical(spark):
            for r in TX.chunk_dedup(df, size=4).collect()}
     # contents: AAAA x3 (keeper 1/0), BBBB x2 (keeper 1/1), CCCC x1 (2/1)
     assert out == {(1, 0): 3, (1, 1): 2, (2, 1): 1}
+
+
+def test_strip_html(spark):
+    df = spark.createDataFrame(
+        [("<html><style>p{c:r}</style><p>Hello &amp; <b>world</b></p>"
+          "<script>var x = 1 < 2;</script>tail<!-- c -->",),
+         ("plain  text",),
+         ("<div class='a'>A&nbsp;&lt;tag&gt; &#39;q&#39;</div>",)],
+        ["text"])
+    out = [r.clean_text for r in TX.html_to_text(df).collect()]
+    # script/style contents removed entirely (incl. the 1 < 2 that would
+    # otherwise confuse the tag regex), entities decoded, spacing collapsed
+    assert out == ["Hello & world tail", "plain text", "A <tag> 'q'"]

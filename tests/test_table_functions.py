@@ -264,3 +264,11 @@ def test_read_file_table_functions(spark, tmp_path):
         f"select * from read_csv('{semi}', 'delimiter', ';') order by a",
         {}, spark=spark).collect()
     assert [(r.a, r.b) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_strip_html_in_sql(spark, tpch_scope):
+    q = ("with w as (select doc_id, '<p>' || text || '</p>' as text "
+         "           from documents) "
+         "select count(*) as n from html_to_text('w') "
+         "where clean_text not like '<%'")
+    assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] > 0
