@@ -1860,6 +1860,41 @@ ORDER BY id_a, id_b
 """)
 
 
+def _op_stream_ingest(spark, sf_dir):
+    """Streaming ingest dedup (streaming/stream.py:stream_ingest_dedup):
+    odd-doc_id docs stream in and are near-dup-screened per micro-batch
+    against the even-doc_id corpus inside foreachBatch, survivors land in a
+    checkpointed parquet sink. Deterministic ⇒ equals batch dedup_against,
+    so it shares that oracle. Fresh sink/checkpoint dirs per call (the
+    driver re-runs entries; 'append' must not accumulate)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from framequery_spark.streaming.stream import stream_ingest_dedup
+
+    corpus = (_scope(spark, sf_dir)["documents"]
+              .where(F.col("doc_id") % 2 == 0))
+    # fixed per-sf sink root, cleared BEFORE each run: re-runs start clean
+    # and the returned frame stays a lazy parquet read (no driver
+    # round-trip); at most one copy ever lives on disk
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = os.path.join(tempfile.gettempdir(), f"fq_ingest_dedup_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = stream_ingest_dedup(
+        spark, f"{sf_dir}/documents.parquet", corpus,
+        out_dir=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt",
+        doc_filter=F.col("doc_id") % 2 == 1)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id")) \
+        .orderBy("doc_id")
+
+
+_op("op_stream_ingest", _op_stream_ingest, _OPS["op_dedup_against"][1])
+
+
 def _op_stream_join(spark, sf_dir):
     """Watermarked stream-stream interval join (streaming/stream.py:
     stream_interval_join): click→purchase attribution within 15 minutes per
@@ -1920,7 +1955,8 @@ _Q_WINDOW = [
 # conformance test still runs them every pytest session.
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
              "op_det_shuffle", "op_det_sample", "op_vocab_topk",
-             "op_ngram_topk", "op_tf_idf", "op_pii_scrub"]
+             "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
+             "op_repetition_stats"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -221,6 +221,50 @@ def stream_events_to_parquet(spark: SparkSession, events_path: str,
     return spark.read.parquet(out_dir)
 
 
+def stream_ingest_dedup(spark: SparkSession, docs_path: str,
+                        corpus: DataFrame, out_dir: str,
+                        checkpoint_dir: str, threshold: float = 0.7,
+                        num_perm: int = 64, bands: int = 32,
+                        doc_filter=None) -> DataFrame:
+    """The daily-crawl ingest pipeline as one streaming query: new documents
+    arrive as a file stream, each micro-batch is near-dup-screened against
+    the existing corpus (MinHash/LSH via ``dedup.dedup_against`` inside
+    foreachBatch), and only survivors land in a checkpointed parquet sink.
+
+    foreachBatch is the right tool here — the dedup is a batch-shaped
+    multi-stage join pipeline per micro-batch, not row-wise state; the
+    checkpoint makes the whole thing restart-idempotent at the batch level
+    (a replayed batch rewrites the same batch id, never duplicating
+    survivors). At scale the corpus signatures would be precomputed parquet
+    (dedup_against recomputes them per batch here — see its docstring);
+    batch independence means a batch's survivors are NOT screened against
+    earlier batches' survivors, matching the daily-ingest contract where
+    the corpus is the dedup authority between compactions.
+
+    Synchronous (Trigger.AvailableNow); returns the survivors read back
+    from the sink. Deterministic, so the result provably equals the batch
+    ``dedup_against`` over the same inputs — the oracle."""
+    from ..operators.dedup import dedup_against
+
+    stream = read_parquet_stream(spark, docs_path)
+    if doc_filter is not None:
+        stream = stream.where(doc_filter)
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        out = dedup_against(batch, corpus, threshold=threshold,
+                            num_perm=num_perm, bands=bands)
+        out.write.mode("append").parquet(out_dir)
+
+    with _stream_shuffle_partitions(spark, 8):
+        q = (stream.writeStream
+             .foreachBatch(screen)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     accumulates per-user (n_events, sum_value) in the state store across

@@ -1133,3 +1133,31 @@ def test_strip_html(spark):
     # script/style contents removed entirely (incl. the 1 < 2 that would
     # otherwise confuse the tag regex), entities decoded, spacing collapsed
     assert out == ["Hello & world tail", "plain text", "A <tag> 'q'"]
+
+
+def test_stream_ingest_dedup_matches_batch_and_is_idempotent(spark, tmp_path):
+    from framequery_spark.operators.dedup import dedup_against
+    from framequery_spark.streaming.stream import stream_ingest_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    out = stream_ingest_dedup(
+        spark, f"{sf}/documents.parquet", corpus,
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        doc_filter=F.col("doc_id") % 2 == 1)
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    expect = sorted(r.doc_id for r in
+                    dedup_against(new, corpus, threshold=0.7, num_perm=64,
+                                  bands=32).select("doc_id").collect())
+    assert got == expect and got
+
+    # restart with the same checkpoint: the drained source replays nothing,
+    # so the sink must not grow
+    again = stream_ingest_dedup(
+        spark, f"{sf}/documents.parquet", corpus,
+        out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
+        doc_filter=F.col("doc_id") % 2 == 1)
+    assert again.count() == len(got)
