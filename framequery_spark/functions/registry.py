@@ -249,6 +249,23 @@ _fixed("array_distinct", lambda a: F.array_distinct(a[0]))
 _fixed("array_sort", lambda a: F.array_sort(a[0]))
 _fixed("array_join", lambda a: F.array_join(a[0], a[1]))
 _fixed("__subscript", lambda a: F.get(a[0], a[1] - F.lit(1)))  # pg arrays are 1-based
+
+
+def _array_slice(a):
+    # pg arr[lo:hi]: 1-based inclusive; lo clamps to 1 (arr[0:2] == arr[1:2]),
+    # hi past the end truncates (F.slice does), inverted bounds -> empty,
+    # NULL bound -> NULL. The typed empty array comes from filter(arr, false)
+    # so the element type always matches the when-chain.
+    arr, lo, hi = a
+    lo_c = F.greatest(lo.cast("int"), F.lit(1))
+    length = hi.cast("int") - lo_c + F.lit(1)
+    empty = F.filter(arr, lambda _: F.lit(False))
+    return (F.when(lo.isNull() | hi.isNull(), F.lit(None))
+            .when(length > 0, F.slice(arr, lo_c, length))
+            .otherwise(empty))
+
+
+_fixed("__array_slice", _array_slice)
 _fixed("array_cat", lambda a: F.concat(a[0], a[1]))
 _fixed("array_position", lambda a: F.array_position(a[0], a[1]))
 _fixed("array_remove", lambda a: F.array_remove(a[0], a[1]))

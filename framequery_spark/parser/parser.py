@@ -1219,9 +1219,21 @@ class Parser:
                 continue
             if self.is_op("["):
                 self.advance()
-                index = self.parse_expr()
+                # pg array slice arr[lo:hi] (1-based inclusive, bounds
+                # optional) vs plain subscript arr[i]
+                low = None if self.is_op(":") else self.parse_expr()
+                if self.accept_op(":"):
+                    high = None if self.is_op("]") else self.parse_expr()
+                    self.expect_op("]")
+                    node = ast.Call(
+                        name="__array_slice",
+                        args=(node,
+                              low or ast.Literal(1, "int"),
+                              high or ast.Call(name="cardinality",
+                                               args=(node,))))
+                    continue
                 self.expect_op("]")
-                node = ast.Call(name="__subscript", args=(node, index))
+                node = ast.Call(name="__subscript", args=(node, low))
                 continue
             if self.is_op("->", "->>"):
                 # pg JSON access: -> keeps json (chainable), ->> gets text

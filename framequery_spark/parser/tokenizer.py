@@ -30,7 +30,7 @@ _TOKEN_RE = re.compile(
   | (?P<qname>"(?:[^"]|"")*")
   | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<name>[A-Za-z_][A-Za-z_0-9$]*)
-  | (?P<op>->>|->|@>|<@|&&|<>|!~\*|!~|!=|!>|!<|<=|>=|<<|>>|~\*|\|\||::|[-+*/%^<>=~&|#(),.;\[\]])
+  | (?P<op>->>|->|@>|<@|&&|<>|!~\*|!~|!=|!>|!<|<=|>=|<<|>>|~\*|\|\||::|[-+*/%^<>=~&|#(),.;:\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
 # operators where the tokenizer value is used verbatim by the parser
 OPS = {
     "->>", "->", "@>", "<@", "&&", "<>", "!~*", "!~", "!=", "!>", "!<",
-    "<=", ">=", "<<", ">>", "~*", "||", "::",
+    "<=", ">=", "<<", ">>", "~*", "||", "::", ":",
     "+", "-", "*", "/", "%", "^", "<", ">", "=", "~", "&", "|", "#",
     "(", ")", ",", ".", ";", "[", "]",
 }

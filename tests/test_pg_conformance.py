@@ -258,6 +258,14 @@ QUERIES = [
     ("select name from names where name ~ '^b' and name ~ 'z$'",
      "select name from names where regexp_matches(name, '^b') "
      "and regexp_matches(name, 'z$')"),
+    # pg array slices (1-based inclusive; DuckDB list slicing agrees)
+    "select (array[10,20,30,40])[2:3] as s",
+    "select (array[10,20,30,40])[:2] as s",
+    "select (array[10,20,30,40])[3:] as s",
+    "select (array[10,20,30,40])[3:2] as s",   # inverted -> empty
+    "select (array[10,20,30,40])[2:99] as s",  # past end truncates
+    ("select (array[10,20,30])[0:2] as s",     # pg clamps lo to 1
+     "select (array[10,20,30])[1:2] as s"),
 ]
 
 
