@@ -83,6 +83,12 @@ AGG_MAP = {
     # can be re-merged later without rescanning (hll_union_agg).
     "hll_sketch_agg": lambda c: F.hll_sketch_agg(c),
     "hll_union_agg": lambda c: F.hll_union_agg(c),
+    # Datasketches Theta (beyond parity): like HLL but supports set
+    # ALGEBRA on sketches — union/intersection/difference of distinct
+    # sets without rescanning (e.g. users seen in BOTH of two days).
+    "theta_sketch_agg": lambda c: F.theta_sketch_agg(c),
+    "theta_union_agg": lambda c: F.theta_union_agg(c),
+    "theta_intersection_agg": lambda c: F.theta_intersection_agg(c),
 }
 
 AGG_NAMES = set(AGG_MAP) | {

@@ -351,6 +351,10 @@ _fixed("num_nulls", lambda a: F.lit(len(a)) - _count_nonnull(a))
 # ------------------------------------------------- sketches (Datasketches)
 _fixed("hll_sketch_estimate", lambda a: F.hll_sketch_estimate(a[0]))
 _fixed("hll_union", lambda a: F.hll_union(a[0], a[1]))
+_fixed("theta_sketch_estimate", lambda a: F.theta_sketch_estimate(a[0]))
+_fixed("theta_union", lambda a: F.theta_union(a[0], a[1]))
+_fixed("theta_intersection", lambda a: F.theta_intersection(a[0], a[1]))
+_fixed("theta_difference", lambda a: F.theta_difference(a[0], a[1]))
 
 
 # ------------------------------------------------------------------- json

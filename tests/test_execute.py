@@ -529,6 +529,33 @@ def test_hll_sketch_group_union_estimate(spark, scope):
     assert rows(run(q, scope, spark)) == [(4,)]
 
 
+def test_theta_sketch_set_algebra(spark, scope):
+    # Theta sketches add set ALGEBRA over sketches: distinct counts of the
+    # union, intersection, and difference of two groups without rescanning
+    q = ("with sk as (select g, theta_sketch_agg(a) as s from test group by g) "
+         "select theta_sketch_estimate(theta_union(a.s, b.s)) as u, "
+         "       theta_sketch_estimate(theta_intersection(a.s, b.s)) as i, "
+         "       theta_sketch_estimate(theta_difference(a.s, b.s)) as d "
+         "from sk a join sk b on a.g = 'x' and b.g = 'y'")
+    [(u, i, d)] = rows(run(q, scope, spark))
+    # exact at this cardinality: g='x' has {0,2,4}? derive from the live data
+    xs = {r.a for r in scope["test"].where("g = 'x'").collect()}
+    ys = {r.a for r in scope["test"].where("g = 'y'").collect()}
+    assert (u, i, d) == (len(xs | ys), len(xs & ys), len(xs - ys))
+
+
+def test_theta_intersection_agg_rollup(spark, scope):
+    # re-merge stored sketches with the intersection aggregate
+    q = ("with sk as (select g, theta_sketch_agg(a) as s from test group by g) "
+         "select theta_sketch_estimate(theta_intersection_agg(s)) as i from sk")
+    [(i,)] = rows(run(q, scope, spark))
+    sets = [
+        {r.a for r in scope["test"].where(f"g = '{g}'").collect()}
+        for (g,) in scope["test"].select("g").distinct().collect()]
+    expect = set.intersection(*sets) if sets else set()
+    assert i == len(expect)
+
+
 # --------------------------------------------------------------------------
 # WITH RECURSIVE (beyond reference parity)
 
