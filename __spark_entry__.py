@@ -1931,10 +1931,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r05 window (this one): 39 op_* (incl. the exact mirrors, the new
 #     connected-components / incremental-dedup / streaming-dedup / PQ
 #     entries, and the round-5 contamination/leakage/chunk-dedup/streaming-
-#     decontam additions; 8 r04-green untouched ops deferred) + q51-q59
+#     decontam additions; 9 r04-green untouched ops deferred) + q51-q59
 #     (never driver-verified before) + q49/q50.
 #   r06 plan: keep the rows-only ops + anything non-green in r05, rotate the
-#     8 deferred ops and q19-q48 into the window (all entries then have a
+#     9 deferred ops and q19-q48 into the window (all entries then have a
 #     green row in the r04 U r05 U r06 union).
 # Entries outside the window stay covered by tests/test_conformance.py, which
 # runs the same differential over ALL entries.

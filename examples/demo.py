@@ -135,6 +135,44 @@ def main() -> None:
             FROM pq_topk('embeddings', 'q', 3) ORDER BY query_id, rank
         """, scope, spark=spark).show()
 
+        # --- round-5 continued: corpus hygiene, upserts, regex ops --------
+        # benchmark decontamination: training docs sharing an 8-gram with
+        # the benchmark slice
+        fq.execute("""
+            WITH bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+                 train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
+            SELECT count(*) AS contaminated_docs
+            FROM contaminated_docs('train', 'bench', 8)
+        """, scope, spark=spark).show()
+        # cross-split leakage audit over the deterministic hash split
+        fq.execute("""
+            WITH tagged AS (SELECT * FROM hash_split('documents', 'doc_id'))
+            SELECT split_a, split_b, count(*) AS leaked_pairs
+            FROM split_leakage('tagged', 8) GROUP BY 1, 2 ORDER BY 1, 2
+        """, scope, spark=spark).show()
+        # pg regex operators + array slices
+        fq.execute("""
+            SELECT count(*) AS n,
+                   (string_to_array(min(text), ' '))[1:3] AS first_words
+            FROM documents WHERE text ~ 'join.*merge' AND lang !~* '^X'
+        """, scope, spark=spark).show(truncate=False)
+
+        # MERGE / ON CONFLICT / RETURNING need a persistent session
+        ex = fq.Executor(scope={"inv": spark.createDataFrame(
+            pd.DataFrame({"sku": ["a", "b"], "qty": [5, 0]}))}, spark=spark)
+        ex.execute("""
+            MERGE INTO inv USING (VALUES ('b', 3), ('c', 7)) AS d(sku, qty)
+            ON inv.sku = d.sku
+            WHEN MATCHED THEN UPDATE SET qty = inv.qty + d.qty
+            WHEN NOT MATCHED THEN INSERT VALUES (d.sku, d.qty)
+        """)
+        ex.execute("""
+            INSERT INTO inv VALUES ('a', 1), ('d', 9)
+            ON CONFLICT (sku) DO UPDATE SET qty = inv.qty + excluded.qty
+            RETURNING sku, qty
+        """).show()
+        ex.execute("SELECT * FROM inv ORDER BY sku").show()
+
 
 if __name__ == "__main__":
     main()

@@ -183,12 +183,13 @@ class Executor:
         tj = (base.withColumn("__t_id", F.monotonically_increasing_id())
               .withColumn("__t_mark", F.lit(True))
               .alias(t_name))
-        if isinstance(node.source, ast.TableRef):
-            s_df = self.resolve_table(scope, ".".join(node.source.parts))
-            s_name = node.source_alias or node.source.parts[-1]
-        else:
-            s_df = self._compile_query(node.source, scope)
-            s_name = node.source_alias or "__source"
+        src = node.source
+        s_df = QueryCompiler(self, scope).compile_relation(src)
+        s_name = (node.source_alias or getattr(src, "alias", None)
+                  or (src.parts[-1] if isinstance(src, ast.TableRef)
+                      else "__source"))
+        # withColumn drops the relation's alias — re-establish it so
+        # qualified refs (src.col / excluded.col) keep resolving
         s_df = s_df.withColumn("__s_mark", F.lit(True)).alias(s_name)
 
         ec = ExprCompiler(self, scope=scope)

@@ -280,12 +280,9 @@ class Parser:
         target = ".".join(self.parse_dotted_name())
         target_alias = self._merge_opt_alias("using")
         self.expect_kw("using")
-        if self.is_op("("):
-            self.advance()
-            source: ast.Node = self.parse_query()
-            self.expect_op(")")
-        else:
-            source = ast.TableRef(parts=tuple(self.parse_dotted_name()))
+        # any FROM-style relation: table [AS a], (query) a, (VALUES...)
+        # v(cols), table_function(...)
+        source = self.parse_table_primary()
         source_alias = self._merge_opt_alias("on")
         self.expect_kw("on")
         on = self.parse_expr()

@@ -216,3 +216,13 @@ def test_insert_upsert_returning_affected_rows(spark):
         "ON CONFLICT (a) DO UPDATE SET b = excluded.b RETURNING a, b"
     ).collect())
     assert got == [(2, 99), (4, 77)]  # updated + inserted, post-image
+
+
+def test_merge_values_source_with_column_alias(spark):
+    ex = _executor(spark)
+    ex.execute(
+        "MERGE INTO t USING (VALUES (2, 99), (5, 55)) AS d(a, b) "
+        "ON t.a = d.a "
+        "WHEN MATCHED THEN UPDATE SET b = d.b "
+        "WHEN NOT MATCHED THEN INSERT VALUES (d.a, d.b)")
+    assert _rows(ex) == [(1, 10), (2, 99), (3, 30), (5, 55)]
