@@ -94,12 +94,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     With return_stats=True returns (df, n_rounds) so tests can assert the
     O(log n) convergence bound.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
-    nodes = (e.select(F.col("u").alias("node"))
-             .unionByName(e.select(F.col("v").alias("node")))
+    # checkpoint the cleaned edge list FIRST: both `nodes` and the loop's
+    # initial frontier derive from it, and the upstream pair pipeline
+    # (MinHash/LSH, window lags, ...) can be expensive — without this,
+    # `nodes` would silently recompute it a second time at output time
+    raw = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+           .localCheckpoint())
+    nodes = (raw.select(F.col("u").alias("node"))
+             .unionByName(raw.select(F.col("v").alias("node")))
              .distinct())
-    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    e = raw.where(F.col("u") != F.col("v")).distinct()
 
     # Wall-clock profile: O(log n) SEQUENTIAL rounds of fixed-size stage
     # graphs. At bench scale the cost is stage-scheduling latency (like the
