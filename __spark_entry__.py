@@ -1682,6 +1682,35 @@ ORDER BY doc_id
 """)
 
 
+def _op_shard_counts(spark, sf_dir):
+    """Deterministic shard assignment (operators/packing.py:assign_shards):
+    md5-bucket arithmetic maps every doc to one of 8 shards row-locally —
+    layout-invariant, engine-exact (the oracle replays the identical
+    arithmetic), zero shuffle until the writer repartitions."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.packing import assign_shards
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return (assign_shards(docs, "doc_id", 8)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"))
+            .orderBy("shard"))
+
+
+_op("op_shard_counts", _op_shard_counts, """
+WITH s AS (
+  SELECT n_chars,
+         CAST((('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT
+               * 8) >> 32 AS INT) AS shard
+  FROM documents)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY shard ORDER BY shard
+""")
+
+
 def _op_strip_html(spark, sf_dir):
     """HTML boilerplate removal (operators/text.py:strip_html). The testdata
     is plain text, so each doc is wrapped in deterministic HTML (tags,
@@ -1956,7 +1985,7 @@ _Q_WINDOW = [
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
              "op_det_shuffle", "op_det_sample", "op_vocab_topk",
              "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
-             "op_repetition_stats"]
+             "op_repetition_stats", "op_blob_metadata"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

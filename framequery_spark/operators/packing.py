@@ -62,3 +62,49 @@ def deterministic_shuffle(df: DataFrame, key_col: str,
     byte-exact, hex strings compare lexicographically everywhere)."""
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return df.orderBy(h, F.col(key_col))
+
+
+def assign_shards(df: DataFrame, key_col: str, n_shards: int,
+                  salt: str = "shard", out_col: str = "shard") -> DataFrame:
+    """Deterministic shard id in [0, n_shards): md5-threshold arithmetic on
+    the same hex prefix as `sampling.hash_bucket_hex`, so shard membership
+    is a pure row-local function of the key — engine-exact (SQL-oracle-able
+    as `(('0x' || substr(md5(k || salt), 1, 8))::BIGINT * n) >> 32`),
+    layout-invariant, and stable across runs/engines unlike any
+    rand()/partition-id scheme."""
+    from .sampling import hash_bucket_hex
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    bucket = F.conv(hash_bucket_hex(F.col(key_col), salt), 16, 10).cast("long")
+    return df.withColumn(out_col,
+                         F.shiftright(bucket * F.lit(n_shards), 32)
+                         .cast("int"))
+
+
+def write_training_shards(df: DataFrame, path: str, key_col: str,
+                          n_shards: int, order_col: str = None,
+                          salt: str = "shard",
+                          max_records_per_file: int = None) -> DataFrame:
+    """The terminal sink of the pipeline: a hive-partitioned
+    `shard=N/part-*.parquet` layout where every row's shard is the
+    deterministic :func:`assign_shards` hash of its key.
+
+    Scale shape: ONE repartition shuffle co-locates each shard's rows,
+    rows are sorted within the shard (reproducible file order; readers
+    stream in a deterministic sequence), and `max_records_per_file` bounds
+    individual file sizes without another shuffle (the writer rolls files).
+    Readers prune by shard directory; a trainer with N data-parallel ranks
+    maps rank -> shard list statically.
+
+    Returns a batch DataFrame over the written output.
+    """
+    sharded = assign_shards(df, key_col, n_shards, salt)
+    order = F.col(order_col) if order_col else F.col(key_col)
+    writer = (sharded.repartition(n_shards, F.col("shard"))
+              .sortWithinPartitions("shard", order)
+              .write.mode("overwrite").partitionBy("shard"))
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+    return df.sparkSession.read.parquet(path)

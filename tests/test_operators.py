@@ -1161,3 +1161,36 @@ def test_stream_ingest_dedup_matches_batch_and_is_idempotent(spark, tmp_path):
         out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
         doc_filter=F.col("doc_id") % 2 == 1)
     assert again.count() == len(got)
+
+
+def test_assign_shards_deterministic_and_balanced(spark, docs):
+    from framequery_spark.operators.packing import assign_shards
+
+    out = assign_shards(docs, "doc_id", 8)
+    counts = {r.shard: r.n for r in
+              out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(8))           # every shard populated
+    n = sum(counts.values())
+    assert max(counts.values()) < n / 8 * 1.5     # roughly uniform
+    # layout-invariant: same assignment after an arbitrary repartition
+    again = {r.doc_id: r.shard
+             for r in assign_shards(docs.repartition(13), "doc_id", 8)
+             .select("doc_id", "shard").collect()}
+    first = {r.doc_id: r.shard
+             for r in out.select("doc_id", "shard").collect()}
+    assert again == first
+
+
+def test_write_training_shards_layout(spark, docs, tmp_path):
+    import glob
+
+    from framequery_spark.operators.packing import write_training_shards
+
+    out = write_training_shards(docs, str(tmp_path / "shards"), "doc_id", 4,
+                                max_records_per_file=50)
+    assert out.count() == docs.count()
+    dirs = sorted(glob.glob(str(tmp_path / "shards" / "shard=*")))
+    assert [d.split("=")[-1] for d in dirs] == ["0", "1", "2", "3"]
+    # maxRecordsPerFile bounds every parquet file
+    for f in glob.glob(str(tmp_path / "shards" / "shard=*" / "*.parquet")):
+        assert spark.read.parquet(f).count() <= 50
