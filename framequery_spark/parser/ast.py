@@ -294,6 +294,7 @@ class TableFunction(Node):
     args: Tuple[Node, ...]
     alias: Optional[str] = None
     lateral: bool = False
+    ordinality: bool = False  # WITH ORDINALITY (pg): 1-based row number
 
 
 @dataclass(frozen=True)

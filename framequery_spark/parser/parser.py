@@ -800,12 +800,7 @@ class Parser:
         while self.accept_op(","):
             if self.accept_kw("lateral"):
                 right = self.parse_table_primary()
-                if isinstance(right, ast.TableFunction):
-                    right = ast.TableFunction(
-                        name=right.name, args=right.args, alias=right.alias,
-                        lateral=True,
-                    )
-                elif isinstance(right, ast.SubqueryRel):
+                if isinstance(right, (ast.TableFunction, ast.SubqueryRel)):
                     import dataclasses as _dc
 
                     right = _dc.replace(right, lateral=True)
@@ -897,9 +892,14 @@ class Parser:
                 while self.accept_op(","):
                     args.append(self.parse_expr())
             self.expect_op(")")
+            ordinality = False
+            if self.accept_kw("with"):
+                self.expect_kw("ordinality")
+                ordinality = True
             alias = self.parse_optional_alias()
             return ast.TableFunction(
-                name=parts[-1].lower(), args=tuple(args), alias=alias, lateral=lateral,
+                name=parts[-1].lower(), args=tuple(args), alias=alias,
+                lateral=lateral, ordinality=ordinality,
             )
         alias = self.parse_optional_alias()
         sample_percent = sample_seed = None

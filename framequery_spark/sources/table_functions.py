@@ -37,6 +37,13 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
     name = tf.name
     alias = tf.alias or name
 
+    if tf.ordinality and name not in ("json_each", "json_array_elements",
+                                      "unnest"):
+        raise CompileError(
+            "WITH ORDINALITY is supported for unnest / json_each / "
+            "json_array_elements (explode-based functions with a defined "
+            "input order)")
+
     if name == "generate_series":
         args = _literal_args(tf.args)
         start = int(args[0])
@@ -72,7 +79,8 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         ec = qc._expr_compiler()
         col = ec.compile(tf.args[0])
         base = spark.range(1).select(col.alias("__arg"))
-        return _explode_json(base, F.col("__arg"), name, alias).drop("__arg")
+        return _explode_json(base, F.col("__arg"), name, alias,
+                             ordinality=tf.ordinality).drop("__arg")
 
     if name in qc.session.table_functions:
         args = _literal_args(tf.args)
@@ -262,7 +270,8 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
     if name in ("json_each", "json_array_elements", "unnest"):
         ec = qc._expr_compiler()
         arg = ec.compile(tf.args[0])
-        return _explode_json(left, arg, name, alias)
+        return _explode_json(left, arg, name, alias,
+                             ordinality=tf.ordinality)
 
     if name in qc.session.lateral_functions:
         from .lateral_udtf import apply_lateral_udtf
@@ -275,7 +284,8 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
     raise CompileError(f"unknown lateral table function: {name}")
 
 
-def _explode_json(df: DataFrame, arg, name: str, alias: str) -> DataFrame:
+def _explode_json(df: DataFrame, arg, name: str, alias: str,
+                  ordinality: bool = False) -> DataFrame:
     """Explode a JSON value column via a native lateral join (Spark 4
     DataFrame.lateralJoin + spark.tvf.explode). Values are returned as JSON
     text (the scalar-typed analogue of the reference's Python objects).
@@ -299,14 +309,18 @@ def _explode_json(df: DataFrame, arg, name: str, alias: str) -> DataFrame:
     else:
         staged = df.withColumn(tmp, arg.cast("string"))
     ref = F.col(tmp).outer()
+    # WITH ORDINALITY: posexplode's pos + 1 — exact pg semantics, since the
+    # ordinal numbers the INPUT order, which an explode preserves row-locally
+    tvf = spark.tvf.posexplode if ordinality else spark.tvf.explode
+    ordcols = ((F.col("pos") + 1).alias("ordinality"),) if ordinality else ()
     if name == "json_each":
         entries = F.map_entries(F.from_json(ref, "map<string,string>"))
-        right = (spark.tvf.explode(entries)
+        right = (tvf(entries)
                  .select(F.col("col.key").alias("key"),
-                         F.col("col.value").alias("value")))
+                         F.col("col.value").alias("value"), *ordcols))
     elif name == "json_array_elements":
-        right = (spark.tvf.explode(F.from_json(ref, "array<string>"))
-                 .select(F.col("col").alias("value")))
+        right = (tvf(F.from_json(ref, "array<string>"))
+                 .select(F.col("col").alias("value"), *ordcols))
     else:  # unnest: native array column
-        right = spark.tvf.explode(ref).select(F.col("col").alias("value"))
+        right = tvf(ref).select(F.col("col").alias("value"), *ordcols)
     return staged.lateralJoin(right.alias(alias)).drop(tmp)

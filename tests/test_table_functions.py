@@ -272,3 +272,37 @@ def test_strip_html_in_sql(spark, tpch_scope):
          "select count(*) as n from html_to_text('w') "
          "where clean_text not like '<%'")
     assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] > 0
+
+
+def test_with_ordinality(spark):
+    # constant-arg FROM form
+    out = fq.execute(
+        "select value, ordinality from unnest(array['a','b','c']) "
+        "with ordinality order by ordinality", {}, spark=spark).collect()
+    assert [(r.value, r.ordinality) for r in out] == [
+        ("a", 1), ("b", 2), ("c", 3)]
+
+    # LATERAL per-row form: ordinality restarts per input row
+    import pandas as pd
+    scope = {"t": spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "arr": [["x", "y"], ["z"]]}))}
+    out = fq.execute(
+        "select id, u.value, u.ordinality from t, "
+        "lateral unnest(arr) with ordinality as u order by id, ordinality",
+        scope, spark=spark).collect()
+    assert [(r.id, r.value, r.ordinality) for r in out] == [
+        (1, "x", 1), (1, "y", 2), (2, "z", 1)]
+
+    # json array elements keep input order
+    out = fq.execute(
+        "select value, ordinality from json_array_elements('[5, 3, 9]') "
+        "with ordinality", {}, spark=spark).collect()
+    assert [(r.value, r.ordinality) for r in out] == [
+        ("5", 1), ("3", 2), ("9", 3)]
+
+    # unsupported target errors clearly
+    import pytest as _pytest
+    from framequery_spark.compiler.expressions import CompileError
+    with _pytest.raises(CompileError, match="ORDINALITY"):
+        fq.execute("select * from generate_series(1, 3) with ordinality",
+                   {}, spark=spark)
