@@ -1682,6 +1682,36 @@ ORDER BY doc_id
 """)
 
 
+def _op_unigram_nll(spark, sf_dir):
+    """Unigram-LM perplexity quality score (operators/text.py:unigram_nll) —
+    the CCNet-style filter signal. Exact across engines: per-token nll is
+    quantized to DECIMAL(28,12) before the per-doc sum, so aggregation
+    order cannot drift the result."""
+    from framequery_spark.operators.text import unigram_nll
+
+    return (unigram_nll(_scope(spark, sf_dir)["documents"])
+            .orderBy("doc_id"))
+
+
+_op("op_unigram_nll", _op_unigram_nll, r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS term_n FROM t GROUP BY term),
+total AS (SELECT count(*) AS corpus_n FROM t),
+nll AS (
+  SELECT doc_id,
+         CAST(-ln(term_n * 1.0 / corpus_n) AS DECIMAL(28,12)) AS nll
+  FROM t JOIN vocab USING (term) CROSS JOIN total)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll,
+       round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 4) AS ppl
+FROM nll GROUP BY doc_id ORDER BY doc_id
+""")
+
+
 def _op_shard_counts(spark, sf_dir):
     """Deterministic shard assignment (operators/packing.py:assign_shards):
     md5-bucket arithmetic maps every doc to one of 8 shards row-locally —
@@ -1985,7 +2015,7 @@ _Q_WINDOW = [
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
              "op_det_shuffle", "op_det_sample", "op_vocab_topk",
              "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
-             "op_repetition_stats", "op_blob_metadata"]
+             "op_repetition_stats", "op_blob_metadata", "op_frame_sample"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -313,6 +313,39 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .alias("tfidf"))
 
 
+def unigram_nll(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style LM quality score with a corpus-trained unigram model:
+    per-document average negative log-likelihood (and perplexity) of the
+    document's tokens under the corpus' own MLE unigram distribution.
+    High avg_nll = rare-token-heavy text (gibberish, boilerplate hashes,
+    wrong-language fragments) — the cheap stand-in for the KenLM
+    perplexity filter, with the same filtering semantics.
+
+    Plan shape: one vocab groupBy (map-side combine, shuffle ≈ vocab size),
+    corpus total as a broadcast 1-row aggregate (no driver round-trip),
+    one equi join token-stream ⋈ vocab, one per-doc groupBy. Every token's
+    nll is cast to DECIMAL(28,12) BEFORE the per-doc sum, so the sum is
+    exact and order-independent — bit-identical across engines and
+    partition layouts (a double sum would drift with aggregation order).
+    """
+    terms = term_table(df, text_col, id_col)
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("term_n"))
+    total = terms.agg(F.count(F.lit(1)).alias("corpus_n"))
+    nll = (terms.join(vocab, "term")
+           .crossJoin(F.broadcast(total))
+           .select(F.col(id_col),
+                   (-F.log(F.col("term_n") / F.col("corpus_n")))
+                   .cast("decimal(28,12)").alias("nll")))
+    n_tok = F.count(F.lit(1))
+    avg_nll = F.round(F.sum("nll").cast("double") / n_tok, 6)
+    return (nll.groupBy(id_col)
+            .agg(n_tok.alias("n_tokens"),
+                 avg_nll.alias("avg_nll"),
+                 F.round(F.exp(F.sum("nll").cast("double") / n_tok), 4)
+                 .alias("ppl")))
+
+
 def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
                  k: int = 100) -> DataFrame:
     """Top-k word n-grams by corpus frequency (n-gram asc tiebreak).

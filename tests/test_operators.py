@@ -1194,3 +1194,18 @@ def test_write_training_shards_layout(spark, docs, tmp_path):
     # maxRecordsPerFile bounds every parquet file
     for f in glob.glob(str(tmp_path / "shards" / "shard=*" / "*.parquet")):
         assert spark.read.parquet(f).count() <= 50
+
+
+def test_unigram_nll_ranks_rare_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the the"),            # most common token only
+         (2, "the the zxqv the"),           # one rare token
+         (3, "zxqv qqfl wwro plmb")],       # all singletons
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.unigram_nll(df).collect()}
+    assert out[1].avg_nll < out[2].avg_nll < out[3].avg_nll
+    assert out[1].n_tokens == 4
+    import math
+    # doc 1: all tokens p = 7/12 -> avg_nll = -ln(7/12)
+    assert abs(out[1].avg_nll - (-math.log(7 / 12))) < 1e-6
+    assert abs(out[1].ppl - math.exp(out[1].avg_nll)) < 1e-3
