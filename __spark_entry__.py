@@ -1682,6 +1682,63 @@ ORDER BY doc_id
 """)
 
 
+def _op_gopher_filter(spark, sf_dir):
+    """Gopher-rule composite quality filter (operators/text.py:
+    gopher_quality_filter): per-rule verdicts + keep in one row-local
+    codegen'd select, zero shuffle. Thresholds tuned so the synthetic
+    corpus splits on every rule."""
+    from framequery_spark.operators.text import gopher_quality_filter
+
+    return (gopher_quality_filter(
+        _scope(spark, sf_dir)["documents"],
+        min_tokens=20, max_tokens=1000,
+        min_avg_token_len=2.0, max_avg_token_len=12.0,
+        max_dup_token_ratio=0.6, max_top_token_ratio=0.15,
+        min_stopword_ratio=0.01).orderBy("doc_id"))
+
+
+_op("op_gopher_filter", _op_gopher_filter, r"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         str_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM base),
+freq AS (
+  SELECT doc_id, max(c) AS maxc, sum(c) AS n FROM (
+    SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+  GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id, b.n_tok,
+         length(regexp_replace(trim(b.text), '\s+', '', 'g')) * 1.0
+           / b.n_tok AS avg_len,
+         1.0 - CAST(len(list_distinct(b.toks)) AS DOUBLE) / len(b.toks)
+           AS dup_tok,
+         CAST(f.maxc AS DOUBLE) / f.n AS top_tok,
+         (CAST((length(b.text) - length(regexp_replace(b.text, '\bthe\b', '', 'g'))) / 3
+             + (length(b.text) - length(regexp_replace(b.text, '\band\b', '', 'g'))) / 3
+             + (length(b.text) - length(regexp_replace(b.text, '\bof\b', '', 'g'))) / 2
+             + (length(b.text) - length(regexp_replace(b.text, '\bto\b', '', 'g'))) / 2
+             + (length(b.text) - length(regexp_replace(b.text, '\bis\b', '', 'g'))) / 2
+             + (length(b.text) - length(regexp_replace(b.text, '\ba\b', '', 'g'))) / 1
+             + (length(b.text) - length(regexp_replace(b.text, '\bin\b', '', 'g'))) / 2
+             + (length(b.text) - length(regexp_replace(b.text, '\bit\b', '', 'g'))) / 2
+             + (length(b.text) - length(regexp_replace(b.text, '\bon\b', '', 'g'))) / 2
+             + (length(b.text) - length(regexp_replace(b.text, '\bfor\b', '', 'g'))) / 3
+           AS DOUBLE)) / b.n_tok AS sw_ratio
+  FROM base b JOIN freq f USING (doc_id))
+SELECT doc_id, n_tok AS n_tokens,
+       n_tok BETWEEN 20 AND 1000 AS ok_length,
+       avg_len >= 2.0 AND avg_len <= 12.0 AS ok_avg_token_len,
+       dup_tok <= 0.6 AS ok_dup_tokens,
+       top_tok <= 0.15 AS ok_top_token,
+       sw_ratio >= 0.01 AS ok_stopwords,
+       (n_tok BETWEEN 20 AND 1000) AND (avg_len >= 2.0 AND avg_len <= 12.0)
+         AND dup_tok <= 0.6 AND top_tok <= 0.15 AND sw_ratio >= 0.01 AS keep
+FROM m ORDER BY doc_id
+""")
+
+
 def _op_unigram_nll(spark, sf_dir):
     """Unigram-LM perplexity quality score (operators/text.py:unigram_nll) —
     the CCNet-style filter signal. Exact across engines: per-token nll is
@@ -2015,7 +2072,8 @@ _Q_WINDOW = [
 _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
              "op_det_shuffle", "op_det_sample", "op_vocab_topk",
              "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
-             "op_repetition_stats", "op_blob_metadata", "op_frame_sample"]
+             "op_repetition_stats", "op_blob_metadata", "op_frame_sample",
+             "op_exact_dedup"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

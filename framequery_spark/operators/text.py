@@ -375,6 +375,56 @@ PII_PATTERNS: Dict[str, str] = {
 }
 
 
+def gopher_quality_filter(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_tokens: int = 50, max_tokens: int = 100000,
+                          min_avg_token_len: float = 3.0,
+                          max_avg_token_len: float = 10.0,
+                          max_dup_token_ratio: float = 0.3,
+                          max_top_token_ratio: float = 0.2,
+                          min_stopword_ratio: float = 0.0) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021, adapted):
+    per-document rule flags plus the final keep decision, ALL computed in
+    one row-local codegen'd select — zero shuffle, zero Python, scales as
+    the scan. Thresholds are explicit parameters; every rule's verdict is
+    emitted so a pipeline can audit WHY documents dropped.
+
+      ok_length:        min_tokens <= n_tokens <= max_tokens
+      ok_avg_token_len: mean token length within [min, max]
+      ok_dup_tokens:    1 - distinct/total tokens <= max_dup_token_ratio
+      ok_top_token:     most-frequent-token share <= max_top_token_ratio
+      ok_stopwords:     stopword share >= min_stopword_ratio
+      keep:             AND of all flags
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    avg_len = (F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+               / n_tok).cast("double")
+    low_toks = tokens(F.lower(F.trim(t)))
+    dup_tok = F.when(
+        F.size(low_toks) > 0,
+        1.0 - F.size(F.array_distinct(low_toks)) / F.size(low_toks)
+    ).otherwise(0.0)
+    top_tok = F.when(F.size(low_toks) > 0,
+                     _max_equal_run(low_toks) / F.size(low_toks)
+                     ).otherwise(0.0)
+    sw_ratio = stopword_count_fused(t) / n_tok
+    ok_length = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    ok_avg = (avg_len >= min_avg_token_len) & (avg_len <= max_avg_token_len)
+    ok_dup = dup_tok <= max_dup_token_ratio
+    ok_top = top_tok <= max_top_token_ratio
+    ok_sw = sw_ratio >= min_stopword_ratio
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        ok_length.alias("ok_length"),
+        ok_avg.alias("ok_avg_token_len"),
+        ok_dup.alias("ok_dup_tokens"),
+        ok_top.alias("ok_top_token"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_length & ok_avg & ok_dup & ok_top & ok_sw).alias("keep"))
+
+
 def scrub_pii(text: Column, kinds: List[str] = None) -> Column:
     """Replace PII spans with `<kind>` placeholders. Pure chained JVM
     regexp_replace — codegen'd, zero shuffle, linear scan per row."""
@@ -395,6 +445,24 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
 
 
 # ----------------------------------------------------- repetition / quality
+
+def _max_equal_run(toks: Column) -> Column:
+    """Longest equal run over the sorted tokens == max token frequency —
+    row-local HOF fold, no per-row map state."""
+    return F.aggregate(
+        F.sort_array(toks),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -419,22 +487,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     dup_tok = F.when(n_tok > 0,
                      1.0 - F.size(F.array_distinct(toks)) / n_tok
                      ).otherwise(0.0)
-    # longest equal run over the sorted tokens == max token frequency
-    sorted_toks = F.sort_array(toks)
-    runs = F.aggregate(
-        sorted_toks,
-        F.struct(F.lit(None).cast("string").alias("prev"),
-                 F.lit(0).alias("run"), F.lit(0).alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
-            .otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1)
-                .otherwise(F.lit(1))).alias("best")),
-        lambda acc: acc["best"])
-    top_tok = F.when(n_tok > 0, runs / n_tok).otherwise(0.0)
+    top_tok = F.when(n_tok > 0, _max_equal_run(toks) / n_tok).otherwise(0.0)
     return df.select(
         F.col(id_col),
         F.round(dup_line, 4).alias("dup_line_ratio"),

@@ -1209,3 +1209,27 @@ def test_unigram_nll_ranks_rare_tokens(spark):
     # doc 1: all tokens p = 7/12 -> avg_nll = -ln(7/12)
     assert abs(out[1].avg_nll - (-math.log(7 / 12))) < 1e-6
     assert abs(out[1].ppl - math.exp(out[1].avg_nll)) < 1e-3
+
+
+def test_gopher_quality_filter_rules(spark):
+    from framequery_spark.operators.text import gopher_quality_filter
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today ok"),
+         (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+         (3, "tiny"),
+         (4, "aaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb cccccccccccccccccccc "
+             "dddddddddddddddddddd eeeeeeeeeeeeeeeeeeee ffffffffffffffffffff "
+             "gggggggggggggggggggg hhhhhhhhhhhhhhhhhhhh iiiiiiiiiiiiiiiiiiii "
+             "jjjjjjjjjjjjjjjjjjjj the")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_filter(
+        df, min_tokens=5, max_tokens=100, max_dup_token_ratio=0.5,
+        max_top_token_ratio=0.4, min_stopword_ratio=0.01).collect()}
+    assert out[1].keep                      # normal English text
+    assert not out[2].ok_dup_tokens         # all-repeats
+    assert not out[2].ok_top_token
+    assert not out[2].keep
+    assert not out[3].ok_length             # too short
+    assert not out[4].ok_avg_token_len      # 20-char "words"
+    assert out[4].ok_length
