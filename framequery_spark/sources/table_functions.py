@@ -249,13 +249,28 @@ def _register_operator_tfs() -> dict:
         # html_to_text('documents') -> rows + clean_text
         return text.html_to_text(_op_table(qc, a[0]))
 
+    def gopher_filter(qc, a):
+        # gopher_filter('documents'[, min_tokens]) -> rule verdicts + keep
+        kw = {"min_tokens": int(a[1])} if len(a) > 1 else {}
+        return text.gopher_quality_filter(_op_table(qc, a[0]), **kw)
+
+    def unigram_nll(qc, a):
+        # unigram_nll('documents') -> per-doc LM quality score
+        return text.unigram_nll(_op_table(qc, a[0]))
+
+    def assign_shards(qc, a):
+        # assign_shards('documents', 'doc_id', 8) -> rows + shard
+        return packing.assign_shards(_op_table(qc, a[0]), str(a[1]),
+                                     int(a[2]))
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,
         pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
-        chunk_dedup, html_to_text)}
+        chunk_dedup, html_to_text, gopher_filter, unigram_nll,
+        assign_shards)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -306,3 +306,18 @@ def test_with_ordinality(spark):
     with _pytest.raises(CompileError, match="ORDINALITY"):
         fq.execute("select * from generate_series(1, 3) with ordinality",
                    {}, spark=spark)
+
+
+def test_quality_operators_in_sql(spark, tpch_scope):
+    q = ("select keep, count(*) as n from gopher_filter('documents', 20) "
+         "group by keep order by keep")
+    out = fq.execute(q, tpch_scope, spark=spark).collect()
+    assert sum(r.n for r in out) == 500
+
+    q = ("select count(*) as n from unigram_nll('documents') "
+         "where avg_nll > 0")
+    assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] == 500
+
+    q = ("select count(distinct shard) as n "
+         "from assign_shards('documents', 'doc_id', 8)")
+    assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] == 8
