@@ -232,10 +232,12 @@ def stream_ingest_dedup(spark: SparkSession, docs_path: str,
     foreachBatch), and only survivors land in a checkpointed parquet sink.
 
     foreachBatch is the right tool here — the dedup is a batch-shaped
-    multi-stage join pipeline per micro-batch, not row-wise state; the
-    checkpoint makes the whole thing restart-idempotent at the batch level
-    (a replayed batch rewrites the same batch id, never duplicating
-    survivors). At scale the corpus signatures would be precomputed parquet
+    multi-stage join pipeline per micro-batch, not row-wise state. Each
+    batch OVERWRITES its own `batch=<id>/` subdirectory (plain append
+    would not be transactional: a crash mid-write followed by the
+    checkpoint replaying the batch would duplicate survivors; overwrite
+    of the per-batch dir makes the replay idempotent). At scale the
+    corpus signatures would be precomputed parquet
     (dedup_against recomputes them per batch here — see its docstring);
     batch independence means a batch's survivors are NOT screened against
     earlier batches' survivors, matching the daily-ingest contract where
@@ -253,7 +255,7 @@ def stream_ingest_dedup(spark: SparkSession, docs_path: str,
     def screen(batch: DataFrame, batch_id: int) -> None:
         out = dedup_against(batch, corpus, threshold=threshold,
                             num_perm=num_perm, bands=bands)
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     with _stream_shuffle_partitions(spark, 8):
         q = (stream.writeStream
