@@ -1682,6 +1682,37 @@ ORDER BY doc_id
 """)
 
 
+def _op_gapfill(spark, sf_dir):
+    """TimescaleDB-style gap-filled rollup (operators/asof.py:
+    time_bucket_gapfill): daily per-user sums on a dense calendar grid
+    with locf fill. Grid generated distributed (per-key min/max agg +
+    sequence explode), one agg shuffle, one equi join, one fill window."""
+    from framequery_spark.operators.asof import time_bucket_gapfill
+
+    return (time_bucket_gapfill(_scope(spark, sf_dir)["events"],
+                                bucket="day", agg="sum")
+            .orderBy("user_id", "bucket_ts"))
+
+
+_op("op_gapfill", _op_gapfill, r"""
+WITH b AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+         round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(bucket_ts) lo, max(bucket_ts) hi
+          FROM b GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_ts
+  FROM spans)
+SELECT g.user_id, g.bucket_ts, b.sum_value,
+       last_value(b.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+FROM grid g LEFT JOIN b USING (user_id, bucket_ts)
+ORDER BY user_id, bucket_ts
+""")
+
+
 def _op_gopher_filter(spark, sf_dir):
     """Gopher-rule composite quality filter (operators/text.py:
     gopher_quality_filter): per-rule verdicts + keep in one row-local
@@ -2073,7 +2104,7 @@ _OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
              "op_det_shuffle", "op_det_sample", "op_vocab_topk",
              "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
              "op_repetition_stats", "op_blob_metadata", "op_frame_sample",
-             "op_exact_dedup"]
+             "op_exact_dedup", "op_embedding_near_dup"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1233,3 +1233,29 @@ def test_gopher_quality_filter_rules(spark):
     assert not out[3].ok_length             # too short
     assert not out[4].ok_avg_token_len      # 20-char "words"
     assert out[4].ok_length
+
+
+def test_time_bucket_gapfill_locf(spark):
+    import datetime
+
+    from framequery_spark.operators.asof import time_bucket_gapfill
+
+    ts = datetime.datetime
+    df = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 10), 5.0),
+         (1, ts(2024, 1, 1, 10, 30), 7.0),   # same hour as above
+         (1, ts(2024, 1, 1, 13), 2.0),       # hours 11,12 are gaps
+         (2, ts(2024, 1, 1, 0), 1.0)],
+        ["user_id", "ts", "value"])
+    out = [(r.user_id, r.bucket_ts.hour, r.sum_value, r.locf)
+           for r in time_bucket_gapfill(df, bucket="hour")
+           .orderBy("user_id", "bucket_ts").collect()]
+    assert out == [
+        (1, 10, 12.0, 12.0),
+        (1, 11, None, 12.0),   # gap exists and carries forward
+        (1, 12, None, 12.0),
+        (1, 13, 2.0, 2.0),
+        (2, 0, 1.0, 1.0)]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bucket"):
+        time_bucket_gapfill(df, bucket="fortnight")
