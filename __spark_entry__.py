@@ -1704,11 +1704,27 @@ spans AS (SELECT user_id, min(bucket_ts) lo, max(bucket_ts) hi
 grid AS (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_ts
   FROM spans)
-SELECT g.user_id, g.bucket_ts, b.sum_value,
-       last_value(b.sum_value IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.bucket_ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
-FROM grid g LEFT JOIN b USING (user_id, bucket_ts)
+SELECT user_id, bucket_ts, sum_value, locf,
+       round(CASE WHEN sum_value IS NOT NULL THEN sum_value
+                  WHEN locf IS NOT NULL AND next_v IS NOT NULL THEN
+                    locf + (next_v - locf) * (x - prev_x) / (next_x - prev_x)
+             END, 6) AS interpolated
+FROM (
+  SELECT g.user_id, g.bucket_ts, b.sum_value,
+         epoch(g.bucket_ts) AS x,
+         last_value(b.sum_value IGNORE NULLS) OVER w_prev AS locf,
+         last_value(CASE WHEN b.sum_value IS NOT NULL
+                         THEN epoch(g.bucket_ts) END IGNORE NULLS)
+           OVER w_prev AS prev_x,
+         first_value(b.sum_value IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN b.sum_value IS NOT NULL
+                          THEN epoch(g.bucket_ts) END IGNORE NULLS)
+           OVER w_next AS next_x
+  FROM grid g LEFT JOIN b USING (user_id, bucket_ts)
+  WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY g.user_id ORDER BY g.bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
 ORDER BY user_id, bucket_ts
 """)
 

@@ -184,7 +184,11 @@ def time_bucket_gapfill(df: DataFrame, ts_col: str = "ts",
     the key's first and last event exists, with NULL for empty buckets and
     a last-observation-carried-forward column beside it.
 
-    Returns (key_col, bucket_ts, <agg>_<value_col> nullable, locf).
+    Returns (key_col, bucket_ts, <agg>_<value_col> nullable, locf,
+    interpolated) — locf carries the last observation forward, interpolated
+    fills interior gaps linearly between the bracketing observations
+    (TimescaleDB's locf()/interpolate() pair); leading/trailing gaps stay
+    NULL in interpolated.
 
     Scale shape (the hypertable contract): the aggregate is one groupBy
     shuffle on (key, bucket); the dense grid comes from a per-key (min,
@@ -223,8 +227,23 @@ def time_bucket_gapfill(df: DataFrame, ts_col: str = "ts",
                     .alias("bucket_ts")))
 
     filled = grid.join(per_bucket, [key_col, "bucket_ts"], "left")
-    w = (Window.partitionBy(key_col).orderBy("bucket_ts")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wp = (Window.partitionBy(key_col).orderBy("bucket_ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(key_col).orderBy("bucket_ts")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    # linear interpolation needs the bracketing non-null values AND their
+    # bucket positions; epoch seconds of the bucket are the x axis
+    x = F.col("bucket_ts").cast("timestamp").cast("double")
+    prev_v = F.last(out_val, ignorenulls=True).over(wp)
+    prev_x = F.last(F.when(F.col(out_val).isNotNull(), x),
+                    ignorenulls=True).over(wp)
+    next_v = F.first(out_val, ignorenulls=True).over(wf)
+    next_x = F.first(F.when(F.col(out_val).isNotNull(), x),
+                     ignorenulls=True).over(wf)
+    interp = F.when(F.col(out_val).isNotNull(), F.col(out_val)).otherwise(
+        F.when(prev_v.isNotNull() & next_v.isNotNull(),
+               prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x)))
     return filled.select(
         key_col, "bucket_ts", out_val,
-        F.last(out_val, ignorenulls=True).over(w).alias("locf"))
+        prev_v.alias("locf"),
+        F.round(interp, 6).alias("interpolated"))

@@ -258,6 +258,16 @@ def _register_operator_tfs() -> dict:
         # unigram_nll('documents') -> per-doc LM quality score
         return text.unigram_nll(_op_table(qc, a[0]))
 
+    def gapfill(qc, a):
+        # gapfill('events'[, bucket[, agg]]) -> dense grid + locf/interp
+        from ..operators import asof
+        kw = {}
+        if len(a) > 1:
+            kw["bucket"] = str(a[1])
+        if len(a) > 2:
+            kw["agg"] = str(a[2])
+        return asof.time_bucket_gapfill(_op_table(qc, a[0]), **kw)
+
     def assign_shards(qc, a):
         # assign_shards('documents', 'doc_id', 8) -> rows + shard
         return packing.assign_shards(_op_table(qc, a[0]), str(a[1]),
@@ -270,7 +280,7 @@ def _register_operator_tfs() -> dict:
         pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
-        assign_shards)}
+        assign_shards, gapfill)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -1247,15 +1247,18 @@ def test_time_bucket_gapfill_locf(spark):
          (1, ts(2024, 1, 1, 13), 2.0),       # hours 11,12 are gaps
          (2, ts(2024, 1, 1, 0), 1.0)],
         ["user_id", "ts", "value"])
-    out = [(r.user_id, r.bucket_ts.hour, r.sum_value, r.locf)
+    out = [(r.user_id, r.bucket_ts.hour, r.sum_value, r.locf,
+            r.interpolated)
            for r in time_bucket_gapfill(df, bucket="hour")
            .orderBy("user_id", "bucket_ts").collect()]
+    # interior gaps interpolate linearly between 12.0 (hour 10) and 2.0
+    # (hour 13); locf carries 12.0 flat
     assert out == [
-        (1, 10, 12.0, 12.0),
-        (1, 11, None, 12.0),   # gap exists and carries forward
-        (1, 12, None, 12.0),
-        (1, 13, 2.0, 2.0),
-        (2, 0, 1.0, 1.0)]
+        (1, 10, 12.0, 12.0, 12.0),
+        (1, 11, None, 12.0, round(12.0 + (2.0 - 12.0) * 1 / 3, 6)),
+        (1, 12, None, 12.0, round(12.0 + (2.0 - 12.0) * 2 / 3, 6)),
+        (1, 13, 2.0, 2.0, 2.0),
+        (2, 0, 1.0, 1.0, 1.0)]
     import pytest as _pt
     with _pt.raises(ValueError, match="bucket"):
         time_bucket_gapfill(df, bucket="fortnight")
