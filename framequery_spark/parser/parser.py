@@ -37,7 +37,7 @@ RESERVED_STOP = {
     "between", "case", "when", "then", "else", "end", "asc", "desc", "nulls",
     "distinct", "all", "by", "with", "using", "select",
     # pg reserves these; keeping them alias-stoppers lets the clauses parse
-    "window", "tablesample", "fetch", "qualify",
+    "window", "tablesample", "fetch", "qualify", "into",
 }
 
 AGGREGATE_NAMES = {
@@ -137,6 +137,8 @@ class Parser:
         self.tokens = tokens
         self.i = 0
         self.sql = sql
+        self._q_depth = 0          # parse_query nesting (SELECT INTO guard)
+        self._select_into = None   # pg SELECT ... INTO t -> CTAS wrap
 
     # ------------------------------------------------------------- utilities
 
@@ -201,7 +203,11 @@ class Parser:
 
     def parse_statement(self) -> ast.Node:
         if self.is_kw("select", "with") or self.is_op("("):
-            return self.parse_query()
+            node = self.parse_query()
+            if self._select_into is not None:
+                node = ast.CreateTableAs(name=self._select_into, query=node)
+                self._select_into = None
+            return node
         if self.is_kw("values"):
             # top-level VALUES (1, 'a'), (2, 'b') — pg/DuckDB statement form
             vals = self.parse_values()
@@ -559,6 +565,13 @@ class Parser:
 
     def parse_query(self) -> ast.Node:
         """Query with optional WITH prefix and set-op chain."""
+        self._q_depth += 1
+        try:
+            return self._parse_query_inner()
+        finally:
+            self._q_depth -= 1
+
+    def _parse_query_inner(self) -> ast.Node:
         ctes: Tuple[ast.CTE, ...] = ()
         if self.is_kw("with"):
             ctes = self.parse_with()
@@ -666,6 +679,13 @@ class Parser:
         else:
             self.accept_kw("all")
         items = self.parse_select_list()
+        if self.accept_kw("into"):
+            # pg legacy CTAS: SELECT ... INTO t FROM ... — only valid in the
+            # top-level select (pg rejects it in subqueries too)
+            if self._q_depth > 1 or self._select_into is not None:
+                raise self.error("SELECT INTO is only allowed at the top level")
+            self.accept_kw("table")
+            self._select_into = ".".join(self.parse_dotted_name())
         from_ = None
         if self.accept_kw("from"):
             from_ = self.parse_from()

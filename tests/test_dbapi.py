@@ -196,3 +196,14 @@ def test_param_with_nul_byte_rejected(conn):
     cur = conn.cursor()
     with pytest.raises(ProgrammingError, match="NUL"):
         cur.execute("SELECT %(v)s AS v", {"v": "a\x00b"})
+
+
+def test_select_into(conn):
+    # pg legacy CTAS: SELECT ... INTO t — LIMIT applies before the store
+    cur = conn.cursor()
+    cur.execute("SELECT i, f INTO top3 FROM foo ORDER BY f DESC LIMIT 3")
+    cur.execute("SELECT count(*) AS n, round(min(f), 1) AS lo FROM top3")
+    n, lo = cur.fetchone()
+    assert n == 3
+    cur.execute("SELECT count(*) AS n FROM foo")  # source untouched
+    assert cur.fetchone()[0] == 6
