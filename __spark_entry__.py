@@ -2091,47 +2091,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness for only the FIRST 50 queries() entries, so
 # the window rotates per round until every entry has a green driver row:
 #   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window (this one): 39 op_* (incl. the exact mirrors, the new
-#     connected-components / incremental-dedup / streaming-dedup / PQ
-#     entries, and the round-5 contamination/leakage/chunk-dedup/streaming-
-#     decontam additions; 9 r04-green untouched ops deferred) + q51-q59
-#     (never driver-verified before) + q49/q50.
-#   r06 plan: keep the rows-only ops + anything non-green in r05, rotate the
-#     9 deferred ops and q19-q48 into the window (all entries then have a
-#     green row in the r04 U r05 U r06 union).
+#   r05 window: 39 op_* (exact mirrors, connected-components, incremental /
+#     streaming dedup, PQ, contamination/leakage) + q49-q59 (green).
+#   r06 window (this one): the 14 ops deferred in r05 (last driver row r04)
+#     + q19-q48 (last driver row r03) + 6 re-verify slots for entries whose
+#     code paths changed this round (unpersist discipline in dedup/
+#     contamination, stream-ingest schema fix). With this rotation every
+#     oracle-bearing entry has a green driver row in the r04 U r05 U r06
+#     union; the 4 rows-only approximate entries (op_simhash_pairs,
+#     op_ann_topk, op_pq_topk, op_ivf_topk) stay out by contract — each has
+#     a green exact-config mirror.
 # Entries outside the window stay covered by tests/test_conformance.py, which
-# runs the same differential over ALL entries.
-_Q_WINDOW = [
-    "q51_asof_join_sql", "q52_json_arrows", "q53_group_by_all",
-    "q54_lateral_topk", "q55_having_subquery", "q56_regression_aggs",
-    "q59_pivot",
-    "q57_range_interval_window",
-    "q58_qualify",
-    "q49_recursive_months",
-    "q50_quantified_compare",
+# runs the same differential over ALL entries every pytest session, and by
+# tests/test_window_rotation.py, which fails if an oracle-bearing entry goes
+# more than 2 rounds without a driver row.
+_DRIVER_WINDOW = [
+    # ops deferred from the r05 window (r04-green, low churn since)
+    "op_asof_join", "op_range_join", "op_doc_chunks",
+    "op_det_shuffle", "op_det_sample", "op_vocab_topk",
+    "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
+    "op_repetition_stats", "op_blob_metadata", "op_frame_sample",
+    "op_exact_dedup", "op_embedding_near_dup",
+    # last driver-verified on round-3 code
+    "q19_events_daily", "q20_limit_offset", "q21_having_counts",
+    "q22_above_avg", "q23_generate_series", "q24_json_extract",
+    "q25_distinct_pairs", "q26_implicit_join", "q27_theta_join",
+    "q28_full_join_counts", "q29_decile_stats", "q30_lag_lead",
+    "q31_rollup", "q32_cube_grouping", "q33_exists_correlated",
+    "q34_not_exists", "q35_min_cost_part", "q36_top_supplier",
+    "q37_big_orders", "q38_promo_revenue", "q39_customer_distribution",
+    "q40_idle_rich_customers", "q41_nation_trade", "q42_yearly_growth",
+    "q43_values_join", "q44_distinct_on", "q45_moving_sum",
+    "q46_conditional_agg", "q47_quantiles", "q48_ordered_string_agg",
+    # re-verify: code paths touched in round 6 (unpersist discipline,
+    # stream-ingest partition-column fix)
+    "op_split_leakage", "op_stream_ingest", "op_dedup_against",
+    "op_jaccard_pairs", "op_minhash_clusters", "op_decontaminate",
 ]
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 
-# Ops pushed past the 50-entry driver window this round to make room for
-# never-verified entries (incl. the new contamination/leakage audits). All
-# were hash-green in CORRECTNESS_r04 with low-churn code paths since
-# (sampling.py / packing.py / the tf-idf term path untouched); the in-repo
-# conformance test still runs them every pytest session.
-_OP_DEFER = ["op_asof_join", "op_range_join", "op_doc_chunks",
-             "op_det_shuffle", "op_det_sample", "op_vocab_topk",
-             "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
-             "op_repetition_stats", "op_blob_metadata", "op_frame_sample",
-             "op_exact_dedup", "op_embedding_near_dup"]
+
+def _entry_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    if name in _OPS:
+        return _OPS[name][0]
+    return _sql_runner(_Q[name][0])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (fn, _) in _OPS.items():
-        if name not in _OP_DEFER:
-            out[name] = fn
-    for name in _Q_WINDOW:
-        out[name] = _sql_runner(_Q[name][0])
-    for name in _OP_DEFER:
-        out[name] = _OPS[name][0]
+    for name in _DRIVER_WINDOW:
+        out[name] = _entry_fn(name)
+    for name in _OPS:
+        if name not in out:
+            out[name] = _OPS[name][0]
     for name, (sql, _) in _Q.items():
         if name not in out:
             out[name] = _sql_runner(sql)

@@ -1,0 +1,79 @@
+"""Driver-window rotation staleness guard.
+
+The driver records a CORRECTNESS row for only the first 50 ``queries()``
+entries per round, so the entry file rotates a 50-entry window each round.
+This test encodes the rotation policy as an invariant: an oracle-bearing
+entry may not go more than 2 rounds without a driver row — it must either
+have a green row in one of the last two recorded rounds, or be inside the
+current window (so it gets one this round).
+
+Rows-only-by-contract entries (see tests/test_conformance.py ROWS_ONLY) are
+exempt: the driver records them as ``err: no_oracle`` whenever they are in
+the window, and each has a hash-verified exact-config mirror.
+"""
+import glob
+import json
+import os
+import re
+
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# maximum rounds an oracle-bearing entry may go without a driver row
+MAX_STALE_ROUNDS = 2
+
+
+def _correctness_rounds():
+    rounds = {}
+    for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as fh:
+            rounds[int(m.group(1))] = json.load(fh)
+    return rounds
+
+
+def test_no_oracle_entry_stale_beyond_two_rounds():
+    import __spark_entry__ as entry
+    from tests.test_conformance import ROWS_ONLY
+
+    rounds = _correctness_rounds()
+    if not rounds:
+        pytest.skip("no CORRECTNESS_r*.json recorded yet")
+    current_round = max(rounds) + 1  # the round the driver runs next
+
+    last_green = {}
+    for rnd, rows in sorted(rounds.items()):
+        for name, v in rows.items():
+            if v.get("hash_match"):
+                last_green[name] = rnd
+
+    names = list(entry.queries())
+    window = set(names[:50])
+    stale = []
+    for name in names:
+        if name in ROWS_ONLY or name in window:
+            continue
+        last = last_green.get(name)
+        if last is None or current_round - last > MAX_STALE_ROUNDS:
+            stale.append((name, last))
+    assert not stale, (
+        f"oracle-bearing entries with no driver row in the last "
+        f"{MAX_STALE_ROUNDS} rounds and not in the current window — rotate "
+        f"them in: {stale}")
+
+
+def test_window_is_exactly_fifty_and_oracle_bearing():
+    import __spark_entry__ as entry
+    from tests.test_conformance import ROWS_ONLY
+
+    names = list(entry.queries())
+    assert len(names) >= 50
+    window = names[:50]
+    oracles = entry.oracle_sql()
+    missing = [n for n in window if n not in oracles and n not in ROWS_ONLY]
+    assert not missing, (
+        f"window entries with neither an oracle nor a rows-only "
+        f"declaration: {missing}")
