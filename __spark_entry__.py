@@ -699,7 +699,18 @@ FROM documents
 
 def _op(name: str, fn: Callable[[SparkSession, str], DataFrame],
         oracle: str | None) -> None:
-    _OPS[name] = (fn, oracle)
+    # release the PREVIOUS op's tracked persists (shingle/gram/signature
+    # intermediates) before running: op results are lazy, so each op's cache
+    # can only be dropped once the caller has materialized it — doing it at
+    # the next op's entry bounds a long session to one op's working set.
+    # Callers wanting eager release use operators.cache.release_cached().
+    def wrapped(spark: SparkSession, sf_dir: str,
+                _fn=fn) -> DataFrame:
+        from framequery_spark.operators.cache import release_cached
+        release_cached()
+        return _fn(spark, sf_dir)
+
+    _OPS[name] = (wrapped, oracle)
 
 
 _OPS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

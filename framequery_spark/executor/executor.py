@@ -345,11 +345,20 @@ class Executor:
                             .select(*base.columns))
                 scope[node.table] = base.unionByName(affected)
             else:  # DO UPDATE — desugar to MERGE (excluded = proposed row)
-                if node.returning and node.conflict_where is not None:
-                    raise CompileError(
-                        "RETURNING with ON CONFLICT DO UPDATE ... WHERE is "
-                        "not supported (the affected-row set depends on the "
-                        "per-row WHERE outcome)")
+                # pg raises when the batch itself carries a duplicate
+                # conflict key ("ON CONFLICT DO UPDATE command cannot affect
+                # row a second time") — for keys already in the table the
+                # MERGE duplicate-match guard catches this, but two batch
+                # rows sharing a NEW key would otherwise both take the NOT
+                # MATCHED INSERT arm and silently insert duplicates.
+                keys = list(node.conflict_cols)
+                dup = (df.groupBy(*keys).count()
+                       .where(F.col("count") > 1).limit(1).collect())
+                if dup:
+                    raise ValueError(
+                        "ON CONFLICT DO UPDATE command cannot affect row a "
+                        f"second time (duplicate conflict key in batch: "
+                        f"{tuple(dup[0][k] for k in keys)})")
                 on = None
                 for c in node.conflict_cols:
                     eq = ast.Binary(op="=",

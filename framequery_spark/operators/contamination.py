@@ -158,18 +158,19 @@ def split_leakage_ngrams(df: DataFrame, split_col: str = "split",
     and it is exactly the key whose join output would otherwise be
     quadratic in its document frequency.
     """
-    from pyspark import StorageLevel
+    from .cache import persist_tracked
 
     # persist: the gram stream feeds three branches (doc-freq filter + both
     # self-join sides); grams join by xxhash64 — 8-byte fixed keys, and a
     # collision needs ~2^32 distinct grams (birthday bound) — the
-    # jaccard_pairs discipline
-    grams = (df.select(F.col(id_col), F.col(split_col),
-                       F.explode(ngram_strings(F.col(text_col), n))
-                       .alias("gram"))
-             .select(F.col(id_col), F.col(split_col),
-                     F.xxhash64("gram").alias("gram"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    # jaccard_pairs discipline. Tracked persist: callers release with
+    # cache.release_cached() after materializing.
+    grams = persist_tracked(
+        df.select(F.col(id_col), F.col(split_col),
+                  F.explode(ngram_strings(F.col(text_col), n))
+                  .alias("gram"))
+        .select(F.col(id_col), F.col(split_col),
+                F.xxhash64("gram").alias("gram")))
     if max_doc_freq is not None:
         # broadcast the FREQUENT grams (boilerplate — a tiny set by
         # construction) and anti-join: map-side drop, no shuffle of the

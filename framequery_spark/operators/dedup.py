@@ -129,14 +129,16 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # shingle table to parquet between stages. Shingles are joined by their
     # 64-bit xxhash64, not the string: 8-byte fixed keys shuffle and compare
     # far faster, and a collision needs ~2^32 distinct shingles to appear
-    # once (birthday bound) — negligible against the oracle.
-    from pyspark import StorageLevel
+    # once (birthday bound) — negligible against the oracle. The persist is
+    # tracked: callers release it with cache.release_cached() after
+    # materializing (see operators/cache.py).
+    from .cache import persist_tracked
 
     # row-local distinct shingle hashes (array_distinct inside shingles() —
     # per-doc dedup without any exchange)
-    sh = (_shingle_table(df, id_col, text_col, k)
-          .select("__id", F.xxhash64("__shingle").alias("__shingle"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = persist_tracked(
+        _shingle_table(df, id_col, text_col, k)
+        .select("__id", F.xxhash64("__shingle").alias("__shingle")))
     if max_doc_freq is not None:
         # broadcast the FREQUENT shingles (stopword boilerplate — a tiny
         # set by construction: > max_doc_freq occurrences each) and
@@ -296,13 +298,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Jaccard (verify=True) so false positives never escape.
     """
     rows = num_perm // bands
-    from pyspark import StorageLevel
+    from .cache import persist_tracked
 
     params = _minhash_params(num_perm, seed)
     # set Jaccard over xxhash64 values == string-shingle Jaccard up to a
-    # ~2^-64-per-pair collision; persisted skinny (id, set, longs)
-    sigs = _lsh_sigs(df, id_col, text_col, k, params) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # ~2^-64-per-pair collision; persisted skinny (id, set, longs), tracked
+    # for cache.release_cached()
+    sigs = persist_tracked(_lsh_sigs(df, id_col, text_col, k, params))
     buckets = _band_buckets(sigs, bands, rows)
     a = buckets.toDF("id1", "__band", "__bucket")
     b = buckets.toDF("id2", "__band", "__bucket")
@@ -334,7 +336,7 @@ def minhash_pairs_against(new: DataFrame, corpus: DataFrame,
     and the tag splits the result for the cross-side band join.
     """
     rows = num_perm // bands
-    from pyspark import StorageLevel
+    from .cache import persist_tracked
 
     params = _minhash_params(num_perm, seed)
     tagged = (new.select(F.col(id_col), F.col(text_col),
@@ -342,9 +344,10 @@ def minhash_pairs_against(new: DataFrame, corpus: DataFrame,
               .unionByName(corpus.select(F.col(id_col), F.col(text_col),
                                          F.lit(False).alias("__is_new"))))
     # tag joins the group key, so ids need only be unique per side (a new
-    # batch may legitimately reuse corpus ids)
-    sigs = _lsh_sigs(tagged, id_col, text_col, k, params,
-                     tag_col="__is_new").persist(StorageLevel.MEMORY_AND_DISK)
+    # batch may legitimately reuse corpus ids); tracked persist — release
+    # via cache.release_cached()
+    sigs = persist_tracked(_lsh_sigs(tagged, id_col, text_col, k, params,
+                                     tag_col="__is_new"))
     sig_new = sigs.filter(F.col("__is_new"))
     sig_old = sigs.filter(~F.col("__is_new"))
     a = _band_buckets(sig_new, bands, rows).toDF("id1", "__band", "__bucket")
@@ -462,12 +465,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         e = F.when(F.col(f"__o{bit}") * 2 >= F.col("__n"),
                    F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = e if sim is None else sim.bitwiseOR(e)
-    from pyspark import StorageLevel
+    from .cache import persist_tracked
 
     # signatures feed both band-join sides — persist to compute the 64-bit
-    # majority votes once per document
-    sig_df = votes.select("__id", sim.alias("__sim")).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # majority votes once per document; tracked for cache.release_cached()
+    sig_df = persist_tracked(votes.select("__id", sim.alias("__sim")))
     bands = F.array(*[
         F.shiftrightunsigned(F.col("__sim"), i * width)
         .bitwiseAND(F.lit(mask))

@@ -37,7 +37,7 @@ RESERVED_STOP = {
     "between", "case", "when", "then", "else", "end", "asc", "desc", "nulls",
     "distinct", "all", "by", "with", "using", "select",
     # pg reserves these; keeping them alias-stoppers lets the clauses parse
-    "window", "tablesample", "fetch", "qualify", "into",
+    "window", "tablesample", "fetch", "qualify", "into", "returning",
 }
 
 AGGREGATE_NAMES = {
@@ -139,6 +139,7 @@ class Parser:
         self.sql = sql
         self._q_depth = 0          # parse_query nesting (SELECT INTO guard)
         self._select_into = None   # pg SELECT ... INTO t -> CTAS wrap
+        self._into_allowed = False  # True only for the top-level SELECT stmt
 
     # ------------------------------------------------------------- utilities
 
@@ -203,7 +204,11 @@ class Parser:
 
     def parse_statement(self) -> ast.Node:
         if self.is_kw("select", "with") or self.is_op("("):
-            node = self.parse_query()
+            self._into_allowed = True
+            try:
+                node = self.parse_query()
+            finally:
+                self._into_allowed = False
             if self._select_into is not None:
                 node = ast.CreateTableAs(name=self._select_into, query=node)
                 self._select_into = None
@@ -681,8 +686,11 @@ class Parser:
         items = self.parse_select_list()
         if self.accept_kw("into"):
             # pg legacy CTAS: SELECT ... INTO t FROM ... — only valid in the
-            # top-level select (pg rejects it in subqueries too)
-            if self._q_depth > 1 or self._select_into is not None:
+            # top-level select (pg rejects it in subqueries and in queries
+            # nested under INSERT / CREATE TABLE AS / MERGE, whose
+            # parse_query calls also start at depth 1)
+            if (self._q_depth > 1 or not self._into_allowed
+                    or self._select_into is not None):
                 raise self.error("SELECT INTO is only allowed at the top level")
             self.accept_kw("table")
             self._select_into = ".".join(self.parse_dotted_name())

@@ -264,7 +264,10 @@ def stream_ingest_dedup(spark: SparkSession, docs_path: str,
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # partition discovery over batch=<id>/ dirs appends a `batch` column;
+    # drop it so the streaming result is schema-identical to the batch
+    # dedup_against oracle it provably equals
+    return spark.read.parquet(out_dir).drop("batch")
 
 
 def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:

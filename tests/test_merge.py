@@ -218,6 +218,31 @@ def test_insert_upsert_returning_affected_rows(spark):
     assert got == [(2, 99), (4, 77)]  # updated + inserted, post-image
 
 
+def test_insert_select_returning(spark):
+    # "returning" must stop FROM-relation alias parsing: in the
+    # query-sourced form the word would otherwise be consumed as the table
+    # alias and the statement would fail with 'unexpected trailing input'
+    ex = _executor(spark)
+    got = sorted(tuple(r) for r in ex.execute(
+        "INSERT INTO t SELECT a + 10, b FROM s RETURNING a").collect())
+    assert got == [(12,), (13,), (14,)]
+    assert _rows(ex) == [(1, 10), (2, 20), (3, 30),
+                         (12, 99), (13, 88), (14, 77)]
+
+
+def test_insert_on_conflict_do_update_duplicate_batch_key_raises(spark):
+    # pg: "ON CONFLICT DO UPDATE command cannot affect row a second time".
+    # Both the new-key case (both rows would take the INSERT arm) and the
+    # existing-key case must raise rather than silently insert duplicates.
+    ex = _executor(spark)
+    for values in ["(9, 1), (9, 2)",    # duplicate NEW key
+                   "(2, 1), (2, 2)"]:   # duplicate EXISTING key
+        with pytest.raises(Exception, match="second time"):
+            ex.execute(f"INSERT INTO t VALUES {values} "
+                       "ON CONFLICT (a) DO UPDATE SET b = excluded.b")
+    assert _rows(ex) == [(1, 10), (2, 20), (3, 30)]  # table untouched
+
+
 def test_merge_values_source_with_column_alias(spark):
     ex = _executor(spark)
     ex.execute(

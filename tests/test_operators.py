@@ -1148,6 +1148,9 @@ def test_stream_ingest_dedup_matches_batch_and_is_idempotent(spark, tmp_path):
         spark, f"{sf}/documents.parquet", corpus,
         out_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpt"),
         doc_filter=F.col("doc_id") % 2 == 1)
+    # schema-identical to the batch result — in particular, the sink's
+    # batch=<id>/ partition-discovery column must NOT leak through
+    assert sorted(out.columns) == sorted(new.columns)
     got = sorted(r.doc_id for r in out.select("doc_id").collect())
     expect = sorted(r.doc_id for r in
                     dedup_against(new, corpus, threshold=0.7, num_perm=64,

@@ -157,3 +157,27 @@ def test_parser_fuzz_raises_only_parse_errors():
             parse(q)
         except (ParseError, TokenizeError):
             pass  # expected failure mode
+
+
+def test_select_into_only_at_top_level():
+    # pg rejects SELECT INTO in subqueries AND in queries nested under
+    # INSERT / CREATE TABLE AS (whose parse_query calls also start at
+    # depth 1 — the stashed INTO target must never silently vanish)
+    import pytest
+
+    from framequery_spark.parser.parser import ParseError
+
+    node = parse("select 1 as a into u")
+    assert type(node).__name__ == "CreateTableAs" and node.name == "u"
+    for sql in ["insert into t select 1 into u",
+                "create table x as select 1 into u",
+                "select * from (select 1 into u) z",
+                "with c as (select 1 into u) select * from c"]:
+        with pytest.raises(ParseError, match="top level"):
+            parse(sql)
+
+
+def test_returning_stops_alias_parsing():
+    node = parse("insert into t select a from s returning a")
+    assert node.returning
+    assert node.query.from_.alias is None
