@@ -25,6 +25,34 @@ from ..compiler.expressions import CompileError
 from ..compiler.select import QueryCompiler
 from ..parser import ast, parse
 
+def _rewrite_merge_action(node):
+    """Replace pg-17 `merge_action()` calls in a MERGE RETURNING item tree
+    with a reference to the `__merge_action` column computed by the merge
+    plan (helper columns are invisible to `*` expansion, so `RETURNING *`
+    stays pg-shaped)."""
+    import dataclasses
+
+    if isinstance(node, ast.Call) and node.name.lower() == "merge_action" \
+            and not node.args:
+        return ast.ColumnRef(parts=("__merge_action",))
+    if dataclasses.is_dataclass(node) and isinstance(node, ast.Node):
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, ast.Node):
+                new = _rewrite_merge_action(v)
+                if new is not v:
+                    changes[f.name] = new
+            elif isinstance(v, tuple):
+                new_t = tuple(_rewrite_merge_action(x)
+                              if isinstance(x, ast.Node) else x for x in v)
+                if any(a is not b for a, b in zip(new_t, v)):
+                    changes[f.name] = new_t
+        if changes:
+            return dataclasses.replace(node, **changes)
+    return node
+
+
 # SHOW options answered with constants so pg clients keep working
 # (reference: src/framequery/executor/_executor.py:403-414)
 _SHOW_OPTIONS = {
@@ -160,7 +188,7 @@ class Executor:
                          from_=ast.TableRef(parts=(table,)))
         return QueryCompiler(self, tmp).compile_query(sel)
 
-    def _exec_merge(self, node, scope: dict) -> None:
+    def _exec_merge(self, node, scope: dict):
         """MERGE INTO: one full-outer join of target and source on the ON
         condition, then a single conditional projection implements every
         WHEN arm with first-match semantics — matched rows take the first
@@ -171,7 +199,17 @@ class Executor:
         more than one source row (pg: "MERGE command cannot affect row a
         second time") — the check rides the same plan, no second pass.
         Scale shape: one equi/theta join + one hash-partitioned window;
-        nothing is collected. Beyond parity: the reference has no MERGE."""
+        nothing is collected. Beyond parity: the reference has no MERGE.
+
+        With node.returning (pg 17), returns the RETURNING projection over
+        the affected rows — the arm each row took is computed as a
+        `__merge_action` column riding the same conditional chain, so
+        `merge_action()` and the affected-set filter cost no extra pass:
+        rows whose arm was DO NOTHING (or whose conditional arm's AND/WHERE
+        failed, falling through to the keep default) have a NULL action and
+        are neither counted nor returned, matching pg. Update/insert rows
+        return the post-image; delete rows the old image. Returns None when
+        no RETURNING clause is present."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -280,6 +318,28 @@ class Executor:
         scope[node.target] = (joined
                               .where(keep & F.col("__guard"))
                               .select(*out_cols))
+        if not node.returning:
+            return None
+
+        # affected set: rows that actually took an update/delete/insert arm
+        def action_of(a, seg_kind):
+            if a.kind in ("update", "delete", "insert"):
+                return F.lit(a.kind.upper())
+            return F.lit(None).cast("string")
+
+        no_action = F.lit(None).cast("string")
+        action = build(action_of, {"matched": no_action,
+                                   "by_source": no_action,
+                                   "insert": no_action})
+        # delete rows: out_cols already carry the old image (the delete arm's
+        # per-column value is tcol(c)); update/insert rows the post-image
+        affected = (joined
+                    .withColumn("__action", action)
+                    .where(F.col("__action").isNotNull() & F.col("__guard"))
+                    .select(*out_cols,
+                            F.col("__action").alias("__merge_action")))
+        items = tuple(_rewrite_merge_action(i) for i in node.returning)
+        return self._returning(scope, t_name, affected, items)
 
     def _compile_query(self, node, scope: dict) -> DataFrame:
         return QueryCompiler(self, scope).compile_query(node)
@@ -314,8 +374,6 @@ class Executor:
         if isinstance(node, ast.InsertInto):
             from pyspark.sql import Window
             from pyspark.sql import functions as F
-
-            from ..compiler.expressions import CompileError
 
             df = self._compile_query(node.query, scope)
             base = self.resolve_table(scope, node.table)
@@ -379,16 +437,17 @@ class Executor:
                         kind="insert",
                         insert_values=tuple(
                             ast.ColumnRef(parts=("excluded", c))
-                            for c in base.columns)),))
+                            for c in base.columns)),),
+                    # RETURNING rides the merge's affected-row machinery:
+                    # inserted + updated rows only — a conflict row whose
+                    # DO UPDATE ... WHERE failed takes no arm, so it is
+                    # neither updated nor returned (pg semantics)
+                    returning=node.returning)
                 tmp = dict(scope)
                 tmp["__excluded"] = df
-                self._exec_merge(merge, tmp)
+                ret = self._exec_merge(merge, tmp)
                 scope[node.table] = tmp[node.table]
-                # affected = inserted + updated rows (post-image): exactly
-                # the new-table rows whose conflict key is in the batch
-                keys = list(node.conflict_cols)
-                affected = scope[node.table].join(
-                    df.select(*keys).distinct(), keys, "left_semi")
+                return ret
             if node.returning:
                 return self._returning(scope, node.table, affected,
                                        node.returning)
@@ -446,8 +505,7 @@ class Executor:
                                        node.returning)
             return None
         if isinstance(node, ast.Merge):
-            self._exec_merge(node, scope)
-            return None
+            return self._exec_merge(node, scope)
         if isinstance(node, ast.CopyFrom):
             from ..sources.copy import read_csv
 

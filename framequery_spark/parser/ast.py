@@ -478,6 +478,10 @@ class Merge(Node):
     matched: Tuple[MergeAction, ...] = ()
     not_matched: Tuple[MergeAction, ...] = ()  # BY TARGET (default)
     not_matched_by_source: Tuple[MergeAction, ...] = ()
+    # pg 17 MERGE ... RETURNING: one row per inserted/updated/deleted row
+    # (post-image for insert/update, old image for delete); merge_action()
+    # in the item list yields 'INSERT' | 'UPDATE' | 'DELETE'
+    returning: Tuple[Node, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -367,12 +367,15 @@ class Parser:
                     "expected UPDATE, DELETE, INSERT, or DO NOTHING")
         if not (matched or not_matched or by_source):
             raise self.error("MERGE requires at least one WHEN clause")
+        returning = (self.parse_select_list()
+                     if self.accept_kw("returning") else ())
         return ast.Merge(target=target, source=source, on=on,
                          target_alias=target_alias,
                          source_alias=source_alias,
                          matched=tuple(matched),
                          not_matched=tuple(not_matched),
-                         not_matched_by_source=tuple(by_source))
+                         not_matched_by_source=tuple(by_source),
+                         returning=returning)
 
     def _parse_pivot_source(self) -> ast.Node:
         if self.is_op("("):

@@ -251,3 +251,57 @@ def test_merge_values_source_with_column_alias(spark):
         "WHEN MATCHED THEN UPDATE SET b = d.b "
         "WHEN NOT MATCHED THEN INSERT VALUES (d.a, d.b)")
     assert _rows(ex) == [(1, 10), (2, 99), (3, 30), (5, 55)]
+
+
+# ---- MERGE ... RETURNING (pg 17) -------------------------------------------
+
+def test_merge_returning_all_arm_kinds(spark):
+    # pg 17: one RETURNING row per inserted/updated/deleted row — post-image
+    # for insert/update, old image for delete; untouched rows absent
+    ex = _executor(spark)
+    got = sorted(tuple(r) for r in ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED AND s.b > 90 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET b = t.b + s.b "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.a, s.b) "
+        "RETURNING merge_action() AS act, a, b").collect())
+    # a=2 deleted (old image b=20), a=3 updated (30+88), a=4 inserted
+    assert got == [("DELETE", 2, 20), ("INSERT", 4, 77), ("UPDATE", 3, 118)]
+    assert _rows(ex) == [(1, 10), (3, 118), (4, 77)]
+
+
+def test_merge_returning_star_and_do_nothing_excluded(spark):
+    ex = _executor(spark)
+    got = sorted(tuple(r) for r in ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED AND s.b = 99 THEN DO NOTHING "
+        "WHEN MATCHED THEN UPDATE SET b = 0 "
+        "RETURNING *").collect())
+    # a=2 took DO NOTHING -> not returned; `*` must not leak helper columns
+    assert got == [(3, 0)]
+    assert _rows(ex) == [(1, 10), (2, 20), (3, 0)]
+
+
+def test_merge_returning_conditional_arm_miss_not_returned(spark):
+    # a matched row whose every arm condition fails falls through to the
+    # keep default: untouched AND unreturned
+    ex = _executor(spark)
+    got = sorted(tuple(r) for r in ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED AND s.b < 90 THEN UPDATE SET b = s.b "
+        "RETURNING a, b").collect())
+    assert got == [(3, 88)]  # a=2 (s.b=99) untouched
+    assert _rows(ex) == [(1, 10), (2, 20), (3, 88)]
+
+
+def test_on_conflict_update_where_returning(spark):
+    # pg: conflicting rows failing the DO UPDATE ... WHERE are neither
+    # updated nor returned; inserts and passing updates return post-images
+    ex = _executor(spark)
+    got = sorted(tuple(r) for r in ex.execute(
+        "INSERT INTO t VALUES (2, 5), (3, 99), (6, 66) "
+        "ON CONFLICT (a) DO UPDATE SET b = excluded.b "
+        "WHERE t.b < excluded.b RETURNING a, b").collect())
+    # a=2: 20 < 5 false -> skipped; a=3: 30 < 99 -> updated; a=6 inserted
+    assert got == [(3, 99), (6, 66)]
+    assert _rows(ex) == [(1, 10), (2, 20), (3, 99), (6, 66)]
