@@ -2148,6 +2148,17 @@ def _entry_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return _sql_runner(_Q[name][0])
 
 
+# Entries that run a Structured Streaming query (Trigger.AvailableNow):
+# each carries ~2-5 s of fixed checkpoint/trigger startup regardless of data
+# volume. bench.py reports their total separately so the fixed streaming
+# tail can't mask regressions in the batch plans.
+STREAMING_ENTRIES = frozenset({
+    "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
+    "op_stream_dedup", "op_stream_decontam", "op_stream_ingest",
+    "op_stream_join",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _DRIVER_WINDOW:

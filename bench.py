@@ -110,6 +110,9 @@ def main() -> None:
             # all outside the timed window — otherwise the async
             # ContextCleaner/GC work lands unpredictably inside LATER timed
             # runs (observed as ±2-4 s noise on individual queries)
+            from framequery_spark.operators.cache import release_cached
+
+            release_cached()
             spark.catalog.clearCache()
             spark._jvm.System.gc()
         if failed or not runs:
@@ -127,6 +130,14 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # batch vs streaming split: the 7 Structured Streaming entries each pay
+    # a fixed ~2-5 s checkpoint/trigger startup that is not plan cost —
+    # reported separately so it can't mask batch regressions
+    streaming_names = getattr(entry, "STREAMING_ENTRIES", frozenset())
+    streaming_s = sum(v for k, v in timings.items()
+                      if k in streaming_names and v > 0)
+    batch_s = sum(v for k, v in timings.items()
+                  if k not in streaming_names and v > 0)
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 3),
@@ -135,6 +146,8 @@ def main() -> None:
         "sf": sf_val,
         "reps": reps,
         "aggregation": "median_per_query",
+        "batch_s": round(batch_s, 3),
+        "streaming_s": round(streaming_s, 3),
     }))
     # the driver records only the tail of the output and the full per-query
     # JSON above can overflow it — emit a compact (<1 KB) machine-parseable
@@ -144,7 +157,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "total_s": round(total, 3),
+        "batch_s": round(batch_s, 3),
+        "streaming_s": round(streaming_s, 3),
         "n": len(timings),
+        "n_streaming": sum(1 for k in timings if k in streaming_names),
         "sf": sf_val,
         "reps": reps,
         "failed": [k for k, v in timings.items() if v < 0],

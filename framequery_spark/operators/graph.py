@@ -93,6 +93,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     With return_stats=True returns (df, n_rounds) so tests can assert the
     O(log n) convergence bound.
+
+    NOT concurrency-safe within one SparkSession: the loop saves, shrinks,
+    and restores the session-global ``spark.sql.shuffle.partitions`` around
+    its rounds (Spark has no per-plan setting pre-AQE for the loop's
+    shuffles). Two threads running this operator — or any other query whose
+    shuffle width matters — concurrently on the SAME session will observe
+    each other's partition setting. Nested/sequential calls are fine (the
+    ``finally`` restores the entry value, and the function re-reads the
+    current value at entry). For concurrent clustering jobs, use separate
+    SparkSessions (``spark.newSession()`` shares the cluster but isolates
+    the SQL conf).
     """
     # checkpoint the cleaned edge list FIRST: both `nodes` and the loop's
     # initial frontier derive from it, and the upstream pair pipeline
