@@ -613,6 +613,54 @@ GROUP BY m
 ORDER BY m
 """)
 
+# pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
+# driver correctness row, not only unit tests. fq.execute copies the caller
+# scope, so the mutation never leaks between runs; the returned frame IS the
+# RETURNING projection. DuckDB has no MERGE, so the oracle is the pure
+# SELECT computing the same affected set. The MATCHED split uses the
+# integer per-supplier lineitem COUNT (never a float sum) so the arm choice
+# is engine-exact; 600 = the TPC-H lineitem/supplier ratio at every sf.
+_q("q60_merge_returning", """
+MERGE INTO supplier USING (
+  SELECT l_suppkey AS suppkey, count(*) AS n_items FROM lineitem GROUP BY 1
+) src ON supplier.s_suppkey = src.suppkey
+WHEN MATCHED AND src.n_items >= 600 THEN UPDATE SET s_acctbal = s_acctbal + 1
+WHEN MATCHED THEN DELETE
+RETURNING merge_action() AS action, s_suppkey, round(s_acctbal, 2) AS bal
+""", oracle="""
+WITH src AS (
+  SELECT l_suppkey AS suppkey, count(*) AS n_items FROM lineitem GROUP BY 1)
+SELECT CASE WHEN n_items >= 600 THEN 'UPDATE' ELSE 'DELETE' END AS action,
+       s_suppkey,
+       round(CASE WHEN n_items >= 600 THEN s_acctbal + 1
+             ELSE s_acctbal END, 2) AS bal
+FROM supplier JOIN src ON s_suppkey = suppkey
+""")
+
+# INSERT ... ON CONFLICT DO UPDATE ... WHERE ... RETURNING — the pg upsert
+# audit row. nation keys 20..24 conflict (updated only where the region
+# matches the source row's), 25..29 insert; RETURNING = post-images of
+# exactly the rows that took an arm.
+_q("q61_upsert_returning", """
+INSERT INTO nation
+SELECT n_nationkey + 20, n_name, n_regionkey
+FROM nation WHERE n_nationkey < 10
+ON CONFLICT (n_nationkey) DO UPDATE SET n_name = excluded.n_name
+WHERE nation.n_regionkey = excluded.n_regionkey
+RETURNING n_nationkey, n_name, n_regionkey
+""", oracle="""
+WITH src AS (
+  SELECT n_nationkey + 20 AS k, n_name, n_regionkey
+  FROM nation WHERE n_nationkey < 10)
+SELECT s.k AS n_nationkey, s.n_name, s.n_regionkey
+FROM src s LEFT JOIN nation t ON t.n_nationkey = s.k
+WHERE t.n_nationkey IS NULL
+UNION ALL
+SELECT t.n_nationkey, s.n_name, t.n_regionkey
+FROM nation t JOIN src s ON t.n_nationkey = s.k
+WHERE t.n_regionkey = s.n_regionkey
+""")
+
 
 # ---------------------------------------------------------------------------
 # LLM-pipeline operator entries (dedup / similarity / text / multimodal /
@@ -2094,6 +2142,92 @@ ORDER BY 1, 2, 3
 """)
 
 
+def _op_bm25_topk(spark, sf_dir):
+    """Sparse lexical retrieval (operators/retrieval.py:bm25_topk): top-5
+    docs per query under Lucene-style BM25. Inverted-index shape: the
+    corpus pays two map-side-combined aggregates over the token stream;
+    everything query-dependent is broadcast; per-term contributions sum in
+    decimal(28,12) so scores are engine-exact for the oracle."""
+    from framequery_spark.operators.retrieval import bm25_topk
+
+    docs = _scope(spark, sf_dir)["documents"]
+    qdf = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "window sort batch"),
+         (3, "stream dedup hash table")], "query_id long, query string")
+    return bm25_topk(docs, qdf, k=5)
+
+
+_op("op_bm25_topk", _op_bm25_topk, r"""
+WITH q(query_id, query) AS (VALUES (1, 'spark shuffle join'),
+                                   (2, 'window sort batch'),
+                                   (3, 'stream dedup hash table')),
+terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> ''
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM terms WHERE term <> ''
+       GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM terms WHERE term <> '') * 1.0
+                 / (SELECT count(*) FROM documents) AS avgdl),
+qt AS (SELECT DISTINCT query_id,
+              unnest(regexp_split_to_array(trim(lower(query)), '\s+')) AS term
+       FROM q),
+dft AS (SELECT term, count(*) AS df_t FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+cand AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(ln(1.0 + (s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              AS DECIMAL(28,12)) AS c
+  FROM qt JOIN dft USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+scored AS (
+  SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+  FROM cand GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+""")
+
+
+def _op_mixture_sample(spark, sf_dir):
+    """Data-mixing primitive (operators/sampling.py:mixture_sample):
+    deterministic per-source subsampling at prescribed rates — row-local
+    md5-threshold CASE, no shuffle, engine-exact, key-coherent (all rows of
+    a key stay together). Fixed rates here so the oracle is
+    scale-invariant; mixture_rates() solves rates from target weights."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.sampling import mixture_sample
+
+    docs = _scope(spark, sf_dir)["documents"]
+    out = mixture_sample(docs, "source",
+                         {"src1": 0.8, "src2": 0.5, "src3": 0.25},
+                         key_col="doc_id", default_rate=0.1)
+    return (out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("source"))
+
+
+_op("op_mixture_sample", _op_mixture_sample, """
+SELECT source, count(*) AS n_kept FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mixture'), 1, 8) <
+      CASE source
+        WHEN 'src1' THEN 'cccccccd'
+        WHEN 'src2' THEN '80000000'
+        WHEN 'src3' THEN '40000000'
+        ELSE '1999999a' END
+GROUP BY source
+ORDER BY source
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -2134,10 +2268,15 @@ _DRIVER_WINDOW = [
     "q40_idle_rich_customers", "q41_nation_trade", "q42_yearly_growth",
     "q43_values_join", "q44_distinct_on", "q45_moving_sum",
     "q46_conditional_agg", "q47_quantiles", "q48_ordered_string_agg",
-    # re-verify: code paths touched in round 6 (unpersist discipline,
-    # stream-ingest partition-column fix)
-    "op_split_leakage", "op_stream_ingest", "op_dedup_against",
-    "op_jaccard_pairs", "op_minhash_clusters", "op_decontaminate",
+    # new in round 6 (never driver-verified)
+    "q60_merge_returning", "q61_upsert_returning",
+    "op_bm25_topk", "op_mixture_sample",
+    # re-verify: code paths touched in round 6 (tracked-unpersist wiring,
+    # stream-ingest partition-column fix); the other ops touched by the
+    # unpersist change (jaccard/minhash/dedup_against/decontaminate) were
+    # r05-green, produce identical results, and stay covered by the in-repo
+    # differential
+    "op_split_leakage", "op_stream_ingest",
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -74,6 +74,65 @@ def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
     return df.filter(hash_bucket_hex(F.col(key_col), salt) < F.lit(thr))
 
 
+def mixture_sample(df: DataFrame, source_col: str,
+                   rates: Dict[str, float], key_col: str,
+                   salt: str = "mixture",
+                   default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-source subsampling — the data-mixing primitive for
+    assembling a training corpus from heterogeneous sources (web crawl,
+    code, books, ...) at prescribed rates.
+
+    Each source s keeps the rows whose key hashes under ``rates[s]``
+    (sources absent from ``rates`` keep ``default_rate``). The predicate is
+    a row-local CASE over hex-hash thresholds: no shuffle, engine-exact
+    (md5, like hash_split), reproducible under any repartitioning, and a
+    key shared by several rows (all chunks of a document) keeps or drops
+    them together. Rates > 1 are clamped to 1 (this operator never
+    up-samples; duplicate epochs are the training loop's job).
+
+    Use :func:`mixture_rates` to solve the rates from target mixture
+    WEIGHTS and the observed per-source counts.
+    """
+    bucket = hash_bucket_hex(F.col(key_col), salt)
+    pred = None
+    for src, rate in sorted(rates.items()):
+        thr = fraction_threshold_hex(min(1.0, max(0.0, rate)))
+        cond = (F.col(source_col) == F.lit(src)) & (bucket < F.lit(thr))
+        pred = cond if pred is None else pred | cond
+    default_thr = fraction_threshold_hex(min(1.0, max(0.0, default_rate)))
+    others = (~F.col(source_col).isin(*rates.keys())
+              & (bucket < F.lit(default_thr)))
+    pred = others if pred is None else pred | others
+    return df.filter(pred)
+
+
+def mixture_rates(df: DataFrame, source_col: str,
+                  weights: Dict[str, float],
+                  total_rows: int | None = None) -> Dict[str, float]:
+    """Per-source sampling rates achieving target mixture ``weights``
+    (relative proportions) without up-sampling any source.
+
+    Solves max c s.t. c * w_s / n_s <= 1 for every source — the usual
+    "scale the mixture until the scarcest source is exhausted" rule — then
+    optionally shrinks c to cap the output at ``total_rows``. The only
+    driver-side data is ONE aggregate row per source (bounded: sources are
+    a catalog, not data). Returns {source: rate}."""
+    counts = {r["src"]: r["n"] for r in
+              df.groupBy(F.col(source_col).alias("src"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources in weights but absent from data: {missing}")
+    w_total = float(sum(weights.values()))
+    shares = {s: w / w_total for s, w in weights.items()}
+    # largest c with c*share_s <= n_s for all s
+    c = min(counts[s] / share for s, share in shares.items() if share > 0)
+    if total_rows is not None:
+        c = min(c, float(total_rows))
+    return {s: (c * share) / counts[s] if counts[s] else 0.0
+            for s, share in shares.items()}
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Dict[str, float],
                       seed: int = 42) -> DataFrame:

@@ -259,3 +259,26 @@ def test_split_leakage_is_equi_join(docs):
     tagged = hash_split(docs, "doc_id")
     _assert_no_cartesian(split_leakage_ngrams(tagged, n=8))
     _assert_no_cartesian(split_leakage_pairs(tagged))
+
+
+def test_bm25_broadcasts_query_side(spark, docs):
+    from framequery_spark.operators.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame([(1, "spark shuffle"), (2, "hash join")],
+                                "query_id long, query string")
+    plan = formatted_plan(bm25_topk(docs, qdf, k=5))
+    # the inverted-index probe: query terms + stats broadcast INTO the
+    # corpus tf table — the corpus never shuffles for the probe, and the
+    # candidate join is an equi join, not a nested loop
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mixture_sample_is_shuffle_free(docs):
+    from framequery_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(docs, "source", {"src1": 0.5, "src2": 0.25},
+                         key_col="doc_id", default_rate=0.1)
+    plan = formatted_plan(out)
+    # row-local hash-threshold CASE: pure filter, no exchange
+    assert "Exchange" not in plan, plan

@@ -1316,3 +1316,78 @@ def test_time_bucket_gapfill_locf(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="bucket"):
         time_bucket_gapfill(df, bucket="fortnight")
+
+
+# ------------------------------------------------------------ BM25 retrieval
+
+
+def test_bm25_topk_ranks_and_determinism(spark, docs):
+    from framequery_spark.operators.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame([(1, "spark shuffle join")],
+                                "query_id long, query string")
+    out = bm25_topk(docs, qdf, k=5).collect()
+    assert len(out) == 5
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # byte-stable across layouts: same result after a repartition
+    again = bm25_topk(docs.repartition(7), qdf, k=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_bm25_term_absent_from_corpus_is_ignored(spark, docs):
+    from framequery_spark.operators.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame(
+        [(1, "zzzznosuchtermzzzz"), (2, "spark zzzznosuchtermzzzz")],
+        "query_id long, query string")
+    rows = bm25_topk(docs, qdf, k=3).collect()
+    # query 1 matches nothing -> no rows; query 2 scores on 'spark' alone
+    assert {r.query_id for r in rows} == {2}
+
+
+# ------------------------------------------------------------ mixture sample
+
+
+def test_mixture_sample_matches_duckdb(spark, docs):
+    import duckdb
+
+    from framequery_spark.operators.sampling import mixture_sample
+
+    out = mixture_sample(docs, "source", {"src1": 0.8, "src2": 0.5},
+                         key_col="doc_id", default_rate=0.1)
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    con = duckdb.connect()
+    con.register("documents", docs.select("doc_id", "source").toPandas())
+    exp = [r[0] for r in con.execute("""
+        SELECT doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mixture'), 1, 8) <
+              CASE source WHEN 'src1' THEN 'cccccccd'
+                          WHEN 'src2' THEN '80000000'
+                          ELSE '1999999a' END
+        ORDER BY doc_id""").fetchall()]
+    assert got == exp and got
+
+
+def test_mixture_rates_solves_target_proportions(spark, docs):
+    from framequery_spark.operators.sampling import (
+        mixture_rates, mixture_sample,
+    )
+
+    # equal source sizes + 3:1 weights -> the heavy source is exhausted
+    # (rate 1.0) and the light one takes 1/3
+    rates = mixture_rates(docs, "source", {"src1": 3, "src2": 1})
+    assert rates["src1"] == pytest.approx(1.0)
+    assert rates["src2"] == pytest.approx(1 / 3, rel=1e-6)
+    # capping total_rows shrinks both proportionally
+    capped = mixture_rates(docs, "source", {"src1": 3, "src2": 1},
+                           total_rows=10)
+    assert capped["src1"] == pytest.approx(rates["src1"] * 10 / (
+        docs.filter("source = 'src1'").count() +
+        docs.filter("source = 'src2'").count() // 3 * 1), rel=0.5)
+    assert 0 < capped["src2"] < capped["src1"]
+    # unknown source raises
+    with pytest.raises(ValueError, match="absent"):
+        mixture_rates(docs, "source", {"nope": 1})
