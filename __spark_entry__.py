@@ -2228,6 +2228,50 @@ ORDER BY source
 """)
 
 
+def _op_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.py:semdedup): k-means clusters +
+    within-cluster greedy cosine dedup. n_clusters=8 is the honest
+    approximate configuration (cross-cluster near-dups are not compared by
+    design) — rows-only; op_semdedup_exact is the hash-verified mirror."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import semdedup
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return (semdedup(emb, threshold=0.4, n_clusters=8)
+            .select("vec_id").orderBy("vec_id"))
+
+
+_op("op_semdedup", _op_semdedup, None)  # approximate by design: rows-only
+
+
+def _op_semdedup_exact(spark, sf_dir):
+    """semdedup in the exact configuration (n_clusters=1: a single cell, so
+    EVERY pair is compared and the greedy keep-lowest-id rule equals the
+    brute-force definition) — the whole centroid/assign/block-join/anti-join
+    machinery runs end-to-end and is hash-verified against the pure-SQL
+    NOT EXISTS oracle. Restricted to vec_id < 400 to bound the oracle's
+    all-pairs cost."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import semdedup
+
+    emb = _scope(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 400)
+    return (semdedup(emb, threshold=0.4, n_clusters=1)
+            .select("vec_id").orderBy("vec_id"))
+
+
+_op("op_semdedup_exact", _op_semdedup_exact, """
+SELECT a.vec_id FROM embeddings a
+WHERE a.vec_id < 400 AND NOT EXISTS (
+  SELECT 1 FROM embeddings b
+  WHERE b.vec_id < a.vec_id
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4)
+ORDER BY a.vec_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -2268,15 +2312,16 @@ _DRIVER_WINDOW = [
     "q40_idle_rich_customers", "q41_nation_trade", "q42_yearly_growth",
     "q43_values_join", "q44_distinct_on", "q45_moving_sum",
     "q46_conditional_agg", "q47_quantiles", "q48_ordered_string_agg",
-    # new in round 6 (never driver-verified)
+    # new in round 6 (never driver-verified): 2 DML-RETURNING entries, BM25,
+    # mixture sampling, and SemDeDup (approximate entry records its
+    # rows-only row; its exact mirror is hash-verified)
     "q60_merge_returning", "q61_upsert_returning",
     "op_bm25_topk", "op_mixture_sample",
-    # re-verify: code paths touched in round 6 (tracked-unpersist wiring,
-    # stream-ingest partition-column fix); the other ops touched by the
-    # unpersist change (jaccard/minhash/dedup_against/decontaminate) were
-    # r05-green, produce identical results, and stay covered by the in-repo
-    # differential
-    "op_split_leakage", "op_stream_ingest",
+    "op_semdedup", "op_semdedup_exact",
+    # the ops touched by round 6's tracked-unpersist wiring and the
+    # stream-ingest partition-column fix (jaccard/minhash/dedup_against/
+    # decontaminate/split_leakage/stream_ingest) were r05-green, produce
+    # byte-identical results, and stay covered by the in-repo differential
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

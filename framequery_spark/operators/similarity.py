@@ -296,3 +296,51 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def semdedup(corpus: DataFrame, threshold: float = 0.9,
+             n_clusters: int = 16, id_col: str = "vec_id",
+             vec_col: str = "embedding", iters: int = 2,
+             return_pairs: bool = False) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, compare pairs
+    only WITHIN a cluster, and greedily drop every item that has a
+    lower-id cluster-mate with cosine >= threshold. Near-semantic
+    duplicates (paraphrases, template re-renders) land in the same cluster
+    with overwhelming probability, so the quadratic comparison shrinks from
+    |corpus|^2 to sum of per-cluster sizes squared — the published recipe
+    prunes web corpora at billions of documents.
+
+    Scale shape: centroids are bounded driver k-means
+    (:func:`train_ivf_centroids`, capped collect); cluster assignment is a
+    map-side Arrow-batched argmin over broadcast centroids (one corpus
+    scan, no shuffle); within-cluster pairs ride
+    :func:`~framequery_spark.operators.dedup.embedding_near_dup_pairs`
+    with ``block_col`` = the cluster id (equi join on the cell — never
+    all-pairs); the final keep-set is one distinct + one left-anti join.
+
+    The greedy keep-lowest-id rule (drop b iff some a < b in the same
+    cluster has cos(a,b) >= threshold) is deterministic and — unlike a
+    connected-components closure — exactly expressible in SQL, which is
+    what the n_clusters=1 exact configuration is hash-verified against.
+    With n_clusters > 1 the result is approximate BY DESIGN: a cross-
+    cluster near-dup pair is not compared (the SemDeDup trade).
+
+    return_pairs=True returns the within-cluster offending pairs instead
+    of the surviving rows (for audit dashboards).
+    """
+    from .dedup import embedding_near_dup_pairs
+
+    centroids = train_ivf_centroids(corpus, n_centroids=n_clusters,
+                                    iters=iters, id_col=id_col,
+                                    vec_col=vec_col)
+    assigned = corpus.withColumn(
+        "__cell", _centroid_udf(centroids)(F.col(vec_col)))
+    pairs = embedding_near_dup_pairs(assigned, id_col=id_col,
+                                     vec_col=vec_col, threshold=threshold,
+                                     block_col="__cell")
+    if return_pairs:
+        return pairs
+    drops = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return (corpus.join(drops, id_col, "left_anti")
+            .select(*corpus.columns))

@@ -116,8 +116,10 @@ def test_query_matches_oracle(spark, name, fn, oracle):
 
 # rows-only entries (no DuckDB oracle BY DESIGN) must be explicitly listed
 # here; each has an exact-configuration mirror entry that IS hash-verified
-# (op_simhash_exact, op_ann_full, op_ivf_full_probe).
-ROWS_ONLY = {"op_simhash_pairs", "op_ann_topk", "op_ivf_topk", "op_pq_topk"}
+# (op_simhash_exact, op_ann_full, op_ivf_full_probe, op_pq_full,
+# op_semdedup_exact).
+ROWS_ONLY = {"op_simhash_pairs", "op_ann_topk", "op_ivf_topk", "op_pq_topk",
+             "op_semdedup"}
 
 
 def test_every_entry_has_oracle_or_is_listed_rows_only():

@@ -282,3 +282,11 @@ def test_mixture_sample_is_shuffle_free(docs):
     plan = formatted_plan(out)
     # row-local hash-threshold CASE: pure filter, no exchange
     assert "Exchange" not in plan, plan
+
+
+def test_semdedup_pairs_are_cell_equi_join(emb):
+    from framequery_spark.operators.similarity import semdedup
+
+    pairs = semdedup(emb.filter(F.col("vec_id") < 200), threshold=0.6,
+                     n_clusters=4, return_pairs=True)
+    _assert_no_cartesian(pairs)

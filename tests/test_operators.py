@@ -1391,3 +1391,49 @@ def test_mixture_rates_solves_target_proportions(spark, docs):
     # unknown source raises
     with pytest.raises(ValueError, match="absent"):
         mixture_rates(docs, "source", {"nope": 1})
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def test_semdedup_exact_matches_numpy_greedy(spark, emb):
+    from framequery_spark.operators.similarity import semdedup
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    got = sorted(r.vec_id for r in
+                 semdedup(sub, threshold=0.6, n_clusters=1).collect())
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in sub.collect()}
+    keep = []
+    for vid in sorted(vecs):
+        v = vecs[vid]
+        # greedy rule: ANY lower id (kept or not) similar enough drops vid
+        dup = any(
+            float(v @ vecs[k] / (np.linalg.norm(v) * np.linalg.norm(vecs[k])))
+            >= 0.6 for k in sorted(vecs) if k < vid)
+        if not dup:
+            keep.append(vid)
+    assert got == keep and got
+
+
+def test_semdedup_clustered_is_superset_of_exact(spark, emb):
+    # clustering can only MISS cross-cluster pairs, so the clustered
+    # survivor set contains every exact survivor
+    from framequery_spark.operators.similarity import semdedup
+
+    sub = emb.filter(F.col("vec_id") < 300)
+    exact = {r.vec_id for r in
+             semdedup(sub, threshold=0.6, n_clusters=1).collect()}
+    approx = {r.vec_id for r in
+              semdedup(sub, threshold=0.6, n_clusters=6).collect()}
+    assert exact <= approx
+    assert len(approx) <= sub.count()
+
+
+def test_semdedup_return_pairs_within_cluster_only(spark, emb):
+    from framequery_spark.operators.similarity import semdedup
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    pairs = semdedup(sub, threshold=0.6, n_clusters=4,
+                     return_pairs=True).collect()
+    assert all(r.id1 < r.id2 and r.cosine >= 0.6 for r in pairs)
