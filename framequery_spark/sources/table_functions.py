@@ -273,6 +273,34 @@ def _register_operator_tfs() -> dict:
         return packing.assign_shards(_op_table(qc, a[0]), str(a[1]),
                                      int(a[2]))
 
+    def bm25_topk(qc, a):
+        # bm25_topk('documents', 'queries'[, k]) — queries(query_id, query)
+        from ..operators import retrieval
+        k = int(a[2]) if len(a) > 2 else 10
+        return retrieval.bm25_topk(_op_table(qc, a[0]),
+                                   _op_table(qc, a[1]), k=k)
+
+    def semdedup(qc, a):
+        # semdedup('embeddings'[, threshold[, n_clusters]]) -> survivors
+        kw = {}
+        if len(a) > 1:
+            kw["threshold"] = float(a[1])
+        if len(a) > 2:
+            kw["n_clusters"] = int(a[2])
+        return similarity.semdedup(_op_table(qc, a[0]), **kw)
+
+    def mixture_sample(qc, a):
+        # mixture_sample('documents', 'source', 'doc_id',
+        #                'src1', 0.5, 'src2', 0.25[, default_rate])
+        # trailing source/rate pairs; an odd leftover literal = default_rate
+        pairs = a[3:]
+        rates = {str(pairs[i]): float(pairs[i + 1])
+                 for i in range(0, len(pairs) - len(pairs) % 2, 2)}
+        default = float(pairs[-1]) if len(pairs) % 2 else 0.0
+        return sampling.mixture_sample(_op_table(qc, a[0]), str(a[1]),
+                                       rates, key_col=str(a[2]),
+                                       default_rate=default)
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
@@ -280,7 +308,7 @@ def _register_operator_tfs() -> dict:
         pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
-        assign_shards, gapfill)}
+        assign_shards, gapfill, bm25_topk, semdedup, mixture_sample)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -321,3 +321,25 @@ def test_quality_operators_in_sql(spark, tpch_scope):
     q = ("select count(distinct shard) as n "
          "from assign_shards('documents', 'doc_id', 8)")
     assert fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"] == 8
+
+
+def test_retrieval_and_mixing_operators_in_sql(spark, tpch_scope):
+    import pandas as pd
+
+    scope = dict(tpch_scope)
+    scope["qset"] = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1, 2], "query": ["spark shuffle join", "hash batch"]}))
+    q = ("select query_id, count(*) as n from bm25_topk('documents', "
+         "'qset', 3) group by query_id order by query_id")
+    out = fq.execute(q, scope, spark=spark).collect()
+    assert [(r.query_id, r.n) for r in out] == [(1, 3), (2, 3)]
+
+    q = ("select count(*) as n from mixture_sample('documents', 'source', "
+         "'doc_id', 'src1', 0.5, 'src2', 0.25)")
+    n = fq.execute(q, scope, spark=spark).collect()[0]["n"]
+    assert 0 < n < 50  # only src1/src2 survive (default_rate 0)
+
+    q = "select count(*) as n from semdedup('embeddings', 0.4, 4)"
+    n = fq.execute(q, scope, spark=spark).collect()[0]["n"]
+    total = scope["embeddings"].count()
+    assert 0 < n <= total
