@@ -209,7 +209,9 @@ class Executor:
         failed, falling through to the keep default) have a NULL action and
         are neither counted nor returned, matching pg. Update/insert rows
         return the post-image; delete rows the old image. Returns None when
-        no RETURNING clause is present."""
+        no RETURNING clause is present. Limitation vs pg 17: RETURNING items
+        may reference target columns (post-/old-image) and merge_action()
+        but not source-relation columns."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 

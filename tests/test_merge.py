@@ -305,3 +305,17 @@ def test_on_conflict_update_where_returning(spark):
     # a=2: 20 < 5 false -> skipped; a=3: 30 < 99 -> updated; a=6 inserted
     assert got == [(3, 99), (6, 66)]
     assert _rows(ex) == [(1, 10), (2, 20), (3, 99), (6, 66)]
+
+
+def test_merge_returning_by_source_arms(spark):
+    # pg 17: NOT MATCHED BY SOURCE arms also feed RETURNING (old image for
+    # DELETE, post-image for UPDATE)
+    ex = _executor(spark)
+    got = sorted(tuple(r) for r in ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED THEN UPDATE SET b = s.b "
+        "WHEN NOT MATCHED BY SOURCE AND t.b >= 10 THEN DELETE "
+        "RETURNING merge_action() AS act, a, b").collect())
+    # a=1 target-only with b=10 -> deleted (old image); a=2,3 updated
+    assert got == [("DELETE", 1, 10), ("UPDATE", 2, 99), ("UPDATE", 3, 88)]
+    assert _rows(ex) == [(2, 99), (3, 88)]
