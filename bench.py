@@ -93,6 +93,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
+        # collect the PREVIOUS query's garbage before this query's reps —
+        # not between reps: a System.gc() right before a timed window
+        # triggers JIT deopt/re-profile storms that inflate the next rep
+        # 2-5x (measured: minhash_clusters 4.7 s warm vs 9-29 s right after
+        # a forced gc), so within a query rep0 absorbs the re-warm and the
+        # median of the remaining reps reflects the steady-state plan cost.
+        spark._jvm.System.gc()
         runs: list[float] = []
         failed = False
         for r in range(reps):
@@ -105,16 +112,12 @@ def main() -> None:
                 failed = True
                 break
             runs.append(time.perf_counter() - t0)
-            # queries are independent: drop persisted intermediates the
-            # operators leave behind and collect the query's garbage now,
-            # all outside the timed window — otherwise the async
-            # ContextCleaner/GC work lands unpredictably inside LATER timed
-            # runs (observed as ±2-4 s noise on individual queries)
+            # reps stay independent: drop persisted intermediates the
+            # operators leave behind (cheap, no JVM-wide pause)
             from framequery_spark.operators.cache import release_cached
 
             release_cached()
             spark.catalog.clearCache()
-            spark._jvm.System.gc()
         if failed or not runs:
             timings[name] = -1.0
             continue
