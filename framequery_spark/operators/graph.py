@@ -77,9 +77,33 @@ def _edge_digest(e: DataFrame) -> Tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _unionfind_components(edge_rows):
+    """Driver-side union-find with union-by-min: {node: component_min}.
+    Node ids may be any orderable type; runs in ~O(E α(E))."""
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+        parent[hi] = lo
+    return {x: find(x) for x in parent} | {
+        u: find(u) for pair in edge_rows for u in pair}
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 30,
-                         return_stats: bool = False):
+                         return_stats: bool = False,
+                         driver_finish_threshold: int = 100_000):
     """Connected components of an undirected graph given as an edge list.
 
     Returns a DataFrame (node, component) covering every node that appears
@@ -91,8 +115,20 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     point (every surviving edge then points directly at its component's
     minimum). Self-loops and duplicate/reversed input edges are tolerated.
 
-    With return_stats=True returns (df, n_rounds) so tests can assert the
-    O(log n) convergence bound.
+    ``driver_finish_threshold``: whenever the (deduplicated) frontier holds
+    at most this many edges, the loop stops and a driver-side union-find
+    finishes the closure in one bounded collect (≤ threshold rows, a few
+    MB) — the standard hybrid: sequential Spark rounds cost whole-stage
+    scheduling latency that dominates exactly when the data is small. The
+    distributed star rounds remain the scale path: at fixed point the edge
+    set holds one edge per NON-ROOT node, so a billion-node dup graph never
+    collects — it contracts distributed until convergence, while a few-
+    thousand-node graph skips straight to union-find. Set 0 to force the
+    pure distributed loop (the stress tests do, to prove the O(log n)
+    round bound).
+
+    With return_stats=True returns (df, n_rounds) — n_rounds counts
+    DISTRIBUTED star rounds only (0 when union-find finished immediately).
 
     NOT concurrency-safe within one SparkSession: the loop saves, shrinks,
     and restores the session-global ``spark.sql.shuffle.partitions`` around
@@ -141,8 +177,31 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     old_parts = spark.conf.get(_PKEY)
     digest = _edge_digest(e)
     rounds = 0
+    assign = None
     try:
-        for _ in range(max_iterations):
+        while True:
+            if digest[0] <= driver_finish_threshold:
+                # bounded hybrid finish: the frontier fits in a few MB —
+                # one collect + union-find beats more sequential rounds of
+                # whole-stage scheduling latency. Never reached while the
+                # graph is large (the fixed point holds one edge per
+                # non-root node, so big graphs contract distributed).
+                labels = _unionfind_components(
+                    [(r["u"], r["v"]) for r in e.collect()])
+                if labels:
+                    assign = spark.createDataFrame(
+                        list(labels.items()),
+                        e.select(F.col("u").alias("node"),
+                                 F.col("v").alias("component")).schema)
+                else:
+                    assign = e.select(F.col("u").alias("node"),
+                                      F.col("v").alias("component"))
+                break
+            if rounds >= max_iterations:
+                raise RuntimeError(
+                    f"connected_components did not converge in "
+                    f"{max_iterations} rounds; the bound is ~log2(nodes) — "
+                    "raise max_iterations")
             spark.conf.set(_PKEY, str(
                 max(4, min(int(old_parts), digest[0] // 20000 + 1))))
             e = _small_star(_large_star(e)).localCheckpoint()
@@ -154,17 +213,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             if new_digest == digest:
                 break
             digest = new_digest
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} "
-                f"rounds; the bound is ~log2(nodes) — raise max_iterations")
     finally:
         spark.conf.set(_PKEY, old_parts)
 
     # Fixed point: every edge is (member, component-min); roots have no
     # outgoing edge, isolated nodes (self-loop-only inputs) have none either
     # — both label themselves via the left join + coalesce.
-    assign = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    if assign is None:
+        assign = e.select(F.col("u").alias("node"),
+                          F.col("v").alias("component"))
     out = (nodes.join(assign, "node", "left")
            .select("node",
                    F.coalesce(F.col("component"), F.col("node"))

@@ -36,7 +36,8 @@ def test_chain_worst_case_round_bound_and_labels(spark):
     edges = chain.unionByName(hubs)
 
     out, rounds = connected_components(edges, max_iterations=64,
-                                       return_stats=True)
+                                       return_stats=True,
+                                       driver_finish_threshold=0)
     import math
     bound = 2 * int(math.ceil(math.log2(CHAIN_N + 3003))) + 4
     assert rounds <= bound, (
@@ -70,7 +71,8 @@ def test_random_graph_matches_duckdb_recursive_cte(spark):
         .select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
     pdf = edges.toPandas()
 
-    out = connected_components(edges, max_iterations=40)
+    out = connected_components(edges, max_iterations=40,
+                               driver_finish_threshold=0)
     got = {(r.node, r.component) for r in out.collect()}
 
     con = duckdb.connect()
@@ -100,11 +102,12 @@ def test_shuffle_partition_conf_restored_even_nested(spark):
     before = spark.conf.get(key)
     edges = spark.range(50).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
-    connected_components(edges).count()
+    connected_components(edges, driver_finish_threshold=0).count()
     assert spark.conf.get(key) == before
     # error path restores too
     with pytest.raises(RuntimeError, match="converge"):
         long_chain = spark.range(400).select(
             F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
-        connected_components(long_chain, max_iterations=1).count()
+        connected_components(long_chain, max_iterations=1,
+                             driver_finish_threshold=0).count()
     assert spark.conf.get(key) == before

@@ -766,9 +766,12 @@ def test_connected_components_chain_converges_logarithmically(spark):
     from framequery_spark.operators.graph import connected_components
 
     chain = [(i, i + 1) for i in range(255)]
+    # driver_finish_threshold=0 forces the pure distributed loop — the
+    # hybrid finish would otherwise satisfy the bound trivially
     out, rounds = connected_components(
-        spark.createDataFrame(chain, ["src", "dst"]), return_stats=True)
-    assert rounds <= 12, rounds
+        spark.createDataFrame(chain, ["src", "dst"]), return_stats=True,
+        driver_finish_threshold=0)
+    assert 0 < rounds <= 12, rounds
     assert out.where(F.col("component") != 0).count() == 0
 
 
@@ -800,7 +803,26 @@ def test_connected_components_iteration_cap_raises(spark):
     chain = [(i, i + 1) for i in range(64)]
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(spark.createDataFrame(chain, ["src", "dst"]),
-                             max_iterations=1)
+                             max_iterations=1, driver_finish_threshold=0)
+
+
+def test_connected_components_hybrid_equals_distributed(spark):
+    # the bounded driver-side union-find finish must be result-identical to
+    # the pure distributed star loop
+    import random
+
+    from framequery_spark.operators.graph import connected_components
+
+    rng = random.Random(77)
+    edges = spark.createDataFrame(
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(350)],
+        ["src", "dst"])
+    hybrid = {(r.node, r.component) for r in
+              connected_components(edges).collect()}
+    dist = {(r.node, r.component) for r in
+            connected_components(edges,
+                                 driver_finish_threshold=0).collect()}
+    assert hybrid == dist and hybrid
 
 
 def test_minhash_dup_clusters_groups_near_dups(spark):
