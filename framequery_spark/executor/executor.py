@@ -25,32 +25,55 @@ from ..compiler.expressions import CompileError
 from ..compiler.select import QueryCompiler
 from ..parser import ast, parse
 
-def _rewrite_merge_action(node):
-    """Replace pg-17 `merge_action()` calls in a MERGE RETURNING item tree
-    with a reference to the `__merge_action` column computed by the merge
-    plan (helper columns are invisible to `*` expansion, so `RETURNING *`
-    stays pg-shaped)."""
+def _rewrite_merge_action(node, s_name=None, src_cols=()):
+    """Rewrite a MERGE RETURNING item tree against the merge plan's helper
+    columns (invisible to `*` expansion, so `RETURNING *` stays pg-shaped):
+
+    - pg-17 `merge_action()` calls -> the `__merge_action` column;
+    - source-qualified refs `<s_name>.c` -> the `__src_c` passthrough
+      (pg 17 allows RETURNING to read the matched source row)."""
     import dataclasses
 
     if isinstance(node, ast.Call) and node.name.lower() == "merge_action" \
             and not node.args:
         return ast.ColumnRef(parts=("__merge_action",))
+    if isinstance(node, ast.ColumnRef) and s_name is not None \
+            and len(node.parts) == 2 and node.parts[0] == s_name \
+            and node.parts[1] in src_cols:
+        return ast.ColumnRef(parts=(f"__src_{node.parts[1]}",))
     if dataclasses.is_dataclass(node) and isinstance(node, ast.Node):
         changes = {}
         for f in dataclasses.fields(node):
             v = getattr(node, f.name)
             if isinstance(v, ast.Node):
-                new = _rewrite_merge_action(v)
+                new = _rewrite_merge_action(v, s_name, src_cols)
                 if new is not v:
                     changes[f.name] = new
             elif isinstance(v, tuple):
-                new_t = tuple(_rewrite_merge_action(x)
+                new_t = tuple(_rewrite_merge_action(x, s_name, src_cols)
                               if isinstance(x, ast.Node) else x for x in v)
                 if any(a is not b for a, b in zip(new_t, v)):
                     changes[f.name] = new_t
         if changes:
             return dataclasses.replace(node, **changes)
     return node
+
+
+def _rewrite_returning(items, s_name, src_cols):
+    """Item-level MERGE RETURNING rewrite: `<s_name>.*` expands to the
+    source passthrough columns (aliased back to their own names, pg-style);
+    everything else goes through :func:`_rewrite_merge_action`."""
+    out = []
+    for item in items:
+        expr = getattr(item, "expr", item)
+        if isinstance(expr, ast.Star) and expr.table == s_name:
+            out.extend(
+                ast.SelectItem(
+                    expr=ast.ColumnRef(parts=(f"__src_{c}",)), alias=c)
+                for c in src_cols)
+            continue
+        out.append(_rewrite_merge_action(item, s_name, src_cols))
+    return tuple(out)
 
 
 # SHOW options answered with constants so pg clients keep working
@@ -209,9 +232,10 @@ class Executor:
         failed, falling through to the keep default) have a NULL action and
         are neither counted nor returned, matching pg. Update/insert rows
         return the post-image; delete rows the old image. Returns None when
-        no RETURNING clause is present. Limitation vs pg 17: RETURNING items
-        may reference target columns (post-/old-image) and merge_action()
-        but not source-relation columns."""
+        no RETURNING clause is present. RETURNING may reference target
+        columns (post-/old-image), merge_action(), and source-qualified
+        columns `<src>.c` / `<src>.*` (NULL for NOT MATCHED BY SOURCE rows,
+        like pg); unqualified names resolve to the target."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -334,13 +358,20 @@ class Executor:
                                    "by_source": no_action,
                                    "insert": no_action})
         # delete rows: out_cols already carry the old image (the delete arm's
-        # per-column value is tcol(c)); update/insert rows the post-image
+        # per-column value is tcol(c)); update/insert rows the post-image.
+        # Source columns ride along as __src_<c> helper columns (invisible
+        # to `*` expansion) so RETURNING may reference the matched source
+        # row via its alias (pg 17); for target-only (BY SOURCE) rows they
+        # are NULL, matching pg.
+        src_cols = [c for c in s_df.columns if not c.startswith("__")]
         affected = (joined
                     .withColumn("__action", action)
                     .where(F.col("__action").isNotNull() & F.col("__guard"))
                     .select(*out_cols,
-                            F.col("__action").alias("__merge_action")))
-        items = tuple(_rewrite_merge_action(i) for i in node.returning)
+                            F.col("__action").alias("__merge_action"),
+                            *[F.col(f"`{s_name}`.`{c}`").alias(f"__src_{c}")
+                              for c in src_cols]))
+        items = _rewrite_returning(node.returning, s_name, src_cols)
         return self._returning(scope, t_name, affected, items)
 
     def _compile_query(self, node, scope: dict) -> DataFrame:

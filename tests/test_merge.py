@@ -319,3 +319,30 @@ def test_merge_returning_by_source_arms(spark):
     # a=1 target-only with b=10 -> deleted (old image); a=2,3 updated
     assert got == [("DELETE", 1, 10), ("UPDATE", 2, 99), ("UPDATE", 3, 88)]
     assert _rows(ex) == [(2, 99), (3, 88)]
+
+
+def test_merge_returning_source_columns(spark):
+    # pg 17: RETURNING may read the matched source row via its alias;
+    # target-only (BY SOURCE) rows see NULL source columns
+    ex = _executor(spark)
+    got = sorted(tuple(r) for r in ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN MATCHED THEN UPDATE SET b = t.b + s.b "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.a, 0) "
+        "RETURNING a, b, s.b AS src_b").collect())
+    # a=2: 20+99; a=3: 30+88; a=4 inserted with b=0, source b=77
+    assert got == [(2, 119, 99), (3, 118, 88), (4, 0, 77)]
+
+
+def test_merge_returning_source_star_and_null_for_by_source(spark):
+    ex = _executor(spark)
+    df = ex.execute(
+        "MERGE INTO t USING s ON t.a = s.a "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET b = s.b "
+        "RETURNING merge_action() AS act, a, s.*")
+    assert df.columns == ["act", "a", "a", "b"]  # s.* keeps pg names
+    got = sorted(tuple(r) for r in df.collect())
+    # a=1 deleted (target-only): source cols NULL; a=2/3 updated
+    assert got == [("DELETE", 1, None, None),
+                   ("UPDATE", 2, 2, 99), ("UPDATE", 3, 3, 88)]
