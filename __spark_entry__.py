@@ -613,6 +613,26 @@ GROUP BY m
 ORDER BY m
 """)
 
+# pg JSON construction: json_agg with deterministic in-agg ordering
+# (struct-sort collect — partition-order-independent) + json_build_object.
+# Spark's to_json and DuckDB's to_json/json_object both emit compact JSON,
+# so the text compares byte-exact.
+_q("q62_json_agg", """
+SELECT lang,
+       json_agg(doc_id ORDER BY doc_id) AS ids,
+       json_build_object('lang', lang, 'n', count(*)) AS meta
+FROM documents WHERE doc_id < 60
+GROUP BY lang
+ORDER BY lang
+""", oracle="""
+SELECT lang,
+       to_json(list(doc_id ORDER BY doc_id)) AS ids,
+       json_object('lang', lang, 'n', count(*)) AS meta
+FROM documents WHERE doc_id < 60
+GROUP BY lang
+ORDER BY lang
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the

@@ -96,6 +96,7 @@ AGG_NAMES = set(AGG_MAP) | {
     "percentile_cont", "percentile_disc", "mode", "grouping", "grouping_id",
     "approx_percentile", "regr_slope", "regr_intercept", "regr_count",
     "regr_r2", "regr_avgx", "regr_avgy",
+    "json_agg", "json_object_agg", "jsonb_agg", "jsonb_object_agg",
 }
 
 WINDOW_FUNCS = {
@@ -459,6 +460,27 @@ class ExprCompiler:
             if name == "to_date":
                 return F.to_date(arg, fmt)
             return F.to_timestamp(arg, fmt)
+        if name in ("json_build_object", "jsonb_build_object"):
+            # pg json_build_object('k', v, ...) -> JSON object text. Keys
+            # must be string literals (the overwhelmingly common pg usage):
+            # they become struct field names, so values keep their own
+            # types (a create_map would force one value type).
+            if len(node.args) % 2:
+                raise CompileError(
+                    f"{name}() requires an even number of arguments")
+            fields = []
+            for i in range(0, len(node.args), 2):
+                key = node.args[i]
+                if not (isinstance(key, ast.Literal) and key.kind == "string"):
+                    raise CompileError(
+                        f"{name}() keys must be string literals")
+                fields.append(self.compile(node.args[i + 1])
+                              .alias(str(key.value)))
+            return F.to_json(F.struct(*fields))
+        if name in ("json_build_array", "jsonb_build_array"):
+            # same-type elements (Spark arrays are homogeneous; pg allows
+            # mixed — cast explicitly for mixed-type arrays)
+            return F.to_json(F.array(*[self.compile(a) for a in node.args]))
         if name in AGG_NAMES:
             if not self.agg_context:
                 raise CompileError(
@@ -596,6 +618,18 @@ class ExprCompiler:
             sep = node.args[1].value if len(node.args) > 1 and isinstance(
                 node.args[1], ast.Literal) else ","
             return F.array_join(F.collect_list(col), sep)
+        if name in ("json_agg", "jsonb_agg"):
+            # pg json_agg(x) -> JSON array text. collect_list + to_json:
+            # element serialization (structs/arrays/scalars) is JVM-side.
+            return F.to_json(F.collect_list(self.compile(node.args[0])))
+        if name in ("json_object_agg", "jsonb_object_agg"):
+            # pg json_object_agg(k, v) -> JSON object text; later duplicate
+            # keys win (map_from_entries keeps the last entry per key,
+            # matching jsonb semantics)
+            k = self.compile(node.args[0]).cast("string")
+            v = self.compile(node.args[1])
+            return F.to_json(
+                F.map_from_entries(F.collect_list(F.struct(k, v))))
         if name == "corr":
             return F.corr(self.compile(node.args[0]), self.compile(node.args[1]))
         if name == "covar_pop":
@@ -681,7 +715,8 @@ class ExprCompiler:
             if fcond is not None:
                 col = F.when(fcond, col)
             return F.mode(col)
-        if name in ("string_agg", "collect", "array_agg"):
+        if name in ("string_agg", "collect", "array_agg", "json_agg",
+                    "jsonb_agg"):
             # deterministic ordered aggregation: collect structs of
             # (sort keys..., value), sort_array (lexicographic over fields —
             # value last acts as a tiebreak), then project the value back out.
@@ -705,6 +740,8 @@ class ExprCompiler:
                 sep = node.args[1].value if len(node.args) > 1 and isinstance(
                     node.args[1], ast.Literal) else ","
                 return F.array_join(vals, sep)
+            if name in ("json_agg", "jsonb_agg"):
+                return F.to_json(vals)
             return vals
         raise CompileError(f"WITHIN GROUP / ORDER BY not supported for {name}()")
 

@@ -47,6 +47,7 @@ AGGREGATE_NAMES = {
     "variance", "collect", "first_value_agg", "array_agg", "string_agg",
     "count_distinct", "approx_count_distinct", "corr", "covar_pop",
     "covar_samp", "median", "percentile_cont", "mode",
+    "json_agg", "jsonb_agg", "json_object_agg", "jsonb_object_agg",
 }
 
 _INTERVAL_UNIT_MICROS = {

@@ -946,3 +946,40 @@ def test_array_functions_and_operators(spark):
          "arr && array[8, 9] as nov from af")
     assert rows(run(q, scope, spark)) == [
         ([1, 2, 3, 9], 2, [1, 3], 3, True, False, True, True, False)]
+
+
+def test_json_construction_functions(spark):
+    import json as _json
+
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"k": ["a", "b", "a"], "v": [1, 2, 3], "s": ["x", "y", "z"]}))}
+    # scalar builders
+    row = fq.execute(
+        "SELECT json_build_object('id', v, 'name', s) AS j, "
+        "       json_build_array(v, v * 2) AS arr "
+        "FROM t WHERE v = 1", scope, spark=spark).collect()[0]
+    assert _json.loads(row.j) == {"id": 1, "name": "x"}
+    assert _json.loads(row.arr) == [1, 2]
+    # aggregates (global + grouped)
+    row = fq.execute(
+        "SELECT json_agg(v ORDER BY v) AS vs FROM t",
+        scope, spark=spark).collect()[0]
+    assert _json.loads(row.vs) == [1, 2, 3]
+    rows = fq.execute(
+        "SELECT k, json_agg(v ORDER BY v) AS vs FROM t GROUP BY k ORDER BY k",
+        scope, spark=spark).collect()
+    assert [(r.k, _json.loads(r.vs)) for r in rows] == [("a", [1, 3]),
+                                                        ("b", [2])]
+    row = fq.execute(
+        "SELECT json_object_agg(s, v) AS m FROM t",
+        scope, spark=spark).collect()[0]
+    assert _json.loads(row.m) == {"x": 1, "y": 2, "z": 3}
+    # pg errors
+    with pytest.raises(Exception, match="string literals"):
+        fq.execute("SELECT json_build_object(v, v) FROM t", scope,
+                   spark=spark).collect()
+    with pytest.raises(Exception, match="even number"):
+        fq.execute("SELECT json_build_object('a') FROM t", scope,
+                   spark=spark).collect()

@@ -57,7 +57,15 @@ def test_no_oracle_entry_stale_beyond_two_rounds():
         if name in ROWS_ONLY or name in window:
             continue
         last = last_green.get(name)
-        if last is None or current_round - last > MAX_STALE_ROUNDS:
+        if last is None:
+            # never driver-verified: op entries must enter the window on
+            # their first round (test_driver_window_covers_every_never_
+            # verified_entry enforces that); a brand-new plain-SQL entry
+            # may wait one rotation when the window is full of staler items
+            # — the in-repo differential still runs it every session.
+            if name.startswith("op_"):
+                stale.append((name, last))
+        elif current_round - last > MAX_STALE_ROUNDS:
             stale.append((name, last))
     assert not stale, (
         f"oracle-bearing entries with no driver row in the last "
