@@ -325,13 +325,18 @@ class ExprCompiler:
 
     def _c_Like(self, node: ast.Like) -> Column:
         c = self.compile(node.expr)
-        if isinstance(node.pattern, ast.Literal):
+        fn = "ilike" if node.case_insensitive else "like"
+        if node.escape is not None:
+            # LIKE ... ESCAPE 'c' — Spark's like()/ilike() take the escape
+            # char as a third argument (must be a single character, which
+            # Spark validates at analysis)
+            cond = F.call_function(fn, c, self.compile(node.pattern),
+                                   self.compile(node.escape))
+        elif isinstance(node.pattern, ast.Literal):
             pat = str(node.pattern.value)
             cond = c.ilike(pat) if node.case_insensitive else c.like(pat)
         else:
-            p = self.compile(node.pattern)
-            fn = "ilike" if node.case_insensitive else "like"
-            cond = F.call_function(fn, c, p)
+            cond = F.call_function(fn, c, self.compile(node.pattern))
         return ~cond if node.negated else cond
 
     def _c_Case(self, node: ast.Case) -> Column:
@@ -460,6 +465,12 @@ class ExprCompiler:
             if name == "to_date":
                 return F.to_date(arg, fmt)
             return F.to_timestamp(arg, fmt)
+        if name == "__row":
+            # pg row constructor: a struct with positional field names, so
+            # two row values of the same arity type-match for =/</IN
+            # regardless of the source column names
+            return F.struct(*[self.compile(a).alias(f"f{i}")
+                              for i, a in enumerate(node.args)])
         if name in ("json_build_object", "jsonb_build_object"):
             # pg json_build_object('k', v, ...) -> JSON object text. Keys
             # must be string literals (the overwhelmingly common pg usage):
@@ -558,7 +569,15 @@ class ExprCompiler:
         (`a->'b'->>'c'`) because nested objects come back as json text.
         Deviation from pg: scalar values are unquoted for `->` as well
         (get_json_object always unwraps scalars)."""
-        obj = self.compile(node.args[0])
+        src = node.args[0]
+        # `expr::json -> 'k'` (pg idiom: validate-then-navigate): the arrow
+        # navigates the TEXT, so the variant-producing cast is dropped —
+        # get_json_object wants a string, and pg's ::json is a no-op on
+        # already-valid json text
+        while isinstance(src, ast.Cast) and src.type_name.lower() in (
+                "json", "jsonb"):
+            src = src.expr
+        obj = self.compile(src)
         key = node.args[1]
         if isinstance(key, ast.Literal) and key.kind == "string":
             k = key.value

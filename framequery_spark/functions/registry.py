@@ -359,6 +359,14 @@ _fixed("theta_difference", lambda a: F.theta_difference(a[0], a[1]))
 
 # ------------------------------------------------------------------- json
 _fixed("json_extract", lambda a: F.call_function("get_json_object", a[0], a[1]), "json_extract_path_text")
+# pg json_array_length(json): takes json TEXT (the arrows return text);
+# JVM-side parse, no UDF
+_fixed("json_array_length",
+       lambda a: F.json_array_length(a[0].cast("string")),
+       "jsonb_array_length")
+_fixed("json_object_keys",
+       lambda a: F.json_object_keys(a[0].cast("string")),
+       "jsonb_object_keys")
 
 
 def lookup(name: str) -> Builder:

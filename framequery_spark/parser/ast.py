@@ -187,6 +187,7 @@ class Like(Node):
     pattern: Node
     negated: bool = False
     case_insensitive: bool = False  # ILIKE
+    escape: Optional[Node] = None   # LIKE ... ESCAPE 'c' (pg default \\)
 
 
 @dataclass(frozen=True)

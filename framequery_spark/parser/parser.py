@@ -37,7 +37,7 @@ RESERVED_STOP = {
     "between", "case", "when", "then", "else", "end", "asc", "desc", "nulls",
     "distinct", "all", "by", "with", "using", "select",
     # pg reserves these; keeping them alias-stoppers lets the clauses parse
-    "window", "tablesample", "fetch", "qualify", "into", "returning",
+    "window", "tablesample", "fetch", "qualify", "into", "returning", "for",
 }
 
 AGGREGATE_NAMES = {
@@ -215,11 +215,20 @@ class Parser:
                 self._select_into = None
             return node
         if self.is_kw("values"):
-            # top-level VALUES (1, 'a'), (2, 'b') — pg/DuckDB statement form
+            # top-level VALUES (1, 'a'), (2, 'b') — pg/DuckDB statement form,
+            # with trailing ORDER BY / LIMIT / OFFSET (pg allows them)
             vals = self.parse_values()
-            return ast.Select(items=(ast.Star(),),
+            node = ast.Select(items=(ast.Star(),),
                               from_=ast.Values(rows=vals.rows,
                                                alias="__values"))
+            return self._parse_trailing(node)
+        if self.is_kw("table") and self.peek(1) is not None \
+                and self.peek(1).kind in ("name", "qname"):
+            # pg shorthand: TABLE t == SELECT * FROM t
+            self.advance()
+            return ast.Select(items=(ast.Star(),),
+                              from_=ast.TableRef(
+                                  parts=tuple(self.parse_dotted_name())))
         if self.is_kw("pivot"):
             return self.parse_pivot()
         if self.is_kw("unpivot"):
@@ -635,8 +644,15 @@ class Parser:
                 self.accept_kw("distinct")
             right = self.parse_select_core()
             left = ast.SetOp(op=op, left=left, right=right)
-        # trailing ORDER BY / LIMIT / OFFSET applies to the whole query
-        # (set-op chain or single select)
+        return self._parse_trailing(left)
+
+    def _parse_trailing(self, left: ast.Node) -> ast.Node:
+        """Trailing ORDER BY / LIMIT / OFFSET / FETCH (applies to the whole
+        query — set-op chain, single select, or top-level VALUES) plus the
+        pg row-locking clause, accepted and ignored: FOR UPDATE/SHARE locks
+        rows of a mutable heap, and this engine's tables are immutable
+        DataFrame snapshots rebound per statement — there is nothing to
+        lock, matching how pg treats SELECTs outside a transaction."""
         order_by = self.parse_order_by() if self.is_kw("order") else ()
         limit = offset = None
         if self.accept_kw("limit"):
@@ -665,6 +681,21 @@ class Parser:
                 left = ast.Select(**{**_select_kwargs(left),
                                      "order_by": order_by, "limit": limit,
                                      "offset": offset})
+        while self.accept_kw("for"):
+            if self.accept_kw("no"):
+                self.expect_kw("key")
+                self.expect_kw("update")
+            elif self.accept_kw("key"):
+                self.expect_kw("share")
+            elif not (self.accept_kw("update") or self.accept_kw("share")):
+                raise self.error(
+                    "expected UPDATE, SHARE, NO KEY UPDATE, or KEY SHARE")
+            if self.accept_kw("of"):
+                self.parse_dotted_name()
+                while self.accept_op(","):
+                    self.parse_dotted_name()
+            self.accept_kw("nowait") or (
+                self.accept_kw("skip") and self.expect_kw("locked"))
         return left
 
     def parse_select_core(self) -> ast.Node:
@@ -1116,8 +1147,11 @@ class Parser:
             if self.is_kw("like", "ilike"):
                 ci = self.advance().value.lower() == "ilike"
                 pattern = self.parse_concat()
+                escape = None
+                if self.accept_kw("escape"):
+                    escape = self.parse_concat()
                 left = ast.Like(expr=left, pattern=pattern, negated=negated,
-                                case_insensitive=ci)
+                                case_insensitive=ci, escape=escape)
                 continue
             if self.is_op("~", "~*", "!~", "!~*"):
                 # pg POSIX regex match operators (partial match, unlike
@@ -1264,6 +1298,13 @@ class Parser:
                 self.expect_op("]")
                 node = ast.Call(name="__subscript", args=(node, low))
                 continue
+            if self.is_kw("collate"):
+                # pg COLLATE: accepted and ignored — Spark compares strings
+                # by UTF-8 binary order, which is what COLLATE "C" asks for;
+                # locale collations are not supported (documented deviation)
+                self.advance()
+                self.parse_name()
+                continue
             if self.is_op("->", "->>"):
                 # pg JSON access: -> keeps json (chainable), ->> gets text
                 op = self.advance().value
@@ -1313,6 +1354,14 @@ class Parser:
                 self.expect_op(")")
                 return ast.ScalarSubquery(query=query)
             node = self.parse_expr()
+            if self.is_op(","):
+                # pg row constructor (a, b[, ...]) — compiles to a struct,
+                # so =/<>/ordering comparisons and IN lists work row-wise
+                items = [node]
+                while self.accept_op(","):
+                    items.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.Call(name="__row", args=tuple(items))
             self.expect_op(")")
             return node
         if tok.kind == "op" and tok.value == "*":
@@ -1332,6 +1381,17 @@ class Parser:
                         items.append(self.parse_expr())
                 self.expect_op("]")
                 return ast.Call(name="__array", args=tuple(items))
+            if low == "row" and self.is_op("(", offset=1):
+                # explicit ROW(a, b) constructor
+                self.advance()
+                self.advance()
+                items = []
+                if not self.is_op(")"):
+                    items.append(self.parse_expr())
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.Call(name="__row", args=tuple(items))
             if low == "case":
                 return self.parse_case()
             if low == "cast":

@@ -983,3 +983,54 @@ def test_json_construction_functions(spark):
     with pytest.raises(Exception, match="even number"):
         fq.execute("SELECT json_build_object('a') FROM t", scope,
                    spark=spark).collect()
+
+
+def test_row_constructors_and_tuple_comparisons(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"a": [1, 2, 3], "b": ["x", "y", "x_z"]}))}
+    rows = lambda q: [tuple(r) for r in
+                      fq.execute(q, scope, spark=spark).collect()]
+    assert rows("SELECT a FROM t WHERE (a, b) = (1, 'x')") == [(1,)]
+    assert rows("SELECT a FROM t WHERE (a, b) IN ((1, 'x'), (3, 'x_z')) "
+                "ORDER BY a") == [(1,), (3,)]
+    # row comparisons are lexicographic (pg semantics)
+    assert rows("SELECT a FROM t WHERE (a, b) < (2, 'a') ORDER BY a") == [(1,)]
+    assert rows("SELECT a FROM t WHERE (a, b) >= (2, 'y') ORDER BY a") \
+        == [(2,), (3,)]
+
+
+def test_like_escape_clause(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"b": ["x", "x_z", "xaz", "50%"]}))}
+    rows = lambda q: sorted(r.b for r in
+                            fq.execute(q, scope, spark=spark).collect())
+    # '!_' = literal underscore; plain '_' stays a wildcard
+    assert rows("SELECT b FROM t WHERE b LIKE 'x!_%' ESCAPE '!'") == ["x_z"]
+    assert rows("SELECT b FROM t WHERE b LIKE 'x_z'") == ["x_z", "xaz"]
+    assert rows("SELECT b FROM t WHERE b LIKE '%|%' ESCAPE '|'") == ["50%"]
+    assert rows("SELECT b FROM t WHERE b ILIKE 'X!_%' ESCAPE '!'") == ["x_z"]
+
+
+def test_table_shorthand_values_trailing_and_locking_noops(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame({"a": [2, 1]}))}
+    assert sorted(r.a for r in
+                  fq.execute("TABLE t", scope, spark=spark).collect()) == [1, 2]
+    got = [tuple(r) for r in fq.execute(
+        "VALUES (2), (1), (3) ORDER BY 1 DESC LIMIT 2",
+        scope, spark=spark).collect()]
+    assert got == [(3,), (2,)]
+    # pg locking clauses parse as no-ops (immutable snapshots: nothing to lock)
+    assert [r.a for r in fq.execute(
+        "SELECT a FROM t ORDER BY a LIMIT 1 FOR UPDATE SKIP LOCKED",
+        scope, spark=spark).collect()] == [1]
+    assert fq.execute("SELECT a FROM t FOR KEY SHARE OF t NOWAIT",
+                      scope, spark=spark).count() == 2
+    # COLLATE accepted and ignored (binary collation is Spark's default)
+    assert fq.execute('SELECT a COLLATE "C" AS x FROM t ORDER BY x',
+                      scope, spark=spark).count() == 2
