@@ -356,6 +356,11 @@ class ExprCompiler:
             # reference: json.loads into object cells (util/_funcs.py:110-114);
             # Spark-native: VariantType (Spark 4) keeps it queryable at scale
             return F.parse_json(c.cast("string"))
+        if t == "time":
+            # Spark has no TIME type; pg ::time projects the time-of-day.
+            # Rendered as HH:mm:ss text — sorts and compares correctly
+            # (fixed-width), documented deviation from a native time type.
+            return F.date_format(c.cast("timestamp"), "HH:mm:ss")
         base = t.split("(")[0]
         if t in CAST_MAP:
             return c.cast(CAST_MAP[t])
@@ -465,6 +470,13 @@ class ExprCompiler:
             if name == "to_date":
                 return F.to_date(arg, fmt)
             return F.to_timestamp(arg, fmt)
+        if name == "__at_time_zone":
+            # pg `expr AT TIME ZONE z`: session-tz timestamps are stored
+            # UTC-based (sessions run UTC), so this is the timestamptz ->
+            # zone-local wall-clock direction (from_utc_timestamp); the
+            # result is a naive timestamp, like pg
+            return F.from_utc_timestamp(self.compile(node.args[0]),
+                                        self.compile(node.args[1]))
         if name == "__row":
             # pg row constructor: a struct with positional field names, so
             # two row values of the same arity type-match for =/</IN

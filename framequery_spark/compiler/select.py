@@ -790,7 +790,11 @@ class QueryCompiler:
 
     def _compile_join(self, join: ast.Join) -> DataFrame:
         left = self.compile_relation(join.left)
-        if isinstance(join.right, ast.TableFunction) and join.right.lateral:
+        if isinstance(join.right, ast.TableFunction) and (
+                join.right.lateral
+                or self._tf_references_columns(join.right)):
+            # pg: LATERAL is implicit for table functions in FROM —
+            # `FROM t, unnest(t.arr)` applies per-row without the keyword
             return self._compile_lateral(left, join.right)
         if isinstance(join.right, ast.SubqueryRel) and join.right.lateral:
             how = {"cross": "inner", "inner": "inner",
@@ -1052,6 +1056,26 @@ class QueryCompiler:
         return df.alias(rel.alias or "values")
 
     # --------------------------------------------------------- table functions
+
+    @staticmethod
+    def _tf_references_columns(tf: ast.TableFunction) -> bool:
+        """True when a FROM-clause table function's arguments reference
+        columns (rather than literals) — the pg implicit-LATERAL case."""
+        import dataclasses as _dc
+
+        stack = list(tf.args)
+        while stack:
+            n = stack.pop()
+            if isinstance(n, ast.ColumnRef):
+                return True
+            if _dc.is_dataclass(n) and isinstance(n, ast.Node):
+                for f in _dc.fields(n):
+                    v = getattr(n, f.name)
+                    if isinstance(v, ast.Node):
+                        stack.append(v)
+                    elif isinstance(v, tuple):
+                        stack.extend(x for x in v if isinstance(x, ast.Node))
+        return False
 
     def _compile_table_function(self, tf: ast.TableFunction) -> DataFrame:
         from ..sources.table_functions import compile_table_function

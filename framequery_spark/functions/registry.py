@@ -93,12 +93,16 @@ _fixed("atan", lambda a: F.atan(a[0]))
 _fixed("atan2", lambda a: F.atan2(a[0], a[1]))
 _fixed("random", lambda a: F.rand())
 _fixed("isnan", lambda a: F.isnan(a[0]))
+# pg setseed(): seeds the session RNG; this engine's only nondeterminism is
+# Spark's partition-seeded rand(), which setseed cannot reach -> no-op NULL
+_fixed("setseed", lambda a: F.lit(None).cast("double"))
 
 
 @register("log")
 def _log(a):
-    # pg: log(x) = log10; log(b, x) = log base b
-    return F.log10(a[0]) if len(a) == 1 else F.log(a[0], a[1])
+    # pg: log(x) = log10; log(b, x) = log base b. F.log's base parameter
+    # must be a python float, so the column-base form uses ln(x)/ln(b).
+    return F.log10(a[0]) if len(a) == 1 else F.log(a[1]) / F.log(a[0])
 
 
 @register("round")
@@ -208,8 +212,14 @@ _fixed("ifnull", lambda a: F.coalesce(a[0], a[1]), "nvl")
 _fixed("__is_distinct_from", lambda a: ~a[0].eqNullSafe(a[1]))
 
 # ------------------------------------------------------------- date / time
-_fixed("now", lambda a: F.current_timestamp(), "current_timestamp")
+_fixed("now", lambda a: F.current_timestamp(), "current_timestamp",
+       "localtimestamp", "transaction_timestamp", "statement_timestamp",
+       "clock_timestamp")
 _fixed("current_date", lambda a: F.current_date())
+# sessions run UTC, so current_time/localtime = the UTC wall-clock time
+_fixed("current_time",
+       lambda a: F.date_format(F.current_timestamp(), "HH:mm:ss"),
+       "localtime")
 _fixed("date_trunc", lambda a: F.call_function("date_trunc", a[0], a[1]), "datetrunc")
 _fixed("to_date", lambda a: F.to_date(a[0]) if len(a) == 1 else F.to_date(a[0], None))
 # pg date_part(field, src) — Spark has the same function natively
@@ -267,6 +277,8 @@ def _array_slice(a):
 
 _fixed("__array_slice", _array_slice)
 _fixed("array_cat", lambda a: F.concat(a[0], a[1]))
+_fixed("array_append", lambda a: F.array_append(a[0], a[1]))
+_fixed("array_prepend", lambda a: F.array_prepend(a[1], a[0]))
 _fixed("array_position", lambda a: F.array_position(a[0], a[1]))
 _fixed("array_remove", lambda a: F.array_remove(a[0], a[1]))
 _fixed("array_min", lambda a: F.array_min(a[0]))
@@ -282,6 +294,7 @@ _fixed("row", lambda a: F.struct(*a))  # pg ROW(...) record constructor
 # select-list unnest: pg `SELECT unnest(arr)` == one explode generator
 # (the FROM-position unnest table function lives in sources/table_functions)
 _fixed("unnest", lambda a: F.explode(a[0]))
+_fixed("regexp_split_to_table", lambda a: F.explode(F.split(a[0], a[1])))
 
 
 # ------------------------------------------------- vector math (embeddings)

@@ -1153,6 +1153,14 @@ class Parser:
                 left = ast.Like(expr=left, pattern=pattern, negated=negated,
                                 case_insensitive=ci, escape=escape)
                 continue
+            if self.is_op("~~", "~~*", "!~~", "!~~*"):
+                # pg operator spellings of LIKE / ILIKE / NOT (I)LIKE
+                op = self.advance().value
+                pattern = self.parse_concat()
+                left = ast.Like(expr=left, pattern=pattern,
+                                negated=op.startswith("!"),
+                                case_insensitive=op.endswith("*"))
+                continue
             if self.is_op("~", "~*", "!~", "!~*"):
                 # pg POSIX regex match operators (partial match, unlike
                 # DuckDB's anchored ~)
@@ -1298,6 +1306,14 @@ class Parser:
                 self.expect_op("]")
                 node = ast.Call(name="__subscript", args=(node, low))
                 continue
+            if self.is_kw("at") and self.is_kw("time", offset=1):
+                # pg AT TIME ZONE postfix operator
+                self.advance()
+                self.advance()
+                self.expect_kw("zone")
+                tz = self.parse_unary()
+                node = ast.Call(name="__at_time_zone", args=(node, tz))
+                continue
             if self.is_kw("collate"):
                 # pg COLLATE: accepted and ignored — Spark compares strings
                 # by UTF-8 binary order, which is what COLLATE "C" asks for;
@@ -1408,6 +1424,12 @@ class Parser:
                 query = self.parse_query()
                 self.expect_op(")")
                 return ast.Exists(query=query)
+            if low in ("current_date", "current_timestamp", "current_time",
+                       "localtimestamp", "localtime") \
+                    and not self.is_op("(", offset=1):
+                # pg zero-argument datetime keywords (no parens)
+                self.advance()
+                return ast.Call(name=low)
             if low == "null":
                 self.advance()
                 return ast.Literal(None, "null")

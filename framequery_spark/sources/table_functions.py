@@ -64,6 +64,15 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         options["format"] = name.split("_", 1)[1]
         return _read_any(qc.session, args[0], options).alias(alias)
 
+    if name == "regexp_split_to_table":
+        # constant-argument form: SELECT * FROM regexp_split_to_table('a,b', ',')
+        ec = qc._expr_compiler()
+        split = F.split(ec.compile(tf.args[0]), ec.compile(tf.args[1]))
+        cname = tf.alias or "regexp_split_to_table"
+        return (spark.range(1)
+                .select(F.explode(split).alias(cname))
+                .alias(alias))
+
     if name == "copy_from":
         # copy_from('<file>', 'delimiter', ';', ...)
         # (reference executor/_pandas.py:222-230)
@@ -80,7 +89,8 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         col = ec.compile(tf.args[0])
         base = spark.range(1).select(col.alias("__arg"))
         return _explode_json(base, F.col("__arg"), name, alias,
-                             ordinality=tf.ordinality).drop("__arg")
+                             ordinality=tf.ordinality,
+                             col_name=_single_col_name(tf)).drop("__arg")
 
     if name in qc.session.table_functions:
         args = _literal_args(tf.args)
@@ -324,7 +334,16 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
         ec = qc._expr_compiler()
         arg = ec.compile(tf.args[0])
         return _explode_json(left, arg, name, alias,
-                             ordinality=tf.ordinality)
+                             ordinality=tf.ordinality,
+                             col_name=_single_col_name(tf))
+
+    if name == "regexp_split_to_table":
+        # pg: one row per split piece; rides the same native explode path
+        ec = qc._expr_compiler()
+        arg = F.split(ec.compile(tf.args[0]), ec.compile(tf.args[1]))
+        return _explode_json(left, arg, "unnest", alias,
+                             ordinality=tf.ordinality,
+                             col_name=_single_col_name(tf))
 
     if name in qc.session.lateral_functions:
         from .lateral_udtf import apply_lateral_udtf
@@ -338,7 +357,8 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
 
 
 def _explode_json(df: DataFrame, arg, name: str, alias: str,
-                  ordinality: bool = False) -> DataFrame:
+                  ordinality: bool = False,
+                  col_name: str = "value") -> DataFrame:
     """Explode a JSON value column via a native lateral join (Spark 4
     DataFrame.lateralJoin + spark.tvf.explode). Values are returned as JSON
     text (the scalar-typed analogue of the reference's Python objects).
@@ -373,7 +393,18 @@ def _explode_json(df: DataFrame, arg, name: str, alias: str,
                          F.col("col.value").alias("value"), *ordcols))
     elif name == "json_array_elements":
         right = (tvf(F.from_json(ref, "array<string>"))
-                 .select(F.col("col").alias("value"), *ordcols))
+                 .select(F.col("col").alias(col_name), *ordcols))
     else:  # unnest: native array column
-        right = tvf(ref).select(F.col("col").alias("value"), *ordcols)
+        right = tvf(ref).select(F.col("col").alias(col_name), *ordcols)
     return staged.lateralJoin(right.alias(alias)).drop(tmp)
+
+
+def _single_col_name(tf: ast.TableFunction) -> str:
+    """pg naming rule for single-column table functions: an explicit alias
+    renames the COLUMN (`unnest(a) AS u` -> column u, selectable bare);
+    WITH ORDINALITY makes the result two-column, so the alias stays a table
+    alias and the value column keeps the repo default name "value"."""
+    if tf.alias and not tf.ordinality and tf.name in (
+            "unnest", "json_array_elements", "regexp_split_to_table"):
+        return tf.alias
+    return "value"

@@ -343,3 +343,33 @@ def test_retrieval_and_mixing_operators_in_sql(spark, tpch_scope):
     n = fq.execute(q, scope, spark=spark).collect()[0]["n"]
     total = scope["embeddings"].count()
     assert 0 < n <= total
+
+
+def test_implicit_lateral_and_pg_alias_naming(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"a": [1, 2], "b": ["x,y", "z"], "arr": [[1, 2], [3]]}))}
+    # pg: LATERAL is implicit for table functions whose args reference
+    # columns, and a single-column function's alias names its COLUMN
+    out = [tuple(r) for r in fq.execute(
+        "SELECT a, u FROM t, unnest(arr) AS u ORDER BY a, u",
+        scope, spark=spark).collect()]
+    assert out == [(1, 1), (1, 2), (2, 3)]
+    out = [tuple(r) for r in fq.execute(
+        "SELECT a, piece FROM t, regexp_split_to_table(b, ',') AS piece "
+        "ORDER BY a, piece", scope, spark=spark).collect()]
+    assert out == [(1, "x"), (1, "y"), (2, "z")]
+    # constant form + select-list generator form
+    assert [r.piece for r in fq.execute(
+        "SELECT piece FROM regexp_split_to_table('a,b,c', ',') AS piece "
+        "ORDER BY 1", scope, spark=spark).collect()] == ["a", "b", "c"]
+    assert [r[0] for r in fq.execute(
+        "SELECT regexp_split_to_table('a,b', ',')",
+        scope, spark=spark).collect()] == ["a", "b"]
+    # WITH ORDINALITY keeps the two-column shape (alias = table alias, pg)
+    out = fq.execute(
+        "SELECT u.value, u.ordinality FROM t, "
+        "LATERAL unnest(arr) WITH ORDINALITY AS u WHERE a = 1 ORDER BY 2",
+        scope, spark=spark).collect()
+    assert [(r.value, r.ordinality) for r in out] == [(1, 1), (2, 2)]
