@@ -89,6 +89,10 @@ AGG_MAP = {
     "theta_sketch_agg": lambda c: F.theta_sketch_agg(c),
     "theta_union_agg": lambda c: F.theta_union_agg(c),
     "theta_intersection_agg": lambda c: F.theta_intersection_agg(c),
+    # pg bitwise aggregates
+    "bit_and": lambda c: F.bit_and(c),
+    "bit_or": lambda c: F.bit_or(c),
+    "bit_xor": lambda c: F.bit_xor(c),
 }
 
 AGG_NAMES = set(AGG_MAP) | {
@@ -746,6 +750,14 @@ class ExprCompiler:
             if fcond is not None:
                 col = F.when(fcond, col)
             return F.mode(col)
+        if name in AGG_MAP and name not in (
+                "collect", "array_agg", "fusion", "intersection"):
+            # pg allows ORDER BY inside ANY aggregate; for commutative
+            # aggregates (sum/min/max/avg/bool_*/bit_*...) it cannot change
+            # the result, so compile the plain aggregate
+            import dataclasses as _dc
+
+            return self._compile_agg(_dc.replace(node, order_within=()))
         if name in ("string_agg", "collect", "array_agg", "json_agg",
                     "jsonb_agg"):
             # deterministic ordered aggregation: collect structs of

@@ -811,6 +811,13 @@ class QueryCompiler:
             return self._compile_asof_join(join, left, right)
         how = {"inner": "inner", "left": "left", "right": "right",
                "full": "full"}[join.kind]
+        if join.using == ("__natural__",):
+            common = [c for c in left.columns if c in set(right.columns)
+                      and not c.startswith("__")]
+            if not common:
+                raise CompileError(
+                    "NATURAL JOIN: relations share no column names")
+            return left.join(right, common, how)
         if join.using:
             return left.join(right, list(join.using), how)
         ec = self._expr_compiler()

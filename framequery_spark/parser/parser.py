@@ -38,6 +38,7 @@ RESERVED_STOP = {
     "distinct", "all", "by", "with", "using", "select",
     # pg reserves these; keeping them alias-stoppers lets the clauses parse
     "window", "tablesample", "fetch", "qualify", "into", "returning", "for",
+    "natural",
 }
 
 AGGREGATE_NAMES = {
@@ -224,11 +225,9 @@ class Parser:
             return self._parse_trailing(node)
         if self.is_kw("table") and self.peek(1) is not None \
                 and self.peek(1).kind in ("name", "qname"):
-            # pg shorthand: TABLE t == SELECT * FROM t
-            self.advance()
-            return ast.Select(items=(ast.Star(),),
-                              from_=ast.TableRef(
-                                  parts=tuple(self.parse_dotted_name())))
+            # pg shorthand: TABLE t == SELECT * FROM t; parse_select_core
+            # handles it, so set ops / ORDER BY / LIMIT compose
+            return self.parse_query()
         if self.is_kw("pivot"):
             return self.parse_pivot()
         if self.is_kw("unpivot"):
@@ -703,6 +702,13 @@ class Parser:
             node = self.parse_query()
             self.expect_op(")")
             return node
+        if self.is_kw("table") and self.peek(1) is not None \
+                and self.peek(1).kind in ("name", "qname"):
+            # pg: TABLE t is a select_core alternative (usable in UNION)
+            self.advance()
+            return ast.Select(items=(ast.Star(),),
+                              from_=ast.TableRef(
+                                  parts=tuple(self.parse_dotted_name())))
         self.expect_kw("select")
         distinct = False
         distinct_on = ()
@@ -898,6 +904,10 @@ class Parser:
                 left = ast.Join(kind=kind, left=left, right=right,
                                 condition=cond)
                 continue
+            natural = False
+            if self.is_kw("natural"):
+                self.advance()
+                natural = True
             if self.is_kw("inner", "left", "right", "full"):
                 kind = self.advance().value.lower()
                 self.accept_kw("outer")
@@ -905,10 +915,17 @@ class Parser:
             elif self.is_kw("join"):
                 self.advance()
                 kind = "inner"
+            elif natural:
+                raise self.error("expected a join type after NATURAL")
             else:
                 break
             right = self.parse_table_primary()
-            if self.accept_kw("using"):
+            if natural:
+                # NATURAL JOIN: USING(all common columns), resolved at
+                # compile time when both schemas are known
+                left = ast.Join(kind=kind, left=left, right=right,
+                                using=("__natural__",))
+            elif self.accept_kw("using"):
                 self.expect_op("(")
                 cols = [self.parse_name()]
                 while self.accept_op(","):
@@ -1079,10 +1096,19 @@ class Parser:
                     self.advance()  # (
                     query = self.parse_query()
                     self.expect_op(")")
+                    quant = "any" if quant == "some" else quant
+                    # pg equivalences: `= ANY (sub)` IS `IN (sub)` and
+                    # `<> ALL (sub)` IS `NOT IN (sub)` — desugar here so
+                    # they get the semi/anti join plan
+                    if op == "=" and quant == "any":
+                        left = ast.InSubquery(expr=left, query=query)
+                        continue
+                    if op in ("<>", "!=") and quant == "all":
+                        left = ast.InSubquery(expr=left, query=query,
+                                              negated=True)
+                        continue
                     left = ast.QuantComp(
-                        op=op, expr=left,
-                        quantifier="any" if quant == "some" else quant,
-                        query=query)
+                        op=op, expr=left, quantifier=quant, query=query)
                     continue
                 # pg array form: x op ANY|ALL(array_expr)
                 if self.is_kw("any", "some", "all") and self.is_op("(", offset=1):

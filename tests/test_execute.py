@@ -646,9 +646,14 @@ def test_quantified_in_select_list_and_or(spark, qscope):
     assert rows(run(q, qscope, spark)) == [(1.0,), (2.0,), (4.0,)]
 
 
-def test_quantified_eq_points_to_in(spark, qscope):
-    with pytest.raises(Exception, match="use IN"):
-        run("select a = any (select b from s) from t", qscope, spark)
+def test_quantified_eq_desugars_to_in(spark, qscope):
+    # pg equivalence: `= ANY (sub)` IS `IN (sub)` — desugared at parse time
+    # so it works everywhere IN does (select list included)
+    got = rows(run("select a, a = any (select b from s) as hit from t "
+                   "order by a", qscope, spark))
+    in_got = rows(run("select a, a in (select b from s) as hit from t "
+                      "order by a", qscope, spark))
+    assert got == in_got
 
 
 # --------------------------------------------------------------------------
@@ -1034,3 +1039,38 @@ def test_table_shorthand_values_trailing_and_locking_noops(spark):
     # COLLATE accepted and ignored (binary collation is Spark's default)
     assert fq.execute('SELECT a COLLATE "C" AS x FROM t ORDER BY x',
                       scope, spark=spark).count() == 2
+
+
+def test_natural_join_table_shorthand_and_quantified_equals(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"g": ["a", "a", "b"], "v": [1, 2, 3]})),
+        "u": spark.createDataFrame(pd.DataFrame(
+            {"g": ["a", "c"], "w": [3, 30]}))}
+    rows = lambda q: [tuple(r) for r in
+                      fq.execute(q, scope, spark=spark).collect()]
+    # NATURAL JOIN == USING(all common columns)
+    assert rows("SELECT g, v, w FROM t NATURAL JOIN u ORDER BY v") == \
+        [("a", 1, 3), ("a", 2, 3)]
+    assert rows("SELECT g, w FROM t NATURAL LEFT JOIN u WHERE v = 3") == \
+        [("b", None)]
+    # TABLE shorthand composes with set ops and trailing clauses
+    assert rows("TABLE u UNION ALL TABLE u ORDER BY 1, 2 LIMIT 2") == \
+        [("a", 3), ("a", 3)]
+    # pg equivalences: = ANY/SOME (sub) == IN; <> ALL (sub) == NOT IN
+    assert rows("SELECT v FROM t WHERE v = SOME(SELECT w FROM u)") == [(3,)]
+    assert rows("SELECT v FROM t WHERE v <> ALL(SELECT w FROM u) "
+                "ORDER BY v") == [(1,), (2,)]
+
+
+def test_bit_aggregates_and_ordered_commutative_aggs(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"v": [1, 2, 3, 4], "s": ["p", "q", "r", "s"]}))}
+    row = fq.execute(
+        "SELECT bit_and(v) AS a, bit_or(v) AS o, bit_xor(v) AS x, "
+        "       min(v ORDER BY s) AS m, sum(v ORDER BY v DESC) AS sm "
+        "FROM t", scope, spark=spark).collect()[0]
+    assert (row.a, row.o, row.x, row.m, row.sm) == (0, 7, 4, 1, 10)
