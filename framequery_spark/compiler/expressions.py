@@ -14,6 +14,7 @@ user-registered functions (Executor.add_function), as Arrow pandas_udfs.
 from __future__ import annotations
 
 import dataclasses
+import re as _re
 from typing import Dict, List, Optional
 
 from pyspark.sql import Column
@@ -205,6 +206,10 @@ class ExprCompiler:
         # correlated scalar subqueries, decorrelated to grouped lookups:
         # (value_name, grouped DataFrame, [(outer_expr_ast, key_col_name)])
         self.pending_correlated: List[tuple] = []
+        # non-equality correlated scalar subqueries, decorrelated to a
+        # theta join + per-outer-row aggregate:
+        # (value_name, inner DataFrame, [(op, outer_ast, key_col)], item_ast)
+        self.pending_theta: List[tuple] = []
         self._scalar_counter = 0
 
     # ------------------------------------------------------------------ API
@@ -257,17 +262,55 @@ class ExprCompiler:
             return F.bitwise_not(operand)
         raise CompileError(f"unary op {node.op}")
 
+    @staticmethod
+    def _static_kind(node: ast.Node) -> Optional[str]:
+        """Statically-known operand kind for date arithmetic: 'date' /
+        'int' / 'interval', else None (column refs are type-unknown)."""
+        if isinstance(node, ast.Literal):
+            if node.kind in ("date", "interval", "int"):
+                return node.kind
+            return None
+        if isinstance(node, ast.Cast):
+            t = node.type_name.lower()
+            if t == "date":
+                return "date"
+            if t.startswith("int") or t in ("bigint", "smallint"):
+                return "int"
+            return None
+        if isinstance(node, ast.Call) and node.name.lower() == "current_date":
+            return "date"
+        if isinstance(node, ast.Unary) and node.op in ("-", "+"):
+            k = ExprCompiler._static_kind(node.operand)
+            return k if k == "int" else None
+        return None
+
     def _c_Binary(self, node: ast.Binary) -> Column:
         op = node.op
         left = self.compile(node.left)
         right = self.compile(node.right)
+        lk = self._static_kind(node.left)
+        rk = self._static_kind(node.right)
         if op == "and":
             return left & right
         if op == "or":
             return left | right
         if op == "+":
+            # pg date + int = date (Spark needs explicit date_add)
+            if lk == "date" and rk == "int":
+                return F.date_add(left, right)
+            if lk == "int" and rk == "date":
+                return F.date_add(right, left)
             return left + right
         if op == "-":
+            if (lk == "date" or rk == "date") and "int" not in (lk, rk) \
+                    and "interval" not in (lk, rk):
+                # pg date - date = integer days (Spark yields an interval);
+                # applies when either side is statically date-typed and the
+                # other is not int/interval arithmetic
+                return F.datediff(left.cast("date"),
+                                  right.cast("date")).cast("long")
+            if lk == "date" and rk == "int":
+                return F.date_sub(left, right)
             return left - right
         if op == "*":
             return left * right
@@ -396,6 +439,15 @@ class ExprCompiler:
 
     def _c_SubstringCall(self, node: ast.SubstringCall) -> Column:
         src = self.compile(node.source)
+        if node.length is None and isinstance(node.start, ast.Literal) \
+                and node.start.kind == "string":
+            # pg regex form: substring(x FROM 'pattern') — first match, or
+            # the first capture group if the pattern has one; NULL when no
+            # match (regexp_extract returns '' there, hence the guard)
+            pat = node.start.value
+            grp = 1 if _re.search(r"(?<!\\)\(", pat) else 0
+            return F.when(F.regexp_like(src, F.lit(pat)),
+                          F.regexp_extract(src, pat, grp))
         start = self.compile(node.start)
         if node.length is None:
             return F.call_function("substring", src, start)
@@ -424,8 +476,27 @@ class ExprCompiler:
             return (F.dayofweek(c) - 1).cast("long")  # pg: 0 = Sunday
         if f in ("doy", "dayofyear"):
             return F.dayofyear(c).cast("long")
+        if f == "isodow":
+            return F.dayofweek(F.date_sub(c.cast("date"), 1)).cast("long")
+        if f == "isoyear":
+            # ISO week-numbering year: the year of the week's Thursday
+            return F.year(F.date_add(c.cast("date"),
+                                     4 - F.dayofweek(
+                                         F.date_sub(c.cast("date"), 1))
+                                     )).cast("long")
         if f == "epoch":
             return F.unix_timestamp(c).cast("double")
+        if f == "decade":
+            return F.floor(F.year(c) / 10).cast("long")
+        if f == "century":
+            return F.ceil(F.year(c) / 100.0).cast("long")
+        if f == "millennium":
+            return F.ceil(F.year(c) / 1000.0).cast("long")
+        if f in ("milliseconds", "millisecond"):
+            # pg: seconds + fraction, in ms (e.g. 30.5s -> 30500.0)
+            return (F.unix_micros(c.cast("timestamp")) % 60000000) / 1000.0
+        if f in ("microseconds", "microsecond"):
+            return (F.unix_micros(c.cast("timestamp")) % 60000000).cast("long")
         raise CompileError(f"unsupported extract field: {node.field}")
 
     # -------------------------------------------------------------- functions
@@ -461,6 +532,43 @@ class ExprCompiler:
                     f"encode/decode supports base64 and hex, got {fmt!r}")
             enc, dec = pairs[fmt]
             return enc(arg) if name == "encode" else dec(arg)
+        if name == "regexp_replace" and len(node.args) in (3, 4):
+            # pg: replaces the FIRST match unless the 'g' flag is given
+            # (Spark's regexp_replace is always global). The first-match
+            # form isolates the match with regexp_instr, rewrites just that
+            # slice (group refs intact), and re-concatenates.
+            flags = ""
+            if len(node.args) == 4:
+                fa = node.args[3]
+                if not (isinstance(fa, ast.Literal) and fa.kind == "string"):
+                    raise CompileError(
+                        "regexp_replace flags must be a string literal")
+                flags = fa.value
+            src = self.compile(node.args[0])
+            pat_node = node.args[1]
+            rep_node = node.args[2]
+            if isinstance(rep_node, ast.Literal) and rep_node.kind == "string":
+                # pg group references are \1..\9; Spark (Java) uses $1..$9
+                rep_node = ast.Literal(
+                    _re.sub(r"\\(\d)", r"$\1", rep_node.value), "string")
+            rep = self.compile(rep_node)
+            if "i" in flags:
+                if not (isinstance(pat_node, ast.Literal)
+                        and pat_node.kind == "string"):
+                    raise CompileError(
+                        "regexp_replace with 'i' needs a literal pattern")
+                pat_node = ast.Literal("(?i)" + pat_node.value, "string")
+            pat = self.compile(pat_node)
+            if "g" in flags:
+                return F.regexp_replace(src, pat, rep)
+            start = F.regexp_instr(src, pat)  # 1-based match start, 0 if none
+            m_end = start + F.length(
+                F.call_function("regexp_extract", src, pat, F.lit(0)))
+            head = F.call_function("substring", src, F.lit(1), m_end - 1)
+            tail = F.call_function("substring", src, m_end)
+            return F.when(start > 0,
+                          F.concat(F.regexp_replace(head, pat, rep), tail)) \
+                .otherwise(src)
         if name in ("to_char", "to_date", "to_timestamp") and \
                 len(node.args) == 2 and \
                 isinstance(node.args[1], ast.Literal) and \
@@ -485,7 +593,7 @@ class ExprCompiler:
             # pg row constructor: a struct with positional field names, so
             # two row values of the same arity type-match for =/</IN
             # regardless of the source column names
-            return F.struct(*[self.compile(a).alias(f"f{i}")
+            return F.struct(*[self.compile(a).alias(f"f{i + 1}")
                               for i, a in enumerate(node.args)])
         if name in ("json_build_object", "jsonb_build_object"):
             # pg json_build_object('k', v, ...) -> JSON object text. Keys
@@ -778,6 +886,11 @@ class ExprCompiler:
                 entry = F.when(fcond, entry)  # collect_list skips NULL structs
             arr = F.sort_array(F.collect_list(entry),
                                asc=ascending.pop())
+            if node.distinct:
+                # pg: DISTINCT + ORDER BY requires the sort key to be the
+                # argument itself, so struct-level dedup is value dedup;
+                # the array is already sorted, so order survives
+                arr = F.array_distinct(arr)
             vals = F.transform(arr, lambda s: s["v"])
             if name == "string_agg":
                 sep = node.args[1].value if len(node.args) > 1 and isinstance(
@@ -799,6 +912,14 @@ class ExprCompiler:
             raise CompileError(f"window \"{node.ref}\" is not defined")
         call = node.call
         spec = node.spec
+        if spec.base_ref is not None:
+            # only reachable when the SELECT has no WINDOW clause at all —
+            # _desugar_named_windows resolves refinements otherwise
+            raise CompileError(f"window \"{spec.base_ref}\" is not defined")
+        if spec.frame_type == "groups":
+            raise CompileError(
+                "GROUPS window frames are not supported (Spark has no "
+                "peer-group frame mode); use RANGE over the order key")
         w = Window.partitionBy(*[self.compile(p) for p in spec.partition_by]) \
             if spec.partition_by else Window.partitionBy()
         interval_frame = any(
@@ -845,13 +966,66 @@ class ExprCompiler:
                 args = [self.compile(a) for a in call.args]
             col = WINDOW_FUNCS[name](args)
         elif name in AGG_NAMES or name in ("count",):
+            if spec.exclude is not None:
+                return self._window_exclude(node, w, Window)
             inner = ExprCompiler(self.executor, agg_context=True,
                                  scope=self.scope,
                                  alias_rewrites=self.alias_rewrites)
             col = inner._compile_agg(call)
         else:
+            if spec.exclude is not None:
+                raise CompileError(
+                    "frame EXCLUDE applies only to aggregate window calls")
             raise CompileError(f"unknown window function: {name}")
         return col.over(w)
+
+    def _window_exclude(self, node: ast.WindowCall, w, Window) -> Column:
+        """pg frame `EXCLUDE CURRENT ROW | GROUP | TIES` for sum/count/avg.
+
+        Spark has no native frame exclusion, so the excluded contribution is
+        subtracted: agg(frame) ⊖ agg(excluded rows).  CURRENT ROW subtracts
+        the row's own contribution (exact for any frame).  GROUP/TIES
+        subtract the ORDER BY peer group, which is exact when the frame is
+        guaranteed to contain the whole peer group — true for RANGE frames
+        (peers share the range key) but not for ROWS frames that can cut
+        through a peer group, so those raise."""
+        call, spec = node.call, node.spec
+        name = call.name
+        if name not in ("sum", "count", "avg"):
+            raise CompileError(
+                f"frame EXCLUDE is supported for sum/count/avg, not {name}() "
+                "(non-subtractable aggregate)")
+        if spec.exclude in ("group", "ties") and spec.frame_type == "rows":
+            raise CompileError(
+                "EXCLUDE GROUP/TIES with a ROWS frame can cut through a "
+                "peer group and is not supported; use a RANGE frame")
+        if call.distinct:
+            raise CompileError("frame EXCLUDE with DISTINCT is not supported")
+        arg = F.lit(1) if call.star else self.compile(call.args[0])
+        contrib_cnt = F.lit(1) if call.star else arg.isNotNull().cast("long")
+        contrib_sum = F.lit(1) if call.star else F.coalesce(arg, F.lit(0))
+        f_sum = F.sum(arg).over(w)
+        f_cnt = (F.count(F.lit(1)) if call.star else F.count(arg)).over(w)
+        if spec.exclude == "current_row":
+            ex_sum, ex_cnt = contrib_sum, contrib_cnt
+        else:
+            # peer group window: same partition, keyed by the ORDER BY values
+            peer_keys = [self.compile(p) for p in spec.partition_by] + \
+                [self.compile(s.expr) for s in spec.order_by]
+            wp = Window.partitionBy(*peer_keys)
+            g_sum = F.coalesce(F.sum(arg).over(wp), F.lit(0))
+            g_cnt = (F.count(F.lit(1)) if call.star else F.count(arg)).over(wp)
+            if spec.exclude == "group":
+                ex_sum, ex_cnt = g_sum, g_cnt
+            else:  # ties: exclude peers but keep the current row
+                ex_sum, ex_cnt = g_sum - contrib_sum, g_cnt - contrib_cnt
+        new_cnt = f_cnt - ex_cnt
+        if name == "count":
+            return new_cnt
+        new_sum = F.when(new_cnt > 0, F.coalesce(f_sum, F.lit(0)) - ex_sum)
+        if name == "avg":
+            return new_sum / new_cnt
+        return new_sum
 
     def _sort_col(self, item: ast.SortItem) -> Column:
         c = self.compile(item.expr)
@@ -925,6 +1099,31 @@ class ExprCompiler:
         # scalar is constant per group, so first() is exact
         return F.first(col) if self.agg_context else col
 
+    def _c_ArraySubquery(self, node: ast.ArraySubquery) -> Column:
+        """pg ARRAY(subquery): gather the single output column into an
+        array, honoring the subquery's ORDER BY.  The subquery result is
+        tagged with a partition-ordered id so the collected array keeps the
+        sorted order regardless of how many partitions the agg reads."""
+        if self.executor is None or self.scope is None:
+            raise CompileError("ARRAY(subquery) requires an executor context")
+        sub_df = self.executor._compile_query(node.query, self.scope)
+        if len(sub_df.columns) != 1:
+            raise CompileError(
+                "ARRAY(subquery) must return exactly one column")
+        name = f"__scalar_{self._scalar_counter}"
+        self._scalar_counter += 1
+        v = F.col(sub_df.columns[0])
+        tagged = sub_df.select(
+            F.monotonically_increasing_id().alias("__ord"), v.alias("__v"))
+        agg = tagged.agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("__ord"),
+                                                     F.col("__v")))),
+                lambda s: s["__v"]).alias(name))
+        self.pending_scalar.append((name, agg))
+        col = F.col(name)
+        return F.first(col) if self.agg_context else col
+
     def _try_decorrelate_scalar(self, sel: ast.Node) -> Optional[Column]:
         """Correlated scalar-aggregate subquery (the TPC-H Q2/Q17 shape):
 
@@ -975,28 +1174,40 @@ class ExprCompiler:
             return any(isinstance(n, ast.ColumnRef) and is_outer(n)
                        for n in walk(node))
 
+        _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                 "=": "=", "<>": "<>", "!=": "!="}
         conjs = _split_conjuncts(sel.where) if sel.where is not None else []
         corr_pairs: List[tuple] = []  # (outer_ast, inner_ast)
+        theta_pairs: List[tuple] = []  # (op, outer_ast, inner_ast)
         inner_conjs: List[ast.Node] = []
         for c in conjs:
             if not has_outer(c):
                 inner_conjs.append(c)
                 continue
-            if not (isinstance(c, ast.Binary) and c.op == "="):
+            if not (isinstance(c, ast.Binary) and c.op in _FLIP):
                 raise CompileError(
-                    "correlated scalar subqueries support only equality "
+                    "correlated scalar subqueries support only comparison "
                     "correlation predicates")
             lo, ro = has_outer(c.left), has_outer(c.right)
             if lo and ro:
                 raise CompileError(
                     "correlation predicate references outer columns on "
                     "both sides")
-            outer_ast, inner_ast = (c.left, c.right) if lo else (c.right, c.left)
+            # normalize to `outer op inner`
+            op, outer_ast, inner_ast = (
+                (c.op, c.left, c.right) if lo
+                else (_FLIP[c.op], c.right, c.left))
             if has_outer(inner_ast):
                 raise CompileError("unsupported correlated predicate")
-            corr_pairs.append((outer_ast, inner_ast))
-        if not corr_pairs:
+            if op == "=":
+                corr_pairs.append((outer_ast, inner_ast))
+            else:
+                theta_pairs.append((op, outer_ast, inner_ast))
+        if not corr_pairs and not theta_pairs:
             return None  # uncorrelated after all
+        if theta_pairs:
+            return self._decorrelate_theta(sel, inner_conjs,
+                                           corr_pairs, theta_pairs)
 
         n = self._scalar_counter
         self._scalar_counter += 1
@@ -1023,6 +1234,81 @@ class ExprCompiler:
         if fill is not None:
             col = F.coalesce(col, fill)
         # see _c_ScalarSubquery: constant per group inside .agg(...)
+        return F.first(col) if self.agg_context else col
+
+    def _decorrelate_theta(self, sel: ast.Select, inner_conjs,
+                           corr_pairs, theta_pairs) -> Column:
+        """Correlated scalar-aggregate subquery with non-equality
+        correlation (the running-rank / below-threshold shape):
+
+            (SELECT count(*) FROM inner i WHERE i.x < outer.x)
+
+        Decorrelated into: tag each outer row with an id, theta-join the
+        inner relation (its aggregate arguments pre-projected as hidden
+        columns), aggregate per outer id, and join the per-id result back.
+        The theta join is a real pairwise join (Spark picks broadcast
+        nested-loop when one side is small) — the cost pg pays per-row,
+        paid once as a join; equality conjuncts stay equi-join keys so the
+        pair space is bucketed whenever possible."""
+        from .rewrite import transform
+
+        n = self._scalar_counter
+        self._scalar_counter += 1
+        val = f"__scv{n}"
+        marker = f"__scm{n}"
+        hidden: List[ast.SelectItem] = [
+            ast.SelectItem(expr=ast.Literal(1, "int"), alias=marker)]
+        counter = [0]
+
+        def rewrite_aggs(node):
+            if isinstance(node, ast.Call) and node.name.lower() in AGG_NAMES \
+                    and not isinstance(node, ast.WindowCall):
+                if node.filter_where is not None or node.order_within:
+                    raise CompileError(
+                        "FILTER / ordered aggregates are not supported in "
+                        "non-equality correlated subqueries")
+                if node.star or node.name.lower() == "count" and not node.args:
+                    return ast.Call(name="count", args=(
+                        ast.ColumnRef(parts=(marker,)),))
+                new_args = []
+                for a in node.args:
+                    j = counter[0]
+                    counter[0] += 1
+                    h = f"__sca{n}_{j}"
+                    hidden.append(ast.SelectItem(expr=a, alias=h))
+                    new_args.append(ast.ColumnRef(parts=(h,)))
+                import dataclasses as _dc
+
+                return _dc.replace(node, args=tuple(new_args))
+            return node
+
+        item = transform(sel.items[0].expr, rewrite_aggs)
+        from .rewrite import walk
+
+        for sub in walk(item):
+            if isinstance(sub, ast.ColumnRef) \
+                    and not sub.parts[0].startswith("__sc"):
+                raise CompileError(
+                    "non-aggregate column references are not supported in "
+                    "non-equality correlated subqueries")
+        key_specs: List[tuple] = []  # (op, outer_ast, key_name)
+        for i, (oa, ia) in enumerate(corr_pairs):
+            kn = f"__sck{n}_e{i}"
+            hidden.append(ast.SelectItem(expr=ia, alias=kn))
+            key_specs.append(("=", oa, kn))
+        for i, (op, oa, ia) in enumerate(theta_pairs):
+            kn = f"__sck{n}_t{i}"
+            hidden.append(ast.SelectItem(expr=ia, alias=kn))
+            key_specs.append((op, oa, kn))
+        inner_where = None
+        for c in inner_conjs:
+            inner_where = c if inner_where is None else ast.Binary(
+                op="and", left=inner_where, right=c)
+        dec = ast.Select(items=tuple(hidden), from_=sel.from_,
+                         where=inner_where)
+        sub_df = self.executor._compile_query(dec, self.scope)
+        self.pending_theta.append((val, sub_df, key_specs, item))
+        col = F.col(val)
         return F.first(col) if self.agg_context else col
 
     def _empty_group_fill(self, sel: ast.Select, sub_df,

@@ -152,7 +152,8 @@ class QueryCompiler:
             raise CompileError(f"unknown set op {op}")
         if node.order_by:
             df = self._order_output_only(df, node.order_by)
-        df = self._apply_limit_offset(df, node.limit, node.offset)
+        df = self._apply_limit_offset(df, node.limit, node.offset,
+                                      node.order_by, node.limit_ties)
         return df
 
     def compile_select(self, sel: ast.Select) -> DataFrame:
@@ -250,18 +251,56 @@ class QueryCompiler:
     def _desugar_named_windows(self, sel: ast.Select) -> ast.Select:
         """Replace `OVER w` references with the WINDOW clause's spec (a pure
         AST rewrite before compilation, so the expression compiler never
-        sees a named reference)."""
+        sees a named reference).  Specs that refine a named base window —
+        `OVER (w ORDER BY x)` or `WINDOW w2 AS (w1 ...)` — are merged per pg
+        rules: partitioning comes from the base (the refinement must not
+        re-partition), ordering from the refinement if given, else base."""
+        import dataclasses
+
         specs = dict(sel.windows)
 
-        def fix(node):
-            if isinstance(node, ast.WindowCall) and node.ref is not None:
-                spec = specs.get(node.ref)
-                if spec is None:
-                    raise CompileError(f"window \"{node.ref}\" is not defined")
-                return ast.WindowCall(call=node.call, spec=spec)
-            return node
+        def resolve(spec: ast.WindowSpec, seen=()) -> ast.WindowSpec:
+            if spec.base_ref is None:
+                return spec
+            if spec.base_ref in seen:
+                raise CompileError(
+                    f"circular window definition: {spec.base_ref!r}")
+            base = specs.get(spec.base_ref)
+            if base is None:
+                raise CompileError(
+                    f"window \"{spec.base_ref}\" is not defined")
+            base = resolve(base, seen + (spec.base_ref,))
+            if spec.partition_by:
+                raise CompileError(
+                    "a window that references a base window cannot "
+                    "re-specify PARTITION BY")
+            if spec.order_by and base.order_by:
+                raise CompileError(
+                    "a window that references a base window cannot "
+                    "re-specify ORDER BY (the base already orders)")
+            return dataclasses.replace(
+                spec, base_ref=None,
+                partition_by=base.partition_by,
+                order_by=spec.order_by or base.order_by,
+                frame_type=spec.frame_type or base.frame_type,
+                frame_start=spec.frame_start or base.frame_start,
+                frame_end=spec.frame_end or base.frame_end,
+                exclude=spec.exclude or base.exclude)
 
-        import dataclasses
+        specs = {name: resolve(s) for name, s in specs.items()}
+
+        def fix(node):
+            if isinstance(node, ast.WindowCall):
+                if node.ref is not None:
+                    spec = specs.get(node.ref)
+                    if spec is None:
+                        raise CompileError(
+                            f"window \"{node.ref}\" is not defined")
+                    return ast.WindowCall(call=node.call, spec=spec)
+                if node.spec is not None and node.spec.base_ref is not None:
+                    return ast.WindowCall(call=node.call,
+                                          spec=resolve(node.spec))
+            return node
 
         return dataclasses.replace(
             sel,
@@ -299,7 +338,8 @@ class QueryCompiler:
         else:
             df = self._compile_project(df, sel, items)
 
-        return self._apply_limit_offset(df, sel.limit, sel.offset)
+        return self._apply_limit_offset(df, sel.limit, sel.offset,
+                                        sel.order_by, sel.limit_ties)
 
     # ------------------------------------------------------------- select list
 
@@ -472,18 +512,20 @@ class QueryCompiler:
         if len(gb) == 1 and isinstance(gb[0], (ast.Rollup, ast.Cube,
                                                ast.GroupingSets)):
             node = gb[0]
+            resolve = lambda e: self._resolve_one_group_expr(e, items, df)
             if isinstance(node, ast.GroupingSets):
                 mode = "sets"
                 group_exprs = []
-                for s in node.sets:
+                rsets = [[resolve(e) for e in s] for s in node.sets]
+                for s in rsets:
                     for e in s:
                         if e not in group_exprs:
                             group_exprs.append(e)
                 sets_idx = [[group_exprs.index(e) for e in s]
-                            for s in node.sets]
+                            for s in rsets]
             else:
                 mode = "rollup" if isinstance(node, ast.Rollup) else "cube"
-                group_exprs = list(node.exprs)
+                group_exprs = [resolve(e) for e in node.exprs]
         else:
             group_exprs = self._resolve_group_by(sel, items, df)
 
@@ -620,23 +662,25 @@ class QueryCompiler:
         """GROUP BY ordinal / select-alias / input column / expression
         (reference normalize_group_by,
         src/framequery/executor/_executor.py:258-306)."""
-        out: List[ast.Node] = []
+        return [self._resolve_one_group_expr(g, items, df)
+                for g in sel.group_by]
+
+    def _resolve_one_group_expr(self, g: ast.Node,
+                                items: List[Tuple[ast.Node, str]],
+                                df: DataFrame) -> ast.Node:
         input_cols = {c.lower() for c in df.columns}
         alias_map = {name.lower(): expr for expr, name in items}
-        for g in sel.group_by:
-            if isinstance(g, ast.Literal) and g.kind == "int":
-                idx = g.value - 1
-                if not (0 <= idx < len(items)):
-                    raise CompileError(f"GROUP BY ordinal {g.value} out of range")
-                out.append(items[idx][0])
-            elif (isinstance(g, ast.ColumnRef) and len(g.parts) == 1
-                  and g.parts[0] not in input_cols
-                  and g.parts[0] in alias_map):
-                # pg resolves input columns first, then select aliases
-                out.append(alias_map[g.parts[0]])
-            else:
-                out.append(g)
-        return out
+        if isinstance(g, ast.Literal) and g.kind == "int":
+            idx = g.value - 1
+            if not (0 <= idx < len(items)):
+                raise CompileError(f"GROUP BY ordinal {g.value} out of range")
+            return items[idx][0]
+        if (isinstance(g, ast.ColumnRef) and len(g.parts) == 1
+                and g.parts[0] not in input_cols
+                and g.parts[0] in alias_map):
+            # pg resolves input columns first, then select aliases
+            return alias_map[g.parts[0]]
+        return g
 
     # -------------------------------------------------------------- projection
 
@@ -822,7 +866,7 @@ class QueryCompiler:
             return left.join(right, list(join.using), how)
         ec = self._expr_compiler()
         cond = ec.compile(join.condition)
-        if ec.pending_correlated:
+        if ec.pending_correlated or ec.pending_theta:
             raise CompileError(
                 "correlated subqueries in JOIN ON are not supported — "
                 "move the predicate to WHERE")
@@ -1121,14 +1165,61 @@ class QueryCompiler:
             df = df.join(sdf, cond, "left")
             names.append(val)
         ec.pending_correlated.clear()
+        _OPS = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
+                ">": "__gt__", ">=": "__ge__", "<>": "__ne__",
+                "!=": "__ne__"}
+        for val, sdf, key_specs, item_ast in ec.pending_theta:
+            # theta-correlated scalar aggregate: id-tag outer rows, theta
+            # join the pre-projected inner, aggregate per id, join back.
+            # Equality conjuncts stay equi keys (hash join); only the
+            # residual inequality pairs within each bucket.
+            idc = f"__corr_id{val[5:]}"
+            df = df.withColumn(idc, F.monotonically_increasing_id())
+            cond = None
+            for op, outer_ast, key_name in key_specs:
+                c = getattr(ec.compile(outer_ast), _OPS[op])(F.col(key_name))
+                cond = c if cond is None else (cond & c)
+            joined = df.join(sdf, cond, "left")
+            agg_ec = ExprCompiler(self.session, agg_context=True,
+                                  scope=self.scope)
+            agg_df = joined.groupBy(idc).agg(
+                agg_ec.compile(item_ast).alias(val))
+            df = df.join(agg_df, idc, "left")
+            names.extend([idc, val])
+        ec.pending_theta.clear()
         return df, names
 
-    def _apply_limit_offset(self, df: DataFrame, limit, offset) -> DataFrame:
+    def _apply_limit_offset(self, df: DataFrame, limit, offset,
+                            order_by=(), ties: bool = False) -> DataFrame:
         if offset is not None:
             df = df.offset(_int_literal(offset, "OFFSET"))
-        if limit is not None:
-            df = df.limit(_int_literal(limit, "LIMIT"))
-        return df
+        if limit is None:
+            return df
+        n = _int_literal(limit, "LIMIT")
+        if ties and order_by:
+            # FETCH FIRST n ROWS WITH TIES: every row tying with row n on
+            # the sort key survives — rank() <= n over the query's ORDER BY
+            # (resolved against the output projection, like pg)
+            from pyspark.sql import Window
+
+            cols = []
+            lower_map = {c.lower(): c for c in df.columns}
+            for s in order_by:
+                e = s.expr
+                if isinstance(e, ast.Literal) and e.kind == "int":
+                    c = F.col(df.columns[e.value - 1])
+                elif isinstance(e, ast.ColumnRef) \
+                        and e.parts[-1].lower() in lower_map:
+                    c = F.col(lower_map[e.parts[-1].lower()])
+                else:
+                    raise CompileError(
+                        "FETCH ... WITH TIES supports ORDER BY over output "
+                        "columns or ordinals")
+                cols.append(_apply_sort_direction(c, s))
+            tag = "__fq_ties_rk"
+            return (df.withColumn(tag, F.rank().over(Window.orderBy(*cols)))
+                    .filter(F.col(tag) <= n).drop(tag))
+        return df.limit(n)
 
 
 def _ordered_aliases(rel: ast.Node) -> List[str]:

@@ -140,7 +140,7 @@ _fixed("ascii", lambda a: F.ascii(a[0]))
 _fixed("chr", lambda a: F.char(a[0]))
 _fixed("md5", lambda a: F.md5(a[0].cast("string")))
 _fixed("sha256", lambda a: F.sha2(a[0].cast("string"), 256))
-_fixed("to_hex", lambda a: F.hex(a[0]))
+_fixed("to_hex", lambda a: F.lower(F.hex(a[0])))  # pg to_hex is lowercase
 _fixed("translate", lambda a: F.call_function("translate", a[0], a[1], a[2]))
 _fixed("starts_with", lambda a: a[0].startswith(a[1]), "startswith")
 _fixed("ends_with", lambda a: a[0].endswith(a[1]), "endswith")
@@ -233,6 +233,26 @@ _fixed("datediff", lambda a: F.datediff(a[0], a[1]), "date_diff")
 _fixed("months_between", lambda a: F.months_between(a[0], a[1]))
 _fixed("add_months", lambda a: F.add_months(a[0], a[1]))
 _fixed("age", lambda a: a[0] - a[1])  # pg age(a, b) = interval a - b
+# pg dates/timestamps can be 'infinity'; Spark's cannot, so any non-null
+# value is finite
+_fixed("isfinite", lambda a: F.when(a[0].isNotNull(), F.lit(True)))
+_fixed("date_bin",
+       # date_bin(stride, ts, origin): largest origin + n*stride <= ts.
+       # Computed in microseconds, pure JVM; handles ts before origin too
+       # (floor division, so the bin still starts at/below ts).
+       lambda a: F.timestamp_micros(
+           F.unix_micros(a[2].cast("timestamp"))
+           + F.floor((F.unix_micros(a[1].cast("timestamp"))
+                      - F.unix_micros(a[2].cast("timestamp")))
+                     / _interval_micros_col(a[0]))
+           * _interval_micros_col(a[0])))
+
+
+def _interval_micros_col(iv: Column) -> Column:
+    # day-time interval -> total microseconds (epoch + iv is exact for
+    # fixed-length intervals; month/year strides are variable-length and
+    # would mis-bin, matching the RANGE-frame restriction elsewhere)
+    return F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + iv)
 _fixed("width_bucket", lambda a: F.width_bucket(a[0], a[1], a[2], a[3]))
 # NOTE: the delimiter is a regex at the Spark layer — plain single-char
 # pg delimiters behave identically except regex metachars
@@ -280,7 +300,17 @@ _fixed("array_cat", lambda a: F.concat(a[0], a[1]))
 _fixed("array_append", lambda a: F.array_append(a[0], a[1]))
 _fixed("array_prepend", lambda a: F.array_prepend(a[1], a[0]))
 _fixed("array_position", lambda a: F.array_position(a[0], a[1]))
+_fixed("array_positions",
+       lambda a: F.filter(
+           F.transform(a[0], lambda x, i: F.when(x == a[1], i + 1)),
+           lambda p: p.isNotNull()))
 _fixed("array_remove", lambda a: F.array_remove(a[0], a[1]))
+_fixed("array_replace",
+       lambda a: F.transform(
+           a[0], lambda x: F.when(x == a[1], a[2]).otherwise(x)))
+_fixed("trim_array",
+       lambda a: F.slice(a[0], 1, F.greatest(F.size(a[0]) - a[1].cast("int"),
+                                             F.lit(0))))
 _fixed("array_min", lambda a: F.array_min(a[0]))
 _fixed("array_max", lambda a: F.array_max(a[0]))
 # pg 1-based, 1-dim arrays: upper = length, lower = 1 (NULL when empty)
@@ -380,6 +410,30 @@ _fixed("json_array_length",
 _fixed("json_object_keys",
        lambda a: F.json_object_keys(a[0].cast("string")),
        "jsonb_object_keys")
+# pg to_json(x): any value -> JSON text. F.to_json only takes containers,
+# so wrap in a 1-element array and strip the brackets — exact for scalars,
+# structs and arrays alike (JSON text cannot contain a top-level bare ']').
+_fixed("to_json", lambda a: _strip_array_brackets(F.to_json(F.array(a[0]))),
+       "to_jsonb")
+_fixed("row_to_json", lambda a: F.to_json(a[0]))
+
+
+def _strip_array_brackets(j: Column) -> Column:
+    return F.call_function("substring", j, F.lit(2), F.length(j) - 2)
+
+
+def _json_typeof(a):
+    s = F.trim(a[0].cast("string"))
+    return (F.when(s.isNull(), F.lit(None))
+            .when(s.startswith("{"), F.lit("object"))
+            .when(s.startswith("["), F.lit("array"))
+            .when(s.startswith('"'), F.lit("string"))
+            .when(s == "null", F.lit("null"))
+            .when(s.isin("true", "false"), F.lit("boolean"))
+            .otherwise(F.lit("number")))
+
+
+_fixed("json_typeof", _json_typeof, "jsonb_typeof")
 
 
 def lookup(name: str) -> Builder:

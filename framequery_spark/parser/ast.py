@@ -119,9 +119,14 @@ class FrameBound(Node):
 class WindowSpec(Node):
     partition_by: Tuple[Node, ...] = ()
     order_by: Tuple[SortItem, ...] = ()
-    frame_type: Optional[str] = None  # 'rows' | 'range' | None
+    frame_type: Optional[str] = None  # 'rows' | 'range' | 'groups' | None
     frame_start: Optional[FrameBound] = None
     frame_end: Optional[FrameBound] = None
+    # pg frame exclusion: 'current_row' | 'group' | 'ties' | None (NO OTHERS)
+    exclude: Optional[str] = None
+    # `OVER (w ORDER BY x)` / `WINDOW w2 AS (w1 ...)`: name of the base
+    # window whose spec this one refines; resolved before compilation
+    base_ref: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -245,6 +250,14 @@ class ScalarSubquery(Node):
 
 
 @dataclass(frozen=True)
+class ArraySubquery(Node):
+    """pg ARRAY(subquery): single-column subquery gathered into an array,
+    honoring the subquery's ORDER BY."""
+
+    query: "Select"
+
+
+@dataclass(frozen=True)
 class Exists(Node):
     query: "Select"
     negated: bool = False
@@ -296,6 +309,7 @@ class TableFunction(Node):
     alias: Optional[str] = None
     lateral: bool = False
     ordinality: bool = False  # WITH ORDINALITY (pg): 1-based row number
+    column_names: Tuple[str, ...] = ()  # `AS u(x[, ...])` output renames
 
 
 @dataclass(frozen=True)
@@ -354,6 +368,7 @@ class Select(Node):
     order_by: Tuple[SortItem, ...] = ()
     limit: Optional[Node] = None  # Literal int or 'all'
     offset: Optional[Node] = None
+    limit_ties: bool = False  # FETCH FIRST n ROWS WITH TIES
     distinct: bool = False
     distinct_on: Tuple[Node, ...] = ()  # pg DISTINCT ON (reference xfail)
     ctes: Tuple[CTE, ...] = ()
@@ -373,6 +388,7 @@ class SetOp(Node):
     order_by: Tuple[SortItem, ...] = ()
     limit: Optional[Node] = None
     offset: Optional[Node] = None
+    limit_ties: bool = False  # FETCH FIRST n ROWS WITH TIES
 
 
 @dataclass(frozen=True)

@@ -616,6 +616,12 @@ class Parser:
                 self.expect_op(")")
                 columns = tuple(cols)
             self.expect_kw("as")
+            # pg inlining hints — semantically transparent, accepted + ignored
+            if self.is_kw("not") and self.is_kw("materialized", offset=1):
+                self.advance()
+                self.advance()
+            else:
+                self.accept_kw("materialized")
             self.expect_op("(")
             query = self.parse_query()
             self.expect_op(")")
@@ -654,6 +660,7 @@ class Parser:
         lock, matching how pg treats SELECTs outside a transaction."""
         order_by = self.parse_order_by() if self.is_kw("order") else ()
         limit = offset = None
+        limit_ties = False
         if self.accept_kw("limit"):
             limit = None if self.accept_kw("all") else self.parse_expr()
         if self.accept_kw("offset"):
@@ -671,15 +678,26 @@ class Parser:
                 limit = ast.Literal(1, "int")
             if self.accept_kw("row") is None and self.accept_kw("rows") is None:
                 raise self.error("expected ROW or ROWS in FETCH")
-            self.expect_kw("only")
+            if self.accept_kw("with"):
+                self.expect_kw("ties")
+                limit_ties = True
+                if not order_by and not (
+                        isinstance(left, (ast.Select, ast.SetOp))
+                        and left.order_by):
+                    raise self.error(
+                        "FETCH ... WITH TIES requires ORDER BY")
+            else:
+                self.expect_kw("only")
         if order_by or limit is not None or offset is not None:
             if isinstance(left, ast.SetOp):
                 left = ast.SetOp(op=left.op, left=left.left, right=left.right,
-                                 order_by=order_by, limit=limit, offset=offset)
+                                 order_by=order_by, limit=limit, offset=offset,
+                                 limit_ties=limit_ties)
             else:
                 left = ast.Select(**{**_select_kwargs(left),
                                      "order_by": order_by, "limit": limit,
-                                     "offset": offset})
+                                     "offset": offset,
+                                     "limit_ties": limit_ties})
         while self.accept_kw("for"):
             if self.accept_kw("no"):
                 self.expect_kw("key")
@@ -976,10 +994,11 @@ class Parser:
             if self.accept_kw("with"):
                 self.expect_kw("ordinality")
                 ordinality = True
-            alias = self.parse_optional_alias()
+            alias, colnames = self.parse_values_alias()
             return ast.TableFunction(
                 name=parts[-1].lower(), args=tuple(args), alias=alias,
                 lateral=lateral, ordinality=ordinality,
+                column_names=colnames,
             )
         alias = self.parse_optional_alias()
         sample_percent = sample_seed = None
@@ -1355,6 +1374,33 @@ class Parser:
                     name="__json_arrow" if op == "->" else "__json_arrow_text",
                     args=(node, key))
                 continue
+            if self.is_op("#>", "#>>"):
+                # pg JSON path access: j #> '{a,b,1}' — desugared at parse
+                # time into a chain of -> steps (#>> makes the last step ->>)
+                op = self.advance().value
+                path = self.parse_primary()
+                if not (isinstance(path, ast.Literal)
+                        and path.kind == "string"):
+                    raise self.error(f"{op} requires a literal path array")
+                parts = [p.strip() for p in
+                         path.value.strip().lstrip("{").rstrip("}").split(",")
+                         if p.strip()]
+                if not parts:
+                    raise self.error(f"{op} requires a non-empty path")
+                for i, part in enumerate(parts):
+                    last = i == len(parts) - 1
+                    fn = ("__json_arrow_text"
+                          if last and op == "#>>" else "__json_arrow")
+                    key = (ast.Literal(int(part), "int")
+                           if part.lstrip("-").isdigit()
+                           else ast.Literal(part, "string"))
+                    node = ast.Call(name=fn, args=(node, key))
+                continue
+            if self.is_kw("isnull", "notnull"):
+                # pg shorthand postfix for IS [NOT] NULL
+                word = self.advance().value.lower()
+                node = ast.IsNull(expr=node, negated=word == "notnull")
+                continue
             break
         return node
 
@@ -1423,6 +1469,15 @@ class Parser:
                         items.append(self.parse_expr())
                 self.expect_op("]")
                 return ast.Call(name="__array", args=tuple(items))
+            if low == "array" and self.is_op("(", offset=1) \
+                    and self.is_kw("select", "with", offset=2):
+                # pg ARRAY(subquery) constructor: the subquery's single
+                # column gathered into an array (subquery ORDER BY honored)
+                self.advance()
+                self.advance()
+                query = self.parse_query()
+                self.expect_op(")")
+                return ast.ArraySubquery(query=query)
             if low == "row" and self.is_op("(", offset=1):
                 # explicit ROW(a, b) constructor
                 self.advance()
@@ -1586,6 +1641,17 @@ class Parser:
         order_by: Tuple[ast.SortItem, ...] = ()
         frame_type = None
         frame_start = frame_end = None
+        base_ref = None
+        # pg: OVER (w [ORDER BY ...] [frame]) refines a named window
+        tok = self.peek()
+        if tok is not None and tok.kind == "name" \
+                and tok.value.lower() not in (
+                    "partition", "order", "rows", "range", "groups") \
+                and (self.peek(1) is not None
+                     and (self.peek(1).kind, self.peek(1).value) == ("op", ")")
+                     or self.is_kw("partition", "order", "rows", "range",
+                                   "groups", offset=1)):
+            base_ref = self.parse_name()
         if self.is_kw("partition"):
             self.advance()
             self.expect_kw("by")
@@ -1595,7 +1661,7 @@ class Parser:
             partition_by = tuple(exprs)
         if self.is_kw("order"):
             order_by = self.parse_order_by()
-        if self.is_kw("rows", "range"):
+        if self.is_kw("rows", "range", "groups"):
             frame_type = self.advance().value.lower()
             if self.accept_kw("between"):
                 frame_start = self.parse_frame_bound()
@@ -1604,10 +1670,25 @@ class Parser:
             else:
                 frame_start = self.parse_frame_bound()
                 frame_end = ast.FrameBound(kind="current_row")
+        exclude = None
+        if self.accept_kw("exclude"):
+            if self.accept_kw("current"):
+                self.expect_kw("row")
+                exclude = "current_row"
+            elif self.accept_kw("group"):
+                exclude = "group"
+            elif self.accept_kw("ties"):
+                exclude = "ties"
+            elif self.accept_kw("no"):
+                self.expect_kw("others")
+            else:
+                raise self.error(
+                    "expected CURRENT ROW, GROUP, TIES or NO OTHERS")
         self.expect_op(")")
         return ast.WindowSpec(
             partition_by=partition_by, order_by=order_by, frame_type=frame_type,
             frame_start=frame_start, frame_end=frame_end,
+            exclude=exclude, base_ref=base_ref,
         )
 
     def parse_frame_bound(self) -> ast.FrameBound:
@@ -1719,7 +1800,8 @@ def _select_kwargs(sel: ast.Select) -> dict:
     return {
         "items": sel.items, "from_": sel.from_, "where": sel.where,
         "group_by": sel.group_by, "having": sel.having, "order_by": sel.order_by,
-        "limit": sel.limit, "offset": sel.offset, "distinct": sel.distinct,
+        "limit": sel.limit, "offset": sel.offset,
+        "limit_ties": sel.limit_ties, "distinct": sel.distinct,
         "distinct_on": sel.distinct_on, "ctes": sel.ctes,
         "windows": sel.windows, "qualify": sel.qualify,
     }

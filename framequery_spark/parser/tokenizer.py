@@ -26,18 +26,24 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*|/\*.*?\*/)
   | (?P<param>%\(\w+\)s)
+  | (?P<estring>[eE]'(?:[^'\\]|''|\\.)*')
+  | (?P<dollarstring>\$(?P<dtag>(?:[A-Za-z_][A-Za-z_0-9]*)?)\$.*?\$(?P=dtag)\$)
   | (?P<string>'(?:[^']|'')*')
   | (?P<qname>"(?:[^"]|"")*")
-  | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<number>0[xX][0-9A-Fa-f](?:_?[0-9A-Fa-f])*
+              |0[bB][01](?:_?[01])*
+              |0[oO][0-7](?:_?[0-7])*
+              |(?:\d(?:_?\d)*\.(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*|\d(?:_?\d)*)
+               (?:[eE][+-]?\d+)?)
   | (?P<name>[A-Za-z_][A-Za-z_0-9$]*)
-  | (?P<op>->>|->|@>|<@|&&|<>|!~~\*|!~~|!~\*|!~|!=|!>|!<|<=|>=|<<|>>|~~\*|~~|~\*|\|\||::|[-+*/%^<>=~&|#(),.;:\[\]])
+  | (?P<op>\#>>|\#>|->>|->|@>|<@|&&|<>|!~~\*|!~~|!~\*|!~|!=|!>|!<|<=|>=|<<|>>|~~\*|~~|~\*|\|\||::|[-+*/%^<>=~&|#(),.;:\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )
 
 # operators where the tokenizer value is used verbatim by the parser
 OPS = {
-    "->>", "->", "@>", "<@", "&&", "<>", "!~~*", "!~~", "!~*", "!~",
+    "#>>", "#>", "->>", "->", "@>", "<@", "&&", "<>", "!~~*", "!~~", "!~*", "!~",
     "!=", "!>", "!<",
     "<=", ">=", "<<", ">>", "~~*", "~~", "~*", "||", "::", ":",
     "+", "-", "*", "/", "%", "^", "<", ">", "=", "~", "&", "|", "#",
@@ -47,6 +53,44 @@ OPS = {
 
 class TokenizeError(ValueError):
     pass
+
+
+_E_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+              "\\": "\\", "'": "'", '"': '"'}
+
+_E_ESCAPE_RE = re.compile(
+    r"\\x[0-9A-Fa-f]{1,2}|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}"
+    r"|\\[0-7]{1,3}|\\.|''")
+
+
+def _unescape_e(body: str) -> str:
+    """Decode the body of a pg E'...' string (backslash escapes + '')."""
+    def sub(m: "re.Match[str]") -> str:
+        s = m.group()
+        if s == "''":
+            return "'"
+        c = s[1]
+        if c in ("x",):
+            return chr(int(s[2:], 16))
+        if c in ("u", "U"):
+            return chr(int(s[2:], 16))
+        if c.isdigit():
+            return chr(int(s[1:], 8))
+        return _E_ESCAPES.get(c, c)
+    return _E_ESCAPE_RE.sub(sub, body)
+
+
+def _quote(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _norm_number(text: str) -> str:
+    """pg 16 literal forms -> canonical decimal text (underscores, 0x/0b/0o)."""
+    text = text.replace("_", "")
+    if len(text) > 1 and text[0] == "0" and text[1] in "xXbBoO":
+        base = {"x": 16, "b": 2, "o": 8}[text[1].lower()]
+        return str(int(text[2:], base))
+    return text
 
 
 def tokenize(sql: str) -> List[Token]:
@@ -62,6 +106,14 @@ def tokenize(sql: str) -> List[Token]:
             )
         kind = m.lastgroup
         text = m.group()
+        if kind == "estring":
+            # E'...' -> equivalent plain string token
+            kind, text = "string", _quote(_unescape_e(text[2:-1]))
+        elif kind == "dollarstring":
+            tag_len = text.index("$", 1) + 1
+            kind, text = "string", _quote(text[tag_len:-tag_len])
+        elif kind == "number":
+            text = _norm_number(text)
         if kind not in ("ws", "comment"):
             tokens.append(Token(kind, text, pos))
         pos = m.end()

@@ -33,6 +33,22 @@ def _literal_args(args) -> List[object]:
 
 
 def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
+    df = _compile_table_function(qc, tf)
+    if tf.column_names:
+        # pg `AS u(x[, ...])`: rename the first N output columns
+        cols = df.columns
+        if len(tf.column_names) > len(cols):
+            raise CompileError(
+                f"table function {tf.name} returns {len(cols)} columns, "
+                f"alias names {len(tf.column_names)}")
+        df = df.select(*[
+            F.col(c).alias(tf.column_names[i]) if i < len(tf.column_names)
+            else F.col(c)
+            for i, c in enumerate(cols)]).alias(tf.alias or tf.name)
+    return df
+
+
+def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
     spark = qc.session.spark
     name = tf.name
     alias = tf.alias or name
@@ -45,6 +61,30 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
             "input order)")
 
     if name == "generate_series":
+        first = tf.args[0] if tf.args else None
+        if isinstance(first, ast.Literal) and first.kind in ("date", "timestamp"):
+            # date/timestamp series with an interval step: F.sequence is
+            # inclusive-stop like pg. One driver row → explode; a time grid
+            # is bounded (callers needing a distributed grid use
+            # time_bucket_gapfill, which spreads sequence over groups).
+            ec = qc._expr_compiler()
+            start_c = ec.compile(tf.args[0])
+            stop_c = ec.compile(tf.args[1])
+            if len(tf.args) > 2:
+                step = tf.args[2]
+                if not (isinstance(step, ast.Literal)
+                        and step.kind == "interval"):
+                    raise CompileError(
+                        "generate_series over dates needs an INTERVAL step")
+                step_c = F.expr(f"INTERVAL '{step.value}'")
+            else:
+                step_c = F.expr("INTERVAL '1 day'")
+            # pg promotes date arguments to timestamp for the series
+            return (spark.range(1)
+                    .select(F.explode(F.sequence(
+                        start_c.cast("timestamp"), stop_c.cast("timestamp"),
+                        step_c)).alias("generate_series"))
+                    .alias(alias))
         args = _literal_args(tf.args)
         start = int(args[0])
         stop = int(args[1])
@@ -333,9 +373,19 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
     if name in ("json_each", "json_array_elements", "unnest"):
         ec = qc._expr_compiler()
         arg = ec.compile(tf.args[0])
-        return _explode_json(left, arg, name, alias,
-                             ordinality=tf.ordinality,
-                             col_name=_single_col_name(tf))
+        out = _explode_json(left, arg, name, alias,
+                            ordinality=tf.ordinality,
+                            col_name=_single_col_name(tf))
+        if tf.column_names:
+            # `AS u(x[, ord])`: positional renames over the produced columns.
+            # Single-column functions already get names[0] via
+            # _single_col_name; json_each's (key, value) renames from 0.
+            produced = [c for c in out.columns if c not in set(left.columns)]
+            start = 0 if name == "json_each" else 1
+            for new, old in zip(tf.column_names[start:], produced[start:]):
+                if new != old:
+                    out = out.withColumnRenamed(old, new)
+        return out
 
     if name == "regexp_split_to_table":
         # pg: one row per split piece; rides the same native explode path
@@ -402,8 +452,11 @@ def _explode_json(df: DataFrame, arg, name: str, alias: str,
 def _single_col_name(tf: ast.TableFunction) -> str:
     """pg naming rule for single-column table functions: an explicit alias
     renames the COLUMN (`unnest(a) AS u` -> column u, selectable bare);
-    WITH ORDINALITY makes the result two-column, so the alias stays a table
-    alias and the value column keeps the repo default name "value"."""
+    `AS u(x)` names the column x explicitly; WITH ORDINALITY makes the
+    result two-column, so the alias stays a table alias and the value
+    column keeps the repo default name "value"."""
+    if tf.column_names:
+        return tf.column_names[0]
     if tf.alias and not tf.ordinality and tf.name in (
             "unnest", "json_array_elements", "regexp_split_to_table"):
         return tf.alias

@@ -266,6 +266,114 @@ QUERIES = [
     "select (array[10,20,30,40])[2:99] as s",  # past end truncates
     ("select (array[10,20,30])[0:2] as s",     # pg clamps lo to 1
      "select (array[10,20,30])[1:2] as s"),
+    # ---- round-6 dialect batch: frames, ties, literals, theta subqueries
+    # frame EXCLUDE (no DuckDB support -> explicit oracles)
+    ("select c2, sum(c2) over (order by c2 rows between 1 preceding and 1 "
+     "following exclude current row) s from test",
+     "select c2, sum(c2) over (order by c2 rows between 1 preceding and 1 "
+     "following) - c2 as s from test"),
+    ("select c2, sum(c2) over (order by c1 exclude group) s from test",
+     "select c2, case when cnt - gcnt > 0 then fsum - gsum end as s from ("
+     "select c2, sum(c2) over (order by c1) fsum, "
+     "count(c2) over (order by c1) cnt, "
+     "sum(c2) over (partition by c1) gsum, "
+     "count(c2) over (partition by c1) gcnt from test) t"),
+    ("select c2, avg(c2) over (order by c1 exclude ties) s from test",
+     "select c2, (fsum - gsum + c2) / (cnt - gcnt + 1) as s from ("
+     "select c2, sum(c2) over (order by c1) fsum, "
+     "count(c2) over (order by c1) cnt, "
+     "sum(c2) over (partition by c1) gsum, "
+     "count(c2) over (partition by c1) gcnt from test) t"),
+    # WINDOW clause refinement + chaining
+    "select c2, sum(c2) over (w order by c2) from test window w as (partition by c1)",
+    ("select c2, sum(c2) over w2 from test "
+     "window w as (partition by c1), w2 as (w order by c2)",
+     "select c2, sum(c2) over (partition by c1 order by c2) from test"),
+    # FETCH ... WITH TIES
+    ("select c1 from test order by c1 fetch first 4 rows with ties",
+     "select c1 from test order by c1"),  # ties with row 4 pull in all 6
+    ("select c2 from test order by c2 fetch first 2 rows with ties",
+     "select c2 from test order by c2 limit 2"),
+    # pg 16 literal forms; dollar quoting; E-strings
+    ("select 1_000_000 + c1 from test", "select 1000000 + c1 from test"),
+    ("select 0x1F, 0b101, 0o17", "select 31, 5, 15"),
+    ("select $$dollar 'quoted'$$, $tag$nested $$ ok$tag$",
+     "select 'dollar ''quoted''', 'nested $$ ok'"),
+    ("select E'a\\tb' like E'a\\t%'", "select true"),
+    # postfix null tests
+    ("select c1 isnull, c2 notnull from test",
+     "select c1 is null, c2 is not null from test"),
+    # json path operators (desugared to arrow chains)
+    ("select '{\"b\": {\"c\": [10, 20]}}' #> '{b,c}' as p, "
+     "'{\"b\": {\"c\": [10, 20]}}' #>> '{b,c,0}' as q",
+     "select '[10,20]', '10'"),
+    # ARRAY(subquery)
+    ("select array(select c2 from test where c1 = 0 order by c2 desc) a",
+     "select [5, 3, 1] as a"),
+    # CTE inlining hints
+    "with m as materialized (select max(c2) mx from test) select mx from m",
+    "with m as not materialized (select min(c2) mn from test) select mn from m",
+    # DISTINCT inside ordered aggregates
+    ("select array_agg(distinct c1 order by c1) from test",
+     "select [0, 1]"),
+    # theta-correlated scalar subqueries (running-rank shape)
+    "select c2, (select count(*) from test t2 where t2.c2 < t.c2) below from test t",
+    "select c1, (select sum(t2.c2) from test t2 where t2.c2 < t.c2 and t2.c1 = t.c1) s from test t",
+    "select name, (select max(c2) from test where c2 <= id + 3) m from names",
+    # regexp_replace: pg first-match default, 'g' global, group refs
+    ("select regexp_replace(name, '[aeiou]', 'X') from names",
+     "select regexp_replace(name, '[aeiou]', 'X') from names"),
+    ("select regexp_replace(name, '[aeiou]', 'X', 'g') from names",
+     "select regexp_replace(name, '[aeiou]', 'X', 'g') from names"),
+    ("select regexp_replace('abcb', '(b)', 'X\\1Y', 'g')",
+     "select 'aXbYcXbY'"),
+    # substring regex form (pg: NULL when no match; group 1 if present)
+    ("select substring(name from 'b(.)') from names",
+     "select case when regexp_matches(name, 'b(.)') "
+     "then regexp_extract(name, 'b(.)', 1) end from names"),
+    # date arithmetic: date - date = days; date +/- int
+    ("select date '2024-03-01' - date '2024-01-01'", "select 60"),
+    ("select date '2024-01-10' + 5, date '2024-01-10' - 3",
+     "select date '2024-01-15', date '2024-01-07'"),
+    # extract fields
+    ("select extract(isodow from date '2024-01-15'), "
+     "extract(week from date '2024-02-29'), "
+     "extract(quarter from date '2024-07-04')",
+     "select 1, 9, 3"),
+    ("select extract(decade from date '2024-01-01'), "
+     "extract(century from date '2024-01-01')", "select 202, 21"),
+    # new scalar functions
+    ("select isfinite(date '2024-01-01'), to_hex(255)",
+     "select true, 'ff'"),
+    ("select trim_array(array[1,2,3], 1)", "select [1, 2]"),
+    ("select array_positions(array[1,2,1,2], 2)", "select [2, 4]"),
+    ("select array_replace(array[1,2,3], 2, 99)", "select [1, 99, 3]"),
+    ("select to_json('x'), row_to_json(row(1, 'x'))",
+     "select '\"x\"', '{\"f1\":1,\"f2\":\"x\"}'"),
+    ("select json_typeof('[1]'), json_typeof('{}'), json_typeof('3'), "
+     "json_typeof('\"s\"'), json_typeof('true'), json_typeof('null')",
+     "select 'array', 'object', 'number', 'string', 'boolean', 'null'"),
+    ("select date_bin(interval '15 minutes', "
+     "timestamp '2024-02-29 23:59:59', timestamp '2024-01-01')",
+     "select timestamp '2024-02-29 23:45:00'"),
+    ("select to_char(timestamp '2024-01-15 10:30:00', "
+     "'YYYY-MM-DD HH24:MI:SS')",
+     "select strftime(timestamp '2024-01-15 10:30:00', '%Y-%m-%d %H:%M:%S')"),
+    ("select to_date('2024-01-15', 'YYYY-MM-DD')",
+     "select date '2024-01-15'"),
+    # generate_series over dates (pg promotes to timestamp)
+    ("select * from generate_series(date '2024-01-01', date '2024-01-10', "
+     "interval '3 days')",
+     "select unnest(generate_series(timestamp '2024-01-01', "
+     "timestamp '2024-01-10', interval '3 days'))"),
+    # unnest with column alias list
+    ("select x * 2 from (select array[1,2,3] as xs) v, unnest(xs) as u(x)",
+     "select x * 2 from (select [1,2,3] as xs) v, unnest(xs) as u(x)"),
+    # grouping() over an aliased cube expression
+    ("select c1, c2 % 2 as p, grouping(c1) g1, grouping(c2 % 2) g2 "
+     "from test group by cube(c1, p)",
+     "select c1, c2 % 2 as p, grouping(c1) g1, grouping(p) g2 "
+     "from test group by cube(c1, p)"),
 ]
 
 
