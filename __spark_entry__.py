@@ -633,6 +633,22 @@ GROUP BY lang
 ORDER BY lang
 """)
 
+# Theta-correlated scalar subquery (the running-rank / strictly-below-count
+# shape pg evaluates as a per-row subplan). Decorrelated by
+# expressions.py:_decorrelate_theta into one theta join + per-outer-row
+# aggregate — never a per-row loop. Identical text in both dialects
+# (DuckDB decorrelates it natively).
+_q("q63_running_rank", """
+SELECT n_name,
+       (SELECT count(*) FROM nation n2
+        WHERE n2.n_nationkey < n.n_nationkey) AS below,
+       (SELECT round(sum(s.s_acctbal), 2) FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey
+          AND s.s_acctbal > 0) AS pos_bal
+FROM nation n
+ORDER BY n_name
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the
