@@ -199,6 +199,89 @@ class Executor:
         finally:
             self.basepath = old
 
+    def _exec_dml_join(self, node, scope: dict, kind: str):
+        """pg `UPDATE t SET ... FROM rels WHERE cond` and
+        `DELETE FROM t USING rels WHERE cond`.
+
+        Shape: tag target rows with an id, inner-join the FROM/USING
+        relation tree on the WHERE condition (equality conjuncts become
+        hash-join keys under Catalyst), keep ONE match per target row
+        (row_number over the join columns — pg leaves the choice
+        unspecified; sorting makes it deterministic), then rebuild the
+        table: updated rows replace their originals / deleted ids are
+        anti-joined away. One join + one window + one id-join — never a
+        per-row subplan.
+
+        RETURNING sees the post-image target columns plus the matched
+        FROM/USING row's non-colliding columns (bare names; qualified
+        source refs are not supported — same documented limit as MERGE
+        RETURNING before round 6)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..compiler.expressions import ExprCompiler
+        from ..compiler.select import QueryCompiler
+
+        rels = node.from_ if kind == "update" else node.using
+        base = self.resolve_table(scope, node.table).alias(node.table)
+        t_cols = list(base.columns)
+        tagged = (base.withColumn("__t_id", F.monotonically_increasing_id())
+                  .alias(node.table))
+        src = QueryCompiler(self, scope).compile_relation(rels)
+        src_cols = [c for c in src.columns if not c.startswith("__")]
+        src_alias = getattr(rels, "alias", None) or (
+            rels.parts[-1] if isinstance(rels, ast.TableRef) else None)
+        src = src.withColumn("__s_id", F.monotonically_increasing_id())
+        if src_alias:
+            # withColumn drops the relation alias; restore for qualified refs
+            src = src.alias(src_alias)
+        ec = ExprCompiler(self, scope=scope)
+        cond = (ec.compile(node.where).eqNullSafe(True)
+                if node.where is not None else F.lit(True))
+        if ec.pending_scalar or ec.pending_correlated or ec.pending_theta:
+            raise CompileError(
+                f"subqueries in {kind.upper()} ... "
+                f"{'FROM' if kind == 'update' else 'USING'} conditions are "
+                "not supported — use MERGE or a plain WHERE")
+        joined = tagged.join(src, cond, "inner")
+        matched = (joined.withColumn(
+            "__rn", F.row_number().over(
+                Window.partitionBy("__t_id").orderBy("__s_id")))
+            .where(F.col("__rn") == 1).drop("__rn", "__s_id"))
+
+        def tcol(c):
+            return F.col(f"`{node.table}`.`{c}`")
+
+        extra = [c for c in src_cols if c not in t_cols]
+        if kind == "update":
+            new_vals = {c: ec.compile(e) for c, e in node.assignments}
+            unknown = [c for c in new_vals if c not in t_cols]
+            if unknown:
+                raise CompileError(f"UPDATE: unknown column(s) {unknown}")
+            post = matched.select(
+                F.col("__t_id"),
+                *[(new_vals[c].cast(base.schema[c].dataType).alias(c)
+                   if c in new_vals else tcol(c).alias(c)) for c in t_cols],
+                *[F.col(c) for c in extra])
+            upd = post.select(
+                "__t_id", F.lit(True).alias("__hit"),
+                *[F.col(c).alias(f"__new_{c}") for c in t_cols])
+            scope[node.table] = tagged.join(upd, "__t_id", "left").select(*[
+                F.when(F.col("__hit").eqNullSafe(True), F.col(f"__new_{c}"))
+                .otherwise(tcol(c)).alias(c) for c in t_cols])
+            affected = post.drop("__t_id")
+        else:  # delete
+            hit = matched.select("__t_id").distinct()
+            scope[node.table] = (tagged.join(hit, "__t_id", "left_anti")
+                                 .select(*[tcol(c).alias(c) for c in t_cols]))
+            affected = matched.select(
+                *[tcol(c).alias(c) for c in t_cols],
+                *[F.col(c) for c in extra])
+        if node.returning:
+            return self._returning(scope, node.table, affected,
+                                   node.returning)
+        return None
+
     def _returning(self, scope: dict, table: str, affected: DataFrame,
                    items) -> DataFrame:
         """pg RETURNING: project the affected-row set through the item list
@@ -408,8 +491,13 @@ class Executor:
             from pyspark.sql import Window
             from pyspark.sql import functions as F
 
-            df = self._compile_query(node.query, scope)
             base = self.resolve_table(scope, node.table)
+            if node.query is None:
+                # DEFAULT VALUES: one row of NULLs (no column defaults here)
+                df = self.spark.createDataFrame(
+                    [tuple(None for _ in base.columns)], base.schema)
+            else:
+                df = self._compile_query(node.query, scope)
             if node.columns:
                 # named columns: missing ones fill NULL, order normalized
                 df = df.toDF(*node.columns)
@@ -485,6 +573,10 @@ class Executor:
                 return self._returning(scope, node.table, affected,
                                        node.returning)
             return None
+        if isinstance(node, ast.Delete) and node.using is not None:
+            return self._exec_dml_join(node, scope, kind="delete")
+        if isinstance(node, ast.Update) and node.from_ is not None:
+            return self._exec_dml_join(node, scope, kind="update")
         if isinstance(node, ast.Delete):
             # alias to the table name so qualified self-refs (t.a) and
             # correlated subquery outer refs resolve

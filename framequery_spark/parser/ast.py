@@ -451,23 +451,28 @@ class InsertInto(Node):
 
 @dataclass(frozen=True)
 class Delete(Node):
-    """DELETE FROM t [WHERE cond] [RETURNING items] — rebinds the scope
-    entry to the filtered complement."""
+    """DELETE FROM t [USING rels] [WHERE cond] [RETURNING items] — rebinds
+    the scope entry to the filtered complement; with USING, rows matching
+    some USING row under the WHERE are deleted (semi-join semantics)."""
 
     table: str
     where: Optional[Node] = None
     returning: Tuple[Node, ...] = ()
+    using: Optional[Node] = None
 
 
 @dataclass(frozen=True)
 class Update(Node):
-    """UPDATE t SET col = expr, ... [WHERE cond] [RETURNING items] —
-    rebinds the scope entry with conditional column replacement."""
+    """UPDATE t SET col = expr, ... [FROM rels] [WHERE cond]
+    [RETURNING items] — rebinds the scope entry with conditional column
+    replacement; with FROM, assignments may reference the joined rows
+    (one arbitrary-but-deterministic match per target row, like pg)."""
 
     table: str
     assignments: Tuple[Tuple[str, Node], ...] = ()
     where: Optional[Node] = None
     returning: Tuple[Node, ...] = ()
+    from_: Optional[Node] = None
 
 
 @dataclass(frozen=True)

@@ -261,10 +261,14 @@ class Parser:
             self.advance()
             self.expect_kw("from")
             table = ".".join(self.parse_dotted_name())
+            using = None
+            if self.accept_kw("using"):
+                using = self.parse_from()
             where = self.parse_expr() if self.accept_kw("where") else None
             returning = (self.parse_select_list()
                          if self.accept_kw("returning") else ())
-            return ast.Delete(table=table, where=where, returning=returning)
+            return ast.Delete(table=table, where=where, returning=returning,
+                              using=using)
         if self.is_kw("update"):
             self.advance()
             table = ".".join(self.parse_dotted_name())
@@ -276,11 +280,14 @@ class Parser:
                 assigns.append((col, self.parse_expr()))
                 if not self.accept_op(","):
                     break
+            from_ = None
+            if self.accept_kw("from"):
+                from_ = self.parse_from()
             where = self.parse_expr() if self.accept_kw("where") else None
             returning = (self.parse_select_list()
                          if self.accept_kw("returning") else ())
             return ast.Update(table=table, assignments=tuple(assigns),
-                              where=where, returning=returning)
+                              where=where, returning=returning, from_=from_)
         raise self.error("expected a statement")
 
     def _merge_opt_alias(self, *stop_kws: str):
@@ -451,7 +458,13 @@ class Parser:
             while self.accept_op(","):
                 columns.append(self.parse_name())
             self.expect_op(")")
-        if self.is_kw("values"):
+        if self.is_kw("default") and self.is_kw("values", offset=1):
+            # pg INSERT ... DEFAULT VALUES: one row of column defaults —
+            # this engine has no column defaults, so a row of NULLs
+            self.advance()
+            self.advance()
+            query = None
+        elif self.is_kw("values"):
             vals = self.parse_values()
             query = ast.Select(items=(ast.Star(),),
                                from_=ast.Values(rows=vals.rows,

@@ -346,3 +346,90 @@ def test_merge_returning_source_star_and_null_for_by_source(spark):
     # a=1 deleted (target-only): source cols NULL; a=2/3 updated
     assert got == [("DELETE", 1, None, None),
                    ("UPDATE", 2, 2, 99), ("UPDATE", 3, 3, 88)]
+
+
+# ------------------------------------------------- UPDATE FROM / DELETE USING
+
+
+def _duck_ts():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a INT, b INT); "
+                "INSERT INTO t VALUES (1,10),(2,20),(3,30); "
+                "CREATE TABLE s(a INT, c INT); "
+                "INSERT INTO s VALUES (2,99),(3,88),(4,77)")
+    return con
+
+
+def _executor_ts(spark):
+    t = pd.DataFrame({"a": [1, 2, 3], "b": [10, 20, 30]})
+    s = pd.DataFrame({"a": [2, 3, 4], "c": [99, 88, 77]})
+    return fq.Executor(scope={"t": spark.createDataFrame(t),
+                              "s": spark.createDataFrame(s)}, spark=spark)
+
+
+def test_update_from_matches_duckdb(spark):
+    ex = _executor_ts(spark)
+    con = _duck_ts()
+    stmt = "UPDATE t SET b = s.c FROM s WHERE t.a = s.a"
+    ex.execute(stmt)
+    con.execute(stmt)
+    assert _rows(ex) == sorted(map(tuple, con.execute(
+        "SELECT * FROM t ORDER BY a").fetchall())) \
+        == [(1, 10), (2, 99), (3, 88)]
+
+
+def test_update_from_returning_post_image_and_source_cols(spark):
+    ex = _executor_ts(spark)
+    ret = ex.execute(
+        "UPDATE t SET b = s.c + 1 FROM s WHERE t.a = s.a "
+        "RETURNING a, b, c")
+    assert sorted(tuple(r) for r in ret.collect()) == \
+        [(2, 100, 99), (3, 89, 88)]
+    assert _rows(ex) == [(1, 10), (2, 100), (3, 89)]
+
+
+def test_update_from_assignment_sees_pre_update_row(spark):
+    ex = _executor_ts(spark)
+    # RHS mixes target (pre-update) and source columns
+    ex.execute("UPDATE t SET b = t.b + s.c FROM s WHERE t.a = s.a")
+    assert _rows(ex) == [(1, 10), (2, 119), (3, 118)]
+
+
+def test_delete_using_matches_duckdb(spark):
+    ex = _executor_ts(spark)
+    con = _duck_ts()
+    stmt = "DELETE FROM t USING s WHERE t.a = s.a"
+    ex.execute(stmt)
+    con.execute(stmt)
+    assert _rows(ex) == sorted(map(tuple, con.execute(
+        "SELECT * FROM t ORDER BY a").fetchall())) == [(1, 10)]
+
+
+def test_delete_using_returning_includes_source_cols(spark):
+    ex = _executor_ts(spark)
+    ret = ex.execute("DELETE FROM t USING s WHERE t.a = s.a RETURNING a, b, c")
+    assert sorted(tuple(r) for r in ret.collect()) == \
+        [(2, 20, 99), (3, 30, 88)]
+    assert _rows(ex) == [(1, 10)]
+
+
+def test_update_from_multi_match_updates_once(spark):
+    # pg updates each target row ONCE even when several source rows match
+    t = pd.DataFrame({"a": [1], "b": [0]})
+    s = pd.DataFrame({"a": [1, 1], "c": [5, 7]})
+    ex = fq.Executor(scope={"t": spark.createDataFrame(t),
+                            "s": spark.createDataFrame(s)}, spark=spark)
+    ex.execute("UPDATE t SET b = t.b + s.c FROM s WHERE t.a = s.a")
+    rows = _rows(ex)
+    assert len(rows) == 1 and rows[0][1] in (5, 7)  # one match applied
+
+
+def test_insert_default_values(spark):
+    ex = _executor_ts(spark)
+    ex.execute("INSERT INTO t DEFAULT VALUES")
+    rows = sorted(((r.a, r.b) for r in
+                   ex.execute("SELECT * FROM t").collect()),
+                  key=lambda x: (x[0] is None, x))
+    assert rows[-1] == (None, None) and len(rows) == 4
