@@ -94,6 +94,8 @@ AGG_MAP = {
     "bit_and": lambda c: F.bit_and(c),
     "bit_or": lambda c: F.bit_or(c),
     "bit_xor": lambda c: F.bit_xor(c),
+    # pg 16 any_value: an arbitrary non-null input value
+    "any_value": lambda c: F.any_value(c, True),
 }
 
 AGG_NAMES = set(AGG_MAP) | {
@@ -263,6 +265,19 @@ class ExprCompiler:
         raise CompileError(f"unary op {node.op}")
 
     @staticmethod
+    def _static_is_array(node: ast.Node) -> bool:
+        """Statically-known array-valued expression: ARRAY[...] literal,
+        ARRAY(subquery), or a cast to an array type."""
+        if isinstance(node, ast.Call) and node.name == "__array":
+            return True
+        if isinstance(node, ast.ArraySubquery):
+            return True
+        if isinstance(node, ast.Cast):
+            t = node.type_name.lower()
+            return t.endswith("[]") or t.startswith("array")
+        return False
+
+    @staticmethod
     def _static_kind(node: ast.Node) -> Optional[str]:
         """Statically-known operand kind for date arithmetic: 'date' /
         'int' / 'interval', else None (column refs are type-unknown)."""
@@ -323,6 +338,16 @@ class ExprCompiler:
         if op == "^":
             return F.pow(left, right)  # pg ^ is power, not xor
         if op == "||":
+            # pg: array || element appends, element || array prepends;
+            # decided statically (ARRAY[...] / ARRAY(...) / ::type[] forms).
+            # Unknown-typed sides keep concat (string||string, array||array)
+            la = self._static_is_array(node.left)
+            ra = self._static_is_array(node.right)
+            if la and not ra and self._static_kind(node.right) is not None \
+                    or la and isinstance(node.right, ast.Literal):
+                return F.array_append(left, right)
+            if ra and not la and isinstance(node.left, ast.Literal):
+                return F.array_prepend(right, left)
             return F.concat(left, right)  # null-propagating, matches pg
         if op == "&":
             return left.bitwiseAND(right)
@@ -396,9 +421,21 @@ class ExprCompiler:
             col = col.otherwise(self.compile(node.default))
         return col
 
+    _PG_BOOL = {"t": True, "true": True, "yes": True, "on": True, "1": True,
+                "f": False, "false": False, "no": False, "off": False,
+                "0": False}
+
     def _c_Cast(self, node: ast.Cast) -> Column:
-        c = self.compile(node.expr)
         t = node.type_name.lower()
+        if t in ("bool", "boolean") and isinstance(node.expr, ast.Literal) \
+                and node.expr.kind == "string":
+            # pg accepts t/f/yes/no/on/off/1/0 (Spark only true/false/1/0)
+            v = self._PG_BOOL.get(node.expr.value.strip().lower())
+            if v is None:
+                raise CompileError(
+                    f"invalid input for boolean: {node.expr.value!r}")
+            return F.lit(v)
+        c = self.compile(node.expr)
         if t == "json":
             # reference: json.loads into object cells (util/_funcs.py:110-114);
             # Spark-native: VariantType (Spark 4) keeps it queryable at scale
@@ -532,6 +569,38 @@ class ExprCompiler:
                     f"encode/decode supports base64 and hex, got {fmt!r}")
             enc, dec = pairs[fmt]
             return enc(arg) if name == "encode" else dec(arg)
+        if name == "format" and node.args \
+                and isinstance(node.args[0], ast.Literal) \
+                and node.args[0].kind == "string" \
+                and ("%I" in node.args[0].value
+                     or "%L" in node.args[0].value):
+            # pg format() with identifier/literal quoting directives —
+            # compiled to a concat of quoted pieces (the plain-%s form goes
+            # through format_string in the registry)
+            pieces = []
+            argi = 1
+            for p in _re.split(r"(%[sIL%])", node.args[0].value):
+                if p == "%%":
+                    pieces.append(F.lit("%"))
+                elif p in ("%s", "%I", "%L"):
+                    if argi >= len(node.args):
+                        raise CompileError("format(): too few arguments")
+                    s = self.compile(node.args[argi]).cast("string")
+                    argi += 1
+                    if p == "%s":
+                        pieces.append(F.coalesce(s, F.lit("")))
+                    elif p == "%I":
+                        pieces.append(F.concat(
+                            F.lit('"'), F.regexp_replace(s, '"', '""'),
+                            F.lit('"')))
+                    else:
+                        pieces.append(F.coalesce(
+                            F.concat(F.lit("'"),
+                                     F.regexp_replace(s, "'", "''"),
+                                     F.lit("'")), F.lit("NULL")))
+                elif p:
+                    pieces.append(F.lit(p))
+            return F.concat(*pieces)
         if name == "regexp_replace" and len(node.args) in (3, 4):
             # pg: replaces the FIRST match unless the 'g' flag is given
             # (Spark's regexp_replace is always global). The first-match
@@ -707,6 +776,12 @@ class ExprCompiler:
             k = key.value
             path = f"$.{k}" if k.replace("_", "a").isalnum() else f"$['{k}']"
         elif isinstance(key, ast.Literal) and key.kind == "int":
+            if key.value < 0:
+                # pg 13+: negative index counts from the array end.
+                # JSONPath can't express it, so parse to array<string> and
+                # element_at (1-based; negatives index from the end).
+                return F.element_at(
+                    F.from_json(obj, "array<string>"), key.value)
             path = f"$[{key.value}]"
         else:
             raise CompileError("-> / ->> requires a literal string or int key")

@@ -136,7 +136,7 @@ _fixed("replace", lambda a: F.replace(a[0], a[1], a[2]))
 _fixed("split_part", lambda a: F.split_part(a[0], a[1], a[2]))
 _fixed("strpos", lambda a: F.call_function("position", a[1], a[0]), "instr")
 _fixed("initcap", lambda a: F.initcap(a[0]))
-_fixed("ascii", lambda a: F.ascii(a[0]))
+_fixed("ascii", lambda a: F.ascii(a[0]), "unicode")
 _fixed("chr", lambda a: F.char(a[0]))
 _fixed("md5", lambda a: F.md5(a[0].cast("string")))
 _fixed("sha256", lambda a: F.sha2(a[0].cast("string"), 256))
@@ -160,12 +160,19 @@ def _substr(a):
 
 @register("left")
 def _left(a):
-    return F.call_function("left", a[0], a[1])
+    # pg: negative n -> all but the last |n| characters
+    n = a[1].cast("int")
+    return F.when(n >= 0, F.call_function("left", a[0], n)) \
+        .otherwise(F.call_function("substring", a[0], F.lit(1),
+                                   F.greatest(F.length(a[0]) + n, F.lit(0))))
 
 
 @register("right")
 def _right(a):
-    return F.call_function("right", a[0], a[1])
+    # pg: negative n -> all but the first |n| characters
+    n = a[1].cast("int")
+    return F.when(n >= 0, F.call_function("right", a[0], n)) \
+        .otherwise(F.call_function("substring", a[0], F.lit(1) - n))
 
 
 @register("concat")
@@ -256,7 +263,16 @@ def _interval_micros_col(iv: Column) -> Column:
 _fixed("width_bucket", lambda a: F.width_bucket(a[0], a[1], a[2], a[3]))
 # NOTE: the delimiter is a regex at the Spark layer — plain single-char
 # pg delimiters behave identically except regex metachars
-_fixed("string_to_array", lambda a: F.call_function("split", a[0], a[1]))
+def _string_to_array(a):
+    # pg: literal (non-regex) separator; NULL separator -> per-character
+    s, sep = a[0].cast("string"), a[1].cast("string")
+    esc = F.regexp_replace(sep, F.lit(r"([^a-zA-Z0-9])"), F.lit(r"\\$1"))
+    return F.when(s == "", F.array().cast("array<string>")) \
+        .when(sep.isNull(), F.split(s, "(?!^)(?!$)")) \
+        .otherwise(F.split(s, esc))
+
+
+_fixed("string_to_array", _string_to_array)
 _fixed("array_to_string", lambda a: F.call_function("array_join", a[0], a[1]))
 _fixed("to_timestamp", lambda a: F.to_timestamp(a[0]))
 _fixed("year", lambda a: F.year(a[0]))
@@ -362,12 +378,15 @@ _fixed("regr_avgx", lambda a: F.regr_avgx(a[0], a[1]))
 _fixed("regr_avgy", lambda a: F.regr_avgy(a[0], a[1]))
 
 # ------------------------------------------------------------ more pg misc
-_fixed("format", lambda a: F.format_string(None, *a) if False else
-       F.call_function("format_string", *a))  # printf-style %s
+_fixed("format", lambda a: F.call_function("format_string", *a))  # %s path;
+# %I/%L forms are handled in the expression compiler (literal fmt only)
 _fixed("quote_ident", lambda a: F.concat(
     F.lit('"'), F.regexp_replace(a[0], '"', '""'), F.lit('"')))
 _fixed("quote_literal", lambda a: F.concat(
     F.lit("'"), F.regexp_replace(a[0], "'", "''"), F.lit("'")))
+_fixed("quote_nullable", lambda a: F.coalesce(
+    F.concat(F.lit("'"), F.regexp_replace(a[0].cast("string"), "'", "''"),
+             F.lit("'")), F.lit("NULL")))
 _fixed("factorial", lambda a: F.factorial(a[0]))
 _fixed("sinh", lambda a: F.sinh(a[0]))
 _fixed("cosh", lambda a: F.cosh(a[0]))

@@ -1382,7 +1382,13 @@ class Parser:
             if self.is_op("->", "->>"):
                 # pg JSON access: -> keeps json (chainable), ->> gets text
                 op = self.advance().value
-                key = self.parse_primary()
+                if self.is_op("-") and self.peek(1) is not None \
+                        and self.peek(1).kind == "number":
+                    # negative array index (pg 13: counts from the end)
+                    self.advance()
+                    key = ast.Literal(-int(self.advance().value), "int")
+                else:
+                    key = self.parse_primary()
                 node = ast.Call(
                     name="__json_arrow" if op == "->" else "__json_arrow_text",
                     args=(node, key))

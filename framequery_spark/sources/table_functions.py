@@ -48,17 +48,40 @@ def compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
     return df
 
 
+# pg spells several explode-based functions in json/jsonb/text variants;
+# values here are JSON text already, so they share one implementation
+_TVF_ALIASES = {
+    "jsonb_each": "json_each", "json_each_text": "json_each",
+    "jsonb_each_text": "json_each",
+    "jsonb_array_elements": "json_array_elements",
+    "json_array_elements_text": "json_array_elements",
+    "jsonb_array_elements_text": "json_array_elements",
+}
+
+
+def _pg_split(s, sep) -> "F.Column":
+    """pg string_to_table/string_to_array split: literal (non-regex)
+    separator; NULL separator -> one element per character."""
+    lit_sep = F.regexp_replace(sep.cast("string"),
+                               F.lit(r"([^a-zA-Z0-9])"), F.lit(r"\\$1"))
+    return F.when(s == "", F.array().cast("array<string>")) \
+        .when(sep.isNull(), F.split(s, "(?!^)(?!$)")) \
+        .otherwise(F.split(s, lit_sep))
+
+
 def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
     spark = qc.session.spark
-    name = tf.name
-    alias = tf.alias or name
+    name = _TVF_ALIASES.get(tf.name, tf.name)
+    alias = tf.alias or tf.name
 
     if tf.ordinality and name not in ("json_each", "json_array_elements",
-                                      "unnest"):
+                                      "unnest", "string_to_table",
+                                      "regexp_split_to_table",
+                                      "generate_series"):
         raise CompileError(
             "WITH ORDINALITY is supported for unnest / json_each / "
-            "json_array_elements (explode-based functions with a defined "
-            "input order)")
+            "json_array_elements / string_to_table / regexp_split_to_table "
+            "/ generate_series (functions with a defined input order)")
 
     if name == "generate_series":
         first = tf.args[0] if tf.args else None
@@ -91,7 +114,13 @@ def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         step = int(args[2]) if len(args) > 2 else 1
         # inclusive stop (pg semantics; reference util/_funcs.py:161-167)
         end = stop + (1 if step > 0 else -1)
-        return spark.range(start, end, step).toDF("generate_series").alias(alias)
+        out = spark.range(start, end, step).toDF("generate_series")
+        if tf.ordinality:
+            # the ordinal is arithmetic on the value — stays distributed
+            out = out.withColumn(
+                "ordinality",
+                ((F.col("generate_series") - start) / step + 1).cast("long"))
+        return out.alias(alias)
 
     if name in ("read_parquet", "read_csv", "read_json"):
         # DuckDB-style file table functions:
@@ -122,6 +151,26 @@ def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         from .copy import read_csv
 
         return read_csv(qc.session, path, options).alias(alias)
+
+    if name == "unnest" and len(tf.args) > 1:
+        # pg multi-array unnest: zip to the longest length, NULL-padded
+        ec = qc._expr_compiler()
+        cols = [ec.compile(a) for a in tf.args]
+        base = spark.range(1).select(*[col.alias(f"__a{i}")
+                                       for i, col in enumerate(cols)])
+        out = _explode_multi(base, [F.col(f"__a{i}")
+                                    for i in range(len(cols))],
+                             alias, tf.ordinality, tf.column_names)
+        return out.drop(*[f"__a{i}" for i in range(len(cols))])
+
+    if name == "string_to_table":
+        ec = qc._expr_compiler()
+        arr = _pg_split(ec.compile(tf.args[0]).cast("string"),
+                        ec.compile(tf.args[1]))
+        base = spark.range(1).select(arr.alias("__arg"))
+        return _explode_json(base, F.col("__arg"), "unnest", alias,
+                             ordinality=tf.ordinality,
+                             col_name=_single_col_name(tf)).drop("__arg")
 
     if name in ("json_each", "json_array_elements", "unnest"):
         # constant-argument form: build a one-row frame then explode
@@ -368,8 +417,29 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
     """LATERAL f(expr-over-left) — compiles to native explode for the json
     built-ins; user lateral functions run as Arrow-batched UDTF-style
     applyInPandas (never a driver-side loop)."""
-    name = tf.name
-    alias = tf.alias or name
+    name = _TVF_ALIASES.get(tf.name, tf.name)
+    alias = tf.alias or tf.name
+    if name == "unnest" and len(tf.args) > 1:
+        ec = qc._expr_compiler()
+        return _explode_multi(left, [ec.compile(a) for a in tf.args],
+                              alias, tf.ordinality, tf.column_names)
+    if name == "generate_series":
+        # per-row series: explode(sequence(start, stop[, step])) — one
+        # Generate over the left rows, no join shuffle; F.sequence is
+        # inclusive-stop like pg for both integer and timestamp series
+        ec = qc._expr_compiler()
+        args = [ec.compile(a) for a in tf.args]
+        seq = F.sequence(*args[:3])
+        return _explode_json(left, seq, "unnest", alias,
+                             ordinality=tf.ordinality,
+                             col_name=_single_col_name(tf))
+    if name == "string_to_table":
+        ec = qc._expr_compiler()
+        arr = _pg_split(ec.compile(tf.args[0]).cast("string"),
+                        ec.compile(tf.args[1]))
+        return _explode_json(left, arr, "unnest", alias,
+                             ordinality=tf.ordinality,
+                             col_name=_single_col_name(tf))
     if name in ("json_each", "json_array_elements", "unnest"):
         ec = qc._expr_compiler()
         arg = ec.compile(tf.args[0])
@@ -449,6 +519,31 @@ def _explode_json(df: DataFrame, arg, name: str, alias: str,
     return staged.lateralJoin(right.alias(alias)).drop(tmp)
 
 
+def _explode_multi(df: DataFrame, arrs, alias: str,
+                   ordinality: bool, column_names) -> DataFrame:
+    """pg `unnest(a, b, ...)`: zip the arrays to the longest length
+    (arrays_zip NULL-pads) and explode once — one Generate, no join."""
+    spark = df.sparkSession
+    import uuid
+
+    tmp = "__lat_" + uuid.uuid4().hex[:8]
+    staged = df.withColumn(tmp, F.arrays_zip(
+        *[a.alias(f"z{i}") for i, a in enumerate(arrs)]))
+    ref = F.col(tmp).outer()
+    tvf = spark.tvf.posexplode if ordinality else spark.tvf.explode
+    names = list(column_names) if column_names else \
+        [f"unnest_{i + 1}" for i in range(len(arrs))]
+    outs = [F.col("col")[f"z{i}"].alias(names[i] if i < len(names)
+                                        else f"unnest_{i + 1}")
+            for i in range(len(arrs))]
+    if ordinality:
+        oname = (names[len(arrs)] if len(names) > len(arrs)
+                 else "ordinality")
+        outs.append((F.col("pos") + 1).alias(oname))
+    right = tvf(ref).select(*outs)
+    return staged.lateralJoin(right.alias(alias)).drop(tmp)
+
+
 def _single_col_name(tf: ast.TableFunction) -> str:
     """pg naming rule for single-column table functions: an explicit alias
     renames the COLUMN (`unnest(a) AS u` -> column u, selectable bare);
@@ -458,6 +553,10 @@ def _single_col_name(tf: ast.TableFunction) -> str:
     if tf.column_names:
         return tf.column_names[0]
     if tf.alias and not tf.ordinality and tf.name in (
-            "unnest", "json_array_elements", "regexp_split_to_table"):
+            "unnest", "json_array_elements", "json_array_elements_text",
+            "jsonb_array_elements", "jsonb_array_elements_text",
+            "regexp_split_to_table", "string_to_table"):
         return tf.alias
+    if tf.name == "generate_series":
+        return tf.alias or "generate_series"
     return "value"

@@ -374,6 +374,43 @@ QUERIES = [
      "from test group by cube(c1, p)",
      "select c1, c2 % 2 as p, grouping(c1) g1, grouping(p) g2 "
      "from test group by cube(c1, p)"),
+    # ---- round-6 batch 3: TVF surface + scalar edges
+    ("select * from string_to_table('a,b,c', ',')",
+     "select unnest(['a','b','c'])"),
+    ("select x, o from string_to_table('a,b', ',') with ordinality "
+     "as u(x, o)",
+     "select unnest(['a','b']), unnest([1, 2])"),
+    ("select c1, g from test, generate_series(1, c1 + 1) g order by 1, 2",
+     "select c1, g from test, (select unnest(generate_series(1, 99)) g) u "
+     "where g <= c1 + 1 order by 1, 2"),
+    ("select * from unnest(array[1,2], array['a','b','c']) "
+     "as u(x, y) order by 1 nulls last",
+     "select * from (values (1,'a'),(2,'b'),(null,'c')) v order by 1 "
+     "nulls last"),
+    ("select * from generate_series(2, 10, 3) with ordinality",
+     "select unnest([2,5,8]), unnest([1,2,3])"),
+    ("select * from jsonb_array_elements_text('[\"x\",\"y\"]') e",
+     "select unnest(['x','y'])"),
+    ("select key, value from json_each_text('{\"a\": 1, \"b\": 2}') "
+     "order by key",
+     "select unnest(['a','b']) as key, unnest(['1','2']) as value"),
+    ("select left('abcde', -2), right('abcde', -2), left('ab', 5)",
+     "select 'abc', 'cde', 'ab'"),
+    ("select any_value(c2) is not null from test", "select true"),
+    ("select 't'::bool, 'no'::bool, 'on'::bool, '0'::boolean",
+     "select true, false, true, false"),
+    ("select string_to_array('a.b.c', '.'), string_to_array('ab', null), "
+     "string_to_array('', ',')",
+     "select ['a','b','c'], ['a','b'], []"),
+    ("select array[1,2] || 3, 0 || array[1,2], array[1] || array[2,3]",
+     "select [1,2,3], [0,1,2], [1,2,3]"),
+    ("select format('%s-%s', 'a', 1), format('%I/%L', 'a b', $$x'y$$)",
+     "select 'a-1', '\"a b\"/''x''''y'''"),
+    ("select format('%s=%L', 'k', null)", "select 'k=NULL'"),
+    ("select ('[1,2,3]'::json) -> -1, ('[1,2,3]'::json) ->> -2",
+     "select '3', '2'"),
+    ("select quote_nullable(null), quote_nullable('x'), unicode('a')",
+     "select 'NULL', '''x''', 97"),
 ]
 
 

@@ -300,12 +300,16 @@ def test_with_ordinality(spark):
     assert [(r.value, r.ordinality) for r in out] == [
         ("5", 1), ("3", 2), ("9", 3)]
 
+    # generate_series gained ORDINALITY in round 6 (arithmetic ordinal)
+    assert [tuple(r) for r in fq.execute(
+        "select * from generate_series(2, 10, 3) with ordinality",
+        {}, spark=spark).collect()] == [(2, 1), (5, 2), (8, 3)]
     # unsupported target errors clearly
     import pytest as _pytest
     from framequery_spark.compiler.expressions import CompileError
     with _pytest.raises(CompileError, match="ORDINALITY"):
-        fq.execute("select * from generate_series(1, 3) with ordinality",
-                   {}, spark=spark)
+        fq.execute("select * from read_parquet('/tmp/x.parquet') "
+                   "with ordinality", {}, spark=spark)
 
 
 def test_quality_operators_in_sql(spark, tpch_scope):
