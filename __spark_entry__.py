@@ -2308,6 +2308,63 @@ ORDER BY a.vec_id
 """)
 
 
+def _op_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    score raw docs (doc_id % 7 != 0) by hashed uni+bigram log-likelihood
+    ratio against a target domain (doc_id % 7 == 0), keep the top 40.
+    Bucket distributions are bounded (<= 1000 rows here); the log-ratio
+    table is BROADCAST onto the doc-feature stream — two shuffles total,
+    independent of corpus size."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.dsir import dsir_select
+
+    docs = _scope(spark, sf_dir)["documents"]
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    out = dsir_select(raw, target, k=40, n_buckets=1000)
+    return out.select("doc_id",
+                      F.round("dsir_weight", 3).alias("w"))
+
+
+_op("op_dsir_select", _op_dsir_select, """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+         doc_id % 7 = 0 AS is_target
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_target, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, is_target,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM toks WHERE len(ws) >= 2),
+b AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1000 AS bucket
+  FROM grams),
+dist AS (
+  SELECT bucket,
+         count(*) FILTER (WHERE is_target) AS t_cnt,
+         count(*) FILTER (WHERE NOT is_target) AS r_cnt
+  FROM b GROUP BY bucket),
+lr AS (
+  SELECT bucket,
+         ln((t_cnt + 0.5) / ((SELECT sum(t_cnt) FROM dist) + 0.5 * 1000))
+       - ln((r_cnt + 0.5) / ((SELECT sum(r_cnt) FROM dist) + 0.5 * 1000))
+         AS lr
+  FROM dist),
+feats AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM b
+  WHERE NOT is_target GROUP BY doc_id, bucket),
+w AS (
+  SELECT f.doc_id, sum(f.cnt * lr.lr) AS dsir_weight
+  FROM feats f JOIN lr USING (bucket) GROUP BY f.doc_id)
+SELECT doc_id, round(dsir_weight, 3) AS w
+FROM w ORDER BY round(dsir_weight, 6) DESC, doc_id LIMIT 40
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -2331,9 +2388,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_rotation.py, which fails if an oracle-bearing entry goes
 # more than 2 rounds without a driver row.
 _DRIVER_WINDOW = [
-    # ops deferred from the r05 window (r04-green, low churn since)
+    # ops deferred from the r05 window (r04-green, low churn since).
+    # op_det_shuffle (r04-green, zero churn) gave its slot to the new
+    # op_dsir_select below; r06-r04=2 keeps it inside the staleness
+    # allowance, and it MUST rotate back in r07.
     "op_asof_join", "op_range_join", "op_doc_chunks",
-    "op_det_shuffle", "op_det_sample", "op_vocab_topk",
+    "op_dsir_select", "op_det_sample", "op_vocab_topk",
     "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
     "op_repetition_stats", "op_blob_metadata", "op_frame_sample",
     "op_exact_dedup", "op_embedding_near_dup",

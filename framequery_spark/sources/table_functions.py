@@ -400,6 +400,16 @@ def _register_operator_tfs() -> dict:
                                        rates, key_col=str(a[2]),
                                        default_rate=default)
 
+    def dsir_select(qc, a):
+        # dsir_select('raw_table', 'target_table', k[, n_buckets])
+        # DSIR importance selection: top-k raw docs by hashed-ngram
+        # log-likelihood ratio against the target table
+        from ..operators import dsir
+
+        kw = {"n_buckets": int(a[3])} if len(a) > 3 else {}
+        return dsir.dsir_select(_op_table(qc, a[0]), _op_table(qc, a[1]),
+                                k=int(a[2]), **kw)
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
@@ -407,7 +417,8 @@ def _register_operator_tfs() -> dict:
         pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
-        assign_shards, gapfill, bm25_topk, semdedup, mixture_sample)}
+        assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
+        dsir_select)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

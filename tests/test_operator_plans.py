@@ -290,3 +290,16 @@ def test_semdedup_pairs_are_cell_equi_join(emb):
     pairs = semdedup(emb.filter(F.col("vec_id") < 200), threshold=0.6,
                      n_clusters=4, return_pairs=True)
     _assert_no_cartesian(pairs)
+
+
+def test_dsir_scoring_broadcasts_log_ratio_table(docs):
+    """DSIR scoring joins the bounded log-ratio table (<= n_buckets rows)
+    onto the per-doc feature stream via broadcast — the corpus-sized side
+    must never shuffle for that join."""
+    from framequery_spark.operators.dsir import dsir_weights
+
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    plan = formatted_plan(dsir_weights(raw, target, n_buckets=100))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1459,3 +1459,58 @@ def test_semdedup_return_pairs_within_cluster_only(spark, emb):
     pairs = semdedup(sub, threshold=0.6, n_clusters=4,
                      return_pairs=True).collect()
     assert all(r.id1 < r.id2 and r.cosine >= 0.6 for r in pairs)
+
+
+# ------------------------------------------------------------------- DSIR
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Synthetic two-domain corpus: target talks about 'quantum physics',
+    raw mixes matching and off-domain docs — DSIR must rank the on-domain
+    raw docs first, and weights must be monotone in domain affinity."""
+    import pandas as pd
+
+    from framequery_spark.operators.dsir import dsir_select, dsir_weights
+
+    target = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": ["quantum physics entanglement theory",
+                 "quantum field physics lectures"]}))
+    raw = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["quantum physics introduction",
+                 "cooking pasta with tomato sauce",
+                 "physics of quantum entanglement",
+                 "football match results today"]}))
+    top = dsir_select(raw, target, k=2, n_buckets=500)
+    ids = {r.doc_id for r in top.collect()}
+    assert ids == {1, 3}
+    w = {r.doc_id: r.dsir_weight
+         for r in dsir_weights(raw, target, n_buckets=500).collect()}
+    assert w[1] > w[2] and w[3] > w[4]
+
+
+def test_dsir_weights_deterministic_and_bounded_distribution(spark):
+    import pandas as pd
+
+    from framequery_spark.operators.dsir import (bucket_distribution,
+                                                 dsir_weights)
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(20)),
+        "text": [f"token{i} alpha beta gamma token{i % 3}"
+                 for i in range(20)]}))
+    dist = bucket_distribution(df, n_buckets=50)
+    assert dist.count() <= 50  # bounded regardless of corpus size
+    a = sorted(map(tuple, dsir_weights(df, df, n_buckets=50).collect()))
+    b = sorted(map(tuple, dsir_weights(df, df, n_buckets=50).collect()))
+    assert a == b  # deterministic
+
+
+def test_dsir_sql_table_function(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        "SELECT * FROM dsir_select('documents', 'documents', 5, 200)",
+        tpch_scope, spark=spark)
+    assert out.count() == 5 and "dsir_weight" in out.columns
