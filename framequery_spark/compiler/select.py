@@ -185,6 +185,12 @@ class QueryCompiler:
         reference has no WITH RECURSIVE."""
         body = cte.query
         distinct = body.op == "union"
+        search = cte.search
+        if search is not None and search[0] == "depth":
+            raise CompileError(
+                "SEARCH DEPTH FIRST needs per-row parent provenance that a "
+                "distributed fixpoint does not carry; use BREADTH FIRST "
+                "(depth + row ordering) instead")
         base = self.compile_query(body.left)  # cte name not in scope yet
         if cte.columns:
             base = base.toDF(*cte.columns)
@@ -192,6 +198,7 @@ class QueryCompiler:
             base = base.distinct()
         frontier = base.localCheckpoint(eager=True)
         frontiers = [frontier]
+        depths = [0]  # iteration index per frontier (SEARCH BREADTH FIRST)
         limit = getattr(self.session, "recursive_max_iterations", 100)
         # UNION ALL blocks are unrolled: chain K steps lazily, persist each,
         # then one job materializes the block's union — ~K× fewer driver
@@ -200,7 +207,9 @@ class QueryCompiler:
         # nothing is computed twice. UNION (distinct) stays unroll=1: per-
         # step dedup against `seen` is what guarantees termination on
         # cyclic data.
-        unroll = 1 if distinct else max(
+        # SEARCH needs one frontier per iteration (each carries its depth),
+        # so block unrolling is disabled when a search column is requested
+        unroll = 1 if distinct or search is not None else max(
             1, int(getattr(self.session, "recursive_unroll", 4)))
         step_scope = dict(self.scope)
         rounds = 0
@@ -240,9 +249,21 @@ class QueryCompiler:
                 if new_rows.isEmpty():
                     break
                 frontiers.append(new_rows)
+                depths.append(rounds)
                 continue
             if not frontier.isEmpty():
                 frontiers.append(frontier)
+                depths.append(rounds)
+        if search is not None:
+            # pg 14 SEARCH BREADTH FIRST BY cols SET ord: append
+            # ROW(depth, by-cols) — ordering by it gives breadth-first
+            # order; each frontier already knows its iteration depth
+            _, by_cols, set_col = search
+            frontiers = [
+                f.withColumn(set_col, F.struct(
+                    F.lit(d).cast("long").alias("depth"),
+                    *[F.col(c).alias(c) for c in by_cols]))
+                for f, d in zip(frontiers, depths)]
         out = frontiers[0]
         for f in frontiers[1:]:
             out = out.union(f)

@@ -355,6 +355,9 @@ class CTE(Node):
     name: str
     query: Node  # Select, or SetOp for recursive bodies
     recursive: bool = False
+    # pg 14 SEARCH clause: ("breadth"|"depth", by_cols, set_col); only
+    # BREADTH FIRST compiles (DEPTH FIRST needs parent provenance)
+    search: Optional[Tuple[str, Tuple[str, ...], str]] = None
     columns: Tuple[str, ...] = ()
 
 

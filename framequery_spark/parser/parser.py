@@ -646,8 +646,30 @@ class Parser:
                 and query.op in ("union", "union all")
             if not is_rec and not isinstance(query, ast.Select):
                 raise self.error("set operations in CTE bodies must be parenthesized selects")
+            search = None
+            if self.is_kw("search"):
+                # pg 14: SEARCH BREADTH|DEPTH FIRST BY cols SET col
+                self.advance()
+                mode = self.accept_kw("breadth", "depth")
+                if mode is None:
+                    raise self.error("expected BREADTH or DEPTH after SEARCH")
+                self.expect_kw("first")
+                self.expect_kw("by")
+                by = [self.parse_name()]
+                while self.accept_op(","):
+                    by.append(self.parse_name())
+                self.expect_kw("set")
+                search = (mode, tuple(by), self.parse_name())
+                if not is_rec:
+                    raise self.error(
+                        "SEARCH applies only to recursive CTEs")
+            if self.is_kw("cycle"):
+                raise self.error(
+                    "CYCLE detection is not supported (it needs per-row "
+                    "parent provenance); bound the recursion with a depth "
+                    "filter or use connected_components for cyclic graphs")
             ctes.append(ast.CTE(name=name, query=query, recursive=is_rec,
-                                columns=columns))
+                                columns=columns, search=search))
             if not self.accept_op(","):
                 break
         return tuple(ctes)

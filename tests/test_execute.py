@@ -1074,3 +1074,31 @@ def test_bit_aggregates_and_ordered_commutative_aggs(spark):
         "       min(v ORDER BY s) AS m, sum(v ORDER BY v DESC) AS sm "
         "FROM t", scope, spark=spark).collect()[0]
     assert (row.a, row.o, row.x, row.m, row.sm) == (0, 7, 4, 1, 10)
+
+
+def test_recursive_cte_search_breadth_first(spark):
+    import pandas as pd
+
+    scope = {"edges": spark.createDataFrame(pd.DataFrame(
+        {"src": [1, 1, 2, 3], "dst": [2, 3, 4, 5]}))}
+    q = """
+    WITH RECURSIVE tree AS (
+      SELECT 1 AS node
+      UNION ALL
+      SELECT e.dst FROM tree t JOIN edges e ON e.src = t.node
+    ) SEARCH BREADTH FIRST BY node SET ord
+    SELECT node, ord FROM tree ORDER BY ord
+    """
+    rows = [(r.node, tuple(r.ord)) for r in
+            fq.execute(q, scope, spark=spark).collect()]
+    # breadth-first: depth then by-column; ord is ROW(depth, node)
+    assert rows == [(1, (0, 1)), (2, (1, 2)), (3, (1, 3)),
+                    (4, (2, 4)), (5, (2, 5))]
+    # DEPTH FIRST and CYCLE raise with actionable guidance
+    with pytest.raises(Exception, match="BREADTH"):
+        fq.execute(q.replace("BREADTH", "DEPTH"), scope,
+                   spark=spark).collect()
+    with pytest.raises(Exception, match="connected_components"):
+        fq.execute(q.replace("SEARCH BREADTH FIRST BY node SET ord",
+                             "CYCLE node SET c USING p"),
+                   scope, spark=spark)
