@@ -2308,6 +2308,51 @@ ORDER BY a.vec_id
 """)
 
 
+def _op_bigram_nll(spark, sf_dir):
+    """Interpolated bigram-LM scoring (operators/text.py:bigram_lm_nll) —
+    the rung above op_unigram_nll toward CCNet's KenLM filter. Counts are
+    corpus-MLE; the (prev, w) join is hash-partitioned (bigram tables grow
+    with the corpus, so no broadcast); per-bigram nll quantized to
+    DECIMAL(28,12) pre-sum for engine-exact totals."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import bigram_lm_nll
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return (bigram_lm_nll(docs).where(F.col("doc_id") < 200)
+            .orderBy("doc_id"))
+
+
+_op("op_bigram_nll", _op_bigram_nll, r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS w
+  FROM toks, unnest(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2),
+big AS (SELECT prev, w, count(*) AS c_pw FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS c_p FROM bg GROUP BY 1),
+t AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+uni AS (SELECT term, count(*) AS c_w FROM t GROUP BY 1),
+total AS (SELECT count(*) AS corpus_n FROM t),
+nll AS (
+  SELECT bg.doc_id,
+         CAST(-ln(CAST(0.8 AS DOUBLE) * c_pw / c_p
+                  + (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
+                    * c_w / corpus_n)
+              AS DECIMAL(28,12)) AS nll
+  FROM bg JOIN big USING (prev, w) JOIN ctx USING (prev)
+  JOIN uni ON bg.w = uni.term CROSS JOIN total)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll,
+       round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 4) AS ppl
+FROM nll WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id
+""")
+
+
 def _op_dsir_select(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
     score raw docs (doc_id % 7 != 0) by hashed uni+bigram log-likelihood
@@ -2389,11 +2434,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # more than 2 rounds without a driver row.
 _DRIVER_WINDOW = [
     # ops deferred from the r05 window (r04-green, low churn since).
-    # op_det_shuffle (r04-green, zero churn) gave its slot to the new
-    # op_dsir_select below; r06-r04=2 keeps it inside the staleness
-    # allowance, and it MUST rotate back in r07.
+    # op_det_shuffle and op_det_sample (r04-green, zero churn) gave their
+    # slots to the new op_dsir_select / op_bigram_nll; r06-r04=2 keeps both
+    # inside the staleness allowance, and they MUST rotate back in r07.
     "op_asof_join", "op_range_join", "op_doc_chunks",
-    "op_dsir_select", "op_det_sample", "op_vocab_topk",
+    "op_dsir_select", "op_bigram_nll", "op_vocab_topk",
     "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
     "op_repetition_stats", "op_blob_metadata", "op_frame_sample",
     "op_exact_dedup", "op_embedding_near_dup",

@@ -346,6 +346,62 @@ def unigram_nll(df: DataFrame, text_col: str = "text",
                  .alias("ppl")))
 
 
+def bigram_lm_nll(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lam: float = 0.8) -> DataFrame:
+    """Interpolated-bigram LM quality score (the next rung above
+    :func:`unigram_nll` toward CCNet's KenLM filter):
+
+        P(w | prev) = lam * c(prev,w)/c(prev,.) + (1-lam) * c(w)/N
+
+    trained on the corpus itself (MLE counts), scored per document as the
+    average negative log-likelihood over its bigrams, plus perplexity.
+    Catches locally-incoherent text (shuffled words, keyword stuffing)
+    that unigram frequency cannot.
+
+    Plan shape: the bigram-count table is built with one groupBy over the
+    corpus bigram stream and joined back on the (prev, w) key — a
+    hash-partitioned equi join that scales with corpus size (it is NOT
+    broadcast; observed-bigram count grows with the corpus). Context and
+    unigram tables ride the same keys; the corpus total is a broadcast
+    1-row aggregate. Per-bigram nll is quantized to DECIMAL(28,12) before
+    the per-doc sum — exact, order-independent, engine-reproducible (same
+    discipline as unigram_nll)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    toks = F.filter(toks, lambda t: t != "")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("prev"),
+                           F.element_at(toks, i + 1).alias("w")))
+    empty = F.array().cast("array<struct<prev:string,w:string>>")
+    stream = (df.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(toks) >= 2, pairs).otherwise(empty))
+        .alias("bg"))
+        .select(id_col, F.col("bg.prev").alias("prev"),
+                F.col("bg.w").alias("w")))
+    big = stream.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c_pw"))
+    ctx = stream.groupBy("prev").agg(F.count(F.lit(1)).alias("c_p"))
+    terms = term_table(df, text_col, id_col)
+    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_w"))
+    total = terms.agg(F.count(F.lit(1)).alias("corpus_n"))
+    p = (F.lit(lam) * F.col("c_pw") / F.col("c_p")
+         + F.lit(1.0 - lam) * F.col("c_w") / F.col("corpus_n"))
+    nll = (stream
+           .join(big, ["prev", "w"])
+           .join(ctx, "prev")
+           .join(uni, F.col("w") == F.col("term"))
+           .crossJoin(F.broadcast(total))
+           .select(F.col(id_col),
+                   (-F.log(p)).cast("decimal(28,12)").alias("nll")))
+    n_bg = F.count(F.lit(1))
+    return (nll.groupBy(id_col)
+            .agg(n_bg.alias("n_bigrams"),
+                 F.round(F.sum("nll").cast("double") / n_bg, 6)
+                 .alias("avg_nll"),
+                 F.round(F.exp(F.sum("nll").cast("double") / n_bg), 4)
+                 .alias("ppl")))
+
+
 def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
                  k: int = 100) -> DataFrame:
     """Top-k word n-grams by corpus frequency (n-gram asc tiebreak).

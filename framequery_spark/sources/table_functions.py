@@ -400,6 +400,10 @@ def _register_operator_tfs() -> dict:
                                        rates, key_col=str(a[2]),
                                        default_rate=default)
 
+    def bigram_nll(qc, a):
+        # bigram_nll('documents') -> (doc_id, n_bigrams, avg_nll, ppl)
+        return text.bigram_lm_nll(_op_table(qc, a[0]))
+
     def dsir_select(qc, a):
         # dsir_select('raw_table', 'target_table', k[, n_buckets])
         # DSIR importance selection: top-k raw docs by hashed-ngram
@@ -418,7 +422,7 @@ def _register_operator_tfs() -> dict:
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
         assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
-        dsir_select)}
+        dsir_select, bigram_nll)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

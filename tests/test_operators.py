@@ -1514,3 +1514,20 @@ def test_dsir_sql_table_function(spark, tpch_scope):
         "SELECT * FROM dsir_select('documents', 'documents', 5, 200)",
         tpch_scope, spark=spark)
     assert out.count() == 5 and "dsir_weight" in out.columns
+
+
+def test_bigram_lm_nll_flags_shuffled_text(spark):
+    """A document with corpus-frequent words in an order never seen
+    elsewhere must score worse (higher avg nll) than fluent repeats."""
+    import pandas as pd
+
+    from framequery_spark.operators.text import bigram_lm_nll
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [fluent, fluent, fluent,
+                 "dog the over quick lazy fox brown jumps the"]}))
+    out = {r.doc_id: r.avg_nll for r in bigram_lm_nll(df).collect()}
+    assert out[4] > out[1]
+    assert out[1] == out[2] == out[3]
