@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .contamination import _norm_tokens
+from .dedup import _spread
 
 
 def _grams_with_repeats(text: Column, n: int) -> Column:
@@ -61,7 +62,8 @@ def doc_features(df: DataFrame, text_col: str = "text",
     (id, bucket) with map-side partial counts."""
     grams = F.concat(*[_grams_with_repeats(F.col(text_col), n)
                        for n in ngram_sizes])
-    return (df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+    return (_spread(df).select(F.col(id_col),
+                               F.explode(grams).alias("__gram"))
             .select(F.col(id_col),
                     bucket_of(F.col("__gram"), n_buckets).alias("bucket"))
             .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt")))
@@ -74,22 +76,17 @@ def bucket_distribution(df: DataFrame, text_col: str = "text",
     bounded aggregate no matter the corpus size."""
     grams = F.concat(*[_grams_with_repeats(F.col(text_col), n)
                        for n in ngram_sizes])
-    return (df.select(F.explode(grams).alias("__gram"))
+    return (_spread(df).select(F.explode(grams).alias("__gram"))
             .select(bucket_of(F.col("__gram"), n_buckets).alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")))
 
 
-def dsir_log_ratio(target: DataFrame, raw: DataFrame,
-                   text_col: str = "text", n_buckets: int = 10000,
-                   ngram_sizes: Sequence[int] = (1, 2),
-                   alpha: float = 0.5) -> DataFrame:
-    """(bucket, lr): per-bucket log p_target(b) - log p_raw(b) with
-    add-alpha smoothing.  Both sides are bounded (<= n_buckets rows); the
-    totals ride along as 1-row broadcast aggregates."""
-    t = bucket_distribution(target, text_col, n_buckets, ngram_sizes) \
-        .withColumnRenamed("cnt", "t_cnt")
-    r = bucket_distribution(raw, text_col, n_buckets, ngram_sizes) \
-        .withColumnRenamed("cnt", "r_cnt")
+def _log_ratio_from(t: DataFrame, r: DataFrame, n_buckets: int,
+                    alpha: float) -> DataFrame:
+    """(bucket, lr) from two (bucket, cnt) distributions with add-alpha
+    smoothing; the totals ride along as a 1-row broadcast aggregate."""
+    t = t.withColumnRenamed("cnt", "t_cnt")
+    r = r.withColumnRenamed("cnt", "r_cnt")
     joined = t.join(r, "bucket", "full_outer").select(
         "bucket",
         F.coalesce(F.col("t_cnt"), F.lit(0)).alias("t_cnt"),
@@ -103,17 +100,36 @@ def dsir_log_ratio(target: DataFrame, raw: DataFrame,
     return joined.select("bucket", lr.alias("lr"))
 
 
+def dsir_log_ratio(target: DataFrame, raw: DataFrame,
+                   text_col: str = "text", n_buckets: int = 10000,
+                   ngram_sizes: Sequence[int] = (1, 2),
+                   alpha: float = 0.5) -> DataFrame:
+    """(bucket, lr): per-bucket log p_target(b) - log p_raw(b) with
+    add-alpha smoothing.  Both sides are bounded (<= n_buckets rows)."""
+    return _log_ratio_from(
+        bucket_distribution(target, text_col, n_buckets, ngram_sizes),
+        bucket_distribution(raw, text_col, n_buckets, ngram_sizes),
+        n_buckets, alpha)
+
+
 def dsir_weights(raw: DataFrame, target: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  n_buckets: int = 10000,
                  ngram_sizes: Sequence[int] = (1, 2),
                  alpha: float = 0.5) -> DataFrame:
     """(id, dsir_weight): importance log-weight per raw document —
-    sum over its feature buckets of cnt * log-ratio.  The log-ratio table
-    is broadcast (<= n_buckets rows), so this is map-side + one doc sum."""
-    lr = dsir_log_ratio(target, raw, text_col, n_buckets, ngram_sizes,
-                        alpha)
-    feats = doc_features(raw, text_col, id_col, n_buckets, ngram_sizes)
+    sum over its feature buckets of cnt * log-ratio.  The raw-corpus
+    distribution is DERIVED from the per-doc feature table (one gram pass
+    over the big side, not two — the tracked persist makes the reuse
+    real); the log-ratio table is broadcast (<= n_buckets rows), so
+    scoring is map-side + one doc sum."""
+    from .cache import persist_tracked
+
+    feats = persist_tracked(
+        doc_features(raw, text_col, id_col, n_buckets, ngram_sizes))
+    r_dist = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    t_dist = bucket_distribution(target, text_col, n_buckets, ngram_sizes)
+    lr = _log_ratio_from(t_dist, r_dist, n_buckets, alpha)
     return (feats.join(F.broadcast(lr), "bucket")
             .groupBy(id_col)
             .agg(F.sum(F.col("cnt") * F.col("lr")).alias("dsir_weight")))
@@ -129,10 +145,17 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     ties break on id — the reproducible-pipeline variant of the paper's
     Gumbel resampling).  length_normalize divides by the feature count,
     scoring average per-gram affinity instead of total."""
-    w = dsir_weights(raw, target, text_col, id_col, n_buckets,
-                     ngram_sizes, alpha)
+    from .cache import persist_tracked
+
+    feats = persist_tracked(
+        doc_features(raw, text_col, id_col, n_buckets, ngram_sizes))
+    r_dist = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    t_dist = bucket_distribution(target, text_col, n_buckets, ngram_sizes)
+    lr = _log_ratio_from(t_dist, r_dist, n_buckets, alpha)
+    w = (feats.join(F.broadcast(lr), "bucket")
+         .groupBy(id_col)
+         .agg(F.sum(F.col("cnt") * F.col("lr")).alias("dsir_weight")))
     if length_normalize:
-        feats = doc_features(raw, text_col, id_col, n_buckets, ngram_sizes)
         lens = feats.groupBy(id_col).agg(F.sum("cnt").alias("__n"))
         w = (w.join(lens, id_col)
              .select(id_col,

@@ -372,8 +372,14 @@ def bigram_lm_nll(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.struct(F.element_at(toks, i).alias("prev"),
                            F.element_at(toks, i + 1).alias("w")))
+    from .cache import persist_tracked
+    from .dedup import _spread
+
+    df = _spread(df)
     empty = F.array().cast("array<struct<prev:string,w:string>>")
-    stream = (df.select(
+    # the bigram stream feeds three consumers (pair counts, context counts,
+    # the scoring join) — tracked persist so tokenization runs once
+    stream = persist_tracked(df.select(
         F.col(id_col),
         F.explode(F.when(F.size(toks) >= 2, pairs).otherwise(empty))
         .alias("bg"))
@@ -381,7 +387,7 @@ def bigram_lm_nll(df: DataFrame, text_col: str = "text",
                 F.col("bg.w").alias("w")))
     big = stream.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c_pw"))
     ctx = stream.groupBy("prev").agg(F.count(F.lit(1)).alias("c_p"))
-    terms = term_table(df, text_col, id_col)
+    terms = persist_tracked(term_table(df, text_col, id_col))
     uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_w"))
     total = terms.agg(F.count(F.lit(1)).alias("corpus_n"))
     p = (F.lit(lam) * F.col("c_pw") / F.col("c_p")
