@@ -98,6 +98,19 @@ AGG_MAP = {
     "any_value": lambda c: F.any_value(c, True),
 }
 
+# aggregates whose result cannot depend on input order — the only ones
+# allowed to silently drop an in-parens ORDER BY (pg permits the syntax
+# on any aggregate)
+_COMMUTATIVE_AGGS = frozenset({
+    "sum", "min", "max", "avg", "count", "median",
+    "bool_and", "bool_or", "every", "any", "some",
+    "bit_and", "bit_or", "bit_xor",
+    "stddev", "stddev_pop", "stddev_samp",
+    "var_pop", "var_samp", "variance",
+    "approx_count_distinct", "hll_sketch_agg", "hll_union_agg",
+    "theta_sketch_agg", "theta_union_agg", "theta_intersection_agg",
+})
+
 AGG_NAMES = set(AGG_MAP) | {
     "count", "string_agg", "corr", "covar_pop", "covar_samp", "first_value",
     "percentile_cont", "percentile_disc", "mode", "grouping", "grouping_id",
@@ -289,6 +302,8 @@ class ExprCompiler:
             t = node.type_name.lower()
             if t == "date":
                 return "date"
+            if t.startswith("interval"):
+                return "interval"
             if t.startswith("int") or t in ("bigint", "smallint"):
                 return "int"
             return None
@@ -435,6 +450,11 @@ class ExprCompiler:
                 raise CompileError(
                     f"invalid input for boolean: {node.expr.value!r}")
             return F.lit(v)
+        if t.startswith("interval") and isinstance(node.expr, ast.Literal) \
+                and node.expr.kind == "string":
+            # '1 day'::interval — pg interval text, which Spark's CAST
+            # cannot parse; route through the INTERVAL literal syntax
+            return F.expr(f"INTERVAL '{node.expr.value}'")
         c = self.compile(node.expr)
         if t == "json":
             # reference: json.loads into object cells (util/_funcs.py:110-114);
@@ -933,14 +953,29 @@ class ExprCompiler:
             if fcond is not None:
                 col = F.when(fcond, col)
             return F.mode(col)
-        if name in AGG_MAP and name not in (
-                "collect", "array_agg", "fusion", "intersection"):
-            # pg allows ORDER BY inside ANY aggregate; for commutative
-            # aggregates (sum/min/max/avg/bool_*/bit_*...) it cannot change
-            # the result, so compile the plain aggregate
+        if name in _COMMUTATIVE_AGGS:
+            # pg allows ORDER BY inside ANY aggregate; for genuinely
+            # commutative aggregates it cannot change the result, so
+            # compile the plain aggregate. Order-SENSITIVE aggregates
+            # (first_value, ...) must NOT take this shortcut — dropping
+            # their ORDER BY would silently return partition-order-
+            # dependent values.
             import dataclasses as _dc
 
             return self._compile_agg(_dc.replace(node, order_within=()))
+        if name in ("first_value", "first_value_agg", "last_value_agg") \
+                and len(keys) == 1:
+            # ordered first/last as aggregates: min_by/max_by on the single
+            # sort key (pg leaves ties unspecified; so do these)
+            val = self.compile(node.args[0])
+            key = self.compile(keys[0].expr)
+            if fcond is not None:
+                val = F.when(fcond, val)
+                key = F.when(fcond, key)
+            want_first = name in ("first_value", "first_value_agg")
+            asc = keys[0].ascending
+            return (F.min_by(val, key) if want_first == asc
+                    else F.max_by(val, key))
         if name in ("string_agg", "collect", "array_agg", "json_agg",
                     "jsonb_agg"):
             # deterministic ordered aggregation: collect structs of
@@ -1074,6 +1109,29 @@ class ExprCompiler:
             raise CompileError(
                 "EXCLUDE GROUP/TIES with a ROWS frame can cut through a "
                 "peer group and is not supported; use a RANGE frame")
+
+        def _offset(bound, default):
+            if bound is None:
+                return default
+            return {"unbounded_preceding": float("-inf"),
+                    "current_row": 0,
+                    "unbounded_following": float("inf"),
+                    "preceding": -(bound.value or 0),
+                    "following": (bound.value or 0)}[bound.kind]
+
+        # a frame that cannot contain the current row (e.g. ROWS BETWEEN 5
+        # PRECEDING AND 1 PRECEDING) makes every EXCLUDE form a no-op: the
+        # row is already outside, and for RANGE frames its peers share
+        # offset 0 so they are outside too — subtract nothing
+        start0 = _offset(spec.frame_start,
+                         float("-inf") if spec.frame_type is None else 0)
+        end0 = _offset(spec.frame_end,
+                       0 if spec.frame_type is None else 0)
+        if not (start0 <= 0 <= end0):
+            inner = ExprCompiler(self.executor, agg_context=True,
+                                 scope=self.scope,
+                                 alias_rewrites=self.alias_rewrites)
+            return inner._compile_agg(call).over(w)
         if call.distinct:
             raise CompileError("frame EXCLUDE with DISTINCT is not supported")
         arg = F.lit(1) if call.star else self.compile(call.args[0])

@@ -1194,8 +1194,13 @@ class QueryCompiler:
             # join the pre-projected inner, aggregate per id, join back.
             # Equality conjuncts stay equi keys (hash join); only the
             # residual inequality pairs within each bucket.
+            # The id column feeds TWO plan branches (the theta join and the
+            # final id join); monotonically_increasing_id is recomputed per
+            # branch and row order after a shuffle is not guaranteed stable,
+            # so pin the ids with a localCheckpoint barrier first.
             idc = f"__corr_id{val[5:]}"
-            df = df.withColumn(idc, F.monotonically_increasing_id())
+            df = df.withColumn(idc, F.monotonically_increasing_id()) \
+                .localCheckpoint(eager=False)
             cond = None
             for op, outer_ast, key_name in key_specs:
                 c = getattr(ec.compile(outer_ast), _OPS[op])(F.col(key_name))

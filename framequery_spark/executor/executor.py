@@ -225,7 +225,12 @@ class Executor:
         rels = node.from_ if kind == "update" else node.using
         base = self.resolve_table(scope, node.table).alias(node.table)
         t_cols = list(base.columns)
+        # __t_id feeds two plan branches (match join + rebuild join); pin
+        # the nondeterministic ids with a localCheckpoint barrier so both
+        # branches see identical values (row order after an upstream
+        # shuffle is not guaranteed stable across recomputations)
         tagged = (base.withColumn("__t_id", F.monotonically_increasing_id())
+                  .localCheckpoint(eager=False)
                   .alias(node.table))
         src = QueryCompiler(self, scope).compile_relation(rels)
         src_cols = [c for c in src.columns if not c.startswith("__")]
@@ -244,10 +249,13 @@ class Executor:
                 f"{'FROM' if kind == 'update' else 'USING'} conditions are "
                 "not supported — use MERGE or a plain WHERE")
         joined = tagged.join(src, cond, "inner")
+        # matched feeds both the rebuild join and RETURNING — pin the
+        # arbitrary one-match choice so the two consumers agree
         matched = (joined.withColumn(
             "__rn", F.row_number().over(
                 Window.partitionBy("__t_id").orderBy("__s_id")))
-            .where(F.col("__rn") == 1).drop("__rn", "__s_id"))
+            .where(F.col("__rn") == 1).drop("__rn", "__s_id")
+            .localCheckpoint(eager=False))
 
         def tcol(c):
             return F.col(f"`{node.table}`.`{c}`")

@@ -263,16 +263,22 @@ def _interval_micros_col(iv: Column) -> Column:
 _fixed("width_bucket", lambda a: F.width_bucket(a[0], a[1], a[2], a[3]))
 # NOTE: the delimiter is a regex at the Spark layer — plain single-char
 # pg delimiters behave identically except regex metachars
-def _string_to_array(a):
-    # pg: literal (non-regex) separator; NULL separator -> per-character
-    s, sep = a[0].cast("string"), a[1].cast("string")
+def pg_split_column(s: Column, sep: Column) -> Column:
+    """pg string_to_array/string_to_table split semantics, shared by the
+    scalar function and the table-function form (sources/table_functions):
+    literal (non-regex) separator; NULL separator -> one element per
+    character; empty separator -> the whole string as a single element;
+    empty input -> empty array."""
+    s = s.cast("string")
+    sep = sep.cast("string")
     esc = F.regexp_replace(sep, F.lit(r"([^a-zA-Z0-9])"), F.lit(r"\\$1"))
     return F.when(s == "", F.array().cast("array<string>")) \
         .when(sep.isNull(), F.split(s, "(?!^)(?!$)")) \
+        .when(sep == "", F.array(s)) \
         .otherwise(F.split(s, esc))
 
 
-_fixed("string_to_array", _string_to_array)
+_fixed("string_to_array", lambda a: pg_split_column(a[0], a[1]))
 _fixed("array_to_string", lambda a: F.call_function("array_join", a[0], a[1]))
 _fixed("to_timestamp", lambda a: F.to_timestamp(a[0]))
 _fixed("year", lambda a: F.year(a[0]))
@@ -432,8 +438,11 @@ _fixed("json_object_keys",
 # pg to_json(x): any value -> JSON text. F.to_json only takes containers,
 # so wrap in a 1-element array and strip the brackets — exact for scalars,
 # structs and arrays alike (JSON text cannot contain a top-level bare ']').
-_fixed("to_json", lambda a: _strip_array_brackets(F.to_json(F.array(a[0]))),
-       "to_jsonb")
+# pg to_json(NULL) is SQL NULL (the array-wrap trick would yield the text
+# 'null' otherwise)
+_fixed("to_json", lambda a: F.when(
+    a[0].isNotNull(), _strip_array_brackets(F.to_json(F.array(a[0])))),
+    "to_jsonb")
 _fixed("row_to_json", lambda a: F.to_json(a[0]))
 
 

@@ -112,17 +112,14 @@ def dsir_log_ratio(target: DataFrame, raw: DataFrame,
         n_buckets, alpha)
 
 
-def dsir_weights(raw: DataFrame, target: DataFrame,
-                 text_col: str = "text", id_col: str = "doc_id",
-                 n_buckets: int = 10000,
-                 ngram_sizes: Sequence[int] = (1, 2),
-                 alpha: float = 0.5) -> DataFrame:
-    """(id, dsir_weight): importance log-weight per raw document —
-    sum over its feature buckets of cnt * log-ratio.  The raw-corpus
-    distribution is DERIVED from the per-doc feature table (one gram pass
-    over the big side, not two — the tracked persist makes the reuse
-    real); the log-ratio table is broadcast (<= n_buckets rows), so
-    scoring is map-side + one doc sum."""
+def _weights_with_feats(raw: DataFrame, target: DataFrame, text_col: str,
+                        id_col: str, n_buckets: int,
+                        ngram_sizes: Sequence[int], alpha: float):
+    """(weights_df, persisted_feats_df) — the shared scoring pipeline.
+    The raw-corpus distribution is DERIVED from the per-doc feature table
+    (one gram pass over the big side, not two — the tracked persist makes
+    the reuse real); the log-ratio table is broadcast (<= n_buckets rows),
+    so scoring is map-side + one doc sum."""
     from .cache import persist_tracked
 
     feats = persist_tracked(
@@ -130,9 +127,22 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     r_dist = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
     t_dist = bucket_distribution(target, text_col, n_buckets, ngram_sizes)
     lr = _log_ratio_from(t_dist, r_dist, n_buckets, alpha)
-    return (feats.join(F.broadcast(lr), "bucket")
-            .groupBy(id_col)
-            .agg(F.sum(F.col("cnt") * F.col("lr")).alias("dsir_weight")))
+    w = (feats.join(F.broadcast(lr), "bucket")
+         .groupBy(id_col)
+         .agg(F.sum(F.col("cnt") * F.col("lr")).alias("dsir_weight")))
+    return w, feats
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 10000,
+                 ngram_sizes: Sequence[int] = (1, 2),
+                 alpha: float = 0.5) -> DataFrame:
+    """(id, dsir_weight): importance log-weight per raw document —
+    sum over its feature buckets of cnt * log-ratio."""
+    w, _ = _weights_with_feats(raw, target, text_col, id_col, n_buckets,
+                               ngram_sizes, alpha)
+    return w
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,
@@ -145,16 +155,8 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     ties break on id — the reproducible-pipeline variant of the paper's
     Gumbel resampling).  length_normalize divides by the feature count,
     scoring average per-gram affinity instead of total."""
-    from .cache import persist_tracked
-
-    feats = persist_tracked(
-        doc_features(raw, text_col, id_col, n_buckets, ngram_sizes))
-    r_dist = feats.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
-    t_dist = bucket_distribution(target, text_col, n_buckets, ngram_sizes)
-    lr = _log_ratio_from(t_dist, r_dist, n_buckets, alpha)
-    w = (feats.join(F.broadcast(lr), "bucket")
-         .groupBy(id_col)
-         .agg(F.sum(F.col("cnt") * F.col("lr")).alias("dsir_weight")))
+    w, feats = _weights_with_feats(raw, target, text_col, id_col,
+                                   n_buckets, ngram_sizes, alpha)
     if length_normalize:
         lens = feats.groupBy(id_col).agg(F.sum("cnt").alias("__n"))
         w = (w.join(lens, id_col)

@@ -1423,6 +1423,12 @@ class Parser:
                 if not (isinstance(path, ast.Literal)
                         and path.kind == "string"):
                     raise self.error(f"{op} requires a literal path array")
+                if '"' in path.value:
+                    # pg array-literal quoting ('{a,"b,c"}') needs a real
+                    # array parser; refuse rather than mis-split on commas
+                    raise self.error(
+                        f"{op} path elements with quotes are not supported "
+                        "— chain -> steps instead")
                 parts = [p.strip() for p in
                          path.value.strip().lstrip("{").rstrip("}").split(",")
                          if p.strip()]

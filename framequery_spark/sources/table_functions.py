@@ -59,14 +59,24 @@ _TVF_ALIASES = {
 }
 
 
-def _pg_split(s, sep) -> "F.Column":
-    """pg string_to_table/string_to_array split: literal (non-regex)
-    separator; NULL separator -> one element per character."""
-    lit_sep = F.regexp_replace(sep.cast("string"),
-                               F.lit(r"([^a-zA-Z0-9])"), F.lit(r"\\$1"))
-    return F.when(s == "", F.array().cast("array<string>")) \
-        .when(sep.isNull(), F.split(s, "(?!^)(?!$)")) \
-        .otherwise(F.split(s, lit_sep))
+# canonical pg split semantics live in functions.registry so the scalar
+# string_to_array and the string_to_table TVF can never diverge
+from ..functions.registry import pg_split_column as _pg_split
+
+
+def _pg_sequence(start, stop, step=None, interval_step: bool = False):
+    """F.sequence with pg's empty-set semantics: a series whose step points
+    away from the stop bound yields ZERO elements (Spark's sequence would
+    either default the step to -1 or raise). The typed empty array comes
+    from slice(sequence(start, start), 1, 0)."""
+    empty = F.slice(F.sequence(start, start), 1, 0)
+    if step is None:
+        return F.when(start <= stop, F.sequence(start, stop)) \
+            .otherwise(empty)
+    zero = F.expr("INTERVAL '0 seconds'") if interval_step else F.lit(0)
+    ok = ((step > zero) & (start <= stop)) | \
+         ((step < zero) & (start >= stop))
+    return F.when(ok, F.sequence(start, stop, step)).otherwise(empty)
 
 
 def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
@@ -103,10 +113,11 @@ def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
             else:
                 step_c = F.expr("INTERVAL '1 day'")
             # pg promotes date arguments to timestamp for the series
+            seq = _pg_sequence(start_c.cast("timestamp"),
+                               stop_c.cast("timestamp"), step_c,
+                               interval_step=True)
             return (spark.range(1)
-                    .select(F.explode(F.sequence(
-                        start_c.cast("timestamp"), stop_c.cast("timestamp"),
-                        step_c)).alias("generate_series"))
+                    .select(F.explode(seq).alias("generate_series"))
                     .alias(alias))
         args = _literal_args(tf.args)
         start = int(args[0])
@@ -114,12 +125,13 @@ def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
         step = int(args[2]) if len(args) > 2 else 1
         # inclusive stop (pg semantics; reference util/_funcs.py:161-167)
         end = stop + (1 if step > 0 else -1)
-        out = spark.range(start, end, step).toDF("generate_series")
+        cname = _single_col_name(tf)
+        out = spark.range(start, end, step).toDF(cname)
         if tf.ordinality:
             # the ordinal is arithmetic on the value — stays distributed
             out = out.withColumn(
                 "ordinality",
-                ((F.col("generate_series") - start) / step + 1).cast("long"))
+                ((F.col(cname) - start) / step + 1).cast("long"))
         return out.alias(alias)
 
     if name in ("read_parquet", "read_csv", "read_json"):
@@ -444,7 +456,11 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
         # inclusive-stop like pg for both integer and timestamp series
         ec = qc._expr_compiler()
         args = [ec.compile(a) for a in tf.args]
-        seq = F.sequence(*args[:3])
+        step_node = tf.args[2] if len(tf.args) > 2 else None
+        seq = _pg_sequence(args[0], args[1],
+                           args[2] if len(args) > 2 else None,
+                           interval_step=isinstance(step_node, ast.Literal)
+                           and step_node.kind == "interval")
         return _explode_json(left, seq, "unnest", alias,
                              ordinality=tf.ordinality,
                              col_name=_single_col_name(tf))

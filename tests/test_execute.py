@@ -1102,3 +1102,48 @@ def test_recursive_cte_search_breadth_first(spark):
         fq.execute(q.replace("SEARCH BREADTH FIRST BY node SET ord",
                              "CYCLE node SET c USING p"),
                    scope, spark=spark)
+
+
+def test_code_review_round6_fixes(spark):
+    """Regression tests for the round-6 review findings: interval-cast
+    arithmetic, generate_series direction, frame-EXCLUDE no-op frames,
+    ordered first_value, pg split edge cases, to_json(NULL), #> quoting."""
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"g": [1, 1, 2], "v": [10, 20, 30], "o": [3, 1, 2],
+         "lo": [1, 5, 2], "hi": [3, 1, 2]}))}
+    rows = lambda q: [tuple(r) for r in
+                      fq.execute(q, scope, spark=spark).collect()]
+    # ::interval casts must not be misread as ::int (date arithmetic).
+    # (Spark keeps DATE for whole-day intervals where pg widens to
+    # timestamp — value-equal, documented type nuance.)
+    assert rows("SELECT date '2024-03-01' - '1 day'::interval AS d") == \
+        [(__import__("datetime").date(2024, 2, 29),)]
+    # generate_series: wrong-direction series are EMPTY like pg
+    assert rows("SELECT g FROM generate_series(5, 1) g") == []
+    assert rows("SELECT x FROM t, generate_series(lo, hi) s(x) "
+                "WHERE g = 1 AND v = 20 ORDER BY x") == []
+    assert rows("SELECT x FROM generate_series(5, 1, -2) s(x)") == \
+        [(5,), (3,), (1,)]
+    assert rows("SELECT count(*) FROM generate_series("
+                "date '2024-01-05', date '2024-01-01', interval '1 day')"
+                ) == [(0,)]
+    # EXCLUDE over a frame that cannot contain the current row is a no-op
+    assert rows(
+        "SELECT v, sum(v) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND "
+        "1 PRECEDING EXCLUDE CURRENT ROW) s FROM t ORDER BY o") == rows(
+        "SELECT v, sum(v) OVER (ORDER BY o ROWS BETWEEN 5 PRECEDING AND "
+        "1 PRECEDING) s FROM t ORDER BY o")
+    # ordered first/last aggregates are order-faithful (min_by/max_by)
+    assert rows("SELECT g, first_value(v ORDER BY o) f, "
+                "first_value(v ORDER BY o DESC) l "
+                "FROM t GROUP BY g ORDER BY g") == [(1, 20, 10), (2, 30, 30)]
+    # pg split edges: empty separator = whole string; empty input = {}
+    assert rows("SELECT string_to_array('abc', ''), "
+                "string_to_array('', ','), to_json(NULL)") == \
+        [(["abc"], [], None)]
+    assert rows("SELECT * FROM string_to_table('abc', '')") == [("abc",)]
+    # quoted #> path elements refuse loudly instead of mis-splitting
+    with pytest.raises(Exception, match="quotes"):
+        fq.execute("SELECT '{}' #> '{a,\"b,c\"}'", scope, spark=spark)
