@@ -197,3 +197,74 @@ def test_salted_join_equals_plain(spark, scope):
         F.sum("b").alias("s"), F.count(F.lit(1)).alias("n")).collect()}
     got = {(r.a, r.sum_b, r.count_a) for r in agg.collect()}
     assert got == expect
+
+
+# ---------------------------------------------------- round-6 semantics
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=1, max_value=8))
+def test_fetch_with_ties_equals_rank_filter(spark, scope, duck, n):
+    """FETCH FIRST n WITH TIES == all rows whose rank over the ORDER BY
+    is <= n (checked against DuckDB's QUALIFY formulation)."""
+    q = f"select b from t order by b fetch first {n} rows with ties"
+    ours = sorted(r[0] for r in fq.execute(q, scope, spark=spark).collect())
+    theirs = sorted(r[0] for r in duck.execute(
+        f"select b from t qualify rank() over (order by b) <= {n}"
+    ).fetchall())
+    assert ours == theirs
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lo=st.integers(min_value=0, max_value=3),
+       hi=st.integers(min_value=0, max_value=3))
+def test_frame_exclude_current_row_identity(spark, scope, duck, lo, hi):
+    """For any ROWS frame containing the current row:
+    coalesce(sum EXCLUDE CURRENT ROW, 0) + current value == plain frame
+    sum (the coalesce covers the frame-is-only-the-current-row case, where
+    pg's excluded sum is NULL — sum over the empty set)."""
+    frame = f"rows between {lo} preceding and {hi} following"
+    q = (f"select b, coalesce(sum(b) over (order by a {frame} "
+         f"exclude current row), 0) + b as s from t order by a")
+    plain = (f"select b, sum(b) over (order by a {frame}) as s "
+             f"from t order by a")
+    ours = [tuple(r) for r in fq.execute(q, scope, spark=spark).collect()]
+    theirs = [tuple(r) for r in duck.execute(plain).fetchall()]
+    assert ours == theirs
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(start=st.integers(min_value=-3, max_value=3),
+       stop=st.integers(min_value=-3, max_value=3),
+       step=st.sampled_from([-2, -1, 1, 2]))
+def test_generate_series_matches_python_range(spark, start, stop, step):
+    """generate_series == python range with inclusive stop; empty when the
+    step points away from the stop bound (pg semantics)."""
+    q = f"select * from generate_series({start}, {stop}, {step})"
+    ours = [r[0] for r in fq.execute(q, {}, spark=spark).collect()]
+    expected = list(range(start, stop + (1 if step > 0 else -1), step))
+    assert ours == expected
+    # the per-row (lateral) path must agree with the constant path
+    ours_lat = [r[0] for r in fq.execute(
+        f"select g from (select {start} as s) v, "
+        f"generate_series(v.s, {stop}, {step}) g", {},
+        spark=spark).collect()]
+    assert ours_lat == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(threshold=st.integers(min_value=-2, max_value=6))
+def test_theta_correlated_count_matches_duckdb(spark, scope, duck,
+                                               threshold):
+    """Theta-correlated scalar count matches DuckDB's native decorrelation
+    for arbitrary thresholds (incl. no-match and all-match extremes)."""
+    q = (f"select a, (select count(*) from t u "
+         f"where u.b < t.b + {threshold}) c from t")
+    ours = sorted(tuple(r) for r in
+                  fq.execute(q, scope, spark=spark).collect())
+    theirs = sorted(tuple(r) for r in duck.execute(q).fetchall())
+    assert ours == theirs
