@@ -705,9 +705,54 @@ class QueryCompiler:
 
     # -------------------------------------------------------------- projection
 
+    # select-list set-returning functions that can appear several times in
+    # one projection — pg 10+ runs them in LOCKSTEP (row i of each, NULL-
+    # padded to the longest), not as a cross product
+    _SRF_NAMES = frozenset({
+        "unnest", "generate_series", "string_to_table",
+        "regexp_split_to_table", "json_array_elements",
+        "json_array_elements_text", "jsonb_array_elements",
+        "jsonb_array_elements_text"})
+
+    def _srf_array(self, ec: ExprCompiler, call: ast.Call) -> Column:
+        """The array a select-list SRF expands — explode happens once over
+        the zip of all of them."""
+        from ..functions.registry import pg_sequence_column, pg_split_column
+
+        args = [ec.compile(a) for a in call.args]
+        n = call.name.lower()
+        if n == "unnest":
+            return args[0]
+        if n == "generate_series":
+            return pg_sequence_column(*args[:3])
+        if n == "string_to_table":
+            return pg_split_column(args[0], args[1])
+        if n == "regexp_split_to_table":
+            return F.split(args[0], args[1])
+        return F.from_json(args[0].cast("string"), "array<string>")
+
     def _compile_project(self, df: DataFrame, sel: ast.Select,
                          items: List[Tuple[ast.Node, str]]) -> DataFrame:
         ec = self._expr_compiler()
+
+        srf_idx = [i for i, (e, _) in enumerate(items)
+                   if isinstance(e, ast.Call) and not isinstance(
+                       e, (ast.WindowCall,))
+                   and e.name.lower() in self._SRF_NAMES]
+        if len(srf_idx) >= 2:
+            # pg lockstep SRF semantics: one explode over the zip of every
+            # SRF's array (arrays_zip NULL-pads to the longest; rows where
+            # all SRFs are empty produce no output)
+            import uuid
+
+            tmp = "__srf_" + uuid.uuid4().hex[:8]
+            arrs = [self._srf_array(ec, items[i][0]).alias(f"z{k}")
+                    for k, i in enumerate(srf_idx)]
+            df = df.withColumn(tmp, F.explode(F.arrays_zip(*arrs)))
+            items = list(items)
+            for k, i in enumerate(srf_idx):
+                items[i] = (ast.ColumnRef(parts=(tmp, f"z{k}"),
+                                          quoted=True), items[i][1])
 
         if sel.distinct_on:
             # pg DISTINCT ON (the reference's xfail gap): keep the first row

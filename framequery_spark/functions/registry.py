@@ -343,9 +343,30 @@ _fixed("array_contains_all",
 _fixed("array_overlaps", lambda a: F.arrays_overlap(a[0], a[1]))
 _fixed("__array", lambda a: F.array(*a))  # ARRAY[...] constructor
 _fixed("row", lambda a: F.struct(*a))  # pg ROW(...) record constructor
-# select-list unnest: pg `SELECT unnest(arr)` == one explode generator
-# (the FROM-position unnest table function lives in sources/table_functions)
+def pg_sequence_column(start: Column, stop: Column,
+                       step: Column = None) -> Column:
+    """F.sequence with pg's empty-set semantics: a series whose step points
+    away from the stop bound yields ZERO elements (Spark's sequence would
+    either default the step to -1 or raise). `step - step` is the typed
+    zero, so the guard works for numeric AND interval steps. The typed
+    empty array comes from slice(sequence(start, start), 1, 0)."""
+    empty = F.slice(F.sequence(start, start), 1, 0)
+    if step is None:
+        return F.when(start <= stop, F.sequence(start, stop)) \
+            .otherwise(empty)
+    zero = step - step
+    ok = ((step > zero) & (start <= stop)) | \
+         ((step < zero) & (start >= stop))
+    return F.when(ok, F.sequence(start, stop, step)).otherwise(empty)
+
+
+# select-list set-returning functions: pg `SELECT unnest(arr)` == one
+# explode generator (the FROM-position table-function forms live in
+# sources/table_functions; multiple SRFs in one select list run in
+# LOCKSTEP, handled by the projection compiler)
 _fixed("unnest", lambda a: F.explode(a[0]))
+_fixed("generate_series", lambda a: F.explode(pg_sequence_column(*a[:3])))
+_fixed("string_to_table", lambda a: F.explode(pg_split_column(a[0], a[1])))
 _fixed("regexp_split_to_table", lambda a: F.explode(F.split(a[0], a[1])))
 
 

@@ -675,16 +675,30 @@ class Parser:
         return tuple(ctes)
 
     def parse_set_expr(self) -> ast.Node:
-        left = self.parse_select_core()
-        while self.is_kw("union", "intersect", "except"):
+        # SQL set-op precedence: INTERSECT binds tighter than UNION/EXCEPT
+        # (a UNION b INTERSECT c == a UNION (b INTERSECT c)); same-level
+        # operators associate left
+        left = self._parse_intersect_chain()
+        while self.is_kw("union", "except"):
             op = self.advance().value.lower()
             if self.accept_kw("all"):
                 op += " all"
             else:
                 self.accept_kw("distinct")
-            right = self.parse_select_core()
+            right = self._parse_intersect_chain()
             left = ast.SetOp(op=op, left=left, right=right)
         return self._parse_trailing(left)
+
+    def _parse_intersect_chain(self) -> ast.Node:
+        left = self.parse_select_core()
+        while self.is_kw("intersect"):
+            self.advance()
+            op = "intersect all" if self.accept_kw("all") else "intersect"
+            if op == "intersect":
+                self.accept_kw("distinct")
+            right = self.parse_select_core()
+            left = ast.SetOp(op=op, left=left, right=right)
+        return left
 
     def _parse_trailing(self, left: ast.Node) -> ast.Node:
         """Trailing ORDER BY / LIMIT / OFFSET / FETCH (applies to the whole

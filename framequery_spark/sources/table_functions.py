@@ -64,19 +64,14 @@ _TVF_ALIASES = {
 from ..functions.registry import pg_split_column as _pg_split
 
 
+from ..functions.registry import pg_sequence_column
+
+
 def _pg_sequence(start, stop, step=None, interval_step: bool = False):
-    """F.sequence with pg's empty-set semantics: a series whose step points
-    away from the stop bound yields ZERO elements (Spark's sequence would
-    either default the step to -1 or raise). The typed empty array comes
-    from slice(sequence(start, start), 1, 0)."""
-    empty = F.slice(F.sequence(start, start), 1, 0)
-    if step is None:
-        return F.when(start <= stop, F.sequence(start, stop)) \
-            .otherwise(empty)
-    zero = F.expr("INTERVAL '0 seconds'") if interval_step else F.lit(0)
-    ok = ((step > zero) & (start <= stop)) | \
-         ((step < zero) & (start >= stop))
-    return F.when(ok, F.sequence(start, stop, step)).otherwise(empty)
+    # canonical pg sequence semantics live in functions.registry (shared
+    # with the select-list generate_series SRF); interval_step is moot now
+    # that the typed zero is `step - step`
+    return pg_sequence_column(start, stop, step)
 
 
 def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:

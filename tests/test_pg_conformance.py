@@ -411,6 +411,22 @@ QUERIES = [
      "select '3', '2'"),
     ("select quote_nullable(null), quote_nullable('x'), unicode('a')",
      "select 'NULL', '''x''', 97"),
+    # ---- round-6 batch 4: set-op precedence + select-list SRFs
+    # INTERSECT binds tighter than UNION/EXCEPT (SQL-spec precedence)
+    "select 1 union select 2 intersect select 2",
+    "select 1 union select 2 intersect select 3",
+    "select 2 except select 2 intersect select 2",
+    # set-returning functions in the select list; multiple SRFs advance
+    # in LOCKSTEP (pg 10+), NULL-padded to the longest
+    ("select generate_series(1, 3) g",
+     "select unnest(generate_series(1, 3)) g"),
+    ("select c1, generate_series(1, c1 + 1) g from test order by 1, 2",
+     "select c1, unnest(generate_series(1, c1 + 1)) g from test "
+     "order by 1, 2"),
+    ("select unnest(array[1,2,3]) a, unnest(array['x','y']) b",
+     "select unnest([1,2,3]) a, unnest(['x','y']) b"),
+    ("select string_to_table('a,b', ',') piece",
+     "select unnest(['a','b']) piece"),
 ]
 
 
