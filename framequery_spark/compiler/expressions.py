@@ -1310,6 +1310,18 @@ class ExprCompiler:
         _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
                  "=": "=", "<>": "<>", "!=": "!="}
         conjs = _split_conjuncts(sel.where) if sel.where is not None else []
+        # BETWEEN is two comparisons — desugar so correlated range
+        # predicates (u.b BETWEEN t.a-2 AND t.a+2) decorrelate like any
+        # other theta pair
+        expanded: List[ast.Node] = []
+        for c in conjs:
+            if isinstance(c, ast.Between) and not c.negated:
+                expanded.append(ast.Binary(op=">=", left=c.expr, right=c.low))
+                expanded.append(ast.Binary(op="<=", left=c.expr,
+                                           right=c.high))
+            else:
+                expanded.append(c)
+        conjs = expanded
         corr_pairs: List[tuple] = []  # (outer_ast, inner_ast)
         theta_pairs: List[tuple] = []  # (op, outer_ast, inner_ast)
         inner_conjs: List[ast.Node] = []

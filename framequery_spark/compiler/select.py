@@ -446,6 +446,10 @@ class QueryCompiler:
 
     def _apply_exists(self, df: DataFrame, node: ast.Exists) -> DataFrame:
         how = "left_anti" if node.negated else "left_semi"
+        agg_split = self._split_exists_aggregate(node.query)
+        if agg_split is not None:
+            sub_df, corr_cond = agg_split
+            return df.join(sub_df, corr_cond, how)
         split = self._split_correlation(node.query)
         if split is not None:
             sub_df, corr_cond, _ = split
@@ -454,6 +458,77 @@ class QueryCompiler:
         sub = QueryCompiler(self.session, self.scope).compile_query(node.query)
         probe = sub.limit(1).select(F.lit(1).alias("__exists"))
         return df.join(probe, F.lit(True), how)
+
+    def _split_exists_aggregate(self, sel: ast.Node):
+        """EXISTS over a correlated aggregate (the Q21-with-HAVING shape):
+
+            EXISTS (SELECT 1 FROM u WHERE u.k = t.k HAVING count(*) > 1)
+
+        Decorrelated into ONE grouped aggregate over the inner relation
+        (GROUP BY the equality-correlation keys, HAVING applied) + a semi
+        join on the keys.  Returns (sub_df, cond) or None when the shape
+        does not apply (no HAVING, explicit GROUP BY, or non-equality
+        correlation — those fall through to the plain path)."""
+        from .rewrite import walk
+
+        if not isinstance(sel, ast.Select) or sel.having is None \
+                or sel.group_by or sel.from_ is None or sel.ctes:
+            return None
+        inner_rel = QueryCompiler(self.session, self.scope) \
+            .compile_relation(sel.from_)
+        inner_cols = {c.lower() for c in inner_rel.columns}
+        inner_aliases = _relation_aliases(sel.from_)
+
+        def is_outer(ref: ast.ColumnRef) -> bool:
+            if ref.qualifier is not None:
+                return ref.qualifier.lower() not in inner_aliases
+            return ref.name.lower() not in inner_cols
+
+        def has_outer(n: ast.Node) -> bool:
+            return any(isinstance(x, ast.ColumnRef) and is_outer(x)
+                       for x in walk(n))
+
+        if has_outer(sel.having):
+            raise CompileError(
+                "outer references inside EXISTS ... HAVING are not "
+                "supported — move them into WHERE")
+        conjs = _split_conjuncts(sel.where) if sel.where is not None else []
+        corr: List[tuple] = []
+        inner_conjs: List[ast.Node] = []
+        for c in conjs:
+            if not has_outer(c):
+                inner_conjs.append(c)
+                continue
+            if not (isinstance(c, ast.Binary) and c.op == "="):
+                raise CompileError(
+                    "EXISTS with HAVING supports only equality "
+                    "correlation predicates")
+            lo = has_outer(c.left)
+            outer_ast, inner_ast = (c.left, c.right) if lo \
+                else (c.right, c.left)
+            if has_outer(inner_ast):
+                raise CompileError("unsupported EXISTS correlation")
+            corr.append((outer_ast, inner_ast))
+        if not corr:
+            return None  # uncorrelated HAVING probe handled downstream
+        n = self._scalar_hidden = getattr(self, "_scalar_hidden", 0) + 1
+        keys = [f"__xk{n}_{i}" for i in range(len(corr))]
+        inner_where = None
+        for c in inner_conjs:
+            inner_where = c if inner_where is None else ast.Binary(
+                op="and", left=inner_where, right=c)
+        dec = ast.Select(
+            items=tuple(ast.SelectItem(expr=ia, alias=kn)
+                        for (_, ia), kn in zip(corr, keys)),
+            from_=sel.from_, where=inner_where,
+            group_by=tuple(ia for _, ia in corr), having=sel.having)
+        sub = QueryCompiler(self.session, self.scope).compile_query(dec)
+        ec = self._expr_compiler()
+        cond = None
+        for (oa, _), kn in zip(corr, keys):
+            c = ec.compile(oa) == F.col(kn)
+            cond = c if cond is None else cond & c
+        return sub, cond
 
     def _split_correlation(self, sel: ast.Node, extra_inner: tuple = ()):
         """Decompose a (possibly) correlated subquery: WHERE conjuncts that
@@ -948,6 +1023,98 @@ class QueryCompiler:
         out = left.join(right, cond, how)
         return out.drop(*cleanup) if cleanup else out
 
+    def _compile_lateral_aggregate(self, left: DataFrame,
+                                   rel: ast.SubqueryRel,
+                                   how: str) -> DataFrame:
+        """Correlated LATERAL whose select list is all aggregates (no
+        GROUP BY): pg evaluates it per outer row and it ALWAYS yields
+        exactly one row — aggregates over the empty set for non-matching
+        outer rows. Decorrelated into ONE grouped aggregate over the inner
+        relation (GROUP BY the correlation keys) + a left equi join; the
+        empty-set values come from evaluating the same items over WHERE
+        FALSE once at compile time (a bounded 1-row job) and coalescing."""
+        from .rewrite import walk
+
+        sel = rel.query
+        probe = QueryCompiler(self.session, self.scope) \
+            .compile_relation(sel.from_)
+        inner_cols = {c.lower() for c in probe.columns}
+        inner_aliases = _relation_aliases(sel.from_)
+        left_cols = {c.lower() for c in left.columns}
+
+        def is_outer(ref: ast.ColumnRef) -> bool:
+            q = ref.qualifier
+            if q is not None:
+                return q.lower() not in inner_aliases
+            return (ref.name.lower() not in inner_cols
+                    and ref.name.lower() in left_cols)
+
+        def has_outer(node: ast.Node) -> bool:
+            return any(isinstance(n, ast.ColumnRef) and is_outer(n)
+                       for n in walk(node))
+
+        conjs = _split_conjuncts(sel.where) if sel.where is not None else []
+        corr: List[tuple] = []
+        inner_conjs: List[ast.Node] = []
+        for c in conjs:
+            if not has_outer(c):
+                inner_conjs.append(c)
+                continue
+            if not (isinstance(c, ast.Binary) and c.op == "="):
+                raise CompileError(
+                    "LATERAL aggregate correlation predicates must be "
+                    "equalities")
+            lo = has_outer(c.left)
+            outer_ast, inner_ast = (c.left, c.right) if lo \
+                else (c.right, c.left)
+            if has_outer(inner_ast):
+                raise CompileError("unsupported LATERAL correlation")
+            corr.append((outer_ast, inner_ast))
+        if not corr:
+            raise CompileError(
+                "LATERAL aggregate subquery has no equality correlation")
+        n = getattr(self, "_lateral_counter", 0)
+        self._lateral_counter = n + 1
+        keys = [f"__lk{n}_{i}" for i in range(len(corr))]
+        inner_where = None
+        for c in inner_conjs:
+            inner_where = c if inner_where is None else ast.Binary(
+                op="and", left=inner_where, right=c)
+        import dataclasses as _dc
+
+        dec = ast.Select(
+            items=tuple(sel.items) + tuple(
+                ast.SelectItem(expr=ia, alias=kn)
+                for (_, ia), kn in zip(corr, keys)),
+            from_=sel.from_, where=inner_where,
+            group_by=tuple(ia for _, ia in corr))
+        sub = QueryCompiler(self.session, self.scope).compile_query(dec)
+        # `=` correlation can never select the NULL-key group
+        for kn in keys:
+            sub = sub.where(F.col(kn).isNotNull())
+        # pg: the aggregate lateral yields exactly one row per outer row —
+        # aggregates over the EMPTY set for outer keys with no inner match
+        # (count -> 0, max -> NULL). Synthesize those rows by unioning the
+        # WHERE FALSE aggregate (a 1-row frame) against the outer keys that
+        # found no group, so the final join always matches and the left
+        # side's relation aliases survive untouched.
+        empty = QueryCompiler(self.session, self.scope).compile_query(
+            _dc.replace(sel, where=ast.Literal(False, "bool"),
+                        items=tuple(sel.items)))
+        ec = self._expr_compiler()
+        missing = (left.select(*[ec.compile(oa).alias(kn)
+                                 for (oa, _), kn in zip(corr, keys)])
+                   .distinct()
+                   .join(sub.select(*keys), keys, "left_anti"))
+        filler = missing.crossJoin(F.broadcast(empty))
+        sub_full = sub.unionByName(filler.select(*sub.columns))
+        right = sub_full.alias(rel.alias)
+        cond = None
+        for (oa, _), kn in zip(corr, keys):
+            c = ec.compile(oa).eqNullSafe(F.col(f"{rel.alias}.{kn}"))
+            cond = c if cond is None else cond & c
+        return left.join(right, cond, "left").drop(*keys)
+
     def _compile_lateral_subquery(self, left: DataFrame,
                                   rel: ast.SubqueryRel, how: str,
                                   on_cond) -> DataFrame:
@@ -966,6 +1133,15 @@ class QueryCompiler:
         sel = rel.query
         if not isinstance(sel, ast.Select) or sel.from_ is None:
             raise CompileError("LATERAL subquery must be a SELECT with FROM")
+        if not sel.group_by and sel.having is None and not sel.ctes \
+                and sel.limit is None \
+                and all(not isinstance(i, ast.Star)
+                        and contains_aggregate(i.expr, AGG_NAMES)
+                        for i in sel.items):
+            # aggregate lateral: (SELECT max(b) m FROM u WHERE u.k = t.k)
+            # — a multi-column scalar subquery; decorrelate by grouping
+            # the inner on the correlation keys
+            return self._compile_lateral_aggregate(left, rel, how)
         if sel.group_by or sel.having is not None or sel.ctes \
                 or sel.distinct or sel.qualify is not None:
             raise CompileError(

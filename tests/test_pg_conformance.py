@@ -427,6 +427,19 @@ QUERIES = [
      "select unnest([1,2,3]) a, unnest(['x','y']) b"),
     ("select string_to_table('a,b', ',') piece",
      "select unnest(['a','b']) piece"),
+    # ---- round-6 batch 5: correlated-aggregate shapes
+    # BETWEEN correlation inside a scalar subquery (desugared to theta)
+    "select c2, (select count(*) from test u where u.c2 between test.c2 - 1 and test.c2 + 1) n from test",
+    # EXISTS over a correlated aggregate (HAVING, no GROUP BY)
+    "select c2 from test where exists (select 1 from other where other.c3 = test.c1 having count(*) > 2)",
+    "select c2 from test where not exists (select 1 from other where other.c3 = test.c1 having sum(c4) > 20)",
+    # correlated-aggregate LATERAL: always one row (empty set -> count 0)
+    ("select test.c2, x.n, x.mx from test, lateral (select count(*) n, "
+     "max(c4) mx from other where other.c3 = test.c1 and other.c4 > 2) x "
+     "order by 1",
+     "select test.c2, x.n, x.mx from test, lateral (select count(*) n, "
+     "max(c4) mx from other where other.c3 = test.c1 and other.c4 > 2) x "
+     "order by 1"),
 ]
 
 
