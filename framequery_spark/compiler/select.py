@@ -1173,7 +1173,10 @@ class QueryCompiler:
                 continue
             if not (isinstance(c, ast.Binary) and c.op == "="):
                 raise CompileError(
-                    "LATERAL correlation predicates must be equalities")
+                    "LATERAL correlation predicates must be equalities — "
+                    "for nearest-match-per-row shapes use ASOF JOIN "
+                    "(single-shuffle union+window plan), or a "
+                    "theta-correlated scalar subquery for single values")
             lo, ro = has_outer(c.left), has_outer(c.right)
             if lo and ro:
                 raise CompileError(
