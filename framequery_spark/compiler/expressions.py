@@ -111,6 +111,15 @@ _COMMUTATIVE_AGGS = frozenset({
     "theta_sketch_agg", "theta_union_agg", "theta_intersection_agg",
 })
 
+def interval_expr(text: str) -> Column:
+    """INTERVAL literal from pg interval text, with the text validated to a
+    safe charset first — the value is interpolated into a SQL fragment, so
+    anything else (quotes especially) must be rejected, not injected."""
+    if not _re.fullmatch(r"[A-Za-z0-9 .:+\-]+", text or ""):
+        raise CompileError(f"invalid interval literal: {text!r}")
+    return F.expr(f"INTERVAL '{text}'")
+
+
 AGG_NAMES = set(AGG_MAP) | {
     "count", "string_agg", "corr", "covar_pop", "covar_samp", "first_value",
     "percentile_cont", "percentile_disc", "mode", "grouping", "grouping_id",
@@ -245,7 +254,7 @@ class ExprCompiler:
         if node.kind == "timestamp":
             return F.lit(node.value).cast("timestamp")
         if node.kind == "interval":
-            return F.expr(f"INTERVAL '{node.value}'")
+            return interval_expr(node.value)
         return F.lit(node.value)
 
     def _c_ColumnRef(self, node: ast.ColumnRef) -> Column:
@@ -454,7 +463,7 @@ class ExprCompiler:
                 and node.expr.kind == "string":
             # '1 day'::interval — pg interval text, which Spark's CAST
             # cannot parse; route through the INTERVAL literal syntax
-            return F.expr(f"INTERVAL '{node.expr.value}'")
+            return interval_expr(node.expr.value)
         c = self.compile(node.expr)
         if t == "json":
             # reference: json.loads into object cells (util/_funcs.py:110-114);
@@ -1125,8 +1134,7 @@ class ExprCompiler:
         # offset 0 so they are outside too — subtract nothing
         start0 = _offset(spec.frame_start,
                          float("-inf") if spec.frame_type is None else 0)
-        end0 = _offset(spec.frame_end,
-                       0 if spec.frame_type is None else 0)
+        end0 = _offset(spec.frame_end, 0)
         if not (start0 <= 0 <= end0):
             inner = ExprCompiler(self.executor, agg_context=True,
                                  scope=self.scope,

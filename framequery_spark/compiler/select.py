@@ -448,8 +448,19 @@ class QueryCompiler:
         how = "left_anti" if node.negated else "left_semi"
         agg_split = self._split_exists_aggregate(node.query)
         if agg_split is not None:
-            sub_df, corr_cond = agg_split
-            return df.join(sub_df, corr_cond, how)
+            # grouped-aggregate EXISTS: a left join carries the per-group
+            # HAVING verdict (__xp) and a match marker (__xm); outer rows
+            # with NO matching group take the HAVING-over-the-empty-set
+            # verdict (pg: count(*)=0 there — EXISTS (...HAVING count(*)<5)
+            # is TRUE for keys with no inner rows at all)
+            sub_df, corr_cond, empty_pass = agg_split
+            joined = df.join(sub_df, corr_cond, "left")
+            matched = F.col("__xm").eqNullSafe(True)
+            keep = F.when(matched, F.col("__xp").eqNullSafe(True)) \
+                .otherwise(F.lit(empty_pass))
+            if node.negated:
+                keep = ~keep
+            return joined.where(keep).drop(*sub_df.columns)
         split = self._split_correlation(node.query)
         if split is not None:
             sub_df, corr_cond, _ = split
@@ -465,15 +476,31 @@ class QueryCompiler:
             EXISTS (SELECT 1 FROM u WHERE u.k = t.k HAVING count(*) > 1)
 
         Decorrelated into ONE grouped aggregate over the inner relation
-        (GROUP BY the equality-correlation keys, HAVING applied) + a semi
-        join on the keys.  Returns (sub_df, cond) or None when the shape
-        does not apply (no HAVING, explicit GROUP BY, or non-equality
-        correlation — those fall through to the plain path)."""
+        (GROUP BY the equality-correlation keys) carrying the HAVING
+        verdict as a flag column, plus the HAVING-over-the-empty-set
+        verdict for outer keys with no matching group (pg evaluates the
+        aggregate over zero rows there).  Returns (sub_df, cond,
+        empty_pass) or None when the shape does not apply (no HAVING,
+        explicit GROUP BY, non-equality correlation — those fall through
+        to the plain path)."""
         from .rewrite import walk
 
         if not isinstance(sel, ast.Select) or sel.having is None \
                 or sel.group_by or sel.from_ is None or sel.ctes:
             return None
+        force_false = False
+        if sel.limit is not None or sel.offset is not None:
+            # the aggregate yields exactly ONE row, so LIMIT >= 1 / OFFSET 0
+            # are no-ops; LIMIT 0 or OFFSET >= 1 empty the subquery
+            def _lit_int(n):
+                return n.value if isinstance(n, ast.Literal) \
+                    and n.kind == "int" else None
+            lim = _lit_int(sel.limit) if sel.limit is not None else None
+            off = _lit_int(sel.offset) if sel.offset is not None else 0
+            if (sel.limit is not None and lim is None) or off is None:
+                raise CompileError(
+                    "EXISTS with HAVING supports only literal LIMIT/OFFSET")
+            force_false = (lim == 0) or (off >= 1)
         inner_rel = QueryCompiler(self.session, self.scope) \
             .compile_relation(sel.from_)
         inner_cols = {c.lower() for c in inner_rel.columns}
@@ -517,18 +544,32 @@ class QueryCompiler:
         for c in inner_conjs:
             inner_where = c if inner_where is None else ast.Binary(
                 op="and", left=inner_where, right=c)
+        import dataclasses as _dc
+
         dec = ast.Select(
             items=tuple(ast.SelectItem(expr=ia, alias=kn)
-                        for (_, ia), kn in zip(corr, keys)),
+                        for (_, ia), kn in zip(corr, keys))
+            + (ast.SelectItem(expr=sel.having, alias="__xp"),
+               ast.SelectItem(expr=ast.Literal(True, "bool"),
+                              alias="__xm")),
             from_=sel.from_, where=inner_where,
-            group_by=tuple(ia for _, ia in corr), having=sel.having)
+            group_by=tuple(ia for _, ia in corr))
         sub = QueryCompiler(self.session, self.scope).compile_query(dec)
+        # HAVING over the empty set: one bounded compile-time evaluation
+        empty = QueryCompiler(self.session, self.scope).compile_query(
+            ast.Select(items=(ast.SelectItem(expr=sel.having,
+                                             alias="__xp"),),
+                       from_=sel.from_,
+                       where=ast.Literal(False, "bool")))
+        empty_pass = bool(empty.collect()[0][0]) and not force_false
+        if force_false:
+            sub = sub.where(F.lit(False))
         ec = self._expr_compiler()
         cond = None
         for (oa, _), kn in zip(corr, keys):
             c = ec.compile(oa) == F.col(kn)
             cond = c if cond is None else cond & c
-        return sub, cond
+        return sub, cond, empty_pass
 
     def _split_correlation(self, sel: ast.Node, extra_inner: tuple = ()):
         """Decompose a (possibly) correlated subquery: WHERE conjuncts that
@@ -815,18 +856,33 @@ class QueryCompiler:
                        e, (ast.WindowCall,))
                    and e.name.lower() in self._SRF_NAMES]
         if len(srf_idx) >= 2:
-            # pg lockstep SRF semantics: one explode over the zip of every
-            # SRF's array (arrays_zip NULL-pads to the longest; rows where
-            # all SRFs are empty produce no output)
+            # pg lockstep SRF semantics: advance all SRFs together, NULL-
+            # padded to the longest; a NULL array behaves as empty (NOT as
+            # poisoning the whole row the way arrays_zip would). Staged as:
+            # hidden array columns -> one index explode over the max length
+            # -> F.get per array (NULL past the end or on NULL arrays).
             import uuid
 
-            tmp = "__srf_" + uuid.uuid4().hex[:8]
-            arrs = [self._srf_array(ec, items[i][0]).alias(f"z{k}")
-                    for k, i in enumerate(srf_idx)]
-            df = df.withColumn(tmp, F.explode(F.arrays_zip(*arrs)))
+            tag = uuid.uuid4().hex[:8]
+            arr_names = [f"__sa{tag}_{k}" for k in range(len(srf_idx))]
+            idx = f"__si{tag}"
+            df = df.select("*", *[
+                self._srf_array(ec, items[i][0]).alias(an)
+                for an, i in zip(arr_names, srf_idx)])
+            n = F.greatest(*[F.coalesce(F.size(F.col(an)), F.lit(0))
+                             for an in arr_names]) \
+                if len(arr_names) > 1 else F.coalesce(
+                    F.size(F.col(arr_names[0])), F.lit(0))
+            df = df.withColumn(idx, F.explode(
+                F.when(n >= 1, F.sequence(F.lit(1), n))
+                .otherwise(F.array().cast("array<int>"))))
+            val_names = [f"__sv{tag}_{k}" for k in range(len(srf_idx))]
+            df = df.select("*", *[
+                F.get(F.col(an), F.col(idx) - 1).alias(vn)
+                for an, vn in zip(arr_names, val_names)])
             items = list(items)
             for k, i in enumerate(srf_idx):
-                items[i] = (ast.ColumnRef(parts=(tmp, f"z{k}"),
+                items[i] = (ast.ColumnRef(parts=(val_names[k],),
                                           quoted=True), items[i][1])
 
         if sel.distinct_on:
@@ -1024,8 +1080,8 @@ class QueryCompiler:
         return out.drop(*cleanup) if cleanup else out
 
     def _compile_lateral_aggregate(self, left: DataFrame,
-                                   rel: ast.SubqueryRel,
-                                   how: str) -> DataFrame:
+                                   rel: ast.SubqueryRel, how: str,
+                                   on_cond=None) -> DataFrame:
         """Correlated LATERAL whose select list is all aggregates (no
         GROUP BY): pg evaluates it per outer row and it ALWAYS yields
         exactly one row — aggregates over the empty set for non-matching
@@ -1113,7 +1169,21 @@ class QueryCompiler:
         for (oa, _), kn in zip(corr, keys):
             c = ec.compile(oa).eqNullSafe(F.col(f"{rel.alias}.{kn}"))
             cond = c if cond is None else cond & c
-        return left.join(right, cond, "left").drop(*keys)
+        out = left.join(right, cond, "left").drop(*keys)
+        trivially_true = (on_cond is None
+                          or (isinstance(on_cond, ast.Literal)
+                              and on_cond.value is True))
+        if not trivially_true:
+            if how == "left":
+                # LEFT JOIN LATERAL (agg) ON <cond>: failing rows keep the
+                # left side with NULL lateral columns — nulling them post-
+                # join would detach the alias-qualified originals, so this
+                # shape stays unsupported rather than silently wrong
+                raise CompileError(
+                    "LEFT JOIN LATERAL over an aggregate subquery supports "
+                    "only ON TRUE — filter in WHERE instead")
+            out = out.where(ec.compile(on_cond).eqNullSafe(True))
+        return out
 
     def _compile_lateral_subquery(self, left: DataFrame,
                                   rel: ast.SubqueryRel, how: str,
@@ -1141,7 +1211,7 @@ class QueryCompiler:
             # aggregate lateral: (SELECT max(b) m FROM u WHERE u.k = t.k)
             # — a multi-column scalar subquery; decorrelate by grouping
             # the inner on the correlation keys
-            return self._compile_lateral_aggregate(left, rel, how)
+            return self._compile_lateral_aggregate(left, rel, how, on_cond)
         if sel.group_by or sel.having is not None or sel.ctes \
                 or sel.distinct or sel.qualify is not None:
             raise CompileError(

@@ -104,16 +104,24 @@ def _compile_table_function(qc, tf: ast.TableFunction) -> DataFrame:
                         and step.kind == "interval"):
                     raise CompileError(
                         "generate_series over dates needs an INTERVAL step")
-                step_c = F.expr(f"INTERVAL '{step.value}'")
+                from ..compiler.expressions import interval_expr
+
+                step_c = interval_expr(step.value)
             else:
                 step_c = F.expr("INTERVAL '1 day'")
             # pg promotes date arguments to timestamp for the series
             seq = _pg_sequence(start_c.cast("timestamp"),
-                               stop_c.cast("timestamp"), step_c,
-                               interval_step=True)
-            return (spark.range(1)
-                    .select(F.explode(seq).alias("generate_series"))
-                    .alias(alias))
+                               stop_c.cast("timestamp"), step_c)
+            cname = _single_col_name(tf)
+            out = (spark.range(1)
+                   .select(F.explode(seq).alias(cname)))
+            if tf.ordinality:
+                out = (spark.range(1)
+                       .select(F.posexplode(seq)
+                               .alias("__pos", cname))
+                       .select(F.col(cname),
+                               (F.col("__pos") + 1).alias("ordinality")))
+            return out.alias(alias)
         args = _literal_args(tf.args)
         start = int(args[0])
         stop = int(args[1])
@@ -451,11 +459,8 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
         # inclusive-stop like pg for both integer and timestamp series
         ec = qc._expr_compiler()
         args = [ec.compile(a) for a in tf.args]
-        step_node = tf.args[2] if len(tf.args) > 2 else None
         seq = _pg_sequence(args[0], args[1],
-                           args[2] if len(args) > 2 else None,
-                           interval_step=isinstance(step_node, ast.Literal)
-                           and step_node.kind == "interval")
+                           args[2] if len(args) > 2 else None)
         return _explode_json(left, seq, "unnest", alias,
                              ordinality=tf.ordinality,
                              col_name=_single_col_name(tf))
@@ -584,5 +589,9 @@ def _single_col_name(tf: ast.TableFunction) -> str:
             "regexp_split_to_table", "string_to_table"):
         return tf.alias
     if tf.name == "generate_series":
-        return tf.alias or "generate_series"
+        # same pg rule as unnest: under WITH ORDINALITY the alias names the
+        # TABLE, and the value column keeps its pg name
+        if tf.alias and not tf.ordinality:
+            return tf.alias
+        return "generate_series"
     return "value"

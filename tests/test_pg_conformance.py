@@ -440,6 +440,27 @@ QUERIES = [
      "select test.c2, x.n, x.mx from test, lateral (select count(*) n, "
      "max(c4) mx from other where other.c3 = test.c1 and other.c4 > 2) x "
      "order by 1"),
+    # empty-group HAVING semantics: count(*)=0 for keys with no inner rows
+    ("select c2 from test where exists (select 1 from other "
+     "where other.c4 = test.c2 having count(*) < 5)",
+     "select c2 from test where exists (select 1 from other "
+     "where other.c4 = test.c2 having count(*) < 5)"),
+    ("select c2 from test where not exists (select 1 from other "
+     "where other.c4 = test.c2 having count(*) = 0)",
+     "select c2 from test where not exists (select 1 from other "
+     "where other.c4 = test.c2 having count(*) = 0)"),
+    # lateral aggregate with an ON filter (inner join drops failing rows)
+    ("select test.c2, l.mx from test join lateral (select max(c4) mx "
+     "from other where other.c3 = test.c1) l on l.mx > 7 order by 1",
+     "select test.c2, l.mx from test join lateral (select max(c4) mx "
+     "from other where other.c3 = test.c1) l on l.mx > 7 order by 1"),
+    # lockstep SRFs where one argument is NULL (acts as empty, does not
+    # poison the row)
+    ("select unnest(case when c1 = 0 then array[c2] end) u, "
+     "generate_series(1, 2) g from test where c2 <= 2 order by 2, 1",
+     "select unnest(case when c1 = 0 then [c2] end) u, "
+     "unnest(generate_series(1, 2)) g from test where c2 <= 2 "
+     "order by 2, 1"),
 ]
 
 
