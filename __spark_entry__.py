@@ -2433,36 +2433,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_window_rotation.py, which fails if an oracle-bearing entry goes
 # more than 2 rounds without a driver row.
 _DRIVER_WINDOW = [
-    # ops deferred from the r05 window (r04-green, low churn since).
-    # op_det_shuffle and op_det_sample (r04-green, zero churn) gave their
-    # slots to the new op_dsir_select / op_bigram_nll; r06-r04=2 keeps both
-    # inside the staleness allowance, and they MUST rotate back in r07.
-    "op_asof_join", "op_range_join", "op_doc_chunks",
-    "op_dsir_select", "op_bigram_nll", "op_vocab_topk",
-    "op_ngram_topk", "op_tf_idf", "op_pii_scrub",
-    "op_repetition_stats", "op_blob_metadata", "op_frame_sample",
-    "op_exact_dedup", "op_embedding_near_dup",
-    # last driver-verified on round-3 code
-    "q19_events_daily", "q20_limit_offset", "q21_having_counts",
-    "q22_above_avg", "q23_generate_series", "q24_json_extract",
-    "q25_distinct_pairs", "q26_implicit_join", "q27_theta_join",
-    "q28_full_join_counts", "q29_decile_stats", "q30_lag_lead",
-    "q31_rollup", "q32_cube_grouping", "q33_exists_correlated",
-    "q34_not_exists", "q35_min_cost_part", "q36_top_supplier",
-    "q37_big_orders", "q38_promo_revenue", "q39_customer_distribution",
-    "q40_idle_rich_customers", "q41_nation_trade", "q42_yearly_growth",
-    "q43_values_join", "q44_distinct_on", "q45_moving_sum",
-    "q46_conditional_agg", "q47_quantiles", "q48_ordered_string_agg",
-    # new in round 6 (never driver-verified): 2 DML-RETURNING entries, BM25,
-    # mixture sampling, and SemDeDup (approximate entry records its
-    # rows-only row; its exact mirror is hash-verified)
-    "q60_merge_returning", "q61_upsert_returning",
-    "op_bm25_topk", "op_mixture_sample",
-    "op_semdedup", "op_semdedup_exact",
-    # the ops touched by round 6's tracked-unpersist wiring and the
-    # stream-ingest partition-column fix (jaccard/minhash/dedup_against/
-    # decontaminate/split_leakage/stream_ingest) were r05-green, produce
-    # byte-identical results, and stay covered by the in-repo differential
+    # r07 window. Mandatory: the 20 entries last driver-green on round-4
+    # code (the exact set the staleness guard flagged after r06 landed).
+    "op_det_sample", "op_det_shuffle",
+    "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
+    "q04_order_priority", "q05_nation_balance", "q06_forecast_revenue",
+    "q07_parts_by_brand", "q08_price_buckets", "q09_yearly_volume",
+    "q10_top_customers", "q11_segment_top3", "q12_running_total",
+    "q13_union_keys", "q14_except_keys", "q15_intersect_keys",
+    "q16_in_subquery", "q17_customers_without_orders",
+    "q18_string_functions",
+    # never driver-verified plain-SQL entries added late in r06
+    "q62_json_agg", "q63_running_rank",
+    # re-verify slots: code paths changed this round (bigram-LM skew fix,
+    # DSIR length-normalization flag)
+    "op_bigram_nll", "op_dsir_select",
+    # pre-rotated from the r05 group (last green r05; stale at r08
+    # otherwise) — streaming entries first, then the dedup/text block
+    "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
+    "op_stream_dedup", "op_stream_decontam", "op_stream_ingest",
+    "op_stream_join",
+    "op_text_stats", "op_jaccard_pairs", "op_minhash_dedup",
+    "op_cosine_topk", "op_sessions", "op_decode_image",
+    "op_skew_count_distinct", "op_levenshtein_pairs", "op_hash_split",
+    "op_pack_bins", "op_pipeline_e2e", "op_dup_clusters",
+    "op_minhash_clusters", "op_gapfill", "op_gopher_filter",
+    "op_unigram_nll", "op_shard_counts", "op_strip_html",
+    "op_chunk_dedup",
+    # the remaining 20 r05-green entries (op_ann_full, op_pq_full,
+    # op_quantize_emb, op_simhash_exact, op_ivf_full_probe,
+    # op_dedup_against, op_bloom_dedup, op_decontaminate,
+    # op_split_leakage, q49-q59) rotate in r08; the 49 r06-green entries
+    # rotate in r09 — both fit the 50-slot window with room to spare.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -73,6 +73,50 @@ def test_no_oracle_entry_stale_beyond_two_rounds():
         f"them in: {stale}")
 
 
+def test_next_round_rotation_debt_fits_the_window():
+    """Commit-time lookahead: staleness-guard failure should be impossible
+    by construction.  Assume every oracle-bearing entry in the CURRENT
+    window goes green this round; then the set of entries that will REQUIRE
+    a slot in the NEXT round's window (last green too old, or never
+    verified op entries) must fit in 50 slots.  If this fails, the windows
+    are under-rotating and some future round is guaranteed to trip
+    test_no_oracle_entry_stale_beyond_two_rounds no matter how it rotates.
+    """
+    import __spark_entry__ as entry
+    from tests.test_conformance import ROWS_ONLY
+
+    rounds = _correctness_rounds()
+    if not rounds:
+        pytest.skip("no CORRECTNESS_r*.json recorded yet")
+    this_round = max(rounds) + 1   # the round the driver runs next
+    next_round = this_round + 1
+
+    last_green = {}
+    for rnd, rows in sorted(rounds.items()):
+        for name, v in rows.items():
+            if v.get("hash_match"):
+                last_green[name] = rnd
+
+    names = list(entry.queries())
+    window = set(names[:50])
+    # optimistic assumption: the current window all goes green this round
+    for name in window:
+        if name not in ROWS_ONLY:
+            last_green[name] = this_round
+
+    must_rotate_next = []
+    for name in names:
+        if name in ROWS_ONLY:
+            continue
+        last = last_green.get(name)
+        if last is None or next_round - last > MAX_STALE_ROUNDS:
+            must_rotate_next.append(name)
+    assert len(must_rotate_next) <= 50, (
+        f"{len(must_rotate_next)} entries will need a driver slot next "
+        f"round but the window holds 50 — rotate more of them in now: "
+        f"{must_rotate_next}")
+
+
 def test_window_is_exactly_fifty_and_oracle_bearing():
     import __spark_entry__ as entry
     from tests.test_conformance import ROWS_ONLY
