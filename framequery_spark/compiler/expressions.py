@@ -323,12 +323,60 @@ class ExprCompiler:
             return k if k == "int" else None
         return None
 
+    def _operand_kind(self, node: ast.Node) -> Optional[str]:
+        """`_static_kind` plus a best-effort schema probe: a plain or
+        table-qualified column ref resolves against in-scope DataFrames when
+        every in-scope table carrying that column name agrees on its type.
+        Returns 'date' / 'ts' / 'int' / 'interval' / None."""
+        k = self._static_kind(node)
+        if k is not None:
+            return k
+        if not isinstance(node, ast.ColumnRef) or not self.scope:
+            return None
+        parts = [p.lower() for p in node.parts]
+        col = parts[-1]
+        qualifier = parts[-2] if len(parts) >= 2 else None
+        found = set()
+        try:
+            for tname, df in self.scope.items():
+                dtypes = getattr(df, "dtypes", None)
+                if not isinstance(dtypes, list):
+                    continue  # not a Spark DataFrame (pandas scope entry)
+                short = tname.lower().split(".")[-1]
+                if qualifier is not None and qualifier != short:
+                    continue
+                for cname, dtype in dtypes:
+                    if cname.lower() == col:
+                        found.add(dtype)
+            if not found and qualifier is not None:
+                # the qualifier is a query alias, not a scope table name:
+                # fall back to searching every scoped table for the column
+                for tname, df in self.scope.items():
+                    dtypes = getattr(df, "dtypes", None)
+                    if not isinstance(dtypes, list):
+                        continue
+                    for cname, dtype in dtypes:
+                        if cname.lower() == col:
+                            found.add(dtype)
+        except Exception:
+            return None
+        if len(found) != 1:
+            return None
+        dtype = found.pop()
+        if dtype == "date":
+            return "date"
+        if dtype.startswith("timestamp"):
+            return "ts"
+        if dtype in ("int", "bigint", "smallint", "tinyint"):
+            return "int"
+        return None
+
     def _c_Binary(self, node: ast.Binary) -> Column:
         op = node.op
         left = self.compile(node.left)
         right = self.compile(node.right)
-        lk = self._static_kind(node.left)
-        rk = self._static_kind(node.right)
+        lk = self._operand_kind(node.left)
+        rk = self._operand_kind(node.right)
         if op == "and":
             return left & right
         if op == "or":
@@ -336,20 +384,20 @@ class ExprCompiler:
         if op == "+":
             # pg date + int = date (Spark needs explicit date_add)
             if lk == "date" and rk == "int":
-                return F.date_add(left, right)
+                return F.date_add(left, right.cast("int"))
             if lk == "int" and rk == "date":
-                return F.date_add(right, left)
+                return F.date_add(right, left.cast("int"))
             return left + right
         if op == "-":
-            if (lk == "date" or rk == "date") and "int" not in (lk, rk) \
-                    and "interval" not in (lk, rk):
-                # pg date - date = integer days (Spark yields an interval);
-                # applies when either side is statically date-typed and the
-                # other is not int/interval arithmetic
+            if lk == "date" and rk == "date":
+                # pg date - date = integer days (Spark yields an interval).
+                # Applied only when BOTH operands resolve to date —
+                # timestamp - date must stay an interval (incl. time of day)
+                # and date - int stays native date arithmetic
                 return F.datediff(left.cast("date"),
                                   right.cast("date")).cast("long")
             if lk == "date" and rk == "int":
-                return F.date_sub(left, right)
+                return F.date_sub(left, right.cast("int"))
             return left - right
         if op == "*":
             return left * right
@@ -619,9 +667,16 @@ class ExprCompiler:
                     if p == "%s":
                         pieces.append(F.coalesce(s, F.lit("")))
                     elif p == "%I":
-                        pieces.append(F.concat(
-                            F.lit('"'), F.regexp_replace(s, '"', '""'),
-                            F.lit('"')))
+                        # pg raises on NULL identifiers instead of
+                        # null-propagating through the whole result
+                        pieces.append(F.when(
+                            s.isNotNull(),
+                            F.concat(F.lit('"'),
+                                     F.regexp_replace(s, '"', '""'),
+                                     F.lit('"'))
+                        ).otherwise(F.raise_error(F.lit(
+                            "null values cannot be formatted as an SQL "
+                            "identifier"))))
                     else:
                         pieces.append(F.coalesce(
                             F.concat(F.lit("'"),
@@ -870,13 +925,29 @@ class ExprCompiler:
             # element serialization (structs/arrays/scalars) is JVM-side.
             return F.to_json(F.collect_list(self.compile(node.args[0])))
         if name in ("json_object_agg", "jsonb_object_agg"):
-            # pg json_object_agg(k, v) -> JSON object text; later duplicate
-            # keys win (map_from_entries keeps the last entry per key,
-            # matching jsonb semantics)
+            # pg json_object_agg(k, v) -> JSON object text keeping duplicate
+            # keys in aggregation order; jsonb_object_agg is last-wins.
+            # Built from one-entry-map JSON fragments (JVM-side key/value
+            # quoting and escaping) so no multi-key map is ever constructed —
+            # spark.sql.mapKeyDedupPolicy=EXCEPTION can't throw on duplicates.
             k = self.compile(node.args[0]).cast("string")
             v = self.compile(node.args[1])
-            return F.to_json(
-                F.map_from_entries(F.collect_list(F.struct(k, v))))
+            entries = F.collect_list(F.struct(k.alias("k"), v.alias("v")))
+            if name == "jsonb_object_agg":
+                # last-wins: drop entry i when a later entry shares its key
+                entries = F.filter(
+                    entries,
+                    lambda e, i: ~F.exists(
+                        F.slice(entries, i + F.lit(2), F.size(entries)),
+                        lambda e2: e2["k"] == e["k"]))
+            frags = F.transform(
+                entries,
+                lambda e: F.to_json(F.create_map(e["k"], e["v"])))
+            inner = F.array_join(
+                F.transform(frags,
+                            lambda s: s.substr(F.lit(2), F.length(s) - 2)),
+                ",")
+            return F.concat(F.lit("{"), inner, F.lit("}"))
         if name == "corr":
             return F.corr(self.compile(node.args[0]), self.compile(node.args[1]))
         if name == "covar_pop":

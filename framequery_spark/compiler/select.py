@@ -1418,7 +1418,38 @@ class QueryCompiler:
         rows = [tuple(value_of(v) for v in row) for row in rel.rows]
         ncols = len(rows[0])
         names = list(rel.column_names) or [f"col{i}" for i in range(ncols)]
-        df = self.session.spark.createDataFrame(rows, names)
+        try:
+            df = self.session.spark.createDataFrame(rows, names)
+        except Exception:
+            # a column of all NULLs defeats type inference (e.g. INSERT ...
+            # VALUES (NULL, 1)); build the schema from the first non-null
+            # value per column, defaulting untyped columns to string — an
+            # INSERT target then casts to the table's column types
+            def _ptype(i: int) -> str:
+                import datetime
+                import decimal
+                for r in rows:
+                    v = r[i]
+                    if v is None:
+                        continue
+                    if isinstance(v, bool):
+                        return "boolean"
+                    if isinstance(v, int):
+                        return "bigint"
+                    if isinstance(v, float):
+                        return "double"
+                    if isinstance(v, decimal.Decimal):
+                        return "decimal(38,18)"
+                    if isinstance(v, datetime.datetime):
+                        return "timestamp"
+                    if isinstance(v, datetime.date):
+                        return "date"
+                    return "string"
+                return "string"
+
+            schema = ", ".join(
+                f"`{n}` {_ptype(i)}" for i, n in enumerate(names))
+            df = self.session.spark.createDataFrame(rows, schema)
         return df.alias(rel.alias or "values")
 
     # --------------------------------------------------------- table functions

@@ -515,6 +515,11 @@ class Executor:
                     for c in base.columns])
             else:
                 df = df.toDF(*base.columns)  # positional, SQL-style
+            # pg coerces the inserted rows to the target column types (and
+            # an all-NULL VALUES column arrives untyped)
+            df = df.select(*[
+                F.col(c).cast(base.schema[c].dataType).alias(c)
+                for c in base.columns])
             if node.conflict_action is None:
                 affected = df
                 scope[node.table] = base.unionByName(df)
@@ -539,7 +544,13 @@ class Executor:
                 # rows sharing a NEW key would otherwise both take the NOT
                 # MATCHED INSERT arm and silently insert duplicates.
                 keys = list(node.conflict_cols)
-                dup = (df.groupBy(*keys).count()
+                # NULL conflict keys never conflict in pg (NULL <> NULL for
+                # uniqueness) — such rows always take the insert path, so
+                # exclude them from the duplicate-key check
+                non_null = df
+                for k in keys:
+                    non_null = non_null.where(F.col(k).isNotNull())
+                dup = (non_null.groupBy(*keys).count()
                        .where(F.col("count") > 1).limit(1).collect())
                 if dup:
                     raise ValueError(

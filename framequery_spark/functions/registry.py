@@ -243,16 +243,22 @@ _fixed("age", lambda a: a[0] - a[1])  # pg age(a, b) = interval a - b
 # pg dates/timestamps can be 'infinity'; Spark's cannot, so any non-null
 # value is finite
 _fixed("isfinite", lambda a: F.when(a[0].isNotNull(), F.lit(True)))
-_fixed("date_bin",
-       # date_bin(stride, ts, origin): largest origin + n*stride <= ts.
-       # Computed in microseconds, pure JVM; handles ts before origin too
-       # (floor division, so the bin still starts at/below ts).
-       lambda a: F.timestamp_micros(
-           F.unix_micros(a[2].cast("timestamp"))
-           + F.floor((F.unix_micros(a[1].cast("timestamp"))
-                      - F.unix_micros(a[2].cast("timestamp")))
-                     / _interval_micros_col(a[0]))
-           * _interval_micros_col(a[0])))
+def _date_bin(a: List[Column]) -> Column:
+    # date_bin(stride, ts, origin): largest origin + n*stride <= ts.
+    # Computed in microseconds, pure JVM; handles ts before origin too
+    # (floor division, so the bin still starts at/below ts).
+    import re as _re
+    if _re.search(r"(?i)INTERVAL\b.*\b(year|month|mon)s?\b", str(a[0])):
+        # pg: variable-length strides are rejected, not approximated —
+        # '1 month' as fixed micros would silently bin as 31 days
+        raise ValueError("date_bin stride must not contain month or year units")
+    return F.timestamp_micros(
+        F.unix_micros(a[2].cast("timestamp"))
+        + F.floor((F.unix_micros(a[1].cast("timestamp"))
+                   - F.unix_micros(a[2].cast("timestamp")))
+                  / _interval_micros_col(a[0]))
+        * _interval_micros_col(a[0]))
+_fixed("date_bin", _date_bin)
 
 
 def _interval_micros_col(iv: Column) -> Column:
@@ -405,8 +411,12 @@ _fixed("regr_avgx", lambda a: F.regr_avgx(a[0], a[1]))
 _fixed("regr_avgy", lambda a: F.regr_avgy(a[0], a[1]))
 
 # ------------------------------------------------------------ more pg misc
-_fixed("format", lambda a: F.call_function("format_string", *a))  # %s path;
-# %I/%L forms are handled in the expression compiler (literal fmt only)
+# %s path; %I/%L forms are handled in the expression compiler (literal fmt
+# only). pg renders NULL %s arguments as empty string (format_string would
+# render the literal text 'null'), so coalesce each value argument.
+_fixed("format", lambda a: F.call_function(
+    "format_string", a[0],
+    *[F.coalesce(x.cast("string"), F.lit("")) for x in a[1:]]))
 _fixed("quote_ident", lambda a: F.concat(
     F.lit('"'), F.regexp_replace(a[0], '"', '""'), F.lit('"')))
 _fixed("quote_literal", lambda a: F.concat(

@@ -1147,3 +1147,96 @@ def test_code_review_round6_fixes(spark):
     # quoted #> path elements refuse loudly instead of mis-splitting
     with pytest.raises(Exception, match="quotes"):
         fq.execute("SELECT '{}' #> '{a,\"b,c\"}'", scope, spark=spark)
+
+
+def test_json_object_agg_duplicate_keys(spark):
+    """pg json_object_agg keeps duplicate keys in aggregation order;
+    jsonb_object_agg is last-wins — neither may trip Spark's
+    mapKeyDedupPolicy=EXCEPTION at runtime (ADVICE r06)."""
+    import json as _json
+
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame(
+        {"k": ["a", "b", "a"], "v": [1, 2, 3]}).assign(
+        o=[0, 1, 2])).coalesce(1)}
+    row = fq.execute("SELECT json_object_agg(k, v) AS m FROM t",
+                     scope, spark=spark).collect()[0]
+    # duplicates preserved: the key text appears twice in the JSON output
+    assert row.m.count('"a"') == 2
+    assert _json.loads(row.m)["b"] == 2
+    row = fq.execute("SELECT jsonb_object_agg(k, v) AS m FROM t",
+                     scope, spark=spark).collect()[0]
+    assert row.m.count('"a"') == 1
+    assert _json.loads(row.m) == {"a": 3, "b": 2}
+    # escaping stays JVM-side and correct
+    scope2 = {"t": spark.createDataFrame(pd.DataFrame(
+        {"k": ['say "hi"'], "v": ["a\nb"]}))}
+    row = fq.execute("SELECT jsonb_object_agg(k, v) AS m FROM t",
+                     scope2, spark=spark).collect()[0]
+    assert _json.loads(row.m) == {'say "hi"': "a\nb"}
+
+
+def test_date_subtraction_kinds(spark):
+    """date - date = int days only when BOTH sides resolve to date
+    (statically or via the scope-schema probe); timestamp - date stays an
+    interval; DATE - int_col is a date (ADVICE r06)."""
+    import datetime
+
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "d": [datetime.date(2024, 1, 10)],
+        "ts": [datetime.datetime(2024, 1, 2, 12, 30)],
+        "n": [3],
+    }))
+    scope = {"t": df}
+    one = lambda q: fq.execute(q, scope, spark=spark).collect()[0][0]
+    # both static
+    assert one("SELECT date '2024-03-01' - date '2024-01-01'") == 60
+    # date column (schema probe) - date literal -> int days
+    assert one("SELECT d - date '2024-01-01' FROM t") == 9
+    assert one("SELECT date '2024-01-31' - d FROM t") == 21
+    # timestamp column - date literal -> interval with time-of-day, not int
+    v = one("SELECT ts - date '2024-01-01' FROM t")
+    assert isinstance(v, datetime.timedelta)
+    assert v == datetime.timedelta(days=1, hours=12, minutes=30)
+    # DATE literal - int column -> date
+    assert one("SELECT date '2024-01-10' - n FROM t") == \
+        datetime.date(2024, 1, 7)
+    # date column - int column (schema probe both sides) -> date
+    assert one("SELECT d - n FROM t") == datetime.date(2024, 1, 7)
+
+
+def test_date_bin_month_stride_raises(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame({"x": [1]}))}
+    # fixed-length strides still bin exactly
+    row = fq.execute(
+        "SELECT date_bin(interval '30 minutes', "
+        "timestamp '2024-01-01 10:44:00', timestamp '2024-01-01') AS b",
+        scope, spark=spark).collect()[0]
+    import datetime
+    assert row.b == datetime.datetime(2024, 1, 1, 10, 30)
+    # pg: 'stride must not contain month or year units'
+    with pytest.raises(Exception, match="month or year"):
+        fq.execute(
+            "SELECT date_bin(interval '1 month', "
+            "timestamp '2024-02-15', timestamp '2024-01-01')",
+            scope, spark=spark).collect()
+
+
+def test_format_null_handling(spark):
+    import pandas as pd
+
+    scope = {"t": spark.createDataFrame(pd.DataFrame({"x": [1]}))}
+    one = lambda q: fq.execute(q, scope, spark=spark).collect()[0][0]
+    # pg renders NULL %s as empty string on both compile paths
+    assert one("SELECT format('<%s>', NULL)") == "<>"
+    assert one("SELECT format('%s and %L', NULL, NULL)") == " and NULL"
+    assert one("SELECT format('%I.%I', 'a b', 'c\"d')") == '"a b"."c""d"'
+    # pg raises on NULL %I identifiers instead of null-propagating
+    with pytest.raises(Exception, match="SQL identifier"):
+        fq.execute("SELECT format('%I', NULL)", scope,
+                   spark=spark).collect()

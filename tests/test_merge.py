@@ -243,6 +243,19 @@ def test_insert_on_conflict_do_update_duplicate_batch_key_raises(spark):
     assert _rows(ex) == [(1, 10), (2, 20), (3, 30)]  # table untouched
 
 
+def test_insert_on_conflict_do_update_null_keys_both_insert(spark):
+    # pg: NULL conflict keys never conflict (uniqueness treats NULLs as
+    # distinct) — two batch rows with NULL keys both take the insert path
+    # instead of tripping the cannot-affect-row-a-second-time guard
+    ex = _executor(spark)
+    ex.execute("INSERT INTO t VALUES (NULL, 1), (NULL, 2) "
+               "ON CONFLICT (a) DO UPDATE SET b = excluded.b")
+    got = [tuple(r) for r in ex.execute("select * from t").collect()]
+    assert sorted(b for a, b in got if a is None) == [1, 2]
+    assert sorted((a, b) for a, b in got if a is not None) == \
+        [(1, 10), (2, 20), (3, 30)]
+
+
 def test_merge_values_source_with_column_alias(spark):
     ex = _executor(spark)
     ex.execute(
