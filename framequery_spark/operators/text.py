@@ -347,7 +347,9 @@ def unigram_nll(df: DataFrame, text_col: str = "text",
 
 
 def bigram_lm_nll(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", lam: float = 0.8) -> DataFrame:
+                  id_col: str = "doc_id", lam: float = 0.8,
+                  broadcast_vocab_max: int = 2_000_000,
+                  salt: int = 16) -> DataFrame:
     """Interpolated-bigram LM quality score (the next rung above
     :func:`unigram_nll` toward CCNet's KenLM filter):
 
@@ -361,10 +363,16 @@ def bigram_lm_nll(df: DataFrame, text_col: str = "text",
     Plan shape: the bigram-count table is built with one groupBy over the
     corpus bigram stream and joined back on the (prev, w) key — a
     hash-partitioned equi join that scales with corpus size (it is NOT
-    broadcast; observed-bigram count grows with the corpus). Context and
-    unigram tables ride the same keys; the corpus total is a broadcast
-    1-row aggregate. Per-bigram nll is quantized to DECIMAL(28,12) before
-    the per-doc sum — exact, order-independent, engine-reproducible (same
+    broadcast; observed-bigram count grows with the corpus). The context
+    and unigram tables are VOCAB-bounded aggregates whose join keys
+    (`prev`, `w`) are Zipfian — a plain shuffle join sends every "the"/"of"
+    bigram to one reducer, the classic hot-key straggler at corpus scale —
+    so they broadcast when the vocabulary is at most `broadcast_vocab_max`
+    terms (counted from the persisted aggregate; ~2M terms is tens of MB)
+    and fall back to :func:`~framequery_spark.operators.skew.salted_join`
+    with `salt` buckets above it. The corpus total is a broadcast 1-row
+    aggregate. Per-bigram nll is quantized to DECIMAL(28,12) before the
+    per-doc sum — exact, order-independent, engine-reproducible (same
     discipline as unigram_nll)."""
     toks = tokens(F.lower(F.col(text_col)))
     toks = F.filter(toks, lambda t: t != "")
@@ -386,16 +394,25 @@ def bigram_lm_nll(df: DataFrame, text_col: str = "text",
         .select(id_col, F.col("bg.prev").alias("prev"),
                 F.col("bg.w").alias("w")))
     big = stream.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c_pw"))
-    ctx = stream.groupBy("prev").agg(F.count(F.lit(1)).alias("c_p"))
+    ctx = persist_tracked(
+        stream.groupBy("prev").agg(F.count(F.lit(1)).alias("c_p")))
     terms = persist_tracked(term_table(df, text_col, id_col))
-    uni = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_w"))
+    uni = persist_tracked(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_w"))
+        .withColumnRenamed("term", "w"))
     total = terms.agg(F.count(F.lit(1)).alias("corpus_n"))
     p = (F.lit(lam) * F.col("c_pw") / F.col("c_p")
          + F.lit(1.0 - lam) * F.col("c_w") / F.col("corpus_n"))
-    nll = (stream
-           .join(big, ["prev", "w"])
-           .join(ctx, "prev")
-           .join(uni, F.col("w") == F.col("term"))
+    scored = stream.join(big, ["prev", "w"])
+    if uni.count() <= broadcast_vocab_max:
+        scored = (scored.join(F.broadcast(ctx), "prev")
+                  .join(F.broadcast(uni), "w"))
+    else:
+        from .skew import salted_join
+
+        scored = salted_join(scored, ctx, ["prev"], salt=salt)
+        scored = salted_join(scored, uni, ["w"], salt=salt)
+    nll = (scored
            .crossJoin(F.broadcast(total))
            .select(F.col(id_col),
                    (-F.log(p)).cast("decimal(28,12)").alias("nll")))

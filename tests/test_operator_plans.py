@@ -303,3 +303,38 @@ def test_dsir_scoring_broadcasts_log_ratio_table(docs):
     plan = formatted_plan(dsir_weights(raw, target, n_buckets=100))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_lm_vocab_joins_broadcast_at_default_config(docs):
+    """The ctx/uni count tables are vocab-bounded but Zipfian-keyed — at
+    default config they must broadcast, never shuffle the corpus-sized
+    bigram stream on a bare `prev`/`w` key (hot-key stragglers at scale)."""
+    import re
+
+    from framequery_spark.operators.cache import release_cached
+    from framequery_spark.operators.text import bigram_lm_nll
+
+    plan = formatted_plan(bigram_lm_nll(docs))
+    release_cached()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert not re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) (keys: )?\[(prev|w)#\d+\]", plan
+    ), plan
+
+
+def test_bigram_lm_salted_path_matches_broadcast_path(docs):
+    """Above the vocab threshold the scoring joins fall back to
+    deterministic salting; results must be identical to the broadcast
+    path (same hash evidence as the driver entry)."""
+    from framequery_spark.operators.cache import release_cached
+    from framequery_spark.operators.text import bigram_lm_nll
+
+    sample = docs.where(F.col("doc_id") < 100)
+    base = sorted(tuple(r) for r in bigram_lm_nll(sample).collect())
+    release_cached()
+    salted = sorted(
+        tuple(r) for r in
+        bigram_lm_nll(sample, broadcast_vocab_max=0, salt=4).collect())
+    release_cached()
+    assert base == salted
+    assert len(base) > 0
