@@ -649,6 +649,66 @@ FROM nation n
 ORDER BY n_name
 """)
 
+# pg-14 WITH RECURSIVE ... SEARCH DEPTH FIRST: a region->nation hierarchy
+# walked depth-first; the ord column is the root-to-self path array
+# (compiler/select.py:_thread_path_columns threads it through the fixpoint
+# exactly like pg's SEARCH/CYCLE rewriter). DuckDB has no SEARCH clause, so
+# the oracle carries the path as a plain integer list — both orders are
+# lexicographic-by-path, hence identical.
+_q("q64_recursive_dfs", """
+WITH RECURSIVE tree(id, label, parent) AS (
+  SELECT r_regionkey, r_name, -1 FROM region
+  UNION ALL
+  SELECT n.n_nationkey + 100, n.n_name, t.id
+  FROM nation n JOIN tree t ON n.n_regionkey = t.id
+  WHERE t.parent = -1
+) SEARCH DEPTH FIRST BY id SET ord
+SELECT row_number() OVER (ORDER BY ord) AS pos, id, label, parent
+FROM tree ORDER BY pos
+""", oracle="""
+WITH RECURSIVE tree AS (
+  SELECT r_regionkey AS id, r_name AS label, -1 AS parent,
+         [r_regionkey] AS path
+  FROM region
+  UNION ALL
+  SELECT n.n_nationkey + 100, n.n_name, t.id,
+         list_append(t.path, n.n_nationkey + 100)
+  FROM nation n JOIN tree t ON n.n_regionkey = t.id
+  WHERE t.parent = -1
+)
+SELECT row_number() OVER (ORDER BY path) AS pos, id, label, parent
+FROM tree ORDER BY pos
+""")
+
+# pg-14 WITH RECURSIVE ... CYCLE: a cyclic VALUES graph walked under UNION
+# ALL — marked rows appear in the output but never iterate, which is what
+# terminates the walk (pg semantics exactly). DuckDB emulates with a manual
+# path list + NOT is_cycle filter; nation supplies real-table labels.
+_q("q65_recursive_cycle", """
+WITH RECURSIVE walk(node) AS (
+  SELECT 0
+  UNION ALL
+  SELECT e.dst FROM (VALUES (0,1),(1,2),(2,3),(3,1),(2,4)) AS e(src,dst)
+  JOIN walk w ON e.src = w.node
+) CYCLE node SET is_cycle USING path
+SELECT w.node, w.is_cycle, cardinality(w.path) AS depth, n.n_name AS label
+FROM walk w JOIN nation n ON n.n_nationkey = w.node
+ORDER BY depth, node
+""", oracle="""
+WITH RECURSIVE walk AS (
+  SELECT 0 AS node, false AS is_cycle, [0] AS path
+  UNION ALL
+  SELECT e.dst, list_contains(w.path, e.dst),
+         list_append(w.path, e.dst)
+  FROM (VALUES (0,1),(1,2),(2,3),(3,1),(2,4)) AS e(src,dst)
+  JOIN walk w ON e.src = w.node
+  WHERE NOT w.is_cycle
+)
+SELECT w.node, w.is_cycle, len(w.path) AS depth, n.n_name AS label
+FROM walk w JOIN nation n ON n.n_nationkey = w.node
+ORDER BY depth, node
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the
@@ -2443,8 +2503,10 @@ _DRIVER_WINDOW = [
     "q13_union_keys", "q14_except_keys", "q15_intersect_keys",
     "q16_in_subquery", "q17_customers_without_orders",
     "q18_string_functions",
-    # never driver-verified plain-SQL entries added late in r06
+    # never driver-verified plain-SQL entries: added late in r06, plus the
+    # new r07 SEARCH DEPTH FIRST / CYCLE recursive entries
     "q62_json_agg", "q63_running_rank",
+    "q64_recursive_dfs", "q65_recursive_cycle",
     # re-verify slots: code paths changed this round (bigram-LM skew fix,
     # DSIR length-normalization flag)
     "op_bigram_nll", "op_dsir_select",
@@ -2458,11 +2520,10 @@ _DRIVER_WINDOW = [
     "op_skew_count_distinct", "op_levenshtein_pairs", "op_hash_split",
     "op_pack_bins", "op_pipeline_e2e", "op_dup_clusters",
     "op_minhash_clusters", "op_gapfill", "op_gopher_filter",
-    "op_unigram_nll", "op_shard_counts", "op_strip_html",
-    "op_chunk_dedup",
-    # the remaining 20 r05-green entries (op_ann_full, op_pq_full,
-    # op_quantize_emb, op_simhash_exact, op_ivf_full_probe,
-    # op_dedup_against, op_bloom_dedup, op_decontaminate,
+    "op_unigram_nll", "op_shard_counts",
+    # the remaining 22 r05-green entries (op_ann_full, op_pq_full,
+    # op_quantize_emb, op_simhash_exact, op_ivf_full_probe, op_strip_html,
+    # op_chunk_dedup, op_dedup_against, op_bloom_dedup, op_decontaminate,
     # op_split_leakage, q49-q59) rotate in r08; the 49 r06-green entries
     # rotate in r09 — both fit the 50-slot window with room to spare.
 ]

@@ -186,14 +186,46 @@ class QueryCompiler:
         body = cte.query
         distinct = body.op == "union"
         search = cte.search
-        if search is not None and search[0] == "depth":
+        cycle = cte.cycle
+        depth_first = search is not None and search[0] == "depth"
+        if (depth_first or cycle is not None) and distinct:
+            # pg: "with a SEARCH or CYCLE clause, the recursive part ...
+            # must be UNION ALL" (path rows are never duplicates anyway)
             raise CompileError(
-                "SEARCH DEPTH FIRST needs per-row parent provenance that a "
-                "distributed fixpoint does not carry; use BREADTH FIRST "
-                "(depth + row ordering) instead")
+                "SEARCH DEPTH FIRST / CYCLE require UNION ALL in the "
+                "recursive CTE body")
         base = self.compile_query(body.left)  # cte name not in scope yet
         if cte.columns:
             base = base.toDF(*cte.columns)
+        user_cols = list(base.columns)
+        # pg 14 SEARCH DEPTH FIRST / CYCLE: thread a root-to-self path
+        # array (ROW(by-cols) per ancestor) through the fixpoint — the same
+        # desugar pg's rewriter applies. The recursive arm gets one extra
+        # select item per path column (parent_path || ARRAY[ROW(by)]), so
+        # provenance is plan-local and each step stays one distributed job.
+        prov = []  # (by_cols, path_col)
+        if depth_first:
+            prov.append((search[1], search[2]))
+        if cycle is not None:
+            prov.append((cycle[0], cycle[2]))
+        step_ast = body.right
+        if prov:
+            step_ast = self._thread_path_columns(cte, step_ast, prov,
+                                                 user_cols)
+            for by, path_col in prov:
+                base = base.withColumn(path_col, F.array(F.struct(
+                    *[F.col(c).alias(f"f{i + 1}")
+                      for i, c in enumerate(by)])))
+
+        def _cycle_pred(path_col: str) -> Column:
+            # a step row is a cycle when its own ROW(by) already appears in
+            # the parent portion of its path (everything but the last
+            # element); base rows have a 1-element path, so the slice is
+            # empty and they are never marked
+            p = F.col(path_col)
+            return F.array_contains(
+                F.slice(p, F.lit(1), F.size(p) - 1), F.element_at(p, -1))
+
         if distinct:
             base = base.distinct()
         frontier = base.localCheckpoint(eager=True)
@@ -207,10 +239,11 @@ class QueryCompiler:
         # nothing is computed twice. UNION (distinct) stays unroll=1: per-
         # step dedup against `seen` is what guarantees termination on
         # cyclic data.
-        # SEARCH needs one frontier per iteration (each carries its depth),
-        # so block unrolling is disabled when a search column is requested
-        unroll = 1 if distinct or search is not None else max(
-            1, int(getattr(self.session, "recursive_unroll", 4)))
+        # SEARCH needs one frontier per iteration (each carries its depth)
+        # and CYCLE filters marked rows out of the next frontier, so block
+        # unrolling is disabled when either clause is present
+        unroll = 1 if distinct or search is not None or cycle is not None \
+            else max(1, int(getattr(self.session, "recursive_unroll", 4)))
         step_scope = dict(self.scope)
         rounds = 0
         while True:
@@ -225,7 +258,7 @@ class QueryCompiler:
             for _ in range(min(unroll, limit - rounds)):
                 step_scope[cte.name] = step
                 step = QueryCompiler(self.session, step_scope) \
-                    .compile_query(body.right).toDF(*base.columns)
+                    .compile_query(step_ast).toDF(*base.columns)
                 block.append(step)
                 rounds += 1
             if distinct:
@@ -241,9 +274,14 @@ class QueryCompiler:
                 for b in block[1:]:
                     new_rows = new_rows.union(b)
                 new_rows = new_rows.localCheckpoint(eager=True)
-                # next frontier = last step only; reads the persist cache
+                # next frontier = last step only; reads the persist cache.
+                # CYCLE: marked rows appear in the OUTPUT but never iterate
+                # (that is what terminates a cyclic walk under UNION ALL) —
+                # the filter runs over the checkpointed rows, no recompute
                 frontier = block[-1].localCheckpoint(eager=True) \
                     if len(block) > 1 else new_rows
+                if cycle is not None:
+                    frontier = frontier.where(~_cycle_pred(cycle[2]))
                 for b in block:
                     b.unpersist()
                 if new_rows.isEmpty():
@@ -254,7 +292,7 @@ class QueryCompiler:
             if not frontier.isEmpty():
                 frontiers.append(frontier)
                 depths.append(rounds)
-        if search is not None:
+        if search is not None and not depth_first:
             # pg 14 SEARCH BREADTH FIRST BY cols SET ord: append
             # ROW(depth, by-cols) — ordering by it gives breadth-first
             # order; each frontier already knows its iteration depth
@@ -267,7 +305,93 @@ class QueryCompiler:
         out = frontiers[0]
         for f in frontiers[1:]:
             out = out.union(f)
+        if prov:
+            # pg column order: user columns, then the SEARCH SET column,
+            # then CYCLE SET + USING. The DEPTH FIRST ord IS the path array
+            # (arrays of ROW order lexicographically: every parent sorts
+            # before its subtree, siblings order by the BY columns —
+            # depth-first preorder); is_cycle derives from the path
+            out_cols = list(user_cols)
+            if search is not None:  # DFS path array or BF ROW(depth, by)
+                out_cols.append(search[2])
+            if cycle is not None:
+                _, set_col, path_col, mark, default = cycle
+                out = out.withColumn(
+                    set_col,
+                    F.when(_cycle_pred(path_col), F.lit(mark))
+                    .otherwise(F.lit(default)))
+                out_cols.extend([set_col, path_col])
+            out = out.select(*out_cols)
         return out
+
+    def _thread_path_columns(self, cte: ast.CTE, step: ast.Node,
+                             prov: List[Tuple[Tuple[str, ...], str]],
+                             user_cols: List[str]) -> ast.Select:
+        """Desugar pg 14 SEARCH DEPTH FIRST / CYCLE the way pg's rewriter
+        does: the recursive arm grows one extra select item per path column,
+
+            <recursive alias>.<path_col> || ARRAY[ROW(<by exprs>)]
+
+        where the BY expressions are the arm's own select items at the BY
+        columns' positions — so every row carries its root-to-self path and
+        each fixpoint step stays a single distributed job."""
+        import dataclasses
+
+        if not isinstance(step, ast.Select):
+            raise CompileError(
+                "SEARCH DEPTH FIRST / CYCLE need a plain SELECT recursive "
+                "arm (parenthesize nested set operations)")
+        items = list(step.items)
+        for it in items:
+            if isinstance(it, ast.Star) or \
+                    isinstance(getattr(it, "expr", None), ast.Star):
+                raise CompileError(
+                    "with SEARCH DEPTH FIRST or CYCLE, list the recursive "
+                    "arm's output columns explicitly (a bare * would "
+                    "swallow the internal path column)")
+        if len(items) != len(user_cols):
+            raise CompileError(
+                f"recursive arm of {cte.name!r} returns {len(items)} "
+                f"columns, expected {len(user_cols)}")
+        alias = self._find_recursive_ref_alias(step.from_, cte.name)
+        if alias is None:
+            raise CompileError(
+                f"SEARCH DEPTH FIRST / CYCLE: recursive reference to "
+                f"{cte.name!r} not found in the recursive arm's FROM "
+                "clause (references inside subqueries are not supported)")
+        extra = []
+        for by, path_col in prov:
+            exprs = []
+            for c in by:
+                if c not in user_cols:
+                    raise CompileError(
+                        f"SEARCH/CYCLE column {c!r} is not a column of "
+                        f"{cte.name!r}")
+                exprs.append(items[user_cols.index(c)].expr)
+            row = ast.Call(name="__row", args=tuple(exprs))
+            path = ast.Binary(
+                op="||",
+                left=ast.ColumnRef(parts=(alias, path_col)),
+                right=ast.Call(name="__array", args=(row,)))
+            extra.append(ast.SelectItem(expr=path, alias=path_col))
+        return dataclasses.replace(step, items=tuple(items) + tuple(extra))
+
+    @staticmethod
+    def _find_recursive_ref_alias(node: Optional[ast.Node],
+                                  name: str) -> Optional[str]:
+        """Effective alias of the recursive CTE reference in a FROM tree
+        (top-level table refs and joins only — pg likewise allows exactly
+        one recursive self-reference, not one nested in a subquery)."""
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, ast.Join):
+                stack.extend((n.left, n.right))
+            elif isinstance(n, ast.TableRef) and ".".join(n.parts) == name:
+                return n.alias or n.parts[-1]
+            elif isinstance(n, tuple):
+                stack.extend(n)
+        return None
 
     def _desugar_named_windows(self, sel: ast.Select) -> ast.Select:
         """Replace `OVER w` references with the WINDOW clause's spec (a pure

@@ -355,9 +355,14 @@ class CTE(Node):
     name: str
     query: Node  # Select, or SetOp for recursive bodies
     recursive: bool = False
-    # pg 14 SEARCH clause: ("breadth"|"depth", by_cols, set_col); only
-    # BREADTH FIRST compiles (DEPTH FIRST needs parent provenance)
+    # pg 14 SEARCH clause: ("breadth"|"depth", by_cols, set_col). BREADTH
+    # FIRST orders by ROW(depth, by); DEPTH FIRST threads a root-to-self
+    # path array through the fixpoint (see _compile_recursive_cte)
     search: Optional[Tuple[str, Tuple[str, ...], str]] = None
+    # pg 14 CYCLE clause: (cols, set_col, path_col, mark_value,
+    # default_value) for `CYCLE cols SET set_col [TO mark DEFAULT deflt]
+    # USING path_col`
+    cycle: Optional[Tuple[Tuple[str, ...], str, str, object, object]] = None
     columns: Tuple[str, ...] = ()
 
 

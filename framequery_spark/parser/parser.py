@@ -663,16 +663,42 @@ class Parser:
                 if not is_rec:
                     raise self.error(
                         "SEARCH applies only to recursive CTEs")
+            cycle = None
             if self.is_kw("cycle"):
-                raise self.error(
-                    "CYCLE detection is not supported (it needs per-row "
-                    "parent provenance); bound the recursion with a depth "
-                    "filter or use connected_components for cyclic graphs")
+                # pg 14: CYCLE cols SET col [TO mark DEFAULT deflt] USING
+                # path — per-row provenance threaded by the compiler
+                self.advance()
+                cyc_cols = [self.parse_name()]
+                while self.accept_op(","):
+                    cyc_cols.append(self.parse_name())
+                self.expect_kw("set")
+                cyc_set = self.parse_name()
+                mark, deflt = True, False
+                if self.accept_kw("to"):
+                    mark = self._parse_cycle_mark("TO")
+                    self.expect_kw("default")
+                    deflt = self._parse_cycle_mark("DEFAULT")
+                self.expect_kw("using")
+                cyc_path = self.parse_name()
+                if not is_rec:
+                    raise self.error("CYCLE applies only to recursive CTEs")
+                cycle = (tuple(cyc_cols), cyc_set, cyc_path, mark, deflt)
             ctes.append(ast.CTE(name=name, query=query, recursive=is_rec,
-                                columns=columns, search=search))
+                                columns=columns, search=search, cycle=cycle))
             if not self.accept_op(","):
                 break
         return tuple(ctes)
+
+    def _parse_cycle_mark(self, clause: str):
+        """CYCLE ... SET col TO <literal> DEFAULT <literal>: the mark values
+        must be constants (pg restricts them likewise)."""
+        node = self.parse_expr()
+        if isinstance(node, ast.Unary) and node.op == "-" and \
+                isinstance(node.operand, ast.Literal):
+            return -node.operand.value
+        if not isinstance(node, ast.Literal):
+            raise self.error(f"CYCLE {clause} value must be a literal")
+        return node.value
 
     def parse_set_expr(self) -> ast.Node:
         # SQL set-op precedence: INTERSECT binds tighter than UNION/EXCEPT

@@ -92,3 +92,38 @@ def test_correlated_subquery_in_join_on_rejected(spark, scope):
         fq.execute("select * from t a join t b on a.a = b.a and "
                    "exists (select 1 from t c where c.a = a.a)",
                    scope, spark=spark)
+
+
+def test_search_depth_first_rejects_union_distinct(spark, scope):
+    with pytest.raises(CompileError, match="UNION ALL"):
+        fq.execute(
+            "with recursive r(n) as (select 1 union "
+            "select n + 1 from r where n < 3) "
+            "search depth first by n set ord select * from r",
+            scope, spark=spark)
+
+
+def test_cycle_rejects_star_in_recursive_arm(spark, scope):
+    with pytest.raises(CompileError, match="explicitly"):
+        fq.execute(
+            "with recursive r(n) as (select 1 union all "
+            "select * from r where n < 3) "
+            "cycle n set ic using p select * from r",
+            scope, spark=spark)
+
+
+def test_search_by_column_must_exist(spark, scope):
+    with pytest.raises(CompileError, match="not a column"):
+        fq.execute(
+            "with recursive r(n) as (select 1 union all "
+            "select n + 1 from r where n < 3) "
+            "search depth first by nope set ord select * from r",
+            scope, spark=spark)
+
+
+def test_cycle_on_plain_cte_rejected(spark, scope):
+    from framequery_spark.parser.parser import ParseError as PE
+    with pytest.raises(PE, match="recursive"):
+        fq.execute(
+            "with r as (select 1 as n) cycle n set ic using p "
+            "select * from r", scope, spark=spark)

@@ -1094,14 +1094,22 @@ def test_recursive_cte_search_breadth_first(spark):
     # breadth-first: depth then by-column; ord is ROW(depth, node)
     assert rows == [(1, (0, 1)), (2, (1, 2)), (3, (1, 3)),
                     (4, (2, 4)), (5, (2, 5))]
-    # DEPTH FIRST and CYCLE raise with actionable guidance
-    with pytest.raises(Exception, match="BREADTH"):
-        fq.execute(q.replace("BREADTH", "DEPTH"), scope,
-                   spark=spark).collect()
-    with pytest.raises(Exception, match="connected_components"):
-        fq.execute(q.replace("SEARCH BREADTH FIRST BY node SET ord",
-                             "CYCLE node SET c USING p"),
-                   scope, spark=spark)
+    # DEPTH FIRST on the same tree (1 -> {2 -> 4, 3 -> 5}): ord is the
+    # root-to-self path array; preorder = 1, 2, 4, 3, 5
+    rows = [(r.node, tuple(tuple(p) for p in r.ord)) for r in
+            fq.execute(q.replace("BREADTH", "DEPTH"), scope,
+                       spark=spark).collect()]
+    assert [n for n, _ in rows] == [1, 2, 4, 3, 5]
+    assert rows[2][1] == ((1,), (2,), (4,))  # full path to node 4
+    # CYCLE on an acyclic tree: nothing marked, paths still materialize
+    rows = [(r.node, r.c, len(r.p)) for r in fq.execute(
+        q.replace("SEARCH BREADTH FIRST BY node SET ord",
+                  "CYCLE node SET c USING p")
+        .replace("SELECT node, ord FROM tree ORDER BY ord",
+                 "SELECT node, c, p FROM tree ORDER BY p"),
+        scope, spark=spark).collect()]
+    assert rows == [(1, False, 1), (2, False, 2), (4, False, 3),
+                    (3, False, 2), (5, False, 3)]
 
 
 def test_code_review_round6_fixes(spark):

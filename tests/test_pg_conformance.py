@@ -461,6 +461,69 @@ QUERIES = [
      "select unnest(case when c1 = 0 then [c2] end) u, "
      "unnest(generate_series(1, 2)) g from test where c2 <= 2 "
      "order by 2, 1"),
+    # pg 14 SEARCH DEPTH FIRST: preorder over a binary tree (DuckDB has no
+    # SEARCH clause — the oracle carries the path list manually; both
+    # orders are lexicographic-by-path)
+    ("with recursive tree(id) as ("
+     "  select 1 union all"
+     "  select t.id * 2 + d.d from tree t"
+     "  cross join (values (0), (1)) as d(d) where t.id * 2 + d.d < 16"
+     ") search depth first by id set ord "
+     "select row_number() over (order by ord) pos, id from tree "
+     "order by pos",
+     "with recursive tree as ("
+     "  select 1 as id, [1] as path union all"
+     "  select t.id * 2 + d.d, list_append(t.path, t.id * 2 + d.d)"
+     "  from tree t cross join (values (0), (1)) as d(d)"
+     "  where t.id * 2 + d.d < 16"
+     ") select row_number() over (order by path) as pos, id from tree "
+     "order by pos"),
+    # SEARCH DEPTH FIRST with a multi-column BY list: one chain per group,
+    # whole chains sort together (BFS would interleave the groups)
+    ("with recursive r(g, id) as ("
+     "  select v.a, v.b from (values (2, 1), (1, 1)) as v(a, b)"
+     "  union all select t.g, t.id + 1 from r t where t.id < 3"
+     ") search depth first by g, id set ord "
+     "select row_number() over (order by ord) pos, g, id from r "
+     "order by pos",
+     "with recursive r as ("
+     "  select v.a as g, v.b as id, [[v.a, v.b]] as path"
+     "  from (values (2, 1), (1, 1)) as v(a, b)"
+     "  union all select t.g, t.id + 1, list_append(t.path, "
+     "    [t.g, t.id + 1]) from r t where t.id < 3"
+     ") select row_number() over (order by path) as pos, g, id from r "
+     "order by pos"),
+    # pg 14 CYCLE with custom TO/DEFAULT mark values on a 2-cycle
+    ("with recursive w(n) as ("
+     "  select 1 union all"
+     "  select e.dst from (values (1, 2), (2, 1)) as e(src, dst)"
+     "  join w on e.src = w.n"
+     ") cycle n set mark to 'cyc' default 'ok' using p "
+     "select n, mark, cardinality(p) as d from w order by d, n",
+     "with recursive w as ("
+     "  select 1 as n, 'ok' as mark, [1] as p union all"
+     "  select e.dst, case when list_contains(w.p, e.dst) then 'cyc'"
+     "    else 'ok' end, list_append(w.p, e.dst)"
+     "  from (values (1, 2), (2, 1)) as e(src, dst)"
+     "  join w on e.src = w.n where w.mark = 'ok'"
+     ") select n, mark, len(p) as d from w order by d, n"),
+    # SEARCH DEPTH FIRST and CYCLE combined on a cyclic graph: the walk
+    # terminates at the marked row and the output orders depth-first
+    ("with recursive w(n) as ("
+     "  select 1 union all"
+     "  select e.dst from (values (1, 2), (2, 3), (3, 1), (1, 4))"
+     "    as e(src, dst) join w on e.src = w.n"
+     ") search depth first by n set ord "
+     "cycle n set ic using p "
+     "select row_number() over (order by ord) pos, n, ic from w "
+     "order by pos",
+     "with recursive w as ("
+     "  select 1 as n, false as ic, [1] as p union all"
+     "  select e.dst, list_contains(w.p, e.dst), list_append(w.p, e.dst)"
+     "  from (values (1, 2), (2, 3), (3, 1), (1, 4)) as e(src, dst)"
+     "  join w on e.src = w.n where not w.ic"
+     ") select row_number() over (order by p) as pos, n, ic from w "
+     "order by pos"),
 ]
 
 
