@@ -2470,6 +2470,64 @@ FROM w ORDER BY round(dsir_weight, 6) DESC, doc_id LIMIT 40
 """)
 
 
+def _op_dsir_length_norm(spark, sf_dir):
+    """dsir_select(length_normalize=True) (operators/dsir.py:160): average
+    per-gram affinity instead of total log-ratio — removes the
+    document-length bias (a long mediocre doc can out-sum a short on-domain
+    one). Same two-shuffle plan; the normalizer rides the already-persisted
+    feature table."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.dsir import dsir_select
+
+    docs = _scope(spark, sf_dir)["documents"]
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    out = dsir_select(raw, target, k=40, n_buckets=1000,
+                      length_normalize=True)
+    return out.select("doc_id",
+                      F.round("dsir_weight", 6).alias("w"))
+
+
+_op("op_dsir_length_norm", _op_dsir_length_norm, """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+         doc_id % 7 = 0 AS is_target
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_target, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, is_target,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM toks WHERE len(ws) >= 2),
+b AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 1000 AS bucket
+  FROM grams),
+dist AS (
+  SELECT bucket,
+         count(*) FILTER (WHERE is_target) AS t_cnt,
+         count(*) FILTER (WHERE NOT is_target) AS r_cnt
+  FROM b GROUP BY bucket),
+lr AS (
+  SELECT bucket,
+         ln((t_cnt + 0.5) / ((SELECT sum(t_cnt) FROM dist) + 0.5 * 1000))
+       - ln((r_cnt + 0.5) / ((SELECT sum(r_cnt) FROM dist) + 0.5 * 1000))
+         AS lr
+  FROM dist),
+feats AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM b
+  WHERE NOT is_target GROUP BY doc_id, bucket),
+w AS (
+  SELECT f.doc_id,
+         sum(f.cnt * lr.lr) / sum(f.cnt) AS dsir_weight
+  FROM feats f JOIN lr USING (bucket) GROUP BY f.doc_id)
+SELECT doc_id, round(dsir_weight, 6) AS w
+FROM w ORDER BY round(dsir_weight, 6) DESC, doc_id LIMIT 40
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -2508,8 +2566,8 @@ _DRIVER_WINDOW = [
     "q62_json_agg", "q63_running_rank",
     "q64_recursive_dfs", "q65_recursive_cycle",
     # re-verify slots: code paths changed this round (bigram-LM skew fix,
-    # DSIR length-normalization flag)
-    "op_bigram_nll", "op_dsir_select",
+    # DSIR length-normalization flag) + the new normalized-DSIR entry
+    "op_bigram_nll", "op_dsir_select", "op_dsir_length_norm",
     # pre-rotated from the r05 group (last green r05; stale at r08
     # otherwise) — streaming entries first, then the dedup/text block
     "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
@@ -2520,12 +2578,12 @@ _DRIVER_WINDOW = [
     "op_skew_count_distinct", "op_levenshtein_pairs", "op_hash_split",
     "op_pack_bins", "op_pipeline_e2e", "op_dup_clusters",
     "op_minhash_clusters", "op_gapfill", "op_gopher_filter",
-    "op_unigram_nll", "op_shard_counts",
-    # the remaining 22 r05-green entries (op_ann_full, op_pq_full,
+    "op_unigram_nll",
+    # the remaining 23 r05-green entries (op_ann_full, op_pq_full,
     # op_quantize_emb, op_simhash_exact, op_ivf_full_probe, op_strip_html,
-    # op_chunk_dedup, op_dedup_against, op_bloom_dedup, op_decontaminate,
-    # op_split_leakage, q49-q59) rotate in r08; the 49 r06-green entries
-    # rotate in r09 — both fit the 50-slot window with room to spare.
+    # op_chunk_dedup, op_shard_counts, op_dedup_against, op_bloom_dedup,
+    # op_decontaminate, op_split_leakage, q49-q59) rotate in r08; the 49
+    # r06-green entries rotate in r09 — both fit the 50-slot window.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -1235,21 +1235,30 @@ class QueryCompiler:
 
         conjs = _split_conjuncts(sel.where) if sel.where is not None else []
         corr: List[tuple] = []
+        theta: List[tuple] = []  # (op, outer_ast, inner_ast)
         inner_conjs: List[ast.Node] = []
         for c in conjs:
             if not has_outer(c):
                 inner_conjs.append(c)
                 continue
-            if not (isinstance(c, ast.Binary) and c.op == "="):
+            if not (isinstance(c, ast.Binary)
+                    and c.op in _THETA_FLIP):
                 raise CompileError(
                     "LATERAL aggregate correlation predicates must be "
-                    "equalities")
+                    "comparisons (=, <, <=, >, >=, <>)")
             lo = has_outer(c.left)
             outer_ast, inner_ast = (c.left, c.right) if lo \
                 else (c.right, c.left)
+            op = c.op if lo else _THETA_FLIP[c.op]
             if has_outer(inner_ast):
                 raise CompileError("unsupported LATERAL correlation")
-            corr.append((outer_ast, inner_ast))
+            if op == "=":
+                corr.append((outer_ast, inner_ast))
+            else:
+                theta.append((op, outer_ast, inner_ast))
+        if theta:
+            return self._lateral_aggregate_theta(
+                left, rel, how, on_cond, sel, corr, theta, inner_conjs)
         if not corr:
             raise CompileError(
                 "LATERAL aggregate subquery has no equality correlation")
@@ -1293,20 +1302,130 @@ class QueryCompiler:
         for (oa, _), kn in zip(corr, keys):
             c = ec.compile(oa).eqNullSafe(F.col(f"{rel.alias}.{kn}"))
             cond = c if cond is None else cond & c
-        out = left.join(right, cond, "left").drop(*keys)
         trivially_true = (on_cond is None
                           or (isinstance(on_cond, ast.Literal)
                               and on_cond.value is True))
-        if not trivially_true:
-            if how == "left":
-                # LEFT JOIN LATERAL (agg) ON <cond>: failing rows keep the
-                # left side with NULL lateral columns — nulling them post-
-                # join would detach the alias-qualified originals, so this
-                # shape stays unsupported rather than silently wrong
-                raise CompileError(
-                    "LEFT JOIN LATERAL over an aggregate subquery supports "
-                    "only ON TRUE — filter in WHERE instead")
-            out = out.where(ec.compile(on_cond).eqNullSafe(True))
+        on_compiled = None if trivially_true else ec.compile(on_cond)
+        if how == "left" and on_compiled is not None:
+            # pg LEFT JOIN LATERAL (agg) ON <cond>: every outer row still
+            # produces its single aggregate row; ON then decides whether it
+            # attaches. Folding ON into the join condition makes failing
+            # rows genuine non-matches — NULL lateral columns with the
+            # alias qualification intact (a post-join nulling would detach
+            # the alias-qualified originals)
+            cond = cond & on_compiled
+        out = left.join(right, cond, "left").drop(*keys)
+        if how != "left" and on_compiled is not None:
+            out = out.where(on_compiled.eqNullSafe(True))
+        return out
+
+    def _lateral_aggregate_theta(self, left: DataFrame, rel: ast.SubqueryRel,
+                                 how: str, on_cond, sel: ast.Select,
+                                 corr: List[tuple], theta: List[tuple],
+                                 inner_conjs: List[ast.Node]) -> DataFrame:
+        """Aggregate LATERAL with non-equality correlation, e.g.
+        `LATERAL (SELECT count(*) FROM i WHERE i.x < t.x) l`: id-tag the
+        outer rows, LEFT theta-join the pre-projected inner relation
+        (equality conjuncts stay equi-join keys so the pair space is
+        bucketed whenever possible), and aggregate per id — the left join
+        already yields pg's empty-set aggregates (count -> 0, max -> NULL)
+        for outer rows with no match, so the single-row-per-outer-row
+        contract holds without a filler union. Same plan family as
+        theta-correlated scalar subqueries
+        (expressions.ExprCompiler._decorrelate_theta), generalized to the
+        multi-item LATERAL form."""
+        from .rewrite import transform, walk
+
+        n = getattr(self, "_lateral_counter", 0)
+        self._lateral_counter = n + 1
+        marker = f"__ltm{n}"
+        hidden = [ast.SelectItem(expr=ast.Literal(1, "int"), alias=marker)]
+        counter = [0]
+
+        def rewrite_aggs(node):
+            if isinstance(node, ast.Call) and node.name.lower() in AGG_NAMES \
+                    and not isinstance(node, ast.WindowCall):
+                if getattr(node, "filter_where", None) is not None \
+                        or getattr(node, "order_within", ()):
+                    raise CompileError(
+                        "FILTER / ordered aggregates are not supported in "
+                        "theta-correlated LATERAL aggregates")
+                if node.star or (node.name.lower() == "count"
+                                 and not node.args):
+                    return ast.Call(name="count",
+                                    args=(ast.ColumnRef(parts=(marker,)),))
+                import dataclasses as _dc
+
+                new_args = []
+                for a in node.args:
+                    j = counter[0]
+                    counter[0] += 1
+                    h = f"__lta{n}_{j}"
+                    hidden.append(ast.SelectItem(expr=a, alias=h))
+                    new_args.append(ast.ColumnRef(parts=(h,)))
+                return _dc.replace(node, args=tuple(new_args))
+            return node
+
+        out_items = []
+        for i, it in enumerate(sel.items):
+            new_expr = transform(it.expr, rewrite_aggs)
+            for s in walk(new_expr):
+                if isinstance(s, ast.ColumnRef) \
+                        and not s.parts[0].startswith("__lt"):
+                    raise CompileError(
+                        "non-aggregate column references are not supported "
+                        "in theta-correlated LATERAL aggregates")
+            out_items.append((new_expr, it.alias or _auto_name(it.expr, i)))
+
+        key_specs = []  # (op, outer_ast, hidden_key_name)
+        for i, (oa, ia) in enumerate(corr):
+            kn = f"__ltk{n}_e{i}"
+            hidden.append(ast.SelectItem(expr=ia, alias=kn))
+            key_specs.append(("=", oa, kn))
+        for i, (op, oa, ia) in enumerate(theta):
+            kn = f"__ltk{n}_t{i}"
+            hidden.append(ast.SelectItem(expr=ia, alias=kn))
+            key_specs.append((op, oa, kn))
+        inner_where = None
+        for c in inner_conjs:
+            inner_where = c if inner_where is None else ast.Binary(
+                op="and", left=inner_where, right=c)
+        dec = ast.Select(items=tuple(hidden), from_=sel.from_,
+                         where=inner_where)
+        inner_df = QueryCompiler(self.session, self.scope).compile_query(dec)
+
+        _OPS = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
+                ">": "__gt__", ">=": "__ge__", "<>": "__ne__",
+                "!=": "__ne__"}
+        idc = f"__ltid{n}"
+        # the id column feeds two plan branches (theta join + final join);
+        # monotonically_increasing_id is order-dependent, so pin the ids
+        # with a checkpoint barrier (same discipline as the scalar path)
+        tagged = left.withColumn(idc, F.monotonically_increasing_id()) \
+            .localCheckpoint(eager=False)
+        ec = self._expr_compiler()
+        cond = None
+        for op, oa, kn in key_specs:
+            c = getattr(ec.compile(oa), _OPS[op])(F.col(kn))
+            cond = c if cond is None else cond & c
+        joined = tagged.join(inner_df, cond, "left")
+        agg_ec = ExprCompiler(self.session, agg_context=True,
+                              scope=self.scope)
+        agg_df = joined.groupBy(idc).agg(
+            *[agg_ec.compile(e).alias(nm) for e, nm in out_items])
+        idr = f"{idc}_r"
+        right = agg_df.withColumnRenamed(idc, idr).alias(rel.alias)
+        jc = F.col(idc) == F.col(f"{rel.alias}.{idr}")
+        trivially_true = (on_cond is None
+                          or (isinstance(on_cond, ast.Literal)
+                              and on_cond.value is True))
+        on_compiled = None if trivially_true else ec.compile(on_cond)
+        if how == "left" and on_compiled is not None:
+            # pg NULL-extension: failing ON leaves NULL lateral columns
+            jc = jc & on_compiled
+        out = tagged.join(right, jc, "left").drop(idc, idr)
+        if how != "left" and on_compiled is not None:
+            out = out.where(on_compiled.eqNullSafe(True))
         return out
 
     def _compile_lateral_subquery(self, left: DataFrame,
@@ -1744,6 +1863,12 @@ def _int_literal(node: ast.Node, what: str) -> int:
     if isinstance(node, ast.Literal) and node.kind == "int":
         return node.value
     raise CompileError(f"{what} must be an integer literal")
+
+
+# correlation comparison flip when the outer expression sits on the right
+# (`i.x < t.x` normalizes to outer > inner)
+_THETA_FLIP = {"=": "=", "<": ">", "<=": ">=", ">": "<", ">=": "<=",
+               "<>": "<>", "!=": "<>"}
 
 
 def _auto_name(expr: ast.Node, i: int) -> str:

@@ -454,6 +454,25 @@ QUERIES = [
      "from other where other.c3 = test.c1) l on l.mx > 7 order by 1",
      "select test.c2, l.mx from test join lateral (select max(c4) mx "
      "from other where other.c3 = test.c1) l on l.mx > 7 order by 1"),
+    # LEFT JOIN LATERAL (aggregate) ON <cond>: failing rows keep the left
+    # side with NULL lateral columns (pg NULL-extension)
+    ("select test.c2, l.mx from test left join lateral (select max(c4) mx "
+     "from other where other.c3 = test.c1) l on l.mx > 7 order by 1",
+     "select test.c2, l.mx from test left join lateral (select max(c4) mx "
+     "from other where other.c3 = test.c1) l on l.mx > 7 order by 1"),
+    # ... with an ON condition referencing both sides
+    ("select test.c2, l.mx from test left join lateral (select max(c4) mx "
+     "from other where other.c3 = test.c1) l on l.mx > test.c2 order by 1",
+     "select test.c2, l.mx from test left join lateral (select max(c4) mx "
+     "from other where other.c3 = test.c1) l on l.mx > test.c2 order by 1"),
+    # ... ON over a count aggregate (never NULL, still NULL-extends when
+    # the condition fails)
+    ("select test.c2, l.n from test left join lateral (select count(*) n "
+     "from other where other.c3 = test.c1 and other.c4 > 6) l "
+     "on l.n = 2 order by 1",
+     "select test.c2, l.n from test left join lateral (select count(*) n "
+     "from other where other.c3 = test.c1 and other.c4 > 6) l "
+     "on l.n = 2 order by 1"),
     # lockstep SRFs where one argument is NULL (acts as empty, does not
     # poison the row)
     ("select unnest(case when c1 = 0 then array[c2] end) u, "
@@ -461,6 +480,24 @@ QUERIES = [
      "select unnest(case when c1 = 0 then [c2] end) u, "
      "unnest(generate_series(1, 2)) g from test where c2 <= 2 "
      "order by 2, 1"),
+    # theta-correlated aggregate LATERAL (non-equality correlation):
+    # decorrelated to an id-tagged theta join + per-id aggregate
+    ("select test.c2, l.n from test, lateral (select count(*) n "
+     "from other o where o.c4 < test.c2) l order by 1",
+     "select test.c2, l.n from test, lateral (select count(*) n "
+     "from other o where o.c4 < test.c2) l order by 1"),
+    # ... mixed equality + theta conjuncts (equality stays an equi key)
+    ("select test.c2, l.n, l.mx from test join lateral (select count(*) n, "
+     "max(o.c4) mx from other o where o.c3 = test.c1 and o.c4 < test.c2) l "
+     "on true order by 1",
+     "select test.c2, l.n, l.mx from test join lateral (select count(*) n, "
+     "max(o.c4) mx from other o where o.c3 = test.c1 and o.c4 < test.c2) l "
+     "on true order by 1"),
+    # ... LEFT JOIN with an ON condition (pg NULL-extension on failure)
+    ("select test.c2, l.n from test left join lateral (select count(*) n "
+     "from other o where o.c4 >= test.c2) l on l.n < 4 order by 1",
+     "select test.c2, l.n from test left join lateral (select count(*) n "
+     "from other o where o.c4 >= test.c2) l on l.n < 4 order by 1"),
     # pg 14 SEARCH DEPTH FIRST: preorder over a binary tree (DuckDB has no
     # SEARCH clause — the oracle carries the path list manually; both
     # orders are lexicographic-by-path)
