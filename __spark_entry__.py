@@ -2188,19 +2188,20 @@ def _op_stream_ingest(spark, sf_dir):
     import hashlib
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
-    from framequery_spark.streaming.stream import stream_ingest_dedup
+    from framequery_spark.streaming.stream import (scratch_dir,
+                                                   stream_ingest_dedup)
 
     corpus = (_scope(spark, sf_dir)["documents"]
               .where(F.col("doc_id") % 2 == 0))
-    # fixed per-sf sink root, cleared BEFORE each run: re-runs start clean
-    # and the returned frame stays a lazy parquet read (no driver
-    # round-trip); at most one copy ever lives on disk
+    # fixed per-sf sink root (tmpfs-preferred scratch — the checkpoint's
+    # offset/commit logs fsync per micro-batch), cleared BEFORE each run:
+    # re-runs start clean and the returned frame stays a lazy parquet read
+    # (no driver round-trip); at most one copy ever lives on disk
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tmp = os.path.join(tempfile.gettempdir(), f"fq_ingest_dedup_{tag}")
+    tmp = os.path.join(scratch_dir(), f"fq_ingest_dedup_{tag}")
     shutil.rmtree(tmp, ignore_errors=True)
     out = stream_ingest_dedup(
         spark, f"{sf_dir}/documents.parquet", corpus,

@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def scratch_dir() -> str:
+    """Scratch root for ephemeral streaming checkpoints/sinks: tmpfs
+    (/dev/shm) when present — offset/commit logs fsync per micro-batch, so
+    RAM-backed checkpoints shave fixed per-query latency — else the normal
+    temp dir. For durable pipelines callers pass real storage paths; this
+    is only the default for bench/test-scale ephemeral state."""
+    import os
+    import tempfile
+
+    shm = "/dev/shm"
+    return shm if os.path.isdir(shm) and os.access(shm, os.W_OK) \
+        else tempfile.gettempdir()
+
+
 @contextlib.contextmanager
 def _stream_shuffle_partitions(spark: SparkSession, n: int):
     """Cap shuffle partitions while a streaming query STARTS (the number of
@@ -121,16 +135,25 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour",
 def _run_to_memory(spark: SparkSession, agg: DataFrame, prefix: str,
                    mode: str = "complete") -> DataFrame:
     """Run a streaming aggregation to completion (Trigger.AvailableNow,
-    memory sink) and return the sink table as a DataFrame."""
+    memory sink) and return the sink table as a DataFrame. The checkpoint
+    lives on tmpfs-preferred scratch (offset/commit logs fsync per
+    micro-batch — RAM-backed logs shave the fixed per-query cost) and is
+    removed after the drain."""
+    import os
+    import shutil
+
     name = prefix + uuid.uuid4().hex[:12]
+    ckpt = os.path.join(scratch_dir(), "fq_stream_ckpt", name)
     with _stream_shuffle_partitions(spark, 8):
         q = (agg.writeStream
              .format("memory")
              .queryName(name)
              .outputMode(mode)
+             .option("checkpointLocation", ckpt)
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
