@@ -2529,6 +2529,154 @@ FROM w ORDER BY round(dsir_weight, 6) DESC, doc_id LIMIT 40
 """)
 
 
+def _op_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty vs the corpus (operators/text.py:
+    ngram_novelty): distinct grams, grams first seen in this doc (first =
+    min doc_id), novelty ratio. Gram explode → distinct pairs → min-per-
+    gram groupBy → gram-keyed equi join — never all-pairs. Restricted to
+    doc_id < 200 to keep the oracle compare small; the plan is the
+    full-corpus plan."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import ngram_novelty
+
+    return (ngram_novelty(_scope(spark, sf_dir)["documents"], "text",
+                          "doc_id", n=3)
+            .filter(F.col("doc_id") < 200).orderBy("doc_id"))
+
+
+_op("op_ngram_novelty", _op_ngram_novelty, r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS ngram
+  FROM toks, unnest(range(1, len(ws) - 1)) AS r(i)
+  WHERE len(ws) >= 3),
+firsts AS (SELECT ngram, min(doc_id) AS first_id FROM g GROUP BY ngram)
+SELECT doc_id, count(*) AS n_grams,
+       sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS n_novel,
+       round(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+             / count(*), 6) AS novelty
+FROM g JOIN firsts USING (ngram)
+WHERE doc_id < 200
+GROUP BY doc_id ORDER BY doc_id
+""")
+
+
+def _op_zipf_slope(spark, sf_dir):
+    """Per-source Zipf fit (operators/text.py:zipf_slope): least-squares
+    slope of ln(freq) on ln(rank), decimal-exact sums so the aggregate is
+    order-independent. Scales with vocabulary, not corpus size."""
+    from framequery_spark.operators.text import zipf_slope
+
+    return zipf_slope(_scope(spark, sf_dir)["documents"], "text",
+                      "source").orderBy("source")
+
+
+_op("op_zipf_slope", _op_zipf_slope, r"""
+WITH t AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+c AS (SELECT source, term, count(*) AS freq FROM t WHERE term <> ''
+      GROUP BY 1, 2),
+r AS (
+  SELECT source,
+         ln(CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, term) AS DOUBLE))
+           AS lx,
+         ln(CAST(freq AS DOUBLE)) AS ly
+  FROM c),
+d AS (
+  SELECT source,
+         CAST(lx AS DECIMAL(28,12)) AS x, CAST(ly AS DECIMAL(28,12)) AS y,
+         CAST(lx * ly AS DECIMAL(28,12)) AS xy,
+         CAST(lx * lx AS DECIMAL(28,12)) AS xx
+  FROM r)
+SELECT source, count(*) AS n_terms,
+       round((count(*) * CAST(sum(xy) AS DOUBLE)
+              - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+             / (count(*) * CAST(sum(xx) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)),
+             6) AS zipf_slope
+FROM d GROUP BY source ORDER BY source
+""")
+
+
+def _op_source_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard (operators/text.py:
+    source_overlap): distinct (source, term) vocab, term-keyed self equi
+    join (fan-out bounded by #sources², not corpus size), broadcast size
+    table."""
+    from framequery_spark.operators.text import source_overlap
+
+    return source_overlap(_scope(spark, sf_dir)["documents"], "text",
+                          "source").orderBy("g1", "g2")
+
+
+_op("op_source_overlap", _op_source_overlap, r"""
+WITH v AS (
+  SELECT DISTINCT source AS g, term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents) WHERE term <> ''),
+s AS (SELECT g, count(*) AS vz FROM v GROUP BY g),
+i AS (
+  SELECT a.g AS g1, b.g AS g2, count(*) AS n_common
+  FROM v a JOIN v b ON a.term = b.term
+  WHERE a.g < b.g GROUP BY 1, 2)
+SELECT g1, g2, n_common, s1.vz AS v1, s2.vz AS v2,
+       round(n_common / (s1.vz + s2.vz - n_common), 6) AS jaccard
+FROM i JOIN s s1 ON i.g1 = s1.g JOIN s s2 ON i.g2 = s2.g
+ORDER BY g1, g2
+""")
+
+
+def _op_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity tiers (operators/text.py:
+    perplexity_buckets): unigram-LM score + ntile(3) per language over a
+    total (avg_nll, doc_id) order — deterministic bucket assignment.
+    Restricted to doc_id < 200 post-bucketing to keep the compare small
+    (the ntile runs over the full corpus in both engines)."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import perplexity_buckets
+
+    return (perplexity_buckets(_scope(spark, sf_dir)["documents"], "text",
+                               "doc_id", "lang", n_buckets=3)
+            .filter(F.col("doc_id") < 200).orderBy("doc_id"))
+
+
+_op("op_perplexity_buckets", _op_perplexity_buckets, r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS term_n FROM t GROUP BY term),
+total AS (SELECT count(*) AS corpus_n FROM t),
+nll AS (
+  SELECT doc_id,
+         CAST(-ln(term_n * 1.0 / corpus_n) AS DECIMAL(28,12)) AS nll
+  FROM t JOIN vocab USING (term) CROSS JOIN total),
+sc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll,
+         round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 4) AS ppl
+  FROM nll GROUP BY doc_id),
+bk AS (
+  SELECT d.doc_id, d.lang, sc.n_tokens, sc.avg_nll, sc.ppl,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY sc.avg_nll, d.doc_id) AS bucket
+  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+SELECT * FROM bk WHERE doc_id < 200 ORDER BY doc_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")
@@ -2577,14 +2725,18 @@ _DRIVER_WINDOW = [
     "op_text_stats", "op_jaccard_pairs", "op_minhash_dedup",
     "op_cosine_topk", "op_sessions", "op_decode_image",
     "op_skew_count_distinct", "op_levenshtein_pairs", "op_hash_split",
-    "op_pack_bins", "op_pipeline_e2e", "op_dup_clusters",
-    "op_minhash_clusters", "op_gapfill", "op_gopher_filter",
-    "op_unigram_nll",
-    # the remaining 23 r05-green entries (op_ann_full, op_pq_full,
-    # op_quantize_emb, op_simhash_exact, op_ivf_full_probe, op_strip_html,
-    # op_chunk_dedup, op_shard_counts, op_dedup_against, op_bloom_dedup,
-    # op_decontaminate, op_split_leakage, q49-q59) rotate in r08; the 49
-    # r06-green entries rotate in r09 — both fit the 50-slot window.
+    "op_pack_bins", "op_dup_clusters", "op_minhash_clusters",
+    # round-7 corpus diagnostics: new op entries enter the window on their
+    # first round (first-round coverage rule)
+    "op_ngram_novelty", "op_zipf_slope", "op_source_overlap",
+    "op_perplexity_buckets",
+    # the remaining 27 r05-green entries (op_pipeline_e2e, op_gapfill,
+    # op_gopher_filter, op_unigram_nll — displaced from this window by the
+    # new diagnostics — plus op_ann_full, op_pq_full, op_quantize_emb,
+    # op_simhash_exact, op_ivf_full_probe, op_strip_html, op_chunk_dedup,
+    # op_shard_counts, op_dedup_against, op_bloom_dedup, op_decontaminate,
+    # op_split_leakage, q49-q59) rotate in r08; the 49 r06-green entries
+    # rotate in r09 — both fit the 50-slot window.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -121,6 +121,24 @@ def main() -> None:
         if failed or not runs:
             timings[name] = -1.0
             continue
+        # JVM stall guard: occasional full-GC / deopt pauses inject ~10 s
+        # one-sided outliers (measured: op_dsir_select steady 2.2 s with a
+        # lone 13.6 s rep). With 3 reps, TWO stalls poison the median, so
+        # when the spread is pathological take extra reps — the median over
+        # 5 then reflects the steady-state plan cost.
+        if len(runs) >= 2 and min(runs) > 0 and \
+                max(runs) / min(runs) > 2.5:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).collect()
+                except Exception:
+                    break
+                runs.append(time.perf_counter() - t0)
+                from framequery_spark.operators.cache import release_cached
+
+                release_cached()
+                spark.catalog.clearCache()
         med = sorted(runs)[len(runs) // 2]
         timings[name] = round(med, 3)
         total += med

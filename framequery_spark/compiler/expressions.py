@@ -234,6 +234,10 @@ class ExprCompiler:
         # theta join + per-outer-row aggregate:
         # (value_name, inner DataFrame, [(op, outer_ast, key_col)], item_ast)
         self.pending_theta: List[tuple] = []
+        # helper columns that must exist on the input relation before the
+        # projection that evaluates this compiler's output runs (GROUPS
+        # window frames stage a dense_rank order key here): (name, Column)
+        self.pending_precols: List[tuple] = []
         self._scalar_counter = 0
 
     # ------------------------------------------------------------------ API
@@ -1107,9 +1111,7 @@ class ExprCompiler:
             # _desugar_named_windows resolves refinements otherwise
             raise CompileError(f"window \"{spec.base_ref}\" is not defined")
         if spec.frame_type == "groups":
-            raise CompileError(
-                "GROUPS window frames are not supported (Spark has no "
-                "peer-group frame mode); use RANGE over the order key")
+            return self._compile_groups_frame(node, Window)
         w = Window.partitionBy(*[self.compile(p) for p in spec.partition_by]) \
             if spec.partition_by else Window.partitionBy()
         interval_frame = any(
@@ -1168,6 +1170,40 @@ class ExprCompiler:
                     "frame EXCLUDE applies only to aggregate window calls")
             raise CompileError(f"unknown window function: {name}")
         return col.over(w)
+
+    def _compile_groups_frame(self, node: ast.WindowCall, Window) -> Column:
+        """pg GROUPS window frames, rewritten to a RANGE frame over a staged
+        dense_rank column.
+
+        dense_rank numbers the ORDER BY peer groups 1, 2, 3, ... without
+        gaps, and a RANGE frame includes every peer of a boundary row, so
+        `GROUPS BETWEEN a PRECEDING AND b FOLLOWING` over the original key
+        is value-identical to `RANGE BETWEEN a PRECEDING AND b FOLLOWING`
+        ordered by that dense_rank.  Spark has no native GROUPS mode; the
+        dense_rank itself is a window expression and cannot appear inside
+        another window spec, so it is staged as a pending pre-projection
+        column (attached by the relation compiler before the projection
+        evaluates this column)."""
+        import dataclasses as _dc
+
+        spec = node.spec
+        if not spec.order_by:
+            raise CompileError("GROUPS frame requires an ORDER BY clause")
+        if any(b is not None and b.interval
+               for b in (spec.frame_start, spec.frame_end)):
+            raise CompileError("GROUPS frame bounds must be integers")
+        wdr = Window.partitionBy(
+            *[self.compile(p) for p in spec.partition_by]) \
+            if spec.partition_by else Window.partitionBy()
+        wdr = wdr.orderBy(*[self._sort_col(s) for s in spec.order_by])
+        name = f"__gdr{len(self.pending_precols)}_{self._scalar_counter}"
+        self._scalar_counter += 1
+        self.pending_precols.append((name, F.dense_rank().over(wdr)))
+        new_spec = _dc.replace(
+            spec, frame_type="range",
+            order_by=(ast.SortItem(
+                expr=ast.ColumnRef(parts=(name,), quoted=True)),))
+        return self._c_WindowCall(_dc.replace(node, spec=new_spec))
 
     def _window_exclude(self, node: ast.WindowCall, w, Window) -> Column:
         """pg frame `EXCLUDE CURRENT ROW | GROUP | TIES` for sum/count/avg.

@@ -895,14 +895,24 @@ class QueryCompiler:
             # post-aggregation window phase: expressions over agg outputs
             ec_post = ExprCompiler(self.session, agg_context=False,
                                    scope=self.scope)
-            result = result.select(
-                "*", *[ec_post.compile(expr).alias(f"__out{i}")
-                       for i, expr in window_items.items()])
+            out_cols = [ec_post.compile(expr).alias(f"__out{i}")
+                        for i, expr in window_items.items()]
+            if ec_post.pending_precols:
+                # GROUPS frames' staged dense_rank keys over the agg result
+                result = result.select("*", *[
+                    c.alias(n) for n, c in ec_post.pending_precols])
+                ec_post.pending_precols.clear()
+            result = result.select("*", *out_cols)
 
         if qualify_expr is not None:
             ec_q = ExprCompiler(self.session, agg_context=False,
                                 scope=self.scope)
-            result = (result.withColumn("__qualify", ec_q.compile(qualify_expr))
+            qcol = ec_q.compile(qualify_expr)
+            if ec_q.pending_precols:
+                result = result.select("*", *[
+                    c.alias(n) for n, c in ec_q.pending_precols])
+                ec_q.pending_precols.clear()
+            result = (result.withColumn("__qualify", qcol)
                       .filter(F.col("__qualify")).drop("__qualify"))
 
         if sel.distinct:
@@ -1738,8 +1748,14 @@ class QueryCompiler:
         """Attach scalar-subquery results: uncorrelated ones as broadcast
         cross joins, correlated ones as left equi joins against their
         decorrelated grouped aggregates (NULL for missing groups = SQL's
-        empty-subquery value)."""
+        empty-subquery value).  Window helper pre-columns (GROUPS frames'
+        staged dense_rank keys) attach first — they only reference input
+        columns and must exist before the projection evaluates."""
         names = []
+        if ec.pending_precols:
+            df = df.select("*", *[c.alias(n) for n, c in ec.pending_precols])
+            names.extend(n for n, _ in ec.pending_precols)
+            ec.pending_precols.clear()
         for name, sdf in ec.pending_scalar:
             df = df.crossJoin(F.broadcast(sdf))
             # quantified comparisons attach one multi-column aggregate

@@ -572,3 +572,136 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.round(dup_line, 4).alias("dup_line_ratio"),
         F.round(dup_tok, 4).alias("dup_token_ratio"),
         F.round(top_tok, 4).alias("top_token_ratio"))
+
+
+# ------------------------------------------------- corpus-level diagnostics
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against the whole corpus — the
+    dedup-adjacent diagnostic for template/boilerplate floods: of a
+    document's distinct word n-grams, how many FIRST appear in this
+    document (first = smallest id over all documents containing the gram),
+    and the novelty ratio. Low novelty = the document is mostly assembled
+    from n-grams other (earlier) documents already carry.
+
+    Plan shape: row-local gram explode → distinct (gram, id) pairs (one
+    shuffle) → min(id) per gram (map-side combine, shuffle on gram) →
+    pairs ⋈ firsts on gram (hash equi join; fan-out per gram = #docs
+    containing it, never all-pairs) → per-doc groupBy. Documents with no
+    n-gram (< n tokens) are absent from the result."""
+    from .dedup import _grams, _let
+
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+    gram = _let(toks, lambda ws: _grams(ws, n))
+    pairs = (df.select(F.col(id_col), F.explode(gram).alias("ngram"))
+             .distinct())
+    firsts = pairs.groupBy("ngram").agg(F.min(id_col).alias("first_id"))
+    return (pairs.join(firsts, "ngram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("first_id") == F.col(id_col)).cast("long"))
+                 .alias("n_novel"))
+            .select(id_col, "n_grams", "n_novel",
+                    F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                    .alias("novelty")))
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text",
+               group_col: str = "source") -> DataFrame:
+    """Zipf's-law fit per group: the least-squares slope of ln(freq) on
+    ln(rank) over the group's term-frequency distribution (rank 1 = most
+    frequent; ties broken by term so the ranking is total). Natural text
+    sits near -1; strong deviation flags synthetic/templated sources.
+
+    The slope is computed from DECIMAL(28,12)-quantized sums (n, Σx, Σy,
+    Σxy, Σxx), so the aggregation is exact and order-independent —
+    bit-identical across engines and partition layouts — then finished in
+    double precision. Plan shape: explode → per-(group, term) count
+    (map-side combine) → per-group rank window (one shuffle on group) →
+    per-group aggregate. Scales with vocabulary size, not corpus size."""
+    from pyspark.sql import Window
+
+    counts = (df.select(F.col(group_col),
+                        F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("term"))
+              .filter(F.col("term") != "")
+              .groupBy(group_col, "term")
+              .agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("term"))
+    x = F.log(F.row_number().over(w).cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    dec = "decimal(28,12)"
+    ranked = counts.select(F.col(group_col), x.cast(dec).alias("x"),
+                           y.cast(dec).alias("y"),
+                           (x * y).cast(dec).alias("xy"),
+                           (x * x).cast(dec).alias("xx"))
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum("xy").cast("double")
+    sxx = F.sum("xx").cast("double")
+    return (ranked.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 .alias("zipf_slope")))
+
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups (sources/languages/
+    shards): |V_a ∩ V_b| / |V_a ∪ V_b| over distinct lowercase tokens.
+    The mixture-design diagnostic: near-duplicate sources show up as
+    high-overlap pairs before any document-level dedup runs.
+
+    Plan shape: distinct (group, term) vocab (one shuffle) → self equi
+    join on term with g1 < g2 → per-pair count → broadcast join of the
+    group-bounded size table. Per-term join fan-out is at most
+    (#groups choose 2) — bounded by the group count squared, NOT by corpus
+    size — so the join never goes quadratic in documents."""
+    vocab = (df.select(F.col(group_col).alias("g"),
+                       F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    from .cache import persist_tracked
+
+    vocab = persist_tracked(vocab)
+    sizes = vocab.groupBy("g").agg(F.count(F.lit(1)).alias("v"))
+    a = vocab.select(F.col("g").alias("g1"), "term")
+    b = vocab.select(F.col("g").alias("g2"), "term")
+    inter = (a.join(b, "term").filter(F.col("g1") < F.col("g2"))
+             .groupBy("g1", "g2").agg(F.count(F.lit(1)).alias("n_common")))
+    out = (inter
+           .join(F.broadcast(sizes.select(F.col("g").alias("g1"),
+                                          F.col("v").alias("v1"))), "g1")
+           .join(F.broadcast(sizes.select(F.col("g").alias("g2"),
+                                          F.col("v").alias("v2"))), "g2")
+           .select("g1", "g2", "n_common", "v1", "v2",
+                   F.round(F.col("n_common")
+                           / (F.col("v1") + F.col("v2") - F.col("n_common")),
+                           6).alias("jaccard")))
+    return out
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-trained unigram LM (:func:`unigram_nll`) and
+    split each language into `n_buckets` quality tiers by ntile over
+    ascending perplexity (bucket 1 = most fluent = CCNet's "head").
+    The ntile ordering is made total with an id tiebreak, so bucket
+    assignment is deterministic and engine-reproducible.
+
+    Plan shape: unigram_nll's bounded-aggregate pipeline, one equi join
+    back to (id, lang), one per-language window (shuffle keyed on the
+    language — bounded cardinality, but each language partition only
+    sorts its own documents)."""
+    from pyspark.sql import Window
+
+    scored = unigram_nll(df, text_col, id_col)
+    joined = df.select(F.col(id_col), F.col(lang_col)).join(scored, id_col)
+    w = Window.partitionBy(lang_col).orderBy(F.asc("avg_nll"), F.asc(id_col))
+    return joined.select(
+        id_col, lang_col, "n_tokens", "avg_nll", "ppl",
+        F.ntile(n_buckets).over(w).alias("bucket"))

@@ -419,6 +419,26 @@ def _register_operator_tfs() -> dict:
         # bigram_nll('documents') -> (doc_id, n_bigrams, avg_nll, ppl)
         return text.bigram_lm_nll(_op_table(qc, a[0]))
 
+    def ngram_novelty(qc, a):
+        # ngram_novelty('documents'[, n]) -> per-doc first-seen gram stats
+        kw = {"n": int(a[1])} if len(a) > 1 else {}
+        return text.ngram_novelty(_op_table(qc, a[0]), **kw)
+
+    def zipf_slope(qc, a):
+        # zipf_slope('documents'[, group_col]) -> per-group Zipf fit
+        kw = {"group_col": str(a[1])} if len(a) > 1 else {}
+        return text.zipf_slope(_op_table(qc, a[0]), **kw)
+
+    def source_overlap(qc, a):
+        # source_overlap('documents'[, group_col]) -> pairwise vocab Jaccard
+        kw = {"group_col": str(a[1])} if len(a) > 1 else {}
+        return text.source_overlap(_op_table(qc, a[0]), **kw)
+
+    def perplexity_buckets(qc, a):
+        # perplexity_buckets('documents'[, n_buckets]) -> CCNet-style tiers
+        kw = {"n_buckets": int(a[1])} if len(a) > 1 else {}
+        return text.perplexity_buckets(_op_table(qc, a[0]), **kw)
+
     def dsir_select(qc, a):
         # dsir_select('raw_table', 'target_table', k[, n_buckets])
         # DSIR importance selection: top-k raw docs by hashed-ngram
@@ -437,7 +457,8 @@ def _register_operator_tfs() -> dict:
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
         assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
-        dsir_select, bigram_nll)}
+        dsir_select, bigram_nll, ngram_novelty, zipf_slope, source_overlap,
+        perplexity_buckets)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -1531,3 +1531,95 @@ def test_bigram_lm_nll_flags_shuffled_text(spark):
     out = {r.doc_id: r.avg_nll for r in bigram_lm_nll(df).collect()}
     assert out[4] > out[1]
     assert out[1] == out[2] == out[3]
+
+
+# ------------------------------------------------ round-7 corpus diagnostics
+
+def test_ngram_novelty_first_seen_semantics(spark):
+    """A gram is novel only in the document with the smallest id carrying
+    it; docs with < n tokens vanish (no grams)."""
+    df = spark.createDataFrame(
+        [(1, "a b c"),    # grams {a b, b c} -> both first here
+         (2, "a b d"),    # {a b (seen in 1), b d (new)} -> 1/2
+         (3, "a b c"),    # both grams first seen elsewhere -> 0/2
+         (4, "x")],       # no bigram -> absent
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in TX.ngram_novelty(df, n=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty) == (2, 2, 1.0)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty) == (2, 1, 0.5)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty) == (2, 0, 0.0)
+
+
+def test_ngram_novelty_counts_distinct_grams(spark):
+    # repeated gram inside one doc counts once
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    row = TX.ngram_novelty(df, n=2).collect()[0]
+    assert row.n_grams == 2  # occurrences (a b),(b a),(a b) -> 2 distinct
+
+
+def test_zipf_slope_matches_polyfit(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "w w w w v v u", "A"),
+         (2, "p p p q", "B")],
+        ["doc_id", "text", "source"])
+    out = {r.source: r for r in TX.zipf_slope(df).collect()}
+    # group A: freqs 4,2,1 at ranks 1,2,3
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (4, 2, 1)]
+    expect = np.polyfit(xs, ys, 1)[0]
+    assert abs(out["A"].zipf_slope - round(expect, 6)) < 1e-6
+    assert out["A"].n_terms == 3
+    # group B: freqs 3,1 at ranks 1,2 -> exact slope ln(1/3)/ln(2)
+    assert abs(out["B"].zipf_slope
+               - round(math.log(1 / 3) / math.log(2), 6)) < 1e-6
+
+
+def test_source_overlap_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "b c d", "B"), (3, "b c", "A")],
+        ["doc_id", "text", "source"])
+    rows = TX.source_overlap(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.g1, r.g2, r.n_common, r.v1, r.v2) == ("A", "B", 2, 3, 3)
+    assert abs(r.jaccard - 0.5) < 1e-9
+
+
+def test_perplexity_buckets_tiers(spark):
+    """Buckets are per-language ntiles over ascending avg_nll: tier 1 is
+    the most fluent; tiers are deterministic and ordered."""
+    rare = ["zxq", "qfl", "wro", "plm", "kjh", "vbn"]
+    docs = [(i, "the and of to is the and of", "en") for i in range(3)]
+    docs += [(3 + i, f"the and {rare[i]} {rare[i + 3]}", "en")
+             for i in range(3)]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    out = TX.perplexity_buckets(df, n_buckets=3).collect()
+    assert len(out) == 6
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.avg_nll)
+    assert sorted(by_bucket) == [1, 2, 3]
+    assert all(len(v) == 2 for v in by_bucket.values())
+    assert max(by_bucket[1]) <= min(by_bucket[2])
+    assert max(by_bucket[2]) <= min(by_bucket[3])
+
+
+def test_round7_diagnostics_sql_table_functions(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute("SELECT * FROM ngram_novelty('documents', 2)",
+                     tpch_scope, spark=spark)
+    assert {"n_grams", "n_novel", "novelty"} <= set(out.columns)
+    out = fq.execute("SELECT * FROM zipf_slope('documents')",
+                     tpch_scope, spark=spark)
+    assert "zipf_slope" in out.columns and out.count() > 0
+    out = fq.execute("SELECT * FROM source_overlap('documents')",
+                     tpch_scope, spark=spark)
+    assert "jaccard" in out.columns
+    out = fq.execute(
+        "SELECT * FROM perplexity_buckets('documents') WHERE bucket = 1",
+        tpch_scope, spark=spark)
+    assert out.count() > 0

@@ -284,6 +284,65 @@ QUERIES = [
      "count(c2) over (order by c1) cnt, "
      "sum(c2) over (partition by c1) gsum, "
      "count(c2) over (partition by c1) gcnt from test) t"),
+    # GROUPS frames (round 7: dense_rank -> RANGE rewrite). DuckDB has no
+    # GROUPS mode, so the oracles spell out the same dense_rank desugar.
+    ("select c2, sum(c2) over (order by c1 groups between 1 preceding and "
+     "1 following) s from test",
+     "select c2, sum(c2) over (order by dr range between 1 preceding and "
+     "1 following) s from (select c2, dense_rank() over (order by c1) dr "
+     "from test) t"),
+    ("select c2, sum(c2) over (order by c1 groups between unbounded "
+     "preceding and current row) s from test",
+     "select c2, sum(c2) over (order by dr range between unbounded "
+     "preceding and current row) s from (select c2, dense_rank() over "
+     "(order by c1) dr from test) t"),
+    ("select c2, count(*) over (order by c1 groups between current row "
+     "and unbounded following) s from test",
+     "select c2, count(*) over (order by dr range between current row "
+     "and unbounded following) s from (select c2, dense_rank() over "
+     "(order by c1) dr from test) t"),
+    ("select c2, avg(c2) over (partition by c2 % 2 order by c1 groups "
+     "between 1 preceding and current row) s from test",
+     "select c2, avg(c2) over (partition by p order by dr range between "
+     "1 preceding and current row) s from (select c2, c2 % 2 p, "
+     "dense_rank() over (partition by c2 % 2 order by c1) dr from test) t"),
+    ("select c2, min(c2) over (order by c1 groups between 1 following "
+     "and 2 following) s from test",
+     "select c2, min(c2) over (order by dr range between 1 following and "
+     "2 following) s from (select c2, dense_rank() over (order by c1) dr "
+     "from test) t"),
+    ("select c2, max(c2) over (order by c1 desc groups between 1 "
+     "preceding and 1 following) s from test",
+     "select c2, max(c2) over (order by dr range between 1 preceding and "
+     "1 following) s from (select c2, dense_rank() over (order by c1 "
+     "desc) dr from test) t"),
+    # GROUPS + EXCLUDE (subtraction oracles — DuckDB has neither)
+    ("select c2, sum(c2) over (order by c1 groups between 1 preceding "
+     "and 1 following exclude current row) s from test",
+     "select c2, sum(c2) over (order by dr range between 1 preceding and "
+     "1 following) - c2 s from (select c2, dense_rank() over (order by "
+     "c1) dr from test) t"),
+    ("select c2, sum(c2) over (order by c1 groups between 1 preceding "
+     "and 1 following exclude group) s from test",
+     "select c2, sum(c2) over (order by dr range between 1 preceding and "
+     "1 following) - sum(c2) over (partition by dr) s from (select c2, "
+     "dense_rank() over (order by c1) dr from test) t"),
+    ("select c2, sum(c2) over (order by c1 groups between 1 preceding "
+     "and 1 following exclude ties) s from test",
+     "select c2, sum(c2) over (order by dr range between 1 preceding and "
+     "1 following) - sum(c2) over (partition by dr) + c2 s from (select "
+     "c2, dense_rank() over (order by c1) dr from test) t"),
+    # GROUPS frame in a named window and alongside other windows
+    ("select c2, sum(c2) over w s from test window w as (order by c1 "
+     "groups between 1 preceding and current row)",
+     "select c2, sum(c2) over (order by dr range between 1 preceding and "
+     "current row) s from (select c2, dense_rank() over (order by c1) dr "
+     "from test) t"),
+    ("select c2, sum(c2) over (order by c1 groups between 1 preceding "
+     "and 1 following) s, row_number() over (order by c2) rn from test",
+     "select c2, sum(c2) over (order by dr range between 1 preceding and "
+     "1 following) s, row_number() over (order by c2) rn from (select "
+     "c2, dense_rank() over (order by c1) dr from test) t"),
     # WINDOW clause refinement + chaining
     "select c2, sum(c2) over (w order by c2) from test window w as (partition by c1)",
     ("select c2, sum(c2) over w2 from test "

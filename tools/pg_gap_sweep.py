@@ -145,6 +145,75 @@ CANDIDATES = [
     ("select nullif(c1, 0), coalesce(nullif(c1, 1), 99) from test", None),
     ("select greatest(c1, c2, 3), least(c1, c2, 3) from test", None),
     ("select num_nonnulls(c1, null, c2), num_nulls(c1, null) from test", "select 2, 1 from test"),
+    # --- round-7 sweep additions ---
+    # GROUPS frames (now compiled via dense_rank -> RANGE rewrite)
+    ("select c2, sum(c2) over (order by c1 groups between 1 preceding and current row) from test order by c2", None),
+    ("select c2, min(c2) over (order by c1 groups between 1 following and 2 following) from test order by c2", None),
+    # intervals
+    ("select justify_days(interval '35 days')", "select interval '1 month 5 days'"),
+    ("select justify_hours(interval '30 hours')", "select interval '1 day 6 hours'"),
+    ("select justify_interval(interval '1 month -1 hour')", "select interval '29 days 23 hours'"),
+    ("select interval '2 hours' * 3, interval '1 day' / 2", "select interval '6 hours', interval '12 hours'"),
+    ("select extract(epoch from interval '1 day 2 hours')", "select 93600.0"),
+    ("select make_interval(0, 0, 0, 2, 3, 0, 0)", "select interval '2 days 3 hours'"),
+    # strings
+    ("select overlay('abcdef' placing 'XX' from 2 for 3)", "select 'aXXef'"),
+    ("select position('b' in name) from names", None),
+    ("select trim(both 'x' from 'xxaxx'), trim(leading 'x' from 'xxa'), trim(trailing 'x' from 'axx')", "select 'a', 'a', 'a'"),
+    ("select 'ab' like 'a_' escape '\\', 'a_b' like 'a\\_b' escape '\\'", "select true, true"),
+    ("select bit_length('abc'), octet_length('abc')", "select 24, 3"),
+    ("select regexp_count(name, 'a'), regexp_like(name, '^b') from names", None),
+    ("select regexp_substr(name, '[aeiou]+') from names", "select regexp_extract(name, '[aeiou]+') from names"),
+    ("select regexp_instr('abcdef', 'cd')", "select 3"),
+    ("select to_ascii('abc')", "select 'abc'"),
+    ("select unistr('d\\0061ta')", "select 'data'"),
+    ("select substring('abcdef' for 3), substring('abcdef' from 3)", "select 'abc', 'cdef'"),
+    # numbers
+    ("select round(1234.5678, -2), trunc(1234.5678, -2)", "select 1200.0, 1200.0"),
+    ("select scale(1.2300), min_scale(1.2300), trim_scale(1.2300)", "select 4, 2, 1.23"),
+    ("select mod(-7, 3), (-7) % 3", "select -1, -1"),
+    ("select round(c2 / 4.0) from test order by c2", None),
+    # arrays
+    ("select array_fill(7, array[3])", "select [7, 7, 7]"),
+    ("select generate_subscripts(array[10,20,30], 1)", "select unnest([1, 2, 3])"),
+    ("select array_ndims(array[1,2,3]), array_lower(array[1,2,3], 1), array_upper(array[1,2,3], 1)", "select 1, 1, 3"),
+    ("select 2 = any(array[1,2,3]), 5 = any(xs), 9 <> all(xs) from arr", "select true, 5 in (select unnest(xs)), true from arr"),
+    ("select array_positions(array['a','b','a'], 'a')", "select [1, 3]"),
+    ("select array_shuffle(array[1])", "select [1]"),
+    ("select array_sample(array[1,2,3], 0)", "select []::int[]"),
+    # row/composite comparisons
+    ("select (c1, c2) < (1, 3) from test order by c2", None),
+    ("select (1, 'a') = (1, 'a'), (1, 2) <> (1, 3)", "select true, true"),
+    ("select c2 from test where (c1, c2) >= (1, 4) order by c2", None),
+    ("select c2 between symmetric 4 and 2 from test order by c2", "select c2 between 2 and 4 from test order by c2"),
+    # json
+    ("select json_strip_nulls('{\"a\": null, \"b\": 1}'::json)", "select '{\"b\":1}'"),
+    ("select jsonb_set('{\"a\":1}'::jsonb, '{b}', '2'::jsonb)", "select '{\"a\":1,\"b\":2}'::json"),
+    ("select jsonb_insert('{\"a\":1}'::jsonb, '{b}', '9'::jsonb)", "select '{\"a\":1,\"b\":9}'::json"),
+    ("select json_array_length(j::json->'tags') from doc", "select len(from_json(j, '{\"tags\": [\"varchar\"]}').tags) from doc"),
+    ("select jsonb_object_keys('{\"a\":1,\"b\":2}'::jsonb)", "select unnest(['a','b'])"),
+    ("select json_build_object('a', 1, 'b', name) from names", "select to_json({'a': 1, 'b': name}) from names"),
+    ("select json_build_array(1, 'x', null)", "select '[1,\"x\",null]'"),
+    ("select ('{\"a\": {\"b\": 7}}'::jsonb)['a']['b']", "select 7"),
+    # window refinements
+    ("select c2, lag(c2, 1, -1) over (order by c2) from test order by c2", None),
+    ("select c2, lead(c2, 2, 0) over (order by c2) from test order by c2", None),
+    ("select c2, cume_dist() over (order by c1), percent_rank() over (order by c1) from test order by c2", None),
+    # ordered-set aggregates
+    ("select mode() within group (order by c1) from test", None),
+    ("select percentile_disc(0.5) within group (order by c2) from test", None),
+    ("select percentile_cont(array[0.25, 0.75]) within group (order by c2) from test", "select [quantile_cont(c2, 0.25), quantile_cont(c2, 0.75)] from test"),
+    # grouping
+    ("select grouping(c1), sum(c2) from test group by rollup(c1) order by 1, 2", None),
+    ("select c1, sum(c2) from test group by grouping sets ((), (c1), (c1)) order by 1 nulls last, 2", None),
+    # misc
+    ("select * from (values (1), (2), (3)) v(x) order by x desc", None),
+    ("select coalesce(null, null, 3), nullif(null, 1)", "select 3, null"),
+    ("select c2, c1 is distinct from null from test order by c2", "select c2, c1 is not null from test order by c2"),
+    ("select count(*) from test where (select 1) = 1", None),
+    ("select string_agg(name, null) from names", "select string_agg(name, '') from names"),
+    ("select sum(c2) filter (where c1 = 0) over (order by c2) from test order by 1", None),
+    ("select lower(name collate \"C\") from names", "select lower(name) from names"),
 ]
 
 
