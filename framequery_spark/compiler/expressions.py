@@ -111,6 +111,38 @@ _COMMUTATIVE_AGGS = frozenset({
     "theta_sketch_agg", "theta_union_agg", "theta_intersection_agg",
 })
 
+def _decode_unistr(text: str) -> str:
+    """pg unistr() escape decoding: \\XXXX (4 hex), \\+XXXXXX (6 hex),
+    \\uXXXX, \\UXXXXXXXX (8 hex), and \\\\ for a literal backslash."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        nxt = text[i + 1:i + 2]
+        if nxt == "\\":
+            out.append("\\")
+            i += 2
+            continue
+        if nxt == "+":
+            hexs, skip = text[i + 2:i + 8], 8
+        elif nxt == "u":
+            hexs, skip = text[i + 2:i + 6], 6
+        elif nxt == "U":
+            hexs, skip = text[i + 2:i + 10], 10
+        else:
+            hexs, skip = text[i + 1:i + 5], 5
+        try:
+            out.append(chr(int(hexs, 16)))
+        except ValueError:
+            raise CompileError(
+                f"unistr(): invalid Unicode escape at position {i}")
+        i += skip
+    return "".join(out)
+
+
 def interval_expr(text: str) -> Column:
     """INTERVAL literal from pg interval text, with the text validated to a
     safe charset first — the value is interpolated into a SQL fragment, so
@@ -517,9 +549,11 @@ class ExprCompiler:
             # cannot parse; route through the INTERVAL literal syntax
             return interval_expr(node.expr.value)
         c = self.compile(node.expr)
-        if t == "json":
+        if t in ("json", "jsonb"):
             # reference: json.loads into object cells (util/_funcs.py:110-114);
-            # Spark-native: VariantType (Spark 4) keeps it queryable at scale
+            # Spark-native: VariantType (Spark 4) keeps it queryable at scale.
+            # jsonb differs from json only in pg's storage/dedup behavior —
+            # one parsed representation serves both here.
             return F.parse_json(c.cast("string"))
         if t == "time":
             # Spark has no TIME type; pg ::time projects the time-of-day.
@@ -574,6 +608,12 @@ class ExprCompiler:
     def _c_Extract(self, node: ast.Extract) -> Column:
         c = self.compile(node.expr)
         f = node.field.lower()
+        if f == "epoch" and self._operand_kind(node.expr) == "interval":
+            # pg extract(epoch FROM interval) = total seconds; computed by
+            # adding the interval to the epoch anchor (exact for day-time
+            # intervals, which is all `interval_expr` produces)
+            anchor = F.lit("1970-01-01 00:00:00").cast("timestamp")
+            return F.unix_micros(anchor + c) / 1_000_000.0
         if f in ("year", "y"):
             return F.year(c).cast("long")
         if f in ("month", "mon"):
@@ -752,6 +792,23 @@ class ExprCompiler:
             # regardless of the source column names
             return F.struct(*[self.compile(a).alias(f"f{i + 1}")
                               for i, a in enumerate(node.args)])
+        if name == "unistr":
+            arg = node.args[0]
+            if not (isinstance(arg, ast.Literal) and arg.kind == "string"):
+                raise CompileError("unistr() requires a string literal "
+                                   "argument")
+            return F.lit(_decode_unistr(arg.value))
+        if name == "__subscript" and len(node.args) == 2 \
+                and isinstance(node.args[1], ast.Literal) \
+                and node.args[1].kind == "string":
+            # jsonb subscripting (pg 14): expr['key'] on a json value.
+            # String keys cannot index Spark arrays, so the literal kind
+            # dispatches; chains like j['a']['b'] compose (each step
+            # returns JSON text).
+            k = node.args[1].value
+            path = f"$.{k}" if k.replace("_", "a").isalnum() else f"$['{k}']"
+            return F.get_json_object(
+                self.compile(node.args[0]).cast("string"), path)
         if name in ("json_build_object", "jsonb_build_object"):
             # pg json_build_object('k', v, ...) -> JSON object text. Keys
             # must be string literals (the overwhelmingly common pg usage):
@@ -770,9 +827,15 @@ class ExprCompiler:
                               .alias(str(key.value)))
             return F.to_json(F.struct(*fields))
         if name in ("json_build_array", "jsonb_build_array"):
-            # same-type elements (Spark arrays are homogeneous; pg allows
-            # mixed — cast explicitly for mixed-type arrays)
-            return F.to_json(F.array(*[self.compile(a) for a in node.args]))
+            # per-element JSON fragments (JVM to_json of a one-element
+            # array, brackets stripped), concatenated — each element keeps
+            # its own type, so mixed int/string/null arrays serialize like
+            # pg instead of being forced into one Spark array element type
+            frags = []
+            for a in node.args:
+                t = F.to_json(F.array(self.compile(a)))
+                frags.append(t.substr(F.lit(2), F.length(t) - 2))
+            return F.concat(F.lit("["), F.concat_ws(",", *frags), F.lit("]"))
         if name in AGG_NAMES:
             if not self.agg_context:
                 raise CompileError(
@@ -923,7 +986,9 @@ class ExprCompiler:
             col = self.compile(node.args[0])
             sep = node.args[1].value if len(node.args) > 1 and isinstance(
                 node.args[1], ast.Literal) else ","
-            return F.array_join(F.collect_list(col), sep)
+            # pg: a NULL delimiter concatenates without separators
+            return F.array_join(F.collect_list(col),
+                                sep if sep is not None else "")
         if name in ("json_agg", "jsonb_agg"):
             # pg json_agg(x) -> JSON array text. collect_list + to_json:
             # element serialization (structs/arrays/scalars) is JVM-side.
@@ -1089,7 +1154,7 @@ class ExprCompiler:
             if name == "string_agg":
                 sep = node.args[1].value if len(node.args) > 1 and isinstance(
                     node.args[1], ast.Literal) else ","
-                return F.array_join(vals, sep)
+                return F.array_join(vals, sep if sep is not None else "")
             if name in ("json_agg", "jsonb_agg"):
                 return F.to_json(vals)
             return vals
@@ -1222,9 +1287,7 @@ class ExprCompiler:
                 f"frame EXCLUDE is supported for sum/count/avg, not {name}() "
                 "(non-subtractable aggregate)")
         if spec.exclude in ("group", "ties") and spec.frame_type == "rows":
-            raise CompileError(
-                "EXCLUDE GROUP/TIES with a ROWS frame can cut through a "
-                "peer group and is not supported; use a RANGE frame")
+            return self._window_exclude_rows_peers(node, w, Window)
 
         def _offset(bound, default):
             if bound is None:
@@ -1271,6 +1334,128 @@ class ExprCompiler:
         if name == "count":
             return new_cnt
         new_sum = F.when(new_cnt > 0, F.coalesce(f_sum, F.lit(0)) - ex_sum)
+        if name == "avg":
+            return new_sum / new_cnt
+        return new_sum
+
+    def _window_exclude_rows_peers(self, node: ast.WindowCall, w,
+                                   Window) -> Column:
+        """EXCLUDE GROUP/TIES under a ROWS frame — the one exclusion form a
+        single subtraction cannot express, because a ROWS frame can cut
+        through the ORDER BY peer group: the excluded set is the
+        INTERSECTION of the frame's row range and the peer group's row
+        range.
+
+        Peers are contiguous once rows are ordered, so with row position
+        rn (staged as a pending pre-column — windows cannot nest), group
+        span [glo, ghi] (min/max of rn over the peer partition) and frame
+        span [rn+a, rn+b], the intersection is [max(glo, rn+a),
+        min(ghi, rn+b)] and its aggregate falls out of prefix sums:
+
+            peers_in_frame = pre(min(ghi, rn+b)) - pre(max(glo, rn+a) - 1)
+
+        Every pre() lands on one of four window shapes computable per row
+        with FIXED frame bounds: pre(ghi) = the default RANGE frame (it
+        includes all peers), pre(glo - 1) = pre(ghi) - group_sum,
+        pre(rn+b) = ROWS UNBOUNDED PRECEDING .. b FOLLOWING, and
+        pre(rn+a-1) = ROWS UNBOUNDED PRECEDING .. a-1. Which branch
+        applies is decided per row by comparing positions. Everything
+        stays a JVM window expression — no joins, no extra shuffles
+        beyond the window's own."""
+        call, spec = node.call, node.spec
+        name = call.name
+        if name not in ("sum", "count", "avg"):
+            raise CompileError(
+                f"frame EXCLUDE is supported for sum/count/avg, not {name}() "
+                "(non-subtractable aggregate)")
+        if call.distinct:
+            raise CompileError("frame EXCLUDE with DISTINCT is not supported")
+        arg = F.lit(1) if call.star else self.compile(call.args[0])
+
+        part = [self.compile(p) for p in spec.partition_by]
+        order = [self._sort_col(s) for s in spec.order_by]
+        if not order:
+            raise CompileError("a ROWS frame with EXCLUDE GROUP/TIES "
+                               "requires an ORDER BY clause")
+        w_pos = (Window.partitionBy(*part) if part
+                 else Window.partitionBy()).orderBy(*order)
+        rn_name = f"__xrn{self._scalar_counter}"
+        self._scalar_counter += 1
+        self.pending_precols.append((rn_name, F.row_number().over(w_pos)))
+        rn = F.col(rn_name)
+
+        INF = float("inf")
+
+        def _off(bound, default):
+            if bound is None:
+                return default
+            return {"unbounded_preceding": -INF, "current_row": 0,
+                    "unbounded_following": INF,
+                    "preceding": -(bound.value or 0),
+                    "following": (bound.value or 0)}[bound.kind]
+
+        a_off = _off(spec.frame_start, -INF)
+        b_off = _off(spec.frame_end, 0)
+
+        peers = [self.compile(p) for p in spec.partition_by] + \
+            [self.compile(s.expr) for s in spec.order_by]
+        wp = Window.partitionBy(*peers)
+        glo, ghi = F.min(rn).over(wp), F.max(rn).over(wp)
+        gsum = F.coalesce(F.sum(arg).over(wp), F.lit(0))
+        gcnt = (F.count(F.lit(1)) if call.star else F.count(arg)).over(wp)
+
+        # pre(ghi): default RANGE frame = everything up to and including
+        # the current row's whole peer group
+        w_rng = ((Window.partitionBy(*part) if part else Window.partitionBy())
+                 .orderBy(*order)
+                 .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        pre_ghi_s = F.coalesce(F.sum(arg).over(w_rng), F.lit(0))
+        pre_ghi_c = (F.count(F.lit(1)) if call.star
+                     else F.count(arg)).over(w_rng)
+
+        def _pre_rows(off):
+            wr = w_pos.rowsBetween(Window.unboundedPreceding, int(off))
+            return (F.coalesce(F.sum(arg).over(wr), F.lit(0)),
+                    (F.count(F.lit(1)) if call.star
+                     else F.count(arg)).over(wr))
+
+        if b_off == INF:
+            hi_s, hi_c = pre_ghi_s, pre_ghi_c
+        else:
+            s_, c_ = _pre_rows(b_off)
+            cond_hi = ghi <= rn + int(b_off)
+            hi_s = F.when(cond_hi, pre_ghi_s).otherwise(s_)
+            hi_c = F.when(cond_hi, pre_ghi_c).otherwise(c_)
+        if a_off == -INF:
+            lo_s, lo_c = pre_ghi_s - gsum, pre_ghi_c - gcnt
+        else:
+            s_, c_ = _pre_rows(a_off - 1)
+            cond_lo = glo >= rn + int(a_off)
+            lo_s = F.when(cond_lo, pre_ghi_s - gsum).otherwise(s_)
+            lo_c = F.when(cond_lo, pre_ghi_c - gcnt).otherwise(c_)
+
+        ilo = glo if a_off == -INF else F.greatest(glo, rn + int(a_off))
+        ihi = ghi if b_off == INF else F.least(ghi, rn + int(b_off))
+        nonempty = ilo <= ihi
+        peers_s = F.when(nonempty, hi_s - lo_s).otherwise(F.lit(0))
+        peers_c = F.when(nonempty, hi_c - lo_c).otherwise(F.lit(0))
+
+        contrib_c = F.lit(1) if call.star else arg.isNotNull().cast("long")
+        contrib_s = F.lit(1) if call.star else F.coalesce(arg, F.lit(0))
+        # the current row is in the frame iff a <= 0 <= b
+        in_frame = a_off <= 0 <= b_off
+        if spec.exclude == "group":
+            ex_s, ex_c = peers_s, peers_c
+        else:  # ties: keep the current row if the frame contains it
+            ex_s = peers_s - (contrib_s if in_frame else F.lit(0))
+            ex_c = peers_c - (contrib_c if in_frame else F.lit(0))
+
+        f_sum = F.sum(arg).over(w)
+        f_cnt = (F.count(F.lit(1)) if call.star else F.count(arg)).over(w)
+        new_cnt = f_cnt - ex_c
+        if name == "count":
+            return new_cnt
+        new_sum = F.when(new_cnt > 0, F.coalesce(f_sum, F.lit(0)) - ex_s)
         if name == "avg":
             return new_sum / new_cnt
         return new_sum

@@ -959,10 +959,12 @@ class QueryCompiler:
     # one projection — pg 10+ runs them in LOCKSTEP (row i of each, NULL-
     # padded to the longest), not as a cross product
     _SRF_NAMES = frozenset({
-        "unnest", "generate_series", "string_to_table",
+        "unnest", "generate_series", "generate_subscripts",
+        "string_to_table",
         "regexp_split_to_table", "json_array_elements",
         "json_array_elements_text", "jsonb_array_elements",
-        "jsonb_array_elements_text"})
+        "jsonb_array_elements_text", "json_object_keys",
+        "jsonb_object_keys"})
 
     def _srf_array(self, ec: ExprCompiler, call: ast.Call) -> Column:
         """The array a select-list SRF expands — explode happens once over
@@ -977,8 +979,14 @@ class QueryCompiler:
             return pg_sequence_column(*args[:3])
         if n == "string_to_table":
             return pg_split_column(args[0], args[1])
+        if n == "generate_subscripts":
+            return F.when(args[1] == 1,
+                          F.sequence(F.lit(1), F.size(args[0]))) \
+                .otherwise(F.array().cast("array<int>"))
         if n == "regexp_split_to_table":
             return F.split(args[0], args[1])
+        if n in ("json_object_keys", "jsonb_object_keys"):
+            return F.json_object_keys(args[0].cast("string"))
         return F.from_json(args[0].cast("string"), "array<string>")
 
     def _compile_project(self, df: DataFrame, sel: ast.Select,

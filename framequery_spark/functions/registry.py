@@ -3,14 +3,17 @@
 Parity set from the reference registry (reference:
 src/framequery/executor/_pandas.py:48-62, src/framequery/util/_funcs.py:66-114)
 plus a broad pg/DuckDB-overlapping library — everything here compiles to
-built-in `pyspark.sql.functions` (JVM-side, whole-stage-codegen'd); no Python
-UDFs in this module.
+built-in `pyspark.sql.functions` (JVM-side, whole-stage-codegen'd). The sole
+exceptions are the structural JSON editors (json_strip_nulls / jsonb_set /
+jsonb_insert), which have no Spark built-in and run as vectorized Arrow
+pandas_udfs — never row-at-a-time Python UDFs.
 """
 
 from __future__ import annotations
 
 from typing import Callable, Dict, List
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -463,8 +466,10 @@ _fixed("json_extract", lambda a: F.call_function("get_json_object", a[0], a[1]),
 _fixed("json_array_length",
        lambda a: F.json_array_length(a[0].cast("string")),
        "jsonb_array_length")
+# pg json_object_keys is SETOF text — explode like the other SRFs (the
+# select-list lockstep machinery recognizes it by name)
 _fixed("json_object_keys",
-       lambda a: F.json_object_keys(a[0].cast("string")),
+       lambda a: F.explode(F.json_object_keys(a[0].cast("string"))),
        "jsonb_object_keys")
 # pg to_json(x): any value -> JSON text. F.to_json only takes containers,
 # so wrap in a 1-element array and strip the brackets — exact for scalars,
@@ -500,3 +505,212 @@ def lookup(name: str) -> Builder:
         return REGISTRY[name]
     except KeyError:
         raise KeyError(f"unknown function: {name}") from None
+
+
+# ------------------------------------------------------- round-7 gap batch
+
+# pg justify_days/hours/interval re-decompose an interval's FIELDS
+# (30 days <-> 1 month, 24 hours <-> 1 day) without changing its value
+# under pg's own comparison semantics (which equate 1 month = 30 days).
+# Spark's DayTimeIntervalType stores normalized microseconds — there are
+# no fields to re-decompose — so these are value-identity here; Spark
+# cannot even construct the mixed month/day-time values whose display
+# these functions exist to clean up (the literal parser rejects them).
+_fixed("justify_days", lambda a: a[0])
+_fixed("justify_hours", lambda a: a[0])
+_fixed("justify_interval", lambda a: a[0])
+
+
+def _make_interval(a: List[Column]) -> Column:
+    """pg make_interval(years, months, weeks, days, hours, mins, secs).
+    Spark cannot mix year-month and day-time interval classes, so the
+    result is a day-time interval and nonzero year/month arguments raise
+    at runtime with guidance toward year-month INTERVAL literals."""
+    args = list(a) + [F.lit(0)] * (7 - len(a))
+    y, mo, w, d, h, mi, s = args
+    dt = ((w.cast("long") * 7 + d.cast("long")) * F.expr("INTERVAL '1' DAY")
+          + h.cast("long") * F.expr("INTERVAL '1' HOUR")
+          + mi.cast("long") * F.expr("INTERVAL '1' MINUTE")
+          + s.cast("double") * F.expr("INTERVAL '1' SECOND"))
+    return F.when(
+        (y.cast("long") != 0) | (mo.cast("long") != 0),
+        F.raise_error(F.lit(
+            "make_interval: year/month components are not representable "
+            "in a day-time interval; use an INTERVAL 'n years m months' "
+            "literal instead"))).otherwise(dt)
+
+
+_fixed("make_interval", _make_interval)
+
+# pg 15 regexp family (Spark has native, same first-match semantics;
+# regexp_substr returns NULL on no match, regexp_instr 0)
+_fixed("regexp_substr", lambda a: F.regexp_substr(a[0], a[1]))
+_fixed("regexp_instr", lambda a: F.regexp_instr(a[0], a[1]))
+
+
+def _to_ascii(a: List[Column]) -> Column:
+    # pg to_ascii only converts from LATIN1/LATIN2/LATIN9/WIN1250 and
+    # raises in UTF8 databases; this engine is UTF8-only, so mirror pg
+    raise ValueError(
+        "to_ascii: encoding conversion from UTF8 to ASCII is not "
+        "supported (PostgreSQL raises the same in UTF8 databases)")
+
+
+_fixed("to_ascii", _to_ascii)
+
+# ------------------------------------------------------------ array batch
+# pg array_fill(value, dims[, lower_bounds]) — 1-D only (dims[1]); our
+# array surface is 1-D throughout (string_to_array, ARRAY literals)
+_fixed("array_fill",
+       lambda a: F.array_repeat(a[0], F.element_at(a[1], 1).cast("int")))
+_fixed("array_ndims", lambda a: F.when(a[0].isNotNull(), F.lit(1)))
+_fixed("array_lower",
+       lambda a: F.when((a[1] == 1) & (F.size(a[0]) >= 1), F.lit(1)))
+_fixed("array_upper",
+       lambda a: F.when((a[1] == 1) & (F.size(a[0]) >= 1), F.size(a[0])))
+_fixed("array_shuffle", lambda a: F.shuffle(a[0]))
+
+
+def _array_sample(a: List[Column]) -> Column:
+    # pg 16: n random elements without replacement; n outside
+    # [0, cardinality] is an error (not a clamp)
+    return F.when(
+        (a[1] < 0) | (a[1] > F.size(a[0])),
+        F.raise_error(F.lit(
+            "array_sample: sample size must be between 0 and the array "
+            "length"))
+    ).otherwise(F.slice(F.shuffle(a[0]), F.lit(1), a[1]))
+
+
+_fixed("array_sample", _array_sample)
+
+# generate_subscripts(arr, dim): subscript series of one dimension — an
+# SRF like generate_series; dim > 1 yields the empty set (1-D arrays)
+_fixed("generate_subscripts", lambda a: F.explode(
+    F.when(a[1] == 1, F.sequence(F.lit(1), F.size(a[0])))
+    .otherwise(F.array().cast("array<int>"))))
+
+
+# --------------------------------------------- json mutation (Arrow batch)
+# No Spark built-ins exist for structural JSON edits; these run as
+# vectorized Arrow pandas_udfs (never row-at-a-time Python UDFs) — the
+# same tier the multimodal decode batch uses. Inputs/outputs are JSON
+# text, matching the engine's json representation.
+
+def _pg_json_path(p) -> list:
+    # pg text-array path literal: '{a,b,0}' -> ['a', 'b', '0']
+    p = (p or "").strip()
+    if p.startswith("{") and p.endswith("}"):
+        p = p[1:-1]
+    return [s.strip() for s in p.split(",")] if p else []
+
+
+def _json_strip_nulls_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def strip(col: pd.Series) -> pd.Series:
+        import json as _json
+
+        def walk(v):
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items() if x is not None}
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            return v
+
+        def one(s):
+            if s is None:
+                return None
+            return _json.dumps(walk(_json.loads(s)),
+                               separators=(",", ":"))
+
+        return col.map(one)
+
+    return strip
+
+
+_fixed("json_strip_nulls",
+       lambda a: _json_strip_nulls_udf()(a[0].cast("string")),
+       "jsonb_strip_nulls")
+
+
+def _jsonb_edit_udf(insert_mode: bool):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def edit(target: pd.Series, path: pd.Series, newval: pd.Series,
+             flag: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(t, p, n, fl):
+            if t is None or p is None:
+                return None
+            doc = _json.loads(t)
+            parts = _pg_json_path(p)
+            new = _json.loads(n) if n is not None else None
+            if not parts:
+                return _json.dumps(doc, separators=(",", ":"))
+            cur = doc
+            for seg in parts[:-1]:
+                if isinstance(cur, list):
+                    cur = cur[int(seg)]
+                elif isinstance(cur, dict):
+                    if seg not in cur:
+                        return _json.dumps(doc, separators=(",", ":"))
+                    cur = cur[seg]
+                else:
+                    return _json.dumps(doc, separators=(",", ":"))
+            last = parts[-1]
+            if insert_mode:
+                # jsonb_insert: arrays insert before (after when flag);
+                # object keys insert only when absent (pg errors on
+                # existing keys — mirrored)
+                if isinstance(cur, list):
+                    i = int(last)
+                    if i < 0:
+                        i = len(cur) + i + (1 if fl else 0)
+                    else:
+                        i = i + (1 if fl else 0)
+                    cur.insert(i, new)
+                elif isinstance(cur, dict):
+                    if last in cur:
+                        raise ValueError(
+                            "jsonb_insert: cannot replace an existing key")
+                    cur[last] = new
+            else:
+                # jsonb_set: create_missing (flag, default true) controls
+                # whether an absent object key is added
+                if isinstance(cur, list):
+                    i = int(last)
+                    if -len(cur) <= i < len(cur):
+                        cur[i] = new
+                    elif fl:
+                        cur.insert(0 if i < 0 else len(cur), new)
+                elif isinstance(cur, dict):
+                    if last in cur or fl:
+                        cur[last] = new
+            return _json.dumps(doc, separators=(",", ":"))
+
+        return pd.Series([one(t, p, n, bool(fl) if fl is not None else None)
+                          for t, p, n, fl in
+                          zip(target, path, newval, flag)])
+
+    return edit
+
+
+def _jsonb_set(a: List[Column]) -> Column:
+    flag = a[3] if len(a) > 3 else F.lit(True)
+    return _jsonb_edit_udf(False)(a[0].cast("string"), a[1].cast("string"),
+                                  a[2].cast("string"),
+                                  flag.cast("boolean"))
+
+
+def _jsonb_insert(a: List[Column]) -> Column:
+    flag = a[3] if len(a) > 3 else F.lit(False)
+    return _jsonb_edit_udf(True)(a[0].cast("string"), a[1].cast("string"),
+                                 a[2].cast("string"), flag.cast("boolean"))
+
+
+_fixed("jsonb_set", _jsonb_set, "json_set")
+_fixed("jsonb_insert", _jsonb_insert)

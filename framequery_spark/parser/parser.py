@@ -1872,6 +1872,13 @@ class Parser:
                 length = self.parse_expr()
             self.expect_op(")")
             return ast.SubstringCall(source=source, start=start, length=length)
+        if self.accept_kw("for"):
+            # pg substring(s FOR n) == substring(s FROM 1 FOR n)
+            length = self.parse_expr()
+            self.expect_op(")")
+            return ast.SubstringCall(source=source,
+                                     start=ast.Literal(1, "int"),
+                                     length=length)
         if self.accept_op(","):
             start = self.parse_expr()
             length = None

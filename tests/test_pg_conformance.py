@@ -332,6 +332,54 @@ QUERIES = [
      "select c2, sum(c2) over (order by dr range between 1 preceding and "
      "1 following) - sum(c2) over (partition by dr) + c2 s from (select "
      "c2, dense_rank() over (order by c1) dr from test) t"),
+    # EXCLUDE GROUP/TIES under ROWS frames (round 7): the frame can cut
+    # through the peer group, so the excluded set is frame ∩ group. The
+    # oracles recompute it independently via correlated subqueries over
+    # row positions. Only the order key itself is aggregated (its value is
+    # constant within a peer group), so the result multiset is invariant
+    # to how ties are numbered — which differs between engines.
+    ("select sum(c1) over (order by c1 rows between 1 preceding and 1 "
+     "following exclude group) s from test",
+     "with n as (select c1, row_number() over (order by c1) rn from test) "
+     "select (select sum(t2.c1) from n t2 where t2.rn between t1.rn - 1 "
+     "and t1.rn + 1 and t2.c1 <> t1.c1) s from n t1"),
+    ("select sum(c1) over (order by c1 rows between 1 preceding and 1 "
+     "following exclude ties) s from test",
+     "with n as (select c1, row_number() over (order by c1) rn from test) "
+     "select (select sum(t2.c1) from n t2 where t2.rn between t1.rn - 1 "
+     "and t1.rn + 1 and (t2.c1 <> t1.c1 or t2.rn = t1.rn)) s from n t1"),
+    # frame that does NOT contain the current row: peers in the frame are
+    # still excluded (the old RANGE-only shortcut must not fire here)
+    ("select sum(c1) over (order by c1 rows between 2 preceding and 1 "
+     "preceding exclude group) s from test",
+     "with n as (select c1, row_number() over (order by c1) rn from test) "
+     "select (select sum(t2.c1) from n t2 where t2.rn between t1.rn - 2 "
+     "and t1.rn - 1 and t2.c1 <> t1.c1) s from n t1"),
+    ("select count(*) over (order by c1 rows between 1 preceding and 1 "
+     "following exclude group) s from test",
+     "with n as (select c1, row_number() over (order by c1) rn from test) "
+     "select (select count(*) from n t2 where t2.rn between t1.rn - 1 "
+     "and t1.rn + 1 and t2.c1 <> t1.c1) s from n t1"),
+    ("select avg(c1) over (order by c1 rows between 1 preceding and "
+     "unbounded following exclude ties) s from test",
+     "with n as (select c1, row_number() over (order by c1) rn from test) "
+     "select (select avg(t2.c1) from n t2 where t2.rn >= t1.rn - 1 "
+     "and (t2.c1 <> t1.c1 or t2.rn = t1.rn)) s from n t1"),
+    # count(expr) with a NULL-valued peer group (null-pattern constant per
+    # group, so the multiset stays engine-invariant)
+    ("select count(case when c1 = 1 then c2 end) over (order by c1 rows "
+     "between 1 preceding and 1 following exclude group) s from test",
+     "with n as (select c1, c2, row_number() over (order by c1) rn "
+     "from test) select (select count(case when t2.c1 = 1 then t2.c2 end) "
+     "from n t2 where t2.rn between t1.rn - 1 and t1.rn + 1 "
+     "and t2.c1 <> t1.c1) s from n t1"),
+    # partitioned: frame and peer spans both live inside the partition
+    ("select sum(c1) over (partition by c2 % 2 order by c1 rows between "
+     "1 preceding and 1 following exclude group) s from test",
+     "with n as (select c1, c2 % 2 p, row_number() over (partition by "
+     "c2 % 2 order by c1) rn from test) select (select sum(t2.c1) from n "
+     "t2 where t2.p = t1.p and t2.rn between t1.rn - 1 and t1.rn + 1 and "
+     "t2.c1 <> t1.c1) s from n t1"),
     # GROUPS frame in a named window and alongside other windows
     ("select c2, sum(c2) over w s from test window w as (order by c1 "
      "groups between 1 preceding and current row)",
@@ -343,6 +391,66 @@ QUERIES = [
      "select c2, sum(c2) over (order by dr range between 1 preceding and "
      "1 following) s, row_number() over (order by c2) rn from (select "
      "c2, dense_rank() over (order by c1) dr from test) t"),
+    # ---- round-7 sweep promotions: intervals, strings, arrays, json
+    ("select justify_days(interval '35 days')",
+     "select interval '1 month 5 days'"),
+    ("select justify_hours(interval '30 hours')",
+     "select interval '1 day 6 hours'"),
+    ("select make_interval(0, 0, 0, 2, 3, 0, 0)",
+     "select interval '2 days 3 hours'"),
+    ("select interval '2 hours' * 3, interval '1 day' / 2",
+     "select interval '6 hours', interval '12 hours'"),
+    ("select extract(epoch from interval '1 day 2 hours')",
+     "select 93600.0"),
+    ("select overlay('abcdef' placing 'XX' from 2 for 3)",
+     "select 'aXXef'"),
+    "select position('b' in name) from names",
+    ("select trim(both 'x' from 'xxaxx'), trim(leading 'x' from 'xxa'), "
+     "trim(trailing 'x' from 'axx')", "select 'a', 'a', 'a'"),
+    ("select 'ab' like 'a_' escape '\\', 'a_b' like 'a\\_b' escape '\\'",
+     "select true, true"),
+    ("select bit_length('abc'), octet_length('abc')", "select 24, 3"),
+    ("select regexp_substr(name, '[aeiou]+') from names",
+     "select regexp_extract(name, '[aeiou]+') from names"),
+    ("select regexp_instr('abcdef', 'cd')", "select 3"),
+    ("select unistr('d\\0061ta'), unistr('x\\+000041y')",
+     "select 'data', 'xAy'"),
+    ("select substring('abcdef' for 3), substring('abcdef' from 3)",
+     "select 'abc', 'cdef'"),
+    ("select round(1234.5678, -2), trunc(1234.5678, -2)",
+     "select 1200.0, 1200.0"),
+    ("select mod(-7, 3), (-7) % 3", "select -1, -1"),
+    ("select array_fill(7, array[3])", "select [7, 7, 7]"),
+    ("select generate_subscripts(array[10,20,30], 1)",
+     "select unnest([1, 2, 3])"),
+    ("select array_ndims(array[1,2,3]), array_lower(array[1,2,3], 1), "
+     "array_upper(array[1,2,3], 1)", "select 1, 1, 3"),
+    ("select array_sample(array[1,2,3], 0), array_shuffle(array[9])",
+     "select []::int[], [9]"),
+    # (row) < (row) with ORDER BY trips a DuckDB internal error when run
+    # verbatim against registered frames — spell the oracle out instead
+    ("select (c1, c2) < (1, 3) from test order by c2",
+     "select c1 < 1 or (c1 = 1 and c2 < 3) from test order by c2"),
+    ("select (1, 'a') = (1, 'a'), (1, 2) <> (1, 3)", "select true, true"),
+    "select c2 from test where (c1, c2) >= (1, 4) order by c2",
+    ("select c2 between symmetric 4 and 2 from test order by c2",
+     "select c2 between 2 and 4 from test order by c2"),
+    ("select json_strip_nulls('{\"a\": null, \"b\": 1}'::json)",
+     "select '{\"b\":1}'"),
+    ("select jsonb_set('{\"a\":1}'::jsonb, '{b}', '2'::jsonb)",
+     "select '{\"a\":1,\"b\":2}'"),
+    ("select jsonb_set('{\"a\":1}'::jsonb, '{b}', '2'::jsonb, false)",
+     "select '{\"a\":1}'"),
+    ("select jsonb_insert('{\"a\":[1,3]}'::jsonb, '{a,1}', '2'::jsonb)",
+     "select '{\"a\":[1,2,3]}'"),
+    ("select json_build_object('a', 1, 'b', name) from names",
+     "select to_json({'a': 1, 'b': name}) from names"),
+    ("select json_build_array(1, 'x', null)", "select '[1,\"x\",null]'"),
+    ("select ('{\"a\": {\"b\": 7}}'::jsonb)['a']['b']", "select '7'"),
+    ("select jsonb_object_keys('{\"a\":1,\"b\":2}'::jsonb)",
+     "select unnest(['a','b'])"),
+    ("select string_agg(name, null) from names",
+     "select string_agg(name, '') from names"),
     # WINDOW clause refinement + chaining
     "select c2, sum(c2) over (w order by c2) from test window w as (partition by c1)",
     ("select c2, sum(c2) over w2 from test "

