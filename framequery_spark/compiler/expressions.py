@@ -111,9 +111,37 @@ _COMMUTATIVE_AGGS = frozenset({
     "theta_sketch_agg", "theta_union_agg", "theta_intersection_agg",
 })
 
+import itertools as _itertools
+
+# window helper pre-columns (GROUPS dense_rank keys, ROWS-EXCLUDE row
+# numbers) can be staged by SEVERAL ExprCompiler instances onto the same
+# relation (projection + QUALIFY both attach) — a process-wide sequence
+# keeps the hidden names collision-free
+_PRECOL_SEQ = _itertools.count()
+
+
+def _next_precol_name(tag: str) -> str:
+    return f"__{tag}{next(_PRECOL_SEQ)}"
+
+
+def _json_path_for_key(k: str) -> str:
+    """JSONPath fragment for one object key (shared by -> / ->> and jsonb
+    subscripting). get_json_object's path syntax cannot quote ' or ] —
+    refuse loudly rather than returning a silent NULL."""
+    if k.replace("_", "a").isalnum():
+        return f"$.{k}"
+    if "'" in k or "]" in k:
+        raise CompileError(
+            f"JSON key {k!r} contains characters the JSONPath accessor "
+            "cannot express (' or ])")
+    return f"$['{k}']"
+
+
 def _decode_unistr(text: str) -> str:
     """pg unistr() escape decoding: \\XXXX (4 hex), \\+XXXXXX (6 hex),
-    \\uXXXX, \\UXXXXXXXX (8 hex), and \\\\ for a literal backslash."""
+    \\uXXXX, \\UXXXXXXXX (8 hex), and \\\\ for a literal backslash.
+    Surrogate pairs combine into one code point (pg accepts them); lone
+    surrogates and malformed escapes raise like pg does."""
     out, i, n = [], 0, len(text)
     while i < n:
         ch = text[i]
@@ -134,13 +162,19 @@ def _decode_unistr(text: str) -> str:
             hexs, skip = text[i + 2:i + 10], 10
         else:
             hexs, skip = text[i + 1:i + 5], 5
-        try:
-            out.append(chr(int(hexs, 16)))
-        except ValueError:
+        want = skip - 2 if nxt in ("+", "u", "U") else 4
+        if len(hexs) != want or not _re.fullmatch(r"[0-9A-Fa-f]+", hexs):
             raise CompileError(
                 f"unistr(): invalid Unicode escape at position {i}")
+        out.append(chr(int(hexs, 16)))
         i += skip
-    return "".join(out)
+    s = "".join(out)
+    try:
+        # recombine UTF-16 surrogate pairs written as two \XXXX escapes;
+        # a lone surrogate fails the strict decode -> reject like pg
+        return s.encode("utf-16-le", "surrogatepass").decode("utf-16-le")
+    except UnicodeDecodeError:
+        raise CompileError("unistr(): invalid surrogate pair")
 
 
 def interval_expr(text: str) -> Column:
@@ -354,9 +388,22 @@ class ExprCompiler:
             return None
         if isinstance(node, ast.Call) and node.name.lower() == "current_date":
             return "date"
+        if isinstance(node, ast.Call) and node.name.lower() in (
+                "justify_days", "justify_hours", "justify_interval",
+                "make_interval"):
+            return "interval"
         if isinstance(node, ast.Unary) and node.op in ("-", "+"):
             k = ExprCompiler._static_kind(node.operand)
             return k if k == "int" else None
+        if isinstance(node, ast.Binary):
+            # interval arithmetic stays interval: iv * n, iv / n, iv ± iv
+            lk = ExprCompiler._static_kind(node.left)
+            rk = ExprCompiler._static_kind(node.right)
+            if node.op in ("*", "/") and "interval" in (lk, rk):
+                return "interval"
+            if node.op in ("+", "-") and lk == "interval" \
+                    and rk == "interval":
+                return "interval"
         return None
 
     def _operand_kind(self, node: ast.Node) -> Optional[str]:
@@ -405,6 +452,8 @@ class ExprCompiler:
             return "ts"
         if dtype in ("int", "bigint", "smallint", "tinyint"):
             return "int"
+        if dtype.startswith("interval"):
+            return "interval"
         return None
 
     def _c_Binary(self, node: ast.Binary) -> Column:
@@ -805,10 +854,9 @@ class ExprCompiler:
             # String keys cannot index Spark arrays, so the literal kind
             # dispatches; chains like j['a']['b'] compose (each step
             # returns JSON text).
-            k = node.args[1].value
-            path = f"$.{k}" if k.replace("_", "a").isalnum() else f"$['{k}']"
             return F.get_json_object(
-                self.compile(node.args[0]).cast("string"), path)
+                self.compile(node.args[0]).cast("string"),
+                _json_path_for_key(node.args[1].value))
         if name in ("json_build_object", "jsonb_build_object"):
             # pg json_build_object('k', v, ...) -> JSON object text. Keys
             # must be string literals (the overwhelmingly common pg usage):
@@ -924,8 +972,7 @@ class ExprCompiler:
         obj = self.compile(src)
         key = node.args[1]
         if isinstance(key, ast.Literal) and key.kind == "string":
-            k = key.value
-            path = f"$.{k}" if k.replace("_", "a").isalnum() else f"$['{k}']"
+            path = _json_path_for_key(key.value)
         elif isinstance(key, ast.Literal) and key.kind == "int":
             if key.value < 0:
                 # pg 13+: negative index counts from the array end.
@@ -1261,8 +1308,7 @@ class ExprCompiler:
             *[self.compile(p) for p in spec.partition_by]) \
             if spec.partition_by else Window.partitionBy()
         wdr = wdr.orderBy(*[self._sort_col(s) for s in spec.order_by])
-        name = f"__gdr{len(self.pending_precols)}_{self._scalar_counter}"
-        self._scalar_counter += 1
+        name = _next_precol_name("gdr")
         self.pending_precols.append((name, F.dense_rank().over(wdr)))
         new_spec = _dc.replace(
             spec, frame_type="range",
@@ -1379,10 +1425,18 @@ class ExprCompiler:
                                "requires an ORDER BY clause")
         w_pos = (Window.partitionBy(*part) if part
                  else Window.partitionBy()).orderBy(*order)
-        rn_name = f"__xrn{self._scalar_counter}"
-        self._scalar_counter += 1
+        rn_name = _next_precol_name("xrn")
         self.pending_precols.append((rn_name, F.row_number().over(w_pos)))
         rn = F.col(rn_name)
+        # Every POSITIONAL window below re-sorts in its own window exec;
+        # with tied ORDER BY keys that sort is not guaranteed to reproduce
+        # the tie order rn was assigned under (the peer window even
+        # re-shuffles on a different key set). Appending the staged rn as
+        # the final sort key makes each positional sort total AND
+        # consistent with the staged numbering — the whole computation then
+        # reflects one single valid tie ordering.
+        w_tot = (Window.partitionBy(*part) if part
+                 else Window.partitionBy()).orderBy(*order, rn.asc())
 
         INF = float("inf")
 
@@ -1414,7 +1468,7 @@ class ExprCompiler:
                      else F.count(arg)).over(w_rng)
 
         def _pre_rows(off):
-            wr = w_pos.rowsBetween(Window.unboundedPreceding, int(off))
+            wr = w_tot.rowsBetween(Window.unboundedPreceding, int(off))
             return (F.coalesce(F.sum(arg).over(wr), F.lit(0)),
                     (F.count(F.lit(1)) if call.star
                      else F.count(arg)).over(wr))
@@ -1450,8 +1504,15 @@ class ExprCompiler:
             ex_s = peers_s - (contrib_s if in_frame else F.lit(0))
             ex_c = peers_c - (contrib_c if in_frame else F.lit(0))
 
-        f_sum = F.sum(arg).over(w)
-        f_cnt = (F.count(F.lit(1)) if call.star else F.count(arg)).over(w)
+        # the user's ROWS frame, rebuilt on the rn-tiebroken total order so
+        # the frame contents agree with the tie ordering rn was staged under
+        f_start = (Window.unboundedPreceding if a_off == -INF
+                   else int(a_off))
+        f_end = Window.unboundedFollowing if b_off == INF else int(b_off)
+        w_frame = w_tot.rowsBetween(f_start, f_end)
+        f_sum = F.sum(arg).over(w_frame)
+        f_cnt = (F.count(F.lit(1)) if call.star
+                 else F.count(arg)).over(w_frame)
         new_cnt = f_cnt - ex_c
         if name == "count":
             return new_cnt

@@ -980,9 +980,9 @@ class QueryCompiler:
         if n == "string_to_table":
             return pg_split_column(args[0], args[1])
         if n == "generate_subscripts":
-            return F.when(args[1] == 1,
-                          F.sequence(F.lit(1), F.size(args[0]))) \
-                .otherwise(F.array().cast("array<int>"))
+            from ..functions.registry import pg_subscripts_column
+
+            return pg_subscripts_column(args[0], args[1])
         if n == "regexp_split_to_table":
             return F.split(args[0], args[1])
         if n in ("json_object_keys", "jsonb_object_keys"):

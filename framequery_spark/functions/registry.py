@@ -585,10 +585,20 @@ def _array_sample(a: List[Column]) -> Column:
 _fixed("array_sample", _array_sample)
 
 # generate_subscripts(arr, dim): subscript series of one dimension — an
-# SRF like generate_series; dim > 1 yields the empty set (1-D arrays)
-_fixed("generate_subscripts", lambda a: F.explode(
-    F.when(a[1] == 1, F.sequence(F.lit(1), F.size(a[0])))
-    .otherwise(F.array().cast("array<int>"))))
+# SRF like generate_series; dim > 1 yields the empty set (1-D arrays).
+# Shared with the select-list lockstep path (compiler/select._srf_array).
+
+
+def pg_subscripts_column(arr: Column, dim: Column) -> Column:
+    # sequence(1, 0) runs DESCENDING in Spark ([1, 0]) — an empty array
+    # must yield the empty set, so guard size >= 1 explicitly
+    return F.when((dim == 1) & (F.size(arr) >= 1),
+                  F.sequence(F.lit(1), F.size(arr))) \
+        .otherwise(F.array().cast("array<int>"))
+
+
+_fixed("generate_subscripts",
+       lambda a: F.explode(pg_subscripts_column(a[0], a[1])))
 
 
 # --------------------------------------------- json mutation (Arrow batch)
@@ -605,7 +615,15 @@ def _pg_json_path(p) -> list:
     return [s.strip() for s in p.split(",")] if p else []
 
 
+# one lazily-built singleton per UDF shape — pandas_udf construction wraps
+# and serializes a closure, which should happen once per process, not once
+# per compiled expression
+_JSON_UDF_CACHE: Dict[str, Callable] = {}
+
+
 def _json_strip_nulls_udf():
+    if "strip" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["strip"]
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -627,6 +645,7 @@ def _json_strip_nulls_udf():
 
         return col.map(one)
 
+    _JSON_UDF_CACHE["strip"] = strip
     return strip
 
 
@@ -636,6 +655,9 @@ _fixed("json_strip_nulls",
 
 
 def _jsonb_edit_udf(insert_mode: bool):
+    key = "insert" if insert_mode else "set"
+    if key in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE[key]
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -644,17 +666,26 @@ def _jsonb_edit_udf(insert_mode: bool):
         import json as _json
 
         def one(t, p, n, fl):
-            if t is None or p is None:
+            # pg's jsonb_set/jsonb_insert are STRICT: any NULL argument
+            # (including the new value — the famous jsonb_set footgun)
+            # yields SQL NULL, never a JSON null write
+            if t is None or p is None or n is None or fl is None:
                 return None
             doc = _json.loads(t)
             parts = _pg_json_path(p)
-            new = _json.loads(n) if n is not None else None
+            new = _json.loads(n)
             if not parts:
                 return _json.dumps(doc, separators=(",", ":"))
             cur = doc
             for seg in parts[:-1]:
                 if isinstance(cur, list):
-                    cur = cur[int(seg)]
+                    # a non-integer or out-of-range segment means the path
+                    # does not exist: return the target unchanged (pg's
+                    # no-op behavior for absent intermediate steps)
+                    try:
+                        cur = cur[int(seg)]
+                    except (ValueError, IndexError):
+                        return _json.dumps(doc, separators=(",", ":"))
                 elif isinstance(cur, dict):
                     if seg not in cur:
                         return _json.dumps(doc, separators=(",", ":"))
@@ -662,6 +693,12 @@ def _jsonb_edit_udf(insert_mode: bool):
                 else:
                     return _json.dumps(doc, separators=(",", ":"))
             last = parts[-1]
+            if isinstance(cur, list):
+                try:
+                    int(last)
+                except ValueError:
+                    # non-integer subscript into an array: path absent
+                    return _json.dumps(doc, separators=(",", ":"))
             if insert_mode:
                 # jsonb_insert: arrays insert before (after when flag);
                 # object keys insert only when absent (pg errors on
@@ -696,6 +733,7 @@ def _jsonb_edit_udf(insert_mode: bool):
                           for t, p, n, fl in
                           zip(target, path, newval, flag)])
 
+    _JSON_UDF_CACHE[key] = edit
     return edit
 
 

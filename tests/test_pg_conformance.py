@@ -451,6 +451,24 @@ QUERIES = [
      "select unnest(['a','b'])"),
     ("select string_agg(name, null) from names",
      "select string_agg(name, '') from names"),
+    # review-fix regressions: empty-array subscripts, STRICT jsonb edits,
+    # absent-path no-ops, surrogate-pair unistr, GROUPS in agg + QUALIFY
+    ("select generate_subscripts(array_remove(array[1], 1), 1)",
+     "select unnest([]::int[])"),
+    ("select jsonb_set('{\"a\":1}'::jsonb, '{a}', null)", "select null"),
+    ("select jsonb_set('{\"a\":[1]}'::jsonb, '{a,5,b}', '2'::jsonb)",
+     "select '{\"a\":[1]}'"),
+    ("select jsonb_set('{\"a\":[1]}'::jsonb, '{a,x}', '2'::jsonb)",
+     "select '{\"a\":[1]}'"),
+    ("select unistr('\\D808\\DF45')", "select chr(74565)"),
+    ("select c1, sum(sum(c2)) over (order by c1 groups between 1 "
+     "preceding and current row) s from test group by c1 "
+     "qualify count(*) over (order by c1 groups between 1 preceding and "
+     "current row) > 1",
+     "select c1, sum(s2) over (order by c1 rows between 1 preceding and "
+     "current row) s from (select c1, sum(c2) s2 from test group by c1) t "
+     "qualify count(*) over (order by c1 rows between 1 preceding and "
+     "current row) > 1"),
     # WINDOW clause refinement + chaining
     "select c2, sum(c2) over (w order by c2) from test window w as (partition by c1)",
     ("select c2, sum(c2) over w2 from test "
