@@ -338,3 +338,47 @@ def test_bigram_lm_salted_path_matches_broadcast_path(docs):
     release_cached()
     assert base == salted
     assert len(base) > 0
+
+
+def test_ngram_novelty_is_gram_keyed_equi_join(docs):
+    """Novelty joins the distinct (gram, id) pairs to the min-id-per-gram
+    table on the gram key — a hash equi join whose fan-out is the number
+    of documents carrying each gram, never an all-pairs product."""
+    from framequery_spark.operators.text import ngram_novelty
+
+    _assert_no_cartesian(ngram_novelty(docs))
+
+
+def test_source_overlap_broadcasts_size_table(docs):
+    """The per-group vocabulary sizes are a group-bounded aggregate and
+    must broadcast onto the pair counts; the vocab self-join stays a
+    term-keyed equi join (fan-out bounded by #groups per term)."""
+    from framequery_spark.operators.cache import release_cached
+    from framequery_spark.operators.text import source_overlap
+
+    plan = formatted_plan(source_overlap(docs))
+    release_cached()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zipf_slope_aggregates_after_one_vocab_shuffle(docs):
+    """Zipf fitting works on the (group, term) count table — vocabulary-
+    sized, not corpus-sized; no joins at all appear in the plan."""
+    from framequery_spark.operators.text import zipf_slope
+
+    plan = formatted_plan(zipf_slope(docs))
+    assert "Join" not in plan, plan
+
+
+def test_perplexity_buckets_joins_on_id(docs):
+    """Bucketing joins the unigram scores back on the id key — a hash
+    equi join. (The one BroadcastNestedLoopJoin in the plan is
+    unigram_nll's deliberate 1-row corpus-total broadcast, not a
+    candidate join.)"""
+    from framequery_spark.operators.text import perplexity_buckets
+
+    plan = formatted_plan(perplexity_buckets(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
