@@ -841,6 +841,24 @@ class ExprCompiler:
             # regardless of the source column names
             return F.struct(*[self.compile(a).alias(f"f{i + 1}")
                               for i, a in enumerate(node.args)])
+        if name == "__is_json":
+            # pg 16 IS JSON [VALUE|SCALAR|ARRAY|OBJECT]: NULL in -> NULL,
+            # validity via Spark's native JSON parser (try_parse_json),
+            # shape via the first non-space character
+            x = self.compile(node.args[0]).cast("string")
+            kind = node.args[1].value
+            t = F.trim(x)
+            base = F.try_parse_json(x).isNotNull()
+            if kind == "object":
+                base = base & t.startswith("{")
+            elif kind == "array":
+                base = base & t.startswith("[")
+            elif kind == "scalar":
+                base = base & ~t.startswith("{") & ~t.startswith("[")
+            return F.when(x.isNull(),
+                          F.lit(None).cast("boolean")).otherwise(base)
+        if name in ("json_exists", "json_value", "json_query"):
+            return self._compile_sql_json(node)
         if name == "unistr":
             arg = node.args[0]
             if not (isinstance(arg, ast.Literal) and arg.kind == "string"):
@@ -898,6 +916,51 @@ class ExprCompiler:
             args = [self.compile(a) for a in node.args]
             return REGISTRY[name](args)
         raise CompileError(f"unknown function: {name}")
+
+    def _compile_sql_json(self, node: ast.Call) -> Column:
+        """pg 17 SQL/JSON query functions (2-argument forms).
+
+        Non-wildcard paths ride Spark's variant machinery
+        (parse_json + try_variant_get), which distinguishes a MISSING
+        member from an explicit JSON null — exactly json_exists'
+        semantics. to_json on the extracted variant re-serializes with
+        proper quoting for json_query. Wildcard paths ([*]) fall back to
+        get_json_object (variant paths reject them); its scalar results
+        come back unquoted, a documented deviation for json_query over
+        wildcards. jsonpath filter expressions (? (...) / @) are not
+        supported and raise."""
+        name = node.name
+        patharg = node.args[1] if len(node.args) > 1 else None
+        if not (isinstance(patharg, ast.Literal) and patharg.kind == "string"):
+            raise CompileError(f"{name}() requires a literal jsonpath "
+                               "second argument")
+        path = patharg.value
+        if "?" in path or "@" in path:
+            raise CompileError(
+                f"{name}(): jsonpath filter expressions are not supported")
+        j = self.compile(node.args[0]).cast("string")
+        if "*" in path:
+            g = F.get_json_object(j, path)
+            if name == "json_exists":
+                return F.when(j.isNull(), F.lit(None).cast("boolean")) \
+                    .otherwise(g.isNotNull())
+            if name == "json_query":
+                return g
+            return F.when(g.startswith("{") | g.startswith("["),
+                          F.lit(None).cast("string")).otherwise(g)
+        v = F.try_variant_get(F.parse_json(j), path, "variant")
+        if name == "json_exists":
+            return F.when(j.isNull(), F.lit(None).cast("boolean")) \
+                .otherwise(v.isNotNull())
+        jt = F.to_json(v)
+        if name == "json_query":
+            return jt
+        # json_value: scalars only (pg default ON ERROR is NULL for
+        # objects/arrays); an explicit JSON null is SQL NULL
+        s = F.try_variant_get(F.parse_json(j), path, "string")
+        return F.when(jt.isNull() | (jt == "null")
+                      | jt.startswith("{") | jt.startswith("["),
+                      F.lit(None).cast("string")).otherwise(s)
 
     def _compile_quant_array(self, node: ast.Call) -> Column:
         """pg `x op ANY|ALL (array)` — JVM higher-order exists/forall, which

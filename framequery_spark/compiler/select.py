@@ -1167,6 +1167,10 @@ class QueryCompiler:
             return self._compile_values(rel)
         if isinstance(rel, ast.TableFunction):
             return self._compile_table_function(rel)
+        if isinstance(rel, ast.JsonTable):
+            from ..sources.table_functions import compile_json_table
+
+            return compile_json_table(self, None, rel)
         if isinstance(rel, ast.Join):
             return self._compile_join(rel)
         raise CompileError(f"cannot compile relation {type(rel).__name__}")
@@ -1179,6 +1183,14 @@ class QueryCompiler:
             # pg: LATERAL is implicit for table functions in FROM —
             # `FROM t, unnest(t.arr)` applies per-row without the keyword
             return self._compile_lateral(left, join.right)
+        if isinstance(join.right, ast.JsonTable):
+            # pg 17: JSON_TABLE in FROM is implicitly lateral
+            if join.kind not in ("cross", "inner"):
+                raise CompileError(
+                    f"JSON_TABLE does not support {join.kind} join")
+            from ..sources.table_functions import compile_json_table
+
+            return compile_json_table(self, left, join.right)
         if isinstance(join.right, ast.SubqueryRel) and join.right.lateral:
             how = {"cross": "inner", "inner": "inner",
                    "left": "left"}.get(join.kind)
@@ -1848,6 +1860,8 @@ def _ordered_aliases(rel: ast.Node) -> List[str]:
         return [rel.alias] if rel.alias else []
     if isinstance(rel, ast.TableFunction):
         return [rel.alias or rel.name]
+    if isinstance(rel, ast.JsonTable):
+        return [rel.alias or "json_table"]
     if isinstance(rel, ast.Join):
         return _ordered_aliases(rel.left) + _ordered_aliases(rel.right)
     return []
@@ -1866,6 +1880,8 @@ def _relation_aliases(rel: ast.Node) -> set:
                 out.add(r.alias.lower())
         elif isinstance(r, ast.TableFunction):
             out.add((r.alias or r.name).lower())
+        elif isinstance(r, ast.JsonTable):
+            out.add((r.alias or "json_table").lower())
         elif isinstance(r, ast.Join):
             stack.extend([r.left, r.right])
     return out

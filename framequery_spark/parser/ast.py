@@ -313,6 +313,19 @@ class TableFunction(Node):
 
 
 @dataclass(frozen=True)
+class JsonTable(Node):
+    """pg 17 JSON_TABLE(context, 'path' COLUMNS (...)) in FROM.
+    columns entries are (name, type_name, member_path) — type_name None
+    marks a FOR ORDINALITY column; member_path None defaults to $.name."""
+
+    context: Node
+    path: str
+    columns: Tuple[Tuple[str, Optional[str], Optional[str]], ...]
+    alias: Optional[str] = None
+    lateral: bool = False
+
+
+@dataclass(frozen=True)
 class Join(Node):
     kind: str  # 'inner' | 'left' | 'right' | 'full' | 'cross'
     left: Node

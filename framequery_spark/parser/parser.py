@@ -1056,6 +1056,8 @@ class Parser:
                 query = ast.Select(items=(ast.Star(),), from_=ast.SubqueryRel(query=query, alias="__setop"))
             return ast.SubqueryRel(query=query, alias=alias, lateral=lateral)
         parts = self.parse_dotted_name()
+        if parts[-1].lower() == "json_table" and self.is_op("("):
+            return self.parse_json_table(lateral)
         if self.is_op("("):
             # table function
             self.advance()
@@ -1248,8 +1250,16 @@ class Parser:
                     right = self.parse_concat()
                     node = ast.Call(name="__is_distinct_from", args=(left, right))
                     left = ast.Unary(op="not", operand=node) if neg2 else node
+                elif self.accept_kw("json"):
+                    # pg 16 IS [NOT] JSON [VALUE|SCALAR|ARRAY|OBJECT]
+                    kind = "value"
+                    if self.is_kw("value", "scalar", "array", "object"):
+                        kind = self.advance().value.lower()
+                    node = ast.Call(name="__is_json",
+                                    args=(left, ast.Literal(kind, "string")))
+                    left = ast.Unary(op="not", operand=node) if neg2 else node
                 else:
-                    raise self.error("expected NULL/TRUE/FALSE/UNKNOWN/DISTINCT FROM after IS")
+                    raise self.error("expected NULL/TRUE/FALSE/UNKNOWN/DISTINCT FROM/JSON after IS")
                 continue
             if self.accept_kw("in"):
                 self.expect_op("(")
@@ -1490,6 +1500,57 @@ class Parser:
                 continue
             break
         return node
+
+    def parse_json_table(self, lateral: bool) -> ast.JsonTable:
+        """pg 17 JSON_TABLE(context, 'rowpath' COLUMNS (name type
+        [PATH 'p'] | name FOR ORDINALITY, ...)) [AS alias]."""
+        self.expect_op("(")
+        context = self.parse_expr()
+        self.expect_op(",")
+        ptok = self.peek()
+        if ptok is None or ptok.kind != "string":
+            raise self.error("JSON_TABLE requires a literal jsonpath string")
+        self.advance()
+        path = unquote_string(ptok.value)
+        self.expect_kw("columns")
+        self.expect_op("(")
+        cols = []
+        while True:
+            cname = self.parse_name()
+            if cname.lower() == "nested":
+                raise ParseError(
+                    "JSON_TABLE NESTED PATH is not supported; flatten with "
+                    "a second json_table over the nested array")
+            if self.accept_kw("for"):
+                self.expect_kw("ordinality")
+                cols.append((cname, None, None))
+            else:
+                tname = self.parse_type_name()
+                cpath = None
+                if self.accept_kw("path"):
+                    ctok = self.peek()
+                    if ctok is None or ctok.kind != "string":
+                        raise self.error(
+                            "JSON_TABLE COLUMNS PATH requires a literal "
+                            "jsonpath string")
+                    self.advance()
+                    cpath = unquote_string(ctok.value)
+                if self.is_kw("exists", "format", "wrapper", "default",
+                              "error", "empty"):
+                    raise ParseError(
+                        "JSON_TABLE column modifiers (EXISTS / FORMAT / "
+                        "WRAPPER / DEFAULT ... ON EMPTY|ERROR) are not "
+                        "supported; use plain `name type [PATH 'p']` "
+                        "columns")
+                cols.append((cname, tname, cpath))
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        self.expect_op(")")
+        alias = self.parse_optional_alias()
+        return ast.JsonTable(context=context, path=path,
+                             columns=tuple(cols), alias=alias,
+                             lateral=lateral)
 
     def parse_type_name(self) -> str:
         parts = [self.parse_name()]

@@ -464,6 +464,73 @@ def _register_operator_tfs() -> dict:
 _OPERATOR_TFS = _register_operator_tfs()
 
 
+def _jt_cast(c, type_name: str):
+    """JSON_TABLE column cast: json text -> the declared SQL type (the
+    same target map the CAST compiler uses; json/jsonb keep the text)."""
+    from ..compiler.expressions import CAST_MAP
+
+    t = type_name.lower()
+    if t in ("json", "jsonb"):
+        return c
+    base = t.split("(")[0]
+    if t in CAST_MAP:
+        return c.cast(CAST_MAP[t])
+    if base in ("decimal", "numeric"):
+        inner = t[t.index("("):] if "(" in t else "(38,18)"
+        return c.cast("decimal" + inner)
+    if base in CAST_MAP:
+        return c.cast(CAST_MAP[base])
+    raise CompileError(f"JSON_TABLE: unsupported column type {type_name!r}")
+
+
+def compile_json_table(qc, left, jt: ast.JsonTable) -> DataFrame:
+    """pg 17 JSON_TABLE: one row per element of the row-path array (or one
+    row for a non-array path), columns extracted per element and cast to
+    their declared types.
+
+    Implemented as the same native lateral explode the json TVFs use
+    (Generate over the left rows — no join shuffle): the row source is
+    from_json(..., array<string>) of the row-path array, each element
+    staying JSON text; per-column extraction is get_json_object on the
+    element. FOR ORDINALITY columns ride posexplode's position. When the
+    context references the left relation the call is implicitly lateral
+    (pg 17 semantics); standalone calls run over a one-row frame."""
+    import uuid
+
+    spark = qc.session.spark
+    alias = jt.alias or "json_table"
+    standalone = left is None
+    if standalone:
+        left = spark.range(1)
+    ec = qc._expr_compiler()
+    ctx = ec.compile(jt.context).cast("string")
+    root = jt.path
+    if root.endswith("[*]"):
+        base = root[:-3]
+        arr_text = ctx if base in ("$", "") else F.get_json_object(ctx, base)
+        arr = F.from_json(arr_text, "array<string>")
+    else:
+        elem = ctx if root == "$" else F.get_json_object(ctx, root)
+        arr = F.when(elem.isNotNull(), F.array(elem)) \
+            .otherwise(F.array().cast("array<string>"))
+    tmp = "__jt_" + uuid.uuid4().hex[:8]
+    staged = left.withColumn(tmp, arr)
+    el = F.col("col")
+    out_cols = []
+    for cname, tname, cpath in jt.columns:
+        if tname is None:  # FOR ORDINALITY
+            out_cols.append((F.col("pos") + 1).cast("long").alias(cname))
+            continue
+        path = cpath if cpath is not None else f"$.{cname}"
+        raw = el if path == "$" else F.get_json_object(el, path)
+        out_cols.append(_jt_cast(raw, tname).alias(cname))
+    right = spark.tvf.posexplode(F.col(tmp).outer()).select(*out_cols)
+    out = staged.lateralJoin(right.alias(alias)).drop(tmp)
+    if standalone:
+        out = out.drop("id")
+    return out
+
+
 def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
     """LATERAL f(expr-over-left) — compiles to native explode for the json
     built-ins; user lateral functions run as Arrow-batched UDTF-style

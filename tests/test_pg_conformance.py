@@ -451,6 +451,36 @@ QUERIES = [
      "select unnest(['a','b'])"),
     ("select string_agg(name, null) from names",
      "select string_agg(name, '') from names"),
+    # ---- pg 16/17 SQL/JSON: IS JSON, query functions, JSON_TABLE
+    # (DuckDB has none of these — literal/VALUES oracles)
+    ("select '{\"a\":1}' is json, '[1]' is json array, "
+     "'42' is json scalar, '{nope' is json, "
+     "'{\"a\":1}' is not json object, null is json",
+     "select true, true, true, false, false, null"),
+    ("select json_exists('{\"n\": null}', '$.n'), "
+     "json_exists('{\"n\": null}', '$.zz')",
+     "select true, false"),
+    ("select json_value('{\"a\": {\"b\": 7}}', '$.a.b'), "
+     "json_value('{\"a\": {\"b\": 7}}', '$.a'), "
+     "json_value('{\"n\": null}', '$.n')",
+     "select '7', null, null"),
+    ("select json_query('{\"a\": {\"b\": [1,2]}}', '$.a'), "
+     "json_query('{\"s\": \"hi\"}', '$.s')",
+     "select '{\"b\":[1,2]}', '\"hi\"'"),
+    ("select * from json_table('{\"items\":[{\"a\":1},{\"a\":2}]}', "
+     "'$.items[*]' columns (a int)) t",
+     "select unnest([1, 2]) as a"),
+    ("select v.id, t.ord, t.name, t.qty from (values "
+     "(1, '{\"items\": [{\"name\": \"a\", \"qty\": 2}, "
+     "{\"name\": \"b\", \"qty\": 5}]}'), "
+     "(2, '{\"items\": [{\"name\": \"c\", \"qty\": 1}]}')) v(id, j), "
+     "json_table(j, '$.items[*]' columns (ord for ordinality, "
+     "name varchar, qty int)) as t order by v.id, t.ord",
+     "select * from (values (1, 1, 'a', 2), (1, 2, 'b', 5), "
+     "(2, 1, 'c', 1)) x(id, ord, name, qty) order by id, ord"),
+    ("select t.tag from (values ('{\"tag\": \"x\"}')) v(j), "
+     "json_table(j, '$' columns (tag varchar)) t",
+     "select 'x' as tag"),
     # review-fix regressions: empty-array subscripts, STRICT jsonb edits,
     # absent-path no-ops, surrogate-pair unistr, GROUPS in agg + QUALIFY
     ("select generate_subscripts(array_remove(array[1], 1), 1)",
