@@ -709,6 +709,44 @@ FROM walk w JOIN nation n ON n.n_nationkey = w.node
 ORDER BY depth, node
 """)
 
+# pg-17 JSON_TABLE over the events props column (implicitly lateral,
+# typed COLUMNS + FOR ORDINALITY); DuckDB has no JSON_TABLE, so the
+# oracle extracts the same fields with its arrow operators
+_q("q66_json_table", """
+SELECT e.event_type, count(*) AS n, sum(t.k) AS k_sum, max(t.ord) AS max_ord
+FROM events e, json_table(e.props, '$' COLUMNS (
+  ord FOR ORDINALITY, k bigint PATH '$.k')) AS t
+GROUP BY e.event_type
+ORDER BY e.event_type
+""", oracle="""
+SELECT event_type, count(*) AS n,
+       sum(cast(props->>'$.k' AS bigint)) AS k_sum,
+       cast(1 AS bigint) AS max_ord
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+
+# pg-16/17 SQL/JSON predicates + query functions as one aggregate query
+_q("q67_sql_json", """
+SELECT event_type,
+       count(*) FILTER (WHERE props IS JSON OBJECT) AS n_obj,
+       count(*) FILTER (WHERE props IS JSON SCALAR) AS n_scalar,
+       sum(CASE WHEN json_exists(props, '$.k')
+                THEN cast(json_value(props, '$.k') AS bigint) END) AS k_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""", oracle="""
+SELECT event_type,
+       count(*) AS n_obj,
+       cast(0 AS bigint) AS n_scalar,
+       sum(cast(props->>'$.k' AS bigint)) AS k_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the
