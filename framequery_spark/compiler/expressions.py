@@ -124,6 +124,30 @@ def _next_precol_name(tag: str) -> str:
     return f"__{tag}{next(_PRECOL_SEQ)}"
 
 
+def _range_kind(node: ast.Node) -> Optional[str]:
+    """Statically-known pg range type of an expression: a ::int4range-style
+    cast, a range constructor call, or +/*-arithmetic over them. Range
+    values reaching an operator only through a column reference need a
+    re-marking cast (schema-free dispatch)."""
+    from ..functions.ranges import RANGE_TYPES
+
+    if isinstance(node, ast.Cast) and node.type_name.lower() in RANGE_TYPES:
+        return node.type_name.lower()
+    if isinstance(node, ast.Call) and node.name.lower() in RANGE_TYPES:
+        return node.name.lower()
+    if isinstance(node, ast.Binary) and node.op in ("+", "*"):
+        return _range_kind(node.left) or _range_kind(node.right)
+    return None
+
+
+_RANGE_ACCESSORS = {
+    "lower": "range_lower", "upper": "range_upper",
+    "isempty": "range_isempty", "is_empty": "range_isempty",
+    "lower_inc": "range_lower_inc", "upper_inc": "range_upper_inc",
+    "lower_inf": "range_lower_inf", "upper_inf": "range_upper_inf",
+}
+
+
 def _json_path_for_key(k: str) -> str:
     """JSONPath fragment for one object key (shared by -> / ->> and jsonb
     subscripting). get_json_object's path syntax cannot quote ' or ] —
@@ -458,6 +482,9 @@ class ExprCompiler:
 
     def _c_Binary(self, node: ast.Binary) -> Column:
         op = node.op
+        if op in ("+", "*", "-", "<<", ">>") and (
+                _range_kind(node.left) or _range_kind(node.right)):
+            return self._compile_range_binary(node)
         left = self.compile(node.left)
         right = self.compile(node.right)
         lk = self._operand_kind(node.left)
@@ -530,6 +557,33 @@ class ExprCompiler:
             return left >= right
         raise CompileError(f"binary op {op}")
 
+    def _compile_range_binary(self, node: ast.Binary) -> Column:
+        """pg range operators + (union), * (intersection), << / >>
+        (strictly left/right); - (difference) raises — a difference can
+        split a range, which a single struct value cannot hold."""
+        from ..functions import ranges as _rg
+
+        lk = _range_kind(node.left)
+        rk = _range_kind(node.right)
+        if not (lk and rk):
+            raise CompileError(
+                f"range operator {node.op} requires two range operands "
+                "(cast column references to the range type to re-mark them)")
+        rtype = lk or rk
+        a = self.compile(node.left)
+        b = self.compile(node.right)
+        if node.op == "+":
+            return _rg.range_union(rtype, a, b)
+        if node.op == "*":
+            return _rg.range_intersect(rtype, a, b)
+        if node.op == "<<":
+            return _rg.strictly_left(a, b)
+        if node.op == ">>":
+            return _rg.strictly_left(b, a)
+        raise CompileError(
+            "range difference (-) is not supported (it can split a range); "
+            "compose * with << / >> comparisons instead")
+
     # ------------------------------------------------------------ predicates
 
     def _c_IsNull(self, node: ast.IsNull) -> Column:
@@ -592,6 +646,19 @@ class ExprCompiler:
                 raise CompileError(
                     f"invalid input for boolean: {node.expr.value!r}")
             return F.lit(v)
+        from ..functions.ranges import RANGE_TYPES as _RANGE_TYPES
+        if t in _RANGE_TYPES:
+            from ..functions.ranges import parse_range_literal
+
+            if isinstance(node.expr, ast.Literal) \
+                    and node.expr.kind == "string":
+                try:
+                    return parse_range_literal(t, node.expr.value)
+                except ValueError as exc:
+                    raise CompileError(str(exc))
+            # non-literal: re-marking cast for an already-range struct —
+            # pass it through so column refs can re-enter range dispatch
+            return self.compile(node.expr)
         if t.startswith("interval") and isinstance(node.expr, ast.Literal) \
                 and node.expr.kind == "string":
             # '1 day'::interval — pg interval text, which Spark's CAST
@@ -841,6 +908,50 @@ class ExprCompiler:
             # regardless of the source column names
             return F.struct(*[self.compile(a).alias(f"f{i + 1}")
                               for i, a in enumerate(node.args)])
+        from ..functions import ranges as _rg
+        if name in _rg.RANGE_TYPES:
+            # range constructor: int4range(lo, hi[, '[)'])
+            if len(node.args) not in (2, 3):
+                raise CompileError(f"{name}() takes 2 or 3 arguments")
+            bounds = "[)"
+            if len(node.args) == 3:
+                b = node.args[2]
+                if not (isinstance(b, ast.Literal) and b.kind == "string"):
+                    raise CompileError(
+                        f"{name}() bounds flags must be a string literal")
+                bounds = b.value
+            try:
+                return _rg.make_range(name, self.compile(node.args[0]),
+                                      self.compile(node.args[1]), bounds)
+            except ValueError as exc:
+                raise CompileError(str(exc))
+        if name == "__range_adjacent":
+            if not (_range_kind(node.args[0]) or _range_kind(node.args[1])):
+                raise CompileError("-|- requires range operands")
+            return _rg.adjacent(self.compile(node.args[0]),
+                                self.compile(node.args[1]))
+        if name in ("array_contains_all", "array_overlaps") \
+                and len(node.args) == 2 \
+                and (_range_kind(node.args[0]) or _range_kind(node.args[1])):
+            ka = _range_kind(node.args[0])
+            kb = _range_kind(node.args[1])
+            a = self.compile(node.args[0])
+            b = self.compile(node.args[1])
+            if name == "array_overlaps":
+                if not (ka and kb):
+                    raise CompileError("&& requires two range operands")
+                return _rg.range_overlaps(a, b)
+            if ka and kb:
+                return _rg.contains_range(a, b)
+            if ka:
+                return _rg.contains_elem(a, b)
+            raise CompileError(
+                "@> / <@ with a range requires the range on the "
+                "containing side")
+        if name in _RANGE_ACCESSORS and len(node.args) == 1 \
+                and _range_kind(node.args[0]):
+            return getattr(_rg, _RANGE_ACCESSORS[name])(
+                self.compile(node.args[0]))
         if name == "__is_json":
             # pg 16 IS JSON [VALUE|SCALAR|ARRAY|OBJECT]: NULL in -> NULL,
             # validity via Spark's native JSON parser (try_parse_json),

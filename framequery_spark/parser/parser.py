@@ -1303,8 +1303,15 @@ class Parser:
                 left = (ast.Unary(op="not", operand=node)
                         if op.startswith("!") else node)
                 continue
+            if self.is_op("-|-"):
+                # pg range adjacency
+                self.advance()
+                right = self.parse_concat()
+                left = ast.Call(name="__range_adjacent", args=(left, right))
+                continue
             if self.is_op("@>", "<@", "&&"):
-                # pg array operators: contains / contained-by / overlaps
+                # pg array/range operators: contains / contained-by /
+                # overlaps (range dispatch happens at compile time)
                 op = self.advance().value
                 right = self.parse_concat()
                 fn = {"@>": "array_contains_all",

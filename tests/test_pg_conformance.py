@@ -481,6 +481,44 @@ QUERIES = [
     ("select t.tag from (values ('{\"tag\": \"x\"}')) v(j), "
      "json_table(j, '$' columns (tag varchar)) t",
      "select 'x' as tag"),
+    # ---- pg range types (beyond-reference; DuckDB has none -> literal
+    # oracles). Discrete ranges canonicalize to [lo, hi) like pg.
+    ("select '[1,5)'::int4range @> 3, '[1,5)'::int4range @> 5, "
+     "3 <@ int4range(1, 5), int4range(2, 3) <@ int4range(1, 5)",
+     "select true, false, true, true"),
+    ("select '[1,3]'::int4range = '[1,4)'::int4range, "
+     "upper_inc('[1,5]'::int4range), upper('[1,5]'::int4range)",
+     "select true, false, 6"),
+    ("select '[1,5)'::int4range && '[4,9)'::int4range, "
+     "'[1,4)'::int4range && '[4,9)'::int4range, "
+     "int4range(1,4) -|- int4range(4,9), int4range(1,3) -|- int4range(4,9)",
+     "select true, false, true, false"),
+    ("select lower('[1,5)'::int4range), upper('[1,5)'::int4range), "
+     "isempty('[4,4)'::int4range), lower('empty'::int4range)",
+     "select 1, 5, true, null"),
+    ("select lower_inf('(,5)'::int4range), upper_inf('[3,)'::int4range), "
+     "'(,)'::int4range @> 42",
+     "select true, true, true"),
+    ("select int4range(1,4) << int4range(5,9), "
+     "int4range(5,9) >> int4range(1,4), int4range(1,6) << int4range(5,9)",
+     "select true, true, false"),
+    ("select lower(int4range(1,4) + int4range(3,9)), "
+     "upper(int4range(1,4) + int4range(3,9)), "
+     "lower(int4range(1,6) * int4range(3,9)), "
+     "upper(int4range(1,6) * int4range(3,9)), "
+     "isempty(int4range(1,3) * int4range(5,9))",
+     "select 1, 9, 3, 6, true"),
+    ("select daterange(date '2024-01-01', date '2024-02-01') "
+     "@> date '2024-01-15', "
+     "'[2024-01-01,2024-02-01)'::daterange @> date '2024-02-01', "
+     "upper('[2024-01-01,2024-01-31]'::daterange)",
+     "select true, false, date '2024-02-01'"),
+    ("select numrange(1.5, 2.5) @> 2.5, numrange(1.5, 2.5, '[]') @> 2.5, "
+     "isempty(numrange(1.5, 1.5)), isempty(numrange(1.5, 1.5, '[]'))",
+     "select false, true, true, false"),
+    ("select tsrange(timestamp '2024-01-01 00:00:00', "
+     "timestamp '2024-01-02 00:00:00') @> timestamp '2024-01-01 12:00:00'",
+     "select true"),
     # review-fix regressions: empty-array subscripts, STRICT jsonb edits,
     # absent-path no-ops, surrogate-pair unistr, GROUPS in agg + QUALIFY
     ("select generate_subscripts(array_remove(array[1], 1), 1)",
