@@ -261,6 +261,15 @@ class Executor:
             return F.col(f"`{node.table}`.`{c}`")
 
         extra = [c for c in src_cols if c not in t_cols]
+        # hidden prefixed copies of EVERY source column, so RETURNING can
+        # resolve alias-qualified source refs even when the name collides
+        # with a target column (the _returning rewrite maps `s.c` onto
+        # __src__c)
+        def scol(c):
+            q = f"`{src_alias}`.`{c}`" if src_alias else f"`{c}`"
+            return F.col(q).alias(f"__src__{c}")
+
+        src_copies = [scol(c) for c in src_cols] if node.returning else []
         if kind == "update":
             new_vals = {c: ec.compile(e) for c, e in node.assignments}
             unknown = [c for c in new_vals if c not in t_cols]
@@ -270,7 +279,7 @@ class Executor:
                 F.col("__t_id"),
                 *[(new_vals[c].cast(base.schema[c].dataType).alias(c)
                    if c in new_vals else tcol(c).alias(c)) for c in t_cols],
-                *[F.col(c) for c in extra])
+                *[F.col(c) for c in extra], *src_copies)
             upd = post.select(
                 "__t_id", F.lit(True).alias("__hit"),
                 *[F.col(c).alias(f"__new_{c}") for c in t_cols])
@@ -284,18 +293,72 @@ class Executor:
                                  .select(*[tcol(c).alias(c) for c in t_cols]))
             affected = matched.select(
                 *[tcol(c).alias(c) for c in t_cols],
-                *[F.col(c) for c in extra])
+                *[F.col(c) for c in extra], *src_copies)
         if node.returning:
             return self._returning(scope, node.table, affected,
-                                   node.returning)
+                                   node.returning, src_alias=src_alias,
+                                   src_cols=src_cols)
         return None
 
     def _returning(self, scope: dict, table: str, affected: DataFrame,
-                   items) -> DataFrame:
+                   items, src_alias: str = None,
+                   src_cols=()) -> DataFrame:
         """pg RETURNING: project the affected-row set through the item list
         using the full select machinery (aliases, expressions, `*`). The
         affected frame is bound under the statement's table name so
-        qualified refs (`t.col`) resolve."""
+        qualified refs (`t.col`) resolve.
+
+        For UPDATE ... FROM / DELETE ... USING, `src_alias`/`src_cols`
+        describe the matched source row, carried in the affected frame as
+        hidden __src__<col> copies: alias-qualified source refs (incl.
+        names that collide with target columns) and `alias.*` rewrite onto
+        those, and a bare `*` expands to the visible (non-hidden) columns
+        exactly like pg's output row."""
+        from ..compiler.rewrite import transform
+
+        items = list(items)
+        if src_alias and src_cols:
+            hidden = {c: f"__src__{c}" for c in src_cols
+                      if f"__src__{c}" in affected.columns}
+
+            def rw(n: ast.Node) -> ast.Node:
+                if isinstance(n, ast.ColumnRef) and len(n.parts) == 2 \
+                        and n.parts[0].lower() == src_alias.lower() \
+                        and n.parts[1] in hidden:
+                    return ast.ColumnRef(parts=(hidden[n.parts[1]],),
+                                         quoted=True)
+                return n
+
+            expanded = []
+            for it in items:
+                e = it.expr if isinstance(it, ast.SelectItem) else it
+                if isinstance(e, ast.Star) and e.table \
+                        and e.table.lower() == src_alias.lower():
+                    expanded.extend(
+                        ast.SelectItem(expr=ast.ColumnRef(
+                            parts=(hidden[c],), quoted=True), alias=c)
+                        for c in src_cols if c in hidden)
+                    continue
+                expanded.append(transform(it, rw))
+            items = expanded
+        if any(isinstance((it.expr if isinstance(it, ast.SelectItem)
+                           else it), ast.Star)
+               and (it.expr if isinstance(it, ast.SelectItem)
+                    else it).table is None for it in items):
+            # bare *: expand to the visible columns so hidden __src__
+            # carriers never leak into the output
+            expanded = []
+            for it in items:
+                e = it.expr if isinstance(it, ast.SelectItem) else it
+                if isinstance(e, ast.Star) and e.table is None:
+                    expanded.extend(
+                        ast.SelectItem(expr=ast.ColumnRef(
+                            parts=(c,), quoted=True), alias=c)
+                        for c in affected.columns
+                        if not c.startswith("__"))
+                else:
+                    expanded.append(it)
+            items = expanded
         tmp = dict(scope)
         tmp[table] = affected
         sel = ast.Select(items=tuple(items),

@@ -446,3 +446,38 @@ def test_insert_default_values(spark):
                    ex.execute("SELECT * FROM t").collect()),
                   key=lambda x: (x[0] is None, x))
     assert rows[-1] == (None, None) and len(rows) == 4
+
+
+def test_update_from_returning_colliding_source_cols(spark):
+    """Round 7: alias-qualified source refs in RETURNING resolve even when
+    the name collides with a target column (the __src__ carrier rewrite)."""
+    import pandas as pd
+
+    t = pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]})
+    s = pd.DataFrame({"id": [2, 3], "v": [200, 300], "tag": ["a", "b"]})
+    ex = fq.Executor(scope={"t": spark.createDataFrame(t),
+                            "s": spark.createDataFrame(s)}, spark=spark)
+    ret = ex.execute("UPDATE t SET v = s.v + 1 FROM s WHERE t.id = s.id "
+                     "RETURNING t.id, t.v, s.v AS src_v, s.tag")
+    assert sorted(tuple(r) for r in ret.collect()) == \
+        [(2, 201, 200, "a"), (3, 301, 300, "b")]
+
+
+def test_delete_using_returning_star_and_source_star(spark):
+    """`*` expands to the pg output row (target + non-colliding source)
+    without leaking hidden carriers; `s.*` expands the full source row
+    including colliding names."""
+    import pandas as pd
+
+    t = pd.DataFrame({"id": [1, 2, 3], "v": [10, 20, 30]})
+    s = pd.DataFrame({"id": [3], "v": [999], "tag": ["z"]})
+    ex = fq.Executor(scope={"t": spark.createDataFrame(t),
+                            "s": spark.createDataFrame(s)}, spark=spark)
+    ret = ex.execute("DELETE FROM t USING s WHERE t.id = s.id "
+                     "RETURNING *, s.id AS sid")
+    assert [tuple(r) for r in ret.collect()] == [(3, 30, "z", 3)]
+    ex2 = fq.Executor(scope={"t": spark.createDataFrame(t),
+                             "s": spark.createDataFrame(s)}, spark=spark)
+    ret = ex2.execute("DELETE FROM t USING s WHERE t.id = s.id "
+                      "RETURNING s.*")
+    assert [tuple(r) for r in ret.collect()] == [(3, 999, "z")]
