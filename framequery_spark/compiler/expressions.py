@@ -126,17 +126,56 @@ def _next_precol_name(tag: str) -> str:
 
 def _range_kind(node: ast.Node) -> Optional[str]:
     """Statically-known pg range type of an expression: a ::int4range-style
-    cast, a range constructor call, or +/*-arithmetic over them. Range
+    cast, a range constructor call, or +/*/- arithmetic over them. Range
     values reaching an operator only through a column reference need a
     re-marking cast (schema-free dispatch)."""
     from ..functions.ranges import RANGE_TYPES
 
     if isinstance(node, ast.Cast) and node.type_name.lower() in RANGE_TYPES:
         return node.type_name.lower()
-    if isinstance(node, ast.Call) and node.name.lower() in RANGE_TYPES:
-        return node.name.lower()
-    if isinstance(node, ast.Binary) and node.op in ("+", "*"):
+    if isinstance(node, ast.Call):
+        name = node.name.lower()
+        if name in RANGE_TYPES:
+            return name
+        if name in ("range_intersect_agg", "range_merge") and node.args:
+            # both return a range of their argument's subtype (range_merge
+            # also takes a multirange — then the result kind comes from it)
+            k = _range_kind(node.args[0])
+            if k:
+                return k
+            mk = _multirange_kind(node.args[0])
+            if mk:
+                from ..functions.multiranges import MULTIRANGE_TYPES
+                return MULTIRANGE_TYPES[mk]
+    if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
+        # a multirange operand makes the whole expression multirange-typed
+        # (mr - r is a multirange), never range-typed
+        if _multirange_kind(node.left) or _multirange_kind(node.right):
+            return None
         return _range_kind(node.left) or _range_kind(node.right)
+    return None
+
+
+def _multirange_kind(node: ast.Node) -> Optional[str]:
+    """Statically-known pg multirange type: a ::int4multirange-style cast,
+    a multirange constructor, multirange(r) / range_agg(r) over a marked
+    range, or +/*/- arithmetic over multiranges."""
+    from ..functions.multiranges import MULTIRANGE_TYPES
+
+    mr_of_range = {v: k for k, v in MULTIRANGE_TYPES.items()}
+    if isinstance(node, ast.Cast) \
+            and node.type_name.lower() in MULTIRANGE_TYPES:
+        return node.type_name.lower()
+    if isinstance(node, ast.Call):
+        name = node.name.lower()
+        if name in MULTIRANGE_TYPES:
+            return name
+        if name in ("multirange", "range_agg") and node.args:
+            k = _range_kind(node.args[0])
+            if k:
+                return mr_of_range[k]
+    if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
+        return _multirange_kind(node.left) or _multirange_kind(node.right)
     return None
 
 
@@ -216,6 +255,7 @@ AGG_NAMES = set(AGG_MAP) | {
     "approx_percentile", "regr_slope", "regr_intercept", "regr_count",
     "regr_r2", "regr_avgx", "regr_avgy",
     "json_agg", "json_object_agg", "jsonb_agg", "jsonb_object_agg",
+    "range_agg", "range_intersect_agg",
 }
 
 WINDOW_FUNCS = {
@@ -483,7 +523,9 @@ class ExprCompiler:
     def _c_Binary(self, node: ast.Binary) -> Column:
         op = node.op
         if op in ("+", "*", "-", "<<", ">>") and (
-                _range_kind(node.left) or _range_kind(node.right)):
+                _range_kind(node.left) or _range_kind(node.right)
+                or _multirange_kind(node.left)
+                or _multirange_kind(node.right)):
             return self._compile_range_binary(node)
         left = self.compile(node.left)
         right = self.compile(node.right)
@@ -558,31 +600,50 @@ class ExprCompiler:
         raise CompileError(f"binary op {op}")
 
     def _compile_range_binary(self, node: ast.Binary) -> Column:
-        """pg range operators + (union), * (intersection), << / >>
-        (strictly left/right); - (difference) raises — a difference can
-        split a range, which a single struct value cannot hold."""
+        """pg range/multirange operators: + (union), * (intersection),
+        - (difference), << / >> (strictly left/right). A range paired with
+        a multirange promotes to a singleton multirange; range - range
+        returns the surviving piece and raises pg's contiguity error only
+        when the subtraction genuinely splits the range."""
+        from ..functions import multiranges as _mrg
         from ..functions import ranges as _rg
 
         lk = _range_kind(node.left)
         rk = _range_kind(node.right)
-        if not (lk and rk):
+        lm = _multirange_kind(node.left)
+        rm = _multirange_kind(node.right)
+        if not ((lk or lm) and (rk or rm)):
             raise CompileError(
-                f"range operator {node.op} requires two range operands "
-                "(cast column references to the range type to re-mark them)")
-        rtype = lk or rk
+                f"range operator {node.op} requires two range or "
+                "multirange operands (cast column references to the range "
+                "type to re-mark them)")
         a = self.compile(node.left)
         b = self.compile(node.right)
+        if lm or rm:
+            rtype = _mrg.MULTIRANGE_TYPES[lm or rm]
+            if lk:
+                a = _mrg.multirange_of(rtype, a)
+            if rk:
+                b = _mrg.multirange_of(rtype, b)
+            if node.op == "+":
+                return _mrg.mr_union(rtype, a, b)
+            if node.op == "*":
+                return _mrg.mr_intersect(rtype, a, b)
+            if node.op == "-":
+                return _mrg.mr_difference(rtype, a, b)
+            if node.op == "<<":
+                return _mrg.mr_strictly_left(a, b)
+            return _mrg.mr_strictly_left(b, a)
+        rtype = lk or rk
         if node.op == "+":
             return _rg.range_union(rtype, a, b)
         if node.op == "*":
             return _rg.range_intersect(rtype, a, b)
+        if node.op == "-":
+            return _mrg.range_difference(rtype, a, b)
         if node.op == "<<":
             return _rg.strictly_left(a, b)
-        if node.op == ">>":
-            return _rg.strictly_left(b, a)
-        raise CompileError(
-            "range difference (-) is not supported (it can split a range); "
-            "compose * with << / >> comparisons instead")
+        return _rg.strictly_left(b, a)
 
     # ------------------------------------------------------------ predicates
 
@@ -656,8 +717,29 @@ class ExprCompiler:
                     return parse_range_literal(t, node.expr.value)
                 except ValueError as exc:
                     raise CompileError(str(exc))
+            if isinstance(node.expr, ast.Literal) \
+                    and node.expr.kind == "null":
+                from ..functions.multiranges import _struct_ddl
+                return F.lit(None).cast(_struct_ddl(t))
             # non-literal: re-marking cast for an already-range struct —
             # pass it through so column refs can re-enter range dispatch
+            return self.compile(node.expr)
+        from ..functions.multiranges import MULTIRANGE_TYPES as _MR_TYPES
+        if t in _MR_TYPES:
+            from ..functions.multiranges import (_struct_ddl,
+                                                 parse_multirange_literal)
+
+            if isinstance(node.expr, ast.Literal) \
+                    and node.expr.kind == "string":
+                try:
+                    return parse_multirange_literal(t, node.expr.value)
+                except ValueError as exc:
+                    raise CompileError(str(exc))
+            if isinstance(node.expr, ast.Literal) \
+                    and node.expr.kind == "null":
+                return F.lit(None).cast(
+                    f"array<{_struct_ddl(_MR_TYPES[t])}>")
+            # re-marking cast (see the range cast above)
             return self.compile(node.expr)
         if t.startswith("interval") and isinstance(node.expr, ast.Literal) \
                 and node.expr.kind == "string":
@@ -925,22 +1007,70 @@ class ExprCompiler:
                                       self.compile(node.args[1]), bounds)
             except ValueError as exc:
                 raise CompileError(str(exc))
+        from ..functions import multiranges as _mrg
+        if name in _mrg.MULTIRANGE_TYPES:
+            # multirange constructor: int4multirange(r1, r2, ...) — zero
+            # or more range arguments, canonicalized (sorted/merged)
+            for a in node.args:
+                if not _range_kind(a):
+                    raise CompileError(
+                        f"{name}() arguments must be ranges (cast column "
+                        "references to the range type to re-mark them)")
+            try:
+                return _mrg.make_multirange(
+                    name, [self.compile(a) for a in node.args])
+            except ValueError as exc:
+                raise CompileError(str(exc))
         if name == "__range_adjacent":
-            if not (_range_kind(node.args[0]) or _range_kind(node.args[1])):
+            ka, kb = _range_kind(node.args[0]), _range_kind(node.args[1])
+            ma = _multirange_kind(node.args[0])
+            mb = _multirange_kind(node.args[1])
+            if not (ka or kb or ma or mb):
                 raise CompileError("-|- requires range operands")
-            return _rg.adjacent(self.compile(node.args[0]),
-                                self.compile(node.args[1]))
+            a = self.compile(node.args[0])
+            b = self.compile(node.args[1])
+            if ma or mb:
+                from ..functions import multiranges as _mrg
+                rt = _mrg.MULTIRANGE_TYPES[ma or mb]
+                if ka:
+                    a = _mrg.multirange_of(rt, a)
+                if kb:
+                    b = _mrg.multirange_of(rt, b)
+                return _mrg.mr_adjacent(a, b)
+            return _rg.adjacent(a, b)
         if name in ("array_contains_all", "array_overlaps") \
                 and len(node.args) == 2 \
-                and (_range_kind(node.args[0]) or _range_kind(node.args[1])):
+                and (_range_kind(node.args[0]) or _range_kind(node.args[1])
+                     or _multirange_kind(node.args[0])
+                     or _multirange_kind(node.args[1])):
+            from ..functions import multiranges as _mrg
             ka = _range_kind(node.args[0])
             kb = _range_kind(node.args[1])
+            ma = _multirange_kind(node.args[0])
+            mb = _multirange_kind(node.args[1])
             a = self.compile(node.args[0])
             b = self.compile(node.args[1])
             if name == "array_overlaps":
+                if ma and mb:
+                    return _mrg.mr_overlaps_mr(a, b)
+                if ma and kb:
+                    return _mrg.mr_overlaps_range(a, b)
+                if ka and mb:
+                    return _mrg.mr_overlaps_range(b, a)
                 if not (ka and kb):
                     raise CompileError("&& requires two range operands")
                 return _rg.range_overlaps(a, b)
+            # @> with args (container, containee); <@ arrives pre-swapped
+            if ma and mb:
+                return _mrg.mr_contains_mr(a, b)
+            if ma and kb:
+                return _mrg.mr_contains_range(a, b)
+            if ma:
+                return _mrg.mr_contains_elem(a, b)
+            if ka and mb:
+                raise CompileError(
+                    "a range cannot contain a multirange; use "
+                    "multirange(r) @> mr")
             if ka and kb:
                 return _rg.contains_range(a, b)
             if ka:
@@ -948,10 +1078,43 @@ class ExprCompiler:
             raise CompileError(
                 "@> / <@ with a range requires the range on the "
                 "containing side")
-        if name in _RANGE_ACCESSORS and len(node.args) == 1 \
-                and _range_kind(node.args[0]):
-            return getattr(_rg, _RANGE_ACCESSORS[name])(
-                self.compile(node.args[0]))
+        if name in _RANGE_ACCESSORS and len(node.args) == 1:
+            if _range_kind(node.args[0]):
+                return getattr(_rg, _RANGE_ACCESSORS[name])(
+                    self.compile(node.args[0]))
+            if _multirange_kind(node.args[0]):
+                from ..functions import multiranges as _mrg
+                fn = _RANGE_ACCESSORS[name].replace("range_", "mr_")
+                return getattr(_mrg, fn)(self.compile(node.args[0]))
+        if name == "range_merge" and node.args:
+            from ..functions import multiranges as _mrg
+            mk = _multirange_kind(node.args[0])
+            if len(node.args) == 1 and mk:
+                return _mrg.range_merge_mr(
+                    _mrg.MULTIRANGE_TYPES[mk],
+                    self.compile(node.args[0]))
+            if len(node.args) == 2:
+                ka = _range_kind(node.args[0])
+                kb = _range_kind(node.args[1])
+                if ka and kb:
+                    # smallest range covering both (pg range_merge: works
+                    # on disjoint inputs too; empties are identity)
+                    a = self.compile(node.args[0])
+                    b = self.compile(node.args[1])
+                    return F.when(a["is_empty"], b) \
+                        .when(b["is_empty"], a) \
+                        .otherwise(_mrg._merge2(a, b))
+            raise CompileError(
+                "range_merge() takes two ranges or one multirange "
+                "(cast column references to re-mark them)")
+        if name == "multirange" and len(node.args) == 1:
+            rk = _range_kind(node.args[0])
+            if not rk:
+                raise CompileError(
+                    "multirange() requires a range argument (cast column "
+                    "references to the range type to re-mark them)")
+            from ..functions import multiranges as _mrg
+            return _mrg.multirange_of(rk, self.compile(node.args[0]))
         if name == "__is_json":
             # pg 16 IS JSON [VALUE|SCALAR|ARRAY|OBJECT]: NULL in -> NULL,
             # validity via Spark's native JSON parser (try_parse_json),
@@ -1214,6 +1377,19 @@ class ExprCompiler:
             # pg json_agg(x) -> JSON array text. collect_list + to_json:
             # element serialization (structs/arrays/scalars) is JVM-side.
             return F.to_json(F.collect_list(self.compile(node.args[0])))
+        if name in ("range_agg", "range_intersect_agg"):
+            # pg 14 range aggregates: union -> multirange, intersection ->
+            # range. Subtype from the argument's static range kind.
+            rk = _range_kind(node.args[0])
+            if not rk:
+                raise CompileError(
+                    f"{name}() requires a range argument (cast column "
+                    "references to the range type to re-mark them)")
+            from ..functions import multiranges as _mrg
+            arg = self.compile(node.args[0])
+            if name == "range_agg":
+                return _mrg.range_agg(rk, arg)
+            return _mrg.range_intersect_agg(rk, arg)
         if name in ("json_object_agg", "jsonb_object_agg"):
             # pg json_object_agg(k, v) -> JSON object text keeping duplicate
             # keys in aggregation order; jsonb_object_agg is last-wins.

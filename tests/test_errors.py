@@ -127,3 +127,23 @@ def test_cycle_on_plain_cte_rejected(spark, scope):
         fq.execute(
             "with r as (select 1 as n) cycle n set ic using p "
             "select * from r", scope, spark=spark)
+
+
+def test_range_difference_split_raises_pg_error(spark, scope):
+    # pg: the subtraction succeeds unless the result would be two pieces
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException,
+                       match="not be contiguous"):
+        fq.execute("select lower(int4range(1, 9) - int4range(3, 5))",
+                   scope, spark=spark).collect()
+
+
+def test_multirange_constructor_requires_ranges(spark, scope):
+    with pytest.raises(CompileError, match="must be ranges"):
+        fq.execute("select int4multirange(1, 2)", scope, spark=spark)
+
+
+def test_range_agg_requires_marked_range(spark, scope):
+    with pytest.raises(CompileError, match="re-mark"):
+        fq.execute("select range_agg(a) from t", scope, spark=spark)

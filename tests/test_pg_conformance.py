@@ -519,6 +519,70 @@ QUERIES = [
     ("select tsrange(timestamp '2024-01-01 00:00:00', "
      "timestamp '2024-01-02 00:00:00') @> timestamp '2024-01-01 12:00:00'",
      "select true"),
+    # ---- pg 14 multirange types (beyond-reference; literal oracles).
+    # Canonical form: empties dropped, sorted, overlapping/adjacent merged.
+    ("select lower('{[1,3),[2,5)}'::int4multirange), "
+     "upper('{[2,5),[1,3)}'::int4multirange), "
+     "'{[1,3),[3,5)}'::int4multirange = '{[1,5)}'::int4multirange, "
+     "'{[1,3),[4,5)}'::int4multirange = '{[1,5)}'::int4multirange",
+     "select 1, 5, true, false"),
+    ("select '{[1,3),[5,7)}'::int4multirange @> 6, "
+     "'{[1,3),[5,7)}'::int4multirange @> 3, "
+     "'{[1,3),[5,7)}'::int4multirange @> int4range(5, 7), "
+     "'{[1,3),[5,7)}'::int4multirange @> '{[1,2),[6,7)}'::int4multirange, "
+     "int4range(5, 6) <@ '{[1,3),[5,7)}'::int4multirange",
+     "select true, false, true, true, true"),
+    ("select '{[1,4)}'::int4multirange && '{[3,5)}'::int4multirange, "
+     "'{[1,3)}'::int4multirange && '{[3,5)}'::int4multirange, "
+     "'{[1,3)}'::int4multirange -|- '{[3,5)}'::int4multirange, "
+     "'{[1,3)}'::int4multirange << '{[4,5)}'::int4multirange, "
+     "'{[4,5)}'::int4multirange >> '{[1,3)}'::int4multirange",
+     "select true, false, true, true, true"),
+    # set algebra closes on multiranges: difference can split
+    ("select multirange(int4range(1, 5)) - '{[2,3)}'::int4multirange "
+     "= '{[1,2),[3,5)}'::int4multirange, "
+     "'{[1,9)}'::int4multirange * '{[3,5),[7,20)}'::int4multirange "
+     "= '{[3,5),[7,9)}'::int4multirange, "
+     "'{[1,3)}'::int4multirange + '{[3,5)}'::int4multirange "
+     "= '{[1,5)}'::int4multirange",
+     "select true, true, true"),
+    # range - range: the surviving piece; splitting raises (error test
+    # covers that); empty and no-overlap cases
+    ("select lower(int4range(1, 9) - int4range(1, 5)), "
+     "upper(int4range(1, 9) - int4range(5, 20)), "
+     "isempty(int4range(1, 5) - int4range(0, 9)), "
+     "upper(int4range(1, 5) - int4range(7, 9))",
+     "select 5, 5, true, 5"),
+    ("select isempty('{}'::int4multirange), lower('{}'::int4multirange), "
+     "lower_inc('{[1,3)}'::int4multirange), "
+     "upper_inc('{[1,3)}'::int4multirange), "
+     "lower_inf('{(,3)}'::int4multirange), "
+     "upper_inf('{[1,3)}'::int4multirange)",
+     "select true, null, true, false, true, false"),
+    ("select upper(range_merge('{[1,3),[8,9)}'::int4multirange)), "
+     "lower(range_merge(int4range(5, 7), int4range(1, 3))), "
+     "upper(range_merge('empty'::int4range, int4range(1, 3)))",
+     "select 9, 1, 3"),
+    ("select upper('{[2024-01-01,2024-01-05),[2024-01-05,2024-01-09)}'"
+     "::datemultirange), "
+     "'{[1.5,2.5)}'::nummultirange @> 2.0, "
+     "'{[1.5,2.5)}'::nummultirange @> 2.5",
+     "select date '2024-01-09', true, false"),
+    ("select (null::int4multirange) @> 3, isempty(null::int4multirange), "
+     "(null::int4range) @> 3",
+     "select null, null, null"),
+    ("select u.lo, u.hi from unnest('{[1,3),[5,7)}'::int4multirange) u",
+     "select * from (values (1, 3), (5, 7)) t(lo, hi)"),
+    # range_agg: per-group union (test c2 per c1 is {1,3,5}/{2,4,6}, so
+    # width-2 ranges chain into one merged range); range_intersect_agg:
+    # width-6 ranges all overlap, intersection [max, min+6)
+    ("select c1, lower(range_agg(int4range(c2, c2 + 2))) lo, "
+     "upper(range_agg(int4range(c2, c2 + 2))) hi from test group by c1",
+     "select c1, min(c2) lo, max(c2) + 2 hi from test group by c1"),
+    ("select c1, lower(range_intersect_agg(int4range(c2, c2 + 6))) lo, "
+     "upper(range_intersect_agg(int4range(c2, c2 + 6))) hi "
+     "from test group by c1",
+     "select c1, max(c2) lo, min(c2) + 6 hi from test group by c1"),
     # review-fix regressions: empty-array subscripts, STRICT jsonb edits,
     # absent-path no-ops, surrogate-pair unistr, GROUPS in agg + QUALIFY
     ("select generate_subscripts(array_remove(array[1], 1), 1)",
