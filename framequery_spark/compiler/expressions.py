@@ -1201,17 +1201,25 @@ class ExprCompiler:
         proper quoting for json_query. Wildcard paths ([*]) fall back to
         get_json_object (variant paths reject them); its scalar results
         come back unquoted, a documented deviation for json_query over
-        wildcards. jsonpath filter expressions (? (...) / @) are not
-        supported and raise."""
+        wildcards. jsonpath filter expressions (``? (@.x > 2)``) compile
+        through :mod:`framequery_spark.functions.jsonpath` into variant
+        array filters (lax-mode subset; see that module's grammar)."""
         name = node.name
         patharg = node.args[1] if len(node.args) > 1 else None
         if not (isinstance(patharg, ast.Literal) and patharg.kind == "string"):
             raise CompileError(f"{name}() requires a literal jsonpath "
                                "second argument")
         path = patharg.value
-        if "?" in path or "@" in path:
+        from ..functions.jsonpath import JsonPathError, split_filter_path
+        try:
+            fsplit = split_filter_path(path)
+        except JsonPathError as exc:
+            raise CompileError(f"{name}(): {exc}")
+        if fsplit is not None:
+            return self._compile_jsonpath_filter(name, node, fsplit)
+        if "@" in path:
             raise CompileError(
-                f"{name}(): jsonpath filter expressions are not supported")
+                f"{name}(): @ outside a ? (...) filter is not supported")
         j = self.compile(node.args[0]).cast("string")
         if "*" in path:
             g = F.get_json_object(j, path)
@@ -1235,6 +1243,52 @@ class ExprCompiler:
         return F.when(jt.isNull() | (jt == "null")
                       | jt.startswith("{") | jt.startswith("["),
                       F.lit(None).cast("string")).otherwise(s)
+
+    def _compile_jsonpath_filter(self, name: str, node: ast.Call,
+                                 fsplit) -> Column:
+        """SQL/JSON query function with a trailing jsonpath filter:
+        base items become an array<variant>, the filter is a pure-JVM
+        predicate per element (missing members / failed casts are NULL ->
+        dropped, pg's lax-mode unknown), an optional post-filter member
+        suffix maps over the matches. json_query without a wrapper
+        returns the single match (zero or several -> NULL, pg's default
+        ON ERROR); json_value additionally requires a scalar."""
+        from ..functions.jsonpath import JsonPathError, parse_filter
+
+        base, body, suffix = fsplit
+        try:
+            pred = parse_filter(body)
+        except JsonPathError as exc:
+            raise CompileError(f"{name}(): {exc}")
+        j = self.compile(node.args[0]).cast("string")
+        v = F.parse_json(j)
+        if base.endswith("[*]"):
+            arr_path = base[:-3].strip() or "$"
+            elems = F.try_variant_get(v, arr_path, "array<variant>")
+        else:
+            # pg lax mode auto-wraps a single value
+            single = F.try_variant_get(v, base or "$", "variant")
+            elems = F.filter(F.array(single), lambda e: e.isNotNull())
+        matches = F.filter(
+            elems, lambda e: F.coalesce(pred(e), F.lit(False)))
+        if suffix:
+            matches = F.filter(
+                F.transform(matches, lambda m: F.try_variant_get(
+                    m, "$" + suffix, "variant")),
+                lambda x: x.isNotNull())
+        if name == "json_exists":
+            return F.when(j.isNull(), F.lit(None).cast("boolean")) \
+                .otherwise(F.coalesce(F.size(matches) > 0, F.lit(False)))
+        first = F.try_element_at(matches, F.lit(1))
+        if name == "json_query":
+            return F.when(F.size(matches) == 1, F.to_json(first)) \
+                .otherwise(F.lit(None).cast("string"))
+        jt = F.to_json(first)
+        return F.when(
+            (F.size(matches) == 1) & ~jt.startswith("{")
+            & ~jt.startswith("[") & (jt != "null"),
+            F.try_variant_get(first, "$", "string")) \
+            .otherwise(F.lit(None).cast("string"))
 
     def _compile_quant_array(self, node: ast.Call) -> Column:
         """pg `x op ANY|ALL (array)` — JVM higher-order exists/forall, which

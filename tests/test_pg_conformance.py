@@ -481,6 +481,39 @@ QUERIES = [
     ("select t.tag from (values ('{\"tag\": \"x\"}')) v(j), "
      "json_table(j, '$' columns (tag varchar)) t",
      "select 'x' as tag"),
+    # jsonpath filter expressions (? (...)) — lax-mode subset over variant
+    # arrays; literal oracles (DuckDB has no jsonpath filters)
+    ("select json_exists('{\"a\":[{\"p\":5},{\"p\":15}]}', "
+     "'$.a[*] ? (@.p > 10)'), "
+     "json_exists('{\"a\":[{\"p\":5},{\"p\":15}]}', '$.a[*] ? (@.p > 20)')",
+     "select true, false"),
+    ("select json_value('{\"a\":[{\"p\":5,\"n\":\"x\"},"
+     "{\"p\":15,\"n\":\"y\"}]}', '$.a[*] ? (@.p > 10).n'), "
+     "json_value('{\"a\":[{\"p\":5,\"n\":\"x\"},{\"p\":15,\"n\":\"y\"}]}', "
+     "'$.a[*] ? (@.p > 0).n')",
+     "select 'y', null"),
+    ("select json_query('{\"a\":[{\"p\":5},{\"p\":15}]}', "
+     "'$.a[*] ? (@.p > 10)')",
+     "select '{\"p\":15}'"),
+    ("select json_exists('{\"a\":[{\"p\":15,\"n\":\"b\"}]}', "
+     "'$.a[*] ? (@.p > 10 && @.n == \"b\")'), "
+     "json_exists('{\"a\":[{\"p\":15,\"n\":\"b\"}]}', "
+     "'$.a[*] ? (@.p > 10 && @.n == \"a\")'), "
+     "json_exists('{\"a\":[{\"p\":15,\"n\":\"b\"}]}', "
+     "'$.a[*] ? (@.p > 99 || @.n == \"b\")')",
+     "select true, false, true"),
+    ("select json_exists('{\"t\":[\"ax\",\"yz\"]}', "
+     "'$.t[*] ? (@ starts with \"y\")'), "
+     "json_exists('{\"t\":[\"ax\",\"yz\"]}', '$.t[*] ? (@ like_regex "
+     "\"z$\")'), "
+     "json_exists('{\"v\":7}', '$.v ? (@ == 7)'), "
+     "json_exists('{\"a\":[{\"b\":1},{}]}', '$.a[*] ? (exists(@.b))'), "
+     "json_exists('{\"a\":[{}]}', '$.a[*] ? (exists(@.b))')",
+     "select true, true, true, true, false"),
+    ("select json_exists('{\"a\":[1,null]}', '$.a[*] ? (@ == null)'), "
+     "json_exists('{\"a\":[1,2]}', '$.a[*] ? (@ == null)'), "
+     "json_exists('{\"a\":[1,null]}', '$.a[*] ? (!(@ == null))')",
+     "select true, false, true"),
     # ---- pg range types (beyond-reference; DuckDB has none -> literal
     # oracles). Discrete ranges canonicalize to [lo, hi) like pg.
     ("select '[1,5)'::int4range @> 3, '[1,5)'::int4range @> 5, "
