@@ -316,11 +316,13 @@ class TableFunction(Node):
 class JsonTable(Node):
     """pg 17 JSON_TABLE(context, 'path' COLUMNS (...)) in FROM.
     columns entries are (name, type_name, member_path) — type_name None
-    marks a FOR ORDINALITY column; member_path None defaults to $.name."""
+    marks a FOR ORDINALITY column; member_path None defaults to $.name.
+    A NESTED PATH clause is (None, nested_path, subcolumns_tuple),
+    recursively."""
 
     context: Node
     path: str
-    columns: Tuple[Tuple[str, Optional[str], Optional[str]], ...]
+    columns: Tuple[tuple, ...]
     alias: Optional[str] = None
     lateral: bool = False
 

@@ -1519,16 +1519,36 @@ class Parser:
             raise self.error("JSON_TABLE requires a literal jsonpath string")
         self.advance()
         path = unquote_string(ptok.value)
+        cols = self.parse_json_table_columns()
+        self.expect_op(")")
+        alias = self.parse_optional_alias()
+        return ast.JsonTable(context=context, path=path,
+                             columns=cols, alias=alias,
+                             lateral=lateral)
+
+    def parse_json_table_columns(self):
+        """COLUMNS (...) list, recursively: plain entries are
+        (name, type, path), FOR ORDINALITY is (name, None, None), and
+        NESTED [PATH] 'p' COLUMNS (...) is (None, 'p', subcolumns)."""
         self.expect_kw("columns")
         self.expect_op("(")
         cols = []
         while True:
             cname = self.parse_name()
-            if cname.lower() == "nested":
-                raise ParseError(
-                    "JSON_TABLE NESTED PATH is not supported; flatten with "
-                    "a second json_table over the nested array")
-            if self.accept_kw("for"):
+            nxt = self.peek()
+            if cname.lower() == "nested" and (
+                    self.is_kw("path")
+                    or (nxt is not None and nxt.kind == "string")):
+                self.accept_kw("path")
+                ntok = self.peek()
+                if ntok is None or ntok.kind != "string":
+                    raise self.error(
+                        "NESTED PATH requires a literal jsonpath string")
+                self.advance()
+                npath = unquote_string(ntok.value)
+                sub = self.parse_json_table_columns()
+                cols.append((None, npath, sub))
+            elif self.accept_kw("for"):
                 self.expect_kw("ordinality")
                 cols.append((cname, None, None))
             else:
@@ -1553,11 +1573,7 @@ class Parser:
             if not self.accept_op(","):
                 break
         self.expect_op(")")
-        self.expect_op(")")
-        alias = self.parse_optional_alias()
-        return ast.JsonTable(context=context, path=path,
-                             columns=tuple(cols), alias=alias,
-                             lateral=lateral)
+        return tuple(cols)
 
     def parse_type_name(self) -> str:
         parts = [self.parse_name()]

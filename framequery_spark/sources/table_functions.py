@@ -483,6 +483,111 @@ def _jt_cast(c, type_name: str):
     raise CompileError(f"JSON_TABLE: unsupported column type {type_name!r}")
 
 
+def _jt_spark_type(tname: str) -> str:
+    """Spark DDL type string for a declared JSON_TABLE column type (the
+    NULL-placeholder twin of _jt_cast)."""
+    from ..compiler.expressions import CAST_MAP
+
+    t = tname.lower()
+    if t in ("json", "jsonb"):
+        return "string"
+    base = t.split("(")[0]
+    if t in CAST_MAP:
+        return CAST_MAP[t]
+    if base in ("decimal", "numeric"):
+        inner = t[t.index("("):] if "(" in t else "(38,18)"
+        return "decimal" + inner
+    if base in CAST_MAP:
+        return CAST_MAP[base]
+    raise CompileError(f"JSON_TABLE: unsupported column type {tname!r}")
+
+
+def _jt_fields(columns) -> list:
+    """Ordered (name, spark_type) of the whole COLUMNS subtree."""
+    out = []
+    for entry in columns:
+        cname, second, third = entry
+        if cname is None:
+            out.extend(_jt_fields(third))
+        elif second is None:  # FOR ORDINALITY
+            out.append((cname, "long"))
+        else:
+            out.append((cname, _jt_spark_type(second)))
+    return out
+
+
+def _jt_elem_array(el, path: str):
+    """array<string> of JSON-text elements at `path` under element text
+    `el` ([*] iterates; a plain path yields a 0/1-element array).
+    NULL-coalesced so missing members contribute zero child rows."""
+    if path.endswith("[*]"):
+        base = path[:-3]
+        arr_text = el if base in ("$", "") else F.get_json_object(el, base)
+        arr = F.from_json(arr_text, "array<string>")
+    else:
+        e = el if path == "$" else F.get_json_object(el, path)
+        arr = F.when(e.isNotNull(), F.array(e))
+    return F.coalesce(arr, F.array().cast("array<string>"))
+
+
+def _jt_rows(el, pos, columns):
+    """array<struct> of fully-flattened output rows for ONE row-path
+    element (pg 17 default plan semantics: parent-child is OUTER — an
+    empty nested array still yields one parent row with NULL child
+    columns; sibling NESTED paths are UNION — each sibling's rows carry
+    NULLs for the other siblings' columns). Pure array HOFs; the whole
+    JSON_TABLE stays one Generate."""
+    plain = {}
+    nested = []
+    for entry in columns:
+        cname, second, third = entry
+        if cname is None:
+            nested.append((second, third))
+        elif second is None:
+            plain[cname] = (pos + 1).cast("long")
+        else:
+            path = third if third is not None else f"$.{cname}"
+            raw = el if path == "$" else F.get_json_object(el, path)
+            plain[cname] = _jt_cast(raw, second)
+
+    def full_struct(owner: int, r):
+        out = []
+        for i, entry in enumerate(columns):
+            cname, second, third = entry
+            if cname is not None:
+                out.append(plain[cname].alias(cname))
+                continue
+            for name, styp in _jt_fields(third):
+                val = r[name] if (r is not None and i == owner) \
+                    else F.lit(None).cast(styp)
+                out.append(val.alias(name))
+        return F.struct(*out)
+
+    if not nested:
+        return F.array(full_struct(-1, None))
+
+    # factories, not default-arg lambdas: pyspark derives the HOF lambda
+    # arity from the Python signature, so extra closure params would be
+    # fed index Columns
+    def child_rows(npath, subcols):
+        return F.flatten(F.transform(
+            _jt_elem_array(el, npath),
+            lambda cel, ci: _jt_rows(cel, ci, subcols)))
+
+    def sibling_part(i, npath, subcols):
+        return F.transform(child_rows(npath, subcols),
+                           lambda r: full_struct(i, r))
+
+    parts = []
+    for i, entry in enumerate(columns):
+        if entry[0] is not None:
+            continue
+        parts.append(sibling_part(i, entry[1], entry[2]))
+    allr = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return F.when(F.size(allr) > 0, allr) \
+        .otherwise(F.array(full_struct(-1, None)))
+
+
 def compile_json_table(qc, left, jt: ast.JsonTable) -> DataFrame:
     """pg 17 JSON_TABLE: one row per element of the row-path array (or one
     row for a non-array path), columns extracted per element and cast to
@@ -494,7 +599,9 @@ def compile_json_table(qc, left, jt: ast.JsonTable) -> DataFrame:
     staying JSON text; per-column extraction is get_json_object on the
     element. FOR ORDINALITY columns ride posexplode's position. When the
     context references the left relation the call is implicitly lateral
-    (pg 17 semantics); standalone calls run over a one-row frame."""
+    (pg 17 semantics); standalone calls run over a one-row frame. NESTED
+    PATH expands recursively IN-ROW via _jt_rows (still one Generate):
+    OUTER parent-child, UNION siblings — pg's default plan."""
     import uuid
 
     spark = qc.session.spark
@@ -504,27 +611,32 @@ def compile_json_table(qc, left, jt: ast.JsonTable) -> DataFrame:
         left = spark.range(1)
     ec = qc._expr_compiler()
     ctx = ec.compile(jt.context).cast("string")
-    root = jt.path
-    if root.endswith("[*]"):
-        base = root[:-3]
-        arr_text = ctx if base in ("$", "") else F.get_json_object(ctx, base)
-        arr = F.from_json(arr_text, "array<string>")
-    else:
-        elem = ctx if root == "$" else F.get_json_object(ctx, root)
-        arr = F.when(elem.isNotNull(), F.array(elem)) \
-            .otherwise(F.array().cast("array<string>"))
+    arr = _jt_elem_array(ctx, jt.path)
+    names = [n for n, _ in _jt_fields(jt.columns)]
+    if len(set(n.lower() for n in names)) != len(names):
+        raise CompileError(
+            "JSON_TABLE column names must be unique across the whole "
+            "COLUMNS tree (including NESTED paths)")
+    has_nested = any(e[0] is None for e in jt.columns)
     tmp = "__jt_" + uuid.uuid4().hex[:8]
-    staged = left.withColumn(tmp, arr)
-    el = F.col("col")
-    out_cols = []
-    for cname, tname, cpath in jt.columns:
-        if tname is None:  # FOR ORDINALITY
-            out_cols.append((F.col("pos") + 1).cast("long").alias(cname))
-            continue
-        path = cpath if cpath is not None else f"$.{cname}"
-        raw = el if path == "$" else F.get_json_object(el, path)
-        out_cols.append(_jt_cast(raw, tname).alias(cname))
-    right = spark.tvf.posexplode(F.col(tmp).outer()).select(*out_cols)
+    if has_nested:
+        rows = F.flatten(F.transform(
+            arr, lambda el, pi: _jt_rows(el, pi, jt.columns)))
+        staged = left.withColumn(tmp, rows)
+        right = spark.tvf.posexplode(F.col(tmp).outer()) \
+            .select(*[F.col("col")[n].alias(n) for n in names])
+    else:
+        staged = left.withColumn(tmp, arr)
+        el = F.col("col")
+        out_cols = []
+        for cname, tname, cpath in jt.columns:
+            if tname is None:  # FOR ORDINALITY
+                out_cols.append((F.col("pos") + 1).cast("long").alias(cname))
+                continue
+            path = cpath if cpath is not None else f"$.{cname}"
+            raw = el if path == "$" else F.get_json_object(el, path)
+            out_cols.append(_jt_cast(raw, tname).alias(cname))
+        right = spark.tvf.posexplode(F.col(tmp).outer()).select(*out_cols)
     out = staged.lateralJoin(right.alias(alias)).drop(tmp)
     if standalone:
         out = out.drop("id")

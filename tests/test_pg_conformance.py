@@ -481,6 +481,32 @@ QUERIES = [
     ("select t.tag from (values ('{\"tag\": \"x\"}')) v(j), "
      "json_table(j, '$' columns (tag varchar)) t",
      "select 'x' as tag"),
+    # JSON_TABLE NESTED PATH (pg 17 default plan: OUTER parent-child,
+    # UNION siblings) — VALUES oracles
+    ("select * from json_table('{\"fs\":[{\"f\":\"john\",\"cs\":"
+     "[{\"n\":\"a\"},{\"n\":\"b\"}]},{\"f\":\"mary\",\"cs\":[]}]}', "
+     "'$.fs[*]' columns (f varchar, nested path '$.cs[*]' columns "
+     "(n varchar))) t",
+     "select * from (values ('john', 'a'), ('john', 'b'), "
+     "('mary', null)) x(f, n)"),
+    ("select * from json_table('{\"fs\":[{\"f\":\"j\",\"cs\":"
+     "[{\"n\":\"a\"},{\"n\":\"b\"}]}]}', '$.fs[*]' columns "
+     "(fo for ordinality, f varchar, nested path '$.cs[*]' columns "
+     "(co for ordinality, n varchar))) t",
+     "select * from (values (1, 'j', 1, 'a'), (1, 'j', 2, 'b')) "
+     "x(fo, f, co, n)"),
+    ("select * from json_table('{\"a\":[{\"x\":[1,2],\"y\":[9]}]}', "
+     "'$.a[*]' columns (nested path '$.x[*]' columns (x int path '$'), "
+     "nested path '$.y[*]' columns (y int path '$'))) t",
+     "select * from (values (1, null), (2, null), (null, 9)) x(x, y)"),
+    ("select * from json_table('{\"l1\":[{\"v\":1,\"l2\":[{\"w\":2,"
+     "\"l3\":[{\"z\":3},{\"z\":4}]}]}]}', '$.l1[*]' columns (v int, "
+     "nested path '$.l2[*]' columns (w int, nested path '$.l3[*]' "
+     "columns (z int)))) t",
+     "select * from (values (1, 2, 3), (1, 2, 4)) x(v, w, z)"),
+    ("select count(*) n from json_table('{\"items\":[]}', '$.items[*]' "
+     "columns (a int)) t",
+     "select 0 as n"),
     # jsonpath filter expressions (? (...)) — lax-mode subset over variant
     # arrays; literal oracles (DuckDB has no jsonpath filters)
     ("select json_exists('{\"a\":[{\"p\":5},{\"p\":15}]}', "
