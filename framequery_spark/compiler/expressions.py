@@ -153,6 +153,15 @@ def _range_kind(node: ast.Node) -> Optional[str]:
         if _multirange_kind(node.left) or _multirange_kind(node.right):
             return None
         return _range_kind(node.left) or _range_kind(node.right)
+    if isinstance(node, ast.Case):
+        # the FILTER (WHERE ...) desugar wraps aggregate arguments in a
+        # CASE — the static kind must see through it
+        for _, res in node.whens:
+            k = _range_kind(res)
+            if k:
+                return k
+        if node.default is not None:
+            return _range_kind(node.default)
     return None
 
 
@@ -176,6 +185,13 @@ def _multirange_kind(node: ast.Node) -> Optional[str]:
                 return mr_of_range[k]
     if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
         return _multirange_kind(node.left) or _multirange_kind(node.right)
+    if isinstance(node, ast.Case):
+        for _, res in node.whens:
+            k = _multirange_kind(res)
+            if k:
+                return k
+        if node.default is not None:
+            return _multirange_kind(node.default)
     return None
 
 
@@ -1098,10 +1114,15 @@ class ExprCompiler:
                 kb = _range_kind(node.args[1])
                 if ka and kb:
                     # smallest range covering both (pg range_merge: works
-                    # on disjoint inputs too; empties are identity)
+                    # on disjoint inputs too; empties are identity; NULL
+                    # propagates — _merge2 would read NULL bounds as
+                    # infinities)
                     a = self.compile(node.args[0])
                     b = self.compile(node.args[1])
-                    return F.when(a["is_empty"], b) \
+                    return F.when(a.isNull() | b.isNull(),
+                                  F.lit(None).cast(
+                                      _mrg._struct_ddl(ka or kb))) \
+                        .when(a["is_empty"], b) \
                         .when(b["is_empty"], a) \
                         .otherwise(_mrg._merge2(a, b))
             raise CompileError(
@@ -1256,6 +1277,10 @@ class ExprCompiler:
         from ..functions.jsonpath import JsonPathError, parse_filter
 
         base, body, suffix = fsplit
+        if "*" in (base[:-3] if base.endswith("[*]") else base):
+            raise CompileError(
+                f"{name}(): only a single trailing [*] wildcard is "
+                f"supported in a filtered jsonpath (got {base!r})")
         try:
             pred = parse_filter(body)
         except JsonPathError as exc:

@@ -177,11 +177,14 @@ def range_minus_pieces(rtype: str, a: Column, b: Column) -> Column:
 
 def range_difference(rtype: str, a: Column, b: Column) -> Column:
     """Range ``-`` operator: the surviving piece, pg's contiguity error
-    when the subtraction splits ``a`` in two."""
+    when the subtraction splits ``a`` in two; NULL operands propagate
+    (a NULL struct's NULL bounds would otherwise read as infinities)."""
     pieces = range_minus_pieces(rtype, a, b)
     err = F.raise_error(
         F.lit("result of range difference would not be contiguous"))
-    return (F.when(F.size(pieces) == 1, F.element_at(pieces, 1))
+    return (F.when(a.isNull() | b.isNull(),
+                   F.lit(None).cast(_struct_ddl(rtype)))
+            .when(F.size(pieces) == 1, F.element_at(pieces, 1))
             .when(F.size(pieces) == 0, _rg._empty_range(rtype))
             .otherwise(err))
 
@@ -253,12 +256,13 @@ def mr_strictly_left(a: Column, b: Column) -> Column:
 
 
 def mr_adjacent(a: Column, b: Column) -> Column:
-    """-|-: the multiranges touch end-to-start without overlapping
-    (either order), pg's multirange adjacency."""
+    """-|-: pg's multirange_adjacent_multirange tests range adjacency of
+    the extreme members only (last-of-a vs first-of-b and vice versa) —
+    overlapping multiranges can still be adjacent on the other flank, so
+    there is deliberately NO non-overlap conjunction here."""
     touch = _rg.adjacent(F.element_at(a, -1), F.element_at(b, 1)) \
         | _rg.adjacent(F.element_at(b, -1), F.element_at(a, 1))
-    return F.when((F.size(a) > 0) & (F.size(b) > 0),
-                  ~mr_overlaps_mr(a, b) & touch) \
+    return F.when((F.size(a) > 0) & (F.size(b) > 0), touch) \
         .otherwise(F.when(a.isNull() | b.isNull(),
                           F.lit(None).cast("boolean")).otherwise(False))
 
@@ -301,18 +305,23 @@ def mr_upper_inf(mr: Column) -> Column:
 
 def range_merge_mr(rtype: str, mr: Column) -> Column:
     """range_merge(multirange): the smallest range covering every member
-    ('empty' for an empty multirange)."""
+    ('empty' for an empty multirange, NULL for NULL — a struct of NULL
+    fields is NOT a NULL struct, so the merge must short-circuit)."""
     first = F.element_at(mr, 1)
     last = F.element_at(mr, -1)
     merged = _struct(first["lo"], last["hi"], first["lo_inc"],
                      last["hi_inc"], F.lit(False))
-    return F.when(F.size(mr) == 0, _rg._empty_range(rtype)) \
+    return F.when(mr.isNull(), F.lit(None).cast(_struct_ddl(rtype))) \
+        .when(F.size(mr) == 0, _rg._empty_range(rtype)) \
         .otherwise(merged)
 
 
 def multirange_of(rtype: str, r: Column) -> Column:
-    """multirange(r): the singleton (or empty, for an empty r) multirange."""
-    return F.when(r["is_empty"], empty_multirange(rtype)) \
+    """multirange(r): the singleton (or empty, for an empty r) multirange;
+    NULL propagates (canonicalize would silently drop a NULL element)."""
+    return F.when(r.isNull(),
+                  F.lit(None).cast(f"array<{_struct_ddl(rtype)}>")) \
+        .when(r["is_empty"], empty_multirange(rtype)) \
         .otherwise(F.array(r))
 
 

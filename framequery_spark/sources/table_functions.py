@@ -466,21 +466,12 @@ _OPERATOR_TFS = _register_operator_tfs()
 
 def _jt_cast(c, type_name: str):
     """JSON_TABLE column cast: json text -> the declared SQL type (the
-    same target map the CAST compiler uses; json/jsonb keep the text)."""
-    from ..compiler.expressions import CAST_MAP
-
+    type ladder lives in _jt_spark_type so NESTED-path NULL placeholders
+    can never diverge from the real columns; json/jsonb keep the text)."""
     t = type_name.lower()
     if t in ("json", "jsonb"):
         return c
-    base = t.split("(")[0]
-    if t in CAST_MAP:
-        return c.cast(CAST_MAP[t])
-    if base in ("decimal", "numeric"):
-        inner = t[t.index("("):] if "(" in t else "(38,18)"
-        return c.cast("decimal" + inner)
-    if base in CAST_MAP:
-        return c.cast(CAST_MAP[base])
-    raise CompileError(f"JSON_TABLE: unsupported column type {type_name!r}")
+    return c.cast(_jt_spark_type(t))
 
 
 def _jt_spark_type(tname: str) -> str:

@@ -630,6 +630,24 @@ QUERIES = [
     ("select (null::int4multirange) @> 3, isempty(null::int4multirange), "
      "(null::int4range) @> 3",
      "select null, null, null"),
+    # review-fix regressions: NULL propagation through -, range_merge,
+    # multirange(); FILTER on range aggregates; pg's extreme-member-only
+    # multirange adjacency
+    ("select (null::int4range - int4range(1, 5)) is null, "
+     "(int4range(1, 5) - null::int4range) is null, "
+     "range_merge(null::int4multirange) is null, "
+     "range_merge(null::int4range, int4range(1, 3)) is null, "
+     "multirange(null::int4range) is null, "
+     "(null::int4range + '{[1,2)}'::int4multirange) is null",
+     "select true, true, true, true, true, true"),
+    ("select c1, upper(range_agg(int4range(c2, c2 + 2)) "
+     "filter (where c2 > 2)) u from test group by c1",
+     "select c1, max(case when c2 > 2 then c2 end) + 2 u "
+     "from test group by c1"),
+    ("select '{[1,10)}'::int4multirange -|- "
+     "'{[0,1),[5,6)}'::int4multirange, "
+     "'{[1,10)}'::int4multirange -|- '{[0,1)}'::int4multirange",
+     "select true, true"),
     ("select u.lo, u.hi from unnest('{[1,3),[5,7)}'::int4multirange) u",
      "select * from (values (1, 3), (5, 7)) t(lo, hi)"),
     # range_agg: per-group union (test c2 per c1 is {1,3,5}/{2,4,6}, so
