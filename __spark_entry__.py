@@ -747,6 +747,76 @@ GROUP BY event_type
 ORDER BY event_type
 """)
 
+# pg-14 multirange types end-to-end: per-segment interval-union coverage.
+# range_agg merges each segment's [o_orderkey, o_orderkey+100) ranges into
+# a canonical multirange (sorted, overlapping/adjacent members merged),
+# unnest explodes the merged members, and the summed member widths give the
+# union's total length. DuckDB has no range types, so the oracle computes
+# the SAME interval-union length independently with the classic
+# gaps-and-islands windows — a genuine cross-implementation differential
+# of the canonicalization/merge algebra. New island iff s > running max
+# end (touching intervals merge, exactly like discrete-range adjacency).
+_q("q68_multirange_coverage", """
+WITH agg AS (
+  SELECT c.c_mktsegment AS seg,
+         range_agg(int4range(cast(o.o_orderkey AS int),
+                             cast(o.o_orderkey AS int) + 100)) AS mr
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT seg, count(*) AS n_members,
+       cast(sum(u.hi - u.lo) AS bigint) AS covered
+FROM agg, unnest(mr) AS u
+GROUP BY seg
+ORDER BY seg
+""", oracle="""
+WITH iv AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderkey AS s, o.o_orderkey + 100 AS e
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), m AS (
+  SELECT seg, s, e,
+         max(e) OVER (PARTITION BY seg ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+), isl AS (
+  SELECT seg, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY seg ORDER BY s, e ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS island
+  FROM m
+), spans AS (
+  SELECT seg, island, min(s) AS mn, max(e) AS mx
+  FROM isl GROUP BY seg, island
+)
+SELECT seg, count(*) AS n_members, cast(sum(mx - mn) AS bigint) AS covered
+FROM spans GROUP BY seg ORDER BY seg
+""")
+
+# jsonpath filter predicates over the events props column: the ? (...)
+# filter runs as a variant-array predicate engine-side; DuckDB states the
+# same condition with arrow extraction (missing members fall out of both).
+_q("q69_jsonpath_filter", """
+SELECT event_type,
+       count(*) FILTER (WHERE json_exists(props, '$.k ? (@ >= 50)'))
+         AS n_hi,
+       count(*) FILTER (WHERE json_exists(props,
+         '$.k ? (@ >= 10 && @ < 50)')) AS n_mid,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""", oracle="""
+SELECT event_type,
+       count(*) FILTER (WHERE cast(props->>'$.k' AS bigint) >= 50) AS n_hi,
+       count(*) FILTER (WHERE cast(props->>'$.k' AS bigint) >= 10
+                        AND cast(props->>'$.k' AS bigint) < 50) AS n_mid,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the
