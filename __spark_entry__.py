@@ -2637,6 +2637,66 @@ FROM w ORDER BY round(dsir_weight, 6) DESC, doc_id LIMIT 40
 """)
 
 
+def _op_lr_quality(spark, sf_dir):
+    """fastText-style hashed-ngram logistic-regression quality scorer
+    (operators/classifier.py — the CCNet/GPT-3/LLaMA seed-classifier
+    filter). One gradient step from zero init has a closed form
+    (sigmoid(0) = 1/2), so the WHOLE pipeline — md5 feature hashing, L1
+    tf normalization, decimal-quantized gradient aggregation, the weight
+    update, and the broadcast-join scoring pass — is hash-verified
+    against an independent DuckDB derivation. Training label: lang='en'.
+    Scale shape: features shuffle on (doc_id, bucket) with map-side
+    combine; the weight side is <= n_buckets rows, always broadcast; the
+    only collect is the <= n_buckets-row gradient."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.classifier import lr_score, lr_train
+
+    docs = _scope(spark, sf_dir)["documents"] \
+        .withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = lr_train(docs, "y", n_buckets=512, iters=1, lr=0.5)
+    out = lr_score(docs, w, n_buckets=512)
+    return (out.select("doc_id",
+                       F.round(F.col("margin") + 0.0000001, 6).alias("m"))
+            .orderBy("doc_id"))
+
+
+_op("op_lr_quality", _op_lr_quality, """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+grams AS (
+  SELECT doc_id, y, unnest(ws) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, y,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS g
+  FROM toks WHERE len(ws) >= 2),
+feats AS (
+  SELECT doc_id, max(y) AS y,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY doc_id, bucket),
+tf AS (
+  SELECT doc_id, y, bucket,
+         cnt / (sum(cnt) OVER (PARTITION BY doc_id)) AS tf
+  FROM feats),
+grad AS (
+  SELECT bucket,
+         CAST(sum(CAST(round((0.5 - y) * tf, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) / (SELECT count(*) FROM documents) AS g
+  FROM tf GROUP BY bucket),
+w AS (SELECT bucket, -(0.5 * g) AS w FROM grad),
+m AS (
+  SELECT tf.doc_id,
+         CAST(sum(CAST(round(w.w * tf.tf, 12) AS DECIMAL(28,12)))
+              AS DOUBLE) AS margin
+  FROM tf JOIN w USING (bucket) GROUP BY tf.doc_id)
+SELECT doc_id, round(margin + 0.0000001, 6) AS m FROM m ORDER BY doc_id
+""")
+
+
 def _op_ngram_novelty(spark, sf_dir):
     """Per-doc 3-gram novelty vs the corpus (operators/text.py:
     ngram_novelty): distinct grams, grams first seen in this doc (first =
@@ -2833,18 +2893,20 @@ _DRIVER_WINDOW = [
     "op_text_stats", "op_jaccard_pairs", "op_minhash_dedup",
     "op_cosine_topk", "op_sessions", "op_decode_image",
     "op_skew_count_distinct", "op_levenshtein_pairs", "op_hash_split",
-    "op_pack_bins", "op_dup_clusters", "op_minhash_clusters",
-    # round-7 corpus diagnostics: new op entries enter the window on their
-    # first round (first-round coverage rule)
+    "op_dup_clusters", "op_minhash_clusters",
+    # round-7 corpus diagnostics + the LR quality classifier: new op
+    # entries enter the window on their first round (first-round coverage
+    # rule; op_lr_quality displaced op_pack_bins, r05-green, to r08)
     "op_ngram_novelty", "op_zipf_slope", "op_source_overlap",
-    "op_perplexity_buckets",
-    # the remaining 27 r05-green entries (op_pipeline_e2e, op_gapfill,
+    "op_perplexity_buckets", "op_lr_quality",
+    # the remaining 28 r05-green entries (op_pipeline_e2e, op_gapfill,
     # op_gopher_filter, op_unigram_nll — displaced from this window by the
-    # new diagnostics — plus op_ann_full, op_pq_full, op_quantize_emb,
-    # op_simhash_exact, op_ivf_full_probe, op_strip_html, op_chunk_dedup,
-    # op_shard_counts, op_dedup_against, op_bloom_dedup, op_decontaminate,
-    # op_split_leakage, q49-q59) rotate in r08; the 49 r06-green entries
-    # rotate in r09 — both fit the 50-slot window.
+    # new diagnostics — plus op_pack_bins, op_ann_full, op_pq_full,
+    # op_quantize_emb, op_simhash_exact, op_ivf_full_probe, op_strip_html,
+    # op_chunk_dedup, op_shard_counts, op_dedup_against, op_bloom_dedup,
+    # op_decontaminate, op_split_leakage, q49-q59) rotate in r08 together
+    # with the never-verified q66-q69; the 49 r06-green entries rotate in
+    # r09 — both fit the 50-slot window.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -1,0 +1,172 @@
+"""fastText-style quality classifier: hashed n-gram logistic regression.
+
+The CCNet / GPT-3 / LLaMA data pipelines all filter with a linear
+classifier over hashed n-gram features (seed "good" corpus vs random
+crawl). This is that operator, Spark-first and beyond-reference surface
+(the reference engine has no ML ops):
+
+- features are :func:`framequery_spark.operators.dsir.doc_features`
+  (uni+bigram md5 buckets — engine-exact in any md5-capable engine),
+  L1-normalized per document so margins stay bounded;
+- TRAINING is distributed: each iteration is one broadcast weight join +
+  one per-doc margin aggregate + one per-bucket gradient aggregate
+  (<= n_buckets rows, the only collect — bounded by construction, same
+  O(features) driver state every LR trainer holds). Margin and gradient
+  terms are quantized to DECIMAL(28,12) before summing, so aggregation
+  order cannot drift the result: training is bit-deterministic at any
+  partitioning;
+- SCORING is one broadcast join + one grouped sum — corpus-size
+  independent shuffle width (the feature table shuffles on doc id once).
+
+At 100 TB the feature table is the big object; everything keyed on it is
+an equi shuffle on (id, bucket) with map-side combine, and the weight
+side stays <= n_buckets rows, always broadcast. One gradient step from
+zero init has a closed form (sigmoid(0) = 1/2), which the driver entry
+exploits for a full cross-engine differential against DuckDB.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cache import persist_tracked, release_cached
+from .dsir import doc_features
+
+# decimal quantization for order-independent float sums (the repo-wide
+# idiom: round each term, sum exactly)
+_DEC = "decimal(28,12)"
+
+
+def _q12(c):
+    return F.round(c, 12).cast(_DEC)
+
+
+def doc_tf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+           n_buckets: int = 4096,
+           ngram_sizes: Sequence[int] = (1, 2)) -> DataFrame:
+    """(id, bucket, tf): L1-normalized hashed n-gram features.
+    doc_features' (id, bucket) groupBy plus one per-doc total join —
+    both shuffles keyed on the doc id / (id, bucket), never on the
+    Zipfian gram text."""
+    feats = doc_features(df, text_col=text_col, id_col=id_col,
+                         n_buckets=n_buckets, ngram_sizes=ngram_sizes)
+    totals = feats.groupBy(id_col).agg(F.sum("cnt").alias("__tot"))
+    return (feats.join(totals, id_col)
+            .select(id_col, "bucket",
+                    (F.col("cnt") / F.col("__tot")).alias("tf")))
+
+
+def _weights_df(spark, weights, partial: bool = False):
+    """<= n_buckets-row (bucket, w) frame, always broadcast. `partial`
+    drops zero weights (zero-init first iteration: margin is 0 anyway)."""
+    rows = [(b, float(w)) for b, w in enumerate(weights)
+            if not (partial and w == 0.0)]
+    df = spark.createDataFrame(rows or [(0, 0.0)], "bucket: long, w: double")
+    return F.broadcast(df)
+
+
+def lr_margins(tf_df: DataFrame, weights, spark,
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, margin): decimal-exact dot product of per-doc tf with the
+    broadcast weight vector."""
+    w = _weights_df(spark, weights)
+    return (tf_df.join(w, "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(_q12(F.col("tf") * F.col("w")))
+                 .cast("double").alias("margin")))
+
+
+def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
+             id_col: str = "doc_id", n_buckets: int = 4096,
+             ngram_sizes: Sequence[int] = (1, 2), iters: int = 5,
+             lr: float = 0.5, l2: float = 0.0,
+             spark=None) -> "list[float]":
+    """Train logistic-regression weights on `df` (label_col: 0/1) and
+    return them as a Python list of length n_buckets (the driver-side
+    model state — n_buckets floats, the same bounded footprint every LR
+    trainer keeps). Deterministic: zero init, decimal-quantized sums,
+    fixed iteration count — bit-identical at any partitioning."""
+    spark = spark or df.sparkSession
+    tf_df = persist_tracked(
+        doc_tf(df, text_col=text_col, id_col=id_col, n_buckets=n_buckets,
+               ngram_sizes=ngram_sizes)
+        .join(df.select(id_col, F.col(label_col).cast("double")
+                        .alias("__y")), id_col))
+    try:
+        n_docs = tf_df.select(id_col).distinct().count()
+        if n_docs == 0:
+            raise ValueError("lr_train: empty training frame")
+        weights = [0.0] * n_buckets
+        for it in range(iters):
+            if it == 0:
+                # zero init: every margin is 0, sigmoid(0) = 1/2
+                resid = tf_df.select(
+                    id_col, (F.lit(0.5) - F.col("__y")).alias("__r"),
+                    "bucket", "tf")
+            else:
+                w = _weights_df(spark, weights, partial=True)
+                margins = (tf_df.join(w, "bucket")
+                           .groupBy(id_col)
+                           .agg(F.sum(_q12(F.col("tf") * F.col("w")))
+                                .cast("double").alias("__m")))
+                # LEFT join: a doc whose every bucket weight is zero has
+                # no margin row under the partial weight frame but still
+                # contributes residual sigmoid(0) - y
+                resid = (tf_df.join(margins, id_col, "left")
+                         .select(id_col,
+                                 (F.lit(1.0)
+                                  / (F.lit(1.0)
+                                     + F.exp(-F.coalesce(F.col("__m"),
+                                                         F.lit(0.0))))
+                                  - F.col("__y")).alias("__r"),
+                                 "bucket", "tf"))
+            grad = (resid
+                    .groupBy("bucket")
+                    .agg((F.sum(_q12(F.col("__r") * F.col("tf")))
+                          .cast("double") / n_docs).alias("g"))
+                    .collect())  # <= n_buckets rows by construction
+            for row in grad:
+                b = int(row["bucket"])
+                weights[b] -= lr * (row["g"] + l2 * weights[b])
+    finally:
+        release_cached()
+    return weights
+
+
+def lr_score(df: DataFrame, weights, text_col: str = "text",
+             id_col: str = "doc_id", n_buckets: Optional[int] = None,
+             ngram_sizes: Sequence[int] = (1, 2),
+             spark=None) -> DataFrame:
+    """(id, margin, prob): classifier scores for every document — one
+    broadcast weight join over the hashed features, one grouped decimal
+    sum. Documents with no features (empty text) score margin 0."""
+    spark = spark or df.sparkSession
+    n_buckets = n_buckets if n_buckets is not None else len(weights)
+    if n_buckets != len(weights):
+        raise ValueError("n_buckets must match len(weights)")
+    tf_df = doc_tf(df, text_col=text_col, id_col=id_col,
+                   n_buckets=n_buckets, ngram_sizes=ngram_sizes)
+    margins = lr_margins(tf_df, weights, spark, id_col=id_col)
+    out = (df.select(id_col).join(margins, id_col, "left")
+           .select(id_col,
+                   F.coalesce(F.col("margin"), F.lit(0.0)).alias("margin")))
+    return out.withColumn(
+        "prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+
+
+def quality_classifier_scores(df: DataFrame, label_col: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              n_buckets: int = 4096,
+                              iters: int = 5, lr: float = 0.5,
+                              spark=None) -> DataFrame:
+    """Train on the labeled frame, score every row of it: the one-call
+    seed-classifier filter (label 1 = seed/"good" corpus)."""
+    weights = lr_train(df, label_col, text_col=text_col, id_col=id_col,
+                       n_buckets=n_buckets, iters=iters, lr=lr,
+                       spark=spark)
+    return lr_score(df, weights, text_col=text_col, id_col=id_col,
+                    n_buckets=n_buckets, spark=spark)

@@ -449,6 +449,20 @@ def _register_operator_tfs() -> dict:
         return dsir.dsir_select(_op_table(qc, a[0]), _op_table(qc, a[1]),
                                 k=int(a[2]), **kw)
 
+    def quality_scores(qc, a):
+        # quality_scores('docs_table', 'label_col'[, n_buckets[, iters]])
+        # fastText-style hashed-ngram LR: train on the label column,
+        # score every row (margin + prob)
+        from ..operators import classifier
+
+        kw = {}
+        if len(a) > 2:
+            kw["n_buckets"] = int(a[2])
+        if len(a) > 3:
+            kw["iters"] = int(a[3])
+        return classifier.quality_classifier_scores(
+            _op_table(qc, a[0]), str(a[1]), **kw)
+
     return {f.__name__: f for f in (
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
@@ -458,7 +472,7 @@ def _register_operator_tfs() -> dict:
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
         assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
         dsir_select, bigram_nll, ngram_novelty, zipf_slope, source_overlap,
-        perplexity_buckets)}
+        perplexity_buckets, quality_scores)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

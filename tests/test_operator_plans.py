@@ -382,3 +382,15 @@ def test_perplexity_buckets_joins_on_id(docs):
     plan = formatted_plan(perplexity_buckets(docs))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_lr_quality_scoring_broadcasts_the_weight_side(docs):
+    """The classifier's weight table is <= n_buckets rows by construction
+    and must reach the feature stream as a broadcast hash join — never a
+    shuffle keyed on the Zipfian bucket distribution, never a cartesian."""
+    from framequery_spark.operators.classifier import lr_score
+
+    plan = formatted_plan(lr_score(docs, [0.1] * 256))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -377,3 +377,20 @@ def test_implicit_lateral_and_pg_alias_naming(spark):
         "LATERAL unnest(arr) WITH ORDINALITY AS u WHERE a = 1 ORDER BY 2",
         scope, spark=spark).collect()
     assert [(r.value, r.ordinality) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_quality_scores_in_sql(spark, tpch_scope):
+    import pandas as pd
+
+    scope = dict(tpch_scope)
+    scope["seed"] = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["good clean prose", "clean good style",
+                 "spam buy now", "buy spam clicks"],
+        "y": [1, 1, 0, 0]}))
+    q = ("select doc_id, prob from quality_scores('seed', 'y', 64, 5) "
+         "order by doc_id")
+    out = fq.execute(q, scope, spark=spark).collect()
+    probs = {r.doc_id: r.prob for r in out}
+    assert len(probs) == 4
+    assert min(probs[1], probs[2]) > max(probs[3], probs[4])
