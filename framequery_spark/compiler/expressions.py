@@ -486,14 +486,10 @@ class ExprCompiler:
                 return "interval"
         return None
 
-    def _operand_kind(self, node: ast.Node) -> Optional[str]:
-        """`_static_kind` plus a best-effort schema probe: a plain or
-        table-qualified column ref resolves against in-scope DataFrames when
-        every in-scope table carrying that column name agrees on its type.
-        Returns 'date' / 'ts' / 'int' / 'interval' / None."""
-        k = self._static_kind(node)
-        if k is not None:
-            return k
+    def _scope_col_dtype(self, node: ast.Node) -> Optional[str]:
+        """Best-effort schema probe: the Spark dtype string of a plain or
+        table-qualified column ref, when every in-scope table carrying
+        that column name agrees on it; None otherwise."""
         if not isinstance(node, ast.ColumnRef) or not self.scope:
             return None
         parts = [p.lower() for p in node.parts]
@@ -525,7 +521,17 @@ class ExprCompiler:
             return None
         if len(found) != 1:
             return None
-        dtype = found.pop()
+        return found.pop()
+
+    def _operand_kind(self, node: ast.Node) -> Optional[str]:
+        """`_static_kind` plus the schema probe, mapped to
+        'date' / 'ts' / 'int' / 'interval' / None."""
+        k = self._static_kind(node)
+        if k is not None:
+            return k
+        dtype = self._scope_col_dtype(node)
+        if dtype is None:
+            return None
         if dtype == "date":
             return "date"
         if dtype.startswith("timestamp"):
@@ -536,12 +542,109 @@ class ExprCompiler:
             return "interval"
         return None
 
+    _LO_TO_RANGE = {"int": "int4range", "bigint": "int8range",
+                    "decimal(38,18)": "numrange", "date": "daterange",
+                    "timestamp": "tsrange"}
+
+    def _probed_range_kinds(self, node: ast.Node):
+        """(range_kind, multirange_kind) of a bare column ref whose scope
+        dtype is the canonical range struct / multirange array — lifts the
+        re-marking-cast requirement for columns read from scope tables."""
+        dtype = self._scope_col_dtype(node)
+        if dtype is None:
+            return None, None
+        s = dtype.replace(" ", "")
+        multi = s.startswith("array<struct<lo:")
+        inner = s[6:-1] if multi else s
+        if not inner.startswith("struct<lo:") \
+                or "lo_inc:boolean" not in inner \
+                or "is_empty:boolean" not in inner:
+            return None, None
+        lo_t = inner[len("struct<lo:"):].split(",")[0]
+        k = self._LO_TO_RANGE.get(lo_t)
+        if k is None:
+            return None, None
+        return (None, k) if multi else (k, None)
+
+    def _range_kind_of(self, node: ast.Node) -> Optional[str]:
+        """_range_kind with the scope-schema probe folded into every
+        recursion step — bare column refs typed as the canonical range
+        struct dispatch without a re-marking cast, including through
+        aggregates (lower(range_agg(col))), arithmetic, and the CASE
+        wrapper the FILTER desugar adds."""
+        from ..functions.multiranges import MULTIRANGE_TYPES
+        from ..functions.ranges import RANGE_TYPES
+
+        if isinstance(node, ast.Cast) \
+                and node.type_name.lower() in RANGE_TYPES:
+            return node.type_name.lower()
+        if isinstance(node, ast.Call):
+            name = node.name.lower()
+            if name in RANGE_TYPES:
+                return name
+            if name in ("range_intersect_agg", "range_merge") and node.args:
+                k = self._range_kind_of(node.args[0])
+                if k:
+                    return k
+                mk = self._multirange_kind_of(node.args[0])
+                if mk:
+                    return MULTIRANGE_TYPES[mk]
+            return None
+        if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
+            if self._multirange_kind_of(node.left) \
+                    or self._multirange_kind_of(node.right):
+                return None
+            return self._range_kind_of(node.left) \
+                or self._range_kind_of(node.right)
+        if isinstance(node, ast.Case):
+            for _, res in node.whens:
+                k = self._range_kind_of(res)
+                if k:
+                    return k
+            if node.default is not None:
+                return self._range_kind_of(node.default)
+            return None
+        return self._probed_range_kinds(node)[0]
+
+    def _multirange_kind_of(self, node: ast.Node) -> Optional[str]:
+        from ..functions.multiranges import MULTIRANGE_TYPES
+
+        mr_of_range = {v: k for k, v in MULTIRANGE_TYPES.items()}
+        if isinstance(node, ast.Cast) \
+                and node.type_name.lower() in MULTIRANGE_TYPES:
+            return node.type_name.lower()
+        if isinstance(node, ast.Call):
+            name = node.name.lower()
+            if name in MULTIRANGE_TYPES:
+                return name
+            if name in ("multirange", "range_agg") and node.args:
+                k = self._range_kind_of(node.args[0])
+                if k:
+                    return mr_of_range[k]
+            return None
+        if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
+            return self._multirange_kind_of(node.left) \
+                or self._multirange_kind_of(node.right)
+        if isinstance(node, ast.Case):
+            for _, res in node.whens:
+                k = self._multirange_kind_of(res)
+                if k:
+                    return k
+            if node.default is not None:
+                return self._multirange_kind_of(node.default)
+            return None
+        probed = self._probed_range_kinds(node)[1]
+        if probed is None:
+            return None
+        return mr_of_range[probed]
+
     def _c_Binary(self, node: ast.Binary) -> Column:
         op = node.op
         if op in ("+", "*", "-", "<<", ">>") and (
-                _range_kind(node.left) or _range_kind(node.right)
-                or _multirange_kind(node.left)
-                or _multirange_kind(node.right)):
+                self._range_kind_of(node.left)
+                or self._range_kind_of(node.right)
+                or self._multirange_kind_of(node.left)
+                or self._multirange_kind_of(node.right)):
             return self._compile_range_binary(node)
         left = self.compile(node.left)
         right = self.compile(node.right)
@@ -624,10 +727,10 @@ class ExprCompiler:
         from ..functions import multiranges as _mrg
         from ..functions import ranges as _rg
 
-        lk = _range_kind(node.left)
-        rk = _range_kind(node.right)
-        lm = _multirange_kind(node.left)
-        rm = _multirange_kind(node.right)
+        lk = self._range_kind_of(node.left)
+        rk = self._range_kind_of(node.right)
+        lm = self._multirange_kind_of(node.left)
+        rm = self._multirange_kind_of(node.right)
         if not ((lk or lm) and (rk or rm)):
             raise CompileError(
                 f"range operator {node.op} requires two range or "
@@ -1028,7 +1131,7 @@ class ExprCompiler:
             # multirange constructor: int4multirange(r1, r2, ...) — zero
             # or more range arguments, canonicalized (sorted/merged)
             for a in node.args:
-                if not _range_kind(a):
+                if not self._range_kind_of(a):
                     raise CompileError(
                         f"{name}() arguments must be ranges (cast column "
                         "references to the range type to re-mark them)")
@@ -1038,9 +1141,10 @@ class ExprCompiler:
             except ValueError as exc:
                 raise CompileError(str(exc))
         if name == "__range_adjacent":
-            ka, kb = _range_kind(node.args[0]), _range_kind(node.args[1])
-            ma = _multirange_kind(node.args[0])
-            mb = _multirange_kind(node.args[1])
+            ka = self._range_kind_of(node.args[0])
+            kb = self._range_kind_of(node.args[1])
+            ma = self._multirange_kind_of(node.args[0])
+            mb = self._multirange_kind_of(node.args[1])
             if not (ka or kb or ma or mb):
                 raise CompileError("-|- requires range operands")
             a = self.compile(node.args[0])
@@ -1056,14 +1160,15 @@ class ExprCompiler:
             return _rg.adjacent(a, b)
         if name in ("array_contains_all", "array_overlaps") \
                 and len(node.args) == 2 \
-                and (_range_kind(node.args[0]) or _range_kind(node.args[1])
-                     or _multirange_kind(node.args[0])
-                     or _multirange_kind(node.args[1])):
+                and (self._range_kind_of(node.args[0])
+                     or self._range_kind_of(node.args[1])
+                     or self._multirange_kind_of(node.args[0])
+                     or self._multirange_kind_of(node.args[1])):
             from ..functions import multiranges as _mrg
-            ka = _range_kind(node.args[0])
-            kb = _range_kind(node.args[1])
-            ma = _multirange_kind(node.args[0])
-            mb = _multirange_kind(node.args[1])
+            ka = self._range_kind_of(node.args[0])
+            kb = self._range_kind_of(node.args[1])
+            ma = self._multirange_kind_of(node.args[0])
+            mb = self._multirange_kind_of(node.args[1])
             a = self.compile(node.args[0])
             b = self.compile(node.args[1])
             if name == "array_overlaps":
@@ -1095,23 +1200,23 @@ class ExprCompiler:
                 "@> / <@ with a range requires the range on the "
                 "containing side")
         if name in _RANGE_ACCESSORS and len(node.args) == 1:
-            if _range_kind(node.args[0]):
+            if self._range_kind_of(node.args[0]):
                 return getattr(_rg, _RANGE_ACCESSORS[name])(
                     self.compile(node.args[0]))
-            if _multirange_kind(node.args[0]):
+            if self._multirange_kind_of(node.args[0]):
                 from ..functions import multiranges as _mrg
                 fn = _RANGE_ACCESSORS[name].replace("range_", "mr_")
                 return getattr(_mrg, fn)(self.compile(node.args[0]))
         if name == "range_merge" and node.args:
             from ..functions import multiranges as _mrg
-            mk = _multirange_kind(node.args[0])
+            mk = self._multirange_kind_of(node.args[0])
             if len(node.args) == 1 and mk:
                 return _mrg.range_merge_mr(
                     _mrg.MULTIRANGE_TYPES[mk],
                     self.compile(node.args[0]))
             if len(node.args) == 2:
-                ka = _range_kind(node.args[0])
-                kb = _range_kind(node.args[1])
+                ka = self._range_kind_of(node.args[0])
+                kb = self._range_kind_of(node.args[1])
                 if ka and kb:
                     # smallest range covering both (pg range_merge: works
                     # on disjoint inputs too; empties are identity; NULL
@@ -1129,7 +1234,7 @@ class ExprCompiler:
                 "range_merge() takes two ranges or one multirange "
                 "(cast column references to re-mark them)")
         if name == "multirange" and len(node.args) == 1:
-            rk = _range_kind(node.args[0])
+            rk = self._range_kind_of(node.args[0])
             if not rk:
                 raise CompileError(
                     "multirange() requires a range argument (cast column "
@@ -1458,8 +1563,8 @@ class ExprCompiler:
             return F.to_json(F.collect_list(self.compile(node.args[0])))
         if name in ("range_agg", "range_intersect_agg"):
             # pg 14 range aggregates: union -> multirange, intersection ->
-            # range. Subtype from the argument's static range kind.
-            rk = _range_kind(node.args[0])
+            # range. Subtype from the argument's static or probed kind.
+            rk = self._range_kind_of(node.args[0])
             if not rk:
                 raise CompileError(
                     f"{name}() requires a range argument (cast column "

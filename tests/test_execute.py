@@ -1248,3 +1248,41 @@ def test_format_null_handling(spark):
     with pytest.raises(Exception, match="SQL identifier"):
         fq.execute("SELECT format('%I', NULL)", scope,
                    spark=spark).collect()
+
+
+def test_range_columns_dispatch_without_remarking_cast(spark):
+    """Range/multirange values stored in scope tables dispatch from bare
+    column refs via the scope-schema probe (struct<lo,hi,lo_inc,hi_inc,
+    is_empty> / array thereof) — no ::int4range re-marking cast needed."""
+    import pandas as pd
+
+    ex = fq.Executor({"t": pd.DataFrame(
+        {"id": [1, 2, 3], "lo": [1, 5, 10], "hi": [3, 8, 14]})},
+        spark=spark)
+    ex.execute("CREATE TABLE r AS SELECT id, int4range(lo, hi) AS rng "
+               "FROM t")
+    got = [tuple(x) for x in ex.execute(
+        "SELECT id FROM r WHERE rng @> 6 ORDER BY id").collect()]
+    assert got == [(2,)]
+    got = [tuple(x) for x in ex.execute(
+        "SELECT id, lower(rng) l, upper(rng) u FROM r ORDER BY id"
+    ).collect()]
+    assert got == [(1, 1, 3), (2, 5, 8), (3, 10, 14)]
+    # aggregates + FILTER over the bare column, and accessor-over-agg
+    got = [tuple(x) for x in ex.execute(
+        "SELECT lower(range_agg(rng)) l, "
+        "upper(range_agg(rng) FILTER (WHERE id > 1)) u FROM r").collect()]
+    assert got == [(1, 14)]
+    # qualified refs through join aliases hit the fallback probe
+    got = [tuple(x) for x in ex.execute(
+        "SELECT count(*) n FROM r a, r b "
+        "WHERE a.rng && b.rng AND a.id < b.id").collect()]
+    assert got == [(0,)]  # the three ranges are mutually disjoint
+    ex.execute("CREATE TABLE mrs AS SELECT id, "
+               "multirange(int4range(lo, hi)) AS mr FROM t")
+    got = [tuple(x) for x in ex.execute(
+        "SELECT id FROM mrs WHERE mr @> 6 ORDER BY id").collect()]
+    assert got == [(2,)]
+    got = [tuple(x) for x in ex.execute(
+        "SELECT isempty(mr - mr) e FROM mrs WHERE id = 1").collect()]
+    assert got == [(True,)]
