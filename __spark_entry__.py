@@ -2650,12 +2650,17 @@ def _op_lr_quality(spark, sf_dir):
     only collect is the <= n_buckets-row gradient."""
     from pyspark.sql import functions as F
 
-    from framequery_spark.operators.classifier import lr_score, lr_train
+    from framequery_spark.operators.cache import persist_tracked
+    from framequery_spark.operators.classifier import (doc_tf, lr_score,
+                                                       lr_train)
 
     docs = _scope(spark, sf_dir)["documents"] \
         .withColumn("y", (F.col("lang") == "en").cast("int"))
-    w = lr_train(docs, "y", n_buckets=512, iters=1, lr=0.5)
-    out = lr_score(docs, w, n_buckets=512)
+    # one gram pass: tf persisted once, shared by training and scoring
+    # (released by the harness's per-entry release_cached)
+    tf = persist_tracked(doc_tf(docs, n_buckets=512))
+    w = lr_train(docs, "y", n_buckets=512, iters=1, lr=0.5, tf_df=tf)
+    out = lr_score(docs, w, n_buckets=512, tf_df=tf)
     return (out.select("doc_id",
                        F.round(F.col("margin") + 0.0000001, 6).alias("m"))
             .orderBy("doc_id"))

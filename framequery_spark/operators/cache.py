@@ -46,6 +46,21 @@ def persist_tracked(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+def release_one(df: DataFrame) -> None:
+    """Unpersist one tracked intermediate and drop it from the registry —
+    for operators that own a persist with a bounded lifetime (a training
+    loop) while the caller may hold OTHER tracked persists that must
+    survive (release_cached would drop those too)."""
+    try:
+        df.unpersist(False)
+    except Exception:  # pragma: no cover — session already stopped
+        pass
+    try:
+        _TRACKED.remove(df)
+    except ValueError:
+        pass
+
+
 def release_cached() -> int:
     """Unpersist every tracked intermediate (non-blocking); returns the
     number released. Idempotent; safe to call while results are still lazy

@@ -83,39 +83,49 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
              id_col: str = "doc_id", n_buckets: int = 4096,
              ngram_sizes: Sequence[int] = (1, 2), iters: int = 5,
              lr: float = 0.5, l2: float = 0.0,
+             tf_df: Optional[DataFrame] = None,
              spark=None) -> "list[float]":
     """Train logistic-regression weights on `df` (label_col: 0/1) and
     return them as a Python list of length n_buckets (the driver-side
     model state — n_buckets floats, the same bounded footprint every LR
     trainer keeps). Deterministic: zero init, decimal-quantized sums,
-    fixed iteration count — bit-identical at any partitioning."""
+    fixed iteration count — bit-identical at any partitioning.
+
+    `tf_df`: a precomputed (and typically caller-persisted) doc_tf
+    result — pass it when scoring follows training so the gram
+    explosion runs ONCE for the whole train+score pipeline; the caller
+    then owns its lifetime. Without it, lr_train persists its own and
+    releases exactly that one (release_one) before returning."""
     spark = spark or df.sparkSession
-    tf_df = persist_tracked(
-        doc_tf(df, text_col=text_col, id_col=id_col, n_buckets=n_buckets,
-               ngram_sizes=ngram_sizes)
-        .join(df.select(id_col, F.col(label_col).cast("double")
-                        .alias("__y")), id_col))
+    own = tf_df is None
+    if own:
+        tf_df = persist_tracked(
+            doc_tf(df, text_col=text_col, id_col=id_col,
+                   n_buckets=n_buckets, ngram_sizes=ngram_sizes))
+    feats = tf_df.join(
+        df.select(id_col,
+                  F.col(label_col).cast("double").alias("__y")), id_col)
     try:
-        n_docs = tf_df.select(id_col).distinct().count()
+        n_docs = feats.select(id_col).distinct().count()
         if n_docs == 0:
             raise ValueError("lr_train: empty training frame")
         weights = [0.0] * n_buckets
         for it in range(iters):
             if it == 0:
                 # zero init: every margin is 0, sigmoid(0) = 1/2
-                resid = tf_df.select(
+                resid = feats.select(
                     id_col, (F.lit(0.5) - F.col("__y")).alias("__r"),
                     "bucket", "tf")
             else:
                 w = _weights_df(spark, weights, partial=True)
-                margins = (tf_df.join(w, "bucket")
+                margins = (feats.join(w, "bucket")
                            .groupBy(id_col)
                            .agg(F.sum(_q12(F.col("tf") * F.col("w")))
                                 .cast("double").alias("__m")))
                 # LEFT join: a doc whose every bucket weight is zero has
                 # no margin row under the partial weight frame but still
                 # contributes residual sigmoid(0) - y
-                resid = (tf_df.join(margins, id_col, "left")
+                resid = (feats.join(margins, id_col, "left")
                          .select(id_col,
                                  (F.lit(1.0)
                                   / (F.lit(1.0)
@@ -132,23 +142,28 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
                 b = int(row["bucket"])
                 weights[b] -= lr * (row["g"] + l2 * weights[b])
     finally:
-        release_cached()
+        if own:
+            from .cache import release_one
+            release_one(tf_df)
     return weights
 
 
 def lr_score(df: DataFrame, weights, text_col: str = "text",
              id_col: str = "doc_id", n_buckets: Optional[int] = None,
              ngram_sizes: Sequence[int] = (1, 2),
+             tf_df: Optional[DataFrame] = None,
              spark=None) -> DataFrame:
     """(id, margin, prob): classifier scores for every document — one
     broadcast weight join over the hashed features, one grouped decimal
-    sum. Documents with no features (empty text) score margin 0."""
+    sum. Documents with no features (empty text) score margin 0.
+    `tf_df` as in lr_train (reuse the cached feature table)."""
     spark = spark or df.sparkSession
     n_buckets = n_buckets if n_buckets is not None else len(weights)
     if n_buckets != len(weights):
         raise ValueError("n_buckets must match len(weights)")
-    tf_df = doc_tf(df, text_col=text_col, id_col=id_col,
-                   n_buckets=n_buckets, ngram_sizes=ngram_sizes)
+    if tf_df is None:
+        tf_df = doc_tf(df, text_col=text_col, id_col=id_col,
+                       n_buckets=n_buckets, ngram_sizes=ngram_sizes)
     margins = lr_margins(tf_df, weights, spark, id_col=id_col)
     out = (df.select(id_col).join(margins, id_col, "left")
            .select(id_col,
@@ -164,9 +179,14 @@ def quality_classifier_scores(df: DataFrame, label_col: str,
                               iters: int = 5, lr: float = 0.5,
                               spark=None) -> DataFrame:
     """Train on the labeled frame, score every row of it: the one-call
-    seed-classifier filter (label 1 = seed/"good" corpus)."""
+    seed-classifier filter (label 1 = seed/"good" corpus). One gram
+    pass total: the tf table is persisted once and shared by training
+    and the returned (lazy) scoring plan — the caller releases it after
+    materializing, via the release_cached() harness convention."""
+    tf = persist_tracked(doc_tf(df, text_col=text_col, id_col=id_col,
+                                n_buckets=n_buckets))
     weights = lr_train(df, label_col, text_col=text_col, id_col=id_col,
                        n_buckets=n_buckets, iters=iters, lr=lr,
-                       spark=spark)
+                       tf_df=tf, spark=spark)
     return lr_score(df, weights, text_col=text_col, id_col=id_col,
-                    n_buckets=n_buckets, spark=spark)
+                    n_buckets=n_buckets, tf_df=tf, spark=spark)

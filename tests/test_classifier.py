@@ -111,8 +111,12 @@ def test_weight_length_validation(spark):
 
 
 def test_nothing_left_cached(spark):
-    from framequery_spark.operators.cache import _TRACKED
+    # quality_classifier_scores intentionally leaves its shared tf
+    # tracked for the harness to release; standalone lr_train must
+    # clean up its own (release_one)
+    from framequery_spark.operators.cache import _TRACKED, release_cached
 
+    release_cached()  # drop leftovers from earlier tests (convention)
     sdf = spark.createDataFrame(DOCS)
     lr_train(sdf, "y", n_buckets=N_BUCKETS, iters=2)
     assert not _TRACKED
