@@ -817,6 +817,39 @@ GROUP BY event_type
 ORDER BY event_type
 """)
 
+# pg full-text search over the documents corpus: boolean AND match,
+# phrase (adjacency) match, and tsvector lexeme counts per source. The
+# oracle restates the same semantics with DuckDB list ops (regex split +
+# list_contains; phrase adjacency via an index-lambda scan) — an
+# independent derivation of the word-parse + position machinery.
+_q("q70_fulltext_search", """
+SELECT source,
+       count(*) FILTER (WHERE to_tsvector(text)
+         @@ to_tsquery('spark & window')) AS n_and,
+       count(*) FILTER (WHERE to_tsvector(text)
+         @@ phraseto_tsquery('hash join')) AS n_phrase,
+       sum(length(to_tsvector(text))) AS n_lexemes
+FROM documents
+GROUP BY source
+ORDER BY source
+""", oracle="""
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)),
+                                           '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents)
+SELECT source,
+       count(*) FILTER (WHERE list_contains(ws, 'spark')
+                        AND list_contains(ws, 'window')) AS n_and,
+       count(*) FILTER (WHERE len(list_filter(range(1, len(ws)),
+           i -> ws[i] = 'hash' AND ws[i + 1] = 'join')) > 0) AS n_phrase,
+       sum(len(list_distinct(ws))) AS n_lexemes
+FROM t
+GROUP BY source
+ORDER BY source
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the

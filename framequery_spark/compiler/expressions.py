@@ -683,6 +683,9 @@ class ExprCompiler:
         if op == "^":
             return F.pow(left, right)  # pg ^ is power, not xor
         if op == "||":
+            if self._is_tsvector(node.left) and self._is_tsvector(node.right):
+                from ..functions import textsearch as _ts
+                return _ts.tsvector_concat(left, right)
             # pg: array || element appends, element || array prepends;
             # decided statically (ARRAY[...] / ARRAY(...) / ::type[] forms).
             # Unknown-typed sides keep concat (string||string, array||array)
@@ -1241,6 +1244,9 @@ class ExprCompiler:
                     "references to the range type to re-mark them)")
             from ..functions import multiranges as _mrg
             return _mrg.multirange_of(rk, self.compile(node.args[0]))
+        ts_col = self._compile_textsearch(name, node)
+        if ts_col is not None:
+            return ts_col
         if name == "__is_json":
             # pg 16 IS JSON [VALUE|SCALAR|ARRAY|OBJECT]: NULL in -> NULL,
             # validity via Spark's native JSON parser (try_parse_json),
@@ -1419,6 +1425,171 @@ class ExprCompiler:
             & ~jt.startswith("[") & (jt != "null"),
             F.try_variant_get(first, "$", "string")) \
             .otherwise(F.lit(None).cast("string"))
+
+    _TSV_DDL_FLAT = ("array<struct<lexeme:string,positions:array<int>,"
+                     "weight:string>>")
+
+    def _is_tsvector(self, node: ast.Node) -> bool:
+        """Statically-known tsvector expression (constructor calls,
+        setweight/strip, || concat) or a scope column with the canonical
+        tsvector dtype."""
+        if isinstance(node, ast.Call):
+            n = node.name.lower()
+            if n in ("to_tsvector", "setweight"):
+                return True
+            if n == "strip" and node.args \
+                    and self._is_tsvector(node.args[0]):
+                return True
+            return False
+        if isinstance(node, ast.Binary) and node.op == "||":
+            return self._is_tsvector(node.left) \
+                or self._is_tsvector(node.right)
+        dtype = self._scope_col_dtype(node)
+        return dtype is not None \
+            and dtype.replace(" ", "") == self._TSV_DDL_FLAT
+
+    def _tsquery_node(self, node: ast.Node):
+        """Parsed tsquery tree from a literal-query expression
+        (to_tsquery / plainto_tsquery / phraseto_tsquery with literal
+        text, or 'q'::tsquery); None when the node is not tsquery-shaped;
+        CompileError on non-literal query text."""
+        from ..functions import textsearch as _ts
+
+        if isinstance(node, ast.Cast) \
+                and node.type_name.lower() == "tsquery":
+            inner = node.expr
+            if isinstance(inner, ast.Literal) and inner.kind == "string":
+                try:
+                    return _ts.parse_tsquery(inner.value)
+                except _ts.TsQueryError as exc:
+                    raise CompileError(str(exc))
+            raise CompileError("::tsquery requires a string literal")
+        if isinstance(node, ast.Call):
+            n = node.name.lower()
+            if n in ("to_tsquery", "plainto_tsquery", "phraseto_tsquery"):
+                args = node.args
+                config = "simple"
+                if len(args) == 2:
+                    c = args[0]
+                    if not (isinstance(c, ast.Literal)
+                            and c.kind == "string"):
+                        raise CompileError(
+                            f"{n}() config must be a string literal")
+                    config = c.value.lower()
+                    text_arg = args[1]
+                elif len(args) == 1:
+                    text_arg = args[0]
+                else:
+                    raise CompileError(f"{n}() takes 1 or 2 arguments")
+                if config not in ("simple", "english"):
+                    raise CompileError(
+                        f"text search configuration {config!r} is not "
+                        "supported (simple / english)")
+                if not (isinstance(text_arg, ast.Literal)
+                        and text_arg.kind == "string"):
+                    raise CompileError(
+                        f"{n}() requires a literal query string")
+                try:
+                    if n == "to_tsquery":
+                        return _ts.parse_tsquery(text_arg.value, config)
+                    if n == "plainto_tsquery":
+                        return _ts.plain_tsquery(text_arg.value, config)
+                    return _ts.phrase_tsquery(text_arg.value, config)
+                except _ts.TsQueryError as exc:
+                    raise CompileError(str(exc))
+        return None
+
+    def _compile_textsearch(self, name: str, node: ast.Call):
+        """pg full-text search calls; None when `name` is not FTS."""
+        from ..functions import textsearch as _ts
+
+        if name == "to_tsvector":
+            args = node.args
+            config = "simple"
+            if len(args) == 2:
+                c = args[0]
+                if not (isinstance(c, ast.Literal) and c.kind == "string"):
+                    raise CompileError(
+                        "to_tsvector() config must be a string literal")
+                config = c.value.lower()
+                text = args[1]
+            elif len(args) == 1:
+                text = args[0]
+            else:
+                raise CompileError("to_tsvector() takes 1 or 2 arguments")
+            try:
+                return _ts.to_tsvector(
+                    self.compile(text).cast("string"), config)
+            except _ts.TsQueryError as exc:
+                raise CompileError(str(exc))
+        if name in ("to_tsquery", "plainto_tsquery", "phraseto_tsquery"):
+            # standalone use: pg renders the parsed query as text
+            q = self._tsquery_node(node)
+            return F.lit(_ts.render_tsquery(q))
+        if name == "setweight" and len(node.args) == 2:
+            w = node.args[1]
+            if not (isinstance(w, ast.Literal) and w.kind == "string"):
+                raise CompileError(
+                    "setweight() weight must be a string literal")
+            try:
+                return _ts.setweight(self.compile(node.args[0]), w.value)
+            except _ts.TsQueryError as exc:
+                raise CompileError(str(exc))
+        if name == "strip" and len(node.args) == 1 \
+                and self._is_tsvector(node.args[0]):
+            return _ts.strip_positions(self.compile(node.args[0]))
+        if name == "length" and len(node.args) == 1 \
+                and self._is_tsvector(node.args[0]):
+            # pg length(tsvector): number of lexemes
+            return F.size(self.compile(node.args[0])).cast("long")
+        if name == "__ts_match":
+            a, b = node.args
+            qb = self._tsquery_node(b)
+            qa = None if qb is not None else self._tsquery_node(a)
+            if qb is not None:
+                tsv_node, qnode = a, qb
+            elif qa is not None:
+                tsv_node, qnode = b, qa
+            else:
+                raise CompileError(
+                    "@@ requires a literal tsquery on one side "
+                    "(to_tsquery / plainto_tsquery / phraseto_tsquery "
+                    "or ::tsquery of a literal)")
+            tsv = self.compile(tsv_node)
+            if not self._is_tsvector(tsv_node):
+                # pg: text @@ tsquery coerces the text via to_tsvector
+                tsv = _ts.to_tsvector(tsv.cast("string"))
+            try:
+                return _ts.compile_match(tsv, qnode)
+            except _ts.TsQueryError as exc:
+                raise CompileError(str(exc))
+        if name == "ts_rank":
+            args = list(node.args)
+            weights = None
+            if len(args) == 3:
+                wa = args.pop(0)
+                if not (isinstance(wa, ast.Call)
+                        and wa.name == "__array"
+                        and len(wa.args) == 4
+                        and all(isinstance(x, ast.Literal)
+                                for x in wa.args)):
+                    raise CompileError(
+                        "ts_rank() weights must be a 4-element array "
+                        "literal {D,C,B,A}")
+                weights = [float(x.value) for x in wa.args]
+            if len(args) != 2:
+                raise CompileError(
+                    "ts_rank() takes (tsvector, tsquery) or "
+                    "(weights, tsvector, tsquery)")
+            q = self._tsquery_node(args[1])
+            if q is None:
+                raise CompileError("ts_rank() requires a literal tsquery")
+            if not self._is_tsvector(args[0]):
+                raise CompileError(
+                    "ts_rank() first argument must be a tsvector "
+                    "(to_tsvector(...) or a stored tsvector column)")
+            return _ts.ts_rank(self.compile(args[0]), q, weights)
+        return None
 
     def _compile_quant_array(self, node: ast.Call) -> Column:
         """pg `x op ANY|ALL (array)` — JVM higher-order exists/forall, which

@@ -1,0 +1,421 @@
+"""PostgreSQL full-text search subset: tsvector / tsquery / ``@@``.
+
+Beyond-reference pg surface (the reference engine has no FTS). A tsvector
+is an ``array<struct<lexeme:string, positions:array<int>, weight:string>>``
+sorted by lexeme — pg's canonical form (distinct lexemes, ordered position
+lists). Everything is pure JVM Column expressions (split + array HOFs);
+tsquery parsing happens at COMPILE time (query texts are literals in the
+overwhelming majority of pg usage), so matching is a plain boolean
+expression tree over the vector — no UDFs, row-local, codegen-friendly.
+
+Supported:
+- ``to_tsvector([config,] text)`` — configs ``simple`` (lowercase
+  alphanumeric word parser) and ``english`` (same parser + stopword
+  removal; positions still count stopwords, like pg). Stemming is NOT
+  implemented (pg uses Snowball); ``english`` here is stopword-only,
+  documented deviation.
+- ``plainto_tsquery`` (AND of lexemes), ``phraseto_tsquery`` (<-> chain),
+  ``to_tsquery`` (full syntax: ``& | ! ( ) <-> <N>``; ``:*`` prefix match).
+- ``tsv @@ tsq`` with phrase-distance semantics over position lists.
+- ``setweight(tsv, 'A')``, ``tsv || tsv`` (lexeme-merging concat),
+  ``strip(tsv)``, ``numnode``-free length via cardinality.
+- ``ts_rank([weights,] tsv, tsq)`` — implements pg's calc_rank shape for
+  the common cases (per-term weighted frequency 1 - 1/(1+n), AND/phrase
+  terms averaged; default weight vector {0.1,0.2,0.4,1.0}); positional
+  proximity refinement of pg's calc_rank_and is NOT replicated, so rank
+  VALUES deviate from pg while orderings on term frequency agree.
+  Documented deviation; exact lexical scoring lives in operators/
+  retrieval.py (BM25).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TSVECTOR_DDL = ("array<struct<lexeme:string,positions:array<int>,"
+                "weight:string>>")
+
+# pg's english stopword list (ts core subset — the high-frequency closed
+# class; kept deliberately small and documented)
+ENGLISH_STOPWORDS = frozenset("""
+i me my myself we our ours ourselves you your yours yourself yourselves
+he him his himself she her hers herself it its itself they them their
+theirs themselves what which who whom this that these those am is are was
+were be been being have has had having do does did doing a an the and but
+if or because as until while of at by for with about against between into
+through during before after above below to from up down in out on off
+over under again further then once here there when where why how all any
+both each few more most other some such no nor not only own same so than
+too very s t can will just don should now
+""".split())
+
+_WEIGHT_SCORES = {"D": 0.1, "C": 0.2, "B": 0.4, "A": 1.0}
+
+
+class TsQueryError(ValueError):
+    pass
+
+
+def _tokens_with_pos(text: Column) -> Column:
+    """array<struct<t:string, p:int>> — lowercase alphanumeric word
+    parse with 1-based positions (pg 'simple' parser shape)."""
+    raw = F.split(F.lower(text), "[^a-z0-9]+")
+    indexed = F.transform(
+        raw, lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p")))
+    # leading separator yields an empty first token — filter, then
+    # renumber so positions count WORDS (pg numbers words, not splits)
+    words = F.filter(indexed, lambda s: s["t"] != "")
+    return F.transform(
+        words, lambda s, i: F.struct(s["t"].alias("t"),
+                                     (i + 1).cast("int").alias("p")))
+
+
+def to_tsvector(text: Column, config: str = "simple") -> Column:
+    """Canonical tsvector: distinct lexemes sorted, each with its ordered
+    position list, default weight D. Row-local HOFs only."""
+    if config not in ("simple", "english"):
+        raise TsQueryError(
+            f"text search configuration {config!r} is not supported "
+            "(simple / english)")
+    toks = _tokens_with_pos(text)
+    if config == "english":
+        stop = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
+        toks = F.filter(toks,
+                        lambda s: ~F.array_contains(stop, s["t"]))
+    lexemes = F.array_sort(F.array_distinct(
+        F.transform(toks, lambda s: s["t"])))
+
+    def entry(lex: Column) -> Column:
+        pos = F.transform(
+            F.filter(toks, lambda s: s["t"] == lex), lambda s: s["p"])
+        return F.struct(lex.alias("lexeme"), pos.alias("positions"),
+                        F.lit("D").alias("weight"))
+
+    return F.transform(lexemes, entry)
+
+
+def setweight(tsv: Column, weight: str) -> Column:
+    w = weight.upper()
+    if w not in "ABCD" or len(w) != 1:
+        raise TsQueryError(f"unrecognized weight: {weight!r}")
+    return F.transform(
+        tsv, lambda e: F.struct(e["lexeme"].alias("lexeme"),
+                                e["positions"].alias("positions"),
+                                F.lit(w).alias("weight")))
+
+
+def strip_positions(tsv: Column) -> Column:
+    """pg strip(): drop positions and weights."""
+    return F.transform(
+        tsv, lambda e: F.struct(
+            e["lexeme"].alias("lexeme"),
+            F.array().cast("array<int>").alias("positions"),
+            F.lit("D").alias("weight")))
+
+
+def tsvector_concat(a: Column, b: Column) -> Column:
+    """||: merge lexeme entries; b's positions shift by a's document
+    length (pg semantics: the right document follows the left one).
+    The higher weight wins on merged lexemes (A > B > C > D, i.e. the
+    alphabetically smaller letter). One sort + one fold — per-lexeme
+    re-filtering of the merged array would re-reference the (potentially
+    deep) input expressions per lexeme and blow up analysis."""
+    a_len = F.coalesce(
+        F.array_max(F.flatten(F.transform(a, lambda e: e["positions"]))),
+        F.lit(0))
+    b_shift = F.transform(
+        b, lambda e: F.struct(
+            e["lexeme"].alias("lexeme"),
+            F.transform(e["positions"],
+                        lambda p: (p + a_len).cast("int"))
+            .alias("positions"),
+            e["weight"].alias("weight")))
+    merged = F.array_sort(
+        F.concat(a, b_shift),
+        lambda x, y: F.when(x["lexeme"] < y["lexeme"], -1)
+        .when(x["lexeme"] > y["lexeme"], 1).otherwise(0))
+    empty = F.array().cast(TSVECTOR_DDL)
+
+    def step(acc: Column, e: Column) -> Column:
+        last = F.element_at(acc, -1)
+        joined = F.struct(
+            e["lexeme"].alias("lexeme"),
+            F.array_sort(F.concat(last["positions"], e["positions"]))
+            .alias("positions"),
+            F.least(last["weight"], e["weight"]).alias("weight"))
+        return (F.when(F.size(acc) == 0, F.array(e))
+                .when(last["lexeme"] == e["lexeme"],
+                      F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                               F.array(joined)))
+                .otherwise(F.concat(acc, F.array(e))))
+
+    return F.aggregate(merged, empty, step)
+
+
+# ------------------------------------------------------------- tsquery
+
+# node kinds: ("term", lexeme, prefix) | ("and"|"or", l, r) |
+# ("not", x) | ("phrase", l, r, distance)
+
+_TSQ_TOKEN = re.compile(r"""
+    \s*( <->| <\d+> | && | \|\| | [&|!()] | '[^']*'(?::\*)? |
+         [^\s&|!()<]+ )""", re.VERBOSE)
+
+
+def _lex_one(config: str, word: str) -> Optional[str]:
+    """Normalize one query token the way to_tsvector normalizes words."""
+    w = re.sub(r"[^a-z0-9]+", " ", word.lower()).strip()
+    if " " in w:
+        raise TsQueryError(
+            f"tsquery term {word!r} normalizes to multiple lexemes; "
+            "quote phrases via phraseto_tsquery / <->")
+    if not w:
+        return None
+    if config == "english" and w in ENGLISH_STOPWORDS:
+        return None
+    return w
+
+
+class _TsQueryParser:
+    def __init__(self, text: str, config: str):
+        self.toks: List[str] = []
+        pos = 0
+        while pos < len(text):
+            m = _TSQ_TOKEN.match(text, pos)
+            if not m:
+                if text[pos:].strip() == "":
+                    break
+                raise TsQueryError(
+                    f"syntax error in tsquery at: {text[pos:]!r}")
+            self.toks.append(m.group(1))
+            pos = m.end()
+        self.i = 0
+        self.config = config
+
+    def peek(self) -> Optional[str]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise TsQueryError("unexpected end of tsquery")
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.parse_or()
+        if self.peek() is not None:
+            raise TsQueryError(
+                f"trailing tokens in tsquery: {self.toks[self.i:]}")
+        return node
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() in ("|", "||"):
+            self.take()
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_phrase()
+        while self.peek() in ("&", "&&"):
+            self.take()
+            left = ("and", left, self.parse_phrase())
+        return left
+
+    def parse_phrase(self):
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t == "<->":
+                self.take()
+                left = ("phrase", left, self.parse_unary(), 1)
+            elif t is not None and re.fullmatch(r"<\d+>", t):
+                self.take()
+                left = ("phrase", left, self.parse_unary(), int(t[1:-1]))
+            else:
+                return left
+
+    def parse_unary(self):
+        t = self.take()
+        if t == "!":
+            return ("not", self.parse_unary())
+        if t == "(":
+            inner = self.parse_or()
+            if self.take() != ")":
+                raise TsQueryError("expected ) in tsquery")
+            return inner
+        prefix = False
+        if t.startswith("'"):
+            body = t[1:].rsplit("'", 1)
+            prefix = t.endswith(":*")
+            word = body[0]
+        else:
+            if t.endswith(":*"):
+                prefix = True
+                t = t[:-2]
+            word = t
+        lex = _lex_one(self.config, word)
+        if lex is None:
+            # stopword / empty: matches nothing on its own (pg drops it
+            # and adjusts phrases; we keep a never-matching placeholder)
+            return ("term", None, False)
+        return ("term", lex, prefix)
+
+
+def parse_tsquery(text: str, config: str = "simple"):
+    return _TsQueryParser(text, config).parse()
+
+
+def plain_tsquery(text: str, config: str = "simple"):
+    """plainto_tsquery: AND of the normalized words."""
+    words = [w for w in re.split(r"[^a-zA-Z0-9]+", text) if w]
+    lexes = [_lex_one(config, w) for w in words]
+    lexes = [l for l in lexes if l]
+    if not lexes:
+        return ("term", None, False)
+    node = ("term", lexes[0], False)
+    for l in lexes[1:]:
+        node = ("and", node, ("term", l, False))
+    return node
+
+
+def phrase_tsquery(text: str, config: str = "simple"):
+    """phraseto_tsquery: <-> chain (stopwords widen the gap, like pg)."""
+    words = [w for w in re.split(r"[^a-zA-Z0-9]+", text) if w]
+    chain = None
+    gap = 1
+    for w in words:
+        lex = _lex_one(config, w)
+        if lex is None:
+            gap += 1
+            continue
+        term = ("term", lex, False)
+        chain = term if chain is None else ("phrase", chain, term, gap)
+        gap = 1
+    return chain if chain is not None else ("term", None, False)
+
+
+def render_tsquery(node) -> str:
+    """pg text form of a parsed tsquery ('cat' & 'dog', phrases as <->)."""
+    kind = node[0]
+    if kind == "term":
+        if node[1] is None:
+            return ""
+        return f"'{node[1]}':*" if node[2] else f"'{node[1]}'"
+    if kind == "not":
+        return f"!{_paren(node[1])}"
+    if kind == "and":
+        return f"{_paren(node[1])} & {_paren(node[2])}"
+    if kind == "or":
+        return f"{_paren(node[1])} | {_paren(node[2])}"
+    dist = node[3]
+    op = "<->" if dist == 1 else f"<{dist}>"
+    return f"{_paren(node[1])} {op} {_paren(node[2])}"
+
+
+def _paren(node) -> str:
+    s = render_tsquery(node)
+    return f"( {s} )" if node[0] in ("and", "or") else s
+
+
+# -------------------------------------------------------------- matching
+
+def _entry_for(tsv: Column, lexeme: str, prefix: bool) -> Column:
+    if prefix:
+        return F.filter(tsv, lambda e: e["lexeme"].startswith(lexeme))
+    return F.filter(tsv, lambda e: e["lexeme"] == lexeme)
+
+
+def _term_positions(tsv: Column, node) -> Column:
+    """All positions of a term node (possibly several entries under a
+    prefix match), sorted; empty when absent."""
+    _, lexeme, prefix = node
+    if lexeme is None:
+        return F.array().cast("array<int>")
+    entries = _entry_for(tsv, lexeme, prefix)
+    return F.array_sort(F.flatten(
+        F.transform(entries, lambda e: e["positions"])))
+
+
+def _phrase_positions(tsv: Column, node) -> Column:
+    """End positions where the phrase node matches (pg phrase semantics:
+    <N> means b exactly N words after a)."""
+    kind = node[0]
+    if kind == "term":
+        return _term_positions(tsv, node)
+    if kind == "phrase":
+        _, left, right, dist = node
+        lp = _phrase_positions(tsv, left)
+        rp = _phrase_positions(tsv, right)
+        return F.filter(
+            rp, lambda p: F.array_contains(
+                F.transform(lp, lambda q: (q + dist).cast("int")), p))
+    raise TsQueryError(
+        "only terms and <-> chains may appear inside a tsquery phrase")
+
+
+def compile_match(tsv: Column, node) -> Column:
+    """tsquery node -> boolean Column over the tsvector."""
+    kind = node[0]
+    if kind == "term":
+        _, lexeme, prefix = node
+        if lexeme is None:
+            return F.lit(False)
+        return F.size(_entry_for(tsv, lexeme, prefix)) > 0
+    if kind == "and":
+        return compile_match(tsv, node[1]) & compile_match(tsv, node[2])
+    if kind == "or":
+        return compile_match(tsv, node[1]) | compile_match(tsv, node[2])
+    if kind == "not":
+        return ~compile_match(tsv, node[1])
+    if kind == "phrase":
+        return F.size(_phrase_positions(tsv, node)) > 0
+    raise TsQueryError(f"unknown tsquery node {kind!r}")
+
+
+# --------------------------------------------------------------- ranking
+
+def _collect_terms(node, out: List[Tuple[str, bool]]) -> None:
+    if node[0] == "term":
+        if node[1] is not None:
+            out.append((node[1], node[2]))
+    elif node[0] == "not":
+        pass  # negated terms do not contribute rank in pg
+    else:
+        _collect_terms(node[1], out)
+        _collect_terms(node[2], out)
+
+
+def ts_rank(tsv: Column, node, weights=None) -> Column:
+    """Per-term weighted frequency rank: each query term contributes
+    weight(entry) * (1 - 1/(1 + n_positions)), summed then normalized by
+    term count. See the module docstring for the documented deviation
+    from pg's positional calc_rank."""
+    weights = weights or [0.1, 0.2, 0.4, 1.0]  # D C B A
+    wmap = F.create_map(
+        F.lit("D"), F.lit(float(weights[0])),
+        F.lit("C"), F.lit(float(weights[1])),
+        F.lit("B"), F.lit(float(weights[2])),
+        F.lit("A"), F.lit(float(weights[3])))
+    terms: List[Tuple[str, bool]] = []
+    _collect_terms(node, terms)
+    if not terms:
+        return F.lit(0.0)
+    parts = []
+    for lexeme, prefix in terms:
+        entries = _entry_for(tsv, lexeme, prefix)
+        contrib = F.aggregate(
+            entries, F.lit(0.0),
+            lambda acc, e: acc + wmap[e["weight"]]
+            * (F.lit(1.0) - F.lit(1.0)
+               / (F.lit(1.0) + F.size(e["positions"]).cast("double"))))
+        parts.append(contrib)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return (total / F.lit(float(len(terms)))).cast("float")

@@ -1309,6 +1309,12 @@ class Parser:
                 right = self.parse_concat()
                 left = ast.Call(name="__range_adjacent", args=(left, right))
                 continue
+            if self.is_op("@@"):
+                # pg full-text match (tsvector @@ tsquery, either order)
+                self.advance()
+                right = self.parse_concat()
+                left = ast.Call(name="__ts_match", args=(left, right))
+                continue
             if self.is_op("@>", "<@", "&&"):
                 # pg array/range operators: contains / contained-by /
                 # overlaps (range dispatch happens at compile time)

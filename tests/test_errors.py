@@ -147,3 +147,20 @@ def test_multirange_constructor_requires_ranges(spark, scope):
 def test_range_agg_requires_marked_range(spark, scope):
     with pytest.raises(CompileError, match="re-mark"):
         fq.execute("select range_agg(a) from t", scope, spark=spark)
+
+
+def test_ts_match_requires_literal_query(spark, scope):
+    with pytest.raises(CompileError, match="literal tsquery"):
+        fq.execute("select to_tsvector('x') @@ a", scope, spark=spark)
+
+
+def test_tsquery_syntax_error_is_guided(spark, scope):
+    with pytest.raises(CompileError, match="tsquery"):
+        fq.execute("select to_tsvector('x') @@ to_tsquery('a & & b')",
+                   scope, spark=spark)
+
+
+def test_tsvector_config_validated(spark, scope):
+    with pytest.raises(CompileError, match="configuration"):
+        fq.execute("select to_tsvector('german', 'hallo welt')",
+                   scope, spark=spark)

@@ -660,6 +660,44 @@ QUERIES = [
      "upper(range_intersect_agg(int4range(c2, c2 + 6))) hi "
      "from test group by c1",
      "select c1, max(c2) lo, min(c2) + 6 hi from test group by c1"),
+    # ---- pg full-text search subset (beyond-reference; literal oracles —
+    # DuckDB has no tsvector/tsquery). 'english' = stopword removal, no
+    # stemming (documented deviation).
+    ("select to_tsvector('cat dog cat') @@ to_tsquery('cat & dog'), "
+     "to_tsvector('cat dog') @@ to_tsquery('cat & fish'), "
+     "to_tsvector('cat dog') @@ to_tsquery('cat | fish'), "
+     "to_tsvector('cat dog') @@ to_tsquery('dog & !fish')",
+     "select true, false, true, true"),
+    ("select to_tsvector('a fat cat sat on a mat') "
+     "@@ phraseto_tsquery('fat cat'), "
+     "to_tsvector('a fat cat sat on a mat') "
+     "@@ phraseto_tsquery('cat mat'), "
+     "to_tsvector('a fat cat sat on a mat') "
+     "@@ to_tsquery('cat <4> mat')",
+     "select true, false, true"),
+    ("select to_tsvector('english', 'The quick fox') "
+     "@@ plainto_tsquery('english', 'the fox'), "
+     "length(to_tsvector('english', 'the quick brown fox')), "
+     "length(to_tsvector('the cat and the hat'))",
+     "select true, 3, 4"),
+    ("select to_tsquery('a & (b | !c)'), plainto_tsquery('fat cats'), "
+     "phraseto_tsquery('english', 'fat the cat'), "
+     "phraseto_tsquery('fat the cat')",
+     "select '''a'' & ( ''b'' | !''c'' )', '''fat'' & ''cats''', "
+     "'''fat'' <2> ''cat''', '''fat'' <-> ''the'' <-> ''cat'''"),
+    ("select to_tsvector('sparkling river') @@ to_tsquery('spark:*'), "
+     "to_tsvector('sparkling river') @@ to_tsquery('sparkle:*'), "
+     "'tsvector text side' @@ plainto_tsquery('text side')",
+     "select true, false, true"),
+    ("select round(cast(ts_rank(to_tsvector('fat fat cat'), "
+     "to_tsquery('fat')) as double), 6), "
+     "ts_rank(to_tsvector('cat'), to_tsquery('dog'))",
+     "select 0.066667, cast(0.0 as float)"),
+    ("select length(setweight(to_tsvector('cat dog'), 'A') "
+     "|| to_tsvector('dog fish')), "
+     "to_tsvector('cat') || to_tsvector('dog') "
+     "@@ phraseto_tsquery('cat dog')",
+     "select 3, true"),
     # review-fix regressions: empty-array subscripts, STRICT jsonb edits,
     # absent-path no-ops, surrogate-pair unistr, GROUPS in agg + QUALIFY
     ("select generate_subscripts(array_remove(array[1], 1), 1)",
