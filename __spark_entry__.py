@@ -2726,12 +2726,14 @@ grad AS (
               AS DOUBLE) / (SELECT count(*) FROM documents) AS g
   FROM tf GROUP BY bucket),
 w AS (SELECT bucket, -(0.5 * g) AS w FROM grad),
-m AS (
+mar AS (
   SELECT tf.doc_id,
          CAST(sum(CAST(round(w.w * tf.tf, 12) AS DECIMAL(28,12)))
               AS DOUBLE) AS margin
   FROM tf JOIN w USING (bucket) GROUP BY tf.doc_id)
-SELECT doc_id, round(margin + 0.0000001, 6) AS m FROM m ORDER BY doc_id
+SELECT d.doc_id, round(coalesce(mar.margin, 0.0) + 0.0000001, 6) AS m
+FROM documents d LEFT JOIN mar ON d.doc_id = mar.doc_id
+ORDER BY d.doc_id
 """)
 
 
@@ -2943,7 +2945,7 @@ _DRIVER_WINDOW = [
     # op_quantize_emb, op_simhash_exact, op_ivf_full_probe, op_strip_html,
     # op_chunk_dedup, op_shard_counts, op_dedup_against, op_bloom_dedup,
     # op_decontaminate, op_split_leakage, q49-q59) rotate in r08 together
-    # with the never-verified q66-q69; the 49 r06-green entries rotate in
+    # with the never-verified q66-q70; the 49 r06-green entries rotate in
     # r09 — both fit the 50-slot window.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

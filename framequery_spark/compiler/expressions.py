@@ -124,11 +124,13 @@ def _next_precol_name(tag: str) -> str:
     return f"__{tag}{next(_PRECOL_SEQ)}"
 
 
-def _range_kind(node: ast.Node) -> Optional[str]:
-    """Statically-known pg range type of an expression: a ::int4range-style
-    cast, a range constructor call, or +/*/- arithmetic over them. Range
-    values reaching an operator only through a column reference need a
-    re-marking cast (schema-free dispatch)."""
+def _range_kind_impl(node: ast.Node, probe) -> Optional[str]:
+    """pg range type of an expression: a ::int4range-style cast, a range
+    constructor call, range-returning aggregates, +/*/- arithmetic, or the
+    CASE wrapper the FILTER desugar adds. ONE recursion serves both the
+    static check (probe=None) and the scope-schema-probed check (probe
+    returns (range_kind, multirange_kind) for column refs) — two parallel
+    copies would drift."""
     from ..functions.ranges import RANGE_TYPES
 
     if isinstance(node, ast.Cast) and node.type_name.lower() in RANGE_TYPES:
@@ -140,35 +142,38 @@ def _range_kind(node: ast.Node) -> Optional[str]:
         if name in ("range_intersect_agg", "range_merge") and node.args:
             # both return a range of their argument's subtype (range_merge
             # also takes a multirange — then the result kind comes from it)
-            k = _range_kind(node.args[0])
+            k = _range_kind_impl(node.args[0], probe)
             if k:
                 return k
-            mk = _multirange_kind(node.args[0])
+            mk = _multirange_kind_impl(node.args[0], probe)
             if mk:
                 from ..functions.multiranges import MULTIRANGE_TYPES
                 return MULTIRANGE_TYPES[mk]
+        return None
     if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
         # a multirange operand makes the whole expression multirange-typed
         # (mr - r is a multirange), never range-typed
-        if _multirange_kind(node.left) or _multirange_kind(node.right):
+        if _multirange_kind_impl(node.left, probe) \
+                or _multirange_kind_impl(node.right, probe):
             return None
-        return _range_kind(node.left) or _range_kind(node.right)
+        return _range_kind_impl(node.left, probe) \
+            or _range_kind_impl(node.right, probe)
     if isinstance(node, ast.Case):
         # the FILTER (WHERE ...) desugar wraps aggregate arguments in a
         # CASE — the static kind must see through it
         for _, res in node.whens:
-            k = _range_kind(res)
+            k = _range_kind_impl(res, probe)
             if k:
                 return k
         if node.default is not None:
-            return _range_kind(node.default)
+            return _range_kind_impl(node.default, probe)
+        return None
+    if probe is not None:
+        return probe(node)[0]
     return None
 
 
-def _multirange_kind(node: ast.Node) -> Optional[str]:
-    """Statically-known pg multirange type: a ::int4multirange-style cast,
-    a multirange constructor, multirange(r) / range_agg(r) over a marked
-    range, or +/*/- arithmetic over multiranges."""
+def _multirange_kind_impl(node: ast.Node, probe) -> Optional[str]:
     from ..functions.multiranges import MULTIRANGE_TYPES
 
     mr_of_range = {v: k for k, v in MULTIRANGE_TYPES.items()}
@@ -180,19 +185,36 @@ def _multirange_kind(node: ast.Node) -> Optional[str]:
         if name in MULTIRANGE_TYPES:
             return name
         if name in ("multirange", "range_agg") and node.args:
-            k = _range_kind(node.args[0])
+            k = _range_kind_impl(node.args[0], probe)
             if k:
                 return mr_of_range[k]
+        return None
     if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
-        return _multirange_kind(node.left) or _multirange_kind(node.right)
+        return _multirange_kind_impl(node.left, probe) \
+            or _multirange_kind_impl(node.right, probe)
     if isinstance(node, ast.Case):
         for _, res in node.whens:
-            k = _multirange_kind(res)
+            k = _multirange_kind_impl(res, probe)
             if k:
                 return k
         if node.default is not None:
-            return _multirange_kind(node.default)
+            return _multirange_kind_impl(node.default, probe)
+        return None
+    if probe is not None:
+        probed = probe(node)[1]
+        if probed is None:
+            return None
+        return mr_of_range[probed]
     return None
+
+
+def _range_kind(node: ast.Node) -> Optional[str]:
+    """Static-only variant (no schema probe)."""
+    return _range_kind_impl(node, None)
+
+
+def _multirange_kind(node: ast.Node) -> Optional[str]:
+    return _multirange_kind_impl(node, None)
 
 
 _RANGE_ACCESSORS = {
@@ -549,7 +571,11 @@ class ExprCompiler:
     def _probed_range_kinds(self, node: ast.Node):
         """(range_kind, multirange_kind) of a bare column ref whose scope
         dtype is the canonical range struct / multirange array — lifts the
-        re-marking-cast requirement for columns read from scope tables."""
+        re-marking-cast requirement for columns read from scope tables.
+        A probe hit is only a HINT (a same-named derived-relation column
+        could shadow the scope table's): arithmetic dispatch in _c_Binary
+        therefore requires BOTH operands marked, so a collision falls back
+        to the generic compile path instead of a hijacked range error."""
         dtype = self._scope_col_dtype(node)
         if dtype is None:
             return None, None
@@ -560,92 +586,42 @@ class ExprCompiler:
                 or "lo_inc:boolean" not in inner \
                 or "is_empty:boolean" not in inner:
             return None, None
-        lo_t = inner[len("struct<lo:"):].split(",")[0]
-        k = self._LO_TO_RANGE.get(lo_t)
+        # the lo type may itself contain commas — decimal(38,18) — so cut
+        # at the ',hi:' field boundary, not the first comma
+        m = _re.match(r"struct<lo:(.+?),hi:", inner)
+        if not m:
+            return None, None
+        k = self._LO_TO_RANGE.get(m.group(1))
         if k is None:
             return None, None
         return (None, k) if multi else (k, None)
 
     def _range_kind_of(self, node: ast.Node) -> Optional[str]:
         """_range_kind with the scope-schema probe folded into every
-        recursion step — bare column refs typed as the canonical range
-        struct dispatch without a re-marking cast, including through
-        aggregates (lower(range_agg(col))), arithmetic, and the CASE
-        wrapper the FILTER desugar adds."""
-        from ..functions.multiranges import MULTIRANGE_TYPES
-        from ..functions.ranges import RANGE_TYPES
-
-        if isinstance(node, ast.Cast) \
-                and node.type_name.lower() in RANGE_TYPES:
-            return node.type_name.lower()
-        if isinstance(node, ast.Call):
-            name = node.name.lower()
-            if name in RANGE_TYPES:
-                return name
-            if name in ("range_intersect_agg", "range_merge") and node.args:
-                k = self._range_kind_of(node.args[0])
-                if k:
-                    return k
-                mk = self._multirange_kind_of(node.args[0])
-                if mk:
-                    return MULTIRANGE_TYPES[mk]
-            return None
-        if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
-            if self._multirange_kind_of(node.left) \
-                    or self._multirange_kind_of(node.right):
-                return None
-            return self._range_kind_of(node.left) \
-                or self._range_kind_of(node.right)
-        if isinstance(node, ast.Case):
-            for _, res in node.whens:
-                k = self._range_kind_of(res)
-                if k:
-                    return k
-            if node.default is not None:
-                return self._range_kind_of(node.default)
-            return None
-        return self._probed_range_kinds(node)[0]
+        recursion step (one shared recursion: _range_kind_impl)."""
+        return _range_kind_impl(node, self._probed_range_kinds)
 
     def _multirange_kind_of(self, node: ast.Node) -> Optional[str]:
-        from ..functions.multiranges import MULTIRANGE_TYPES
-
-        mr_of_range = {v: k for k, v in MULTIRANGE_TYPES.items()}
-        if isinstance(node, ast.Cast) \
-                and node.type_name.lower() in MULTIRANGE_TYPES:
-            return node.type_name.lower()
-        if isinstance(node, ast.Call):
-            name = node.name.lower()
-            if name in MULTIRANGE_TYPES:
-                return name
-            if name in ("multirange", "range_agg") and node.args:
-                k = self._range_kind_of(node.args[0])
-                if k:
-                    return mr_of_range[k]
-            return None
-        if isinstance(node, ast.Binary) and node.op in ("+", "*", "-"):
-            return self._multirange_kind_of(node.left) \
-                or self._multirange_kind_of(node.right)
-        if isinstance(node, ast.Case):
-            for _, res in node.whens:
-                k = self._multirange_kind_of(res)
-                if k:
-                    return k
-            if node.default is not None:
-                return self._multirange_kind_of(node.default)
-            return None
-        probed = self._probed_range_kinds(node)[1]
-        if probed is None:
-            return None
-        return mr_of_range[probed]
+        return _multirange_kind_impl(node, self._probed_range_kinds)
 
     def _c_Binary(self, node: ast.Binary) -> Column:
         op = node.op
-        if op in ("+", "*", "-", "<<", ">>") and (
-                self._range_kind_of(node.left)
-                or self._range_kind_of(node.right)
+        if op in ("+", "*", "-", "<<", ">>"):
+            # static marking on either side dispatches; a probe-only hint
+            # dispatches ONLY when both sides are range-typed (a derived
+            # column shadowing a same-named stored range column must fall
+            # back to the generic path, not hijack plain arithmetic)
+            static_hit = _range_kind(node.left) or _range_kind(node.right) \
+                or _multirange_kind(node.left) \
+                or _multirange_kind(node.right)
+            if static_hit:
+                return self._compile_range_binary(node)
+            l_marked = self._range_kind_of(node.left) \
                 or self._multirange_kind_of(node.left)
-                or self._multirange_kind_of(node.right)):
-            return self._compile_range_binary(node)
+            r_marked = self._range_kind_of(node.right) \
+                or self._multirange_kind_of(node.right)
+            if l_marked and r_marked:
+                return self._compile_range_binary(node)
         left = self.compile(node.left)
         right = self.compile(node.right)
         lk = self._operand_kind(node.left)
@@ -1557,7 +1533,21 @@ class ExprCompiler:
                     "or ::tsquery of a literal)")
             tsv = self.compile(tsv_node)
             if not self._is_tsvector(tsv_node):
-                # pg: text @@ tsquery coerces the text via to_tsvector
+                # pg: text @@ tsquery coerces the text via to_tsvector —
+                # but ONLY when the side is provably text (a literal or a
+                # string-typed scope column). A tsvector column of a
+                # derived relation is invisible to the schema probe, and
+                # coercing ITS string rendering would silently re-tokenize
+                # garbage — raise the guided error instead.
+                is_text = (isinstance(tsv_node, ast.Literal)
+                           and tsv_node.kind == "string") \
+                    or self._scope_col_dtype(tsv_node) == "string"
+                if not is_text:
+                    raise CompileError(
+                        "@@ cannot infer the document side's type; wrap "
+                        "it in to_tsvector(...) (tsvector columns of "
+                        "derived relations are invisible to the schema "
+                        "probe)")
                 tsv = _ts.to_tsvector(tsv.cast("string"))
             try:
                 return _ts.compile_match(tsv, qnode)

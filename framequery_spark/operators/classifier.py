@@ -32,7 +32,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cache import persist_tracked, release_cached
+from .cache import persist_tracked, release_one
 from .dsir import doc_features
 
 # decimal quantization for order-independent float sums (the repo-wide
@@ -106,7 +106,10 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
         df.select(id_col,
                   F.col(label_col).cast("double").alias("__y")), id_col)
     try:
-        n_docs = feats.select(id_col).distinct().count()
+        # gradient normalizer = ALL training rows (a featureless doc —
+        # empty text — contributes zero gradient but still counts, the
+        # standard 1/N convention; also what the driver oracle states)
+        n_docs = df.select(id_col).distinct().count()
         if n_docs == 0:
             raise ValueError("lr_train: empty training frame")
         weights = [0.0] * n_buckets
@@ -140,10 +143,14 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
                     .collect())  # <= n_buckets rows by construction
             for row in grad:
                 b = int(row["bucket"])
+                if not 0 <= b < n_buckets:
+                    raise ValueError(
+                        f"lr_train: tf_df bucket {b} out of range for "
+                        f"n_buckets={n_buckets} — the precomputed table "
+                        "was hashed with a different bucket count")
                 weights[b] -= lr * (row["g"] + l2 * weights[b])
     finally:
         if own:
-            from .cache import release_one
             release_one(tf_df)
     return weights
 

@@ -42,7 +42,7 @@ DOCS = pd.DataFrame({
 def _py_train(docs, iters, lr=0.5):
     feats = {r.doc_id: _py_tf(r.text) for r in docs.itertuples()}
     ys = dict(zip(docs.doc_id, docs.y))
-    n = len(feats)
+    n = len(ys)  # ALL training rows, matching lr_train's 1/N convention
     w = [0.0] * N_BUCKETS
     for _ in range(iters):
         grad = [0.0] * N_BUCKETS

@@ -1286,3 +1286,15 @@ def test_range_columns_dispatch_without_remarking_cast(spark):
     got = [tuple(x) for x in ex.execute(
         "SELECT isempty(mr - mr) e FROM mrs WHERE id = 1").collect()]
     assert got == [(True,)]
+    # numrange columns probe too (the decimal(38,18) lo dtype contains a
+    # comma — review-fix regression)
+    ex.execute("CREATE TABLE nr AS SELECT id, numrange(cast(lo AS "
+               "decimal(10,2)), cast(hi AS decimal(10,2))) AS rng FROM t")
+    got = [tuple(x) for x in ex.execute(
+        "SELECT id FROM nr WHERE rng @> 2.0 ORDER BY id").collect()]
+    assert got == [(1,)]
+    # a derived column shadowing a stored range column's name must NOT
+    # hijack plain arithmetic (probe-only dispatch needs both sides)
+    got = [tuple(x) for x in ex.execute(
+        "SELECT rng + 1 AS x FROM (SELECT 5 AS rng) d").collect()]
+    assert got == [(6,)]
