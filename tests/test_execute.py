@@ -1287,11 +1287,13 @@ def test_range_columns_dispatch_without_remarking_cast(spark):
         "SELECT isempty(mr - mr) e FROM mrs WHERE id = 1").collect()]
     assert got == [(True,)]
     # numrange columns probe too (the decimal(38,18) lo dtype contains a
-    # comma — review-fix regression)
+    # comma — review-fix regression). Distinct column name: the probe
+    # rightly refuses a name carried by two scope tables with different
+    # types (r.rng above is int4range)
     ex.execute("CREATE TABLE nr AS SELECT id, numrange(cast(lo AS "
-               "decimal(10,2)), cast(hi AS decimal(10,2))) AS rng FROM t")
+               "decimal(10,2)), cast(hi AS decimal(10,2))) AS nrng FROM t")
     got = [tuple(x) for x in ex.execute(
-        "SELECT id FROM nr WHERE rng @> 2.0 ORDER BY id").collect()]
+        "SELECT id FROM nr WHERE nrng @> 2.0 ORDER BY id").collect()]
     assert got == [(1,)]
     # a derived column shadowing a stored range column's name must NOT
     # hijack plain arithmetic (probe-only dispatch needs both sides)
