@@ -1908,6 +1908,58 @@ ORDER BY doc_id
 """)
 
 
+def _op_dedup_keep_best(spark, sf_dir):
+    """Quality-policy fuzzy dedup (operators/graph.py:dedup_keep_best):
+    the survivor of each transitive near-dup cluster is the LONGEST
+    document (n_chars, ties to lowest id) instead of the lowest id —
+    the production keep policy. Same LSH params as op_minhash_clusters
+    (exact-equivalent there); the oracle closes exact-Jaccard pairs
+    transitively and drops every cluster member ranked below the
+    (n_chars DESC, doc_id) argmax."""
+    from framequery_spark.operators.graph import dedup_keep_best
+
+    docs = _scope(spark, sf_dir)["documents"]
+    out = dedup_keep_best(docs, "n_chars", threshold=0.7, num_perm=32,
+                          bands=16)
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+_op("op_dedup_keep_best", _op_dedup_keep_best, r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM p
+  JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
+  WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.7),
+e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL SELECT id2, id1 FROM pairs),
+r AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+  UNION
+  SELECT e.dst, r.label FROM r JOIN e ON e.src = r.node
+),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM r GROUP BY node),
+rk AS (
+  SELECT cl.doc_id,
+         row_number() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY d.n_chars DESC, cl.doc_id) AS rnk
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM rk WHERE rnk > 1)
+ORDER BY d.doc_id
+""")
+
+
 def _op_dedup_against(spark, sf_dir):
     """Incremental dedup (operators/dedup.py:dedup_against): odd-doc_id docs
     ("the new batch") that survive MinHash/LSH near-dup screening against the
@@ -2932,21 +2984,23 @@ _DRIVER_WINDOW = [
     "op_stream_join",
     "op_text_stats", "op_jaccard_pairs", "op_minhash_dedup",
     "op_cosine_topk", "op_sessions", "op_decode_image",
-    "op_skew_count_distinct", "op_levenshtein_pairs", "op_hash_split",
+    "op_skew_count_distinct", "op_levenshtein_pairs",
     "op_dup_clusters", "op_minhash_clusters",
-    # round-7 corpus diagnostics + the LR quality classifier: new op
-    # entries enter the window on their first round (first-round coverage
-    # rule; op_lr_quality displaced op_pack_bins, r05-green, to r08)
+    # round-7 corpus diagnostics + LR quality classifier + keep-best
+    # dedup: new op entries enter the window on their first round
+    # (first-round coverage rule; op_lr_quality displaced op_pack_bins
+    # and op_dedup_keep_best displaced op_hash_split — both r05-green,
+    # now r08 debt)
     "op_ngram_novelty", "op_zipf_slope", "op_source_overlap",
-    "op_perplexity_buckets", "op_lr_quality",
-    # the remaining 28 r05-green entries (op_pipeline_e2e, op_gapfill,
+    "op_perplexity_buckets", "op_lr_quality", "op_dedup_keep_best",
+    # the remaining 29 r05-green entries (op_pipeline_e2e, op_gapfill,
     # op_gopher_filter, op_unigram_nll — displaced from this window by the
-    # new diagnostics — plus op_pack_bins, op_ann_full, op_pq_full,
-    # op_quantize_emb, op_simhash_exact, op_ivf_full_probe, op_strip_html,
-    # op_chunk_dedup, op_shard_counts, op_dedup_against, op_bloom_dedup,
-    # op_decontaminate, op_split_leakage, q49-q59) rotate in r08 together
-    # with the never-verified q66-q70; the 49 r06-green entries rotate in
-    # r09 — both fit the 50-slot window.
+    # new diagnostics — plus op_pack_bins, op_hash_split, op_ann_full,
+    # op_pq_full, op_quantize_emb, op_simhash_exact, op_ivf_full_probe,
+    # op_strip_html, op_chunk_dedup, op_shard_counts, op_dedup_against,
+    # op_bloom_dedup, op_decontaminate, op_split_leakage, q49-q59) rotate
+    # in r08 together with the never-verified q66-q70; the 49 r06-green
+    # entries rotate in r09 — both fit the 50-slot window.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -99,6 +99,9 @@ class Executor:
         self.user_functions: Dict[str, Callable] = {}
         self.table_functions: Dict[str, Callable] = {}
         self.lateral_functions: Dict[str, tuple] = {}
+        # materialized-view definitions: name -> defining query AST, so
+        # REFRESH MATERIALIZED VIEW can re-run them against current scope
+        self._matviews: Dict[str, object] = {}
         # WITH RECURSIVE fixpoint cap (pg has none and can loop forever; we
         # fail fast instead — raise it for deep hierarchies)
         self.recursive_max_iterations = 100
@@ -543,12 +546,30 @@ class Executor:
             rows = [(line,) for line in plan.splitlines()]
             return self.spark.createDataFrame(rows, "`QUERY PLAN` string")
         if isinstance(node, ast.CreateTableAs):
-            scope[node.name] = self._compile_query(node.query, scope)
+            df = self._compile_query(node.query, scope)
+            if node.materialized:
+                # pg MATERIALIZED VIEW: contents frozen at creation time —
+                # localCheckpoint(eager) materializes to executor storage
+                # so later base-table changes do not show until REFRESH.
+                # (Distributed blocks, not driver memory; at cluster scale
+                # the same cost a real MV's heap table pays.)
+                df = df.localCheckpoint(eager=True)
+                self._matviews[node.name] = node.query
+            scope[node.name] = df
+            return None
+        if isinstance(node, ast.RefreshMatView):
+            query = self._matviews.get(node.name)
+            if query is None:
+                raise CompileError(
+                    f"\"{node.name}\" is not a materialized view")
+            scope[node.name] = self._compile_query(query, scope) \
+                .localCheckpoint(eager=True)
             return None
         if isinstance(node, ast.DropTable):
             for name in node.names:
                 if name in scope:
                     del scope[name]
+                    self._matviews.pop(name, None)
                 elif not node.if_exists:
                     raise KeyError(f"table not found: {name}")
             return None

@@ -275,3 +275,36 @@ def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
     drop = (clusters.where(F.col(id_col) != F.col("cluster_id"))
             .select(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_best(df: DataFrame, score_col: str,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    threshold: float = 0.7, num_perm: int = 64,
+                    bands: int = 16, k: int = 3,
+                    clusters: "DataFrame | None" = None) -> DataFrame:
+    """fuzzy_dedup with a QUALITY keep policy: one survivor per transitive
+    near-dup cluster — the row with the highest `score_col` (ties break
+    to the lowest id, so the result is deterministic). The production
+    dedup shape: boilerplate copies lose to the cleanest version instead
+    of whichever crawled first.
+
+    Pass `clusters` (an (id_col, cluster_id) frame, e.g. from
+    dup_clusters over any pair generator) to choose the candidate
+    machinery; the default runs minhash_dup_clusters. Scale shape: the
+    keep decision is one row_number window partitioned by cluster_id
+    (clusters are near-dup groups — bounded fan-in), the drop set is
+    cluster-membership-sized, and the full rows leave via one left-anti
+    equi join; the corpus never shuffles on anything but the id."""
+    from pyspark.sql import Window
+
+    if clusters is None:
+        clusters = minhash_dup_clusters(
+            df, id_col=id_col, text_col=text_col, threshold=threshold,
+            num_perm=num_perm, bands=bands, k=k)
+    scored = clusters.join(df.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id") \
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+    drop = (scored.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") > 1)
+            .select(id_col))
+    return df.join(drop, id_col, "left_anti")

@@ -440,6 +440,14 @@ class CreateTableAs(Node):
     name: str
     query: Node  # Select | SetOp
     replace: bool = False
+    materialized: bool = False  # CREATE MATERIALIZED VIEW (frozen, REFRESH)
+
+
+@dataclass(frozen=True)
+class RefreshMatView(Node):
+    """REFRESH MATERIALIZED VIEW name — re-run the stored defining query."""
+
+    name: str
 
 
 @dataclass(frozen=True)

@@ -238,6 +238,12 @@ class Parser:
             return self.parse_create_table_as()
         if self.is_kw("drop"):
             return self.parse_drop_table()
+        if self.is_kw("refresh"):
+            self.advance()
+            self.expect_kw("materialized")
+            self.expect_kw("view")
+            return ast.RefreshMatView(
+                name=".".join(self.parse_dotted_name()))
         if self.is_kw("show"):
             return self.parse_show()
         if self.is_kw("explain"):
@@ -563,17 +569,28 @@ class Parser:
             self.expect_kw("replace")
             replace = True
         # CREATE VIEW == CREATE TABLE AS here: scope entries are lazy
-        # DataFrames, so every "table" in the scope already IS a view
-        if not self.accept_kw("view"):
+        # DataFrames, so every "table" in the scope already IS a view.
+        # MATERIALIZED views are the opposite: frozen at creation,
+        # re-computed only by REFRESH.
+        materialized = False
+        if self.is_kw("materialized"):
+            self.advance()
+            self.expect_kw("view")
+            materialized = True
+        elif not self.accept_kw("view"):
             self.expect_kw("table")
         name = ".".join(self.parse_dotted_name())
         self.expect_kw("as")
         query = self.parse_query()
-        return ast.CreateTableAs(name=name, query=query, replace=replace)
+        return ast.CreateTableAs(name=name, query=query, replace=replace,
+                                 materialized=materialized)
 
     def parse_drop_table(self) -> ast.DropTable:
         self.expect_kw("drop")
-        self.expect_kw("table")
+        if self.accept_kw("materialized"):
+            self.expect_kw("view")
+        elif not self.accept_kw("view"):
+            self.expect_kw("table")
         if_exists = False
         if self.is_kw("if"):
             self.advance()

@@ -449,6 +449,14 @@ def _register_operator_tfs() -> dict:
         return dsir.dsir_select(_op_table(qc, a[0]), _op_table(qc, a[1]),
                                 k=int(a[2]), **kw)
 
+    def dedup_keep_best(qc, a):
+        # dedup_keep_best('docs_table', 'score_col'[, threshold])
+        # fuzzy dedup keeping the highest-scored doc per near-dup cluster
+        from ..operators import graph
+
+        kw = {"threshold": float(a[2])} if len(a) > 2 else {}
+        return graph.dedup_keep_best(_op_table(qc, a[0]), str(a[1]), **kw)
+
     def quality_scores(qc, a):
         # quality_scores('docs_table', 'label_col'[, n_buckets[, iters]])
         # fastText-style hashed-ngram LR: train on the label column,
@@ -472,7 +480,7 @@ def _register_operator_tfs() -> dict:
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
         assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
         dsir_select, bigram_nll, ngram_novelty, zipf_slope, source_overlap,
-        perplexity_buckets, quality_scores)}
+        perplexity_buckets, quality_scores, dedup_keep_best)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

@@ -1300,3 +1300,33 @@ def test_range_columns_dispatch_without_remarking_cast(spark):
     got = [tuple(x) for x in ex.execute(
         "SELECT rng + 1 AS x FROM (SELECT 5 AS rng) d").collect()]
     assert got == [(6,)]
+
+
+def test_materialized_view_lifecycle(spark):
+    """CREATE MATERIALIZED VIEW freezes contents at creation (unlike the
+    lazy CREATE VIEW); REFRESH re-runs the stored definition; DROP
+    MATERIALIZED VIEW forgets it."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from framequery_spark.compiler.expressions import CompileError
+
+    ex = fq.Executor({"t": pd.DataFrame({"a": [1, 2, 3]})}, spark=spark)
+    ex.execute("CREATE MATERIALIZED VIEW mv AS SELECT sum(a) AS s FROM t")
+    ex.execute("CREATE VIEW lv AS SELECT sum(a) AS s FROM t")
+    assert ex.execute("SELECT s FROM mv").collect()[0]["s"] == 6
+    ex.execute("INSERT INTO t VALUES (10)")
+    # the materialized view is frozen until REFRESH
+    assert ex.execute("SELECT s FROM mv").collect()[0]["s"] == 6
+    ex.execute("REFRESH MATERIALIZED VIEW mv")
+    assert ex.execute("SELECT s FROM mv").collect()[0]["s"] == 16
+    # refresh on a non-matview errors like pg
+    with _pytest.raises(CompileError, match="not a materialized view"):
+        ex.execute("REFRESH MATERIALIZED VIEW lv")
+    ex.execute("DROP MATERIALIZED VIEW mv")
+    assert "mv" not in ex.scope
+    with _pytest.raises(CompileError, match="not a materialized view"):
+        ex.execute("REFRESH MATERIALIZED VIEW mv")
+    # DROP VIEW now parses too
+    ex.execute("DROP VIEW lv")
+    assert "lv" not in ex.scope

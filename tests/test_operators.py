@@ -1087,6 +1087,24 @@ def test_fuzzy_dedup_keeps_one_per_cluster(spark):
     assert out == [0, 10, 20]
 
 
+def test_dedup_keep_best_keeps_highest_score(spark):
+    from framequery_spark.operators.graph import dedup_keep_best
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    base_b = "pack my box with five dozen liquor jugs for the long trip " * 4
+    rows = [(0, base_a, 5.0), (1, base_a + "tail", 9.0),
+            (2, "prefix " + base_a, 7.0),
+            (10, base_b, 1.0), (11, base_b + "changed tail", 1.0),
+            (20, "completely unrelated tiny document", 0.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "q"])
+    out = sorted(r["doc_id"] for r in
+                 dedup_keep_best(df, "q", threshold=0.5,
+                                 num_perm=32).collect())
+    # cluster {0,1,2}: doc 1 has the top score; cluster {10,11}: tie on
+    # score -> lowest id (10); unclustered doc 20 passes through
+    assert out == [1, 10, 20]
+
+
 def test_stream_interval_join_matches_batch(spark, tpch_scope):
     # stream-stream click->purchase attribution must equal the batch
     # interval join exactly (inner matches are emitted eagerly, so the
