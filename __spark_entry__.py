@@ -1960,6 +1960,51 @@ ORDER BY d.doc_id
 """)
 
 
+def _op_span_dedup(spark, sf_dir):
+    """Exact substring dedup (operators/dedup.py:remove_repeated_spans),
+    Lee et al. 2022 style: every word 8-gram occurring >= 2 times
+    corpus-wide marks its token span as boilerplate; each document is
+    rewritten with every covered span removed (all occurrences — the
+    symmetric policy of the released deduplicate-text-datasets tool).
+    Fully deterministic (exact string grams), so the DuckDB oracle
+    recomputes the same span algebra independently: grams via
+    list_slice, coverage via a position-range anti-match, rebuild via
+    ordered string_agg."""
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return (remove_repeated_spans(docs, k=8, min_copies=2)
+            .orderBy("doc_id"))
+
+
+_op("op_span_dedup", _op_span_dedup, r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(0, greatest(len(ws)-7, 0)),
+          i -> struct_pack(pos := i,
+                           gram := array_to_string(list_slice(ws, i+1, i+8), ' ')))) AS u
+  FROM d),
+g2 AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+c AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+dp AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN c USING (gram)),
+cov AS (SELECT DISTINCT dp.doc_id, dp.pos + j AS tp FROM dp, range(8) s(j)),
+tok AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+          i -> struct_pack(tp := i, tok := ws[i+1]))) AS u
+  FROM d),
+tok2 AS (SELECT doc_id, u.tp AS tp, u.tok AS tok FROM tok),
+cleaned AS (
+  SELECT t.doc_id,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.tp)
+                  FILTER (WHERE cov.tp IS NULL), '') AS clean_text,
+         count(*) FILTER (WHERE cov.tp IS NOT NULL) AS n_removed_tokens
+  FROM tok2 t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.tp = cov.tp
+  GROUP BY t.doc_id)
+SELECT doc_id, clean_text, n_removed_tokens FROM cleaned ORDER BY doc_id
+""")
+
+
 def _op_dedup_against(spark, sf_dir):
     """Incremental dedup (operators/dedup.py:dedup_against): odd-doc_id docs
     ("the new batch") that survive MinHash/LSH near-dup screening against the
@@ -2985,22 +3030,25 @@ _DRIVER_WINDOW = [
     "op_text_stats", "op_jaccard_pairs", "op_minhash_dedup",
     "op_cosine_topk", "op_sessions", "op_decode_image",
     "op_skew_count_distinct", "op_levenshtein_pairs",
-    "op_dup_clusters", "op_minhash_clusters",
+    "op_dup_clusters",
     # round-7 corpus diagnostics + LR quality classifier + keep-best
-    # dedup: new op entries enter the window on their first round
-    # (first-round coverage rule; op_lr_quality displaced op_pack_bins
-    # and op_dedup_keep_best displaced op_hash_split — both r05-green,
+    # dedup + repeated-span removal: new op entries enter the window on
+    # their first round (first-round coverage rule; op_lr_quality
+    # displaced op_pack_bins, op_dedup_keep_best displaced op_hash_split,
+    # op_span_dedup displaced op_minhash_clusters — all r05-green,
     # now r08 debt)
     "op_ngram_novelty", "op_zipf_slope", "op_source_overlap",
     "op_perplexity_buckets", "op_lr_quality", "op_dedup_keep_best",
-    # the remaining 29 r05-green entries (op_pipeline_e2e, op_gapfill,
-    # op_gopher_filter, op_unigram_nll — displaced from this window by the
-    # new diagnostics — plus op_pack_bins, op_hash_split, op_ann_full,
-    # op_pq_full, op_quantize_emb, op_simhash_exact, op_ivf_full_probe,
-    # op_strip_html, op_chunk_dedup, op_shard_counts, op_dedup_against,
-    # op_bloom_dedup, op_decontaminate, op_split_leakage, q49-q59) rotate
-    # in r08 together with the never-verified q66-q70; the 49 r06-green
-    # entries rotate in r09 — both fit the 50-slot window.
+    "op_span_dedup",
+    # the remaining 30 r05-green entries (op_pipeline_e2e, op_gapfill,
+    # op_gopher_filter, op_unigram_nll, op_minhash_clusters — displaced
+    # from this window by the new diagnostics/ops — plus op_pack_bins,
+    # op_hash_split, op_ann_full, op_pq_full, op_quantize_emb,
+    # op_simhash_exact, op_ivf_full_probe, op_strip_html, op_chunk_dedup,
+    # op_shard_counts, op_dedup_against, op_bloom_dedup, op_decontaminate,
+    # op_split_leakage, q49-q59) rotate in r08 together with the
+    # never-verified q66-q70; the 49 r06-green entries rotate in r09 —
+    # both fit the 50-slot window.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

@@ -666,3 +666,75 @@ def levenshtein_pairs(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("distance") <= max_distance)
            .select("id_a", "id_b", "distance"))
     return out
+
+
+# --------------------------------------------- repeated-span removal
+
+
+def remove_repeated_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8,
+                          min_copies: int = 2) -> DataFrame:
+    """Exact substring dedup in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): find every word ``k``-gram whose exact text occurs
+    at least ``min_copies`` times corpus-wide (across documents or within
+    one), and REWRITE each document with every covered token span removed.
+    This is the span-surgery complement to :func:`chunk_dedup` /
+    :func:`exact_dedup`, which drop whole chunks/documents: boilerplate
+    (headers, license blocks, navigation chrome) is cut out of otherwise
+    unique documents instead of the documents being lost.
+
+    Every occurrence of a duplicated span is removed (the symmetric policy
+    of the released deduplicate-text-datasets tool): keep-one would need a
+    global argmin tie-break join per duplicate cluster, and Lee et al.
+    report the choice does not measurably change model quality.
+
+    Returns (id_col, clean_text, n_removed_tokens) — one row per input
+    document, including untouched ones (n_removed_tokens = 0).
+
+    Scale shape (the suffix array of the paper is a single-machine
+    construction; this is the distributed equivalent for fixed k):
+      - gram positions are generated row-local with JVM higher-order
+        functions (no UDF, no driver work);
+      - the occurrence count is one groupBy on ``md5(gram)`` — a
+        fixed-width uniform key with map-side partial aggregation, so
+        100 TB of text reduces to |distinct grams| keys and no Zipfian
+        unigram skew (word k-grams for k >= 4 are near-unique);
+      - duplicated positions come back through one equi join on the same
+        md5 key (AQE turns it into a broadcast join when the duplicated
+        set is small, the common case) and one doc-keyed groupBy whose
+        collect_set is bounded by the document's own token count;
+      - the span-union rewrite is per-row array work bounded by document
+        length — nothing cross-document ever leaves an equi join.
+    128-bit md5 keys keep cross-corpus collision probability negligible
+    at 10^13+ grams (xxhash64 would birthday-collide and cut wrong spans).
+    """
+    if k < 1:
+        raise ValueError("remove_repeated_spans: k must be >= 1")
+    if min_copies < 2:
+        raise ValueError("remove_repeated_spans: min_copies must be >= 2")
+    base = _spread(df).select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+    pos_tbl = (base.select(
+        id_col,
+        F.posexplode(_let(F.col("__toks"), lambda ws: _grams(ws, k)))
+         .alias("__pos", "__gram"))
+        .select(id_col, "__pos", F.md5("__gram").alias("__gh")))
+    dup = (pos_tbl.groupBy("__gh")
+           .agg(F.count(F.lit(1)).alias("__n"))
+           .where(F.col("__n") >= int(min_copies))
+           .select("__gh"))
+    dup_pos = (pos_tbl.join(dup, "__gh")
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_set("__pos")).alias("__dups")))
+    out = base.join(dup_pos, id_col, "left")
+    dups = F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(dups, lambda d: (i >= d) & (i < d + k)))
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long")
+        .alias("n_removed_tokens"))

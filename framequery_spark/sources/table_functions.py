@@ -457,6 +457,17 @@ def _register_operator_tfs() -> dict:
         kw = {"threshold": float(a[2])} if len(a) > 2 else {}
         return graph.dedup_keep_best(_op_table(qc, a[0]), str(a[1]), **kw)
 
+    def remove_repeated_spans(qc, a):
+        # remove_repeated_spans('docs_table'[, k[, min_copies]])
+        # Lee-et-al-style exact substring dedup: rewrite every document
+        # with corpus-duplicated word k-gram spans cut out
+        kw = {}
+        if len(a) > 1:
+            kw["k"] = int(a[1])
+        if len(a) > 2:
+            kw["min_copies"] = int(a[2])
+        return dedup.remove_repeated_spans(_op_table(qc, a[0]), **kw)
+
     def quality_scores(qc, a):
         # quality_scores('docs_table', 'label_col'[, n_buckets[, iters]])
         # fastText-style hashed-ngram LR: train on the label column,
@@ -480,7 +491,8 @@ def _register_operator_tfs() -> dict:
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
         assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
         dsir_select, bigram_nll, ngram_novelty, zipf_slope, source_overlap,
-        perplexity_buckets, quality_scores, dedup_keep_best)}
+        perplexity_buckets, quality_scores, dedup_keep_best,
+        remove_repeated_spans)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

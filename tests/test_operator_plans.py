@@ -394,3 +394,16 @@ def test_lr_quality_scoring_broadcasts_the_weight_side(docs):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_remove_repeated_spans_is_hash_keyed_equi_join(docs):
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    out = remove_repeated_spans(docs, k=8, min_copies=2)
+    _assert_no_cartesian(out)
+    plan = formatted_plan(out)
+    # the occurrence count must aggregate on the fixed-width md5 gram key
+    # (partial map-side combine), never on raw gram text or token columns
+    assert "md5" in plan, plan
+    # no Python UDF anywhere — span surgery is pure JVM array HOF work
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -1641,3 +1641,78 @@ def test_round7_diagnostics_sql_table_functions(spark, tpch_scope):
         "SELECT * FROM perplexity_buckets('documents') WHERE bucket = 1",
         tpch_scope, spark=spark)
     assert out.count() > 0
+
+
+# ------------------------------------------ repeated-span removal (Lee et al.)
+
+
+def _span_rows(spark):
+    return spark.createDataFrame(
+        [(1, "a b c d e f g h unique tail one"),
+         (2, "prefix two a b c d e f g h suffix two"),
+         (3, "short doc"),
+         (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9 mid x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        ["doc_id", "text"])
+
+
+def test_remove_repeated_spans_cuts_shared_span_everywhere(spark):
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(_span_rows(spark), k=8).collect()}
+    # the shared 8-gram "a b c d e f g h" is cut from BOTH documents
+    # (all-occurrences policy), the unique remainder survives verbatim
+    assert out[1].clean_text == "unique tail one"
+    assert out[1].n_removed_tokens == 8
+    assert out[2].clean_text == "prefix two suffix two"
+    assert out[2].n_removed_tokens == 8
+
+
+def test_remove_repeated_spans_short_docs_untouched(spark):
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(_span_rows(spark), k=8).collect()}
+    assert out[3].clean_text == "short doc"
+    assert out[3].n_removed_tokens == 0
+
+
+def test_remove_repeated_spans_merges_overlapping_grams(spark):
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    # a 9-token run repeated within one doc yields two overlapping sets of
+    # duplicated 8-grams; the span union removes 18 tokens, not 2*8 per copy
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(_span_rows(spark), k=8).collect()}
+    assert out[4].clean_text == "mid"
+    assert out[4].n_removed_tokens == 18
+
+
+def test_remove_repeated_spans_deterministic_under_repartition(spark):
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    df = _span_rows(spark)
+    a = sorted(map(tuple, remove_repeated_spans(df, k=3).collect()))
+    b = sorted(map(tuple,
+                   remove_repeated_spans(df.repartition(7), k=3).collect()))
+    assert a == b
+
+
+def test_remove_repeated_spans_param_validation(spark):
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    df = _span_rows(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        remove_repeated_spans(df, k=0)
+    with pytest.raises(ValueError, match="min_copies"):
+        remove_repeated_spans(df, min_copies=1)
+
+
+def test_remove_repeated_spans_sql_table_function(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        "SELECT * FROM remove_repeated_spans('documents', 8, 2) "
+        "WHERE n_removed_tokens > 0", tpch_scope, spark=spark)
+    assert set(out.columns) == {"doc_id", "clean_text", "n_removed_tokens"}
+    assert out.count() > 0
