@@ -1960,6 +1960,44 @@ ORDER BY d.doc_id
 """)
 
 
+def _op_token_budget(spark, sf_dir):
+    """Data-recipe assembly (operators/packing.py:take_token_budget):
+    greedily take the highest-quality documents (here: n_chars desc, ties
+    to lowest doc_id) until a 15k-token budget is hit. The engine computes
+    the exact global prefix sum with a two-phase distributed cumsum
+    (bucket offsets over a bounded aggregate + per-bucket parallel
+    windows); the oracle states the same selection with one declarative
+    window cumsum. chunk=64 forces the multi-bucket path at test scale."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.packing import take_token_budget
+    from framequery_spark.operators.text import token_count
+
+    docs = _scope(spark, sf_dir)["documents"]
+    t = docs.select("doc_id", "n_chars",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+    return (take_token_budget(t, 15000, score_col="n_chars",
+                              token_col="n_tokens", chunk=64)
+            .orderBy("doc_id"))
+
+
+_op("op_token_budget", _op_token_budget, r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= 15000 ORDER BY doc_id
+""")
+
+
 def _op_span_dedup(spark, sf_dir):
     """Exact substring dedup (operators/dedup.py:remove_repeated_spans),
     Lee et al. 2022 style: every word 8-gram occurring >= 2 times
@@ -3030,25 +3068,25 @@ _DRIVER_WINDOW = [
     "op_text_stats", "op_jaccard_pairs", "op_minhash_dedup",
     "op_cosine_topk", "op_sessions", "op_decode_image",
     "op_skew_count_distinct", "op_levenshtein_pairs",
-    "op_dup_clusters",
     # round-7 corpus diagnostics + LR quality classifier + keep-best
-    # dedup + repeated-span removal: new op entries enter the window on
-    # their first round (first-round coverage rule; op_lr_quality
-    # displaced op_pack_bins, op_dedup_keep_best displaced op_hash_split,
-    # op_span_dedup displaced op_minhash_clusters — all r05-green,
-    # now r08 debt)
+    # dedup + repeated-span removal + token-budget selection: new op
+    # entries enter the window on their first round (first-round coverage
+    # rule; op_lr_quality displaced op_pack_bins, op_dedup_keep_best
+    # displaced op_hash_split, op_span_dedup displaced
+    # op_minhash_clusters, op_token_budget displaced op_dup_clusters —
+    # all r05-green, now r08 debt)
     "op_ngram_novelty", "op_zipf_slope", "op_source_overlap",
     "op_perplexity_buckets", "op_lr_quality", "op_dedup_keep_best",
-    "op_span_dedup",
-    # the remaining 30 r05-green entries (op_pipeline_e2e, op_gapfill,
-    # op_gopher_filter, op_unigram_nll, op_minhash_clusters — displaced
-    # from this window by the new diagnostics/ops — plus op_pack_bins,
-    # op_hash_split, op_ann_full, op_pq_full, op_quantize_emb,
-    # op_simhash_exact, op_ivf_full_probe, op_strip_html, op_chunk_dedup,
-    # op_shard_counts, op_dedup_against, op_bloom_dedup, op_decontaminate,
-    # op_split_leakage, q49-q59) rotate in r08 together with the
-    # never-verified q66-q70; the 49 r06-green entries rotate in r09 —
-    # both fit the 50-slot window.
+    "op_span_dedup", "op_token_budget",
+    # the remaining 31 r05-green entries (op_pipeline_e2e, op_gapfill,
+    # op_gopher_filter, op_unigram_nll, op_minhash_clusters,
+    # op_dup_clusters — displaced from this window by the new
+    # diagnostics/ops — plus op_pack_bins, op_hash_split, op_ann_full,
+    # op_pq_full, op_quantize_emb, op_simhash_exact, op_ivf_full_probe,
+    # op_strip_html, op_chunk_dedup, op_shard_counts, op_dedup_against,
+    # op_bloom_dedup, op_decontaminate, op_split_leakage, q49-q59) rotate
+    # in r08 together with the never-verified q66-q70; the 49 r06-green
+    # entries rotate in r09 — both fit the 50-slot window.
 ]
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 

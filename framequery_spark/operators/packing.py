@@ -108,3 +108,70 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def take_token_budget(df: DataFrame, budget: int,
+                      score_col: str = "quality",
+                      token_col: str = "n_tokens",
+                      id_col: str = "doc_id",
+                      chunk: int = 1 << 20) -> DataFrame:
+    """Data-recipe assembly: greedily take the highest-``score_col``
+    documents (ties to lowest ``id_col``) until the cumulative token count
+    would exceed ``budget`` — the "top-quality N-token corpus" selection
+    step that follows quality scoring in every pretraining pipeline.
+
+    A row is selected iff its INCLUSIVE running token sum over the total
+    order (score desc, id asc) is <= budget, so the output is the maximal
+    prefix that fits; the straddling document is left out. Rows with NULL
+    score or NULL tokens are excluded up front (a NULL has no place in a
+    total order and the two engines disagree on NULL sort position).
+    Returns (id_col, token_col, cum_tokens), deterministic for unique ids.
+
+    Scale shape — a two-phase distributed prefix sum, because the naive
+    formulation (one ORDER BY window over the corpus) funnels 100 TB
+    through a single reducer:
+      1. rows bucket by (score, floor(id/chunk)) — a pure row-local key
+         that refines the selection order, so per-bucket token sums
+         (one groupBy, map-side combine) can be prefix-summed on the
+         BUCKET table to give each bucket its starting offset. That
+         window is the only global sort and it runs over a bounded
+         aggregate: <= n_rows/chunk + |distinct scores| rows (with the
+         default 2^20 chunk, ~10^5 rows for a 10^11-document corpus) —
+         the same bounded-aggregate footprint the vocab/codebook
+         operators hold.
+      2. the within-bucket running sum is a window PARTITIONED by bucket
+         (parallel, <= chunk rows each); offset + within-sum is the exact
+         global prefix sum, and the budget filter is row-local from there.
+    The offsets table broadcasts (bounded as above); nothing corpus-sized
+    ever sorts globally. ``id_col`` must be numeric — the chunk key
+    ``floor(id/chunk)`` must refine the id order, which no hash does.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    base = (df.select(F.col(id_col), F.col(score_col), F.col(token_col))
+            .where(F.col(score_col).isNotNull()
+                   & F.col(token_col).isNotNull())
+            .withColumn("__chunk", F.floor(F.col(id_col) / F.lit(chunk))))
+    sums = (base.groupBy(F.col(score_col).alias("__s"), F.col("__chunk"))
+            .agg(F.sum(token_col).alias("__bucket_toks")))
+    # bounded-aggregate global window: the bucket table, never the corpus
+    bucket_order = Window.orderBy(F.col("__s").desc(),
+                                  F.col("__chunk").asc())
+    offsets = sums.select(
+        "__s", F.col("__chunk").alias("__oc"),
+        (F.sum("__bucket_toks").over(bucket_order)
+         - F.col("__bucket_toks")).alias("__offset"))
+    within = (Window.partitionBy(score_col, "__chunk")
+              .orderBy(F.col(id_col).asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = base.join(
+        F.broadcast(offsets),
+        (F.col(score_col) == F.col("__s"))
+        & (F.col("__chunk") == F.col("__oc")))
+    cum = (F.sum(token_col).over(within) + F.col("__offset")).cast("long")
+    return (joined.withColumn("cum_tokens", cum)
+            .where(F.col("cum_tokens") <= budget)
+            .select(F.col(id_col), F.col(token_col),
+                    F.col("cum_tokens")))

@@ -457,6 +457,13 @@ def _register_operator_tfs() -> dict:
         kw = {"threshold": float(a[2])} if len(a) > 2 else {}
         return graph.dedup_keep_best(_op_table(qc, a[0]), str(a[1]), **kw)
 
+    def take_token_budget(qc, a):
+        # take_token_budget('docs_table', 'score_col', 'token_col', budget)
+        # greedy top-score selection until the global token budget is hit
+        return packing.take_token_budget(
+            _op_table(qc, a[0]), int(a[3]),
+            score_col=str(a[1]), token_col=str(a[2]))
+
     def remove_repeated_spans(qc, a):
         # remove_repeated_spans('docs_table'[, k[, min_copies]])
         # Lee-et-al-style exact substring dedup: rewrite every document
@@ -492,7 +499,7 @@ def _register_operator_tfs() -> dict:
         assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
         dsir_select, bigram_nll, ngram_novelty, zipf_slope, source_overlap,
         perplexity_buckets, quality_scores, dedup_keep_best,
-        remove_repeated_spans)}
+        remove_repeated_spans, take_token_budget)}
 
 
 _OPERATOR_TFS = _register_operator_tfs()

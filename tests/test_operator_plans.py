@@ -407,3 +407,23 @@ def test_remove_repeated_spans_is_hash_keyed_equi_join(docs):
     assert "md5" in plan, plan
     # no Python UDF anywhere — span surgery is pure JVM array HOF work
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_take_token_budget_two_phase_prefix_sum_shape(docs):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.packing import take_token_budget
+
+    t = docs.select("doc_id", "n_chars",
+                    F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+                    .alias("n_tokens"))
+    out = take_token_budget(t, 15000, score_col="n_chars",
+                            token_col="n_tokens", chunk=64)
+    _assert_no_cartesian(out)
+    plan = formatted_plan(out)
+    # the bucket-offset table must come back via broadcast, and the
+    # corpus-side running sum must be a window PARTITIONED by
+    # (score, chunk) — a global unpartitioned corpus window would appear
+    # as a Window whose partition spec omits __chunk
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "__chunk" in plan, plan

@@ -1716,3 +1716,70 @@ def test_remove_repeated_spans_sql_table_function(spark, tpch_scope):
         "WHERE n_removed_tokens > 0", tpch_scope, spark=spark)
     assert set(out.columns) == {"doc_id", "clean_text", "n_removed_tokens"}
     assert out.count() > 0
+
+
+# ------------------------------------------------- token-budget selection
+
+
+def _budget_rows(spark):
+    rows = [(i, float(100 - i % 7), 10 + i % 5) for i in range(100)]
+    return rows, spark.createDataFrame(rows,
+                                       ["doc_id", "quality", "n_tokens"])
+
+
+def test_take_token_budget_is_exact_maximal_prefix(spark):
+    from framequery_spark.operators.packing import take_token_budget
+
+    rows, df = _budget_rows(spark)
+    cum, want = 0, []
+    for r in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + r[2] > 500:
+            break
+        cum += r[2]
+        want.append((r[0], r[2], cum))
+    got = sorted(map(tuple, take_token_budget(df, 500, chunk=16).collect()))
+    assert got == sorted(want)
+
+
+def test_take_token_budget_partition_and_chunk_invariant(spark):
+    from framequery_spark.operators.packing import take_token_budget
+
+    _, df = _budget_rows(spark)
+    base = sorted(map(tuple, take_token_budget(df, 500, chunk=16).collect()))
+    # different physical partitioning and different bucket widths (including
+    # one bucket per row and all rows in one bucket) select the same prefix
+    for variant in (take_token_budget(df.repartition(13), 500, chunk=7),
+                    take_token_budget(df, 500, chunk=1),
+                    take_token_budget(df, 500, chunk=10**6)):
+        assert sorted(map(tuple, variant.collect())) == base
+
+
+def test_take_token_budget_excludes_null_score_and_tokens(spark):
+    from framequery_spark.operators.packing import take_token_budget
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, 5.0, None), (3, 5.0, 10)],
+        "doc_id long, quality double, n_tokens long")
+    assert ([tuple(r) for r in take_token_budget(df, 100).collect()]
+            == [(3, 10, 10)])
+
+
+def test_take_token_budget_zero_budget_and_validation(spark):
+    from framequery_spark.operators.packing import take_token_budget
+
+    _, df = _budget_rows(spark)
+    assert take_token_budget(df, 0).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        take_token_budget(df, -1)
+    with pytest.raises(ValueError, match="chunk"):
+        take_token_budget(df, 10, chunk=0)
+
+
+def test_take_token_budget_sql_table_function(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        "SELECT count(*) AS n, max(cum_tokens) AS mx FROM "
+        "take_token_budget('documents', 'n_chars', 'n_chars', 20000)",
+        tpch_scope, spark=spark).collect()[0]
+    assert out.n > 0 and out.mx <= 20000
