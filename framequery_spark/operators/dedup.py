@@ -730,9 +730,20 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
                .agg(F.sort_array(F.collect_set("__pos")).alias("__dups")))
     out = base.join(dup_pos, id_col, "left")
     dups = F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("__toks"),
-        lambda t, i: ~F.exists(dups, lambda d: (i >= d) & (i < d + k)))
+    # span union as set algebra, not a per-token membership scan: expand
+    # each duplicated start to its k covered positions (O(|dups|*k)),
+    # then array_except — a hash-set difference, O(n + covered) — keeps
+    # the surviving positions in order. A fully-duplicated 10k-token
+    # document costs ~k*n work, where the naive exists()-per-token
+    # formulation would cost n*|dups| ~ n^2.
+    covered = F.array_distinct(F.flatten(
+        F.transform(dups, lambda d: F.sequence(d, d + F.lit(k - 1)))))
+    all_pos = F.when(F.size("__toks") > 0,
+                     F.sequence(F.lit(0), F.size("__toks") - 1)) \
+               .otherwise(F.array().cast("array<int>"))  # seq(0,-1) DESCENDS
+    keep_pos = F.array_except(all_pos, covered)
+    kept = F.transform(keep_pos,
+                       lambda p: F.element_at(F.col("__toks"), p + 1))
     return out.select(
         F.col(id_col),
         F.concat_ws(" ", kept).alias("clean_text"),
