@@ -11,6 +11,7 @@ with unique tie-breakers so Spark and DuckDB hash identically.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2878,14 +2879,23 @@ def _op_ngram_novelty(spark, sf_dir):
     min doc_id), novelty ratio. Gram explode → distinct pairs → min-per-
     gram groupBy → gram-keyed equi join — never all-pairs. Restricted to
     doc_id < 200 to keep the oracle compare small; the plan is the
-    full-corpus plan."""
+    full-corpus plan. Value-rendering discipline (r07 hash-red fix):
+    n_novel is pinned to BIGINT on both sides (DuckDB's sum(CASE…) is
+    HUGEINT) and novelty re-projected with the q01 epsilon+round
+    convention so cross-engine half-way rounding can't diverge."""
     from pyspark.sql import functions as F
 
     from framequery_spark.operators.text import ngram_novelty
 
     return (ngram_novelty(_scope(spark, sf_dir)["documents"], "text",
                           "doc_id", n=3)
-            .filter(F.col("doc_id") < 200).orderBy("doc_id"))
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "n_grams",
+                    F.col("n_novel").cast("long").alias("n_novel"),
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_grams") + F.lit(0.0000001), 6)
+                    .alias("novelty"))
+            .orderBy("doc_id"))
 
 
 _op("op_ngram_novelty", _op_ngram_novelty, r"""
@@ -2901,9 +2911,10 @@ g AS (
   WHERE len(ws) >= 3),
 firsts AS (SELECT ngram, min(doc_id) AS first_id FROM g GROUP BY ngram)
 SELECT doc_id, count(*) AS n_grams,
-       sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS n_novel,
-       round(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
-             / count(*), 6) AS novelty
+       CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) + 0.0000001, 6) AS novelty
 FROM g JOIN firsts USING (ngram)
 WHERE doc_id < 200
 GROUP BY doc_id ORDER BY doc_id
@@ -3026,69 +3037,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver records correctness for only the FIRST 50 queries() entries, so
-# the window rotates per round until every entry has a green driver row:
-#   r04 window: 32 op_* + q01..q18 (green).
-#   r05 window: 39 op_* (exact mirrors, connected-components, incremental /
-#     streaming dedup, PQ, contamination/leakage) + q49-q59 (green).
-#   r06 window (this one): the 14 ops deferred in r05 (last driver row r04)
-#     + q19-q48 (last driver row r03) + 6 re-verify slots for entries whose
-#     code paths changed this round (unpersist discipline in dedup/
-#     contamination, stream-ingest schema fix). With this rotation every
-#     oracle-bearing entry has a green driver row in the r04 U r05 U r06
-#     union; the 4 rows-only approximate entries (op_simhash_pairs,
-#     op_ann_topk, op_pq_topk, op_ivf_topk) stay out by contract — each has
-#     a green exact-config mirror.
-# Entries outside the window stay covered by tests/test_conformance.py, which
-# runs the same differential over ALL entries every pytest session, and by
-# tests/test_window_rotation.py, which fails if an oracle-bearing entry goes
-# more than 2 rounds without a driver row.
-_DRIVER_WINDOW = [
-    # r07 window. Mandatory: the 20 entries last driver-green on round-4
-    # code (the exact set the staleness guard flagged after r06 landed).
-    "op_det_sample", "op_det_shuffle",
-    "q01_pricing_summary", "q02_top_orders", "q03_region_revenue",
-    "q04_order_priority", "q05_nation_balance", "q06_forecast_revenue",
-    "q07_parts_by_brand", "q08_price_buckets", "q09_yearly_volume",
-    "q10_top_customers", "q11_segment_top3", "q12_running_total",
-    "q13_union_keys", "q14_except_keys", "q15_intersect_keys",
-    "q16_in_subquery", "q17_customers_without_orders",
-    "q18_string_functions",
-    # never driver-verified plain-SQL entries: added late in r06, plus the
-    # new r07 SEARCH DEPTH FIRST / CYCLE recursive entries
-    "q62_json_agg", "q63_running_rank",
-    "q64_recursive_dfs", "q65_recursive_cycle",
-    # re-verify slots: code paths changed this round (bigram-LM skew fix,
-    # DSIR length-normalization flag) + the new normalized-DSIR entry
-    "op_bigram_nll", "op_dsir_select", "op_dsir_length_norm",
-    # pre-rotated from the r05 group (last green r05; stale at r08
-    # otherwise) — streaming entries first, then the dedup/text block
-    "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
-    "op_stream_dedup", "op_stream_decontam", "op_stream_ingest",
-    "op_stream_join",
-    "op_text_stats", "op_jaccard_pairs", "op_minhash_dedup",
-    "op_cosine_topk", "op_sessions", "op_decode_image",
-    "op_skew_count_distinct", "op_levenshtein_pairs",
-    # round-7 corpus diagnostics + LR quality classifier + keep-best
-    # dedup + repeated-span removal + token-budget selection: new op
-    # entries enter the window on their first round (first-round coverage
-    # rule; op_lr_quality displaced op_pack_bins, op_dedup_keep_best
-    # displaced op_hash_split, op_span_dedup displaced
-    # op_minhash_clusters, op_token_budget displaced op_dup_clusters —
-    # all r05-green, now r08 debt)
-    "op_ngram_novelty", "op_zipf_slope", "op_source_overlap",
-    "op_perplexity_buckets", "op_lr_quality", "op_dedup_keep_best",
-    "op_span_dedup", "op_token_budget",
-    # the remaining 31 r05-green entries (op_pipeline_e2e, op_gapfill,
-    # op_gopher_filter, op_unigram_nll, op_minhash_clusters,
-    # op_dup_clusters — displaced from this window by the new
-    # diagnostics/ops — plus op_pack_bins, op_hash_split, op_ann_full,
-    # op_pq_full, op_quantize_emb, op_simhash_exact, op_ivf_full_probe,
-    # op_strip_html, op_chunk_dedup, op_shard_counts, op_dedup_against,
-    # op_bloom_dedup, op_decontaminate, op_split_leakage, q49-q59) rotate
-    # in r08 together with the never-verified q66-q70; the 49 r06-green
-    # entries rotate in r09 — both fit the 50-slot window.
-]
-assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+# the window must rotate each round until every entry has a recent green
+# driver row.  Rounds 4-7 maintained the rotation by hand and twice
+# accumulated staleness debt (mid-round slot swaps pushed a cohort past the
+# 2-round bar).  The window is now COMPUTED from the recorded
+# CORRECTNESS_r*.json history, so under-rotation is impossible by
+# construction:
+#   1. every oracle-bearing entry that has never been driver-green, or whose
+#      last green row is older than MAX_STALE_ROUNDS, takes a mandatory slot
+#      (this is exactly the set tests/test_window_rotation.py's staleness
+#      guard would flag if left out);
+#   2. rows-only-by-contract entries (no oracle; approximate configs with
+#      hash-green exact mirrors) get a slot when their last driver row of
+#      any kind is >= 3 rounds old, so the weaker rows-check evidence stays
+#      fresh too;
+#   3. remaining slots fill least-recently-green first (ties: registration
+#      order), which makes the steady state a clean <=3-round cycle over all
+#      oracle-bearing entries (133 entries / 50 slots per round).
+# Entries outside the window stay covered by tests/test_conformance.py,
+# which runs the same DuckDB differential over ALL entries every pytest
+# session; tests/test_window_rotation.py simulates this builder several
+# rounds forward and asserts no entry can ever go stale.
+_MAX_STALE_ROUNDS = 2
+_WINDOW_SIZE = 50
+
+
+def _correctness_history() -> dict[int, dict]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rounds[int(m.group(1))] = json.load(fh)
+        except (OSError, ValueError):
+            continue  # a half-written artifact must not break the entry file
+    return rounds
+
+
+def _build_driver_window(history: dict[int, dict] | None = None,
+                         current_round: int | None = None) -> list[str]:
+    """Deterministic 50-slot driver window for ``current_round`` given the
+    recorded correctness history (defaults: read CORRECTNESS_r*.json, next
+    unrecorded round).  See the rotation-policy comment above."""
+    rounds = _correctness_history() if history is None else history
+    if current_round is None:
+        current_round = max(rounds, default=0) + 1
+
+    last_green: dict[str, int] = {}   # last round with a hash-green row
+    last_row: dict[str, int] = {}     # last round with any driver row
+    for rnd in sorted(rounds):
+        for name, v in rounds[rnd].items():
+            last_row[name] = rnd
+            if v.get("hash_match"):
+                last_green[name] = rnd
+
+    names = list(_OPS) + [n for n in _Q if n not in _OPS]
+    order = {n: i for i, n in enumerate(names)}
+    oracle_bearing = [n for n in names
+                      if (_OPS.get(n) or _Q.get(n))[1] is not None]
+    rows_only = [n for n in names if n not in set(oracle_bearing)]
+
+    window: list[str] = []
+    # 1. mandatory: never green, or green row older than the staleness bound
+    for n in oracle_bearing:
+        last = last_green.get(n)
+        if last is None or current_round - last > _MAX_STALE_ROUNDS:
+            window.append(n)
+    assert len(window) <= _WINDOW_SIZE, (
+        f"{len(window)} mandatory entries exceed the {_WINDOW_SIZE}-slot "
+        f"window — the rotation fell more than a full cycle behind")
+    # 2. rows-only entries whose rows-check evidence is >= 3 rounds old
+    for n in rows_only:
+        if len(window) >= _WINDOW_SIZE:
+            break
+        if current_round - last_row.get(n, 0) > _MAX_STALE_ROUNDS:
+            window.append(n)
+    # 3. LRU fill: least-recently-green oracle-bearing entries first
+    fill = sorted((n for n in oracle_bearing if n not in set(window)),
+                  key=lambda n: (last_green.get(n, 0), order[n]))
+    window.extend(fill[:_WINDOW_SIZE - len(window)])
+    return window[:_WINDOW_SIZE]
+
+
+_DRIVER_WINDOW = _build_driver_window()
+assert len(_DRIVER_WINDOW) == min(_WINDOW_SIZE, 138), len(_DRIVER_WINDOW)
 
 
 def _entry_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:

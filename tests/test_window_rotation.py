@@ -73,14 +73,15 @@ def test_no_oracle_entry_stale_beyond_two_rounds():
         f"them in: {stale}")
 
 
-def test_next_round_rotation_debt_fits_the_window():
-    """Commit-time lookahead: staleness-guard failure should be impossible
-    by construction.  Assume every oracle-bearing entry in the CURRENT
-    window goes green this round; then the set of entries that will REQUIRE
-    a slot in the NEXT round's window (last green too old, or never
-    verified op entries) must fit in 50 slots.  If this fails, the windows
-    are under-rotating and some future round is guaranteed to trip
-    test_no_oracle_entry_stale_beyond_two_rounds no matter how it rotates.
+def test_rotation_never_goes_stale_by_construction():
+    """Forward simulation: the computed window builder
+    (``__spark_entry__._build_driver_window``) can never let an
+    oracle-bearing entry go stale.  Starting from the real recorded
+    history, simulate 8 future rounds — each round build the window from
+    the simulated history, assert the staleness invariant the guard above
+    enforces, then mark the window's oracle-bearing entries green (and the
+    rows-only ones as having a row).  If the builder under-rotates at any
+    horizon, this fails at commit time, not two rounds later.
     """
     import __spark_entry__ as entry
     from tests.test_conformance import ROWS_ONLY
@@ -88,33 +89,38 @@ def test_next_round_rotation_debt_fits_the_window():
     rounds = _correctness_rounds()
     if not rounds:
         pytest.skip("no CORRECTNESS_r*.json recorded yet")
-    this_round = max(rounds) + 1   # the round the driver runs next
-    next_round = this_round + 1
+    history = {rnd: dict(rows) for rnd, rows in rounds.items()}
+    start = max(history) + 1
 
-    last_green = {}
-    for rnd, rows in sorted(rounds.items()):
-        for name, v in rows.items():
-            if v.get("hash_match"):
-                last_green[name] = rnd
+    all_names = list(entry.queries())
+    oracles = entry.oracle_sql()
 
-    names = list(entry.queries())
-    window = set(names[:50])
-    # optimistic assumption: the current window all goes green this round
-    for name in window:
-        if name not in ROWS_ONLY:
-            last_green[name] = this_round
+    for rnd in range(start, start + 8):
+        window = entry._build_driver_window(history, rnd)
+        assert len(window) == 50
+        wset = set(window)
 
-    must_rotate_next = []
-    for name in names:
-        if name in ROWS_ONLY:
-            continue
-        last = last_green.get(name)
-        if last is None or next_round - last > MAX_STALE_ROUNDS:
-            must_rotate_next.append(name)
-    assert len(must_rotate_next) <= 50, (
-        f"{len(must_rotate_next)} entries will need a driver slot next "
-        f"round but the window holds 50 — rotate more of them in now: "
-        f"{must_rotate_next}")
+        last_green = {}
+        for r in sorted(history):
+            for name, v in history[r].items():
+                if v.get("hash_match"):
+                    last_green[name] = r
+        stale = [
+            (name, last_green.get(name))
+            for name in all_names
+            if name not in ROWS_ONLY and name not in wset
+            and (last_green.get(name) is None
+                 or rnd - last_green[name] > MAX_STALE_ROUNDS)
+        ]
+        assert not stale, (
+            f"simulated round {rnd}: builder left entries stale: {stale}")
+
+        # optimistic: everything in the window succeeds this round
+        history[rnd] = {
+            name: {"hash_match": name in oracles and name not in ROWS_ONLY,
+                   "rows_match": True}
+            for name in window
+        }
 
 
 def test_window_is_exactly_fifty_and_oracle_bearing():
