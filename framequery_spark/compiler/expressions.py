@@ -384,11 +384,17 @@ class ExprCompiler:
 
     def __init__(self, executor=None, agg_context: bool = False,
                  window_allowed: bool = True, scope: Optional[dict] = None,
-                 alias_rewrites: Optional[dict] = None):
+                 alias_rewrites: Optional[dict] = None, input_df=None):
         self.executor = executor
         self.agg_context = agg_context
         self.window_allowed = window_allowed
         self.scope = scope
+        # the compiled input relation this compiler's expressions run over,
+        # when the relation compiler knows it: lets the schema probe see
+        # DERIVED columns (subquery/CTE projections), not just scope tables
+        # — e.g. a tsvector column projected once in a subquery and matched
+        # with @@ in the outer query
+        self.input_df = input_df
         # aliases flattened into a single relation (ASOF JOIN output):
         # alias -> {original_column: output_column}. Qualified refs through
         # these aliases strip the qualifier (the flat output has unique
@@ -512,11 +518,24 @@ class ExprCompiler:
         """Best-effort schema probe: the Spark dtype string of a plain or
         table-qualified column ref, when every in-scope table carrying
         that column name agrees on it; None otherwise."""
-        if not isinstance(node, ast.ColumnRef) or not self.scope:
+        if not isinstance(node, ast.ColumnRef):
             return None
         parts = [p.lower() for p in node.parts]
         col = parts[-1]
         qualifier = parts[-2] if len(parts) >= 2 else None
+        # the compiled input relation (when known) is authoritative: it
+        # already carries derived columns with their real dtypes; only
+        # trust it when every same-named column (join sides) agrees
+        if self.input_df is not None:
+            try:
+                hits = {dtype for cname, dtype in self.input_df.dtypes
+                        if cname.lower() == col}
+                if len(hits) == 1:
+                    return hits.pop()
+            except Exception:
+                pass
+        if not self.scope:
+            return None
         found = set()
         try:
             for tname, df in self.scope.items():

@@ -535,7 +535,7 @@ class QueryCompiler:
             else:
                 plain.append(conj)
         if plain:
-            ec = self._expr_compiler()
+            ec = self._expr_compiler(df)
             cond = None
             for conj in plain:
                 c = ec.compile(conj)
@@ -793,7 +793,7 @@ class QueryCompiler:
         # materialize group keys as hidden columns, build the rewrite map
         pre_cols: List[Column] = []
         mapping: Dict[ast.Node, ast.Node] = {}
-        ec_pre = self._expr_compiler()
+        ec_pre = self._expr_compiler(df)
         for i, g in enumerate(group_exprs):
             gname = f"__g{i}"
             pre_cols.append(ec_pre.compile(g).alias(gname))
@@ -805,7 +805,8 @@ class QueryCompiler:
             return transform(node, lambda n: mapping.get(n, n))
 
         ec = ExprCompiler(self.session, agg_context=True, scope=self.scope,
-                          alias_rewrites=getattr(self, "_alias_rewrites", None))
+                          alias_rewrites=getattr(self, "_alias_rewrites", None),
+                          input_df=df)
         agg_cols: List[Column] = []
         final_names: List[str] = []
         # items containing window calls (e.g. rank() OVER (ORDER BY sum(x)))
@@ -991,7 +992,7 @@ class QueryCompiler:
 
     def _compile_project(self, df: DataFrame, sel: ast.Select,
                          items: List[Tuple[ast.Node, str]]) -> DataFrame:
-        ec = self._expr_compiler()
+        ec = self._expr_compiler(df)
 
         srf_idx = [i for i, (e, _) in enumerate(items)
                    if isinstance(e, ast.Call) and not isinstance(
@@ -1760,9 +1761,10 @@ class QueryCompiler:
 
     # ----------------------------------------------------------------- helpers
 
-    def _expr_compiler(self) -> ExprCompiler:
+    def _expr_compiler(self, df=None) -> ExprCompiler:
         return ExprCompiler(self.session, agg_context=False, scope=self.scope,
-                            alias_rewrites=getattr(self, "_alias_rewrites", None))
+                            alias_rewrites=getattr(self, "_alias_rewrites", None),
+                            input_df=df)
 
     def _attach_pending(self, df: DataFrame, ec: ExprCompiler):
         """Attach scalar-subquery results: uncorrelated ones as broadcast

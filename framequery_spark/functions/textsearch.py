@@ -76,26 +76,57 @@ def _tokens_with_pos(text: Column) -> Column:
 
 def to_tsvector(text: Column, config: str = "simple") -> Column:
     """Canonical tsvector: distinct lexemes sorted, each with its ordered
-    position list, default weight D. Row-local HOFs only."""
+    position list, default weight D. Row-local HOFs only.
+
+    One word-parse per row: every multiply-referenced subexpression (the
+    token array, the sorted array, the group-start index list, the
+    stopword array) is let-bound as a HOF lambda variable — interpreted
+    HOFs re-evaluate non-variable subtrees once per element, so the
+    previous per-distinct-lexeme ``F.filter(toks, …)`` construction
+    re-ran the full regex parse O(lexemes) times per row (quadratic on
+    long documents). Construction: sort tokens by (lexeme, position) —
+    struct comparison is field-ordered — find the index where each
+    lexeme's run starts, and slice each run's positions out once, so the
+    whole vector costs one O(n log n) sort plus O(n) slicing."""
     if config not in ("simple", "english"):
         raise TsQueryError(
             f"text search configuration {config!r} is not supported "
             "(simple / english)")
+    from ..operators.dedup import _let
+
     toks = _tokens_with_pos(text)
     if config == "english":
-        stop = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
-        toks = F.filter(toks,
-                        lambda s: ~F.array_contains(stop, s["t"]))
-    lexemes = F.array_sort(F.array_distinct(
-        F.transform(toks, lambda s: s["t"])))
+        # bind the 120-literal stopword array too — it sits inside the
+        # filter lambda and would otherwise be rebuilt per token
+        stops = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
+        parse = toks
+        toks = _let(stops, lambda st: F.filter(
+            parse, lambda s: ~F.array_contains(st, s["t"])))
 
-    def entry(lex: Column) -> Column:
-        pos = F.transform(
-            F.filter(toks, lambda s: s["t"] == lex), lambda s: s["p"])
-        return F.struct(lex.alias("lexeme"), pos.alias("positions"),
-                        F.lit("D").alias("weight"))
+    def build(srt: Column) -> Column:
+        n = F.size(srt)
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        # 0-based indices where a new lexeme run begins; F.get returns
+        # NULL (never an ANSI index error) for i-1 == -1 at i == 0
+        start_idx = F.filter(
+            idx, lambda i: (i == 0)
+            | (F.get(srt, i)["t"] != F.get(srt, i - 1)["t"]))
 
-    return F.transform(lexemes, entry)
+        def entries(starts: Column) -> Column:
+            def entry(s: Column, j: Column) -> Column:
+                nxt = F.coalesce(F.get(starts, j + 1), n)
+                pos = F.transform(F.slice(srt, s + 1, nxt - s),
+                                  lambda x: x["p"])
+                return F.struct(F.get(srt, s)["t"].alias("lexeme"),
+                                pos.alias("positions"),
+                                F.lit("D").alias("weight"))
+
+            return F.transform(starts, entry)
+
+        return _let(start_idx, entries)
+
+    return _let(F.array_sort(toks), build)
 
 
 def setweight(tsv: Column, weight: str) -> Column:

@@ -690,7 +690,11 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
     report the choice does not measurably change model quality.
 
     Returns (id_col, clean_text, n_removed_tokens) — one row per input
-    document, including untouched ones (n_removed_tokens = 0).
+    document, including untouched ones (n_removed_tokens = 0). NULL text
+    is normalized to '' up front (like :func:`take_token_budget` guards
+    NULL score/tokens): the row survives with clean_text = '' and
+    n_removed_tokens = 0, never a negative count from NULL-array size
+    semantics.
 
     Scale shape (the suffix array of the paper is a single-machine
     construction; this is the distributed equivalent for fixed k):
@@ -715,7 +719,8 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         raise ValueError("remove_repeated_spans: min_copies must be >= 2")
     base = _spread(df).select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"))
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+         .alias("__toks"))
     pos_tbl = (base.select(
         id_col,
         F.posexplode(_let(F.col("__toks"), lambda ws: _grams(ws, k)))

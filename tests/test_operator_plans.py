@@ -423,7 +423,52 @@ def test_take_token_budget_two_phase_prefix_sum_shape(docs):
     plan = formatted_plan(out)
     # the bucket-offset table must come back via broadcast, and the
     # corpus-side running sum must be a window PARTITIONED by
-    # (score, chunk) — a global unpartitioned corpus window would appear
-    # as a Window whose partition spec omits __chunk
+    # (score, chunk). Parse every windowspecdefinition: partition columns
+    # are the leading entries before the first ordered (ASC/DESC) entry.
+    # The corpus window is the one ordering by doc_id — it must carry
+    # __chunk in its PARTITION list (a regression to a global
+    # unpartitioned corpus cumsum would order by doc_id with an empty
+    # partition spec and still contain "__chunk" elsewhere in the plan,
+    # which the old `"__chunk" in plan` check could not catch).
+    import re
+
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
-    assert "__chunk" in plan, plan
+    corpus_windows = 0
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        entries = [e.strip() for e in m.group(1).split(",")]
+        partition = []
+        order = []
+        for e in entries:
+            if " ASC" in e or " DESC" in e:
+                order.append(e)
+            elif not order and "windowframe" not in e:
+                partition.append(e)
+        if any(o.startswith("doc_id") for o in order):
+            corpus_windows += 1
+            assert any(p.startswith("__chunk") for p in partition), (
+                "corpus-side cumsum window is not partitioned by __chunk "
+                f"(partition={partition}, order={order}):\n{plan}")
+    assert corpus_windows >= 1, plan
+
+
+def test_to_tsvector_runs_one_word_parse_per_row(docs):
+    """to_tsvector must cost ONE regex word-parse per row (plus one sort):
+    the r07 construction re-ran the parse once per distinct lexeme
+    (O(lexemes x tokens) per row — a per-row scale-killer on long
+    documents at corpus scale even though it is shuffle-free). The split
+    pattern appearing once in the projection is the contract."""
+    from framequery_spark.functions.textsearch import to_tsvector
+
+    out = docs.select(to_tsvector(F.col("text")).alias("tsv"))
+    plan = formatted_plan(out)
+    assert plan.count("[^a-z0-9]+") == 1, plan
+    # and no Python UDF: the vector is built from JVM array HOFs
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_to_tsvector_english_runs_one_word_parse_per_row(docs):
+    from framequery_spark.functions.textsearch import to_tsvector
+
+    out = docs.select(to_tsvector(F.col("text"), "english").alias("tsv"))
+    plan = formatted_plan(out)
+    assert plan.count("[^a-z0-9]+") == 1, plan

@@ -1783,3 +1783,19 @@ def test_take_token_budget_sql_table_function(spark, tpch_scope):
         "take_token_budget('documents', 'n_chars', 'n_chars', 20000)",
         tpch_scope, spark=spark).collect()[0]
     assert out.n > 0 and out.mx <= 20000
+
+
+def test_remove_repeated_spans_null_text_survives_with_zero_count(spark):
+    from framequery_spark.operators.dedup import remove_repeated_spans
+
+    rows = spark.createDataFrame(
+        [(1, "a b c d e f g h tail"), (2, "a b c d e f g h other"),
+         (3, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_repeated_spans(rows, k=8).collect()}
+    # the NULL-text doc is normalized to '' — emitted, untouched, and the
+    # n_removed_tokens contract (0 for untouched docs) holds, never -1
+    assert out[3].clean_text == ""
+    assert out[3].n_removed_tokens == 0
+    assert out[1].n_removed_tokens == 8 and out[2].n_removed_tokens == 8

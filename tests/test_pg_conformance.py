@@ -698,6 +698,14 @@ QUERIES = [
      "to_tsvector('cat') || to_tsvector('dog') "
      "@@ phraseto_tsquery('cat dog')",
      "select 3, true"),
+    # derived tsvector column: projected once in a subquery, consumed by
+    # @@ / length in the outer query (the schema probe sees derived
+    # relations via input_df, r08)
+    ("select count(*) filter (where tsv @@ to_tsquery('cat & dog')) n, "
+     "sum(length(tsv)) l from (select to_tsvector(s) tsv from "
+     "(select 'cat dog cat' s union all select 'dog fish' "
+     "union all select 'bird' ) raw) d",
+     "select 1, 5"),
     # review-fix regressions: empty-array subscripts, STRICT jsonb edits,
     # absent-path no-ops, surrogate-pair unistr, GROUPS in agg + QUALIFY
     ("select generate_subscripts(array_remove(array[1], 1), 1)",
