@@ -18,6 +18,34 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # Load guard: the r07 driver bench recorded 311 s for plans whose solo
+    # steady state sums to ~120 s — a contention-poisoned artifact is worse
+    # than none because it is the driver's regression signal. Record host
+    # load at start and end; when the 1-minute loadavg already exceeds half
+    # the bench's own CPU budget BEFORE we start, flag the run as contended
+    # in the output JSON (and say so on stderr) so a slow total is
+    # attributable to the host, not the plans.
+    try:
+        load1_start = os.getloadavg()[0]
+    except OSError:
+        load1_start = -1.0
+    contended_start = load1_start > 0.5 * cpus
+    if contended_start:
+        print(f"bench: WARNING host 1-min loadavg {load1_start:.1f} exceeds "
+              f"half the bench budget ({cpus} cpus) before start — timings "
+              "will be flagged contended", file=sys.stderr)
+
+    # Streaming entries fsync their offset/commit logs per micro-batch; the
+    # resolved scratch root decides whether that is tmpfs or disk. Log it so
+    # a streaming_s regression is attributable (r07: 33.3 s vs r06 17.1 s
+    # with no way to tell whether /dev/shm was engaged in the driver env).
+    from framequery_spark.streaming.stream import scratch_dir
+
+    ckpt_root = scratch_dir()
+    print(f"bench: streaming checkpoint root = {ckpt_root} "
+          f"({'tmpfs' if ckpt_root == '/dev/shm' else 'disk-backed'})",
+          file=sys.stderr)
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -159,6 +187,13 @@ def main() -> None:
                       if k in streaming_names and v > 0)
     batch_s = sum(v for k, v in timings.items()
                   if k not in streaming_names and v > 0)
+    try:
+        load1_end = os.getloadavg()[0]
+    except OSError:
+        load1_end = -1.0
+    # end-of-run load minus the bench's own footprint: anything well above
+    # the cpu budget means another workload shared the machine mid-run
+    contended = contended_start or load1_end > 1.5 * cpus
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 3),
@@ -169,6 +204,10 @@ def main() -> None:
         "aggregation": "median_per_query",
         "batch_s": round(batch_s, 3),
         "streaming_s": round(streaming_s, 3),
+        "ckpt_root": ckpt_root,
+        "load1_start": round(load1_start, 1),
+        "load1_end": round(load1_end, 1),
+        "contended": contended,
     }))
     # the driver records only the tail of the output and the full per-query
     # JSON above can overflow it — emit a compact (<1 KB) machine-parseable
@@ -185,6 +224,10 @@ def main() -> None:
         "sf": sf_val,
         "reps": reps,
         "failed": [k for k, v in timings.items() if v < 0],
+        "ckpt_root": ckpt_root,
+        "load1_start": round(load1_start, 1),
+        "load1_end": round(load1_end, 1),
+        "contended": contended,
     }))
 
 

@@ -11,9 +11,13 @@ expression tree over the vector — no UDFs, row-local, codegen-friendly.
 Supported:
 - ``to_tsvector([config,] text)`` — configs ``simple`` (lowercase
   alphanumeric word parser) and ``english`` (same parser + stopword
-  removal; positions still count stopwords, like pg). Stemming is NOT
-  implemented (pg uses Snowball); ``english`` here is stopword-only,
-  documented deviation.
+  removal + Snowball/Porter2 stemming, positions still count stopwords,
+  like pg). The stemmer is a pure-JVM Porter2 Column-expression cascade
+  (functions/snowball.py:stem_expr, differential-tested against the
+  reference Python implementation); query-side terms stem driver-side
+  via the Python twin. Stopword terms inside a tsquery collapse the way
+  pg drops them ('the & fat' -> 'fat', 'fat <-> the <-> cat' ->
+  'fat <2> cat').
 - ``plainto_tsquery`` (AND of lexemes), ``phraseto_tsquery`` (<-> chain),
   ``to_tsquery`` (full syntax: ``& | ! ( ) <-> <N>``; ``:*`` prefix match).
 - ``tsv @@ tsq`` with phrase-distance semantics over position lists.
@@ -74,34 +78,54 @@ def _tokens_with_pos(text: Column) -> Column:
                                      (i + 1).cast("int").alias("p")))
 
 
-def to_tsvector(text: Column, config: str = "simple") -> Column:
-    """Canonical tsvector: distinct lexemes sorted, each with its ordered
-    position list, default weight D. Row-local HOFs only.
-
-    One word-parse per row: every multiply-referenced subexpression (the
-    token array, the sorted array, the group-start index list, the
-    stopword array) is let-bound as a HOF lambda variable — interpreted
-    HOFs re-evaluate non-variable subtrees once per element, so the
-    previous per-distinct-lexeme ``F.filter(toks, …)`` construction
-    re-ran the full regex parse O(lexemes) times per row (quadratic on
-    long documents). Construction: sort tokens by (lexeme, position) —
-    struct comparison is field-ordered — find the index where each
-    lexeme's run starts, and slice each run's positions out once, so the
-    whole vector costs one O(n log n) sort plus O(n) slicing."""
+def prepared_tokens(text: Column, config: str) -> Column:
+    """Token-struct array (t, p) after config processing — for
+    ``english``: stopword filter on the RAW lowercase word, then Snowball
+    stem, in pg's dictionary order. The stemmer is the pure-JVM Porter2
+    expression chain (functions/snowball.py:stem_expr) — a Python-UDF
+    form was tried first and is fundamentally incomposable: Spark cannot
+    evaluate Python UDFs nested inside HOF lambdas, and CollapseProject
+    re-nests staged UDF pre-columns back under the HOFs (both measured;
+    see snowball.py). Everything here stays a Column expression, so the
+    result composes freely under @@ / ts_rank / further HOFs."""
     if config not in ("simple", "english"):
         raise TsQueryError(
             f"text search configuration {config!r} is not supported "
             "(simple / english)")
     from ..operators.dedup import _let
+    from .snowball import stem_expr
 
     toks = _tokens_with_pos(text)
     if config == "english":
-        # bind the 120-literal stopword array too — it sits inside the
-        # filter lambda and would otherwise be rebuilt per token
+        # bind the 120-literal stopword array — it sits inside the filter
+        # lambda and would otherwise be rebuilt per token
         stops = F.array(*[F.lit(s) for s in sorted(ENGLISH_STOPWORDS)])
         parse = toks
-        toks = _let(stops, lambda st: F.filter(
+        filtered = _let(stops, lambda st: F.filter(
             parse, lambda s: ~F.array_contains(st, s["t"])))
+        return F.transform(
+            filtered,
+            lambda s: F.struct(stem_expr(s["t"]).alias("t"),
+                               s["p"].alias("p")))
+    return toks
+
+
+def vector_from_tokens(toks: Column) -> Column:
+    """Canonical tsvector from a token-struct array: distinct lexemes
+    sorted, each with its ordered position list, default weight D. Pure
+    JVM row-local HOFs.
+
+    One pass over the tokens: every multiply-referenced subexpression
+    (the sorted array, the group-start index list) is let-bound as a HOF
+    lambda variable — interpreted HOFs re-evaluate non-variable subtrees
+    once per element, so the previous per-distinct-lexeme
+    ``F.filter(toks, …)`` construction re-ran the full regex parse
+    O(lexemes) times per row (quadratic on long documents).
+    Construction: sort tokens by (lexeme, position) — struct comparison
+    is field-ordered — find the index where each lexeme's run starts,
+    and slice each run's positions out once: one O(n log n) sort plus
+    O(n) slicing per row."""
+    from ..operators.dedup import _let
 
     def build(srt: Column) -> Column:
         n = F.size(srt)
@@ -127,6 +151,12 @@ def to_tsvector(text: Column, config: str = "simple") -> Column:
         return _let(start_idx, entries)
 
     return _let(F.array_sort(toks), build)
+
+
+def to_tsvector(text: Column, config: str = "simple") -> Column:
+    """Canonical tsvector of a text column — pure JVM for every config,
+    composable anywhere a Column is."""
+    return vector_from_tokens(prepared_tokens(text, config))
 
 
 def setweight(tsv: Column, weight: str) -> Column:
@@ -198,7 +228,10 @@ _TSQ_TOKEN = re.compile(r"""
 
 
 def _lex_one(config: str, word: str) -> Optional[str]:
-    """Normalize one query token the way to_tsvector normalizes words."""
+    """Normalize one query token the way to_tsvector normalizes words:
+    lowercase word-parse, stopword check on the raw word, then (english)
+    Snowball stem — so 'running' in a query matches 'runs' in a document,
+    like pg."""
     w = re.sub(r"[^a-z0-9]+", " ", word.lower()).strip()
     if " " in w:
         raise TsQueryError(
@@ -206,8 +239,12 @@ def _lex_one(config: str, word: str) -> Optional[str]:
             "quote phrases via phraseto_tsquery / <->")
     if not w:
         return None
-    if config == "english" and w in ENGLISH_STOPWORDS:
-        return None
+    if config == "english":
+        if w in ENGLISH_STOPWORDS:
+            return None
+        from .snowball import stem_cached
+
+        return stem_cached(w)
     return w
 
 
@@ -298,8 +335,47 @@ class _TsQueryParser:
         return ("term", lex, prefix)
 
 
+def _collapse_stopwords(node):
+    """pg drops stopword terms from a parsed tsquery (with a NOTICE) and
+    collapses the boolean/phrase structure around them: 'the & fat' ->
+    'fat' (NOT a never-matching AND), 'fat <-> the <-> cat' ->
+    'fat <2> cat' (the dropped word widens the phrase distance).
+
+    Returns (node_or_None, carry): carry is the extra distance an
+    ENCLOSING phrase must add when this subtree's right end was a dropped
+    stopword."""
+    kind = node[0]
+    if kind == "term":
+        return (None, 0) if node[1] is None else (node, 0)
+    if kind == "not":
+        inner, _ = _collapse_stopwords(node[1])
+        return (None, 0) if inner is None else (("not", inner), 0)
+    if kind in ("and", "or"):
+        l, _ = _collapse_stopwords(node[1])
+        r, _ = _collapse_stopwords(node[2])
+        if l is None:
+            return r, 0
+        if r is None:
+            return l, 0
+        return (kind, l, r), 0
+    # phrase: distances accumulate through dropped middles
+    _, left, right, dist = node
+    l, lcarry = _collapse_stopwords(left)
+    r, rcarry = _collapse_stopwords(right)
+    d = dist + lcarry
+    if l is None and r is None:
+        return None, d + rcarry
+    if r is None:
+        return l, d
+    if l is None:
+        return r, rcarry
+    return ("phrase", l, r, d), rcarry
+
+
 def parse_tsquery(text: str, config: str = "simple"):
-    return _TsQueryParser(text, config).parse()
+    node = _TsQueryParser(text, config).parse()
+    collapsed, _ = _collapse_stopwords(node)
+    return collapsed if collapsed is not None else ("term", None, False)
 
 
 def plain_tsquery(text: str, config: str = "simple"):

@@ -698,6 +698,31 @@ QUERIES = [
      "to_tsvector('cat') || to_tsvector('dog') "
      "@@ phraseto_tsquery('cat dog')",
      "select 3, true"),
+    # english Snowball stemming (r08): pg-docs §12 canonical example —
+    # to_tsvector('english','a fat cat sat on a mat - it ate a fat rats')
+    # = 'ate':9 'cat':3 'fat':2,11 'mat':7 'rat':12 'sat':4
+    ("select length(to_tsvector('english', "
+     "'a fat cat sat on a mat - it ate a fat rats')), "
+     "to_tsvector('english', 'a fat cat sat on a mat - it ate a fat "
+     "rats') @@ to_tsquery('english', 'rat'), "
+     "to_tsvector('english', 'jumped jumping jumps') "
+     "@@ plainto_tsquery('english', 'jump'), "
+     "length(to_tsvector('english', 'jumped jumping jumps'))",
+     "select 6, true, true, 1"),
+    ("select to_tsvector('english', 'the lazy dogs are running') "
+     "@@ plainto_tsquery('english', 'run lazy'), "
+     "to_tsvector('english', 'communities') "
+     "@@ to_tsquery('english', 'community')",
+     "select true, true"),
+    # tsquery stopword collapse (pg drops the term and adjusts structure;
+    # an AND with a stopword must not become never-matching)
+    ("select to_tsquery('english', 'The & Fat & Rats'), "
+     "to_tsquery('english', 'fat <-> the <-> cat'), "
+     "to_tsvector('english', 'fat dog cat') "
+     "@@ to_tsquery('english', 'fat <-> the <-> cat'), "
+     "to_tsvector('english', 'a fat cat sat') "
+     "@@ to_tsquery('english', 'fat <-> the <-> cat')",
+     "select '''fat'' & ''rat''', '''fat'' <2> ''cat''', true, false"),
     # derived tsvector column: projected once in a subquery, consumed by
     # @@ / length in the outer query (the schema probe sees derived
     # relations via input_df, r08)
