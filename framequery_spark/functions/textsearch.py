@@ -23,13 +23,17 @@ Supported:
 - ``tsv @@ tsq`` with phrase-distance semantics over position lists.
 - ``setweight(tsv, 'A')``, ``tsv || tsv`` (lexeme-merging concat),
   ``strip(tsv)``, ``numnode``-free length via cardinality.
-- ``ts_rank([weights,] tsv, tsq)`` — implements pg's calc_rank shape for
-  the common cases (per-term weighted frequency 1 - 1/(1+n), AND/phrase
-  terms averaged; default weight vector {0.1,0.2,0.4,1.0}); positional
-  proximity refinement of pg's calc_rank_and is NOT replicated, so rank
-  VALUES deviate from pg while orderings on term frequency agree.
-  Documented deviation; exact lexical scoring lives in operators/
-  retrieval.py (BM25).
+- ``ts_rank([weights,] tsv, tsq)`` — follows pg tsrank.c calc_rank:
+  OR/single-term queries rank by per-term harmonic position frequency
+  (calc_rank_or, w*sum 1/j^2 / (pi^2/6), averaged over query items;
+  values match pg's published outputs, e.g. single D-weight term at one
+  position = 0.0607927); AND/phrase roots with >= 2 terms rank by
+  pairwise positional proximity (calc_rank_and, res = 1 - prod(1-curw),
+  curw = sqrt(w_i*w_k*word_distance(dist))). The ONE documented
+  uncertainty: word_distance's decay constants are reconstructed from
+  memory of the public pg source and unverifiable offline, so AND-path
+  VALUES may deviate from pg while proximity orderings agree. Exact
+  lexical scoring lives in operators/retrieval.py (BM25).
 """
 
 from __future__ import annotations
@@ -498,31 +502,125 @@ def _collect_terms(node, out: List[Tuple[str, bool]]) -> None:
         _collect_terms(node[2], out)
 
 
-def ts_rank(tsv: Column, node, weights=None) -> Column:
-    """Per-term weighted frequency rank: each query term contributes
-    weight(entry) * (1 - 1/(1 + n_positions)), summed then normalized by
-    term count. See the module docstring for the documented deviation
-    from pg's positional calc_rank."""
-    weights = weights or [0.1, 0.2, 0.4, 1.0]  # D C B A
-    wmap = F.create_map(
+def _weight_map(weights) -> Column:
+    return F.create_map(
         F.lit("D"), F.lit(float(weights[0])),
         F.lit("C"), F.lit(float(weights[1])),
         F.lit("B"), F.lit(float(weights[2])),
         F.lit("A"), F.lit(float(weights[3])))
-    terms: List[Tuple[str, bool]] = []
-    _collect_terms(node, terms)
-    if not terms:
-        return F.lit(0.0)
+
+
+def _term_weight(tsv: Column, term, wmap: Column) -> Column:
+    """Weight of the (first) entry matching a term node; NULL if absent.
+    Our tsvector carries one weight per lexeme (pg: per position;
+    setweight sets them all, so they agree for setweight-built data)."""
+    lexeme, prefix = term
+    # F.get is 0-based and returns NULL on an empty array (element_at
+    # raises under ANSI)
+    first = F.get(_entry_for(tsv, lexeme, prefix), 0)
+    return wmap[first["weight"]]
+
+
+def _rank_or(tsv: Column, terms, wmap: Column) -> Column:
+    """pg tsrank.c calc_rank_or: each found item contributes
+    w * sum_{j=1..n} 1/j^2, normalized by pi^2/6, averaged over ALL query
+    items (found or not). With one weight per entry the inner loop's
+    running max telescopes to exactly this closed form."""
     parts = []
-    for lexeme, prefix in terms:
-        entries = _entry_for(tsv, lexeme, prefix)
-        contrib = F.aggregate(
-            entries, F.lit(0.0),
-            lambda acc, e: acc + wmap[e["weight"]]
-            * (F.lit(1.0) - F.lit(1.0)
-               / (F.lit(1.0) + F.size(e["positions"]).cast("double"))))
-        parts.append(contrib)
+    for term in terms:
+        pos = _term_positions(tsv, ("term",) + term)
+        w = F.coalesce(_term_weight(tsv, term, wmap), F.lit(0.0))
+        harm = F.aggregate(
+            F.when(F.size(pos) > 0, F.sequence(F.lit(1), F.size(pos)))
+             .otherwise(F.array().cast("array<int>")),
+            F.lit(0.0),
+            lambda acc, j: acc + F.lit(1.0)
+            / (j.cast("double") * j.cast("double")))
+        parts.append(w * harm / F.lit(1.64493406685))
     total = parts[0]
     for p in parts[1:]:
         total = total + p
-    return (total / F.lit(float(len(terms)))).cast("float")
+    return total / F.lit(float(len(terms)))
+
+
+def _word_distance(dist: Column) -> Column:
+    """pg tsrank.c word_distance: 1/(1.005 + 0.05*e^(d/1.5)), clamped to
+    1e-30 beyond 100 — full credit for adjacency, fast decay with gap.
+    Reconstructed from the public PostgreSQL source from memory; the
+    decay constants are unverifiable in this offline environment, so
+    exact VALUES may deviate from pg while proximity ORDERINGS agree
+    (documented deviation in the module docstring)."""
+    d = dist.cast("double")
+    return F.when(d > 100, F.lit(1e-30)).otherwise(
+        F.lit(1.0) / (F.lit(1.005) + F.lit(0.05) * F.exp(d / F.lit(1.5))))
+
+
+def _rank_and(tsv: Column, terms, wmap: Column) -> Column:
+    """pg tsrank.c calc_rank_and: over every position pair of every term
+    pair, curw = sqrt(w_i * w_k * word_distance(|p_i - p_k|)), folded
+    with res <- 1 - (1-res)(1-curw). The fold telescopes to
+    res = 1 - PRODUCT(1 - curw), so each term pair computes an
+    independent factor (two flat nested aggregates) and the factors
+    multiply as SIBLING expressions — a sequentially-nested _let chain
+    here grows analyzer depth linearly in the pair count and trips the
+    Resolution max-iteration limit from 3 query terms up (measured).
+    No contributing pair (fewer than two found terms) -> pg's res<0
+    clamp, 1e-20."""
+    from ..operators.dedup import _let
+
+    q = F.lit(1.0)       # product of (1 - curw) over all position pairs
+    had = F.lit(False)   # any pair of found terms contributed
+    for i in range(len(terms)):
+        for k in range(i):
+            pi = _term_positions(tsv, ("term",) + terms[i])
+            pk = _term_positions(tsv, ("term",) + terms[k])
+            wprod = (F.coalesce(_term_weight(tsv, terms[i], wmap),
+                                F.lit(0.0))
+                     * F.coalesce(_term_weight(tsv, terms[k], wmap),
+                                  F.lit(0.0)))
+
+            # bind the weight product and the k-side positions once —
+            # they sit inside the per-position lambdas
+            def factor(pi_col, pk_col, wprod_col):
+                def with_wp(wp):
+                    def with_pk(pks):
+                        def one_pi(a, p_i):
+                            def one_pk(a2, p_k):
+                                dist = F.abs(p_i - p_k)
+                                curw = F.sqrt(
+                                    wp * _word_distance(dist))
+                                # dist == 0 (same term twice in the
+                                # query) keeps pg's skip: factor 1
+                                return a2 * F.when(
+                                    dist == 0, F.lit(1.0)).otherwise(
+                                    F.lit(1.0) - curw)
+
+                            return a * F.aggregate(
+                                pks, F.lit(1.0), one_pk)
+
+                        return F.aggregate(pi_col, F.lit(1.0), one_pi)
+
+                    return _let(pk_col, with_pk)
+
+                return _let(wprod_col, with_wp)
+
+            q = q * factor(pi, pk, wprod)
+            had = had | ((F.size(pi) > 0) & (F.size(pk) > 0))
+    return F.when(had, F.lit(1.0) - q).otherwise(F.lit(1e-20))
+
+
+def ts_rank(tsv: Column, node, weights=None) -> Column:
+    """pg ts_rank following tsrank.c's calc_rank structure: an AND or
+    phrase ROOT with >= 2 query terms ranks by pairwise positional
+    proximity (calc_rank_and); everything else ranks by per-term
+    harmonic position frequency (calc_rank_or). See _word_distance for
+    the one documented constant-level uncertainty."""
+    weights = weights or [0.1, 0.2, 0.4, 1.0]  # D C B A
+    wmap = _weight_map(weights)
+    terms: List[Tuple[str, bool]] = []
+    _collect_terms(node, terms)
+    if not terms:
+        return F.lit(0.0).cast("float")
+    if node[0] in ("and", "phrase") and len(terms) >= 2:
+        return _rank_and(tsv, terms, wmap).cast("float")
+    return _rank_or(tsv, terms, wmap).cast("float")

@@ -689,10 +689,30 @@ QUERIES = [
      "to_tsvector('sparkling river') @@ to_tsquery('sparkle:*'), "
      "'tsvector text side' @@ plainto_tsquery('text side')",
      "select true, false, true"),
+    # calc_rank_or closed form: w * sum(1/j^2) / (pi^2/6) — matches
+    # pg's published single-term values (0.0607927 / 0.0759911)
     ("select round(cast(ts_rank(to_tsvector('fat fat cat'), "
      "to_tsquery('fat')) as double), 6), "
+     "round(cast(ts_rank(to_tsvector('fat cat'), "
+     "to_tsquery('fat')) as double), 6), "
      "ts_rank(to_tsvector('cat'), to_tsquery('dog'))",
-     "select 0.066667, cast(0.0 as float)"),
+     "select 0.075991, 0.060793, cast(0.0 as float)"),
+    # calc_rank_and positional proximity: adjacency beats distance, and
+    # an AND with a missing term clamps to pg's 1e-20
+    ("select ts_rank(to_tsvector('a b'), to_tsquery('a & b')) "
+     "> ts_rank(to_tsvector('a x x x b'), to_tsquery('a & b')), "
+     "ts_rank(to_tsvector('a x x x b'), to_tsquery('a & b')) "
+     "> ts_rank(to_tsvector('a x x x x x x x b'), to_tsquery('a & b')), "
+     "round(cast(ts_rank(to_tsvector('a b'), "
+     "to_tsquery('a & b')) as double), 5), "
+     "round(cast(ts_rank(to_tsvector('fat fat cat'), "
+     "to_tsquery('fat & dog')) as double), 6)",
+     "select true, true, 0.09524, 0.0"),
+    ("select round(cast(ts_rank(to_tsvector('a b c'), "
+     "to_tsquery('a & b & c')) as double), 5), "
+     "ts_rank(to_tsvector('fat cat'), phraseto_tsquery('fat cat')) "
+     "> cast(0.09 as float)",
+     "select 0.25631, true"),
     ("select length(setweight(to_tsvector('cat dog'), 'A') "
      "|| to_tsvector('dog fish')), "
      "to_tsvector('cat') || to_tsvector('dog') "
