@@ -1146,7 +1146,51 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= 5
 """)
 
-_op("op_ann_topk", _op_ann_topk, None)  # approximate: rows-only
+def _ann_seeded_oracle(k=5, n_bits=8, n_tables=4, dim=64, seed=42) -> str:
+    """Independent DuckDB derivation of the seeded LSH-ANN config: the
+    hyperplanes are deterministic given (dim, n_bits, seed) — inline them
+    as literals, compute each table's sign-bit bucket with
+    list_dot_product, take candidates as pairs agreeing on >= 1 table's
+    bucket (the engine's bucket equi join restated as a predicate, so no
+    dedup step is needed), and re-rank with exact cosine like the
+    op_ann_full oracle. This makes the HONEST APPROXIMATE configuration
+    hash-verifiable, not just its exact mirror: the only cross-engine
+    risk is a sign flip of a near-zero hyperplane dot (numpy GEMM vs
+    DuckDB sequential fold, ~1 ulp apart), vanishingly unlikely with
+    gaussian planes."""
+    from framequery_spark.operators.similarity import _hyperplanes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + 97 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes))
+        buckets.append(f"({bits})")
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v, [{', '.join(buckets)}] AS bks FROM base),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+    AND len(list_filter(range(1, {n_tables} + 1),
+                        i -> q.bks[i] = c.bks[i])) > 0)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) t
+WHERE rank <= {k}
+"""
+
+
+# seeded hyperplanes -> deterministic buckets -> the approximate config
+# itself is hash-verifiable (previously rows-only)
+_op("op_ann_topk", _op_ann_topk, _ann_seeded_oracle())
 
 
 def _op_ann_full(spark, sf_dir):
@@ -1533,13 +1577,23 @@ def _op_levenshtein_pairs(spark, sf_dir):
 
 
 def _op_ivf_topk(spark, sf_dir):
+    """IVF in the honest approximate configuration (probe 2 of 4 cells),
+    with a FIXED seeded quantizer (similarity.py:fixed_random_centroids)
+    instead of data-trained k-means: the probing approximation is real
+    (results differ from exact top-k), but the run is deterministic and
+    the centroid literals inline into an independent DuckDB derivation —
+    so the approximate path gets a hash-green driver row, not just its
+    exact mirror. The k-means-trained path stays driver-covered by
+    op_ivf_full_probe."""
     from pyspark.sql import functions as F
 
-    from framequery_spark.operators.similarity import ivf_topk
+    from framequery_spark.operators.similarity import (
+        fixed_random_centroids, ivf_topk)
 
     emb = _scope(spark, sf_dir)["embeddings"]
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                    n_centroids=16, n_probe=6)
+                    n_probe=2,
+                    centroids=fixed_random_centroids(4, 64, seed=7))
 
 
 _op("op_asof_join", _op_asof_join, """
@@ -1578,7 +1632,50 @@ FROM documents a JOIN documents b
 WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 8
 """)
 
-_op("op_ivf_topk", _op_ivf_topk, None)  # approximate (IVF cells): rows-only
+def _ivf_seeded_oracle(k=5, n_centroids=4, n_probe=2, dim=64,
+                       seed=7) -> str:
+    """Independent DuckDB derivation of the fixed-quantizer IVF config:
+    squared-L2 distance to each literal centroid (|v|^2 - 2 v.c + |c|^2,
+    the engine's GEMM formula restated with list_dot_product), cell =
+    argmin with ties to the lower cell id (struct list_sort), queries
+    probe the n_probe nearest cells, candidates = corpus rows in probed
+    cells, exact-cosine re-rank like the op_ann_full oracle."""
+    from framequery_spark.operators.similarity import (
+        fixed_random_centroids)
+
+    cents = fixed_random_centroids(n_centroids, dim, seed=seed)
+    ds = []
+    for i, c in enumerate(cents):
+        lits = ", ".join(repr(x) for x in c)
+        c2 = repr(sum(x * x for x in c))
+        ds.append(
+            f"struct_pack(d := list_dot_product(v, v) "
+            f"- 2 * list_dot_product(v, [{lits}]) + {c2}, i := {i})")
+    probes = ", ".join(f"sds[{j + 1}].i" for j in range(n_probe))
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, v, list_sort([{', '.join(ds)}]) AS sds FROM base),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, sds[1].i AS cell FROM cells),
+q AS (SELECT vec_id AS query_id, v AS qv, [{probes}] AS probes
+      FROM cells WHERE vec_id < 10),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cosine
+  FROM q JOIN c ON list_contains(probes, cell)
+               AND query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) t
+WHERE rank <= {k}
+"""
+
+
+# fixed seeded quantizer -> deterministic cells -> the approximate config
+# itself is hash-verifiable (previously rows-only)
+_op("op_ivf_topk", _op_ivf_topk, _ivf_seeded_oracle())
 
 
 def _op_ivf_full_probe(spark, sf_dir):

@@ -253,10 +253,26 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
     return [[float(v) for v in row] for row in centroids]
 
 
+def fixed_random_centroids(n_centroids: int, dim: int, seed: int = 7,
+                           scale: float = 0.1) -> List[List[float]]:
+    """Seeded random centroids (gauss(0, scale) per coordinate) for the
+    bring-your-own-codebook ivf_topk path: a fixed quantizer makes the
+    approximate IVF result fully deterministic AND cross-engine
+    verifiable (the centroid literals can be inlined into an independent
+    SQL derivation), at the cost of data-adapted cell balance — the
+    trade faiss users make when reusing a pretrained quantizer."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, scale) for _ in range(dim)]
+            for _ in range(n_centroids)]
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_centroids: int = 16, n_probe: int = 6,
-             iters: int = 2) -> DataFrame:
+             iters: int = 2, centroids: Optional[List[List[float]]] = None
+             ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     k-means cells, probe only the n_probe cells nearest each query, exact
     cosine re-rank inside the probed cells.
@@ -265,10 +281,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     centroids broadcast as literals), the candidate join is an equi shuffle
     join on the cell id, and re-ranking touches ~n_probe/n_centroids of the
     corpus per query instead of all of it. Beyond-reference operator (the
-    reference has no vector ops at all)."""
-    centroids = train_ivf_centroids(corpus, n_centroids=n_centroids,
-                                    iters=iters, id_col=id_col,
-                                    vec_col=vec_col)
+    reference has no vector ops at all).
+
+    ``centroids``: pretrained/fixed quantizer (faiss-style); when given,
+    the driver-side k-means is skipped and n_centroids is taken from it."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids=n_centroids,
+                                        iters=iters, id_col=id_col,
+                                        vec_col=vec_col)
     from .dedup import _spread
 
     c = (_spread(corpus)

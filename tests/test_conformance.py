@@ -118,8 +118,13 @@ def test_query_matches_oracle(spark, name, fn, oracle):
 # here; each has an exact-configuration mirror entry that IS hash-verified
 # (op_simhash_exact, op_ann_full, op_ivf_full_probe, op_pq_full,
 # op_semdedup_exact).
-ROWS_ONLY = {"op_simhash_pairs", "op_ann_topk", "op_ivf_topk", "op_pq_topk",
-             "op_semdedup"}
+# op_ann_topk / op_ivf_topk gained seeded-determinism oracles in r08
+# (literal hyperplanes / fixed quantizer inlined into the DuckDB SQL);
+# the three left here are genuinely oracle-less: Spark-specific xxhash64
+# signatures (op_simhash_pairs) and data-trained k-means codebooks
+# (op_pq_topk, op_semdedup) cannot be restated in static SQL. Each has a
+# hash-green exact-config mirror.
+ROWS_ONLY = {"op_simhash_pairs", "op_pq_topk", "op_semdedup"}
 
 
 def test_every_entry_has_oracle_or_is_listed_rows_only():
