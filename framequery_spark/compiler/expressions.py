@@ -1430,9 +1430,9 @@ class ExprCompiler:
         tsvector dtype."""
         if isinstance(node, ast.Call):
             n = node.name.lower()
-            if n in ("to_tsvector", "setweight"):
+            if n in ("to_tsvector", "setweight", "array_to_tsvector"):
                 return True
-            if n == "strip" and node.args \
+            if n in ("strip", "ts_delete", "ts_filter") and node.args \
                     and self._is_tsvector(node.args[0]):
                 return True
             return False
@@ -1461,7 +1461,8 @@ class ExprCompiler:
             raise CompileError("::tsquery requires a string literal")
         if isinstance(node, ast.Call):
             n = node.name.lower()
-            if n in ("to_tsquery", "plainto_tsquery", "phraseto_tsquery"):
+            if n in ("to_tsquery", "plainto_tsquery", "phraseto_tsquery",
+                     "websearch_to_tsquery"):
                 args = node.args
                 config = "simple"
                 if len(args) == 2:
@@ -1489,6 +1490,8 @@ class ExprCompiler:
                         return _ts.parse_tsquery(text_arg.value, config)
                     if n == "plainto_tsquery":
                         return _ts.plain_tsquery(text_arg.value, config)
+                    if n == "websearch_to_tsquery":
+                        return _ts.websearch_tsquery(text_arg.value, config)
                     return _ts.phrase_tsquery(text_arg.value, config)
                 except _ts.TsQueryError as exc:
                     raise CompileError(str(exc))
@@ -1517,7 +1520,8 @@ class ExprCompiler:
                     self.compile(text).cast("string"), config)
             except _ts.TsQueryError as exc:
                 raise CompileError(str(exc))
-        if name in ("to_tsquery", "plainto_tsquery", "phraseto_tsquery"):
+        if name in ("to_tsquery", "plainto_tsquery", "phraseto_tsquery",
+                    "websearch_to_tsquery"):
             # standalone use: pg renders the parsed query as text
             q = self._tsquery_node(node)
             return F.lit(_ts.render_tsquery(q))
@@ -1537,6 +1541,90 @@ class ExprCompiler:
                 and self._is_tsvector(node.args[0]):
             # pg length(tsvector): number of lexemes
             return F.size(self.compile(node.args[0])).cast("long")
+        if name == "tsvector_to_array" and len(node.args) == 1:
+            return _ts.tsvector_to_array(self.compile(node.args[0]))
+        if name == "array_to_tsvector" and len(node.args) == 1:
+            return _ts.array_to_tsvector(self.compile(node.args[0]))
+        if name == "ts_delete" and len(node.args) == 2:
+            lex = node.args[1]
+            if isinstance(lex, ast.Literal) and lex.kind == "string":
+                return _ts.ts_delete(self.compile(node.args[0]),
+                                     lex.value)
+            if isinstance(lex, ast.Call) and lex.name == "__array" \
+                    and all(isinstance(x, ast.Literal) for x in lex.args):
+                return _ts.ts_delete(self.compile(node.args[0]),
+                                     [x.value for x in lex.args])
+            raise CompileError(
+                "ts_delete() lexemes must be a string literal or an "
+                "array of string literals")
+        if name == "ts_filter" and len(node.args) == 2:
+            wa = node.args[1]
+            if isinstance(wa, ast.Literal) and wa.kind == "string":
+                # pg char[] literal form '{a,b}'
+                ws = [w.strip() for w in
+                      wa.value.strip("{}").split(",") if w.strip()]
+            elif isinstance(wa, ast.Call) and wa.name == "__array" \
+                    and all(isinstance(x, ast.Literal) for x in wa.args):
+                ws = [str(x.value) for x in wa.args]
+            else:
+                raise CompileError(
+                    "ts_filter() weights must be a literal char array")
+            try:
+                return _ts.ts_filter(self.compile(node.args[0]), ws)
+            except _ts.TsQueryError as exc:
+                raise CompileError(str(exc))
+        if name == "ts_headline":
+            args = list(node.args)
+            if len(args) < 2 or len(args) > 4:
+                raise CompileError(
+                    "ts_headline() takes ([config,] document, query "
+                    "[, options])")
+            # the query argument identifies the layout: doc-first or
+            # config-first
+            if self._tsquery_node(args[1]) is not None:
+                config, doc, q_arg = "simple", args[0], args[1]
+                rest = args[2:]
+            elif len(args) >= 3 and self._tsquery_node(args[2]) \
+                    is not None:
+                c = args[0]
+                if not (isinstance(c, ast.Literal)
+                        and c.kind == "string"):
+                    raise CompileError(
+                        "ts_headline() config must be a string literal")
+                config, doc, q_arg = c.value.lower(), args[1], args[2]
+                rest = args[3:]
+            else:
+                raise CompileError(
+                    "ts_headline() requires a literal tsquery argument")
+            options = ""
+            if rest:
+                o = rest[0]
+                if not (isinstance(o, ast.Literal)
+                        and o.kind == "string"):
+                    raise CompileError(
+                        "ts_headline() options must be a string literal")
+                options = o.value
+            if config not in ("simple", "english"):
+                raise CompileError(
+                    f"text search configuration {config!r} is not "
+                    "supported (simple / english)")
+            try:
+                return _ts.ts_headline(
+                    self.compile(doc).cast("string"),
+                    self._tsquery_node(q_arg), config, options)
+            except _ts.TsQueryError as exc:
+                raise CompileError(str(exc))
+        if name == "numnode" and len(node.args) == 1:
+            q = self._tsquery_node(node.args[0])
+            if q is None:
+                raise CompileError("numnode() requires a literal tsquery")
+            return F.lit(_ts.numnode(q))
+        if name == "querytree" and len(node.args) == 1:
+            q = self._tsquery_node(node.args[0])
+            if q is None:
+                raise CompileError(
+                    "querytree() requires a literal tsquery")
+            return F.lit(_ts.querytree(q))
         if name == "__ts_match":
             a, b = node.args
             qb = self._tsquery_node(b)

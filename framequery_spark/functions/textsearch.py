@@ -19,10 +19,18 @@ Supported:
   pg drops them ('the & fat' -> 'fat', 'fat <-> the <-> cat' ->
   'fat <2> cat').
 - ``plainto_tsquery`` (AND of lexemes), ``phraseto_tsquery`` (<-> chain),
-  ``to_tsquery`` (full syntax: ``& | ! ( ) <-> <N>``; ``:*`` prefix match).
+  ``to_tsquery`` (full syntax: ``& | ! ( ) <-> <N>``; ``:*`` prefix match),
+  ``websearch_to_tsquery`` (web syntax: quoted phrases, OR, -negation;
+  never raises).
 - ``tsv @@ tsq`` with phrase-distance semantics over position lists.
 - ``setweight(tsv, 'A')``, ``tsv || tsv`` (lexeme-merging concat),
-  ``strip(tsv)``, ``numnode``-free length via cardinality.
+  ``strip(tsv)``, ``length``, ``tsvector_to_array`` / ``array_to_tsvector``,
+  ``ts_delete``, ``ts_filter``, ``numnode``, ``querytree``.
+- ``ts_headline`` (StartSel/StopSel/MaxWords/MinWords/HighlightAll;
+  first-cover window with left extension — documented approximation of
+  pg's best-cover search; no fragment mode) and the ``ts_stat(sqlquery)``
+  table function (sources/table_functions.py: explode + vocab-sized
+  groupBy).
 - ``ts_rank([weights,] tsv, tsq)`` — follows pg tsrank.c calc_rank:
   OR/single-term queries rank by per-term harmonic position frequency
   (calc_rank_or, w*sum 1/j^2 / (pi^2/6), averaged over query items;
@@ -180,6 +188,188 @@ def strip_positions(tsv: Column) -> Column:
             e["lexeme"].alias("lexeme"),
             F.array().cast("array<int>").alias("positions"),
             F.lit("D").alias("weight")))
+
+
+def tsvector_to_array(tsv: Column) -> Column:
+    """pg tsvector_to_array: the lexemes, already sorted."""
+    return F.transform(tsv, lambda e: e["lexeme"])
+
+
+def array_to_tsvector(arr: Column) -> Column:
+    """pg array_to_tsvector: distinct sorted lexemes, no positions,
+    default weight."""
+    return F.transform(
+        F.array_sort(F.array_distinct(arr)),
+        lambda lex: F.struct(lex.alias("lexeme"),
+                             F.array().cast("array<int>")
+                             .alias("positions"),
+                             F.lit("D").alias("weight")))
+
+
+def ts_delete(tsv: Column, lexemes) -> Column:
+    """pg ts_delete(tsvector, text | text[]): drop the given lexemes."""
+    if isinstance(lexemes, str):
+        lexemes = [lexemes]
+    arr = F.array(*[F.lit(x) for x in lexemes])
+    return F.filter(tsv, lambda e: ~F.array_contains(arr, e["lexeme"]))
+
+
+def ts_filter(tsv: Column, weights) -> Column:
+    """pg ts_filter(tsvector, "char"[]): keep entries whose weight is in
+    the list."""
+    ws = [w.upper() for w in weights]
+    for w in ws:
+        if w not in "ABCD" or len(w) != 1:
+            raise TsQueryError(f"unrecognized weight: {w!r}")
+    arr = F.array(*[F.lit(w) for w in ws])
+    return F.filter(tsv, lambda e: F.array_contains(arr, e["weight"]))
+
+
+def numnode(node) -> int:
+    """pg numnode(tsquery): lexemes + operators in the parse tree."""
+    kind = node[0]
+    if kind == "term":
+        return 0 if node[1] is None else 1
+    if kind == "not":
+        return 1 + numnode(node[1])
+    return 1 + numnode(node[1]) + numnode(node[2])
+
+
+def querytree(node) -> str:
+    """pg querytree(tsquery): the part of the query usable for index
+    matching — NOT branches drop; 'T' when nothing matchable remains."""
+    pruned = _strip_not(node)
+    if pruned is None:
+        return "T"
+    s = render_tsquery(pruned)
+    return s if s else "T"
+
+
+def _strip_not(node):
+    kind = node[0]
+    if kind == "term":
+        return None if node[1] is None else node
+    if kind == "not":
+        return None
+    l = _strip_not(node[1])
+    r = _strip_not(node[2])
+    if kind == "or":
+        # an OR with an unmatchable side is wholly unmatchable by index
+        return None if l is None or r is None else ("or", l, r)
+    if l is None:
+        return r
+    if r is None:
+        return l
+    return (kind, l, r) if kind == "and" else (kind, l, r, node[3])
+
+
+def parse_headline_options(options: str) -> dict:
+    """pg ts_headline options string: 'Key=Value, Key=Value' (keys
+    case-insensitive). Supported: StartSel, StopSel, MaxWords, MinWords,
+    HighlightAll. Unsupported keys raise (ShortWord, MaxFragments,
+    FragmentDelimiter: fragment mode is not implemented — documented)."""
+    out = {"startsel": "<b>", "stopsel": "</b>", "maxwords": 35,
+           "minwords": 15, "highlightall": False}
+    for part in (options or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise TsQueryError(
+                f"ts_headline option {part!r} is not key=value")
+        key, _, val = part.partition("=")
+        key = key.strip().lower()
+        val = val.strip().strip('"')
+        if key in ("startsel", "stopsel"):
+            out[key] = val
+        elif key in ("maxwords", "minwords"):
+            out[key] = int(val)
+        elif key == "highlightall":
+            out[key] = val.lower() in ("true", "t", "1", "on", "yes")
+        else:
+            raise TsQueryError(
+                f"ts_headline option {key!r} is not supported "
+                "(StartSel / StopSel / MaxWords / MinWords / "
+                "HighlightAll)")
+    return out
+
+
+def ts_headline(text: Column, node, config: str = "simple",
+                options: str = "") -> Column:
+    """pg ts_headline: the document fragment containing the query terms,
+    with every matched word wrapped in StartSel/StopSel.
+
+    Documented approximations vs pg's exact hlCover algorithm:
+    - the excerpt window starts at the FIRST matched word and extends to
+      the last match within MaxWords (then right-pads to MinWords),
+      where pg searches for the best-scoring cover;
+    - inter-word whitespace normalizes to single spaces;
+    - fragment mode (MaxFragments > 0) and ShortWord are not
+      implemented.
+    Matching uses the config's normalization (english: Snowball stem),
+    so 'rats' highlights for query 'rat' like pg. Pure JVM HOFs."""
+    from ..operators.dedup import _let
+    from .snowball import stem_expr
+
+    opts = parse_headline_options(options)
+    terms: List[Tuple[str, bool]] = []
+    _collect_terms(node, terms)
+
+    def norm(w: Column) -> Column:
+        base = F.regexp_replace(F.lower(w), "[^a-z0-9]", "")
+        return stem_expr(base) if config == "english" else base
+
+    def is_match(lex: Column) -> Column:
+        cond = F.lit(False)
+        for lexeme, prefix in terms:
+            cond = cond | (lex.startswith(lexeme) if prefix
+                           else (lex == lexeme))
+        return cond
+
+    def mark(w: Column, hit: Column) -> Column:
+        return F.when(hit, F.concat(F.lit(opts["startsel"]), w,
+                                    F.lit(opts["stopsel"]))) \
+                .otherwise(w)
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+
+        def with_flags(flags: Column) -> Column:
+            if opts["highlightall"]:
+                return F.concat_ws(" ", F.zip_with(words, flags, mark))
+            idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+                   .otherwise(F.array().cast("array<int>"))
+            matches = F.filter(idx, lambda i: F.get(flags, i))
+
+            def window(m: Column) -> Column:
+                first = F.coalesce(F.get(m, 0), F.lit(0))
+                last_in_reach = F.coalesce(
+                    F.array_max(F.filter(
+                        m, lambda i: i < first + opts["maxwords"])),
+                    first)
+                end = F.least(
+                    F.greatest(last_in_reach,
+                               first + opts["minwords"] - 1),
+                    first + opts["maxwords"] - 1, n - 1)
+                # extend LEFT when the right side ran out of words, so a
+                # match near the document end still gets MinWords of
+                # context (like pg)
+                start = F.greatest(
+                    F.lit(0),
+                    F.least(first, end - opts["minwords"] + 1))
+                span = F.slice(words, start + 1, end - start + 1)
+                return F.concat_ws(" ", F.transform(
+                    span, lambda w, j: mark(
+                        w, F.get(flags, start + j))))
+
+            return _let(matches, window)
+
+        return _let(F.transform(words, lambda w: is_match(norm(w))),
+                    with_flags)
+
+    return _let(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != ""),
+        build)
 
 
 def tsvector_concat(a: Column, b: Column) -> Column:
@@ -411,6 +601,43 @@ def phrase_tsquery(text: str, config: str = "simple"):
     return chain if chain is not None else ("term", None, False)
 
 
+def websearch_tsquery(text: str, config: str = "simple"):
+    """pg websearch_to_tsquery: web-search syntax that never raises —
+    unquoted words AND together (plainto semantics), "quoted text"
+    becomes a phrase (phraseto semantics), the unquoted case-insensitive
+    keyword OR combines the two ADJACENT items, and a - prefix negates
+    the following word/phrase. Unrecognized punctuation is ignored."""
+    units = []
+    pending_or = False
+    for tk in re.findall(r'-?"[^"]*"|\S+', text or ""):
+        if not tk.startswith(('"', '-')) and tk.lower() == "or":
+            pending_or = bool(units)
+            continue
+        neg = False
+        if tk.startswith("-") and len(tk) > 1:
+            neg = True
+            tk = tk[1:]
+        if tk.startswith('"'):
+            node = phrase_tsquery(tk.strip('"'), config)
+        else:
+            node = plain_tsquery(tk, config)
+        if node == ("term", None, False):
+            continue  # stopword/punctuation-only: dropped, like pg
+        if neg:
+            node = ("not", node)
+        if pending_or and units:
+            units[-1] = ("or", units[-1], node)
+        else:
+            units.append(node)
+        pending_or = False
+    if not units:
+        return ("term", None, False)
+    out = units[0]
+    for u in units[1:]:
+        out = ("and", out, u)
+    return out
+
+
 def render_tsquery(node) -> str:
     """pg text form of a parsed tsquery ('cat' & 'dog', phrases as <->)."""
     kind = node[0]
@@ -419,7 +646,13 @@ def render_tsquery(node) -> str:
             return ""
         return f"'{node[1]}':*" if node[2] else f"'{node[1]}'"
     if kind == "not":
-        return f"!{_paren(node[1])}"
+        # pg parenthesizes a negated phrase: !( 'a' <-> 'b' ); phrase
+        # CHAINS elsewhere render flat (left-assoc), so the paren is
+        # specific to the ! operand
+        inner = render_tsquery(node[1])
+        if node[1][0] in ("and", "or", "phrase"):
+            return f"!( {inner} )"
+        return f"!{inner}"
     if kind == "and":
         return f"{_paren(node[1])} & {_paren(node[2])}"
     if kind == "or":

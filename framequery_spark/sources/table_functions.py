@@ -489,7 +489,29 @@ def _register_operator_tfs() -> dict:
         return classifier.quality_classifier_scores(
             _op_table(qc, a[0]), str(a[1]), **kw)
 
+    def ts_stat(qc, a):
+        """pg ts_stat(sqlquery): run the inner query (its single column
+        must be a tsvector), explode entries, aggregate per lexeme ->
+        (word, ndoc, nentry). ndoc = documents containing the lexeme,
+        nentry = total occurrences (position count; 1 for stripped
+        entries, like pg). Scale shape: one explode + one groupBy with
+        map-side combine — the aggregate state is vocabulary-sized, not
+        corpus-sized (reference: pg has ts_stat as a statistics target;
+        no reference-engine analog)."""
+        from pyspark.sql import functions as F
+
+        inner = qc.session.execute(str(a[0]))
+        col = inner.columns[0]
+        entries = inner.select(
+            F.explode(F.col(f"`{col}`")).alias("__e"))
+        return (entries.groupBy(F.col("__e")["lexeme"].alias("word"))
+                .agg(F.count(F.lit(1)).cast("int").alias("ndoc"),
+                     F.sum(F.greatest(
+                         F.size(F.col("__e")["positions"]), F.lit(1)))
+                     .cast("int").alias("nentry")))
+
     return {f.__name__: f for f in (
+        ts_stat,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,

@@ -1330,3 +1330,41 @@ def test_materialized_view_lifecycle(spark):
     # DROP VIEW now parses too
     ex.execute("DROP VIEW lv")
     assert "lv" not in ex.scope
+
+
+def test_materialized_view_duckdb_differential(spark):
+    """Matview freeze/refresh semantics checked against an independent
+    DuckDB derivation: DuckDB has no materialized views, but a matview
+    behaves exactly like CREATE TABLE AS (frozen at creation) that is
+    dropped and re-created at REFRESH — run the same lifecycle in both
+    engines and compare the visible contents at each step."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [10, 20, 30, 40, 50]})
+    ex = fq.Executor({"t": pdf.copy()}, spark=spark)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM pdf")
+    defn = "SELECT k, sum(v) AS s FROM t GROUP BY k"
+    probe = "SELECT k, s FROM mv ORDER BY k"
+
+    def both():
+        mine = [(int(r["k"]), int(r["s"]))
+                for r in ex.execute(probe).collect()]
+        oracle = [(int(a), int(b)) for a, b in con.execute(probe).fetchall()]
+        assert mine == oracle, (mine, oracle)
+        return mine
+
+    ex.execute(f"CREATE MATERIALIZED VIEW mv AS {defn}")
+    con.execute(f"CREATE TABLE mv AS {defn}")
+    before = both()
+
+    ex.execute("INSERT INTO t VALUES (1, 100)")
+    con.execute("INSERT INTO t VALUES (1, 100)")
+    assert both() == before  # frozen in both engines
+
+    ex.execute("REFRESH MATERIALIZED VIEW mv")
+    con.execute("DROP TABLE mv")
+    con.execute(f"CREATE TABLE mv AS {defn}")
+    after = both()
+    assert after != before and (1, 130) in after

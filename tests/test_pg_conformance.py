@@ -743,6 +743,58 @@ QUERIES = [
      "to_tsvector('english', 'a fat cat sat') "
      "@@ to_tsquery('english', 'fat <-> the <-> cat')",
      "select '''fat'' & ''rat''', '''fat'' <2> ''cat''', true, false"),
+    # websearch_to_tsquery (r08): the pg-docs §9.13 examples verbatim
+    ("select websearch_to_tsquery('english', 'The fat rats'), "
+     "websearch_to_tsquery('english', '\"supernovae stars\" -crab'), "
+     "websearch_to_tsquery('english', '\"sad cat\" or \"fat rat\"'), "
+     "websearch_to_tsquery('english', 'signal -\"segmentation fault\"')",
+     "select '''fat'' & ''rat''', "
+     "'''supernova'' <-> ''star'' & !''crab''', "
+     "'''sad'' <-> ''cat'' | ''fat'' <-> ''rat''', "
+     "'''signal'' & !( ''segment'' <-> ''fault'' )'"),
+    ("select to_tsvector('english','the fat rats ran') "
+     "@@ websearch_to_tsquery('english', 'fat rats'), "
+     "to_tsvector('english','no signal segmentation fault') "
+     "@@ websearch_to_tsquery('english', 'signal -\"segmentation "
+     "fault\"'), "
+     "to_tsvector('english','just a signal here') "
+     "@@ websearch_to_tsquery('english', 'signal -\"segmentation "
+     "fault\"')",
+     "select true, false, true"),
+    # tsvector utility functions (r08)
+    ("select tsvector_to_array(to_tsvector('fat cat rat cat')), "
+     "length(array_to_tsvector(array['b','a','b'])), "
+     "tsvector_to_array(ts_delete(to_tsvector('fat cat rat'), 'cat')), "
+     "tsvector_to_array(ts_delete(to_tsvector('fat cat rat'), "
+     "array['cat','rat'])), "
+     "length(ts_filter(setweight(to_tsvector('fat'), 'A') "
+     "|| to_tsvector('cat'), '{a}'))",
+     "select ['cat','fat','rat'], 2, ['fat','rat'], ['fat'], 1"),
+    ("select numnode(to_tsquery('(fat & rat) | cat')), "
+     "numnode(plainto_tsquery('fat cats')), "
+     "querytree(to_tsquery('a & !b')), "
+     "querytree(to_tsquery('!defined')), "
+     "querytree(to_tsquery('a | !b'))",
+     "select 5, 3, '''a''', 'T', 'T'"),
+    # ts_headline (r08): stem-aware highlighting, options, left-extended
+    # window, HighlightAll
+    ("select ts_headline('english', 'The fat rats ate the cheese "
+     "quickly', to_tsquery('english', 'rat & cheese')), "
+     "ts_headline('the cat sat on the mat', to_tsquery('mat')), "
+     "ts_headline('english', 'big rats everywhere', "
+     "to_tsquery('english', 'rat'), "
+     "'StartSel=**, StopSel=**, MinWords=2, MaxWords=3'), "
+     "ts_headline('a b c d match e f', to_tsquery('match'), "
+     "'HighlightAll=true, StartSel=[, StopSel=]')",
+     "select 'The fat <b>rats</b> ate the <b>cheese</b> quickly', "
+     "'the cat sat on the <b>mat</b>', '**rats** everywhere', "
+     "'a b c d [match] e f'"),
+    # ts_stat over a quoted inner query (r08): word / ndoc / nentry
+    ("select word, ndoc, nentry from ts_stat('select to_tsvector(s) "
+     "from (select ''cat dog cat'' s union all select ''dog fish'') d') "
+     "order by word",
+     "select * from (values ('cat', 1, 2), ('dog', 2, 2), "
+     "('fish', 1, 1)) t(word, ndoc, nentry)"),
     # derived tsvector column: projected once in a subquery, consumed by
     # @@ / length in the outer query (the schema probe sees derived
     # relations via input_df, r08)
