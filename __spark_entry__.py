@@ -2701,6 +2701,72 @@ ORDER BY source
 """)
 
 
+def _op_alpha_mixture(spark, sf_dir):
+    """Temperature mixture reweighting (operators/sampling.py:
+    alpha_mixture_weights): share_after = n_s^alpha / sum n_t^alpha with
+    alpha = 0.3 — the standard scarce-source up-weighting step of an LLM
+    training mix. One source-bounded groupBy + a broadcast 1-row total;
+    the n^alpha terms are DECIMAL-quantized before summing so the total
+    is order-independent."""
+    from framequery_spark.operators.sampling import alpha_mixture_weights
+
+    return alpha_mixture_weights(
+        _scope(spark, sf_dir)["documents"], "source",
+        alpha=0.3).orderBy("source")
+
+
+_op("op_alpha_mixture", _op_alpha_mixture, """
+WITH c AS (SELECT source, count(*) AS n_rows FROM documents
+           GROUP BY source),
+p AS (SELECT source, n_rows,
+             CAST(round(pow(n_rows, 0.3), 12) AS DECIMAL(28,12)) AS pw
+      FROM c)
+SELECT source, n_rows,
+       round(CAST(n_rows AS DOUBLE)
+             / (SELECT CAST(sum(n_rows) AS DOUBLE) FROM p)
+             + 0.0000001, 6) AS share_before,
+       round(CAST(pw AS DOUBLE)
+             / CAST((SELECT sum(pw) FROM p) AS DOUBLE)
+             + 0.0000001, 6) AS share_after
+FROM p
+ORDER BY source
+""")
+
+
+def _op_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py:hard_negatives):
+    per query, top-k most-similar corpus vectors with a DIFFERENT label —
+    contrastive-training pair generation. Broadcast query side, single
+    corpus stream, row-local label filter."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import hard_negatives
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return (hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+            .orderBy("query_id", "rank"))
+
+
+_op("op_hard_negatives", _op_hard_negatives, """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id <> c.vec_id AND q.label <> c.label
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, neighbor_label, cosine,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""")
+
+
 def _op_semdedup(spark, sf_dir):
     """SemDeDup (operators/similarity.py:semdedup): k-means clusters +
     within-cluster greedy cosine dedup. n_clusters=8 is the honest

@@ -133,6 +133,47 @@ def mixture_rates(df: DataFrame, source_col: str,
             for s, share in shares.items()}
 
 
+def alpha_mixture_weights(df: DataFrame, source_col: str = "source",
+                          alpha: float = 0.3,
+                          count_col: str | None = None) -> DataFrame:
+    """Temperature-based mixture reweighting — the standard LLM
+    training-mix step (multilingual sampling in XLM/mBERT, GPT-3-style
+    source weighting): a source with n_s rows (or token mass, with
+    ``count_col``) gets share n_s^alpha / sum_t n_t^alpha. alpha < 1
+    up-weights scarce sources relative to their natural share; alpha = 1
+    reproduces it; alpha = 0 is uniform over sources.
+
+    Returns (source, n_rows, share_before, share_after), one row per
+    source. Feed share_after into :func:`mixture_rates` to get
+    per-source sampling rates for :func:`mixture_sample`.
+
+    Plan shape: one groupBy with map-side combine (state bounded by the
+    source count, not the corpus), then a broadcast cross join of the
+    1-row totals. The n^alpha terms are DECIMAL(28,12)-quantized before
+    summing so the total is order-independent and engine-exact (the
+    zipf_slope discipline); shares use the epsilon+round convention."""
+    n = (F.sum(F.col(count_col)) if count_col
+         else F.count(F.lit(1))).alias("n_rows")
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(n)
+    dec = "decimal(28,12)"
+    powed = counts.select(
+        "source", "n_rows",
+        F.round(F.pow(F.col("n_rows").cast("double"), float(alpha)), 12)
+         .cast(dec).alias("__pw"))
+    totals = powed.agg(F.sum("n_rows").alias("__tn"),
+                       F.sum("__pw").alias("__tp"))
+    eps = F.lit(0.0000001)
+    return (powed.crossJoin(F.broadcast(totals))
+            .select(
+                "source", "n_rows",
+                F.round(F.col("n_rows").cast("double")
+                        / F.col("__tn").cast("double") + eps, 6)
+                 .alias("share_before"),
+                F.round(F.col("__pw").cast("double")
+                        / F.col("__tp").cast("double") + eps, 6)
+                 .alias("share_after")))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Dict[str, float],
                       seed: int = 42) -> DataFrame:

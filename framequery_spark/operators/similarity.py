@@ -253,6 +253,45 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
     return [[float(v) for v in row] for row in centroids]
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    label — the near-misses a contrastive loss learns the most from
+    (in-batch random negatives are mostly easy; mined hard negatives are
+    the standard upgrade, e.g. DPR/SimCSE pipelines).
+
+    Returns (query_id, neighbor_id, neighbor_label, cosine, rank).
+    Same scale shape as cosine_topk: the small query side is broadcast,
+    the corpus streams once with no shuffle before the per-query top-k
+    window; the label inequality is a row-local filter on the streamed
+    side. For huge corpora swap the brute-force scan for the LSH/IVF
+    candidate generators and keep the label filter."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("__ql"),
+                       F.col(vec_col).alias("__qv"),
+                       _vec_norm(F.col(vec_col)).alias("__qn"))
+    from .dedup import _spread
+
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+        _vec_norm(F.col(vec_col)).alias("__cn"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_label") != F.col("__ql"))
+    sim = F.round(_vec_dot(F.col("__qv"), F.col("__cv"))
+                  / (F.col("__qn") * F.col("__cn")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (joined.withColumn("cosine", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "neighbor_label",
+                    "cosine", "rank"))
+
+
 def fixed_random_centroids(n_centroids: int, dim: int, seed: int = 7,
                            scale: float = 0.1) -> List[List[float]]:
     """Seeded random centroids (gauss(0, scale) per coordinate) for the

@@ -510,8 +510,21 @@ def _register_operator_tfs() -> dict:
                          F.size(F.col("__e")["positions"]), F.lit(1)))
                      .cast("int").alias("nentry")))
 
+    def alpha_mixture_weights(qc, a):
+        kw = {}
+        if len(a) > 1:
+            kw["source_col"] = str(a[1])
+        if len(a) > 2:
+            kw["alpha"] = float(a[2])
+        return sampling.alpha_mixture_weights(_op_table(qc, a[0]), **kw)
+
+    def hard_negatives(qc, a):
+        kw = {"k": int(a[2])} if len(a) > 2 else {}
+        return similarity.hard_negatives(_op_table(qc, a[0]),
+                                         _op_table(qc, a[1]), **kw)
+
     return {f.__name__: f for f in (
-        ts_stat,
+        ts_stat, alpha_mixture_weights, hard_negatives,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,

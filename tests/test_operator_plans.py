@@ -472,3 +472,23 @@ def test_to_tsvector_english_runs_one_word_parse_per_row(docs):
     out = docs.select(to_tsvector(F.col("text"), "english").alias("tsv"))
     plan = formatted_plan(out)
     assert plan.count("[^a-z0-9]+") == 1, plan
+
+
+def test_hard_negatives_broadcasts_query_side(emb):
+    from framequery_spark.operators.similarity import hard_negatives
+
+    df = hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    plan = formatted_plan(df)
+    # brute force scan shape like cosine_topk: query side built
+    # (broadcast), corpus streamed once — never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_alpha_mixture_totals_are_broadcast(docs):
+    from framequery_spark.operators.sampling import alpha_mixture_weights
+
+    plan = formatted_plan(alpha_mixture_weights(docs))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # map-side combine on the source groupBy
+    assert "partial_count" in plan or "partial count" in plan.lower()

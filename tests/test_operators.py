@@ -1799,3 +1799,66 @@ def test_remove_repeated_spans_null_text_survives_with_zero_count(spark):
     assert out[3].clean_text == ""
     assert out[3].n_removed_tokens == 0
     assert out[1].n_removed_tokens == 8 and out[2].n_removed_tokens == 8
+
+
+# -------------------------------------------- mixture weights / negatives
+
+
+def test_alpha_mixture_weights_temperatures(spark):
+    import math
+
+    from framequery_spark.operators.sampling import alpha_mixture_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 19 + [("c",)] * 1, ["source"])
+    nat = {r.source: r for r in
+           alpha_mixture_weights(df, alpha=1.0).collect()}
+    assert abs(nat["a"].share_after - 0.8) < 1e-6
+    assert abs(nat["a"].share_before - nat["a"].share_after) < 1e-6
+    uni = {r.source: r for r in
+           alpha_mixture_weights(df, alpha=0.0).collect()}
+    assert all(abs(uni[s].share_after - 1 / 3) < 1e-5 for s in "abc")
+    # alpha < 1 up-weights the scarce source relative to its natural
+    # share and down-weights the dominant one; shares still sum to 1
+    t = {r.source: r for r in
+         alpha_mixture_weights(df, alpha=0.3).collect()}
+    assert t["c"].share_after > t["c"].share_before
+    assert t["a"].share_after < t["a"].share_before
+    assert abs(sum(t[s].share_after for s in "abc") - 1.0) < 1e-4
+    # closed form
+    tot = sum(math.pow(n, 0.3) for n in (80, 19, 1))
+    assert abs(t["b"].share_after - math.pow(19, 0.3) / tot) < 1e-5
+
+
+def test_alpha_mixture_weights_token_mass(spark):
+    from framequery_spark.operators.sampling import alpha_mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 600)], ["source", "n_tokens"])
+    t = {r.source: r for r in
+         alpha_mixture_weights(df, alpha=1.0,
+                               count_col="n_tokens").collect()}
+    assert abs(t["a"].share_after - 0.25) < 1e-6
+    assert abs(t["b"].share_after - 0.75) < 1e-6
+
+
+def test_hard_negatives_excludes_same_label(tpch_scope):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import hard_negatives
+
+    emb = tpch_scope["embeddings"]
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    rows = out.collect()
+    labels = {r.vec_id: r.label for r in
+              emb.select("vec_id", "label").collect()}
+    assert rows and all(r.neighbor_label != labels[r.query_id]
+                        for r in rows)
+    assert all(r["rank"] <= 3 for r in rows)
+    # per query the ranks are 1..k without gaps
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in rows:
+        per[r.query_id].append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per.values())
