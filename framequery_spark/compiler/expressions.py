@@ -1239,6 +1239,26 @@ class ExprCompiler:
                     "references to the range type to re-mark them)")
             from ..functions import multiranges as _mrg
             return _mrg.multirange_of(rk, self.compile(node.args[0]))
+        if name == "make_interval" and node.args:
+            # pg make_interval(years, months, weeks, days, hours, mins,
+            # secs). Spark cannot mix year-month and day-time interval
+            # CLASSES in one typed interval, so the type is chosen
+            # statically: zero/absent year+month args (the common case)
+            # keep the day-time interval (comparable, collectable);
+            # otherwise emit Spark's native make_interval — a
+            # CalendarIntervalType usable in date/timestamp arithmetic
+            # (its bare collection is unimplemented in PySpark itself;
+            # that limitation surfaces as PySpark's own error).
+            def _zero(arg) -> bool:
+                return isinstance(arg, ast.Literal) \
+                    and arg.kind in ("int", "float") and not arg.value
+
+            ym = node.args[:2]
+            if not all(_zero(a) for a in ym):
+                args = [self.compile(a) for a in node.args]
+                args += [F.lit(0)] * (7 - len(args))
+                return F.make_interval(*args)
+            # fall through to the registry day-time implementation
         ts_col = self._compile_textsearch(name, node)
         if ts_col is not None:
             return ts_col

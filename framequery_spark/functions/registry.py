@@ -522,10 +522,13 @@ _fixed("justify_interval", lambda a: a[0])
 
 
 def _make_interval(a: List[Column]) -> Column:
-    """pg make_interval(years, months, weeks, days, hours, mins, secs).
-    Spark cannot mix year-month and day-time interval classes, so the
-    result is a day-time interval and nonzero year/month arguments raise
-    at runtime with guidance toward year-month INTERVAL literals."""
+    """pg make_interval(years, months, weeks, days, hours, mins, secs) —
+    the DAY-TIME arm. The compiler dispatches here only when the
+    year/month arguments are statically zero/absent; nonzero year/month
+    calls compile to Spark's native make_interval (CalendarIntervalType,
+    usable in date/timestamp arithmetic) in compiler/expressions.py. The
+    runtime raise below remains as a guard for non-literal year/month
+    values that turn out nonzero."""
     args = list(a) + [F.lit(0)] * (7 - len(a))
     y, mo, w, d, h, mi, s = args
     dt = ((w.cast("long") * 7 + d.cast("long")) * F.expr("INTERVAL '1' DAY")

@@ -398,6 +398,11 @@ QUERIES = [
      "select interval '1 day 6 hours'"),
     ("select make_interval(0, 0, 0, 2, 3, 0, 0)",
      "select interval '2 days 3 hours'"),
+    # nonzero year/month arms (r08): CalendarInterval path, exercised
+    # through timestamp/date arithmetic (pg's dominant usage)
+    ("select timestamp '2020-01-15 00:00:00' + make_interval(1, 2, 0, 3), "
+     "date '2020-01-15' + make_interval(0, 1)",
+     "select timestamp '2021-03-18 00:00:00', date '2020-02-15'"),
     ("select interval '2 hours' * 3, interval '1 day' / 2",
      "select interval '6 hours', interval '12 hours'"),
     ("select extract(epoch from interval '1 day 2 hours')",
