@@ -268,3 +268,77 @@ def test_theta_correlated_count_matches_duckdb(spark, scope, duck,
                   fq.execute(q, scope, spark=spark).collect())
     theirs = sorted(tuple(r) for r in duck.execute(q).fetchall())
     assert ours == theirs
+
+
+# -------------------------------------------------- FTS properties (r08)
+
+
+def _py_tsvector(text, config="simple"):
+    """Independent Python reference of to_tsvector's canonical form."""
+    import re as _re
+
+    from framequery_spark.functions.snowball import stem
+    from framequery_spark.functions.textsearch import ENGLISH_STOPWORDS
+
+    words = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+    toks = [(w, i + 1) for i, w in enumerate(words)]
+    if config == "english":
+        toks = [(stem(w), p) for w, p in toks
+                if w not in ENGLISH_STOPWORDS]
+    out = {}
+    for w, p in toks:
+        out.setdefault(w, []).append(p)
+    return [(w, sorted(ps), "D") for w, ps in sorted(out.items())]
+
+
+@given(st.text(
+    alphabet=st.characters(codec="ascii", exclude_categories=("Cc",)),
+    max_size=120),
+    st.sampled_from(["simple", "english"]))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_to_tsvector_matches_python_reference(spark, text, config):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.functions.textsearch import to_tsvector
+
+    got = spark.createDataFrame([(text,)], "t string").select(
+        to_tsvector(F.col("t"), config).alias("v")).collect()[0]["v"]
+    got = [(e["lexeme"], list(e["positions"]), e["weight"]) for e in got]
+    assert got == _py_tsvector(text, config)
+
+
+@given(st.text(max_size=80), st.sampled_from(["simple", "english"]))
+@settings(max_examples=60, deadline=None)
+def test_websearch_to_tsquery_never_raises(text, config):
+    from framequery_spark.functions.textsearch import (render_tsquery,
+                                                       websearch_tsquery)
+
+    node = websearch_tsquery(text, config)
+    render_tsquery(node)  # renders without raising either
+
+
+@given(st.lists(st.sampled_from(
+    ["cat", "dog", "the", "runs", "running", "fish"]),
+    min_size=1, max_size=6))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_match_consistent_with_python_vector(spark, words):
+    """plainto query of a doc's own non-stopword words always matches the
+    doc's own english tsvector (stem alignment between the JVM vector
+    and the driver-side query normalization)."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.functions.textsearch import (compile_match,
+                                                       plain_tsquery,
+                                                       to_tsvector)
+
+    text = " ".join(words)
+    node = plain_tsquery(text, "english")
+    tsv = to_tsvector(F.lit(text), "english")
+    got = spark.range(1).select(
+        compile_match(tsv, node).alias("m")).collect()[0]["m"]
+    from framequery_spark.functions.textsearch import ENGLISH_STOPWORDS
+    expect = (False if all(w in ENGLISH_STOPWORDS for w in words)
+              else True)
+    assert got == expect
