@@ -173,6 +173,44 @@ def main() -> None:
         """).show()
         ex.execute("SELECT * FROM inv ORDER BY sku").show()
 
+        # --- full-text search (round 8): Snowball stemming, web syntax,
+        # headline, corpus stats — all JVM expressions
+        fq.execute("""
+            SELECT source,
+                   count(*) FILTER (WHERE to_tsvector('english', text)
+                     @@ websearch_to_tsquery('english', '"hash join" OR
+                     merge -broadcast')) AS n_match
+            FROM documents GROUP BY source ORDER BY source LIMIT 5
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT ts_headline('english', text,
+                     to_tsquery('english', 'join & merge'),
+                     'MaxWords=12, MinWords=6') AS snippet
+            FROM documents
+            WHERE to_tsvector('english', text)
+                  @@ to_tsquery('english', 'join & merge')
+            LIMIT 3
+        """, scope, spark=spark).show(truncate=False)
+        fq.execute("""
+            SELECT word, ndoc, nentry
+            FROM ts_stat('SELECT to_tsvector(''english'', text)
+                          FROM documents')
+            ORDER BY nentry DESC, word LIMIT 5
+        """, scope, spark=spark).show()
+
+        # --- training-mix assembly (round 8): temperature reweighting +
+        # hard negatives over the embedding table
+        fq.execute("""
+            SELECT * FROM alpha_mixture_weights('documents', 'source', 0.3)
+            ORDER BY share_after DESC LIMIT 5
+        """, scope, spark=spark).show()
+        fq.execute("""
+            WITH q AS (SELECT * FROM embeddings WHERE vec_id < 3)
+            SELECT query_id, neighbor_id, neighbor_label, cosine
+            FROM hard_negatives('embeddings', 'q', 3)
+            ORDER BY query_id, rank
+        """, scope, spark=spark).show()
+
 
 if __name__ == "__main__":
     main()

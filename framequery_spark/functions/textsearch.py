@@ -337,6 +337,9 @@ def ts_headline(text: Column, node, config: str = "simple",
         def with_flags(flags: Column) -> Column:
             if opts["highlightall"]:
                 return F.concat_ws(" ", F.zip_with(words, flags, mark))
+            # (flags below are plain booleans — the normalized lexeme is
+            # let-bound at flag time so the stem cascade runs once per
+            # word, not once per query term)
             idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
                    .otherwise(F.array().cast("array<int>"))
             matches = F.filter(idx, lambda i: F.get(flags, i))
@@ -364,7 +367,8 @@ def ts_headline(text: Column, node, config: str = "simple",
 
             return _let(matches, window)
 
-        return _let(F.transform(words, lambda w: is_match(norm(w))),
+        return _let(F.transform(words,
+                                lambda w: _let(norm(w), is_match)),
                     with_flags)
 
     return _let(
