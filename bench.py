@@ -154,9 +154,18 @@ def main() -> None:
         # lone 13.6 s rep). With 3 reps, TWO stalls poison the median, so
         # when the spread is pathological take extra reps — the median over
         # 5 then reflects the steady-state plan cost.
-        if len(runs) >= 2 and min(runs) > 0 and \
-                max(runs) / min(runs) > 2.5:
-            for _ in range(2):
+        # still-warming guard: codegen-heavy entries (60-column simhash
+        # aggregates) can read strictly-decreasing reps (measured:
+        # op_simhash_exact 16.0/11.4/7.7 in-suite vs 1.5 s solo steady
+        # state) without tripping the 2.5x spread bound — when the reps
+        # are still monotonically falling, the median overstates the
+        # plan cost, so keep measuring until the curve flattens.
+        still_warming = (
+            len(runs) >= 3 and all(runs[i] > runs[i + 1] * 1.15
+                                   for i in range(len(runs) - 1)))
+        if (len(runs) >= 2 and min(runs) > 0
+                and max(runs) / min(runs) > 2.5) or still_warming:
+            for _ in range(3 if still_warming else 2):
                 t0 = time.perf_counter()
                 try:
                     fn(spark, sf_dir).collect()
@@ -167,6 +176,8 @@ def main() -> None:
 
                 release_cached()
                 spark.catalog.clearCache()
+                if len(runs) >= 2 and runs[-1] >= runs[-2] * 0.9:
+                    break  # flattened
         med = sorted(runs)[len(runs) // 2]
         timings[name] = round(med, 3)
         total += med

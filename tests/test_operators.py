@@ -1862,3 +1862,24 @@ def test_hard_negatives_excludes_same_label(tpch_scope):
         per[r.query_id].append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in per.values())
+
+
+def test_to_tsvector_linear_on_long_documents(spark):
+    """Linearity guard for the r08 to_tsvector construction: a 30k-token
+    document with high lexeme cardinality builds in one sort pass. The
+    r07 per-distinct-lexeme construction was O(lexemes x tokens) — on
+    this input that is ~4.5e8 filter steps and minutes of wall clock,
+    so completing promptly IS the regression check (the plan contract in
+    test_operator_plans.py pins the single word-parse)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from framequery_spark.functions.textsearch import to_tsvector
+
+    text = " ".join(f"w{i % 15000}" for i in range(30000))
+    df = spark.createDataFrame([(text,)], "t string")
+    t0 = time.time()
+    out = df.select(F.size(to_tsvector(F.col("t"))).alias("n")).collect()
+    assert out[0]["n"] == 15000
+    assert time.time() - t0 < 60, "to_tsvector is not linear anymore"
