@@ -2514,6 +2514,41 @@ def _op_stream_decontam(spark, sf_dir):
 _op("op_stream_decontam", _op_stream_decontam, _OPS["op_decontaminate"][1])
 
 
+def _op_stream_fts(spark, sf_dir):
+    """Streaming full-text match counter (streaming/stream.py:
+    stream_fulltext_counts): per-source counts of documents matching
+    'spark & window' as they land. The tsvector build + @@ match are
+    row-local JVM expressions, so the stream holds no state beyond the
+    per-source counters; result equals the batch GROUP BY — the DuckDB
+    oracle restates the match with list ops (like q70)."""
+    return stream_fulltext_counts_entry(spark, sf_dir)
+
+
+def stream_fulltext_counts_entry(spark, sf_dir):
+    from framequery_spark.streaming.stream import stream_fulltext_counts
+
+    return (stream_fulltext_counts(spark, f"{sf_dir}/documents.parquet",
+                                   "spark & window")
+            .orderBy("source"))
+
+
+_op("op_stream_fts", _op_stream_fts, r"""
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)),
+                                           '[^a-z0-9]+'),
+                     w -> w <> '') AS ws
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE list_contains(ws, 'spark')
+                             AND list_contains(ws, 'window')) AS BIGINT)
+         AS n_match
+FROM t
+GROUP BY source
+ORDER BY source
+""")
+
+
 def _op_split_leakage(spark, sf_dir):
     """Cross-split near-dup leakage audit (operators/contamination.py:
     split_leakage_ngrams over sampling.hash_split): pairs of docs in
@@ -3308,7 +3343,7 @@ def _entry_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
 STREAMING_ENTRIES = frozenset({
     "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
     "op_stream_dedup", "op_stream_decontam", "op_stream_ingest",
-    "op_stream_join",
+    "op_stream_join", "op_stream_fts",
 })
 
 

@@ -95,6 +95,32 @@ def stream_decontaminate(spark: SparkSession, docs_path: str,
     return _run_to_memory(spark, agg, "decontam_", mode="complete")
 
 
+def stream_fulltext_counts(spark: SparkSession, docs_path: str,
+                           query: str, config: str = "simple",
+                           group_col: str = "source") -> DataFrame:
+    """Streaming full-text match counter: documents arrive as a file
+    stream, each is matched ROW-LOCALLY against a compile-time tsquery
+    (functions/textsearch.py — the whole tsvector build + match is JVM
+    Column expressions, so it streams with zero join/filter state), and
+    per-group match counts accumulate in the aggregation store (complete
+    mode; state = one counter per group).
+
+    Equals the batch GROUP BY restated over the same predicate — the
+    oracle. At scale this is the ingest-time content monitor: match
+    rates per source as shards land, no stream-side state beyond the
+    group counters."""
+    from ..functions.textsearch import (compile_match, parse_tsquery,
+                                        to_tsvector)
+
+    node = parse_tsquery(query, config)
+    stream = read_parquet_stream(spark, docs_path)
+    hit = compile_match(to_tsvector(F.col("text"), config), node)
+    agg = (stream.groupBy(F.col(group_col))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(hit.cast("long")).alias("n_match")))
+    return _run_to_memory(spark, agg, "fts_", mode="complete")
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-based stream over the events parquet; event-time normalized to
     session-timezone TIMESTAMP. The stream schema is probed from a batch
