@@ -2736,6 +2736,38 @@ ORDER BY source
 """)
 
 
+def _op_audio_chunks(spark, sf_dir):
+    """Fixed-duration PCM chunking (operators/multimodal.py:
+    audio_chunks): blobs (utf-8 text bytes standing in for PCM payloads)
+    split into 32-byte chunks via JVM binary substr — REAL byte-range
+    slicing, no codec; per-chunk sha256 is the content address for
+    chunk-level dedup. The oracle slices the TEXT (ASCII fixture: bytes
+    == chars) and hashes with DuckDB's varchar sha256 — same content
+    bytes, same hex."""
+    from framequery_spark.operators.multimodal import (attach_blob,
+                                                       audio_chunks)
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return (audio_chunks(attach_blob(docs), sample_rate=16,
+                         sample_width=2, chunk_seconds=1.0)
+            .drop("chunk")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+_op("op_audio_chunks", _op_audio_chunks, """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS i
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(length(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS INT)
+         AS chunk_bytes,
+       sha256(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS chunk_sha
+FROM s
+ORDER BY doc_id, chunk_idx
+""")
+
+
 def _op_alpha_mixture(spark, sf_dir):
     """Temperature mixture reweighting (operators/sampling.py:
     alpha_mixture_weights): share_after = n_s^alpha / sum n_t^alpha with

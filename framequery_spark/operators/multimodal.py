@@ -185,3 +185,35 @@ def resize_image(df: DataFrame, target: int = 224, blob_col: str = "blob",
             })
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+def audio_chunks(df: DataFrame, blob_col: str = "blob",
+                 id_col: str = "doc_id", sample_rate: int = 16000,
+                 sample_width: int = 2,
+                 chunk_seconds: float = 1.0) -> DataFrame:
+    """Fixed-duration chunking of raw-PCM audio blobs — the segmentation
+    step before any per-chunk featurization (ASR windows, audio-LM
+    tokens). Unlike the decode stubs, this is fully REAL: PCM chunking
+    is pure byte arithmetic (sample_rate * sample_width bytes per
+    second), so the chunks come from JVM binary ``substr`` slices with
+    no codec anywhere. Returns one row per chunk: (id, chunk_idx,
+    chunk, chunk_bytes, chunk_sha — the content address for downstream
+    chunk-level dedup).
+
+    Scale shape: row-local explode bounded by blob length; no shuffle.
+    The last chunk may be short (the tail remainder), like every audio
+    framer."""
+    bpc = int(sample_rate * sample_width * chunk_seconds)
+    if bpc < 1:
+        raise ValueError("audio_chunks: chunk must cover >= 1 byte")
+    b = F.col(blob_col)
+    n = F.octet_length(b)
+    idx = F.when(n > 0, F.sequence(
+        F.lit(0), ((n - 1) / bpc).cast("int"))) \
+           .otherwise(F.array().cast("array<int>"))
+    chunk = F.substr(b, F.col("chunk_idx") * bpc + 1, F.lit(bpc))
+    return (df.select(F.col(id_col), b.alias(blob_col),
+                      F.explode(idx).alias("chunk_idx"))
+            .select(id_col, "chunk_idx", chunk.alias("chunk"))
+            .withColumn("chunk_bytes", F.octet_length(F.col("chunk")))
+            .withColumn("chunk_sha", F.sha2(F.col("chunk"), 256)))

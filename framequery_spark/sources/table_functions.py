@@ -523,8 +523,21 @@ def _register_operator_tfs() -> dict:
         return similarity.hard_negatives(_op_table(qc, a[0]),
                                          _op_table(qc, a[1]), **kw)
 
+    def audio_chunks(qc, a):
+        from ..operators import multimodal
+
+        kw = {}
+        if len(a) > 1:
+            kw["sample_rate"] = int(a[1])
+        if len(a) > 2:
+            kw["sample_width"] = int(a[2])
+        if len(a) > 3:
+            kw["chunk_seconds"] = float(a[3])
+        return multimodal.audio_chunks(
+            multimodal.attach_blob(_op_table(qc, a[0])), **kw)
+
     return {f.__name__: f for f in (
-        ts_stat, alpha_mixture_weights, hard_negatives,
+        ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,

@@ -1883,3 +1883,26 @@ def test_to_tsvector_linear_on_long_documents(spark):
     out = df.select(F.size(to_tsvector(F.col("t"))).alias("n")).collect()
     assert out[0]["n"] == 15000
     assert time.time() - t0 < 60, "to_tsvector is not linear anymore"
+
+
+def test_audio_chunks_byte_ranges(spark):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.multimodal import (attach_blob,
+                                                       audio_chunks)
+
+    df = spark.createDataFrame(
+        [(1, "a" * 70), (2, "xy"), (3, "")], ["doc_id", "text"])
+    out = {(r.doc_id, r.chunk_idx): r for r in
+           audio_chunks(attach_blob(df), sample_rate=16, sample_width=2,
+                        chunk_seconds=1.0).collect()}
+    # 70 bytes at 32 bytes/chunk -> 32, 32, 6 (short tail); empty blob
+    # yields no chunks
+    assert {k for k in out} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert out[(1, 0)].chunk_bytes == 32
+    assert out[(1, 2)].chunk_bytes == 6
+    assert bytes(out[(1, 2)].chunk) == b"a" * 6
+    # chunk sha is the content address: identical content, identical sha
+    assert out[(1, 0)].chunk_sha == out[(1, 1)].chunk_sha
+    import hashlib
+    assert out[(2, 0)].chunk_sha == hashlib.sha256(b"xy").hexdigest()
