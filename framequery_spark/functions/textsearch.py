@@ -26,11 +26,12 @@ Supported:
 - ``setweight(tsv, 'A')``, ``tsv || tsv`` (lexeme-merging concat),
   ``strip(tsv)``, ``length``, ``tsvector_to_array`` / ``array_to_tsvector``,
   ``ts_delete``, ``ts_filter``, ``numnode``, ``querytree``.
-- ``ts_headline`` (StartSel/StopSel/MaxWords/MinWords/HighlightAll;
-  first-cover window with left extension — documented approximation of
-  pg's best-cover search; no fragment mode) and the ``ts_stat(sqlquery)``
-  table function (sources/table_functions.py: explode + vocab-sized
-  groupBy).
+- ``ts_headline`` (StartSel/StopSel/MaxWords/MinWords/HighlightAll +
+  MaxFragments/FragmentDelimiter fragment mode; first-cover window with
+  left extension and anchor-at-match fragments — documented
+  approximations of pg's best-cover search; no ShortWord heuristic) and
+  the ``ts_stat(sqlquery)`` table function
+  (sources/table_functions.py: explode + vocab-sized groupBy).
 - ``ts_rank([weights,] tsv, tsq)`` — follows pg tsrank.c calc_rank:
   OR/single-term queries rank by per-term harmonic position frequency
   (calc_rank_or, w*sum 1/j^2 / (pi^2/6), averaged over query items;
@@ -266,10 +267,13 @@ def _strip_not(node):
 def parse_headline_options(options: str) -> dict:
     """pg ts_headline options string: 'Key=Value, Key=Value' (keys
     case-insensitive). Supported: StartSel, StopSel, MaxWords, MinWords,
-    HighlightAll. Unsupported keys raise (ShortWord, MaxFragments,
-    FragmentDelimiter: fragment mode is not implemented — documented)."""
+    HighlightAll, MaxFragments, FragmentDelimiter. Unsupported keys
+    raise (ShortWord: the short-word heuristic is not implemented —
+    documented). Commas inside a quoted FragmentDelimiter are not
+    supported (pass a delimiter without commas)."""
     out = {"startsel": "<b>", "stopsel": "</b>", "maxwords": 35,
-           "minwords": 15, "highlightall": False}
+           "minwords": 15, "highlightall": False, "maxfragments": 0,
+           "fragmentdelimiter": " ... "}
     for part in (options or "").split(","):
         part = part.strip()
         if not part:
@@ -280,9 +284,9 @@ def parse_headline_options(options: str) -> dict:
         key, _, val = part.partition("=")
         key = key.strip().lower()
         val = val.strip().strip('"')
-        if key in ("startsel", "stopsel"):
+        if key in ("startsel", "stopsel", "fragmentdelimiter"):
             out[key] = val
-        elif key in ("maxwords", "minwords"):
+        elif key in ("maxwords", "minwords", "maxfragments"):
             out[key] = int(val)
         elif key == "highlightall":
             out[key] = val.lower() in ("true", "t", "1", "on", "yes")
@@ -290,7 +294,7 @@ def parse_headline_options(options: str) -> dict:
             raise TsQueryError(
                 f"ts_headline option {key!r} is not supported "
                 "(StartSel / StopSel / MaxWords / MinWords / "
-                "HighlightAll)")
+                "HighlightAll / MaxFragments / FragmentDelimiter)")
     return out
 
 
@@ -343,6 +347,45 @@ def ts_headline(text: Column, node, config: str = "simple",
             idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
                    .otherwise(F.array().cast("array<int>"))
             matches = F.filter(idx, lambda i: F.get(flags, i))
+
+            if opts["maxfragments"] > 0:
+                # fragment mode: greedy non-overlapping anchors — the
+                # first match, then each next match at least MaxWords
+                # past the previous anchor, up to MaxFragments; each
+                # fragment shows MaxWords words from its anchor, joined
+                # by FragmentDelimiter (pg centers fragments on covers;
+                # anchor-at-match is the documented approximation)
+                def fragmode(m: Column) -> Column:
+                    anchors_expr = F.aggregate(
+                        m, F.array().cast("array<int>"),
+                        lambda acc, i: F.when(
+                            (F.size(acc) < opts["maxfragments"])
+                            & (F.coalesce(F.get(acc, F.size(acc) - 1),
+                                          F.lit(-opts["maxwords"] - 1))
+                               + opts["maxwords"] <= i),
+                            F.concat(acc, F.array(i))).otherwise(acc))
+
+                    def with_anchors(anchors: Column) -> Column:
+                        def frag(a: Column) -> Column:
+                            end = F.least(a + opts["maxwords"] - 1,
+                                          n - 1)
+                            span = F.slice(words, a + 1, end - a + 1)
+                            return F.concat_ws(" ", F.transform(
+                                span, lambda w, j: mark(
+                                    w, F.get(flags, a + j))))
+
+                        out = F.array_join(
+                            F.transform(anchors, frag),
+                            opts["fragmentdelimiter"])
+                        head = F.concat_ws(" ", F.slice(
+                            words, 1,
+                            F.least(F.lit(opts["minwords"]), n)))
+                        return F.when(F.size(anchors) > 0, out) \
+                                .otherwise(head)
+
+                    return _let(anchors_expr, with_anchors)
+
+                return _let(matches, fragmode)
 
             def window(m: Column) -> Column:
                 first = F.coalesce(F.get(m, 0), F.lit(0))

@@ -794,6 +794,14 @@ QUERIES = [
      "select 'The fat <b>rats</b> ate the <b>cheese</b> quickly', "
      "'the cat sat on the <b>mat</b>', '**rats** everywhere', "
      "'a b c d [match] e f'"),
+    # ts_headline fragment mode (r08): greedy non-overlapping anchors,
+    # FragmentDelimiter join, head fallback when nothing matches
+    ("select ts_headline('a b hit c d e f g h i j k l m hit2a n o p "
+     "hit q r', to_tsquery('hit | hit2a'), "
+     "'MaxFragments=2, MaxWords=3, MinWords=1, StartSel=[, StopSel=]'), "
+     "ts_headline('nothing matches here at all today', "
+     "to_tsquery('zebra'), 'MaxFragments=2, MinWords=3')",
+     "select '[hit] c d ... [hit2a] n o', 'nothing matches here'"),
     # ts_stat over a quoted inner query (r08): word / ndoc / nentry
     ("select word, ndoc, nentry from ts_stat('select to_tsvector(s) "
      "from (select ''cat dog cat'' s union all select ''dog fish'') d') "
