@@ -164,3 +164,31 @@ def test_tsvector_config_validated(spark, scope):
     with pytest.raises(CompileError, match="configuration"):
         fq.execute("select to_tsvector('german', 'hallo welt')",
                    scope, spark=spark)
+
+
+def test_ts_headline_unknown_option_is_guided(spark, scope):
+    with pytest.raises(CompileError, match="ShortWord|not supported"):
+        fq.execute("select ts_headline('x y', to_tsquery('x'), "
+                   "'ShortWord=3')", scope, spark=spark)
+
+
+def test_ts_headline_requires_literal_query(spark, scope):
+    with pytest.raises(CompileError, match="literal tsquery"):
+        fq.execute("select ts_headline('x y', a)", scope, spark=spark)
+
+
+def test_ts_filter_weight_validated(spark, scope):
+    with pytest.raises(CompileError, match="weight"):
+        fq.execute("select ts_filter(to_tsvector('x'), '{q}')",
+                   scope, spark=spark)
+
+
+def test_ts_delete_requires_literal_lexemes(spark, scope):
+    with pytest.raises(CompileError, match="literal"):
+        fq.execute("select ts_delete(to_tsvector('x'), a)",
+                   scope, spark=spark)
+
+
+def test_numnode_requires_literal_tsquery(spark, scope):
+    with pytest.raises(CompileError, match="literal tsquery"):
+        fq.execute("select numnode(a)", scope, spark=spark)
