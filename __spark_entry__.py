@@ -2768,6 +2768,53 @@ ORDER BY doc_id, chunk_idx
 """)
 
 
+def _op_concat_chunks(spark, sf_dir):
+    """GPT-style concat-and-chunk (operators/packing.py:concat_chunks):
+    concatenate every document in id order into one token stream, cut it
+    into fixed 512-token blocks, return the (block, doc, doc-relative
+    token range) membership map — blocks span document boundaries and
+    long documents span blocks. The engine computes global token offsets
+    with the two-phase distributed prefix sum (chunk=64 forces the
+    multi-bucket path at test scale); the oracle states the same map
+    with one declarative window cumsum + per-doc block range unnest."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.packing import concat_chunks
+    from framequery_spark.operators.text import token_count
+
+    docs = _scope(spark, sf_dir)["documents"]
+    t = docs.select("doc_id",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+    return (concat_chunks(t, block_size=512, chunk=64)
+            .orderBy("block_id", "doc_id"))
+
+
+_op("op_concat_chunks", _op_concat_chunks, r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> w <> '')) AS BIGINT) AS n
+  FROM documents),
+t AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS strt
+  FROM tok WHERE n > 0),
+s AS (
+  SELECT doc_id, n, strt,
+         unnest(range(CAST(strt // 512 AS BIGINT),
+                      CAST((strt + n - 1) // 512 + 1 AS BIGINT))) AS b
+  FROM t)
+SELECT CAST(b AS BIGINT) AS block_id, doc_id,
+       CAST(greatest(b * 512, strt) - strt AS BIGINT) AS tok_from,
+       CAST(least((b + 1) * 512, strt + n) - strt AS BIGINT) AS tok_to,
+       CAST(least((b + 1) * 512, strt + n)
+            - greatest(b * 512, strt) AS BIGINT) AS n_in_block
+FROM s
+ORDER BY block_id, doc_id
+""")
+
+
 def _op_alpha_mixture(spark, sf_dir):
     """Temperature mixture reweighting (operators/sampling.py:
     alpha_mixture_weights): share_after = n_s^alpha / sum n_t^alpha with

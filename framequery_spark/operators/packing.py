@@ -182,3 +182,75 @@ def take_token_budget(df: DataFrame, budget: int,
             .where(F.col("cum_tokens") <= budget)
             .select(F.col(id_col), F.col(token_col),
                     F.col("cum_tokens")))
+
+
+def concat_chunks(df: DataFrame, block_size: int = 2048,
+                  token_col: str = "n_tokens",
+                  id_col: str = "doc_id",
+                  chunk: int = 1 << 20) -> DataFrame:
+    """GPT-style concat-and-chunk: conceptually concatenate every document
+    in ``id_col`` order into one token stream and cut it into fixed
+    ``block_size`` blocks — the standard "group texts" step that turns a
+    filtered corpus into training sequences, where a block may span
+    document boundaries and a long document spans many blocks. (Callers
+    wanting a randomized document order apply deterministic_shuffle first
+    and feed its rank as the id.)
+
+    Returns the block membership map, one row per (block, document)
+    overlap: (block_id, id_col, tok_from, tok_to, n_in_block) with
+    tok_from/tok_to the DOC-relative half-open token range landing in the
+    block — exactly what a reader needs to assemble block tensors.
+    The final partial block is included (trainers pad or drop it).
+
+    Scale shape: the global token offset per document is the same
+    two-phase distributed prefix sum as :func:`take_token_budget` —
+    bucket by floor(id/chunk) (row-local, refines the id order),
+    per-bucket sums groupBy (map-side combine), one global window over
+    the BOUNDED bucket table (n/chunk rows), offsets broadcast back,
+    within-bucket window partitioned by bucket. The block explode is
+    row-local and bounded by ceil(doc_tokens/block_size) + 1. Nothing
+    corpus-sized ever sorts globally. The input is referenced twice
+    (bucket sums + join side) — persist expensive derived inputs (see
+    take_token_budget). NULL-token rows are excluded up front; id_col
+    must be numeric (the chunk key must refine the id order)."""
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    base = (df.select(F.col(id_col), F.col(token_col))
+            .where(F.col(token_col).isNotNull()
+                   & (F.col(token_col) > 0))
+            .withColumn("__chunk", F.floor(F.col(id_col) / F.lit(chunk))))
+    sums = (base.groupBy("__chunk")
+            .agg(F.sum(token_col).alias("__bucket_toks")))
+    bucket_order = Window.orderBy(F.col("__chunk").asc())
+    offsets = sums.select(
+        F.col("__chunk").alias("__oc"),
+        (F.sum("__bucket_toks").over(bucket_order)
+         - F.col("__bucket_toks")).alias("__bucket_off"))
+    within = (Window.partitionBy("__chunk")
+              .orderBy(F.col(id_col).asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = base.join(F.broadcast(offsets),
+                       F.col("__chunk") == F.col("__oc"))
+    # exclusive prefix sum = inclusive running sum minus own tokens
+    start = (F.sum(token_col).over(within) + F.col("__bucket_off")
+             - F.col(token_col)).cast("long")
+    spans = joined.select(
+        F.col(id_col), F.col(token_col).cast("long").alias("__n"),
+        start.alias("__start"))
+    first_b = F.floor(F.col("__start") / block_size).cast("long")
+    last_b = F.floor((F.col("__start") + F.col("__n") - 1)
+                     / block_size).cast("long")
+    out = spans.select(
+        id_col, "__n", "__start",
+        F.explode(F.sequence(first_b, last_b)).alias("block_id"))
+    b0 = F.col("block_id") * block_size
+    tok_from = F.greatest(b0, F.col("__start")) - F.col("__start")
+    tok_to = (F.least(b0 + block_size, F.col("__start") + F.col("__n"))
+              - F.col("__start"))
+    return out.select(
+        "block_id", id_col,
+        tok_from.cast("long").alias("tok_from"),
+        tok_to.cast("long").alias("tok_to"),
+        (tok_to - tok_from).cast("long").alias("n_in_block"))

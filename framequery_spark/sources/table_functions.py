@@ -292,6 +292,14 @@ def _register_operator_tfs() -> dict:
     def tf_idf(qc, a):
         return text.tf_idf(_op_table(qc, a[0]))
 
+    def concat_chunks(qc, a):
+        kw = {}
+        if len(a) > 2:
+            kw["block_size"] = int(a[2])
+        return packing.concat_chunks(
+            _op_table(qc, a[0]).selectExpr(
+                "doc_id", f"CAST({a[1]} AS LONG) AS n_tokens"), **kw)
+
     def pack_bins(qc, a):
         # pack_bins('documents', token_col, budget[, shard_col])
         kw = {"shard_col": str(a[3])} if len(a) > 3 else {}
@@ -538,6 +546,7 @@ def _register_operator_tfs() -> dict:
 
     return {f.__name__: f for f in (
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
+        concat_chunks,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,

@@ -492,3 +492,29 @@ def test_alpha_mixture_totals_are_broadcast(docs):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     # map-side combine on the source groupBy
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_concat_chunks_two_phase_prefix_sum_shape(docs):
+    import re
+
+    from framequery_spark.operators.packing import concat_chunks
+    from framequery_spark.operators.text import token_count
+
+    t = docs.select("doc_id",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+    plan = formatted_plan(concat_chunks(t, block_size=512, chunk=64))
+    _assert_no_cartesian(concat_chunks(t, block_size=512, chunk=64))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the corpus-side cumsum window must be PARTITIONED by __chunk; only
+    # the bounded bucket table may carry an unpartitioned window
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        entries = [e.strip() for e in m.group(1).split(",")]
+        partition, order = [], []
+        for e in entries:
+            if " ASC" in e or " DESC" in e:
+                order.append(e)
+            elif not order and "windowframe" not in e:
+                partition.append(e)
+        if any(o.startswith("doc_id") for o in order):
+            assert any(p.startswith("__chunk") for p in partition), plan

@@ -1906,3 +1906,40 @@ def test_audio_chunks_byte_ranges(spark):
     assert out[(1, 0)].chunk_sha == out[(1, 1)].chunk_sha
     import hashlib
     assert out[(2, 0)].chunk_sha == hashlib.sha256(b"xy").hexdigest()
+
+
+def test_concat_chunks_block_invariants(spark):
+    from collections import defaultdict
+
+    from framequery_spark.operators.packing import concat_chunks
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 2), (4, 9), (5, None)],
+        "doc_id long, n_tokens long")
+    rows = concat_chunks(df, block_size=4).collect()
+    per_block = defaultdict(int)
+    per_doc = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.tok_from < r.tok_to
+        per_block[r.block_id] += r.n_in_block
+        per_doc[r.doc_id] += r.n_in_block
+    # every block is exactly full except the last partial one
+    total = 3 + 5 + 2 + 9
+    last = max(per_block)
+    assert all(v == 4 for b, v in per_block.items() if b != last)
+    assert per_block[last] == total - 4 * last
+    # every document's tokens are fully assigned exactly once
+    assert per_doc == {1: 3, 2: 5, 3: 2, 4: 9}
+
+
+def test_concat_chunks_chunk_width_invariant(spark):
+    from framequery_spark.operators.packing import concat_chunks
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 11 + 1) for i in range(200)],
+        "doc_id long, n_tokens long")
+    a = sorted(map(tuple, concat_chunks(df, 16, chunk=1).collect()))
+    b = sorted(map(tuple,
+                   concat_chunks(df.repartition(7), 16,
+                                 chunk=64).collect()))
+    assert a == b
