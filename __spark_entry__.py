@@ -3389,9 +3389,16 @@ def _build_driver_window(history: dict[int, dict] | None = None,
         last = last_green.get(n)
         if last is None or current_round - last > _MAX_STALE_ROUNDS:
             window.append(n)
-    assert len(window) <= _WINDOW_SIZE, (
-        f"{len(window)} mandatory entries exceed the {_WINDOW_SIZE}-slot "
-        f"window — the rotation fell more than a full cycle behind")
+    if rounds:
+        assert len(window) <= _WINDOW_SIZE, (
+            f"{len(window)} mandatory entries exceed the "
+            f"{_WINDOW_SIZE}-slot window — the rotation fell more than a "
+            f"full cycle behind")
+    else:
+        # no recorded history (fresh checkout without the CORRECTNESS
+        # artifacts): every entry is "never green" — degrade to the first
+        # 50 in registration order rather than failing the import
+        window = window[:_WINDOW_SIZE]
     # 2. rows-only entries whose rows-check evidence is >= 3 rounds old
     for n in rows_only:
         if len(window) >= _WINDOW_SIZE:
