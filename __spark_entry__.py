@@ -2768,6 +2768,40 @@ ORDER BY doc_id, chunk_idx
 """)
 
 
+def _op_char_entropy(spark, sf_dir):
+    """Per-doc Shannon character entropy (operators/text.py:char_entropy):
+    the information-theoretic junk detector — run-length character counts
+    via row-local JVM HOFs, -sum(p log2 p) folded over DECIMAL-quantized
+    terms so the engine's sorted-order fold and the oracle's unordered
+    group sum are bit-identical. Restricted to doc_id < 300 to keep the
+    oracle's char explode small; the plan is the full-corpus plan."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import char_entropy
+
+    docs = _scope(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    return char_entropy(docs).orderBy("doc_id")
+
+
+_op("op_char_entropy", _op_char_entropy, """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM d),
+cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1),
+h AS (SELECT cnt.doc_id,
+             CAST(sum(CAST(round(-(k / n) * log2(k / n), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS hh,
+             CAST(max(n) AS INT) AS nc
+      FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.nc, 0) AS n_chars_counted,
+       round(COALESCE(h.hh, 0.0) + 0.0000001, 6) AS entropy
+FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+""")
+
+
 def _op_concat_chunks(spark, sf_dir):
     """GPT-style concat-and-chunk (operators/packing.py:concat_chunks):
     concatenate every document in id order into one token stream, cut it

@@ -574,6 +574,64 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.round(top_tok, 4).alias("top_token_ratio"))
 
 
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the
+    information-theoretic quality signal that flags binary junk,
+    base64/hex blobs, and single-character floods, complementing the
+    token-level gopher rules: natural English sits near 4-4.5 bits,
+    degenerate text collapses toward 0, encoded blobs push toward
+    log2(alphabet).
+
+    Pure row-local JVM HOFs, zero shuffle: characters sort, run starts
+    locate each distinct character's count (the to_tsvector run-length
+    construction), and -sum(p*log2 p) folds over the runs. Each term is
+    quantized to DECIMAL(28,12) before the fold so the sum is exact and
+    order-independent — bit-identical to a SQL oracle whose per-group
+    summation order is unspecified. Empty/NULL text yields entropy 0.
+    Returns (id_col, n_chars_counted, entropy)."""
+    from .dedup import _let
+
+    def build(srt: Column) -> Column:
+        n = F.size(srt)
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        start_idx = F.filter(
+            idx, lambda i: (i == 0)
+            | (F.get(srt, i) != F.get(srt, i - 1)))
+
+        def fold(starts: Column) -> Column:
+            counts = F.transform(
+                starts,
+                lambda st, j: (F.coalesce(F.get(starts, j + 1), n) - st)
+                .cast("double"))
+            nd = n.cast("double")
+            # decimal + decimal widens to DECIMAL(29,12); the fold's
+            # merge must return the accumulator type exactly, so cast
+            # the sum back down each step (values are bounded by
+            # log2(n) <= 64 bits — far inside 16 integer digits)
+            h = F.aggregate(
+                counts,
+                F.lit(0).cast("decimal(28,12)"),
+                lambda acc, c: (acc + F.round(
+                    -(c / nd) * F.log2(c / nd), 12)
+                    .cast("decimal(28,12)")).cast("decimal(28,12)"))
+            return F.struct(n.alias("n"), h.alias("h"))
+
+        return _let(start_idx, fold)
+
+    chars = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+        lambda c: c != "")
+    res = _let(F.array_sort(chars), build)
+    return (df.withColumn("__e", res)
+            .select(F.col(id_col),
+                    F.col("__e")["n"].alias("n_chars_counted"),
+                    F.round(F.coalesce(F.col("__e")["h"].cast("double"),
+                                       F.lit(0.0)) + F.lit(0.0000001), 6)
+                     .alias("entropy")))
+
+
 # ------------------------------------------------- corpus-level diagnostics
 
 def ngram_novelty(df: DataFrame, text_col: str = "text",

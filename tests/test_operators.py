@@ -1943,3 +1943,20 @@ def test_concat_chunks_chunk_width_invariant(spark):
                    concat_chunks(df.repartition(7), 16,
                                  chunk=64).collect()))
     assert a == b
+
+
+def test_char_entropy_closed_forms(spark):
+    from framequery_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None),
+         (6, "aab")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert rows[1].entropy == 0.0          # single symbol
+    assert rows[2].entropy == 1.0          # two equiprobable symbols
+    assert rows[3].entropy == 2.0          # four equiprobable symbols
+    assert rows[4].entropy == 0.0 and rows[4].n_chars_counted == 0
+    assert rows[5].entropy == 0.0          # NULL normalizes like empty
+    # H(2/3, 1/3) = log2(3) - 2/3 ~ 0.918296
+    assert abs(rows[6].entropy - 0.918296) < 1e-6
