@@ -1,8 +1,9 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
 All operators are pure Column expressions over built-in JVM functions —
-no Python UDFs — so they whole-stage-codegen and scale linearly with
-partitions. Designed for a `documents(doc_id, text, lang, source, n_chars)`
+no Python UDFs (one documented exception: compression_ratio wraps stdlib
+zlib in an Arrow-batched pandas_udf, the sanctioned slow path) — so they
+whole-stage-codegen and scale linearly with partitions. Designed for a `documents(doc_id, text, lang, source, n_chars)`
 shaped table but parameterized by column.
 
 Beyond-reference surface (BASELINE.json north star): language-ID heuristic,
@@ -12,6 +13,8 @@ quality scoring, token counting, document fingerprinting.
 from __future__ import annotations
 
 from typing import Dict, List
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -763,3 +766,43 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
     return joined.select(
         id_col, lang_col, "n_tokens", "avg_nll", "ppl",
         F.ntile(n_buckets).over(w).alias("bucket"))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    redundancy-based quality heuristic of Gopher/FineWeb-style filters:
+    boilerplate floods and repeated spans compress far below natural
+    text (~0.3-0.6), encoded/random blobs sit near 1.0.
+
+    This is the sanctioned Arrow slow path: zlib is stdlib Python, so
+    the ratio comes from a pandas_udf (built fresh per call — reused
+    wrappers break UDF extraction on later queries; measured, see
+    functions/snowball.py) over utf-8 bytes. Row-local, no shuffle;
+    NULL/empty text yields ratio 1.0 (nothing to compress). Prefer
+    :func:`char_entropy` (pure JVM) when an information-theoretic
+    signal suffices; the zlib ratio additionally catches LONG-RANGE
+    repetition entropy misses. Returns
+    (id_col, n_bytes, n_compressed, ratio)."""
+    def measure(col: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        ns, cs = [], []
+        for t in col:
+            if t is None or t == "":
+                ns.append(0)
+                cs.append(0)
+            else:
+                raw = t.encode("utf-8")
+                ns.append(len(raw))
+                cs.append(len(zlib.compress(raw, level)))
+        return pd.DataFrame({"n": ns, "c": cs})
+
+    udf = F.pandas_udf(measure, "struct<n:long,c:long>")
+    out = df.select(F.col(id_col), udf(F.col(text_col)).alias("__z"))
+    n = F.col("__z")["n"]
+    c = F.col("__z")["c"]
+    return out.select(
+        id_col, n.alias("n_bytes"), c.alias("n_compressed"),
+        F.round(F.when(n > 0, c.cast("double") / n)
+                 .otherwise(F.lit(1.0)), 6).alias("ratio"))

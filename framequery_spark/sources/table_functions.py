@@ -295,6 +295,10 @@ def _register_operator_tfs() -> dict:
     def char_entropy(qc, a):
         return text.char_entropy(_op_table(qc, a[0]))
 
+    def compression_ratio(qc, a):
+        kw = {"level": int(a[1])} if len(a) > 1 else {}
+        return text.compression_ratio(_op_table(qc, a[0]), **kw)
+
     def concat_chunks(qc, a):
         kw = {}
         if len(a) > 2:
@@ -549,7 +553,7 @@ def _register_operator_tfs() -> dict:
 
     return {f.__name__: f for f in (
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
-        concat_chunks, char_entropy,
+        concat_chunks, char_entropy, compression_ratio,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,
         ivf_topk, pq_topk, hash_split, sample_by_key, vocab_topk, tf_idf,

@@ -1960,3 +1960,21 @@ def test_char_entropy_closed_forms(spark):
     assert rows[5].entropy == 0.0          # NULL normalizes like empty
     # H(2/3, 1/3) = log2(3) - 2/3 ~ 0.918296
     assert abs(rows[6].entropy - 0.918296) < 1e-6
+
+
+def test_compression_ratio_separates_floods_from_text(spark):
+    import zlib
+
+    from framequery_spark.operators.text import compression_ratio
+
+    natural = ("the quick brown fox jumps over the lazy dog and keeps "
+               "going with varied words here")
+    df = spark.createDataFrame(
+        [(1, "spam " * 400), (2, natural), (3, None), (4, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert rows[1].ratio < 0.05 < rows[2].ratio  # flood vs natural text
+    assert rows[3].ratio == 1.0 and rows[4].ratio == 1.0
+    # byte counts are exactly stdlib zlib's
+    assert rows[2].n_compressed == len(
+        zlib.compress(natural.encode("utf-8"), 6))
