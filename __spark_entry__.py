@@ -721,7 +721,7 @@ GROUP BY e.event_type
 ORDER BY e.event_type
 """, oracle="""
 SELECT event_type, count(*) AS n,
-       sum(cast(props->>'$.k' AS bigint)) AS k_sum,
+       cast(sum(cast(props->>'$.k' AS bigint)) AS bigint) AS k_sum,
        cast(1 AS bigint) AS max_ord
 FROM events
 GROUP BY event_type
@@ -742,7 +742,7 @@ ORDER BY event_type
 SELECT event_type,
        count(*) AS n_obj,
        cast(0 AS bigint) AS n_scalar,
-       sum(cast(props->>'$.k' AS bigint)) AS k_sum
+       cast(sum(cast(props->>'$.k' AS bigint)) AS bigint) AS k_sum
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -847,7 +847,7 @@ SELECT source,
                         AND list_contains(ws, 'window')) AS n_and,
        count(*) FILTER (WHERE len(list_filter(range(1, len(ws)),
            i -> ws[i] = 'hash' AND ws[i + 1] = 'join')) > 0) AS n_phrase,
-       sum(len(list_distinct(ws))) AS n_lexemes
+       cast(sum(len(list_distinct(ws))) AS bigint) AS n_lexemes
 FROM t
 GROUP BY source
 ORDER BY source

@@ -114,6 +114,56 @@ def test_query_matches_oracle(spark, name, fn, oracle):
         f"(first: {exact_mismatch[0]}) — tighten rounding in the query")
 
 
+# --- oracle result-type lint -------------------------------------------
+#
+# The driver hashes oracle values through Arrow, where DuckDB's HUGEINT
+# (int128 — the type of a bare sum(BIGINT)) does NOT round-trip to the
+# same representation as Spark's BIGINT, so an oracle with a bare sum()
+# column hash-mismatches at the driver even when every value is equal.
+# _norm above collapses int width, so the value comparison in
+# test_query_matches_oracle structurally CANNOT catch this class — it cost
+# red driver rows in two consecutive rounds (op_ngram_novelty r07;
+# q66/q67/q70 r08). This lint closes the gap: binder-resolve every
+# committed oracle and fail on any HUGEINT-family result column.
+
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def _oracle_type_violations(con, sql):
+    rel = con.sql(sql)  # binder-only: .types resolves without execution
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in _BANNED_ORACLE_TYPES
+    ]
+
+
+_ORACLE_ONLY = [(n, o) for n, _, o in _queries() if o is not None]
+
+
+@pytest.mark.parametrize("name,oracle", _ORACLE_ONLY,
+                         ids=[n for n, _ in _ORACLE_ONLY])
+def test_oracle_has_no_hugeint_columns(name, oracle):
+    con = _duckdb_con()
+    bad = _oracle_type_violations(con, oracle)
+    assert not bad, (
+        f"{name}: oracle columns typed {bad} will hash-mismatch Spark's "
+        f"BIGINT at the driver — wrap them in cast(... AS bigint)")
+
+
+def test_lint_catches_bare_sum_oracle():
+    # unit proof: a bare sum(BIGINT) is HUGEINT in DuckDB and must be flagged
+    import duckdb
+
+    con = duckdb.connect()
+    bad = _oracle_type_violations(
+        con, "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)")
+    assert bad == [("s", "HUGEINT")]
+    ok = _oracle_type_violations(
+        con, "SELECT cast(sum(x) AS bigint) AS s FROM (VALUES (1), (2)) t(x)")
+    assert ok == []
+
+
 # rows-only entries (no DuckDB oracle BY DESIGN) must be explicitly listed
 # here; each has an exact-configuration mirror entry that IS hash-verified
 # (op_simhash_exact, op_ann_full, op_ivf_full_probe, op_pq_full,
