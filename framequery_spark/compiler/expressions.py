@@ -1680,8 +1680,14 @@ class ExprCompiler:
                 return _ts.compile_match(tsv, qnode)
             except _ts.TsQueryError as exc:
                 raise CompileError(str(exc))
-        if name == "ts_rank":
+        if name in ("ts_rank", "ts_rank_cd"):
             args = list(node.args)
+            # optional trailing normalization (integer literal; pg
+            # bitmask — ts_rank_cd supports 0/32 here, ts_rank only 0)
+            normalization = 0
+            if len(args) >= 3 and isinstance(args[-1], ast.Literal) \
+                    and args[-1].kind == "int":
+                normalization = int(args.pop().value)
             weights = None
             if len(args) == 3:
                 wa = args.pop(0)
@@ -1691,21 +1697,32 @@ class ExprCompiler:
                         and all(isinstance(x, ast.Literal)
                                 for x in wa.args)):
                     raise CompileError(
-                        "ts_rank() weights must be a 4-element array "
+                        f"{name}() weights must be a 4-element array "
                         "literal {D,C,B,A}")
                 weights = [float(x.value) for x in wa.args]
             if len(args) != 2:
                 raise CompileError(
-                    "ts_rank() takes (tsvector, tsquery) or "
-                    "(weights, tsvector, tsquery)")
+                    f"{name}() takes ([weights,] tsvector, tsquery "
+                    "[, normalization])")
             q = self._tsquery_node(args[1])
             if q is None:
-                raise CompileError("ts_rank() requires a literal tsquery")
+                raise CompileError(
+                    f"{name}() requires a literal tsquery")
             if not self._is_tsvector(args[0]):
                 raise CompileError(
-                    "ts_rank() first argument must be a tsvector "
+                    f"{name}() first argument must be a tsvector "
                     "(to_tsvector(...) or a stored tsvector column)")
-            return _ts.ts_rank(self.compile(args[0]), q, weights)
+            try:
+                if name == "ts_rank_cd":
+                    return _ts.ts_rank_cd(self.compile(args[0]), q,
+                                          weights, normalization)
+                if normalization != 0:
+                    raise _ts.TsQueryError(
+                        "ts_rank() normalization must be 0 (the pg "
+                        "bitmask variants are not supported)")
+                return _ts.ts_rank(self.compile(args[0]), q, weights)
+            except _ts.TsQueryError as exc:
+                raise CompileError(str(exc))
         return None
 
     def _compile_quant_array(self, node: ast.Call) -> Column:

@@ -33,16 +33,25 @@ Supported:
   the ``ts_stat(sqlquery)`` table function
   (sources/table_functions.py: explode + vocab-sized groupBy).
 - ``ts_rank([weights,] tsv, tsq)`` — follows pg tsrank.c calc_rank:
-  OR/single-term queries rank by per-term harmonic position frequency
-  (calc_rank_or, w*sum 1/j^2 / (pi^2/6), averaged over query items;
-  values match pg's published outputs, e.g. single D-weight term at one
-  position = 0.0607927); AND/phrase roots with >= 2 terms rank by
-  pairwise positional proximity (calc_rank_and, res = 1 - prod(1-curw),
+  OR/single-term queries rank by per-entry harmonic position frequency
+  (calc_rank_or, w*sum 1/j^2 / (pi^2/6) per matched ENTRY, divided by
+  the query NODE count q->size; values match pg's published outputs,
+  e.g. single D-weight term at one position = 0.0607927); AND/phrase
+  roots with >= 2 terms rank by pairwise positional proximity
+  (calc_rank_and, res = 1 - prod(1-curw),
   curw = sqrt(w_i*w_k*word_distance(dist))). The ONE documented
   uncertainty: word_distance's decay constants are reconstructed from
   memory of the public pg source and unverifiable offline, so AND-path
   VALUES may deviate from pg while proximity orderings agree. Exact
   lexical scoring lives in operators/retrieval.py (BM25).
+- ``ts_rank_cd([weights,] tsv, tsq [, normalization])`` — pg's
+  cover-density ranking (tsrank.c calc_rank_cd + Cover): minimal
+  covers enumerated in one row-local F.aggregate pass, each adding
+  |cover| / sum(1/w) / (1 + noise-words); stripped lexemes ignored
+  (rank 0 when nothing has positions), normalization 0 and 32
+  supported. Values like single-D-term = 0.1 and adjacent 'a & b' =
+  0.1 follow the published algorithm exactly (no decay constants
+  involved, unlike ts_rank's AND path).
 """
 
 from __future__ import annotations
@@ -287,7 +296,12 @@ def parse_headline_options(options: str) -> dict:
         if key in ("startsel", "stopsel", "fragmentdelimiter"):
             out[key] = val
         elif key in ("maxwords", "minwords", "maxfragments"):
-            out[key] = int(val)
+            try:
+                out[key] = int(val)
+            except ValueError:
+                raise TsQueryError(
+                    f"ts_headline option {key} requires an integer "
+                    f"value, got {val!r}")
         elif key == "highlightall":
             out[key] = val.lower() in ("true", "t", "1", "on", "yes")
         else:
@@ -295,6 +309,16 @@ def parse_headline_options(options: str) -> dict:
                 f"ts_headline option {key!r} is not supported "
                 "(StartSel / StopSel / MaxWords / MinWords / "
                 "HighlightAll / MaxFragments / FragmentDelimiter)")
+    # pg prsd_headline rejects pathological window parameters (they would
+    # otherwise feed negative arithmetic into the slice windows);
+    # HighlightAll skips window selection entirely, like pg
+    if out["maxfragments"] < 0:
+        raise TsQueryError("MaxFragments should be >= 0")
+    if not out["highlightall"]:
+        if out["minwords"] <= 0:
+            raise TsQueryError("MinWords should be positive")
+        if out["minwords"] >= out["maxwords"]:
+            raise TsQueryError("MinWords should be less than MaxWords")
     return out
 
 
@@ -582,40 +606,48 @@ def _collapse_stopwords(node):
     'fat' (NOT a never-matching AND), 'fat <-> the <-> cat' ->
     'fat <2> cat' (the dropped word widens the phrase distance).
 
-    Returns (node_or_None, carry): carry is the extra distance an
-    ENCLOSING phrase must add when this subtree's right end was a dropped
-    stopword."""
+    Returns (node_or_None, lpad, rpad). lpad/rpad is the extra distance
+    an ENCLOSING phrase must add on the corresponding side when this
+    subtree's left/right end was a dropped stopword — pg's
+    clean_stopword_intree tracks distance on BOTH ends, so an explicitly
+    parenthesized phrase with a leading stopword collapses correctly:
+    'fat <-> (the <-> cat)' -> 'fat' <2> 'cat', not 'fat' <-> 'cat'.
+    For a fully-dropped subtree (None) lpad == rpad == the subtree's
+    total traversal span, so distances pass through dropped middles
+    ('fat <-> (the <-> a) <-> cat' -> 'fat' <3> 'cat')."""
     kind = node[0]
     if kind == "term":
-        return (None, 0) if node[1] is None else (node, 0)
+        return (None, 0, 0) if node[1] is None else (node, 0, 0)
     if kind == "not":
-        inner, _ = _collapse_stopwords(node[1])
-        return (None, 0) if inner is None else (("not", inner), 0)
+        inner, _, _ = _collapse_stopwords(node[1])
+        return (None, 0, 0) if inner is None else (("not", inner), 0, 0)
     if kind in ("and", "or"):
-        l, _ = _collapse_stopwords(node[1])
-        r, _ = _collapse_stopwords(node[2])
+        l, l_l, l_r = _collapse_stopwords(node[1])
+        r, r_l, r_r = _collapse_stopwords(node[2])
         if l is None:
-            return r, 0
+            return r, r_l, r_r
         if r is None:
-            return l, 0
-        return (kind, l, r), 0
-    # phrase: distances accumulate through dropped middles
+            return l, l_l, l_r
+        return (kind, l, r), 0, 0
+    # phrase: distances accumulate through dropped ends and middles
     _, left, right, dist = node
-    l, lcarry = _collapse_stopwords(left)
-    r, rcarry = _collapse_stopwords(right)
-    d = dist + lcarry
+    l, l_l, l_r = _collapse_stopwords(left)
+    r, r_l, r_r = _collapse_stopwords(right)
     if l is None and r is None:
-        return None, d + rcarry
+        span = l_l + dist + r_r
+        return None, span, span
     if r is None:
-        return l, d
+        # right operand fully dropped: its span extends our right pad
+        return l, l_l, l_r + dist + r_r
     if l is None:
-        return r, rcarry
-    return ("phrase", l, r, d), rcarry
+        # left operand fully dropped: its span extends our left pad
+        return r, l_l + dist + r_l, r_r
+    return ("phrase", l, r, dist + l_r + r_l), l_l, r_r
 
 
 def parse_tsquery(text: str, config: str = "simple"):
     node = _TsQueryParser(text, config).parse()
-    collapsed, _ = _collapse_stopwords(node)
+    collapsed, _, _ = _collapse_stopwords(node)
     return collapsed if collapsed is not None else ("term", None, False)
 
 
@@ -801,26 +833,38 @@ def _term_weight(tsv: Column, term, wmap: Column) -> Column:
     return wmap[first["weight"]]
 
 
-def _rank_or(tsv: Column, terms, wmap: Column) -> Column:
-    """pg tsrank.c calc_rank_or: each found item contributes
-    w * sum_{j=1..n} 1/j^2, normalized by pi^2/6, averaged over ALL query
-    items (found or not). With one weight per entry the inner loop's
-    running max telescopes to exactly this closed form."""
+def _rank_or(tsv: Column, terms, wmap: Column, qsize: int) -> Column:
+    """pg tsrank.c calc_rank_or: each matched tsvector ENTRY contributes
+    an independent (wjm + resj - wjm/((jm+1)^2)) / (pi^2/6) — with one
+    weight per entry (ours, and pg's for setweight-built data) the inner
+    loop telescopes to w * sum_{j=1..n} 1/j^2 / (pi^2/6). A prefix term
+    can match several entries; each gets its OWN harmonic sum with its
+    OWN weight (pg loops entries inside the item loop). Entries without
+    positions count as one D-weighted position (pg's POSNULL). The total
+    divides by q->size — the query-tree NODE count, values AND operators
+    (numnode), not the value-term count — so 'a | b' divides by 3."""
     parts = []
     for term in terms:
-        pos = _term_positions(tsv, ("term",) + term)
-        w = F.coalesce(_term_weight(tsv, term, wmap), F.lit(0.0))
-        harm = F.aggregate(
-            F.when(F.size(pos) > 0, F.sequence(F.lit(1), F.size(pos)))
-             .otherwise(F.array().cast("array<int>")),
-            F.lit(0.0),
-            lambda acc, j: acc + F.lit(1.0)
-            / (j.cast("double") * j.cast("double")))
-        parts.append(w * harm / F.lit(1.64493406685))
+        lexeme, prefix = term
+        entries = _entry_for(tsv, lexeme, prefix)
+
+        def one_entry(acc: Column, e: Column) -> Column:
+            npos = F.size(e["positions"])
+            harm = F.aggregate(
+                F.when(npos > 0, F.sequence(F.lit(1), npos))
+                 .otherwise(F.array(F.lit(1))),
+                F.lit(0.0),
+                lambda a, j: a + F.lit(1.0)
+                / (j.cast("double") * j.cast("double")))
+            w = F.when(npos > 0, wmap[e["weight"]]) \
+                 .otherwise(wmap[F.lit("D")])
+            return acc + w * harm / F.lit(1.64493406685)
+
+        parts.append(F.aggregate(entries, F.lit(0.0), one_entry))
     total = parts[0]
     for p in parts[1:]:
         total = total + p
-    return total / F.lit(float(len(terms)))
+    return total / F.lit(float(max(qsize, 1)))
 
 
 def _word_distance(dist: Column) -> Column:
@@ -893,8 +937,9 @@ def ts_rank(tsv: Column, node, weights=None) -> Column:
     """pg ts_rank following tsrank.c's calc_rank structure: an AND or
     phrase ROOT with >= 2 query terms ranks by pairwise positional
     proximity (calc_rank_and); everything else ranks by per-term
-    harmonic position frequency (calc_rank_or). See _word_distance for
-    the one documented constant-level uncertainty."""
+    harmonic position frequency (calc_rank_or, divided by the query
+    node count like pg's q->size). See _word_distance for the one
+    documented constant-level uncertainty."""
     weights = weights or [0.1, 0.2, 0.4, 1.0]  # D C B A
     wmap = _weight_map(weights)
     terms: List[Tuple[str, bool]] = []
@@ -903,4 +948,153 @@ def ts_rank(tsv: Column, node, weights=None) -> Column:
         return F.lit(0.0).cast("float")
     if node[0] in ("and", "phrase") and len(terms) >= 2:
         return _rank_and(tsv, terms, wmap).cast("float")
-    return _rank_or(tsv, terms, wmap).cast("float")
+    return _rank_or(tsv, terms, wmap, numnode(node)).cast("float")
+
+
+# ------------------------------------------------- cover-density ranking
+
+def _sat_expr(node, tindex, seen) -> Column:
+    """Boolean satisfaction of a tsquery tree given per-unique-term
+    membership Columns — pg's TS_execute(checkcondition_QueryOperand)
+    over Cover's operandexist set. Without TS_EXEC_CALC_NOT (pg's Cover
+    call), NOT subtrees evaluate TRUE; phrase operators degrade to AND
+    when positions are not checked (pg TS_phrase_execute without
+    position data)."""
+    kind = node[0]
+    if kind == "term":
+        if node[1] is None:
+            return F.lit(False)
+        return seen[tindex[(node[1], node[2])]]
+    if kind == "not":
+        return F.lit(True)
+    l = _sat_expr(node[1], tindex, seen)
+    r = _sat_expr(node[2], tindex, seen)
+    return (l | r) if kind == "or" else (l & r)
+
+
+def ts_rank_cd(tsv: Column, node, weights=None,
+               normalization: int = 0) -> Column:
+    """pg ts_rank_cd — cover-density ranking per tsrank.c calc_rank_cd:
+    enumerate minimal covers (pg's Cover(): scan forward to the first
+    position set satisfying the query, then backward to the latest
+    begin whose suffix still satisfies; restart at begin+1), and for
+    each cover add Cpos / (1 + nNoise) where Cpos = |cover entries| /
+    sum(1/weight) over the cover's entries and nNoise = the non-query
+    words inside the cover (negative -> half the entry span, pg's
+    truncated-position approximation). Like pg, stripped lexemes (no
+    positions) are ignored; an all-stripped input ranks 0.
+
+    Spark-side this is one row-local pass: the doc representation (all
+    query-term positions, sorted) folds left-to-right under F.aggregate
+    with state {restart, last-seen index per term, wdoc}. Because
+    satisfaction is monotone in the seen set, the single pass emits
+    exactly pg's greedy cover sequence. All pure JVM HOFs; expression
+    size grows O(T^2) in the unique-term count (tsqueries are literals;
+    typical T <= 5).
+
+    normalization: pg's bitmask — 0 (none, the default) and 32
+    (rank/(rank+1)) are supported; the log/length variants would need
+    constants not verifiable offline and raise."""
+    from ..operators.dedup import _let
+
+    if normalization not in (0, 32):
+        raise TsQueryError(
+            "ts_rank_cd normalization must be 0 or 32 (the other pg "
+            "bitmask variants are not supported)")
+    weights = weights or [0.1, 0.2, 0.4, 1.0]  # D C B A
+    wmap = _weight_map(weights)
+    raw: List[Tuple[str, bool]] = []
+    _collect_terms(node, raw)
+    terms = list(dict.fromkeys(raw))
+    if not terms:
+        return F.lit(0.0).cast("float")
+    tindex = {t: i for i, t in enumerate(terms)}
+    T = len(terms)
+
+    # doc representation: struct<pos,term,w> per query-term position,
+    # sorted by position (struct comparison is field-ordered). Entries
+    # without positions are ignored (pg: cd requires positional info).
+    def _term_rows(term_id: int):
+        # NOTE: must be a closure, not a default-arg lambda — a 2-param
+        # lambda would make PySpark pass the array INDEX as the 2nd arg
+        def per_entry(e: Column) -> Column:
+            return F.transform(
+                e["positions"],
+                lambda p: F.struct(
+                    p.cast("int").alias("pos"),
+                    F.lit(term_id).alias("term"),
+                    wmap[e["weight"]].alias("w")))
+
+        return per_entry
+
+    parts = []
+    for i, (lexeme, prefix) in enumerate(terms):
+        entries = F.filter(_entry_for(tsv, lexeme, prefix),
+                           lambda e: F.size(e["positions"]) > 0)
+        parts.append(F.flatten(F.transform(entries, _term_rows(i))))
+    doc_expr = F.array_sort(parts[0] if T == 1 else F.concat(*parts))
+
+    def run(doc: Column) -> Column:
+        n = F.size(doc)
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+               .otherwise(F.array().cast("array<int>"))
+        init = F.struct(
+            F.lit(0).alias("restart"),
+            F.array(*[F.lit(-1) for _ in range(T)]).cast("array<int>")
+             .alias("last"),
+            F.lit(0.0).alias("wdoc"))
+
+        def step(st: Column, j: Column) -> Column:
+            def with_entry(e: Column) -> Column:
+                last_expr = F.transform(
+                    st["last"],
+                    lambda v, i: F.when(i == e["term"], j.cast("int"))
+                                  .otherwise(v))
+
+                def with_last(last: Column) -> Column:
+                    seen = [last[i] >= st["restart"] for i in range(T)]
+                    satisfied = _sat_expr(node, tindex, seen)
+                    # latest begin whose suffix [b..j] still satisfies:
+                    # candidates are the last-seen indices themselves
+                    cands = []
+                    for i in range(T):
+                        suffix_seen = [last[k] >= last[i]
+                                       for k in range(T)]
+                        ok = _sat_expr(node, tindex, suffix_seen) \
+                            & (last[i] >= st["restart"])
+                        cands.append(F.when(ok, last[i])
+                                      .otherwise(F.lit(-1)))
+                    b_raw = cands[0] if T == 1 else F.greatest(*cands)
+                    b = F.greatest(b_raw, F.lit(0))
+                    cover = F.slice(doc, b + 1, j - b + 1)
+                    invsum = F.aggregate(
+                        cover, F.lit(0.0),
+                        lambda a, c: a + F.lit(1.0) / c["w"])
+                    count = (j - b + 1).cast("double")
+                    noise_raw = (F.get(doc, j)["pos"]
+                                 - F.get(doc, b)["pos"]) - (j - b)
+                    nnoise = F.when(
+                        noise_raw < 0,
+                        F.floor((j - b) / 2).cast("int")
+                    ).otherwise(noise_raw.cast("int"))
+                    wdoc = st["wdoc"] + (count / invsum) \
+                        / (F.lit(1.0) + nnoise.cast("double"))
+                    return F.when(satisfied, F.struct(
+                        (b + 1).cast("int").alias("restart"),
+                        last.alias("last"),
+                        wdoc.alias("wdoc"))
+                    ).otherwise(F.struct(
+                        st["restart"].alias("restart"),
+                        last.alias("last"),
+                        st["wdoc"].alias("wdoc")))
+
+                return _let(last_expr, with_last)
+
+            return _let(F.get(doc, j), with_entry)
+
+        return F.aggregate(idx, init, step, lambda st: st["wdoc"])
+
+    rank = _let(doc_expr, run)
+    if normalization == 32:
+        rank = rank / (rank + F.lit(1.0))
+    return rank.cast("float")

@@ -781,6 +781,60 @@ QUERIES = [
      "querytree(to_tsquery('!defined')), "
      "querytree(to_tsquery('a | !b'))",
      "select 5, 3, '''a''', 'T', 'T'"),
+    # stopword collapse carries distance on BOTH ends (r09): a dropped
+    # LEADING stopword inside a parenthesized phrase operand widens the
+    # enclosing distance (pg clean_stopword_intree two-sided tracking)
+    ("select to_tsquery('english', 'fat <-> (the <-> cat)'), "
+     "to_tsquery('english', 'fat <-> (the <-> a) <-> cat'), "
+     "to_tsquery('english', '(the <-> fat) <-> cat'), "
+     "to_tsvector('english', 'fat dog cat') "
+     "@@ to_tsquery('english', 'fat <-> (the <-> cat)'), "
+     "to_tsvector('english', 'fat cat x') "
+     "@@ to_tsquery('english', 'fat <-> (the <-> cat)')",
+     "select '''fat'' <2> ''cat''', '''fat'' <3> ''cat''', "
+     "'''fat'' <-> ''cat''', true, false"),
+    # calc_rank_or divides by q->size (nodes, not value terms) and sums
+    # per-ENTRY harmonics for prefix terms (r09): 'a | b' has q->size 3;
+    # 'spark:*' matching two entries sums two independent H(1) terms
+    ("select round(cast(ts_rank(to_tsvector('cat dog'), "
+     "to_tsquery('cat | dog')) as double), 6), "
+     "round(cast(ts_rank(to_tsvector('spark sparkle'), "
+     "to_tsquery('spark:*')) as double), 6)",
+     "select 0.040528, 0.121585"),
+    # ts_rank_cd (r09): pg tsrank.c calc_rank_cd cover-density values —
+    # no decay constants involved, every value derives exactly from the
+    # published algorithm: single D term = 0.1 per cover, adjacent AND
+    # pair = |2 entries| / (1/0.1 + 1/0.1) = 0.1, two noise words divide
+    # by (1 + 2), A-weighted adjacent pair = 2/(1+1) = 1.0
+    ("select round(cast(ts_rank_cd(to_tsvector('cat'), "
+     "to_tsquery('cat')) as double), 6), "
+     "round(cast(ts_rank_cd(to_tsvector('cat x cat'), "
+     "to_tsquery('cat')) as double), 6), "
+     "round(cast(ts_rank_cd(to_tsvector('cat rat'), "
+     "to_tsquery('cat & rat')) as double), 6), "
+     "round(cast(ts_rank_cd(to_tsvector('cat x x rat'), "
+     "to_tsquery('cat & rat')) as double), 6), "
+     "round(cast(ts_rank_cd(setweight(to_tsvector('cat rat'), 'A'), "
+     "to_tsquery('cat & rat')) as double), 6)",
+     "select 0.1, 0.2, 0.1, 0.033333, 1.0"),
+    ("select round(cast(ts_rank_cd(to_tsvector('a b a'), "
+     "to_tsquery('a & b')) as double), 6), "
+     "round(cast(ts_rank_cd(to_tsvector('cat dog'), "
+     "to_tsquery('cat | dog')) as double), 6), "
+     "round(cast(ts_rank_cd(to_tsvector('fat cat'), "
+     "phraseto_tsquery('fat cat')) as double), 6), "
+     "ts_rank_cd(strip(to_tsvector('cat')), to_tsquery('cat')), "
+     "round(cast(ts_rank_cd(to_tsvector('cat'), to_tsquery('cat'), "
+     "32) as double), 6), "
+     "ts_rank_cd(to_tsvector('cat'), to_tsquery('dog'))",
+     "select 0.2, 0.2, 0.1, cast(0.0 as float), 0.090909, "
+     "cast(0.0 as float)"),
+    ("select ts_rank_cd(to_tsvector('a x x x b'), to_tsquery('a & b')) "
+     "< ts_rank_cd(to_tsvector('a b'), to_tsquery('a & b')), "
+     "ts_rank_cd(array[0.2,0.3,0.5,0.9], "
+     "to_tsvector('cat rat'), to_tsquery('cat & rat')) "
+     "> cast(0.19 as float)",
+     "select true, true"),
     # ts_headline (r08): stem-aware highlighting, options, left-extended
     # window, HighlightAll
     ("select ts_headline('english', 'The fat rats ate the cheese "
