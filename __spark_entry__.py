@@ -1229,18 +1229,92 @@ _op("op_ann_full", _op_ann_full, _ANN_EXACT_ORACLE)
 def _op_pq_topk(spark, sf_dir):
     """Product-quantization ANN (operators/pq.py): 32x-compressed codes,
     ADC lookup-table scan, exact re-rank of the top candidates. Honest
-    approximate configuration (16 centroids/subspace) — rows-only; the
-    lossless configuration below is the hash-verified mirror."""
+    approximate configuration (16 centroids/subspace) with a FIXED
+    seeded codebook (pq.py:fixed_pq_codebooks, the faiss pretrained-
+    codebook pattern that made op_ivf_topk verifiable): the quantization
+    error is real, but the run is deterministic and the codebook
+    literals inline into an independent DuckDB derivation — so the
+    approximate path gets a hash-green driver row. The k-means-trained
+    path stays driver-covered by op_pq_full (lossless mirror)."""
     from pyspark.sql import functions as F
 
-    from framequery_spark.operators.pq import pq_topk
+    from framequery_spark.operators.pq import fixed_pq_codebooks, pq_topk
 
     emb = _scope(spark, sf_dir)["embeddings"]
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
-                   n_subvectors=8, n_centroids=16)
+                   codebooks=fixed_pq_codebooks(8, 16, 64, seed=7))
 
 
-_op("op_pq_topk", _op_pq_topk, None)  # approximate by contract: rows-only
+def _pq_seeded_oracle(k=5, n_subvectors=8, n_centroids=16, dim=64,
+                      seed=7, refine=4) -> str:
+    """Independent DuckDB derivation of the fixed-codebook PQ config:
+    the codebook as a VALUES relation, per-subspace nearest-centroid
+    encoding (squared-L2 window with ties to the lower code), the
+    reconstructed-vector norm from the selected centroids alone, ADC =
+    sum of per-subspace query-centroid dots, the refine*k candidate cut
+    on round(adc, 6) (the engine pins the cut the same way — GEMM vs
+    sequential summation differ at ulp), then the exact-cosine re-rank
+    of op_ann_full."""
+    from framequery_spark.operators.pq import fixed_pq_codebooks
+
+    books = fixed_pq_codebooks(n_subvectors, n_centroids, dim, seed=seed)
+    sub = dim // n_subvectors
+    rows = []
+    for s, book in enumerate(books):
+        for c, cent in enumerate(book):
+            lits = ", ".join(repr(x) for x in cent)
+            rows.append(f"({s}, {c}, [{lits}])")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+cb(s, c, cv) AS (VALUES {values}),
+subs AS (
+  SELECT vec_id, CAST(t.s AS INT) AS s,
+         list_slice(v, t.s * {sub} + 1, t.s * {sub} + {sub}) AS sv
+  FROM base, unnest(range({n_subvectors})) AS t(s)),
+enc AS (
+  SELECT vec_id, s, cv,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY
+           list_dot_product(sv, sv) - 2 * list_dot_product(sv, cv)
+             + list_dot_product(cv, cv), c) AS rn
+  FROM subs JOIN cb USING (s)),
+sel AS (SELECT vec_id, s, cv FROM enc WHERE rn = 1),
+norms AS (SELECT vec_id, sqrt(sum(list_dot_product(cv, cv))) AS pq_norm
+          FROM sel GROUP BY vec_id),
+qs AS (SELECT vec_id AS query_id, s, sv AS qsv
+       FROM subs WHERE vec_id < 10),
+qn AS (SELECT vec_id AS query_id, sqrt(list_dot_product(v, v)) AS qn
+       FROM base WHERE vec_id < 10),
+adc AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         sum(list_dot_product(q.qsv, e.cv)) AS dot
+  FROM qs q JOIN sel e ON q.s = e.s AND q.query_id <> e.vec_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT a.query_id, a.neighbor_id,
+         row_number() OVER (PARTITION BY a.query_id ORDER BY
+           round(a.dot / (qn.qn * n.pq_norm), 6) DESC,
+           a.neighbor_id) AS ar
+  FROM adc a JOIN qn ON qn.query_id = a.query_id
+             JOIN norms n ON n.vec_id = a.neighbor_id),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q.v, x.v), 6) AS cosine
+  FROM cand c JOIN base q ON q.vec_id = c.query_id
+              JOIN base x ON x.vec_id = c.neighbor_id
+  WHERE c.ar <= {refine * k})
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) t
+WHERE rank <= {k}
+"""
+
+
+# fixed seeded codebook -> deterministic encoding/ADC -> the approximate
+# config itself is hash-verifiable (previously rows-only)
+_op("op_pq_topk", _op_pq_topk, _pq_seeded_oracle())
 
 
 def _op_pq_full(spark, sf_dir):
@@ -2916,20 +2990,62 @@ ORDER BY query_id, rank
 
 
 def _op_semdedup(spark, sf_dir):
-    """SemDeDup (operators/similarity.py:semdedup): k-means clusters +
-    within-cluster greedy cosine dedup. n_clusters=8 is the honest
-    approximate configuration (cross-cluster near-dups are not compared by
-    design) — rows-only; op_semdedup_exact is the hash-verified mirror."""
+    """SemDeDup (operators/similarity.py:semdedup): cluster assignment +
+    within-cluster greedy cosine dedup. 8 clusters is the honest
+    approximate configuration (cross-cluster near-dups are not compared
+    by design), with FIXED seeded centroids
+    (similarity.py:fixed_random_centroids) instead of data-trained
+    k-means — deterministic cells whose literals inline into an
+    independent DuckDB derivation, so the approximate path gets a
+    hash-green driver row. The k-means-trained path stays covered by
+    op_semdedup_exact (n_clusters=1 exact mirror)."""
     from pyspark.sql import functions as F
 
-    from framequery_spark.operators.similarity import semdedup
+    from framequery_spark.operators.similarity import (
+        fixed_random_centroids, semdedup)
 
     emb = _scope(spark, sf_dir)["embeddings"]
-    return (semdedup(emb, threshold=0.4, n_clusters=8)
+    return (semdedup(emb, threshold=0.4,
+                     centroids=fixed_random_centroids(8, 64, seed=11))
             .select("vec_id").orderBy("vec_id"))
 
 
-_op("op_semdedup", _op_semdedup, None)  # approximate by design: rows-only
+def _semdedup_seeded_oracle(threshold=0.4, n_clusters=8, dim=64,
+                            seed=11) -> str:
+    """Independent DuckDB derivation of the fixed-centroid SemDeDup
+    config: cell = argmin squared-L2 over the literal centroids (the
+    struct list_sort trick of the IVF oracle), survivor = no lower-id
+    SAME-CELL row with cosine >= threshold (the greedy keep-lowest-id
+    rule stated as NOT EXISTS, like op_semdedup_exact)."""
+    from framequery_spark.operators.similarity import (
+        fixed_random_centroids)
+
+    cents = fixed_random_centroids(n_clusters, dim, seed=seed)
+    ds = []
+    for i, c in enumerate(cents):
+        lits = ", ".join(repr(x) for x in c)
+        c2 = repr(sum(x * x for x in c))
+        ds.append(
+            f"struct_pack(d := list_dot_product(v, v) "
+            f"- 2 * list_dot_product(v, [{lits}]) + {c2}, i := {i})")
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+cells AS (
+  SELECT vec_id, v, (list_sort([{', '.join(ds)}]))[1].i AS cell
+  FROM base)
+SELECT a.vec_id FROM cells a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cells b
+  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+    AND list_cosine_similarity(a.v, b.v) >= {threshold})
+ORDER BY a.vec_id
+"""
+
+
+# fixed seeded centroids -> deterministic cells -> the approximate config
+# itself is hash-verifiable (previously rows-only)
+_op("op_semdedup", _op_semdedup, _semdedup_seeded_oracle())
 
 
 def _op_semdedup_exact(spark, sf_dir):

@@ -149,10 +149,36 @@ def _query_luts(queries: DataFrame, codebooks: List[List[List[float]]],
                           lut(F.col(vec_col)).alias("__lut"))
 
 
+def fixed_pq_codebooks(n_subvectors: int, n_centroids: int, dim: int,
+                       seed: int = 7,
+                       scale: float = 0.1) -> List[List[List[float]]]:
+    """Seeded random PQ codebooks (gauss(0, scale) per coordinate, one
+    independent seed per subspace) for the bring-your-own-codebook
+    pq_topk path — the PQ twin of similarity.fixed_random_centroids: a
+    fixed codebook makes the approximate ADC pipeline fully
+    deterministic AND cross-engine verifiable (the centroid literals
+    inline into an independent SQL derivation), at the cost of
+    data-adapted quantization error — the faiss pretrained-codebook
+    trade."""
+    import random
+
+    if dim % n_subvectors:
+        raise ValueError(
+            f"dim {dim} not divisible by n_subvectors={n_subvectors}")
+    sub = dim // n_subvectors
+    books: List[List[List[float]]] = []
+    for s in range(n_subvectors):
+        rnd = random.Random(seed + 1009 * s)
+        books.append([[rnd.gauss(0.0, scale) for _ in range(sub)]
+                      for _ in range(n_centroids)])
+    return books
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_subvectors: int = 8, n_centroids: int = 16,
-            refine: int = 4, iters: int = 3) -> DataFrame:
+            refine: int = 4, iters: int = 3,
+            codebooks: List[List[List[float]]] = None) -> DataFrame:
     """PQ/ADC approximate top-k with exact re-ranking.
 
     Pipeline: train codebooks (driver, capped sample) -> encode corpus
@@ -160,12 +186,22 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (query, code) pair with a row-local m-lookup JVM fold -> keep the top
     refine*k ADC candidates per query -> join back full vectors for exact
     cosine -> emit top-k. Output schema matches cosine_topk
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+
+    The candidate cut orders by round(adc, 6) with neighbor-id ties: the
+    LUT is a numpy GEMM whose summation order differs from a sequential
+    fold at ulp level, so the raw double would make the refine-pool
+    boundary engine-dependent; 6 decimals pin it deterministically (the
+    same pinning every cosine output here already uses).
+
+    ``codebooks``: pretrained/fixed codebooks (faiss-style; see
+    fixed_pq_codebooks); when given, driver-side training is skipped and
+    n_subvectors/n_centroids are taken from their shape."""
     from .dedup import _spread
 
-    books = train_pq_codebooks(corpus, n_subvectors=n_subvectors,
-                               n_centroids=n_centroids, iters=iters,
-                               id_col=id_col, vec_col=vec_col)
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        corpus, n_subvectors=n_subvectors, n_centroids=n_centroids,
+        iters=iters, id_col=id_col, vec_col=vec_col)
     k_max = max(len(b) for b in books)
     enc = pq_encode(_spread(corpus), books, id_col=id_col, vec_col=vec_col) \
         .select(F.col(id_col).alias("neighbor_id"), "pq_code", "pq_norm")
@@ -182,7 +218,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.lit(0.0), lambda acc, v: acc + v)
     approx = adc / (F.col("__qn") * F.col("pq_norm"))
     wa = Window.partitionBy("query_id").orderBy(
-        F.col("__adc").desc(), F.col("neighbor_id"))
+        F.round(F.col("__adc"), 6).desc(), F.col("neighbor_id"))
     cands = (pairs.withColumn("__adc", approx)
              .withColumn("__ar", F.row_number().over(wa))
              .filter(F.col("__ar") <= refine * k)

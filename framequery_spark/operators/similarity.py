@@ -360,7 +360,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def semdedup(corpus: DataFrame, threshold: float = 0.9,
              n_clusters: int = 16, id_col: str = "vec_id",
              vec_col: str = "embedding", iters: int = 2,
-             return_pairs: bool = False) -> DataFrame:
+             return_pairs: bool = False,
+             centroids: Optional[List[List[float]]] = None) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): k-means-partition the embedding space, compare pairs
     only WITHIN a cluster, and greedily drop every item that has a
@@ -387,12 +388,18 @@ def semdedup(corpus: DataFrame, threshold: float = 0.9,
 
     return_pairs=True returns the within-cluster offending pairs instead
     of the surviving rows (for audit dashboards).
+
+    ``centroids``: pretrained/fixed cluster centroids (see
+    :func:`fixed_random_centroids`); when given, driver-side k-means is
+    skipped and n_clusters is taken from them — this makes the
+    approximate configuration deterministic and cross-engine verifiable.
     """
     from .dedup import embedding_near_dup_pairs
 
-    centroids = train_ivf_centroids(corpus, n_centroids=n_clusters,
-                                    iters=iters, id_col=id_col,
-                                    vec_col=vec_col)
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids=n_clusters,
+                                        iters=iters, id_col=id_col,
+                                        vec_col=vec_col)
     assigned = corpus.withColumn(
         "__cell", _centroid_udf(centroids)(F.col(vec_col)))
     pairs = embedding_near_dup_pairs(assigned, id_col=id_col,

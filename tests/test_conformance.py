@@ -165,16 +165,14 @@ def test_lint_catches_bare_sum_oracle():
 
 
 # rows-only entries (no DuckDB oracle BY DESIGN) must be explicitly listed
-# here; each has an exact-configuration mirror entry that IS hash-verified
-# (op_simhash_exact, op_ann_full, op_ivf_full_probe, op_pq_full,
-# op_semdedup_exact).
-# op_ann_topk / op_ivf_topk gained seeded-determinism oracles in r08
-# (literal hyperplanes / fixed quantizer inlined into the DuckDB SQL);
-# the three left here are genuinely oracle-less: Spark-specific xxhash64
-# signatures (op_simhash_pairs) and data-trained k-means codebooks
-# (op_pq_topk, op_semdedup) cannot be restated in static SQL. Each has a
-# hash-green exact-config mirror.
-ROWS_ONLY = {"op_simhash_pairs", "op_pq_topk", "op_semdedup"}
+# here; each has an exact-configuration mirror entry that IS hash-verified.
+# op_ann_topk / op_ivf_topk gained seeded-determinism oracles in r08 and
+# op_pq_topk / op_semdedup in r09 (literal hyperplanes / quantizers /
+# codebooks / centroids inlined into independent DuckDB derivations); the
+# ONE entry left is genuinely oracle-less: op_simhash_pairs hinges on
+# Spark-specific xxhash64 signatures that no static SQL can restate. Its
+# exact-config mirror op_simhash_exact is hash-green.
+ROWS_ONLY = {"op_simhash_pairs"}
 
 
 def test_every_entry_has_oracle_or_is_listed_rows_only():
