@@ -853,6 +853,53 @@ GROUP BY source
 ORDER BY source
 """)
 
+# pg_trgm fuzzy matching over part names (r09): trigram-set similarity +
+# the % threshold operator, both JVM HOF expressions. The oracle
+# restates the padded-word trigram extraction and set Jaccard with
+# DuckDB list ops — an independent derivation of the whole pipeline.
+# Both engines compare the threshold on the exact double and round the
+# projected value to 6 (small-rational Jaccards never sit at a rounding
+# boundary).
+_q("q71_trgm_similarity", """
+SELECT p_partkey,
+       round(cast(similarity(p_name, 'small widgets') AS double), 6) AS sim
+FROM part
+WHERE p_name % 'small widgets'
+ORDER BY sim DESC, p_partkey
+LIMIT 30
+""", oracle="""
+WITH probe AS (
+  SELECT list_distinct(flatten(list_transform(
+    list_transform(
+      list_filter(regexp_split_to_array(
+        regexp_replace(lower('small widgets'), '[^a-z0-9]+', ' ', 'g'),
+        ' '), w -> w <> ''),
+      w -> concat('  ', w, ' ')),
+    s -> list_transform(range(1, length(s) - 1),
+                        i -> s[i : i + 2])))) AS t
+), p AS (
+  SELECT p_partkey, list_distinct(flatten(list_transform(
+    list_transform(
+      list_filter(regexp_split_to_array(
+        regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g'),
+        ' '), w -> w <> ''),
+      w -> concat('  ', w, ' ')),
+    s -> list_transform(range(1, length(s) - 1),
+                        i -> s[i : i + 2])))) AS t2
+  FROM part
+), scored AS (
+  SELECT p_partkey,
+         cast(len(list_intersect(t2, probe.t)) AS double)
+           / (len(t2) + len(probe.t) - len(list_intersect(t2, probe.t)))
+           AS sim_raw
+  FROM p, probe)
+SELECT p_partkey, round(sim_raw, 6) AS sim
+FROM scored
+WHERE sim_raw >= 0.3
+ORDER BY sim DESC, p_partkey
+LIMIT 30
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the

@@ -58,6 +58,16 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "64g"))
+        # A 144-entry bench x reps generates thousands of Janino classes;
+        # the JDK default 240 MB code cache fills, the JIT disables or
+        # thrashes, and entries late in the run intermittently read 5-10x
+        # their steady state (measured r09: op_dsir_select [6.0, 4.6, 4.0,
+        # 3.7, 11.1, 23.1] on an idle host with defaults vs [4.3, 4.8,
+        # 7.0, 2.3, 2.6, 2.4, 2.0, 2.0] with a 1 GiB cache — the
+        # BENCH_r08 12.6 s op_dsir_select anomaly). Reservation is
+        # virtual; flushing evicts cold methods instead of stopping C2.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -119,15 +129,15 @@ def main() -> None:
     # real regressions indistinguishable from variance.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list] = {}
     total = 0.0
     for name, fn in qs.items():
-        # collect the PREVIOUS query's garbage before this query's reps —
-        # not between reps: a System.gc() right before a timed window
-        # triggers JIT deopt/re-profile storms that inflate the next rep
-        # 2-5x (measured: minhash_clusters 4.7 s warm vs 9-29 s right after
-        # a forced gc), so within a query rep0 absorbs the re-warm and the
-        # median of the remaining reps reflects the steady-state plan cost.
-        spark._jvm.System.gc()
+        # NO per-entry System.gc(): with the code cache sized correctly
+        # (above) the forced gc is purely harmful — its deopt/re-profile
+        # storm inflates the following entry's reps 3-4x (measured r09:
+        # op_lr_quality [5.3, 16.1, 19.6] with a gc before each entry vs
+        # [4.8, 4.2, 4.5] without, idle host, same code). The r08-era gc
+        # was treating a symptom of the code-cache thrash.
         runs: list[float] = []
         failed = False
         for r in range(reps):
@@ -180,6 +190,7 @@ def main() -> None:
                     break  # flattened
         med = sorted(runs)[len(runs) // 2]
         timings[name] = round(med, 3)
+        all_runs[name] = [round(x, 3) for x in runs]
         total += med
         print(f"bench: {name}: median {med:.3f}s over {len(runs)} runs "
               f"[{', '.join(f'{x:.3f}' for x in runs)}] ({n} rows)",
@@ -205,11 +216,19 @@ def main() -> None:
     # end-of-run load minus the bench's own footprint: anything well above
     # the cpu budget means another workload shared the machine mid-run
     contended = contended_start or load1_end > 1.5 * cpus
+    # per-rep decomposition of the slowest entries: a high median with a
+    # flat run list is plan cost; a high median inside a falling or
+    # spiking list is environment (JIT/GC) — recorded so a slow entry in
+    # the driver artifact is attributable without a re-run
+    slowest = {k: all_runs[k]
+               for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+               if k in all_runs}
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "slowest_reps": slowest,
         "sf": sf_val,
         "reps": reps,
         "aggregation": "median_per_query",
@@ -234,6 +253,7 @@ def main() -> None:
         "n_streaming": sum(1 for k in timings if k in streaming_names),
         "sf": sf_val,
         "reps": reps,
+        "slowest_reps": slowest,
         "failed": [k for k, v in timings.items() if v < 0],
         "ckpt_root": ckpt_root,
         "load1_start": round(load1_start, 1),

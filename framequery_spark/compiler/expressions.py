@@ -583,6 +583,19 @@ class ExprCompiler:
             return "interval"
         return None
 
+    def _is_texty(self, node: ast.Node) -> bool:
+        """Provably text: a string literal, a ::varchar/::text cast, a
+        ||-concatenation, or a string-typed scope column — the proof bar
+        the pg_trgm % dispatch requires (see _c_Binary)."""
+        if isinstance(node, ast.Literal) and node.kind == "string":
+            return True
+        if isinstance(node, ast.Cast) and node.type_name.lower() in (
+                "varchar", "text", "char", "string"):
+            return True
+        if isinstance(node, ast.Binary) and node.op == "||":
+            return self._is_texty(node.left) or self._is_texty(node.right)
+        return self._scope_col_dtype(node) == "string"
+
     _LO_TO_RANGE = {"int": "int4range", "bigint": "int8range",
                     "decimal(38,18)": "numrange", "date": "daterange",
                     "timestamp": "tsrange"}
@@ -674,6 +687,15 @@ class ExprCompiler:
             # operator.truediv, src/framequery/executor/_pandas.py:401)
             return left / right
         if op == "%":
+            # pg_trgm `text % text` = trigram similarity over the 0.3
+            # threshold. Dispatch needs PROOF of text on both sides (a
+            # string literal, a string-typed scope column, or a ::varchar
+            # cast) — anything less falls back to arithmetic modulo, so a
+            # derived numeric column can never be hijacked
+            if self._is_texty(node.left) and self._is_texty(node.right):
+                from ..functions import trigram as _tg
+
+                return _tg.similarity_match(left, right)
             return left % right
         if op == "^":
             return F.pow(left, right)  # pg ^ is power, not xor
@@ -992,6 +1014,14 @@ class ExprCompiler:
             return F.regexp_like(text, pat)
         if name == "__quant_array":
             return self._compile_quant_array(node)
+        if name == "__trgm_word_match":
+            # pg_trgm <% / %> / <<% / %>> (parse time swaps the operands
+            # so the WORD is always args[0]; args[2] = strict)
+            from ..functions import trigram as _tg
+
+            return _tg.word_similarity_match(
+                self.compile(node.args[0]), self.compile(node.args[1]),
+                strict=bool(node.args[2].value))
         if name in ("encode", "decode") and len(node.args) == 2 and \
                 isinstance(node.args[1], ast.Literal) and \
                 node.args[1].kind == "string":

@@ -755,3 +755,28 @@ def _jsonb_insert(a: List[Column]) -> Column:
 
 _fixed("jsonb_set", _jsonb_set, "json_set")
 _fixed("jsonb_insert", _jsonb_insert)
+
+
+# ------------------------------------------------------ pg_trgm (r09)
+# trigram fuzzy matching (functions/trigram.py — pure JVM HOFs); pg
+# returns real (float4) from the similarity functions, cast here at the
+# SQL boundary while the operators compare on the exact double
+def _trgm(a: List[Column], fn) -> Column:
+    from . import trigram as _tg
+
+    return getattr(_tg, fn)(a[0], a[1]).cast("float")
+
+
+_fixed("similarity", lambda a: _trgm(a, "similarity"))
+_fixed("word_similarity", lambda a: _trgm(a, "word_similarity"))
+_fixed("strict_word_similarity",
+       lambda a: _trgm(a, "strict_word_similarity"))
+
+
+def _show_trgm(a: List[Column]) -> Column:
+    from . import trigram as _tg
+
+    return _tg.trigram_array(a[0])
+
+
+_fixed("show_trgm", _show_trgm)

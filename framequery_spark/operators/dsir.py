@@ -37,14 +37,25 @@ from .dedup import _spread
 
 def _grams_with_repeats(text: Column, n: int) -> Column:
     """Space-joined token n-grams WITH multiplicity (DSIR models counts;
-    contamination.ngram_strings dedups, which is wrong here)."""
-    toks = _norm_tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+    contamination.ngram_strings dedups, which is wrong here).
+
+    The token array is LET-BOUND before the per-gram transform:
+    interpreted HOFs re-evaluate non-variable subtrees once per element,
+    so an inlined ``toks`` re-runs the regexp split O(tokens) times per
+    row (measured: the un-bound form made the sf0.1 gram pass
+    JIT-sensitive and 3-8x slower cold — the op_dsir_select bench
+    instability of BENCH_r08)."""
+    from .dedup import _let
+
+    def body(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+    return _let(_norm_tokens(text), body)
 
 
 def bucket_of(gram: Column, n_buckets: int) -> Column:

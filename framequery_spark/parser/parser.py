@@ -1332,6 +1332,18 @@ class Parser:
                 right = self.parse_concat()
                 left = ast.Call(name="__ts_match", args=(left, right))
                 continue
+            if self.is_op("<%", "%>", "<<%", "%>>"):
+                # pg_trgm word-similarity operators: the word is on the
+                # <-side (a <% b == word_similarity(a, b) over threshold;
+                # %> is the swapped spelling); << / >> = strict variants
+                op = self.advance().value
+                right = self.parse_concat()
+                word, text = (left, right) if "<" in op else (right, left)
+                left = ast.Call(
+                    name="__trgm_word_match",
+                    args=(word, text,
+                          ast.Literal(len(op) == 3, "bool")))
+                continue
             if self.is_op("@>", "<@", "&&"):
                 # pg array/range operators: contains / contained-by /
                 # overlaps (range dispatch happens at compile time)

@@ -835,6 +835,25 @@ QUERIES = [
      "to_tsvector('cat rat'), to_tsquery('cat & rat')) "
      "> cast(0.19 as float)",
      "select true, true"),
+    # pg_trgm (r09): the pg-docs §F.35 canonical examples — padded-word
+    # trigram sets, set Jaccard, continuous-extent word similarity, and
+    # the word-boundary strict variant; 4/11, 4/5, 4/7
+    ("select show_trgm('word'), "
+     "round(cast(similarity('word', 'two words') as double), 6), "
+     "round(cast(word_similarity('word', 'two words') as double), 6), "
+     "round(cast(strict_word_similarity('word', 'two words') "
+     "as double), 6), "
+     "round(cast(similarity('word', 'word') as double), 1), "
+     "similarity('', ''), show_trgm(null) is null",
+     "select ['  w', ' wo', 'ord', 'rd ', 'wor'], 0.363636, 0.8, "
+     "0.571429, 1.0, cast(0.0 as float), true"),
+    # operators: % (0.3), <% / %> (0.6), <<% / %>> (0.5); modulo intact
+    ("select 'word' % 'two words', 'word' % 'apple', "
+     "'word' <% 'two words', 'two words' %> 'word', "
+     "'word' <<% 'two words', 'two words' %>> 'word', "
+     "10 % 3, min(c1) % 2 from test",
+     "select true, false, true, true, true, true, 1, "
+     "min(c1) % 2 from test"),
     # ts_headline (r08): stem-aware highlighting, options, left-extended
     # window, HighlightAll
     ("select ts_headline('english', 'The fat rats ate the cheese "
