@@ -211,6 +211,25 @@ def main() -> None:
             ORDER BY query_id, rank
         """, scope, spark=spark).show()
 
+        # --- round 9: pg_trgm fuzzy matching + cover-density ranking ------
+        fq.execute("""
+            SELECT p_name,
+                   round(cast(similarity(p_name, 'small widgets')
+                              AS double), 3) AS sim
+            FROM part WHERE p_name % 'small widgets'
+            ORDER BY sim DESC, p_partkey LIMIT 5
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT doc_id,
+                   round(cast(ts_rank_cd(to_tsvector('english', text),
+                         to_tsquery('english', 'join & merge'))
+                         AS double), 4) AS rank_cd
+            FROM documents
+            WHERE to_tsvector('english', text)
+                  @@ to_tsquery('english', 'join & merge')
+            ORDER BY rank_cd DESC, doc_id LIMIT 5
+        """, scope, spark=spark).show()
+
 
 if __name__ == "__main__":
     main()
