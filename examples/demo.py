@@ -230,6 +230,32 @@ def main() -> None:
             ORDER BY rank_cd DESC, doc_id LIMIT 5
         """, scope, spark=spark).show()
 
+        # --- round 9: event analytics + fuzzy join + mixture diagnostics --
+        fq.execute("""
+            SELECT * FROM funnel('events', 'view', 'click', 'purchase',
+                                 172800)
+            ORDER BY stage_idx
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM retention_cohorts('events', 'week')
+            ORDER BY cohort, "offset" LIMIT 5
+        """, scope, spark=spark).show()
+        fq.execute("""
+            WITH names AS (SELECT DISTINCT p_name AS doc_id,
+                                  p_name AS text FROM part)
+            SELECT * FROM trgm_pairs('names', 0.55)
+            ORDER BY sim DESC, id1 LIMIT 5
+        """, scope, spark=spark).show(truncate=False)
+        fq.execute("""
+            SELECT source, count(*) AS sampled
+            FROM group_sample('documents', 'source', 'doc_id', 2)
+            GROUP BY source ORDER BY source LIMIT 5
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM source_divergence('documents', 300)
+            ORDER BY js DESC LIMIT 5
+        """, scope, spark=spark).show()
+
 
 if __name__ == "__main__":
     main()

@@ -147,8 +147,10 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         frequent = (sh.groupBy("__shingle")
                     .agg(F.count(F.lit(1)).alias("__df"))
                     .filter(F.col("__df") > max_doc_freq))
+        # the USING-style join hoists the key column to the front — reselect
+        # in (__id, key) order, since the toDF renames below are positional
         sh = sh.join(F.broadcast(frequent.select("__shingle")), "__shingle",
-                     "left_anti")
+                     "left_anti").select("__id", "__shingle")
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
 
     a = sh.toDF("id1", "__shingle")
@@ -165,6 +167,61 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                        / (F.col("__n1") + F.col("__n2") - F.col("__common"))))
     return (jac.filter(F.col("jaccard") >= threshold)
             .select("id1", "id2", F.round("jaccard", 4).alias("jaccard")))
+
+
+def trgm_pairs(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", threshold: float = 0.5,
+               max_doc_freq: Optional[int] = None) -> DataFrame:
+    """All pairs (id1 < id2) with pg_trgm character-trigram similarity
+    >= threshold — the set-join counterpart of the scalar
+    `similarity(a, b)` / `%` operator (functions/trigram.py), i.e. a
+    distributed `a.name % b.name` self-join.
+
+    Same blocked-join scheme as jaccard_pairs: explode each row's distinct
+    padded character trigrams (pg_trgm extraction — short-string shape:
+    names, titles, query strings), self-join on the 64-bit trigram hash,
+    count intersections, compute Jaccard from per-id set sizes. Never
+    all-pairs. `max_doc_freq` drops trigrams occurring in more than that
+    many rows before the join (the skew/volume cap for the long-text
+    shape; similarity is then Jaccard of the CAPPED trigram sets on both
+    sides — an approximation both this and the driver oracle restate
+    identically). For multi-KB documents prefer minhash_lsh_pairs; this
+    exists for the fuzzy-string-match shape pg_trgm serves.
+    """
+    from ..functions.trigram import trigram_array  # deferred: trigram
+    # imports _let from this module, so a top-level import would cycle
+
+    from .cache import persist_tracked
+
+    sh = persist_tracked(
+        _spread(df)
+        .select(F.col(id_col).alias("__id"),
+                F.explode(trigram_array(F.col(text_col))).alias("__g"))
+        .select("__id", F.xxhash64("__g").alias("__g")))
+    if max_doc_freq is not None:
+        frequent = (sh.groupBy("__g")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") > max_doc_freq))
+        # positional toDF below — restore (__id, __g) order after the join
+        # hoists the key column to the front
+        sh = sh.join(F.broadcast(frequent.select("__g")), "__g",
+                     "left_anti").select("__id", "__g")
+    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    a = sh.toDF("id1", "__g")
+    b = sh.toDF("id2", "__g")
+    common = (a.join(b, "__g")
+              .filter(F.col("id1") < F.col("id2"))
+              .groupBy("id1", "id2")
+              .agg(F.count(F.lit(1)).alias("__common")))
+    c1 = counts.toDF("id1", "__n1")
+    c2 = counts.toDF("id2", "__n2")
+    sim = (common.join(c1, "id1").join(c2, "id2")
+           .withColumn("sim",
+                       F.col("__common").cast("double")
+                       / (F.col("__n1") + F.col("__n2") - F.col("__common"))))
+    return (sim.filter(F.col("sim") >= threshold)
+            .select("id1", "id2", F.round("sim", 6).alias("sim")))
 
 
 # ------------------------------------------------------------ MinHash + LSH

@@ -1,0 +1,152 @@
+"""Event-sequence analytics: funnel conversion and retention cohorts.
+
+Beyond-reference product-analytics operators over an event stream
+(user_id, ts, event_type) — the batch counterparts of the streaming
+sessionization in streaming/stream.py.
+
+Scale design (the 100 TB contract):
+  - funnel: ONE shuffle (groupBy user) collecting each user's
+    time-sorted (ts, type) event list, then a pure-JVM F.aggregate fold
+    computes the greedy earliest stage-completion chain row-locally. The
+    per-user list is bounded by that user's event count — for bot-scale
+    users pre-filter to the funnel's event types (done here: the collect
+    only keeps events whose type appears in `stages`, so the state per
+    user is the user's *funnel-relevant* history, not their full stream).
+    Stage counts then reduce through a single-row global aggregate —
+    no window over an unpartitioned frame, no driver collect.
+  - retention: three keyed shuffles (first-activity per user, distinct
+    user-periods, cohort×offset counts), all on high-cardinality keys;
+    the cohort-size normalizer joins back on cohort period (tiny —
+    one row per period; broadcast).
+
+Funnel semantics (matches the SQL restatement in the driver oracle):
+stage 1 time = min ts of a stage-1 event; stage k time = min ts of a
+stage-k event STRICTLY after the stage k-1 time (ties at equal ts do
+not advance the funnel, which makes the fold insensitive to the sort
+order of same-timestamp events). Optional `within_seconds` bounds every
+later stage to at most that many seconds after the user's stage-1 time.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stage_times(df: DataFrame, stages: List[str],
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       within_seconds: Optional[int] = None) -> DataFrame:
+    """(user, stage_times array<long> of epoch-micros) — the greedy earliest
+    completion chain; size(stage_times) = number of stages completed."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel stages must be distinct")
+
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    n = len(stages)
+
+    # parquet event times arrive TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # (session tz is UTC everywhere in this engine, so the cast is lossless)
+    ts = F.col(ts_col).cast("timestamp")
+    ev = (df.filter(F.col(type_col).isin(list(stages)))
+            .select(F.col(user_col).alias("user"),
+                    F.struct(
+                        F.unix_micros(ts).alias("t"),
+                        F.col(type_col).alias("et")).alias("e")))
+    per_user = (ev.groupBy("user")
+                  .agg(F.sort_array(F.collect_list("e")).alias("evs")))
+
+    def step(acc: Column, e: Column) -> Column:
+        done = F.size(acc)
+        needs = F.element_at(stage_arr, done + 1)
+        advances = (done < n) & (e["et"] == needs) & (
+            (done == 0) | (e["t"] > F.element_at(acc, -1)))
+        if within_seconds is not None:
+            advances = advances & (
+                (done == 0)
+                | (e["t"] - F.element_at(acc, 1)
+                   <= F.lit(int(within_seconds) * 1_000_000)))
+        return F.when(advances, F.concat(acc, F.array(e["t"]))) \
+                .otherwise(acc)
+
+    times = F.aggregate(
+        F.col("evs"),
+        F.array().cast("array<bigint>"),
+        step)
+    return per_user.select("user", times.alias("stage_times"))
+
+
+def funnel_counts(df: DataFrame, stages: List[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  within_seconds: Optional[int] = None) -> DataFrame:
+    """Per-stage funnel: (stage_idx, stage, n_users, pct) where pct is the
+    conversion against stage 1. One row per stage, in order."""
+    per_user = funnel_stage_times(df, stages, user_col, ts_col, type_col,
+                                  within_seconds)
+    depth = per_user.select(F.size("stage_times").alias("d"))
+    # one global-aggregate row (n conditional sums reduce map-side), then
+    # posexplode back to one row per stage — no driver round-trip
+    # coalesce: with zero funnel-relevant events the sums aggregate an
+    # empty frame to NULL, but the funnel answer is a count — 0
+    aggs = [F.coalesce(F.sum((F.col("d") >= i + 1).cast("bigint")),
+                       F.lit(0).cast("bigint")).alias(f"s{i}")
+            for i in range(len(stages))]
+    one = depth.agg(*aggs).select(
+        F.col("s0").alias("__first"),
+        F.posexplode(F.array(*[F.col(f"s{i}") for i in range(len(stages))]))
+         .alias("i", "n_users"))
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    return one.select(
+        (F.col("i") + 1).cast("int").alias("stage_idx"),
+        F.element_at(stage_arr, F.col("i") + 1).alias("stage"),
+        F.col("n_users"),
+        F.when(F.col("__first") > 0,
+               F.round(F.col("n_users").cast("double")
+                       / F.col("__first"), 4)).alias("pct"))
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      granularity: str = "week") -> DataFrame:
+    """Cohort retention matrix: users cohorted by the period of their first
+    event; (cohort, period_offset, n_active, retention) counts distinct
+    users of each cohort active in each later period. retention is
+    n_active / cohort size (the offset-0 count — every cohort user is
+    active in their first period by construction)."""
+    if granularity not in ("day", "week", "month"):
+        raise ValueError("granularity must be day, week or month")
+    # date_trunc keeps the input's timestamp family (NTZ stays NTZ), and
+    # the offset arithmetic below runs on dates — no tz-cast anywhere, so
+    # parquet TIMESTAMP_NTZ event times round-trip unchanged
+    period = F.date_trunc(granularity, F.col(ts_col))
+
+    first = (df.groupBy(F.col(user_col).alias("user"))
+               .agg(F.min(period).alias("cohort")))
+    active = (df.select(F.col(user_col).alias("user"),
+                        period.alias("period"))
+                .distinct())
+
+    if granularity == "month":
+        offset = (F.months_between(F.to_date("period"), F.to_date("cohort"))
+                  .cast("int"))
+    else:
+        days = {"day": 1, "week": 7}[granularity]
+        # both sides are period-truncated, so the division is exact
+        offset = (F.datediff(F.to_date("period"), F.to_date("cohort"))
+                  / F.lit(days)).cast("int")
+
+    joined = active.join(first, "user").select(
+        "user", "cohort", offset.alias("offset"))
+    counts = (joined.groupBy("cohort", "offset")
+                    .agg(F.count_distinct("user").alias("n_active")))
+    sizes = counts.filter(F.col("offset") == 0) \
+                  .select("cohort", F.col("n_active").alias("__size"))
+    return (counts.join(F.broadcast(sizes), "cohort")
+            .select("cohort", "offset", "n_active",
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("__size"), 4).alias("retention")))

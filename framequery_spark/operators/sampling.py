@@ -174,6 +174,35 @@ def alpha_mixture_weights(df: DataFrame, source_col: str = "source",
                  .alias("share_after")))
 
 
+def group_sample_k(df: DataFrame, group_col: str, key_col: str,
+                   k: int, salt: str = "gk") -> DataFrame:
+    """Deterministic fixed-size sample: exactly min(k, |group|) rows per
+    group, chosen by md5-hash order of the key — the reproducible
+    equivalent of per-group reservoir sampling (eval-set construction,
+    per-source audits). Engine-portable for the same reason as
+    hash_split: md5 is byte-exact everywhere, so DuckDB's
+    `row_number() OVER (PARTITION BY g ORDER BY md5(key || salt), key)`
+    picks the identical rows.
+
+    Scale: one hash-partitioned window keyed on the group — each group
+    sorts independently (no global sort, no single reducer); the sort is
+    per-partition and spills. A giant group still sorts all its rows to
+    keep k — for top-heavy skew apply a pre-filter
+    (`hash_bucket_hex(key) < threshold`) to thin giant groups first;
+    determinism is preserved because the hash order is stable under any
+    subset."""
+    if k < 1:
+        raise ValueError("group_sample_k needs k >= 1")
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col).cast("string")
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.md5(F.concat(key, F.lit(salt))), key))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k)
+              .drop("__rn"))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Dict[str, float],
                       seed: int = 42) -> DataFrame:

@@ -744,6 +744,65 @@ def source_overlap(df: DataFrame, text_col: str = "text",
     return out
 
 
+def source_divergence(df: DataFrame, text_col: str = "text",
+                      group_col: str = "source",
+                      vocab_size: int = 1000) -> DataFrame:
+    """Jensen–Shannon divergence of each group's unigram distribution from
+    the corpus distribution, over the corpus's top-`vocab_size` tokens —
+    the mixture-design companion of :func:`source_overlap`: overlap sees
+    shared vocabulary, JS sees how differently it is *used*. An outlier
+    source (templated, synthetic, off-domain) shows a high JS before any
+    quality filter runs.
+
+    Both distributions are renormalized over the shared vocab, so JS is in
+    [0, ln 2] and comparable across groups. Per-token contributions are
+    computed in double then DECIMAL(28,12)-quantized before summing
+    (the zipf_slope trick), so the aggregate is order-independent and
+    engine-reproducible.
+
+    Plan shape: explode → (group, term) counts (map-side combine) →
+    term totals (vocab-bounded) → top-N via orderBy+limit
+    (TakeOrderedAndProject: per-partition top-N, merged — no global
+    sort) → broadcast vocab grid joined against the group counts →
+    per-group exact sum. Every stage is corpus-vocab-bounded or
+    group-bounded; nothing scales with document count after the first
+    aggregation."""
+    counts = (df.select(F.col(group_col).alias("g"),
+                        F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("term"))
+              .filter(F.col("term") != "")
+              .groupBy("g", "term")
+              .agg(F.count(F.lit(1)).alias("freq")))
+    from .cache import persist_tracked
+
+    counts = persist_tracked(counts)
+    vocab = (counts.groupBy("term").agg(F.sum("freq").alias("cf"))
+             .orderBy(F.desc("cf"), F.asc("term"))
+             .limit(vocab_size))
+    corpus_total = vocab.agg(F.sum("cf").alias("__ct"))
+    vocab = F.broadcast(vocab.crossJoin(F.broadcast(corpus_total)))
+
+    totals = (counts.join(vocab.select("term"), "term")
+              .groupBy("g").agg(F.sum("freq").alias("__gt")))
+    grid = totals.crossJoin(vocab)
+    cells = grid.join(counts, ["g", "term"], "left") \
+                .withColumn("freq", F.coalesce(F.col("freq"), F.lit(0)))
+
+    p = F.col("freq").cast("double") / F.col("__gt").cast("double")
+    q = F.col("cf").cast("double") / F.col("__ct").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term_js = (F.when(F.col("freq") > 0, p * F.log(p / m) / F.lit(2.0))
+               .otherwise(F.lit(0.0))
+               + q * F.log(q / m) / F.lit(2.0))
+    dec = "decimal(28,12)"
+    return (cells.select("g", F.col("__gt"),
+                         term_js.cast(dec).alias("__js"))
+            .groupBy("g")
+            .agg(F.first("__gt").alias("n_tokens"),
+                 F.round(F.sum("__js").cast("double"), 6).alias("js"))
+            .select(F.col("g").alias(group_col), "n_tokens", "js"))
+
+
 def perplexity_buckets(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", lang_col: str = "lang",
                        n_buckets: int = 3) -> DataFrame:

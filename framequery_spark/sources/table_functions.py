@@ -538,6 +538,45 @@ def _register_operator_tfs() -> dict:
         return similarity.hard_negatives(_op_table(qc, a[0]),
                                          _op_table(qc, a[1]), **kw)
 
+    def funnel(qc, a):
+        # funnel('events', 'view', 'click', 'purchase'[, within_seconds])
+        # trailing int literal = completion window in seconds from stage 1
+        from ..operators import events
+
+        stages = [str(s) for s in a[1:]]
+        kw = {}
+        if stages and str(stages[-1]).lstrip("-").isdigit():
+            kw["within_seconds"] = int(stages.pop())
+        return events.funnel_counts(_op_table(qc, a[0]), stages, **kw)
+
+    def retention_cohorts(qc, a):
+        # retention_cohorts('events'[, granularity]) -> cohort matrix
+        from ..operators import events
+
+        kw = {"granularity": str(a[1])} if len(a) > 1 else {}
+        return events.retention_cohorts(_op_table(qc, a[0]), **kw)
+
+    def trgm_pairs(qc, a):
+        # trgm_pairs('documents'[, threshold[, max_doc_freq]]) — the
+        # distributed `a % b` pg_trgm fuzzy self-join
+        kw = {}
+        if len(a) > 1:
+            kw["threshold"] = float(a[1])
+        if len(a) > 2:
+            kw["max_doc_freq"] = int(a[2])
+        return dedup.trgm_pairs(_op_table(qc, a[0]), **kw)
+
+    def group_sample(qc, a):
+        # group_sample('documents', 'source', 'doc_id', k) — deterministic
+        # per-group k-sample by md5 order
+        return sampling.group_sample_k(_op_table(qc, a[0]), str(a[1]),
+                                       str(a[2]), int(a[3]))
+
+    def source_divergence(qc, a):
+        # source_divergence('documents'[, vocab_size]) -> per-source JS
+        kw = {"vocab_size": int(a[1])} if len(a) > 1 else {}
+        return text.source_divergence(_op_table(qc, a[0]), **kw)
+
     def audio_chunks(qc, a):
         from ..operators import multimodal
 
@@ -553,6 +592,8 @@ def _register_operator_tfs() -> dict:
 
     return {f.__name__: f for f in (
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
+        funnel, retention_cohorts, trgm_pairs, group_sample,
+        source_divergence,
         concat_chunks, char_entropy, compression_ratio,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,

@@ -518,3 +518,77 @@ def test_concat_chunks_two_phase_prefix_sum_shape(docs):
                 partition.append(e)
         if any(o.startswith("doc_id") for o in order):
             assert any(p.startswith("__chunk") for p in partition), plan
+
+
+# ------------------------------------------------- round 9 scale contracts
+
+
+@pytest.fixture(scope="module")
+def events_t(tpch_scope):
+    return tpch_scope["events"]
+
+
+def test_funnel_is_single_user_shuffle_fold(events_t):
+    from framequery_spark.operators.events import funnel_counts
+
+    df = funnel_counts(events_t, ["view", "click", "purchase"],
+                       within_seconds=172_800)
+    plan = formatted_plan(df)
+    _assert_no_cartesian(df)
+    # the fold runs on collected per-user lists: exactly one aggregate
+    # keyed on the user (partial + final), no window over the full stream
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user") <= 1
+
+
+def test_retention_joins_are_keyed_and_sizes_broadcast(events_t):
+    from framequery_spark.operators.events import retention_cohorts
+
+    df = retention_cohorts(events_t, granularity="day")
+    plan = formatted_plan(df)
+    _assert_no_cartesian(df)
+    # the user-keyed join of first-activity vs distinct activity may be a
+    # shuffle join (both sides scale with users); the cohort-size
+    # normalizer must be the broadcast side
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan  # no global window anywhere
+
+
+def test_trgm_pairs_is_gram_keyed_equi_join(docs):
+    from framequery_spark.operators.dedup import trgm_pairs
+
+    _assert_no_cartesian(trgm_pairs(docs, threshold=0.8))
+
+
+def test_trgm_pairs_frequency_cap_is_broadcast_anti_join(docs):
+    from framequery_spark.operators.dedup import trgm_pairs
+
+    plan = formatted_plan(trgm_pairs(docs, threshold=0.8, max_doc_freq=50))
+    # the frequent-trigram screen must broadcast the SMALL frequent set
+    # and anti-join map-side — never shuffle the gram stream for it
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_group_sample_window_is_group_partitioned(docs):
+    from framequery_spark.operators.sampling import group_sample_k
+
+    plan = formatted_plan(group_sample_k(docs, "source", "doc_id", k=4))
+    # per-group rank: the window must be PARTITIONED by the group —
+    # a global (unpartitioned) window would funnel the corpus through
+    # one reducer
+    assert "Window" in plan
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.strip().startswith("source") for s in specs), specs
+
+
+def test_source_divergence_vocab_is_topn_not_global_sort(docs):
+    from framequery_spark.operators.text import source_divergence
+
+    df = source_divergence(docs, vocab_size=100)
+    plan = formatted_plan(df)
+    # top-N vocab must compile to TakeOrderedAndProject (per-partition
+    # top-N + merge), never a full Sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    # the vocab grid reaches the group counts via broadcast
+    assert "BroadcastExchange" in plan

@@ -1978,3 +1978,256 @@ def test_compression_ratio_separates_floods_from_text(spark):
     # byte counts are exactly stdlib zlib's
     assert rows[2].n_compressed == len(
         zlib.compress(natural.encode("utf-8"), 6))
+
+
+# ----------------------------------------- round 9: event-sequence analytics
+
+
+def _funnel_rows(spark):
+    # user 1: clean view->click->purchase chain
+    # user 2: click BEFORE the first view (must not count), then view only
+    # user 3: view and click at the SAME timestamp (strict > : no advance)
+    # user 4: full chain but purchase outside the within window
+    return spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view"),
+         (1, "2024-01-01 00:10:00", "click"),
+         (1, "2024-01-01 00:20:00", "purchase"),
+         (2, "2024-01-01 00:00:00", "click"),
+         (2, "2024-01-01 00:05:00", "view"),
+         (3, "2024-01-01 00:00:00", "view"),
+         (3, "2024-01-01 00:00:00", "click"),
+         (4, "2024-01-01 00:00:00", "view"),
+         (4, "2024-01-01 00:01:00", "click"),
+         (4, "2024-01-02 00:00:00", "purchase")],
+        "user_id long, ts string, event_type string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_strict_order_and_within(spark):
+    from framequery_spark.operators.events import funnel_counts
+
+    out = {r.stage: r for r in funnel_counts(
+        _funnel_rows(spark), ["view", "click", "purchase"],
+        within_seconds=3600).collect()}
+    # views: users 1,2,3,4; clicks after view: 1,4 (2 clicked before,
+    # 3 tied); purchases within 1h: only 1 (4 purchased next day)
+    assert out["view"].n_users == 4
+    assert out["click"].n_users == 2
+    assert out["purchase"].n_users == 1
+    assert out["view"].pct == 1.0 and out["purchase"].pct == 0.25
+    assert [r.stage_idx for r in sorted(out.values(),
+                                        key=lambda r: r.stage_idx)] == [1, 2, 3]
+
+
+def test_funnel_no_within_counts_late_purchase(spark):
+    from framequery_spark.operators.events import funnel_counts
+
+    out = {r.stage: r.n_users for r in funnel_counts(
+        _funnel_rows(spark), ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 2}
+
+
+def test_funnel_validation(spark):
+    from framequery_spark.operators.events import funnel_counts
+
+    with pytest.raises(ValueError):
+        funnel_counts(_funnel_rows(spark), [])
+    with pytest.raises(ValueError):
+        funnel_counts(_funnel_rows(spark), ["view", "view"])
+
+
+def test_retention_cohorts_day_offsets(spark):
+    from framequery_spark.operators.events import retention_cohorts
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00"), (1, "2024-01-02 09:00:00"),
+         (1, "2024-01-04 10:00:00"),
+         (2, "2024-01-01 23:00:00"),
+         (3, "2024-01-02 01:00:00"), (3, "2024-01-04 02:00:00")],
+        "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")).withColumn(
+            "event_type", F.lit("e"))
+    out = {(str(r.cohort), r.offset): (r.n_active, r.retention)
+           for r in retention_cohorts(df, granularity="day").collect()}
+    assert out[("2024-01-01 00:00:00", 0)] == (2, 1.0)
+    assert out[("2024-01-01 00:00:00", 1)] == (1, 0.5)   # user 1 on day 2
+    assert out[("2024-01-01 00:00:00", 3)] == (1, 0.5)   # user 1 on day 4
+    assert out[("2024-01-02 00:00:00", 0)] == (1, 1.0)   # user 3 cohort
+    assert out[("2024-01-02 00:00:00", 2)] == (1, 1.0)
+    assert len(out) == 5
+
+
+def test_retention_granularity_validation(spark):
+    from framequery_spark.operators.events import retention_cohorts
+
+    with pytest.raises(ValueError):
+        retention_cohorts(_funnel_rows(spark), granularity="hour")
+
+
+# --------------------------------------------- round 9: trigram fuzzy join
+
+
+def test_trgm_pairs_matches_scalar_similarity(spark):
+    """The blocked join must produce exactly the scalar
+    similarity(a, b) >= threshold matrix (pg_trgm % self-join)."""
+    from framequery_spark.functions.trigram import similarity as trgm_sim
+    from framequery_spark.operators.dedup import trgm_pairs
+
+    names = [(i, n) for i, n in enumerate(
+        ["word", "two words", "words", "sword", "world", "completely other"])]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {(r.id1, r.id2): r.sim
+           for r in trgm_pairs(df, "id", "name", threshold=0.3).collect()}
+
+    a = df.toDF("id1", "n1")
+    b = df.toDF("id2", "n2")
+    expected = {(r.id1, r.id2): round(r.s, 6) for r in
+                a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+                .select("id1", "id2",
+                        trgm_sim(F.col("n1"), F.col("n2")).alias("s"))
+                .filter(F.col("s") >= 0.3).collect()}
+    assert got == expected and len(got) >= 3
+
+
+def test_trgm_pairs_max_doc_freq_caps_both_sides(spark):
+    """Regression: the left_anti frequency-cap join hoists the key column;
+    a positional rename then swapped (id, gram) and silently emptied the
+    result. The cap must keep rare-trigram pairs and drop common-trigram
+    mass from the denominator on BOTH sides."""
+    from framequery_spark.operators.dedup import trgm_pairs
+
+    # 'zq' trigrams are rare (2 docs); 'common'-word trigrams span all 4
+    df = spark.createDataFrame(
+        [(1, "common zqa"), (2, "common zqa"), (3, "common alpha"),
+         (4, "common beta")],
+        "id long, name string")
+    out = {(r.id1, r.id2): r.sim
+           for r in trgm_pairs(df, "id", "name", threshold=0.5,
+                               max_doc_freq=3).collect()}
+    # docs 1,2 share ALL their surviving (rare) trigrams -> sim 1.0
+    assert out == {(1, 2): 1.0}
+
+
+def test_jaccard_pairs_max_doc_freq_regression(spark, docs):
+    """Same column-swap regression for jaccard_pairs: with a cap high
+    enough to drop nothing, capped == uncapped."""
+    from framequery_spark.operators.dedup import jaccard_pairs
+
+    sample = docs.filter(F.col("doc_id") < 60)
+    n_docs = sample.count()
+    base = {(r.id1, r.id2): r.jaccard
+            for r in jaccard_pairs(sample, threshold=0.5).collect()}
+    capped = {(r.id1, r.id2): r.jaccard
+              for r in jaccard_pairs(sample, threshold=0.5,
+                                     max_doc_freq=n_docs).collect()}
+    assert base == capped and len(base) > 0
+
+
+# ------------------------------------- round 9: deterministic group sample
+
+
+def test_group_sample_k_exact_and_deterministic(spark, docs):
+    from framequery_spark.operators.sampling import group_sample_k
+
+    out = group_sample_k(docs, "source", "doc_id", k=4)
+    per_group = {r.source: r.n for r in
+                 out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_group == {g: min(4, n) for g, n in sizes.items()}
+
+    ids1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in group_sample_k(
+        docs.repartition(7), "source", "doc_id", k=4)
+        .select("doc_id").collect())
+    assert ids1 == ids2  # layout-independent
+
+    # matches an explicit python md5 ranking
+    import hashlib as _h
+    rows = [(r.source, r.doc_id) for r in
+            docs.select("source", "doc_id").collect()]
+    expect = set()
+    by_group = {}
+    for g, i in rows:
+        by_group.setdefault(g, []).append(i)
+    for g, ids in by_group.items():
+        ranked = sorted(ids, key=lambda i: (
+            _h.md5(f"{i}gk".encode()).hexdigest(), str(i)))
+        expect.update(ranked[:4])
+    assert set(ids1) == expect
+
+    with pytest.raises(ValueError):
+        group_sample_k(docs, "source", "doc_id", k=0)
+
+
+# --------------------------------------- round 9: source mixture divergence
+
+
+def test_source_divergence_single_source_is_zero(spark):
+    from framequery_spark.operators.text import source_divergence
+
+    df = spark.createDataFrame(
+        [(1, "a", "alpha beta gamma"), (2, "a", "beta gamma delta")],
+        "doc_id long, source string, text string")
+    rows = source_divergence(df, vocab_size=10).collect()
+    assert len(rows) == 1 and rows[0].js == 0.0
+
+
+def test_source_divergence_matches_numpy(spark, docs):
+    import numpy as np
+
+    from framequery_spark.operators.text import source_divergence
+
+    got = {r.source: (r.n_tokens, r.js)
+           for r in source_divergence(docs, vocab_size=200).collect()}
+
+    rows = [(r.source, r.text) for r in
+            docs.select("source", "text").collect()]
+    from collections import Counter
+    per = {}
+    corpus = Counter()
+    for g, t in rows:
+        toks = [w for w in t.strip().lower().split() if w]
+        per.setdefault(g, Counter()).update(toks)
+        corpus.update(toks)
+    vocab = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    vterms = [t for t, _ in vocab]
+    cf = np.array([c for _, c in vocab], dtype=float)
+    q = cf / cf.sum()
+    for g, cnt in per.items():
+        f = np.array([cnt.get(t, 0) for t in vterms], dtype=float)
+        gt = int(f.sum())
+        p = f / f.sum()
+        m = (p + q) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            js = float(np.where(p > 0, p * np.log(p / m), 0.0).sum() / 2
+                       + (q * np.log(q / m)).sum() / 2)
+        assert got[g][0] == gt
+        assert abs(got[g][1] - js) < 1e-6, g
+
+
+# ---------------------------------------- round 9: SQL table functions
+
+
+def test_round9_sql_table_functions(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        "SELECT * FROM funnel('events', 'view', 'click', 'purchase')",
+        tpch_scope, spark=spark)
+    assert [r.stage for r in out.orderBy("stage_idx").collect()] == [
+        "view", "click", "purchase"]
+    out = fq.execute("SELECT * FROM retention_cohorts('events', 'week')",
+                     tpch_scope, spark=spark)
+    assert {"cohort", "offset", "n_active", "retention"} <= set(out.columns)
+    out = fq.execute("SELECT * FROM trgm_pairs('documents', 0.95)",
+                     tpch_scope, spark=spark)
+    assert {"id1", "id2", "sim"} <= set(out.columns)
+    out = fq.execute(
+        "SELECT * FROM group_sample('documents', 'source', 'doc_id', 2)",
+        tpch_scope, spark=spark)
+    assert out.groupBy("source").count().agg(
+        F.max("count")).collect()[0][0] <= 2
+    out = fq.execute("SELECT * FROM source_divergence('documents', 100)",
+                     tpch_scope, spark=spark)
+    assert {"source", "n_tokens", "js"} <= set(out.columns)

@@ -342,3 +342,55 @@ def test_match_consistent_with_python_vector(spark, words):
     expect = (False if all(w in ENGLISH_STOPWORDS for w in words)
               else True)
     assert got == expect
+
+
+# ------------------------------------------- round 9: funnel fold property
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(1, 4),            # user
+              st.integers(0, 50),           # ts (seconds)
+              st.sampled_from(["view", "click", "purchase", "other"])),
+    min_size=1, max_size=40))
+def test_funnel_matches_python_reference(spark, evs):
+    """The distributed fold must equal a straightforward per-user Python
+    simulation of the greedy earliest chain (strict-after, 10 s window),
+    for arbitrary event soups including duplicate timestamps."""
+    from framequery_spark.operators.events import funnel_counts
+
+    stages = ["view", "click", "purchase"]
+    within = 10
+
+    def py_counts():
+        per_user = {}
+        for u, t, e in evs:
+            per_user.setdefault(u, []).append((t, e))
+        depth = {}
+        for u, rows in per_user.items():
+            done = []
+            for t, e in sorted(rows):
+                if len(done) >= len(stages):
+                    break
+                if e != stages[len(done)]:
+                    continue
+                if done and t <= done[-1]:
+                    continue
+                if done and t - done[0] > within:
+                    continue
+                done.append(t)
+            depth[u] = len(done)
+        return [sum(1 for d in depth.values() if d >= i + 1)
+                for i in range(len(stages))]
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{t:02d}", e) for u, t, e in evs],
+        "user_id long, ts string, event_type string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    got = [r.n_users for r in
+           funnel_counts(df, stages, within_seconds=within)
+           .orderBy("stage_idx").collect()]
+    assert got == py_counts(), evs

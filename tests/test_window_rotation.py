@@ -3,9 +3,10 @@
 The driver records a CORRECTNESS row for only the first 50 ``queries()``
 entries per round, so the entry file rotates a 50-entry window each round.
 This test encodes the rotation policy as an invariant: an oracle-bearing
-entry may not go more than 2 rounds without a driver row — it must either
-have a green row in one of the last two recorded rounds, or be inside the
-current window (so it gets one this round).
+entry may not go more than ceil(N/50) rounds without a driver row (the
+tightest bound a 50-slot window over N oracle-bearing entries can satisfy)
+— it must either have a green row within that many recorded rounds, or be
+inside the current window (so it gets one this round).
 
 Rows-only-by-contract entries (see tests/test_conformance.py ROWS_ONLY) are
 exempt: the driver records them as ``err: no_oracle`` whenever they are in
@@ -20,8 +21,15 @@ import pytest
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# maximum rounds an oracle-bearing entry may go without a driver row
-MAX_STALE_ROUNDS = 2
+def _max_stale_rounds():
+    """Maximum rounds an oracle-bearing entry may go without a driver row.
+    Derived from the inventory: a full rotation of N oracle-bearing entries
+    through 50 slots takes ceil(N/50) rounds, so that is the tightest
+    feasible bound (computed by the same helper the window builder uses —
+    the guard and the builder can never disagree)."""
+    import __spark_entry__ as entry
+
+    return entry._max_stale_rounds(len(entry.oracle_sql()))
 
 
 def _correctness_rounds():
@@ -52,6 +60,7 @@ def test_no_oracle_entry_stale_beyond_two_rounds():
 
     names = list(entry.queries())
     window = set(names[:50])
+    max_stale = _max_stale_rounds()
     stale = []
     for name in names:
         if name in ROWS_ONLY or name in window:
@@ -65,11 +74,11 @@ def test_no_oracle_entry_stale_beyond_two_rounds():
             # — the in-repo differential still runs it every session.
             if name.startswith("op_"):
                 stale.append((name, last))
-        elif current_round - last > MAX_STALE_ROUNDS:
+        elif current_round - last > max_stale:
             stale.append((name, last))
     assert not stale, (
         f"oracle-bearing entries with no driver row in the last "
-        f"{MAX_STALE_ROUNDS} rounds and not in the current window — rotate "
+        f"{max_stale} rounds and not in the current window — rotate "
         f"them in: {stale}")
 
 
@@ -94,6 +103,7 @@ def test_rotation_never_goes_stale_by_construction():
 
     all_names = list(entry.queries())
     oracles = entry.oracle_sql()
+    max_stale = _max_stale_rounds()
 
     for rnd in range(start, start + 8):
         window = entry._build_driver_window(history, rnd)
@@ -110,7 +120,7 @@ def test_rotation_never_goes_stale_by_construction():
             for name in all_names
             if name not in ROWS_ONLY and name not in wset
             and (last_green.get(name) is None
-                 or rnd - last_green[name] > MAX_STALE_ROUNDS)
+                 or rnd - last_green[name] > max_stale)
         ]
         assert not stale, (
             f"simulated round {rnd}: builder left entries stale: {stale}")
