@@ -3718,6 +3718,33 @@ FROM terms GROUP BY g, gtot ORDER BY source
 """)
 
 
+def _op_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample_k, Efraimidis-Spirakis A-Res
+    with md5-derived uniforms): rank by ln(u)/weight descending, top-k =
+    a weight-proportional sample, reproducible across engines. Weighted
+    by document length (n_chars)."""
+    from framequery_spark.operators.sampling import weighted_sample_k
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return (weighted_sample_k(docs, "n_chars", "doc_id", k=50, salt="ws")
+            .select("doc_id", "source", "n_chars").orderBy("doc_id"))
+
+
+_op("op_weighted_sample", _op_weighted_sample, """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ln((CAST(('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                             'ws')), 1, 15)) AS BIGINT)
+             + 1) / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE) AS s
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY s DESC, CAST(doc_id AS VARCHAR) LIMIT 50)
+ORDER BY doc_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")

@@ -255,6 +255,17 @@ def main() -> None:
             SELECT * FROM source_divergence('documents', 300)
             ORDER BY js DESC LIMIT 5
         """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT doc_id, n_chars
+            FROM weighted_sample('documents', 'n_chars', 'doc_id', 5)
+            ORDER BY doc_id
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT soundex('Margaret') AS code,
+                   difference('Anne', 'Andrew') AS diff,
+                   levenshtein('kitten', 'sitting') AS lev,
+                   unaccent('Łódź Straße Hôtel') AS plain
+        """, scope, spark=spark).show(truncate=False)
 
 
 if __name__ == "__main__":

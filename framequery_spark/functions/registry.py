@@ -780,3 +780,98 @@ def _show_trgm(a: List[Column]) -> Column:
 
 
 _fixed("show_trgm", _show_trgm)
+
+# ------------------------------------- fuzzystrmatch + unaccent (r09)
+# pg's other fuzzy-matching extension and the accent-stripping dictionary
+# (both beyond-reference pg extension surface). All pure JVM expressions.
+
+# soundex: Spark's built-in implements the same American Soundex algorithm
+# as pg fuzzystrmatch (verified on the pg-docs examples: Anne/A500,
+# Andrew/A536, Margaret/M626, Tymczak/T522, Pfister/P236). Documented
+# deviation: for inputs with no leading letter pg skips to the first
+# letter, Spark returns the input unchanged — conformance pins letter
+# inputs only.
+_fixed("soundex", lambda a: F.soundex(a[0]))
+
+
+def _difference(a: List[Column]) -> Column:
+    """pg fuzzystrmatch difference(): the number of matching positions
+    (0-4) between the two 4-char soundex codes (pg soundex pads with '0';
+    Spark only pads codes it produced from letters, so rpad defensively)."""
+    c1 = F.rpad(F.soundex(a[0]), 4, "0")
+    c2 = F.rpad(F.soundex(a[1]), 4, "0")
+    parts = [
+        (F.substring(c1, i, 1) == F.substring(c2, i, 1)).cast("int")
+        for i in range(1, 5)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+_fixed("difference", _difference)
+
+# pg levenshtein(source, target): classic edit distance (Spark built-in ==
+# DuckDB == pg for the unit-cost form; the 5-arg costed form is not
+# supported — pg's cost parameters see little use and Spark has no
+# weighted variant)
+_fixed("levenshtein", lambda a: F.levenshtein(a[0], a[1]))
+
+
+def _levenshtein_less_equal(a: List[Column]) -> Column:
+    """pg levenshtein_less_equal(s, t, max_d): accurate when the distance
+    is <= max_d, otherwise SOME value > max_d (pg's documented contract;
+    this returns max_d + 1). Computed as a bounded comparison over the
+    full distance — correct for any max_d column or literal."""
+    d = F.levenshtein(a[0], a[1])
+    m = a[2].cast("int")
+    return F.when(d > m, m + F.lit(1)).otherwise(d)
+
+
+_fixed("levenshtein_less_equal", _levenshtein_less_equal)
+
+# unaccent: pg's unaccent.rules for Latin-1 Supplement + Latin Extended-A
+# (the ranges covering the Western/Central European text in scope for this
+# engine's ascii-word operators; combining marks and presentation-form
+# ligatures are out of scope — documented subset). 1:1 mappings compile to
+# ONE translate(); the multi-char expansions (ß->ss, Æ->AE, ...) are a
+# short replace() chain. All row-local, codegen'd.
+_UNACCENT_1TO1 = {
+    "ÀÁÂÃÄÅĀĂĄ": "A", "àáâãäåāăą": "a",
+    "ÇĆĈĊČ": "C", "çćĉċč": "c",
+    "ĎĐÐ": "D", "ďđð": "d",
+    "ÈÉÊËĒĔĖĘĚ": "E", "èéêëēĕėęě": "e",
+    "ĜĞĠĢ": "G", "ĝğġģ": "g",
+    "ĤĦ": "H", "ĥħ": "h",
+    "ÌÍÎÏĨĪĬĮİ": "I", "ìíîïĩīĭįı": "i",
+    "Ĵ": "J", "ĵ": "j",
+    "Ķ": "K", "ķ": "k",
+    "ĹĻĽĿŁ": "L", "ĺļľŀł": "l",
+    "ÑŃŅŇŊ": "N", "ñńņňŉŋ": "n",
+    "ÒÓÔÕÖØŌŎŐ": "O", "òóôõöøōŏő": "o",
+    "ŔŖŘ": "R", "ŕŗř": "r",
+    "ŚŜŞŠ": "S", "śŝşš": "s",
+    "ŢŤŦ": "T", "ţťŧ": "t",
+    "ÙÚÛÜŨŪŬŮŰŲ": "U", "ùúûüũūŭůűų": "u",
+    "Ŵ": "W", "ŵ": "w",
+    "ÝŶŸ": "Y", "ýÿŷ": "y",
+    "ŹŻŽ": "Z", "źżž": "z",
+}
+_UNACCENT_FROM = "".join(_UNACCENT_1TO1)
+_UNACCENT_TO = "".join(t * len(s) for s, t in _UNACCENT_1TO1.items())
+_UNACCENT_MULTI = [("ß", "ss"), ("Æ", "AE"), ("æ", "ae"),
+                   ("Œ", "OE"), ("œ", "oe"), ("Þ", "TH"), ("þ", "th"),
+                   ("Ĳ", "IJ"), ("ĳ", "ij")]
+
+
+def _unaccent(a: List[Column]) -> Column:
+    # pg's 2-arg form selects a dictionary; only the default is supported
+    col = a[-1]
+    out = F.translate(col, _UNACCENT_FROM, _UNACCENT_TO)
+    for src, dst in _UNACCENT_MULTI:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+_fixed("unaccent", _unaccent)

@@ -203,6 +203,51 @@ def group_sample_k(df: DataFrame, group_col: str, key_col: str,
               .drop("__rn"))
 
 
+_MD5_60BIT_SPACE = float(1 << 60)  # 16^15 — exactly representable in double
+
+
+def weighted_sample_k(df: DataFrame, weight_col: str, key_col: str,
+                      k: int, salt: str = "ws",
+                      group_col: str | None = None) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-Res): every row draws u ~ U(0,1] from the
+    md5 of its key and ranks by ln(u)/weight descending — the top-k ranked
+    rows are exactly a weight-proportional sample without replacement.
+    Because u comes from md5 (not rand()), the sample is reproducible
+    across runs, partition layouts, AND engines (the driver oracle
+    restates the identical ranking in DuckDB) — the quality-weighted
+    training-mix selection step, with audit-grade determinism.
+
+    Rows with NULL or non-positive weight carry zero selection mass and
+    are excluded. Global form compiles to orderBy+limit =
+    TakeOrderedAndProject (per-partition top-k + merge, no global sort);
+    with `group_col`, a group-partitioned window ranks each group
+    independently (same economics as group_sample_k).
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_k needs k >= 1")
+    key = F.col(key_col).cast("string")
+    v = F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 15),
+               16, 10).cast("long")
+    # u in (0, 1]; ln(u)/w is the A-Res exponential key (log-domain form
+    # of u^(1/w) — same argmax, no underflow for large weights)
+    u = (v + F.lit(1)).cast("double") / F.lit(_MD5_60BIT_SPACE)
+    w = F.col(weight_col).cast("double")
+    score = F.log(u) / w
+    scored = df.filter(w.isNotNull() & (w > 0)) \
+               .withColumn("__wsk", score)
+    if group_col is None:
+        out = scored.orderBy(F.desc("__wsk"), key).limit(k)
+    else:
+        from pyspark.sql.window import Window
+
+        win = (Window.partitionBy(group_col)
+               .orderBy(F.desc("__wsk"), key))
+        out = (scored.withColumn("__rn", F.row_number().over(win))
+               .filter(F.col("__rn") <= k).drop("__rn"))
+    return out.drop("__wsk")
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Dict[str, float],
                       seed: int = 42) -> DataFrame:

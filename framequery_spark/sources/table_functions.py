@@ -572,6 +572,13 @@ def _register_operator_tfs() -> dict:
         return sampling.group_sample_k(_op_table(qc, a[0]), str(a[1]),
                                        str(a[2]), int(a[3]))
 
+    def weighted_sample(qc, a):
+        # weighted_sample('documents', 'n_chars', 'doc_id', k[, group_col])
+        # Efraimidis-Spirakis deterministic weighted sampling
+        kw = {"group_col": str(a[4])} if len(a) > 4 else {}
+        return sampling.weighted_sample_k(_op_table(qc, a[0]), str(a[1]),
+                                          str(a[2]), int(a[3]), **kw)
+
     def source_divergence(qc, a):
         # source_divergence('documents'[, vocab_size]) -> per-source JS
         kw = {"vocab_size": int(a[1])} if len(a) > 1 else {}
@@ -593,7 +600,7 @@ def _register_operator_tfs() -> dict:
     return {f.__name__: f for f in (
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
-        source_divergence,
+        source_divergence, weighted_sample,
         concat_chunks, char_entropy, compression_ratio,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,

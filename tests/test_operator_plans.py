@@ -592,3 +592,23 @@ def test_source_divergence_vocab_is_topn_not_global_sort(docs):
     assert "TakeOrderedAndProject" in plan
     # the vocab grid reaches the group counts via broadcast
     assert "BroadcastExchange" in plan
+
+
+def test_weighted_sample_global_is_topk_not_global_sort(docs):
+    from framequery_spark.operators.sampling import weighted_sample_k
+
+    plan = formatted_plan(weighted_sample_k(docs, "n_chars", "doc_id", k=10))
+    # A-Res global top-k must compile to TakeOrderedAndProject —
+    # per-partition top-k + merge, never a full Sort + Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_grouped_window_is_group_partitioned(docs):
+    import re
+
+    from framequery_spark.operators.sampling import weighted_sample_k
+
+    plan = formatted_plan(weighted_sample_k(docs, "n_chars", "doc_id", k=3,
+                                            group_col="source"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.strip().startswith("source") for s in specs), specs

@@ -2231,3 +2231,58 @@ def test_round9_sql_table_functions(spark, tpch_scope):
     out = fq.execute("SELECT * FROM source_divergence('documents', 100)",
                      tpch_scope, spark=spark)
     assert {"source", "n_tokens", "js"} <= set(out.columns)
+
+
+# --------------------------------- round 9: weighted sampling (A-Res)
+
+
+def test_weighted_sample_k_matches_python_ares(spark, docs):
+    import hashlib as _h
+    import math
+
+    from framequery_spark.operators.sampling import weighted_sample_k
+
+    got = sorted(r.doc_id for r in
+                 weighted_sample_k(docs, "n_chars", "doc_id", k=20)
+                 .select("doc_id").collect())
+
+    rows = [(r.doc_id, r.n_chars) for r in
+            docs.select("doc_id", "n_chars").collect()]
+
+    def score(i, w):
+        v = int(_h.md5(f"{i}ws".encode()).hexdigest()[:15], 16)
+        return math.log((v + 1) / float(1 << 60)) / w
+
+    ranked = sorted(((score(i, w), str(i), i) for i, w in rows if w and w > 0),
+                    key=lambda t: (-t[0], t[1]))
+    assert got == sorted(i for _, _, i in ranked[:20])
+
+
+def test_weighted_sample_k_is_weight_proportional(spark):
+    """Statistical sanity over many salts: a row with 9x the weight must be
+    selected roughly 9x as often in 1-of-n samples (A-Res correctness)."""
+    from framequery_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, 9.0 if i == 0 else 1.0) for i in range(10)], "id long, w double")
+    wins = 0
+    n_trials = 120
+    for t in range(n_trials):
+        picked = weighted_sample_k(df, "w", "id", k=1, salt=f"s{t}").collect()
+        wins += picked[0].id == 0
+    # P(pick id 0) = 9/18 = 0.5; binomial(120, 0.5) within 5 sigma
+    assert 0.25 <= wins / n_trials <= 0.75, wins
+
+
+def test_weighted_sample_k_excludes_nonpositive_and_groups(spark):
+    from framequery_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 0.0), ("a", 3, None), ("a", 4, 2.0),
+         ("b", 5, 1.0)],
+        "g string, id long, w double")
+    out = weighted_sample_k(df, "w", "id", k=2, group_col="g")
+    rows = {(r.g, r.id) for r in out.collect()}
+    assert rows == {("a", 1), ("a", 4), ("b", 5)}
+    with pytest.raises(ValueError):
+        weighted_sample_k(df, "w", "id", k=0)

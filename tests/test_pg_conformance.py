@@ -854,6 +854,25 @@ QUERIES = [
      "10 % 3, min(c1) % 2 from test",
      "select true, false, true, true, true, true, 1, "
      "min(c1) % 2 from test"),
+    # fuzzystrmatch (r09): the pg-docs §F.15 examples — soundex codes,
+    # the 4-position code difference, bounded levenshtein
+    ("select soundex('Anne'), soundex('Margaret'), soundex('Tymczak'), "
+     "soundex('Pfister'), difference('Anne', 'Ann'), "
+     "difference('Anne', 'Andrew'), difference('Anne', 'Margaret')",
+     "select 'A500', 'M626', 'T522', 'P236', 4, 2, 0"),
+    ("select levenshtein('GUMBO', 'GAMBOL'), "
+     "levenshtein('kitten', 'sitting'), "
+     "levenshtein_less_equal('extensive', 'exhaustive', 2), "
+     "levenshtein_less_equal('extensive', 'exhaustive', 4)",
+     "select levenshtein('GUMBO', 'GAMBOL'), "
+     "levenshtein('kitten', 'sitting'), 3, 4"),
+    # unaccent (r09): Latin-1 Supplement + Latin Extended-A subset,
+    # multi-char expansions per pg unaccent.rules
+    ("select unaccent('Hôtel'), unaccent('Straße'), unaccent('Łódź'), "
+     "unaccent('Œuvre'), unaccent('ÀÉÎÕÜ'), unaccent('Ĳst þing'), "
+     "unaccent(null) is null",
+     "select 'Hotel', 'Strasse', 'Lodz', 'OEuvre', 'AEIOU', "
+     "'IJst thing', true"),
     # ts_headline (r08): stem-aware highlighting, options, left-extended
     # window, HighlightAll
     ("select ts_headline('english', 'The fat rats ate the cheese "
