@@ -3551,6 +3551,21 @@ FROM c ORDER BY stage_idx
 """)
 
 
+def _op_stream_funnel(spark, sf_dir):
+    """Streaming funnel (streaming/stream.py:stream_funnel_counts):
+    per-user greedy chain state in applyInPandasWithState (a few longs
+    per user); a Trigger.AvailableNow replay equals the batch funnel, so
+    this reuses op_funnel's oracle."""
+    from framequery_spark.streaming.stream import stream_funnel_counts
+
+    return stream_funnel_counts(spark, f"{sf_dir}/events.parquet",
+                                ["view", "click", "purchase"],
+                                within_seconds=172_800).orderBy("stage_idx")
+
+
+_op("op_stream_funnel", _op_stream_funnel, _OPS["op_funnel"][1])
+
+
 def _op_retention(spark, sf_dir):
     """Day-granularity retention cohorts (operators/events.py:
     retention_cohorts): three keyed shuffles (first activity, distinct
@@ -3877,7 +3892,7 @@ def _entry_fn(name: str) -> Callable[[SparkSession, str], DataFrame]:
 STREAMING_ENTRIES = frozenset({
     "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
     "op_stream_dedup", "op_stream_decontam", "op_stream_ingest",
-    "op_stream_join", "op_stream_fts",
+    "op_stream_join", "op_stream_fts", "op_stream_funnel",
 })
 
 

@@ -201,7 +201,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # batch vs streaming split: the 7 Structured Streaming entries each pay
+    # batch vs streaming split: the Structured Streaming entries each pay
     # a fixed ~2-5 s checkpoint/trigger startup that is not plan cost —
     # reported separately so it can't mask batch regressions
     streaming_names = getattr(entry, "STREAMING_ENTRIES", frozenset())

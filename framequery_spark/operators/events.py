@@ -80,17 +80,12 @@ def funnel_stage_times(df: DataFrame, stages: List[str],
     return per_user.select("user", times.alias("stage_times"))
 
 
-def funnel_counts(df: DataFrame, stages: List[str],
-                  user_col: str = "user_id", ts_col: str = "ts",
-                  type_col: str = "event_type",
-                  within_seconds: Optional[int] = None) -> DataFrame:
-    """Per-stage funnel: (stage_idx, stage, n_users, pct) where pct is the
-    conversion against stage 1. One row per stage, in order."""
-    per_user = funnel_stage_times(df, stages, user_col, ts_col, type_col,
-                                  within_seconds)
-    depth = per_user.select(F.size("stage_times").alias("d"))
-    # one global-aggregate row (n conditional sums reduce map-side), then
-    # posexplode back to one row per stage — no driver round-trip
+def depth_to_stage_counts(depth: DataFrame, stages: List[str]) -> DataFrame:
+    """Reduce per-user completion depths (column ``d``) to the per-stage
+    funnel rows (stage_idx, stage, n_users, pct): one global-aggregate row
+    (n conditional sums reduce map-side), then posexplode back to one row
+    per stage — no driver round-trip. Shared by the batch operator and the
+    streaming funnel (streaming/stream.py:stream_funnel_counts)."""
     # coalesce: with zero funnel-relevant events the sums aggregate an
     # empty frame to NULL, but the funnel answer is a count — 0
     aggs = [F.coalesce(F.sum((F.col("d") >= i + 1).cast("bigint")),
@@ -108,6 +103,18 @@ def funnel_counts(df: DataFrame, stages: List[str],
         F.when(F.col("__first") > 0,
                F.round(F.col("n_users").cast("double")
                        / F.col("__first"), 4)).alias("pct"))
+
+
+def funnel_counts(df: DataFrame, stages: List[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  within_seconds: Optional[int] = None) -> DataFrame:
+    """Per-stage funnel: (stage_idx, stage, n_users, pct) where pct is the
+    conversion against stage 1. One row per stage, in order."""
+    per_user = funnel_stage_times(df, stages, user_col, ts_col, type_col,
+                                  within_seconds)
+    depth = per_user.select(F.size("stage_times").alias("d"))
+    return depth_to_stage_counts(depth, stages)
 
 
 def retention_cohorts(df: DataFrame, user_col: str = "user_id",

@@ -437,3 +437,77 @@ def stream_interval_join(spark: SparkSession, events_path: str,
         (F.unix_micros("right_ts") - F.unix_micros("left_ts"))
         .alias("delta_us"))
     return _run_to_memory(spark, out, "ij_", mode="append")
+
+
+def stream_funnel_counts(spark: SparkSession, events_path: str,
+                         stages: list[str],
+                         within_seconds: int | None = None) -> DataFrame:
+    """Streaming funnel: the incremental counterpart of
+    operators/events.py:funnel_counts, as a custom stateful operator
+    (applyInPandasWithState). State per user is the greedy completion
+    chain (the stage timestamps, a few longs); each micro-batch folds its
+    (ts-sorted) new events into the chain and emits the updated depth.
+    Depth is monotone non-decreasing, so the per-user latest emission is
+    the max — final counts over a Trigger.AvailableNow replay of a static
+    directory equal the batch funnel exactly, which is how the driver's
+    oracle checks it.
+
+    Ordering contract (documented, standard for funnel-over-log): events
+    must arrive in event-time order ACROSS micro-batches per user (within
+    a batch they are sorted here). A static parquet replay satisfies
+    this; a disordered source needs an upstream watermark+sort stage.
+    At scale the state is O(|stages|) longs per user — far smaller than
+    sessionization state — and expires via ProcessingTimeTimeout when run
+    over an unbounded source."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import depth_to_stage_counts
+
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel stages must be distinct")
+    n = len(stages)
+    idx = {s: i for i, s in enumerate(stages)}
+    within_us = (int(within_seconds) * 1_000_000
+                 if within_seconds is not None else None)
+
+    stream = (read_event_stream(spark, events_path)
+              .filter(F.col("event_type").isin(list(stages)))
+              .select("user_id", "ts", "event_type"))
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+    ])
+    # the chain as a csv string of epoch-micros: a tiny, codec-stable blob
+    state_schema = T.StructType([T.StructField("times", T.StringType())])
+
+    def update(key, pdfs, state: GroupState):
+        done: list[int] = []
+        if state.exists and state.get[0]:
+            done = [int(x) for x in state.get[0].split(",")]
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("ts", kind="mergesort")
+        for ts, et in zip(batch["ts"], batch["event_type"]):
+            if len(done) >= n:
+                break
+            if et != stages[len(done)]:
+                continue
+            t = int(pd.Timestamp(ts).value // 1_000)  # ns -> µs
+            if done and t <= done[-1]:
+                continue
+            if done and within_us is not None and t - done[0] > within_us:
+                continue
+            done.append(t)
+        state.update((",".join(str(t) for t in done),))
+        yield pd.DataFrame({"user_id": [key[0]], "depth": [len(done)]})
+
+    agg = (stream.groupBy("user_id")
+           .applyInPandasWithState(update, out_schema, state_schema,
+                                   "update", GroupStateTimeout.NoTimeout))
+    latest = _run_to_memory(spark, agg, "funnel_", mode="update")
+    depth = (latest.groupBy("user_id")
+             .agg(F.max("depth").alias("d")))
+    return depth_to_stage_counts(depth, stages)

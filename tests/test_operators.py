@@ -2286,3 +2286,27 @@ def test_weighted_sample_k_excludes_nonpositive_and_groups(spark):
     assert rows == {("a", 1), ("a", 4), ("b", 5)}
     with pytest.raises(ValueError):
         weighted_sample_k(df, "w", "id", k=0)
+
+
+def test_stream_funnel_equals_batch(spark):
+    """The stateful streaming funnel's final emissions must equal the
+    batch operator over the same static events (the driver-oracle
+    identity)."""
+    from framequery_spark.operators.events import funnel_counts
+    from framequery_spark.streaming.stream import stream_funnel_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    from framequery_spark.sources.testdata import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    stages = ["view", "click", "purchase"]
+    batch = [(r.stage_idx, r.stage, r.n_users, r.pct) for r in
+             funnel_counts(ev, stages, within_seconds=3600)
+             .orderBy("stage_idx").collect()]
+    stream = [(r.stage_idx, r.stage, r.n_users, r.pct) for r in
+              stream_funnel_counts(spark, path, stages, within_seconds=3600)
+              .orderBy("stage_idx").collect()]
+    assert stream == batch
+
+    with pytest.raises(ValueError):
+        stream_funnel_counts(spark, path, [])
