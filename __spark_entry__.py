@@ -3636,22 +3636,27 @@ ORDER BY id1, id2
 
 
 def _op_trgm_dedup(spark, sf_dir):
-    """trgm_pairs over full document text with the doc-frequency cap
-    (max_doc_freq=50): boilerplate trigrams occurring in more than 50
-    docs are dropped on BOTH sides before the block join — the
-    long-text volume/skew control, restated identically in the oracle
-    (similarity is then Jaccard of the capped trigram sets)."""
+    """trgm_pairs over full document text with the doc-frequency cap at
+    10% of the corpus: boilerplate trigrams occurring in more than
+    |docs|/10 documents are dropped on BOTH sides before the block join —
+    the long-text volume/skew control, restated identically in the oracle
+    (similarity is then Jaccard of the capped trigram sets). The cap
+    scales WITH the corpus so the entry stays non-degenerate at every
+    bench scale (a fixed count over-filters at 10x the documents)."""
     from framequery_spark.operators.dedup import trgm_pairs
 
-    return trgm_pairs(_scope(spark, sf_dir)["documents"], "doc_id", "text",
-                      threshold=0.4, max_doc_freq=50).orderBy("id1", "id2")
+    docs = _scope(spark, sf_dir)["documents"]
+    cap = docs.count() // 10
+    return trgm_pairs(docs, "doc_id", "text",
+                      threshold=0.4, max_doc_freq=cap).orderBy("id1", "id2")
 
 
 _op("op_trgm_dedup", _op_trgm_dedup, f"""
 WITH p AS (SELECT doc_id, {_TRGM_EXTRACT.format(col='text')} AS tg
            FROM documents),
 t0 AS (SELECT doc_id, unnest(tg) AS g FROM p),
-freq AS (SELECT g FROM t0 GROUP BY g HAVING count(*) > 50),
+freq AS (SELECT g FROM t0 GROUP BY g
+         HAVING count(*) > (SELECT count(*) // 10 FROM documents)),
 t AS (SELECT * FROM t0 ANTI JOIN freq USING (g)),
 c AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
 common AS (
