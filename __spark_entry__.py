@@ -900,6 +900,27 @@ ORDER BY sim DESC, p_partkey
 LIMIT 30
 """)
 
+# pgvector-style exact KNN in SQL (r09): ORDER BY embedding <-> probe
+# LIMIT k compiles to TakeOrderedAndProject over one corpus scan — the
+# brute-force baseline the ANN operator entries approximate. The probe is
+# a 1-row subquery (broadcast); DuckDB's list_distance is the oracle.
+_q("q72_pgvector_knn", """
+SELECT e.vec_id,
+       round(e.embedding <-> q.embedding, 6) AS dist
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY dist, e.vec_id
+LIMIT 10
+""", oracle="""
+SELECT e.vec_id,
+       round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 6) AS dist
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY dist, e.vec_id
+LIMIT 10
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the

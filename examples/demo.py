@@ -266,6 +266,13 @@ def main() -> None:
                    levenshtein('kitten', 'sitting') AS lev,
                    unaccent('Łódź Straße Hôtel') AS plain
         """, scope, spark=spark).show(truncate=False)
+        fq.execute("""
+            SELECT e.vec_id, round(e.embedding <=> q.embedding, 4) AS cosd
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cosd, e.vec_id LIMIT 5
+        """, scope, spark=spark).show()
 
 
 if __name__ == "__main__":

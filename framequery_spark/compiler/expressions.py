@@ -1014,6 +1014,13 @@ class ExprCompiler:
             return F.regexp_like(text, pat)
         if name == "__quant_array":
             return self._compile_quant_array(node)
+        if name == "__neg_inner_product":
+            # pgvector `a <#> b`: NEGATIVE inner product (so that smaller
+            # is more similar, matching the other distance operators)
+            from ..functions.registry import REGISTRY as _FN_REGISTRY
+
+            return -_FN_REGISTRY["inner_product"](
+                [self.compile(node.args[0]), self.compile(node.args[1])])
         if name == "__trgm_word_match":
             # pg_trgm <% / %> / <<% / %>> (parse time swaps the operands
             # so the WORD is always args[0]; args[2] = strict)

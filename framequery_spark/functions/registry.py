@@ -405,6 +405,42 @@ def _cosine(a):
     return _dot(a) / (_l2norm([a[0]]) * _l2norm([a[1]]))
 
 
+# pgvector distance surface (r09, beyond-reference pg extension parity):
+# the function spellings behind the <-> / <#> / <=> operators, plus the
+# accessors. Same JVM zip_with/aggregate shape as the similarity ops —
+# whole-stage-codegen'd, no UDF; `ORDER BY emb <-> q LIMIT k` compiles to
+# TakeOrderedAndProject (brute-force exact KNN, one corpus scan).
+@register("l2_distance", "list_distance")
+def _l2_distance(a):
+    return F.sqrt(F.aggregate(
+        F.zip_with(a[0], a[1],
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+@register("l1_distance")
+def _l1_distance(a):
+    return F.aggregate(
+        F.zip_with(a[0], a[1],
+                   lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+@register("inner_product")
+def _inner_product(a):
+    return _dot(a)
+
+
+@register("cosine_distance")
+def _cosine_distance(a):
+    return F.lit(1.0) - _cosine(a)
+
+
+_fixed("vector_dims", lambda a: F.size(a[0]))
+_fixed("vector_norm", lambda a: _l2norm(a))
+
+
 # --------------------------------------------------------- regression aggs
 _fixed("regr_slope", lambda a: F.regr_slope(a[0], a[1]))
 _fixed("regr_intercept", lambda a: F.regr_intercept(a[0], a[1]))

@@ -1332,6 +1332,17 @@ class Parser:
                 right = self.parse_concat()
                 left = ast.Call(name="__ts_match", args=(left, right))
                 continue
+            if self.is_op("<->", "<#>", "<=>"):
+                # pgvector distance operators over array columns:
+                # <-> L2, <#> NEGATIVE inner product (pgvector's index-
+                # friendly spelling), <=> cosine distance
+                op = self.advance().value
+                right = self.parse_concat()
+                fn = {"<->": "l2_distance",
+                      "<#>": "__neg_inner_product",
+                      "<=>": "cosine_distance"}[op]
+                left = ast.Call(name=fn, args=(left, right))
+                continue
             if self.is_op("<%", "%>", "<<%", "%>>"):
                 # pg_trgm word-similarity operators: the word is on the
                 # <-side (a <% b == word_similarity(a, b) over threshold;

@@ -854,6 +854,23 @@ QUERIES = [
      "10 % 3, min(c1) % 2 from test",
      "select true, false, true, true, true, true, 1, "
      "min(c1) % 2 from test"),
+    # pgvector operators (r09): <-> L2 / <#> negative inner product /
+    # <=> cosine distance over arrays, plus the function spellings —
+    # DuckDB's list_* functions are the oracle
+    ("select round(array[1,2,3] <-> array[4,5,6], 6), "
+     "array[1,2,3] <#> array[4,5,6], "
+     "round(array[1,2,3] <=> array[4,5,6], 6), "
+     "round(l2_distance(array[1,2,3], array[4,5,6]), 6), "
+     "round(l1_distance(array[1,2,3], array[4,5,6]), 1), "
+     "round(inner_product(array[1,2,3], array[4,5,6]), 1), "
+     "round(cosine_distance(array[1,2,3], array[4,5,6]), 6), "
+     "vector_dims(array[1,2,3]), round(vector_norm(array[3,4]), 1)",
+     "select round(list_distance([1.0,2,3], [4.0,5,6]), 6), "
+     "-list_inner_product([1.0,2,3], [4.0,5,6]), "
+     "round(1 - list_cosine_similarity([1.0,2,3], [4.0,5,6]), 6), "
+     "round(list_distance([1.0,2,3], [4.0,5,6]), 6), 9.0, 32.0, "
+     "round(1 - list_cosine_similarity([1.0,2,3], [4.0,5,6]), 6), "
+     "3, 5.0"),
     # fuzzystrmatch (r09): the pg-docs §F.15 examples — soundex codes,
     # the 4-position code difference, bounded levenshtein
     ("select soundex('Anne'), soundex('Margaret'), soundex('Tymczak'), "
