@@ -336,6 +336,9 @@ COMPARISONS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 # pg to_char/to_date template patterns -> Java SimpleDateFormat-style
 # patterns (longest-first so MM does not eat Month, etc.)
 _PG_DATEFMT = [
+    # FM (fill mode) strips pg's fixed-width padding; Java patterns are
+    # unpadded already, so it is a no-op token here
+    ("FM", ""),
     ("HH24", "HH"), ("HH12", "hh"), ("Month", "MMMM"), ("MONTH", "MMMM"),
     ("YYYY", "yyyy"), ("YYY", "yyy"), ("Day", "EEEE"), ("DAY", "EEEE"),
     ("Mon", "MMM"), ("MON", "MMM"), ("MS", "SSS"), ("US", "SSSSSS"),
@@ -366,6 +369,39 @@ def _pg_to_java_datefmt(fmt: str) -> str:
             out.append(f"'{ch}'" if ch.isalpha() else ch)
             i += 1
     return "".join(out)
+
+
+def _is_numeric_tochar_fmt(fmt: str) -> bool:
+    """A to_char format is NUMERIC when it carries digit positions (0/9)
+    and none of the date template words — pg dispatches on the first
+    argument's type; this engine dispatches on the format, which is
+    unambiguous for every real template ('999,999.99' vs 'YYYY-MM-DD')."""
+    import re
+
+    if not re.search(r"[09]", fmt):
+        return False
+    return not re.search(
+        r"YY|MM|DD|HH|MI|SS|MS|US|AM|PM|TZ|Mon|Day|Dy", fmt, re.I)
+
+
+def _numeric_to_char(arg, fmt: str):
+    """pg numeric to_char: Spark's to_char covers the digit/grouping
+    grammar (9 0 , . S) but DROPS the sign of negative inputs unless the
+    template has an explicit S — while pg always reserves a leading sign
+    column (' 123' / '-123'). Compile the pg behavior: abs() through
+    Spark's formatter, sign column prepended ('' instead of ' ' under the
+    FM fill-mode prefix, like pg). Documented deviations: '9' digit
+    positions print leading zeros instead of pg's blanking (to_char(0.5,
+    '9.99') = ' 0.50' here, ' .50' in pg), FM does not strip trailing
+    fractional zeros, and overflow raises instead of printing '###'."""
+    fm = fmt.upper().startswith("FM")
+    body = fmt[2:] if fm else fmt
+    dec = arg.cast("decimal(38,10)")
+    if "S" in body.upper():
+        return F.to_char(dec, F.lit(body))
+    inner = F.to_char(F.abs(dec), F.lit(body))
+    sign = F.when(dec < 0, F.lit("-")).otherwise(F.lit("" if fm else " "))
+    return F.concat(sign, inner)
 
 
 class CompileError(ValueError):
@@ -1122,10 +1158,13 @@ class ExprCompiler:
                 len(node.args) == 2 and \
                 isinstance(node.args[1], ast.Literal) and \
                 node.args[1].kind == "string":
+            raw_fmt = node.args[1].value
+            arg = self.compile(node.args[0])
+            if name == "to_char" and _is_numeric_tochar_fmt(raw_fmt):
+                return _numeric_to_char(arg, raw_fmt)
             # pg format strings (YYYY/DD/HH24/MI/...) are converted to Java
             # patterns at compile time; the runtime call is pure JVM
-            fmt = _pg_to_java_datefmt(node.args[1].value)
-            arg = self.compile(node.args[0])
+            fmt = _pg_to_java_datefmt(raw_fmt)
             if name == "to_char":
                 return F.date_format(arg, fmt)
             if name == "to_date":

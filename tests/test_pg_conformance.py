@@ -883,6 +883,17 @@ QUERIES = [
      "levenshtein_less_equal('extensive', 'exhaustive', 4)",
      "select levenshtein('GUMBO', 'GAMBOL'), "
      "levenshtein('kitten', 'sitting'), 3, 4"),
+    # numeric to_char (r09): pg's sign column (' 123' / '-123'), FM fill
+    # mode, 0-padding, grouping, S; date templates incl. FM — literal
+    # oracles (DuckDB's format grammar differs)
+    ("select to_char(123, '999'), to_char(-123, '999'), "
+     "to_char(123, 'FM999'), to_char(1234567.89, '9,999,999.99'), "
+     "to_char(123, '0000'), to_char(123, 'S999'), "
+     "to_char(date '2024-03-05', 'YYYY-MM-DD'), "
+     "to_char(timestamp '2024-03-05 14:30:00', 'FMHH24:MI'), "
+     "to_char(date '2024-03-05', 'FMMonth DD, YYYY')",
+     "select ' 123', '-123', '123', ' 1,234,567.89', ' 0123', '+123', "
+     "'2024-03-05', '14:30', 'March 05, 2024'"),
     # unaccent (r09): Latin-1 Supplement + Latin Extended-A subset,
     # multi-char expansions per pg unaccent.rules
     ("select unaccent('Hôtel'), unaccent('Straße'), unaccent('Łódź'), "
