@@ -58,16 +58,20 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "64g"))
-        # A 144-entry bench x reps generates thousands of Janino classes;
-        # the JDK default 240 MB code cache fills, the JIT disables or
-        # thrashes, and entries late in the run intermittently read 5-10x
-        # their steady state (measured r09: op_dsir_select [6.0, 4.6, 4.0,
-        # 3.7, 11.1, 23.1] on an idle host with defaults vs [4.3, 4.8,
-        # 7.0, 2.3, 2.6, 2.4, 2.0, 2.0] with a 1 GiB cache — the
-        # BENCH_r08 12.6 s op_dsir_select anomaly). Reservation is
-        # virtual; flushing evicts cold methods instead of stopping C2.
+        # A 150+-entry bench x (warmup + reps) generates thousands of
+        # Janino classes; when the code cache fills, the JIT disables or
+        # thrashes and entries intermittently read 5-10x their steady
+        # state (measured r09 with the JDK default 240 MB:
+        # op_dsir_select [6.0, 4.6, 4.0, 3.7, 11.1, 23.1] idle-host vs
+        # [.., 2.3, 2.6, 2.4, 2.0, 2.0] cache-sized — the BENCH_r08
+        # 12.6 s anomaly). 1 GiB stopped sufficing when the inventory
+        # crossed ~150 entries: op_semdedup read [1.3, 2.7, 6.4, 6.3]
+        # in-suite vs 0.8 s solo with 1g, and [1.7, (10.1 stall), 3.9,
+        # 1.2, 1.1] with 2g — the flushing-evicts-hot-GEMM-methods
+        # signature. Reservation is virtual; flushing evicts cold
+        # methods instead of stopping C2.
         .config("spark.driver.extraJavaOptions",
-                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

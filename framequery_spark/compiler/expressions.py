@@ -1154,12 +1154,26 @@ class ExprCompiler:
             return F.when(start > 0,
                           F.concat(F.regexp_replace(head, pat, rep), tail)) \
                 .otherwise(src)
-        if name in ("to_char", "to_date", "to_timestamp") and \
+        if name in ("to_char", "to_date", "to_timestamp", "to_number") and \
                 len(node.args) == 2 and \
                 isinstance(node.args[1], ast.Literal) and \
                 node.args[1].kind == "string":
             raw_fmt = node.args[1].value
             arg = self.compile(node.args[0])
+            if name == "to_number":
+                # pg to_number: lenient about an UNDECLARED leading minus
+                # (and the sign-column space to_char emits); Spark's
+                # formatter requires S for any sign, so peel it off and
+                # negate when the template has no S
+                s = F.trim(arg.cast("string"))
+                body = raw_fmt[2:] if raw_fmt.upper().startswith("FM") \
+                    else raw_fmt
+                if "S" in body.upper():
+                    return F.to_number(s, F.lit(body))
+                bare = s.substr(F.lit(2), F.length(s))
+                return F.when(s.startswith("-"),
+                              -F.to_number(bare, F.lit(body))) \
+                        .otherwise(F.to_number(s, F.lit(body)))
             if name == "to_char" and _is_numeric_tochar_fmt(raw_fmt):
                 return _numeric_to_char(arg, raw_fmt)
             # pg format strings (YYYY/DD/HH24/MI/...) are converted to Java

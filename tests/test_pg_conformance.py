@@ -894,6 +894,12 @@ QUERIES = [
      "to_char(date '2024-03-05', 'FMMonth DD, YYYY')",
      "select ' 123', '-123', '123', ' 1,234,567.89', ' 0123', '+123', "
      "'2024-03-05', '14:30', 'March 05, 2024'"),
+    # to_number (r09): the to_char inverse; pg accepts an undeclared
+    # leading minus and the to_char sign-column space
+    ("select to_number('1,234.56', '9,999.99'), "
+     "to_number(' 123', '999'), to_number('-123', '999'), "
+     "to_number('+123', 'S999'), to_number('0042', '0000')",
+     "select CAST(1234.56 AS DECIMAL(7,2)), 123, -123, 123, 42"),
     # unaccent (r09): Latin-1 Supplement + Latin Extended-A subset,
     # multi-char expansions per pg unaccent.rules
     ("select unaccent('Hôtel'), unaccent('Straße'), unaccent('Łódź'), "
