@@ -227,12 +227,23 @@ def main() -> None:
     slowest = {k: all_runs[k]
                for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:5]
                if k in all_runs}
+    # high-spread entries get the same transparency even when their median
+    # is small: an entry whose reps read [0.9, 6.6, 0.9] has its median
+    # contaminated by an intermittent stall (GC / python-worker respawn),
+    # and the per-rep list is the evidence distinguishing that from plan
+    # cost. min_s records each entry's best rep — the stall-free floor.
+    noisy = {k: v for k, v in all_runs.items()
+             if len(v) >= 2 and min(v) > 0 and max(v) / min(v) > 2.5
+             and k not in slowest}
+    slowest.update(noisy)
+    floor_s = round(sum(min(v) for v in all_runs.values()), 3)
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "slowest_reps": slowest,
+        "floor_s": floor_s,
         "sf": sf_val,
         "reps": reps,
         "aggregation": "median_per_query",
@@ -255,6 +266,7 @@ def main() -> None:
         "streaming_s": round(streaming_s, 3),
         "n": len(timings),
         "n_streaming": sum(1 for k in timings if k in streaming_names),
+        "floor_s": floor_s,
         "sf": sf_val,
         "reps": reps,
         "slowest_reps": slowest,
