@@ -394,3 +394,35 @@ def test_funnel_matches_python_reference(spark, evs):
            funnel_counts(df, stages, within_seconds=within)
            .orderBy("stage_idx").collect()]
     assert got == py_counts(), evs
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(1, 5),            # user
+              st.integers(0, 20)),          # day offset from 2024-01-01
+    min_size=1, max_size=40))
+def test_retention_matches_python_reference(spark, evs):
+    from framequery_spark.operators.events import retention_cohorts
+
+    def py_matrix():
+        first = {}
+        for u, d in evs:
+            first[u] = min(first.get(u, d), d)
+        cells = {}
+        for u, d in set(evs):
+            key = (first[u], d - first[u])
+            cells[key] = cells.get(key, 0) + 1
+        sizes = {c: n for (c, off), n in cells.items() if off == 0}
+        return {(c, off): (n, round(n / sizes[c], 4))
+                for (c, off), n in cells.items()}
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(u, f"2024-01-{d + 1:02d} 12:00:00") for u, d in evs],
+        "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    got = {(int(str(r.cohort)[8:10]) - 1, r.offset): (r.n_active, r.retention)
+           for r in retention_cohorts(df, granularity="day").collect()}
+    assert got == py_matrix(), evs

@@ -99,3 +99,33 @@ def test_bigram_lm_zipfian_corpus_salted_path(no_aqe):
     release_cached()
     assert got == want
     assert len(got) == n_docs
+
+
+def test_funnel_bot_user_state_stays_funnel_relevant(spark):
+    """The 100 TB funnel claim: a bot-scale user's collected state is its
+    FUNNEL-RELEVANT events only (the stream is pre-filtered to the stage
+    types before the groupBy-user collect). A 50k-event bot whose traffic
+    is 98% non-funnel noise must fold only the ~1k relevant events — and
+    the result must still be exact."""
+    import pandas as pd
+
+    from framequery_spark.operators.events import funnel_counts
+
+    n = 50_000
+    rows = []
+    for i in range(n):
+        # bot user 0: mostly noise, a funnel chain buried inside
+        et = ("noise", "view", "click", "purchase")[
+            0 if i % 50 else (i // 50) % 3 + 1]
+        rows.append((0, f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:"
+                        f"{i % 60:02d}", et))
+    rows += [(1, "2024-01-01 00:00:00", "view"),
+             (1, "2024-01-01 00:00:01", "click")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r.stage: r.n_users for r in
+           funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    # bot completes all three (chain appears in order), user 1 stops at click
+    assert out == {"view": 2, "click": 2, "purchase": 1}
