@@ -3786,6 +3786,35 @@ ORDER BY doc_id
 """)
 
 
+def _op_sem_decontam(spark, sf_dir):
+    """Embedding-level benchmark decontamination
+    (operators/contamination.py:semantic_decontaminate): the benchmark
+    side (vec_id < 20 here) broadcasts; the corpus streams once through a
+    BroadcastNestedLoopJoin LeftAnti with a row-local JVM cosine — clean
+    rows never shuffle. Semantic complement of op_decontaminate."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.contamination import (
+        semantic_decontaminate)
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    bench = emb.filter(F.col("vec_id") < 20)
+    train = emb.filter(F.col("vec_id") >= 20)
+    return (semantic_decontaminate(train, bench, threshold=0.35)
+            .select("vec_id").orderBy("vec_id"))
+
+
+_op("op_sem_decontam", _op_sem_decontam, """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT t.vec_id FROM e t
+WHERE t.vec_id >= 20 AND NOT EXISTS (
+  SELECT 1 FROM e b WHERE b.vec_id < 20
+    AND list_cosine_similarity(t.v, b.v) >= 0.35)
+ORDER BY t.vec_id
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")

@@ -273,6 +273,12 @@ def main() -> None:
             WHERE e.vec_id <> 0
             ORDER BY cosd, e.vec_id LIMIT 5
         """, scope, spark=spark).show()
+        fq.execute("""
+            WITH bench AS (SELECT * FROM embeddings WHERE vec_id < 20),
+                 train AS (SELECT * FROM embeddings WHERE vec_id >= 20)
+            SELECT count(*) AS surviving
+            FROM semantic_decontaminate('train', 'bench', 0.35)
+        """, scope, spark=spark).show()
 
 
 if __name__ == "__main__":

@@ -201,3 +201,28 @@ def split_leakage_summary(df: DataFrame, split_col: str = "split",
     return (split_leakage_pairs(df, split_col, text_col, id_col)
             .groupBy("split_a", "split_b")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def semantic_decontaminate(train: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.9,
+                           vec_col: str = "embedding",
+                           bench_vec_col: str | None = None) -> DataFrame:
+    """Embedding-level benchmark decontamination: drop every training row
+    whose embedding has cosine >= threshold against ANY benchmark row —
+    the semantic complement of the n-gram :func:`decontaminate` (catches
+    paraphrased/reformatted benchmark leakage that exact n-grams miss).
+
+    Scale shape: benchmarks are small by nature, so the benchmark side is
+    BROADCAST and the corpus streams once through a
+    BroadcastNestedLoopJoin LeftAnti — the same corpus-never-shuffles
+    contract as cosine_topk; clean rows never shuffle at all. The cosine
+    is a row-local JVM fold. For a benchmark too large to broadcast,
+    block both sides with the IVF/LSH generators first (the
+    similarity-module path) — at that size the problem IS ANN search.
+    """
+    from .dedup import cosine
+
+    bcol = bench_vec_col or vec_col
+    bench = benchmark.select(F.col(bcol).alias("__bvec"))
+    cond = cosine(F.col(vec_col), F.col("__bvec")) >= F.lit(threshold)
+    return train.join(F.broadcast(bench), cond, "left_anti")

@@ -358,6 +358,13 @@ def _register_operator_tfs() -> dict:
         return contamination.decontaminate(
             _op_table(qc, a[0]), _op_table(qc, a[1]), **kw)
 
+    def semantic_decontaminate(qc, a):
+        # semantic_decontaminate('train_emb', 'bench_emb'[, threshold])
+        from ..operators import contamination
+        kw = {"threshold": float(a[2])} if len(a) > 2 else {}
+        return contamination.semantic_decontaminate(
+            _op_table(qc, a[0]), _op_table(qc, a[1]), **kw)
+
     def split_leakage(qc, a):
         # split_leakage('tagged_docs'[, n[, min_shared]]) over a table
         # that already has a 'split' column (e.g. FROM hash_split(...))
@@ -608,6 +615,7 @@ def _register_operator_tfs() -> dict:
         pack_bins, shuffled, dup_clusters, minhash_clusters, dedup_against,
         quantize_embeddings, contaminated_docs, decontaminate, split_leakage,
         chunk_dedup, html_to_text, gopher_filter, unigram_nll,
+        semantic_decontaminate,
         assign_shards, gapfill, bm25_topk, semdedup, mixture_sample,
         dsir_select, bigram_nll, ngram_novelty, zipf_slope, source_overlap,
         perplexity_buckets, quality_scores, dedup_keep_best,

@@ -2310,3 +2310,57 @@ def test_stream_funnel_equals_batch(spark):
 
     with pytest.raises(ValueError):
         stream_funnel_counts(spark, path, [])
+
+
+def test_semantic_decontaminate_drops_near_benchmark_rows(spark, emb):
+    from framequery_spark.operators.contamination import (
+        semantic_decontaminate)
+
+    bench = emb.filter(F.col("vec_id") < 20)
+    train = emb.filter(F.col("vec_id") >= 20)
+    kept = {r.vec_id for r in
+            semantic_decontaminate(train, bench, threshold=0.35)
+            .select("vec_id").collect()}
+
+    # python reference: exact cosine against every benchmark vector
+    import numpy as np
+    b = {r.vec_id: np.array(r.embedding, dtype=float)
+         for r in bench.collect()}
+    dropped_ref = set()
+    for r in train.collect():
+        v = np.array(r.embedding, dtype=float)
+        for bv in b.values():
+            c = float(v @ bv / (np.linalg.norm(v) * np.linalg.norm(bv)))
+            if c >= 0.35:
+                dropped_ref.add(r.vec_id)
+                break
+    all_train = {r.vec_id for r in train.select("vec_id").collect()}
+    assert kept == all_train - dropped_ref and dropped_ref
+
+
+def test_semantic_decontaminate_plan_broadcasts_benchmark(spark, emb):
+    from framequery_spark.operators.contamination import (
+        semantic_decontaminate)
+    from framequery_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 20), emb.filter(F.col("vec_id") < 20),
+        threshold=0.35))
+    # benchmark broadcast, corpus streamed, anti join — never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_decontaminate_sql_table_function(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        """WITH bench AS (SELECT * FROM embeddings WHERE vec_id < 20),
+                train AS (SELECT * FROM embeddings WHERE vec_id >= 20)
+           SELECT count(*) AS n
+           FROM semantic_decontaminate('train', 'bench', 0.35)""",
+        tpch_scope, spark=spark)
+    n_total = fq.execute(
+        "SELECT count(*) AS n FROM embeddings WHERE vec_id >= 20",
+        tpch_scope, spark=spark).collect()[0].n
+    assert 0 < out.collect()[0].n < n_total
