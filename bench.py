@@ -175,8 +175,14 @@ def main() -> None:
         # are still monotonically falling, the median overstates the
         # plan cost, so keep measuring until the curve flattens.
         still_warming = (
-            len(runs) >= 3 and all(runs[i] > runs[i + 1] * 1.15
-                                   for i in range(len(runs) - 1)))
+            len(runs) >= 3
+            and (all(runs[i] > runs[i + 1] * 1.15
+                     for i in range(len(runs) - 1))
+                 # slow decay also counts: [12.9, 11.4, 5.3] fails the
+                 # per-step 1.15 test (first step 1.13x) yet clearly has
+                 # not reached steady state — the last rep far below the
+                 # first is the same warm-curve signature
+                 or runs[-1] * 1.6 < runs[0]))
         if (len(runs) >= 2 and min(runs) > 0
                 and max(runs) / min(runs) > 2.5) or still_warming:
             for _ in range(3 if still_warming else 2):
