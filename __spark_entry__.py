@@ -3786,6 +3786,44 @@ ORDER BY doc_id
 """)
 
 
+def _op_event_anomaly(spark, sf_dir):
+    """Per-type event-rate z-scores (operators/events.py:
+    event_rate_anomaly): hourly counts z-scored against each type's own
+    bucket distribution, from DECIMAL-exact sums so the scores are
+    engine-identical. One keyed count + one type-keyed stats aggregate +
+    a broadcast join back."""
+    from framequery_spark.operators.events import event_rate_anomaly
+
+    return (event_rate_anomaly(_scope(spark, sf_dir)["events"],
+                               bucket="hour", z_threshold=2.5)
+            .orderBy("event_type", "bucket"))
+
+
+_op("op_event_anomaly", _op_event_anomaly, """
+WITH c AS (
+  SELECT event_type AS etype, date_trunc('hour', ts) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT etype, count(*) AS k,
+         CAST(sum(CAST(n AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(n * n AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM c GROUP BY 1),
+z AS (
+  SELECT c.etype, CAST(c.bucket AS TIMESTAMP) AS bucket, c.n,
+         CASE WHEN s.k > 1 AND (s.s2 - s.sd * s.sd / CAST(s.k AS DOUBLE))
+                              / (CAST(s.k AS DOUBLE) - 1.0) > 0
+              THEN (CAST(c.n AS DOUBLE) - s.sd / CAST(s.k AS DOUBLE))
+                   / sqrt((s.s2 - s.sd * s.sd / CAST(s.k AS DOUBLE))
+                          / (CAST(s.k AS DOUBLE) - 1.0))
+              ELSE 0.0 END AS zraw
+  FROM c JOIN s USING (etype))
+SELECT etype AS event_type, bucket, n, round(zraw, 4) AS z,
+       abs(zraw) >= 2.5 AS is_anomaly
+FROM z ORDER BY event_type, bucket
+""")
+
+
 def _op_sem_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination
     (operators/contamination.py:semantic_decontaminate): the benchmark

@@ -279,6 +279,10 @@ def main() -> None:
             SELECT count(*) AS surviving
             FROM semantic_decontaminate('train', 'bench', 0.35)
         """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM event_anomaly('events', 'day', 1.5)
+            WHERE is_anomaly ORDER BY event_type, bucket LIMIT 5
+        """, scope, spark=spark).show()
 
 
 if __name__ == "__main__":

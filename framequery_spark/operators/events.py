@@ -117,6 +117,50 @@ def funnel_counts(df: DataFrame, stages: List[str],
     return depth_to_stage_counts(depth, stages)
 
 
+def event_rate_anomaly(df: DataFrame, type_col: str = "event_type",
+                       ts_col: str = "ts", bucket: str = "hour",
+                       z_threshold: float = 3.0) -> DataFrame:
+    """Per-type event-rate anomaly scores: bucket the stream (hour/day),
+    z-score every (type, bucket) count against that type's own
+    distribution over buckets, and flag |z| >= z_threshold — the ops-side
+    monitor for ingest spikes/outages over the same stream the funnel and
+    retention operators read.
+
+    The mean/variance come from DECIMAL-quantized exact sums of the
+    integer counts (converted to double only at the final division), so
+    z-scores are bit-identical across engines and partition layouts —
+    the driver oracle restates the identical formula. Buckets with zero
+    events produce no row (use time_bucket_gapfill first for a dense
+    grid). Plan shape: one keyed count aggregate (map-side combine),
+    one type-keyed stats aggregate (rows = #types), broadcast join back.
+    """
+    if bucket not in ("minute", "hour", "day", "week"):
+        raise ValueError("bucket must be minute, hour, day or week")
+    period = F.date_trunc(bucket, F.col(ts_col))
+    counts = (df.groupBy(F.col(type_col).alias("etype"),
+                         period.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n")))
+    dec = "decimal(38,0)"
+    stats = (counts.groupBy("etype")
+             .agg(F.count(F.lit(1)).alias("__k"),
+                  F.sum(F.col("n").cast(dec)).alias("__s"),
+                  F.sum((F.col("n") * F.col("n")).cast(dec)).alias("__s2")))
+    j = counts.join(F.broadcast(stats), "etype")
+    k = F.col("__k").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s / k
+    var = F.when(F.col("__k") > 1, (s2 - s * s / k) / (k - 1.0)) \
+           .otherwise(F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n").cast("double") - mean) / std) \
+         .otherwise(F.lit(0.0))
+    return j.select(
+        F.col("etype").alias(type_col), "bucket", "n",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"))
+
+
 def retention_cohorts(df: DataFrame, user_col: str = "user_id",
                       ts_col: str = "ts",
                       granularity: str = "week") -> DataFrame:

@@ -563,6 +563,17 @@ def _register_operator_tfs() -> dict:
         kw = {"granularity": str(a[1])} if len(a) > 1 else {}
         return events.retention_cohorts(_op_table(qc, a[0]), **kw)
 
+    def event_anomaly(qc, a):
+        # event_anomaly('events'[, bucket[, z_threshold]])
+        from ..operators import events
+
+        kw = {}
+        if len(a) > 1:
+            kw["bucket"] = str(a[1])
+        if len(a) > 2:
+            kw["z_threshold"] = float(a[2])
+        return events.event_rate_anomaly(_op_table(qc, a[0]), **kw)
+
     def trgm_pairs(qc, a):
         # trgm_pairs('documents'[, threshold[, max_doc_freq]]) — the
         # distributed `a % b` pg_trgm fuzzy self-join
@@ -607,7 +618,7 @@ def _register_operator_tfs() -> dict:
     return {f.__name__: f for f in (
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
-        source_divergence, weighted_sample,
+        source_divergence, weighted_sample, event_anomaly,
         concat_chunks, char_entropy, compression_ratio,
         text_stats, doc_chunks, exact_dups, minhash_pairs, simhash_pairs,
         jaccard_pairs, levenshtein_pairs, embedding_near_dups, cosine_topk,

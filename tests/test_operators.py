@@ -2364,3 +2364,54 @@ def test_semantic_decontaminate_sql_table_function(spark, tpch_scope):
         "SELECT count(*) AS n FROM embeddings WHERE vec_id >= 20",
         tpch_scope, spark=spark).collect()[0].n
     assert 0 < out.collect()[0].n < n_total
+
+
+def test_event_rate_anomaly_flags_the_spike(spark):
+    import numpy as np
+
+    from framequery_spark.operators.events import event_rate_anomaly
+
+    # 24 calm hours of ~5 events + one 50-event spike hour
+    rows = []
+    for h in range(24):
+        for i in range(5):
+            rows.append((f"2024-01-01 {h:02d}:00:{i:02d}", "click"))
+    rows += [(f"2024-01-02 00:00:{i % 60:02d}.{i // 60}", "click")
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+              .withColumn("ts", F.col("ts").cast("timestamp")) \
+              .withColumn("user_id", F.lit(1))
+    out = event_rate_anomaly(df, bucket="hour", z_threshold=3.0)
+    flagged = [(str(r.bucket), r.n, r.z) for r in
+               out.filter("is_anomaly").collect()]
+    assert len(flagged) == 1 and flagged[0][0].startswith("2024-01-02 00")
+    assert flagged[0][1] == 50
+
+    # z matches numpy's sample-std z-score
+    counts = np.array([5] * 24 + [50], dtype=float)
+    z_ref = (50 - counts.mean()) / counts.std(ddof=1)
+    assert abs(flagged[0][2] - round(z_ref, 4)) < 1e-9
+
+    with pytest.raises(ValueError):
+        event_rate_anomaly(df, bucket="fortnight")
+
+
+def test_event_anomaly_constant_rate_is_all_zero(spark):
+    from framequery_spark.operators.events import event_rate_anomaly
+
+    rows = [(f"2024-01-01 {h:02d}:00:00", "view") for h in range(12)]
+    df = spark.createDataFrame(rows, "ts string, event_type string") \
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = event_rate_anomaly(df, bucket="hour").collect()
+    assert all(r.z == 0.0 and not r.is_anomaly for r in out)
+
+
+def test_event_anomaly_sql_table_function(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        "SELECT * FROM event_anomaly('events', 'day', 2.0)",
+        tpch_scope, spark=spark)
+    assert {"event_type", "bucket", "n", "z", "is_anomaly"} \
+        <= set(out.columns)
+    assert out.count() > 0
