@@ -426,3 +426,28 @@ def test_retention_matches_python_reference(spark, evs):
     got = {(int(str(r.cohort)[8:10]) - 1, r.offset): (r.n_active, r.retention)
            for r in retention_cohorts(df, granularity="day").collect()}
     assert got == py_matrix(), evs
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab1 .-", min_size=0, max_size=10),
+                min_size=2, max_size=7, unique=True))
+def test_trgm_pairs_equals_scalar_matrix_random(spark, names):
+    """The blocked trigram join must equal the scalar similarity matrix
+    for arbitrary short strings — including empties, digits, punctuation,
+    and whitespace-only values (rows with no trigrams simply never pair)."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.functions.trigram import similarity as trgm_sim
+    from framequery_spark.operators.dedup import trgm_pairs
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, s string")
+    got = {(r.id1, r.id2): r.sim
+           for r in trgm_pairs(df, "id", "s", threshold=0.01).collect()}
+    a, b = df.toDF("id1", "s1"), df.toDF("id2", "s2")
+    expected = {(r.id1, r.id2): round(r.c, 6) for r in
+                a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+                .select("id1", "id2",
+                        trgm_sim(F.col("s1"), F.col("s2")).alias("c"))
+                .filter(F.col("c") >= 0.01).collect()}
+    assert got == expected, names
