@@ -3807,7 +3807,8 @@ WITH c AS (
 s AS (
   SELECT etype, count(*) AS k,
          CAST(sum(CAST(n AS DECIMAL(38,0))) AS DOUBLE) AS sd,
-         CAST(sum(CAST(n * n AS DECIMAL(38,0))) AS DOUBLE) AS s2
+         CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+              AS DOUBLE) AS s2
   FROM c GROUP BY 1),
 z AS (
   SELECT c.etype, CAST(c.bucket AS TIMESTAMP) AS bucket, c.n,

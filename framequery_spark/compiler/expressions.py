@@ -373,15 +373,18 @@ def _pg_to_java_datefmt(fmt: str) -> str:
 
 def _is_numeric_tochar_fmt(fmt: str) -> bool:
     """A to_char format is NUMERIC when it carries digit positions (0/9)
-    and none of the date template words — pg dispatches on the first
-    argument's type; this engine dispatches on the format, which is
-    unambiguous for every real template ('999,999.99' vs 'YYYY-MM-DD')."""
+    and no UNAMBIGUOUS date template word — pg dispatches on the first
+    argument's type; this engine dispatches on the format. MI is
+    deliberately NOT a discriminator: it is both pg's minutes token and
+    pg's numeric trailing-minus token, but as a date token it never
+    appears next to digit positions ('HH24:MI' carries HH; '999MI' is
+    numeric), so the remaining words decide every real template."""
     import re
 
     if not re.search(r"[09]", fmt):
         return False
     return not re.search(
-        r"YY|MM|DD|HH|MI|SS|MS|US|AM|PM|TZ|Mon|Day|Dy", fmt, re.I)
+        r"YY|MM|DD|HH|SS|MS|US|AM|PM|TZ|Mon|Day|Dy", fmt, re.I)
 
 
 def _numeric_to_char(arg, fmt: str):
@@ -397,7 +400,10 @@ def _numeric_to_char(arg, fmt: str):
     fm = fmt.upper().startswith("FM")
     body = fmt[2:] if fm else fmt
     dec = arg.cast("decimal(38,10)")
-    if "S" in body.upper():
+    up = body.upper()
+    # S / MI / PR templates place the sign themselves (Spark implements
+    # all three with pg's semantics) — no wrapper
+    if "S" in up or "MI" in up or "PR" in up:
         return F.to_char(dec, F.lit(body))
     inner = F.to_char(F.abs(dec), F.lit(body))
     sign = F.when(dec < 0, F.lit("-")).otherwise(F.lit("" if fm else " "))

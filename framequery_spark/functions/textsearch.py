@@ -35,7 +35,8 @@ Supported:
 - ``ts_rank([weights,] tsv, tsq)`` — follows pg tsrank.c calc_rank:
   OR/single-term queries rank by per-entry harmonic position frequency
   (calc_rank_or, w*sum 1/j^2 / (pi^2/6) per matched ENTRY, divided by
-  the query NODE count q->size; values match pg's published outputs,
+  the UNIQUE value-operand count per SortAndUniqItems; values match
+  pg's published outputs,
   e.g. single D-weight term at one position = 0.0607927); AND/phrase
   roots with >= 2 terms rank by pairwise positional proximity
   (calc_rank_and, res = 1 - prod(1-curw),
@@ -841,8 +842,13 @@ def _rank_or(tsv: Column, terms, wmap: Column, qsize: int) -> Column:
     can match several entries; each gets its OWN harmonic sum with its
     OWN weight (pg loops entries inside the item loop). Entries without
     positions count as one D-weighted position (pg's POSNULL). The total
-    divides by q->size — the query-tree NODE count, values AND operators
-    (numnode), not the value-term count — so 'a | b' divides by 3."""
+    divides by the count of UNIQUE value operands: pg's
+    SortAndUniqItems(q, &size) collects only QI_VAL operands, sorts and
+    uniqs, and REWRITES size before the final `res = res / size` — so
+    'a | b' divides by 2 (not numnode's 3) and 'a | a' collapses to one
+    operand (canonical pg: one matched OR arm of two = 0.0303964, half
+    the 0.0607927 single-term rank). `qsize` is that unique-operand
+    count; ts_rank dedupes the term list to match."""
     parts = []
     for term in terms:
         lexeme, prefix = term
@@ -948,7 +954,10 @@ def ts_rank(tsv: Column, node, weights=None) -> Column:
         return F.lit(0.0).cast("float")
     if node[0] in ("and", "phrase") and len(terms) >= 2:
         return _rank_and(tsv, terms, wmap).cast("float")
-    return _rank_or(tsv, terms, wmap, numnode(node)).cast("float")
+    # pg SortAndUniqItems: the OR path loops (and divides by) the UNIQUE
+    # value operands, not the raw term list or the node count
+    uniq = sorted(set(terms))
+    return _rank_or(tsv, uniq, wmap, len(uniq)).cast("float")
 
 
 # ------------------------------------------------- cover-density ranking

@@ -112,98 +112,39 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str,
 # ------------------------------------------------------- n-gram Jaccard join
 
 
-def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", k: int = 3,
-                  threshold: float = 0.7,
-                  max_doc_freq: Optional[int] = None) -> DataFrame:
-    """All pairs (id1 < id2) with word-k-gram Jaccard >= threshold.
+def _blocked_set_jaccard_pairs(sh: DataFrame, threshold: float,
+                               max_doc_freq: Optional[int],
+                               out_col: str, digits: int) -> DataFrame:
+    """The blocked set-Jaccard join shared by jaccard_pairs (word
+    shingles) and trgm_pairs (pg_trgm character trigrams): `sh` is the
+    exploded (__id, __g) frame of each row's DISTINCT gram hashes.
 
-    Candidate generation is the shingle self-join; `max_doc_freq` drops
-    shingles occurring in more than that many documents before the join —
-    at corpus scale the frequent-shingle skew dominates the join, and a
-    shingle shared by m docs contributes m^2 candidate rows.
+    - persist: the gram table feeds three branches (both join sides +
+      per-id counts); without it the gram expression recomputes 3x. At
+      corpus scale prefer MEMORY_AND_DISK or checkpoint to parquet
+      between stages. Grams are joined by their 64-bit xxhash64, not the
+      string: 8-byte fixed keys shuffle and compare far faster, and a
+      collision needs ~2^32 distinct grams to appear once (birthday
+      bound) — negligible against the oracle. The persist is tracked:
+      callers release it with cache.release_cached() after materializing.
+    - `max_doc_freq` broadcasts the FREQUENT grams (boilerplate — a tiny
+      set by construction: > max_doc_freq occurrences each) and anti-joins
+      them map-side; broadcasting the rare side would be backwards at
+      corpus scale, where almost every gram is rare. Similarity is then
+      Jaccard of the CAPPED sets on both sides — an approximation the
+      driver oracles restate identically.
     """
-    # persist: the shingle table feeds three branches (both join sides +
-    # per-doc counts); without it the shingle expression recomputes 3x.
-    # At corpus scale prefer MEMORY_AND_DISK (set here) or checkpoint the
-    # shingle table to parquet between stages. Shingles are joined by their
-    # 64-bit xxhash64, not the string: 8-byte fixed keys shuffle and compare
-    # far faster, and a collision needs ~2^32 distinct shingles to appear
-    # once (birthday bound) — negligible against the oracle. The persist is
-    # tracked: callers release it with cache.release_cached() after
-    # materializing (see operators/cache.py).
     from .cache import persist_tracked
 
-    # row-local distinct shingle hashes (array_distinct inside shingles() —
-    # per-doc dedup without any exchange)
-    sh = persist_tracked(
-        _shingle_table(df, id_col, text_col, k)
-        .select("__id", F.xxhash64("__shingle").alias("__shingle")))
-    if max_doc_freq is not None:
-        # broadcast the FREQUENT shingles (stopword boilerplate — a tiny
-        # set by construction: > max_doc_freq occurrences each) and
-        # anti-join map-side. Broadcasting the rare side would be backwards
-        # at corpus scale, where almost every shingle is rare.
-        frequent = (sh.groupBy("__shingle")
-                    .agg(F.count(F.lit(1)).alias("__df"))
-                    .filter(F.col("__df") > max_doc_freq))
-        # the USING-style join hoists the key column to the front — reselect
-        # in (__id, key) order, since the toDF renames below are positional
-        sh = sh.join(F.broadcast(frequent.select("__shingle")), "__shingle",
-                     "left_anti").select("__id", "__shingle")
-    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-
-    a = sh.toDF("id1", "__shingle")
-    b = sh.toDF("id2", "__shingle")
-    common = (a.join(b, "__shingle")
-              .filter(F.col("id1") < F.col("id2"))
-              .groupBy("id1", "id2")
-              .agg(F.count(F.lit(1)).alias("__common")))
-    c1 = counts.toDF("id1", "__n1")
-    c2 = counts.toDF("id2", "__n2")
-    jac = (common.join(c1, "id1").join(c2, "id2")
-           .withColumn("jaccard",
-                       F.col("__common")
-                       / (F.col("__n1") + F.col("__n2") - F.col("__common"))))
-    return (jac.filter(F.col("jaccard") >= threshold)
-            .select("id1", "id2", F.round("jaccard", 4).alias("jaccard")))
-
-
-def trgm_pairs(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", threshold: float = 0.5,
-               max_doc_freq: Optional[int] = None) -> DataFrame:
-    """All pairs (id1 < id2) with pg_trgm character-trigram similarity
-    >= threshold — the set-join counterpart of the scalar
-    `similarity(a, b)` / `%` operator (functions/trigram.py), i.e. a
-    distributed `a.name % b.name` self-join.
-
-    Same blocked-join scheme as jaccard_pairs: explode each row's distinct
-    padded character trigrams (pg_trgm extraction — short-string shape:
-    names, titles, query strings), self-join on the 64-bit trigram hash,
-    count intersections, compute Jaccard from per-id set sizes. Never
-    all-pairs. `max_doc_freq` drops trigrams occurring in more than that
-    many rows before the join (the skew/volume cap for the long-text
-    shape; similarity is then Jaccard of the CAPPED trigram sets on both
-    sides — an approximation both this and the driver oracle restate
-    identically). For multi-KB documents prefer minhash_lsh_pairs; this
-    exists for the fuzzy-string-match shape pg_trgm serves.
-    """
-    from ..functions.trigram import trigram_array  # deferred: trigram
-    # imports _let from this module, so a top-level import would cycle
-
-    from .cache import persist_tracked
-
-    sh = persist_tracked(
-        _spread(df)
-        .select(F.col(id_col).alias("__id"),
-                F.explode(trigram_array(F.col(text_col))).alias("__g"))
-        .select("__id", F.xxhash64("__g").alias("__g")))
+    sh = persist_tracked(sh)
     if max_doc_freq is not None:
         frequent = (sh.groupBy("__g")
                     .agg(F.count(F.lit(1)).alias("__df"))
                     .filter(F.col("__df") > max_doc_freq))
-        # positional toDF below — restore (__id, __g) order after the join
-        # hoists the key column to the front
+        # the USING-style join hoists the key column to the front — even
+        # for anti joins — so reselect in (__id, __g) order: the toDF
+        # renames below are positional (this exact hoist once silently
+        # swapped (id, gram) and emptied every capped result)
         sh = sh.join(F.broadcast(frequent.select("__g")), "__g",
                      "left_anti").select("__id", "__g")
     counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
@@ -217,11 +158,55 @@ def trgm_pairs(df: DataFrame, id_col: str = "doc_id",
     c1 = counts.toDF("id1", "__n1")
     c2 = counts.toDF("id2", "__n2")
     sim = (common.join(c1, "id1").join(c2, "id2")
-           .withColumn("sim",
+           .withColumn(out_col,
                        F.col("__common").cast("double")
                        / (F.col("__n1") + F.col("__n2") - F.col("__common"))))
-    return (sim.filter(F.col("sim") >= threshold)
-            .select("id1", "id2", F.round("sim", 6).alias("sim")))
+    return (sim.filter(F.col(out_col) >= threshold)
+            .select("id1", "id2", F.round(out_col, digits).alias(out_col)))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  threshold: float = 0.7,
+                  max_doc_freq: Optional[int] = None) -> DataFrame:
+    """All pairs (id1 < id2) with word-k-gram Jaccard >= threshold.
+
+    Candidate generation is the shingle self-join
+    (:func:`_blocked_set_jaccard_pairs`); `max_doc_freq` drops shingles
+    occurring in more than that many documents before the join — at
+    corpus scale the frequent-shingle skew dominates the join, and a
+    shingle shared by m docs contributes m^2 candidate rows.
+    """
+    # row-local distinct shingle hashes (array_distinct inside shingles() —
+    # per-doc dedup without any exchange)
+    sh = (_shingle_table(df, id_col, text_col, k)
+          .select("__id", F.xxhash64("__shingle").alias("__g")))
+    return _blocked_set_jaccard_pairs(sh, threshold, max_doc_freq,
+                                      out_col="jaccard", digits=4)
+
+
+def trgm_pairs(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", threshold: float = 0.5,
+               max_doc_freq: Optional[int] = None) -> DataFrame:
+    """All pairs (id1 < id2) with pg_trgm character-trigram similarity
+    >= threshold — the set-join counterpart of the scalar
+    `similarity(a, b)` / `%` operator (functions/trigram.py), i.e. a
+    distributed `a.name % b.name` self-join over
+    :func:`_blocked_set_jaccard_pairs` (short-string shape: names,
+    titles, query strings). `max_doc_freq` is the skew/volume cap for
+    the long-text shape; for multi-KB documents prefer
+    minhash_lsh_pairs — this exists for the fuzzy-string-match shape
+    pg_trgm serves.
+    """
+    from ..functions.trigram import trigram_array  # deferred: trigram
+    # imports _let from this module, so a top-level import would cycle
+
+    sh = (_spread(df)
+          .select(F.col(id_col).alias("__id"),
+                  F.explode(trigram_array(F.col(text_col))).alias("__g"))
+          .select("__id", F.xxhash64("__g").alias("__g")))
+    return _blocked_set_jaccard_pairs(sh, threshold, max_doc_freq,
+                                      out_col="sim", digits=6)
 
 
 # ------------------------------------------------------------ MinHash + LSH

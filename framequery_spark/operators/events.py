@@ -141,10 +141,13 @@ def event_rate_anomaly(df: DataFrame, type_col: str = "event_type",
                          period.alias("bucket"))
                 .agg(F.count(F.lit(1)).alias("n")))
     dec = "decimal(38,0)"
+    # n is cast to decimal BEFORE squaring: bigint*bigint wraps silently
+    # past ~3e9 events per bucket — exactly the scale this module claims
+    n_dec = F.col("n").cast(dec)
     stats = (counts.groupBy("etype")
              .agg(F.count(F.lit(1)).alias("__k"),
-                  F.sum(F.col("n").cast(dec)).alias("__s"),
-                  F.sum((F.col("n") * F.col("n")).cast(dec)).alias("__s2")))
+                  F.sum(n_dec).alias("__s"),
+                  F.sum((n_dec * n_dec).cast(dec)).alias("__s2")))
     j = counts.join(F.broadcast(stats), "etype")
     k = F.col("__k").cast("double")
     s = F.col("__s").cast("double")

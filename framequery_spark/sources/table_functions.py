@@ -547,14 +547,18 @@ def _register_operator_tfs() -> dict:
 
     def funnel(qc, a):
         # funnel('events', 'view', 'click', 'purchase'[, within_seconds])
-        # trailing int literal = completion window in seconds from stage 1
+        # trailing NUMERIC literal = completion window in seconds from
+        # stage 1 — discriminated by the literal's parsed type, so an
+        # all-digits STRING stage name ('2024') stays a stage
         from ..operators import events
 
-        stages = [str(s) for s in a[1:]]
+        args = list(a[1:])
         kw = {}
-        if stages and str(stages[-1]).lstrip("-").isdigit():
-            kw["within_seconds"] = int(stages.pop())
-        return events.funnel_counts(_op_table(qc, a[0]), stages, **kw)
+        if args and isinstance(args[-1], (int, float)) \
+                and not isinstance(args[-1], bool):
+            kw["within_seconds"] = int(args.pop())
+        return events.funnel_counts(_op_table(qc, a[0]),
+                                    [str(s) for s in args], **kw)
 
     def retention_cohorts(qc, a):
         # retention_cohorts('events'[, granularity]) -> cohort matrix

@@ -793,14 +793,21 @@ QUERIES = [
      "@@ to_tsquery('english', 'fat <-> (the <-> cat)')",
      "select '''fat'' <2> ''cat''', '''fat'' <3> ''cat''', "
      "'''fat'' <-> ''cat''', true, false"),
-    # calc_rank_or divides by q->size (nodes, not value terms) and sums
-    # per-ENTRY harmonics for prefix terms (r09): 'a | b' has q->size 3;
-    # 'spark:*' matching two entries sums two independent H(1) terms
+    # calc_rank_or divides by the count of UNIQUE value operands — pg's
+    # SortAndUniqItems rewrites size before `res / size`, so 'cat | dog'
+    # fully matched equals a single-term rank (0.0607927), one matched
+    # arm halves it (0.0303964), and 'cat | cat' collapses to one
+    # operand; 'spark:*' matching two entries sums two independent H(1)
+    # terms over ONE operand
     ("select round(cast(ts_rank(to_tsvector('cat dog'), "
      "to_tsquery('cat | dog')) as double), 6), "
+     "round(cast(ts_rank(to_tsvector('cat'), "
+     "to_tsquery('cat | dog')) as double), 6), "
+     "round(cast(ts_rank(to_tsvector('cat'), "
+     "to_tsquery('cat | cat')) as double), 6), "
      "round(cast(ts_rank(to_tsvector('spark sparkle'), "
      "to_tsquery('spark:*')) as double), 6)",
-     "select 0.040528, 0.121585"),
+     "select 0.060793, 0.030396, 0.060793, 0.121585"),
     # ts_rank_cd (r09): pg tsrank.c calc_rank_cd cover-density values —
     # no decay constants involved, every value derives exactly from the
     # published algorithm: single D term = 0.1 per cover, adjacent AND
@@ -889,10 +896,13 @@ QUERIES = [
     ("select to_char(123, '999'), to_char(-123, '999'), "
      "to_char(123, 'FM999'), to_char(1234567.89, '9,999,999.99'), "
      "to_char(123, '0000'), to_char(123, 'S999'), "
+     "to_char(485, '999MI'), to_char(-485, '999MI'), "
+     "to_char(-485, '999PR'), "
      "to_char(date '2024-03-05', 'YYYY-MM-DD'), "
      "to_char(timestamp '2024-03-05 14:30:00', 'FMHH24:MI'), "
      "to_char(date '2024-03-05', 'FMMonth DD, YYYY')",
      "select ' 123', '-123', '123', ' 1,234,567.89', ' 0123', '+123', "
+     "'485 ', '485-', '<485>', "
      "'2024-03-05', '14:30', 'March 05, 2024'"),
     # to_number (r09): the to_char inverse; pg accepts an undeclared
     # leading minus and the to_char sign-column space
