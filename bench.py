@@ -198,7 +198,12 @@ def main() -> None:
                 spark.catalog.clearCache()
                 if len(runs) >= 2 and runs[-1] >= runs[-2] * 0.9:
                     break  # flattened
-        med = sorted(runs)[len(runs) // 2]
+        # LOWER median: rep noise is strictly one-sided (GC/JIT stalls
+        # only ever ADD time), so for even-length lists the upper-middle
+        # element systematically overstates plan cost — with the guard's
+        # 4-rep lists like [5.3, 6.6, 11.3, 14.9] the upper median reads
+        # the stall (11.3), the lower median the steady state (6.6)
+        med = sorted(runs)[(len(runs) - 1) // 2]
         timings[name] = round(med, 3)
         all_runs[name] = [round(x, 3) for x in runs]
         total += med
