@@ -625,10 +625,21 @@ class ExprCompiler:
             return "interval"
         return None
 
+    # functions that provably RETURN text for _is_texty — the string
+    # transforms a pg user composes with % (unaccent('x') % 'y' is the
+    # canonical pg_trgm + unaccent idiom)
+    _TEXT_RETURNING_FNS = frozenset({
+        "unaccent", "lower", "upper", "trim", "ltrim", "rtrim", "btrim",
+        "initcap", "reverse", "replace", "translate", "concat",
+        "concat_ws", "substring", "substr", "left", "right", "lpad",
+        "rpad", "regexp_replace", "repeat", "soundex", "md5",
+    })
+
     def _is_texty(self, node: ast.Node) -> bool:
         """Provably text: a string literal, a ::varchar/::text cast, a
-        ||-concatenation, or a string-typed scope column — the proof bar
-        the pg_trgm % dispatch requires (see _c_Binary)."""
+        ||-concatenation, a call to a string-returning function, or a
+        string-typed scope column — the proof bar the pg_trgm % dispatch
+        requires (see _c_Binary)."""
         if isinstance(node, ast.Literal) and node.kind == "string":
             return True
         if isinstance(node, ast.Cast) and node.type_name.lower() in (
@@ -636,6 +647,9 @@ class ExprCompiler:
             return True
         if isinstance(node, ast.Binary) and node.op == "||":
             return self._is_texty(node.left) or self._is_texty(node.right)
+        if isinstance(node, ast.Call) and \
+                node.name.lower() in self._TEXT_RETURNING_FNS:
+            return True
         return self._scope_col_dtype(node) == "string"
 
     _LO_TO_RANGE = {"int": "int4range", "bigint": "int8range",

@@ -878,6 +878,13 @@ QUERIES = [
      "round(list_distance([1.0,2,3], [4.0,5,6]), 6), 9.0, 32.0, "
      "round(1 - list_cosine_similarity([1.0,2,3], [4.0,5,6]), 6), "
      "3, 5.0"),
+    # % dispatch recognizes string-RETURNING function calls (the
+    # canonical pg unaccent + pg_trgm composition); modulo intact
+    ("select unaccent('Hôtel Zürich') % 'hotel zurich', "
+     "lower('ABC') % 'abc', "
+     "round(cast(similarity(unaccent('Łódź'), 'lodz') as double), 1), "
+     "7 % 3",
+     "select true, true, 1.0, 1"),
     # fuzzystrmatch (r09): the pg-docs §F.15 examples — soundex codes,
     # the 4-position code difference, bounded levenshtein
     ("select soundex('Anne'), soundex('Margaret'), soundex('Tymczak'), "
