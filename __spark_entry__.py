@@ -1877,6 +1877,43 @@ FROM h GROUP BY 1 ORDER BY 1
 """)
 
 
+def _op_stratified_split(spark, sf_dir):
+    """Exact-quota per-stratum split (operators/sampling.py:
+    stratified_split): dense_rank over md5(key) inside each (lang, source)
+    stratum, so every stratum hits its 0.8/0.1/0.1 target to within one
+    key — where hash_split drifts O(1/sqrt(n)) on small strata. keysum
+    pins exact membership per (lang, split), not just counts."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.sampling import stratified_split
+
+    return (stratified_split(_scope(spark, sf_dir)["documents"],
+                             ["lang", "source"], "doc_id")
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("keysum"))
+            .orderBy("lang", "split"))
+
+
+_op("op_stratified_split", _op_stratified_split, """
+WITH ranked AS (
+  SELECT lang, source, doc_id,
+         dense_rank() OVER (PARTITION BY lang, source
+             ORDER BY substr(md5(concat(CAST(doc_id AS VARCHAR), 'split')),
+                             1, 8), doc_id) AS rk
+  FROM documents
+), sized AS (
+  SELECT *, max(rk) OVER (PARTITION BY lang, source) AS n FROM ranked
+)
+SELECT lang,
+       CASE WHEN rk <= floor(n * 0.8 + 0.5) THEN 'train'
+            WHEN rk <= floor(n * 0.9 + 0.5) THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS keysum
+FROM sized GROUP BY 1, 2 ORDER BY 1, 2
+""")
+
+
 def _op_det_sample(spark, sf_dir):
     """Hash-threshold key sampling (leakage-proof: all lineitems of a kept
     order are kept); pure pushdown-able filter."""

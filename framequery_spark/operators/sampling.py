@@ -26,9 +26,9 @@ closest is plain SELECT — docs/SQL_Support.md).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -257,3 +257,57 @@ def stratified_sample(df: DataFrame, strata_col: str,
     `hash_split`/`deterministic_sample` when byte-exact reproducibility
     across engines matters."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def stratified_split(df: DataFrame, strata_cols: Sequence[str],
+                     key_col: str,
+                     weights: Dict[str, float] | None = None,
+                     salt: str = "split", out_col: str = "split") -> DataFrame:
+    """Exact-quota deterministic train/val/test split WITHIN each stratum.
+
+    :func:`hash_split` is proportional only in expectation — each stratum's
+    realized fractions drift by O(1/sqrt(n_s)), which is material exactly
+    where it hurts most: small strata (low-resource languages, rare
+    sources) can end up with an empty validation set. This operator makes
+    the quota exact per stratum: keys are ranked inside each stratum by
+    `md5(key || salt)` (a deterministic uniform permutation) and the first
+    `round(n_s * w_train)` keys are 'train', the next block 'val', and so
+    on — every stratum hits its target fraction to within one key.
+
+    Leakage-proofness is preserved at the KEY level, like `hash_split`:
+    ranks are `dense_rank` over (hash, key) and quotas count DISTINCT keys,
+    so all rows sharing a key land on the same side. Determinism is
+    engine-portable — md5 plus standard window functions restate 1:1 in
+    ANSI SQL (the DuckDB oracle runs the identical expression).
+
+    Scale shape: ONE shuffle, partitioned by the strata columns; both
+    window passes (dense_rank, then max(rank) for the stratum key count)
+    reuse that single exchange. Each stratum must fit one reducer — the
+    right tool when strata are the small tail. For strata at corpus scale
+    use `hash_split` instead: it is shuffle-free and its relative error
+    vanishes at exactly the sizes that overflow a reducer. Label
+    boundaries use floor(n*c + 0.5) on IEEE doubles, identical in Spark
+    and DuckDB (no engine-varying round()).
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if len(weights) < 2:
+        raise ValueError("stratified_split needs at least two labels")
+    if not strata_cols:
+        raise ValueError("stratified_split needs at least one stratum column")
+    total = float(sum(weights.values()))
+    h = hash_bucket_hex(F.col(key_col), salt)
+    part = [F.col(c) for c in strata_cols]
+    w_rank = Window.partitionBy(*part).orderBy(h, F.col(key_col))
+    w_strat = Window.partitionBy(*part)
+    ranked = (df.withColumn("__rk", F.dense_rank().over(w_rank))
+                .withColumn("__n", F.max("__rk").over(w_strat)))
+    names = list(weights)
+    acc, label = 0.0, None
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = F.floor(F.col("__n") * F.lit(acc) + F.lit(0.5))
+        cond = F.col("__rk") <= bound
+        label = (F.when(cond, F.lit(name)) if label is None
+                 else label.when(cond, F.lit(name)))
+    label = label.otherwise(F.lit(names[-1]))
+    return ranked.withColumn(out_col, label).drop("__rk", "__n")

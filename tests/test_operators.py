@@ -2,6 +2,7 @@
 operators (the DuckDB cross-check lives in test_conformance.py)."""
 
 import hashlib
+import math
 
 import numpy as np
 import pytest
@@ -382,6 +383,54 @@ def test_deterministic_sample_predicate_is_narrow(spark, tpch_scope):
         tpch_scope["lineitem"], "l_orderkey", 0.3)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure filter: no shuffle
+
+
+def test_stratified_split_exact_quota_per_stratum(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    docs = tpch_scope["documents"]
+    out = SA.stratified_split(docs, ["lang", "source"], "doc_id")
+    per = {(r.lang, r.source): dict() for r in
+           out.select("lang", "source").distinct().collect()}
+    for r in out.groupBy("lang", "source", "split").count().collect():
+        per[(r.lang, r.source)][r.split] = r["count"]
+    for stratum, counts in per.items():
+        n = sum(counts.values())
+        t_train = math.floor(n * 0.8 + 0.5)
+        t_val = math.floor(n * 0.9 + 0.5) - t_train
+        assert counts.get("train", 0) == t_train, (stratum, counts)
+        assert counts.get("val", 0) == t_val, (stratum, counts)
+        assert counts.get("test", 0) == n - t_train - t_val, (stratum, counts)
+
+
+def test_stratified_split_deterministic_and_key_grouped(spark, tpch_scope):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators import sampling as SA
+
+    docs = tpch_scope["documents"]
+    a = SA.stratified_split(docs, ["lang"], "doc_id") \
+        .select("doc_id", "split").collect()
+    b = SA.stratified_split(docs.repartition(17), ["lang"], "doc_id") \
+        .select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # rows sharing a key (doc chunks) always land on the same side
+    chunks = docs.select("lang", "doc_id", F.explode(F.array(
+        F.lit(0), F.lit(1))).alias("part"))
+    sides = (SA.stratified_split(chunks, ["lang"], "doc_id")
+             .groupBy("doc_id")
+             .agg(F.countDistinct("split").alias("k")))
+    assert sides.filter("k > 1").count() == 0
+
+
+def test_stratified_split_validates_args(spark, tpch_scope):
+    from framequery_spark.operators import sampling as SA
+
+    docs = tpch_scope["documents"]
+    with pytest.raises(ValueError, match="at least two labels"):
+        SA.stratified_split(docs, ["lang"], "doc_id", weights={"train": 1.0})
+    with pytest.raises(ValueError, match="stratum column"):
+        SA.stratified_split(docs, [], "doc_id")
 
 
 def test_stratified_sample_respects_fractions(spark, tpch_scope):
