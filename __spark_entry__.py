@@ -3655,6 +3655,53 @@ ORDER BY cohort, "offset"
 """)
 
 
+def _op_rfm(spark, sf_dir):
+    """RFM user segmentation (operators/events.py:rfm_segments): one
+    keyed groupBy + one broadcast single-row quartile aggregate; scores
+    are row-local integer comparisons, no global window (the textbook
+    ntile(4) would single-reduce every user). All three dimensions are
+    exact integers (epoch-micros / counts / DECIMAL-summed micro-units)
+    so the interpolated quartiles restate bit-exact in the oracle."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.events import rfm_segments
+
+    return (rfm_segments(_scope(spark, sf_dir)["events"])
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("user").alias("keysum"))
+            .orderBy("segment"))
+
+
+_op("op_rfm", _op_rfm, """
+WITH eu AS (
+  SELECT user_id AS u, epoch_us(max(ts)) AS r, count(*) AS f,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+              * 1000000 AS BIGINT) AS m_micro
+  FROM events GROUP BY user_id),
+q AS (
+  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY r) AS r1,
+         percentile_cont(0.50) WITHIN GROUP (ORDER BY r) AS r2,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY r) AS r3,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY f) AS f1,
+         percentile_cont(0.50) WITHIN GROUP (ORDER BY f) AS f2,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY f) AS f3,
+         percentile_cont(0.25) WITHIN GROUP (ORDER BY m_micro) AS m1,
+         percentile_cont(0.50) WITHIN GROUP (ORDER BY m_micro) AS m2,
+         percentile_cont(0.75) WITHIN GROUP (ORDER BY m_micro) AS m3
+  FROM eu)
+SELECT concat(
+         CAST(1 + (r > r1)::int + (r > r2)::int + (r > r3)::int AS VARCHAR),
+         CAST(1 + (f > f1)::int + (f > f2)::int + (f > f3)::int AS VARCHAR),
+         CAST(1 + (m_micro > m1)::int + (m_micro > m2)::int
+              + (m_micro > m3)::int AS VARCHAR)) AS segment,
+       count(*) AS n_users, CAST(sum(u) AS BIGINT) AS keysum
+FROM eu, q GROUP BY 1 ORDER BY 1
+""")
+
+
 _TRGM_EXTRACT = """list_distinct(flatten(list_transform(
     list_transform(
       list_filter(regexp_split_to_array(

@@ -204,3 +204,62 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
             .select("cohort", "offset", "n_active",
                     F.round(F.col("n_active").cast("double")
                             / F.col("__size"), 4).alias("retention")))
+
+
+def rfm_segments(df: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 value_col: str = "value",
+                 monetary_types: Optional[List[str]] = None) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic marketing-analytics operator: score each user 1-4 on how
+    recently they were active, how often, and how much they spent, then
+    label them with the three-digit segment ('444' = best customers).
+
+    Quartile thresholds come from ONE single-row global aggregate
+    (exact interpolated percentiles) broadcast back over the per-user
+    table — scoring is then a row-local comparison, so the whole
+    operator is one keyed groupBy + one broadcast join. No global
+    window: `ntile(4)` (the textbook formulation) would force every
+    user row through a single reducer; comparing against broadcast
+    quantile boundaries is order-free and embarrassingly parallel. At
+    100 TB swap the exact percentile for `approx_percentile` — the
+    thresholds are the only non-row-local piece.
+
+    Engine-portable determinism: every scored dimension is an exact
+    INTEGER (epoch-micros recency, event-count frequency, micro-unit
+    monetary via DECIMAL summation — never a float sum), so the
+    interpolated quartiles and the `>` comparisons reproduce bit-exact
+    on any engine (the DuckDB oracle restates them 1:1 with
+    percentile_cont).
+
+    Returns (user, r, f, m_micro, r_score, f_score, m_score, segment).
+    """
+    monetary_types = list(monetary_types or ["purchase"])
+    ts = F.col(ts_col).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,6)")
+    spend = F.when(F.col(type_col).isin(monetary_types),
+                   F.col(value_col).cast("decimal(18,6)")).otherwise(zero)
+    per_user = (df.groupBy(F.col(user_col).alias("user"))
+                .agg(F.unix_micros(F.max(ts)).alias("r"),
+                     F.count(F.lit(1)).alias("f"),
+                     (F.sum(spend) * 1000000)
+                     .cast("bigint").alias("m_micro")))
+    qs = [0.25, 0.5, 0.75]
+    thresholds = per_user.agg(*[
+        F.percentile(F.col(c), F.lit(q)).alias(f"__{c}{i+1}")
+        for c in ("r", "f", "m_micro") for i, q in enumerate(qs)])
+
+    def score(c: str) -> Column:
+        s = F.lit(1)
+        for i in range(1, 4):
+            s = s + F.when(F.col(c) > F.col(f"__{c}{i}"), 1).otherwise(0)
+        return s
+
+    scored = per_user.crossJoin(F.broadcast(thresholds))
+    return scored.select(
+        "user", "r", "f", "m_micro",
+        score("r").alias("r_score"),
+        score("f").alias("f_score"),
+        score("m_micro").alias("m_score"),
+        F.concat(score("r").cast("string"), score("f").cast("string"),
+                 score("m_micro").cast("string")).alias("segment"))

@@ -2106,6 +2106,49 @@ def test_retention_cohorts_day_offsets(spark):
     assert len(out) == 5
 
 
+def test_rfm_segments_scores_known_quartiles(spark):
+    from framequery_spark.operators.events import rfm_segments
+
+    # 4 users with strictly increasing recency/frequency/spend: each must
+    # land in its own quartile, user k scoring (k,k,k)
+    rows = []
+    for u in range(1, 5):
+        for i in range(u):  # frequency = u events
+            rows.append((u, f"2024-01-0{u} 0{i}:00:00", "purchase",
+                         float(u)))  # per-event spend u -> total u*u
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user: r for r in rfm_segments(df).collect()}
+    for u in range(1, 5):
+        r = out[u]
+        assert (r.r_score, r.f_score, r.m_score) == (u, u, u), r
+        assert r.segment == f"{u}{u}{u}"
+        assert r.m_micro == u * u * 1_000_000
+
+
+def test_rfm_segments_monetary_counts_only_purchases(spark):
+    from framequery_spark.operators.events import rfm_segments
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view", 100.0),
+         (1, "2024-01-01 01:00:00", "purchase", 2.5),
+         (2, "2024-01-02 00:00:00", "view", 9.0)],
+        "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user: r.m_micro for r in rfm_segments(df).collect()}
+    assert out == {1: 2_500_000, 2: 0}
+
+
+def test_rfm_segments_partitioning_invariant(spark, tpch_scope):
+    from framequery_spark.operators.events import rfm_segments
+
+    ev = tpch_scope["events"]
+    a = rfm_segments(ev).select("user", "segment").collect()
+    b = rfm_segments(ev.repartition(17)).select("user", "segment").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_retention_granularity_validation(spark):
     from framequery_spark.operators.events import retention_cohorts
 
