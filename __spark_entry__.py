@@ -3702,6 +3702,41 @@ FROM eu, q GROUP BY 1 ORDER BY 1
 """)
 
 
+def _op_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between the purchase and click
+    value distributions (operators/events.py:ks_drift): one groupBy on
+    the 1e-6-quantized value (bounded by the metric's dynamic range, not
+    row count), a CDF cumsum over that bounded table, broadcast totals;
+    the sup runs on exact integers (|ca*n_b - cb*n_a|) so no float enters
+    until the final row."""
+    from framequery_spark.operators.events import ks_drift
+
+    return ks_drift(_scope(spark, sf_dir)["events"],
+                    "event_type", "purchase", "click")
+
+
+_op("op_ks_drift", _op_ks_drift, """
+WITH pts AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+  GROUP BY 1),
+cdf AS (
+  SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+         sum(nb) OVER (ORDER BY v) AS cb
+  FROM pts),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+               CAST(sum(nb) AS BIGINT) AS n_b FROM pts)
+SELECT n_a, n_b,
+       CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (n_a * n_b), 6) AS ks_stat
+FROM cdf, tot GROUP BY n_a, n_b
+""")
+
+
 _TRGM_EXTRACT = """list_distinct(flatten(list_transform(
     list_transform(
       list_filter(regexp_split_to_array(

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -263,3 +263,52 @@ def rfm_segments(df: DataFrame, user_col: str = "user_id",
         score("m_micro").alias("m_score"),
         F.concat(score("r").cast("string"), score("f").cast("string"),
                  score("m_micro").cast("string")).alias("segment"))
+
+
+def ks_drift(df: DataFrame, group_col: str, group_a: str, group_b: str,
+             value_col: str = "value", quantize: int = 6) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value_col``
+    distributions of two groups — the standard drift test a pipeline
+    runs between data sources, time windows, or an A/B split before
+    trusting a mixture change.
+
+    D = sup_x |F_a(x) - F_b(x)|, computed exactly over the pooled
+    empirical CDFs. All comparisons run in INTEGER space: values are
+    quantized to ``10^-quantize`` grid cells via floor(v * 10^q) (floor
+    on IEEE doubles is engine-exact where round() is not), and the sup
+    is maximized on |cum_a * n_b - cum_b * n_a| so no float division
+    happens until the final single row. Returns one row
+    (n_a, n_b, d_num, ks_stat).
+
+    Scale shape: one groupBy on the quantized value (map-side combine —
+    state bounded by the metric's quantized dynamic range, the same
+    bounded-aggregate footprint as the vocab operators, NOT row count);
+    the CDF cumsum is a window over that bounded distinct-value table;
+    totals reduce through a single-row aggregate. Nothing row-scale is
+    ever sorted globally.
+    """
+    if quantize < 0:
+        raise ValueError("quantize must be >= 0")
+    scale = 10 ** quantize
+    g = F.col(group_col)
+    vq = F.floor(F.col(value_col) * F.lit(float(scale))).cast("long")
+    pts = (df.filter(g.isin([group_a, group_b])
+                     & F.col(value_col).isNotNull())
+           .groupBy(vq.alias("v"))
+           .agg(F.sum(F.when(g == group_a, 1).otherwise(0)).alias("na"),
+                F.sum(F.when(g == group_b, 1).otherwise(0)).alias("nb")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = pts.select(
+        "v",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"))
+    totals = pts.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    return (cdf.crossJoin(F.broadcast(totals))
+            .groupBy("n_a", "n_b")
+            .agg(F.max(F.abs(F.col("ca") * F.col("n_b")
+                             - F.col("cb") * F.col("n_a"))).alias("d_num"))
+            .select("n_a", "n_b", "d_num",
+                    F.round(F.col("d_num").cast("double")
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("ks_stat")))

@@ -2149,6 +2149,57 @@ def test_rfm_segments_partitioning_invariant(spark, tpch_scope):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_ks_drift_identical_distributions_is_zero(spark):
+    from framequery_spark.operators.events import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v)) for v in range(10)],
+        "g string, value double")
+    r = ks_drift(df, "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.d_num, r.ks_stat) == (10, 10, 0, 0.0)
+
+
+def test_ks_drift_disjoint_distributions_is_one(spark):
+    from framequery_spark.operators.events import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(5)]
+        + [("b", float(v) + 100.0) for v in range(8)],
+        "g string, value double")
+    r = ks_drift(df, "g", "a", "b").collect()[0]
+    assert r.ks_stat == 1.0 and r.d_num == 5 * 8
+
+
+def test_ks_drift_matches_scipy_formula(spark):
+    import bisect
+
+    from framequery_spark.operators.events import ks_drift
+
+    rng = np.random.RandomState(7)
+    a = sorted(int(math.floor(v * 1e6)) for v in rng.normal(0, 1, 200))
+    b = sorted(int(math.floor(v * 1e6)) for v in rng.normal(0.3, 1.2, 150))
+    df = spark.createDataFrame(
+        [("a", v / 1e6) for v in a] + [("b", v / 1e6) for v in b],
+        "g string, value double")
+    dmax = max(abs(bisect.bisect_right(a, v) * len(b)
+                   - bisect.bisect_right(b, v) * len(a))
+               for v in sorted(set(a) | set(b)))
+    r = ks_drift(df, "g", "a", "b").collect()[0]
+    assert r.d_num == dmax
+    assert r.ks_stat == round(dmax / (len(a) * len(b)), 6)
+
+
+def test_ks_drift_ignores_other_groups_and_nulls(spark):
+    from framequery_spark.operators.events import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0), ("c", 99.0)],
+        "g string, value double")
+    r = ks_drift(df, "g", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (1, 1)
+
+
 def test_retention_granularity_validation(spark):
     from framequery_spark.operators.events import retention_cohorts
 
