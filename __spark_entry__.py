@@ -3225,6 +3225,41 @@ FROM nll WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+def _op_pmi_bigrams(spark, sf_dir):
+    """PMI collocations (operators/text.py:pmi_bigrams): vocab-bounded
+    bigram/unigram groupBys, broadcast 1-row totals, equi count joins,
+    TakeOrderedAndProject top-k ordered by the rounded pmi (+ word
+    tiebreak) so the cut is engine-deterministic."""
+    from framequery_spark.operators.text import pmi_bigrams
+
+    return pmi_bigrams(_scope(spark, sf_dir)["documents"],
+                       min_count=5, top_k=50)
+
+
+_op("op_pmi_bigrams", _op_pmi_bigrams, r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS ws
+  FROM documents),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2),
+big AS (SELECT w1, w2, count(*) AS c_xy
+        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+t AS (SELECT unnest(ws) AS term FROM toks),
+uni AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+nb AS (SELECT count(*) AS n_big FROM bg)
+SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+       round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_big AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+FROM big JOIN uni u1 ON big.w1 = u1.term
+         JOIN uni u2 ON big.w2 = u2.term, nu, nb
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+""")
+
+
 def _op_dsir_select(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
     score raw docs (doc_id % 7 != 0) by hashed uni+bigram log-likelihood

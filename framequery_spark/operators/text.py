@@ -294,6 +294,57 @@ def vocab_topk(df: DataFrame, text_col: str = "text", n: int = 100) -> DataFrame
     return counts.orderBy(F.desc("term_count"), F.asc("term")).limit(n)
 
 
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                min_count: int = 5, top_k: int = 100) -> DataFrame:
+    """Collocation extraction: top-k adjacent-token bigrams by pointwise
+    mutual information, PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) — the
+    standard corpus-linguistics signal for multi-word expressions
+    ("new york"), and the phrase-merging criterion of word2vec's phrase
+    pass (Mikolov et al. 2013). ``min_count`` drops the classic PMI
+    failure mode (hapax pairs score highest).
+
+    Plan shape: bigram and unigram counts are both map-side-combining
+    groupBys bounded by vocabulary (pair-vocabulary) size, never row
+    count; corpus totals are broadcast 1-row aggregates; the two
+    count joins are equi joins on the token; top-k runs as
+    TakeOrderedAndProject (no global sort). Ties order by the ROUNDED
+    pmi then (w1, w2), so the cut is deterministic and engine-portable.
+
+    Returns (w1, w2, c_xy, c_x, c_y, pmi), pmi rounded to 1e-6.
+    """
+    if min_count < 1:
+        raise ValueError("pmi_bigrams: min_count must be >= 1")
+    ws = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                               F.element_at(ws, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    big = (bg.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c_xy"))
+           .filter(F.col("c_xy") >= int(min_count)))
+    uni = (term_table(df, text_col, id_col=None)
+           .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_big = bg.agg(F.count(F.lit(1)).alias("n_big"))
+    joined = (big
+              .join(uni.select(F.col("term").alias("w1"),
+                               F.col("c").alias("c_x")), "w1")
+              .join(uni.select(F.col("term").alias("w2"),
+                               F.col("c").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(n_uni))
+              .crossJoin(F.broadcast(n_big)))
+    pmi = F.round(F.log(
+        (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_big").cast("double") * F.col("c_x") * F.col("c_y"))), 6)
+    return (joined.select("w1", "w2", "c_xy", "c_x", "c_y",
+                          pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_k)))
+
+
 def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            min_df: int = 1) -> DataFrame:
     """Per-(doc, term) TF-IDF: tf = in-doc term count, idf = ln(N / df_t)

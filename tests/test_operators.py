@@ -458,6 +458,52 @@ def test_vocab_topk_matches_python(spark, docs):
     assert got == expected
 
 
+def test_pmi_bigrams_matches_python(spark, docs):
+    from collections import Counter
+
+    from framequery_spark.operators.text import pmi_bigrams
+
+    got = [(r.w1, r.w2, r.c_xy, r.c_x, r.c_y, r.pmi)
+           for r in pmi_bigrams(docs, min_count=3, top_k=25).collect()]
+    uni, big = Counter(), Counter()
+    n_big = 0
+    for r in docs.select("text").collect():
+        ws = [w for w in r.text.strip().lower().split() if w]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+        n_big += max(len(ws) - 1, 0)
+    n_uni = sum(uni.values())
+    exp = []
+    for (w1, w2), c in big.items():
+        if c < 3:
+            continue
+        pmi = round(math.log((c * n_uni * n_uni)
+                             / (n_big * uni[w1] * uni[w2])), 6)
+        exp.append((w1, w2, c, uni[w1], uni[w2], pmi))
+    exp.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == exp[:25]
+
+
+def test_pmi_bigrams_perfect_collocation_scores_highest(spark):
+    from framequery_spark.operators.text import pmi_bigrams
+
+    # "neo tokyo" always adjacent; "the" everywhere -> low-PMI pairs
+    df = spark.createDataFrame(
+        [(1, "the cat saw neo tokyo and the dog"),
+         (2, "neo tokyo is the place the cat likes"),
+         (3, "the dog saw the cat near neo tokyo")],
+        "doc_id long, text string")
+    top = pmi_bigrams(df, min_count=2, top_k=3).collect()
+    assert (top[0].w1, top[0].w2) == ("neo", "tokyo")
+
+
+def test_pmi_bigrams_validates_min_count(spark, docs):
+    from framequery_spark.operators.text import pmi_bigrams
+
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_bigrams(docs, min_count=0)
+
+
 def test_tf_idf_matches_python(spark, docs):
     import math
     from collections import Counter
