@@ -3260,6 +3260,74 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
 """)
 
 
+def _op_textrank(spark, sf_dir):
+    """TextRank keywords (operators/graph.py:textrank_keywords +
+    pagerank): weighted PageRank over the adjacent-token co-occurrence
+    graph, 3 fixed iterations. Each iteration is one edges ⋈ ranks equi
+    join + one keyed groupBy with DECIMAL(28,12)-quantized contributions
+    (order-free sums), so the recurrence restates 1:1 as the unrolled
+    CTE chain below."""
+    from framequery_spark.operators.graph import textrank_keywords
+
+    return textrank_keywords(_scope(spark, sf_dir)["documents"],
+                             iterations=3, top_k=30)
+
+
+_op("op_textrank", _op_textrank, r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS ws
+  FROM documents),
+adj AS (
+  SELECT least(ws[i], ws[i + 1]) AS w1, greatest(ws[i], ws[i + 1]) AS w2
+  FROM toks, unnest(range(1, len(ws))) AS r(i)
+  WHERE len(ws) >= 2 AND ws[i] <> ws[i + 1]),
+und AS (SELECT w1, w2, count(*) AS w FROM adj GROUP BY 1, 2),
+edges AS (SELECT w1 AS s, w2 AS d, w FROM und
+          UNION ALL SELECT w2, w1, w FROM und),
+nodes AS (SELECT DISTINCT s AS node FROM edges
+          UNION SELECT DISTINCT d FROM edges),
+n AS (SELECT count(*) AS cnt FROM nodes),
+deg AS (SELECT s AS node,
+               CAST(sum(CAST(CAST(w AS DOUBLE) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS deg
+        FROM edges GROUP BY 1),
+p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.cnt AS rank FROM nodes, n),
+c1 AS (SELECT e.d AS node,
+              CAST(0.85 * p.rank * CAST(e.w AS DOUBLE) / deg.deg
+                   AS DECIMAL(28,12)) AS c
+       FROM edges e JOIN p0 p ON e.s = p.node JOIN deg ON e.s = deg.node),
+p1 AS (SELECT nodes.node,
+              CAST(0.15 AS DOUBLE) / n.cnt
+              + CAST(coalesce(s.sm, 0) AS DOUBLE) AS rank
+       FROM nodes
+       LEFT JOIN (SELECT node, sum(c) AS sm FROM c1 GROUP BY 1) s
+         USING (node), n),
+c2 AS (SELECT e.d AS node,
+              CAST(0.85 * p.rank * CAST(e.w AS DOUBLE) / deg.deg
+                   AS DECIMAL(28,12)) AS c
+       FROM edges e JOIN p1 p ON e.s = p.node JOIN deg ON e.s = deg.node),
+p2 AS (SELECT nodes.node,
+              CAST(0.15 AS DOUBLE) / n.cnt
+              + CAST(coalesce(s.sm, 0) AS DOUBLE) AS rank
+       FROM nodes
+       LEFT JOIN (SELECT node, sum(c) AS sm FROM c2 GROUP BY 1) s
+         USING (node), n),
+c3 AS (SELECT e.d AS node,
+              CAST(0.85 * p.rank * CAST(e.w AS DOUBLE) / deg.deg
+                   AS DECIMAL(28,12)) AS c
+       FROM edges e JOIN p2 p ON e.s = p.node JOIN deg ON e.s = deg.node),
+p3 AS (SELECT nodes.node,
+              CAST(0.15 AS DOUBLE) / n.cnt
+              + CAST(coalesce(s.sm, 0) AS DOUBLE) AS rank
+       FROM nodes
+       LEFT JOIN (SELECT node, sum(c) AS sm FROM c3 GROUP BY 1) s
+         USING (node), n)
+SELECT node AS word, round(rank, 9) AS rank
+FROM p3 ORDER BY rank DESC, word LIMIT 30
+""")
+
+
 def _op_dsir_select(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
     score raw docs (doc_id % 7 != 0) by hashed uni+bigram log-likelihood

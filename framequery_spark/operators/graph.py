@@ -308,3 +308,108 @@ def dedup_keep_best(df: DataFrame, score_col: str,
             .where(F.col("__rk") > 1)
             .select(id_col))
     return df.join(drop, id_col, "left_anti")
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str | None = None,
+             damping: float = 0.85, iterations: int = 3,
+             checkpoint_every: int = 8) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the ranking half of
+    TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) and the
+    canonical importance score for any link/co-occurrence graph.
+
+    p_{t+1}(v) = (1-d)/N + d * sum_{u->v} w(u,v)/W(u) * p_t(u), with
+    p_0 = 1/N over the edge list's node set, w an optional edge weight
+    (``weight=None`` means the unweighted 1/outdeg kernel) and W(u) the
+    weighted out-degree — the weighted recurrence is Mihalcea & Tarau's
+    eq. (2). Dangling mass is NOT redistributed (nodes with no
+    out-edges leak their share — the simplified formulation); on the
+    symmetric graphs TextRank builds there are no dangling nodes, so
+    the distinction is moot there.
+
+    Engine-exact determinism: each contribution is quantized to
+    DECIMAL(28,12) BEFORE the per-node sum (the bigram-NLL discipline),
+    so the aggregate is order-independent and the whole fixed-iteration
+    recurrence restates 1:1 as an unrolled SQL CTE chain.
+
+    Scale shape: one outdeg groupBy up front; each iteration is one
+    equi join (edges ⋈ current ranks, partitioned on the src key) + one
+    keyed groupBy(dst) with map-side partial sums — node-set-sized
+    state, edge-set-sized shuffle, O(iterations) rounds. The rank
+    frontier localCheckpoints every ``checkpoint_every`` rounds so deep
+    runs don't accrete lineage (the connected-components discipline);
+    short fixed unrolls (<= checkpoint_every) stay one lazy plan and
+    remain SQL-restatable end to end.
+
+    Returns (node, rank) with rank as DOUBLE (unrounded — callers round
+    at their output boundary).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("pagerank: damping must be in (0, 1)")
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
+                     w.alias("__w"))
+    nodes = (e.select(F.col("__s").alias("node"))
+             .union(e.select("__d")).distinct())
+    # decimal-quantized weighted degree: order-free even for float weights
+    outdeg = (e.groupBy(F.col("__s").alias("node"))
+              .agg(F.sum(F.col("__w").cast("decimal(28,12)"))
+                   .cast("double").alias("__deg")))
+    n = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    base = F.lit(1.0 - damping) / F.col("__n")
+    p = (nodes.crossJoin(F.broadcast(n))
+         .select("node", (F.lit(1.0) / F.col("__n")).alias("rank")))
+    for i in range(iterations):
+        contrib = (e.join(p.withColumnRenamed("node", "__s"), "__s")
+                   .join(outdeg.withColumnRenamed("node", "__s"), "__s")
+                   .select(F.col("__d").alias("node"),
+                           (F.lit(damping) * F.col("rank") * F.col("__w")
+                            / F.col("__deg"))
+                           .cast("decimal(28,12)").alias("__c")))
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__sum"))
+        p = (nodes.join(sums, "node", "left")
+             .crossJoin(F.broadcast(n))
+             .select("node",
+                     (base + F.coalesce(F.col("__sum"), F.lit(0))
+                      .cast("double")).alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            p = p.localCheckpoint()
+    return p
+
+
+def textrank_keywords(df: DataFrame, text_col: str = "text",
+                      damping: float = 0.85, iterations: int = 3,
+                      top_k: int = 30) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the corpus-level
+    adjacent-token co-occurrence graph (undirected — each distinct
+    adjacent pair contributes both directions), top-k words by rank.
+    Ties order by the ROUNDED rank then the word, so the cut is
+    deterministic and engine-portable. Returns (word, rank)."""
+    from .text import tokens
+
+    ws = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
+                               F.element_at(ws, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # canonicalize to (min, max) before counting: "a b" and "b a" in the
+    # corpus are the SAME undirected edge — the co-occurrence count is the
+    # edge weight (Mihalcea & Tarau's weighted variant), emitted in both
+    # directions so the graph is symmetric
+    und = (df.select(F.explode(pairs).alias("p"))
+           .select(F.least("p.w1", "p.w2").alias("w1"),
+                   F.greatest("p.w1", "p.w2").alias("w2"))
+           .filter(F.col("w1") != F.col("w2"))
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("w")))
+    edges = und.union(und.select(F.col("w2"), F.col("w1"), F.col("w")))
+    ranked = pagerank(edges, "w1", "w2", weight="w", damping=damping,
+                      iterations=iterations)
+    return (ranked.select(F.col("node").alias("word"),
+                          F.round("rank", 9).alias("rank"))
+            .orderBy(F.desc("rank"), "word").limit(int(top_k)))

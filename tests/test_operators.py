@@ -882,6 +882,62 @@ def test_connected_components_handles_dirty_input(spark):
     assert got == {1: 1, 2: 1, 3: 3, 6: 6, 7: 6}
 
 
+def test_pagerank_star_center_ranks_highest_and_mass_conserved(spark):
+    from framequery_spark.operators.graph import pagerank
+
+    # symmetric 5-spoke star: center 0
+    und = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(und + [(b, a) for a, b in und],
+                                  ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    assert got[0] == max(got.values())
+    assert len({got[i] for i in range(1, 6)}) == 1  # spokes symmetric
+    # symmetric graph has no dangling nodes: total mass stays 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_python_recurrence(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from framequery_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 3.0), (2, 3, 1.0), (3, 1, 2.0), (1, 3, 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r.node: r.rank
+           for r in pagerank(df, weight="w", iterations=3).collect()}
+    nodes = [1, 2, 3]
+    deg = {1: 4.0, 2: 1.0, 3: 2.0}
+    p = {v: 1.0 / 3 for v in nodes}
+    for _ in range(3):
+        sums = {}
+        for s, d, w in edges:
+            c = Decimal(0.85 * p[s] * w / deg[s]).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP)
+            sums[d] = sums.get(d, Decimal(0)) + c
+        p = {v: 0.15 / 3 + float(sums.get(v, Decimal(0))) for v in nodes}
+    assert got == p
+
+
+def test_pagerank_validates_args(spark):
+    from framequery_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+
+
+def test_textrank_keywords_partitioning_invariant(spark, docs):
+    from framequery_spark.operators.graph import textrank_keywords
+
+    a = [tuple(r) for r in textrank_keywords(docs, top_k=10).collect()]
+    b = [tuple(r) for r in
+         textrank_keywords(docs.repartition(17), top_k=10).collect()]
+    assert a == b
+    assert len(a) == 10
+
+
 def test_connected_components_string_ids(spark):
     from framequery_spark.operators.graph import connected_components
 
