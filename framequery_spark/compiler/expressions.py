@@ -1088,16 +1088,18 @@ class ExprCompiler:
         if name in ("encode", "decode") and len(node.args) == 2 and \
                 isinstance(node.args[1], ast.Literal) and \
                 node.args[1].kind == "string":
-            # pg bytea <-> text: encode(x, 'base64'|'hex'), decode inverse
+            # pg bytea <-> text: encode(x, 'base64'|'hex'), decode inverse.
+            # Literal formats fail at COMPILE time; the registry builders
+            # (lowercase hex, RFC 2045 base64 wrap) do the actual work and
+            # also handle non-literal format expressions at row time.
             fmt = node.args[1].value.lower()
-            arg = self.compile(node.args[0])
-            pairs = {"base64": (F.base64, F.unbase64),
-                     "hex": (F.hex, F.unhex)}
-            if fmt not in pairs:
+            if fmt not in ("base64", "hex"):
                 raise CompileError(
                     f"encode/decode supports base64 and hex, got {fmt!r}")
-            enc, dec = pairs[fmt]
-            return enc(arg) if name == "encode" else dec(arg)
+            from ..functions.registry import REGISTRY as _FN_REGISTRY
+
+            return _FN_REGISTRY[name](
+                [self.compile(node.args[0]), F.lit(fmt)])
         if name == "format" and node.args \
                 and isinstance(node.args[0], ast.Literal) \
                 and node.args[0].kind == "string" \

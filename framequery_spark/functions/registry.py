@@ -911,3 +911,136 @@ def _unaccent(a: List[Column]) -> Column:
 
 
 _fixed("unaccent", _unaccent)
+
+
+# ------------------------------------------- bytea / pgcrypto batch (r09)
+# pg binary-string functions (pg docs §9.5) + pgcrypto digest. bytea is
+# Spark BinaryType; byte values extract JVM-side via hex/conv (no UDF).
+# Formats/algorithms dispatch through when-chains so non-literal
+# arguments still work; unsupported names raise at row time like pg.
+
+def _b64_wrap(b64: Column) -> Column:
+    # pg encode(..,'base64') line-wraps every 76 chars (RFC 2045) with
+    # no trailing newline (pg base64_encode writes the '\n' before the
+    # next group, so an exact-76 line never ends with one). Spark's own
+    # base64 MIME-wraps with CRLF in some versions — normalize that away
+    # first, then re-wrap with a lookahead so no newline lands at the end.
+    flat = F.regexp_replace(b64, "[\r\n]", "")
+    return F.regexp_replace(flat, "(.{76})(?=.)", "$1\n")
+
+
+def _encode(a: List[Column]) -> Column:
+    data, fmt = a[0], F.lower(a[1].cast("string"))
+    return (F.when(fmt == "hex", F.lower(F.hex(data)))
+            .when(fmt == "base64", _b64_wrap(F.base64(data)))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("encode: unsupported format "), fmt,
+                F.lit(" (hex and base64 are supported; escape is not)")))))
+
+
+def _decode(a: List[Column]) -> Column:
+    data, fmt = a[0].cast("string"), F.lower(a[1].cast("string"))
+    return (F.when(fmt == "hex", F.unhex(data))
+            .when(fmt == "base64",
+                  F.unbase64(F.regexp_replace(data, "[\r\n]", "")))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("decode: unsupported format "), fmt,
+                F.lit(" (hex and base64 are supported; escape is not)")))))
+
+
+_fixed("encode", _encode)
+_fixed("decode", _decode)
+
+
+def _byte_at(b: Column, n: Column) -> Column:
+    # byte n (0-based) as 0-255 int: one-byte binary substr -> hex -> int
+    return F.conv(F.hex(F.substring(b, n + F.lit(1), F.lit(1))),
+                  16, 10).cast("int")
+
+
+def _guard_index(b: Column, n: Column, what: str, unit: Column) -> Column:
+    # pg raises 'index n out of valid range' for n < 0 or n >= size
+    return F.when(
+        (n < 0) | (n >= unit),
+        F.raise_error(F.concat(F.lit(f"{what}: index "), n.cast("string"),
+                               F.lit(" out of valid range")))
+    ).otherwise(n)
+
+
+def _get_byte(a: List[Column]) -> Column:
+    b, n = a[0], a[1].cast("int")
+    n = _guard_index(b, n, "get_byte", F.octet_length(b))
+    return _byte_at(b, n)
+
+
+def _byte_to_bin(v: Column) -> Column:
+    # one byte (0-255) back to a 1-byte binary
+    return F.unhex(F.lpad(F.hex(v.cast("int")), 2, "0"))
+
+
+def _set_byte(a: List[Column]) -> Column:
+    b, n, v = a[0], a[1].cast("int"), a[2].cast("int")
+    n = _guard_index(b, n, "set_byte", F.octet_length(b))
+    v = F.pmod(v, F.lit(256))  # pg uses the low 8 bits
+    return F.concat(
+        F.substring(b, F.lit(1), n),
+        _byte_to_bin(v),
+        F.substring(b, n + F.lit(2), F.octet_length(b) - n - F.lit(1)))
+
+
+def _get_bit(a: List[Column]) -> Column:
+    # pg numbers bits from the LSB within each byte: bit n lives in byte
+    # n/8 at weight 2^(n%8)
+    b, n = a[0], a[1].cast("long")
+    n = _guard_index(b, n, "get_bit",
+                     F.octet_length(b).cast("long") * 8)
+    byte = _byte_at(b, (n / 8).cast("int"))
+    k = F.pmod(n, F.lit(8)).cast("int")
+    return F.pmod(F.floor(byte / F.pow(F.lit(2.0), k)).cast("int"),
+                  F.lit(2))
+
+
+def _set_bit(a: List[Column]) -> Column:
+    b, n, bit = a[0], a[1].cast("long"), a[2].cast("int")
+    n = _guard_index(b, n, "set_bit",
+                     F.octet_length(b).cast("long") * 8)
+    bit = F.when(
+        (bit < 0) | (bit > 1),
+        F.raise_error(F.concat(F.lit("set_bit: new bit must be 0 or 1, "
+                                     "got "), bit.cast("string")))
+    ).otherwise(bit)
+    pos = (n / 8).cast("int")
+    k = F.pmod(n, F.lit(8)).cast("int")
+    old = _byte_at(b, pos)
+    oldbit = F.pmod(F.floor(old / F.pow(F.lit(2.0), k)).cast("int"),
+                    F.lit(2))
+    weight = F.pow(F.lit(2.0), k).cast("int")
+    newbyte = old - oldbit * weight + bit * weight
+    return F.concat(
+        F.substring(b, F.lit(1), pos),
+        _byte_to_bin(newbyte),
+        F.substring(b, pos + F.lit(2), F.octet_length(b) - pos - F.lit(1)))
+
+
+_fixed("get_byte", _get_byte)
+_fixed("set_byte", _set_byte)
+_fixed("get_bit", _get_bit)
+_fixed("set_bit", _set_bit)
+
+
+def _digest(a: List[Column]) -> Column:
+    # pgcrypto digest(data, type) -> bytea. Spark's md5/sha1/sha2 return
+    # hex strings; unhex restores pg's binary return. Text input hashes
+    # its UTF-8 bytes in both engines.
+    data, algo = a[0], F.lower(a[1].cast("string"))
+    return (F.when(algo == "md5", F.unhex(F.md5(data)))
+            .when(algo == "sha1", F.unhex(F.sha1(data)))
+            .when(algo == "sha224", F.unhex(F.sha2(data, 224)))
+            .when(algo == "sha256", F.unhex(F.sha2(data, 256)))
+            .when(algo == "sha384", F.unhex(F.sha2(data, 384)))
+            .when(algo == "sha512", F.unhex(F.sha2(data, 512)))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("digest: unknown algorithm "), algo))))
+
+
+_fixed("digest", _digest)

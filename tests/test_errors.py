@@ -192,3 +192,33 @@ def test_ts_delete_requires_literal_lexemes(spark, scope):
 def test_numnode_requires_literal_tsquery(spark, scope):
     with pytest.raises(CompileError, match="literal tsquery"):
         fq.execute("select numnode(a)", scope, spark=spark)
+
+
+def test_encode_escape_format_rejected_at_compile_time(spark, scope):
+    with pytest.raises(CompileError, match="base64 and hex"):
+        fq.execute("select encode(decode('61', 'hex'), 'escape')",
+                   scope, spark=spark)
+
+
+def test_get_byte_index_out_of_range_is_guided(spark, scope):
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException, match="out of valid range"):
+        fq.execute("select get_byte(decode('61', 'hex'), 5)",
+                   scope, spark=spark).collect()
+
+
+def test_digest_unknown_algorithm_is_guided(spark, scope):
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException, match="unknown algorithm"):
+        fq.execute("select digest('x', 'sha3')", scope,
+                   spark=spark).collect()
+
+
+def test_set_bit_value_validated(spark, scope):
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(PySparkException, match="must be 0 or 1"):
+        fq.execute("select set_bit(decode('61', 'hex'), 2, 7)",
+                   scope, spark=spark).collect()

@@ -885,6 +885,31 @@ QUERIES = [
      "round(cast(similarity(unaccent('Łódź'), 'lodz') as double), 1), "
      "7 % 3",
      "select true, true, 1.0, 1"),
+    # bytea functions (r09): the pg-docs §9.5 get/set byte/bit examples,
+    # encode/decode round-trips, pg's lowercase hex and RFC 2045 base64
+    # wrap (76-char lines, no trailing newline)
+    ("select get_byte(decode('1234567890', 'hex'), 4), "
+     "encode(set_byte(decode('1234567890', 'hex'), 4, 64), 'hex'), "
+     "get_bit(decode('1234567890', 'hex'), 30), "
+     "encode(set_bit(decode('1234567890', 'hex'), 30, 0), 'hex'), "
+     "octet_length(decode('1234567890', 'hex'))",
+     "select 144, '1234567840', 1, '1234563890', 5"),
+    ("select encode(decode('616263', 'hex'), 'base64'), "
+     "encode(decode('YWJj', 'base64'), 'hex'), "
+     "encode(decode(repeat('61', 60), 'hex'), 'base64'), "
+     "encode(decode(repeat('61', 57), 'hex'), 'base64')",
+     "select 'YWJj', '616263', "
+     "concat(repeat('YWFh', 19), chr(10), 'YWFh'), repeat('YWFh', 19)"),
+    # pgcrypto digest (r09): published test vectors for 'abc'
+    ("select encode(digest('abc', 'sha256'), 'hex'), "
+     "encode(digest('abc', 'sha1'), 'hex'), "
+     "encode(digest('abc', 'md5'), 'hex'), "
+     "encode(digest('abc', 'sha512'), 'hex')",
+     "select 'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f2"
+     "0015ad', 'a9993e364706816aba3e25717850c26c9cd0d89d', "
+     "'900150983cd24fb0d6963f7d28e17f72', "
+     "'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a"
+     "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f'"),
     # fuzzystrmatch (r09): the pg-docs §F.15 examples — soundex codes,
     # the 4-position code difference, bounded levenshtein
     ("select soundex('Anne'), soundex('Margaret'), soundex('Tymczak'), "
