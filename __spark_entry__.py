@@ -3758,6 +3758,69 @@ ORDER BY cohort, "offset"
 """)
 
 
+def _op_profile(spark, sf_dir):
+    """Single-scan numeric profiling (operators/profile.py:
+    profile_numeric): 6 map-side partial aggregates per column, one
+    result row stacked row-locally; sums/sums-of-squares are
+    DECIMAL(38,12)-quantized so mean/stddev are order-free and restate
+    exactly."""
+    from framequery_spark.operators.profile import profile_numeric
+
+    return profile_numeric(
+        _scope(spark, sf_dir)["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount"]).orderBy("column")
+
+
+_op("op_profile", _op_profile, """
+WITH a AS (
+  SELECT count(l_quantity) AS q_n,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nn,
+         min(CAST(l_quantity AS DOUBLE)) AS q_min,
+         max(CAST(l_quantity AS DOUBLE)) AS q_max,
+         sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(38,12))) AS q_s,
+         sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                  AS DECIMAL(38,12))) AS q_ss,
+         count(l_extendedprice) AS p_n,
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nn,
+         min(CAST(l_extendedprice AS DOUBLE)) AS p_min,
+         max(CAST(l_extendedprice AS DOUBLE)) AS p_max,
+         sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS p_s,
+         sum(CAST(CAST(l_extendedprice AS DOUBLE)
+                  * CAST(l_extendedprice AS DOUBLE)
+                  AS DECIMAL(38,12))) AS p_ss,
+         count(l_discount) AS d_n,
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nn,
+         min(CAST(l_discount AS DOUBLE)) AS d_min,
+         max(CAST(l_discount AS DOUBLE)) AS d_max,
+         sum(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(38,12))) AS d_s,
+         sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)
+                  AS DECIMAL(38,12))) AS d_ss
+  FROM lineitem)
+SELECT 'l_quantity' AS "column", q_n AS n, CAST(q_nn AS BIGINT) AS n_null,
+       q_min AS min, q_max AS max,
+       round(CAST(q_s AS DOUBLE) / q_n, 6) AS mean,
+       CASE WHEN q_n >= 2 THEN round(sqrt(
+         (q_n * CAST(q_ss AS DOUBLE) - CAST(q_s AS DOUBLE)
+          * CAST(q_s AS DOUBLE)) / (q_n * (q_n - 1))), 6) END AS stddev
+FROM a
+UNION ALL
+SELECT 'l_extendedprice', p_n, CAST(p_nn AS BIGINT), p_min, p_max,
+       round(CAST(p_s AS DOUBLE) / p_n, 6),
+       CASE WHEN p_n >= 2 THEN round(sqrt(
+         (p_n * CAST(p_ss AS DOUBLE) - CAST(p_s AS DOUBLE)
+          * CAST(p_s AS DOUBLE)) / (p_n * (p_n - 1))), 6) END
+FROM a
+UNION ALL
+SELECT 'l_discount', d_n, CAST(d_nn AS BIGINT), d_min, d_max,
+       round(CAST(d_s AS DOUBLE) / d_n, 6),
+       CASE WHEN d_n >= 2 THEN round(sqrt(
+         (d_n * CAST(d_ss AS DOUBLE) - CAST(d_s AS DOUBLE)
+          * CAST(d_s AS DOUBLE)) / (d_n * (d_n - 1))), 6) END
+FROM a
+ORDER BY "column"
+""")
+
+
 def _op_rfm(spark, sf_dir):
     """RFM user segmentation (operators/events.py:rfm_segments): one
     keyed groupBy + one broadcast single-row quartile aggregate; scores

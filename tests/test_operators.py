@@ -2208,6 +2208,46 @@ def test_retention_cohorts_day_offsets(spark):
     assert len(out) == 5
 
 
+def test_profile_numeric_matches_python(spark):
+    import statistics
+
+    from framequery_spark.operators.profile import profile_numeric
+
+    vals = [1.5, 2.0, None, 4.25, 10.0, -3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = profile_numeric(df, ["x"]).collect()[0]
+    present = [v for v in vals if v is not None]
+    assert (r.column, r.n, r.n_null) == ("x", 5, 1)
+    assert (r.min, r.max) == (min(present), max(present))
+    assert r.mean == round(statistics.mean(present), 6)
+    assert r.stddev == round(statistics.stdev(present), 6)
+
+
+def test_profile_numeric_single_value_has_null_stddev(spark):
+    from framequery_spark.operators.profile import profile_numeric
+
+    df = spark.createDataFrame([(7.0,)], "x double")
+    r = profile_numeric(df, ["x"]).collect()[0]
+    assert r.stddev is None and r.mean == 7.0
+
+
+def test_profile_numeric_partitioning_invariant(spark, tpch_scope):
+    from framequery_spark.operators.profile import profile_numeric
+
+    li = tpch_scope["lineitem"]
+    a = [tuple(r) for r in profile_numeric(li, ["l_quantity"]).collect()]
+    b = [tuple(r) for r in
+         profile_numeric(li.repartition(23), ["l_quantity"]).collect()]
+    assert a == b
+
+
+def test_profile_numeric_validates_cols(spark, tpch_scope):
+    from framequery_spark.operators.profile import profile_numeric
+
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_numeric(tpch_scope["lineitem"], [])
+
+
 def test_rfm_segments_scores_known_quartiles(spark):
     from framequery_spark.operators.events import rfm_segments
 
