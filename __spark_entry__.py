@@ -3821,6 +3821,42 @@ ORDER BY "column"
 """)
 
 
+def _op_changepoint(spark, sf_dir):
+    """Mean-shift changepoint detection on the hourly event rate
+    (operators/events.py:changepoint_mean_shift): binary-segmentation
+    statistic over exact integer prefix sums; the bucket table (not the
+    event stream) is the only globally-ordered window, and ranking is
+    on the ROUNDED score so the top-k cut restates deterministically."""
+    from framequery_spark.operators.events import changepoint_mean_shift
+
+    return changepoint_mean_shift(_scope(spark, sf_dir)["events"],
+                                  granularity="hour", top_k=5)
+
+
+_op("op_changepoint", _op_changepoint, """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS period, count(*) AS x
+  FROM events GROUP BY 1),
+c AS (
+  SELECT period, row_number() OVER (ORDER BY period) AS t,
+         sum(x) OVER (ORDER BY period) AS cum
+  FROM b),
+tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total FROM b)
+SELECT CAST(period AS TIMESTAMP) AS split_period,
+       CAST(t AS INT) AS n_before,
+       CAST(n - t AS BIGINT) AS n_after,
+       round(CAST(cum AS DOUBLE) / t, 6) AS mean_before,
+       round(CAST(total - cum AS DOUBLE)
+             / (CAST(n AS DOUBLE) - t), 6) AS mean_after,
+       round(sqrt(CAST(t AS DOUBLE) * (n - t) / n)
+             * abs(CAST(cum AS DOUBLE) / t
+                   - CAST(total - cum AS DOUBLE)
+                     / (CAST(n AS DOUBLE) - t)), 6) AS score
+FROM c, tot WHERE t < n
+ORDER BY score DESC, split_period LIMIT 5
+""")
+
+
 def _op_rfm(spark, sf_dir):
     """RFM user segmentation (operators/events.py:rfm_segments): one
     keyed groupBy + one broadcast single-row quartile aggregate; scores

@@ -312,3 +312,58 @@ def ks_drift(df: DataFrame, group_col: str, group_a: str, group_b: str,
                     F.round(F.col("d_num").cast("double")
                             / (F.col("n_a") * F.col("n_b")), 6)
                     .alias("ks_stat")))
+
+
+def changepoint_mean_shift(df: DataFrame, ts_col: str = "ts",
+                           granularity: str = "hour",
+                           top_k: int = 1) -> DataFrame:
+    """Single-changepoint detection on the event-rate series: bucket
+    events per period, then score every split point t with the
+    binary-segmentation statistic
+
+        T(t) = sqrt(t * (n-t) / n) * |mean(x[1..t]) - mean(x[t+1..n])|
+
+    (the CUSUM-equivalent mean-shift test; Scott & Knott's split
+    criterion). The top-scoring split is where the rate most likely
+    changed — deploy regressions, logging gaps, traffic shifts.
+
+    Returns the ``top_k`` splits as (split_period, n_before, n_after,
+    mean_before, mean_after, score): split_period is the LAST period of
+    the left segment; means and score round to 1e-6 and the ranking
+    orders by the rounded score (period tiebreak), so the cut is
+    engine-deterministic — every input to the double-precision score is
+    an exact integer prefix sum.
+
+    Scale shape: one groupBy(period) with map-side combine (state
+    bounded by the observed period count, not event count); the prefix
+    sums are windows over that bounded bucket table; totals broadcast
+    from a 1-row aggregate. Nothing event-scale sorts globally.
+    """
+    if granularity not in ("minute", "hour", "day", "week"):
+        raise ValueError("granularity must be minute, hour, day or week")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    period = F.date_trunc(granularity, F.col(ts_col).cast("timestamp"))
+    buckets = (df.groupBy(period.alias("period"))
+               .agg(F.count(F.lit(1)).alias("x")))
+    w = (Window.orderBy("period")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = buckets.select(
+        "period",
+        F.row_number().over(Window.orderBy("period")).alias("t"),
+        F.sum("x").over(w).alias("cum"))
+    totals = buckets.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("x").alias("total"))
+    s = cum.crossJoin(F.broadcast(totals)).filter(F.col("t") < F.col("n"))
+    t, n = F.col("t").cast("double"), F.col("n").cast("double")
+    mean1 = F.col("cum") / t
+    mean2 = (F.col("total") - F.col("cum")) / (n - t)
+    score = F.sqrt(t * (n - t) / n) * F.abs(mean1 - mean2)
+    return (s.select(
+        F.col("period").alias("split_period"),
+        F.col("t").alias("n_before"),
+        (F.col("n") - F.col("t")).alias("n_after"),
+        F.round(mean1, 6).alias("mean_before"),
+        F.round(mean2, 6).alias("mean_after"),
+        F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "split_period").limit(int(top_k)))

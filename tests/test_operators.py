@@ -2342,6 +2342,34 @@ def test_ks_drift_ignores_other_groups_and_nulls(spark):
     assert (r.n_a, r.n_b) == (1, 1)
 
 
+def test_changepoint_finds_obvious_rate_shift(spark):
+    from framequery_spark.operators.events import changepoint_mean_shift
+
+    # 2 events/hour for 12 hours, then 10/hour for 12 hours
+    rows = []
+    eid = 0
+    for h in range(24):
+        for _ in range(2 if h < 12 else 10):
+            rows.append((eid, f"2024-01-01 {h:02d}:{eid % 60:02d}:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    top = changepoint_mean_shift(df, top_k=1).collect()[0]
+    assert str(top.split_period) == "2024-01-01 11:00:00"
+    assert (top.n_before, top.n_after) == (12, 12)
+    assert (top.mean_before, top.mean_after) == (2.0, 10.0)
+    assert top.score == round((12 * 12 / 24) ** 0.5 * 8.0, 6)
+
+
+def test_changepoint_validates_args(spark, tpch_scope):
+    from framequery_spark.operators.events import changepoint_mean_shift
+
+    with pytest.raises(ValueError, match="granularity"):
+        changepoint_mean_shift(tpch_scope["events"], granularity="year")
+    with pytest.raises(ValueError, match="top_k"):
+        changepoint_mean_shift(tpch_scope["events"], top_k=0)
+
+
 def test_retention_granularity_validation(spark):
     from framequery_spark.operators.events import retention_cohorts
 
