@@ -3225,6 +3225,42 @@ FROM nll WHERE doc_id < 200 GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+def _op_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage signal (operators/text.py:oov_rate): per-doc
+    OOV fraction against the corpus top-20 vocabulary — one explode,
+    one broadcast left join, one per-doc groupBy; the vocab cut is the
+    deterministic (count desc, term asc) top-k."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import oov_rate
+
+    return (oov_rate(_scope(spark, sf_dir)["documents"], vocab_size=20)
+            .where(F.col("doc_id") < 300).orderBy("doc_id"))
+
+
+_op("op_oov_rate", _op_oov_rate, r"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(trim(lower(text)), '\s+'), w -> w <> '')) AS term
+  FROM documents),
+v AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM t GROUP BY 1
+    ORDER BY c DESC, term LIMIT 20)),
+pd AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM t LEFT JOIN v ON t.term = v.term GROUP BY 1)
+SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN round(CAST(coalesce(n_oov, 0) AS DOUBLE) / n_tokens, 6)
+       END AS oov_rate
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+WHERE d.doc_id < 300 ORDER BY d.doc_id
+""")
+
+
 def _op_pmi_bigrams(spark, sf_dir):
     """PMI collocations (operators/text.py:pmi_bigrams): vocab-bounded
     bigram/unigram groupBys, broadcast 1-row totals, equi count joins,

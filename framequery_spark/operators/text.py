@@ -916,3 +916,41 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         id_col, n.alias("n_bytes"), c.alias("n_compressed"),
         F.round(F.when(n > 0, c.cast("double") / n)
                  .otherwise(F.lit(1.0)), 6).alias("ratio"))
+
+
+def oov_rate(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             vocab: DataFrame | None = None,
+             vocab_size: int = 1000) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a tokenizer/corpus
+    vocabulary — the coverage check run before committing to a tokenizer
+    or mixing in a new source (high OOV = wrong language, encoding
+    damage, or domain mismatch).
+
+    ``vocab`` is any one-column ('term') DataFrame (a real tokenizer
+    vocab at production scale); by default the corpus' own top
+    ``vocab_size`` tokens (:func:`vocab_topk` — deterministic count/term
+    ordering, so the cut restates exactly). Returns (id, n_tokens,
+    n_oov, oov_rate) for every input document; empty/NULL text scores
+    0 tokens and oov_rate NULL.
+
+    Plan shape: one explode + one LEFT equi join against the vocab
+    (bounded — broadcast) + one per-doc groupBy; the default vocab adds
+    one map-side-combining term count. Nothing beyond vocab size ever
+    broadcasts.
+    """
+    if vocab is None:
+        vocab = vocab_topk(df, text_col, vocab_size).select("term")
+    terms = term_table(df, text_col, id_col)
+    hit = terms.join(F.broadcast(vocab.withColumn("__in", F.lit(1))),
+                     "term", "left")
+    per_doc = (hit.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                    .alias("n_oov")))
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
+    n_oov = F.coalesce(F.col("n_oov"), F.lit(0))
+    return out.select(
+        id_col, n_tok.alias("n_tokens"), n_oov.alias("n_oov"),
+        F.when(n_tok > 0, F.round(n_oov.cast("double") / n_tok, 6))
+        .alias("oov_rate"))

@@ -497,6 +497,40 @@ def test_pmi_bigrams_perfect_collocation_scores_highest(spark):
     assert (top[0].w1, top[0].w2) == ("neo", "tokyo")
 
 
+def test_oov_rate_with_explicit_vocab(spark):
+    from framequery_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "qq zz the"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame([("the",), ("cat",), ("sat",)],
+                                  ["term"])
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in oov_rate(docs, vocab=vocab).collect()}
+    assert got[1] == (3, 0, 0.0)
+    assert got[2] == (3, 2, round(2 / 3, 6))
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, None)
+
+
+def test_oov_rate_default_vocab_covers_top_terms(spark, docs):
+    from framequery_spark.operators.text import oov_rate, vocab_topk
+
+    out = oov_rate(docs, vocab_size=10)
+    # a doc made ONLY of top-10 terms must have rate 0; total oov must
+    # equal total tokens minus in-vocab occurrences (python cross-check)
+    from collections import Counter
+
+    c = Counter()
+    for r in docs.select("text").collect():
+        c.update(w for w in r.text.strip().lower().split() if w)
+    top = {t for t, _ in sorted(c.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:10]}
+    exp_oov = sum(n for t, n in c.items() if t not in top)
+    got = out.agg(F.sum("n_oov")).collect()[0][0]
+    assert got == exp_oov
+
+
 def test_pmi_bigrams_validates_min_count(spark, docs):
     from framequery_spark.operators.text import pmi_bigrams
 
