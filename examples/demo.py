@@ -284,6 +284,45 @@ def main() -> None:
             WHERE is_anomaly ORDER BY event_type, bucket LIMIT 5
         """, scope, spark=spark).show()
 
+        # --- round 9 continued: analytics + corpus-linguistics operators --
+        fq.execute("""
+            SELECT lang, split, count(*) AS n
+            FROM stratified_split('documents', 'lang', 'source', 'doc_id')
+            GROUP BY lang, split ORDER BY lang, split LIMIT 6
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT segment, count(*) AS n_users
+            FROM rfm_segments('events')
+            GROUP BY segment ORDER BY n_users DESC, segment LIMIT 5
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM ks_drift('events', 'event_type',
+                                   'purchase', 'click')
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM changepoint('events', 'hour', 3)
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM pmi_bigrams('documents', 5, 5)
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM textrank_keywords('documents', 5)
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT * FROM profile_numeric('lineitem', 'l_quantity',
+                                          'l_extendedprice')
+            ORDER BY "column"
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT round(avg(oov_rate), 4) AS mean_oov
+            FROM oov_rate('documents', 20)
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT encode(digest('framequery', 'sha256'), 'hex') AS sha,
+                   get_byte(decode('1234567890', 'hex'), 4) AS b4,
+                   encode(decode('YWJj', 'base64'), 'hex') AS rt
+        """, scope, spark=spark).show(truncate=False)
+
 
 if __name__ == "__main__":
     main()

@@ -606,6 +606,71 @@ def _register_operator_tfs() -> dict:
         kw = {"vocab_size": int(a[1])} if len(a) > 1 else {}
         return text.source_divergence(_op_table(qc, a[0]), **kw)
 
+    def stratified_split(qc, a):
+        # stratified_split('documents', 'lang', 'source', ..., 'doc_id')
+        # — strata columns then the key column (last arg); exact-quota
+        # 0.8/0.1/0.1 split per stratum
+        return sampling.stratified_split(_op_table(qc, a[0]),
+                                         [str(c) for c in a[1:-1]],
+                                         str(a[-1]))
+
+    def rfm_segments(qc, a):
+        # rfm_segments('events') -> per-user RFM scores + segment
+        from ..operators import events
+
+        return events.rfm_segments(_op_table(qc, a[0]))
+
+    def ks_drift(qc, a):
+        # ks_drift('events', 'event_type', 'purchase', 'click'[, value_col])
+        from ..operators import events
+
+        kw = {"value_col": str(a[4])} if len(a) > 4 else {}
+        return events.ks_drift(_op_table(qc, a[0]), str(a[1]), str(a[2]),
+                               str(a[3]), **kw)
+
+    def changepoint(qc, a):
+        # changepoint('events'[, granularity[, top_k]])
+        from ..operators import events
+
+        kw = {}
+        if len(a) > 1:
+            kw["granularity"] = str(a[1])
+        if len(a) > 2:
+            kw["top_k"] = int(a[2])
+        return events.changepoint_mean_shift(_op_table(qc, a[0]), **kw)
+
+    def pmi_bigrams(qc, a):
+        # pmi_bigrams('documents'[, min_count[, top_k]])
+        kw = {}
+        if len(a) > 1:
+            kw["min_count"] = int(a[1])
+        if len(a) > 2:
+            kw["top_k"] = int(a[2])
+        return text.pmi_bigrams(_op_table(qc, a[0]), **kw)
+
+    def textrank_keywords(qc, a):
+        # textrank_keywords('documents'[, top_k[, iterations]])
+        from ..operators import graph
+
+        kw = {}
+        if len(a) > 1:
+            kw["top_k"] = int(a[1])
+        if len(a) > 2:
+            kw["iterations"] = int(a[2])
+        return graph.textrank_keywords(_op_table(qc, a[0]), **kw)
+
+    def profile_numeric(qc, a):
+        # profile_numeric('lineitem', 'l_quantity', ...) -> per-col stats
+        from ..operators import profile
+
+        return profile.profile_numeric(_op_table(qc, a[0]),
+                                       [str(c) for c in a[1:]])
+
+    def oov_rate(qc, a):
+        # oov_rate('documents'[, vocab_size]) -> per-doc OOV fraction
+        kw = {"vocab_size": int(a[1])} if len(a) > 1 else {}
+        return text.oov_rate(_op_table(qc, a[0]), **kw)
+
     def audio_chunks(qc, a):
         from ..operators import multimodal
 
@@ -620,6 +685,8 @@ def _register_operator_tfs() -> dict:
             multimodal.attach_blob(_op_table(qc, a[0])), **kw)
 
     return {f.__name__: f for f in (
+        stratified_split, rfm_segments, ks_drift, changepoint,
+        pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

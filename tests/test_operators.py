@@ -2580,6 +2580,42 @@ def test_round9_sql_table_functions(spark, tpch_scope):
     assert {"source", "n_tokens", "js"} <= set(out.columns)
 
 
+def test_round9b_sql_table_functions(spark, tpch_scope):
+    import framequery_spark as fq
+
+    out = fq.execute(
+        "SELECT split, count(*) AS n FROM "
+        "stratified_split('documents', 'lang', 'doc_id') "
+        "GROUP BY split ORDER BY split",
+        tpch_scope, spark=spark)
+    assert [r.split for r in out.collect()] == ["test", "train", "val"]
+    out = fq.execute("SELECT * FROM rfm_segments('events') "
+                     "WHERE segment = '444'", tpch_scope, spark=spark)
+    assert {"user", "r_score", "f_score", "m_score", "segment"} \
+        <= set(out.columns)
+    out = fq.execute(
+        "SELECT * FROM ks_drift('events', 'event_type', "
+        "'purchase', 'click')", tpch_scope, spark=spark)
+    r = out.collect()[0]
+    assert 0.0 <= r.ks_stat <= 1.0
+    out = fq.execute("SELECT * FROM changepoint('events', 'hour', 3)",
+                     tpch_scope, spark=spark)
+    assert out.count() == 3
+    out = fq.execute("SELECT * FROM pmi_bigrams('documents', 3, 10)",
+                     tpch_scope, spark=spark)
+    assert out.count() == 10
+    out = fq.execute("SELECT * FROM textrank_keywords('documents', 5)",
+                     tpch_scope, spark=spark)
+    assert out.count() == 5
+    out = fq.execute(
+        "SELECT * FROM profile_numeric('lineitem', 'l_quantity') ",
+        tpch_scope, spark=spark)
+    assert out.collect()[0].column == "l_quantity"
+    out = fq.execute("SELECT max(oov_rate) AS m FROM "
+                     "oov_rate('documents', 15)", tpch_scope, spark=spark)
+    assert 0.0 <= out.collect()[0].m <= 1.0
+
+
 # --------------------------------- round 9: weighted sampling (A-Res)
 
 
