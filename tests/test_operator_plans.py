@@ -612,3 +612,94 @@ def test_weighted_sample_grouped_window_is_group_partitioned(docs):
                                             group_col="source"))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.strip().startswith("source") for s in specs), specs
+
+
+# ----------------------------------------- round 9 (second pass) contracts
+
+
+def test_rfm_thresholds_are_broadcast_no_global_window(events_t):
+    from framequery_spark.operators.events import rfm_segments
+
+    plan = formatted_plan(rfm_segments(events_t))
+    # quartile scoring joins ONE broadcast single-row aggregate; the
+    # textbook ntile(4) formulation would put a global Window here and
+    # funnel every user through one reducer
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_stratified_split_windows_are_stratum_partitioned(docs):
+    import re
+
+    from framequery_spark.operators.sampling import stratified_split
+
+    plan = formatted_plan(stratified_split(docs, ["lang", "source"],
+                                           "doc_id"))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # both window passes (dense_rank, max-rank) partition by the strata —
+    # an unpartitioned spec would be the single-reducer failure mode
+    assert specs and all(s.strip().startswith("lang") for s in specs), specs
+    # and they reuse ONE exchange: a second shuffle for the second pass
+    # would double the operator's cost for nothing
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_pmi_topk_is_take_ordered_totals_broadcast(docs):
+    from framequery_spark.operators.text import pmi_bigrams
+
+    plan = formatted_plan(pmi_bigrams(docs, min_count=3, top_k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    _assert_no_cartesian_except_broadcast_single_row(plan)
+
+
+def _assert_no_cartesian_except_broadcast_single_row(plan):
+    # the 1-row totals cross joins compile to BroadcastNestedLoopJoin —
+    # bounded by construction; a CartesianProduct would not be
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_iterations_are_keyed_joins(emb, docs):
+    from framequery_spark.operators.graph import pagerank
+
+    edges = docs.limit(200).selectExpr("doc_id AS src",
+                                       "(doc_id + 1) AS dst")
+    plan = formatted_plan(pagerank(edges, iterations=2))
+    # rank propagation must be hash-keyed equi joins on the node id —
+    # never a cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan, plan
+
+
+def test_profile_is_single_aggregate_pass(docs):
+    from framequery_spark.operators.profile import profile_numeric
+
+    plan = formatted_plan(profile_numeric(docs, ["n_chars"]))
+    # one scan, one partial+final aggregate, a row-local explode — no
+    # joins, no windows, no second scan of the input (one Location line
+    # per distinct parquet scan in the formatted details)
+    assert plan.count("Location: InMemoryFileIndex") <= 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ks_drift_window_is_over_bounded_value_table(events_t):
+    from framequery_spark.operators.events import ks_drift
+
+    plan = formatted_plan(ks_drift(events_t, "event_type",
+                                   "purchase", "click"))
+    # the CDF window runs AFTER the value-keyed aggregate (bounded by the
+    # quantized dynamic range) — the aggregate must appear below the
+    # window in the plan; and the totals join is a broadcast
+    assert "Window" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_oov_vocab_join_is_broadcast(docs):
+    from framequery_spark.operators.text import oov_rate
+
+    plan = formatted_plan(oov_rate(docs, vocab_size=50))
+    # the vocab side is bounded (top-k) and must broadcast — a shuffled
+    # join would move the exploded token stream twice
+    assert "BroadcastHashJoin" in plan, plan
