@@ -1214,6 +1214,79 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
 WHERE rank <= 5
 """)
 
+def _op_mmr_rerank(spark, sf_dir):
+    """MMR diversified reranking (operators/similarity.py:mmr_rerank,
+    Carbonell & Goldstein 1998): greedy lambda*rel - (1-lambda)*max-sim
+    selection over a broadcast-query exact-cosine candidate pool. Every
+    cosine/score rounds to 1e-6 before ranking (neighbor_id tiebreaks),
+    so the k greedy steps restate 1:1 as the unrolled CTE chain below —
+    the PageRank discipline applied to retrieval."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import mmr_rerank
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    return mmr_rerank(emb, emb.filter(F.col("vec_id") < 5), k=3, pool=10)
+
+
+_op("op_mmr_rerank", _op_mmr_rerank, """
+WITH cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6)
+           AS cosine,
+         c.embedding AS emb
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY cosine DESC, c.vec_id) <= 10),
+s1 AS (
+  SELECT query_id, neighbor_id, cosine, emb,
+         round(0.7 * cosine, 6) AS score
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) = 1),
+r1 AS (
+  SELECT c.* FROM cand c JOIN s1 ON c.query_id = s1.query_id
+  WHERE c.neighbor_id <> s1.neighbor_id),
+p2 AS (
+  SELECT r.query_id, r.neighbor_id, r.cosine, r.emb,
+         round(0.7 * r.cosine - (1.0 - 0.7)
+               * max(round(list_cosine_similarity(
+                     CAST(r.emb AS DOUBLE[]),
+                     CAST(s.emb AS DOUBLE[])), 6)), 6) AS score
+  FROM r1 r JOIN s1 s ON r.query_id = s.query_id
+  GROUP BY r.query_id, r.neighbor_id, r.cosine, r.emb),
+s2 AS (
+  SELECT * FROM p2
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) = 1),
+r2 AS (
+  SELECT r.* FROM r1 r JOIN s2 ON r.query_id = s2.query_id
+  WHERE r.neighbor_id <> s2.neighbor_id),
+sel12 AS (
+  SELECT query_id, emb FROM s1 UNION ALL SELECT query_id, emb FROM s2),
+p3 AS (
+  SELECT r.query_id, r.neighbor_id, r.cosine, r.emb,
+         round(0.7 * r.cosine - (1.0 - 0.7)
+               * max(round(list_cosine_similarity(
+                     CAST(r.emb AS DOUBLE[]),
+                     CAST(s.emb AS DOUBLE[])), 6)), 6) AS score
+  FROM r2 r JOIN sel12 s ON r.query_id = s.query_id
+  GROUP BY r.query_id, r.neighbor_id, r.cosine, r.emb),
+s3 AS (
+  SELECT * FROM p3
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) = 1)
+SELECT query_id, 1 AS pos, neighbor_id, cosine, score FROM s1
+UNION ALL
+SELECT query_id, 2, neighbor_id, cosine, score FROM s2
+UNION ALL
+SELECT query_id, 3, neighbor_id, cosine, score FROM s3
+ORDER BY query_id, pos
+""")
+
+
 def _ann_seeded_oracle(k=5, n_bits=8, n_tables=4, dim=64, seed=42) -> str:
     """Independent DuckDB derivation of the seeded LSH-ANN config: the
     hyperplanes are deterministic given (dim, n_bits, seed) — inline them

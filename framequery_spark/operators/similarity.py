@@ -410,3 +410,99 @@ def semdedup(corpus: DataFrame, threshold: float = 0.9,
     drops = pairs.select(F.col("id2").alias(id_col)).distinct()
     return (corpus.join(drops, id_col, "left_anti")
             .select(*corpus.columns))
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
+               pool: int = 20, mmr_lambda: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: Optional[str] = None) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR 1998): diversify each query's top results by greedily picking,
+    k times, the candidate maximizing
+
+        lambda * rel(c)  -  (1 - lambda) * max_{s in selected} sim(c, s)
+
+    over a ``pool``-sized exact-cosine candidate set — the standard
+    redundancy-removal step between retrieval and display/training-pair
+    assembly. Returns (query_id, pos, neighbor_id, cosine, score) with
+    pos 1..k; pos 1 is the plain top hit (score = lambda * rel, the
+    selected-set penalty being empty).
+
+    Determinism: every relevance/pairwise cosine rounds to 1e-6 before
+    entering a score, scores round to 1e-6 before ranking, and ties
+    break on neighbor_id — so the greedy argmax restates exactly as an
+    unrolled SQL CTE chain (one CTE pair per step), the PageRank
+    discipline.
+
+    Scale shape: candidates come from :func:`cosine_topk` (query side
+    broadcast, corpus streamed once — swap in lsh_ann_topk/ivf_topk for
+    corpus-scale pools); each greedy step is one equi join remaining ⋈
+    selected ON query_id (fan-out <= pool * k per query, row-local
+    cosines), one (query, candidate)-keyed max aggregate, and one
+    query-partitioned row_number — nothing global, everything keyed by
+    query_id. k and pool are small constants by construction.
+    """
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
+    if pool < k:
+        raise ValueError("mmr_rerank: pool must be >= k")
+    if not 0.0 <= mmr_lambda <= 1.0:
+        raise ValueError("mmr_rerank: lambda must be in [0, 1]")
+    lam = float(mmr_lambda)
+    cands = cosine_topk(corpus, queries, k=pool, id_col=id_col,
+                        vec_col=vec_col, query_id_col=query_id_col)
+    emb = corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("__emb"),
+                        _vec_norm(F.col(vec_col)).alias("__n"))
+    cands = cands.join(emb, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "__emb", "__n")
+
+    first = (cands.filter(F.col("cosine").isNotNull())
+             .withColumn("__rn", F.row_number().over(
+                 Window.partitionBy("query_id")
+                 .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+    selected = first.select(
+        "query_id", F.lit(1).alias("pos"), "neighbor_id", "cosine",
+        F.round(F.lit(lam) * F.col("cosine"), 6).alias("score"),
+        F.col("__emb"), F.col("__n"))
+    remaining = cands.join(
+        first.select("query_id", F.col("neighbor_id").alias("__sid")),
+        "query_id").filter(F.col("neighbor_id") != F.col("__sid")) \
+        .drop("__sid")
+
+    for step in range(2, k + 1):
+        sel = selected.select(
+            "query_id", F.col("__emb").alias("__semb"),
+            F.col("__n").alias("__sn"))
+        pair = remaining.join(sel, "query_id")
+        dot = F.aggregate(
+            F.zip_with("__emb", "__semb",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sim = F.round(dot / (F.col("__n") * F.col("__sn")), 6)
+        scored = (pair.withColumn("__sim", sim)
+                  .groupBy("query_id", "neighbor_id", "cosine",
+                           "__emb", "__n")
+                  .agg(F.max("__sim").alias("__maxsim")))
+        score = F.round(F.lit(lam) * F.col("cosine")
+                        - F.lit(1.0 - lam) * F.col("__maxsim"), 6)
+        pick = (scored.withColumn("__score", score)
+                .withColumn("__rn", F.row_number().over(
+                    Window.partitionBy("query_id")
+                    .orderBy(F.col("__score").desc(),
+                             F.col("neighbor_id"))))
+                .filter(F.col("__rn") == 1))
+        new_sel = pick.select(
+            "query_id", F.lit(step).alias("pos"), "neighbor_id",
+            "cosine", F.col("__score").alias("score"),
+            F.col("__emb"), F.col("__n"))
+        selected = selected.unionByName(new_sel)
+        remaining = remaining.join(
+            pick.select("query_id",
+                        F.col("neighbor_id").alias("__pid")),
+            "query_id").filter(F.col("neighbor_id") != F.col("__pid")) \
+            .drop("__pid")
+
+    return selected.select("query_id", "pos", "neighbor_id", "cosine",
+                           "score")

@@ -671,6 +671,18 @@ def _register_operator_tfs() -> dict:
         kw = {"vocab_size": int(a[1])} if len(a) > 1 else {}
         return text.oov_rate(_op_table(qc, a[0]), **kw)
 
+    def mmr_rerank(qc, a):
+        # mmr_rerank('embeddings', 'queries'[, k[, pool[, lambda]]])
+        kw = {}
+        if len(a) > 2:
+            kw["k"] = int(a[2])
+        if len(a) > 3:
+            kw["pool"] = int(a[3])
+        if len(a) > 4:
+            kw["mmr_lambda"] = float(a[4])
+        return similarity.mmr_rerank(_op_table(qc, a[0]),
+                                     _op_table(qc, a[1]), **kw)
+
     def audio_chunks(qc, a):
         from ..operators import multimodal
 
@@ -687,6 +699,7 @@ def _register_operator_tfs() -> dict:
     return {f.__name__: f for f in (
         stratified_split, rfm_segments, ks_drift, changepoint,
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
+        mmr_rerank,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

@@ -916,6 +916,81 @@ def test_connected_components_handles_dirty_input(spark):
     assert got == {1: 1, 2: 1, 3: 3, 6: 6, 7: 6}
 
 
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    from framequery_spark.operators.similarity import mmr_rerank
+
+    # query e1; candidates: two near-identical vectors close to the
+    # query and one near-orthogonal to BOTH. Plain top-2 = the two
+    # dupes; MMR must pick one dupe then the diverse vector (the dupe's
+    # ~1.0 redundancy penalty cancels its relevance at lambda = 0.5).
+    rows = [(0, [1.0, 0.0, 0.0]),          # query
+            (1, [0.995, 0.1, 0.0]),        # dupe A
+            (2, [0.995, 0.0995, 0.001]),   # dupe B (sim(A,B) ~ 1)
+            (3, [0.1, 0.0, 0.995])]        # diverse
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_rerank(df, df.filter("vec_id = 0"), k=2, pool=3,
+                     mmr_lambda=0.5)
+    got = [(r.pos, r.neighbor_id) for r in out.orderBy("pos").collect()]
+    assert got[0][1] in (1, 2)
+    assert got[1] == (2, 3), got
+
+
+def test_mmr_rerank_matches_python_greedy(spark, tpch_scope):
+    import math
+
+    from framequery_spark.operators.similarity import mmr_rerank
+
+    emb = tpch_scope["embeddings"]
+    got = sorted(tuple(r) for r in mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 3), k=3, pool=8).collect())
+
+    data = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = sum(float(x) * float(x) for x in a)
+        nb = sum(float(y) * float(y) for y in b)
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    lam = 0.7
+    exp = []
+    for q in range(3):
+        pool = sorted(((cos(data[q], data[c]), c)
+                       for c in data if c != q),
+                      key=lambda t: (-t[0], t[1]))[:8]
+        cand = [(c, s) for s, c in pool]
+        sel = [(1, cand[0][0], cand[0][1], round(lam * cand[0][1], 6))]
+        chosen = {cand[0][0]}
+        for pos in (2, 3):
+            best = None
+            for c, rel in cand:
+                if c in chosen:
+                    continue
+                mx = max(cos(data[c], data[s]) for _, s, _, _ in sel)
+                sc = round(lam * rel - (1 - lam) * mx, 6)
+                if best is None or (-sc, c) < (-best[0], best[1]):
+                    best = (sc, c, rel)
+            sel.append((pos, best[1], best[2], best[0]))
+            chosen.add(best[1])
+        exp.extend((q, pos, c, rel, sc) for pos, c, rel, sc in sel)
+    assert got == sorted(exp)
+
+
+def test_mmr_rerank_validates_args(spark, tpch_scope):
+    from framequery_spark.operators.similarity import mmr_rerank
+
+    emb = tpch_scope["embeddings"]
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(emb, q, k=0)
+    with pytest.raises(ValueError, match="pool"):
+        mmr_rerank(emb, q, k=5, pool=3)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(emb, q, mmr_lambda=1.5)
+
+
 def test_pagerank_star_center_ranks_highest_and_mass_conserved(spark):
     from framequery_spark.operators.graph import pagerank
 
