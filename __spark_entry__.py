@@ -3354,12 +3354,12 @@ bg AS (
   SELECT ws[i] AS w1, ws[i + 1] AS w2
   FROM toks, unnest(range(1, len(ws))) AS r(i)
   WHERE len(ws) >= 2),
-big AS (SELECT w1, w2, count(*) AS c_xy
-        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+big_all AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+big AS (SELECT * FROM big_all WHERE c_xy >= 5),
 t AS (SELECT unnest(ws) AS term FROM toks),
 uni AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
 nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
-nb AS (SELECT count(*) AS n_big FROM bg)
+nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM big_all)
 SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
        round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
                 / (CAST(n_big AS DOUBLE) * u1.c * u2.c)), 6) AS pmi

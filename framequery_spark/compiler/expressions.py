@@ -1627,6 +1627,19 @@ class ExprCompiler:
                     return _ts.phrase_tsquery(text_arg.value, config)
                 except _ts.TsQueryError as exc:
                     raise CompileError(str(exc))
+            if n == "ts_rewrite":
+                if len(node.args) != 3:
+                    raise CompileError(
+                        "ts_rewrite() takes (query, target, substitute)")
+                trees = [self._tsquery_node(a) for a in node.args]
+                if any(t is None for t in trees):
+                    raise CompileError(
+                        "ts_rewrite() requires literal tsquery arguments "
+                        "(to_tsquery(...) / 'q'::tsquery)")
+                try:
+                    return _ts.ts_rewrite_tree(*trees)
+                except _ts.TsQueryError as exc:
+                    raise CompileError(str(exc))
         return None
 
     def _compile_textsearch(self, name: str, node: ast.Call):
@@ -1653,7 +1666,7 @@ class ExprCompiler:
             except _ts.TsQueryError as exc:
                 raise CompileError(str(exc))
         if name in ("to_tsquery", "plainto_tsquery", "phraseto_tsquery",
-                    "websearch_to_tsquery"):
+                    "websearch_to_tsquery", "ts_rewrite"):
             # standalone use: pg renders the parsed query as text
             q = self._tsquery_node(node)
             return F.lit(_ts.render_tsquery(q))

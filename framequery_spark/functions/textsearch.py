@@ -246,6 +246,105 @@ def numnode(node) -> int:
     return 1 + numnode(node[1]) + numnode(node[2])
 
 
+def _nary_children(node, kind):
+    """Left-to-right children of a same-op (and/or) chain — pg's
+    QTNTernary flattening."""
+    if node[0] != kind:
+        return [node]
+    return _nary_children(node[1], kind) + _nary_children(node[2], kind)
+
+
+def _ts_canon(node):
+    """Canonical (flattened, operand-sorted) form for tsquery tree
+    equality — commutative/associative matching inside & and | groups,
+    like pg's QTNSort + QTNSameTree."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        kids = sorted((_ts_canon(k) for k in _nary_children(node, kind)),
+                      key=repr)
+        return (kind, tuple(kids))
+    if kind == "not":
+        return ("not", _ts_canon(node[1]))
+    if kind == "phrase":
+        return ("phrase", _ts_canon(node[1]), _ts_canon(node[2]), node[3])
+    return node
+
+
+def _ts_sort_tree(node):
+    """pg ts_rewrite output order: inside & / | groups, plain values
+    move (stably) before operator subtrees, original order otherwise
+    preserved — the order pg's ts_rewrite docs example renders
+    ('b' & ( 'foo' | 'bar' ), substitute last with its own operand
+    order intact)."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        kids = [_ts_sort_tree(k) for k in _nary_children(node, kind)]
+        kids.sort(key=lambda n: n[0] != "term")
+        tree = kids[0]
+        for k in kids[1:]:
+            tree = (kind, tree, k)
+        return tree
+    if kind == "not":
+        return ("not", _ts_sort_tree(node[1]))
+    if kind == "phrase":
+        return ("phrase", _ts_sort_tree(node[1]), _ts_sort_tree(node[2]),
+                node[3])
+    return node
+
+
+def ts_rewrite_tree(query, target, substitute):
+    """pg ts_rewrite(query, target, substitute) on parsed trees: ONE
+    bottom-up pass replacing (a) any subtree whose canonical form equals
+    the target's and (b) inside an & / | group, any sub-multiset of
+    operands matching a same-operator target group (pg's findeq subset
+    semantics: 'a & c' rewrites inside 'a & b & c', leaving 'b'), the
+    substitute appended in the matched group's place. The result renders
+    in pg's QTNSort canonical order (values before operator subtrees),
+    matching the pg-docs example output. The target must be non-empty.
+    """
+    if target == ("term", None, False):
+        raise TsQueryError("ts_rewrite: target query must not be empty")
+    tc = _ts_canon(target)
+
+    def rw(node):
+        if _ts_canon(node) == tc:
+            return substitute
+        kind = node[0]
+        if kind in ("and", "or"):
+            out = [rw(k) for k in _nary_children(node, kind)]
+            if target[0] == kind:
+                need = sorted((_ts_canon(k) for k in
+                               _nary_children(target, kind)), key=repr)
+                pool = [_ts_canon(k) for k in out]
+                trial = list(pool)
+                ok = True
+                for t in need:
+                    if t in trial:
+                        trial.remove(t)
+                    else:
+                        ok = False
+                        break
+                if ok and len(need) < len(out):
+                    remaining, pending = [], list(need)
+                    for k, ck in zip(out, pool):
+                        if ck in pending:
+                            pending.remove(ck)
+                        else:
+                            remaining.append(k)
+                    out = remaining + [substitute]
+            tree = out[0]
+            for k in out[1:]:
+                tree = (kind, tree, k)
+            return tree
+        if kind == "not":
+            return ("not", rw(node[1]))
+        if kind == "phrase":
+            return ("phrase", rw(node[1]), rw(node[2]), node[3])
+        return node
+
+    return _ts_sort_tree(rw(query))
+
+
 def querytree(node) -> str:
     """pg querytree(tsquery): the part of the query usable for index
     matching — NOT branches drop; 'T' when nothing matchable remains."""

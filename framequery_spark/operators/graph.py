@@ -352,6 +352,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
          else F.lit(1.0))
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
                      w.alias("__w"))
+    if iterations > 1:
+        # the edge table joins into EVERY iteration of one lazy plan —
+        # without truncation Spark re-derives it (scan + upstream
+        # transforms) once per iteration. Materialize it once; rank
+        # frontiers get the same treatment below at checkpoint_every.
+        e = e.localCheckpoint()
     nodes = (e.select(F.col("__s").alias("node"))
              .union(e.select("__d")).distinct())
     # decimal-quantized weighted degree: order-free even for float weights
@@ -388,8 +394,10 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     adjacent pair contributes both directions), top-k words by rank.
     Ties order by the ROUNDED rank then the word, so the cut is
     deterministic and engine-portable. Returns (word, rank)."""
+    from .dedup import _spread
     from .text import tokens
 
+    df = _spread(df)
     ws = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
     pairs = F.when(
         F.size(ws) >= 2,

@@ -314,6 +314,9 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
     """
     if min_count < 1:
         raise ValueError("pmi_bigrams: min_count must be >= 1")
+    from .dedup import _spread
+
+    df = _spread(df)
     ws = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
     pairs = F.when(
         F.size(ws) >= 2,
@@ -323,13 +326,15 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
                                F.element_at(ws, i + 1).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bg = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    big = (bg.groupBy("w1", "w2")
-           .agg(F.count(F.lit(1)).alias("c_xy"))
-           .filter(F.col("c_xy") >= int(min_count)))
+    # totals come from the BOUNDED count tables, not a second pass over
+    # the exploded stream — re-aggregating bg for n_big would re-run the
+    # corpus explode inside the same lazy plan
+    big_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    big = big_all.filter(F.col("c_xy") >= int(min_count))
     uni = (term_table(df, text_col, id_col=None)
            .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
-    n_big = bg.agg(F.count(F.lit(1)).alias("n_big"))
+    n_big = big_all.agg(F.sum("c_xy").alias("n_big"))
     joined = (big
               .join(uni.select(F.col("term").alias("w1"),
                                F.col("c").alias("c_x")), "w1")

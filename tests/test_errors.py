@@ -222,3 +222,19 @@ def test_set_bit_value_validated(spark, scope):
     with pytest.raises(PySparkException, match="must be 0 or 1"):
         fq.execute("select set_bit(decode('61', 'hex'), 2, 7)",
                    scope, spark=spark).collect()
+
+
+def test_ts_rewrite_requires_literal_tsqueries(spark, scope):
+    with pytest.raises(CompileError, match="literal tsquery"):
+        fq.execute("select ts_rewrite('a'::tsquery, a, 'b'::tsquery)",
+                   scope, spark=spark)
+    with pytest.raises(CompileError, match="takes"):
+        fq.execute("select ts_rewrite('a'::tsquery, 'b'::tsquery)",
+                   scope, spark=spark)
+
+
+def test_ts_rewrite_rejects_empty_target(spark, scope):
+    with pytest.raises(CompileError, match="must not be empty"):
+        fq.execute("select ts_rewrite('a'::tsquery, "
+                   "to_tsquery('english', 'the'), 'b'::tsquery)",
+                   scope, spark=spark)

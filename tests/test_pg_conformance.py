@@ -885,6 +885,19 @@ QUERIES = [
      "round(cast(similarity(unaccent('Łódź'), 'lodz') as double), 1), "
      "7 % 3",
      "select true, true, 1.0, 1"),
+    # ts_rewrite (r09): the pg-docs example (exact output order), full
+    # and commuted subtree replace, findeq subset semantics inside an
+    # AND group, phrase-operand replace, and composition with @@
+    ("select ts_rewrite('a & b'::tsquery, 'a'::tsquery, "
+     "'foo|bar'::tsquery), "
+     "ts_rewrite('a & b & c'::tsquery, 'a & c'::tsquery, 'x'::tsquery), "
+     "ts_rewrite('b & a'::tsquery, 'a & b'::tsquery, 'z'::tsquery), "
+     "ts_rewrite('a <-> b'::tsquery, 'b'::tsquery, 'z'::tsquery), "
+     "to_tsvector('the foo and bar') @@ ts_rewrite('a & b'::tsquery, "
+     "'a & b'::tsquery, 'foo & bar'::tsquery)",
+     "select concat('''b'' & ( ''foo'' | ''bar'' )'), "
+     "concat('''b'' & ''x'''), concat('''z'''), "
+     "concat('''a'' <-> ''z'''), true"),
     # bytea functions (r09): the pg-docs §9.5 get/set byte/bit examples,
     # encode/decode round-trips, pg's lowercase hex and RFC 2045 base64
     # wrap (76-char lines, no trailing newline)
