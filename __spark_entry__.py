@@ -4255,6 +4255,23 @@ FROM z ORDER BY event_type, bucket
 """)
 
 
+def _op_stream_anomaly(spark, sf_dir):
+    """Streaming rate-anomaly monitor (streaming/stream.py:
+    stream_event_anomaly): per-(type, hour) counters accumulate in a
+    real streaming aggregation (state bounded by the type x bucket
+    grid); the z-score pass runs over the finished sink. An AvailableNow
+    replay equals the batch operator, so this reuses op_event_anomaly's
+    oracle."""
+    from framequery_spark.streaming.stream import stream_event_anomaly
+
+    return stream_event_anomaly(spark, f"{sf_dir}/events.parquet",
+                                bucket="hour", z_threshold=2.5) \
+        .orderBy("event_type", "bucket")
+
+
+_op("op_stream_anomaly", _op_stream_anomaly, _OPS["op_event_anomaly"][1])
+
+
 def _op_sem_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination
     (operators/contamination.py:semantic_decontaminate): the benchmark
@@ -4417,6 +4434,7 @@ STREAMING_ENTRIES = frozenset({
     "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
     "op_stream_dedup", "op_stream_decontam", "op_stream_ingest",
     "op_stream_join", "op_stream_fts", "op_stream_funnel",
+    "op_stream_anomaly",
 })
 
 

@@ -511,3 +511,59 @@ def stream_funnel_counts(spark: SparkSession, events_path: str,
     depth = (latest.groupBy("user_id")
              .agg(F.max("depth").alias("d")))
     return depth_to_stage_counts(depth, stages)
+
+
+def stream_event_anomaly(spark: SparkSession, events_path: str,
+                         bucket: str = "hour",
+                         z_threshold: float = 3.0) -> DataFrame:
+    """Streaming rate-anomaly monitor: the per-(type, bucket) counts
+    accumulate in a REAL streaming aggregation (Trigger.AvailableNow,
+    complete mode — the same watermark-free windowed-count shape as
+    run_stream_to_df), then the z-scoring joins the finished micro-batch
+    output exactly like the batch operator. An AvailableNow replay
+    therefore equals events.py:event_rate_anomaly row-for-row, so this
+    entry reuses its oracle.
+
+    Streaming state = one counter per (type, bucket) — bounded by the
+    observed type x bucket grid, never event count; the z-score pass is
+    a bounded-aggregate batch job over the sink table.
+    """
+    from ..operators.events import event_rate_anomaly
+
+    if bucket not in ("minute", "hour", "day", "week"):
+        raise ValueError("bucket must be minute, hour, day or week")
+    stream = read_event_stream(spark, events_path)
+    counts = (stream.groupBy(
+        F.col("event_type"),
+        F.date_trunc(bucket, F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    done = _run_to_memory(spark, counts, "anomaly_")
+    # re-shape the finished counts into an event-grain frame is not
+    # needed: score the counts directly with the batch operator's exact
+    # stats formula by re-aggregating per type
+    exploded = done.select(
+        F.col("event_type"), F.col("bucket"), F.col("n"))
+    # inline the batch z-score over the counter table (identical math to
+    # events.event_rate_anomaly, which starts from the same counts)
+    dec = "decimal(38,0)"
+    n_dec = F.col("n").cast(dec)
+    stats = (exploded.groupBy(F.col("event_type").alias("etype"))
+             .agg(F.count(F.lit(1)).alias("__k"),
+                  F.sum(n_dec).alias("__s"),
+                  F.sum((n_dec * n_dec).cast(dec)).alias("__s2")))
+    j = exploded.join(
+        F.broadcast(stats),
+        exploded["event_type"] == stats["etype"])
+    k = F.col("__k").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s / k
+    var = F.when(F.col("__k") > 1, (s2 - s * s / k) / (k - 1.0)) \
+           .otherwise(F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n").cast("double") - mean) / std) \
+         .otherwise(F.lit(0.0))
+    return j.select(
+        F.col("event_type"), F.col("bucket"), F.col("n"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"))

@@ -2770,6 +2770,27 @@ def test_stream_funnel_equals_batch(spark):
         stream_funnel_counts(spark, path, [])
 
 
+def test_stream_anomaly_equals_batch(spark):
+    """The streaming rate-anomaly monitor's AvailableNow replay must
+    equal the batch operator over the same static events (the
+    driver-oracle identity)."""
+    from framequery_spark.operators.events import event_rate_anomaly
+    from framequery_spark.sources.testdata import load_tables
+    from framequery_spark.streaming.stream import stream_event_anomaly
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    batch = sorted(tuple(r) for r in
+                   event_rate_anomaly(ev, bucket="hour").collect())
+    stream = sorted(tuple(r) for r in
+                    stream_event_anomaly(spark, path,
+                                         bucket="hour").collect())
+    assert stream == batch
+
+    with pytest.raises(ValueError, match="bucket"):
+        stream_event_anomaly(spark, path, bucket="year")
+
+
 def test_semantic_decontaminate_drops_near_benchmark_rows(spark, emb):
     from framequery_spark.operators.contamination import (
         semantic_decontaminate)
