@@ -4272,6 +4272,61 @@ def _op_stream_anomaly(spark, sf_dir):
 _op("op_stream_anomaly", _op_stream_anomaly, _OPS["op_event_anomaly"][1])
 
 
+def _op_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (operators/classifier.py:auc_score)
+    of the heuristic quality score as a ranker of lang='en': Mann-
+    Whitney U over the quantized score grid — integer numerator, one
+    bounded-grid cumsum window, single-row result."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.classifier import auc_score
+    from framequery_spark.operators.text import quality_score
+
+    docs = _scope(spark, sf_dir)["documents"]
+    scored = docs.select((F.col("lang") == "en").alias("y"),
+                         quality_score(F.col("text")).alias("q"))
+    return auc_score(scored, "y", "q")
+
+
+def _auc_oracle() -> str:
+    # the quality expression is _text_stats_oracle()'s 'quality' column,
+    # built from the same helpers so the two oracles can never drift
+    n_tok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    n_punct = ("length(text) - length(regexp_replace(text, "
+               "'[^A-Za-z0-9\\s]', '', 'g'))")
+    sw_ratio = f"({_sw_count_sql(_SW_EN10)} / {n_tok})"
+    len_score = (f"CASE WHEN {n_tok} BETWEEN 10 AND 10000 THEN 1.0 "
+                 f"WHEN {n_tok} < 10 THEN CAST({n_tok} AS DOUBLE) / 10.0 "
+                 "ELSE 0.5 END")
+    p_ratio = f"CAST({n_punct} AS DOUBLE) / greatest(length(text), 1)"
+    quality = (f"round(0.5 * ({len_score}) + 0.3 * least({sw_ratio} "
+               f"* 5.0, 1.0) + 0.2 * (1.0 - ({p_ratio})), 6)")
+    return f"""
+WITH scored AS (
+  SELECT lang = 'en' AS y, {quality} AS q FROM documents),
+grid AS (
+  SELECT CAST(floor(q * 1000000.0) AS BIGINT) AS g,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+  FROM scored WHERE y IS NOT NULL AND q IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT g, pos, neg,
+         sum(neg) OVER (ORDER BY g) - neg AS neg_below
+  FROM grid)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(sum(2 * neg_below * pos + neg * pos) AS BIGINT) AS auc_num2,
+       CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+            THEN round(CAST(sum(2 * neg_below * pos + neg * pos)
+                            AS DOUBLE)
+                       / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
+FROM cum
+"""
+
+
+_op("op_auc", _op_auc, _auc_oracle())
+
+
 def _op_sem_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination
     (operators/contamination.py:semantic_decontaminate): the benchmark

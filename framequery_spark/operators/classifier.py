@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .cache import persist_tracked, release_one
@@ -197,3 +197,55 @@ def quality_classifier_scores(df: DataFrame, label_col: str,
                        tf_df=tf, spark=spark)
     return lr_score(df, weights, text_col=text_col, id_col=id_col,
                     n_buckets=n_buckets, tf_df=tf, spark=spark)
+
+
+def auc_score(df: DataFrame, label_col: str, score_col: str,
+              quantize: int = 6) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` as a ranker of the boolean/0-1
+    ``label_col`` — the evaluation half of the quality-classifier loop
+    (is the filter's score actually separating good from bad?).
+
+    Computed as the tie-corrected Mann-Whitney U over a QUANTIZED score
+    grid: scores collapse onto floor(score * 10^quantize) cells (exact
+    IEEE floor, the ks_drift discipline), and
+
+        AUC = sum_g [ neg_below(g) * pos(g) + neg(g) * pos(g) / 2 ]
+              / (n_pos * n_neg)
+
+    with cumulative counts over the ascending grid. The numerator is
+    kept as the INTEGER 2*neg_below*pos + neg*pos; no float appears
+    until the final single row, so the value restates bit-exact in SQL.
+    Quantization only merges scores closer than 10^-quantize — ties the
+    correction term already handles.
+
+    Returns one row (n_pos, n_neg, auc_num2, auc). NULL labels/scores
+    are excluded; AUC is NULL when either class is empty.
+
+    Scale shape: one groupBy on the quantized score (state bounded by
+    the score's quantized range, not row count), one cumsum window over
+    that bounded grid, a single-row final aggregate.
+    """
+    if quantize < 0:
+        raise ValueError("auc_score: quantize must be >= 0")
+    scale = float(10 ** quantize)
+    y = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    grid = (df.filter(y.isNotNull() & s.isNotNull())
+            .groupBy(F.floor(s * F.lit(scale)).cast("long").alias("g"))
+            .agg(F.sum(F.when(y, 1).otherwise(0)).alias("pos"),
+                 F.sum(F.when(y, 0).otherwise(1)).alias("neg")))
+    w = (Window.orderBy("g")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.select(
+        "g", "pos", "neg",
+        (F.sum("neg").over(w) - F.col("neg")).alias("neg_below"))
+    agg = cum.agg(
+        F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"),
+        F.sum(F.lit(2) * F.col("neg_below") * F.col("pos")
+              + F.col("neg") * F.col("pos")).alias("auc_num2"))
+    return agg.select(
+        "n_pos", "n_neg", "auc_num2",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.round(F.col("auc_num2").cast("double")
+                       / (2.0 * F.col("n_pos") * F.col("n_neg")), 6))
+        .alias("auc"))

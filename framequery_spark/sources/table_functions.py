@@ -671,6 +671,13 @@ def _register_operator_tfs() -> dict:
         kw = {"vocab_size": int(a[1])} if len(a) > 1 else {}
         return text.oov_rate(_op_table(qc, a[0]), **kw)
 
+    def auc_score(qc, a):
+        # auc_score('scored_table', 'label_col', 'score_col')
+        from ..operators import classifier
+
+        return classifier.auc_score(_op_table(qc, a[0]), str(a[1]),
+                                    str(a[2]))
+
     def mmr_rerank(qc, a):
         # mmr_rerank('embeddings', 'queries'[, k[, pool[, lambda]]])
         kw = {}
@@ -699,7 +706,7 @@ def _register_operator_tfs() -> dict:
     return {f.__name__: f for f in (
         stratified_split, rfm_segments, ks_drift, changepoint,
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
-        mmr_rerank,
+        mmr_rerank, auc_score,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

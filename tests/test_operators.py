@@ -2894,3 +2894,44 @@ def test_event_anomaly_sql_table_function(spark, tpch_scope):
     assert {"event_type", "bucket", "n", "z", "is_anomaly"} \
         <= set(out.columns)
     assert out.count() > 0
+
+
+# -------------------------------------------- round 9: exact ROC-AUC
+
+
+def test_auc_perfect_and_random_rankers(spark):
+    from framequery_spark.operators.classifier import auc_score
+
+    # perfectly separated scores -> AUC 1; inverted -> 0
+    rows = [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    assert auc_score(df, "y", "s").collect()[0].auc == 1.0
+    inv = spark.createDataFrame([(y, -s) for y, s in rows],
+                                "y boolean, s double")
+    assert auc_score(inv, "y", "s").collect()[0].auc == 0.0
+
+
+def test_auc_handles_ties_like_sklearn(spark):
+    from framequery_spark.operators.classifier import auc_score
+
+    # 2 pos at .5, 1 neg at .5 (ties), 1 neg at .1, 1 pos at .9
+    rows = [(True, 0.5), (True, 0.5), (False, 0.5),
+            (False, 0.1), (True, 0.9)]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    r = auc_score(df, "y", "s").collect()[0]
+    # sklearn roc_auc_score for this set = (2*1*2/2 + 1*1*... ) compute:
+    # pairs: pos@.5 vs neg@.1 -> 2 wins; pos@.5 vs neg@.5 -> 2 ties (0.5
+    # each); pos@.9 beats both negs -> 2 wins; total = (2 + 1 + 2) / 6
+    assert r.auc == round((2 + 1 + 2) / 6, 6)
+    assert (r.n_pos, r.n_neg) == (3, 2)
+
+
+def test_auc_empty_class_is_null_and_validates(spark):
+    from framequery_spark.operators.classifier import auc_score
+
+    df = spark.createDataFrame([(True, 0.5), (True, 0.7), (None, 0.2)],
+                               "y boolean, s double")
+    r = auc_score(df, "y", "s").collect()[0]
+    assert r.auc is None and (r.n_pos, r.n_neg) == (2, 0)
+    with pytest.raises(ValueError, match="quantize"):
+        auc_score(df, "y", "s", quantize=-1)
