@@ -322,6 +322,24 @@ def main() -> None:
                    get_byte(decode('1234567890', 'hex'), 4) AS b4,
                    encode(decode('YWJj', 'base64'), 'hex') AS rt
         """, scope, spark=spark).show(truncate=False)
+        fq.execute("""
+            WITH q AS (SELECT * FROM embeddings WHERE vec_id < 3)
+            SELECT * FROM mmr_rerank('embeddings', 'q', 3, 10)
+            ORDER BY query_id, pos
+        """, scope, spark=spark).show()
+        fq.execute("""
+            WITH scored AS (SELECT lang = 'en' AS y,
+                                   CAST(n_chars AS DOUBLE) AS s
+                            FROM documents)
+            SELECT * FROM auc_score('scored', 'y', 's')
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT ts_rewrite('a & b'::tsquery, 'a'::tsquery,
+                              'foo|bar'::tsquery) AS rewritten,
+                   to_tsvector('the foo and bar') @@
+                   ts_rewrite('a'::tsquery, 'a'::tsquery,
+                              'foo & bar'::tsquery) AS matches
+        """, scope, spark=spark).show(truncate=False)
 
 
 if __name__ == "__main__":
