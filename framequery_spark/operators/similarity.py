@@ -454,8 +454,13 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
     emb = corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("__emb"),
                         _vec_norm(F.col(vec_col)).alias("__n"))
+    # the candidate table enters the plan once per greedy step (selected
+    # chain + remaining chain) — materialize the BOUNDED (queries x pool)
+    # table once instead of re-running the corpus-wide candidate scan
+    # k+1 times inside one lazy plan
     cands = cands.join(emb, "neighbor_id").select(
-        "query_id", "neighbor_id", "cosine", "__emb", "__n")
+        "query_id", "neighbor_id", "cosine", "__emb", "__n") \
+        .localCheckpoint()
 
     first = (cands.filter(F.col("cosine").isNotNull())
              .withColumn("__rn", F.row_number().over(
