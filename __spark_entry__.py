@@ -1334,6 +1334,82 @@ WHERE rank <= {k}
 _op("op_ann_topk", _op_ann_topk, _ann_seeded_oracle())
 
 
+def _op_ann_recall(spark, sf_dir):
+    """recall@5 of the seeded LSH-ANN config against exact top-5
+    (operators/similarity.py:retrieval_recall) — the acceptance gate an
+    ANN configuration is tuned against, as a first-class operator. Both
+    result tables are query-count x k; the eval is one equi join + one
+    keyed count."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.similarity import (cosine_topk,
+                                                       lsh_ann_topk,
+                                                       retrieval_recall)
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = lsh_ann_topk(emb, q, k=5, n_bits=8, n_tables=4)
+    exact = cosine_topk(emb, q, k=5)
+    return retrieval_recall(approx, exact, k=5).orderBy("query_id")
+
+
+def _ann_recall_oracle(k=5, n_bits=8, n_tables=4, dim=64, seed=42) -> str:
+    """The seeded-ANN derivation of _ann_seeded_oracle joined against the
+    exact-cosine top-k, reduced to per-query recall — one WITH chain so
+    the approximate config's QUALITY is hash-verified, not just its
+    result set."""
+    from framequery_spark.operators.similarity import _hyperplanes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + 97 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes))
+        buckets.append(f"({bits})")
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v, [{', '.join(buckets)}] AS bks FROM base),
+apairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+    AND len(list_filter(range(1, {n_tables} + 1),
+                        i -> q.bks[i] = c.bks[i])) > 0),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM apairs) t WHERE r <= {k}),
+epairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM epairs) t WHERE r <= {k}),
+hits AS (
+  SELECT query_id, count(*) AS n
+  FROM ann JOIN exact USING (query_id, neighbor_id) GROUP BY 1)
+SELECT e.query_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(n, 0) AS DOUBLE) / {k}.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) e
+LEFT JOIN hits USING (query_id)
+ORDER BY e.query_id
+"""
+
+
+_op("op_ann_recall", _op_ann_recall, _ann_recall_oracle())
+
+
 def _op_ann_full(spark, sf_dir):
     """LSH-ANN in the exhaustive configuration (n_bits=0: one all-zero
     hyperplane puts every vector in a single bucket), so the bucketize /

@@ -511,3 +511,36 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
     return selected.select("query_id", "pos", "neighbor_id", "cosine",
                            "score")
+
+
+def retrieval_recall(approx: DataFrame, exact: DataFrame,
+                     k: int) -> DataFrame:
+    """recall@k of an approximate retriever against exact top-k ground
+    truth — the acceptance gate for every ANN configuration (LSH bits /
+    IVF probes / PQ bytes are tuned against exactly this number).
+
+    Both inputs are (query_id, neighbor_id, ...) result tables (ranks
+    beyond k on the exact side are ignored). Returns one row per query:
+    (query_id, n_hits, recall), recall = |approx ∩ exact@k| / k rounded
+    to 1e-6. Queries present in the exact table always appear, with 0
+    hits when the approximate side found nothing.
+
+    Scale shape: one equi join on (query, neighbor) + one query-keyed
+    count — both sides are query-count x k tables, already tiny relative
+    to the corpora that produced them.
+    """
+    if k < 1:
+        raise ValueError("retrieval_recall: k must be >= 1")
+    e = exact
+    if "rank" in exact.columns:
+        e = exact.filter(F.col("rank") <= k)
+    e = e.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (a.join(e, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    qs = e.select("query_id").distinct()
+    return (qs.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                            .cast("double") / float(k), 6).alias("recall")))

@@ -2935,3 +2935,35 @@ def test_auc_empty_class_is_null_and_validates(spark):
     assert r.auc is None and (r.n_pos, r.n_neg) == (2, 0)
     with pytest.raises(ValueError, match="quantize"):
         auc_score(df, "y", "s", quantize=-1)
+
+
+def test_retrieval_recall_counts_overlap(spark):
+    from framequery_spark.operators.similarity import retrieval_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (2, 23, 4)],  # rank 4 must be ignored at k=3
+        "query_id long, neighbor_id long, rank int")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77)],
+        "query_id long, neighbor_id long")
+    got = {r.query_id: (r.n_hits, r.recall)
+           for r in retrieval_recall(approx, exact, k=3).collect()}
+    assert got == {1: (2, round(2 / 3, 6)), 2: (0, 0.0)}
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval_recall(approx, exact, k=0)
+
+
+def test_ann_recall_exhaustive_config_is_perfect(spark, tpch_scope):
+    from framequery_spark.operators.similarity import (cosine_topk,
+                                                       lsh_ann_topk,
+                                                       retrieval_recall)
+
+    emb = tpch_scope["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    # n_bits=0 puts everything in one bucket: recall must be exactly 1
+    approx = lsh_ann_topk(emb, q, k=5, n_bits=0, n_tables=1)
+    exact = cosine_topk(emb, q, k=5)
+    out = retrieval_recall(approx, exact, k=5).collect()
+    assert len(out) == 5 and all(r.recall == 1.0 for r in out)
