@@ -4403,6 +4403,149 @@ FROM cum
 _op("op_auc", _op_auc, _auc_oracle())
 
 
+def _quality_scored(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.text import quality_score
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return docs.select((F.col("lang") == "en").alias("y"),
+                       quality_score(F.col("text")).alias("q"))
+
+
+def _quality_scored_sql() -> str:
+    n_tok = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    n_punct = ("length(text) - length(regexp_replace(text, "
+               "'[^A-Za-z0-9\\s]', '', 'g'))")
+    sw_ratio = f"({_sw_count_sql(_SW_EN10)} / {n_tok})"
+    len_score = (f"CASE WHEN {n_tok} BETWEEN 10 AND 10000 THEN 1.0 "
+                 f"WHEN {n_tok} < 10 THEN CAST({n_tok} AS DOUBLE) / 10.0 "
+                 "ELSE 0.5 END")
+    p_ratio = f"CAST({n_punct} AS DOUBLE) / greatest(length(text), 1)"
+    quality = (f"round(0.5 * ({len_score}) + 0.3 * least({sw_ratio} "
+               f"* 5.0, 1.0) + 0.2 * (1.0 - ({p_ratio})), 6)")
+    return f"SELECT lang = 'en' AS y, {quality} AS q FROM documents"
+
+
+def _op_confusion(spark, sf_dir):
+    """Thresholded classifier quality (operators/classifier.py:
+    confusion_stats): tp/fp/fn/tn from ONE conditional-sum aggregate,
+    exact-integer ratios — the operating-point view next to op_auc's
+    ranking view."""
+    from framequery_spark.operators.classifier import confusion_stats
+
+    return confusion_stats(_quality_scored(spark, sf_dir), "y", "q",
+                           threshold=0.8)
+
+
+_op("op_confusion", _op_confusion, f"""
+WITH scored AS ({_quality_scored_sql()})
+SELECT CAST(sum(CASE WHEN y AND q >= 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN NOT y AND q >= 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN y AND q < 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN NOT y AND q < 0.8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn,
+       round(CAST(sum(CASE WHEN (y AND q >= 0.8)
+                             OR (NOT y AND q < 0.8)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS accuracy,
+       CASE WHEN sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) > 0
+            THEN round(CAST(sum(CASE WHEN y AND q >= 0.8 THEN 1 ELSE 0
+                                END) AS DOUBLE)
+                       / sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END), 6)
+       END AS precision,
+       CASE WHEN sum(CASE WHEN y THEN 1 ELSE 0 END) > 0
+            THEN round(CAST(sum(CASE WHEN y AND q >= 0.8 THEN 1 ELSE 0
+                                END) AS DOUBLE)
+                       / sum(CASE WHEN y THEN 1 ELSE 0 END), 6)
+       END AS recall,
+       CASE WHEN 2 * sum(CASE WHEN y AND q >= 0.8 THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN NOT y AND q >= 0.8 THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN y AND q < 0.8 THEN 1 ELSE 0 END) > 0
+            THEN round(CAST(2 * sum(CASE WHEN y AND q >= 0.8 THEN 1
+                                    ELSE 0 END) AS DOUBLE)
+                       / (2 * sum(CASE WHEN y AND q >= 0.8 THEN 1
+                                  ELSE 0 END)
+                          + sum(CASE WHEN NOT y AND q >= 0.8 THEN 1
+                                ELSE 0 END)
+                          + sum(CASE WHEN y AND q < 0.8 THEN 1
+                                ELSE 0 END)), 6)
+       END AS f1
+FROM scored WHERE y IS NOT NULL AND q IS NOT NULL
+""")
+
+
+def _op_calibration(spark, sf_dir):
+    """Reliability-diagram bins (operators/classifier.py:
+    calibration_bins): at most `bins` groups, decimal-exact mean_score,
+    integer frac_pos — mean_score ~ frac_pos per bin iff the score is
+    calibrated."""
+    from framequery_spark.operators.classifier import calibration_bins
+
+    return calibration_bins(_quality_scored(spark, sf_dir), "y", "q",
+                            bins=10)
+
+
+_op("op_calibration", _op_calibration, f"""
+WITH scored AS ({_quality_scored_sql()})
+SELECT CAST(least(floor(q * 10.0), 9) AS INT) AS bin,
+       count(*) AS n,
+       round(CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS mean_score,
+       round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS frac_pos
+FROM scored WHERE y IS NOT NULL AND q IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""")
+
+
+def _op_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/profile.py:snapshot_diff): one
+    full outer equi join of content fingerprints between two simulated
+    corpus versions; per-status counts + keysum pin exact membership."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.profile import snapshot_diff
+
+    docs = _scope(spark, sf_dir)["documents"]
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 200).withColumn(
+        "text", F.when(F.col("doc_id") % 10 == 0,
+                       F.concat(F.col("text"), F.lit(" edited")))
+                 .otherwise(F.col("text")))
+    return (snapshot_diff(old, new)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("keysum"))
+            .orderBy("status"))
+
+
+_op("op_snapshot_diff", _op_snapshot_diff, r"""
+WITH o AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id < 400),
+n AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(
+           CASE WHEN doc_id % 10 = 0 THEN concat(text, ' edited')
+                ELSE text END), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id >= 200),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS keysum
+FROM j GROUP BY 1 ORDER BY 1
+""")
+
+
 def _op_sem_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination
     (operators/contamination.py:semantic_decontaminate): the benchmark

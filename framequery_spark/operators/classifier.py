@@ -249,3 +249,67 @@ def auc_score(df: DataFrame, label_col: str, score_col: str,
                F.round(F.col("auc_num2").cast("double")
                        / (2.0 * F.col("n_pos") * F.col("n_neg")), 6))
         .alias("auc"))
+
+
+def confusion_stats(df: DataFrame, label_col: str, score_col: str,
+                    threshold: float = 0.5) -> DataFrame:
+    """Thresholded binary-classification quality: one row of
+    (tp, fp, fn, tn, accuracy, precision, recall, f1) for
+    ``score >= threshold`` against the boolean label — the operating-
+    point companion to :func:`auc_score`'s ranking view.
+
+    All four cells are one conditional-sum aggregate (map-side combine,
+    single-row result); the ratios derive from exact integers, rounded
+    to 1e-6, NULL when their denominator is 0. NULL labels/scores are
+    excluded.
+    """
+    y = F.col(label_col).cast("boolean")
+    pred = F.col(score_col).cast("double") >= F.lit(float(threshold))
+    base = df.filter(y.isNotNull()
+                     & F.col(score_col).cast("double").isNotNull())
+    agg = base.agg(
+        F.sum(F.when(y & pred, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~y & pred, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(y & ~pred, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~y & ~pred, 1).otherwise(0)).alias("tn"))
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    n = tp + fp + fn + tn
+
+    def ratio(num, den):
+        return F.when(den > 0, F.round(num / den, 6))
+
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        ratio(tp + tn, n).alias("accuracy"),
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(2 * tp, 2 * tp + fp + fn).alias("f1"))
+
+
+def calibration_bins(df: DataFrame, label_col: str, score_col: str,
+                     bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins for a [0, 1] score: per bin
+    (bin, n, mean_score, frac_pos) — a well-calibrated score has
+    mean_score ~ frac_pos in every bin. Scores clamp into
+    [0, bins-1] via least(floor(score*bins), bins-1), so 1.0 lands in
+    the top bin like sklearn's calibration_curve.
+
+    Determinism: mean_score sums DECIMAL(28,12)-quantized scores
+    (order-free); frac_pos is integer counts. One groupBy with at most
+    ``bins`` groups.
+    """
+    if bins < 1:
+        raise ValueError("calibration_bins: bins must be >= 1")
+    y = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * F.lit(float(bins))),
+                F.lit(bins - 1)).cast("int")
+    base = df.filter(y.isNotNull() & s.isNotNull())
+    return (base.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(s.cast("decimal(28,12)")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_score"),
+                 F.round(F.sum(F.when(y, 1).otherwise(0)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("frac_pos"))
+            .orderBy("bin"))

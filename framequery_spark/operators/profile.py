@@ -64,3 +64,30 @@ def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             mean.alias("mean"), std.alias("stddev")))
     return (row.select(F.explode(F.array(*parts)).alias("p"))
             .select("p.*"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus snapshot diff: per-document status between two versions of
+    a table — 'added' (id only in new), 'removed' (id only in old),
+    'changed' (same id, different content fingerprint), 'unchanged'.
+    The ingest-ops primitive behind incremental reprocessing: only
+    added+changed rows need re-scoring/re-embedding.
+
+    Content equality is the whitespace-normalized lowercase md5
+    (text.content_fingerprint) — byte-exact across engines. Returns
+    (id, status). Scale shape: one full outer equi join on the id; the
+    fingerprint is a row-local projection pushed to both scans.
+    """
+    from .text import content_fingerprint
+
+    o = old.select(F.col(id_col).alias("__id"),
+                   content_fingerprint(F.col(text_col)).alias("__ofp"))
+    n = new.select(F.col(id_col).alias("__id"),
+                   content_fingerprint(F.col(text_col)).alias("__nfp"))
+    j = o.join(n, "__id", "full_outer")
+    status = (F.when(F.col("__ofp").isNull(), F.lit("added"))
+              .when(F.col("__nfp").isNull(), F.lit("removed"))
+              .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -678,6 +678,39 @@ def _register_operator_tfs() -> dict:
         return classifier.auc_score(_op_table(qc, a[0]), str(a[1]),
                                     str(a[2]))
 
+    def confusion_stats(qc, a):
+        # confusion_stats('scored', 'label', 'score'[, threshold])
+        from ..operators import classifier
+
+        kw = {"threshold": float(a[3])} if len(a) > 3 else {}
+        return classifier.confusion_stats(_op_table(qc, a[0]), str(a[1]),
+                                          str(a[2]), **kw)
+
+    def calibration_bins(qc, a):
+        # calibration_bins('scored', 'label', 'score'[, bins])
+        from ..operators import classifier
+
+        kw = {"bins": int(a[3])} if len(a) > 3 else {}
+        return classifier.calibration_bins(_op_table(qc, a[0]), str(a[1]),
+                                           str(a[2]), **kw)
+
+    def snapshot_diff(qc, a):
+        # snapshot_diff('old_table', 'new_table'[, id_col[, text_col]])
+        from ..operators import profile
+
+        kw = {}
+        if len(a) > 2:
+            kw["id_col"] = str(a[2])
+        if len(a) > 3:
+            kw["text_col"] = str(a[3])
+        return profile.snapshot_diff(_op_table(qc, a[0]),
+                                     _op_table(qc, a[1]), **kw)
+
+    def retrieval_recall(qc, a):
+        # retrieval_recall('approx_results', 'exact_results', k)
+        return similarity.retrieval_recall(_op_table(qc, a[0]),
+                                           _op_table(qc, a[1]), int(a[2]))
+
     def mmr_rerank(qc, a):
         # mmr_rerank('embeddings', 'queries'[, k[, pool[, lambda]]])
         kw = {}
@@ -706,7 +739,8 @@ def _register_operator_tfs() -> dict:
     return {f.__name__: f for f in (
         stratified_split, rfm_segments, ks_drift, changepoint,
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
-        mmr_rerank, auc_score,
+        mmr_rerank, auc_score, confusion_stats, calibration_bins,
+        snapshot_diff, retrieval_recall,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

@@ -2967,3 +2967,64 @@ def test_ann_recall_exhaustive_config_is_perfect(spark, tpch_scope):
     exact = cosine_topk(emb, q, k=5)
     out = retrieval_recall(approx, exact, k=5).collect()
     assert len(out) == 5 and all(r.recall == 1.0 for r in out)
+
+
+def test_confusion_stats_known_matrix(spark):
+    from framequery_spark.operators.classifier import confusion_stats
+
+    rows = [(True, 0.9), (True, 0.4), (False, 0.8), (False, 0.1),
+            (None, 0.9), (True, None)]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    r = confusion_stats(df, "y", "s", threshold=0.5).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 1, 1)
+    assert r.accuracy == 0.5 and r.precision == 0.5 and r.recall == 0.5
+    assert r.f1 == round(2 * 1 / (2 * 1 + 1 + 1), 6)
+
+
+def test_confusion_stats_degenerate_denominators_null(spark):
+    from framequery_spark.operators.classifier import confusion_stats
+
+    df = spark.createDataFrame([(False, 0.1), (False, 0.2)],
+                               "y boolean, s double")
+    r = confusion_stats(df, "y", "s").collect()[0]
+    assert r.precision is None and r.recall is None and r.f1 is None
+    assert r.accuracy == 1.0
+
+
+def test_calibration_bins_matches_python(spark):
+    from framequery_spark.operators.classifier import calibration_bins
+
+    rows = [(True, 0.95), (False, 0.92), (True, 1.0),   # bin 9
+            (False, 0.05), (False, 0.01),               # bin 0
+            (True, 0.55)]                               # bin 5
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    got = {r.bin: (r.n, r.mean_score, r.frac_pos)
+           for r in calibration_bins(df, "y", "s", bins=10).collect()}
+    assert got[9] == (3, round((0.95 + 0.92 + 1.0) / 3, 6),
+                      round(2 / 3, 6))
+    assert got[0] == (2, round(0.06 / 2, 6), 0.0)
+    assert got[5] == (1, 0.55, 1.0)
+    with pytest.raises(ValueError, match="bins"):
+        calibration_bins(df, "y", "s", bins=0)
+
+
+def test_snapshot_diff_statuses(spark):
+    from framequery_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C changed"), (4, "d")], "doc_id long, text string")
+    got = {r.doc_id: r.status
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_fingerprint_normalizes_whitespace(spark):
+    from framequery_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame([(1, "Hello   World ")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(1, "hello world")],
+                                "doc_id long, text string")
+    assert snapshot_diff(old, new).collect()[0].status == "unchanged"
