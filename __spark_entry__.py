@@ -4042,6 +4042,34 @@ ORDER BY score DESC, split_period LIMIT 5
 """)
 
 
+def _op_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (operators/events.py:
+    event_transitions): one user-keyed lag window, a |types|^2-bounded
+    count groupBy, broadcast outgoing totals."""
+    from framequery_spark.operators.events import event_transitions
+
+    return (event_transitions(_scope(spark, sf_dir)["events"])
+            .orderBy("from_type", "to_type"))
+
+
+_op("op_transitions", _op_transitions, """
+WITH steps AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_type) AS from_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+o AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS outn
+      FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       round(CAST(c.n AS DOUBLE) / o.outn, 6) AS prob
+FROM c JOIN o USING (from_type)
+ORDER BY c.from_type, c.to_type
+""")
+
+
 def _op_rfm(spark, sf_dir):
     """RFM user segmentation (operators/events.py:rfm_segments): one
     keyed groupBy + one broadcast single-row quartile aggregate; scores

@@ -367,3 +367,43 @@ def changepoint_mean_shift(df: DataFrame, ts_col: str = "ts",
         F.round(mean2, 6).alias("mean_after"),
         F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), "split_period").limit(int(top_k)))
+
+
+def event_transitions(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      top_k: int | None = None) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type, to_type) pair of CONSECUTIVE events within a user's
+    timeline, (n, prob) with prob = n / outgoing(from_type) — the
+    path-analysis primitive behind "what do users do after X".
+
+    Consecutive means adjacent in (ts, event_id-free) order per user;
+    same-timestamp ties order by the event type string so the lag is
+    deterministic and restates in SQL. Returns
+    (from_type, to_type, n, prob), prob rounded to 1e-6; ``top_k``
+    keeps the most frequent transitions (count desc, pair asc —
+    TakeOrderedAndProject).
+
+    Scale shape: one user-keyed window (each user's timeline lives on
+    one reducer — the funnel/sessionize shape), one groupBy bounded by
+    |event types|^2, and a broadcast per-from-type totals join.
+    """
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).cast("timestamp"), F.col(type_col)))
+    steps = (df.select(F.col(user_col),
+                       F.col(type_col).alias("to_type"),
+                       F.lag(F.col(type_col)).over(w).alias("from_type"))
+             .filter(F.col("from_type").isNotNull()))
+    counts = (steps.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    outgoing = counts.groupBy("from_type").agg(F.sum("n").alias("__out"))
+    out = (counts.join(F.broadcast(outgoing), "from_type")
+           .select("from_type", "to_type", "n",
+                   F.round(F.col("n").cast("double") / F.col("__out"), 6)
+                   .alias("prob")))
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError("event_transitions: top_k must be >= 1")
+        out = out.orderBy(F.desc("n"), "from_type", "to_type") \
+                 .limit(int(top_k))
+    return out

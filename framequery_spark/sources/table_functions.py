@@ -567,6 +567,13 @@ def _register_operator_tfs() -> dict:
         kw = {"granularity": str(a[1])} if len(a) > 1 else {}
         return events.retention_cohorts(_op_table(qc, a[0]), **kw)
 
+    def event_transitions(qc, a):
+        # event_transitions('events'[, top_k]) -> Markov transition matrix
+        from ..operators import events
+
+        kw = {"top_k": int(a[1])} if len(a) > 1 else {}
+        return events.event_transitions(_op_table(qc, a[0]), **kw)
+
     def event_anomaly(qc, a):
         # event_anomaly('events'[, bucket[, z_threshold]])
         from ..operators import events
@@ -740,7 +747,7 @@ def _register_operator_tfs() -> dict:
         stratified_split, rfm_segments, ks_drift, changepoint,
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
         mmr_rerank, auc_score, confusion_stats, calibration_bins,
-        snapshot_diff, retrieval_recall,
+        snapshot_diff, retrieval_recall, event_transitions,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

@@ -3028,3 +3028,36 @@ def test_snapshot_diff_fingerprint_normalizes_whitespace(spark):
     new = spark.createDataFrame([(1, "hello world")],
                                 "doc_id long, text string")
     assert snapshot_diff(old, new).collect()[0].status == "unchanged"
+
+
+def test_event_transitions_known_chain(spark):
+    from framequery_spark.operators.events import event_transitions
+
+    rows = [(1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-01 00:01:00", "b"),
+            (1, "2024-01-01 00:02:00", "a"),
+            (1, "2024-01-01 00:03:00", "c"),
+            (2, "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-01 00:01:00", "b")]
+    df = spark.createDataFrame(rows, "user_id long, ts string, "
+                               "event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in event_transitions(df).collect()}
+    # from 'a': a->b twice, a->c once; from 'b': b->a once
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3  # no cross-user transition (user 2 -> user 1)
+
+
+def test_event_transitions_topk_and_validation(spark, tpch_scope):
+    from framequery_spark.operators.events import event_transitions
+
+    ev = tpch_scope["events"]
+    out = event_transitions(ev, top_k=3).collect()
+    assert len(out) == 3
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)
+    with pytest.raises(ValueError, match="top_k"):
+        event_transitions(ev, top_k=0)
