@@ -451,3 +451,89 @@ def test_trgm_pairs_equals_scalar_matrix_random(spark, names):
                         trgm_sim(F.col("s1"), F.col("s2")).alias("c"))
                 .filter(F.col("c") >= 0.01).collect()}
     assert got == expected, names
+
+
+# ------------------------------------------ round-9 operator properties
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.booleans(),
+                          st.integers(min_value=0, max_value=1000)),
+                min_size=4, max_size=40).filter(
+                    lambda xs: any(y for y, _ in xs)
+                    and any(not y for y, _ in xs)))
+def test_auc_antisymmetry_and_bounds(spark, rows):
+    """AUC(score) + AUC(-score) == 1 exactly (the tie term is symmetric)
+    and both lie in [0, 1]."""
+    from framequery_spark.operators.classifier import auc_score
+
+    df = spark.createDataFrame(
+        [(y, v / 1000.0) for y, v in rows], "y boolean, s double")
+    a = auc_score(df, "y", "s").collect()[0].auc
+    neg = spark.createDataFrame(
+        [(y, -v / 1000.0) for y, v in rows], "y boolean, s double")
+    b = auc_score(neg, "y", "s").collect()[0].auc
+    assert 0.0 <= a <= 1.0
+    assert abs((a + b) - 1.0) < 2e-6  # each side rounds to 1e-6
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=-100, max_value=100),
+                min_size=2, max_size=30),
+       st.lists(st.integers(min_value=-100, max_value=100),
+                min_size=2, max_size=30))
+def test_ks_drift_symmetric_and_bounded(spark, xs, ys):
+    from framequery_spark.operators.events import ks_drift
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys],
+        "g string, value double")
+    r1 = ks_drift(df, "g", "a", "b").collect()[0]
+    r2 = ks_drift(df, "g", "b", "a").collect()[0]
+    assert r1.d_num == r2.d_num  # |F_a - F_b| is symmetric
+    assert 0.0 <= r1.ks_stat <= 1.0
+    assert (r1.ks_stat == 1.0) == (max(xs) < min(ys) or max(ys) < min(xs))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=25)
+       .map(lambda es: [(a, b) for a, b in es if a != b])
+       .filter(lambda es: len(es) > 0))
+def test_pagerank_mass_conserved_on_symmetric_graphs(spark, und):
+    """On a symmetrized graph there are no dangling nodes, so total rank
+    must stay 1 (up to the 1e-12 quantization) for any edge set."""
+    from framequery_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        list({(a, b) for a, b in und} | {(b, a) for a, b in und}),
+        ["src", "dst"])
+    ranks = pagerank(edges, iterations=3).collect()
+    assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-8
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(min_value=1, max_value=60),
+       st.integers(min_value=2, max_value=5))
+def test_stratified_split_quota_exactness(spark, n, groups):
+    """Every stratum's train/val/test counts hit the floor(n*c + 0.5)
+    boundaries exactly, for any stratum size."""
+    import math as m
+
+    from framequery_spark.operators.sampling import stratified_split
+
+    rows = [(g, g * 1000 + i) for g in range(groups) for i in range(n)]
+    df = spark.createDataFrame(rows, "g int, id long")
+    out = stratified_split(df, ["g"], "id")
+    got = {(r.g, r.split): r["count"]
+           for r in out.groupBy("g", "split").count().collect()}
+    t1 = m.floor(n * 0.8 + 0.5)
+    t2 = m.floor(n * 0.9 + 0.5)
+    for g in range(groups):
+        assert got.get((g, "train"), 0) == t1
+        assert got.get((g, "val"), 0) == t2 - t1
+        assert got.get((g, "test"), 0) == n - t2
