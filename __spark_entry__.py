@@ -4574,6 +4574,42 @@ FROM j GROUP BY 1 ORDER BY 1
 """)
 
 
+def _op_stream_upsert(spark, sf_dir):
+    """CDC latest-wins upsert sink (streaming/stream.py:
+    stream_upsert_latest): per-key argmax merged in foreachBatch with
+    version-dir swaps; the final keyed table equals the batch
+    latest-per-user restatement (max ts, event_id desc tiebreak).
+    Fresh dirs per run, like op_stream_ingest."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from framequery_spark.streaming.stream import (scratch_dir,
+                                                   stream_upsert_latest)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = os.path.join(scratch_dir(), f"fq_upsert_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = stream_upsert_latest(spark, f"{sf_dir}/events.parquet",
+                               out_dir=f"{tmp}/out",
+                               checkpoint_dir=f"{tmp}/ckpt")
+    return (out.select("user_id", "event_id", "event_type",
+                       F.round("value", 2).alias("value"))
+            .orderBy("user_id"))
+
+
+_op("op_stream_upsert", _op_stream_upsert, """
+SELECT user_id, event_id, event_type, round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id
+""")
+
+
 def _op_sem_decontam(spark, sf_dir):
     """Embedding-level benchmark decontamination
     (operators/contamination.py:semantic_decontaminate): the benchmark
@@ -4736,7 +4772,7 @@ STREAMING_ENTRIES = frozenset({
     "op_stream_hourly", "op_stateful_counts", "op_stream_sessions",
     "op_stream_dedup", "op_stream_decontam", "op_stream_ingest",
     "op_stream_join", "op_stream_fts", "op_stream_funnel",
-    "op_stream_anomaly",
+    "op_stream_anomaly", "op_stream_upsert",
 })
 
 

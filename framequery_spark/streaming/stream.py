@@ -567,3 +567,58 @@ def stream_event_anomaly(spark: SparkSession, events_path: str,
         F.col("event_type"), F.col("bucket"), F.col("n"),
         F.round(z, 4).alias("z"),
         (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"))
+
+
+def stream_upsert_latest(spark: SparkSession, events_path: str,
+                         out_dir: str, checkpoint_dir: str,
+                         key_col: str = "user_id",
+                         ts_col: str = "ts",
+                         tiebreak_col: str = "event_id") -> DataFrame:
+    """CDC-style latest-wins upsert sink: the event stream merges into a
+    keyed parquet table where each key holds its LATEST row (max ts,
+    ``tiebreak_col`` desc on equal timestamps — deterministic, so the
+    final table restates in SQL). The ingest shape behind materialized
+    user/entity state: dimensions, feature stores, session snapshots.
+
+    foreachBatch implements the merge: current sink ∪ batch → keep the
+    per-key argmax → write the next version dir and flip a process-local
+    version pointer (never overwrite the directory being read). The
+    version pointer is process-local, so the durability contract is the
+    same fresh-dirs-per-run one op_stream_ingest uses; Spark has no
+    transactional row-level MERGE sink without a lakehouse format — at
+    production scale this foreachBatch body is one `MERGE INTO`
+    delta/iceberg statement (whose log IS the version pointer), and the
+    per-key argmax logic and its determinism carry over unchanged.
+
+    State per key is ONE row; the merge shuffles on the key only.
+    Synchronous (Trigger.AvailableNow); returns the final keyed table.
+    """
+    stream = read_parquet_stream(spark, events_path)
+    state = {"v": 0}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        cur_dir = f"{out_dir}/v={state['v']}"
+        nxt = f"{out_dir}/v={1 - state['v']}"
+        try:
+            cur = spark.read.parquet(cur_dir).select(*batch.columns)
+        except Exception:
+            cur = None
+        allrows = batch if cur is None else cur.unionByName(batch)
+        w = W.partitionBy(key_col).orderBy(
+            F.col(ts_col).cast("timestamp").desc(),
+            F.col(tiebreak_col).desc())
+        latest = (allrows.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+        latest.write.mode("overwrite").parquet(nxt)
+        state["v"] = 1 - state["v"]
+
+    with _stream_shuffle_partitions(spark, 8):
+        q = (stream.writeStream
+             .foreachBatch(merge)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.read.parquet(f"{out_dir}/v={state['v']}")

@@ -3061,3 +3061,26 @@ def test_event_transitions_topk_and_validation(spark, tpch_scope):
     assert ns == sorted(ns, reverse=True)
     with pytest.raises(ValueError, match="top_k"):
         event_transitions(ev, top_k=0)
+
+
+def test_stream_upsert_latest_equals_batch_argmax(spark, tmp_path):
+    from framequery_spark.sources.testdata import load_tables
+    from framequery_spark.streaming.stream import stream_upsert_latest
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_upsert_latest(
+        spark, f"{sf}/events.parquet",
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    got = sorted((r.user_id, r.event_id) for r in out.collect())
+    ev = load_tables(spark, sf)["events"]
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    exp = sorted((r.user_id, r.event_id) for r in
+                 ev.withColumn("rn", F.row_number().over(w))
+                 .filter("rn = 1").collect())
+    assert got == exp
+    # one row per key
+    assert len({u for u, _ in got}) == len(got)
