@@ -340,6 +340,26 @@ def main() -> None:
                    ts_rewrite('a'::tsquery, 'a'::tsquery,
                               'foo & bar'::tsquery) AS matches
         """, scope, spark=spark).show(truncate=False)
+        fq.execute("""
+            SELECT * FROM event_transitions('events', 5)
+        """, scope, spark=spark).show()
+        fq.execute("""
+            WITH old AS (SELECT * FROM documents WHERE doc_id < 300),
+                 new AS (SELECT doc_id,
+                                CASE WHEN doc_id % 7 = 0
+                                     THEN concat(text, ' v2') ELSE text
+                                END AS text
+                         FROM documents WHERE doc_id >= 150)
+            SELECT status, count(*) AS n
+            FROM snapshot_diff('old', 'new')
+            GROUP BY status ORDER BY status
+        """, scope, spark=spark).show()
+        fq.execute("""
+            WITH scored AS (SELECT lang = 'en' AS y,
+                                   CAST(n_chars AS DOUBLE) / 3000 AS s
+                            FROM documents)
+            SELECT * FROM confusion_stats('scored', 'y', 's', 0.5)
+        """, scope, spark=spark).show()
 
 
 if __name__ == "__main__":
