@@ -4595,13 +4595,14 @@ def _op_stream_upsert(spark, sf_dir):
     out = stream_upsert_latest(spark, f"{sf_dir}/events.parquet",
                                out_dir=f"{tmp}/out",
                                checkpoint_dir=f"{tmp}/ckpt")
-    return (out.select("user_id", "event_id", "event_type",
-                       F.round("value", 2).alias("value"))
+    # raw doubles pass through untouched on both sides — bit-identical
+    # with no rounding-mode exposure
+    return (out.select("user_id", "event_id", "event_type", "value")
             .orderBy("user_id"))
 
 
 _op("op_stream_upsert", _op_stream_upsert, """
-SELECT user_id, event_id, event_type, round(value, 2) AS value
+SELECT user_id, event_id, event_type, value
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) AS rn
