@@ -4640,6 +4640,209 @@ ORDER BY t.vec_id
 """)
 
 
+_HYBRID_QUERIES = [(0, "spark shuffle join"), (1, "window sort batch"),
+                   (2, "stream dedup hash table")]
+
+
+def _op_rrf_hybrid(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion
+    (operators/retrieval.py:rrf_fuse): BM25 lexical ranking over documents
+    fused with exact dense-cosine ranking over the aligned embeddings
+    (vec_id == doc_id in the testdata) — the standard two-tower hybrid
+    search combiner, calibration-free because it uses only ranks. Both
+    input rankings are |queries| x k tables; the fusion is one union +
+    one keyed decimal sum + one rank window."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from framequery_spark.operators.similarity import cosine_topk
+
+    scope = _scope(spark, sf_dir)
+    qdf = spark.createDataFrame(_HYBRID_QUERIES,
+                                "query_id long, query string")
+    sparse = bm25_topk(scope["documents"], qdf, k=10)
+    emb = scope["embeddings"]
+    dense = (cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+             .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                     "rank"))
+    return (rrf_fuse([sparse, dense], k=60, topk=5)
+            .orderBy("query_id", "rank"))
+
+
+def _rrf_hybrid_oracle(k_rrf=60, k_in=10, topk=5) -> str:
+    """BM25 chain (the op_bm25_topk derivation, query ids 0-2) + exact
+    dense-cosine chain (vec_id < 3), fused with
+    sum(1/(k+rank)) in DECIMAL(28,12) — the whole hybrid pipeline
+    restated declaratively so the fusion's QUALITY is hash-verified."""
+    vals = ", ".join(f"({qid}, '{q}')" for qid, q in _HYBRID_QUERIES)
+    return f"""
+WITH q(query_id, query) AS (VALUES {vals}),
+terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> ''
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM terms WHERE term <> ''
+       GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM terms WHERE term <> '') * 1.0
+                 / (SELECT count(*) FROM documents) AS avgdl),
+qt AS (SELECT DISTINCT query_id,
+              unnest(regexp_split_to_array(trim(lower(query)), '\\s+')) AS term
+       FROM q),
+dft AS (SELECT term, count(*) AS df_t FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+cand AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(ln(1.0 + (s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+              AS DECIMAL(28,12)) AS c
+  FROM qt JOIN dft USING (term) JOIN tf USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+bscored AS (
+  SELECT query_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+  FROM cand GROUP BY query_id, doc_id),
+sparse AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM bscored QUALIFY rank <= {k_in}),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dpairs AS (
+  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+         round(list_cosine_similarity(qv.v, c.v), 6) AS cosine
+  FROM base qv JOIN base c ON qv.vec_id <> c.vec_id
+  WHERE qv.vec_id < 3),
+dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rank
+  FROM dpairs QUALIFY rank <= {k_in}),
+u AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+fused AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(CAST(1.0 / ({k_rrf} + rank) AS DECIMAL(28,12)))
+                    AS DOUBLE), 6) AS rrf_score,
+         count(*) AS n_lists
+  FROM u GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_score, n_lists, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, n_lists DESC,
+                                        doc_id) AS rank
+  FROM fused) t
+WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+_op("op_rrf_hybrid", _op_rrf_hybrid, _rrf_hybrid_oracle())
+
+
+def _op_ndcg(spark, sf_dir):
+    """nDCG@5 of the seeded LSH-ANN ranking against graded relevance
+    derived from the exact cosine top-10 (rel 3 for exact ranks 1-2, 2
+    for 3-5, 1 for 6-10) — the GRADED companion of op_ann_recall
+    (operators/retrieval.py:ndcg_at_k): recall counts hits, nDCG rewards
+    putting the most-relevant neighbors first. Both eval inputs are
+    |queries| x k tables; the eval is one equi join + two keyed decimal
+    sums."""
+    from pyspark.sql import functions as F
+
+    from framequery_spark.operators.retrieval import ndcg_at_k
+    from framequery_spark.operators.similarity import (cosine_topk,
+                                                       lsh_ann_topk)
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = lsh_ann_topk(emb, q, k=5, n_bits=8, n_tables=4)
+    exact = cosine_topk(emb, q, k=10)
+    qrels = exact.select(
+        "query_id", "neighbor_id",
+        F.when(F.col("rank") <= 2, F.lit(3))
+        .when(F.col("rank") <= 5, F.lit(2))
+        .otherwise(F.lit(1)).alias("rel"))
+    return ndcg_at_k(approx, qrels, k=5).orderBy("query_id")
+
+
+def _ndcg_oracle(k=5, pool=10, n_bits=8, n_tables=4, dim=64, seed=42) -> str:
+    """The seeded-ANN derivation (op_ann_topk's oracle) + the exact-cosine
+    pool graded 3/2/1, reduced to per-query nDCG@k with the same
+    ln-based discount and DECIMAL(28,12) gain sums as the engine."""
+    from framequery_spark.operators.similarity import _hyperplanes
+
+    buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + 97 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane!r}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes))
+        buckets.append(f"({bits})")
+    gain = ("CAST((pow(2.0, CAST({rel} AS DOUBLE)) - 1.0)"
+            " / (ln({pos} + 1.0) / ln(2.0)) AS DECIMAL(28,12))")
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v, [{', '.join(buckets)}] AS bks FROM base),
+apairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+    AND len(list_filter(range(1, {n_tables} + 1),
+                        i -> q.bks[i] = c.bks[i])) > 0),
+ann AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM apairs) t WHERE r <= {k}),
+epairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+  FROM base q JOIN base c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10),
+qrels AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN r <= 2 THEN 3 WHEN r <= {k} THEN 2 ELSE 1 END AS rel
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS r
+    FROM epairs) t WHERE r <= {pool}),
+dcg AS (
+  SELECT a.query_id,
+         sum({gain.format(rel='coalesce(qr.rel, 0)', pos='a.r')}) AS dcg
+  FROM ann a LEFT JOIN qrels qr
+       ON a.query_id = qr.query_id AND a.neighbor_id = qr.neighbor_id
+  GROUP BY a.query_id),
+ideal AS (
+  SELECT query_id, sum({gain.format(rel='rel', pos='p')}) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS p
+    FROM qrels WHERE rel > 0) t
+  WHERE p <= {k} GROUP BY query_id)
+SELECT qs.query_id,
+       round(CAST(coalesce(dcg, 0) AS DOUBLE), 6) AS dcg,
+       round(CAST(coalesce(idcg, 0) AS DOUBLE), 6) AS idcg,
+       round(CASE WHEN coalesce(idcg, 0) > 0
+                  THEN CAST(coalesce(dcg, 0) AS DOUBLE)
+                       / CAST(idcg AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ndcg
+FROM (SELECT DISTINCT query_id FROM qrels) qs
+LEFT JOIN dcg USING (query_id)
+LEFT JOIN ideal USING (query_id)
+ORDER BY qs.query_id
+"""
+
+
+_op("op_ndcg", _op_ndcg, _ndcg_oracle())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")

@@ -661,8 +661,11 @@ class Parser:
             # list, not each item)
             is_rec = recursive and isinstance(query, ast.SetOp) \
                 and query.op in ("union", "union all")
-            if not is_rec and not isinstance(query, ast.Select):
-                raise self.error("set operations in CTE bodies must be parenthesized selects")
+            # non-recursive CTE bodies may be any query expression (pg
+            # allows WITH r AS (SELECT .. UNION ALL SELECT ..)); only
+            # reject nodes the CTE compiler cannot evaluate
+            if not is_rec and not isinstance(query, (ast.Select, ast.SetOp)):
+                raise self.error("CTE body must be a SELECT or a set operation")
             search = None
             if self.is_kw("search"):
                 # pg 14: SEARCH BREADTH|DEPTH FIRST BY cols SET col

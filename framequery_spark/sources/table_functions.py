@@ -718,6 +718,25 @@ def _register_operator_tfs() -> dict:
         return similarity.retrieval_recall(_op_table(qc, a[0]),
                                            _op_table(qc, a[1]), int(a[2]))
 
+    def rrf_fuse(qc, a):
+        # rrf_fuse('ranking1', 'ranking2'[, ...][, k[, topk]]) — trailing
+        # numeric literals are knobs; every leading string is a ranking
+        from ..operators import retrieval
+        tables = [x for x in a if isinstance(x, str)]
+        nums = [x for x in a if not isinstance(x, str)]
+        kw = {}
+        if len(nums) > 0:
+            kw["k"] = int(nums[0])
+        if len(nums) > 1:
+            kw["topk"] = int(nums[1])
+        return retrieval.rrf_fuse([_op_table(qc, t) for t in tables], **kw)
+
+    def ndcg_at_k(qc, a):
+        # ndcg_at_k('results', 'qrels', k)
+        from ..operators import retrieval
+        return retrieval.ndcg_at_k(_op_table(qc, a[0]),
+                                   _op_table(qc, a[1]), int(a[2]))
+
     def mmr_rerank(qc, a):
         # mmr_rerank('embeddings', 'queries'[, k[, pool[, lambda]]])
         kw = {}
@@ -747,7 +766,8 @@ def _register_operator_tfs() -> dict:
         stratified_split, rfm_segments, ks_drift, changepoint,
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
         mmr_rerank, auc_score, confusion_stats, calibration_bins,
-        snapshot_diff, retrieval_recall, event_transitions,
+        snapshot_diff, retrieval_recall, rrf_fuse, ndcg_at_k,
+        event_transitions,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

@@ -599,6 +599,22 @@ def test_plain_cte_column_alias_list(spark, scope):
     assert rows(run(q, scope, spark)) == [(3,), (4,)]
 
 
+def test_plain_cte_set_op_body(spark, scope):
+    # pg allows any query expression as a non-recursive CTE body
+    q = ("with r as (select 1 as a union all select 2 as a) "
+         "select * from r order by a")
+    assert rows(run(q, scope, spark)) == [(1,), (2,)]
+    q = ("with r as ((select 1 as a) union (select 1 as a)) "
+         "select count(*) as n from r")
+    assert rows(run(q, scope, spark)) == [(1,)]
+    q = ("with r (x) as (select 2 intersect select 2) "
+         "select max(x) as m from r")
+    assert rows(run(q, scope, spark)) == [(2,)]
+    q = ("with r as (select a from test except select 3 as a) "
+         "select count(*) as n from r")
+    assert rows(run(q, scope, spark)) == [(3,)]
+
+
 # --------------------------------------------------------------------------
 # quantified comparisons: op ANY/SOME/ALL (subquery)
 

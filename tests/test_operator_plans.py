@@ -703,3 +703,31 @@ def test_oov_vocab_join_is_broadcast(docs):
     # the vocab side is bounded (top-k) and must broadcast — a shuffled
     # join would move the exploded token stream twice
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rrf_fuse_no_corpus_sized_joins(spark):
+    from framequery_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10, 1)],
+                              "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame([(1, 11, 1)],
+                              "query_id long, doc_id long, rank int")
+    plan = formatted_plan(rrf_fuse([a, b], topk=3))
+    # rank fusion = union + keyed sum + per-query window: no join at all,
+    # and the decimal sum gets a map-side partial
+    assert "Join" not in plan, plan
+    assert "Union" in plan, plan
+    assert "partial_sum" in plan or "partial sum" in plan.lower(), plan
+
+
+def test_ndcg_joins_are_query_keyed_not_nested(spark):
+    from framequery_spark.operators.retrieval import ndcg_at_k
+
+    res = spark.createDataFrame([(1, 10, 1)],
+                                "query_id long, neighbor_id long, rank int")
+    qr = spark.createDataFrame([(1, 10, 3)],
+                               "query_id long, neighbor_id long, rel int")
+    plan = formatted_plan(ndcg_at_k(res, qr, k=5))
+    # eval tables are queries x k: equi joins only, never a cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

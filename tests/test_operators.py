@@ -3084,3 +3084,101 @@ def test_stream_upsert_latest_equals_batch_argmax(spark, tmp_path):
     assert got == exp
     # one row per key
     assert len({u for u, _ in got}) == len(got)
+
+
+def test_rrf_fuse_known_values(spark):
+    from framequery_spark.operators.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int")
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 99, 3)],
+        "query_id long, doc_id long, rank int")
+    got = {r.doc_id: (r.rrf_score, r.n_lists, r.rank)
+           for r in rrf_fuse([sparse, dense], k=60, topk=10).collect()}
+    # both-list docs beat single-list docs; 10 and 11 tie exactly
+    # (1/61 + 1/62 both ways) -> doc_id ascending breaks the tie
+    s_both = round(1 / 61 + 1 / 62, 6)
+    assert got[10] == (s_both, 2, 1)
+    assert got[11] == (s_both, 2, 2)
+    assert got[12] == (round(1 / 63, 6), 1, 3)
+    assert got[99] == (round(1 / 63, 6), 1, 4)
+
+
+def test_rrf_fuse_topk_cut_and_partition_invariance(spark):
+    from framequery_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, d, d) for d in range(1, 9)],
+                              "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame([(1, d + 4, d) for d in range(1, 9)],
+                              "query_id long, doc_id long, rank int")
+    out = rrf_fuse([a, b], k=60, topk=3).collect()
+    assert len(out) == 3 and [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    again = rrf_fuse([a.repartition(7), b.repartition(3)], k=60, topk=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_rrf_fuse_validation(spark):
+    from framequery_spark.operators.retrieval import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1, 1)],
+                               "query_id long, doc_id long, rank int")
+    with pytest.raises(ValueError, match="at least two"):
+        rrf_fuse([df])
+    with pytest.raises(ValueError, match="k and topk"):
+        rrf_fuse([df, df], k=0)
+
+
+def _py_ndcg(results, qrels, k):
+    """Independent float mirror: results = {q: [doc by rank]},
+    qrels = {(q, doc): rel}."""
+    out = {}
+    qs = {q for q, _ in qrels}
+    for q in qs:
+        dcg = sum((2 ** qrels.get((q, d), 0) - 1) / (math.log(p + 2) / math.log(2))
+                  for p, d in enumerate(results.get(q, [])[:k]))
+        rels = sorted((r for (qq, _), r in qrels.items() if qq == q and r > 0),
+                      reverse=True)[:k]
+        idcg = sum((2 ** r - 1) / (math.log(p + 2) / math.log(2))
+                   for p, r in enumerate(rels))
+        out[q] = (dcg, idcg, dcg / idcg if idcg > 0 else 0.0)
+    return out
+
+
+def test_ndcg_known_values_match_python(spark):
+    from framequery_spark.operators.retrieval import ndcg_at_k
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank int")
+    qrels = spark.createDataFrame(
+        [(1, 11, 3), (1, 12, 1), (1, 13, 2),   # 10 unjudged, 13 missed
+         (2, 99, 2),                            # query 2 finds nothing
+         (3, 30, 1)],                           # query 3 has no results
+        "query_id long, neighbor_id long, rel int")
+    got = {r.query_id: (r.dcg, r.idcg, r.ndcg)
+           for r in ndcg_at_k(results, qrels, k=3).collect()}
+    exp = _py_ndcg({1: [10, 11, 12], 2: [20, 21]},
+                   {(1, 11): 3, (1, 12): 1, (1, 13): 2,
+                    (2, 99): 2, (3, 30): 1}, k=3)
+    assert set(got) == {1, 2, 3}
+    for q in got:
+        for a, b in zip(got[q], exp[q]):
+            assert a == pytest.approx(b, abs=2e-6), q
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(results, qrels, k=0)
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from framequery_spark.operators.retrieval import ndcg_at_k
+
+    qrels = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 2), (1, 12, 1)],
+        "query_id long, neighbor_id long, rel int")
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int")
+    r = ndcg_at_k(results, qrels, k=3).collect()[0]
+    assert r.ndcg == 1.0 and r.dcg == r.idcg > 0

@@ -394,3 +394,24 @@ def test_quality_scores_in_sql(spark, tpch_scope):
     probs = {r.doc_id: r.prob for r in out}
     assert len(probs) == 4
     assert min(probs[1], probs[2]) > max(probs[3], probs[4])
+
+
+def test_rrf_and_ndcg_in_sql(spark, tpch_scope):
+    import pandas as pd
+
+    scope = dict(tpch_scope)
+    scope["r1"] = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1, 1, 1], "doc_id": [10, 11, 12], "rank": [1, 2, 3]}))
+    scope["r2"] = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1, 1, 1], "doc_id": [11, 10, 99], "rank": [1, 2, 3]}))
+    q = ("select doc_id, n_lists from rrf_fuse('r1', 'r2', 60, 2) "
+         "order by rank")
+    out = fq.execute(q, scope, spark=spark).collect()
+    assert [(r.doc_id, r.n_lists) for r in out] == [(10, 2), (11, 2)]
+
+    scope["res"] = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1, 1], "neighbor_id": [10, 11], "rank": [1, 2]}))
+    scope["rels"] = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1, 1], "neighbor_id": [10, 11], "rel": [3, 1]}))
+    q = "select ndcg from ndcg_at_k('res', 'rels', 2)"
+    assert fq.execute(q, scope, spark=spark).collect()[0]["ndcg"] == 1.0
