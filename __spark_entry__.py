@@ -4843,6 +4843,87 @@ ORDER BY qs.query_id
 _op("op_ndcg", _op_ndcg, _ndcg_oracle())
 
 
+def _op_winnow_pairs(spark, sf_dir):
+    """MOSS winnowing near-dup candidates
+    (operators/dedup.py:winnow_pairs): word 3-gram md5 hashes, window-4
+    minimum selection (rightmost tie), pairs sharing >= 3 surviving
+    fingerprints after a doc-freq-20 boilerplate cap. Fingerprinting is
+    row-local JVM HOFs; pairing is an equi join on the 16-hex-char hash —
+    never all-pairs. md5 (not xxhash64) keys precisely so the oracle can
+    restate the SAME hash selection."""
+    from framequery_spark.operators.dedup import winnow_pairs
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return (winnow_pairs(docs, k=3, window=4, min_shared=3,
+                         max_doc_freq=20)
+            .orderBy("id1", "id2"))
+
+
+_op("op_winnow_pairs", _op_winnow_pairs, r"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(0, greatest(len(ws)-2, 0)),
+          i -> substr(md5(array_to_string(list_slice(ws, i+1, i+3), ' ')),
+                      1, 16)) AS hs
+      FROM d),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CASE WHEN len(hs) = 0 THEN 0
+                           ELSE greatest(len(hs) - 3, 1) END),
+             s -> list_aggregate(list_slice(hs, s+1, least(s+4, len(hs))),
+                                 'min'))) AS fp
+    FROM g) t),
+freq AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 20),
+kept AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM freq))
+SELECT id1, id2, n_shared FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2) t
+WHERE n_shared >= 3
+ORDER BY id1, id2
+""")
+
+
+def _op_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (operators/dedup.py:
+    containment_pairs): |S1 ∩ S2| / min(|S1|, |S2|) over word 3-gram
+    sets — catches a document EMBEDDED in a larger one, where Jaccard
+    dilutes toward |A|/|B|. Same blocked shingle equi self-join shape as
+    op_jaccard_pairs; sizes returned so callers see which side is
+    contained."""
+    from framequery_spark.operators.dedup import containment_pairs
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return (containment_pairs(docs, k=3, threshold=0.8)
+            .orderBy("id1", "id2"))
+
+
+_op("op_containment", _op_containment, r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2, c1.n AS n1, c2.n AS n2,
+       round(common * 1.0 / least(c1.n, c2.n), 4) AS containment
+FROM pairs JOIN cnt c1 ON pairs.id1 = c1.doc_id
+           JOIN cnt c2 ON pairs.id2 = c2.doc_id
+WHERE common * 1.0 / least(c1.n, c2.n) >= 0.8
+ORDER BY id1, id2
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")

@@ -114,7 +114,9 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str,
 
 def _blocked_set_jaccard_pairs(sh: DataFrame, threshold: float,
                                max_doc_freq: Optional[int],
-                               out_col: str, digits: int) -> DataFrame:
+                               out_col: str, digits: int,
+                               denom: str = "union",
+                               keep_sizes: bool = False) -> DataFrame:
     """The blocked set-Jaccard join shared by jaccard_pairs (word
     shingles) and trgm_pairs (pg_trgm character trigrams): `sh` is the
     exploded (__id, __g) frame of each row's DISTINCT gram hashes.
@@ -157,12 +159,19 @@ def _blocked_set_jaccard_pairs(sh: DataFrame, threshold: float,
               .agg(F.count(F.lit(1)).alias("__common")))
     c1 = counts.toDF("id1", "__n1")
     c2 = counts.toDF("id2", "__n2")
+    if denom == "union":
+        d = F.col("__n1") + F.col("__n2") - F.col("__common")
+    elif denom == "min":  # containment: catches A embedded in a larger B
+        d = F.least(F.col("__n1"), F.col("__n2"))
+    else:
+        raise ValueError(f"unknown denominator: {denom!r}")
     sim = (common.join(c1, "id1").join(c2, "id2")
-           .withColumn(out_col,
-                       F.col("__common").cast("double")
-                       / (F.col("__n1") + F.col("__n2") - F.col("__common"))))
+           .withColumn(out_col, F.col("__common").cast("double") / d))
+    out_cols = ["id1", "id2"]
+    if keep_sizes:
+        out_cols += [F.col("__n1").alias("n1"), F.col("__n2").alias("n2")]
     return (sim.filter(F.col(out_col) >= threshold)
-            .select("id1", "id2", F.round(out_col, digits).alias(out_col)))
+            .select(*out_cols, F.round(out_col, digits).alias(out_col)))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -183,6 +192,33 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
           .select("__id", F.xxhash64("__shingle").alias("__g")))
     return _blocked_set_jaccard_pairs(sh, threshold, max_doc_freq,
                                       out_col="jaccard", digits=4)
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      threshold: float = 0.8,
+                      max_doc_freq: Optional[int] = None) -> DataFrame:
+    """All pairs (id1 < id2) with word-k-gram set CONTAINMENT >= threshold:
+
+        containment = |S1 ∩ S2| / min(|S1|, |S2|)
+
+    — the asymmetric near-dup measure (Broder 1997's containment, the
+    min-denominator symmetrization) that catches a document EMBEDDED in a
+    much larger one: Jaccard dilutes toward 0 as the size gap grows
+    (|A∩B|/|A∪B| <= |A|/|B|), so quote-expansions, page-in-site and
+    subset-concatenation dups are invisible to jaccard_pairs at any
+    usable threshold. Returns (id1, id2, n1, n2, containment) with the
+    distinct-shingle set sizes so callers can tell WHICH side is the
+    contained one (the smaller set).
+
+    Same blocked shape and `max_doc_freq` skew cap as jaccard_pairs —
+    candidates come from the shingle equi self-join, never all-pairs.
+    """
+    sh = (_shingle_table(df, id_col, text_col, k)
+          .select("__id", F.xxhash64("__shingle").alias("__g")))
+    return _blocked_set_jaccard_pairs(sh, threshold, max_doc_freq,
+                                      out_col="containment", digits=4,
+                                      denom="min", keep_sizes=True)
 
 
 def trgm_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -796,3 +832,112 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size("__toks") - F.size(kept)).cast("long")
         .alias("n_removed_tokens"))
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every word k-gram, slide a window of
+    `window` consecutive hashes, and select each window's MINIMUM hash
+    (rightmost position on ties, the robust-winnowing preference); the
+    distinct selected (position, hash) pairs are the document's
+    fingerprints. Guarantees a shared fingerprint for any common substring
+    of at least window + k - 1 words while storing only ~2/(window+1) of
+    the gram hashes — position-robust local sampling, unlike MinHash
+    (whole-document) or simhash (global bit vector).
+
+    Deviation for utility: a document with 1..window-1 grams still gets
+    one fingerprint (the minimum over all its grams); strict winnowing
+    would emit nothing for such short documents.
+
+    Returns (id_col, pos, fp): pos is the 0-based word position where the
+    selected k-gram starts; fp is the first 16 hex chars of md5(gram) —
+    lexicographic order on the fixed-width lowercase hex equals numeric
+    order, and md5 is restatable in the DuckDB oracle (xxhash64 is not).
+
+    Scale shape: everything is ROW-LOCAL JVM higher-order functions over
+    the token array (O(grams x window) comparisons per row, no UDF, no
+    shuffle); the output explodes to ~2n/(window+1) rows per n-gram doc.
+    """
+    if k < 1:
+        raise ValueError("winnow_fingerprints: k must be >= 1")
+    if window < 1:
+        raise ValueError("winnow_fingerprints: window must be >= 1")
+    w = window
+
+    def fps_of(ws: Column) -> Column:
+        def wins_of(grams: Column) -> Column:
+            n_g = F.size(grams)
+            # window starts (1-based): standard sliding windows, plus the
+            # single clamped window for docs with 1..w-1 grams
+            starts = F.when(n_g >= w, F.sequence(F.lit(1), n_g - (w - 1))) \
+                      .when(n_g >= 1, F.array(F.lit(1))) \
+                      .otherwise(F.array().cast("array<int>"))
+
+            def select_in(s: Column) -> Column:
+                win = F.slice(grams, s, w)
+                mn = F.array_min(win)
+                last = F.least(s + F.lit(w - 1), n_g)
+                pos = F.array_max(F.filter(
+                    F.sequence(s, last),
+                    lambda p: F.element_at(grams, p) == mn))
+                return F.struct((pos - 1).alias("pos"), mn.alias("fp"))
+
+            return F.array_distinct(F.transform(starts, select_in))
+
+        # let-bind the hashed gram array: the md5/concat subtree must
+        # evaluate once per row, not once per window element
+        return _let(F.transform(
+            _grams(ws, k), lambda g: F.substring(F.md5(g), 1, 16)), wins_of)
+
+    out = _spread(df).select(
+        F.col(id_col),
+        F.explode(_let(F.split(F.trim(F.col(text_col)), r"\s+"), fps_of))
+        .alias("__sel"))
+    return out.select(id_col, F.col("__sel.pos").alias("pos"),
+                      F.col("__sel.fp").alias("fp"))
+
+
+def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3, window: int = 4,
+                 min_shared: int = 2,
+                 max_doc_freq: Optional[int] = None) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints: all
+    (id1 < id2) sharing >= min_shared distinct fingerprint hashes, with
+    the shared count — the MOSS match-detection step as one equi join.
+
+    `max_doc_freq` drops fingerprints present in more than that many
+    documents before the self-join (same boilerplate/skew cap as
+    jaccard_pairs: a fingerprint shared by m docs contributes m^2
+    candidate rows, and ubiquitous boilerplate grams carry no near-dup
+    signal).
+
+    Scale shape: fingerprinting is row-local (winnow_fingerprints); the
+    pair generation is a self equi join on the 16-hex-char hash — never
+    all-pairs — followed by one pair-keyed count.
+    """
+    if min_shared < 1:
+        raise ValueError("winnow_pairs: min_shared must be >= 1")
+    fps = (winnow_fingerprints(df, id_col, text_col, k, window)
+           .select(F.col(id_col).alias("__id"), "fp").distinct())
+    from .cache import persist_tracked
+
+    fps = persist_tracked(fps)
+    if max_doc_freq is not None:
+        frequent = (fps.groupBy("fp")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") > max_doc_freq))
+        fps = fps.join(F.broadcast(frequent.select("fp")), "fp",
+                       "left_anti").select("__id", "fp")
+    a = fps.toDF("id1", "fp")
+    b = fps.toDF("id2", "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

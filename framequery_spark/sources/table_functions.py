@@ -718,6 +718,30 @@ def _register_operator_tfs() -> dict:
         return similarity.retrieval_recall(_op_table(qc, a[0]),
                                            _op_table(qc, a[1]), int(a[2]))
 
+    def winnow_pairs(qc, a):
+        # winnow_pairs('documents'[, k[, window[, min_shared[, cap]]]])
+        kw = {}
+        if len(a) > 1:
+            kw["k"] = int(a[1])
+        if len(a) > 2:
+            kw["window"] = int(a[2])
+        if len(a) > 3:
+            kw["min_shared"] = int(a[3])
+        if len(a) > 4:
+            kw["max_doc_freq"] = int(a[4])
+        return dedup.winnow_pairs(_op_table(qc, a[0]), **kw)
+
+    def containment_pairs(qc, a):
+        # containment_pairs('documents'[, threshold[, k[, cap]]])
+        kw = {}
+        if len(a) > 1:
+            kw["threshold"] = float(a[1])
+        if len(a) > 2:
+            kw["k"] = int(a[2])
+        if len(a) > 3:
+            kw["max_doc_freq"] = int(a[3])
+        return dedup.containment_pairs(_op_table(qc, a[0]), **kw)
+
     def rrf_fuse(qc, a):
         # rrf_fuse('ranking1', 'ranking2'[, ...][, k[, topk]]) — trailing
         # numeric literals are knobs; every leading string is a ranking
@@ -767,7 +791,7 @@ def _register_operator_tfs() -> dict:
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
         mmr_rerank, auc_score, confusion_stats, calibration_bins,
         snapshot_diff, retrieval_recall, rrf_fuse, ndcg_at_k,
-        event_transitions,
+        winnow_pairs, containment_pairs, event_transitions,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

@@ -731,3 +731,31 @@ def test_ndcg_joins_are_query_keyed_not_nested(spark):
     # eval tables are queries x k: equi joins only, never a cartesian
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_fingerprints_row_local_no_udf(docs):
+    from framequery_spark.operators.dedup import winnow_fingerprints
+
+    plan = formatted_plan(winnow_fingerprints(docs))
+    # fingerprint selection is pure JVM HOF work: no Python, no exchange
+    # (the only allowed exchange is the _spread round-robin repartition)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan, plan  # the explode
+
+
+def test_winnow_pairs_equi_join_never_cartesian(docs):
+    from framequery_spark.operators.dedup import winnow_pairs
+
+    plan = formatted_plan(winnow_pairs(docs, max_doc_freq=20))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the boilerplate cap broadcasts the FREQUENT side
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_containment_pairs_blocked_join_shape(docs):
+    from framequery_spark.operators.dedup import containment_pairs
+
+    plan = formatted_plan(containment_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

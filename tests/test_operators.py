@@ -3182,3 +3182,99 @@ def test_ndcg_perfect_ranking_is_one(spark):
         "query_id long, neighbor_id long, rank int")
     r = ndcg_at_k(results, qrels, k=3).collect()[0]
     assert r.ndcg == 1.0 and r.dcg == r.idcg > 0
+
+
+def _py_winnow(text, k=3, w=4):
+    ws = text.strip().split()
+    grams = [" ".join(ws[i:i + k]) for i in range(max(len(ws) - k + 1, 0))]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    n = len(hs)
+    if n == 0:
+        return set()
+    sel = set()
+    for s in range(0, max(n - w + 1, 1)):
+        mn = min(hs[s:s + w])
+        pos = max(p for p in range(s, min(s + w, n)) if hs[p] == mn)
+        sel.add((pos, mn))
+    return sel
+
+
+def test_winnow_fingerprints_match_python(spark, docs):
+    got = {}
+    for r in DD.winnow_fingerprints(docs.filter(F.col("doc_id") < 60)).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for r in docs.filter(F.col("doc_id") < 60).collect():
+        assert got.get(r.doc_id, set()) == _py_winnow(r.text), r.doc_id
+
+
+def test_winnow_degenerate_docs(spark):
+    deg = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two three"), (4, "a b c d e f")],
+        "doc_id long, text string")
+    got = {}
+    for r in DD.winnow_fingerprints(deg).collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.fp))
+    # no grams -> no fingerprints; 1..window-1 grams -> exactly one
+    assert 1 not in got and 2 not in got
+    assert len(got[3]) == 1 and len(got[4]) == 1
+    with pytest.raises(ValueError, match="window must be"):
+        DD.winnow_fingerprints(deg, window=0)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # MOSS guarantee: a common substring of >= window + k - 1 words (here
+    # 4 + 3 - 1 = 6) always yields a shared fingerprint hash
+    common = "quick brown fox jumps over the"
+    df = spark.createDataFrame(
+        [(1, f"aa bb cc {common} dd ee"),
+         (2, f"xx yy {common} zz ww vv uu")],
+        "doc_id long, text string")
+    fp1 = {r.fp for r in DD.winnow_fingerprints(df.filter("doc_id = 1")).collect()}
+    fp2 = {r.fp for r in DD.winnow_fingerprints(df.filter("doc_id = 2")).collect()}
+    assert fp1 & fp2
+
+
+def test_winnow_pairs_doc_freq_cap(spark):
+    boiler = "this exact boilerplate footer appears on every single page"
+    rows = [(i, f"unique{i} body{i} words{i} {boiler}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = DD.winnow_pairs(df, min_shared=1).count()
+    # cap=1 removes every fingerprint selected by more than one doc — no
+    # shared fingerprints can survive, so no pairs (cap counts SELECTED
+    # fingerprints: a boilerplate gram picked by only 2 docs' windows
+    # legitimately survives a looser cap)
+    capped = DD.winnow_pairs(df, min_shared=1, max_doc_freq=1).count()
+    assert uncapped == 15 and capped == 0  # 6 choose 2, then all capped away
+    with pytest.raises(ValueError, match="min_shared"):
+        DD.winnow_pairs(df, min_shared=0)
+
+
+def test_containment_catches_embedded_doc(spark):
+    sub = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, sub),
+         (2, f"{sub} zeta eta theta iota kappa lambda mu nu xi"),
+         (3, "unrelated words entirely different content here")],
+        "doc_id long, text string")
+    cont = DD.containment_pairs(df, threshold=0.9).collect()
+    assert [(r.id1, r.id2, r.containment) for r in cont] == [(1, 2, 1.0)]
+    assert cont[0].n1 == 3 and cont[0].n2 == 12
+    # the same pair is invisible to Jaccard at any usable threshold
+    assert DD.jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_containment_matches_python(spark, docs):
+    sample = docs.filter(F.col("doc_id") < 100)
+    got = {(r.id1, r.id2): (r.n1, r.n2, r.containment)
+           for r in DD.containment_pairs(sample, threshold=0.6).collect()}
+    sh = {r.doc_id: _py_shingles(r.text) for r in sample.collect()}
+    ids = sorted(sh)
+    expect = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            inter = len(sh[d1] & sh[d2])
+            mn = min(len(sh[d1]), len(sh[d2]))
+            if mn and inter / mn >= 0.6:
+                expect[(d1, d2)] = (len(sh[d1]), len(sh[d2]),
+                                    round(inter / mn, 4))
+    assert got == expect

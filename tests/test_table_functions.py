@@ -415,3 +415,13 @@ def test_rrf_and_ndcg_in_sql(spark, tpch_scope):
         {"query_id": [1, 1], "neighbor_id": [10, 11], "rel": [3, 1]}))
     q = "select ndcg from ndcg_at_k('res', 'rels', 2)"
     assert fq.execute(q, scope, spark=spark).collect()[0]["ndcg"] == 1.0
+
+
+def test_winnow_and_containment_in_sql(spark, tpch_scope):
+    q = ("select count(*) as n from winnow_pairs('documents', 3, 4, 3, 20)")
+    n = fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"]
+    assert n > 0
+    q = ("select count(*) as n from containment_pairs('documents', 0.8) "
+         "where containment >= 0.9")
+    m = fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"]
+    assert 0 < m
