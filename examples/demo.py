@@ -361,6 +361,31 @@ def main() -> None:
             SELECT * FROM confusion_stats('scored', 'y', 's', 0.5)
         """, scope, spark=spark).show()
 
+        # --- round 9: hybrid retrieval fusion + graded eval + MOSS dedup --
+        scope["qset"] = spark.createDataFrame(
+            [(0, "spark shuffle join")], "query_id long, query string")
+        scope["qvec"] = scope["embeddings"].filter("vec_id = 0")
+        fq.execute("""
+            WITH sparse AS (SELECT * FROM bm25_topk('documents', 'qset', 10)),
+                 dense AS (SELECT query_id, neighbor_id AS doc_id, rank
+                           FROM cosine_topk('embeddings', 'qvec', 10))
+            SELECT * FROM rrf_fuse('sparse', 'dense', 60, 5) ORDER BY rank
+        """, scope, spark=spark).show()
+        fq.execute("""
+            WITH res AS (SELECT * FROM cosine_topk('embeddings', 'qvec', 5)),
+                 rels AS (SELECT query_id, neighbor_id,
+                                 CASE WHEN rank <= 2 THEN 3 ELSE 1 END AS rel
+                          FROM res)
+            SELECT * FROM ndcg_at_k('res', 'rels', 5)
+        """, scope, spark=spark).show()
+        fq.execute("""
+            SELECT w.id1, w.id2, w.n_shared, c.containment
+            FROM winnow_pairs('documents', 3, 4, 3, 20) w
+            LEFT JOIN containment_pairs('documents', 0.8) c
+              ON w.id1 = c.id1 AND w.id2 = c.id2
+            ORDER BY w.n_shared DESC LIMIT 5
+        """, scope, spark=spark).show()
+
 
 if __name__ == "__main__":
     main()
