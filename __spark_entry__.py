@@ -4843,6 +4843,101 @@ ORDER BY qs.query_id
 _op("op_ndcg", _op_ndcg, _ndcg_oracle())
 
 
+def _op_kmeans(spark, sf_dir):
+    """Distributed fixed-iteration Lloyd k-means
+    (operators/similarity.py:kmeans_fit): assignment is row-local
+    (centroid LITERALS — no join), the update is one posexplode +
+    (cluster, dim)-keyed groupBy with DECIMAL(38,12)-quantized sums, and
+    the k x dim centroid table is a bounded driver collect between
+    iterations (classifier.py's gradient pattern). Seeded injectable
+    init makes the whole recurrence engine-deterministic; the oracle
+    unrolls both iterations as a CTE chain."""
+    from framequery_spark.operators.similarity import (
+        fixed_random_centroids, kmeans_fit)
+
+    emb = _scope(spark, sf_dir)["embeddings"]
+    init = fixed_random_centroids(4, 64, seed=7)
+    return (kmeans_fit(emb, 4, iters=2, init=init)
+            .orderBy("cluster_id", "dim"))
+
+
+def _kmeans_oracle(k=4, dim=64, seed=7) -> str:
+    """kmeans_fit's 2-iteration recurrence restated declaratively: the
+    seeded init centroids inline as literals; iteration-1 assignment is
+    a literal-distance CASE argmin (round 1e-6, lowest-cluster tie);
+    means are DECIMAL(38,12) sums cast to double; iteration-2 re-derives
+    centroid lists and assigns via a 4-row cross join + row_number
+    argmin. Distances use the proven list_dot_product fold shape:
+    d = dot(v,v) - 2 dot(v,c) + dot(c,c)."""
+    from framequery_spark.operators.similarity import fixed_random_centroids
+
+    init = fixed_random_centroids(k, dim, seed)
+    dists = []
+    for c in init:
+        c2 = 0.0
+        for x in c:
+            c2 += x * x
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        dists.append(f"round(list_dot_product(v, v)"
+                     f" - 2 * list_dot_product(v, {lit})"
+                     f" + {c2!r}, 6)")
+    d_cols = ",\n         ".join(f"{d} AS d{i}" for i, d in enumerate(dists))
+    argmin = " ".join(
+        [f"WHEN {' AND '.join(f'd{i} <= d{j}' for j in range(k) if j != i)} "
+         f"THEN {i}" for i in range(k - 1)])
+    c0_vals = ", ".join(
+        f"({ci}, {d}, {init[ci][d]!r})"
+        for ci in range(k) for d in range(dim))
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d1 AS (
+  SELECT vec_id, v,
+         {d_cols}
+  FROM base),
+a1 AS (
+  SELECT vec_id, v,
+         CASE {argmin} ELSE {k - 1} END AS cl
+  FROM d1),
+c0(cl, dim, m0) AS (VALUES {c0_vals}),
+s1 AS (
+  SELECT cl, d AS dim,
+         round(CAST(sum(CAST(v[d + 1] AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 6) AS m,
+         count(*) AS n
+  FROM a1, range({dim}) t(d) GROUP BY cl, d),
+g1 AS (
+  SELECT c0.cl, c0.dim, coalesce(s1.m, c0.m0) AS m
+  FROM c0 LEFT JOIN s1 ON c0.cl = s1.cl AND c0.dim = s1.dim),
+c1 AS (SELECT cl, list(m ORDER BY dim) AS c FROM g1 GROUP BY cl),
+a2 AS (
+  SELECT vec_id, v, cl FROM (
+    SELECT b.vec_id, b.v, c1.cl,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_dot_product(b.v, b.v)
+                            - 2 * list_dot_product(b.v, c1.c)
+                            + list_dot_product(c1.c, c1.c), 6) ASC,
+                      c1.cl ASC) AS rn
+    FROM base b CROSS JOIN c1) t
+  WHERE rn = 1),
+s2 AS (
+  SELECT cl, d AS dim,
+         round(CAST(sum(CAST(v[d + 1] AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 6) AS m,
+         count(*) AS n
+  FROM a2, range({dim}) t(d) GROUP BY cl, d)
+SELECT CAST(g1.cl AS INT) AS cluster_id, CAST(g1.dim AS INT) AS dim,
+       coalesce(s2.m, g1.m) AS value,
+       CAST(coalesce(s2.n, 0) AS BIGINT) AS n_members
+FROM g1 LEFT JOIN s2 ON g1.cl = s2.cl AND g1.dim = s2.dim
+ORDER BY cluster_id, dim
+"""
+
+
+_op("op_kmeans", _op_kmeans, _kmeans_oracle())
+
+
 def _op_winnow_pairs(spark, sf_dir):
     """MOSS winnowing near-dup candidates
     (operators/dedup.py:winnow_pairs): word 3-gram md5 hashes, window-4

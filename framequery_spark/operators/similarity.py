@@ -253,6 +253,105 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
     return [[float(v) for v in row] for row in centroids]
 
 
+def kmeans_fit(corpus: DataFrame, n_clusters: int, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init: Optional[List[List[float]]] = None,
+               seed: int = 7) -> DataFrame:
+    """Fully DISTRIBUTED fixed-iteration Lloyd k-means over the whole
+    corpus — the complement of train_ivf_centroids (which trains on a
+    capped driver-side sample, the faiss recipe): use this when the
+    centroids must see ALL the data (coverage of rare modes at corpus
+    scale, or corpus-level cluster statistics as the deliverable).
+
+    Per iteration:
+      - ASSIGNMENT is row-local: the k current centroids are inlined as
+        literals, so each row evaluates k JVM fold expressions and an
+        array_min argmin — no join, no shuffle, the corpus streams once.
+        Distances are squared-L2 via dot(v,v) - 2*dot(v,c) + dot(c,c)
+        (the proven fold shape the DuckDB oracle restates with
+        list_dot_product), ROUNDED to 1e-6 with cluster-id tiebreaks so
+        the argmin is engine-deterministic.
+      - UPDATE is one posexplode + one (cluster, dim)-keyed groupBy with
+        map-side combine; per-dim sums are DECIMAL(38,12)-quantized so
+        means are order/partitioning-independent, then rounded to 1e-6
+        (quantized Lloyd — the documented determinism trade).
+      - the k x dim centroid table (<= a few thousand rows) is collected
+        to the driver between iterations — the bounded-collect pattern of
+        classifier.py's gradient step — so the next assignment pass is
+        again literal/map-side. Empty clusters keep their previous
+        centroid (same convention as train_ivf_centroids).
+
+    Returns the fitted model as (cluster_id, dim, value, n_members):
+    one row per centroid coordinate, n_members = final-iteration
+    assignment counts (0 rows carried for empty clusters).
+
+    `init` defaults to fixed_random_centroids(n_clusters, dim, seed) —
+    injectable, so a seeded run is fully deterministic and
+    cross-engine verifiable.
+    """
+    if n_clusters < 1:
+        raise ValueError("kmeans_fit: n_clusters must be >= 1")
+    if iters < 1:
+        raise ValueError("kmeans_fit: iters must be >= 1")
+    spark = corpus.sparkSession
+    if init is None:
+        dim_row = corpus.select(F.size(vec_col).alias("d")).head()
+        if dim_row is None:
+            raise ValueError("kmeans_fit: empty corpus and no init given")
+        init = fixed_random_centroids(n_clusters, dim_row["d"], seed)
+    if len(init) != n_clusters:
+        raise ValueError("kmeans_fit: len(init) != n_clusters")
+    cents = [[float(x) for x in c] for c in init]
+    dim = len(cents[0])
+    from .dedup import _spread
+
+    base = _spread(corpus).select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("__v"))
+    vv = F.aggregate(F.zip_with("__v", "__v", lambda x, y: x * y),
+                     F.lit(0.0), lambda a, x: a + x)
+
+    members: dict[int, int] = {}
+    for _ in range(iters):
+        choices = []
+        for ci, c in enumerate(cents):
+            c2 = 0.0
+            for x in c:          # sequential fold — matches the SQL
+                c2 += x * x      # list_dot_product(c, c) evaluation order
+            vc = F.aggregate(
+                F.zip_with("__v", F.array(*[F.lit(x) for x in c]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x)
+            d = F.round(vv - 2.0 * vc + F.lit(c2), 6)
+            choices.append(F.struct(d.alias("d"),
+                                    F.lit(ci).alias("c")))
+        assigned = base.select(
+            "__id", "__v",
+            F.array_min(F.array(*choices))["c"].alias("__cl"))
+        upd = (assigned
+               .select("__cl", F.posexplode("__v").alias("__dim", "__x"))
+               .groupBy("__cl", "__dim")
+               .agg(F.sum(F.col("__x").cast("decimal(38,12)")).alias("__s"),
+                    F.count(F.lit(1)).alias("__n"))
+               .select("__cl", "__dim",
+                       F.round(F.col("__s").cast("double")
+                               / F.col("__n"), 6).alias("__m"),
+                       "__n"))
+        rows = upd.collect()  # bounded: <= n_clusters x dim rows
+        members = {}
+        new_cents = [list(c) for c in cents]  # empty clusters carry over
+        for r in rows:
+            new_cents[r["__cl"]][r["__dim"]] = r["__m"]
+            members[r["__cl"]] = r["__n"]
+        cents = new_cents
+
+    out = [(ci, d, cents[ci][d], members.get(ci, 0))
+           for ci in range(n_clusters) for d in range(dim)]
+    return spark.createDataFrame(
+        out, "cluster_id int, dim int, value double, n_members bigint")
+
+
 def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    label_col: str = "label") -> DataFrame:

@@ -718,6 +718,16 @@ def _register_operator_tfs() -> dict:
         return similarity.retrieval_recall(_op_table(qc, a[0]),
                                            _op_table(qc, a[1]), int(a[2]))
 
+    def kmeans_fit(qc, a):
+        # kmeans_fit('embeddings'[, n_clusters[, iters[, seed]]])
+        kw = {}
+        if len(a) > 2:
+            kw["iters"] = int(a[2])
+        if len(a) > 3:
+            kw["seed"] = int(a[3])
+        n = int(a[1]) if len(a) > 1 else 8
+        return similarity.kmeans_fit(_op_table(qc, a[0]), n, **kw)
+
     def winnow_pairs(qc, a):
         # winnow_pairs('documents'[, k[, window[, min_shared[, cap]]]])
         kw = {}
@@ -791,7 +801,7 @@ def _register_operator_tfs() -> dict:
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
         mmr_rerank, auc_score, confusion_stats, calibration_bins,
         snapshot_diff, retrieval_recall, rrf_fuse, ndcg_at_k,
-        winnow_pairs, containment_pairs, event_transitions,
+        winnow_pairs, containment_pairs, kmeans_fit, event_transitions,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

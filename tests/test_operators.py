@@ -3278,3 +3278,87 @@ def test_containment_matches_python(spark, docs):
                 expect[(d1, d2)] = (len(sh[d1]), len(sh[d2]),
                                     round(inter / mn, 4))
     assert got == expect
+
+
+def _py_kmeans(vecs, init, iters):
+    from decimal import Decimal
+
+    cents = [list(map(float, c)) for c in init]
+    members = {}
+    for _ in range(iters):
+        assign = []
+        for row in vecs:
+            best = None
+            for ci, c in enumerate(cents):
+                c2 = 0.0
+                for x in c:
+                    c2 += x * x
+                vv = 0.0
+                for a in row:
+                    vv += a * a
+                vc = 0.0
+                for a, b in zip(row, c):
+                    vc += a * b
+                d = round(vv - 2 * vc + c2, 6)
+                if best is None or (d, ci) < best:
+                    best = (d, ci)
+            assign.append(best[1])
+        new = [list(c) for c in cents]
+        members = {}
+        for ci in range(len(cents)):
+            rows = [vecs[i] for i, a in enumerate(assign) if a == ci]
+            if rows:
+                members[ci] = len(rows)
+                for d in range(len(cents[0])):
+                    s = sum((Decimal(str(float(r[d])))
+                             .quantize(Decimal("1." + "0" * 12))
+                             for r in rows), Decimal(0))
+                    new[ci][d] = round(float(s) / len(rows), 6)
+        cents = new
+    return cents, members
+
+
+def test_kmeans_fit_matches_python(spark, emb):
+    from framequery_spark.operators.similarity import (
+        fixed_random_centroids, kmeans_fit)
+
+    init = fixed_random_centroids(3, 64, seed=7)
+    got = {(r.cluster_id, r.dim): (r.value, r.n_members)
+           for r in kmeans_fit(emb, 3, iters=2, init=init).collect()}
+    vecs = [[float(x) for x in r.embedding]
+            for r in emb.orderBy("vec_id").collect()]
+    cents, members = _py_kmeans(vecs, init, iters=2)
+    assert len(got) == 3 * 64
+    for (ci, d), (v, n) in got.items():
+        assert v == pytest.approx(cents[ci][d], abs=2e-6), (ci, d)
+        assert n == members.get(ci, 0), ci
+
+
+def test_kmeans_fit_empty_cluster_carries_init(spark):
+    from framequery_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [10.0, 10.0])],
+        "vec_id long, embedding array<double>")
+    init = [[0.0, 0.0], [10.0, 10.0], [99.0, 99.0]]
+    rows = kmeans_fit(df, 3, iters=2, init=init).collect()
+    by = {(r.cluster_id, r.dim): r for r in rows}
+    assert by[(2, 0)].value == 99.0 and by[(2, 0)].n_members == 0
+    assert by[(0, 0)].value == pytest.approx(0.05) and by[(0, 0)].n_members == 2
+    assert by[(1, 0)].value == 10.0 and by[(1, 0)].n_members == 1
+
+
+def test_kmeans_fit_partition_invariant(spark, emb):
+    from framequery_spark.operators.similarity import (
+        fixed_random_centroids, kmeans_fit)
+
+    init = fixed_random_centroids(2, 64, seed=11)
+    a = sorted(map(tuple, kmeans_fit(emb, 2, iters=1, init=init).collect()))
+    b = sorted(map(tuple,
+                   kmeans_fit(emb.repartition(13), 2, iters=1,
+                              init=init).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="n_clusters"):
+        kmeans_fit(emb, 0, init=init)
+    with pytest.raises(ValueError, match="len\\(init\\)"):
+        kmeans_fit(emb, 3, init=init)

@@ -425,3 +425,12 @@ def test_winnow_and_containment_in_sql(spark, tpch_scope):
          "where containment >= 0.9")
     m = fq.execute(q, tpch_scope, spark=spark).collect()[0]["n"]
     assert 0 < m
+
+
+def test_kmeans_fit_in_sql(spark, tpch_scope):
+    q = ("select cluster_id, count(*) as dims, max(n_members) as n "
+         "from kmeans_fit('embeddings', 4, 2) "
+         "group by cluster_id order by cluster_id")
+    out = fq.execute(q, tpch_scope, spark=spark).collect()
+    assert len(out) == 4 and all(r.dims == 64 for r in out)
+    assert sum(r.n for r in out) == tpch_scope["embeddings"].count()
