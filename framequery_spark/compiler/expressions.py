@@ -983,6 +983,15 @@ class ExprCompiler:
         return F.call_function("position", needle, haystack)
 
     def _c_SubstringCall(self, node: ast.SubstringCall) -> Column:
+        if isinstance(node.start, ast.Literal) \
+                and node.start.kind == "string" \
+                and isinstance(node.length, ast.Literal) \
+                and node.length.kind == "string":
+            # pg's deprecated SQL99 spelling of the SIMILAR form:
+            # substring(s FROM pattern FOR escape) — both args are strings,
+            # which is how pg itself disambiguates from FROM start FOR len
+            return self._compile_substring_similar(node.source, node.start,
+                                                   node.length)
         src = self.compile(node.source)
         if node.length is None and isinstance(node.start, ast.Literal) \
                 and node.start.kind == "string":
@@ -1085,6 +1094,37 @@ class ExprCompiler:
             return _tg.word_similarity_match(
                 self.compile(node.args[0]), self.compile(node.args[1]),
                 strict=bool(node.args[2].value))
+        if name == "normalize" and len(node.args) == 2 and \
+                isinstance(node.args[1], ast.ColumnRef) and \
+                not node.args[1].quoted and \
+                node.args[1].name.lower() in ("nfc", "nfd", "nfkc", "nfkd"):
+            # pg spells the form as a bare keyword: normalize(s, NFKC) —
+            # rewrite it to the string literal the registry builder takes
+            node = ast.Call(name="normalize", args=(
+                node.args[0],
+                ast.Literal(node.args[1].name.upper(), "string")))
+        if name == "normalize" and len(node.args) == 2 and \
+                isinstance(node.args[1], ast.Literal) and \
+                node.args[1].kind == "string" and \
+                node.args[1].value.upper() not in ("NFC", "NFD",
+                                                   "NFKC", "NFKD"):
+            raise CompileError(
+                f"normalize(): unrecognized form {node.args[1].value!r} "
+                "(expected NFC, NFD, NFKC or NFKD)")
+        if name == "__substring_similar":
+            return self._compile_substring_similar(node.args[0],
+                                                   node.args[1],
+                                                   node.args[2])
+        if name == "date_part" and len(node.args) == 2 and \
+                isinstance(node.args[0], ast.Literal) and \
+                node.args[0].kind == "string":
+            # pg date_part('field', src) == extract(field FROM src) — route
+            # literal fields through the Extract compiler so pg-only fields
+            # (epoch, dow/doy 0-based, isoyear, decade, ...) work; Spark's
+            # native date_part lacks them. Non-literal fields fall through
+            # to the registry (Spark-native date_part).
+            return self._c_Extract(ast.Extract(field=node.args[0].value,
+                                               expr=node.args[1]))
         if name in ("encode", "decode") and len(node.args) == 2 and \
                 isinstance(node.args[1], ast.Literal) and \
                 node.args[1].kind == "string":
@@ -1868,6 +1908,23 @@ class ExprCompiler:
             return F.forall(arr, cmp)
         return F.exists(arr, cmp)
 
+    def _compile_substring_similar(self, source: ast.Node, pat: ast.Node,
+                                   esc: ast.Node) -> Column:
+        """SQL:1999 substring(s SIMILAR pat ESCAPE esc) (pg also spells it
+        substring(s FROM pat FOR esc)): the pattern must match the WHOLE
+        string; the portion between the two escape-double-quote markers is
+        returned (the whole match when the pattern has no markers); NULL
+        when the string does not match."""
+        for arg, what in ((pat, "pattern"), (esc, "escape")):
+            if not (isinstance(arg, ast.Literal) and arg.kind == "string"):
+                raise CompileError(
+                    f"substring SIMILAR requires a literal {what}")
+        regex, markers = _similar_to_regex(pat.value, esc.value,
+                                           capture_markers=True)
+        src = self.compile(source)
+        return F.when(F.regexp_like(src, F.lit(regex)),
+                      F.regexp_extract(src, regex, 1 if markers else 0))
+
     def _compile_similar_to(self, node: ast.Call) -> Column:
         """pg `x SIMILAR TO p`: SQL-regex matching the WHOLE string, where
         % = .* and _ = . while |, *, +, ?, {m,n}, (), [...] keep their regex
@@ -1877,31 +1934,7 @@ class ExprCompiler:
         pat = node.args[1]
         if not (isinstance(pat, ast.Literal) and pat.kind == "string"):
             raise CompileError("SIMILAR TO requires a literal pattern")
-        p = pat.value
-        out, i, in_class = [], 0, False
-        while i < len(p):
-            ch = p[i]
-            if ch == "\\" and i + 1 < len(p):  # escape char: next is literal
-                out.append("\\" + p[i + 1] if p[i + 1] in r"\^$.|?*+()[]{}"
-                           else p[i + 1])
-                i += 2
-                continue
-            if in_class:
-                out.append(ch)
-                in_class = ch != "]"
-            elif ch == "[":
-                in_class = True
-                out.append(ch)
-            elif ch == "%":
-                out.append(".*")
-            elif ch == "_":
-                out.append(".")
-            elif ch in ".^$":  # regex-special but literal in SIMILAR TO
-                out.append("\\" + ch)
-            else:
-                out.append(ch)
-            i += 1
-        regex = "^(?:" + "".join(out) + ")$"
+        regex, _ = _similar_to_regex(pat.value, "\\")
         return self.compile(node.args[0]).rlike(regex)
 
     def _compile_json_arrow(self, node: ast.Call) -> Column:
@@ -2896,6 +2929,58 @@ class ExprCompiler:
             from_=sel.from_, where=sel.where, ctes=sel.ctes)
         col = self._c_ScalarSubquery(ast.ScalarSubquery(query=cnt)) > F.lit(0)
         return ~col if node.negated else col
+
+
+def _similar_to_regex(p: str, esc: str,
+                      capture_markers: bool = False) -> tuple:
+    """SQL SIMILAR pattern -> (anchored Java regex, n_markers). `esc` is
+    the single escape character (pg default '\\\\'); esc followed by any
+    char makes it literal. With capture_markers (the substring(...
+    SIMILAR ... ESCAPE ...) form), each esc+'\"' pair is a marker: the
+    first becomes '(' and the second ')' — pg allows exactly zero or two
+    (zero -> the whole match is group 0)."""
+    if len(esc) != 1:
+        raise CompileError("SIMILAR TO escape must be a single character")
+    out, i, in_class, markers = [], 0, False, 0
+    while i < len(p):
+        ch = p[i]
+        if ch == esc and i + 1 < len(p):
+            nxt = p[i + 1]
+            if capture_markers and nxt == '"' and not in_class:
+                markers += 1
+                if markers > 2:
+                    raise CompileError(
+                        "SQL regular expression may not contain more than "
+                        'two escape-double-quote separators')
+                out.append("(" if markers == 1 else ")")
+            else:
+                out.append("\\" + nxt if nxt in r"\^$.|?*+()[]{}" else nxt)
+            i += 2
+            continue
+        if in_class:
+            out.append(ch)
+            in_class = ch != "]"
+        elif ch == "[":
+            in_class = True
+            out.append(ch)
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch in ".^$":  # regex-special but literal in SIMILAR TO
+            out.append("\\" + ch)
+        elif ch == "(" and capture_markers:
+            # user parens must not capture — only the markers may, so the
+            # returned group number is always 1
+            out.append("(?:")
+        else:
+            out.append(ch)
+        i += 1
+    if capture_markers and markers == 1:
+        raise CompileError(
+            "SQL regular expression may not contain exactly one "
+            'escape-double-quote separator')
+    return "^(?:" + "".join(out) + ")$", markers
 
 
 def _subquery_shapes_rows(sel: ast.Select) -> bool:

@@ -5,8 +5,9 @@ src/framequery/executor/_pandas.py:48-62, src/framequery/util/_funcs.py:66-114)
 plus a broad pg/DuckDB-overlapping library — everything here compiles to
 built-in `pyspark.sql.functions` (JVM-side, whole-stage-codegen'd). The sole
 exceptions are the structural JSON editors (json_strip_nulls / jsonb_set /
-jsonb_insert), which have no Spark built-in and run as vectorized Arrow
-pandas_udfs — never row-at-a-time Python UDFs.
+jsonb_insert) and normalize() Unicode normalization, which have no Spark
+built-in and run as vectorized Arrow pandas_udfs — never row-at-a-time
+Python UDFs.
 """
 
 from __future__ import annotations
@@ -140,7 +141,32 @@ _fixed("split_part", lambda a: F.split_part(a[0], a[1], a[2]))
 _fixed("strpos", lambda a: F.call_function("position", a[1], a[0]), "instr")
 _fixed("initcap", lambda a: F.initcap(a[0]))
 _fixed("ascii", lambda a: F.ascii(a[0]), "unicode")
-_fixed("chr", lambda a: F.char(a[0]))
+def _chr_unicode(a: List[Column]) -> Column:
+    # pg chr(n): the UTF-8 character for Unicode CODE POINT n (Spark's
+    # char() is n % 256 — wrong beyond Latin-1). Build the UTF-8 byte
+    # sequence arithmetically as hex and decode it — pure JVM.
+    n = a[0].cast("long")
+
+    def hx(b: Column) -> Column:
+        return F.lpad(F.lower(F.hex(b)), 2, "0")
+
+    def part(shift: int, lead: int) -> Column:
+        return hx(F.lit(lead).bitwiseOR(
+            F.shiftright(n, shift).bitwiseAND(F.lit(0x3F))))
+
+    one = hx(n)
+    two = F.concat(part(6, 0xC0), part(0, 0x80))
+    three = F.concat(part(12, 0xE0), part(6, 0x80), part(0, 0x80))
+    four = F.concat(part(18, 0xF0), part(12, 0x80), part(6, 0x80),
+                    part(0, 0x80))
+    hexs = (F.when(n <= 0x7F, one)
+            .when(n <= 0x7FF, two)
+            .when(n <= 0xFFFF, three)
+            .when(n <= 0x10FFFF, four))
+    return F.decode(F.unhex(hexs), "UTF-8")
+
+
+_fixed("chr", _chr_unicode)
 _fixed("md5", lambda a: F.md5(a[0].cast("string")))
 _fixed("sha256", lambda a: F.sha2(a[0].cast("string"), 256))
 _fixed("to_hex", lambda a: F.lower(F.hex(a[0])))  # pg to_hex is lowercase
@@ -1044,3 +1070,33 @@ def _digest(a: List[Column]) -> Column:
 
 
 _fixed("digest", _digest)
+
+
+def _normalize_udf():
+    if "normalize" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["normalize"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(col: pd.Series, form: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(s, f):
+            if s is None or f is None:
+                return None
+            return unicodedata.normalize(f.upper(), s)
+
+        return pd.Series([one(s, f) for s, f in zip(col, form)])
+
+    _JSON_UDF_CACHE["normalize"] = norm
+    return norm
+
+
+@register("normalize")
+def _normalize(args: List[Column]) -> Column:
+    # pg 13 normalize(text [, form]) — Unicode normalization (default NFC).
+    # No JVM builtin exists; vectorized Arrow pandas_udf, the same
+    # documented-exception tier as the structural JSON editors. The form
+    # keyword is validated at compile time in the expression compiler.
+    form = args[1] if len(args) > 1 else F.lit("NFC")
+    return _normalize_udf()(args[0].cast("string"), form.cast("string"))

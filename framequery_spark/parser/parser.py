@@ -935,6 +935,17 @@ class Parser:
             ascending = True
             if self.accept_kw("desc"):
                 ascending = False
+            elif self.is_kw("using"):
+                # pg ORDER BY expr USING op: only the btree comparison
+                # operators have a Spark sort mapping (< asc, > desc)
+                self.advance()
+                if self.accept_op("<") or self.accept_op("<="):
+                    ascending = True
+                elif self.accept_op(">") or self.accept_op(">="):
+                    ascending = False
+                else:
+                    raise self.error(
+                        "ORDER BY ... USING supports <, <=, > and >= only")
             else:
                 self.accept_kw("asc")
             nulls = None
@@ -1371,8 +1382,11 @@ class Parser:
                 else:
                     left = ast.Call(name=fn, args=(left, right))
                 continue
-            if self.accept_kw("similar"):
-                self.expect_kw("to")
+            if self.is_kw("similar") and self.is_kw("to", offset=1):
+                # bare SIMILAR (no TO) belongs to an enclosing
+                # substring(s SIMILAR pat ESCAPE e) special form
+                self.advance()
+                self.advance()
                 pattern = self.parse_concat()
                 node = ast.Call(name="__similar_to", args=(left, pattern))
                 left = ast.Unary(op="not", operand=node) if negated else node
@@ -1998,6 +2012,14 @@ class Parser:
         self.advance()  # substring
         self.expect_op("(")
         source = self.parse_expr()
+        if self.accept_kw("similar"):
+            # SQL:1999 substring(s SIMILAR pat ESCAPE esc)
+            pat = self.parse_expr()
+            self.expect_kw("escape")
+            esc = self.parse_expr()
+            self.expect_op(")")
+            return ast.Call(name="__substring_similar",
+                            args=(source, pat, esc))
         if self.accept_kw("from"):
             start = self.parse_expr()
             length = None

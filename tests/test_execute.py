@@ -599,6 +599,17 @@ def test_plain_cte_column_alias_list(spark, scope):
     assert rows(run(q, scope, spark)) == [(3,), (4,)]
 
 
+def test_order_by_using_operator(spark, scope):
+    # pg ORDER BY expr USING < / > (btree operator direction)
+    q = "select a from test order by a using <"
+    asc = [r.a for r in run(q, scope, spark).collect()]
+    q = "select a from test order by a using >"
+    desc = [r.a for r in run(q, scope, spark).collect()]
+    assert asc == sorted(asc) and desc == sorted(desc, reverse=True)
+    with pytest.raises(Exception, match="USING supports"):
+        run("select a from test order by a using ||", scope, spark)
+
+
 def test_plain_cte_set_op_body(spark, scope):
     # pg allows any query expression as a non-recursive CTE body
     q = ("with r as (select 1 as a union all select 2 as a) "

@@ -1292,6 +1292,32 @@ QUERIES = [
      "  join w on e.src = w.n where not w.ic"
      ") select row_number() over (order by p) as pos, n, ic from w "
      "order by pos"),
+    # round 9: substring SIMILAR/ESCAPE (SQL:1999 regex form; DuckDB has
+    # no SIMILAR substring — literal oracles), date_part pg-only fields,
+    # normalize() Unicode forms
+    ("select substring('abcdef' similar '%#\"cd#\"%' escape '#'), "
+     "substring('foobar' similar '%#\"o_b#\"%' escape '#'), "
+     "substring('foobar' similar '%xyz%' escape '#'), "
+     "substring('foobar' similar 'f%' escape '#')",
+     "select 'cd', 'oob', NULL, 'foobar'"),
+    ("select substring('abcdef' from '%#\"cd#\"%' for '#')",
+     "select 'cd'"),
+    # parens group (don't capture) in SIMILAR patterns: only the
+    # escape-double-quote markers select the returned portion
+    ("select substring('ab(cd)ef' similar '%#\"(cd)#\"%' escape '#')",
+     "select 'cd'"),
+    ("select date_part('epoch', timestamp '2024-01-01 00:00:30')",
+     "select 1704067230.0"),
+    ("select date_part('dow', date '2024-01-01'), "
+     "date_part('isoyear', date '2024-01-01'), "
+     "date_part('decade', date '2024-01-01')",
+     "select 1, 2024, 202"),
+    # chr() pins the codepoints: 233 = precomposed e-acute,
+    # 101+769 = e + combining acute, 64257 = the fi ligature
+    ("select normalize(chr(101) || chr(769)) = chr(233), "
+     "length(normalize(chr(233), NFD)), "
+     "normalize(chr(64257), NFKC)",
+     "select true, 2, 'fi'"),
 ]
 
 
