@@ -471,8 +471,22 @@ class ExprCompiler:
             return F.lit(None)
         if node.kind == "date":
             return F.lit(node.value).cast("date")
-        if node.kind == "timestamp":
+        if node.kind in ("timestamp", "timestamptz"):
+            # Spark's string->timestamp cast parses trailing zone offsets,
+            # which is exactly pg's timestamptz literal behavior under the
+            # session (UTC) zone
             return F.lit(node.value).cast("timestamp")
+        if node.kind == "time":
+            # no native TIME type: normalized HH:mm:ss text, the same
+            # representation ::time produces (documented deviation)
+            import datetime as _dt
+
+            try:
+                t = _dt.time.fromisoformat(node.value.strip())
+            except ValueError as exc:
+                raise CompileError(f"invalid time literal: "
+                                   f"{node.value!r}") from exc
+            return F.lit(t.strftime("%H:%M:%S"))
         if node.kind == "interval":
             return interval_expr(node.value)
         return F.lit(node.value)
@@ -635,6 +649,44 @@ class ExprCompiler:
         "rpad", "regexp_replace", "repeat", "soundex", "md5",
     })
 
+    # calls that provably RETURN jsonb/json for the jsonb-operator
+    # dispatch (@>, -): the casts plus the structural editors
+    _JSONB_RETURNING_FNS = frozenset({
+        "to_json", "to_jsonb", "json_strip_nulls", "jsonb_strip_nulls",
+        "jsonb_set", "jsonb_insert", "__jsonb_delete_path", "json_query",
+        "row_to_json",
+    })
+
+    def _is_jsonby(self, node: ast.Node) -> bool:
+        """Provably json(b): a ::json/::jsonb cast, a jsonb-returning
+        call, a jsonb-minus chain, or a variant-typed scope column — the
+        proof bar the jsonb @> / - dispatch requires (mirrors _is_texty)."""
+        if isinstance(node, ast.Cast) and node.type_name.lower() in (
+                "json", "jsonb"):
+            return True
+        if isinstance(node, ast.Call) and \
+                node.name.lower() in self._JSONB_RETURNING_FNS:
+            return True
+        if isinstance(node, ast.Binary) and node.op == "-" \
+                and self._is_jsonby(node.left):
+            return True
+        dtype = self._scope_col_dtype(node)
+        return dtype is not None and dtype.startswith("variant")
+
+    def _jsonb_text(self, node: ast.Node) -> Column:
+        """Compile a jsonb-ish operand down to JSON TEXT: ::jsonb casts
+        and variant columns re-serialize via to_json; everything else
+        (arrow results, editor outputs, plain string columns) is already
+        text."""
+        c = self.compile(node)
+        if isinstance(node, ast.Cast) and node.type_name.lower() in (
+                "json", "jsonb"):
+            return F.to_json(c)
+        dtype = self._scope_col_dtype(node)
+        if dtype is not None and dtype.startswith("variant"):
+            return F.to_json(c)
+        return c.cast("string")
+
     def _is_texty(self, node: ast.Node) -> bool:
         """Provably text: a string literal, a ::varchar/::text cast, a
         ||-concatenation, a call to a string-returning function, or a
@@ -725,6 +777,20 @@ class ExprCompiler:
             if lk == "int" and rk == "date":
                 return F.date_add(right, left.cast("int"))
             return left + right
+        if op == "-" and self._is_jsonby(node.left):
+            # pg jsonb - text (delete key / string elements), - int
+            # (delete array index), - text[] (delete several keys)
+            from ..functions.registry import jsonb_minus_udf
+
+            jt = self._jsonb_text(node.left)
+            if self._operand_kind(node.right) == "int" or (
+                    isinstance(node.right, ast.Literal)
+                    and node.right.kind == "int"):
+                return jsonb_minus_udf("index")(jt, right.cast("string"))
+            if isinstance(node.right, ast.Call) and \
+                    node.right.name == "__array":
+                return jsonb_minus_udf("keys")(jt, F.to_json(right))
+            return jsonb_minus_udf("key")(jt, right.cast("string"))
         if op == "-":
             if lk == "date" and rk == "date":
                 # pg date - date = integer days (Spark yields an interval).
@@ -1094,6 +1160,34 @@ class ExprCompiler:
             return _tg.word_similarity_match(
                 self.compile(node.args[0]), self.compile(node.args[1]),
                 strict=bool(node.args[2].value))
+        if name == "__jsonb_exists":
+            jt = self._jsonb_text(node.args[0])
+            k = self.compile(node.args[1]).cast("string")
+            return _jsonb_exists_one(jt, k)
+        if name in ("__jsonb_exists_any", "__jsonb_exists_all"):
+            jt = self._jsonb_text(node.args[0])
+            arr = self.compile(node.args[1])
+            hof = F.exists if name.endswith("any") else F.forall
+            return hof(arr, lambda k: _jsonb_exists_one(jt,
+                                                        k.cast("string")))
+        if name == "__jsonb_delete_path":
+            from ..functions.registry import jsonb_delete_path_udf
+
+            p = node.args[1]
+            if isinstance(p, ast.Literal) and p.kind == "string":
+                # pg text-array literal: '{a,b,1}' -> json list
+                import json as _json
+
+                v = p.value.strip()
+                if v.startswith("{") and v.endswith("}"):
+                    v = v[1:-1]
+                parts = [x.strip().strip('"') for x in v.split(",")] \
+                    if v else []
+                path = F.lit(_json.dumps(parts))
+            else:
+                path = F.to_json(self.compile(p))
+            return jsonb_delete_path_udf()(
+                self._jsonb_text(node.args[0]), path)
         if name == "normalize" and len(node.args) == 2 and \
                 isinstance(node.args[1], ast.ColumnRef) and \
                 not node.args[1].quoted and \
@@ -1308,6 +1402,17 @@ class ExprCompiler:
                     b = _mrg.multirange_of(rt, b)
                 return _mrg.mr_adjacent(a, b)
             return _rg.adjacent(a, b)
+        if name == "array_contains_all" and len(node.args) == 2 \
+                and (self._is_jsonby(node.args[0])
+                     or self._is_jsonby(node.args[1])):
+            # jsonb @> jsonb / jsonb <@ jsonb (pre-swapped): recursive
+            # structural containment — the one genuinely recursive jsonb
+            # operation, Arrow pandas_udf like the structural editors
+            from ..functions.registry import jsonb_contains_udf
+
+            return jsonb_contains_udf()(
+                self._jsonb_text(node.args[0]),
+                self._jsonb_text(node.args[1]))
         if name in ("array_contains_all", "array_overlaps") \
                 and len(node.args) == 2 \
                 and (self._range_kind_of(node.args[0])
@@ -1430,6 +1535,11 @@ class ExprCompiler:
                 base = base & ~t.startswith("{") & ~t.startswith("[")
             return F.when(x.isNull(),
                           F.lit(None).cast("boolean")).otherwise(base)
+        if name == "jsonb_path_exists" and len(node.args) == 2:
+            # pg jsonb_path_exists(jsonb, jsonpath) == the SQL/JSON
+            # json_exists predicate over the same jsonpath machinery
+            node = ast.Call(name="json_exists", args=node.args)
+            name = "json_exists"
         if name in ("json_exists", "json_value", "json_query"):
             return self._compile_sql_json(node)
         if name == "unistr":
@@ -2929,6 +3039,28 @@ class ExprCompiler:
             from_=sel.from_, where=sel.where, ctes=sel.ctes)
         col = self._c_ScalarSubquery(ast.ScalarSubquery(query=cnt)) > F.lit(0)
         return ~col if node.negated else col
+
+
+def _jsonb_exists_one(jt: Column, k: Column) -> Column:
+    """pg `jsonb ? text`: top-level key of an object, string ELEMENT of
+    an array (non-string elements never match), or equality with a
+    string scalar. Pure JVM: json_object_keys for objects, an
+    array<variant> existence fold with a schema_of_variant string guard
+    for arrays."""
+    s = F.trim(jt)
+    elems = F.try_variant_get(F.try_parse_json(jt), "$", "array<variant>")
+    return (F.when(s.isNull() | k.isNull(), F.lit(None).cast("boolean"))
+            .when(s.startswith("{"),
+                  F.array_contains(F.json_object_keys(jt), k))
+            .when(s.startswith("["),
+                  F.coalesce(F.exists(elems, lambda e: F.when(
+                      F.schema_of_variant(e) == F.lit("STRING"),
+                      F.try_variant_get(e, "$", "string") == k)
+                      .otherwise(F.lit(False))), F.lit(False)))
+            .when(s.startswith('"'),
+                  F.try_variant_get(F.try_parse_json(jt), "$",
+                                    "string") == k)
+            .otherwise(F.lit(False)))
 
 
 def _similar_to_regex(p: str, esc: str,

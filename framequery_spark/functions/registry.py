@@ -5,7 +5,8 @@ src/framequery/executor/_pandas.py:48-62, src/framequery/util/_funcs.py:66-114)
 plus a broad pg/DuckDB-overlapping library — everything here compiles to
 built-in `pyspark.sql.functions` (JVM-side, whole-stage-codegen'd). The sole
 exceptions are the structural JSON editors (json_strip_nulls / jsonb_set /
-jsonb_insert) and normalize() Unicode normalization, which have no Spark
+jsonb_insert, plus the jsonb - / #- delete operators and @>/<@ recursive
+containment) and normalize() Unicode normalization, which have no Spark
 built-in and run as vectorized Arrow pandas_udfs — never row-at-a-time
 Python UDFs.
 """
@@ -1100,3 +1101,157 @@ def _normalize(args: List[Column]) -> Column:
     # keyword is validated at compile time in the expression compiler.
     form = args[1] if len(args) > 1 else F.lit("NFC")
     return _normalize_udf()(args[0].cast("string"), form.cast("string"))
+
+
+# pg jsonb structural operators (-, #-, @>): genuinely recursive jsonb
+# work — the same documented Arrow-pandas_udf exception tier as the
+# jsonb_set editors above. Serialization matches them: compact
+# separators, keys in source order. Every helper is defined INSIDE the
+# udf body: cloudpickle must serialize the closure by value, because the
+# engine package is not importable on executor python workers.
+
+def jsonb_minus_udf(mode: str):
+    key = f"minus_{mode}"
+    if key in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def minus(target: pd.Series, arg: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(t, a):
+            if t is None or a is None:
+                return None
+            doc = _json.loads(t)
+            if mode == "index":
+                if not isinstance(doc, list):
+                    raise ValueError(
+                        "cannot delete from non-array jsonb using an "
+                        "integer index")
+                i = int(a)
+                n = len(doc)
+                if i < 0:
+                    i += n
+                if 0 <= i < n:
+                    del doc[i]
+                return _json.dumps(doc, separators=(",", ":"))
+            keys = _json.loads(a) if mode == "keys" else [a]
+            if isinstance(doc, dict):
+                for k in keys:
+                    doc.pop(k, None)
+            elif isinstance(doc, list):
+                doc = [x for x in doc
+                       if not (isinstance(x, str) and x in keys)]
+            else:
+                raise ValueError("cannot delete from scalar jsonb")
+            return _json.dumps(doc, separators=(",", ":"))
+
+        return pd.Series([one(t, a) for t, a in zip(target, arg)])
+
+    _JSON_UDF_CACHE[key] = minus
+    return minus
+
+
+def jsonb_delete_path_udf():
+    if "delete_path" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["delete_path"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def delp(target: pd.Series, path: pd.Series) -> pd.Series:
+        import json as _json
+
+        def dump(v):
+            return _json.dumps(v, separators=(",", ":"))
+
+        def one(t, p):
+            if t is None or p is None:
+                return None
+            doc = _json.loads(t)
+            parts = _json.loads(p)
+            if not isinstance(doc, (dict, list)):
+                raise ValueError("cannot delete path in scalar jsonb")
+            if not parts:
+                return dump(doc)
+            cur = doc
+            for seg in parts[:-1]:
+                if isinstance(cur, dict):
+                    if seg not in cur:
+                        return dump(doc)  # pg: missing path = no-op
+                    cur = cur[seg]
+                elif isinstance(cur, list):
+                    try:
+                        i = int(seg)
+                    except (TypeError, ValueError):
+                        return dump(doc)
+                    if i < 0:
+                        i += len(cur)
+                    if not 0 <= i < len(cur):
+                        return dump(doc)
+                    cur = cur[i]
+                else:
+                    return dump(doc)
+            last = parts[-1]
+            if isinstance(cur, dict):
+                cur.pop(last, None)
+            elif isinstance(cur, list):
+                try:
+                    i = int(last)
+                except (TypeError, ValueError):
+                    return dump(doc)
+                if i < 0:
+                    i += len(cur)
+                if 0 <= i < len(cur):
+                    del cur[i]
+            return dump(doc)
+
+        return pd.Series([one(t, p) for t, p in zip(target, path)])
+
+    _JSON_UDF_CACHE["delete_path"] = delp
+    return delp
+
+
+def jsonb_contains_udf():
+    if "contains" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["contains"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def contains(a: pd.Series, b: pd.Series) -> pd.Series:
+        import json as _json
+
+        def rec(x, y, top):
+            """pg jsonb containment (jsonb_ops semantics): objects
+            contain every right key/value pair recursively; arrays
+            contain every right element somewhere (order-insensitive);
+            an array contains a primitive at TOP level only; scalars
+            compare by jsonb equality (numeric 1 == 1.0, booleans never
+            equal numbers)."""
+            if isinstance(y, dict):
+                return (isinstance(x, dict)
+                        and all(k in x and rec(x[k], v, False)
+                                for k, v in y.items()))
+            if isinstance(y, list):
+                return (isinstance(x, list)
+                        and all(any(rec(e, v, False) for e in x)
+                                for v in y))
+            if isinstance(x, list) and top:
+                return any(rec(e, y, False) for e in x)
+            if isinstance(x, (dict, list)):
+                return False
+            if isinstance(x, bool) or isinstance(y, bool):
+                return x is y if (isinstance(x, bool)
+                                  and isinstance(y, bool)) else False
+            return x == y
+
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            return rec(_json.loads(x), _json.loads(y), True)
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)],
+                         dtype="object")
+
+    _JSON_UDF_CACHE["contains"] = contains
+    return contains

@@ -1369,6 +1369,17 @@ class Parser:
                     args=(word, text,
                           ast.Literal(len(op) == 3, "bool")))
                 continue
+            if self.is_op("?", "?|", "?&", "#-"):
+                # pg jsonb operators: key/element existence (?, ?|, ?&)
+                # and path deletion (#-) — jsonb-only in pg's grammar too,
+                # so no type dispatch is needed
+                op = self.advance().value
+                right = self.parse_concat()
+                fn = {"?": "__jsonb_exists", "?|": "__jsonb_exists_any",
+                      "?&": "__jsonb_exists_all",
+                      "#-": "__jsonb_delete_path"}[op]
+                left = ast.Call(name=fn, args=(left, right))
+                continue
             if self.is_op("@>", "<@", "&&"):
                 # pg array/range operators: contains / contained-by /
                 # overlaps (range dispatch happens at compile time)
@@ -1751,7 +1762,8 @@ class Parser:
             if low in ("true", "false"):
                 self.advance()
                 return ast.Literal(low == "true", "bool")
-            if low in ("date", "timestamp", "interval") and self.peek(1) is not None \
+            if low in ("date", "timestamp", "interval", "timestamptz",
+                       "time") and self.peek(1) is not None \
                     and self.peek(1).kind == "string":
                 self.advance()
                 lit = unquote_string(self.advance().value)

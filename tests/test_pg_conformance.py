@@ -1312,6 +1312,39 @@ QUERIES = [
      "date_part('isoyear', date '2024-01-01'), "
      "date_part('decade', date '2024-01-01')",
      "select 1, 2024, 202"),
+    # round 9: jsonb existence / containment / deletion operators
+    # (DuckDB has none of these — literal oracles)
+    ("select '{\"a\":1}'::jsonb ? 'a', '{\"a\":1}'::jsonb ? 'z', "
+     "'[\"x\",3]'::jsonb ? 'x', '[\"x\",3]'::jsonb ? '3', "
+     "'\"abc\"'::jsonb ? 'abc'",
+     "select true, false, true, false, true"),
+    ("select '{\"a\":1}'::jsonb ?| array['z','a'], "
+     "'{\"a\":1}'::jsonb ?& array['a','z']",
+     "select true, false"),
+    ("select '{\"a\":1,\"b\":2}'::jsonb @> '{\"a\":1}'::jsonb, "
+     "'{\"a\":1}'::jsonb @> '{\"a\":2}'::jsonb, "
+     "'{\"a\":{\"b\":[1,2]}}'::jsonb @> '{\"a\":{\"b\":[2]}}'::jsonb, "
+     "'[1,2,3]'::jsonb @> '3'::jsonb, "
+     "'{\"a\":[1,2]}'::jsonb @> '{\"a\":1}'::jsonb, "
+     "'{\"a\":1}'::jsonb <@ '{\"a\":1,\"b\":2}'::jsonb, "
+     "'1'::jsonb @> '1.0'::jsonb, 'true'::jsonb @> '1'::jsonb",
+     "select true, false, true, true, false, true, true, false"),
+    ("select '{\"a\":1,\"b\":2}'::jsonb - 'a', "
+     "'[\"a\",\"b\",\"a\"]'::jsonb - 'a', "
+     "'[\"a\",\"b\",\"c\"]'::jsonb - 1, "
+     "'{\"a\":1,\"b\":2,\"c\":3}'::jsonb - array['a','c'], "
+     "'{\"a\":{\"b\":[1,2,3]}}'::jsonb #- '{a,b,1}', "
+     "'{\"a\":1}'::jsonb #- '{z,k}'",
+     "select '{\"b\":2}', '[\"b\"]', '[\"a\",\"c\"]', '{\"b\":2}', "
+     "'{\"a\":{\"b\":[1,3]}}', '{\"a\":1}'"),
+    ("select jsonb_path_exists('{\"a\":1}', '$.a'), "
+     "jsonb_path_exists('{\"a\":1}', '$.z')",
+     "select true, false"),
+    # time / timestamptz literals
+    ("select time '10:30', time '23:59:59'",
+     "select '10:30:00', '23:59:59'"),
+    ("select timestamptz '2024-01-01 02:00:00+02'",
+     "select timestamp '2024-01-01 00:00:00'"),
     # chr() pins the codepoints: 233 = precomposed e-acute,
     # 101+769 = e + combining acute, 64257 = the fi ligature
     ("select normalize(chr(101) || chr(769)) = chr(233), "
