@@ -825,6 +825,14 @@ class ExprCompiler:
             if self._is_tsvector(node.left) and self._is_tsvector(node.right):
                 from ..functions import textsearch as _ts
                 return _ts.tsvector_concat(left, right)
+            if self._is_jsonby(node.left) and self._is_jsonby(node.right):
+                # pg jsonb || jsonb: shallow object merge (right wins),
+                # array concat, scalars wrap to arrays — the standard
+                # jsonb-update idiom (col || '{"k":"v"}')
+                from ..functions.registry import jsonb_concat_udf
+
+                return jsonb_concat_udf()(self._jsonb_text(node.left),
+                                          self._jsonb_text(node.right))
             # pg: array || element appends, element || array prepends;
             # decided statically (ARRAY[...] / ARRAY(...) / ::type[] forms).
             # Unknown-typed sides keep concat (string||string, array||array)
@@ -1160,6 +1168,14 @@ class ExprCompiler:
             return _tg.word_similarity_match(
                 self.compile(node.args[0]), self.compile(node.args[1]),
                 strict=bool(node.args[2].value))
+        if name == "__is_normalized":
+            # pg IS [form] NORMALIZED == the string equals its own
+            # normalization (NULL-propagating)
+            from ..functions.registry import REGISTRY as _FN_REGISTRY
+
+            s = self.compile(node.args[0]).cast("string")
+            return s == _FN_REGISTRY["normalize"](
+                [s, self.compile(node.args[1])])
         if name == "__jsonb_exists":
             jt = self._jsonb_text(node.args[0])
             k = self.compile(node.args[1]).cast("string")

@@ -1255,3 +1255,33 @@ def jsonb_contains_udf():
 
     _JSON_UDF_CACHE["contains"] = contains
     return contains
+
+
+def jsonb_concat_udf():
+    if "concat" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["concat"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def jconcat(a: pd.Series, b: pd.Series) -> pd.Series:
+        import json as _json
+
+        def one(x, y):
+            """pg jsonb || jsonb: two objects shallow-merge (right wins);
+            otherwise both sides coerce to arrays (a non-array wraps as a
+            single element) and concatenate."""
+            if x is None or y is None:
+                return None
+            l, r = _json.loads(x), _json.loads(y)
+            if isinstance(l, dict) and isinstance(r, dict):
+                out = dict(l)
+                out.update(r)
+            else:
+                out = (l if isinstance(l, list) else [l]) \
+                    + (r if isinstance(r, list) else [r])
+            return _json.dumps(out, separators=(",", ":"))
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    _JSON_UDF_CACHE["concat"] = jconcat
+    return jconcat

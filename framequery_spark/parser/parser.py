@@ -1289,8 +1289,21 @@ class Parser:
                     node = ast.Call(name="__is_json",
                                     args=(left, ast.Literal(kind, "string")))
                     left = ast.Unary(op="not", operand=node) if neg2 else node
+                elif self.is_kw("normalized") or (
+                        self.is_kw("nfc", "nfd", "nfkc", "nfkd")
+                        and self.is_kw("normalized", offset=1)):
+                    # pg 13 IS [NOT] [form] NORMALIZED
+                    form = "NFC"
+                    if not self.is_kw("normalized"):
+                        form = self.advance().value.upper()
+                    self.expect_kw("normalized")
+                    node = ast.Call(name="__is_normalized", args=(
+                        left, ast.Literal(form, "string")))
+                    left = ast.Unary(op="not", operand=node) if neg2 else node
                 else:
-                    raise self.error("expected NULL/TRUE/FALSE/UNKNOWN/DISTINCT FROM/JSON after IS")
+                    raise self.error(
+                        "expected NULL/TRUE/FALSE/UNKNOWN/DISTINCT FROM/"
+                        "JSON/NORMALIZED after IS")
                 continue
             if self.accept_kw("in"):
                 self.expect_op("(")

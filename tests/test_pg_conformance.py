@@ -1340,6 +1340,13 @@ QUERIES = [
     ("select jsonb_path_exists('{\"a\":1}', '$.a'), "
      "jsonb_path_exists('{\"a\":1}', '$.z')",
      "select true, false"),
+    ("select '{\"a\":1}'::jsonb || '{\"b\":2,\"a\":9}'::jsonb, "
+     "'[1,2]'::jsonb || '[3]'::jsonb, '[1]'::jsonb || '2'::jsonb",
+     "select '{\"a\":9,\"b\":2}', '[1,2,3]', '[1,2]'"),
+    ("select chr(233) is normalized, "
+     "(chr(101) || chr(769)) is nfc normalized, "
+     "chr(233) is not nfd normalized",
+     "select true, false, true"),
     # time / timestamptz literals
     ("select time '10:30', time '23:59:59'",
      "select '10:30:00', '23:59:59'"),
