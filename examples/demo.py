@@ -385,6 +385,23 @@ def main() -> None:
               ON w.id1 = c.id1 AND w.id2 = c.id2
             ORDER BY w.n_shared DESC LIMIT 5
         """, scope, spark=spark).show()
+        _round9_dialect(spark, scope)
+
+
+def _round9_dialect(spark, scope):
+    import framequery_spark as fq
+
+    # jsonb operator family + SIMILAR substring + normalize
+    fq.execute("""
+        SELECT '{"a":1,"b":{"c":2}}'::jsonb ? 'a' AS has_a,
+               '{"a":1,"b":2}'::jsonb @> '{"a":1}'::jsonb AS contains,
+               '{"a":1,"b":2}'::jsonb - 'a' AS minus_a,
+               '{"a":{"b":[1,2,3]}}'::jsonb #- '{a,b,1}' AS del_path,
+               '{"a":1}'::jsonb || '{"b":2}'::jsonb AS merged,
+               substring('abcdef' SIMILAR '%#"cd#"%' ESCAPE '#') AS sim,
+               date_part('epoch', timestamp '2024-01-01') AS epoch,
+               normalize(chr(101) || chr(769)) = chr(233) AS nfc
+    """, scope, spark=spark).show(truncate=False)
 
 
 if __name__ == "__main__":
