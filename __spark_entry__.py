@@ -1242,7 +1242,8 @@ WITH cand AS (
                              ORDER BY cosine DESC, c.vec_id) <= 10),
 s1 AS (
   SELECT query_id, neighbor_id, cosine, emb,
-         round(0.7 * cosine, 6) AS score
+         CAST(round(CAST(0.7 AS DECIMAL(7,6))
+                    * CAST(cosine AS DECIMAL(18,6)), 6) AS DOUBLE) AS score
   FROM cand
   QUALIFY row_number() OVER (PARTITION BY query_id
                              ORDER BY cosine DESC, neighbor_id) = 1),
@@ -1251,10 +1252,13 @@ r1 AS (
   WHERE c.neighbor_id <> s1.neighbor_id),
 p2 AS (
   SELECT r.query_id, r.neighbor_id, r.cosine, r.emb,
-         round(0.7 * r.cosine - (1.0 - 0.7)
-               * max(round(list_cosine_similarity(
-                     CAST(r.emb AS DOUBLE[]),
-                     CAST(s.emb AS DOUBLE[])), 6)), 6) AS score
+         CAST(round(CAST(0.7 AS DECIMAL(7,6))
+                    * CAST(r.cosine AS DECIMAL(18,6))
+                    - CAST(0.3 AS DECIMAL(7,6))
+                    * CAST(max(round(list_cosine_similarity(
+                          CAST(r.emb AS DOUBLE[]),
+                          CAST(s.emb AS DOUBLE[])), 6)) AS DECIMAL(18,6)),
+                    6) AS DOUBLE) AS score
   FROM r1 r JOIN s1 s ON r.query_id = s.query_id
   GROUP BY r.query_id, r.neighbor_id, r.cosine, r.emb),
 s2 AS (
@@ -1268,10 +1272,13 @@ sel12 AS (
   SELECT query_id, emb FROM s1 UNION ALL SELECT query_id, emb FROM s2),
 p3 AS (
   SELECT r.query_id, r.neighbor_id, r.cosine, r.emb,
-         round(0.7 * r.cosine - (1.0 - 0.7)
-               * max(round(list_cosine_similarity(
-                     CAST(r.emb AS DOUBLE[]),
-                     CAST(s.emb AS DOUBLE[])), 6)), 6) AS score
+         CAST(round(CAST(0.7 AS DECIMAL(7,6))
+                    * CAST(r.cosine AS DECIMAL(18,6))
+                    - CAST(0.3 AS DECIMAL(7,6))
+                    * CAST(max(round(list_cosine_similarity(
+                          CAST(r.emb AS DOUBLE[]),
+                          CAST(s.emb AS DOUBLE[])), 6)) AS DECIMAL(18,6)),
+                    6) AS DOUBLE) AS score
   FROM r2 r JOIN sel12 s ON r.query_id = s.query_id
   GROUP BY r.query_id, r.neighbor_id, r.cosine, r.emb),
 s3 AS (
@@ -5016,6 +5023,78 @@ FROM pairs JOIN cnt c1 ON pairs.id1 = c1.doc_id
            JOIN cnt c2 ON pairs.id2 = c2.doc_id
 WHERE common * 1.0 / least(c1.n, c2.n) >= 0.8
 ORDER BY id1, id2
+""")
+
+
+def _op_dedup_quality(spark, sf_dir):
+    """Dedup-config acceptance gate (operators/dedup.py:
+    dedup_pair_quality): precision/recall/F1 of the MOSS winnowing
+    candidate pairs against exact word-3-gram Jaccard >= 0.7 ground
+    truth — the dedup counterpart of op_ann_recall. Both pair
+    derivations are md5/string-exact, so the WHOLE evaluation is
+    hash-verified (the config deliberately misses one true pair and
+    flags one false pair at sf0.01: precision = recall = 0.96)."""
+    from framequery_spark.operators.dedup import (dedup_pair_quality,
+                                                  jaccard_pairs,
+                                                  winnow_pairs)
+
+    docs = _scope(spark, sf_dir)["documents"]
+    approx = winnow_pairs(docs, k=3, window=4, min_shared=3,
+                          max_doc_freq=20)
+    exact = jaccard_pairs(docs, k=3, threshold=0.7)
+    return dedup_pair_quality(approx, exact)
+
+
+_op("op_dedup_quality", _op_dedup_quality, r"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(0, greatest(len(ws)-2, 0)),
+          i -> substr(md5(array_to_string(list_slice(ws, i+1, i+3), ' ')),
+                      1, 16)) AS hs
+      FROM d),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CASE WHEN len(hs) = 0 THEN 0
+                           ELSE greatest(len(hs) - 3, 1) END),
+             s -> list_aggregate(list_slice(hs, s+1, least(s+4, len(hs))),
+                                 'min'))) AS fp
+    FROM g) t),
+freq AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 20),
+kept AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM freq)),
+approx AS (
+  SELECT id1, id2 FROM (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) t
+  WHERE n >= 3),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM d),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+exact_p AS (
+  SELECT id1, id2 FROM (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) p
+  JOIN cnt c1 ON p.id1 = c1.doc_id JOIN cnt c2 ON p.id2 = c2.doc_id
+  WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.7),
+m AS (SELECT (SELECT count(*) FROM approx) AS n_approx,
+             (SELECT count(*) FROM exact_p) AS n_exact,
+             (SELECT count(*) FROM approx JOIN exact_p USING (id1, id2))
+               AS n_hit)
+SELECT n_approx, n_exact, n_hit,
+       CASE WHEN n_approx > 0
+            THEN round(n_hit * 1.0 / n_approx, 6) END AS precision,
+       CASE WHEN n_exact > 0
+            THEN round(n_hit * 1.0 / n_exact, 6) END AS recall,
+       CASE WHEN n_approx > 0 AND n_exact > 0
+            THEN round(2.0 * n_hit / (n_approx + n_exact), 6) END AS f1
+FROM m
 """)
 
 

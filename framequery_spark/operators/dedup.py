@@ -941,3 +941,39 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
             .groupBy("id1", "id2")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def dedup_pair_quality(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Precision/recall/F1 of an approximate near-dup PAIR set against
+    exact ground truth — the acceptance gate a MinHash / SimHash /
+    winnowing configuration is tuned against (the dedup counterpart of
+    similarity.retrieval_recall: recall = dup pairs the config keeps,
+    precision = how much of what it flags is real).
+
+    Both inputs are (id1, id2) pair tables (id1 < id2 convention; extra
+    columns ignored; duplicates collapse). Returns ONE row:
+    (n_approx, n_exact, n_hit, precision, recall, f1), ratios rounded to
+    1e-6 and NULL on zero denominators (no flagged pairs / no true pairs).
+
+    Scale shape: pair tables are output-sized (already far smaller than
+    the corpus); the eval is one equi join + three 1-row aggregates
+    cross-joined — nothing corpus-sized, no collect.
+    """
+    a = approx.select("id1", "id2").distinct()
+    e = exact.select("id1", "id2").distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n_approx"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = (a.join(e, ["id1", "id2"])
+          .agg(F.count(F.lit(1)).alias("n_hit")))
+    out = na.crossJoin(ne).crossJoin(nh)
+    prec = F.when(F.col("n_approx") > 0,
+                  F.round(F.col("n_hit") / F.col("n_approx"), 6))
+    rec = F.when(F.col("n_exact") > 0,
+                 F.round(F.col("n_hit") / F.col("n_exact"), 6))
+    f1 = F.when((F.col("n_approx") > 0) & (F.col("n_exact") > 0)
+                & (F.col("n_approx") + F.col("n_exact") > 0),
+                F.round(2.0 * F.col("n_hit")
+                        / (F.col("n_approx") + F.col("n_exact")), 6))
+    return out.select("n_approx", "n_exact", "n_hit",
+                      prec.alias("precision"), rec.alias("recall"),
+                      f1.alias("f1"))

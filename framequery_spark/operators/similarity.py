@@ -561,6 +561,15 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
         "query_id", "neighbor_id", "cosine", "__emb", "__n") \
         .localCheckpoint()
 
+    # Score arithmetic runs in DECIMAL: rel and maxsim are already on the
+    # 1e-6 grid, so lam * rel - (1-lam) * maxsim lands EXACTLY on decimal
+    # boundaries (0.7 * 0.371485 = .2600395) where double rounding is
+    # engine-dependent (Spark rounds the shortest decimal repr HALF_UP,
+    # DuckDB rounds the binary value) — the q01 epsilon class. Exact
+    # decimal products + decimal round make both engines agree.
+    lam_d = F.lit(lam).cast("decimal(7,6)")
+    ilam_d = F.lit(round(1.0 - lam, 6)).cast("decimal(7,6)")
+
     first = (cands.filter(F.col("cosine").isNotNull())
              .withColumn("__rn", F.row_number().over(
                  Window.partitionBy("query_id")
@@ -568,7 +577,8 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
              .filter(F.col("__rn") == 1).drop("__rn"))
     selected = first.select(
         "query_id", F.lit(1).alias("pos"), "neighbor_id", "cosine",
-        F.round(F.lit(lam) * F.col("cosine"), 6).alias("score"),
+        F.round(lam_d * F.col("cosine").cast("decimal(18,6)"), 6)
+        .cast("double").alias("score"),
         F.col("__emb"), F.col("__n"))
     remaining = cands.join(
         first.select("query_id", F.col("neighbor_id").alias("__sid")),
@@ -589,8 +599,9 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
                   .groupBy("query_id", "neighbor_id", "cosine",
                            "__emb", "__n")
                   .agg(F.max("__sim").alias("__maxsim")))
-        score = F.round(F.lit(lam) * F.col("cosine")
-                        - F.lit(1.0 - lam) * F.col("__maxsim"), 6)
+        score = F.round(lam_d * F.col("cosine").cast("decimal(18,6)")
+                        - ilam_d * F.col("__maxsim").cast("decimal(18,6)"),
+                        6).cast("double")
         pick = (scored.withColumn("__score", score)
                 .withColumn("__rn", F.row_number().over(
                     Window.partitionBy("query_id")

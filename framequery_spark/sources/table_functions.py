@@ -718,6 +718,11 @@ def _register_operator_tfs() -> dict:
         return similarity.retrieval_recall(_op_table(qc, a[0]),
                                            _op_table(qc, a[1]), int(a[2]))
 
+    def dedup_pair_quality(qc, a):
+        # dedup_pair_quality('approx_pairs', 'exact_pairs')
+        return dedup.dedup_pair_quality(_op_table(qc, a[0]),
+                                        _op_table(qc, a[1]))
+
     def kmeans_fit(qc, a):
         # kmeans_fit('embeddings'[, n_clusters[, iters[, seed]]])
         kw = {}
@@ -801,7 +806,8 @@ def _register_operator_tfs() -> dict:
         pmi_bigrams, textrank_keywords, profile_numeric, oov_rate,
         mmr_rerank, auc_score, confusion_stats, calibration_bins,
         snapshot_diff, retrieval_recall, rrf_fuse, ndcg_at_k,
-        winnow_pairs, containment_pairs, kmeans_fit, event_transitions,
+        winnow_pairs, containment_pairs, kmeans_fit, dedup_pair_quality,
+        event_transitions,
         ts_stat, alpha_mixture_weights, hard_negatives, audio_chunks,
         funnel, retention_cohorts, trgm_pairs, group_sample,
         source_divergence, weighted_sample, event_anomaly,

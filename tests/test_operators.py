@@ -954,14 +954,25 @@ def test_mmr_rerank_matches_python_greedy(spark, tpch_scope):
         nb = sum(float(y) * float(y) for y in b)
         return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
 
-    lam = 0.7
+    # score arithmetic is DECIMAL in the operator (0.7 * rel lands exactly
+    # on .xxxxxx5 boundaries where float rounding is ambiguous) — mirror
+    # with Decimal HALF_UP
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dscore(rel, mx=None):
+        r = Decimal("0.7") * Decimal(f"{rel:.6f}")
+        if mx is not None:
+            r -= Decimal("0.3") * Decimal(f"{mx:.6f}")
+        return float(r.quantize(Decimal("0.000001"),
+                                rounding=ROUND_HALF_UP))
+
     exp = []
     for q in range(3):
         pool = sorted(((cos(data[q], data[c]), c)
                        for c in data if c != q),
                       key=lambda t: (-t[0], t[1]))[:8]
         cand = [(c, s) for s, c in pool]
-        sel = [(1, cand[0][0], cand[0][1], round(lam * cand[0][1], 6))]
+        sel = [(1, cand[0][0], cand[0][1], dscore(cand[0][1]))]
         chosen = {cand[0][0]}
         for pos in (2, 3):
             best = None
@@ -969,7 +980,7 @@ def test_mmr_rerank_matches_python_greedy(spark, tpch_scope):
                 if c in chosen:
                     continue
                 mx = max(cos(data[c], data[s]) for _, s, _, _ in sel)
-                sc = round(lam * rel - (1 - lam) * mx, 6)
+                sc = dscore(rel, mx)
                 if best is None or (-sc, c) < (-best[0], best[1]):
                     best = (sc, c, rel)
             sel.append((pos, best[1], best[2], best[0]))
@@ -3362,3 +3373,23 @@ def test_kmeans_fit_partition_invariant(spark, emb):
         kmeans_fit(emb, 0, init=init)
     with pytest.raises(ValueError, match="len\\(init\\)"):
         kmeans_fit(emb, 3, init=init)
+
+
+def test_dedup_pair_quality_known_counts(spark):
+    approx = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (4, 5)],  # duplicate collapses
+        "id1 long, id2 long")
+    exact = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7)], "id1 long, id2 long")
+    r = DD.dedup_pair_quality(approx, exact).collect()[0]
+    assert (r.n_approx, r.n_exact, r.n_hit) == (3, 3, 2)
+    assert r.precision == r.recall == round(2 / 3, 6)
+    assert r.f1 == round(2 * 2 / 6, 6)
+
+
+def test_dedup_pair_quality_zero_denominators_null(spark):
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    exact = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    r = DD.dedup_pair_quality(empty, exact).collect()[0]
+    assert (r.n_approx, r.n_hit) == (0, 0)
+    assert r.precision is None and r.recall == 0.0 and r.f1 is None
