@@ -1382,6 +1382,13 @@ class Parser:
                     args=(word, text,
                           ast.Literal(len(op) == 3, "bool")))
                 continue
+            if self.is_op("@?"):
+                # pg jsonb @? jsonpath == jsonb_path_exists(left, right)
+                self.advance()
+                right = self.parse_concat()
+                left = ast.Call(name="jsonb_path_exists",
+                                args=(left, right))
+                continue
             if self.is_op("?", "?|", "?&", "#-"):
                 # pg jsonb operators: key/element existence (?, ?|, ?&)
                 # and path deletion (#-) — jsonb-only in pg's grammar too,

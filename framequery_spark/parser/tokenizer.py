@@ -36,7 +36,7 @@ _TOKEN_RE = re.compile(
               |(?:\d(?:_?\d)*\.(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*|\d(?:_?\d)*)
                (?:[eE][+-]?\d+)?)
   | (?P<name>[A-Za-z_][A-Za-z_0-9$]*)
-  | (?P<op>\#>>|\#>|\#-|->>|-\|-|->|@@|@>|<->|<\#>|<=>|<@|&&|<>|!~~\*|!~~|!~\*|!~|!=|!>|!<|<<%|%>>|<%|%>|<=|>=|<<|>>|~~\*|~~|~\*|\|\||::|\?\||\?&|\?|[-+*/%^<>=~&|#(),.;:\[\]])
+  | (?P<op>\#>>|\#>|\#-|->>|-\|-|->|@@|@>|<->|<\#>|<=>|<@|&&|<>|!~~\*|!~~|!~\*|!~|!=|!>|!<|<<%|%>>|<%|%>|<=|>=|<<|>>|~~\*|~~|~\*|\|\||::|@\?|\?\||\?&|\?|[-+*/%^<>=~&|#(),.;:\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -44,7 +44,7 @@ _TOKEN_RE = re.compile(
 # operators where the tokenizer value is used verbatim by the parser
 OPS = {
     "#>>", "#>", "#-", "->>", "-|-", "->", "@@", "@>", "<@", "&&", "<>",
-    "?", "?|", "?&", "!~~*", "!~~", "!~*", "!~",
+    "?", "?|", "?&", "@?", "!~~*", "!~~", "!~*", "!~",
     "!=", "!>", "!<", "<<%", "%>>", "<%", "%>", "<->", "<#>", "<=>",
     "<=", ">=", "<<", ">>", "~~*", "~~", "~*", "||", "::", ":",
     "+", "-", "*", "/", "%", "^", "<", ">", "=", "~", "&", "|", "#",

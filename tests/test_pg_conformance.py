@@ -1340,6 +1340,9 @@ QUERIES = [
     ("select jsonb_path_exists('{\"a\":1}', '$.a'), "
      "jsonb_path_exists('{\"a\":1}', '$.z')",
      "select true, false"),
+    ("select '{\"a\":[1,2]}'::jsonb @? '$.a', "
+     "'{\"a\":1}'::jsonb @? '$.z'",
+     "select true, false"),
     ("select '{\"a\":1}'::jsonb || '{\"b\":2,\"a\":9}'::jsonb, "
      "'[1,2]'::jsonb || '[3]'::jsonb, '[1]'::jsonb || '2'::jsonb",
      "select '{\"a\":9,\"b\":2}', '[1,2,3]', '[1,2]'"),
