@@ -1601,7 +1601,9 @@ class ExprCompiler:
                 t = F.to_json(F.array(self.compile(a)))
                 frags.append(t.substr(F.lit(2), F.length(t) - 2))
             return F.concat(F.lit("["), F.concat_ws(",", *frags), F.lit("]"))
-        if name in AGG_NAMES:
+        if name in AGG_NAMES or (
+                name in ("rank", "dense_rank", "percent_rank", "cume_dist")
+                and node.order_within and node.args):
             if not self.agg_context:
                 raise CompileError(
                     f"aggregate {name}() not allowed here (no GROUP BY context)"
@@ -2051,6 +2053,71 @@ class ExprCompiler:
         return F.when(F.regexp_like(src, F.lit(regex)),
                       F.regexp_extract(src, regex, 1 if markers else 0))
 
+    def _compile_hypothetical_agg(self, node: ast.Call,
+                                  fcond: Optional[Column]) -> Column:
+        """SQL:2008 hypothetical-set aggregates:
+        rank/dense_rank/percent_rank/cume_dist(v) WITHIN GROUP
+        (ORDER BY c) — the position the hypothetical value v WOULD take
+        in the group's ordering. Compiled to counting conditional sums
+        (rank = 1 + rows sorting strictly before v, etc.), so the whole
+        thing stays one partial-aggregable pass — no sort, no window.
+        Single sort key only (pg's multi-key form is unsupported —
+        raises); NULL ordering follows the declared/pg-default rule
+        (ASC -> NULLS LAST, DESC -> NULLS FIRST)."""
+        name = node.name
+        keys = node.order_within
+        if len(node.args) != 1 or len(keys) != 1:
+            raise CompileError(
+                f"{name}(value) WITHIN GROUP (ORDER BY col) takes exactly "
+                "one value and one sort key")
+        v = self.compile(node.args[0])
+        c = self.compile(keys[0].expr)
+        asc = keys[0].ascending
+        nulls = keys[0].nulls
+        nulls_first = (nulls == "first") if nulls else (not asc)
+        valid = fcond if fcond is not None else F.lit(True)
+
+        def csum(cond: Column) -> Column:
+            return F.coalesce(
+                F.sum(F.when(valid & cond, 1).otherwise(0)), F.lit(0))
+
+        n = csum(F.lit(True))
+        n_null = csum(c.isNull())
+        nn = n - n_null
+        before = (c < v) if asc else (c > v)
+        before_eq = (c <= v) if asc else (c >= v)
+        lt = csum(c.isNotNull() & before)
+        le = csum(c.isNotNull() & before_eq)
+        null_ahead = F.when(F.lit(nulls_first), n_null).otherwise(F.lit(0))
+
+        if name == "rank":
+            r = F.lit(1) + lt + null_ahead
+            r_null = F.lit(1) if nulls_first else nn + 1
+            return F.when(v.isNull(), r_null).otherwise(r).cast("long")
+        if name == "dense_rank":
+            d_lt = F.coalesce(
+                F.count_distinct(F.when(valid & c.isNotNull() & before, c)),
+                F.lit(0))
+            has_null = F.when(n_null > 0, 1).otherwise(0)
+            d = F.lit(1) + d_lt + F.when(F.lit(nulls_first),
+                                         has_null).otherwise(F.lit(0))
+            d_all = F.coalesce(
+                F.count_distinct(F.when(valid & c.isNotNull(), c)),
+                F.lit(0))
+            d_null = F.lit(1) if nulls_first else d_all + 1
+            return F.when(v.isNull(), d_null).otherwise(d).cast("long")
+        if name == "percent_rank":
+            r = F.lit(1) + lt + null_ahead
+            r_null = F.lit(1) if nulls_first else nn + 1
+            rk = F.when(v.isNull(), r_null).otherwise(r)
+            return F.when(n > 0, (rk - 1).cast("double") / n) \
+                .otherwise(F.lit(0.0))
+        # cume_dist: (rows preceding or peer of v, incl. v) / (n + 1)
+        ahead = le + null_ahead
+        ahead_null = n_null + (F.lit(0) if nulls_first else nn)
+        cd = F.when(v.isNull(), ahead_null).otherwise(ahead)
+        return (cd + 1).cast("double") / (n + 1)
+
     def _compile_similar_to(self, node: ast.Call) -> Column:
         """pg `x SIMILAR TO p`: SQL-regex matching the WHOLE string, where
         % = .* and _ = . while |, *, +, ?, {m,n}, (), [...] keep their regex
@@ -2263,6 +2330,9 @@ class ExprCompiler:
             if not keys[0].ascending:
                 idx = F.size(arr) - idx + 1
             return F.element_at(arr, idx)
+        if name in ("rank", "dense_rank", "percent_rank", "cume_dist") \
+                and node.args:
+            return self._compile_hypothetical_agg(node, fcond)
         if name == "mode":
             if node.args or len(keys) != 1:
                 raise CompileError("mode() WITHIN GROUP (ORDER BY col) takes "

@@ -114,6 +114,12 @@ def contains_aggregate(node, agg_names: Set[str]) -> bool:
     if isinstance(node, ast.Call):
         if node.name in agg_names or (node.star and node.name == "count"):
             return True
+        # hypothetical-set aggregates: rank(v) WITHIN GROUP (ORDER BY c)
+        # — aggregate ONLY in the WITHIN GROUP form (bare rank() is a
+        # window function)
+        if node.name in ("rank", "dense_rank", "percent_rank",
+                         "cume_dist") and node.order_within and node.args:
+            return True
     if not isinstance(node, ast.Node) or isinstance(node, (ast.Select, ast.SetOp)):
         return False
     for f in dataclasses.fields(node):

@@ -1395,3 +1395,29 @@ def test_materialized_view_duckdb_differential(spark):
     con.execute(f"CREATE TABLE mv AS {defn}")
     after = both()
     assert after != before and (1, 130) in after
+
+
+def test_hypothetical_set_aggregates(spark):
+    scope = {"h": spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 4.0), (1, 1.0), (1, None)],
+        "g long, c double")}
+    q = ("select g, rank(2.5) within group (order by c) as r "
+         "from h group by g order by g")
+    assert [tuple(r) for r in run(q, scope, spark).collect()] == \
+        [(0, 3), (1, 2)]
+    # hypothetical NULL ties with the existing NULL (ASC -> NULLS LAST)
+    q = ("select rank(cast(null as double)) within group (order by c) as r,"
+         " cume_dist(cast(null as double)) within group (order by c) as cd"
+         " from h where g = 1")
+    assert [tuple(r) for r in run(q, scope, spark).collect()] == [(2, 1.0)]
+    # DESC default is NULLS FIRST: the hypothetical NULL ranks first
+    q = ("select rank(cast(null as double)) within group (order by c desc)"
+         " as r from h where g = 1")
+    assert [tuple(r) for r in run(q, scope, spark).collect()] == [(1,)]
+    # FILTER excludes rows from the hypothetical population entirely
+    q = ("select rank(1.0) within group (order by c) "
+         "filter (where c > 1) as r from h where g = 0")
+    assert [tuple(r) for r in run(q, scope, spark).collect()] == [(1,)]
+    with pytest.raises(Exception, match="one value and one sort key"):
+        run("select rank(1, 2) within group (order by c, g) from h",
+            scope, spark)

@@ -1343,6 +1343,14 @@ QUERIES = [
     ("select '{\"a\":[1,2]}'::jsonb @? '$.a', "
      "'{\"a\":1}'::jsonb @? '$.z'",
      "select true, false"),
+    # hypothetical-set aggregates (SQL:2008; DuckDB lacks them — literal
+    # oracles pin pg's values over c2 in {1..6})
+    ("select rank(3.5) within group (order by c2), "
+     "dense_rank(3.0) within group (order by c2), "
+     "percent_rank(3.5) within group (order by c2), "
+     "cume_dist(3.0) within group (order by c2), "
+     "rank(3.5) within group (order by c2 desc) from test",
+     "select 4, 3, 0.5, 4.0/7, 4"),
     ("select '{\"a\":1}'::jsonb || '{\"b\":2,\"a\":9}'::jsonb, "
      "'[1,2]'::jsonb || '[3]'::jsonb, '[1]'::jsonb || '2'::jsonb",
      "select '{\"a\":9,\"b\":2}', '[1,2,3]', '[1,2]'"),
