@@ -102,6 +102,7 @@ class Executor:
         # materialized-view definitions: name -> defining query AST, so
         # REFRESH MATERIALIZED VIEW can re-run them against current scope
         self._matviews: Dict[str, object] = {}
+        self._options: Dict[str, str] = {}  # SET name TO v; SHOW reads back
         # WITH RECURSIVE fixpoint cap (pg has none and can loop forever; we
         # fail fast instead — raise it for deep hierarchies)
         self.recursive_max_iterations = 100
@@ -546,6 +547,8 @@ class Executor:
             rows = [(line,) for line in plan.splitlines()]
             return self.spark.createDataFrame(rows, "`QUERY PLAN` string")
         if isinstance(node, ast.CreateTableAs):
+            if node.if_not_exists and node.name in scope:
+                return None  # pg: skipped with a notice
             df = self._compile_query(node.query, scope)
             if node.materialized:
                 # pg MATERIALIZED VIEW: contents frozen at creation time —
@@ -565,6 +568,29 @@ class Executor:
             scope[node.name] = self._compile_query(query, scope) \
                 .localCheckpoint(eager=True)
             return None
+        if isinstance(node, ast.AlterRename):
+            if node.old not in scope:
+                if node.if_exists:
+                    return None
+                raise KeyError(f"table not found: {node.old}")
+            if node.new in scope:
+                raise CompileError(
+                    f'relation "{node.new}" already exists')
+            scope[node.new] = scope.pop(node.old)
+            if node.old in self._matviews:
+                self._matviews[node.new] = self._matviews.pop(node.old)
+            return None
+        if isinstance(node, ast.SetOption):
+            self._options[node.name] = node.value
+            return None
+        if isinstance(node, ast.ResetOption):
+            if node.name is None:
+                self._options.clear()
+            else:
+                self._options.pop(node.name, None)
+            return None
+        if isinstance(node, ast.Utility):
+            return None  # documented no-ops: txn control / maintenance
         if isinstance(node, ast.DropTable):
             for name in node.names:
                 if name in scope:
@@ -748,7 +774,8 @@ class Executor:
             write_csv(self, df, node.path, dict(node.options))
             return None
         if isinstance(node, ast.ShowOption):
-            value = _SHOW_OPTIONS.get(node.option)
+            value = self._options.get(node.option,
+                                      _SHOW_OPTIONS.get(node.option))
             if value is None:
                 raise CompileError(f"unknown SHOW option: {node.option}")
             col = node.option if " " not in node.option else node.option.split()[0]

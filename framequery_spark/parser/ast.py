@@ -441,6 +441,41 @@ class CreateTableAs(Node):
     query: Node  # Select | SetOp
     replace: bool = False
     materialized: bool = False  # CREATE MATERIALIZED VIEW (frozen, REFRESH)
+    if_not_exists: bool = False  # CREATE TABLE IF NOT EXISTS ... AS
+
+
+@dataclass(frozen=True)
+class AlterRename(Node):
+    """ALTER TABLE|VIEW [IF EXISTS] old RENAME TO new."""
+
+    old: str
+    new: str
+    if_exists: bool = False
+
+
+@dataclass(frozen=True)
+class SetOption(Node):
+    """SET [SESSION|LOCAL] name TO/= value (stored; SHOW reads it back)."""
+
+    name: str
+    value: str
+
+
+@dataclass(frozen=True)
+class ResetOption(Node):
+    """RESET name | RESET ALL (name None = ALL)."""
+
+    name: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Utility(Node):
+    """Accepted-and-ignored utility statements (BEGIN/COMMIT/ROLLBACK,
+    VACUUM, ANALYZE, DISCARD, SAVEPOINT ...): pg clients issue them
+    routinely; the engine has no transactions or planner statistics, so
+    they are deliberate no-ops."""
+
+    kind: str
 
 
 @dataclass(frozen=True)

@@ -246,6 +246,35 @@ class Parser:
                 name=".".join(self.parse_dotted_name()))
         if self.is_kw("show"):
             return self.parse_show()
+        if self.is_kw("alter"):
+            return self.parse_alter()
+        if self.is_kw("set"):
+            return self.parse_set()
+        if self.is_kw("reset"):
+            self.advance()
+            if self.accept_kw("all"):
+                return ast.ResetOption(name=None)
+            parts = [self.advance().value.lower()]
+            while self.accept_op("."):
+                parts.append(self.advance().value.lower())
+            return ast.ResetOption(name=".".join(parts))
+        if self.is_kw("begin", "commit", "rollback", "abort", "end",
+                      "savepoint", "release", "vacuum", "analyze",
+                      "analyse", "discard", "checkpoint", "listen",
+                      "unlisten", "notify"):
+            # transaction control / maintenance / async-notify: pg clients
+            # issue these routinely; no transactions or planner statistics
+            # exist here, so accept-and-ignore (see ast.Utility). START
+            # TRANSACTION is handled below ("start" would shadow a table
+            # named start otherwise — it only triggers before TRANSACTION).
+            kind = self.advance().value.lower()
+            while not self.at_end() and not self.is_op(";"):
+                self.advance()
+            return ast.Utility(kind=kind)
+        if self.is_kw("start") and self.is_kw("transaction", offset=1):
+            while not self.at_end() and not self.is_op(";"):
+                self.advance()
+            return ast.Utility(kind="begin")
         if self.is_kw("explain"):
             self.advance()
             analyze = bool(self.accept_kw("analyze"))
@@ -572,6 +601,10 @@ class Parser:
         # DataFrames, so every "table" in the scope already IS a view.
         # MATERIALIZED views are the opposite: frozen at creation,
         # re-computed only by REFRESH.
+        # TEMP/TEMPORARY/UNLOGGED are storage hints pg-side; scope tables
+        # are session-local lazy DataFrames already — accepted, ignored
+        self.accept_kw("temp") or self.accept_kw("temporary") \
+            or self.accept_kw("unlogged")
         materialized = False
         if self.is_kw("materialized"):
             self.advance()
@@ -579,11 +612,17 @@ class Parser:
             materialized = True
         elif not self.accept_kw("view"):
             self.expect_kw("table")
+        if_not_exists = False
+        if self.accept_kw("if"):
+            self.expect_kw("not")
+            self.expect_kw("exists")
+            if_not_exists = True
         name = ".".join(self.parse_dotted_name())
         self.expect_kw("as")
         query = self.parse_query()
         return ast.CreateTableAs(name=name, query=query, replace=replace,
-                                 materialized=materialized)
+                                 materialized=materialized,
+                                 if_not_exists=if_not_exists)
 
     def parse_drop_table(self) -> ast.DropTable:
         self.expect_kw("drop")
@@ -600,6 +639,52 @@ class Parser:
         while self.accept_op(","):
             names.append(".".join(self.parse_dotted_name()))
         return ast.DropTable(names=tuple(names), if_exists=if_exists)
+
+    def parse_alter(self) -> ast.AlterRename:
+        self.expect_kw("alter")
+        if self.accept_kw("materialized"):
+            self.expect_kw("view")
+        elif not self.accept_kw("view"):
+            self.expect_kw("table")
+        if_exists = False
+        if self.accept_kw("if"):
+            self.expect_kw("exists")
+            if_exists = True
+        old = ".".join(self.parse_dotted_name())
+        if not self.accept_kw("rename"):
+            raise self.error(
+                "only ALTER TABLE/VIEW ... RENAME TO is supported "
+                "(scope tables are schemaless lazy DataFrames — column "
+                "DDL belongs in the defining query)")
+        self.expect_kw("to")
+        new = ".".join(self.parse_dotted_name())
+        return ast.AlterRename(old=old, new=new, if_exists=if_exists)
+
+    def parse_set(self) -> ast.Node:
+        self.expect_kw("set")
+        if not (self.accept_kw("session") or self.accept_kw("local")):
+            pass
+        if self.is_kw("time") and self.is_kw("zone", offset=1):
+            self.advance()
+            self.advance()
+            tok = self.advance()
+            val = unquote_string(tok.value) if tok.kind == "string" \
+                else tok.value
+            return ast.SetOption(name="timezone", value=val)
+        parts = [self.advance().value.lower()]
+        while self.accept_op("."):
+            parts.append(self.advance().value.lower())
+        name = ".".join(parts)
+        if not (self.accept_kw("to") or self.accept_op("=")):
+            raise self.error("expected TO or = after SET name")
+        vals = []
+        while not self.at_end() and not self.is_op(";"):
+            tok = self.advance()
+            if tok.kind == "string":
+                vals.append(unquote_string(tok.value))
+            elif tok.value != ",":
+                vals.append(tok.value)
+        return ast.SetOption(name=name, value=", ".join(vals))
 
     def parse_show(self) -> ast.ShowOption:
         self.expect_kw("show")

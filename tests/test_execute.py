@@ -1421,3 +1421,42 @@ def test_hypothetical_set_aggregates(spark):
     with pytest.raises(Exception, match="one value and one sort key"):
         run("select rank(1, 2) within group (order by c, g) from h",
             scope, spark)
+
+
+def test_utility_statements_and_session_options(spark):
+    import framequery_spark as fq
+
+    ex = fq.Executor({"u": spark.createDataFrame([(1,)], "a long")},
+                     spark=spark)
+    # pg clients issue these constantly — accepted no-ops
+    for stmt in ("BEGIN", "START TRANSACTION", "COMMIT", "ROLLBACK",
+                 "SAVEPOINT s1", "RELEASE SAVEPOINT s1",
+                 "VACUUM FULL u", "ANALYZE u", "DISCARD ALL"):
+        assert ex.execute(stmt) is None
+    ex.execute("SET search_path TO public, app")
+    assert ex.execute("SHOW search_path").collect()[0][0] == "public, app"
+    ex.execute("SET TIME ZONE 'UTC'")
+    assert ex.execute("SHOW timezone").collect()[0][0] == "UTC"
+    ex.execute("RESET search_path")
+    with pytest.raises(Exception, match="unknown SHOW option"):
+        ex.execute("SHOW search_path")
+
+
+def test_create_variants_and_alter_rename(spark):
+    import framequery_spark as fq
+
+    ex = fq.Executor({"u": spark.createDataFrame([(1,), (2,)], "a long")},
+                     spark=spark)
+    ex.execute("CREATE TEMP TABLE c1 AS SELECT * FROM u")
+    # IF NOT EXISTS: existing table wins, the new query is not evaluated
+    ex.execute("CREATE TABLE IF NOT EXISTS c1 AS SELECT a FROM u WHERE a > 99")
+    assert ex.execute("SELECT count(*) AS n FROM c1").collect()[0].n == 2
+    ex.execute("ALTER TABLE c1 RENAME TO c2")
+    assert ex.execute("SELECT count(*) AS n FROM c2").collect()[0].n == 2
+    with pytest.raises(Exception, match="not found"):
+        ex.execute("SELECT 1 FROM c1")
+    ex.execute("ALTER TABLE IF EXISTS missing RENAME TO whatever")
+    with pytest.raises(Exception, match="already exists"):
+        ex.execute("ALTER TABLE u RENAME TO c2")
+    with pytest.raises(Exception, match="RENAME TO is supported"):
+        ex.execute("ALTER TABLE c2 DROP COLUMN a")
