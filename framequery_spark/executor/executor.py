@@ -568,6 +568,45 @@ class Executor:
             scope[node.name] = self._compile_query(query, scope) \
                 .localCheckpoint(eager=True)
             return None
+        if isinstance(node, ast.WithDml):
+            # CTEs become temporary scope entries visible to the DML; they
+            # are compiled EAGERLY-lazily against the pre-DML state (lazy
+            # DataFrames over the current bindings — since the DML rebinds
+            # rather than mutates, the CTE plans keep reading the original
+            # data like pg's same-snapshot semantics). Shadowed names are
+            # restored afterwards.
+            target = getattr(node.stmt, "table",
+                             getattr(node.stmt, "target", None))
+            if any(c.name == target for c in node.ctes):
+                # pg resolves the DML target to the real relation even
+                # when a CTE shares its name; here the CTE would shadow
+                # it and the restore would discard the modification —
+                # reject instead of silently doing the wrong thing
+                raise CompileError(
+                    f'WITH query name "{target}" collides with the DML '
+                    "target table — rename the CTE")
+            _missing = object()
+            saved = {c.name: scope.get(c.name, _missing)
+                     for c in node.ctes}
+            try:
+                cte_scope = dict(scope)
+                for cte in node.ctes:
+                    sub = QueryCompiler(self, cte_scope)
+                    if cte.recursive:
+                        df = sub._compile_recursive_cte(cte)
+                    else:
+                        df = sub.compile_query(cte.query)
+                        if cte.columns:
+                            df = df.toDF(*cte.columns)
+                    cte_scope[cte.name] = df
+                    scope[cte.name] = df
+                return self._execute_statement(node.stmt, scope)
+            finally:
+                for name, old in saved.items():
+                    if old is _missing:
+                        scope.pop(name, None)
+                    else:
+                        scope[name] = old
         if isinstance(node, ast.AlterRename):
             if node.old not in scope:
                 if node.if_exists:

@@ -445,6 +445,17 @@ class CreateTableAs(Node):
 
 
 @dataclass(frozen=True)
+class WithDml(Node):
+    """WITH ctes AS (...) <INSERT|UPDATE|DELETE|MERGE>: pg CTEs attached
+    to a data-modifying statement. The CTEs here are READ-ONLY sources
+    visible to the DML (pg's data-modifying CTEs — DML inside WITH —
+    are not supported and raise at parse time inside parse_with)."""
+
+    ctes: Tuple["CTE", ...]
+    stmt: Node
+
+
+@dataclass(frozen=True)
 class AlterRename(Node):
     """ALTER TABLE|VIEW [IF EXISTS] old RENAME TO new."""
 

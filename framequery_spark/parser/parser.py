@@ -205,7 +205,32 @@ class Parser:
     # ------------------------------------------------------------ statements
 
     def parse_statement(self) -> ast.Node:
-        if self.is_kw("select", "with") or self.is_op("("):
+        if self.is_kw("with"):
+            # pg attaches CTEs to DML too: WITH c AS (...) UPDATE/INSERT/
+            # DELETE/MERGE. Parse the WITH list once, then dispatch.
+            ctes = self.parse_with()
+            if self.is_kw("insert"):
+                return ast.WithDml(ctes=ctes, stmt=self.parse_insert())
+            if self.is_kw("merge"):
+                return ast.WithDml(ctes=ctes, stmt=self.parse_merge())
+            if self.is_kw("delete"):
+                return ast.WithDml(ctes=ctes, stmt=self.parse_delete())
+            if self.is_kw("update"):
+                return ast.WithDml(ctes=ctes, stmt=self.parse_update())
+            self._into_allowed = True
+            try:
+                node = self.parse_set_expr()
+            finally:
+                self._into_allowed = False
+            if isinstance(node, ast.Select):
+                node = ast.Select(**{**_select_kwargs(node), "ctes": ctes})
+            else:
+                node = _attach_ctes(node, ctes)
+            if self._select_into is not None:
+                node = ast.CreateTableAs(name=self._select_into, query=node)
+                self._select_into = None
+            return node
+        if self.is_kw("select") or self.is_op("("):
             self._into_allowed = True
             try:
                 node = self.parse_query()
@@ -293,37 +318,43 @@ class Parser:
         if self.is_kw("merge"):
             return self.parse_merge()
         if self.is_kw("delete"):
-            self.advance()
-            self.expect_kw("from")
-            table = ".".join(self.parse_dotted_name())
-            using = None
-            if self.accept_kw("using"):
-                using = self.parse_from()
-            where = self.parse_expr() if self.accept_kw("where") else None
-            returning = (self.parse_select_list()
-                         if self.accept_kw("returning") else ())
-            return ast.Delete(table=table, where=where, returning=returning,
-                              using=using)
+            return self.parse_delete()
         if self.is_kw("update"):
-            self.advance()
-            table = ".".join(self.parse_dotted_name())
-            self.expect_kw("set")
-            assigns = []
-            while True:
-                col = self.parse_name()
-                self.expect_op("=")
-                assigns.append((col, self.parse_expr()))
-                if not self.accept_op(","):
-                    break
-            from_ = None
-            if self.accept_kw("from"):
-                from_ = self.parse_from()
-            where = self.parse_expr() if self.accept_kw("where") else None
-            returning = (self.parse_select_list()
-                         if self.accept_kw("returning") else ())
-            return ast.Update(table=table, assignments=tuple(assigns),
-                              where=where, returning=returning, from_=from_)
+            return self.parse_update()
         raise self.error("expected a statement")
+
+    def parse_delete(self) -> ast.Delete:
+        self.expect_kw("delete")
+        self.expect_kw("from")
+        table = ".".join(self.parse_dotted_name())
+        using = None
+        if self.accept_kw("using"):
+            using = self.parse_from()
+        where = self.parse_expr() if self.accept_kw("where") else None
+        returning = (self.parse_select_list()
+                     if self.accept_kw("returning") else ())
+        return ast.Delete(table=table, where=where, returning=returning,
+                          using=using)
+
+    def parse_update(self) -> ast.Update:
+        self.expect_kw("update")
+        table = ".".join(self.parse_dotted_name())
+        self.expect_kw("set")
+        assigns = []
+        while True:
+            col = self.parse_name()
+            self.expect_op("=")
+            assigns.append((col, self.parse_expr()))
+            if not self.accept_op(","):
+                break
+        from_ = None
+        if self.accept_kw("from"):
+            from_ = self.parse_from()
+        where = self.parse_expr() if self.accept_kw("where") else None
+        returning = (self.parse_select_list()
+                     if self.accept_kw("returning") else ())
+        return ast.Update(table=table, assignments=tuple(assigns),
+                          where=where, returning=returning, from_=from_)
 
     def _merge_opt_alias(self, *stop_kws: str):
         if self.accept_kw("as"):

@@ -481,3 +481,31 @@ def test_delete_using_returning_star_and_source_star(spark):
     ret = ex2.execute("DELETE FROM t USING s WHERE t.id = s.id "
                       "RETURNING s.*")
     assert [tuple(r) for r in ret.collect()] == [(3, 999, "z")]
+
+
+def test_with_cte_on_dml(spark):
+    import framequery_spark as fq
+
+    ex = fq.Executor({"w": spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "a long, v double")}, spark=spark)
+    ex.execute("WITH m AS (SELECT max(v) AS mx FROM w) "
+               "UPDATE w SET v = 0 FROM m WHERE w.v = m.mx")
+    assert sorted(tuple(r) for r in ex.execute("SELECT * FROM w").collect()) \
+        == [(1, 10.0), (2, 20.0), (3, 0.0)]
+    ex.execute("WITH z AS (SELECT a FROM w WHERE v = 0) "
+               "DELETE FROM w USING z WHERE w.a = z.a")
+    assert ex.execute("SELECT count(*) AS n FROM w").collect()[0].n == 2
+    ex.execute("WITH RECURSIVE g(n) AS (SELECT 100 UNION ALL "
+               "SELECT n + 1 FROM g WHERE n < 102) "
+               "INSERT INTO w SELECT n, 0.0 FROM g")
+    assert ex.execute("SELECT count(*) AS n FROM w").collect()[0].n == 5
+    # the CTE is not left in the session scope
+    with pytest.raises(Exception):
+        ex.execute("SELECT * FROM g")
+    # RETURNING flows through
+    out = ex.execute("WITH m AS (SELECT min(a) AS mn FROM w) "
+                     "DELETE FROM w USING m WHERE w.a = m.mn RETURNING a")
+    assert [r.a for r in out.collect()] == [1]
+    # a CTE named like the DML target would shadow it — rejected
+    with pytest.raises(Exception, match="collides with the DML target"):
+        ex.execute("WITH w AS (SELECT 1 AS a) UPDATE w SET v = 1")
