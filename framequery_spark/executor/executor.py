@@ -103,6 +103,7 @@ class Executor:
         # REFRESH MATERIALIZED VIEW can re-run them against current scope
         self._matviews: Dict[str, object] = {}
         self._options: Dict[str, str] = {}  # SET name TO v; SHOW reads back
+        self._prepared: Dict[str, str] = {}  # PREPARE name -> raw SQL text
         # WITH RECURSIVE fixpoint cap (pg has none and can loop forever; we
         # fail fast instead — raise it for deep hierarchies)
         self.recursive_max_iterations = 100
@@ -630,6 +631,58 @@ class Executor:
             return None
         if isinstance(node, ast.Utility):
             return None  # documented no-ops: txn control / maintenance
+        if isinstance(node, ast.Prepare):
+            self._prepared[node.name] = node.text
+            return None
+        if isinstance(node, ast.ExecutePrepared):
+            text = self._prepared.get(node.name)
+            if text is None:
+                raise CompileError(
+                    f'prepared statement "{node.name}" does not exist')
+            vals = []
+            for a in node.args:
+                neg = False
+                if isinstance(a, ast.Unary) and a.op == "-" \
+                        and isinstance(a.operand, ast.Literal):
+                    a, neg = a.operand, True
+                if not isinstance(a, ast.Literal):
+                    raise CompileError(
+                        "EXECUTE arguments must be literals")
+                v = a.value
+                if v is None:
+                    vals.append("NULL")
+                elif a.kind == "string":
+                    vals.append("'" + str(v).replace("'", "''") + "'")
+                elif a.kind == "bool":
+                    vals.append("true" if v else "false")
+                else:
+                    vals.append(("-" if neg else "") + str(v))
+            # token-aware $n substitution: splice at pgparam token
+            # positions so $n inside string literals is never touched
+            from ..parser.tokenizer import tokenize as _tok
+
+            out, last = [], 0
+            for t in _tok(text):
+                if t.kind == "pgparam":
+                    idx = int(t.value[1:])
+                    if not 1 <= idx <= len(vals):
+                        raise CompileError(
+                            f"no value for parameter ${idx} "
+                            f"({len(vals)} given)")
+                    out.append(text[last:t.pos])
+                    out.append(vals[idx - 1])
+                    last = t.pos + len(t.value)
+            out.append(text[last:])
+            from ..parser.parser import parse as _parse
+
+            return self._execute_statement(_parse("".join(out)), scope)
+        if isinstance(node, ast.Deallocate):
+            if node.name is None:
+                self._prepared.clear()
+            elif self._prepared.pop(node.name, None) is None:
+                raise CompileError(
+                    f'prepared statement "{node.name}" does not exist')
+            return None
         if isinstance(node, ast.DropTable):
             for name in node.names:
                 if name in scope:

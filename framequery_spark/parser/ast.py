@@ -480,6 +480,32 @@ class ResetOption(Node):
 
 
 @dataclass(frozen=True)
+class Prepare(Node):
+    """PREPARE name [(types)] AS <statement-text> — the statement body is
+    stored as RAW SQL with $n placeholders; EXECUTE substitutes literal
+    arguments token-aware and re-parses (types are accepted and ignored:
+    scope tables are schemaless)."""
+
+    name: str
+    text: str
+
+
+@dataclass(frozen=True)
+class ExecutePrepared(Node):
+    """EXECUTE name [(literal args)]."""
+
+    name: str
+    args: Tuple[Node, ...] = ()
+
+
+@dataclass(frozen=True)
+class Deallocate(Node):
+    """DEALLOCATE [PREPARE] name | ALL (name None = ALL)."""
+
+    name: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class Utility(Node):
     """Accepted-and-ignored utility statements (BEGIN/COMMIT/ROLLBACK,
     VACUUM, ANALYZE, DISCARD, SAVEPOINT ...): pg clients issue them

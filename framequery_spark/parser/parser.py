@@ -300,6 +300,45 @@ class Parser:
             while not self.at_end() and not self.is_op(";"):
                 self.advance()
             return ast.Utility(kind="begin")
+        if self.is_kw("prepare"):
+            self.advance()
+            name = self.parse_name()
+            if self.accept_op("("):  # optional type list: accepted, ignored
+                depth = 1
+                while depth and not self.at_end():
+                    if self.is_op("("):
+                        depth += 1
+                    elif self.is_op(")"):
+                        depth -= 1
+                    self.advance()
+            self.expect_kw("as")
+            tok = self.peek()
+            if tok is None:
+                raise self.error("expected a statement after PREPARE ... AS")
+            text = self.sql[tok.pos:]
+            while not self.at_end() and not self.is_op(";"):
+                self.advance()
+            if self.is_op(";"):  # body text must not include the terminator
+                text = self.sql[tok.pos:self.peek().pos]
+            return ast.Prepare(name=name, text=text.strip())
+        if self.is_kw("execute") and self.peek(1) is not None \
+                and self.peek(1).kind in ("name", "qname"):
+            self.advance()
+            name = self.parse_name()
+            args = []
+            if self.accept_op("("):
+                if not self.is_op(")"):
+                    args.append(self.parse_expr())
+                    while self.accept_op(","):
+                        args.append(self.parse_expr())
+                self.expect_op(")")
+            return ast.ExecutePrepared(name=name, args=tuple(args))
+        if self.is_kw("deallocate"):
+            self.advance()
+            self.accept_kw("prepare")
+            if self.accept_kw("all"):
+                return ast.Deallocate(name=None)
+            return ast.Deallocate(name=self.parse_name())
         if self.is_kw("explain"):
             self.advance()
             analyze = bool(self.accept_kw("analyze"))

@@ -26,6 +26,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*|/\*.*?\*/)
   | (?P<param>%\(\w+\)s)
+  | (?P<pgparam>\$\d+)
   | (?P<estring>[eE]'(?:[^'\\]|''|\\.)*')
   | (?P<dollarstring>\$(?P<dtag>(?:[A-Za-z_][A-Za-z_0-9]*)?)\$.*?\$(?P=dtag)\$)
   | (?P<string>'(?:[^']|'')*')

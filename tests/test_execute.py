@@ -1460,3 +1460,30 @@ def test_create_variants_and_alter_rename(spark):
         ex.execute("ALTER TABLE u RENAME TO c2")
     with pytest.raises(Exception, match="RENAME TO is supported"):
         ex.execute("ALTER TABLE c2 DROP COLUMN a")
+
+
+def test_prepare_execute_deallocate(spark):
+    import framequery_spark as fq
+
+    ex = fq.Executor({"p": spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "a long, b string")}, spark=spark)
+    ex.execute("PREPARE q1 AS SELECT count(*) AS n FROM p "
+               "WHERE b = $1 AND a >= $2")
+    assert ex.execute("EXECUTE q1('x', 1)").collect()[0].n == 2
+    assert ex.execute("EXECUTE q1('x', 3)").collect()[0].n == 1
+    # optional type list accepted; $n inside string literals untouched
+    ex.execute("PREPARE q2 (int) AS SELECT 'costs $1' AS s, $1 + 1 AS v")
+    row = ex.execute("EXECUTE q2(41)").collect()[0]
+    assert (row.s, row.v) == ("costs $1", 42)
+    # DML bodies work and mutate the scope
+    ex.execute("PREPARE dml AS UPDATE p SET b = $1 WHERE a = $2")
+    ex.execute("EXECUTE dml('z', 2)")
+    assert ex.execute("SELECT b FROM p WHERE a = 2").collect()[0].b == "z"
+    ex.execute("DEALLOCATE q1")
+    with pytest.raises(Exception, match="does not exist"):
+        ex.execute("EXECUTE q1('x', 1)")
+    with pytest.raises(Exception, match="no value for parameter"):
+        ex.execute("EXECUTE q2()")
+    ex.execute("DEALLOCATE ALL")
+    with pytest.raises(Exception, match="does not exist"):
+        ex.execute("DEALLOCATE q2")
