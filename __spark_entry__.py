@@ -1103,9 +1103,19 @@ def _op_minhash(spark, sf_dir):
 
 
 def _op_simhash(spark, sf_dir):
-    from framequery_spark.operators.dedup import simhash_near_pairs
+    """SimHash near-dup pairs at the library-default distance
+    (max_hamming=3, 4 bands x 15 bits). The driver entry pins the
+    SQL-restatable md5-prefix hash (md5_hash60 — the same restatability
+    trick winnow_fingerprints uses) so the row is hash-verified
+    end to end by _simhash_oracle(60, 3); the library default stays
+    xxhash64 (fastest, JVM-side), covered by unit + plan-shape tests.
+    op_simhash_exact verifies the other band geometry (max_hamming=8,
+    9 bands)."""
+    from framequery_spark.operators.dedup import md5_hash60, simhash_near_pairs
 
-    return simhash_near_pairs(_scope(spark, sf_dir)["documents"], max_hamming=8)
+    return simhash_near_pairs(_scope(spark, sf_dir)["documents"],
+                              max_hamming=3, sig_bits=60,
+                              hash_fn=md5_hash60)
 
 
 def _op_embedding_near_dup(spark, sf_dir):
@@ -1178,6 +1188,34 @@ def _op_stream_dedup(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def _simhash_oracle(sig_bits: int = 60, max_hamming: int = 8) -> str:
+    """DuckDB mirror of simhash_near_pairs(hash_fn=md5_hash60): all-pairs
+    exact Hamming (fine at oracle scale) — the engine's banded candidate
+    generation must produce exactly this set (band recall is guaranteed by
+    pigeonhole, the final filter is exact)."""
+    ones = ", ".join(
+        f"sum((hv >> {b}) & 1) AS o{b}" for b in range(sig_bits))
+    sig = " | ".join(
+        f"(CASE WHEN o{b} * 2 >= n THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(sig_bits))
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM sh),
+votes AS (SELECT doc_id, count(*) AS n, {ones} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig} AS sim FROM votes)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
 _op("op_text_stats", _op_text_stats, _text_stats_oracle())
 
 _op("op_exact_dedup", _op_exact_dedup, """
@@ -1189,7 +1227,7 @@ _op("op_jaccard_pairs", _op_jaccard, _JACCARD_ORACLE)
 
 _op("op_minhash_dedup", _op_minhash, _JACCARD_ORACLE)
 
-_op("op_simhash_pairs", _op_simhash, None)  # hash-dependent: rows-only
+_op("op_simhash_pairs", _op_simhash, _simhash_oracle(60, 3))
 
 _op("op_embedding_near_dup", _op_embedding_near_dup, """
 SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -1604,41 +1642,15 @@ def _op_simhash_exact(spark, sf_dir):
     hash, per-bit majority vote, signature assembly, band-bucket candidate
     join, exact Hamming filter — is mirrored bit-for-bit by the DuckDB
     oracle below, so a green row verifies the whole pipeline including the
-    band trick's recall guarantee. op_simhash_pairs keeps the production
-    xxhash64 configuration (rows-only: xxhash64 has no SQL equivalent)."""
+    band trick's recall guarantee at the 9-band geometry. op_simhash_pairs
+    verifies the library-default geometry (max_hamming=3, 4 bands) the same
+    way; the xxhash64 production hash (no SQL restatement) is covered by
+    unit and plan-shape tests."""
     from framequery_spark.operators.dedup import md5_hash60, simhash_near_pairs
 
     return simhash_near_pairs(_scope(spark, sf_dir)["documents"],
                               max_hamming=8, sig_bits=60,
                               hash_fn=md5_hash60)
-
-
-def _simhash_oracle(sig_bits: int = 60, max_hamming: int = 8) -> str:
-    """DuckDB mirror of simhash_near_pairs(hash_fn=md5_hash60): all-pairs
-    exact Hamming (fine at oracle scale) — the engine's banded candidate
-    generation must produce exactly this set (band recall is guaranteed by
-    pigeonhole, the final filter is exact)."""
-    ones = ", ".join(
-        f"sum((hv >> {b}) & 1) AS o{b}" for b in range(sig_bits))
-    sig = " | ".join(
-        f"(CASE WHEN o{b} * 2 >= n THEN (1::BIGINT << {b}) ELSE 0 END)"
-        for b in range(sig_bits))
-    return rf"""
-WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
-                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-  FROM w),
-h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM sh),
-votes AS (SELECT doc_id, count(*) AS n, {ones} FROM h GROUP BY doc_id),
-sig AS (SELECT doc_id, {sig} AS sim FROM votes)
-SELECT a.doc_id AS id1, b.doc_id AS id2,
-       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
-"""
 
 
 _op("op_simhash_exact", _op_simhash_exact, _simhash_oracle())

@@ -134,6 +134,7 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     all_runs: dict[str, list] = {}
+    rep_diag: dict[str, list] = {}  # per-rep [released, persistent-after]
     total = 0.0
     for name, fn in qs.items():
         # NO per-entry System.gc(): with the code cache sized correctly
@@ -155,11 +156,23 @@ def main() -> None:
                 break
             runs.append(time.perf_counter() - t0)
             # reps stay independent: drop persisted intermediates the
-            # operators leave behind (cheap, no JVM-wide pause)
+            # operators leave behind. BLOCKING release — the r09 driver
+            # bench showed op_jaccard_pairs reps rising monotonically
+            # [3.65, 5.62, 8.05]; with fire-and-forget unpersist the async
+            # block removal can lag back-to-back reps, so each rep runs
+            # against the previous rep's still-resident gram cache.
+            # Blocking removal keeps reps independent, and the per-rep
+            # diagnostic below records (released handles, persistent RDDs
+            # still registered after release) as the attribution evidence.
             from framequery_spark.operators.cache import release_cached
 
-            release_cached()
+            n_released = release_cached(blocking=True)
             spark.catalog.clearCache()
+            try:
+                n_left = spark.sparkContext._jsc.getPersistentRDDs().size()
+            except Exception:
+                n_left = -1
+            rep_diag.setdefault(name, []).append([n_released, n_left])
         if failed or not runs:
             timings[name] = -1.0
             continue
@@ -194,8 +207,14 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
                 from framequery_spark.operators.cache import release_cached
 
-                release_cached()
+                n_released = release_cached(blocking=True)
                 spark.catalog.clearCache()
+                try:
+                    n_left = \
+                        spark.sparkContext._jsc.getPersistentRDDs().size()
+                except Exception:
+                    n_left = -1
+                rep_diag.setdefault(name, []).append([n_released, n_left])
                 if len(runs) >= 2 and runs[-1] >= runs[-2] * 0.9:
                     break  # flattened
         # LOWER median: rep noise is strictly one-sided (GC/JIT stalls
@@ -247,6 +266,10 @@ def main() -> None:
              if len(v) >= 2 and min(v) > 0 and max(v) / min(v) > 2.5
              and k not in slowest}
     slowest.update(noisy)
+    # cache attribution for exactly the entries whose reps are published:
+    # [released handles, persistent RDDs left] after each rep — a rising
+    # rep curve with zeros here is host/JIT, not leaked operator caches
+    cache_diag = {k: rep_diag[k] for k in slowest if k in rep_diag}
     floor_s = round(sum(min(v) for v in all_runs.values()), 3)
     print(json.dumps({
         "metric": "total_query_seconds",
@@ -254,6 +277,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "slowest_reps": slowest,
+        "cache_diag": cache_diag,
         "floor_s": floor_s,
         "sf": sf_val,
         "reps": reps,
@@ -281,6 +305,7 @@ def main() -> None:
         "sf": sf_val,
         "reps": reps,
         "slowest_reps": slowest,
+        "cache_diag": cache_diag,
         "failed": [k for k, v in timings.items() if v < 0],
         "ckpt_root": ckpt_root,
         "load1_start": round(load1_start, 1),

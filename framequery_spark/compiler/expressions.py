@@ -333,6 +333,43 @@ CAST_MAP = {
 
 COMPARISONS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 
+
+def _parse_pg_brace_array(text: str):
+    """Parse a pg array literal body '{a,"b,c",NULL}' into Python values
+    (None for unquoted NULL). Double quotes protect commas/spaces;
+    backslash escapes the next char inside quotes."""
+    s = text.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise CompileError(f"malformed array literal: {text!r}")
+    body = s[1:-1]
+    if not body.strip():
+        return []
+    items, cur, i, quoted, was_quoted = [], [], 0, False, False
+    while i < len(body):
+        ch = body[i]
+        if quoted:
+            if ch == "\\" and i + 1 < len(body):
+                cur.append(body[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                quoted = False
+            else:
+                cur.append(ch)
+        elif ch == '"':
+            quoted = True
+            was_quoted = True
+        elif ch == ",":
+            v = "".join(cur).strip() if not was_quoted else "".join(cur)
+            items.append(None if not was_quoted and v.upper() == "NULL" else v)
+            cur, was_quoted = [], False
+        else:
+            cur.append(ch)
+        i += 1
+    v = "".join(cur).strip() if not was_quoted else "".join(cur)
+    items.append(None if not was_quoted and v.upper() == "NULL" else v)
+    return items
+
 # pg to_char/to_date template patterns -> Java SimpleDateFormat-style
 # patterns (longest-first so MM does not eat Month, etc.)
 _PG_DATEFMT = [
@@ -787,8 +824,9 @@ class ExprCompiler:
                     isinstance(node.right, ast.Literal)
                     and node.right.kind == "int"):
                 return jsonb_minus_udf("index")(jt, right.cast("string"))
-            if isinstance(node.right, ast.Call) and \
-                    node.right.name == "__array":
+            if self._static_is_array(node.right):
+                # ARRAY['a','b'], '{a,b}'::text[], or any array-typed
+                # expression: pg jsonb - text[] deletes several keys
                 return jsonb_minus_udf("keys")(jt, F.to_json(right))
             return jsonb_minus_udf("key")(jt, right.cast("string"))
         if op == "-":
@@ -825,10 +863,18 @@ class ExprCompiler:
             if self._is_tsvector(node.left) and self._is_tsvector(node.right):
                 from ..functions import textsearch as _ts
                 return _ts.tsvector_concat(left, right)
-            if self._is_jsonby(node.left) and self._is_jsonby(node.right):
+            lj, rj = self._is_jsonby(node.left), self._is_jsonby(node.right)
+            if lj and rj or (
+                    # pg unknown-literal inference: when one side is
+                    # provably jsonb, a bare string literal on the other
+                    # side is a jsonb literal, not text — the standard
+                    # jsonb-update idiom (col || '{"k":"v"}')
+                    lj and isinstance(node.right, ast.Literal)
+                    and node.right.kind == "string") or (
+                    rj and isinstance(node.left, ast.Literal)
+                    and node.left.kind == "string"):
                 # pg jsonb || jsonb: shallow object merge (right wins),
-                # array concat, scalars wrap to arrays — the standard
-                # jsonb-update idiom (col || '{"k":"v"}')
+                # array concat, scalars wrap to arrays
                 from ..functions.registry import jsonb_concat_udf
 
                 return jsonb_concat_udf()(self._jsonb_text(node.left),
@@ -1027,6 +1073,25 @@ class ExprCompiler:
             # Rendered as HH:mm:ss text — sorts and compares correctly
             # (fixed-width), documented deviation from a native time type.
             return F.date_format(c.cast("timestamp"), "HH:mm:ss")
+        if t.endswith("[]"):
+            # pg array type: text[], int[] … (extra dims already collapsed
+            # by the parser). A string literal is the pg brace form
+            # '{a,"b,c",NULL}'; anything else casts element-wise.
+            elem = t[:-2].strip()
+            eb = elem.split("(")[0]
+            spark_elem = CAST_MAP.get(elem) or CAST_MAP.get(eb)
+            if spark_elem is None and eb in ("decimal", "numeric"):
+                spark_elem = "decimal" + (
+                    elem[elem.index("(") :] if "(" in elem else "(38,18)")
+            if spark_elem is None:
+                raise CompileError(f"unsupported cast target: {node.type_name}")
+            if isinstance(node.expr, ast.Literal) \
+                    and node.expr.kind == "string":
+                items = _parse_pg_brace_array(node.expr.value)
+                cols = [F.lit(x).cast(spark_elem) for x in items]
+                return F.array(*cols) if cols \
+                    else F.array().cast(f"array<{spark_elem}>")
+            return c.cast(f"array<{spark_elem}>")
         base = t.split("(")[0]
         if t in CAST_MAP:
             return c.cast(CAST_MAP[t])

@@ -656,7 +656,11 @@ class Executor:
                 elif a.kind == "bool":
                     vals.append("true" if v else "false")
                 else:
-                    vals.append(("-" if neg else "") + str(v))
+                    # parenthesize numeric splices: a bare negative after
+                    # a '-' in the prepared text ("5-" + "-2") would fuse
+                    # into a '--' line comment and silently truncate the
+                    # statement
+                    vals.append("(" + ("-" if neg else "") + str(v) + ")")
             # token-aware $n substitution: splice at pgparam token
             # positions so $n inside string literals is never touched
             from ..parser.tokenizer import tokenize as _tok

@@ -164,7 +164,16 @@ def _chr_unicode(a: List[Column]) -> Column:
             .when(n <= 0x7FF, two)
             .when(n <= 0xFFFF, three)
             .when(n <= 0x10FFFF, four))
-    return F.decode(F.unhex(hexs), "UTF-8")
+    # pg errors on n <= 0 ("null character not permitted" / "character
+    # number must be positive"), surrogate halves, and n > 0x10FFFF
+    # ("requested character too large") — match, instead of silently
+    # emitting NUL / invalid UTF-8 / NULL
+    bad = (n <= 0) | ((n >= 0xD800) & (n <= 0xDFFF)) | (n > 0x10FFFF)
+    return F.when(
+        bad,
+        F.raise_error(F.concat(F.lit("chr(): invalid Unicode code point "),
+                               n.cast("string"))).cast("string"),
+    ).otherwise(F.decode(F.unhex(hexs), "UTF-8"))
 
 
 _fixed("chr", _chr_unicode)

@@ -61,15 +61,19 @@ def release_one(df: DataFrame) -> None:
         pass
 
 
-def release_cached() -> int:
-    """Unpersist every tracked intermediate (non-blocking); returns the
-    number released. Idempotent; safe to call while results are still lazy
-    (they recompute uncached)."""
+def release_cached(blocking: bool = False) -> int:
+    """Unpersist every tracked intermediate; returns the number released.
+    Idempotent; safe to call while results are still lazy (they recompute
+    uncached). Default is non-blocking (fire-and-forget block removal);
+    pass ``blocking=True`` when the next measurement must not overlap the
+    async removal — back-to-back bench reps with non-blocking release can
+    accumulate cached blocks faster than the async cleaner drops them,
+    which reads as monotonically rising rep times."""
     released = 0
     while _TRACKED:
         df = _TRACKED.pop()
         try:
-            df.unpersist(False)
+            df.unpersist(blocking)
             released += 1
         except Exception:  # session already stopped — nothing to release
             pass

@@ -1091,16 +1091,18 @@ class Parser:
             if self.accept_kw("desc"):
                 ascending = False
             elif self.is_kw("using"):
-                # pg ORDER BY expr USING op: only the btree comparison
-                # operators have a Spark sort mapping (< asc, > desc)
+                # pg ORDER BY expr USING op: pg only accepts the strict
+                # btree operators (< asc, > desc); <=/>= are rejected with
+                # "is not a valid ordering operator", matched here
                 self.advance()
-                if self.accept_op("<") or self.accept_op("<="):
+                if self.accept_op("<"):
                     ascending = True
-                elif self.accept_op(">") or self.accept_op(">="):
+                elif self.accept_op(">"):
                     ascending = False
                 else:
                     raise self.error(
-                        "ORDER BY ... USING supports <, <=, > and >= only")
+                        "ORDER BY ... USING supports < and > only "
+                        "(<=/>= are not valid ordering operators)")
             else:
                 self.accept_kw("asc")
             nulls = None
@@ -1836,6 +1838,19 @@ class Parser:
                 args.append(self.advance().value)
             self.expect_op(")")
             name += "(" + ",".join(args) + ")"
+        # pg array type suffix: text[], int[][]; extra dimensions are
+        # ignored by pg itself, so normalize to one trailing "[]"
+        had_array = False
+        while self.is_op("["):
+            save = self.i
+            self.advance()
+            if not self.accept_op("]"):
+                # not a type suffix — a subscript on the cast result
+                self.i = save
+                break
+            had_array = True
+        if had_array:
+            name += "[]"
         return name
 
     def parse_primary(self) -> ast.Node:

@@ -166,13 +166,12 @@ def test_lint_catches_bare_sum_oracle():
 
 # rows-only entries (no DuckDB oracle BY DESIGN) must be explicitly listed
 # here; each has an exact-configuration mirror entry that IS hash-verified.
-# op_ann_topk / op_ivf_topk gained seeded-determinism oracles in r08 and
-# op_pq_topk / op_semdedup in r09 (literal hyperplanes / quantizers /
-# codebooks / centroids inlined into independent DuckDB derivations); the
-# ONE entry left is genuinely oracle-less: op_simhash_pairs hinges on
-# Spark-specific xxhash64 signatures that no static SQL can restate. Its
-# exact-config mirror op_simhash_exact is hash-green.
-ROWS_ONLY = {"op_simhash_pairs"}
+# op_ann_topk / op_ivf_topk gained seeded-determinism oracles in r08,
+# op_pq_topk / op_semdedup in r09, and op_simhash_pairs in r10 (its driver
+# entry now pins the md5-prefix hash so the full banded pipeline restates
+# in DuckDB; the xxhash64 production hash stays the library default,
+# covered by unit + plan tests). Every entry is now oracle-bearing.
+ROWS_ONLY: set = set()
 
 
 def test_every_entry_has_oracle_or_is_listed_rows_only():

@@ -1487,3 +1487,56 @@ def test_prepare_execute_deallocate(spark):
     ex.execute("DEALLOCATE ALL")
     with pytest.raises(Exception, match="does not exist"):
         ex.execute("DEALLOCATE q2")
+
+
+def test_advisor_round9_fixes(spark):
+    """Round-10 fixes for the round-9 advisor findings."""
+    import framequery_spark as fq
+
+    # 1. EXECUTE with a negative argument after '-' must not fuse into a
+    # '--' line comment (previously returned 5 with the tail commented out)
+    ex = fq.Executor({}, spark=spark)
+    ex.execute("PREPARE pneg AS SELECT 5-$1 AS v, $1 * 2 AS w")
+    row = ex.execute("EXECUTE pneg(-2)").collect()[0]
+    assert (row.v, row.w) == (7, -4)
+
+    # 2. jsonb || bare string literal dispatches to jsonb merge (pg
+    # unknown-literal inference), not string concat
+    r = fq.execute("""SELECT '{"a":1}'::jsonb || '{"b":2}' AS m""",
+                   spark=spark).collect()[0]
+    assert '"a":1' in r.m.replace(" ", "") and '"b":2' in r.m.replace(" ", "")
+    r = fq.execute("""SELECT '{"a":1}' || '{"a":9}'::jsonb AS m""",
+                   spark=spark).collect()[0]
+    assert r.m.replace(" ", "") == '{"a":9}'
+
+    # 3. jsonb - text[] recognizes array-typed casts, not just ARRAY[...]
+    r = fq.execute(
+        """SELECT '{"a":1,"b":2,"c":3}'::jsonb - '{a,b}'::text[] AS x""",
+        spark=spark).collect()[0]
+    assert r.x.replace(" ", "") == '{"c":3}'
+    # pg brace array literal cast itself
+    r = fq.execute("SELECT '{a,\"b,c\",NULL}'::text[] AS arr",
+                   spark=spark).collect()[0]
+    assert r.arr == ["a", "b,c", None]
+    r = fq.execute("SELECT '{1,2,3}'::int[] AS arr", spark=spark).collect()[0]
+    assert r.arr == [1, 2, 3]
+
+    # 4. chr() raises on pg-invalid code points instead of emitting garbage
+    assert fq.execute("SELECT chr(9731) AS c",
+                      spark=spark).collect()[0].c == "☃"
+    for bad in ("chr(0)", "chr(-1)", "chr(55296)", "chr(57343)",
+                "chr(1114112)"):
+        with pytest.raises(Exception, match="invalid Unicode code point"):
+            fq.execute(f"SELECT {bad} AS c", spark=spark).collect()
+    # boundary values still fine
+    assert fq.execute("SELECT chr(1114111) AS c",
+                      spark=spark).collect()[0].c == "\U0010FFFF"
+
+    # 5. ORDER BY ... USING rejects <= and >= like pg
+    for op in ("<=", ">="):
+        with pytest.raises(Exception, match="not valid ordering"):
+            fq.execute(f"SELECT 1 AS x ORDER BY x USING {op}", spark=spark)
+    got = fq.execute(
+        "SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 2) t "
+        "ORDER BY x USING >", spark=spark).collect()
+    assert [r.x for r in got] == [2, 1]
