@@ -5110,6 +5110,91 @@ FROM m
 """)
 
 
+def _op_near_dup_sweep(spark, sf_dir):
+    """Unified near-dup façade (operators/dedup.py: near_dup_pairs +
+    near_dup_config_sweep): TWO methods — MOSS winnowing candidates and
+    word-3-gram containment — evaluated against the SAME exact
+    word-3-gram Jaccard >= 0.7 ground truth, one precision/recall/F1
+    row per config. Both approx derivations and the truth are
+    md5/string-exact, so the whole two-method sweep is hash-verified."""
+    from framequery_spark.operators.dedup import near_dup_config_sweep
+
+    docs = _scope(spark, sf_dir)["documents"]
+    return near_dup_config_sweep(docs, {
+        "containment_08": ("containment", {"k": 3, "threshold": 0.8}),
+        "winnow_w4": ("winnow", {"k": 3, "window": 4, "min_shared": 3,
+                                 "max_doc_freq": 20}),
+    })
+
+
+_op("op_near_dup_sweep", _op_near_dup_sweep, r"""
+WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1, 1)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM d),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common_p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exact_p AS (
+  SELECT id1, id2 FROM common_p
+  JOIN cnt c1 ON common_p.id1 = c1.doc_id
+  JOIN cnt c2 ON common_p.id2 = c2.doc_id
+  WHERE common * 1.0 / (c1.n + c2.n - common) >= 0.7),
+approx_c AS (
+  SELECT id1, id2 FROM common_p
+  JOIN cnt c1 ON common_p.id1 = c1.doc_id
+  JOIN cnt c2 ON common_p.id2 = c2.doc_id
+  WHERE common * 1.0 / least(c1.n, c2.n) >= 0.8),
+g AS (SELECT doc_id,
+        list_transform(range(0, greatest(len(ws)-2, 0)),
+          i -> substr(md5(array_to_string(list_slice(ws, i+1, i+3), ' ')),
+                      1, 16)) AS hs
+      FROM d),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CASE WHEN len(hs) = 0 THEN 0
+                           ELSE greatest(len(hs) - 3, 1) END),
+             s -> list_aggregate(list_slice(hs, s+1, least(s+4, len(hs))),
+                                 'min'))) AS fp
+    FROM g) t),
+freq AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 20),
+kept AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM freq)),
+approx_w AS (
+  SELECT id1, id2 FROM (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) t
+  WHERE n >= 3),
+m AS (
+  SELECT 'containment_08' AS config,
+         (SELECT count(*) FROM approx_c) AS n_approx,
+         (SELECT count(*) FROM exact_p) AS n_exact,
+         (SELECT count(*) FROM approx_c JOIN exact_p USING (id1, id2))
+           AS n_hit
+  UNION ALL
+  SELECT 'winnow_w4',
+         (SELECT count(*) FROM approx_w),
+         (SELECT count(*) FROM exact_p),
+         (SELECT count(*) FROM approx_w JOIN exact_p USING (id1, id2)))
+SELECT config, n_approx, n_exact, n_hit,
+       CASE WHEN n_approx > 0
+            THEN round(n_hit * 1.0 / n_approx, 6) END AS precision,
+       CASE WHEN n_exact > 0
+            THEN round(n_hit * 1.0 / n_exact, 6) END AS recall,
+       CASE WHEN n_approx > 0 AND n_exact > 0
+            THEN round(2.0 * n_hit / (n_approx + n_exact), 6) END AS f1
+FROM m
+ORDER BY config
+""")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _sql_runner(_Q["q01_pricing_summary"][0])(spark, "/root/testdata/sf0.001")

@@ -271,6 +271,29 @@ def main() -> None:
     # rep curve with zeros here is host/JIT, not leaked operator caches
     cache_diag = {k: rep_diag[k] for k in slowest if k in rep_diag}
     floor_s = round(sum(min(v) for v in all_runs.values()), 3)
+    # Full per-entry artifact: the driver's recorded tail is byte-truncated
+    # (BENCH_r09 preserved only 16/179 per-entry timings), which makes
+    # cross-round regression diffing impossible from artifacts alone. Every
+    # run therefore writes the COMPLETE entry->(median, reps) map next to
+    # the script; the round close snapshots it to bench_entries_r<N>.json
+    # (tools/gen_bench_history.py --snapshot-entries N) and a test asserts
+    # the committed snapshot covers the whole inventory.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_entries.json"), "w") as fh:
+            json.dump({
+                "sf": sf_val, "cpus": cpus, "reps": reps,
+                "contended": contended,
+                "load1_start": round(load1_start, 1),
+                "load1_end": round(load1_end, 1),
+                "entries": {k: {"median": v,
+                                "reps": all_runs.get(k, []),
+                                "cache_diag": rep_diag.get(k, [])}
+                            for k, v in timings.items()},
+            }, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write bench_entries.json: {exc}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 3),

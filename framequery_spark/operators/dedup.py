@@ -943,6 +943,94 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("n_shared") >= min_shared))
 
 
+# ------------------------------------------------- unified near-dup façade
+
+# method -> (callable, native score column). Every member emits (id1 < id2)
+# pair rows; the façade renames the native measure to `score` so configs
+# are interchangeable in sweeps (jaccard / containment / trgm / minhash:
+# similarity in [0, 1]; winnow: shared-fingerprint count; simhash:
+# Hamming DISTANCE — lower is nearer).
+_NEAR_DUP_METHODS = {
+    "jaccard": ("jaccard", None),
+    "containment": ("containment", None),
+    "trgm": ("sim", None),
+    "minhash": ("jaccard", None),
+    "winnow": ("n_shared", None),
+    "simhash": ("hamming", None),
+}
+
+
+def near_dup_pairs(df: DataFrame, method: str = "jaccard",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   **knobs) -> DataFrame:
+    """One entry point for the candidate→verify near-dup family — the
+    knobs differ per method (bands/rows for minhash, min_shared/window
+    for winnow, max_doc_freq for the gram joins, max_hamming for
+    simhash) but the contract is uniform: (id1, id2, score) with
+    id1 < id2, so any config drops into the same acceptance gate
+    (:func:`dedup_pair_quality`) or sweep (:func:`near_dup_config_sweep`).
+
+    `score` is the method's native measure (see _NEAR_DUP_METHODS);
+    callers comparing across methods should treat it as opaque evidence
+    and gate on the pair SET, which is what dedup_pair_quality does.
+    Every method keeps its own scale shape (banded LSH / blocked gram
+    join / fingerprint equi join — never all-pairs on a default path).
+    """
+    if method not in _NEAR_DUP_METHODS:
+        raise ValueError(
+            f"unknown near-dup method {method!r}; "
+            f"one of {sorted(_NEAR_DUP_METHODS)}")
+    fns = {"jaccard": jaccard_pairs, "containment": containment_pairs,
+           "trgm": trgm_pairs, "minhash": minhash_lsh_pairs,
+           "winnow": winnow_pairs, "simhash": simhash_near_pairs}
+    out = fns[method](df, id_col=id_col, text_col=text_col, **knobs)
+    native, _ = _NEAR_DUP_METHODS[method]
+    return out.select("id1", "id2",
+                      F.col(native).cast("double").alias("score"))
+
+
+def near_dup_config_sweep(df: DataFrame, configs: dict,
+                          exact: Optional[DataFrame] = None,
+                          exact_threshold: float = 0.7, exact_k: int = 3,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Evaluate several near-dup configs against ONE exact ground truth:
+    `configs` maps a label to a (method, knobs) pair, e.g.::
+
+        near_dup_config_sweep(docs, {
+            "winnow_w4": ("winnow", {"window": 4, "min_shared": 3}),
+            "containment_08": ("containment", {"threshold": 0.8}),
+        })
+
+    Ground truth defaults to exact blocked word-`exact_k`-gram Jaccard
+    >= `exact_threshold` (:func:`jaccard_pairs` — itself blocked, never
+    all-pairs); pass `exact` to supply a different truth table. Returns
+    one :func:`dedup_pair_quality` row per config, tagged `config`, so a
+    parameter sweep is one call and one output table.
+
+    Scale shape: the exact truth is computed ONCE; each config adds its
+    own candidate join plus an output-sized quality join — the corpus is
+    scanned once per config, never per pair.
+    """
+    if not configs:
+        raise ValueError("near_dup_config_sweep: configs is empty")
+    if exact is None:
+        exact = jaccard_pairs(df, id_col=id_col, text_col=text_col,
+                              k=exact_k, threshold=exact_threshold)
+    from .cache import persist_tracked
+
+    # the truth table feeds every config's quality join — persist once
+    exact = persist_tracked(exact.select("id1", "id2").distinct())
+    out = None
+    for label, (method, knobs) in configs.items():
+        approx = near_dup_pairs(df, method=method, id_col=id_col,
+                                text_col=text_col, **knobs)
+        row = (dedup_pair_quality(approx, exact)
+               .select(F.lit(label).alias("config"), "*"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def dedup_pair_quality(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Precision/recall/F1 of an approximate near-dup PAIR set against
     exact ground truth — the acceptance gate a MinHash / SimHash /

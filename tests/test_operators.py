@@ -3393,3 +3393,53 @@ def test_dedup_pair_quality_zero_denominators_null(spark):
     r = DD.dedup_pair_quality(empty, exact).collect()[0]
     assert (r.n_approx, r.n_hit) == (0, 0)
     assert r.precision is None and r.recall == 0.0 and r.f1 is None
+
+
+def test_near_dup_facade_normalizes_every_method(spark, docs):
+    """near_dup_pairs: uniform (id1, id2, score) contract across the
+    whole candidate->verify family."""
+    import framequery_spark.operators.dedup as DD
+
+    sub = docs.limit(60)
+    for method, knobs in [
+        ("jaccard", {"threshold": 0.7}),
+        ("containment", {"threshold": 0.8}),
+        ("minhash", {"num_perm": 32, "bands": 16, "threshold": 0.7}),
+        ("winnow", {"min_shared": 3, "max_doc_freq": 20}),
+        ("simhash", {"max_hamming": 3}),
+    ]:
+        out = DD.near_dup_pairs(sub, method=method, **knobs)
+        assert out.columns == ["id1", "id2", "score"], method
+        rows = out.collect()
+        assert all(r.id1 < r.id2 for r in rows), method
+    with pytest.raises(ValueError, match="unknown near-dup method"):
+        DD.near_dup_pairs(sub, method="nope")
+    from framequery_spark.operators.cache import release_cached
+
+    release_cached()
+
+
+def test_near_dup_config_sweep_matches_individual_gates(spark, docs):
+    """The sweep's per-config row equals running dedup_pair_quality by
+    hand for that config against the same truth."""
+    import framequery_spark.operators.dedup as DD
+
+    sweep = DD.near_dup_config_sweep(docs, {
+        "containment_08": ("containment", {"k": 3, "threshold": 0.8}),
+        "winnow_w4": ("winnow", {"k": 3, "window": 4, "min_shared": 3,
+                                 "max_doc_freq": 20}),
+    }).collect()
+    assert [r.config for r in sorted(sweep, key=lambda r: r.config)] == \
+        ["containment_08", "winnow_w4"]
+    exact = DD.jaccard_pairs(docs, k=3, threshold=0.7)
+    solo = DD.dedup_pair_quality(
+        DD.winnow_pairs(docs, k=3, window=4, min_shared=3,
+                        max_doc_freq=20), exact).collect()[0]
+    sweep_w = [r for r in sweep if r.config == "winnow_w4"][0]
+    for f in ("n_approx", "n_exact", "n_hit", "precision", "recall", "f1"):
+        assert getattr(sweep_w, f) == getattr(solo, f), f
+    with pytest.raises(ValueError, match="configs is empty"):
+        DD.near_dup_config_sweep(docs, {})
+    from framequery_spark.operators.cache import release_cached
+
+    release_cached()
