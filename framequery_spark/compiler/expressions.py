@@ -2041,11 +2041,24 @@ class ExprCompiler:
         if name in ("ts_rank", "ts_rank_cd"):
             args = list(node.args)
             # optional trailing normalization (integer literal; pg
-            # bitmask — ts_rank_cd supports 0/32 here, ts_rank only 0)
+            # bitmask — 1/2/8/16/32 and combinations supported for both
+            # functions, bit 4 raises; see textsearch.py
+            # _apply_rank_normalization)
+            def _const_mask(n):
+                # pg idiom: the normalization is often written as a
+                # bit-or of the flag constants (ts_rank(v, q, 2|8)) —
+                # fold int-literal '|' trees to the constant
+                if isinstance(n, ast.Literal) and n.kind == "int":
+                    return int(n.value)
+                if isinstance(n, ast.Binary) and n.op == "|":
+                    l, r = _const_mask(n.left), _const_mask(n.right)
+                    if l is not None and r is not None:
+                        return l | r
+                return None
+
             normalization = 0
-            if len(args) >= 3 and isinstance(args[-1], ast.Literal) \
-                    and args[-1].kind == "int":
-                normalization = int(args.pop().value)
+            if len(args) >= 3 and _const_mask(args[-1]) is not None:
+                normalization = _const_mask(args.pop())
             weights = None
             if len(args) == 3:
                 wa = args.pop(0)
@@ -2074,11 +2087,8 @@ class ExprCompiler:
                 if name == "ts_rank_cd":
                     return _ts.ts_rank_cd(self.compile(args[0]), q,
                                           weights, normalization)
-                if normalization != 0:
-                    raise _ts.TsQueryError(
-                        "ts_rank() normalization must be 0 (the pg "
-                        "bitmask variants are not supported)")
-                return _ts.ts_rank(self.compile(args[0]), q, weights)
+                return _ts.ts_rank(self.compile(args[0]), q, weights,
+                                   normalization)
             except _ts.TsQueryError as exc:
                 raise CompileError(str(exc))
         return None

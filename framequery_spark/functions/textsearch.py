@@ -1038,13 +1038,80 @@ def _rank_and(tsv: Column, terms, wmap: Column) -> Column:
     return F.when(had, F.lit(1.0) - q).otherwise(F.lit(1e-20))
 
 
-def ts_rank(tsv: Column, node, weights=None) -> Column:
+# --------------------------------------------- rank normalization bitmask
+#
+# pg tsrank.c applies the same trailing normalization block to both
+# calc_rank and calc_rank_cd (bit 4 exists only in the cd path). The
+# divisors, in pg's application ORDER (1, 2, [4], 8, 16, 32 — sequential
+# division, so combined masks compose multiplicatively):
+#   1  (RANK_NORM_LOGLENGTH)  res /= log2(cnt_length + 1)   [t->size > 0]
+#   2  (RANK_NORM_LENGTH)     res /= cnt_length             [len > 0]
+#   4  (RANK_NORM_EXTDIST)    mean harmonic extent distance (cd only)
+#   8  (RANK_NORM_UNIQ)       res /= t->size                [t->size > 0]
+#   16 (RANK_NORM_LOGUNIQ)    res /= log2(t->size + 1)      [t->size > 0]
+#   32 (RANK_NORM_RDIVRPLUS1) res /= res + 1
+# cnt_length = tsrank.c cnt_length(): the sum of per-lexeme position
+# counts, where a STRIPPED lexeme (no positions) counts 1. NOTE the pg
+# DOCUMENTATION prose for bit 1 says "1 + the logarithm of the document
+# length"; the shipped code divides by log2(len + 1) — the code wins here.
+
+_RANK_NORM_SUPPORTED = 1 | 2 | 8 | 16 | 32
+
+
+def _cnt_length(tsv: Column) -> Column:
+    """tsrank.c cnt_length: total word count of the document as the
+    tsvector records it (position-list sizes; stripped entries count 1)."""
+    return F.aggregate(
+        tsv, F.lit(0),
+        lambda a, e: a + F.when(F.size(e["positions"]) > 0,
+                                F.size(e["positions"])).otherwise(F.lit(1)))
+
+
+def _apply_rank_normalization(rank: Column, tsv: Column,
+                              method: int, fn_name: str) -> Column:
+    """The shared trailing normalization block of calc_rank /
+    calc_rank_cd. Raises on bit 4 (RANK_NORM_EXTDIST: the cd cover fold
+    here does not retain inter-extent distances, and the bit is
+    meaningless for ts_rank even in pg) and on unknown bits."""
+    if method & ~(_RANK_NORM_SUPPORTED | 4):
+        raise TsQueryError(
+            f"{fn_name} normalization {method} has unknown bits "
+            f"(pg defines 1|2|4|8|16|32)")
+    if method & 4:
+        raise TsQueryError(
+            f"{fn_name} normalization bit 4 (mean harmonic extent "
+            "distance) is not supported")
+    if method == 0:
+        return rank
+    size = F.size(tsv)
+    if method & 1:
+        rank = F.when(size > 0,
+                      rank / F.log2(_cnt_length(tsv).cast("double") + 1.0)
+                      ).otherwise(rank)
+    if method & 2:
+        ln = _cnt_length(tsv)
+        rank = F.when(ln > 0, rank / ln.cast("double")).otherwise(rank)
+    if method & 8:
+        rank = F.when(size > 0, rank / size.cast("double")).otherwise(rank)
+    if method & 16:
+        rank = F.when(size > 0,
+                      rank / F.log2(size.cast("double") + 1.0)
+                      ).otherwise(rank)
+    if method & 32:
+        rank = rank / (rank + F.lit(1.0))
+    return rank
+
+
+def ts_rank(tsv: Column, node, weights=None,
+            normalization: int = 0) -> Column:
     """pg ts_rank following tsrank.c's calc_rank structure: an AND or
     phrase ROOT with >= 2 query terms ranks by pairwise positional
     proximity (calc_rank_and); everything else ranks by per-term
     harmonic position frequency (calc_rank_or, divided by the query
     node count like pg's q->size). See _word_distance for the one
-    documented constant-level uncertainty."""
+    documented constant-level uncertainty. `normalization` is pg's
+    bitmask (see _apply_rank_normalization; bit 4 is cd-only in pg and
+    raises here)."""
     weights = weights or [0.1, 0.2, 0.4, 1.0]  # D C B A
     wmap = _weight_map(weights)
     terms: List[Tuple[str, bool]] = []
@@ -1052,11 +1119,14 @@ def ts_rank(tsv: Column, node, weights=None) -> Column:
     if not terms:
         return F.lit(0.0).cast("float")
     if node[0] in ("and", "phrase") and len(terms) >= 2:
-        return _rank_and(tsv, terms, wmap).cast("float")
-    # pg SortAndUniqItems: the OR path loops (and divides by) the UNIQUE
-    # value operands, not the raw term list or the node count
-    uniq = sorted(set(terms))
-    return _rank_or(tsv, uniq, wmap, len(uniq)).cast("float")
+        rank = _rank_and(tsv, terms, wmap)
+    else:
+        # pg SortAndUniqItems: the OR path loops (and divides by) the
+        # UNIQUE value operands, not the raw term list or the node count
+        uniq = sorted(set(terms))
+        rank = _rank_or(tsv, uniq, wmap, len(uniq))
+    return _apply_rank_normalization(rank, tsv, normalization,
+                                     "ts_rank()").cast("float")
 
 
 # ------------------------------------------------- cover-density ranking
@@ -1100,15 +1170,17 @@ def ts_rank_cd(tsv: Column, node, weights=None,
     size grows O(T^2) in the unique-term count (tsqueries are literals;
     typical T <= 5).
 
-    normalization: pg's bitmask — 0 (none, the default) and 32
-    (rank/(rank+1)) are supported; the log/length variants would need
-    constants not verifiable offline and raise."""
+    normalization: pg's bitmask — 1/2/8/16/32 and their combinations
+    are supported via the shared trailing block
+    (_apply_rank_normalization); bit 4 (mean harmonic extent distance)
+    raises: the single-pass cover fold below does not retain
+    inter-extent distances."""
     from ..operators.dedup import _let
 
-    if normalization not in (0, 32):
-        raise TsQueryError(
-            "ts_rank_cd normalization must be 0 or 32 (the other pg "
-            "bitmask variants are not supported)")
+    # validate the mask up front so a bad literal fails at compile time,
+    # before the cover fold is built
+    _apply_rank_normalization(F.lit(0.0), F.array().cast(TSVECTOR_DDL),
+                              normalization, "ts_rank_cd()")
     weights = weights or [0.1, 0.2, 0.4, 1.0]  # D C B A
     wmap = _weight_map(weights)
     raw: List[Tuple[str, bool]] = []
@@ -1203,6 +1275,5 @@ def ts_rank_cd(tsv: Column, node, weights=None,
         return F.aggregate(idx, init, step, lambda st: st["wdoc"])
 
     rank = _let(doc_expr, run)
-    if normalization == 32:
-        rank = rank / (rank + F.lit(1.0))
-    return rank.cast("float")
+    return _apply_rank_normalization(rank, tsv, normalization,
+                                     "ts_rank_cd()").cast("float")

@@ -17,8 +17,14 @@ instead of ``.persist()``, and
 - every ``__spark_entry__`` op callable releases the *previous* op's
   leftovers on invocation, so repeated op calls hold at most one op's
   working set;
-- unpersisting is always safe — a later re-materialization of a released
-  result silently recomputes without the cache.
+- unpersisting a PERSIST is always safe — a later re-materialization of a
+  released result silently recomputes without the cache. A released
+  LOCAL CHECKPOINT (:func:`local_checkpoint_tracked`) is different:
+  localCheckpoint truncates lineage, so a checkpointed result read AFTER
+  release fails (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) instead of
+  recomputing. The discipline is the same — callers release only after
+  materializing what they need — but the failure mode is loud, not a
+  silent recompute.
 """
 from __future__ import annotations
 
@@ -37,6 +43,38 @@ except Exception:  # pragma: no cover
 # alive until release_cached() can unpersist it. The handles themselves are
 # tiny (plan pointers, no data).
 _TRACKED: List[DataFrame] = []
+
+# RDD ids persisted by local_checkpoint_tracked: localCheckpoint persists
+# its materialized RDD OUTSIDE the DataFrame cache registry (neither
+# df.unpersist() nor catalog.clearCache() drops it), so without explicit
+# tracking every checkpointing operator call leaks one persisted RDD until
+# the driver GC happens to collect the handle — bench.py's per-rep
+# cache_diag measured exactly that (+1 persistent RDD per rep for the
+# MMR / connected-components entries). Entries are (SparkContext, rdd_id).
+_TRACKED_CKPT: List[tuple] = []
+
+
+def local_checkpoint_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + registration of the persisted RDD
+    for :func:`release_cached`. The returned DataFrame must not be read
+    again after release (checkpoint blocks are gone — callers hold
+    checkpoints only within an operator invocation, and release happens
+    between invocations). Id discovery diffs the persistent-RDD map
+    around the checkpoint call; safe for the library's single-threaded
+    operator construction."""
+    sc = df.sparkSession.sparkContext
+    try:
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:  # pragma: no cover — py4j unavailable shapes
+        return df.localCheckpoint(eager)
+    out = df.localCheckpoint(eager)
+    try:
+        after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        for rid in after - before:
+            _TRACKED_CKPT.append((sc, rid))
+    except Exception:  # pragma: no cover
+        pass
+    return out
 
 
 def persist_tracked(df: DataFrame, level=None) -> DataFrame:
@@ -76,5 +114,14 @@ def release_cached(blocking: bool = False) -> int:
             df.unpersist(blocking)
             released += 1
         except Exception:  # session already stopped — nothing to release
+            pass
+    while _TRACKED_CKPT:
+        sc, rid = _TRACKED_CKPT.pop()
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(blocking)
+                released += 1
+        except Exception:  # session already stopped
             pass
     return released

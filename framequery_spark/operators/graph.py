@@ -145,9 +145,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # initial frontier derive from it, and the upstream pair pipeline
     # (MinHash/LSH, window lags, ...) can be expensive — without this,
     # `nodes` would silently recompute it a second time at output time
-    raw = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-           .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-           .localCheckpoint())
+    from .cache import local_checkpoint_tracked
+
+    raw = local_checkpoint_tracked(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
     nodes = (raw.select(F.col("u").alias("node"))
              .unionByName(raw.select(F.col("v").alias("node")))
              .distinct())
@@ -204,10 +206,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                     "raise max_iterations")
             spark.conf.set(_PKEY, str(
                 max(4, min(int(old_parts), digest[0] // 20000 + 1))))
-            e = _small_star(_large_star(e)).localCheckpoint()
+            e = local_checkpoint_tracked(_small_star(_large_star(e)))
             rounds += 1
             if rounds < max_iterations:
-                e = _small_star(_large_star(e)).localCheckpoint()
+                e = local_checkpoint_tracked(_small_star(_large_star(e)))
                 rounds += 1
             new_digest = _edge_digest(e)
             if new_digest == digest:
@@ -357,7 +359,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # without truncation Spark re-derives it (scan + upstream
         # transforms) once per iteration. Materialize it once; rank
         # frontiers get the same treatment below at checkpoint_every.
-        e = e.localCheckpoint()
+        from .cache import local_checkpoint_tracked
+
+        e = local_checkpoint_tracked(e)
     nodes = (e.select(F.col("__s").alias("node"))
              .union(e.select("__d")).distinct())
     # decimal-quantized weighted degree: order-free even for float weights
@@ -382,7 +386,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      (base + F.coalesce(F.col("__sum"), F.lit(0))
                       .cast("double")).alias("rank")))
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            p = p.localCheckpoint()
+            from .cache import local_checkpoint_tracked as _lct
+
+            p = _lct(p)
     return p
 
 

@@ -557,9 +557,11 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
     # chain + remaining chain) — materialize the BOUNDED (queries x pool)
     # table once instead of re-running the corpus-wide candidate scan
     # k+1 times inside one lazy plan
-    cands = cands.join(emb, "neighbor_id").select(
-        "query_id", "neighbor_id", "cosine", "__emb", "__n") \
-        .localCheckpoint()
+    from .cache import local_checkpoint_tracked
+
+    cands = local_checkpoint_tracked(
+        cands.join(emb, "neighbor_id").select(
+            "query_id", "neighbor_id", "cosine", "__emb", "__n"))
 
     # Score arithmetic runs in DECIMAL: rel and maxsim are already on the
     # 1e-6 grid, so lam * rel - (1-lam) * maxsim lands EXACTLY on decimal

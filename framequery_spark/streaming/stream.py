@@ -52,14 +52,23 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int):
     finally:
         spark.conf.set(key, old)
 
-def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_stream(spark: SparkSession, path: str,
+                        max_files_per_trigger: int | None = None
+                        ) -> DataFrame:
     """File-based stream over a parquet path (schema probed from a batch
     read; single-file paths become parent dir + pathGlobFilter, since
-    FileStreamSource wants a directory)."""
+    FileStreamSource wants a directory). `max_files_per_trigger` bounds
+    each micro-batch to that many source files — the batch-boundary
+    control the MERGE-contract tests use to replay a directory as a
+    deterministic multi-batch sequence (FileStreamSource orders files by
+    modification time, oldest first)."""
     import os
 
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
     if os.path.isfile(path):
         parent, fname = os.path.split(path)
         reader = reader.option("pathGlobFilter", fname)
@@ -573,7 +582,9 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
                          out_dir: str, checkpoint_dir: str,
                          key_col: str = "user_id",
                          ts_col: str = "ts",
-                         tiebreak_col: str = "event_id") -> DataFrame:
+                         tiebreak_col: str = "event_id",
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
     """CDC-style latest-wins upsert sink: the event stream merges into a
     keyed parquet table where each key holds its LATEST row (max ts,
     ``tiebreak_col`` desc on equal timestamps — deterministic, so the
@@ -592,8 +603,13 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
 
     State per key is ONE row; the merge shuffles on the key only.
     Synchronous (Trigger.AvailableNow); returns the final keyed table.
+    `max_files_per_trigger` forces multi-batch replay over a directory —
+    tests/test_operators.py pins the MERGE INTO contract with it: the
+    foreachBatch body and the engine's own conditional-arm MERGE produce
+    identical tables over identical batch sequences.
     """
-    stream = read_parquet_stream(spark, events_path)
+    stream = read_parquet_stream(spark, events_path,
+                                 max_files_per_trigger=max_files_per_trigger)
     state = {"v": 0}
 
     def merge(batch: DataFrame, batch_id: int) -> None:

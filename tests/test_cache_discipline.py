@@ -7,10 +7,14 @@ tracked (operators/cache.py); after the caller materializes the result,
 long-lived session running ops repeatedly never accumulates cached
 partitions.
 
-``localCheckpoint`` RDDs (the connected-components / recursive-CTE loop
-discipline) are intentionally out of scope: Spark's ContextCleaner releases
-them when their plans are garbage collected, and the final checkpoint must
-stay alive as long as the result DataFrame does.
+``localCheckpoint`` RDDs (the connected-components / PageRank / MMR loop
+discipline) are tracked too since round 10: bench.py's per-rep cache_diag
+measured +1 persistent RDD per invocation for the checkpointing operators
+(ContextCleaner only frees them at some later driver GC), so
+local_checkpoint_tracked registers the persisted RDD ids and
+release_cached() drops them explicitly. A released checkpoint read again
+FAILS (lineage was truncated) rather than recomputing — same release-after-
+materialize discipline, louder failure mode.
 """
 import pytest
 from pyspark.sql import functions as F
@@ -98,3 +102,41 @@ def test_entry_ops_autorelease_previous_cache(spark):  # noqa: F811
     # the previous op's persists were auto-released at invocation
     assert len(_TRACKED) < n_before or not _TRACKED
     release_cached()
+
+
+@pytest.mark.parametrize("op", ["mmr_rerank", "connected_components",
+                                "pagerank"])
+def test_local_checkpoints_released(spark, op):
+    """The checkpointing operators must leave ZERO persistent RDDs after
+    release_cached() — the +1-per-invocation leak bench.py's cache_diag
+    measured in the r10 bench run."""
+    from framequery_spark.operators.cache import release_cached
+
+    release_cached()
+    before = _persistent_rdd_ids(spark)
+    for _ in range(2):  # accumulation, not just a single call
+        if op == "mmr_rerank":
+            from framequery_spark.operators.similarity import mmr_rerank
+
+            emb = spark.createDataFrame(
+                [(i, [float((i * j + j) % 7 + 1) for j in range(4)])
+                 for i in range(30)],
+                "vec_id long, embedding array<double>")
+            mmr_rerank(emb, emb.filter(F.col("vec_id") < 3), k=2).count()
+        elif op == "connected_components":
+            from framequery_spark.operators.graph import connected_components
+
+            edges = spark.createDataFrame(
+                [(i, i + 1) for i in range(0, 40, 2)], "a long, b long")
+            connected_components(edges, "a", "b").count()
+        else:
+            from framequery_spark.operators.graph import pagerank
+
+            edges = spark.createDataFrame(
+                [(i % 10, (i * 3) % 10) for i in range(30)],
+                "src long, dst long")
+            pagerank(edges, "src", "dst", iterations=4,
+                     checkpoint_every=2).count()
+        assert release_cached(blocking=True) >= 1
+        leaked = _persistent_rdd_ids(spark) - before
+        assert not leaked, f"{op} leaked persistent RDDs: {leaked}"

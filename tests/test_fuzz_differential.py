@@ -126,10 +126,13 @@ class Gen:
         if pick < 0.80:
             fn = r.choice(["least", "greatest"])
             return f"{fn}({self.int_expr(depth + 1, q)}, {self.int_expr(depth + 1, q)})"
-        if pick < 0.90:
+        if pick < 0.87:
             return (f"(CASE WHEN {self.cond(depth + 1, q)} "
                     f"THEN {self.int_expr(depth + 1, q)} "
                     f"ELSE {self.int_expr(depth + 1, q)} END)")
+        if pick < 0.94:
+            return (f"coalesce(nullif({q}b, {self.r.randint(0, 4)}), "
+                    f"{self.int_expr(depth + 1, q)})")
         return f"coalesce({q}a, {self.int_expr(depth + 1, q)})"
 
     def str_expr(self, depth=0, q=""):
@@ -231,16 +234,60 @@ class Gen:
     def q_window(self):
         r = self.r
         pick = r.random()
-        if pick < 0.35:
+        if pick < 0.20:
             return ("SELECT id, ROW_NUMBER() OVER (PARTITION BY b ORDER BY id) "
                     f"AS rn FROM t1 WHERE {self.cond()}")
-        if pick < 0.60:
+        if pick < 0.35:
             fn = r.choice(["RANK()", "DENSE_RANK()"])
             return (f"SELECT id, {fn} OVER (ORDER BY b) AS rk FROM t1 "
                     f"WHERE {self.cond()}")
+        if pick < 0.50:
+            off = r.randint(1, 3)
+            return (f"SELECT id, lag(e, {off}) OVER (ORDER BY id) AS lg, "
+                    f"lead(e, {off}) OVER (ORDER BY id) AS ld, "
+                    "first_value(e) OVER (PARTITION BY b ORDER BY id) AS fv "
+                    f"FROM t1 WHERE {self.cond()}")
+        if pick < 0.62:
+            return (f"SELECT id, ntile({r.randint(2, 5)}) "
+                    "OVER (ORDER BY id) AS nt FROM t1")
+        if pick < 0.80:
+            # RANGE frame over a TIED key: peers are included, so the sum
+            # is deterministic despite ties
+            n = r.randint(1, 10)
+            return (f"SELECT id, CAST(SUM(e) OVER (ORDER BY b RANGE "
+                    f"BETWEEN {n} PRECEDING AND CURRENT ROW) AS BIGINT) "
+                    "AS rs FROM t1")
         n = r.randint(1, 4)
         return (f"SELECT id, CAST(SUM(e) OVER (ORDER BY id ROWS BETWEEN "
                 f"{n} PRECEDING AND CURRENT ROW) AS BIGINT) AS ws FROM t1")
+
+    def q_distinct_on(self):
+        r = self.r
+        d = "DESC" if r.random() < 0.5 else "ASC"
+        return (f"SELECT DISTINCT ON (b) b, id, e FROM t1 "
+                f"WHERE {self.cond()} ORDER BY b, id {d}")
+
+    def q_grouping_sets(self):
+        r = self.r
+        pick = r.random()
+        aggs = ("CAST(count(*) AS BIGINT) AS n, "
+                "CAST(sum(e) AS BIGINT) AS se")
+        if pick < 0.5:
+            return (f"SELECT b, {aggs} FROM t1 WHERE {self.cond()} "
+                    "GROUP BY GROUPING SETS ((b), ())")
+        return (f"SELECT b, grouping(b) AS g, {aggs} FROM t1 "
+                f"GROUP BY ROLLUP (b)")
+
+    def q_filter_agg(self):
+        return ("SELECT b, CAST(count(*) FILTER "
+                f"(WHERE {self.cond()}) AS BIGINT) AS cf, "
+                f"CAST(count(*) FILTER (WHERE {self.cond()}) AS BIGINT) "
+                "AS cg FROM t1 GROUP BY b")
+
+    def q_fetch_first(self):
+        r = self.r
+        return (f"SELECT id, e FROM t1 WHERE {self.cond()} ORDER BY id "
+                f"FETCH FIRST {r.randint(1, 15)} ROWS ONLY")
 
     def q_cte(self):
         r = self.r
@@ -255,6 +302,8 @@ class Gen:
         return self.r.choice([
             self.q_project, self.q_agg, self.q_join, self.q_setop,
             self.q_subquery, self.q_window, self.q_cte, self.q_distinct,
+            self.q_distinct_on, self.q_grouping_sets, self.q_filter_agg,
+            self.q_fetch_first,
         ])()
 
 

@@ -3443,3 +3443,74 @@ def test_near_dup_config_sweep_matches_individual_gates(spark, docs):
     from framequery_spark.operators.cache import release_cached
 
     release_cached()
+
+
+def test_stream_upsert_contract_equals_engine_merge_into(spark, tmp_path):
+    """Pin the documented claim (streaming/stream.py stream_upsert_latest:
+    'at production scale this foreachBatch body is one MERGE INTO
+    delta/iceberg statement'): replay the SAME deterministic 3-batch
+    sequence through (a) the foreachBatch upsert sink and (b) the
+    engine's own conditional-arm MERGE INTO, and assert the final keyed
+    tables are identical row for row."""
+    import glob
+    import os
+    import shutil
+
+    import framequery_spark as fq
+    from framequery_spark.sources.testdata import load_tables
+    from framequery_spark.streaming.stream import stream_upsert_latest
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    slices = []
+    for i in range(3):
+        sl = ev.filter(F.col("event_id") % 3 == i)
+        slices.append(sl)
+        tmp_out = str(tmp_path / f"slice{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = glob.glob(tmp_out + "/part-*.parquet")[0]
+        dst = str(stream_dir / f"b{i}.parquet")
+        shutil.copy(part, dst)
+        # FileStreamSource orders files oldest-mtime-first: make the
+        # replay order b0, b1, b2 explicit
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+
+    got = stream_upsert_latest(
+        spark, str(stream_dir), out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1)
+    got_rows = sorted(tuple(r) for r in
+                      got.select("user_id", "event_id", "ts").collect())
+
+    # engine MERGE INTO over the same batch sequence: target starts as
+    # batch 0's per-key latest, then each later batch merges with the
+    # same (ts, event_id) latest-wins arms the sink implements
+    ex = fq.Executor({f"b{i}": s for i, s in enumerate(slices)},
+                     spark=spark)
+    ex.execute("CREATE TABLE tgt AS SELECT DISTINCT ON (user_id) * "
+               "FROM b0 ORDER BY user_id, ts DESC, event_id DESC")
+    for i in (1, 2):
+        ex.execute(f"""
+            MERGE INTO tgt USING (
+                SELECT DISTINCT ON (user_id) * FROM b{i}
+                ORDER BY user_id, ts DESC, event_id DESC) s
+            ON tgt.user_id = s.user_id
+            WHEN MATCHED AND (s.ts > tgt.ts
+                              OR (s.ts = tgt.ts
+                                  AND s.event_id > tgt.event_id))
+              THEN UPDATE SET event_id = s.event_id, ts = s.ts,
+                              event_type = s.event_type, value = s.value,
+                              props = s.props
+            WHEN NOT MATCHED THEN
+              INSERT VALUES (s.event_id, s.ts, s.user_id, s.event_type,
+                             s.value, s.props)
+        """)
+    merged = ex.execute("SELECT user_id, event_id, ts FROM tgt")
+    merged_rows = sorted(tuple(r) for r in merged.collect())
+
+    assert got_rows == merged_rows
+    assert len({u for u, _, _ in got_rows}) == len(got_rows)  # 1 row/key
+    # multi-batch actually happened (otherwise the contract test proves
+    # nothing about cross-batch merge semantics)
+    assert len(got_rows) < sum(s.count() for s in slices)

@@ -1417,3 +1417,58 @@ def test_conformance(spark, scope, duck, query):
                        fq.execute(query, scope, spark=spark).collect()])
     theirs = _norm_rows(duck.execute(oracle).fetchall())
     assert ours == theirs, f"{query}\n ours: {ours}\n duck: {theirs}"
+
+
+def test_rank_normalization_flag_table(spark):
+    """Literal-oracle conformance table for the pg rank-normalization
+    bitmask (tsrank.c trailing block): for the fixture document
+    'a b c a' (cnt_length = 4 word positions, t->size = 3 unique
+    lexemes), every supported flag must divide the normalization-0 rank
+    by exactly the tsrank.c divisor, combinations compose
+    multiplicatively in pg's application order, and bit 4 / unknown
+    bits raise. NOTE: pg's DOCS prose for bit 1 says '1 + log(length)';
+    the shipped code divides by log2(length + 1) — the code is what
+    this table pins."""
+    import math
+
+    import framequery_spark as fq
+
+    def rank(fn, norm):
+        sql = (f"SELECT {fn}(to_tsvector('a b c a'), to_tsquery('a | c')"
+               f"{', ' + str(norm) if norm is not None else ''}) AS r")
+        return fq.execute(sql, spark=spark).collect()[0].r
+
+    for fn in ("ts_rank", "ts_rank_cd"):
+        r0 = rank(fn, None)
+        assert r0 > 0
+        assert rank(fn, 0) == r0
+        L, U = 4.0, 3.0  # cnt_length, t->size for 'a b c a'
+        table = {
+            1: r0 / math.log2(L + 1),
+            2: r0 / L,
+            8: r0 / U,
+            16: r0 / math.log2(U + 1),  # log2(4) = 2, exact
+            32: r0 / (r0 + 1.0),
+            2 | 8: r0 / L / U,
+            1 | 16: r0 / math.log2(L + 1) / math.log2(U + 1),
+            # 32 applies LAST regardless of mask position
+            2 | 32: (r0 / L) / (r0 / L + 1.0),
+            1 | 2 | 8 | 16: r0 / math.log2(L + 1) / L / U / 2.0,
+        }
+        for norm, want in table.items():
+            got = rank(fn, norm)
+            assert got == pytest.approx(want, rel=1e-6), (fn, norm)
+        # pg's bit-or constant spelling folds at compile time
+        assert rank(fn, "2|8") == pytest.approx(r0 / L / U, rel=1e-6)
+        for bad in (4, 6, 64, 3 | 4):
+            with pytest.raises(Exception,
+                               match="bit 4|unknown bits"):
+                rank(fn, bad)
+
+    # stripped tsvector: cnt_length counts stripped entries as 1 word
+    # (tsrank.c cnt_length), and the size>0 guards keep ranks finite;
+    # ts_rank_cd of a stripped vector is 0 regardless of mask
+    r = fq.execute(
+        "SELECT ts_rank_cd(strip(to_tsvector('a b c a')), "
+        "to_tsquery('a'), 2) AS r", spark=spark).collect()[0].r
+    assert r == 0.0
