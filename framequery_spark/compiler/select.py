@@ -804,73 +804,92 @@ class QueryCompiler:
         def rewrite(node: ast.Node) -> ast.Node:
             return transform(node, lambda n: mapping.get(n, n))
 
+        final_names: List[str] = [name for _, name in items]
+
+        def build_agg_cols(rewrite_fn, ec):
+            """Compile the whole aggregate column set (outputs, hidden
+            window-agg inputs, HAVING, ORDER-BY extras) under one group-key
+            rewrite. Invoked twice for the empty-input grand-total twin
+            below, so hidden-column NAMES must be deterministic across
+            invocations (same traversal order → same __out/__a/__ord/
+            __having names)."""
+            agg_cols: List[Column] = []
+            # items containing window calls (e.g. rank() OVER (ORDER BY
+            # sum(x))) are evaluated AFTER aggregation: their aggregate
+            # subtrees become hidden agg columns, the window expression
+            # runs over the result
+            window_items: Dict[int, ast.Node] = {}
+            agg_sub: Dict[ast.Node, ast.Node] = {}
+
+            def hoist_aggs(node: ast.Node) -> ast.Node:
+                # replace aggregate calls with hidden agg columns, but keep
+                # the head call of a WindowCall (sum(sum(x)) OVER () hoists
+                # only the inner sum — the outer one runs as the window
+                # function)
+                if isinstance(node, ast.WindowCall):
+                    call = node.call
+                    new_call = ast.Call(
+                        name=call.name,
+                        args=tuple(hoist_aggs(a) for a in call.args),
+                        distinct=call.distinct, star=call.star)
+                    return ast.WindowCall(
+                        call=new_call,
+                        spec=map_children(node.spec, hoist_aggs))
+                if isinstance(node, ast.Call) and node.name in AGG_NAMES:
+                    if node not in agg_sub:
+                        aname = f"__a{len(agg_sub)}"
+                        agg_cols.append(ec.compile(node).alias(aname))
+                        agg_sub[node] = ast.ColumnRef(parts=(aname,),
+                                                      quoted=True)
+                    return agg_sub[node]
+                return map_children(node, hoist_aggs)
+
+            for i, (expr, _name) in enumerate(items):
+                rewritten = rewrite_fn(expr)
+                if _contains_window(rewritten):
+                    window_items[i] = hoist_aggs(rewritten)
+                else:
+                    agg_cols.append(ec.compile(rewritten).alias(f"__out{i}"))
+
+            if sel.having is not None:
+                agg_cols.append(
+                    ec.compile(rewrite_fn(sel.having)).alias("__having"))
+
+            qualify_expr = None
+            if sel.qualify is not None:
+                # QUALIFY in agg context: aliases resolve to item
+                # expressions, group keys rewrite to hidden __g columns,
+                # aggregate subtrees hoist to hidden agg columns; the
+                # remaining (window) expression evaluates post-aggregation
+                # like window_items do
+                q = self._resolve_item_aliases(sel.qualify, items, ())
+                qualify_expr = hoist_aggs(rewrite_fn(q))
+
+            # ORDER BY in agg context: outputs or extra aggs
+            sort_specs: List[tuple] = []
+            n_ord = 0
+            for s in sel.order_by:
+                target = self._match_output(s.expr, items)
+                if target is not None:
+                    sort_specs.append((f"__out{target}", s))
+                else:
+                    oname = f"__ord{n_ord}"
+                    n_ord += 1
+                    agg_cols.append(
+                        ec.compile(rewrite_fn(s.expr)).alias(oname))
+                    sort_specs.append((oname, s))
+
+            if not agg_cols:
+                agg_cols.append(F.count(F.lit(1)).alias("__dummy"))
+            return agg_cols, window_items, qualify_expr, sort_specs
+
         ec = ExprCompiler(self.session, agg_context=True, scope=self.scope,
                           alias_rewrites=getattr(self, "_alias_rewrites", None),
                           input_df=df)
-        agg_cols: List[Column] = []
-        final_names: List[str] = []
-        # items containing window calls (e.g. rank() OVER (ORDER BY sum(x)))
-        # are evaluated AFTER aggregation: their aggregate subtrees become
-        # hidden agg columns, the window expression runs over the result
-        window_items: Dict[int, ast.Node] = {}
-        agg_sub: Dict[ast.Node, ast.Node] = {}
-
-        def hoist_aggs(node: ast.Node) -> ast.Node:
-            # replace aggregate calls with hidden agg columns, but keep the
-            # head call of a WindowCall (sum(sum(x)) OVER () hoists only the
-            # inner sum — the outer one runs as the window function)
-            if isinstance(node, ast.WindowCall):
-                call = node.call
-                new_call = ast.Call(
-                    name=call.name,
-                    args=tuple(hoist_aggs(a) for a in call.args),
-                    distinct=call.distinct, star=call.star)
-                return ast.WindowCall(call=new_call,
-                                      spec=map_children(node.spec, hoist_aggs))
-            if isinstance(node, ast.Call) and node.name in AGG_NAMES:
-                if node not in agg_sub:
-                    aname = f"__a{len(agg_sub)}"
-                    agg_cols.append(ec.compile(node).alias(aname))
-                    agg_sub[node] = ast.ColumnRef(parts=(aname,), quoted=True)
-                return agg_sub[node]
-            return map_children(node, hoist_aggs)
-
-        for i, (expr, name) in enumerate(items):
-            rewritten = rewrite(expr)
-            if _contains_window(rewritten):
-                window_items[i] = hoist_aggs(rewritten)
-            else:
-                col = ec.compile(rewritten)
-                agg_cols.append(col.alias(f"__out{i}"))
-            final_names.append(name)
-
-        if sel.having is not None:
-            agg_cols.append(ec.compile(rewrite(sel.having)).alias("__having"))
-
-        qualify_expr = None
-        if sel.qualify is not None:
-            # QUALIFY in agg context: aliases resolve to item expressions,
-            # group keys rewrite to hidden __g columns, aggregate subtrees
-            # hoist to hidden agg columns; the remaining (window) expression
-            # evaluates post-aggregation like window_items do
-            q = self._resolve_item_aliases(sel.qualify, items, ())
-            qualify_expr = hoist_aggs(rewrite(q))
-
-        # ORDER BY in agg context: resolve to outputs or compile as extra aggs
-        sort_cols: List[Column] = []
-        n_ord = 0
-        for s in sel.order_by:
-            target = self._match_output(s.expr, items)
-            if target is not None:
-                sort_cols.append(_apply_sort_direction(F.col(f"__out{target}"), s))
-            else:
-                oname = f"__ord{n_ord}"
-                n_ord += 1
-                agg_cols.append(ec.compile(rewrite(s.expr)).alias(oname))
-                sort_cols.append(_apply_sort_direction(F.col(oname), s))
-
-        if not agg_cols:
-            agg_cols.append(F.count(F.lit(1)).alias("__dummy"))
+        agg_cols, window_items, qualify_expr, sort_specs = \
+            build_agg_cols(rewrite, ec)
+        sort_cols = [_apply_sort_direction(F.col(n), s)
+                     for n, s in sort_specs]
 
         # scalar subqueries referenced from aggregate-context expressions
         # (HAVING, post-agg select arithmetic) attach to the PRE-agg input;
@@ -888,6 +907,51 @@ class QueryCompiler:
         else:
             grouped = df_pre.groupBy(*keys)
         result = grouped.agg(*agg_cols)
+
+        # pg/SQL-standard: a grouping that includes the EMPTY set (the ()
+        # grand total — always present under ROLLUP/CUBE) emits its row
+        # even over EMPTY input, like a global aggregate. Spark's
+        # rollup/cube/groupingSets emit zero rows there. Union a twin:
+        # the same aggregate columns compiled with group refs bound to
+        # NULL, aggregated GLOBALLY over limit(0) (one row carrying the
+        # empty-input values: count 0, sum NULL, ...), kept only when the
+        # pre-agg input is actually empty (a count-only gate scan that
+        # Catalyst prunes to metadata where the source allows).
+        if mode in ("rollup", "cube") or (
+                mode == "sets" and any(not s for s in sets_idx)):
+            null_map = {g: ast.Literal(None, "null") for g in group_exprs}
+
+            def _twin_node(x: ast.Node) -> ast.Node:
+                if x in null_map:
+                    return null_map[x]
+                if isinstance(x, ast.Call) and \
+                        x.name.lower() in ("grouping", "grouping_id"):
+                    # in the () row every argument is un-grouped: the
+                    # marker is the all-ones bitmask (grouping(b) = 1,
+                    # grouping(a, b) = 3, bare grouping_id() = full mask)
+                    nargs = len(x.args) or len(group_exprs)
+                    return ast.Literal((1 << nargs) - 1, "int")
+                return x
+
+            ec_t = ExprCompiler(
+                self.session, agg_context=True, scope=self.scope,
+                alias_rewrites=getattr(self, "_alias_rewrites", None),
+                input_df=df)
+            t_cols, _, _, _ = build_agg_cols(
+                lambda n: transform(n, _twin_node), ec_t)
+            twin_in, _ = self._attach_pending(df_pre.limit(0), ec_t)
+            twin = twin_in.groupBy().agg(*t_cols)
+            gate = (df_pre.groupBy()
+                    .agg(F.count(F.lit(1)).alias("__cnt"))
+                    .filter(F.col("__cnt") == 0)
+                    .select(F.lit(1).alias("__gate1")))
+            twin = twin.crossJoin(gate).drop("__gate1")
+            have = set(twin.columns)
+            aligned = [
+                (F.col(f.name) if f.name in have else F.lit(None))
+                .cast(f.dataType).alias(f.name)
+                for f in result.schema.fields]
+            result = result.unionByName(twin.select(*aligned))
 
         if sel.having is not None:
             result = result.filter(F.col("__having"))

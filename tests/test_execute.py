@@ -1540,3 +1540,43 @@ def test_advisor_round9_fixes(spark):
         "SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 2) t "
         "ORDER BY x USING >", spark=spark).collect()
     assert [r.x for r in got] == [2, 1]
+
+
+def test_grouping_sets_grand_total_over_empty_input(spark):
+    """Fuzzer-found divergence (seed 424242, fuzz144/fuzz232): pg and
+    DuckDB emit the () grand-total row even when the filtered input is
+    EMPTY (the empty grouping set is a global aggregate — one row, count
+    0, sum NULL); raw Spark's rollup/cube/groupingSets emit zero rows
+    there. The engine unions an emptiness-gated global-aggregate twin."""
+    import duckdb
+
+    import framequery_spark as fq
+
+    t1 = spark.createDataFrame([(1, 5), (2, 6)], "b long, e long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1(b BIGINT, e BIGINT); "
+                "INSERT INTO t1 VALUES (1,5),(2,6)")
+    for sql in [
+        "SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(e) AS BIGINT) "
+        "AS se FROM t1 WHERE b > 100 GROUP BY GROUPING SETS ((b), ())",
+        "SELECT b, grouping(b) AS g, CAST(count(*) AS BIGINT) AS n "
+        "FROM t1 WHERE b > 100 GROUP BY ROLLUP (b)",
+        "SELECT b, CAST(count(*) AS BIGINT) AS n FROM t1 WHERE b > 100 "
+        "GROUP BY CUBE (b)",
+        # HAVING still filters the grand-total row like pg
+        "SELECT b, CAST(count(*) AS BIGINT) AS n FROM t1 WHERE b > 100 "
+        "GROUP BY ROLLUP (b) HAVING count(*) > 0",
+        # non-empty inputs keep their usual rows (twin filtered out)
+        "SELECT b, grouping(b) AS g, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(e) AS BIGINT) AS se FROM t1 GROUP BY ROLLUP (b)",
+        "SELECT b, CAST(count(*) AS BIGINT) AS n FROM t1 "
+        "GROUP BY GROUPING SETS ((b), ())",
+    ]:
+        ours = sorted(
+            [tuple(r) for r in
+             fq.execute(sql, {"t1": t1}, spark=spark).collect()],
+            key=lambda t: tuple((v is None, str(v)) for v in t))
+        theirs = sorted(
+            [tuple(r) for r in con.execute(sql).fetchall()],
+            key=lambda t: tuple((v is None, str(v)) for v in t))
+        assert ours == theirs, f"{sql}\n ours: {ours}\n duck: {theirs}"
