@@ -123,9 +123,18 @@ class Gen:
             return f"({self.int_expr(depth + 1, q)} {op} {self.int_expr(depth + 1, q)})"
         if pick < 0.70:
             return f"abs({self.int_expr(depth + 1, q)} - {r.randint(0, 30)})"
-        if pick < 0.80:
+        if pick < 0.76:
             fn = r.choice(["least", "greatest"])
             return f"{fn}({self.int_expr(depth + 1, q)}, {self.int_expr(depth + 1, q)})"
+        if pick < 0.80:
+            inner = self.int_expr(depth + 1, q)
+            return r.choice([
+                f"CAST(floor({inner} + 0.25) AS BIGINT)",
+                f"CAST(ceil({inner} - 0.75) AS BIGINT)",
+                f"CAST(round({inner} * 0.25) AS BIGINT)",
+                f"mod({inner}, {r.randint(1, 9)})",
+                f"CAST(sign({inner} - 10) AS BIGINT)",
+            ])
         if pick < 0.87:
             return (f"(CASE WHEN {self.cond(depth + 1, q)} "
                     f"THEN {self.int_expr(depth + 1, q)} "
@@ -140,12 +149,19 @@ class Gen:
         pick = r.random()
         if pick < 0.4 or depth >= 2:
             return q + "s"
-        if pick < 0.55:
+        if pick < 0.52:
             return f"upper({self.str_expr(depth + 1, q)})"
-        if pick < 0.70:
+        if pick < 0.62:
             return f"lower({self.str_expr(depth + 1, q)})"
-        if pick < 0.85:
+        if pick < 0.74:
             return f"substr({self.str_expr(depth + 1, q)}, 1, {r.randint(1, 4)})"
+        if pick < 0.82:
+            return (f"replace({self.str_expr(depth + 1, q)}, "
+                    f"'{r.choice(['a', 'e', 'o'])}', "
+                    f"'{r.choice(['X', '', '01'])}')")
+        if pick < 0.90:
+            return (f"lpad({self.str_expr(depth + 1, q)}, "
+                    f"{r.randint(3, 8)}, '{r.choice(['.', '-0'])}')")
         return f"({self.str_expr(depth + 1, q)} || '{r.choice(['x', '_z', 'Q'])}')"
 
     def cond(self, depth=0, q=""):
@@ -157,8 +173,14 @@ class Gen:
         if pick < 0.40:
             return f"{q}a IS {r.choice(['', 'NOT '])}NULL"
         if pick < 0.50:
-            vals = ", ".join(str(r.randint(0, 10)) for _ in range(r.randint(2, 4)))
-            return f"{q}b IN ({vals})"
+            # 3-valued-logic edge on purpose: a NULL in the IN/NOT IN list
+            # makes non-matches UNKNOWN — the classic dialect divergence
+            vals = [str(r.randint(0, 10)) for _ in range(r.randint(2, 4))]
+            if r.random() < 0.25:
+                vals.append("NULL")
+            neg = "NOT " if r.random() < 0.3 else ""
+            col = r.choice(["b", "a"])
+            return f"{q}{col} {neg}IN ({', '.join(vals)})"
         if pick < 0.60:
             lo = r.randint(0, 15)
             return f"{q}e BETWEEN {lo} AND {lo + r.randint(0, 20)}"
@@ -179,7 +201,14 @@ class Gen:
         items.append("id")
         sql = f"SELECT {', '.join(items)} FROM t1 WHERE {self.cond()}"
         if r.random() < 0.5:
-            sql += f" ORDER BY id LIMIT {r.randint(1, 20)}"
+            if r.random() < 0.3:
+                # explicit NULLS placement under LIMIT, tie-broken by the
+                # unique id so the kept prefix is deterministic
+                nd = r.choice(["a ASC NULLS FIRST", "a ASC NULLS LAST",
+                               "a DESC NULLS FIRST", "a DESC NULLS LAST"])
+                sql += f" ORDER BY {nd}, id LIMIT {r.randint(1, 20)}"
+            else:
+                sql += f" ORDER BY id LIMIT {r.randint(1, 20)}"
         return sql
 
     def q_agg(self):
@@ -206,7 +235,8 @@ class Gen:
 
     def q_setop(self):
         r = self.r
-        op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        op = r.choice(["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+                       "EXCEPT", "EXCEPT ALL"])
         a = f"SELECT b, e FROM t1 WHERE {self.cond()}"
         b = f"SELECT b, v FROM t2 WHERE {self.cond_t2()}"
         return f"SELECT * FROM ({a} {op} {b}) u"
