@@ -1079,10 +1079,13 @@ class ExprCompiler:
             # '{a,"b,c",NULL}'; anything else casts element-wise.
             elem = t[:-2].strip()
             eb = elem.split("(")[0]
-            spark_elem = CAST_MAP.get(elem) or CAST_MAP.get(eb)
-            if spark_elem is None and eb in ("decimal", "numeric"):
+            if eb in ("decimal", "numeric"):
+                # parameterized first: numeric(10,2)[] must not collapse
+                # to the bare-numeric default precision
                 spark_elem = "decimal" + (
                     elem[elem.index("(") :] if "(" in elem else "(38,18)")
+            else:
+                spark_elem = CAST_MAP.get(elem) or CAST_MAP.get(eb)
             if spark_elem is None:
                 raise CompileError(f"unsupported cast target: {node.type_name}")
             if isinstance(node.expr, ast.Literal) \

@@ -992,6 +992,7 @@ def near_dup_pairs(df: DataFrame, method: str = "jaccard",
 def near_dup_config_sweep(df: DataFrame, configs: dict,
                           exact: Optional[DataFrame] = None,
                           exact_threshold: float = 0.7, exact_k: int = 3,
+                          exact_max_doc_freq: Optional[int] = None,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Evaluate several near-dup configs against ONE exact ground truth:
@@ -1010,13 +1011,19 @@ def near_dup_config_sweep(df: DataFrame, configs: dict,
 
     Scale shape: the exact truth is computed ONCE; each config adds its
     own candidate join plus an output-sized quality join — the corpus is
-    scanned once per config, never per pair.
+    scanned once per config, never per pair. On heavily-duplicated
+    corpora the UNCAPPED truth join dominates (a gram shared by m docs
+    contributes m² candidates — measured: x16-replicated sf0.1 docs take
+    222 s uncapped vs 27 s with the truth capped): set
+    `exact_max_doc_freq` to bound it, accepting that pairs held together
+    ONLY by ubiquitous grams fall out of the truth set.
     """
     if not configs:
         raise ValueError("near_dup_config_sweep: configs is empty")
     if exact is None:
         exact = jaccard_pairs(df, id_col=id_col, text_col=text_col,
-                              k=exact_k, threshold=exact_threshold)
+                              k=exact_k, threshold=exact_threshold,
+                              max_doc_freq=exact_max_doc_freq)
     from .cache import persist_tracked
 
     # the truth table feeds every config's quality join — persist once

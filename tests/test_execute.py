@@ -1580,3 +1580,19 @@ def test_grouping_sets_grand_total_over_empty_input(spark):
             [tuple(r) for r in con.execute(sql).fetchall()],
             key=lambda t: tuple((v is None, str(v)) for v in t))
         assert ours == theirs, f"{sql}\n ours: {ours}\n duck: {theirs}"
+
+
+def test_array_cast_edges(spark):
+    import decimal
+
+    import framequery_spark as fq
+
+    def one(sql):
+        return fq.execute(sql, spark=spark).collect()[0][0]
+
+    assert one("SELECT ('{10,20,30}'::int[])[2] AS x") == 20  # pg 1-based
+    assert one("SELECT NULL::text[] AS n") is None
+    assert one("SELECT '{}'::int[] AS e") == []
+    assert one("SELECT CAST('{1.5,2.5}' AS numeric(10,2)[]) AS d") == \
+        [decimal.Decimal("1.50"), decimal.Decimal("2.50")]
+    assert one("SELECT '{1,2}'::int[][] AS m") == [1, 2]  # pg ignores dims
