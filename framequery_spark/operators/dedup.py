@@ -1020,18 +1020,48 @@ def near_dup_config_sweep(df: DataFrame, configs: dict,
     """
     if not configs:
         raise ValueError("near_dup_config_sweep: configs is empty")
-    if exact is None:
-        exact = jaccard_pairs(df, id_col=id_col, text_col=text_col,
-                              k=exact_k, threshold=exact_threshold,
-                              max_doc_freq=exact_max_doc_freq)
     from .cache import persist_tracked
 
+    # Shared gram scan: the default truth and any jaccard/containment
+    # config consume the SAME exploded (id, xxhash64(shingle)) table for
+    # a given k — compute it once per k and persist (re-persisting the
+    # same handle inside _blocked_set_jaccard_pairs is a same-level
+    # no-op), so a sweep scans the corpus once per DISTINCT gram width,
+    # not once per pipeline.
+    shared_sh: dict = {}
+
+    def _gram_table(k: int) -> DataFrame:
+        if k not in shared_sh:
+            sh = (_shingle_table(df, id_col, text_col, k)
+                  .select("__id", F.xxhash64("__shingle").alias("__g")))
+            shared_sh[k] = persist_tracked(sh)
+        return shared_sh[k]
+
+    if exact is None:
+        exact = _blocked_set_jaccard_pairs(
+            _gram_table(exact_k), exact_threshold, exact_max_doc_freq,
+            out_col="jaccard", digits=4)
     # the truth table feeds every config's quality join — persist once
     exact = persist_tracked(exact.select("id1", "id2").distinct())
     out = None
     for label, (method, knobs) in configs.items():
-        approx = near_dup_pairs(df, method=method, id_col=id_col,
-                                text_col=text_col, **knobs)
+        if method in ("jaccard", "containment"):
+            kn = dict(knobs)
+            k = kn.pop("k", 3)
+            thr = kn.pop("threshold", 0.7 if method == "jaccard" else 0.8)
+            cap = kn.pop("max_doc_freq", None)
+            if kn:
+                raise ValueError(
+                    f"unknown {method} knobs: {sorted(kn)}")
+            score = "jaccard" if method == "jaccard" else "containment"
+            raw = _blocked_set_jaccard_pairs(
+                _gram_table(k), thr, cap, out_col=score, digits=4,
+                denom="union" if method == "jaccard" else "min")
+            approx = raw.select("id1", "id2",
+                                F.col(score).cast("double").alias("score"))
+        else:
+            approx = near_dup_pairs(df, method=method, id_col=id_col,
+                                    text_col=text_col, **knobs)
         row = (dedup_pair_quality(approx, exact)
                .select(F.lit(label).alias("config"), "*"))
         out = row if out is None else out.unionByName(row)
