@@ -386,6 +386,32 @@ def main() -> None:
             ORDER BY w.n_shared DESC LIMIT 5
         """, scope, spark=spark).show()
         _round9_dialect(spark, scope)
+        _round10(spark, scope)
+
+
+def _round10(spark, scope):
+    import framequery_spark as fq
+    from framequery_spark.operators.dedup import near_dup_config_sweep
+
+    # unified near-dup façade: two methods judged against ONE exact truth
+    near_dup_config_sweep(scope["documents"], {
+        "containment_08": ("containment", {"k": 3, "threshold": 0.8}),
+        "winnow_w4": ("winnow", {"k": 3, "window": 4, "min_shared": 3,
+                                 "max_doc_freq": 20}),
+    }).show()
+
+    # pg array-type casts + rank-normalization bitmask + pg grand-total
+    # row over empty input (raw Spark emits zero rows there)
+    fq.execute("""
+        SELECT ('{10,20,30}'::int[])[2] AS second,
+               '{a,"b,c",NULL}'::text[] AS arr,
+               ts_rank(to_tsvector('a b c a'), to_tsquery('a | c'), 2|8)
+                   AS rank_norm
+    """, scope, spark=spark).show(truncate=False)
+    fq.execute("""
+        SELECT r_name, grouping(r_name) AS g, count(*) AS n
+        FROM region WHERE r_regionkey > 99 GROUP BY ROLLUP (r_name)
+    """, scope, spark=spark).show()
 
 
 def _round9_dialect(spark, scope):

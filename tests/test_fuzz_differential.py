@@ -319,6 +319,31 @@ class Gen:
         return (f"SELECT id, e FROM t1 WHERE {self.cond()} ORDER BY id "
                 f"FETCH FIRST {r.randint(1, 15)} ROWS ONLY")
 
+    def q_agg_over_join(self):
+        r = self.r
+        return (
+            "SELECT t2.w AS w, CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum({self.int_expr(q='t1.')}) AS BIGINT) AS s, "
+            "min(t2.v) AS mv "
+            f"FROM t1 JOIN t2 ON t1.b = t2.b WHERE {self.cond(q='t1.')} "
+            f"GROUP BY t2.w HAVING count(*) > {r.randint(0, 5)}")
+
+    def q_from_subquery(self):
+        r = self.r
+        inner = (f"SELECT b, CAST(sum(e) AS BIGINT) AS se, "
+                 f"CAST(count(*) AS BIGINT) AS n FROM t1 "
+                 f"WHERE {self.cond()} GROUP BY b")
+        op = r.choice(["se > n * 2", "n >= 2", "se + n < 100"])
+        return (f"SELECT u.b, u.se, u.n FROM ({inner}) u WHERE {op}")
+
+    def q_nested_subquery(self):
+        # depth-2: IN over a FROM-subquery aggregate
+        return (
+            "SELECT id, b FROM t1 WHERE b IN ("
+            "SELECT b FROM (SELECT b, CAST(count(*) AS BIGINT) AS n "
+            f"FROM t2 WHERE {self.cond_t2()} GROUP BY b) g "
+            f"WHERE n >= {self.r.randint(1, 3)})")
+
     def q_cte(self):
         r = self.r
         inner = r.choice([self.q_agg, self.q_subquery])()
@@ -333,7 +358,8 @@ class Gen:
             self.q_project, self.q_agg, self.q_join, self.q_setop,
             self.q_subquery, self.q_window, self.q_cte, self.q_distinct,
             self.q_distinct_on, self.q_grouping_sets, self.q_filter_agg,
-            self.q_fetch_first,
+            self.q_fetch_first, self.q_agg_over_join, self.q_from_subquery,
+            self.q_nested_subquery,
         ])()
 
 
