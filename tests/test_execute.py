@@ -1596,3 +1596,28 @@ def test_array_cast_edges(spark):
     assert one("SELECT CAST('{1.5,2.5}' AS numeric(10,2)[]) AS d") == \
         [decimal.Decimal("1.50"), decimal.Decimal("2.50")]
     assert one("SELECT '{1,2}'::int[][] AS m") == [1, 2]  # pg ignores dims
+
+
+def test_lateral_aggregate_empty_group_matches_pg(spark):
+    """Fuzzer-surfaced ORACLE deviation (not an engine bug): a LATERAL
+    subquery whose body is a global aggregate emits exactly ONE row per
+    outer row in pg — including when the correlated group is EMPTY (the
+    aggregate over zero rows is a row of NULL/0). DuckDB 1.0 drops those
+    outer rows (its own correlated-scalar form keeps them, so the value
+    semantics are undisputed); the engine follows pg, pinned here with a
+    literal oracle."""
+    import framequery_spark as fq
+
+    t1 = spark.createDataFrame([(1, 0), (2, 1)], "id long, b long")
+    t2 = spark.createDataFrame([(0, 33)], "b long, v long")
+    got = sorted(tuple(r) for r in fq.execute(
+        "SELECT t1.id, l.mv FROM t1, LATERAL "
+        "(SELECT min(v) AS mv FROM t2 WHERE t2.b = t1.b AND v = 33) l",
+        {"t1": t1, "t2": t2}, spark=spark).collect())
+    assert got == [(1, 33), (2, None)]
+    # count(*) over the empty group is 0, not a dropped row
+    got = sorted(tuple(r) for r in fq.execute(
+        "SELECT t1.id, l.n FROM t1, LATERAL "
+        "(SELECT count(*) AS n FROM t2 WHERE t2.b = t1.b AND v = 99) l",
+        {"t1": t1, "t2": t2}, spark=spark).collect())
+    assert got == [(1, 0), (2, 0)]

@@ -336,6 +336,26 @@ class Gen:
         op = r.choice(["se > n * 2", "n >= 2", "se + n < 100"])
         return (f"SELECT u.b, u.se, u.n FROM ({inner}) u WHERE {op}")
 
+    def q_lateral(self):
+        r = self.r
+        if r.random() < 0.5:
+            agg = r.choice(["max(v)", "min(v)", "CAST(count(*) AS BIGINT)",
+                            "CAST(sum(v) AS BIGINT)"])
+            # NO extra inner filter: DuckDB 1.0 DROPS outer rows whose
+            # LATERAL-aggregate group is empty, deviating from pg (which
+            # emits one row with NULL — the engine follows pg; pinned by
+            # test_lateral_aggregate_empty_group_matches_pg in
+            # tests/test_execute.py). t1.b and t2.b share the 0..4 domain,
+            # so the bare correlation below never produces an empty group
+            # and both engines agree.
+            return (f"SELECT t1.id, l.mv FROM t1, LATERAL "
+                    f"(SELECT {agg} AS mv FROM t2 WHERE t2.b = t1.b) l")
+        n = r.randint(1, 3)
+        d = r.choice(["ASC", "DESC"])
+        return (f"SELECT t1.id, l.v, l.i2 FROM t1 CROSS JOIN LATERAL "
+                f"(SELECT v, id AS i2 FROM t2 WHERE t2.b = t1.b "
+                f"ORDER BY v {d}, id LIMIT {n}) l")
+
     def q_nested_subquery(self):
         # depth-2: IN over a FROM-subquery aggregate
         return (
@@ -359,7 +379,7 @@ class Gen:
             self.q_subquery, self.q_window, self.q_cte, self.q_distinct,
             self.q_distinct_on, self.q_grouping_sets, self.q_filter_agg,
             self.q_fetch_first, self.q_agg_over_join, self.q_from_subquery,
-            self.q_nested_subquery,
+            self.q_nested_subquery, self.q_lateral,
         ])()
 
 
