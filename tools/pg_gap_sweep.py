@@ -218,6 +218,20 @@ CANDIDATES = [
     ("select string_agg(name, null) from names", "select string_agg(name, '') from names"),
     ("select sum(c2) filter (where c1 = 0) over (order by c2) from test order by 1", None),
     ("select lower(name collate \"C\") from names", "select lower(name) from names"),
+    # --- round 10: pg array-type casts ---
+    ("select '{1,2,3}'::int[]", "select [1, 2, 3]"),
+    ("select ('{10,20,30}'::int[])[2]", "select 20"),
+    ("select '{a,\"b,c\"}'::text[]", "select ['a', 'b,c']"),
+    ("select cast('{1.5,2.5}' as numeric(10,2)[])",
+     "select [cast(1.5 as decimal(10,2)), cast(2.5 as decimal(10,2))]"),
+    # --- round 10: empty-input grand-total grouping rows (pg semantics;
+    # DuckDB agrees, raw Spark returns zero rows) ---
+    ("select c1, count(*) from test where c2 > 100 group by rollup(c1)", None),
+    ("select c1, cast(count(*) as bigint) n from test where c2 > 100 group by grouping sets ((c1), ())", None),
+    # --- round 10: LATERAL aggregate keeps empty-group rows like pg;
+    # DuckDB drops them, so the oracle restates via correlated scalar ---
+    ("select t.c1, l.mv from test t, lateral (select max(id) as mv from names where id = t.c1 and id > 1) l order by t.c1, l.mv",
+     "select t.c1, (select max(id) from names where id = t.c1 and id > 1) as mv from test t order by t.c1, mv"),
 ]
 
 
