@@ -74,8 +74,20 @@ def _fixture_frames():
         "v": [(i * 11) % 40 for i in range(n2)],
         "w": [words[(i * 5 + 1) % len(words)] for i in range(n2)],
     })
+    n3 = 24
+    t3 = pd.DataFrame({
+        "id": list(range(n3)),
+        "dt": pd.to_datetime(
+            [f"2024-{(i % 12) + 1:02d}-{(i * 5) % 27 + 1:02d}"
+             for i in range(n3)]).date,
+        "ts": pd.to_datetime(
+            [f"2024-03-{(i % 27) + 1:02d} "
+             f"{(i * 7) % 24:02d}:{(i * 13) % 60:02d}:00"
+             for i in range(n3)]),
+        "b": [i % 5 for i in range(n3)],
+    })
     rng.shuffle  # (rng reserved for future fixture variants)
-    return {"t1": t1, "t2": t2}
+    return {"t1": t1, "t2": t2, "t3": t3}
 
 
 @pytest.fixture(scope="module")
@@ -356,6 +368,42 @@ class Gen:
                 f"(SELECT v, id AS i2 FROM t2 WHERE t2.b = t1.b "
                 f"ORDER BY v {d}, id LIMIT {n}) l")
 
+    def q_dates(self):
+        r = self.r
+        pick = r.random()
+        if pick < 0.20:
+            # pg returns TIMESTAMP from date_trunc(date) — our engine
+            # matches pg, DuckDB returns DATE; CAST aligns the compare
+            unit = r.choice(["month", "year", "quarter", "week"])
+            return (f"SELECT id, CAST(date_trunc('{unit}', dt) AS DATE) "
+                    "AS tr FROM t3")
+        if pick < 0.38:
+            f1, f2 = r.sample(["year", "month", "day", "quarter"], 2)
+            return (f"SELECT id, CAST(extract({f1} FROM dt) AS BIGINT) "
+                    f"AS f1, CAST(extract({f2} FROM dt) AS BIGINT) AS f2 "
+                    "FROM t3")
+        if pick < 0.52:
+            off = r.randint(1, 400)
+            return (f"SELECT id, dt + {off} AS fwd, dt - {off} AS back, "
+                    "dt - DATE '2024-01-01' AS since FROM t3")
+        if pick < 0.66:
+            lo = f"2024-{r.randint(1, 6):02d}-{r.randint(1, 28):02d}"
+            hi = f"2024-{r.randint(7, 12):02d}-{r.randint(1, 28):02d}"
+            return (f"SELECT id, dt FROM t3 WHERE dt BETWEEN "
+                    f"DATE '{lo}' AND DATE '{hi}'")
+        if pick < 0.80:
+            return ("SELECT CAST(date_trunc('month', dt) AS DATE) AS m, "
+                    "CAST(count(*) AS BIGINT) AS n, min(dt) AS mn, "
+                    "max(dt) AS mx FROM t3 "
+                    "GROUP BY CAST(date_trunc('month', dt) AS DATE)")
+        if pick < 0.90:
+            mins = r.choice([30, 90, 150])
+            return (f"SELECT id, ts + INTERVAL '{mins} minutes' AS t2, "
+                    "CAST(extract(hour FROM ts) AS BIGINT) AS hh FROM t3")
+        return ("SELECT id, last_day(dt) AS ld, "
+                "CAST(date_part('doy', dt) AS BIGINT) AS doy, "
+                "CAST(dt AS VARCHAR) AS s FROM t3")
+
     def q_nested_subquery(self):
         # depth-2: IN over a FROM-subquery aggregate
         return (
@@ -379,7 +427,7 @@ class Gen:
             self.q_subquery, self.q_window, self.q_cte, self.q_distinct,
             self.q_distinct_on, self.q_grouping_sets, self.q_filter_agg,
             self.q_fetch_first, self.q_agg_over_join, self.q_from_subquery,
-            self.q_nested_subquery, self.q_lateral,
+            self.q_nested_subquery, self.q_lateral, self.q_dates,
         ])()
 
 
