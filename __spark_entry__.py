@@ -1063,7 +1063,10 @@ def _op(name: str, fn: Callable[[SparkSession, str], DataFrame],
     def wrapped(spark: SparkSession, sf_dir: str,
                 _fn=fn) -> DataFrame:
         from framequery_spark.operators.cache import release_cached
-        release_cached()
+        # checkpoints stay for the ContextCleaner: a released checkpoint
+        # fails on re-read, and a caller may still hold the previous op's
+        # result (bench releases them fully between reps itself)
+        release_cached(checkpoints=False)
         return _fn(spark, sf_dir)
 
     _OPS[name] = (wrapped, oracle)

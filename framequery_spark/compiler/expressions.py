@@ -335,39 +335,70 @@ COMPARISONS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 
 
 def _parse_pg_brace_array(text: str):
-    """Parse a pg array literal body '{a,"b,c",NULL}' into Python values
-    (None for unquoted NULL). Double quotes protect commas/spaces;
-    backslash escapes the next char inside quotes."""
+    """Parse a pg array literal body '{a, "b,c", NULL}' into Python values
+    (None for unquoted NULL). pg rules honored: double quotes protect
+    commas/braces/whitespace, backslash escapes the next char both inside
+    AND outside quotes, unescaped whitespace around elements is skipped,
+    and a nested '{' raises (multidimensional arrays are unsupported here
+    — raising beats silently casting '{1' to NULL)."""
     s = text.strip()
     if not (s.startswith("{") and s.endswith("}")):
         raise CompileError(f"malformed array literal: {text!r}")
     body = s[1:-1]
     if not body.strip():
         return []
-    items, cur, i, quoted, was_quoted = [], [], 0, False, False
-    while i < len(body):
-        ch = body[i]
-        if quoted:
-            if ch == "\\" and i + 1 < len(body):
-                cur.append(body[i + 1])
-                i += 2
-                continue
-            if ch == '"':
-                quoted = False
-            else:
+    items, i, n = [], 0, len(body)
+    while True:
+        while i < n and body[i].isspace():
+            i += 1
+        if i < n and body[i] == "{":
+            raise CompileError(
+                "multidimensional array literals are not supported: "
+                f"{text!r}")
+        if i < n and body[i] == '"':
+            i += 1
+            cur = []
+            while i < n:
+                ch = body[i]
+                if ch == "\\" and i + 1 < n:
+                    cur.append(body[i + 1])
+                    i += 2
+                    continue
+                if ch == '"':
+                    i += 1
+                    break
                 cur.append(ch)
-        elif ch == '"':
-            quoted = True
-            was_quoted = True
-        elif ch == ",":
-            v = "".join(cur).strip() if not was_quoted else "".join(cur)
-            items.append(None if not was_quoted and v.upper() == "NULL" else v)
-            cur, was_quoted = [], False
+                i += 1
+            else:
+                raise CompileError(f"malformed array literal: {text!r}")
+            items.append("".join(cur))
         else:
-            cur.append(ch)
+            chars = []  # (char, escaped)
+            while i < n and body[i] != ",":
+                ch = body[i]
+                if ch == "\\" and i + 1 < n:
+                    chars.append((body[i + 1], True))
+                    i += 2
+                    continue
+                if ch in '{"':
+                    raise CompileError(
+                        f"malformed array literal: {text!r}")
+                chars.append((ch, False))
+                i += 1
+            # trailing UNESCAPED whitespace is padding; escaped stays
+            while chars and not chars[-1][1] and chars[-1][0].isspace():
+                chars.pop()
+            v = "".join(c for c, _ in chars)
+            had_escape = any(e for _, e in chars)
+            items.append(None if not had_escape and v.upper() == "NULL"
+                         else v)
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        if body[i] != ",":
+            raise CompileError(f"malformed array literal: {text!r}")
         i += 1
-    v = "".join(cur).strip() if not was_quoted else "".join(cur)
-    items.append(None if not was_quoted and v.upper() == "NULL" else v)
     return items
 
 # pg to_char/to_date template patterns -> Java SimpleDateFormat-style

@@ -825,7 +825,11 @@ class QueryCompiler:
                 # replace aggregate calls with hidden agg columns, but keep
                 # the head call of a WindowCall (sum(sum(x)) OVER () hoists
                 # only the inner sum — the outer one runs as the window
-                # function)
+                # function). Dedup keys are the ORIGINAL (pre-rewrite)
+                # nodes so the twin pass below — whose rewrite maps every
+                # group ref to NULL and would otherwise collapse distinct
+                # aggregates like count(a)/count(b) into one — emits the
+                # same hidden-column name sequence as the main pass.
                 if isinstance(node, ast.WindowCall):
                     call = node.call
                     new_call = ast.Call(
@@ -838,18 +842,21 @@ class QueryCompiler:
                 if isinstance(node, ast.Call) and node.name in AGG_NAMES:
                     if node not in agg_sub:
                         aname = f"__a{len(agg_sub)}"
-                        agg_cols.append(ec.compile(node).alias(aname))
+                        agg_cols.append(
+                            ec.compile(rewrite_fn(node)).alias(aname))
                         agg_sub[node] = ast.ColumnRef(parts=(aname,),
                                                       quoted=True)
                     return agg_sub[node]
                 return map_children(node, hoist_aggs)
 
             for i, (expr, _name) in enumerate(items):
-                rewritten = rewrite_fn(expr)
-                if _contains_window(rewritten):
-                    window_items[i] = hoist_aggs(rewritten)
+                if _contains_window(rewrite_fn(expr)):
+                    # hoist on the ORIGINAL tree (stable dedup keys), then
+                    # rewrite the remaining group refs for post-agg eval
+                    window_items[i] = rewrite_fn(hoist_aggs(expr))
                 else:
-                    agg_cols.append(ec.compile(rewritten).alias(f"__out{i}"))
+                    agg_cols.append(
+                        ec.compile(rewrite_fn(expr)).alias(f"__out{i}"))
 
             if sel.having is not None:
                 agg_cols.append(
@@ -863,7 +870,7 @@ class QueryCompiler:
                 # remaining (window) expression evaluates post-aggregation
                 # like window_items do
                 q = self._resolve_item_aliases(sel.qualify, items, ())
-                qualify_expr = hoist_aggs(rewrite_fn(q))
+                qualify_expr = rewrite_fn(hoist_aggs(q))
 
             # ORDER BY in agg context: outputs or extra aggs
             sort_specs: List[tuple] = []
@@ -939,19 +946,35 @@ class QueryCompiler:
                 input_df=df)
             t_cols, _, _, _ = build_agg_cols(
                 lambda n: transform(n, _twin_node), ec_t)
-            twin_in, _ = self._attach_pending(df_pre.limit(0), ec_t)
-            twin = twin_in.groupBy().agg(*t_cols)
-            gate = (df_pre.groupBy()
-                    .agg(F.count(F.lit(1)).alias("__cnt"))
-                    .filter(F.col("__cnt") == 0)
-                    .select(F.lit(1).alias("__gate1")))
-            twin = twin.crossJoin(gate).drop("__gate1")
-            have = set(twin.columns)
-            aligned = [
-                (F.col(f.name) if f.name in have else F.lit(None))
-                .cast(f.dataType).alias(f.name)
-                for f in result.schema.fields]
-            result = result.unionByName(twin.select(*aligned))
+            if (ec_t.pending_scalar or ec_t.pending_correlated
+                    or ec_t.pending_theta or ec_t.pending_precols):
+                # scalar/correlated subqueries fold through first(__scalar)
+                # hidden aggs, which are NULL over the twin's zero-row
+                # input while pg still evaluates the subquery for the ()
+                # row — emitting a row with wrong values is worse than the
+                # pre-existing Spark behavior (no row), so skip the twin
+                # for this (rare) shape
+                twin = None
+            else:
+                twin = df_pre.limit(0).groupBy().agg(*t_cols)
+            if twin is not None:
+                # emptiness gate as a LIMIT-1 anti probe, not a second
+                # full aggregation of df_pre: keeps one row iff the probe
+                # (first row of the pre-agg input) does not exist. The
+                # probe short-circuits after one row on non-empty input;
+                # only genuinely empty input scans to the end — where the
+                # full scan was unavoidable anyway.
+                probe = df_pre.select(F.lit(1).alias("__probe")).limit(1)
+                gate = (self.session.spark.range(1)
+                        .select(F.lit(1).alias("__gate1"))
+                        .join(probe, F.lit(True), "left_anti"))
+                twin = twin.crossJoin(gate).drop("__gate1")
+                have = set(twin.columns)
+                aligned = [
+                    (F.col(f.name) if f.name in have else F.lit(None))
+                    .cast(f.dataType).alias(f.name)
+                    for f in result.schema.fields]
+                result = result.unionByName(twin.select(*aligned))
 
         if sel.having is not None:
             result = result.filter(F.col("__having"))
@@ -1966,6 +1989,14 @@ def _split_conjuncts(node: ast.Node) -> List[ast.Node]:
 
 
 def _int_literal(node: ast.Node, what: str) -> int:
+    # constant-fold the wrappers EXECUTE's parameter splice produces
+    # (CAST(n AS BIGINT), unary minus) — pg treats those as constants too
+    if isinstance(node, ast.Unary) and node.op == "-":
+        return -_int_literal(node.operand, what)
+    if isinstance(node, ast.Cast) and node.type_name.lower() in (
+            "int", "integer", "bigint", "smallint",
+            "int2", "int4", "int8", "long"):
+        return _int_literal(node.expr, what)
     if isinstance(node, ast.Literal) and node.kind == "int":
         return node.value
     raise CompileError(f"{what} must be an integer literal")

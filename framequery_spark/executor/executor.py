@@ -656,11 +656,16 @@ class Executor:
                 elif a.kind == "bool":
                     vals.append("true" if v else "false")
                 else:
-                    # parenthesize numeric splices: a bare negative after
-                    # a '-' in the prepared text ("5-" + "-2") would fuse
-                    # into a '--' line comment and silently truncate the
-                    # statement
-                    vals.append("(" + ("-" if neg else "") + str(v) + ")")
+                    # numeric splices go in as typed CASTs, never bare
+                    # literals: a bare negative after '-' fuses into a
+                    # '--' line comment, and a bare/parenthesized integer
+                    # in ORDER BY / GROUP BY position resolves as an
+                    # ORDINAL — pg's $n is a constant there (sorting and
+                    # grouping no-ops), which CAST(n AS ...) reproduces
+                    # (LIMIT/OFFSET fold it back via _int_literal)
+                    ty = "DOUBLE" if isinstance(v, float) else "BIGINT"
+                    vals.append(
+                        f"CAST({'-' if neg else ''}{v} AS {ty})")
             # token-aware $n substitution: splice at pgparam token
             # positions so $n inside string literals is never touched
             from ..parser.tokenizer import tokenize as _tok

@@ -99,14 +99,24 @@ def release_one(df: DataFrame) -> None:
         pass
 
 
-def release_cached(blocking: bool = False) -> int:
+def release_cached(blocking: bool = False,
+                   checkpoints: bool = True) -> int:
     """Unpersist every tracked intermediate; returns the number released.
     Idempotent; safe to call while results are still lazy (they recompute
     uncached). Default is non-blocking (fire-and-forget block removal);
     pass ``blocking=True`` when the next measurement must not overlap the
     async removal — back-to-back bench reps with non-blocking release can
     accumulate cached blocks faster than the async cleaner drops them,
-    which reads as monotonically rising rep times."""
+    which reads as monotonically rising rep times.
+
+    ``checkpoints=False`` releases only the plain persists and leaves
+    tracked localCheckpoints for the ContextCleaner — a released
+    checkpoint FAILS on re-read (lineage truncated) instead of
+    recomputing, so auto-release hooks that fire between operator calls
+    (the ``__spark_entry__`` wrappers) opt out to preserve the
+    every-result-stays-readable invariant; explicit callers that have
+    materialized everything (bench reps, tests, session teardown) keep
+    the full default."""
     released = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -115,7 +125,7 @@ def release_cached(blocking: bool = False) -> int:
             released += 1
         except Exception:  # session already stopped — nothing to release
             pass
-    while _TRACKED_CKPT:
+    while checkpoints and _TRACKED_CKPT:
         sc, rid = _TRACKED_CKPT.pop()
         try:
             jmap = sc._jsc.getPersistentRDDs()

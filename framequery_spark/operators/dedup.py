@@ -945,18 +945,18 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------- unified near-dup façade
 
-# method -> (callable, native score column). Every member emits (id1 < id2)
-# pair rows; the façade renames the native measure to `score` so configs
-# are interchangeable in sweeps (jaccard / containment / trgm / minhash:
-# similarity in [0, 1]; winnow: shared-fingerprint count; simhash:
-# Hamming DISTANCE — lower is nearer).
+# method -> (pair function, native score column). Every member emits
+# (id1 < id2) pair rows; the façade renames the native measure to `score`
+# so configs are interchangeable in sweeps (jaccard / containment / trgm /
+# minhash: similarity in [0, 1]; winnow: shared-fingerprint count;
+# simhash: Hamming DISTANCE — lower is nearer).
 _NEAR_DUP_METHODS = {
-    "jaccard": ("jaccard", None),
-    "containment": ("containment", None),
-    "trgm": ("sim", None),
-    "minhash": ("jaccard", None),
-    "winnow": ("n_shared", None),
-    "simhash": ("hamming", None),
+    "jaccard": (jaccard_pairs, "jaccard"),
+    "containment": (containment_pairs, "containment"),
+    "trgm": (trgm_pairs, "sim"),
+    "minhash": (minhash_lsh_pairs, "jaccard"),
+    "winnow": (winnow_pairs, "n_shared"),
+    "simhash": (simhash_near_pairs, "hamming"),
 }
 
 
@@ -980,11 +980,8 @@ def near_dup_pairs(df: DataFrame, method: str = "jaccard",
         raise ValueError(
             f"unknown near-dup method {method!r}; "
             f"one of {sorted(_NEAR_DUP_METHODS)}")
-    fns = {"jaccard": jaccard_pairs, "containment": containment_pairs,
-           "trgm": trgm_pairs, "minhash": minhash_lsh_pairs,
-           "winnow": winnow_pairs, "simhash": simhash_near_pairs}
-    out = fns[method](df, id_col=id_col, text_col=text_col, **knobs)
-    native, _ = _NEAR_DUP_METHODS[method]
+    fn, native = _NEAR_DUP_METHODS[method]
+    out = fn(df, id_col=id_col, text_col=text_col, **knobs)
     return out.select("id1", "id2",
                       F.col(native).cast("double").alias("score"))
 

@@ -1838,12 +1838,17 @@ class Parser:
                 args.append(self.advance().value)
             self.expect_op(")")
             name += "(" + ",".join(args) + ")"
-        # pg array type suffix: text[], int[][]; extra dimensions are
-        # ignored by pg itself, so normalize to one trailing "[]"
+        # pg array type suffix: text[], int[][], int[3] (pg ignores both
+        # extra dimensions and declared bounds) — normalized to one
+        # trailing "[]"
         had_array = False
         while self.is_op("["):
             save = self.i
             self.advance()
+            tok = self.peek()
+            if tok is not None and tok.kind == "number" \
+                    and "." not in tok.value:
+                self.advance()  # declared bound, e.g. int[3] — ignored
             if not self.accept_op("]"):
                 # not a type suffix — a subscript on the cast result
                 self.i = save

@@ -140,3 +140,27 @@ def test_local_checkpoints_released(spark, op):
         assert release_cached(blocking=True) >= 1
         leaked = _persistent_rdd_ids(spark) - before
         assert not leaked, f"{op} leaked persistent RDDs: {leaked}"
+
+
+def test_op_results_stay_readable_across_entry_op_calls(spark):
+    """Round-10 review finding: the entry wrappers' auto-release must NOT
+    drop tracked checkpoints — a released checkpoint fails on re-read, so
+    a caller holding op A's result while invoking op B would break. The
+    wrappers release persists only (recompute-safe); checkpoints go to
+    the explicit full release / ContextCleaner."""
+    from framequery_spark.operators.cache import release_cached
+
+    release_cached()
+    import __spark_entry__ as entry
+    from framequery_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "a long, b long")
+    r1 = connected_components(edges, "a", "b")
+    n1 = r1.count()
+    # run another entry op: its wrapper auto-releases the previous op's
+    # PERSISTS but leaves the checkpoint backing r1
+    entry.queries()["op_exact_dedup"](spark, "/root/testdata/sf0.001") \
+        .collect()
+    assert r1.count() == n1  # still readable — no checkpoint loss
+    release_cached(blocking=True)  # full release still works

@@ -1621,3 +1621,58 @@ def test_lateral_aggregate_empty_group_matches_pg(spark):
         "(SELECT count(*) AS n FROM t2 WHERE t2.b = t1.b AND v = 99) l",
         {"t1": t1, "t2": t2}, spark=spark).collect())
     assert got == [(1, 0), (2, 0)]
+
+
+def test_review_round10_fixes(spark):
+    """Regressions for the round-10 code-review findings."""
+    import framequery_spark as fq
+
+    def one(sql):
+        return fq.execute(sql, spark=spark).collect()[0][0]
+
+    # 1. multidim array literals raise instead of silently yielding NULLs
+    with pytest.raises(Exception, match="multidimensional"):
+        fq.execute("SELECT '{{1,2},{3,4}}'::int[] AS m", spark=spark)
+    # 2. unescaped whitespace around (quoted) elements is padding
+    assert one("SELECT '{a, \"b,c\", NULL}'::text[] AS a") == \
+        ["a", "b,c", None]
+    assert one("SELECT '{ \"a\" , \"b\" }'::text[] AS a") == ["a", "b"]
+    # 7. backslash escapes work outside quotes too (pg: {a\,b} is 'a,b')
+    assert one(r"SELECT '{a\,b}'::text[] AS a") == ["a,b"]
+    # escaped NULL is the STRING 'NULL', not SQL NULL
+    assert one(r"SELECT '{\N\U\L\L}'::text[] AS a") == ["NULL"]
+    # 9. pg bounded array types: the bound is ignored, not a subscript
+    assert one("SELECT '{1,2}'::int[3] AS a") == [1, 2]
+
+    # 3. EXECUTE numeric params are CONSTANTS in ORDER BY/GROUP BY like
+    # pg's $n — never ordinals — and still fold for LIMIT/OFFSET
+    ex = fq.Executor({"t": spark.createDataFrame(
+        [(1, 30), (2, 20), (3, 10)], "a long, b long")}, spark=spark)
+    ex.execute("PREPARE po AS SELECT a, b FROM t ORDER BY $1, a")
+    rows = ex.execute("EXECUTE po(2)").collect()
+    assert [r.a for r in rows] == [1, 2, 3]  # constant: NOT sorted by b
+    ex.execute("PREPARE pl AS SELECT a FROM t ORDER BY a LIMIT $1")
+    assert len(ex.execute("EXECUTE pl(2)").collect()) == 2
+    ex.execute("PREPARE pg2 AS SELECT count(*) AS n FROM t GROUP BY $1")
+    assert [r.n for r in ex.execute("EXECUTE pg2(7)").collect()] == [3]
+
+    # 8. twin hidden-agg names stay aligned when distinct aggregates
+    # collapse under the NULL rewrite (window-over-agg on empty input)
+    rows = fq.execute(
+        "SELECT CAST(sum(count(a)) OVER () AS BIGINT) AS ca, "
+        "CAST(sum(count(b)) OVER () AS BIGINT) AS cb "
+        "FROM t WHERE a > 100 GROUP BY ROLLUP (a, b)",
+        {"t": spark.createDataFrame([(1, 2)], "a long, b long")},
+        spark=spark).collect()
+    assert [tuple(r) for r in rows] == [(0, 0)]
+
+    # 4. scalar-subquery select items skip the twin (documented): the
+    # query still runs and non-empty inputs keep pg behavior
+    rows = fq.execute(
+        "SELECT a, CAST(count(*) AS BIGINT) AS n, (SELECT 42) AS c "
+        "FROM t GROUP BY ROLLUP (a)",
+        {"t": spark.createDataFrame([(1,)], "a long")},
+        spark=spark).collect()
+    assert sorted([tuple(r) for r in rows],
+                  key=lambda t: (t[0] is None, t)) == \
+        [(1, 1, 42), (None, 1, 42)]
