@@ -335,70 +335,92 @@ COMPARISONS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 
 
 def _parse_pg_brace_array(text: str):
-    """Parse a pg array literal body '{a, "b,c", NULL}' into Python values
-    (None for unquoted NULL). pg rules honored: double quotes protect
-    commas/braces/whitespace, backslash escapes the next char both inside
-    AND outside quotes, unescaped whitespace around elements is skipped,
-    and a nested '{' raises (multidimensional arrays are unsupported here
-    — raising beats silently casting '{1' to NULL)."""
+    """Parse a pg array literal '{a, "b,c", NULL}' — possibly nested,
+    '{{1,2},{3,4}}' — into (nested) Python lists with None for unquoted
+    NULL. pg rules honored: double quotes protect commas/braces/
+    whitespace, backslash escapes the next char both inside AND outside
+    quotes, unescaped whitespace around elements is skipped, and ragged
+    sub-arrays raise like pg's "multidimensional arrays must have array
+    expressions with matching dimensions"."""
     s = text.strip()
-    if not (s.startswith("{") and s.endswith("}")):
+    if not s.startswith("{"):
         raise CompileError(f"malformed array literal: {text!r}")
-    body = s[1:-1]
-    if not body.strip():
-        return []
-    items, i, n = [], 0, len(body)
-    while True:
-        while i < n and body[i].isspace():
-            i += 1
-        if i < n and body[i] == "{":
-            raise CompileError(
-                "multidimensional array literals are not supported: "
-                f"{text!r}")
-        if i < n and body[i] == '"':
-            i += 1
-            cur = []
-            while i < n:
-                ch = body[i]
-                if ch == "\\" and i + 1 < n:
-                    cur.append(body[i + 1])
-                    i += 2
-                    continue
-                if ch == '"':
-                    i += 1
-                    break
-                cur.append(ch)
-                i += 1
-            else:
-                raise CompileError(f"malformed array literal: {text!r}")
-            items.append("".join(cur))
-        else:
-            chars = []  # (char, escaped)
-            while i < n and body[i] != ",":
-                ch = body[i]
-                if ch == "\\" and i + 1 < n:
-                    chars.append((body[i + 1], True))
-                    i += 2
-                    continue
-                if ch in '{"':
-                    raise CompileError(
-                        f"malformed array literal: {text!r}")
-                chars.append((ch, False))
-                i += 1
-            # trailing UNESCAPED whitespace is padding; escaped stays
-            while chars and not chars[-1][1] and chars[-1][0].isspace():
-                chars.pop()
-            v = "".join(c for c, _ in chars)
-            had_escape = any(e for _, e in chars)
-            items.append(None if not had_escape and v.upper() == "NULL"
-                         else v)
-        while i < n and body[i].isspace():
-            i += 1
-        if i >= n:
-            break
-        if body[i] != ",":
-            raise CompileError(f"malformed array literal: {text!r}")
+
+    def parse_level(i: int):
+        # s[i] == "{"; returns (list, index just past the closing "}")
         i += 1
+        items = []
+        n = len(s)
+        while True:
+            while i < n and s[i].isspace():
+                i += 1
+            if i >= n:
+                raise CompileError(f"malformed array literal: {text!r}")
+            if s[i] == "}" and not items:
+                return items, i + 1  # empty {}
+            if s[i] == "{":
+                sub, i = parse_level(i)
+                items.append(sub)
+            elif s[i] == '"':
+                i += 1
+                cur = []
+                while i < n and s[i] != '"':
+                    if s[i] == "\\" and i + 1 < n:
+                        cur.append(s[i + 1])
+                        i += 2
+                        continue
+                    cur.append(s[i])
+                    i += 1
+                if i >= n:
+                    raise CompileError(f"malformed array literal: {text!r}")
+                i += 1  # closing quote
+                items.append("".join(cur))
+            else:
+                chars = []  # (char, escaped)
+                while i < n and s[i] not in ",}":
+                    if s[i] == "\\" and i + 1 < n:
+                        chars.append((s[i + 1], True))
+                        i += 2
+                        continue
+                    if s[i] in '{"':
+                        raise CompileError(
+                            f"malformed array literal: {text!r}")
+                    chars.append((s[i], False))
+                    i += 1
+                # trailing UNESCAPED whitespace is padding; escaped stays
+                while chars and not chars[-1][1] and chars[-1][0].isspace():
+                    chars.pop()
+                v = "".join(c for c, _ in chars)
+                had_escape = any(e for _, e in chars)
+                items.append(None if not had_escape and v.upper() == "NULL"
+                             else v)
+            while i < n and s[i].isspace():
+                i += 1
+            if i >= n:
+                raise CompileError(f"malformed array literal: {text!r}")
+            if s[i] == "}":
+                return items, i + 1
+            if s[i] != ",":
+                raise CompileError(f"malformed array literal: {text!r}")
+            i += 1
+
+    items, i = parse_level(0)
+    if s[i:].strip():
+        raise CompileError(f"malformed array literal: {text!r}")
+
+    def shape_of(v):
+        # pg: every level must mix only arrays with equal shapes, or only
+        # scalars — ragged or depth-mismatched nesting is an error
+        if not isinstance(v, list):
+            return ()
+        shapes = {shape_of(x) for x in v}
+        if len(shapes) > 1:
+            raise CompileError(
+                "multidimensional array literal has mismatching "
+                f"dimensions: {text!r}")
+        return (len(v),) + (shapes.pop() if shapes else ())
+
+    shape_of(items)
     return items
 
 # pg to_char/to_date template patterns -> Java SimpleDateFormat-style
@@ -1122,9 +1144,24 @@ class ExprCompiler:
             if isinstance(node.expr, ast.Literal) \
                     and node.expr.kind == "string":
                 items = _parse_pg_brace_array(node.expr.value)
-                cols = [F.lit(x).cast(spark_elem) for x in items]
-                return F.array(*cols) if cols \
-                    else F.array().cast(f"array<{spark_elem}>")
+
+                def depth_of(v):
+                    return 1 + depth_of(v[0]) \
+                        if isinstance(v, list) and v \
+                        and isinstance(v[0], list) else 1
+
+                def ddl(d):
+                    return f"array<{ddl(d - 1)}>" if d else spark_elem
+
+                def build(v, d):
+                    # d = remaining nesting under v (validated rectangular)
+                    if not isinstance(v, list):
+                        return F.lit(v).cast(spark_elem)
+                    if not v:
+                        return F.array().cast(f"array<{ddl(d - 1)}>")
+                    return F.array(*[build(x, d - 1) for x in v])
+
+                return build(items, depth_of(items))
             return c.cast(f"array<{spark_elem}>")
         base = t.split("(")[0]
         if t in CAST_MAP:

@@ -1630,9 +1630,16 @@ def test_review_round10_fixes(spark):
     def one(sql):
         return fq.execute(sql, spark=spark).collect()[0][0]
 
-    # 1. multidim array literals raise instead of silently yielding NULLs
-    with pytest.raises(Exception, match="multidimensional"):
-        fq.execute("SELECT '{{1,2},{3,4}}'::int[] AS m", spark=spark)
+    # 1. multidim array literals parse to nested arrays (originally this
+    # silently yielded NULLs, then raised; now full pg support — with
+    # pg's ragged-dimension error)
+    assert one("SELECT '{{1,2},{3,4}}'::int[][] AS m") == [[1, 2], [3, 4]]
+    assert one("SELECT ('{{1,2},{3,4}}'::int[])[2] AS m") == [3, 4]
+    assert one("SELECT '{{{a},{b}},{{c},{d}}}'::text[] AS m") == \
+        [[["a"], ["b"]], [["c"], ["d"]]]
+    for ragged in ("'{{1},{2,3}}'", "'{{1,2},3}'", "'{1,{2}}'"):
+        with pytest.raises(Exception, match="mismatching dimensions"):
+            fq.execute(f"SELECT {ragged}::int[] AS m", spark=spark)
     # 2. unescaped whitespace around (quoted) elements is padding
     assert one("SELECT '{a, \"b,c\", NULL}'::text[] AS a") == \
         ["a", "b,c", None]

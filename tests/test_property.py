@@ -537,3 +537,54 @@ def test_stratified_split_quota_exactness(spark, n, groups):
         assert got.get((g, "train"), 0) == t1
         assert got.get((g, "val"), 0) == t2 - t1
         assert got.get((g, "test"), 0) == n - t2
+
+
+def _render_pg_array(v) -> str:
+    """Render a (nested) Python list as a pg array literal, quoting any
+    element that needs it — the inverse of _parse_pg_brace_array."""
+    if isinstance(v, list):
+        return "{" + ",".join(_render_pg_array(x) for x in v) + "}"
+    if v is None:
+        return "NULL"
+    needs_quote = (v == "" or v.upper() == "NULL"
+                   or any(c in v for c in ',{}"\\') or v != v.strip())
+    if needs_quote:
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return v
+
+
+_elem = st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                   blacklist_characters="\x00"),
+            max_size=12))
+
+
+@given(st.lists(_elem, max_size=8))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_pg_array_literal_roundtrip_flat(items):
+    from framequery_spark.compiler.expressions import _parse_pg_brace_array
+
+    assert _parse_pg_brace_array(_render_pg_array(items)) == items
+
+
+@given(st.lists(st.lists(_elem, min_size=2, max_size=4),
+                min_size=1, max_size=4))
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_pg_array_literal_roundtrip_nested(rows):
+    from framequery_spark.compiler.expressions import (CompileError,
+                                                       _parse_pg_brace_array)
+
+    # make the matrix rectangular (pg requires it); ragged must raise
+    width = len(rows[0])
+    rect = [r[:width] + [None] * (width - len(r)) for r in rows]
+    assert _parse_pg_brace_array(_render_pg_array(rect)) == rect
+    if len(rows) >= 2:
+        ragged = [rect[0] + [None]] + rect[1:]
+        try:
+            _parse_pg_brace_array(_render_pg_array(ragged))
+            assert False, "ragged literal must raise"
+        except CompileError:
+            pass
