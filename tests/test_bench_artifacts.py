@@ -51,6 +51,32 @@ def test_newest_bench_entries_snapshot_covers_full_inventory():
     assert not bad, f"entries with a median but no rep list: {bad[:5]}"
 
 
+def test_compact_summary_line_stays_tail_safe():
+    # BENCH_r10 went unparsed because the LAST stdout line embedded
+    # slowest_reps + cache_diag and overflowed the driver's ~2000-char
+    # tail capture. The last line must stay parseable for any inventory
+    # size: simulate a 200-entry run (with failures, long entry names)
+    # and assert the rendered line stays well under the capture bound.
+    import bench
+
+    timings = {f"op_some_long_operator_name_{i:03d}": float(i % 7) + 0.123
+               for i in range(200)}
+    failed = [k for k in list(timings)[:50]]  # catastrophic-run worst case
+    line = bench.compact_summary(
+        total=1234.567, batch_s=1000.1, streaming_s=234.4,
+        timings=timings, streaming_names=frozenset(list(timings)[:11]),
+        floor_s=1100.2, sf_val=0.1, reps=3, failed=failed,
+        ckpt_root="/dev/shm", load1_start=0.5, load1_end=12.3,
+        contended=False)
+    assert len(line) < 1500, (len(line), line[:200])
+    rec = json.loads(line)
+    assert rec["metric"] == "total_query_seconds"
+    assert rec["n"] == 200 and rec["n_failed"] == 50
+    assert len(rec["failed"]) <= 10
+    assert "slowest_reps" not in rec and "cache_diag" not in rec
+    assert "queries" not in rec
+
+
 def test_snapshot_tool_refuses_stale_entries(tmp_path, monkeypatch):
     # the --snapshot-entries gate must reject a bench_entries.json missing
     # current inventory entries rather than committing a hole
