@@ -390,6 +390,12 @@ def _parse_pg_brace_array(text: str):
                 # trailing UNESCAPED whitespace is padding; escaped stays
                 while chars and not chars[-1][1] and chars[-1][0].isspace():
                     chars.pop()
+                if not chars:
+                    # pg rejects empty unquoted elements ('{a,}', '{,a}',
+                    # '{1,,2}') as malformed; only a quoted "" is an empty
+                    # string element
+                    raise CompileError(
+                        f"malformed array literal: {text!r}")
                 v = "".join(c for c, _ in chars)
                 had_escape = any(e for _, e in chars)
                 items.append(None if not had_escape and v.upper() == "NULL"

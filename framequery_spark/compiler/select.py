@@ -924,8 +924,10 @@ class QueryCompiler:
         # empty-input values: count 0, sum NULL, ...), kept only when the
         # pre-agg input is actually empty (a count-only gate scan that
         # Catalyst prunes to metadata where the source allows).
-        if mode in ("rollup", "cube") or (
-                mode == "sets" and any(not s for s in sets_idx)):
+        n_empty_sets = (1 if mode in ("rollup", "cube")
+                        else sum(1 for s in sets_idx if not s)
+                        if mode == "sets" else 0)
+        if n_empty_sets:
             null_map = {g: ast.Literal(None, "null") for g in group_exprs}
 
             def _twin_node(x: ast.Node) -> ast.Node:
@@ -961,9 +963,14 @@ class QueryCompiler:
                 # emptiness gate as a LIMIT-1 anti probe, not a second
                 # full aggregation of df_pre: keeps one row iff the probe
                 # (first row of the pre-agg input) does not exist. The
-                # probe short-circuits after one row on non-empty input;
-                # only genuinely empty input scans to the end — where the
-                # full scan was unavoidable anyway.
+                # probe's LocalLimit stops each partition after one row
+                # on non-empty input; only genuinely empty input scans to
+                # the end — where the full scan was unavoidable anyway.
+                # Tested alternatives (r11): gating on the MAIN aggregate
+                # result's emptiness does NOT get a ReusedExchange (the
+                # probe branch re-runs the whole aggregation — strictly
+                # worse), and persisting df_pre materializes the full
+                # pre-agg input for a 1-row question. The probe stays.
                 probe = df_pre.select(F.lit(1).alias("__probe")).limit(1)
                 gate = (self.session.spark.range(1)
                         .select(F.lit(1).alias("__gate1"))
@@ -974,7 +981,12 @@ class QueryCompiler:
                     (F.col(f.name) if f.name in have else F.lit(None))
                     .cast(f.dataType).alias(f.name)
                     for f in result.schema.fields]
-                result = result.unionByName(twin.select(*aligned))
+                twin_sel = twin.select(*aligned)
+                # pg emits ONE grand-total row PER () occurrence: GROUPING
+                # SETS ((), ()) over empty input yields two rows (Spark
+                # already does this on non-empty input — verified r11)
+                for _ in range(n_empty_sets):
+                    result = result.unionByName(twin_sel)
 
         if sel.having is not None:
             result = result.filter(F.col("__having"))

@@ -663,7 +663,20 @@ class Executor:
                     # ORDINAL — pg's $n is a constant there (sorting and
                     # grouping no-ops), which CAST(n AS ...) reproduces
                     # (LIMIT/OFFSET fold it back via _int_literal)
-                    ty = "DOUBLE" if isinstance(v, float) else "BIGINT"
+                    if isinstance(v, float):
+                        ty = "DOUBLE"
+                    elif int(v) > 0x7FFFFFFFFFFFFFFF + (1 if neg else 0):
+                        # pg types an out-of-int64-range integer constant
+                        # as numeric; CAST(v AS BIGINT) would overflow.
+                        # Splice the magnitude as a STRING argument — a
+                        # bare >int64 literal can't round-trip through a
+                        # Long-typed lit()
+                        vals.append(
+                            f"CAST('{'-' if neg else ''}{v}' "
+                            "AS DECIMAL(38,0))")
+                        continue
+                    else:
+                        ty = "BIGINT"
                     vals.append(
                         f"CAST({'-' if neg else ''}{v} AS {ty})")
             # token-aware $n substitution: splice at pgparam token

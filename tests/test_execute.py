@@ -1582,6 +1582,70 @@ def test_grouping_sets_grand_total_over_empty_input(spark):
         assert ours == theirs, f"{sql}\n ours: {ours}\n duck: {theirs}"
 
 
+def test_grouping_sets_duplicate_empty_sets_over_empty_input(spark):
+    """pg emits one grand-total row PER () occurrence: GROUPING SETS
+    ((), ()) over empty input yields TWO rows (over non-empty input raw
+    Spark already emits both — verified r11; the twin must match)."""
+    import duckdb
+
+    import framequery_spark as fq
+
+    t1 = spark.createDataFrame([(1, 5), (2, 6)], "b long, e long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1(b BIGINT, e BIGINT); "
+                "INSERT INTO t1 VALUES (1,5),(2,6)")
+    for sql in [
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(e) AS BIGINT) "
+        "AS se FROM t1 WHERE b > 100 GROUP BY GROUPING SETS ((), ())",
+        "SELECT b, CAST(count(*) AS BIGINT) AS n FROM t1 WHERE b > 100 "
+        "GROUP BY GROUPING SETS ((b), (), ())",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM t1 "
+        "GROUP BY GROUPING SETS ((), ())",
+    ]:
+        ours = sorted(
+            [tuple(r) for r in
+             fq.execute(sql, {"t1": t1}, spark=spark).collect()],
+            key=lambda t: tuple((v is None, str(v)) for v in t))
+        theirs = sorted(
+            [tuple(r) for r in con.execute(sql).fetchall()],
+            key=lambda t: tuple((v is None, str(v)) for v in t))
+        assert ours == theirs, f"{sql}\n ours: {ours}\n duck: {theirs}"
+
+
+def test_malformed_array_literal_empty_elements(spark):
+    """pg rejects empty unquoted array elements ('{a,}', '{,a}',
+    '{1,,2}') as malformed instead of producing ''/NULL values."""
+    import pytest as _pytest
+
+    import framequery_spark as fq
+    from framequery_spark.compiler.expressions import CompileError
+
+    for lit in ["{a,}", "{,a}", "{1,,2}", "{ , }"]:
+        with _pytest.raises(CompileError, match="malformed array literal"):
+            fq.execute(f"SELECT '{lit}'::text[] AS x",
+                       spark=spark).collect()
+    # quoted empty string and whitespace padding stay legal
+    got = fq.execute("SELECT '{ \"\" , a }'::text[] AS x",
+                     spark=spark).collect()[0][0]
+    assert got == ["", "a"]
+
+
+def test_execute_out_of_int64_parameter(spark):
+    """An EXECUTE integer parameter beyond int64 is pg numeric, not a
+    BIGINT overflow."""
+    import framequery_spark as fq
+
+    ex = fq.Executor({}, spark=spark)
+    ex.execute("PREPARE big AS SELECT $1 + 1 AS v")
+    got = ex.execute("EXECUTE big (9223372036854775808)").collect()[0][0]
+    assert int(got) == 9223372036854775809
+    # int64 boundary values still splice as BIGINT
+    got = ex.execute("EXECUTE big (9223372036854775806)").collect()[0][0]
+    assert int(got) == 9223372036854775807
+    got = ex.execute("EXECUTE big (-9223372036854775808)").collect()[0][0]
+    assert int(got) == -9223372036854775807
+
+
 def test_array_cast_edges(spark):
     import decimal
 
