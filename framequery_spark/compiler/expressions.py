@@ -334,6 +334,40 @@ CAST_MAP = {
 COMPARISONS = {"=", "!=", "<>", "<", "<=", ">", ">="}
 
 
+def _parse_bytea_literal(text: str) -> bytes:
+    """pg bytea input syntax (pg docs §8.4): '\\x' + hex digits (embedded
+    whitespace legal), or the escape format ('\\\\' backslash, '\\nnn'
+    octal byte, other chars as their UTF-8 bytes)."""
+    if text.startswith("\\x"):
+        h = "".join(text[2:].split())
+        try:
+            return bytes.fromhex(h)
+        except ValueError:
+            raise CompileError(
+                f"invalid hexadecimal data for type bytea: {text!r}")
+    out = bytearray()
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch != "\\":
+            out.extend(ch.encode("utf-8"))
+            i += 1
+            continue
+        nxt = text[i + 1:i + 2]
+        if nxt == "\\":
+            out.append(0x5C)
+            i += 2
+        elif (len(text[i + 1:i + 4]) == 3
+              and text[i + 1] in "0123"
+              and all(c in "01234567" for c in text[i + 1:i + 4])):
+            out.append(int(text[i + 1:i + 4], 8))
+            i += 4
+        else:
+            raise CompileError(
+                f"invalid input syntax for type bytea: {text!r}")
+    return bytes(out)
+
+
 def _parse_pg_brace_array(text: str):
     """Parse a pg array literal '{a, "b,c", NULL}' — possibly nested,
     '{{1,2},{3,4}}' — into (nested) Python lists with None for unquoted
@@ -1120,6 +1154,24 @@ class ExprCompiler:
             # '1 day'::interval — pg interval text, which Spark's CAST
             # cannot parse; route through the INTERVAL literal syntax
             return interval_expr(node.expr.value)
+        if t == "bytea":
+            # pg bytea input (pg docs §8.4): '\x...' hex form, else the
+            # escape form where \\ is a backslash and \nnn an octal byte.
+            # String literals parse at compile time with the full grammar;
+            # column casts handle the hex form + plain text JVM-side and
+            # raise at row time on a backslash (escape form needs the
+            # stateful parser — not expressible as a JVM expression chain).
+            if isinstance(node.expr, ast.Literal) \
+                    and node.expr.kind == "string":
+                return F.lit(_parse_bytea_literal(node.expr.value))
+            cb = self.compile(node.expr)
+            s = cb.cast("string")
+            return (F.when(s.startswith("\\x"),
+                           F.unhex(F.substring(s, F.lit(3), F.length(s))))
+                    .when(s.contains("\\"), F.raise_error(F.concat(
+                        F.lit("bytea escape format requires a literal: "),
+                        s)))
+                    .otherwise(s.cast("binary")))
         c = self.compile(node.expr)
         if t in ("json", "jsonb"):
             # reference: json.loads into object cells (util/_funcs.py:110-114);

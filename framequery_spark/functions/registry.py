@@ -949,6 +949,186 @@ def _unaccent(a: List[Column]) -> Column:
 _fixed("unaccent", _unaccent)
 
 
+# -- metaphone (r11): Lawrence Philips' Metaphone, in the Michael Kuhn
+# C-implementation lineage that PHP's metaphone() and pg fuzzystrmatch's
+# metaphone.c both derive from (the pg file documents the PHP port). The
+# rule set below is the published one: the first-letter table, the 26-way
+# main switch, and the 5-class character coding (vowel / NOCHANGE-FJLMNR /
+# AFFECTH-CGPST / soft-EIY / NOGHTOF-BDH). Verified against the pg-docs
+# §F.15 example (metaphone('GUMBO',4)='KM') and this lineage's documented
+# quirks (school->SXL, laugh->LF, what->HT) in tests/test_pg_conformance.
+# Iterative per-string with lookahead/lookbehind — no JVM expression can
+# express it, so this is the same documented Arrow-pandas_udf exception
+# tier as normalize()/zlib. Deviation: pg caps input at 255 bytes with an
+# error; this accepts any length (superset — the cap is an implementation
+# limit, not semantics).
+
+_MPH_VOWEL = frozenset("AEIOU")
+_MPH_NOCHANGE = frozenset("FJLMNR")
+_MPH_AFFECTH = frozenset("CGPST")
+_MPH_SOFT = frozenset("EIY")
+_MPH_NOGHTOF = frozenset("BDH")
+
+
+def _metaphone_py(word: str, maxlen: int) -> str:
+    w = "".join(ch for ch in word.upper() if "A" <= ch <= "Z")
+    n = len(w)
+    out: list = []
+    i = 0
+    if not n:
+        return ""
+    # first letter: AE->E; [GKP]N->N; WR->R, WH->H, W+vowel->W; X->S;
+    # other initial vowels kept; everything else falls to the main loop
+    c, nxt = w[0], w[1] if n > 1 else ""
+    if c == "A":
+        if nxt == "E":
+            out.append("E")
+            i = 2
+        else:
+            out.append("A")
+            i = 1
+    elif c in "GKP":
+        if nxt == "N":
+            out.append("N")
+            i = 2
+    elif c == "W":
+        if nxt in ("H", "R"):
+            out.append(nxt)
+            i = 2
+        elif nxt in _MPH_VOWEL:
+            out.append("W")
+            i = 2
+    elif c == "X":
+        out.append("S")
+        i = 1
+    elif c in "EIOU":
+        out.append(c)
+        i = 1
+    while i < n and len(out) < maxlen:
+        c = w[i]
+        prev = w[i - 1] if i > 0 else ""
+        nxt = w[i + 1] if i + 1 < n else ""
+        after = w[i + 2] if i + 2 < n else ""
+        skip = 0
+        if c == prev and c != "C":          # drop duplicates, except CC
+            i += 1
+            continue
+        if c in _MPH_NOCHANGE:
+            out.append(c)
+        elif c in _MPH_VOWEL:
+            pass                            # vowels kept only initially
+        elif c == "B":                      # silent in MB
+            if prev != "M":
+                out.append("B")
+        elif c == "C":
+            if nxt in _MPH_SOFT:
+                if nxt == "I" and after == "A":     # CIA -> X
+                    out.append("X")
+                elif prev == "S":                   # SC[EIY]: silent
+                    pass
+                else:
+                    out.append("S")
+            elif nxt == "H":                        # CH -> X (traditional:
+                out.append("X")                     # SCH stays X)
+                skip = 1
+            else:
+                out.append("K")
+        elif c == "D":
+            if nxt == "G" and after in _MPH_SOFT:   # DG[EIY] -> J
+                out.append("J")
+                skip = 1
+            else:
+                out.append("T")
+        elif c == "G":
+            if nxt == "H":
+                # F when GH ends the word, unless B/D/H three back or H
+                # four back (B--GH, D--GH, -H--GH, -H---GH stay silent);
+                # GH elsewhere: G silent (H silenced by the AFFECTH rule)
+                back3 = w[i - 3] if i >= 3 else ""
+                back4 = w[i - 4] if i >= 4 else ""
+                if after == "" and not (back3 in _MPH_NOGHTOF
+                                        or back4 == "H"):
+                    out.append("F")
+                    skip = 1
+            elif nxt == "N":
+                # silent in word-final GN and in GNED; else K
+                if after == "" or (after == "E"
+                                   and (w[i + 3:i + 4] or "") == "D"):
+                    pass
+                else:
+                    out.append("K")
+            elif nxt in _MPH_SOFT and prev != "G":  # soft G -> J
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            # H only before a vowel and not after C/G/P/S/T
+            if nxt in _MPH_VOWEL and prev not in _MPH_AFFECTH:
+                out.append("H")
+        elif c == "K":
+            if prev != "C":                 # silent after C
+                out.append("K")
+        elif c == "P":
+            out.append("F" if nxt == "H" else "P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if nxt == "I" and after in ("O", "A"):  # SIO/SIA -> X
+                out.append("X")
+            elif nxt == "H":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if nxt == "I" and after in ("O", "A"):  # TIO/TIA -> X
+                out.append("X")
+            elif nxt == "H":
+                out.append("0")             # theta
+            elif not (nxt == "C" and after == "H"):  # silent in TCH
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if nxt in _MPH_VOWEL:
+                out.append("W")
+        elif c == "X":
+            out.append("K")
+            out.append("S")
+        elif c == "Y":
+            if nxt in _MPH_VOWEL:
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += 1 + skip
+    return "".join(out)[:maxlen]
+
+
+def _metaphone_udf():
+    if "metaphone" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["metaphone"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def mph(col: pd.Series, maxlen: pd.Series) -> pd.Series:
+        def one(s, m):
+            if s is None or m is None:
+                return None
+            m = int(m)
+            if m <= 0:
+                raise ValueError("metaphone: output cannot be empty")
+            return _metaphone_py(s, m)
+
+        return pd.Series([one(s, m) for s, m in zip(col, maxlen)])
+
+    _JSON_UDF_CACHE["metaphone"] = mph
+    return mph
+
+
+@register("metaphone")
+def _metaphone(args: List[Column]) -> Column:
+    return _metaphone_udf()(args[0].cast("string"), args[1].cast("int"))
+
+
 # ------------------------------------------- bytea / pgcrypto batch (r09)
 # pg binary-string functions (pg docs §9.5) + pgcrypto digest. bytea is
 # Spark BinaryType; byte values extract JVM-side via hex/conv (no UDF).
@@ -1080,6 +1260,47 @@ def _digest(a: List[Column]) -> Column:
 
 
 _fixed("digest", _digest)
+
+
+def _hmac_udf():
+    # pgcrypto hmac(data, key, type) -> bytea: RFC 2104 keyed-hash MAC
+    # over the same algorithm set as digest(). The ipad/opad XOR over a
+    # block-size key is per-byte state no JVM expression chain expresses
+    # sanely, and hand-rolling crypto in Column arithmetic is a bug farm —
+    # Python's stdlib hmac inside an Arrow pandas_udf (the documented
+    # exception tier), pinned by the RFC 2202/4231 published test vectors
+    # in tests/test_pg_conformance.py.
+    if "hmac" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["hmac"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def hm(data: pd.Series, key: pd.Series, algo: pd.Series) -> pd.Series:
+        import hashlib
+        import hmac as _hmac
+
+        algos = {"md5", "sha1", "sha224", "sha256", "sha384", "sha512"}
+
+        def one(d, k, a):
+            if d is None or k is None or a is None:
+                return None
+            a = a.lower()
+            if a not in algos:
+                raise ValueError(f"hmac: unknown algorithm {a}")
+            d = d.encode("utf-8") if isinstance(d, str) else bytes(d)
+            k = k.encode("utf-8") if isinstance(k, str) else bytes(k)
+            return _hmac.new(k, d, getattr(hashlib, a)).digest()
+
+        return pd.Series([one(d, k, a)
+                          for d, k, a in zip(data, key, algo)])
+
+    _JSON_UDF_CACHE["hmac"] = hm
+    return hm
+
+
+@register("hmac")
+def _hmac_fn(args: List[Column]) -> Column:
+    return _hmac_udf()(args[0], args[1], args[2].cast("string"))
 
 
 def _normalize_udf():

@@ -935,6 +935,44 @@ QUERIES = [
      "levenshtein_less_equal('extensive', 'exhaustive', 4)",
      "select levenshtein('GUMBO', 'GAMBOL'), "
      "levenshtein('kitten', 'sitting'), 3, 4"),
+    # fuzzystrmatch metaphone (r11): the pg-docs §F.15 example
+    # (GUMBO/4 -> KM) plus the Kuhn/PHP-lineage quirks that pin THIS
+    # algorithm variant (traditional CH->X so school->SXL; initial WH->H
+    # so what->HT; GH->F only word-finally so laugh->LF but night->NT;
+    # B silent after M mid-word — the rule behind the GUMBO pin)
+    ("select metaphone('GUMBO', 4), metaphone('Knight', 10), "
+     "metaphone('school', 10), metaphone('laugh', 10), "
+     "metaphone('night', 10), metaphone('what', 10), "
+     "metaphone('wright', 10), metaphone('Xavier', 10), "
+     "metaphone('accept', 10), metaphone('Thompson', 10), "
+     "metaphone('GUMBO', 2), metaphone('', 5)",
+     "select 'KM', 'NT', 'SXL', 'LF', 'NT', 'HT', 'RT', 'SFR', "
+     "'AKSPT', '0MPSN', 'KM', ''"),
+    # bytea input casts (r11, pg docs §8.4): hex form ('\x..', embedded
+    # whitespace legal) and escape form ('\\' backslash, '\nnn' octal
+    # byte); literals parse at compile time, columns JVM-side
+    (r"select encode('abc'::bytea, 'hex'), "
+     r"encode('\x4142'::bytea, 'hex'), "
+     r"encode('a\000b'::bytea, 'hex'), "
+     r"encode('a\\b'::bytea, 'hex'), "
+     r"octet_length('\x'::bytea), "
+     r"encode('\x41 42 43'::bytea, 'hex')",
+     "select '616263', '4142', '610062', '615c62', 0, '414243'"),
+    # pgcrypto hmac (r11): RFC 2202 (md5/sha1) and RFC 4231 (sha2 family)
+    # published test case 2 — key 'Jefe', data 'what do ya want for
+    # nothing?' — plus text/bytea argument mixing
+    ("select encode(hmac('what do ya want for nothing?', 'Jefe', "
+     "'sha256'), 'hex'), "
+     "encode(hmac('what do ya want for nothing?', 'Jefe', 'md5'), 'hex'), "
+     "encode(hmac('what do ya want for nothing?', 'Jefe', 'sha1'), "
+     "'hex'), "
+     "encode(hmac('what do ya want for nothing?'::bytea, "
+     "'Jefe'::bytea, 'sha512'), 'hex')",
+     "select '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964"
+     "ec3843', '750c783e6ab0b503eaa86e310a5db738', "
+     "'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79', "
+     "'164b7a7bfcf819e2e395fbe73b56e0a387bd64222e831fd610270cd7ea250554"
+     "9758bf75c05a994a6d034f65f8f0e6fdcaeab1a34d4a6b4b636e070a38bce737'"),
     # numeric to_char (r09): pg's sign column (' 123' / '-123'), FM fill
     # mode, 0-padding, grouping, S; date templates incl. FM — literal
     # oracles (DuckDB's format grammar differs)
