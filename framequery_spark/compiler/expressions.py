@@ -1437,9 +1437,10 @@ class ExprCompiler:
             # (lowercase hex, RFC 2045 base64 wrap) do the actual work and
             # also handle non-literal format expressions at row time.
             fmt = node.args[1].value.lower()
-            if fmt not in ("base64", "hex"):
+            if fmt not in ("base64", "hex", "escape"):
                 raise CompileError(
-                    f"encode/decode supports base64 and hex, got {fmt!r}")
+                    f"encode/decode supports base64, hex and escape, "
+                    f"got {fmt!r}")
             from ..functions.registry import REGISTRY as _FN_REGISTRY
 
             return _FN_REGISTRY[name](

@@ -884,20 +884,71 @@ def _difference(a: List[Column]) -> Column:
 
 _fixed("difference", _difference)
 
-# pg levenshtein(source, target): classic edit distance (Spark built-in ==
-# DuckDB == pg for the unit-cost form; the 5-arg costed form is not
-# supported — pg's cost parameters see little use and Spark has no
-# weighted variant)
-_fixed("levenshtein", lambda a: F.levenshtein(a[0], a[1]))
+# pg levenshtein(source, target[, ins_cost, del_cost, sub_cost]): the
+# unit-cost form is Spark's built-in (== DuckDB == pg); the 5-arg costed
+# form runs the weighted DP in an Arrow pandas_udf (Spark has no weighted
+# variant and the row-ragged DP is not a JVM expression), pinned on the
+# pg-docs §F.15 example levenshtein('GUMBO','GAMBOL',2,1,1)=3 and on the
+# unit-cost-equivalence property in tests.
+
+def _lev_costed_py(s: str, t: str, ci: int, cd: int, cs: int) -> int:
+    # converting SOURCE into TARGET: inserting a target char costs ci,
+    # deleting a source char cd, substituting cs
+    m, n = len(s), len(t)
+    prev = [j * ci for j in range(n + 1)]
+    for i in range(1, m + 1):
+        cur = [i * cd] + [0] * n
+        si = s[i - 1]
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + cd, cur[j - 1] + ci,
+                         prev[j - 1] + (0 if si == t[j - 1] else cs))
+        prev = cur
+    return prev[n]
+
+
+def _lev_costed_udf():
+    if "lev_costed" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["lev_costed"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def lev(s: pd.Series, t: pd.Series, ci: pd.Series, cd: pd.Series,
+            cs: pd.Series) -> pd.Series:
+        def one(a, b, x, y, z):
+            if a is None or b is None or x is None or y is None \
+                    or z is None:
+                return None
+            return _lev_costed_py(a, b, int(x), int(y), int(z))
+
+        return pd.Series([one(*row) for row in zip(s, t, ci, cd, cs)])
+
+    _JSON_UDF_CACHE["lev_costed"] = lev
+    return lev
+
+
+def _levenshtein(a: List[Column]) -> Column:
+    if len(a) == 2:
+        return F.levenshtein(a[0], a[1])
+    if len(a) == 5:
+        return _lev_costed_udf()(
+            a[0].cast("string"), a[1].cast("string"),
+            a[2].cast("int"), a[3].cast("int"), a[4].cast("int"))
+    raise ValueError("levenshtein takes 2 or 5 arguments")
+
+
+_fixed("levenshtein", _levenshtein)
 
 
 def _levenshtein_less_equal(a: List[Column]) -> Column:
-    """pg levenshtein_less_equal(s, t, max_d): accurate when the distance
-    is <= max_d, otherwise SOME value > max_d (pg's documented contract;
-    this returns max_d + 1). Computed as a bounded comparison over the
-    full distance — correct for any max_d column or literal."""
-    d = F.levenshtein(a[0], a[1])
-    m = a[2].cast("int")
+    """pg levenshtein_less_equal(s, t[, costs...], max_d): accurate when
+    the distance is <= max_d, otherwise SOME value > max_d (pg's
+    documented contract; this returns max_d + 1). Computed as a bounded
+    comparison over the full (unit or costed) distance — correct for any
+    max_d column or literal."""
+    if len(a) not in (3, 6):
+        raise ValueError("levenshtein_less_equal takes 3 or 6 arguments")
+    d = _levenshtein(a[:-1])
+    m = a[-1].cast("int")
     return F.when(d > m, m + F.lit(1)).otherwise(d)
 
 
@@ -1145,13 +1196,66 @@ def _b64_wrap(b64: Column) -> Column:
     return F.regexp_replace(flat, "(.{76})(?=.)", "$1\n")
 
 
+def _escape_encode(b: Column) -> Column:
+    """pg encode(bytea, 'escape'): printable ascii as-is, backslash as
+    '\\\\', everything else as '\\nnn' octal — a JVM byte fold (aggregate
+    over byte positions reusing _byte_at), no UDF."""
+    def render(i: Column) -> Column:
+        v = _byte_at(b, i)
+        return (F.when(v == 92, F.lit("\\\\"))
+                .when((v >= 32) & (v <= 126), F.char(v))
+                .otherwise(F.concat(
+                    F.lit("\\"), F.lpad(F.conv(v.cast("string"),
+                                               10, 8), 3, "0"))))
+
+    return F.when(F.octet_length(b) == 0, F.lit("")).otherwise(
+        F.aggregate(F.sequence(F.lit(0), F.octet_length(b) - 1),
+                    F.lit(""),
+                    lambda acc, i: F.concat(acc, render(i))))
+
+
+def _escape_decode(s: Column) -> Column:
+    """pg decode(text, 'escape'): '\\\\' -> 0x5C, '\\nnn' -> the octal
+    byte, other chars -> their UTF-8 bytes; malformed escapes raise like
+    pg. Stateful scan as a JVM aggregate over character positions with a
+    (hex-accumulator, chars-to-skip) struct — the lookahead consumes 1 or
+    3 following chars, so a plain per-char map can't express it."""
+    def merge(acc, i):
+        ch = F.substring(s, i, 1)
+        nxt3 = F.substring(s, i + 1, 3)
+        esc_bs = F.substring(s, i + 1, 1) == "\\"
+        esc_oct = nxt3.rlike("^[0-3][0-7][0-7]$")
+        emitted = (
+            F.when(ch != "\\", F.hex(F.encode(ch, "UTF-8")))
+            .when(esc_bs, F.lit("5C"))
+            .when(esc_oct, F.lpad(F.conv(nxt3, 8, 16), 2, "0"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("decode: invalid input syntax for type bytea: "),
+                s))))
+        skip = (F.when(ch != "\\", F.lit(0))
+                .when(esc_bs, F.lit(1))
+                .otherwise(F.lit(3)))
+        return F.when(acc["k"] > 0, F.struct(
+            acc["h"].alias("h"), (acc["k"] - 1).alias("k")))\
+            .otherwise(F.struct(
+                F.concat(acc["h"], emitted).alias("h"), skip.alias("k")))
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        F.struct(F.lit("").alias("h"), F.lit(0).alias("k")),
+        merge, lambda acc: acc["h"])
+    return F.when(F.length(s) == 0, F.lit("").cast("binary")) \
+        .otherwise(F.unhex(folded))
+
+
 def _encode(a: List[Column]) -> Column:
     data, fmt = a[0], F.lower(a[1].cast("string"))
     return (F.when(fmt == "hex", F.lower(F.hex(data)))
             .when(fmt == "base64", _b64_wrap(F.base64(data)))
+            .when(fmt == "escape", _escape_encode(data))
             .otherwise(F.raise_error(F.concat(
                 F.lit("encode: unsupported format "), fmt,
-                F.lit(" (hex and base64 are supported; escape is not)")))))
+                F.lit(" (hex, base64 and escape are supported)")))))
 
 
 def _decode(a: List[Column]) -> Column:
@@ -1159,9 +1263,10 @@ def _decode(a: List[Column]) -> Column:
     return (F.when(fmt == "hex", F.unhex(data))
             .when(fmt == "base64",
                   F.unbase64(F.regexp_replace(data, "[\r\n]", "")))
+            .when(fmt == "escape", _escape_decode(data))
             .otherwise(F.raise_error(F.concat(
                 F.lit("decode: unsupported format "), fmt,
-                F.lit(" (hex and base64 are supported; escape is not)")))))
+                F.lit(" (hex, base64 and escape are supported)")))))
 
 
 _fixed("encode", _encode)

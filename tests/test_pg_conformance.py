@@ -935,6 +935,23 @@ QUERIES = [
      "levenshtein_less_equal('extensive', 'exhaustive', 4)",
      "select levenshtein('GUMBO', 'GAMBOL'), "
      "levenshtein('kitten', 'sitting'), 3, 4"),
+    # bytea escape format (r11, pg docs §9.5): printable ascii as-is,
+    # backslash doubled, other bytes as \nnn octal — both directions,
+    # plus the malformed-escape error path is pinned in test_execute
+    (r"select encode('123\000\001'::bytea, 'escape'), "
+     r"encode(decode('616263075c', 'hex'), 'escape'), "
+     r"encode(decode('abc\\def\007', 'escape'), 'hex'), "
+     r"encode(decode('', 'escape'), 'hex')",
+     r"select '123\000\001', 'abc\007\\', '6162635c64656607', ''"),
+    # costed levenshtein (r11): the pg-docs §F.15 example, the unit-cost
+    # equivalence property, and the ins/del direction (source -> target:
+    # inserting a target char costs ins_cost, deleting a source char
+    # del_cost)
+    ("select levenshtein('GUMBO', 'GAMBOL', 2, 1, 1), "
+     "levenshtein('kitten', 'sitting', 1, 1, 1), "
+     "levenshtein('a', 'ab', 5, 1, 1), levenshtein('ab', 'a', 5, 1, 1), "
+     "levenshtein_less_equal('extensive', 'exhaustive', 4, 3, 2, 7)",
+     "select 3, levenshtein('kitten', 'sitting'), 5, 1, 8"),
     # fuzzystrmatch metaphone (r11): the pg-docs §F.15 example
     # (GUMBO/4 -> KM) plus the Kuhn/PHP-lineage quirks that pin THIS
     # algorithm variant (traditional CH->X so school->SXL; initial WH->H
