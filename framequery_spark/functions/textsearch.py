@@ -432,8 +432,9 @@ def ts_headline(text: Column, node, config: str = "simple",
       the last match within MaxWords (then right-pads to MinWords),
       where pg searches for the best-scoring cover;
     - inter-word whitespace normalizes to single spaces;
-    - fragment mode (MaxFragments > 0) and ShortWord are not
-      implemented.
+    - fragment mode (MaxFragments > 0) anchors each fragment AT a match
+      (greedy non-overlapping, see below) where pg centers fragments on
+      whole covers; ShortWord is not implemented.
     Matching uses the config's normalization (english: Snowball stem),
     so 'rats' highlights for query 'rat' like pg. Pure JVM HOFs."""
     from ..operators.dedup import _let
@@ -1055,7 +1056,7 @@ def _rank_and(tsv: Column, terms, wmap: Column) -> Column:
 # DOCUMENTATION prose for bit 1 says "1 + the logarithm of the document
 # length"; the shipped code divides by log2(len + 1) — the code wins here.
 
-_RANK_NORM_SUPPORTED = 1 | 2 | 8 | 16 | 32
+_RANK_NORM_SUPPORTED = 1 | 2 | 4 | 8 | 16 | 32
 
 
 def _cnt_length(tsv: Column) -> Column:
@@ -1068,19 +1069,20 @@ def _cnt_length(tsv: Column) -> Column:
 
 
 def _apply_rank_normalization(rank: Column, tsv: Column,
-                              method: int, fn_name: str) -> Column:
+                              method: int, fn_name: str,
+                              ext: Optional[Column] = None) -> Column:
     """The shared trailing normalization block of calc_rank /
-    calc_rank_cd. Raises on bit 4 (RANK_NORM_EXTDIST: the cd cover fold
-    here does not retain inter-extent distances, and the bit is
-    meaningless for ts_rank even in pg) and on unknown bits."""
-    if method & ~(_RANK_NORM_SUPPORTED | 4):
+    calc_rank_cd. `ext` is the cd cover fold's extent state
+    struct<n:int, s:double> (extent count, sum of 1/distance between
+    consecutive extent midpoints) — bit 4 (RANK_NORM_EXTDIST) divides by
+    the mean harmonic extent distance n/s when present; when ext is None
+    (the ts_rank path) bit 4 is IGNORED like pg, whose calc_rank
+    normalization block simply has no case for it (the docs say it "is
+    implemented only by ts_rank_cd"). Unknown bits raise."""
+    if method & ~_RANK_NORM_SUPPORTED:
         raise TsQueryError(
             f"{fn_name} normalization {method} has unknown bits "
             f"(pg defines 1|2|4|8|16|32)")
-    if method & 4:
-        raise TsQueryError(
-            f"{fn_name} normalization bit 4 (mean harmonic extent "
-            "distance) is not supported")
     if method == 0:
         return rank
     size = F.size(tsv)
@@ -1091,6 +1093,11 @@ def _apply_rank_normalization(rank: Column, tsv: Column,
     if method & 2:
         ln = _cnt_length(tsv)
         rank = F.when(ln > 0, rank / ln.cast("double")).otherwise(rank)
+    if method & 4 and ext is not None:
+        # tsrank.c: if (NExtent > 0 && SumDist > 0) res /= NExtent/SumDist
+        rank = F.when((ext["n"] > 0) & (ext["s"] > 0.0),
+                      rank / (ext["n"].cast("double") / ext["s"])
+                      ).otherwise(rank)
     if method & 8:
         rank = F.when(size > 0, rank / size.cast("double")).otherwise(rank)
     if method & 16:
@@ -1170,11 +1177,11 @@ def ts_rank_cd(tsv: Column, node, weights=None,
     size grows O(T^2) in the unique-term count (tsqueries are literals;
     typical T <= 5).
 
-    normalization: pg's bitmask — 1/2/8/16/32 and their combinations
-    are supported via the shared trailing block
-    (_apply_rank_normalization); bit 4 (mean harmonic extent distance)
-    raises: the single-pass cover fold below does not retain
-    inter-extent distances."""
+    normalization: pg's full bitmask — 1/2/8/16/32 via the shared
+    trailing block (_apply_rank_normalization); bit 4 (mean harmonic
+    extent distance, cd-only in pg too) rides the same fold as three
+    extra state fields (extent count, 1/distance sum, previous extent
+    midpoint), materialized only when the bit is requested."""
     from ..operators.dedup import _let
 
     # validate the mask up front so a bad literal fails at compile time,
@@ -1214,15 +1221,24 @@ def ts_rank_cd(tsv: Column, node, weights=None,
         parts.append(F.flatten(F.transform(entries, _term_rows(i))))
     doc_expr = F.array_sort(parts[0] if T == 1 else F.concat(*parts))
 
+    # bit 4 (RANK_NORM_EXTDIST) needs per-extent state carried through
+    # the same fold: extent count n, sum s of 1/(midpoint distance)
+    # between consecutive extents, and the previous extent midpoint
+    # (tsrank.c CurExtPos = (ext.p + ext.q)/2). Only materialized when
+    # the bit is requested so the default path's state stays minimal.
+    track_ext = bool(normalization & 4)
+
     def run(doc: Column) -> Column:
         n = F.size(doc)
         idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
                .otherwise(F.array().cast("array<int>"))
+        ext_init = ([F.lit(0).alias("n"), F.lit(0.0).alias("s"),
+                     F.lit(0.0).alias("prev")] if track_ext else [])
         init = F.struct(
             F.lit(0).alias("restart"),
             F.array(*[F.lit(-1) for _ in range(T)]).cast("array<int>")
              .alias("last"),
-            F.lit(0.0).alias("wdoc"))
+            F.lit(0.0).alias("wdoc"), *ext_init)
 
         def step(st: Column, j: Column) -> Column:
             def with_entry(e: Column) -> Column:
@@ -1259,21 +1275,47 @@ def ts_rank_cd(tsv: Column, node, weights=None,
                     ).otherwise(noise_raw.cast("int"))
                     wdoc = st["wdoc"] + (count / invsum) \
                         / (F.lit(1.0) + nnoise.cast("double"))
+                    ext_hit, ext_keep = [], []
+                    if track_ext:
+                        cur = (F.get(doc, b)["pos"]
+                               + F.get(doc, j)["pos"]
+                               ).cast("double") / F.lit(2.0)
+                        s2 = F.when(
+                            (st["n"] > 0) & (cur > st["prev"]),
+                            st["s"] + F.lit(1.0) / (cur - st["prev"])
+                        ).otherwise(st["s"])
+                        ext_hit = [(st["n"] + 1).alias("n"),
+                                   s2.alias("s"), cur.alias("prev")]
+                        ext_keep = [st["n"].alias("n"),
+                                    st["s"].alias("s"),
+                                    st["prev"].alias("prev")]
                     return F.when(satisfied, F.struct(
                         (b + 1).cast("int").alias("restart"),
                         last.alias("last"),
-                        wdoc.alias("wdoc"))
+                        wdoc.alias("wdoc"), *ext_hit)
                     ).otherwise(F.struct(
                         st["restart"].alias("restart"),
                         last.alias("last"),
-                        st["wdoc"].alias("wdoc")))
+                        st["wdoc"].alias("wdoc"), *ext_keep))
 
                 return _let(last_expr, with_last)
 
             return _let(F.get(doc, j), with_entry)
 
+        if track_ext:
+            return F.aggregate(idx, init, step, lambda st: F.struct(
+                st["wdoc"].alias("wdoc"), st["n"].alias("n"),
+                st["s"].alias("s")))
         return F.aggregate(idx, init, step, lambda st: st["wdoc"])
 
+    if track_ext:
+        from ..operators.dedup import _let as _let2
+
+        def with_state(st: Column) -> Column:
+            return _apply_rank_normalization(
+                st["wdoc"], tsv, normalization, "ts_rank_cd()", ext=st)
+
+        return _let2(_let(doc_expr, run), with_state).cast("float")
     rank = _let(doc_expr, run)
     return _apply_rank_normalization(rank, tsv, normalization,
                                      "ts_rank_cd()").cast("float")

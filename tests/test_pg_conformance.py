@@ -1498,13 +1498,22 @@ def test_rank_normalization_flag_table(spark):
         assert r0 > 0
         assert rank(fn, 0) == r0
         L, U = 4.0, 3.0  # cnt_length, t->size for 'a b c a'
+        # bit 4 (RANK_NORM_EXTDIST, tsrank.c): cd-only — 'a | c' over
+        # 'a b c a' yields single-position extents at positions 1, 3, 4
+        # (midpoints 1.0/3.0/4.0), SumDist = 1/2 + 1/1 = 1.5, NExtent=3,
+        # divisor NExtent/SumDist = 2.0; pg's calc_rank (ts_rank) has no
+        # case for the bit and silently ignores it
+        E = 2.0 if fn == "ts_rank_cd" else 1.0
         table = {
             1: r0 / math.log2(L + 1),
             2: r0 / L,
+            4: r0 / E,
             8: r0 / U,
             16: r0 / math.log2(U + 1),  # log2(4) = 2, exact
             32: r0 / (r0 + 1.0),
             2 | 8: r0 / L / U,
+            2 | 4: r0 / L / E,
+            4 | 8: r0 / E / U,
             1 | 16: r0 / math.log2(L + 1) / math.log2(U + 1),
             # 32 applies LAST regardless of mask position
             2 | 32: (r0 / L) / (r0 / L + 1.0),
@@ -1515,10 +1524,26 @@ def test_rank_normalization_flag_table(spark):
             assert got == pytest.approx(want, rel=1e-6), (fn, norm)
         # pg's bit-or constant spelling folds at compile time
         assert rank(fn, "2|8") == pytest.approx(r0 / L / U, rel=1e-6)
-        for bad in (4, 6, 64, 3 | 4):
-            with pytest.raises(Exception,
-                               match="bit 4|unknown bits"):
+        for bad in (64, 3 | 64, 128):
+            with pytest.raises(Exception, match="unknown bits"):
                 rank(fn, bad)
+
+    # bit-4 extent arithmetic, AND query: 'a & c' over 'a b c a' gives
+    # covers [1..3] (midpoint 2.0) and [3..4] (midpoint 3.5), SumDist =
+    # 1/1.5, NExtent=2 -> divisor 3.0; a single-extent document divides
+    # by nothing (tsrank.c requires SumDist > 0)
+    and0 = fq.execute("SELECT ts_rank_cd(to_tsvector('a b c a'), "
+                      "to_tsquery('a & c'), 0) AS r",
+                      spark=spark).collect()[0].r
+    and4 = fq.execute("SELECT ts_rank_cd(to_tsvector('a b c a'), "
+                      "to_tsquery('a & c'), 4) AS r",
+                      spark=spark).collect()[0].r
+    assert and4 == pytest.approx(and0 / 3.0, rel=1e-6)
+    one0 = fq.execute("SELECT ts_rank_cd(to_tsvector('a b'), "
+                      "to_tsquery('a'), 0) AS r", spark=spark).collect()[0].r
+    one4 = fq.execute("SELECT ts_rank_cd(to_tsvector('a b'), "
+                      "to_tsquery('a'), 4) AS r", spark=spark).collect()[0].r
+    assert one0 == one4
 
     # stripped tsvector: cnt_length counts stripped entries as 1 word
     # (tsrank.c cnt_length), and the size>0 guards keep ranks finite;
