@@ -921,6 +921,40 @@ ORDER BY dist, e.vec_id
 LIMIT 10
 """)
 
+# Round-11 fuzzystrmatch/pgcrypto surface under the driver gate: the costed
+# levenshtein runs a REAL differential on real data (with unit costs it must
+# equal DuckDB's levenshtein; the 6-arg bounded form mirrors pg's max_d+1
+# contract as a CASE); metaphone over the constant-shaped supplier names,
+# the RFC 2202 hmac vector and the pg-docs escape-format example pin the
+# pandas_udf/fold wiring as literal-oracle columns.
+_q("q73_fuzzy_costed", """
+SELECT c_custkey,
+       CAST(levenshtein(c_name, 'Customer#000000042', 1, 1, 1)
+            AS BIGINT) AS lv,
+       CAST(levenshtein_less_equal(c_name, 'Customer#000000042',
+                                   1, 1, 1, 2) AS BIGINT) AS lle,
+       metaphone(c_name, 8) AS mph,
+       encode(hmac('what do ya want for nothing?', 'Jefe', 'md5'),
+              'hex') AS mac,
+       encode('123\\000\\001'::bytea, 'escape') AS esc
+FROM customer
+ORDER BY c_custkey
+LIMIT 50
+""", oracle="""
+SELECT c_custkey,
+       CAST(levenshtein(c_name, 'Customer#000000042') AS BIGINT) AS lv,
+       CAST(CASE WHEN levenshtein(c_name, 'Customer#000000042') > 2
+                 THEN 3
+                 ELSE levenshtein(c_name, 'Customer#000000042') END
+            AS BIGINT) AS lle,
+       'KSTMR' AS mph,
+       '750c783e6ab0b503eaa86e310a5db738' AS mac,
+       '123\\000\\001' AS esc
+FROM customer
+ORDER BY c_custkey
+LIMIT 50
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the

@@ -1441,10 +1441,12 @@ class ExprCompiler:
                 raise CompileError(
                     f"encode/decode supports base64, hex and escape, "
                     f"got {fmt!r}")
-            from ..functions.registry import REGISTRY as _FN_REGISTRY
+            from ..functions.registry import decode_known, encode_known
 
-            return _FN_REGISTRY[name](
-                [self.compile(node.args[0]), F.lit(fmt)])
+            # single-branch compile: a dead escape when-branch is a
+            # higher-order lambda that Spark rejects around UDF inputs
+            fn = encode_known if name == "encode" else decode_known
+            return fn(self.compile(node.args[0]), fmt)
         if name == "format" and node.args \
                 and isinstance(node.args[0], ast.Literal) \
                 and node.args[0].kind == "string" \

@@ -1180,6 +1180,32 @@ def _metaphone(args: List[Column]) -> Column:
     return _metaphone_udf()(args[0].cast("string"), args[1].cast("int"))
 
 
+def _dmetaphone_udf(alt: bool):
+    # pg fuzzystrmatch dmetaphone()/dmetaphone_alt(): Double Metaphone
+    # primary/alternate codes (functions/dmetaphone.py), 4-char max like
+    # pg. Same Arrow-pandas_udf exception tier as metaphone.
+    key = f"dmetaphone_{int(alt)}"
+    if key in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    from .dmetaphone import _double_metaphone
+
+    @pandas_udf("string")
+    def dmp(col: pd.Series) -> pd.Series:
+        return pd.Series([None if s is None
+                          else _double_metaphone(s)[1 if alt else 0]
+                          for s in col])
+
+    _JSON_UDF_CACHE[key] = dmp
+    return dmp
+
+
+_fixed("dmetaphone", lambda a: _dmetaphone_udf(False)(a[0].cast("string")))
+_fixed("dmetaphone_alt",
+       lambda a: _dmetaphone_udf(True)(a[0].cast("string")))
+
+
 # ------------------------------------------- bytea / pgcrypto batch (r09)
 # pg binary-string functions (pg docs §9.5) + pgcrypto digest. bytea is
 # Spark BinaryType; byte values extract JVM-side via hex/conv (no UDF).
@@ -1248,11 +1274,33 @@ def _escape_decode(s: Column) -> Column:
         .otherwise(F.unhex(folded))
 
 
+def encode_known(data: Column, fmt: str) -> Column:
+    """encode() with a compile-time-known format: builds ONLY that
+    branch. Necessary beyond being tidy — the escape branch is a
+    higher-order aggregate, and Spark rejects a plan whose lambda body
+    wraps a Python-UDF column (encode(hmac(...), 'hex') must therefore
+    never carry the escape fold in a dead when-branch)."""
+    if fmt == "hex":
+        return F.lower(F.hex(data))
+    if fmt == "base64":
+        return _b64_wrap(F.base64(data))
+    return _escape_encode(data)
+
+
+def decode_known(data: Column, fmt: str) -> Column:
+    data = data.cast("string")
+    if fmt == "hex":
+        return F.unhex(data)
+    if fmt == "base64":
+        return F.unbase64(F.regexp_replace(data, "[\r\n]", ""))
+    return _escape_decode(data)
+
+
 def _encode(a: List[Column]) -> Column:
     data, fmt = a[0], F.lower(a[1].cast("string"))
-    return (F.when(fmt == "hex", F.lower(F.hex(data)))
-            .when(fmt == "base64", _b64_wrap(F.base64(data)))
-            .when(fmt == "escape", _escape_encode(data))
+    return (F.when(fmt == "hex", encode_known(data, "hex"))
+            .when(fmt == "base64", encode_known(data, "base64"))
+            .when(fmt == "escape", encode_known(data, "escape"))
             .otherwise(F.raise_error(F.concat(
                 F.lit("encode: unsupported format "), fmt,
                 F.lit(" (hex, base64 and escape are supported)")))))
@@ -1260,10 +1308,9 @@ def _encode(a: List[Column]) -> Column:
 
 def _decode(a: List[Column]) -> Column:
     data, fmt = a[0].cast("string"), F.lower(a[1].cast("string"))
-    return (F.when(fmt == "hex", F.unhex(data))
-            .when(fmt == "base64",
-                  F.unbase64(F.regexp_replace(data, "[\r\n]", "")))
-            .when(fmt == "escape", _escape_decode(data))
+    return (F.when(fmt == "hex", decode_known(data, "hex"))
+            .when(fmt == "base64", decode_known(data, "base64"))
+            .when(fmt == "escape", decode_known(data, "escape"))
             .otherwise(F.raise_error(F.concat(
                 F.lit("decode: unsupported format "), fmt,
                 F.lit(" (hex, base64 and escape are supported)")))))

@@ -194,9 +194,13 @@ def test_numnode_requires_literal_tsquery(spark, scope):
         fq.execute("select numnode(a)", scope, spark=spark)
 
 
-def test_encode_escape_format_rejected_at_compile_time(spark, scope):
-    with pytest.raises(CompileError, match="base64 and hex"):
-        fq.execute("select encode(decode('61', 'hex'), 'escape')",
+def test_encode_unknown_format_rejected_at_compile_time(spark, scope):
+    # escape is SUPPORTED since r11 (it used to be the rejection example);
+    # a genuinely unknown literal format still fails at compile time
+    assert fq.execute("select encode(decode('61', 'hex'), 'escape') AS e",
+                      scope, spark=spark).collect()[0].e == "a"
+    with pytest.raises(CompileError, match="base64, hex and escape"):
+        fq.execute("select encode(decode('61', 'hex'), 'binary')",
                    scope, spark=spark)
 
 

@@ -975,6 +975,22 @@ QUERIES = [
      r"octet_length('\x'::bytea), "
      r"encode('\x41 42 43'::bytea, 'hex')",
      "select '616263', '4142', '610062', '615c62', 0, '414243'"),
+    # fuzzystrmatch dmetaphone (r11): the pg-docs §F.15 example
+    # (gumbo -> KMP both codes) plus canonical Double Metaphone vectors
+    # from the published test suites (primary/alternate split on Smith,
+    # michael, schmidt, snider; Spanish LL; the -owicz alternate)
+    ("select dmetaphone('gumbo'), dmetaphone_alt('gumbo'), "
+     "dmetaphone('Smith'), dmetaphone_alt('Smith'), "
+     "dmetaphone('michael'), dmetaphone_alt('michael'), "
+     "dmetaphone('schmidt'), dmetaphone_alt('schmidt'), "
+     "dmetaphone('school'), dmetaphone('Thomas'), "
+     "dmetaphone('cabrillo'), dmetaphone_alt('cabrillo'), "
+     "dmetaphone('snider'), dmetaphone_alt('snider'), "
+     "dmetaphone('Jose'), dmetaphone('island'), "
+     "dmetaphone('filipowicz'), dmetaphone_alt('filipowicz')",
+     "select 'KMP', 'KMP', 'SM0', 'XMT', 'MKL', 'MXL', 'XMT', 'SMT', "
+     "'SKL', 'TMS', 'KPRL', 'KPR', 'SNTR', 'XNTR', 'HS', 'ALNT', "
+     "'FLPT', 'FLPF'"),
     # pgcrypto hmac (r11): RFC 2202 (md5/sha1) and RFC 4231 (sha2 family)
     # published test case 2 — key 'Jefe', data 'what do ya want for
     # nothing?' — plus text/bytea argument mixing
