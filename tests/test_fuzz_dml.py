@@ -299,6 +299,136 @@ def _duck_conn(t, src):
     return con
 
 
+# ------------------------------------------------- ON CONFLICT scenario
+#
+# A separate generator against a PRIMARY-KEY DuckDB table: upserts (DO
+# UPDATE with excluded./t. expressions and optional WHERE, DO NOTHING),
+# deletes, and fresh inserts. Two DuckDB-1.0 limitations shape it:
+# in-place UPDATE on a PK table trips DuckDB's own uniqueness check (so
+# no UPDATE statements here — plain-table sequences above cover them),
+# and ON CONFLICT RETURNING returns the PROPOSED row (pg returns the
+# final row; probed: DO UPDATE returned excluded values, DO NOTHING
+# returned skipped rows), so this scenario compares table STATE only —
+# the engine's pg-faithful RETURNING stays pinned by test_merge.py.
+
+
+class UpsertGen:
+    UPSERT_SETS = ["excluded.v", "t.v + excluded.v", "COALESCE(t.v, 0) + 1",
+                   "excluded.v * 2"]
+    # NO generated DO UPDATE ... WHERE: DuckDB 1.0 evaluates the conflict
+    # WHERE nondeterministically on multi-row batches — replaying the
+    # identical statement sequence on a fresh connection flips between
+    # applying and skipping the update (reproduced 3-of-8 runs on
+    # 'WHERE t.v % 2 = 0' with a NULL t.v; the engine is deterministic
+    # and pg-faithful, pinned by test_upsert_where_null_condition below
+    # and test_merge.py's hand-written WHERE cases).
+
+    def __init__(self, rng: random.Random):
+        self.r = rng
+        self.next_id = 200
+
+    def upsert(self):
+        k = self.r.randint(1, 3)
+        ids = self.r.sample(range(0, 16), k)    # distinct within batch
+        rows = ", ".join(
+            f"({i}, {self.r.randint(0, 99)}, "
+            f"'{self.r.choice(['a', 'B', 'c'])}')" for i in ids)
+        if self.r.random() < 0.3:
+            act = "DO NOTHING"
+        else:
+            act = f"DO UPDATE SET v = {self.r.choice(self.UPSERT_SETS)}"
+        sql = f"INSERT INTO t VALUES {rows} ON CONFLICT (id) {act}"
+        return sql, sql, False
+
+    def insert_fresh(self):
+        i = self.next_id
+        self.next_id += 1
+        sql = f"INSERT INTO t VALUES ({i}, {self.r.randint(0, 99)}, 'n')"
+        return sql, sql, False
+
+    def delete(self):
+        cond = self.r.choice(["id % 3 = 1", "v > 50",
+                              "id BETWEEN 2 AND 6", "v % 2 = 0"])
+        sql = f"DELETE FROM t WHERE {cond}"
+        return sql, sql, False
+
+    def sequence(self):
+        gens = [self.upsert, self.upsert, self.upsert,
+                self.insert_fresh, self.delete]
+        return [self.r.choice(gens)() for _ in range(5)]
+
+
+def _upsert_fixture():
+    import pandas as pd
+
+    n = 12
+    t = pd.DataFrame({
+        "id": list(range(n)),                 # UNIQUE: the duck PK needs it
+        "v": [None if i == 3 else (i * 17) % 60 for i in range(n)],
+        "s": [WORDS[(i * 3) % len(WORDS)] for i in range(n)],
+    })
+    t["v"] = t["v"].astype("Int64")
+    return t
+
+
+def _upsert_corpus():
+    rng = random.Random(SEED + 1)
+    g = UpsertGen(rng)
+    return [(i, g.sequence()) for i in range(max(N_SEQUENCES // 2, 5))]
+
+
+@pytest.mark.parametrize("idx,stmts", _upsert_corpus(),
+                         ids=[f"upsert{i:03d}"
+                              for i, _ in enumerate(_upsert_corpus())])
+def test_fuzz_upsert_sequence_matches_duckdb(spark, idx, stmts):
+    import duckdb
+
+    import framequery_spark as fq
+
+    t = _upsert_fixture()
+    ex = fq.Executor(scope={"t": spark.createDataFrame(t)}, spark=spark)
+    con = duckdb.connect()
+    con.register("_t0", t)
+    con.execute("CREATE TABLE t(id INTEGER PRIMARY KEY, v BIGINT, "
+                "s VARCHAR); INSERT INTO t SELECT * FROM _t0")
+
+    for step, (esql, dsql, _) in enumerate(stmts):
+        ex.execute(esql)
+        con.execute(dsql)
+        ours = _sorted_rows([tuple(r) for r in
+                             ex.execute("SELECT * FROM t").collect()])
+        theirs = _sorted_rows(con.execute("SELECT * FROM t").fetchall())
+        assert len(ours) == len(theirs), (
+            f"upsert{idx} step {step}: table size {len(ours)} vs "
+            f"{len(theirs)}\nSQL: {esql}")
+        for o, d in zip(ours, theirs):
+            for a, b in zip(o, d):
+                assert _values_equal(a, b), (
+                    f"upsert{idx} step {step}: state row {o} vs {d}"
+                    f"\nSQL: {esql}")
+
+
+def test_upsert_where_null_condition(spark):
+    """The case the generator must avoid on the DuckDB side, pinned with
+    literal pg semantics on the engine: a conflict row whose DO UPDATE
+    WHERE evaluates NULL (t.v IS NULL -> t.v % 2 = 0 is NULL) takes no
+    arm and stays unchanged; the other batch row with a true condition
+    updates."""
+    import pandas as pd
+
+    import framequery_spark as fq
+
+    t = pd.DataFrame({"id": [0, 3], "v": [0, None], "s": ["a", "b"]})
+    t["v"] = t["v"].astype("Int64")
+    ex = fq.Executor(scope={"t": spark.createDataFrame(t)}, spark=spark)
+    ex.execute("INSERT INTO t VALUES (3, 74, 'x'), (0, 69, 'y') "
+               "ON CONFLICT (id) DO UPDATE SET v = excluded.v * 2 "
+               "WHERE t.v % 2 = 0")
+    got = sorted(tuple(r) for r in
+                 ex.execute("SELECT * FROM t").collect())
+    assert got == [(0, 138, "a"), (3, None, "b")], got
+
+
 @pytest.mark.parametrize("idx,stmts", _corpus(),
                          ids=[f"dml{i:03d}" for i in range(N_SEQUENCES)])
 def test_fuzz_dml_sequence_matches_duckdb(spark, idx, stmts):
