@@ -1222,6 +1222,19 @@ class ExprCompiler:
                 return build(items, depth_of(items))
             return c.cast(f"array<{spark_elem}>")
         base = t.split("(")[0]
+        if base in ("decimal", "numeric") \
+                and isinstance(node.expr, ast.Literal) \
+                and node.expr.kind == "string" \
+                and node.expr.value.strip().lower() in (
+                    "nan", "infinity", "inf", "+infinity", "+inf",
+                    "-infinity", "-inf"):
+            # pg numeric carries NaN/±Infinity; Spark decimals cannot, so
+            # these literals compile to DOUBLE specials. Spark's SQL
+            # comparison semantics for them match pg's numeric rules
+            # (NaN = NaN is true, NaN sorts above all numbers) —
+            # documented approximation: the value is double, not numeric
+            return F.lit(float(node.expr.value.strip().lower()
+                               .replace("infinity", "inf")))
         if t in CAST_MAP:
             return c.cast(CAST_MAP[t])
         if base in ("decimal", "numeric"):
@@ -1325,6 +1338,16 @@ class ExprCompiler:
             return (F.unix_micros(c.cast("timestamp")) % 60000000) / 1000.0
         if f in ("microseconds", "microsecond"):
             return (F.unix_micros(c.cast("timestamp")) % 60000000).cast("long")
+        if f == "julian":
+            # pg: Julian Day number — 1970-01-01 is JD 2440588; a date
+            # extracts the integer day count, a timestamp adds the
+            # day-fraction (pg returns numeric for both)
+            days = F.datediff(c.cast("date"),
+                              F.lit("1970-01-01").cast("date")) + 2440588
+            frac = (F.unix_micros(c.cast("timestamp"))
+                    - F.unix_micros(c.cast("date").cast("timestamp"))
+                    ) / 86400000000.0
+            return days.cast("double") + frac
         raise CompileError(f"unsupported extract field: {node.field}")
 
     # -------------------------------------------------------------- functions
@@ -1709,6 +1732,18 @@ class ExprCompiler:
                     "references to the range type to re-mark them)")
             from ..functions import multiranges as _mrg
             return _mrg.multirange_of(rk, self.compile(node.args[0]))
+        if name == "date_bin" and node.args \
+                and isinstance(node.args[0], ast.Literal) \
+                and node.args[0].kind == "string":
+            # pg implicitly reads the stride string as an interval
+            # (date_bin('15 minutes', ts, origin)); without this the
+            # string literal reaches the micros arithmetic as a
+            # timestamp cast
+            from ..functions.registry import REGISTRY as _FNS
+
+            return _FNS["date_bin"](
+                [interval_expr(node.args[0].value)]
+                + [self.compile(x) for x in node.args[1:]])
         if name == "make_interval" and node.args:
             # pg make_interval(years, months, weeks, days, hours, mins,
             # secs). Spark cannot mix year-month and day-time interval

@@ -57,6 +57,27 @@ _fixed("log2", lambda a: F.log2(a[0]))
 _fixed("sign", lambda a: F.signum(a[0]))
 
 
+def _min_scale(a: List[Column]) -> Column:
+    """pg 13 min_scale(numeric): the minimal scale needed to represent
+    the value exactly — computed from the decimal's string rendering
+    with trailing fraction zeros stripped (independent of the stored
+    scale, so decimal(38,18) canonicalization does not inflate it)."""
+    s = a[0].cast("decimal(38,18)").cast("string")
+    frac = F.regexp_replace(F.regexp_extract(s, r"\.(\d*)$", 1),
+                            "0+$", "")
+    return F.when(a[0].isNotNull(), F.length(frac)).cast("int")
+
+
+_fixed("min_scale", _min_scale)
+
+# pg 13 trim_scale(numeric): the same VALUE with trailing-zero scale
+# removed. Scale is representational in this engine (every numeric is a
+# canonical decimal(38,18)), so the value passes through unchanged —
+# value semantics match pg; the textual scale of a bare render does not
+# (documented model-wide in COVERAGE.md's numeric notes).
+_fixed("trim_scale", lambda a: a[0])
+
+
 def _gcd_col(x: Column, y: Column) -> Column:
     """Euclid's algorithm as a row-local fold over a constant 94-step
     sequence (the 64-bit worst case — consecutive Fibonacci numbers — needs

@@ -935,6 +935,24 @@ QUERIES = [
      "levenshtein_less_equal('extensive', 'exhaustive', 4)",
      "select levenshtein('GUMBO', 'GAMBOL'), "
      "levenshtein('kitten', 'sitting'), 3, 4"),
+    # r11 gap-probe batch: date_bin with a string stride (pg implicit
+    # interval, incl. the pg-docs origin-offset example), extract(julian)
+    # (pg-docs example 2459389), numeric NaN/Infinity specials (double
+    # approximation with pg-matching comparison semantics), pg 13
+    # min_scale/trim_scale (value semantics)
+    ("select date_bin('15 minutes', timestamp '2020-02-11 15:44:17', "
+     "timestamp '2001-01-01'), "
+     "date_bin(interval '15 minutes', timestamp '2020-02-11 15:44:17', "
+     "timestamp '2001-01-01 00:02:30'), "
+     "extract(julian from date '2021-06-23'), "
+     "extract(julian from timestamp '2021-06-23 12:00:00')",
+     "select timestamp '2020-02-11 15:30:00', "
+     "timestamp '2020-02-11 15:32:30', 2459389.0, 2459389.5"),
+    ("select 'NaN'::numeric = 'NaN'::numeric, 'NaN'::numeric > 1000, "
+     "'-Infinity'::numeric < 0, 'Infinity'::numeric > 1e308, "
+     "min_scale(8.4100::numeric), min_scale(8.0::numeric), "
+     "min_scale(8::numeric), cast(trim_scale(8.4100::numeric) as double)",
+     "select true, true, true, true, 2, 0, 0, 8.41"),
     # bytea escape format (r11, pg docs §9.5): printable ascii as-is,
     # backslash doubled, other bytes as \nnn octal — both directions,
     # plus the malformed-escape error path is pinned in test_execute
