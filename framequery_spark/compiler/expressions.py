@@ -1338,6 +1338,10 @@ class ExprCompiler:
             return (F.unix_micros(c.cast("timestamp")) % 60000000) / 1000.0
         if f in ("microseconds", "microsecond"):
             return (F.unix_micros(c.cast("timestamp")) % 60000000).cast("long")
+        if f in ("timezone", "timezone_hour", "timezone_minute"):
+            # the session time zone is pinned to UTC engine-wide, so the
+            # pg UTC-offset fields are constant zero
+            return F.when(c.isNotNull(), F.lit(0)).cast("long")
         if f == "julian":
             # pg: Julian Day number — 1970-01-01 is JD 2440588; a date
             # extracts the integer day count, a timestamp adds the
@@ -1368,6 +1372,21 @@ class ExprCompiler:
             if node.args[2].value:
                 pat = F.concat(F.lit("(?i)"), pat)
             return F.regexp_like(text, pat)
+        if name == "__quant_like":
+            # x [NOT] LIKE|ILIKE ANY|ALL (array): JVM exists/forall over
+            # per-element like() — SQL 3-valued logic for free, matching
+            # the comparison-operator quantified form above
+            x = self.compile(node.args[0])
+            arr = self.compile(node.args[1])
+            ci = node.args[2].value
+            neg = node.args[3].value
+            quant = node.args[4].value
+
+            def lk(e: Column) -> Column:
+                m = F.call_function("ilike" if ci else "like", x, e)
+                return ~m if neg else m
+
+            return F.forall(arr, lk) if quant == "all" else F.exists(arr, lk)
         if name == "__quant_array":
             return self._compile_quant_array(node)
         if name == "__neg_inner_product":

@@ -57,6 +57,80 @@ _fixed("log2", lambda a: F.log2(a[0]))
 _fixed("sign", lambda a: F.signum(a[0]))
 
 
+def _parse_ident_py(s: str, strict: bool):
+    """pg parse_ident: split a qualified identifier into its parts,
+    downcasing unquoted names and unwrapping double quotes ('""' is a
+    literal quote); raises on malformed input like pg. Stateful
+    quote-aware scan — pandas_udf tier."""
+    out, i, n = [], 0, len(s)
+    while True:
+        while i < n and s[i].isspace():
+            i += 1
+        if i >= n:
+            raise ValueError(f'string is not a valid identifier: "{s}"')
+        if s[i] == '"':
+            i += 1
+            part = []
+            while True:
+                if i >= n:
+                    raise ValueError(
+                        f'string is not a valid identifier: "{s}"')
+                if s[i] == '"':
+                    if s[i + 1:i + 2] == '"':
+                        part.append('"')
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                part.append(s[i])
+                i += 1
+            if not part:
+                raise ValueError(
+                    f'string is not a valid identifier: "{s}"')
+            out.append("".join(part))
+        else:
+            j = i
+            while j < n and (s[j].isalnum() or s[j] in "_$"):
+                j += 1
+            if j == i or s[i].isdigit() or s[i] == "$":
+                raise ValueError(
+                    f'string is not a valid identifier: "{s}"')
+            out.append(s[i:j].lower())
+            i = j
+        while i < n and s[i].isspace():
+            i += 1
+        if i < n and s[i] == ".":
+            i += 1
+            continue
+        if i < n and strict:
+            raise ValueError(
+                f'string is not a valid identifier: "{s}"')
+        return out
+
+
+def _parse_ident_udf():
+    if "parse_ident" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["parse_ident"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def pi(col: pd.Series, strict: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if s is None or st is None
+            else _parse_ident_py(s, bool(st))
+            for s, st in zip(col, strict)])
+
+    _JSON_UDF_CACHE["parse_ident"] = pi
+    return pi
+
+
+@register("parse_ident")
+def _parse_ident(args: List[Column]) -> Column:
+    strict = args[1] if len(args) > 1 else F.lit(True)
+    return _parse_ident_udf()(args[0].cast("string"),
+                              strict.cast("boolean"))
+
+
 def _min_scale(a: List[Column]) -> Column:
     """pg 13 min_scale(numeric): the minimal scale needed to represent
     the value exactly — computed from the decimal's string rendering

@@ -1477,6 +1477,22 @@ class Parser:
                 continue
             if self.is_kw("like", "ilike"):
                 ci = self.advance().value.lower() == "ilike"
+                # pg quantified pattern: x [NOT] LIKE ANY|SOME|ALL (array)
+                # — NOT binds to the per-element match (pg: NOT LIKE ANY
+                # is exists(e: x not like e)), the quantifier to the fold
+                if (self.is_kw("any", "some", "all")
+                        and self.is_op("(", offset=1)
+                        and not self.is_kw("select", "with", offset=2)):
+                    quant = self.advance().value.lower()
+                    self.advance()  # (
+                    arr = self.parse_expr()
+                    self.expect_op(")")
+                    left = ast.Call(name="__quant_like", args=(
+                        left, arr, ast.Literal(ci, "bool"),
+                        ast.Literal(negated, "bool"),
+                        ast.Literal("any" if quant == "some" else quant,
+                                    "string")))
+                    continue
                 pattern = self.parse_concat()
                 escape = None
                 if self.accept_kw("escape"):

@@ -27,6 +27,7 @@ _TOKEN_RE = re.compile(
   | (?P<comment>--[^\n]*|/\*.*?\*/)
   | (?P<param>%\(\w+\)s)
   | (?P<pgparam>\$\d+)
+  | (?P<ustring>[uU]&'(?:[^'\\]|''|\\.)*')
   | (?P<estring>[eE]'(?:[^'\\]|''|\\.)*')
   | (?P<dollarstring>\$(?P<dtag>(?:[A-Za-z_][A-Za-z_0-9]*)?)\$.*?\$(?P=dtag)\$)
   | (?P<string>'(?:[^']|'')*')
@@ -111,6 +112,21 @@ def tokenize(sql: str) -> List[Token]:
         if kind == "estring":
             # E'...' -> equivalent plain string token
             kind, text = "string", _quote(_unescape_e(text[2:-1]))
+        elif kind == "ustring":
+            # U&'...' -> plain string via the unistr() decoder (\XXXX,
+            # \+XXXXXX, \\, surrogate pairs; default backslash escape —
+            # the rare UESCAPE clause is not supported and fails to
+            # parse loudly). Deferred import: the decoder lives with the
+            # unistr() compile path and parser<->compiler import order
+            # must stay lazy here.
+            from ..compiler.expressions import _decode_unistr
+
+            try:
+                decoded = _decode_unistr(text[3:-1].replace("''", "'"))
+            except Exception as exc:
+                raise TokenizeError(f"invalid U& string at offset {pos}: "
+                                    f"{exc}")
+            kind, text = "string", _quote(decoded)
         elif kind == "dollarstring":
             tag_len = text.index("$", 1) + 1
             kind, text = "string", _quote(text[tag_len:-tag_len])

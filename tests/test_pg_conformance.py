@@ -935,6 +935,23 @@ QUERIES = [
      "levenshtein_less_equal('extensive', 'exhaustive', 4)",
      "select levenshtein('GUMBO', 'GAMBOL'), "
      "levenshtein('kitten', 'sitting'), 3, 4"),
+    # r11 gap-probe batch 2: quantified LIKE over arrays (NOT binds to
+    # the per-element match), UTC-session timezone extract, U&'...'
+    # unicode-escape literals (incl. a 6-digit supplementary-plane
+    # escape), parse_ident
+    ("select 'foo' LIKE ANY(ARRAY['f%', 'g%']), "
+     "'foo' NOT LIKE ALL(ARRAY['g%', 'h%']), "
+     "'FOO' ILIKE ANY(ARRAY['f%']), "
+     "'foo' LIKE ALL(ARRAY['f%', '%o']), "
+     "'foo' LIKE ANY(ARRAY['g%', 'h%']), "
+     "extract(timezone from timestamp '2020-01-01'), "
+     "extract(timezone_hour from timestamp '2020-01-01')",
+     "select true, true, true, true, false, 0, 0"),
+    (r"select U&'d\0061t\0061', U&'\+01F600' = chr(128512), "
+     r"U&'\\x' || 'y'",
+     r"select 'data', true, '\x' || 'y'"),
+    ("select parse_ident('\"Some\".tbl'), parse_ident('  x . \"y.z\" ')",
+     "select ['Some', 'tbl'], ['x', 'y.z']"),
     # r11 gap-probe batch: date_bin with a string stride (pg implicit
     # interval, incl. the pg-docs origin-offset example), extract(julian)
     # (pg-docs example 2459389), numeric NaN/Infinity specials (double
