@@ -1222,6 +1222,25 @@ class ExprCompiler:
                 return build(items, depth_of(items))
             return c.cast(f"array<{spark_elem}>")
         base = t.split("(")[0]
+        if base in ("date", "timestamp") \
+                and isinstance(node.expr, ast.Literal) \
+                and node.expr.kind == "string" \
+                and node.expr.value.strip().lower() in ("infinity",
+                                                        "-infinity"):
+            # pg date/timestamp ±infinity specials: Spark's types cannot
+            # carry them, so they map to the extreme SENTINEL values
+            # (date 0001-01-01 / 9999-12-31 and the matching timestamp
+            # bounds) — the standard migration approximation: ordering
+            # and the SCD 'valid_to = infinity' idiom behave, and
+            # isfinite() recognizes exactly these sentinels. Documented
+            # deviation: a genuine 9999-12-31 row is indistinguishable.
+            neg = node.expr.value.strip().startswith("-")
+            if base == "date" and not t.startswith("timestamp"):
+                v = "0001-01-01" if neg else "9999-12-31"
+                return F.lit(v).cast("date")
+            v = ("0001-01-01 00:00:00"
+                 if neg else "9999-12-31 23:59:59.999999")
+            return F.lit(v).cast("timestamp")
         if base in ("decimal", "numeric") \
                 and isinstance(node.expr, ast.Literal) \
                 and node.expr.kind == "string" \

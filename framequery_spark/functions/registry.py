@@ -376,7 +376,20 @@ _fixed("add_months", lambda a: F.add_months(a[0], a[1]))
 _fixed("age", lambda a: a[0] - a[1])  # pg age(a, b) = interval a - b
 # pg dates/timestamps can be 'infinity'; Spark's cannot, so any non-null
 # value is finite
-_fixed("isfinite", lambda a: F.when(a[0].isNotNull(), F.lit(True)))
+def _isfinite(a: List[Column]) -> Column:
+    # pg isfinite(date/timestamp/interval): false only for the ±infinity
+    # specials, which this engine stores as the extreme sentinel values
+    # (see the cast path in compiler/expressions.py) — recognize exactly
+    # those; every other non-null value is finite
+    x = a[0]
+    s = x.cast("string")
+    inf = (s.startswith("9999-12-31") & (s.contains("23:59:59.999999")
+                                         | (F.length(s) == 10))) \
+        | s.startswith("0001-01-01")
+    return F.when(x.isNotNull(), ~inf)
+
+
+_fixed("isfinite", _isfinite)
 def _date_bin(a: List[Column]) -> Column:
     # date_bin(stride, ts, origin): largest origin + n*stride <= ts.
     # Computed in microseconds, pure JVM; handles ts before origin too

@@ -935,6 +935,14 @@ QUERIES = [
      "levenshtein_less_equal('extensive', 'exhaustive', 4)",
      "select levenshtein('GUMBO', 'GAMBOL'), "
      "levenshtein('kitten', 'sitting'), 3, 4"),
+    # date/timestamp ±infinity specials (r11): sentinel-bound mapping
+    # (documented approximation) with pg's ordering and isfinite behavior
+    ("select 'infinity'::date > date '2999-01-01', "
+     "'-infinity'::timestamp < timestamp '0500-01-01', "
+     "isfinite('infinity'::date), isfinite('-infinity'::timestamp), "
+     "isfinite(date '2024-01-01'), isfinite(interval '3 days'), "
+     "isfinite(timestamp '9999-12-31 00:00:00')",
+     "select true, true, false, false, true, true, true"),
     # r11 gap-probe batch 2: quantified LIKE over arrays (NOT binds to
     # the per-element match), UTC-session timezone extract, U&'...'
     # unicode-escape literals (incl. a 6-digit supplementary-plane
