@@ -1166,8 +1166,17 @@ class ExprCompiler:
                 return F.lit(_parse_bytea_literal(node.expr.value))
             cb = self.compile(node.expr)
             s = cb.cast("string")
+            # hex form mirrors the literal parser: embedded whitespace is
+            # legal (stripped first), anything else raises — F.unhex alone
+            # would silently yield NULL on bad digits where pg errors
+            hexbody = F.regexp_replace(
+                F.substring(s, F.lit(3), F.length(s)), "[ \t\n\r]", "")
             return (F.when(s.startswith("\\x"),
-                           F.unhex(F.substring(s, F.lit(3), F.length(s))))
+                           F.when(hexbody.rlike("^([0-9a-fA-F]{2})*$"),
+                                  F.unhex(hexbody))
+                           .otherwise(F.raise_error(F.concat(
+                               F.lit("invalid hexadecimal data for type "
+                                     "bytea: "), s))))
                     .when(s.contains("\\"), F.raise_error(F.concat(
                         F.lit("bytea escape format requires a literal: "),
                         s)))

@@ -1786,6 +1786,12 @@ class QueryCompiler:
             if isinstance(node, ast.Unary) and node.op == "-" and \
                     isinstance(node.operand, ast.Literal):
                 return -node.operand.value
+            if isinstance(node, ast.Cast) \
+                    and isinstance(node.expr, ast.Literal) \
+                    and node.expr.kind == "null":
+                # the pg NULL::type idiom — the cast only aids inference,
+                # which the all-NULL fallback below handles anyway
+                return None
             raise CompileError("VALUES rows must be literals")
 
         rows = [tuple(value_of(v) for v in row) for row in rel.rows]

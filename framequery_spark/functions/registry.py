@@ -385,7 +385,8 @@ def _isfinite(a: List[Column]) -> Column:
     s = x.cast("string")
     inf = (s.startswith("9999-12-31") & (s.contains("23:59:59.999999")
                                          | (F.length(s) == 10))) \
-        | s.startswith("0001-01-01")
+        | (s.startswith("0001-01-01") & (s.endswith(" 00:00:00")
+                                         | (F.length(s) == 10)))
     return F.when(x.isNotNull(), ~inf)
 
 
@@ -1404,11 +1405,80 @@ def decode_known(data: Column, fmt: str) -> Column:
     return _escape_decode(data)
 
 
+def _escape_encode_pd():
+    # Runtime-format escape tier: the JVM escape fold is a higher-order
+    # aggregate, and Spark rejects any lambda whose body wraps a
+    # Python-UDF column — so encode(hmac(...), <computed fmt>) with the
+    # HOF in a when-branch fails even for hex/base64 formats. The
+    # non-literal-format path therefore computes escape via a pandas_udf
+    # (same semantics as _escape_encode; literal formats stay JVM).
+    if "esc_enc" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["esc_enc"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def esc_enc(col: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            out = []
+            for v in bytes(b):
+                if v == 0x5C:
+                    out.append("\\\\")
+                elif 32 <= v <= 126:
+                    out.append(chr(v))
+                else:
+                    out.append("\\" + format(v, "03o"))
+            return "".join(out)
+
+        return col.map(one)
+
+    _JSON_UDF_CACHE["esc_enc"] = esc_enc
+    return esc_enc
+
+
+def _escape_decode_pd():
+    if "esc_dec" in _JSON_UDF_CACHE:
+        return _JSON_UDF_CACHE["esc_dec"]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def esc_dec(col: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None:
+                return None
+            out, i, n = bytearray(), 0, len(s)
+            while i < n:
+                ch = s[i]
+                if ch != "\\":
+                    out.extend(ch.encode("utf-8"))
+                    i += 1
+                elif s[i + 1:i + 2] == "\\":
+                    out.append(0x5C)
+                    i += 2
+                else:
+                    oct3 = s[i + 1:i + 4]
+                    if len(oct3) == 3 and oct3[0] in "0123" \
+                            and all(c in "01234567" for c in oct3):
+                        out.append(int(oct3, 8))
+                        i += 4
+                    else:
+                        raise ValueError(
+                            "decode: invalid input syntax for type "
+                            "bytea: " + s)
+            return bytes(out)
+
+        return col.map(one)
+
+    _JSON_UDF_CACHE["esc_dec"] = esc_dec
+    return esc_dec
+
+
 def _encode(a: List[Column]) -> Column:
     data, fmt = a[0], F.lower(a[1].cast("string"))
     return (F.when(fmt == "hex", encode_known(data, "hex"))
             .when(fmt == "base64", encode_known(data, "base64"))
-            .when(fmt == "escape", encode_known(data, "escape"))
+            .when(fmt == "escape", _escape_encode_pd()(data))
             .otherwise(F.raise_error(F.concat(
                 F.lit("encode: unsupported format "), fmt,
                 F.lit(" (hex, base64 and escape are supported)")))))
@@ -1418,7 +1488,7 @@ def _decode(a: List[Column]) -> Column:
     data, fmt = a[0].cast("string"), F.lower(a[1].cast("string"))
     return (F.when(fmt == "hex", decode_known(data, "hex"))
             .when(fmt == "base64", decode_known(data, "base64"))
-            .when(fmt == "escape", decode_known(data, "escape"))
+            .when(fmt == "escape", _escape_decode_pd()(data))
             .otherwise(F.raise_error(F.concat(
                 F.lit("decode: unsupported format "), fmt,
                 F.lit(" (hex, base64 and escape are supported)")))))

@@ -1481,11 +1481,18 @@ class Parser:
                 # — NOT binds to the per-element match (pg: NOT LIKE ANY
                 # is exists(e: x not like e)), the quantifier to the fold
                 if (self.is_kw("any", "some", "all")
-                        and self.is_op("(", offset=1)
-                        and not self.is_kw("select", "with", offset=2)):
+                        and self.is_op("(", offset=1)):
                     quant = self.advance().value.lower()
                     self.advance()  # (
-                    arr = self.parse_expr()
+                    if self.is_kw("select", "with"):
+                        # pg subquery form: LIKE ANY (SELECT pattern ...) —
+                        # gather the patterns with the ARRAY(subquery)
+                        # machinery (1-row aggregate, broadcast; NULL
+                        # patterns survive the struct-collect) and reuse
+                        # the same array fold
+                        arr = ast.ArraySubquery(query=self.parse_query())
+                    else:
+                        arr = self.parse_expr()
                     self.expect_op(")")
                     left = ast.Call(name="__quant_like", args=(
                         left, arr, ast.Literal(ci, "bool"),

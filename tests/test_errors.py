@@ -242,3 +242,19 @@ def test_ts_rewrite_rejects_empty_target(spark, scope):
         fq.execute("select ts_rewrite('a'::tsquery, "
                    "to_tsquery('english', 'the'), 'b'::tsquery)",
                    scope, spark=spark)
+
+
+def test_column_bytea_hex_invalid_raises(spark):
+    # r12 ADVICE fix: the column-side ::bytea hex path must raise on bad
+    # digits like pg (F.unhex alone silently yields NULL) and accept
+    # embedded whitespace like the literal parser
+    import pandas as pd
+    from pyspark.errors import PySparkException
+
+    sc = {"h": spark.createDataFrame(pd.DataFrame({"s": [r"\x4z"]}))}
+    with pytest.raises(PySparkException, match="invalid hexadecimal"):
+        fq.execute("select s::bytea from h", sc, spark=spark).collect()
+    sc = {"h": spark.createDataFrame(pd.DataFrame({"s": [r"\x41 4a" "\t42"]}))}
+    rows = fq.execute("select encode(s::bytea, 'hex') e from h",
+                      sc, spark=spark).collect()
+    assert rows[0].e == "414a42"

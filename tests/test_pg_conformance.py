@@ -943,6 +943,28 @@ QUERIES = [
      "isfinite(date '2024-01-01'), isfinite(interval '3 days'), "
      "isfinite(timestamp '9999-12-31 00:00:00')",
      "select true, true, false, false, true, true, true"),
+    # r12 ADVICE fixes: a mid-day timestamp on the -infinity sentinel
+    # DATE is finite (only the exact midnight sentinel maps -infinity);
+    # runtime (non-literal) encode/decode format over a UDF-produced
+    # bytea works for every format incl. escape (pandas tier)
+    ("select isfinite(timestamp '0001-01-01 12:00:00'), "
+     "isfinite(timestamp '0001-01-01 00:00:01'), "
+     "isfinite(timestamp '9999-12-31 11:00:00'), "
+     "encode(hmac('a', 'k', 'sha256'), lower('HEX')) = "
+     "encode(hmac('a', 'k', 'sha256'), 'hex'), "
+     r"encode(decode('q\\312z', lower('ESCAPE')), 'hex') = "
+     r"encode(decode('q\\312z', 'escape'), 'hex')",
+     "select true, true, true, true, true"),
+    # r12 ADVICE fix: quantified LIKE subquery form (pg-valid; was a
+    # ParseError) — empty set is FALSE for ANY, a NULL pattern makes an
+    # unmatched ANY three-valued NULL
+    ("select 'Alice' LIKE ANY (select p from (values ('Al%'), ('zz%')) "
+     "v(p)), "
+     "'Bob' NOT LIKE ALL (select p from (values ('Al%'), ('zz%')) v(p)), "
+     "'Bob' LIKE ANY (select p from (values ('Al%')) v(p) where 1 = 0), "
+     "('Bob' LIKE ANY (select p from (values ('Al%'), (NULL::text)) "
+     "v(p))) IS NULL",
+     "select true, true, false, true"),
     # r11 gap-probe batch 2: quantified LIKE over arrays (NOT binds to
     # the per-element match), UTC-session timezone extract, U&'...'
     # unicode-escape literals (incl. a 6-digit supplementary-plane
