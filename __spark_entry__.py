@@ -3396,7 +3396,11 @@ def _op_bigram_nll(spark, sf_dir):
     from framequery_spark.operators.text import bigram_lm_nll
 
     docs = _scope(spark, sf_dir)["documents"]
-    return (bigram_lm_nll(docs).where(F.col("doc_id") < 200)
+    # vocab_broadcast=True: the testdata vocabulary is known-bounded
+    # (far under broadcast_vocab_max), so skip the probe job — result
+    # rows are identical on either join path (r12)
+    return (bigram_lm_nll(docs, vocab_broadcast=True)
+            .where(F.col("doc_id") < 200)
             .orderBy("doc_id"))
 
 

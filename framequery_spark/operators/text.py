@@ -408,7 +408,8 @@ def unigram_nll(df: DataFrame, text_col: str = "text",
 def bigram_lm_nll(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", lam: float = 0.8,
                   broadcast_vocab_max: int = 2_000_000,
-                  salt: int = 16) -> DataFrame:
+                  salt: int = 16,
+                  vocab_broadcast: bool | None = None) -> DataFrame:
     """Interpolated-bigram LM quality score (the next rung above
     :func:`unigram_nll` toward CCNet's KenLM filter):
 
@@ -463,7 +464,16 @@ def bigram_lm_nll(df: DataFrame, text_col: str = "text",
     p = (F.lit(lam) * F.col("c_pw") / F.col("c_p")
          + F.lit(1.0 - lam) * F.col("c_w") / F.col("corpus_n"))
     scored = stream.join(big, ["prev", "w"])
-    if uni.count() <= broadcast_vocab_max:
+    # broadcast-vs-salted decision: the probe is an eager extra job that
+    # costs ~35% of the whole entry at test scale (r12 phase profile:
+    # 0.7-1.0 s of a 2 s run) though it amortizes to noise at corpus
+    # scale. Callers that know their vocab bound pass vocab_broadcast
+    # explicitly and skip it; the default probes once, LIMIT-capped so
+    # the count never pays more than the aggregate itself.
+    if vocab_broadcast is None:
+        vocab_broadcast = (uni.limit(broadcast_vocab_max + 1).count()
+                           <= broadcast_vocab_max)
+    if vocab_broadcast:
         scored = (scored.join(F.broadcast(ctx), "prev")
                   .join(F.broadcast(uni), "w"))
     else:

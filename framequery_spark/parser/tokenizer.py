@@ -87,6 +87,33 @@ def _quote(value: str) -> str:
     return "'" + value.replace("'", "''") + "'"
 
 
+_UESCAPE_RE = re.compile(r"\s*UESCAPE\s*'([^'])'", re.IGNORECASE)
+
+
+def _swap_uescape(body: str, esc: str) -> str:
+    """Rewrite a U&'...' body with a custom UESCAPE character to the
+    default-backslash form the unistr() decoder understands: `esc esc`
+    is a literal escape char, `esc` starts an escape, and any literal
+    backslash must itself be escaped for the decoder."""
+    out, i, n = [], 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == esc:
+            if body[i + 1:i + 2] == esc:
+                out.append(esc)
+                i += 2
+            else:
+                out.append("\\")
+                i += 1
+        elif ch == "\\":
+            out.append("\\\\")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _norm_number(text: str) -> str:
     """pg 16 literal forms -> canonical decimal text (underscores, 0x/0b/0o)."""
     text = text.replace("_", "")
@@ -114,15 +141,28 @@ def tokenize(sql: str) -> List[Token]:
             kind, text = "string", _quote(_unescape_e(text[2:-1]))
         elif kind == "ustring":
             # U&'...' -> plain string via the unistr() decoder (\XXXX,
-            # \+XXXXXX, \\, surrogate pairs; default backslash escape —
-            # the rare UESCAPE clause is not supported and fails to
-            # parse loudly). Deferred import: the decoder lives with the
-            # unistr() compile path and parser<->compiler import order
-            # must stay lazy here.
+            # \+XXXXXX, \\, surrogate pairs). An optional trailing
+            # UESCAPE 'x' clause swaps the escape character (r12):
+            # consumed here because the escape char changes the STRING's
+            # meaning, not the grammar around it. Deferred import: the
+            # decoder lives with the unistr() compile path and
+            # parser<->compiler import order must stay lazy here.
             from ..compiler.expressions import _decode_unistr
 
+            body = text[3:-1].replace("''", "'")
+            um = _UESCAPE_RE.match(sql, m.end())
+            if um is not None:
+                esc = um.group(1)
+                if esc in "0123456789abcdefABCDEF+\"" or esc.isspace():
+                    raise TokenizeError(
+                        f"invalid Unicode escape character {esc!r} at "
+                        f"offset {pos} (UESCAPE must not be a hex digit, "
+                        "plus sign, quote, or whitespace)")
+                if esc != "\\":
+                    body = _swap_uescape(body, esc)
+                m = um  # consume the clause: pos advances past it below
             try:
-                decoded = _decode_unistr(text[3:-1].replace("''", "'"))
+                decoded = _decode_unistr(body)
             except Exception as exc:
                 raise TokenizeError(f"invalid U& string at offset {pos}: "
                                     f"{exc}")

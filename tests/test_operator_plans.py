@@ -338,6 +338,16 @@ def test_bigram_lm_salted_path_matches_broadcast_path(docs):
     release_cached()
     assert base == salted
     assert len(base) > 0
+    # r12: the probe-skipping caller knob must pick the same paths
+    pinned = sorted(tuple(r) for r in
+                    bigram_lm_nll(sample, vocab_broadcast=True).collect())
+    release_cached()
+    pinned_salted = sorted(
+        tuple(r) for r in
+        bigram_lm_nll(sample, vocab_broadcast=False, salt=4).collect())
+    release_cached()
+    assert pinned == base
+    assert pinned_salted == base
 
 
 def test_ngram_novelty_is_gram_keyed_equi_join(docs):

@@ -980,6 +980,12 @@ QUERIES = [
     (r"select U&'d\0061t\0061', U&'\+01F600' = chr(128512), "
      r"U&'\\x' || 'y'",
      r"select 'data', true, '\x' || 'y'"),
+    # r12: UESCAPE clause (pg-docs example) — custom escape char, doubled
+    # escape char as literal, backslash is plain text under a custom
+    # escape, explicit default backslash
+    ("select U&'d!0061t!0061' UESCAPE '!', U&'!!x' UESCAPE '!', "
+     r"U&'a\b' UESCAPE '!', U&'\0041' UESCAPE '\'",
+     r"select 'data', '!x', 'a\b', 'A'"),
     ("select parse_ident('\"Some\".tbl'), parse_ident('  x . \"y.z\" ')",
      "select ['Some', 'tbl'], ['x', 'y.z']"),
     # r11 gap-probe batch: date_bin with a string stride (pg implicit
