@@ -72,6 +72,16 @@ def _rewrite_returning(items, s_name, src_cols):
                     expr=ast.ColumnRef(parts=(f"__src_{c}",)), alias=c)
                 for c in src_cols)
             continue
+        if isinstance(item, ast.SelectItem) and item.alias is None \
+                and isinstance(item.expr, ast.Call) \
+                and item.expr.name.lower() == "merge_action" \
+                and not item.expr.args:
+            # a bare merge_action() names its output column merge_action
+            # in pg; without this the helper name __merge_action leaks
+            out.append(ast.SelectItem(
+                expr=ast.ColumnRef(parts=("__merge_action",)),
+                alias="merge_action"))
+            continue
         out.append(_rewrite_merge_action(item, s_name, src_cols))
     return tuple(out)
 

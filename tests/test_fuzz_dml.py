@@ -185,6 +185,26 @@ class DmlGen:
                f"WHERE t.id = src.id AND {cond}{ret}")
         return sql, sql, has_ret
 
+    def with_update(self):
+        # r12: WITH on UPDATE (the fuzzer only had WITH-on-INSERT)
+        k = self.r.randint(1, 9)
+        cond = self.r.choice(self.SRC_CONDS).replace("src.", "")
+        has_ret = self.r.random() < 0.5
+        ret = " RETURNING t.id, t.v" if has_ret else ""
+        sql = (f"WITH c AS (SELECT id, v FROM src WHERE {cond}) "
+               f"UPDATE t SET v = c.v + {k} FROM c "
+               f"WHERE t.id = c.id{ret}")
+        return sql, sql, has_ret
+
+    def with_delete(self):
+        # r12: WITH on DELETE
+        cond = self.r.choice(self.SRC_CONDS).replace("src.", "")
+        has_ret = self.r.random() < 0.5
+        ret = " RETURNING *" if has_ret else ""
+        sql = (f"WITH c AS (SELECT id FROM src WHERE {cond}) "
+               f"DELETE FROM t USING c WHERE t.id = c.id{ret}")
+        return sql, sql, has_ret
+
     def merge(self):
         r = self.r
 
@@ -225,6 +245,12 @@ class DmlGen:
         if bs:
             act = "DELETE" if bs[0] == "delete" else "UPDATE SET v = -1"
             parts.append(f"WHEN NOT MATCHED BY SOURCE THEN {act}")
+        # r12: pg-17 MERGE ... RETURNING with merge_action() — post-image
+        # for insert/update, old image for delete, DO-NOTHING/untouched
+        # rows absent
+        has_ret = r.random() < 0.5
+        if has_ret:
+            parts.append("RETURNING merge_action() AS act, id, v")
         engine_sql = " ".join(parts)
 
         # --------------------------------------- DuckDB restatement
@@ -267,12 +293,66 @@ class DmlGen:
         duck_sql = (f"CREATE OR REPLACE TABLE _new AS {select}; "
                     "DELETE FROM t; INSERT INTO t SELECT * FROM _new; "
                     "DROP TABLE _new")
-        return engine_sql, duck_sql, False
+        if not has_ret:
+            return engine_sql, duck_sql, False
+
+        # ---------------------- DuckDB RETURNING restatement (r12) ----
+        # First-match arm classification mirrored as one CASE chain over
+        # the same m CTE; a NULL action means no arm fired (or DO
+        # NOTHING) -> filtered, exactly pg's "untouched rows absent".
+        def ret_case(val1, val2, val_bs):
+            arms = []
+            if arm1 and val1 is not None:
+                arms.append(f"WHEN sid IS NOT NULL AND "
+                            f"({render(c1, 'duck')}) THEN {val1}")
+            elif arm1:
+                arms.append(f"WHEN sid IS NOT NULL AND "
+                            f"({render(c1, 'duck')}) THEN NULL")
+            if arm2:
+                arms.append(f"WHEN sid IS NOT NULL THEN "
+                            f"{val2 if val2 is not None else 'NULL'}")
+            if bs:
+                arms.append(f"WHEN sid IS NULL THEN "
+                            f"{val_bs if val_bs is not None else 'NULL'}")
+            if not arms:
+                return "NULL"
+            return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+        act1 = act2 = act_bs = None
+        v1 = v2 = v_bs = None
+        if arm1:
+            act1 = "'DELETE'" if arm1[0] == "delete" else "'UPDATE'"
+            v1 = "tv" if arm1[0] == "delete" else render(arm1[1], "duck")
+        if arm2 and arm2[0] == "update":
+            act2, v2 = "'UPDATE'", render(arm2[1], "duck")
+        if bs:
+            act_bs = "'DELETE'" if bs[0] == "delete" else "'UPDATE'"
+            v_bs = "tv" if bs[0] == "delete" else "-1"
+        act_expr = ret_case(act1, act2, act_bs)
+        v_expr_ret = ret_case(v1, v2, v_bs)
+        m_cte = ("SELECT tt.id AS tid, tt.v AS tv, tt.s AS ts, "
+                 "s.id AS sid, s.v AS sv, s.w AS sw "
+                 "FROM t tt LEFT JOIN src s ON tt.id = s.id")
+        ret_select = (f"WITH m AS ({m_cte}) "
+                      f"SELECT {act_expr} AS act, tid AS id, "
+                      f"CAST({v_expr_ret} AS BIGINT) AS v "
+                      f"FROM m WHERE {act_expr} IS NOT NULL")
+        if nm:
+            ins_v2 = ("s.v" if nm[0] == "full"
+                      else render(nm[1], "duck").replace("sv", "s.v"))
+            ret_select += (
+                f" UNION ALL SELECT 'INSERT', s.id, "
+                f"CAST({ins_v2} AS BIGINT) FROM src s WHERE NOT EXISTS "
+                "(SELECT 1 FROM t tt WHERE tt.id = s.id)")
+        duck_sql = (f"CREATE OR REPLACE TABLE _ret AS {ret_select}; "
+                    f"{duck_sql}; SELECT act, id, v FROM _ret")
+        return engine_sql, duck_sql, True
 
     def statement(self):
         gens = [self.insert_values, self.insert_select, self.with_insert,
                 self.update, self.update, self.update_from,
-                self.delete, self.delete_using, self.merge, self.merge]
+                self.delete, self.delete_using, self.merge, self.merge,
+                self.with_update, self.with_delete]
         return self.r.choice(gens)()
 
     def sequence(self):

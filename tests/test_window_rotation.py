@@ -145,3 +145,38 @@ def test_window_is_exactly_fifty_and_oracle_bearing():
     assert not missing, (
         f"window entries with neither an oracle nor a rows-only "
         f"declaration: {missing}")
+
+
+def test_realized_last_green_distribution_never_starves():
+    """r12 (VERDICT r11 ask #6): the policy simulation above proves the
+    BUILDER cannot starve, but nothing asserted the REALIZED history.
+    Recompute last-green per entry over the committed CORRECTNESS_r*.json
+    files and fail if any oracle-bearing entry's most recent green row is
+    older than max_stale + 1 rounds at HEAD — one grace round beyond the
+    rotation bound absorbs a round whose driver run failed wholesale.
+    Unlike the guard above there is NO current-window exemption: being
+    scheduled next round does not excuse an already-starved entry."""
+    import __spark_entry__ as entry
+    from tests.test_conformance import ROWS_ONLY
+
+    rounds = _correctness_rounds()
+    if not rounds:
+        pytest.skip("no CORRECTNESS_r*.json recorded yet")
+    current_round = max(rounds) + 1
+
+    last_green = {}
+    for rnd, rows in sorted(rounds.items()):
+        for name, v in rows.items():
+            if v.get("hash_match"):
+                last_green[name] = rnd
+
+    max_stale = _max_stale_rounds()
+    starved = [
+        (name, last_green[name])
+        for name in entry.queries()
+        if name not in ROWS_ONLY and name in last_green
+        and current_round - last_green[name] > max_stale + 1
+    ]
+    assert not starved, (
+        f"realized rotation starved entries (last green > "
+        f"{max_stale + 1} rounds ago at round {current_round}): {starved}")
