@@ -100,12 +100,22 @@ class Executor:
 
     def __init__(self, scope: Optional[dict] = None,
                  spark: Optional[SparkSession] = None, basepath: str = ".",
-                 model: Optional[str] = None):
+                 model: Optional[str] = None,
+                 table_root: Optional[str] = None):
         # `model` accepted for drop-in compatibility with the reference
         # signature (pandas/dask model selection); Spark is the only model
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.scope: Dict[str, DataFrame] = {}
         self.basepath = basepath
+        # Durable catalog hand-off (r12, see COVERAGE.md "Durability"):
+        # a directory acting as a lightweight parquet catalog. When set,
+        # plain CREATE TABLE AS persists its result to
+        # <table_root>/<name>.parquet and unknown table names resolve
+        # against it — so CTAS results survive the session and a fresh
+        # Executor on the same root re-resolves them. TEMP tables, views
+        # and matviews stay session-scoped. Also settable per-session via
+        # SET framequery.table_root TO '<path>'.
+        self.table_root = table_root
         self.user_functions: Dict[str, Callable] = {}
         self.table_functions: Dict[str, Callable] = {}
         self.lateral_functions: Dict[str, tuple] = {}
@@ -141,6 +151,27 @@ class Executor:
             pass
         raise TypeError(f"cannot use {type(obj).__name__} as a table")
 
+    def _effective_table_root(self) -> Optional[str]:
+        root = self._options.get("framequery.table_root", self.table_root)
+        return str(root).strip("'\"") if root else None
+
+    def _durable_path(self, name: str) -> Optional[str]:
+        """Path of *name* under the durable table_root, or None when no
+        root is configured. Dotted names map to subdirectories; traversal
+        outside the root is rejected."""
+        root = self._effective_table_root()
+        if root is None:
+            return None
+        import os
+
+        parts = name.split(".")
+        if any(p in ("", ".", "..") or "/" in p or "\\" in p
+               for p in parts):
+            from ..compiler.expressions import CompileError
+
+            raise CompileError(f"invalid durable table name: {name!r}")
+        return os.path.join(root, *parts[:-1], parts[-1] + ".parquet")
+
     def resolve_table(self, scope: dict, name: str) -> DataFrame:
         if name in scope:
             df = scope[name]
@@ -163,6 +194,17 @@ class Executor:
                     T.StructField("nspacl", T.StringType()),
                 ]),
             )
+        # durable catalog: a prior session's CTAS result re-resolves from
+        # <table_root>/<name>.parquet (cached in scope so one session
+        # reads one snapshot — pg-repeatable within the session)
+        dpath = self._durable_path(name)
+        if dpath is not None:
+            import os
+
+            if os.path.isdir(dpath) or os.path.isfile(dpath):
+                df = self.spark.read.parquet(dpath)
+                scope[name] = df
+                return df
         try:
             return self.spark.table(name)
         except Exception:
@@ -569,6 +611,28 @@ class Executor:
                 # the same cost a real MV's heap table pays.)
                 df = df.localCheckpoint(eager=True)
                 self._matviews[node.name] = node.query
+            elif not node.temp and not node.view:
+                # durable catalog (r12): a plain CREATE TABLE AS under a
+                # configured table_root writes the result once to parquet
+                # and rebinds the name to a SCAN of that parquet — later
+                # queries get pushdown/pruning against stored data instead
+                # of re-running the defining plan, and a fresh session on
+                # the same root re-resolves the table by name.
+                dpath = self._durable_path(node.name)
+                if dpath is not None:
+                    import os
+
+                    if (not node.replace
+                            and (os.path.isdir(dpath)
+                                 or os.path.isfile(dpath))
+                            and node.name not in scope):
+                        if node.if_not_exists:
+                            return None
+                        raise CompileError(
+                            f'relation "{node.name}" already exists in '
+                            f"the durable table root")
+                    df.write.mode("overwrite").parquet(dpath)
+                    df = self.spark.read.parquet(dpath)
             scope[node.name] = df
             return None
         if isinstance(node, ast.RefreshMatView):
@@ -717,10 +781,26 @@ class Executor:
             return None
         if isinstance(node, ast.DropTable):
             for name in node.names:
+                found = False
                 if name in scope:
                     del scope[name]
                     self._matviews.pop(name, None)
-                elif not node.if_exists:
+                    found = True
+                # durable catalog: DROP TABLE removes the stored parquet
+                # too (pg DROP removes data); the path helper guarantees
+                # the delete stays inside table_root
+                dpath = self._durable_path(name)
+                if dpath is not None:
+                    import os
+                    import shutil
+
+                    if os.path.isdir(dpath):
+                        shutil.rmtree(dpath)
+                        found = True
+                    elif os.path.isfile(dpath):
+                        os.remove(dpath)
+                        found = True
+                if not found and not node.if_exists:
                     raise KeyError(f"table not found: {name}")
             return None
         if isinstance(node, ast.Describe):

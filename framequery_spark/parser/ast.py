@@ -442,6 +442,8 @@ class CreateTableAs(Node):
     replace: bool = False
     materialized: bool = False  # CREATE MATERIALIZED VIEW (frozen, REFRESH)
     if_not_exists: bool = False  # CREATE TABLE IF NOT EXISTS ... AS
+    temp: bool = False  # TEMP/TEMPORARY/UNLOGGED: never durably persisted
+    view: bool = False  # CREATE VIEW: stays a lazy plan, never persisted
 
 
 @dataclass(frozen=True)

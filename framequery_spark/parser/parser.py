@@ -672,15 +672,20 @@ class Parser:
         # MATERIALIZED views are the opposite: frozen at creation,
         # re-computed only by REFRESH.
         # TEMP/TEMPORARY/UNLOGGED are storage hints pg-side; scope tables
-        # are session-local lazy DataFrames already — accepted, ignored
-        self.accept_kw("temp") or self.accept_kw("temporary") \
-            or self.accept_kw("unlogged")
+        # are session-local lazy DataFrames already. The flag is kept on
+        # the AST (r12): when the executor has a durable table_root, TEMP
+        # tables stay session-only while plain tables persist to parquet.
+        temp = bool(self.accept_kw("temp") or self.accept_kw("temporary")
+                    or self.accept_kw("unlogged"))
         materialized = False
+        view = False
         if self.is_kw("materialized"):
             self.advance()
             self.expect_kw("view")
             materialized = True
-        elif not self.accept_kw("view"):
+        elif self.accept_kw("view"):
+            view = True
+        else:
             self.expect_kw("table")
         if_not_exists = False
         if self.accept_kw("if"):
@@ -692,7 +697,8 @@ class Parser:
         query = self.parse_query()
         return ast.CreateTableAs(name=name, query=query, replace=replace,
                                  materialized=materialized,
-                                 if_not_exists=if_not_exists)
+                                 if_not_exists=if_not_exists,
+                                 temp=temp, view=view)
 
     def parse_drop_table(self) -> ast.DropTable:
         self.expect_kw("drop")
