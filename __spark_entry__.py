@@ -955,6 +955,43 @@ ORDER BY c_custkey
 LIMIT 50
 """)
 
+# Round-12 batch under the driver gate: UESCAPE literals, quantified-LIKE
+# subquery form, the exact-sentinel isfinite fix, the column-side ::bytea
+# hex path (validated + whitespace-tolerant at ROW time over computed
+# strings), unaccent combining-mark/ligature coverage, and ts_headline's
+# ShortWord boundary trim — per-row where DuckDB can compute it
+# (concat/LIKE-OR/md5 hex), literal-oracle where it can't.
+_q("q74_r12_batch", """
+SELECT c_custkey,
+       U&'!0041cct:' UESCAPE '!' || c_mktsegment AS tagged,
+       c_mktsegment LIKE ANY (SELECT s FROM (VALUES ('BUILD%'),
+                                             ('AUTO%')) v(s)) AS seg_hit,
+       isfinite(timestamp '0001-01-01 12:00:00') AS fin_a,
+       isfinite('-infinity'::timestamp) AS fin_b,
+       encode(('\\x' || substring(md5(c_name), 1, 8))::bytea,
+              'hex') AS hx,
+       unaccent('caf' || chr(101) || chr(769) || ' ﬂux') AS ua,
+       ts_headline('the cat sat on a mat of dogs today ok',
+                   'dogs'::tsquery,
+                   'MaxWords=6, MinWords=4, ShortWord=2') AS hl
+FROM customer
+ORDER BY c_custkey
+LIMIT 40
+""", oracle="""
+SELECT c_custkey,
+       'Acct:' || c_mktsegment AS tagged,
+       (c_mktsegment LIKE 'BUILD%' OR c_mktsegment LIKE 'AUTO%')
+           AS seg_hit,
+       true AS fin_a,
+       false AS fin_b,
+       substring(md5(c_name), 1, 8) AS hx,
+       'cafe flux' AS ua,
+       '<b>dogs</b> today' AS hl
+FROM customer
+ORDER BY c_custkey
+LIMIT 40
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the

@@ -1094,7 +1094,16 @@ _UNACCENT_FROM = "".join(_UNACCENT_1TO1)
 _UNACCENT_TO = "".join(t * len(s) for s, t in _UNACCENT_1TO1.items())
 _UNACCENT_MULTI = [("ß", "ss"), ("Æ", "AE"), ("æ", "ae"),
                    ("Œ", "OE"), ("œ", "oe"), ("Þ", "TH"), ("þ", "th"),
-                   ("Ĳ", "IJ"), ("ĳ", "ij")]
+                   ("Ĳ", "IJ"), ("ĳ", "ij"),
+                   # presentation-form ligatures (r12; pg unaccent.rules
+                   # carries the same expansions)
+                   ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+                   ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("ﬅ", "st"), ("ﬆ", "st")]
+# combining-mark blocks (r12): text carrying DECOMPOSED accents (base
+# letter + combining char) drops the mark outright, matching pg's rules
+# file which maps every combining diacritic to nothing
+_UNACCENT_COMBINING = ("[\u0300-\u036f\u1ab0-\u1aff"
+                       "\u1dc0-\u1dff\u20d0-\u20ff\ufe20-\ufe2f]")
 
 
 def _unaccent(a: List[Column]) -> Column:
@@ -1103,7 +1112,7 @@ def _unaccent(a: List[Column]) -> Column:
     out = F.translate(col, _UNACCENT_FROM, _UNACCENT_TO)
     for src, dst in _UNACCENT_MULTI:
         out = F.replace(out, F.lit(src), F.lit(dst))
-    return out
+    return F.regexp_replace(out, _UNACCENT_COMBINING, "")
 
 
 _fixed("unaccent", _unaccent)

@@ -376,13 +376,16 @@ def _strip_not(node):
 def parse_headline_options(options: str) -> dict:
     """pg ts_headline options string: 'Key=Value, Key=Value' (keys
     case-insensitive). Supported: StartSel, StopSel, MaxWords, MinWords,
-    HighlightAll, MaxFragments, FragmentDelimiter. Unsupported keys
-    raise (ShortWord: the short-word heuristic is not implemented —
-    documented). Commas inside a quoted FragmentDelimiter are not
-    supported (pass a delimiter without commas)."""
+    HighlightAll, MaxFragments, FragmentDelimiter, ShortWord (r12:
+    boundary trim of non-highlighted words <= this length; DEFAULTS TO 0
+    here where pg defaults to 3 — the existing literal-oracle rows pin
+    the untrimmed window, so pg's trim is opt-in via ShortWord=3 —
+    documented deviation). Unsupported keys raise. Commas inside a
+    quoted FragmentDelimiter are not supported (pass a delimiter
+    without commas)."""
     out = {"startsel": "<b>", "stopsel": "</b>", "maxwords": 35,
            "minwords": 15, "highlightall": False, "maxfragments": 0,
-           "fragmentdelimiter": " ... "}
+           "fragmentdelimiter": " ... ", "shortword": 0}
     for part in (options or "").split(","):
         part = part.strip()
         if not part:
@@ -395,7 +398,7 @@ def parse_headline_options(options: str) -> dict:
         val = val.strip().strip('"')
         if key in ("startsel", "stopsel", "fragmentdelimiter"):
             out[key] = val
-        elif key in ("maxwords", "minwords", "maxfragments"):
+        elif key in ("maxwords", "minwords", "maxfragments", "shortword"):
             try:
                 out[key] = int(val)
             except ValueError:
@@ -414,6 +417,8 @@ def parse_headline_options(options: str) -> dict:
     # HighlightAll skips window selection entirely, like pg
     if out["maxfragments"] < 0:
         raise TsQueryError("MaxFragments should be >= 0")
+    if out["shortword"] < 0:
+        raise TsQueryError("ShortWord should be >= 0")
     if not out["highlightall"]:
         if out["minwords"] <= 0:
             raise TsQueryError("MinWords should be positive")
@@ -434,7 +439,9 @@ def ts_headline(text: Column, node, config: str = "simple",
     - inter-word whitespace normalizes to single spaces;
     - fragment mode (MaxFragments > 0) anchors each fragment AT a match
       (greedy non-overlapping, see below) where pg centers fragments on
-      whole covers; ShortWord is not implemented.
+      whole covers; ShortWord applies to the window mode only (r12) and
+      defaults to 0 where pg defaults to 3 (opt-in, see
+      parse_headline_options).
     Matching uses the config's normalization (english: Snowball stem),
     so 'rats' highlights for query 'rat' like pg. Pure JVM HOFs."""
     from ..operators.dedup import _let
@@ -528,6 +535,17 @@ def ts_headline(text: Column, node, config: str = "simple",
                 start = F.greatest(
                     F.lit(0),
                     F.least(first, end - opts["minwords"] + 1))
+                if opts["shortword"] > 0:
+                    # pg ShortWord: non-highlighted words of this length
+                    # or less are dropped at the headline BOUNDARIES
+                    # (interior short words stay) — shrink to the first/
+                    # last index that is a match or a long-enough word
+                    rng = F.sequence(start, end)
+                    good = F.filter(rng, lambda i: F.get(flags, i) | (
+                        F.length(F.get(words, i)) > opts["shortword"]))
+                    start = F.coalesce(F.get(good, 0), start)
+                    end = F.coalesce(
+                        F.get(good, F.size(good) - 1), end)
                 span = F.slice(words, start + 1, end - start + 1)
                 return F.concat_ws(" ", F.transform(
                     span, lambda w, j: mark(

@@ -2302,11 +2302,48 @@ def _attach_ctes(node: ast.Node, ctes: Tuple[ast.CTE, ...]) -> ast.Node:
     return node
 
 
-def parse(sql: str) -> ast.Node:
-    """Parse a single SQL statement into an AST."""
+# sub-grammar entry points for parse(sql, what=...) — the reference's
+# test-harness convenience (reference parser/_parser.py:20-44 dispatches
+# `what` through a constructors dict of sub-parsers). Keys name the
+# production; values are Parser method names.
+_SUBGRAMMARS = {
+    "statement": "parse_statement",
+    "select": "parse_query",
+    "query": "parse_query",
+    "expr": "parse_expr",
+    "value": "parse_expr",
+    "from": "parse_from",
+    "from_clause": "parse_from",
+    "table_ref": "parse_table_primary",
+    "call": "parse_expr",
+    "name": "parse_name",
+    "order_by": "parse_order_by",
+}
+
+
+def parse(sql: str, what: str = None) -> ast.Node:
+    """Parse a single SQL statement into an AST.
+
+    `what` selects a sub-grammar entry point (reference
+    parser/_parser.py:20-44): one of statement, select/query,
+    expr/value/call, from/from_clause, table_ref, name, order_by —
+    'from' expects the FROM keyword, the rest start at their production.
+    """
     tokens = tokenize(sql)
     p = Parser(tokens, sql)
-    node = p.parse_statement()
+    if what is not None:
+        key = what if isinstance(what, str) else getattr(
+            what, "__name__", str(what)).lower()
+        method = _SUBGRAMMARS.get(str(key).lower())
+        if method is None:
+            raise ParseError(
+                f"unknown sub-grammar {what!r}; one of "
+                f"{sorted(_SUBGRAMMARS)}")
+        if method == "parse_from":
+            p.expect_kw("from")
+        node = getattr(p, method)()
+    else:
+        node = p.parse_statement()
     p.accept_op(";")
     if not p.at_end():
         raise p.error("unexpected trailing input")

@@ -167,9 +167,13 @@ def test_tsvector_config_validated(spark, scope):
 
 
 def test_ts_headline_unknown_option_is_guided(spark, scope):
-    with pytest.raises(CompileError, match="ShortWord|not supported"):
+    # ShortWord is supported since r12; a genuinely unknown key guides
+    with pytest.raises(CompileError, match="not supported"):
         fq.execute("select ts_headline('x y', to_tsquery('x'), "
-                   "'ShortWord=3')", scope, spark=spark)
+                   "'NoSuchOption=3')", scope, spark=spark)
+    with pytest.raises(CompileError, match="ShortWord should be >= 0"):
+        fq.execute("select ts_headline('x y', to_tsquery('x'), "
+                   "'ShortWord=-1')", scope, spark=spark)
 
 
 def test_ts_headline_requires_literal_query(spark, scope):

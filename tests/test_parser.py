@@ -181,3 +181,28 @@ def test_returning_stops_alias_parsing():
     node = parse("insert into t select a from s returning a")
     assert node.returning
     assert node.query.from_.alias is None
+
+
+def test_parse_subgrammar_entry_points():
+    """r12: parse(sql, what=...) sub-grammar dispatch (reference
+    parser/_parser.py:20-44 — its constructors dict of sub-parsers)."""
+    import pytest
+
+    from framequery_spark.parser import ParseError, ast, parse
+
+    e = parse("a + 1", what="expr")
+    assert isinstance(e, ast.Binary) and e.op == "+"
+    t = parse("public.test as foo", what="table_ref")
+    assert isinstance(t, ast.TableRef)
+    assert t.parts == ("public", "test") and t.alias == "foo"
+    f = parse("from t1, t2 x", what="from")
+    assert isinstance(f, ast.Join) and f.kind == "cross"
+    c = parse("min(foo)", what="call")
+    assert isinstance(c, ast.Call) and c.name == "min"
+    s = parse("select 1", what="select")
+    assert isinstance(s, ast.Select)
+    assert isinstance(parse("order by a desc", what="order_by"), tuple)
+    with pytest.raises(ParseError, match="unknown sub-grammar"):
+        parse("x", what="nope")
+    with pytest.raises(ParseError):
+        parse("a + 1 extra junk", what="expr")

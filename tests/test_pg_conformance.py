@@ -986,6 +986,13 @@ QUERIES = [
     ("select U&'d!0061t!0061' UESCAPE '!', U&'!!x' UESCAPE '!', "
      r"U&'a\b' UESCAPE '!', U&'\0041' UESCAPE '\'",
      r"select 'data', '!x', 'a\b', 'A'"),
+    # r12: unaccent combining marks (decomposed e + U+0301) and
+    # presentation-form ligatures; ts_headline ShortWord boundary trim
+    ("select unaccent('caf' || chr(101) || chr(769)), "
+     "unaccent('o' || chr(776) || 'l'), unaccent('ﬁn ﬂux ﬀ'), "
+     "ts_headline('the cat sat on a mat of dogs today ok', "
+     "'dogs'::tsquery, 'MaxWords=6, MinWords=4, ShortWord=2')",
+     "select 'cafe', 'ol', 'fin flux ff', '<b>dogs</b> today'"),
     ("select parse_ident('\"Some\".tbl'), parse_ident('  x . \"y.z\" ')",
      "select ['Some', 'tbl'], ['x', 'y.z']"),
     # r11 gap-probe batch: date_bin with a string stride (pg implicit
