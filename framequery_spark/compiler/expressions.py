@@ -523,10 +523,12 @@ def _numeric_to_char(arg, fmt: str):
     template has an explicit S — while pg always reserves a leading sign
     column (' 123' / '-123'). Compile the pg behavior: abs() through
     Spark's formatter, sign column prepended ('' instead of ' ' under the
-    FM fill-mode prefix, like pg). Documented deviations: '9' digit
-    positions print leading zeros instead of pg's blanking (to_char(0.5,
-    '9.99') = ' 0.50' here, ' .50' in pg), FM does not strip trailing
-    fractional zeros, and overflow raises instead of printing '###'."""
+    FM fill-mode prefix, like pg). Overflow matches pg's docs example
+    (to_char(485, '99') = ' ##' — Spark fills digit positions with '#',
+    the wrapper keeps the sign column). Documented deviations: the
+    ZERO UNITS digit of a '9' template prints (to_char(0.5, '9.99') =
+    ' 0.50' here, ' .50' in pg — pg's floating-sign blanking collapses
+    the position), and FM does not strip trailing fractional zeros."""
     fm = fmt.upper().startswith("FM")
     body = fmt[2:] if fm else fmt
     dec = arg.cast("decimal(38,10)")

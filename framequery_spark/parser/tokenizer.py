@@ -28,6 +28,7 @@ _TOKEN_RE = re.compile(
   | (?P<param>%\(\w+\)s)
   | (?P<pgparam>\$\d+)
   | (?P<ustring>[uU]&'(?:[^'\\]|''|\\.)*')
+  | (?P<uident>[uU]&"(?:[^"]|"")*")
   | (?P<estring>[eE]'(?:[^'\\]|''|\\.)*')
   | (?P<dollarstring>\$(?P<dtag>(?:[A-Za-z_][A-Za-z_0-9]*)?)\$.*?\$(?P=dtag)\$)
   | (?P<string>'(?:[^']|'')*')
@@ -167,6 +168,29 @@ def tokenize(sql: str) -> List[Token]:
                 raise TokenizeError(f"invalid U& string at offset {pos}: "
                                     f"{exc}")
             kind, text = "string", _quote(decoded)
+        elif kind == "uident":
+            # U&"..." unicode-escaped identifier (r12) — same decoder and
+            # UESCAPE handling as U&'...', emitted as a quoted name
+            from ..compiler.expressions import _decode_unistr
+
+            body = text[3:-1].replace('""', '"')
+            um = _UESCAPE_RE.match(sql, m.end())
+            if um is not None:
+                esc = um.group(1)
+                if esc in "0123456789abcdefABCDEF+\"" or esc.isspace():
+                    raise TokenizeError(
+                        f"invalid Unicode escape character {esc!r} at "
+                        f"offset {pos} (UESCAPE must not be a hex digit, "
+                        "plus sign, quote, or whitespace)")
+                if esc != "\\":
+                    body = _swap_uescape(body, esc)
+                m = um
+            try:
+                decoded = _decode_unistr(body)
+            except Exception as exc:
+                raise TokenizeError(
+                    f"invalid U& identifier at offset {pos}: {exc}")
+            kind, text = "qname", '"' + decoded.replace('"', '""') + '"'
         elif kind == "dollarstring":
             tag_len = text.index("$", 1) + 1
             kind, text = "string", _quote(text[tag_len:-tag_len])

@@ -206,3 +206,21 @@ def test_parse_subgrammar_entry_points():
         parse("x", what="nope")
     with pytest.raises(ParseError):
         parse("a + 1 extra junk", what="expr")
+
+
+def test_uescape_identifiers():
+    """r12: U&"..." unicode-escaped identifiers (+UESCAPE), the
+    identifier twin of the U&'...' string form."""
+    import pytest
+
+    from framequery_spark.parser import parse
+    from framequery_spark.parser.tokenizer import TokenizeError
+
+    assert parse(r'select a AS U&"d\0061t\0061" from t') \
+        .items[0].alias == "data"
+    assert parse("select a AS U&\"d!0061ta\" UESCAPE '!' from t") \
+        .items[0].alias == "data"
+    ref = parse(r'select U&"col\0031" from t').items[0].expr
+    assert ref.parts == ("col1",) and ref.quoted
+    with pytest.raises(TokenizeError, match="invalid U& identifier"):
+        parse(r'select U&"bad\00" from t')

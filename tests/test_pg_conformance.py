@@ -986,6 +986,13 @@ QUERIES = [
     ("select U&'d!0061t!0061' UESCAPE '!', U&'!!x' UESCAPE '!', "
      r"U&'a\b' UESCAPE '!', U&'\0041' UESCAPE '\'",
      r"select 'data', '!x', 'a\b', 'A'"),
+    # r12: numeric to_char overflow — the pg-docs example ' ##' (digit
+    # positions hash-filled, sign column kept)
+    ("select to_char(485, '99'), to_char(125, '999')",
+     "select ' ##', ' 125'"),
+    # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
+    (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
+     "select 1 AS data, 2 AS two"),
     # r12: unaccent combining marks (decomposed e + U+0301) and
     # presentation-form ligatures; ts_headline ShortWord boundary trim
     ("select unaccent('caf' || chr(101) || chr(769)), "
