@@ -519,27 +519,78 @@ def _is_numeric_tochar_fmt(fmt: str) -> bool:
 
 def _numeric_to_char(arg, fmt: str):
     """pg numeric to_char: Spark's to_char covers the digit/grouping
-    grammar (9 0 , . S) but DROPS the sign of negative inputs unless the
-    template has an explicit S — while pg always reserves a leading sign
-    column (' 123' / '-123'). Compile the pg behavior: abs() through
-    Spark's formatter, sign column prepended ('' instead of ' ' under the
-    FM fill-mode prefix, like pg). Overflow matches pg's docs example
-    (to_char(485, '99') = ' ##' — Spark fills digit positions with '#',
-    the wrapper keeps the sign column). Documented deviations: the
-    ZERO UNITS digit of a '9' template prints (to_char(0.5, '9.99') =
-    ' 0.50' here, ' .50' in pg — pg's floating-sign blanking collapses
-    the position), and FM does not strip trailing fractional zeros."""
+    grammar (9 0 , . S) but diverges from pg in four compile-time-fixable
+    ways, each anchored to a pg-docs Table 9.29 example:
+    - sign column: pg reserves one and FLOATS '-' right across padding
+      blanks to sit adjacent to the first digit (to_char(-1,'999') =
+      '  -1', not '-  1'); positives get a leading space.
+    - zero-units collapse: when the integer part is 0 and the units
+      position is an unforced '9', pg drops the position entirely
+      (to_char(-0.1,'99.99') = ' -.10'; to_char(0.5,'9.99') = ' .50').
+    - forced zeros: a '0' forces every integer digit position to its
+      RIGHT (to_char(12,'9990999.9') = '    0012.0') — Spark only forces
+      from a leading '0', so the trailing 9s are rewritten to '0's.
+    - FM fill mode strips padding blanks AND trailing fractional zeros
+      in '9' positions, keeping a bare trailing '.' (pg wart:
+      to_char(12,'FM9990999.9') = '0012.'; to_char(148.5,'FM999.990') =
+      '148.500' keeps the forced zero).
+    Overflow matches pg's docs example (to_char(485,'99') = ' ##')."""
     fm = fmt.upper().startswith("FM")
     body = fmt[2:] if fm else fmt
     dec = arg.cast("decimal(38,10)")
     up = body.upper()
     # S / MI / PR templates place the sign themselves (Spark implements
-    # all three with pg's semantics) — no wrapper
+    # all three with pg's semantics) — no wrapper; FM strips the padding
+    # blanks these emit (pg: to_char(485,'FM999MI') = '485')
     if "S" in up or "MI" in up or "PR" in up:
-        return F.to_char(dec, F.lit(body))
+        out = F.to_char(dec, F.lit(body))
+        return F.trim(out) if fm else out
+    dot = body.find(".")
+    int_sec = body[:dot] if dot >= 0 else body
+    frac_sec = body[dot + 1:] if dot >= 0 else ""
+    z = int_sec.find("0")
     inner = F.to_char(F.abs(dec), F.lit(body))
-    sign = F.when(dec < 0, F.lit("-")).otherwise(F.lit("" if fm else " "))
-    return F.concat(sign, inner)
+    if z > 0:
+        # Spark only forces zeros from a LEADING '0'; a mid-template '0'
+        # is ignored, so post-pad the integer digits to the forced width
+        # (digit positions from the first '0' rightward)
+        needed = sum(1 for c in int_sec[z:] if c in "09")
+        sp = F.regexp_extract(inner, r"^( *)", 1)
+        rest = F.ltrim(inner)
+        cur = F.length(F.regexp_extract(rest, r"^[0-9]*", 0))
+        pad = F.when(rest.rlike(r"^[0-9.]"),
+                     F.greatest(F.lit(0), F.lit(needed) - cur)) \
+            .otherwise(F.lit(0))
+        inner = F.when(
+            ~rest.rlike("[0-9#]"),
+            F.lit(" " * (len(body) - needed) + "0" * needed)).otherwise(
+            F.concat(F.repeat(F.lit(" "), F.length(sp) - pad),
+                     F.repeat(F.lit("0"), pad), rest))
+    elif z < 0 and dot < 0:
+        # pg prints '0' in the units position for exact zero; Spark
+        # blanks the whole field (to_char(0,'999') = '   0' vs '   ')
+        inner = F.when(~inner.rlike("[0-9#]"),
+                       F.lit(" " * (len(body) - 1) + "0")).otherwise(inner)
+    if dot >= 0 and z < 0 and int_sec.rstrip(",").endswith("9"):
+        # zero-units collapse (only '9' units with no forced '0' left of
+        # it; Spark prints the pre-decimal 0 exactly when int part == 0)
+        inner = F.regexp_replace(inner, r"^( *)0\.", "$1.")
+    if fm:
+        inner = F.ltrim(inner)
+        frac_digits = [c for c in frac_sec if c in "09"]
+        keep = max(i for i, c in enumerate(frac_digits) if c == "0") + 1 \
+            if "0" in frac_digits else 0
+        if len(frac_digits) > keep:
+            inner = F.regexp_replace(
+                inner, r"(\.[0-9]{%d}[0-9]*?)0+$" % keep, "$1")
+        return F.concat(
+            F.when(dec < 0, F.lit("-")).otherwise(F.lit("")), inner)
+    # floating sign: original leading blanks, then the sign char, then the
+    # significant part — one added column, '-' adjacent to the digits
+    return F.concat(
+        F.regexp_extract(inner, r"^( *)", 1),
+        F.when(dec < 0, F.lit("-")).otherwise(F.lit(" ")),
+        F.ltrim(inner))
 
 
 class CompileError(ValueError):

@@ -990,6 +990,23 @@ QUERIES = [
     # positions hash-filled, sign column kept)
     ("select to_char(485, '99'), to_char(125, '999')",
      "select ' ##', ' 125'"),
+    # r12: to_char floating sign ('-' adjacent to digits across padding),
+    # zero-units collapse, mid-template forced zeros, exact-zero restore
+    # — every expected string is a pg docs Table 9.29 anchor or follows
+    # directly from one
+    ("select to_char(-1, '999'), to_char(-0.1, '99.99'), "
+     "to_char(0.5, '9.99'), to_char(0.1, '0.9'), "
+     "to_char(12, '9990999.9'), to_char(0, '999'), to_char(0, '9.99')",
+     "select '  -1', ' -.10', ' .50', ' 0.1', '    0012.0', "
+     "'   0', ' .00'"),
+    # r12: FM fill mode strips padding blanks and trailing fractional
+    # zeros in '9' positions (bare trailing dot kept — pg wart), '0'
+    # frac positions retained; FM999MI drops the MI pad blank
+    ("select to_char(12, 'FM9990999.9'), to_char(-0.1, 'FM9.99'), "
+     "to_char(-0.1, 'FM90.99'), to_char(148.5, 'FM999.999'), "
+     "to_char(148.5, 'FM999.990'), to_char(1.0, 'FM999.999'), "
+     "to_char(485, 'FM999MI')",
+     "select '0012.', '-.1', '-0.1', '148.5', '148.500', '1.', '485'"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),
