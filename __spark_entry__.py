@@ -992,6 +992,41 @@ ORDER BY c_custkey
 LIMIT 40
 """)
 
+# Round-12 numeric to_char completion under the driver gate: a REAL
+# differential on real data — pg's floating sign is exactly printf
+# right-alignment for |x| >= 1 (the filter excludes the zero-units
+# collapse region, pinned by literal anchors instead), FM stripping is
+# rtrim-of-zeros (the '.'-stops-rtrim accident reproduces pg's bare-dot
+# wart), and a leading-'0' template is %05d. The literal columns carry
+# the pg docs Table 9.29 anchors DuckDB cannot compute.
+_q("q75_to_char_numeric", """
+SELECT c_custkey,
+       to_char(c_acctbal, '99999.99') AS pad,
+       to_char(c_acctbal, 'FM99999.99') AS fm,
+       to_char(c_custkey, '00999') AS forced,
+       to_char(-0.1, '99.99') AS a_collapse,
+       to_char(12, '9990999.9') AS a_forced,
+       to_char(12, 'FM9990999.9') AS a_fmdot,
+       to_char(0, '999') AS a_zero
+FROM customer
+WHERE abs(c_acctbal) >= 1
+ORDER BY c_custkey
+LIMIT 60
+""", oracle="""
+SELECT c_custkey,
+       printf('%9.2f', CAST(c_acctbal AS DOUBLE)) AS pad,
+       rtrim(printf('%.2f', CAST(c_acctbal AS DOUBLE)), '0') AS fm,
+       printf(' %05d', c_custkey) AS forced,
+       ' -.10' AS a_collapse,
+       '    0012.0' AS a_forced,
+       '0012.' AS a_fmdot,
+       '   0' AS a_zero
+FROM customer
+WHERE abs(c_acctbal) >= 1
+ORDER BY c_custkey
+LIMIT 60
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the
