@@ -467,7 +467,9 @@ def _parse_pg_brace_array(text: str):
 # patterns (longest-first so MM does not eat Month, etc.)
 _PG_DATEFMT = [
     # FM (fill mode) strips pg's fixed-width padding; Java patterns are
-    # unpadded already, so it is a no-op token here
+    # unpadded already, so it is a no-op token here (parsing direction —
+    # the to_char OUTPUT direction uses _date_to_char below, where FM and
+    # the pg blank-padding rules are modeled per token)
     ("FM", ""),
     ("HH24", "HH"), ("HH12", "hh"), ("Month", "MMMM"), ("MONTH", "MMMM"),
     ("YYYY", "yyyy"), ("YYY", "yyy"), ("Day", "EEEE"), ("DAY", "EEEE"),
@@ -476,6 +478,84 @@ _PG_DATEFMT = [
     ("SS", "ss"), ("AM", "a"), ("PM", "a"), ("Dy", "E"), ("DY", "E"),
     ("TZ", "z"),
 ]
+
+# to_char output tokens: (pg token, java, java-under-FM, case fn, pad).
+# pg blank-pads Month/Day to 9 chars (docs: "blank-padded to 9 chars")
+# and renders the template's own case (MONTH/month); Java MMMM/EEEE give
+# only the capitalized unpadded form, so those tokens compile to their
+# own date_format segment with upper/lower/rpad applied. FM is pg's
+# per-token modifier: it suppresses the padding of exactly the NEXT
+# pattern ('FMHH24:MI' unpads the hour, not the minutes).
+_TOCHAR_DATE_TOKENS = [
+    ("HH24", "HH", "H", None, 0), ("HH12", "hh", "h", None, 0),
+    ("MONTH", "MMMM", None, "upper", 9), ("Month", "MMMM", None, None, 9),
+    ("month", "MMMM", None, "lower", 9),
+    ("YYYY", "yyyy", "y", None, 0), ("YYY", "yyy", None, None, 0),
+    ("DAY", "EEEE", None, "upper", 9), ("Day", "EEEE", None, None, 9),
+    ("day", "EEEE", None, "lower", 9),
+    ("MON", "MMM", None, "upper", 0), ("Mon", "MMM", None, None, 0),
+    ("mon", "MMM", None, "lower", 0),
+    ("DY", "E", None, "upper", 0), ("Dy", "E", None, None, 0),
+    ("dy", "E", None, "lower", 0),
+    ("MS", "SSS", None, None, 0), ("US", "SSSSSS", None, None, 0),
+    ("YY", "yy", None, None, 0), ("MM", "MM", "M", None, 0),
+    ("DD", "dd", "d", None, 0), ("HH", "hh", "h", None, 0),
+    ("MI", "mm", "m", None, 0), ("SS", "ss", "s", None, 0),
+    ("AM", "a", None, None, 0), ("PM", "a", None, None, 0),
+    ("am", "a", None, "lower", 0), ("pm", "a", None, "lower", 0),
+    ("TZ", "z", None, None, 0),
+]
+
+
+def _date_to_char(arg, fmt: str):
+    """pg date/timestamp to_char output: compiled to date_format segments.
+    Plain numeric/abbreviated tokens accumulate into one Java pattern;
+    Month/Day-family tokens (case + 9-char blank padding) and FM-unpadded
+    numerics become their own segments, concatenated in template order."""
+    segs: list = []
+    buf: list = []
+
+    def flush():
+        if buf:
+            segs.append(F.date_format(arg, "".join(buf)))
+            buf.clear()
+
+    i, fm = 0, False
+    n = len(fmt)
+    while i < n:
+        if fmt.startswith("FM", i) or fmt.startswith("fm", i):
+            fm = True
+            i += 2
+            continue
+        for tok, jv, jfm, case, pad in _TOCHAR_DATE_TOKENS:
+            if fmt.startswith(tok, i):
+                pat = jfm if (fm and jfm) else jv
+                if case is None and (pad == 0 or fm):
+                    buf.append(pat)
+                else:
+                    flush()
+                    c = F.date_format(arg, pat)
+                    if case == "upper":
+                        c = F.upper(c)
+                    elif case == "lower":
+                        c = F.lower(c)
+                    if pad and not fm:
+                        c = F.rpad(c, pad, " ")
+                    segs.append(c)
+                i += len(tok)
+                fm = False
+                break
+        else:
+            ch = fmt[i]
+            if ch == "J":
+                raise CompileError(
+                    "to_char template 'J' (Julian Day) is not supported")
+            buf.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    flush()
+    if not segs:
+        return F.lit("")
+    return segs[0] if len(segs) == 1 else F.concat(*segs)
 
 
 def _pg_to_java_datefmt(fmt: str) -> str:
@@ -1670,9 +1750,9 @@ class ExprCompiler:
                 return _numeric_to_char(arg, raw_fmt)
             # pg format strings (YYYY/DD/HH24/MI/...) are converted to Java
             # patterns at compile time; the runtime call is pure JVM
-            fmt = _pg_to_java_datefmt(raw_fmt)
             if name == "to_char":
-                return F.date_format(arg, fmt)
+                return _date_to_char(arg, raw_fmt)
+            fmt = _pg_to_java_datefmt(raw_fmt)
             if name == "to_date":
                 return F.to_date(arg, fmt)
             return F.to_timestamp(arg, fmt)

@@ -1007,6 +1007,23 @@ QUERIES = [
      "to_char(148.5, 'FM999.990'), to_char(1.0, 'FM999.999'), "
      "to_char(485, 'FM999MI')",
      "select '0012.', '-.1', '-0.1', '148.5', '148.500', '1.', '485'"),
+    # r12: date to_char — pg blank-pads Month/Day to 9 chars, renders the
+    # template's own case (MONTH/month/DY/dy), and FM unpads exactly the
+    # NEXT token ('FMHH24:MI' unpads the hour only). Oracle mixes DuckDB
+    # strftime (computable) with literals (padding/case DuckDB lacks)
+    ("select to_char(date '2024-03-05', 'Month'), "
+     "to_char(date '2024-03-05', 'MONTH'), "
+     "to_char(date '2024-03-05', 'day'), "
+     "to_char(date '2024-03-05', 'DY'), to_char(date '2024-03-05', 'mon')",
+     "select rpad(strftime(date '2024-03-05', '%B'), 9, ' '), "
+     "'MARCH    ', 'tuesday  ', 'TUE', 'mar'"),
+    ("select to_char(date '2024-03-05', 'FMDD'), "
+     "to_char(timestamp '2024-03-05 09:05:03', 'FMHH24:MI:SS'), "
+     "to_char(date '2024-03-05', 'FMDay, FMDD FMMonth YYYY'), "
+     "to_char(timestamp '2024-03-05 14:30:09', 'HH12:MI:SS AM'), "
+     "to_char(timestamp '2024-03-05 14:30:09', 'am')",
+     "select strftime(date '2024-03-05', '%-d'), '9:05:03', "
+     "'Tuesday, 5 March 2024', '02:30:09 PM', 'pm'"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),
