@@ -677,6 +677,44 @@ class CompileError(ValueError):
     pass
 
 
+def _spark_to_pg_typename(dt) -> str:
+    """Spark DataType -> the pg type NAME pg_typeof would print. The
+    canonical range/multirange structs print 'record' / 'record[]' (the
+    engine's range marking is expression-level, not schema-level —
+    documented)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "integer"
+    if isinstance(dt, T.DoubleType):
+        return "double precision"
+    if isinstance(dt, T.FloatType):
+        return "real"
+    if isinstance(dt, T.DecimalType):
+        return "numeric"
+    if isinstance(dt, T.StringType):
+        return "text"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp without time zone"
+    if isinstance(dt, T.BinaryType):
+        return "bytea"
+    if isinstance(dt, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+        return "interval"
+    if isinstance(dt, T.ArrayType):
+        return _spark_to_pg_typename(dt.elementType) + "[]"
+    if isinstance(dt, T.StructType):
+        return "record"
+    if isinstance(dt, T.NullType):
+        return "unknown"
+    return dt.simpleString()
+
+
 class ExprCompiler:
     """Compiles expression nodes against an implicit input relation.
 
@@ -781,6 +819,13 @@ class ExprCompiler:
             return ~operand
         if node.op == "~":
             return F.bitwise_not(operand)
+        # pg prefix math operators
+        if node.op == "|/":
+            return F.sqrt(operand)
+        if node.op == "||/":
+            return F.cbrt(operand)
+        if node.op == "@":
+            return F.abs(operand)
         raise CompileError(f"unary op {node.op}")
 
     @staticmethod
@@ -1756,6 +1801,29 @@ class ExprCompiler:
             if name == "to_date":
                 return F.to_date(arg, fmt)
             return F.to_timestamp(arg, fmt)
+        if name == "pg_typeof" and len(node.args) == 1:
+            # pg_typeof: the argument's type name as text, resolved at
+            # COMPILE time via a Catalyst schema-only probe (no job runs —
+            # df.select(col).schema is pure analysis). A bare string
+            # literal reports 'unknown' like pg's untyped literals.
+            a0 = node.args[0]
+            if isinstance(a0, ast.Literal) and a0.kind == "string":
+                return F.lit("unknown")
+            col = self.compile(a0)
+            probe_df = self.input_df
+            if probe_df is None and self.executor is not None:
+                probe_df = self.executor.spark.range(1)
+            dt = None
+            if probe_df is not None:
+                try:
+                    dt = probe_df.select(col).schema[0].dataType
+                except Exception:
+                    dt = None
+            if dt is None:
+                raise CompileError(
+                    "pg_typeof: cannot resolve the argument's type in "
+                    "this context")
+            return F.lit(_spark_to_pg_typename(dt))
         if name == "__at_time_zone":
             # pg `expr AT TIME ZONE z`: session-tz timestamps are stored
             # UTC-based (sessions run UTC), so this is the timestamptz ->

@@ -774,10 +774,33 @@ class QueryCompiler:
                                                ast.GroupingSets)):
             node = gb[0]
             resolve = lambda e: self._resolve_one_group_expr(e, items, df)
+            if isinstance(node, (ast.Rollup, ast.Cube)) and node.distinct:
+                # pg 14 GROUP BY DISTINCT: expand rollup/cube to explicit
+                # sets (pg order) so duplicate sets can drop below
+                from itertools import combinations
+
+                exprs = list(node.exprs)
+                if isinstance(node, ast.Rollup):
+                    expanded = [tuple(exprs[:i])
+                                for i in range(len(exprs), -1, -1)]
+                else:
+                    expanded = [c for r in range(len(exprs), -1, -1)
+                                for c in combinations(exprs, r)]
+                node = ast.GroupingSets(sets=tuple(expanded), distinct=True)
             if isinstance(node, ast.GroupingSets):
                 mode = "sets"
                 group_exprs = []
                 rsets = [[resolve(e) for e in s] for s in node.sets]
+                if node.distinct:
+                    # dedup expanded sets by resolved-expression list
+                    # (first occurrence wins, pg's documented behavior)
+                    seen, uniq = set(), []
+                    for s in rsets:
+                        key = tuple(s)
+                        if key not in seen:
+                            seen.add(key)
+                            uniq.append(s)
+                    rsets = uniq
                 for s in rsets:
                     for e in s:
                         if e not in group_exprs:

@@ -275,6 +275,13 @@ _fixed("chr", _chr_unicode)
 _fixed("md5", lambda a: F.md5(a[0].cast("string")))
 _fixed("sha256", lambda a: F.sha2(a[0].cast("string"), 256))
 _fixed("to_hex", lambda a: F.lower(F.hex(a[0])))  # pg to_hex is lowercase
+# pg 17 to_bin/to_oct: the value's bit pattern (negatives render as the
+# 64-bit two's-complement pattern — pg's bigint arm; F.conv treats the
+# input as unsigned 64-bit, which is exactly that)
+_fixed("to_bin", lambda a: F.conv(a[0].cast("bigint").cast("string"),
+                                  10, 2))
+_fixed("to_oct", lambda a: F.conv(a[0].cast("bigint").cast("string"),
+                                  10, 8))
 _fixed("translate", lambda a: F.call_function("translate", a[0], a[1], a[2]))
 _fixed("starts_with", lambda a: a[0].startswith(a[1]), "startswith")
 _fixed("ends_with", lambda a: a[0].endswith(a[1]), "endswith")
@@ -524,6 +531,20 @@ _fixed("string_to_table", lambda a: F.explode(pg_split_column(a[0], a[1])))
 _fixed("regexp_split_to_table", lambda a: F.explode(F.split(a[0], a[1])))
 
 
+def _regexp_split_to_array(a: List[Column]) -> Column:
+    """pg regexp_split_to_array(string, pattern[, flags]) — the array twin
+    of regexp_split_to_table; only the 'i' flag changes split semantics
+    (prefixed as the Java-regex inline flag)."""
+    pat = a[1]
+    if len(a) > 2:
+        pat = F.concat(F.when(a[2].contains("i"), F.lit("(?i)"))
+                       .otherwise(F.lit("")), pat)
+    return F.split(a[0], pat)
+
+
+_fixed("regexp_split_to_array", _regexp_split_to_array)
+
+
 # ------------------------------------------------- vector math (embeddings)
 # JVM-side higher-order functions; no Python UDF. Used by the similarity /
 # dedup operators and exposed in SQL for ad-hoc queries.
@@ -748,6 +769,11 @@ _fixed("to_ascii", _to_ascii)
 _fixed("array_fill",
        lambda a: F.array_repeat(a[0], F.element_at(a[1], 1).cast("int")))
 _fixed("array_ndims", lambda a: F.when(a[0].isNotNull(), F.lit(1)))
+# pg array_dims: '[1:n]' text (1-D surface); NULL for empty/NULL arrays
+_fixed("array_dims",
+       lambda a: F.when(F.size(a[0]) >= 1,
+                        F.concat(F.lit("[1:"), F.size(a[0]).cast("string"),
+                                 F.lit("]"))))
 _fixed("array_lower",
        lambda a: F.when((a[1] == 1) & (F.size(a[0]) >= 1), F.lit(1)))
 _fixed("array_upper",

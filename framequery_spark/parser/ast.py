@@ -342,16 +342,19 @@ class Join(Node):
 @dataclass(frozen=True)
 class Rollup(Node):
     exprs: Tuple[Node, ...]
+    distinct: bool = False  # pg 14 GROUP BY DISTINCT: dedup expanded sets
 
 
 @dataclass(frozen=True)
 class Cube(Node):
     exprs: Tuple[Node, ...]
+    distinct: bool = False
 
 
 @dataclass(frozen=True)
 class GroupingSets(Node):
     sets: Tuple[Tuple[Node, ...], ...]
+    distinct: bool = False
 
 
 @dataclass(frozen=True)

@@ -1019,6 +1019,11 @@ class Parser:
         if self.is_kw("group"):
             self.advance()
             self.expect_kw("by")
+            # pg 14 GROUP BY [ALL|DISTINCT]: DISTINCT dedups the expanded
+            # grouping sets ('ALL' bare remains the DuckDB desugar below —
+            # pg's no-op ALL modifier is only meaningful before a grouping
+            # element, which the bare-ALL branch is not)
+            gb_distinct = bool(self.accept_kw("distinct"))
             if self.is_kw("rollup", "cube") and self.is_op("(", offset=1):
                 kind = self.advance().value.lower()
                 self.advance()
@@ -1027,7 +1032,8 @@ class Parser:
                     exprs.append(self.parse_expr())
                 self.expect_op(")")
                 cls = ast.Rollup if kind == "rollup" else ast.Cube
-                group_by = (cls(exprs=tuple(exprs)),)
+                group_by = (cls(exprs=tuple(exprs),
+                                distinct=gb_distinct),)
             elif self.is_kw("grouping") and self.is_kw("sets", offset=1):
                 self.advance()
                 self.advance()
@@ -1045,7 +1051,8 @@ class Parser:
                     if not self.accept_op(","):
                         break
                 self.expect_op(")")
-                group_by = (ast.GroupingSets(sets=tuple(sets)),)
+                group_by = (ast.GroupingSets(sets=tuple(sets),
+                                             distinct=gb_distinct),)
             elif self.is_kw("all"):
                 # GROUP BY ALL (DuckDB/modern SQL): group by every
                 # select-list expression that contains no aggregate or
@@ -1227,6 +1234,12 @@ class Parser:
 
     def parse_table_primary(self) -> ast.Node:
         lateral = bool(self.accept_kw("lateral"))
+        # pg inheritance qualifier: FROM ONLY t — a no-op here (no table
+        # inheritance), consumed only when a table reference follows so a
+        # table actually named "only" still resolves
+        if self.is_kw("only") and self.peek(1) is not None \
+                and self.peek(1).kind in ("name", "qname"):
+            self.advance()
         if self.is_op("("):
             self.advance()
             if self.is_kw("values"):
@@ -1688,7 +1701,8 @@ class Parser:
         return left
 
     def parse_unary(self) -> ast.Node:
-        if self.is_op("-", "+", "~"):
+        # pg prefix math operators: |/ square root, ||/ cube root, @ abs
+        if self.is_op("-", "+", "~", "|/", "||/", "@"):
             op = self.advance().value
             operand = self.parse_unary()
             if op == "+":

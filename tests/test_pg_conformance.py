@@ -1024,6 +1024,39 @@ QUERIES = [
      "to_char(timestamp '2024-03-05 14:30:09', 'am')",
      "select strftime(date '2024-03-05', '%-d'), '9:05:03', "
      "'Tuesday, 5 March 2024', '02:30:09 PM', 'pm'"),
+    # r12 batch 2: pg prefix math operators, pg-17 to_bin/to_oct
+    # (negatives = 64-bit two's-complement pattern, the bigint arm),
+    # regexp_split_to_array (+'i' flag), array_dims
+    ("select |/ 25.0, ||/ 27.0, @ -5, @ c2 from test order by c2",
+     "select sqrt(25.0), cbrt(27.0), abs(-5), abs(c2) from test "
+     "order by c2"),
+    ("select to_bin(5), to_oct(8), to_oct(-1234), to_bin(c2) from test "
+     "order by c2",
+     "select '101', '10', '1777777777777777775456', bin(c2) from test "
+     "order by c2"),
+    ("select regexp_split_to_array('a,b;c', '[,;]'), "
+     "regexp_split_to_array('aXbxc', 'x', 'i'), "
+     "array_dims(array[1,2,3]), array_dims(array[]::int[])",
+     "select regexp_split_to_array('a,b;c', '[,;]'), "
+     "['a','b','c'], '[1:3]', NULL"),
+    # r12 batch 2: pg_typeof (compile-time Catalyst schema probe; bare
+    # string literals report pg's 'unknown'; float literals report the
+    # engine's double typing — documented), FROM ONLY no-op, GROUP BY
+    # DISTINCT grouping-set dedup (pg 14)
+    ("select pg_typeof(123), pg_typeof('x'), pg_typeof(true), "
+     "pg_typeof(date '2024-01-01'), pg_typeof(array[1,2]), "
+     "pg_typeof(c2) from only test order by c2 limit 1",
+     "select 'integer', 'unknown', 'boolean', 'date', 'integer[]', "
+     "'bigint' from test order by c2 limit 1"),
+    ("select c1, count(*) from test "
+     "group by distinct grouping sets ((c1), (c1), ()) "
+     "order by 1 nulls last, 2",
+     "select c1, count(*) from test group by grouping sets ((c1), ()) "
+     "order by 1 nulls last, 2"),
+    ("select c1, count(*) from test group by distinct rollup(c1) "
+     "order by 1 nulls last, 2",
+     "select c1, count(*) from test group by rollup(c1) "
+     "order by 1 nulls last, 2"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),
