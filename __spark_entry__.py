@@ -1027,6 +1027,39 @@ ORDER BY c_custkey
 LIMIT 60
 """)
 
+# Round-12 batch 2 under the driver gate: pg prefix math operators (|/
+# sqrt is IEEE-correctly-rounded so the differential is bit-exact; ||/
+# cbrt is rounded to 4 places — not an IEEE-exact op), pg-17 to_bin /
+# to_oct against DuckDB's bin()/printf('%o'), regexp_split_to_array
+# (joined to text — no entry returns a bare array column, the Arrow
+# list field name differs across engines), and pg_typeof over a real
+# double column (literal oracle — DuckDB's typeof names differ).
+_q("q76_prefix_ops", """
+SELECT c_custkey,
+       round(|/ @ c_acctbal, 4) AS sq,
+       round(||/ CAST(c_custkey AS double precision), 4) AS cb,
+       to_bin(c_custkey) AS bin,
+       to_oct(c_custkey + 8) AS oct,
+       array_to_string(regexp_split_to_array(c_name, '0+'), '|')
+           AS parts,
+       pg_typeof(c_acctbal) AS ty
+FROM customer
+ORDER BY c_custkey
+LIMIT 64
+""", oracle="""
+SELECT c_custkey,
+       round(sqrt(abs(c_acctbal)), 4) AS sq,
+       round(cbrt(CAST(c_custkey AS DOUBLE)), 4) AS cb,
+       CASE WHEN c_custkey = 0 THEN '0' ELSE bin(c_custkey) END AS bin,
+       printf('%o', c_custkey + 8) AS oct,
+       array_to_string(regexp_split_to_array(c_name, '0+'), '|')
+           AS parts,
+       'double precision' AS ty
+FROM customer
+ORDER BY c_custkey
+LIMIT 64
+""")
+
 # pg-17 MERGE ... RETURNING over the TPC-H tables — DML surface with a
 # driver correctness row, not only unit tests. fq.execute copies the caller
 # scope, so the mutation never leaks between runs; the returned frame IS the

@@ -507,6 +507,56 @@ _TOCHAR_DATE_TOKENS = [
 ]
 
 
+def _interval_to_char(arg, fmt: str):
+    """pg to_char(interval, template) — docs example
+    to_char(interval '15h 2m 12s', 'HH24:MI:SS') = '15:02:12'. Derived
+    from total seconds (the engine's normalized day-time storage): when
+    the template carries DD, hours normalize into days; without DD, HH24
+    runs unbounded (pg's '26 hours' -> '26'). An unjustified '1 day
+    2 hours' WITHOUT a DD token prints 26 hours here where pg's separate
+    day field prints 02 — the engine-wide normalization deviation,
+    documented in COVERAGE.md. Negative intervals print a leading '-'."""
+    # casting an interval to bigint counts its SMALLEST declared unit —
+    # normalize to second resolution first so the count is always seconds
+    secs = arg.cast("interval day to second").cast("bigint")
+    s = F.abs(secs)
+
+    def idiv(c, n):  # exact integer division on non-negative bigints
+        return ((c - (c % n)) / n).cast("bigint")
+
+    has_dd = "DD" in fmt.upper()
+    fields = {
+        "DD": idiv(s, 86400),
+        "HH24": idiv(s % 86400, 3600) if has_dd else idiv(s, 3600),
+        "HH12": idiv(s, 3600) % 12,
+        "HH": idiv(s, 3600) % 12,
+        "MI": idiv(s % 3600, 60),
+        "SS": s % 60,
+    }
+    segs = [F.when(secs < 0, F.lit("-")).otherwise(F.lit(""))]
+    i, fm = 0, False
+    while i < len(fmt):
+        if fmt.startswith("FM", i) or fmt.startswith("fm", i):
+            fm = True
+            i += 2
+            continue
+        for tok in ("HH24", "HH12", "DD", "HH", "MI", "SS"):
+            if fmt.startswith(tok, i):
+                v = fields[tok].cast("string")
+                segs.append(v if fm else F.lpad(v, 2, "0"))
+                i += len(tok)
+                fm = False
+                break
+        else:
+            if fmt.startswith("MS", i) or fmt.startswith("US", i):
+                raise CompileError(
+                    "to_char(interval): sub-second templates (MS/US) are "
+                    "not supported (second-resolution storage)")
+            segs.append(F.lit(fmt[i]))
+            i += 1
+    return F.concat(*segs)
+
+
 def _date_to_char(arg, fmt: str):
     """pg date/timestamp to_char output: compiled to date_format segments.
     Plain numeric/abbreviated tokens accumulate into one Java pattern;
@@ -1796,11 +1846,70 @@ class ExprCompiler:
             # pg format strings (YYYY/DD/HH24/MI/...) are converted to Java
             # patterns at compile time; the runtime call is pure JVM
             if name == "to_char":
+                # interval arm: resolved by a Catalyst schema-only probe
+                # (same mechanism as pg_typeof); dates/timestamps fall
+                # through to the date segment compiler
+                probe_df = self.input_df
+                if probe_df is None and self.executor is not None:
+                    probe_df = self.executor.spark.range(1)
+                dt = None
+                if probe_df is not None:
+                    try:
+                        dt = probe_df.select(arg).schema[0].dataType
+                    except Exception:
+                        dt = None
+                from pyspark.sql import types as T
+
+                if isinstance(dt, T.DayTimeIntervalType):
+                    return _interval_to_char(arg, raw_fmt)
+                if isinstance(dt, T.YearMonthIntervalType):
+                    raise CompileError(
+                        "to_char over year-month intervals is not "
+                        "supported (day-time intervals format via "
+                        "HH24/MI/SS/DD)")
                 return _date_to_char(arg, raw_fmt)
             fmt = _pg_to_java_datefmt(raw_fmt)
             if name == "to_date":
                 return F.to_date(arg, fmt)
             return F.to_timestamp(arg, fmt)
+        if name in ("current_setting", "set_config"):
+            # session-option access (r12): resolved at compile time against
+            # the executor's SET/SHOW store — pg's overwhelmingly-common
+            # literal-argument form; non-literal names raise with guidance
+            lits = []
+            for a in node.args:
+                if isinstance(a, ast.Literal):
+                    lits.append(a.value)
+                elif isinstance(a, ast.Cast) \
+                        and isinstance(a.expr, ast.Literal):
+                    lits.append(a.expr.value)
+                else:
+                    raise CompileError(
+                        f"{name}: arguments must be literals (the setting "
+                        "store is session state, resolved at compile time)")
+            if self.executor is None:
+                raise CompileError(f"{name} requires an executor session")
+            opts = self.executor._options
+            from ..executor.executor import _SHOW_OPTIONS
+            if name == "set_config":
+                if len(lits) != 3:
+                    raise CompileError(
+                        "set_config(setting, value, is_local) takes 3 "
+                        "arguments")
+                opts[str(lits[0]).lower()] = str(lits[1])
+                return F.lit(str(lits[1]))
+            if not 1 <= len(lits) <= 2:
+                raise CompileError(
+                    "current_setting(setting[, missing_ok]) takes 1-2 "
+                    "arguments")
+            key = str(lits[0]).lower()
+            val = opts.get(key, _SHOW_OPTIONS.get(key))
+            if val is None:
+                if len(lits) == 2 and lits[1]:
+                    return F.lit(None).cast("string")
+                raise CompileError(
+                    f'unrecognized configuration parameter "{lits[0]}"')
+            return F.lit(str(val))
         if name == "pg_typeof" and len(node.args) == 1:
             # pg_typeof: the argument's type name as text, resolved at
             # COMPILE time via a Catalyst schema-only probe (no job runs —

@@ -43,6 +43,13 @@ def _fixed(name: str, fn, *names: str):
 # parity constants: reference executor/_pandas.py:49-50
 _fixed("version", lambda a: F.lit("PostgreSQL 9.6.0"))
 _fixed("current_schema", lambda a: F.lit("public"))
+# pg role/catalog constants (r12): a session-less engine reports the
+# conventional fixed principal; USER parses to current_user upstream
+_fixed("current_user", lambda a: F.lit("postgres"), "session_user",
+       "current_role")
+_fixed("current_catalog", lambda a: F.lit("framequery"), "current_database")
+# pgcrypto / uuid-ossp uuid generators -> Spark's native uuid()
+_fixed("gen_random_uuid", lambda a: F.expr("uuid()"), "uuid_generate_v4")
 
 # ------------------------------------------------------------------- math
 _fixed("abs", lambda a: F.abs(a[0]))

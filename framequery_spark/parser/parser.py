@@ -1989,11 +1989,15 @@ class Parser:
                 self.expect_op(")")
                 return ast.Exists(query=query)
             if low in ("current_date", "current_timestamp", "current_time",
-                       "localtimestamp", "localtime") \
+                       "localtimestamp", "localtime", "current_user",
+                       "session_user", "current_role", "current_catalog",
+                       "user") \
                     and not self.is_op("(", offset=1):
-                # pg zero-argument datetime keywords (no parens)
+                # pg zero-argument keywords (no parens): datetime family +
+                # role/catalog constants (USER == CURRENT_USER)
                 self.advance()
-                return ast.Call(name=low)
+                return ast.Call(name="current_user" if low == "user"
+                                else low)
             if low == "null":
                 self.advance()
                 return ast.Literal(None, "null")

@@ -1057,6 +1057,27 @@ QUERIES = [
      "order by 1 nulls last, 2",
      "select c1, count(*) from test group by rollup(c1) "
      "order by 1 nulls last, 2"),
+    # r12 batch 2: role/catalog constants (parenless keywords, USER ==
+    # CURRENT_USER), current_setting/set_config session-store access,
+    # gen_random_uuid shape
+    ("select current_user AS a, session_user AS b, user AS c, "
+     "current_role AS d, current_catalog AS e, "
+     "current_setting('server_version') AS f, "
+     "current_setting('no.such', true) AS g, "
+     "set_config('my.var', 'v1', false) AS h, "
+     "length(gen_random_uuid()) AS i",
+     "select 'postgres' AS a, 'postgres' AS b, 'postgres' AS c, "
+     "'postgres' AS d, 'framequery' AS e, '9.6.0' AS f, NULL AS g, "
+     "'v1' AS h, 36 AS i"),
+    # r12 batch 2: to_char over day-time intervals (pg docs example
+    # '15:02:12'); DD normalizes hours into days, bare HH24 runs
+    # unbounded, FM unpads, negatives prefix '-'
+    ("select to_char(interval '15 hours 2 minutes 12 seconds', "
+     "'HH24:MI:SS'), to_char(interval '26 hours', 'HH24:MI:SS'), "
+     "to_char(interval '1 day 2 hours', 'DD HH24:MI'), "
+     "to_char(interval '90 minutes', 'FMHH24:MI'), "
+     "to_char(interval '-1 hour', 'HH24:MI')",
+     "select '15:02:12', '26:00:00', '01 02:00', '1:30', '-01:00'"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),

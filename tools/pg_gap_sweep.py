@@ -232,6 +232,20 @@ CANDIDATES = [
     # DuckDB drops them, so the oracle restates via correlated scalar ---
     ("select t.c1, l.mv from test t, lateral (select max(id) as mv from names where id = t.c1 and id > 1) l order by t.c1, l.mv",
      "select t.c1, (select max(id) from names where id = t.c1 and id > 1) as mv from test t order by t.c1, mv"),
+    # --- round 12: prefix math ops, to_bin/to_oct, split-to-array,
+    # array_dims, FROM ONLY, GROUP BY DISTINCT, session constants ---
+    ("select |/ 25.0, ||/ 27.0, @ -5", "select sqrt(25.0), cbrt(27.0), abs(-5)"),
+    ("select to_bin(c2), to_oct(c2 + 8) from test order by c2",
+     "select bin(c2), printf('%o', c2 + 8) from test order by c2"),
+    ("select regexp_split_to_array(name, 'a') from names order by name",
+     None),
+    ("select array_dims(array[1,2,3])", "select '[1:3]'"),
+    ("select c2 from only test order by c2", "select c2 from test order by c2"),
+    ("select c1, count(*) from test group by distinct grouping sets ((c1), (c1), ()) order by 1 nulls last",
+     "select c1, count(*) from test group by grouping sets ((c1), ()) order by 1 nulls last"),
+    ("select current_setting('standard_conforming_strings')", "select 'on'"),
+    ("select to_char(interval '15 hours 2 minutes 12 seconds', 'HH24:MI:SS')",
+     "select '15:02:12'"),
 ]
 
 
