@@ -1640,7 +1640,15 @@ class Parser:
         return left
 
     def parse_concat(self) -> ast.Node:
-        left = self.parse_bitor()
+        # pg's prefix math operators (|/ ||/ @) sit at "any other
+        # operator" precedence — BELOW + and - — so the operand extends
+        # over the whole arithmetic chain: |/ 25 + 11 == |/(25+11) == 6.
+        # (parse_unary keeps a fallback for operand positions: 2 + |/ 25.)
+        if self.is_op("|/", "||/", "@"):
+            op = self.advance().value
+            left = ast.Unary(op=op, operand=self.parse_bitor())
+        else:
+            left = self.parse_bitor()
         while self.is_op("||"):
             self.advance()
             left = ast.Binary(op="||", left=left, right=self.parse_bitor())

@@ -1030,6 +1030,11 @@ QUERIES = [
     ("select |/ 25.0, ||/ 27.0, @ -5, @ c2 from test order by c2",
      "select sqrt(25.0), cbrt(27.0), abs(-5), abs(c2) from test "
      "order by c2"),
+    # r12: pg prefix-op precedence — "any other operator" binds BELOW
+    # + and -, so |/ 25 + 11 is sqrt(36); in operand position the prefix
+    # still binds (2 + |/ 25 = 7)
+    ("select |/ 25 + 11, 2 + |/ 25, @ -5 + 2, ||/ 20 + 7",
+     "select sqrt(25 + 11), 2 + sqrt(25), abs(-5 + 2), cbrt(20 + 7)"),
     ("select to_bin(5), to_oct(8), to_oct(-1234), to_bin(c2) from test "
      "order by c2",
      "select '101', '10', '1777777777777777775456', bin(c2) from test "
