@@ -659,7 +659,8 @@ def _numeric_to_char(arg, fmt: str):
       (to_char(-0.1,'99.99') = ' -.10'; to_char(0.5,'9.99') = ' .50').
     - forced zeros: a '0' forces every integer digit position to its
       RIGHT (to_char(12,'9990999.9') = '    0012.0') — Spark only forces
-      from a leading '0', so the trailing 9s are rewritten to '0's.
+      from a LEADING '0', so the integer digits are post-padded to the
+      forced width (leading blanks shrink to keep the field width).
     - FM fill mode strips padding blanks AND trailing fractional zeros
       in '9' positions, keeping a bare trailing '.' (pg wart:
       to_char(12,'FM9990999.9') = '0012.'; to_char(148.5,'FM999.990') =
