@@ -557,6 +557,38 @@ def _interval_to_char(arg, fmt: str):
     return F.concat(*segs)
 
 
+def _interval_to_pg_text(col) -> Column:
+    """pg 'postgres'-style interval rendering for ::text casts:
+    '01:30:00', '1 day', '1 day 02:00:00', '-1 days -02:00:00',
+    '00:00:00'. Derived from normalized total seconds (hours roll into
+    days — the engine-wide day-time normalization; pg's unjustified
+    '26 hours' would render '26:00:00' there, '1 day 02:00:00' here,
+    documented). Plural follows pg: value != 1 prints 'days' (so
+    '-1 days', '1 day')."""
+    secs = col.cast("interval day to second").cast("bigint")
+    s = F.abs(secs)
+
+    def idiv(c, n):
+        return ((c - (c % n)) / n).cast("bigint")
+
+    days = idiv(s, 86400)
+    hh, mi, ss = idiv(s % 86400, 3600), idiv(s % 3600, 60), s % 60
+    neg = secs < 0
+    sgn = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+
+    def p2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    time_s = F.concat(sgn, p2(hh), F.lit(":"), p2(mi), F.lit(":"), p2(ss))
+    signed_days = F.when(neg, -days).otherwise(days)
+    day_s = F.concat(sgn, days.cast("string"),
+                     F.when(signed_days == 1, F.lit(" day"))
+                     .otherwise(F.lit(" days")))
+    return (F.when(days == 0, time_s)
+            .when((s % 86400) != 0, F.concat(day_s, F.lit(" "), time_s))
+            .otherwise(day_s))
+
+
 def _date_to_char(arg, fmt: str):
     """pg date/timestamp to_char output: compiled to date_format segments.
     Plain numeric/abbreviated tokens accumulate into one Java pattern;
@@ -1492,6 +1524,24 @@ class ExprCompiler:
             # documented approximation: the value is double, not numeric
             return F.lit(float(node.expr.value.strip().lower()
                                .replace("infinity", "inf")))
+        if t in ("text", "varchar", "string", "char") \
+                or base in ("varchar", "char"):
+            # interval -> text renders pg's 'postgres' style ('01:30:00',
+            # '1 day 02:00:00'), not Spark's INTERVAL sql literal; the
+            # operand type comes from a Catalyst schema-only probe (same
+            # mechanism as pg_typeof — compile-time, no job)
+            probe_df = self.input_df
+            if probe_df is None and self.executor is not None:
+                probe_df = self.executor.spark.range(1)
+            if probe_df is not None:
+                from pyspark.sql import types as T
+
+                try:
+                    dt = probe_df.select(c).schema[0].dataType
+                except Exception:
+                    dt = None
+                if isinstance(dt, T.DayTimeIntervalType):
+                    return _interval_to_pg_text(c)
         if t in CAST_MAP:
             return c.cast(CAST_MAP[t])
         if base in ("decimal", "numeric"):

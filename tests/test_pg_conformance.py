@@ -1083,6 +1083,15 @@ QUERIES = [
      "to_char(interval '90 minutes', 'FMHH24:MI'), "
      "to_char(interval '-1 hour', 'HH24:MI')",
      "select '15:02:12', '26:00:00', '01 02:00', '1:30', '-01:00'"),
+    # r12: interval ::text renders pg's postgres style (not Spark's
+    # INTERVAL literal); timestamp difference is an interval too
+    ("select (interval '90 minutes')::text, (interval '1 day')::text, "
+     "(interval '1 day 2 hours')::varchar, "
+     "(interval '-1 day -2 hours')::text, (interval '0 seconds')::text, "
+     "(timestamp '2024-01-02 03:00:00' "
+     " - timestamp '2024-01-01 00:00:00')::text",
+     "select '01:30:00', '1 day', '1 day 02:00:00', "
+     "'-1 days -02:00:00', '00:00:00', '1 day 03:00:00'"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),
