@@ -281,9 +281,16 @@ def _decode_unistr(text: str) -> str:
 def interval_expr(text: str) -> Column:
     """INTERVAL literal from pg interval text, with the text validated to a
     safe charset first — the value is interpolated into a SQL fragment, so
-    anything else (quotes especially) must be rejected, not injected."""
+    anything else (quotes especially) must be rejected, not injected.
+    The SQL-standard year-month form 'Y-M' (pg: interval '1-2' = 1 year
+    2 mons) is rewritten to Spark's year-month interval (r12)."""
     if not _re.fullmatch(r"[A-Za-z0-9 .:+\-]+", text or ""):
         raise CompileError(f"invalid interval literal: {text!r}")
+    m = _re.fullmatch(r"([+-]?)(\d+)-(\d+)", text.strip())
+    if m:
+        sgn = "-" if m.group(1) == "-" else ""
+        return F.expr(f"INTERVAL '{sgn}{int(m.group(2))}-"
+                      f"{int(m.group(3))}' YEAR TO MONTH")
     return F.expr(f"INTERVAL '{text}'")
 
 
@@ -587,6 +594,29 @@ def _interval_to_pg_text(col) -> Column:
     return (F.when(days == 0, time_s)
             .when((s % 86400) != 0, F.concat(day_s, F.lit(" "), time_s))
             .otherwise(day_s))
+
+
+def _ym_interval_to_pg_text(col) -> Column:
+    """pg rendering of a year-month interval: '1 year 2 mons',
+    '-1 years -2 mons', '00:00:00' for zero. The bigint cast of a
+    year-to-month interval counts months."""
+    months = col.cast("interval year to month").cast("bigint")
+    m = F.abs(months)
+    y, mo = ((m - m % 12) / 12).cast("bigint"), m % 12
+    neg = months < 0
+    sgn = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+    sy = F.when(neg, -y).otherwise(y)
+    y_s = F.concat(sgn, y.cast("string"),
+                   F.when(sy == 1, F.lit(" year"))
+                   .otherwise(F.lit(" years")))
+    smo = F.when(neg, -mo).otherwise(mo)
+    mo_s = F.concat(sgn, mo.cast("string"),
+                    F.when(smo == 1, F.lit(" mon"))
+                    .otherwise(F.lit(" mons")))
+    return (F.when(months == 0, F.lit("00:00:00"))
+            .when((y != 0) & (mo != 0), F.concat(y_s, F.lit(" "), mo_s))
+            .when(y != 0, y_s)
+            .otherwise(mo_s))
 
 
 def _date_to_char(arg, fmt: str):
@@ -1341,10 +1371,39 @@ class ExprCompiler:
         fn = "ilike" if node.case_insensitive else "like"
         if node.escape is not None:
             # LIKE ... ESCAPE 'c' — Spark's like()/ilike() take the escape
-            # char as a third argument (must be a single character, which
-            # Spark validates at analysis)
-            cond = F.call_function(fn, c, self.compile(node.pattern),
-                                   self.compile(node.escape))
+            # char as a third argument, but Spark REJECTS an escape before
+            # an ordinary character while pg treats it as that character
+            # (r12): for literal pattern+escape, drop the redundant
+            # escapes at compile time (keeping escape-before-%_/self)
+            if isinstance(node.escape, ast.Literal) \
+                    and node.escape.kind == "string" \
+                    and isinstance(node.pattern, ast.Literal) \
+                    and node.pattern.kind == "string" \
+                    and len(str(node.escape.value)) == 1:
+                esc = str(node.escape.value)
+                pat = str(node.pattern.value)
+                out = []
+                i = 0
+                while i < len(pat):
+                    ch = pat[i]
+                    if ch == esc:
+                        if i + 1 >= len(pat):
+                            raise CompileError(
+                                "LIKE pattern must not end with escape "
+                                "character")
+                        nxt = pat[i + 1]
+                        if nxt in ("%", "_") or nxt == esc:
+                            out.append(ch)
+                        out.append(nxt)
+                        i += 2
+                    else:
+                        out.append(ch)
+                        i += 1
+                cond = F.call_function(fn, c, F.lit("".join(out)),
+                                       F.lit(esc))
+            else:
+                cond = F.call_function(fn, c, self.compile(node.pattern),
+                                       self.compile(node.escape))
         elif isinstance(node.pattern, ast.Literal):
             pat = str(node.pattern.value)
             cond = c.ilike(pat) if node.case_insensitive else c.like(pat)
@@ -1542,6 +1601,8 @@ class ExprCompiler:
                     dt = None
                 if isinstance(dt, T.DayTimeIntervalType):
                     return _interval_to_pg_text(c)
+                if isinstance(dt, T.YearMonthIntervalType):
+                    return _ym_interval_to_pg_text(c)
         if t in CAST_MAP:
             return c.cast(CAST_MAP[t])
         if base in ("decimal", "numeric"):

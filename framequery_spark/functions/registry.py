@@ -375,7 +375,37 @@ _fixed("current_date", lambda a: F.current_date())
 _fixed("current_time",
        lambda a: F.date_format(F.current_timestamp(), "HH:mm:ss"),
        "localtime")
-_fixed("date_trunc", lambda a: F.call_function("date_trunc", a[0], a[1]), "datetrunc")
+def _date_trunc(a: List[Column]) -> Column:
+    """pg date_trunc including the fields Spark lacks — decade, century,
+    millennium (Spark returns silent NULL for unknown fields, which is a
+    wrong-answer class; unknown fields now raise like pg instead)."""
+    fld = F.lower(F.trim(a[0]))
+    ts = a[1].cast("timestamp")
+    yr = F.year(ts)
+
+    def jan1(y):
+        return F.make_timestamp(y.cast("int"), F.lit(1), F.lit(1),
+                                F.lit(0), F.lit(0), F.lit(0))
+
+    known = ["second", "minute", "hour", "day", "week", "month",
+             "quarter", "year"]
+    return (F.when(fld == "decade", jan1(yr - yr % 10))
+            .when(fld == "century", jan1((yr - 1) - (yr - 1) % 100 + 1))
+            .when(fld == "millennium",
+                  jan1((yr - 1) - (yr - 1) % 1000 + 1))
+            # pg's plural sub-second fields -> Spark's singular spellings
+            .when(fld == "microseconds",
+                  F.call_function("date_trunc", F.lit("MICROSECOND"), ts))
+            .when(fld == "milliseconds",
+                  F.call_function("date_trunc", F.lit("MILLISECOND"), ts))
+            .when(fld.isin(known),
+                  F.call_function("date_trunc", a[0], a[1]))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("date_trunc: unit \""), a[0].cast("string"),
+                F.lit("\" not recognized")))))
+
+
+_fixed("date_trunc", _date_trunc, "datetrunc")
 _fixed("to_date", lambda a: F.to_date(a[0]) if len(a) == 1 else F.to_date(a[0], None))
 # pg date_part(field, src) — Spark has the same function natively
 _fixed("date_part", lambda a: F.call_function("date_part", a[0], a[1]))
@@ -428,7 +458,16 @@ def _interval_micros_col(iv: Column) -> Column:
     # fixed-length intervals; month/year strides are variable-length and
     # would mis-bin, matching the RANGE-frame restriction elsewhere)
     return F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp") + iv)
-_fixed("width_bucket", lambda a: F.width_bucket(a[0], a[1], a[2], a[3]))
+def _width_bucket(a: List[Column]) -> Column:
+    """pg width_bucket: 4-arg equi-width form (Spark native) and the pg-14
+    2-arg thresholds-array form — the bucket is the count of (ascending)
+    thresholds <= the operand."""
+    if len(a) == 2:
+        return F.size(F.filter(a[1], lambda v: v <= a[0]))
+    return F.width_bucket(a[0], a[1], a[2], a[3])
+
+
+_fixed("width_bucket", _width_bucket)
 # NOTE: the delimiter is a regex at the Spark layer — plain single-char
 # pg delimiters behave identically except regex metachars
 def pg_split_column(s: Column, sep: Column) -> Column:

@@ -1526,6 +1526,12 @@ class Parser:
                 left = ast.Like(expr=left, pattern=pattern, negated=negated,
                                 case_insensitive=ci, escape=escape)
                 continue
+            if self.is_op("^@"):
+                # pg 11 starts-with operator
+                self.advance()
+                left = ast.Call(name="starts_with",
+                                args=(left, self.parse_concat()))
+                continue
             if self.is_op("~~", "~~*", "!~~", "!~~*"):
                 # pg operator spellings of LIKE / ILIKE / NOT (I)LIKE
                 op = self.advance().value

@@ -39,7 +39,7 @@ _TOKEN_RE = re.compile(
               |(?:\d(?:_?\d)*\.(?:\d(?:_?\d)*)?|\.\d(?:_?\d)*|\d(?:_?\d)*)
                (?:[eE][+-]?\d+)?)
   | (?P<name>[A-Za-z_][A-Za-z_0-9$]*)
-  | (?P<op>\#>>|\#>|\#-|->>|-\|-|->|@@|@>|<->|<\#>|<=>|<@|&&|<>|!~~\*|!~~|!~\*|!~|!=|!>|!<|<<%|%>>|<%|%>|<=|>=|<<|>>|~~\*|~~|~\*|\|\|/|\|/|\|\||::|@\?|\?\||\?&|\?|[-+*/%^<>=~&|#(),.;:\[\]@])
+  | (?P<op>\#>>|\#>|\#-|->>|-\|-|->|@@|@>|<->|<\#>|<=>|<@|&&|<>|!~~\*|!~~|!~\*|!~|!=|!>|!<|<<%|%>>|<%|%>|<=|>=|<<|>>|~~\*|~~|~\*|\^@|\|\|/|\|/|\|\||::|@\?|\?\||\?&|\?|[-+*/%^<>=~&|#(),.;:\[\]@])
     """,
     re.VERBOSE | re.DOTALL,
 )

@@ -1092,6 +1092,35 @@ QUERIES = [
      " - timestamp '2024-01-01 00:00:00')::text",
      "select '01:30:00', '1 day', '1 day 02:00:00', "
      "'-1 days -02:00:00', '00:00:00', '1 day 03:00:00'"),
+    # r12 gap-fix batch (probe-found): ^@ starts-with operator (pg 11),
+    # width_bucket thresholds-array form (pg 14), date_trunc decade/
+    # century/millennium (Spark alone returns SILENT NULL — wrong-answer
+    # class), SQL-standard year-month interval literal '1-2' with pg
+    # text rendering, pg-legal escape-before-ordinary-char in (I)LIKE
+    ("select 'alphabet' ^@ 'alph', 'alphabet' ^@ 'bet', "
+     "name ^@ 'ba' from names order by name",
+     "select starts_with('alphabet', 'alph'), "
+     "starts_with('alphabet', 'bet'), starts_with(name, 'ba') "
+     "from names order by name"),
+    ("select width_bucket(5.35, array[1.0, 3.0, 4.0, 6.0]), "
+     "width_bucket(0.5, array[1.0, 3.0]), "
+     "width_bucket(7.0, array[1.0, 3.0, 4.0, 6.0])",
+     "select 3, 0, 4"),
+    ("select date_trunc('decade', date '2024-05-15'), "
+     "date_trunc('century', date '2001-05-15'), "
+     "date_trunc('century', date '2000-05-15'), "
+     "date_trunc('millennium', date '2024-05-15')",
+     "select timestamp '2020-01-01', timestamp '2001-01-01', "
+     "timestamp '1901-01-01', timestamp '2001-01-01'"),
+    ("select (interval '1-2')::text, (interval '-1-2')::text, "
+     "(interval '2-0')::text, (interval '0-1')::text, "
+     "((interval '1-2') + date '2024-01-15')::date",
+     "select '1 year 2 mons', '-1 years -2 mons', '2 years', '1 mon', "
+     "date '2025-03-15'"),
+    ("select 'aXb' ilike 'a!Xb' escape '!', "
+     "'a_b' like 'a!_b' escape '!', 'axb' like 'a!_b' escape '!', "
+     "'a!b' like 'a!!b' escape '!'",
+     "select true, true, false, true"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),
