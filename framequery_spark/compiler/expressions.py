@@ -291,6 +291,20 @@ def interval_expr(text: str) -> Column:
         sgn = "-" if m.group(1) == "-" else ""
         return F.expr(f"INTERVAL '{sgn}{int(m.group(2))}-"
                       f"{int(m.group(3))}' YEAR TO MONTH")
+    iso = _re.fullmatch(
+        r"P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+        text.strip(), _re.IGNORECASE)
+    if iso and text.strip().upper() != "P":
+        # ISO 8601 interval (pg accepts: P1Y2M3DT4H5M6S) -> pg verbose
+        y, mo, w, d, h, mi, s = iso.groups()
+        parts = []
+        for v, unit in ((y, "years"), (mo, "months"), (w, "weeks"),
+                        (d, "days"), (h, "hours"), (mi, "minutes"),
+                        (s, "seconds")):
+            if v is not None:
+                parts.append(f"{v} {unit}")
+        return interval_expr(" ".join(parts))
     return F.expr(f"INTERVAL '{text}'")
 
 

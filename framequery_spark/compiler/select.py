@@ -2031,16 +2031,29 @@ def _split_conjuncts(node: ast.Node) -> List[ast.Node]:
 
 def _int_literal(node: ast.Node, what: str) -> int:
     # constant-fold the wrappers EXECUTE's parameter splice produces
-    # (CAST(n AS BIGINT), unary minus) — pg treats those as constants too
+    # (CAST(n AS BIGINT), unary minus) and — r12 — pg-legal constant
+    # arithmetic (pg allows any expression here: LIMIT 1+1, OFFSET 2-1)
     if isinstance(node, ast.Unary) and node.op == "-":
         return -_int_literal(node.operand, what)
+    if isinstance(node, ast.Unary) and node.op == "+":
+        return _int_literal(node.operand, what)
     if isinstance(node, ast.Cast) and node.type_name.lower() in (
             "int", "integer", "bigint", "smallint",
             "int2", "int4", "int8", "long"):
         return _int_literal(node.expr, what)
+    if isinstance(node, ast.Binary) and node.op in ("+", "-", "*", "/",
+                                                    "%"):
+        a = _int_literal(node.left, what)
+        b = _int_literal(node.right, what)
+        if node.op in ("/", "%") and b == 0:
+            raise CompileError(f"{what}: division by zero")
+        # pg integer division/modulo truncate toward zero
+        return {"+": a + b, "-": a - b, "*": a * b,
+                "/": int(a / b) if b else 0,
+                "%": a - int(a / b) * b if b else 0}[node.op]
     if isinstance(node, ast.Literal) and node.kind == "int":
         return node.value
-    raise CompileError(f"{what} must be an integer literal")
+    raise CompileError(f"{what} must be a constant integer expression")
 
 
 # correlation comparison flip when the outer expression sits on the right

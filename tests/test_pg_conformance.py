@@ -1121,6 +1121,14 @@ QUERIES = [
      "'a_b' like 'a!_b' escape '!', 'axb' like 'a!_b' escape '!', "
      "'a!b' like 'a!!b' escape '!'",
      "select true, true, false, true"),
+    # r12 gap-fix batch 2: pg-legal constant expressions in LIMIT/OFFSET
+    # and ISO 8601 interval literals
+    ("select c2 from test order by c2 limit 1+1 offset 4/2",
+     "select c2 from test order by c2 limit 2 offset 2"),
+    ("select (interval 'P1Y2M')::text, (interval 'PT4H5M')::text, "
+     "(interval 'P3DT4H')::text, (interval 'P2W')::text",
+     "select '1 year 2 mons', '04:05:00', '3 days 04:00:00', "
+     "'14 days'"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),
