@@ -525,6 +525,16 @@ _TOCHAR_DATE_TOKENS = [
     ("AM", "a", None, None, 0), ("PM", "a", None, None, 0),
     ("am", "a", None, "lower", 0), ("pm", "a", None, "lower", 0),
     ("TZ", "z", None, None, 0),
+    # pg numeric tokens are case-insensitive ('yyyy-mm-dd' is valid pg);
+    # lowercase aliases of the numeric rows above (text tokens like
+    # month/day already carry their case variants)
+    ("hh24", "HH", "H", None, 0), ("hh12", "hh", "h", None, 0),
+    ("yyyy", "yyyy", "y", None, 0), ("yyy", "yyy", None, None, 0),
+    ("ms", "SSS", None, None, 0), ("us", "SSSSSS", None, None, 0),
+    ("yy", "yy", None, None, 0), ("mm", "MM", "M", None, 0),
+    ("dd", "dd", "d", None, 0), ("hh", "hh", "h", None, 0),
+    ("mi", "mm", "m", None, 0), ("ss", "ss", "s", None, 0),
+    ("tz", "z", None, None, 0),
 ]
 
 
@@ -636,8 +646,12 @@ def _ym_interval_to_pg_text(col) -> Column:
 def _date_to_char(arg, fmt: str):
     """pg date/timestamp to_char output: compiled to date_format segments.
     Plain numeric/abbreviated tokens accumulate into one Java pattern;
-    Month/Day-family tokens (case + 9-char blank padding) and FM-unpadded
-    numerics become their own segments, concatenated in template order."""
+    Month/Day-family tokens (case + 9-char blank padding), FM-unpadded
+    numerics, and the COMPUTED pg tokens Java lacks (Q, WW, W, IW, IYYY,
+    ID, D, CC, SSSS; TZH/TZM/OF constants under the UTC session) become
+    their own segments, concatenated in template order. pg tokens that
+    are recognized but unimplemented (RM, TH suffixes, IYY/IY/I, FX)
+    raise instead of leaking as literal text."""
     segs: list = []
     buf: list = []
 
@@ -646,6 +660,30 @@ def _date_to_char(arg, fmt: str):
             segs.append(F.date_format(arg, "".join(buf)))
             buf.clear()
 
+    d = F.to_date(arg)
+    iso_dow = (F.dayofweek(d) + 5) % 7 + 1       # 1=Mon..7=Sun
+    secs_mid = (F.hour(arg) * 3600 + F.minute(arg) * 60 + F.second(arg))
+    computed = {
+        # (column, zero-pad width; 0 = unpadded); pg numeric tokens are
+        # case-insensitive, so each entry carries its lowercase twin
+        "IYYY": (F.year(F.date_add(d, 4 - iso_dow)), 4),  # ISO week-year
+        "SSSS": (secs_mid, 0),
+        "DDD": (F.dayofyear(d), 3),
+        "IW": (F.weekofyear(d), 2),
+        "WW": ((F.dayofyear(d) - 1) / 7 + 1, 2),
+        "CC": ((F.year(d) + 99) / 100, 2),
+        "ID": (iso_dow, 0),
+        "Q": (F.quarter(d), 0),
+        "W": ((F.dayofmonth(d) - 1) / 7 + 1, 0),
+        "D": (F.dayofweek(d), 0),                 # pg: 1=Sunday
+    }
+    computed.update({k.lower(): v for k, v in list(computed.items())
+                     if k.lower() not in computed})
+    # sessions run UTC, so the zone-offset tokens are constants
+    constants = {"TZH": "+00", "TZM": "00", "OF": "+00",
+                 "tzh": "+00", "tzm": "00", "of": "+00"}
+    unsupported = ("IYY", "IY", "RM", "rm", "TH", "th", "FX", "fx",
+                   "SSSSS", "sssss", "iyy", "iy", "I", "i")
     i, fm = 0, False
     n = len(fmt)
     while i < n:
@@ -653,6 +691,34 @@ def _date_to_char(arg, fmt: str):
             fm = True
             i += 2
             continue
+        hit = next((tok for tok in computed
+                    if fmt.startswith(tok, i)
+                    # 'D'/'DD' families are table tokens; only match the
+                    # computed 'D'/'W' when the table won't claim longer
+                    and not any(t2.startswith(tok) and t2 != tok
+                                and fmt.startswith(t2, i)
+                                for t2 in list(computed)
+                                + [t[0] for t in _TOCHAR_DATE_TOKENS])),
+                   None)
+        if hit is not None:
+            flush()
+            col, width = computed[hit]
+            v = col.cast("int").cast("string")
+            segs.append(v if (fm or not width) else F.lpad(v, width, "0"))
+            i += len(hit)
+            fm = False
+            continue
+        k = next((t for t in constants if fmt.startswith(t, i)), None)
+        if k is not None:
+            buf.append("'" + constants[k] + "'")
+            i += len(k)
+            fm = False
+            continue
+        unsup = next((t for t in unsupported if fmt.startswith(t, i)),
+                     None)
+        if unsup is not None:
+            raise CompileError(
+                f"to_char template {unsup!r} is not supported")
         for tok, jv, jfm, case, pad in _TOCHAR_DATE_TOKENS:
             if fmt.startswith(tok, i):
                 pat = jfm if (fm and jfm) else jv

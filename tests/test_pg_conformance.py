@@ -1129,6 +1129,29 @@ QUERIES = [
      "(interval 'P3DT4H')::text, (interval 'P2W')::text",
      "select '1 year 2 mons', '04:05:00', '3 days 04:00:00', "
      "'14 days'"),
+    # r12: the pg date-template tokens Java lacks, computed as segments —
+    # ISO week calendar (IYYY/IW/ID vs DuckDB strftime %G/%V/%u), day
+    # of year DDD (%j), quarter Q, pg week-of-year WW = (doy+6)/7, week
+    # of month W, pg dow D (1=Sunday = %w+1), century CC, seconds past
+    # midnight SSSS, UTC-session TZH/TZM constants — plus lowercase
+    # numeric templates ('yyyy-mm-dd' is valid pg)
+    ("select to_char(date '2025-12-29', 'IYYY-IW-ID'), "
+     "to_char(date '2023-01-01', 'IYYY-IW-ID'), "
+     "to_char(date '2024-02-01', 'DDD'), "
+     "to_char(date '2024-03-05', 'Q'), to_char(date '2024-03-05', 'D')",
+     "select strftime(date '2025-12-29', '%G-%V-%u'), "
+     "strftime(date '2023-01-01', '%G-%V-%u'), "
+     "strftime(date '2024-02-01', '%j'), '1', "
+     "cast(cast(strftime(date '2024-03-05', '%w') as int) + 1 "
+     "as varchar)"),
+    ("select to_char(date '2024-03-05', 'yyyy-mm-dd'), "
+     "to_char(timestamp '2024-03-05 14:05:06', 'hh24:mi:ss'), "
+     "to_char(date '2024-03-05', 'WW'), to_char(date '2024-03-05', 'W'), "
+     "to_char(date '2024-03-05', 'CC'), "
+     "to_char(timestamp '2024-03-05 01:01:40', 'SSSS'), "
+     "to_char(timestamp '2024-03-05 10:00:00', 'HH24:MI TZH:TZM')",
+     "select '2024-03-05', '14:05:06', '10', '1', '21', '3700', "
+     "'10:00 +00:00'"),
     # r12: U&"..." unicode-escaped identifiers (+UESCAPE)
     (r'select 1 AS U&"d\0061t\0061", 2 AS U&"t!0077o" UESCAPE ' + "'!'",
      "select 1 AS data, 2 AS two"),
