@@ -286,7 +286,8 @@ class Parser:
         if self.is_kw("begin", "commit", "rollback", "abort", "end",
                       "savepoint", "release", "vacuum", "analyze",
                       "analyse", "discard", "checkpoint", "listen",
-                      "unlisten", "notify"):
+                      "unlisten", "notify", "comment", "cluster",
+                      "reindex", "lock"):
             # transaction control / maintenance / async-notify: pg clients
             # issue these routinely; no transactions or planner statistics
             # exist here, so accept-and-ignore (see ast.Utility). START
