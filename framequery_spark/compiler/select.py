@@ -31,6 +31,7 @@ from .expressions import (
     _bt,
 )
 from .rewrite import contains_aggregate, map_children, transform
+from ..operators.cache import local_checkpoint_tracked as _ckpt_tracked
 
 
 class QueryCompiler:
@@ -228,7 +229,7 @@ class QueryCompiler:
 
         if distinct:
             base = base.distinct()
-        frontier = base.localCheckpoint(eager=True)
+        frontier = _ckpt_tracked(base, eager=True)
         frontiers = [frontier]
         depths = [0]  # iteration index per frontier (SEARCH BREADTH FIRST)
         limit = getattr(self.session, "recursive_max_iterations", 100)
@@ -265,20 +266,20 @@ class QueryCompiler:
                 seen = frontiers[0]
                 for f in frontiers[1:]:
                     seen = seen.union(f)
-                frontier = block[0].distinct().subtract(seen) \
-                    .localCheckpoint(eager=True)
+                frontier = _ckpt_tracked(
+                    block[0].distinct().subtract(seen), eager=True)
             else:
                 for b in block:
                     b.persist()
                 new_rows = block[0]
                 for b in block[1:]:
                     new_rows = new_rows.union(b)
-                new_rows = new_rows.localCheckpoint(eager=True)
+                new_rows = _ckpt_tracked(new_rows, eager=True)
                 # next frontier = last step only; reads the persist cache.
                 # CYCLE: marked rows appear in the OUTPUT but never iterate
                 # (that is what terminates a cyclic walk under UNION ALL) —
                 # the filter runs over the checkpointed rows, no recompute
-                frontier = block[-1].localCheckpoint(eager=True) \
+                frontier = _ckpt_tracked(block[-1], eager=True) \
                     if len(block) > 1 else new_rows
                 if cycle is not None:
                     frontier = frontier.where(~_cycle_pred(cycle[2]))
@@ -1554,8 +1555,9 @@ class QueryCompiler:
         # the id column feeds two plan branches (theta join + final join);
         # monotonically_increasing_id is order-dependent, so pin the ids
         # with a checkpoint barrier (same discipline as the scalar path)
-        tagged = left.withColumn(idc, F.monotonically_increasing_id()) \
-            .localCheckpoint(eager=False)
+        tagged = _ckpt_tracked(
+            left.withColumn(idc, F.monotonically_increasing_id()),
+            eager=False)
         ec = self._expr_compiler()
         cond = None
         for op, oa, kn in key_specs:
@@ -1933,8 +1935,9 @@ class QueryCompiler:
             # branch and row order after a shuffle is not guaranteed stable,
             # so pin the ids with a localCheckpoint barrier first.
             idc = f"__corr_id{val[5:]}"
-            df = df.withColumn(idc, F.monotonically_increasing_id()) \
-                .localCheckpoint(eager=False)
+            df = _ckpt_tracked(
+                df.withColumn(idc, F.monotonically_increasing_id()),
+                eager=False)
             cond = None
             for op, outer_ast, key_name in key_specs:
                 c = getattr(ec.compile(outer_ast), _OPS[op])(F.col(key_name))

@@ -15,6 +15,8 @@ equivalents are `df.toPandas()` / `df.collect()`.
 from __future__ import annotations
 
 import inspect
+import re
+from collections import OrderedDict
 from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -286,8 +288,12 @@ class Executor:
         # the nondeterministic ids with a localCheckpoint barrier so both
         # branches see identical values (row order after an upstream
         # shuffle is not guaranteed stable across recomputations)
-        tagged = (base.withColumn("__t_id", F.monotonically_increasing_id())
-                  .localCheckpoint(eager=False)
+        from ..operators.cache import local_checkpoint_tracked
+
+        tagged = (local_checkpoint_tracked(
+                      base.withColumn("__t_id",
+                                      F.monotonically_increasing_id()),
+                      eager=False)
                   .alias(node.table))
         src = QueryCompiler(self, scope).compile_relation(rels)
         src_cols = [c for c in src.columns if not c.startswith("__")]
@@ -311,8 +317,8 @@ class Executor:
         matched = (joined.withColumn(
             "__rn", F.row_number().over(
                 Window.partitionBy("__t_id").orderBy("__s_id")))
-            .where(F.col("__rn") == 1).drop("__rn", "__s_id")
-            .localCheckpoint(eager=False))
+            .where(F.col("__rn") == 1).drop("__rn", "__s_id"))
+        matched = local_checkpoint_tracked(matched, eager=False)
 
         def tcol(c):
             return F.col(f"`{node.table}`.`{c}`")
@@ -609,7 +615,9 @@ class Executor:
                 # so later base-table changes do not show until REFRESH.
                 # (Distributed blocks, not driver memory; at cluster scale
                 # the same cost a real MV's heap table pays.)
-                df = df.localCheckpoint(eager=True)
+                from ..operators.cache import local_checkpoint_tracked
+
+                df = local_checkpoint_tracked(df, eager=True)
                 self._matviews[node.name] = node.query
             elif not node.temp and not node.view:
                 # durable catalog (r12): a plain CREATE TABLE AS under a
@@ -640,8 +648,10 @@ class Executor:
             if query is None:
                 raise CompileError(
                     f"\"{node.name}\" is not a materialized view")
-            scope[node.name] = self._compile_query(query, scope) \
-                .localCheckpoint(eager=True)
+            from ..operators.cache import local_checkpoint_tracked
+
+            scope[node.name] = local_checkpoint_tracked(
+                self._compile_query(query, scope), eager=True)
             return None
         if isinstance(node, ast.WithDml):
             # CTEs become temporary scope entries visible to the DML; they
@@ -1017,6 +1027,47 @@ def _capture_caller_scope(spark: SparkSession, depth: int = 2) -> dict:
     }
 
 
+# ---------------------------------------------------------------- plan cache
+# Statement-level logical-plan cache for one-shot execute() (prepared-
+# statement semantics). Re-running the same pure SELECT against the same
+# scope DataFrames skips the parse + compile (the py4j expression-building
+# round trips dominate build time: r12 measured 0.1-1.5 s per statement,
+# ~14k socket round trips for 9 builds). The cache stores the ANALYZED
+# LOGICAL PLAN only — every hit builds a brand-new Dataset via
+# Dataset.ofRows, which gets a fresh QueryExecution, so EXECUTION always
+# recomputes from the source parquet: no shuffle-stage or result reuse
+# (returning the cached DataFrame object itself would let AQE reuse its
+# materialized shuffle stages — that would be result caching, which this
+# engine refuses to do).
+#
+# Cached only when ALL of:
+#   - the statement parses to a pure query (Select/SetOp/Pivot/Unpivot —
+#     no DML/DDL side effects),
+#   - the SQL mentions no volatile/time/sequence function (conservative
+#     textual screen; false positives only cost a cache miss),
+#   - compiling registered no tracked persist/localCheckpoint (recursive
+#     CTEs and correlated-theta decorrelation materialize during compile;
+#     rebuilding from their analyzed plan would reference released
+#     checkpoint blocks),
+#   - scope values are all Spark DataFrames (identity-keyed).
+_PLAN_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_PLAN_CACHE_MAX = 256
+_VOLATILE_RE = re.compile(
+    r"\b(random|setseed|rand|randn|now|clock_timestamp|statement_timestamp"
+    r"|transaction_timestamp|timeofday|current_timestamp|current_date"
+    r"|current_time|localtime|localtimestamp|uuid|gen_random_uuid"
+    r"|uuid_generate_v4|nextval|currval|setval|pg_sleep)\b", re.I)
+
+
+def _plan_cache_key(q: str, scope: dict, spark: SparkSession,
+                    basepath: str) -> Optional[tuple]:
+    try:
+        sig = tuple(sorted((k, id(v)) for k, v in scope.items()))
+    except Exception:
+        return None
+    return (q, basepath, id(spark), sig)
+
+
 def execute(q: str, scope: Optional[dict] = None,
             spark: Optional[SparkSession] = None, basepath: str = ".",
             model: Optional[str] = None):
@@ -1025,5 +1076,41 @@ def execute(q: str, scope: Optional[dict] = None,
     spark = spark or SparkSession.builder.getOrCreate()
     if scope is None:
         scope = _capture_caller_scope(spark)
+        return Executor(scope=scope, spark=spark, basepath=basepath).execute(q)
+
+    cacheable = (isinstance(scope, dict)
+                 and all(isinstance(v, DataFrame) for v in scope.values())
+                 and not _VOLATILE_RE.search(q))
+    key = _plan_cache_key(q, scope, spark, basepath) if cacheable else None
+    if key is not None:
+        plan = _PLAN_CACHE.get(key)
+        if plan is not None:
+            try:
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset \
+                    .ofRows(spark._jsparkSession, plan)
+                return DataFrame(jdf, spark)
+            except Exception:
+                _PLAN_CACHE.pop(key, None)  # fall through to a fresh compile
+
+    from ..operators import cache as _opcache
+
+    n_persist = len(_opcache._TRACKED)
+    n_ckpt = len(_opcache._TRACKED_CKPT)
+    try:
+        node = parse(q)
+    except Exception:
+        return Executor(scope=scope, spark=spark, basepath=basepath).execute(q)
     ex = Executor(scope=scope, spark=spark, basepath=basepath)
-    return ex.execute(q)
+    out = ex._execute_statement(node, ex.scope)
+    if (key is not None and isinstance(out, DataFrame)
+            and isinstance(node, (ast.Select, ast.SetOp, ast.Pivot,
+                                  ast.Unpivot))
+            and len(_opcache._TRACKED) == n_persist
+            and len(_opcache._TRACKED_CKPT) == n_ckpt):
+        try:
+            _PLAN_CACHE[key] = out._jdf.queryExecution().analyzed()
+            while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                _PLAN_CACHE.popitem(last=False)
+        except Exception:
+            pass
+    return out

@@ -1078,16 +1078,25 @@ def dedup_pair_quality(approx: DataFrame, exact: DataFrame) -> DataFrame:
     1e-6 and NULL on zero denominators (no flagged pairs / no true pairs).
 
     Scale shape: pair tables are output-sized (already far smaller than
-    the corpus); the eval is one equi join + three 1-row aggregates
-    cross-joined — nothing corpus-sized, no collect.
+    the corpus); the eval is ONE full-outer equi join + ONE 1-row
+    aggregate — each input pipeline is consumed exactly once. (The
+    previous three-aggregate + crossJoin form consumed each side twice
+    — count + hit join — which re-ran the whole candidate/truth
+    pipeline per consumer: Catalyst does not de-duplicate the repeated
+    subtrees, r12 measured op_dedup_quality plans with 85 Exchange
+    nodes and ~20 concurrent 1-2 s jobs for what is one join's worth
+    of work.)
     """
-    a = approx.select("id1", "id2").distinct()
-    e = exact.select("id1", "id2").distinct()
-    na = a.agg(F.count(F.lit(1)).alias("n_approx"))
-    ne = e.agg(F.count(F.lit(1)).alias("n_exact"))
-    nh = (a.join(e, ["id1", "id2"])
-          .agg(F.count(F.lit(1)).alias("n_hit")))
-    out = na.crossJoin(ne).crossJoin(nh)
+    a = (approx.select("id1", "id2").distinct()
+         .withColumn("__in_a", F.lit(1)))
+    e = (exact.select("id1", "id2").distinct()
+         .withColumn("__in_e", F.lit(1)))
+    j = a.join(e, ["id1", "id2"], "full_outer")
+    out = j.agg(
+        F.count("__in_a").alias("n_approx"),
+        F.count("__in_e").alias("n_exact"),
+        F.count(F.when(F.col("__in_a").isNotNull()
+                       & F.col("__in_e").isNotNull(), 1)).alias("n_hit"))
     prec = F.when(F.col("n_approx") > 0,
                   F.round(F.col("n_hit") / F.col("n_approx"), 6))
     rec = F.when(F.col("n_exact") > 0,

@@ -639,7 +639,11 @@ def retrieval_recall(approx: DataFrame, exact: DataFrame,
 
     Scale shape: one equi join on (query, neighbor) + one query-keyed
     count — both sides are query-count x k tables, already tiny relative
-    to the corpora that produced them.
+    to the corpora that produced them. (The exact side appears in two
+    plan branches — hit join + query-list distinct — but both sit on the
+    same exchange, which AQE's shuffle-stage reuse deduplicates at
+    runtime; a single-consumption left-join rewrite was measured 0.6 s
+    SLOWER solo at sf0.1 in r12 and reverted.)
     """
     if k < 1:
         raise ValueError("retrieval_recall: k must be >= 1")

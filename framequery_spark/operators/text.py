@@ -359,8 +359,14 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     → df_t groupBy (map-side combine over tf, shuffle on term) → tf ⋈ df_t
     on term. N comes from a 1-row aggregate cross-joined in (broadcast —
     no driver round-trip, stays one lazy plan)."""
+    from .cache import persist_tracked
+
     terms = term_table(df, text_col, id_col)
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds two consumers (df_t aggregate + the scoring join); persist
+    # it (tracked) so the tokenize+explode and the (doc, term) aggregate
+    # run once — Catalyst does not dedupe the repeated subtree
+    tf = persist_tracked(
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dft = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
            .filter(F.col("df_t") >= min_df))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
