@@ -63,8 +63,22 @@ def ordered_trigrams(text: Column) -> Column:
 
 
 def trigram_array(text: Column) -> Column:
-    """pg show_trgm: sorted distinct trigrams. NULL in -> NULL out."""
-    return F.array_sort(F.array_distinct(ordered_trigrams(text)))
+    """pg show_trgm: sorted distinct trigrams. NULL in -> NULL out.
+
+    Single codegen'd regexp_extract_all pass (r12): words joined with
+    THREE spaces + the '  '/' ' outer pads make every per-word padded
+    window a 3-char substring of one string, and a window is a real
+    trigram iff its last two chars are not both spaces (cross-word
+    windows are 'x  ' / '   ', which that test rejects). Value-identical
+    to the per-word interpreted-HOF form it replaces (ordered_trigrams
+    stays HOF for word_similarity's extent logic)."""
+    norm = F.trim(F.regexp_replace(F.lower(text.cast("string")),
+                                   "[^a-z0-9]+", " "))
+    padded = F.concat(F.lit("  "), F.regexp_replace(norm, " ", "   "),
+                      F.lit(" "))
+    wins = F.regexp_extract_all(padded,
+                                F.lit(r"(?=(.([^ ].|.[^ ])))"), 1)
+    return F.array_sort(F.array_distinct(wins))
 
 
 def similarity(a: Column, b: Column) -> Column:

@@ -48,12 +48,18 @@ def _norm_tokens(text: Column) -> Column:
 def ngram_strings(text: Column, n: int) -> Column:
     """Array of the distinct space-joined token n-grams of ``text``.
 
-    Row-local JVM expression: sequence(1, len-n+1) -> slice -> array_join.
-    Documents shorter than n tokens yield an empty array (guarded — Spark's
-    ``sequence(1, 0)`` would otherwise count *down*).
+    Row-local JVM expression. n >= 2 runs the codegen'd overlap-regex
+    extractor (dedup.gram_extract — one regexp_extract_all pass; the
+    interpreted transform/slice/join HOF chain it replaces measured ~7×
+    slower at identical output, r12). Documents shorter than n tokens
+    yield an empty array.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if n >= 2:
+        from .dedup import gram_extract
+
+        return F.array_distinct(gram_extract(F.lower(text), n))
     toks = _norm_tokens(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),

@@ -78,10 +78,34 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def gram_extract(text: Column, k: int) -> Column:
+    """All word-k-gram strings (single-space-joined, duplicates kept, in
+    order) of whitespace-tokenized trimmed text, k >= 2 — ONE codegen'd
+    regexp_extract_all pass with a lookbehind/lookahead overlap pattern
+    instead of the interpreted transform/slice/join higher-order chain.
+    HOFs are CodegenFallback (interpreted per element); r12 measured the
+    HOF form at 4.2 s vs 0.6 s for this regex on the identical 235,704-
+    gram output (order-invariant xxhash64 checksum equal), so this is
+    the gram builder for every shingle/n-gram operator. Value-identical
+    to `_grams(split(trim(text), '\\s+'), k)` for k >= 2: each match
+    starts at a token boundary of the single-space-normalized text and
+    captures exactly k tokens; documents with < k tokens yield an empty
+    array (no match)."""
+    if k < 2:
+        raise ValueError("gram_extract: k must be >= 2 (k=1 is the raw "
+                         "token stream — use split/term_table)")
+    norm = F.regexp_replace(F.trim(text), r"\s+", " ")
+    pat = r"(?<=^|\s)(?=((\S+ ){%d}\S+))" % (k - 1)
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of whitespace-tokenized text (JVM-side
-    higher-order functions; no UDF). The token array is let-bound so the
-    regexp split runs once per row, not once per element."""
+    """Distinct word k-gram shingles of whitespace-tokenized text (pure
+    JVM expressions; no UDF). k >= 2 runs the codegen'd regex extractor
+    (see gram_extract); k == 1 keeps the HOF form, whose empty-text
+    behaviour ([""] token) the regex path does not reproduce."""
+    if k >= 2:
+        return F.array_distinct(gram_extract(text, k))
 
     def body(ws: Column) -> Column:
         return F.array_distinct(_grams(ws, k))
@@ -271,8 +295,9 @@ def _shingle_hashes_flat(df: DataFrame, id_col: str, text_col: str,
     shuffles the full tokenized text.) Duplicates are kept: MIN/collect_set
     downstream are duplicate-insensitive, and skipping array_distinct saves
     an interpreted pass."""
-    grams = _let(F.split(F.trim(F.col(text_col)), r"\s+"),
-                 lambda ws: _grams(ws, k))
+    grams = (gram_extract(F.col(text_col), k) if k >= 2
+             else _let(F.split(F.trim(F.col(text_col)), r"\s+"),
+                       lambda ws: _grams(ws, k)))
     tag = [F.col(tag_col)] if tag_col else []
     return (_spread(df)
             .select(F.col(id_col).alias("__id"), *tag,
@@ -870,35 +895,42 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("winnow_fingerprints: window must be >= 1")
     w = window
 
-    def fps_of(ws: Column) -> Column:
-        def wins_of(grams: Column) -> Column:
-            n_g = F.size(grams)
-            # window starts (1-based): standard sliding windows, plus the
-            # single clamped window for docs with 1..w-1 grams
-            starts = F.when(n_g >= w, F.sequence(F.lit(1), n_g - (w - 1))) \
-                      .when(n_g >= 1, F.array(F.lit(1))) \
-                      .otherwise(F.array().cast("array<int>"))
+    def wins_of(grams: Column) -> Column:
+        n_g = F.size(grams)
+        # window starts (1-based): standard sliding windows, plus the
+        # single clamped window for docs with 1..w-1 grams
+        starts = F.when(n_g >= w, F.sequence(F.lit(1), n_g - (w - 1))) \
+                  .when(n_g >= 1, F.array(F.lit(1))) \
+                  .otherwise(F.array().cast("array<int>"))
 
-            def select_in(s: Column) -> Column:
-                win = F.slice(grams, s, w)
-                mn = F.array_min(win)
-                last = F.least(s + F.lit(w - 1), n_g)
-                pos = F.array_max(F.filter(
-                    F.sequence(s, last),
-                    lambda p: F.element_at(grams, p) == mn))
-                return F.struct((pos - 1).alias("pos"), mn.alias("fp"))
+        def select_in(s: Column) -> Column:
+            win = F.slice(grams, s, w)
+            mn = F.array_min(win)
+            last = F.least(s + F.lit(w - 1), n_g)
+            pos = F.array_max(F.filter(
+                F.sequence(s, last),
+                lambda p: F.element_at(grams, p) == mn))
+            return F.struct((pos - 1).alias("pos"), mn.alias("fp"))
 
-            return F.array_distinct(F.transform(starts, select_in))
+        return F.array_distinct(F.transform(starts, select_in))
 
-        # let-bind the hashed gram array: the md5/concat subtree must
-        # evaluate once per row, not once per window element
-        return _let(F.transform(
-            _grams(ws, k), lambda g: F.substring(F.md5(g), 1, 16)), wins_of)
+    if k >= 2:
+        # gram source via the codegen'd regex extractor (identical gram
+        # sequence — r12); only the window-select HOF stays interpreted.
+        # _let binds the hashed gram array so md5 runs once per gram, not
+        # once per window element.
+        sel = _let(F.transform(gram_extract(F.col(text_col), k),
+                               lambda g: F.substring(F.md5(g), 1, 16)),
+                   wins_of)
+    else:
+        def fps_of(ws: Column) -> Column:
+            return _let(F.transform(
+                _grams(ws, k), lambda g: F.substring(F.md5(g), 1, 16)),
+                wins_of)
 
-    out = _spread(df).select(
-        F.col(id_col),
-        F.explode(_let(F.split(F.trim(F.col(text_col)), r"\s+"), fps_of))
-        .alias("__sel"))
+        sel = _let(F.split(F.trim(F.col(text_col)), r"\s+"), fps_of)
+
+    out = _spread(df).select(F.col(id_col), F.explode(sel).alias("__sel"))
     return out.select(id_col, F.col("__sel.pos").alias("pos"),
                       F.col("__sel.fp").alias("fp"))
 

@@ -45,17 +45,17 @@ def _grams_with_repeats(text: Column, n: int) -> Column:
     row (measured: the un-bound form made the sf0.1 gram pass
     JIT-sensitive and 3-8x slower cold — the op_dsir_select bench
     instability of BENCH_r08)."""
-    from .dedup import _let
+    if n >= 2:
+        # codegen'd single-regex gram pass (dedup.gram_extract keeps
+        # duplicates — exactly the multiplicity DSIR needs); ~7× faster
+        # than the interpreted transform/slice/join HOF chain it
+        # replaces at identical output (r12)
+        from .dedup import gram_extract
 
-    def body(toks: Column) -> Column:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-        empty = F.array().cast("array<string>")
-        return F.when(F.size(toks) >= n, grams).otherwise(empty)
-
-    return _let(_norm_tokens(text), body)
+        return gram_extract(F.lower(text), n)
+    # n == 1: the grams ARE the tokens (array_join of a 1-slice is the
+    # identity), including the [""]-token empty-document edge
+    return _norm_tokens(text)
 
 
 def bucket_of(gram: Column, n_buckets: int) -> Column:

@@ -400,25 +400,22 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     adjacent pair contributes both directions), top-k words by rank.
     Ties order by the ROUNDED rank then the word, so the cut is
     deterministic and engine-portable. Returns (word, rank)."""
-    from .dedup import _spread
-    from .text import tokens
+    from .dedup import _spread, gram_extract
 
     df = _spread(df)
-    ws = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
-    pairs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                               F.element_at(ws, i + 1).alias("w2")))
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # adjacent-token bigram strings via the codegen'd regex extractor
+    # (r12 — replaces the interpreted struct-pair HOF); tokens contain
+    # no spaces, so splitting on the gram's single space is exact.
     # canonicalize to (min, max) before counting: "a b" and "b a" in the
     # corpus are the SAME undirected edge — the co-occurrence count is the
     # edge weight (Mihalcea & Tarau's weighted variant), emitted in both
     # directions so the graph is symmetric
-    und = (df.select(F.explode(pairs).alias("p"))
-           .select(F.least("p.w1", "p.w2").alias("w1"),
-                   F.greatest("p.w1", "p.w2").alias("w2"))
+    g = F.explode(gram_extract(F.lower(F.col(text_col)), 2)).alias("g")
+    w1 = F.substring_index("g", " ", 1)
+    w2 = F.substring_index("g", " ", -1)
+    und = (df.select(g)
+           .select(F.least(w1, w2).alias("w1"),
+                   F.greatest(w1, w2).alias("w2"))
            .filter(F.col("w1") != F.col("w2"))
            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("w")))
     edges = und.union(und.select(F.col("w2"), F.col("w1"), F.col("w")))

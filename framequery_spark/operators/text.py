@@ -91,7 +91,12 @@ def stopword_count_fused(text: Column, stopwords: List[str] = None) -> Column:
 
 
 def stopword_ratio(text: Column, stopwords: List[str] = None) -> Column:
-    return stopword_count(text, stopwords) / token_count(text)
+    # fused single-pass count: value-identical to the per-word sum (the
+    # \b-delimited alternatives are disjoint) at ~1/len(stopwords) the
+    # scan cost — the per-word form paid len(stopwords) regexp_replace
+    # passes per row (r12: quality_score was the whole cost of the
+    # auc/calibration/confusion evals)
+    return stopword_count_fused(text, stopwords) / token_count(text)
 
 
 def avg_token_length(text: Column) -> Column:
@@ -117,8 +122,10 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> Dict[str, Column]:
-    """Per-language stopword-hit scores."""
-    return {lang: stopword_count(text, words)
+    """Per-language stopword-hit scores (fused one-regex-per-language
+    counts — value-identical to the per-word sums, see
+    stopword_count_fused)."""
+    return {lang: stopword_count_fused(text, words)
             for lang, words in LANG_STOPWORDS.items()}
 
 
@@ -314,18 +321,16 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
     """
     if min_count < 1:
         raise ValueError("pmi_bigrams: min_count must be >= 1")
-    from .dedup import _spread
+    from .dedup import _spread, gram_extract
 
     df = _spread(df)
-    ws = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
-    pairs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.struct(F.element_at(ws, i).alias("w1"),
-                               F.element_at(ws, i + 1).alias("w2")))
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    # bigram strings via the codegen'd regex extractor (r12 — replaces
+    # the interpreted struct-pair HOF); tokens contain no spaces, so
+    # splitting the 2-token gram on its single space is exact
+    g = F.explode(gram_extract(F.lower(F.col(text_col)), 2)).alias("g")
+    bg = df.select(g).select(
+        F.substring_index("g", " ", 1).alias("w1"),
+        F.substring_index("g", " ", -1).alias("w2"))
     # totals come from the BOUNDED count tables, not a second pass over
     # the exploded stream — re-aggregating bg for n_big would re-run the
     # corpus explode inside the same lazy plan
@@ -440,25 +445,20 @@ def bigram_lm_nll(df: DataFrame, text_col: str = "text",
     aggregate. Per-bigram nll is quantized to DECIMAL(28,12) before the
     per-doc sum — exact, order-independent, engine-reproducible (same
     discipline as unigram_nll)."""
-    toks = tokens(F.lower(F.col(text_col)))
-    toks = F.filter(toks, lambda t: t != "")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(F.element_at(toks, i).alias("prev"),
-                           F.element_at(toks, i + 1).alias("w")))
     from .cache import persist_tracked
-    from .dedup import _spread
+    from .dedup import _spread, gram_extract
 
     df = _spread(df)
-    empty = F.array().cast("array<struct<prev:string,w:string>>")
     # the bigram stream feeds three consumers (pair counts, context counts,
-    # the scoring join) — tracked persist so tokenization runs once
-    stream = persist_tracked(df.select(
-        F.col(id_col),
-        F.explode(F.when(F.size(toks) >= 2, pairs).otherwise(empty))
-        .alias("bg"))
-        .select(id_col, F.col("bg.prev").alias("prev"),
-                F.col("bg.w").alias("w")))
+    # the scoring join) — tracked persist so tokenization runs once.
+    # bigram strings via the codegen'd regex extractor (r12 — replaces
+    # the interpreted struct-pair HOF); tokens contain no spaces, so
+    # splitting the gram on its single space is exact
+    g = F.explode(gram_extract(F.lower(F.col(text_col)), 2)).alias("g")
+    stream = persist_tracked(
+        df.select(F.col(id_col), g)
+        .select(id_col, F.substring_index("g", " ", 1).alias("prev"),
+                F.substring_index("g", " ", -1).alias("w")))
     big = stream.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c_pw"))
     ctx = persist_tracked(
         stream.groupBy("prev").agg(F.count(F.lit(1)).alias("c_p")))
@@ -504,13 +504,16 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
                  k: int = 100) -> DataFrame:
     """Top-k word n-grams by corpus frequency (n-gram asc tiebreak).
 
-    Reuses dedup's let-bound `_grams` higher-order expression, so the
-    tokenizing regex runs once per row and the gram construction is fully
-    row-local JVM code — the only shuffle is the count groupBy (map-side
-    partial agg), and the top-k is TakeOrderedAndProject."""
-    from .dedup import _grams, _let
+    Gram construction is dedup.gram_extract's single codegen'd
+    regexp_extract_all pass (value-identical to the old let-bound HOF
+    `_grams` chain, ~7× faster — r12); the only shuffle is the count
+    groupBy (map-side partial agg), and the top-k is
+    TakeOrderedAndProject."""
+    from .dedup import _grams, _let, gram_extract
 
-    gram = _let(tokens(F.lower(F.col(text_col))), lambda ws: _grams(ws, n))
+    gram = (gram_extract(F.lower(F.col(text_col)), n) if n >= 2
+            else _let(tokens(F.lower(F.col(text_col))),
+                      lambda ws: _grams(ws, n)))
     return (df.select(F.explode(gram).alias("ngram"))
             .groupBy("ngram").agg(F.count(F.lit(1)).alias("ngram_count"))
             .orderBy(F.desc("ngram_count"), F.asc("ngram")).limit(k))
@@ -723,10 +726,16 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     pairs ⋈ firsts on gram (hash equi join; fan-out per gram = #docs
     containing it, never all-pairs) → per-doc groupBy. Documents with no
     n-gram (< n tokens) are absent from the result."""
-    from .dedup import _grams, _let
+    from .dedup import _grams, _let, gram_extract
 
-    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
-    gram = _let(toks, lambda ws: _grams(ws, n))
+    if n >= 2:
+        # codegen'd regex gram pass (dedup.gram_extract) — the empty-token
+        # filter below only ever mattered for empty documents, which the
+        # regex path already yields [] for
+        gram = gram_extract(F.lower(F.col(text_col)), n)
+    else:
+        toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+        gram = _let(toks, lambda ws: _grams(ws, n))
     pairs = (df.select(F.col(id_col), F.explode(gram).alias("ngram"))
              .distinct())
     firsts = pairs.groupBy("ngram").agg(F.min(id_col).alias("first_id"))
