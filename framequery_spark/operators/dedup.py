@@ -160,6 +160,18 @@ def _blocked_set_jaccard_pairs(sh: DataFrame, threshold: float,
       Jaccard of the CAPPED sets on both sides — an approximation the
       driver oracles restate identically.
     """
+    return _finish_overlap_pairs(
+        _pair_overlap_table(sh, max_doc_freq),
+        threshold, out_col, digits, denom, keep_sizes)
+
+
+def _pair_overlap_table(sh: DataFrame,
+                        max_doc_freq: Optional[int]) -> DataFrame:
+    """(id1, id2, __common, __n1, __n2) for every pair sharing >= 1 gram —
+    the self-join + counts half of _blocked_set_jaccard_pairs, factored
+    out so different similarity measures over the SAME gram table (the
+    jaccard truth + a containment config in near_dup_config_sweep) share
+    one self-join instead of re-running it per measure. Output-sized."""
     from .cache import persist_tracked
 
     sh = persist_tracked(sh)
@@ -183,14 +195,21 @@ def _blocked_set_jaccard_pairs(sh: DataFrame, threshold: float,
               .agg(F.count(F.lit(1)).alias("__common")))
     c1 = counts.toDF("id1", "__n1")
     c2 = counts.toDF("id2", "__n2")
+    return common.join(c1, "id1").join(c2, "id2")
+
+
+def _finish_overlap_pairs(overlap: DataFrame, threshold: float,
+                          out_col: str, digits: int,
+                          denom: str = "union",
+                          keep_sizes: bool = False) -> DataFrame:
+    """Apply one similarity measure + threshold to a _pair_overlap_table."""
     if denom == "union":
         d = F.col("__n1") + F.col("__n2") - F.col("__common")
     elif denom == "min":  # containment: catches A embedded in a larger B
         d = F.least(F.col("__n1"), F.col("__n2"))
     else:
         raise ValueError(f"unknown denominator: {denom!r}")
-    sim = (common.join(c1, "id1").join(c2, "id2")
-           .withColumn(out_col, F.col("__common").cast("double") / d))
+    sim = overlap.withColumn(out_col, F.col("__common").cast("double") / d)
     out_cols = ["id1", "id2"]
     if keep_sizes:
         out_cols += [F.col("__n1").alias("n1"), F.col("__n2").alias("n2")]
@@ -1058,6 +1077,11 @@ def near_dup_config_sweep(df: DataFrame, configs: dict,
     # no-op), so a sweep scans the corpus once per DISTINCT gram width,
     # not once per pipeline.
     shared_sh: dict = {}
+    # one persisted (id1, id2, common, n1, n2) overlap table per
+    # (k, max_doc_freq): the truth and every jaccard/containment config
+    # over the same gram width share ONE gram self-join — the sweep's
+    # dominant stage — instead of re-running it per measure (r12)
+    shared_overlap: dict = {}
 
     def _gram_table(k: int) -> DataFrame:
         if k not in shared_sh:
@@ -1066,9 +1090,15 @@ def near_dup_config_sweep(df: DataFrame, configs: dict,
             shared_sh[k] = persist_tracked(sh)
         return shared_sh[k]
 
+    def _overlap(k: int, cap) -> DataFrame:
+        if (k, cap) not in shared_overlap:
+            shared_overlap[(k, cap)] = persist_tracked(
+                _pair_overlap_table(_gram_table(k), cap))
+        return shared_overlap[(k, cap)]
+
     if exact is None:
-        exact = _blocked_set_jaccard_pairs(
-            _gram_table(exact_k), exact_threshold, exact_max_doc_freq,
+        exact = _finish_overlap_pairs(
+            _overlap(exact_k, exact_max_doc_freq), exact_threshold,
             out_col="jaccard", digits=4)
     # the truth table feeds every config's quality join — persist once
     exact = persist_tracked(exact.select("id1", "id2").distinct())
@@ -1083,8 +1113,8 @@ def near_dup_config_sweep(df: DataFrame, configs: dict,
                 raise ValueError(
                     f"unknown {method} knobs: {sorted(kn)}")
             score = "jaccard" if method == "jaccard" else "containment"
-            raw = _blocked_set_jaccard_pairs(
-                _gram_table(k), thr, cap, out_col=score, digits=4,
+            raw = _finish_overlap_pairs(
+                _overlap(k, cap), thr, out_col=score, digits=4,
                 denom="union" if method == "jaccard" else "min")
             approx = raw.select("id1", "id2",
                                 F.col(score).cast("double").alias("score"))

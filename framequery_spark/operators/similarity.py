@@ -312,6 +312,14 @@ def kmeans_fit(corpus: DataFrame, n_clusters: int, iters: int = 2,
     vv = F.aggregate(F.zip_with("__v", "__v", lambda x, y: x * y),
                      F.lit(0.0), lambda a, x: a + x)
 
+    def _lit_double_array(vals):
+        # one parsed SQL literal instead of len(vals) py4j F.lit round
+        # trips — repr() is the shortest exact round-trip form, and
+        # Double.parseDouble of it yields the identical IEEE754 value
+        return F.expr(
+            "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)"
+                                for x in vals) + ")")
+
     members: dict[int, int] = {}
     for _ in range(iters):
         choices = []
@@ -320,7 +328,7 @@ def kmeans_fit(corpus: DataFrame, n_clusters: int, iters: int = 2,
             for x in c:          # sequential fold — matches the SQL
                 c2 += x * x      # list_dot_product(c, c) evaluation order
             vc = F.aggregate(
-                F.zip_with("__v", F.array(*[F.lit(x) for x in c]),
+                F.zip_with("__v", _lit_double_array(c),
                            lambda x, y: x * y),
                 F.lit(0.0), lambda a, x: a + x)
             d = F.round(vv - 2.0 * vc + F.lit(c2), 6)

@@ -44,6 +44,18 @@ def configure_session(spark: SparkSession, parallelism: int = None) -> SparkSess
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
+    # experiment/deploy override hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    # (never set by the driver, so recorded benches always run the
+    # defaults above; cluster deployments use it for site-specific
+    # values without editing code)
+    import os
+
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in extra.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            if k.strip():
+                conf[k.strip()] = v.strip()
     for k, v in conf.items():
         try:
             spark.conf.set(k, v)
