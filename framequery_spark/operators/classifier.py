@@ -48,13 +48,27 @@ def doc_tf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            n_buckets: int = 4096,
            ngram_sizes: Sequence[int] = (1, 2)) -> DataFrame:
     """(id, bucket, tf): L1-normalized hashed n-gram features.
-    doc_features' (id, bucket) groupBy plus one per-doc total join —
-    both shuffles keyed on the doc id / (id, bucket), never on the
-    Zipfian gram text."""
-    feats = doc_features(df, text_col=text_col, id_col=id_col,
-                         n_buckets=n_buckets, ngram_sizes=ngram_sizes)
-    totals = feats.groupBy(id_col).agg(F.sum("cnt").alias("__tot"))
-    return (feats.join(totals, id_col)
+
+    ONE shuffle: the L1 denominator (per-doc total gram occurrences) is
+    the SIZE of the gram array, known row-locally BEFORE the explode, so
+    it rides through the (id, total, bucket) groupBy as a grouping key —
+    no second aggregate and no per-doc totals join (the previous shape
+    re-shuffled the whole feature table just to attach a count the scan
+    already knew; sum(cnt) per doc == exploded row count == array size
+    by construction, so the values are identical)."""
+    from .dedup import _spread
+    from .dsir import _grams_with_repeats, bucket_of
+
+    grams_arr = F.concat(*[_grams_with_repeats(F.col(text_col), n)
+                           for n in ngram_sizes])
+    ex = (_spread(df)
+          .select(F.col(id_col), grams_arr.alias("__ga"))
+          .select(F.col(id_col), F.size("__ga").alias("__tot"),
+                  F.explode("__ga").alias("__gram")))
+    return (ex.select(F.col(id_col), "__tot",
+                      bucket_of(F.col("__gram"), n_buckets).alias("bucket"))
+            .groupBy(id_col, "__tot", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
             .select(id_col, "bucket",
                     (F.col("cnt") / F.col("__tot")).alias("tf")))
 
@@ -108,10 +122,18 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
     try:
         # gradient normalizer = ALL training rows (a featureless doc —
         # empty text — contributes zero gradient but still counts, the
-        # standard 1/N convention; also what the driver oracle states)
-        n_docs = df.select(id_col).distinct().count()
-        if n_docs == 0:
-            raise ValueError("lr_train: empty training frame")
+        # standard 1/N convention; also what the driver oracle states).
+        # Computed INSIDE the first gradient job (broadcast 1-row
+        # aggregate cross-joined onto the <= n_buckets gradient rows)
+        # instead of as a separate up-front action: the count stage runs
+        # concurrently with the feature pipeline and saves one serial
+        # driver round trip per training call. The null-id adjustment
+        # keeps count(distinct)+has-null == distinct().count() exactly.
+        n_docs_expr = (
+            F.countDistinct(F.col(id_col))
+            + F.coalesce(F.max(F.when(F.col(id_col).isNull(), 1)
+                               .otherwise(0)), F.lit(0))).alias("__n")
+        n_docs: Optional[int] = None
         weights = [0.0] * n_buckets
         for it in range(iters):
             if it == 0:
@@ -136,11 +158,27 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
                                                          F.lit(0.0))))
                                   - F.col("__y")).alias("__r"),
                                  "bucket", "tf"))
-            grad = (resid
-                    .groupBy("bucket")
-                    .agg((F.sum(_q12(F.col("__r") * F.col("tf")))
-                          .cast("double") / n_docs).alias("g"))
-                    .collect())  # <= n_buckets rows by construction
+            grad_plan = (resid
+                         .groupBy("bucket")
+                         .agg(F.sum(_q12(F.col("__r") * F.col("tf")))
+                              .cast("double").alias("__s")))
+            if n_docs is None:
+                grad = grad_plan.crossJoin(
+                    F.broadcast(df.agg(n_docs_expr))).collect()
+                if grad:
+                    n_docs = int(grad[0]["__n"])
+                else:
+                    # featureless corpus (or empty frame): the gradient
+                    # has no rows to carry the count — fall back to the
+                    # standalone action to distinguish the two
+                    n_docs = df.select(id_col).distinct().count()
+                if n_docs == 0:
+                    raise ValueError("lr_train: empty training frame")
+            else:
+                grad = grad_plan.collect()
+            # <= n_buckets rows by construction; the division by n_docs
+            # happens here in python — float(sum)/int is the same IEEE754
+            # double as the previous cast("double")/lit division in SQL
             for row in grad:
                 b = int(row["bucket"])
                 if not 0 <= b < n_buckets:
@@ -148,7 +186,7 @@ def lr_train(df: DataFrame, label_col: str, text_col: str = "text",
                         f"lr_train: tf_df bucket {b} out of range for "
                         f"n_buckets={n_buckets} — the precomputed table "
                         "was hashed with a different bucket count")
-                weights[b] -= lr * (row["g"] + l2 * weights[b])
+                weights[b] -= lr * (row["__s"] / n_docs + l2 * weights[b])
     finally:
         if own:
             release_one(tf_df)

@@ -954,6 +954,47 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                       F.col("__sel.fp").alias("fp"))
 
 
+def _winnow_fp_set(df: DataFrame, id_col: str, text_col: str,
+                   k: int, window: int) -> DataFrame:
+    """(id, fp) DISTINCT selected-fingerprint rows — winnow_fingerprints
+    minus the positions. The selected fingerprint VALUE of a window is
+    its minimum regardless of which (rightmost) position carries it, so
+    the distinct fp set is exactly `array_distinct` of the per-window
+    minima: the position bookkeeping (filter + element_at + array_max
+    per window — the dominant interpreted-HOF cost of the full
+    fingerprint pass, ~2x the min scan) is dropped entirely. Used by
+    winnow_pairs, whose join keys are (id, fp) only; callers that need
+    positions (span alignment) use winnow_fingerprints."""
+    if k < 1:
+        raise ValueError("winnow_fingerprints: k must be >= 1")
+    if window < 1:
+        raise ValueError("winnow_fingerprints: window must be >= 1")
+    w = window
+
+    def wins_of(grams: Column) -> Column:
+        n_g = F.size(grams)
+        starts = F.when(n_g >= w, F.sequence(F.lit(1), n_g - (w - 1))) \
+                  .when(n_g >= 1, F.array(F.lit(1))) \
+                  .otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(F.transform(
+            starts, lambda s: F.array_min(F.slice(grams, s, w))))
+
+    if k >= 2:
+        sel = _let(F.transform(gram_extract(F.col(text_col), k),
+                               lambda g: F.substring(F.md5(g), 1, 16)),
+                   wins_of)
+    else:
+        def fps_of(ws: Column) -> Column:
+            return _let(F.transform(
+                _grams(ws, k), lambda g: F.substring(F.md5(g), 1, 16)),
+                wins_of)
+
+        sel = _let(F.split(F.trim(F.col(text_col)), r"\s+"), fps_of)
+
+    return (_spread(df).select(F.col(id_col), F.explode(sel).alias("fp"))
+            .select(id_col, "fp"))
+
+
 def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 3, window: int = 4,
                  min_shared: int = 2,
@@ -974,7 +1015,7 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     if min_shared < 1:
         raise ValueError("winnow_pairs: min_shared must be >= 1")
-    fps = (winnow_fingerprints(df, id_col, text_col, k, window)
+    fps = (_winnow_fp_set(df, id_col, text_col, k, window)
            .select(F.col(id_col).alias("__id"), "fp").distinct())
     from .cache import persist_tracked
 

