@@ -1107,10 +1107,34 @@ def _lev_costed_udf():
     return lev
 
 
+def _const_int(c: Column):
+    """Compile-time integer value of a foldable Column, else None —
+    used to special-case literal arguments into JVM builtins (the plan
+    is built once; this costs one py4j probe at compile time, never at
+    row time)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        e = sess._jsparkSession.expression(c._jc)
+        if not e.foldable():
+            return None
+        v = e.eval(None)
+        return None if v is None else int(v)
+    except Exception:
+        return None
+
+
 def _levenshtein(a: List[Column]) -> Column:
     if len(a) == 2:
         return F.levenshtein(a[0], a[1])
     if len(a) == 5:
+        # unit costs: the weighted DP degenerates to the plain distance,
+        # so literal (1, 1, 1) costs compile to Spark's built-in JVM
+        # levenshtein instead of the per-row python DP (identical value
+        # and type by pg's definition; null-in -> null-out both ways)
+        if all(_const_int(c) == 1 for c in a[2:5]):
+            return F.levenshtein(a[0].cast("string"), a[1].cast("string"))
         return _lev_costed_udf()(
             a[0].cast("string"), a[1].cast("string"),
             a[2].cast("int"), a[3].cast("int"), a[4].cast("int"))

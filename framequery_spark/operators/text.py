@@ -401,7 +401,12 @@ def unigram_nll(df: DataFrame, text_col: str = "text",
     """
     terms = term_table(df, text_col, id_col)
     vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("term_n"))
-    total = terms.agg(F.count(F.lit(1)).alias("corpus_n"))
+    # corpus total = sum of the per-term counts: derived from the vocab
+    # aggregate rather than a third tokenize pass over the corpus (the
+    # identical vocab subtree lets ReuseExchange share one shuffle, so
+    # the corpus is scanned twice — stream + vocab — not three times;
+    # sum(term_n) == count of all token rows exactly)
+    total = vocab.agg(F.sum("term_n").alias("corpus_n"))
     nll = (terms.join(vocab, "term")
            .crossJoin(F.broadcast(total))
            .select(F.col(id_col),
@@ -466,7 +471,10 @@ def bigram_lm_nll(df: DataFrame, text_col: str = "text",
     uni = persist_tracked(
         terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_w"))
         .withColumnRenamed("term", "w"))
-    total = terms.agg(F.count(F.lit(1)).alias("corpus_n"))
+    # corpus total from the (persisted, vocab-sized) unigram counts —
+    # sum(c_w) == count of all token rows exactly; aggregating the tiny
+    # vocab beats re-scanning the cached token stream
+    total = uni.agg(F.sum("c_w").alias("corpus_n"))
     p = (F.lit(lam) * F.col("c_pw") / F.col("c_p")
          + F.lit(1.0 - lam) * F.col("c_w") / F.col("corpus_n"))
     scored = stream.join(big, ["prev", "w"])
