@@ -3218,6 +3218,25 @@ def test_winnow_fingerprints_match_python(spark, docs):
         assert got.get(r.doc_id, set()) == _py_winnow(r.text), r.doc_id
 
 
+def test_winnow_fp_set_equals_fingerprint_set(spark, docs):
+    # the min-only pair-key pass (r12) must select exactly the distinct
+    # fingerprint VALUES of the positioned pass, for several window/k
+    # shapes including degenerate short docs
+    deg = spark.createDataFrame(
+        [(1001, ""), (1002, "one"), (1003, "one two three"),
+         (1004, "a b c d e f g h")],
+        "doc_id long, text string")
+    for frame in (docs.filter(F.col("doc_id") < 80), deg):
+        for k, w in ((3, 4), (2, 2), (1, 3)):
+            full = {(r.doc_id, r.fp) for r in DD.winnow_fingerprints(
+                frame, "doc_id", "text", k, w).collect()}
+            mins = [(r.doc_id, r.fp) for r in DD._winnow_fp_set(
+                frame, "doc_id", "text", k, w).collect()]
+            assert set(mins) == full, (k, w)
+            # per-doc distinct already: no duplicate (id, fp) rows
+            assert len(mins) == len(set(mins)), (k, w)
+
+
 def test_winnow_degenerate_docs(spark):
     deg = spark.createDataFrame(
         [(1, ""), (2, "one"), (3, "one two three"), (4, "a b c d e f")],
