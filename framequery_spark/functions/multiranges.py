@@ -78,21 +78,39 @@ def _merge2(a: Column, b: Column) -> Column:
 def canonicalize(rtype: str, arr: Column) -> Column:
     """Canonical multirange form of an arbitrary array of ranges: drop
     empties, sort by lower bound, merge overlapping/adjacent neighbours.
-    Row-local (one aggregate fold over an in-row array)."""
+    Row-local (one aggregate fold over an in-row array).
+
+    The fold's accumulator is ``{done: array, cur: range}`` — the open
+    island is carried OUTSIDE the array, so a merge step rebuilds only the
+    2-field struct (the ``done`` array passes through by reference) and the
+    array is copied only when an island closes.  The previous shape
+    (slice+concat of the whole accumulated array on every step) was O(n²)
+    element copies per group, which dominated range_agg over large groups
+    (q68: 30k ranges/segment).  Fold order and the pairwise merge are
+    unchanged, so the resulting array is identical."""
     live = F.array_sort(F.filter(arr, lambda r: ~r["is_empty"]),
                         _cmp_ranges)
     empty = empty_multirange(rtype)
+    null_r = F.lit(None).cast(_struct_ddl(rtype))
 
     def step(acc: Column, r: Column) -> Column:
-        last = F.element_at(acc, -1)
-        mergeable = _rg.range_overlaps(last, r) | _rg.adjacent(last, r)
-        return (F.when(F.size(acc) == 0, F.array(r))
+        done, cur = acc["done"], acc["cur"]
+        mergeable = _rg.range_overlaps(cur, r) | _rg.adjacent(cur, r)
+        return (F.when(cur.isNull(),
+                       F.struct(done.alias("done"), r.alias("cur")))
                 .when(mergeable,
-                      F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                               F.array(_merge2(last, r))))
-                .otherwise(F.concat(acc, F.array(r))))
+                      F.struct(done.alias("done"),
+                               _merge2(cur, r).alias("cur")))
+                .otherwise(
+                    F.struct(F.concat(done, F.array(cur)).alias("done"),
+                             r.alias("cur"))))
 
-    return F.aggregate(live, empty, step)
+    def finish(acc: Column) -> Column:
+        return (F.when(acc["cur"].isNull(), acc["done"])
+                .otherwise(F.concat(acc["done"], F.array(acc["cur"]))))
+
+    init = F.struct(empty.alias("done"), null_r.alias("cur"))
+    return F.aggregate(live, init, step, finish)
 
 
 def make_multirange(rtype: str, range_cols: Sequence[Column]) -> Column:

@@ -1329,6 +1329,57 @@ def test_range_columns_dispatch_without_remarking_cast(spark):
     assert got == [(6,)]
 
 
+def test_range_agg_large_group_islands(spark):
+    """Pin the canonicalize fold's {done, cur} accumulator (the r12 O(n)
+    rewrite) against a Python-computed islands reference on a large
+    unsorted group with duplicate bounds, adjacency merges, interior
+    empties, a singleton group, and the open-island finish step."""
+    import pandas as pd
+
+    rows = []
+    # group A: 400 pseudo-random ranges (deterministic LCG), heavy overlap
+    x = 7
+    for i in range(400):
+        x = (x * 1103515245 + 12345) % 2147483648
+        lo = x % 5000
+        rows.append(("a", lo, lo + 40 + (i % 7) * 25))
+    # group B: exact adjacency chain [0,10)+[10,20)... then a gap,
+    # plus empty ranges (lo == hi) that canonicalize must drop
+    for i in range(50):
+        rows.append(("b", i * 10, i * 10 + 10))
+    rows.append(("b", 700, 700))        # empty — dropped
+    rows.append(("b", 900, 950))        # second island
+    # group C: one member (finish emits the lone open island)
+    rows.append(("c", 5, 6))
+    df = pd.DataFrame(rows, columns=["g", "lo", "hi"])
+
+    def islands(sub):
+        ivs = sorted((l, h) for _, l, h in sub if l < h)
+        out = []
+        for l, h in ivs:
+            if out and l <= out[-1][1]:          # overlap or touch
+                out[-1][1] = max(out[-1][1], h)
+            else:
+                out.append([l, h])
+        return len(out), sum(h - l for l, h in out)
+
+    expect = {g: islands([r for r in rows if r[0] == g])
+              for g in ("a", "b", "c")}
+    got = {r[0]: (r[1], r[2]) for r in fq.execute(
+        "WITH agg AS (SELECT g, range_agg(int4range(lo, hi)) AS mr "
+        "FROM t GROUP BY g) "
+        "SELECT g, count(*) AS n, cast(sum(u.hi - u.lo) AS bigint) AS c "
+        "FROM agg, unnest(mr) AS u GROUP BY g",
+        {"t": df}, spark=spark).collect()}
+    assert got == expect
+    assert got["b"] == (2, 550)
+    # all-empty group: range_agg yields the empty multirange '{}'
+    only_empty = fq.execute(
+        "SELECT isempty(range_agg(int4range(lo, lo))) e FROM t",
+        {"t": df}, spark=spark).collect()
+    assert [tuple(r) for r in only_empty] == [(True,)]
+
+
 def test_materialized_view_lifecycle(spark):
     """CREATE MATERIALIZED VIEW freezes contents at creation (unlike the
     lazy CREATE VIEW); REFRESH re-runs the stored definition; DROP
