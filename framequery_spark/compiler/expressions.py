@@ -225,6 +225,17 @@ _RANGE_ACCESSORS = {
 }
 
 
+def _let(value: Column, body) -> Column:
+    """Single-evaluation let-binding: evaluate ``value`` once per row and
+    feed it to ``body`` as a HOF lambda variable (``transform`` over a
+    one-element array).  Catalyst performs no common-subexpression
+    elimination on duplicated variant/JSON subtrees — referencing an
+    expensive Column twice re-executes the whole tree (q67's json_value
+    inlined parse_json(props) seven times) — so multi-reference bodies
+    bind their inputs here instead."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _json_path_for_key(k: str) -> str:
     """JSONPath fragment for one object key (shared by -> / ->> and jsonb
     subscripting). get_json_object's path syntax cannot quote ' or ] —
@@ -2442,15 +2453,18 @@ class ExprCompiler:
         if name == "json_exists":
             return F.when(j.isNull(), F.lit(None).cast("boolean")) \
                 .otherwise(v.isNotNull())
-        jt = F.to_json(v)
         if name == "json_query":
-            return jt
+            return F.to_json(v)
         # json_value: scalars only (pg default ON ERROR is NULL for
-        # objects/arrays); an explicit JSON null is SQL NULL
-        s = F.try_variant_get(F.parse_json(j), path, "string")
-        return F.when(jt.isNull() | (jt == "null")
-                      | jt.startswith("{") | jt.startswith("["),
-                      F.lit(None).cast("string")).otherwise(s)
+        # objects/arrays); an explicit JSON null is SQL NULL.  The
+        # extracted variant and its serialization are let-bound so the
+        # document is parsed once per row (the naive form re-parsed it for
+        # every guard reference; q67 solo 2.6 -> 1.1 s).
+        return _let(v, lambda vv: _let(F.to_json(vv), lambda jt: F.when(
+            jt.isNull() | (jt == "null")
+            | jt.startswith("{") | jt.startswith("["),
+            F.lit(None).cast("string"))
+            .otherwise(F.try_variant_get(vv, "$", "string"))))
 
     def _compile_jsonpath_filter(self, name: str, node: ast.Call,
                                  fsplit) -> Column:
@@ -2491,16 +2505,20 @@ class ExprCompiler:
         if name == "json_exists":
             return F.when(j.isNull(), F.lit(None).cast("boolean")) \
                 .otherwise(F.coalesce(F.size(matches) > 0, F.lit(False)))
-        first = F.try_element_at(matches, F.lit(1))
+        # The match array (a parse + extract + filter chain) is referenced
+        # several times below — let-bind it (and the first match's
+        # serialization) so the chain runs once per row.
         if name == "json_query":
-            return F.when(F.size(matches) == 1, F.to_json(first)) \
-                .otherwise(F.lit(None).cast("string"))
-        jt = F.to_json(first)
-        return F.when(
-            (F.size(matches) == 1) & ~jt.startswith("{")
-            & ~jt.startswith("[") & (jt != "null"),
-            F.try_variant_get(first, "$", "string")) \
-            .otherwise(F.lit(None).cast("string"))
+            return _let(matches, lambda mm: F.when(
+                F.size(mm) == 1, F.to_json(F.try_element_at(mm, F.lit(1))))
+                .otherwise(F.lit(None).cast("string")))
+        return _let(matches, lambda mm: _let(
+            F.try_element_at(mm, F.lit(1)), lambda ff: _let(
+                F.to_json(ff), lambda jt: F.when(
+                    (F.size(mm) == 1) & ~jt.startswith("{")
+                    & ~jt.startswith("[") & (jt != "null"),
+                    F.try_variant_get(ff, "$", "string"))
+                .otherwise(F.lit(None).cast("string")))))
 
     _TSV_DDL_FLAT = ("array<struct<lexeme:string,positions:array<int>,"
                      "weight:string>>")
