@@ -543,11 +543,15 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
     Scale shape: candidates come from :func:`cosine_topk` (query side
     broadcast, corpus streamed once — swap in lsh_ann_topk/ivf_topk for
-    corpus-scale pools); each greedy step is one equi join remaining ⋈
-    selected ON query_id (fan-out <= pool * k per query, row-local
-    cosines), one (query, candidate)-keyed max aggregate, and one
-    query-partitioned row_number — nothing global, everything keyed by
-    query_id. k and pool are small constants by construction.
+    corpus-scale pools); the greedy selection then runs ROW-LOCALLY over
+    each query's collected pool array (one groupBy, k unrolled array
+    expressions) — no per-step joins, windows or shuffles.  pool is a
+    small constant by construction, so the per-row arrays are bounded.
+    (The previous shape unrolled k join+aggregate+row_number rounds over
+    a checkpointed candidate table — ~6 shuffling mini-jobs of tiny data
+    per call; the r12 rewrite is the same greedy argmax restated as
+    array folds, verified against the Python-greedy differential test and
+    the unrolled-CTE DuckDB oracle.)
     """
     if k < 1:
         raise ValueError("mmr_rerank: k must be >= 1")
@@ -561,15 +565,13 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
     emb = corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("__emb"),
                         _vec_norm(F.col(vec_col)).alias("__n"))
-    # the candidate table enters the plan once per greedy step (selected
-    # chain + remaining chain) — materialize the BOUNDED (queries x pool)
-    # table once instead of re-running the corpus-wide candidate scan
-    # k+1 times inside one lazy plan
-    from .cache import local_checkpoint_tracked
-
-    cands = local_checkpoint_tracked(
-        cands.join(emb, "neighbor_id").select(
-            "query_id", "neighbor_id", "cosine", "__emb", "__n"))
+    pool_df = (cands.join(emb, "neighbor_id")
+               .groupBy("query_id")
+               .agg(F.collect_list(F.struct(
+                   F.col("neighbor_id").alias("id"),
+                   F.col("cosine").alias("rel"),
+                   F.col("__emb").alias("emb"),
+                   F.col("__n").alias("n"))).alias("__cands")))
 
     # Score arithmetic runs in DECIMAL: rel and maxsim are already on the
     # 1e-6 grid, so lam * rel - (1-lam) * maxsim lands EXACTLY on decimal
@@ -580,57 +582,91 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 3,
     lam_d = F.lit(lam).cast("decimal(7,6)")
     ilam_d = F.lit(round(1.0 - lam, 6)).cast("decimal(7,6)")
 
-    first = (cands.filter(F.col("cosine").isNotNull())
-             .withColumn("__rn", F.row_number().over(
-                 Window.partitionBy("query_id")
-                 .orderBy(F.col("cosine").desc(), F.col("neighbor_id"))))
-             .filter(F.col("__rn") == 1).drop("__rn"))
-    selected = first.select(
-        "query_id", F.lit(1).alias("pos"), "neighbor_id", "cosine",
-        F.round(lam_d * F.col("cosine").cast("decimal(18,6)"), 6)
-        .cast("double").alias("score"),
-        F.col("__emb"), F.col("__n"))
-    remaining = cands.join(
-        first.select("query_id", F.col("neighbor_id").alias("__sid")),
-        "query_id").filter(F.col("neighbor_id") != F.col("__sid")) \
-        .drop("__sid")
+    def _let(value, body):
+        # single-evaluation binding (transform over a 1-element array):
+        # each pick is referenced by every later step — without binding
+        # the expression tree re-derives earlier picks exponentially
+        return F.element_at(F.transform(F.array(value), body), 1)
 
-    for step in range(2, k + 1):
-        sel = selected.select(
-            "query_id", F.col("__emb").alias("__semb"),
-            F.col("__n").alias("__sn"))
-        pair = remaining.join(sel, "query_id")
-        dot = F.aggregate(
-            F.zip_with("__emb", "__semb",
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-        sim = F.round(dot / (F.col("__n") * F.col("__sn")), 6)
-        scored = (pair.withColumn("__sim", sim)
-                  .groupBy("query_id", "neighbor_id", "cosine",
-                           "__emb", "__n")
-                  .agg(F.max("__sim").alias("__maxsim")))
-        score = F.round(lam_d * F.col("cosine").cast("decimal(18,6)")
-                        - ilam_d * F.col("__maxsim").cast("decimal(18,6)"),
-                        6).cast("double")
-        pick = (scored.withColumn("__score", score)
-                .withColumn("__rn", F.row_number().over(
-                    Window.partitionBy("query_id")
-                    .orderBy(F.col("__score").desc(),
-                             F.col("neighbor_id"))))
-                .filter(F.col("__rn") == 1))
-        new_sel = pick.select(
-            "query_id", F.lit(step).alias("pos"), "neighbor_id",
-            "cosine", F.col("__score").alias("score"),
-            F.col("__emb"), F.col("__n"))
-        selected = selected.unionByName(new_sel)
-        remaining = remaining.join(
-            pick.select("query_id",
-                        F.col("neighbor_id").alias("__pid")),
-            "query_id").filter(F.col("neighbor_id") != F.col("__pid")) \
-            .drop("__pid")
+    def _desc_id_sort(a, key):
+        # row_number ORDER BY key DESC, id ASC restated as a comparator
+        # sort (non-null keys before null, pg/Spark desc-nulls-last)
+        return F.array_sort(a, lambda x, y: (
+            F.when(key(x).isNotNull()
+                   & (key(y).isNull() | (key(x) > key(y))), -1)
+            .when(key(y).isNotNull()
+                  & (key(x).isNull() | (key(y) > key(x))), 1)
+            .when(x["id"] < y["id"], -1)
+            .when(x["id"] > y["id"], 1).otherwise(0)))
 
-    return selected.select("query_id", "pos", "neighbor_id", "cosine",
-                           "score")
+    def _pick_next(arr, sel):
+        # the greedy argmax of lam*rel - (1-lam)*max_sim over unpicked
+        # candidates; identical float/decimal expressions to the old
+        # join-based step (round-to-1e-6 pairwise sims, decimal score)
+        picked_ids = F.transform(sel, lambda s: s["id"])
+        rem = F.filter(arr, lambda c: ~F.array_contains(
+            picked_ids, c["id"]))
+        def scored(c):
+            dot = lambda s: F.aggregate(
+                F.zip_with(c["emb"], s["emb"],
+                           lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, v: acc + v)
+            maxsim = F.array_max(F.transform(
+                sel, lambda s: F.round(dot(s) / (c["n"] * s["n"]), 6)))
+            score = F.round(
+                lam_d * c["rel"].cast("decimal(18,6)")
+                - ilam_d * maxsim.cast("decimal(18,6)"), 6).cast("double")
+            return F.struct(c["id"].alias("id"), c["rel"].alias("rel"),
+                            c["emb"].alias("emb"), c["n"].alias("n"),
+                            score.alias("score"))
+        return F.element_at(
+            _desc_id_sort(F.transform(rem, scored),
+                          lambda x: x["score"]), 1)
+
+    def _result(p, pos):
+        return F.struct(F.lit(pos).alias("pos"), p["id"].alias("id"),
+                        p["rel"].alias("rel"), p["score"].alias("score"))
+
+    def _steps(arr, sel, results, step):
+        # unroll steps 2..k, let-binding each pick; a null pick (pool
+        # exhausted below k) contributes nothing and stays out of sel
+        if step > k:
+            return F.filter(F.array(*results),
+                            lambda r: r["id"].isNotNull())
+        return _let(_pick_next(arr, sel), lambda p: _steps(
+            arr, F.filter(F.concat(sel, F.array(p)),
+                          lambda s: s["id"].isNotNull()),
+            results + [_result(p, step)], step + 1))
+
+    def _greedy(arr):
+        # pos 1 = plain top hit over NON-NULL cosines (score = lam*rel);
+        # a query with no non-null cosine produces no rows at all
+        nn = F.filter(arr, lambda c: c["rel"].isNotNull())
+        return _let(
+            F.element_at(_desc_id_sort(nn, lambda x: x["rel"]), 1),
+            lambda p1: F.when(p1["id"].isNull(), F.filter(
+                F.array(F.struct(
+                    F.lit(1).alias("pos"), p1["id"].alias("id"),
+                    p1["rel"].alias("rel"),
+                    F.lit(None).cast("double").alias("score"))),
+                lambda r: r["id"].isNotNull()))
+            .otherwise(_steps(
+                arr, F.array(F.struct(
+                    p1["id"].alias("id"), p1["rel"].alias("rel"),
+                    p1["emb"].alias("emb"), p1["n"].alias("n"),
+                    F.lit(None).cast("double").alias("score"))),
+                [F.struct(
+                    F.lit(1).alias("pos"), p1["id"].alias("id"),
+                    p1["rel"].alias("rel"),
+                    F.round(lam_d * p1["rel"].cast("decimal(18,6)"), 6)
+                    .cast("double").alias("score"))], 2)))
+
+    out = pool_df.select(
+        "query_id", F.explode(_greedy(F.col("__cands"))).alias("__r"))
+    return out.select("query_id", F.col("__r.pos").alias("pos"),
+                      F.col("__r.id").alias("neighbor_id"),
+                      F.col("__r.rel").alias("cosine"),
+                      F.col("__r.score").alias("score"))
 
 
 def retrieval_recall(approx: DataFrame, exact: DataFrame,

@@ -104,26 +104,20 @@ def test_entry_ops_autorelease_previous_cache(spark):  # noqa: F811
     release_cached()
 
 
-@pytest.mark.parametrize("op", ["mmr_rerank", "connected_components",
-                                "pagerank"])
+@pytest.mark.parametrize("op", ["connected_components", "pagerank"])
 def test_local_checkpoints_released(spark, op):
     """The checkpointing operators must leave ZERO persistent RDDs after
     release_cached() — the +1-per-invocation leak bench.py's cache_diag
     measured in the r10 bench run."""
     from framequery_spark.operators.cache import release_cached
 
+    # (mmr_rerank left this parametrize in r12: its greedy selection now
+    # runs row-locally over the collected pool array — single-consumption
+    # plan, nothing to checkpoint)
     release_cached()
     before = _persistent_rdd_ids(spark)
     for _ in range(2):  # accumulation, not just a single call
-        if op == "mmr_rerank":
-            from framequery_spark.operators.similarity import mmr_rerank
-
-            emb = spark.createDataFrame(
-                [(i, [float((i * j + j) % 7 + 1) for j in range(4)])
-                 for i in range(30)],
-                "vec_id long, embedding array<double>")
-            mmr_rerank(emb, emb.filter(F.col("vec_id") < 3), k=2).count()
-        elif op == "connected_components":
+        if op == "connected_components":
             from framequery_spark.operators.graph import connected_components
 
             edges = spark.createDataFrame(
