@@ -173,13 +173,44 @@ class QueryCompiler:
             compiler = QueryCompiler(self.session, scope)
         return compiler._compile_select_body(sel)
 
+    def _mat_frontier(self, df: DataFrame):
+        """Bounded hybrid materialization of one fixpoint frontier.
+
+        Small frontiers (≤ `session.recursive_local_frontier` rows, default
+        10k) collect to the driver and continue as a LocalRelation: every
+        further round is then exactly ONE tiny job (this take) instead of an
+        eager localCheckpoint job plus isEmpty probes — the dominant cost of
+        driver-coordinated iteration when the frontier is a handful of rows
+        (the common recursive-CTE shape: sequences, hierarchy walks). Large
+        frontiers keep the distributed localCheckpoint path unchanged, so a
+        100 TB frontier never lands on the driver; `take` early-exits at
+        threshold+1 rows, so probing a big frontier costs at most one extra
+        partial scan on the round that crosses the threshold. Same bounded
+        collect-when-small design as graph.connected_components' hybrid
+        finish. Returns (frontier_df, row_count_or_None); None means the
+        checkpointed distributed path (count unknown)."""
+        threshold = int(getattr(self.session, "recursive_local_frontier",
+                                10000))
+        spark = self.session.spark
+        if threshold > 0:
+            rows = df.take(threshold + 1)
+            if len(rows) <= threshold:
+                from ..operators.cache import note_compile_materialization
+
+                # the resulting plan embeds materialized rows → the
+                # executor's plan cache must skip this statement
+                note_compile_materialization()
+                return spark.createDataFrame(rows, df.schema), len(rows)
+        return _ckpt_tracked(df, eager=True), None
+
     def _compile_recursive_cte(self, cte: ast.CTE) -> DataFrame:
         """`WITH RECURSIVE name AS (base UNION [ALL] step)`: driver-
         coordinated fixpoint iteration (Pregel-style — how iterative graph
         algorithms run on Spark). Each step is one distributed job over ONLY
-        the previous frontier, and every frontier is localCheckpoint()ed so
-        the step plan stays O(1) deep instead of O(iterations); the final
-        result is a flat union of checkpointed frontiers. UNION (distinct)
+        the previous frontier, and every frontier is materialized (driver-
+        local rows when small, localCheckpoint otherwise — `_mat_frontier`)
+        so the step plan stays O(1) deep instead of O(iterations); the final
+        result is a flat union of materialized frontiers. UNION (distinct)
         follows pg semantics: the step sees only the last iteration's rows,
         new rows are deduped against everything produced so far, and
         iteration stops when no new rows appear. Beyond parity — the
@@ -229,7 +260,7 @@ class QueryCompiler:
 
         if distinct:
             base = base.distinct()
-        frontier = _ckpt_tracked(base, eager=True)
+        frontier, n_f = self._mat_frontier(base)
         frontiers = [frontier]
         depths = [0]  # iteration index per frontier (SEARCH BREADTH FIRST)
         limit = getattr(self.session, "recursive_max_iterations", 100)
@@ -242,13 +273,18 @@ class QueryCompiler:
         # cyclic data.
         # SEARCH needs one frontier per iteration (each carries its depth)
         # and CYCLE filters marked rows out of the next frontier, so block
-        # unrolling is disabled when either clause is present
+        # unrolling is disabled when either clause is present.
+        # Driver-local frontiers (n_f is not None) also stay unroll=1: each
+        # step is already exactly one tiny job, so there are no driver
+        # round-trips left for unrolling to amortize.
         unroll = 1 if distinct or search is not None or cycle is not None \
             else max(1, int(getattr(self.session, "recursive_unroll", 4)))
         step_scope = dict(self.scope)
         rounds = 0
         while True:
-            if frontier.isEmpty():
+            # n_f: exact frontier row count when driver-local, -1 when
+            # known non-empty (probed once), None when unknown (probe here)
+            if (n_f == 0) if n_f is not None else frontier.isEmpty():
                 break
             if rounds >= limit:
                 raise CompileError(
@@ -256,7 +292,8 @@ class QueryCompiler:
                     "iterations (set recursive_max_iterations to raise)")
             block = []
             step = frontier
-            for _ in range(min(unroll, limit - rounds)):
+            k = 1 if n_f is not None else unroll
+            for _ in range(min(k, limit - rounds)):
                 step_scope[cte.name] = step
                 step = QueryCompiler(self.session, step_scope) \
                     .compile_query(step_ast).toDF(*base.columns)
@@ -266,32 +303,47 @@ class QueryCompiler:
                 seen = frontiers[0]
                 for f in frontiers[1:]:
                     seen = seen.union(f)
-                frontier = _ckpt_tracked(
-                    block[0].distinct().subtract(seen), eager=True)
+                frontier, n_f = self._mat_frontier(
+                    block[0].distinct().subtract(seen))
+                if (n_f == 0) if n_f is not None \
+                        else frontier.isEmpty():
+                    break
+                if n_f is None:
+                    n_f = -1  # probed non-empty; don't re-probe at the top
+                frontiers.append(frontier)
+                depths.append(rounds)
             else:
-                for b in block:
-                    b.persist()
+                if len(block) > 1:
+                    for b in block:
+                        b.persist()
                 new_rows = block[0]
                 for b in block[1:]:
                     new_rows = new_rows.union(b)
-                new_rows = _ckpt_tracked(new_rows, eager=True)
+                new_rows, n_new = self._mat_frontier(new_rows)
                 # next frontier = last step only; reads the persist cache.
                 # CYCLE: marked rows appear in the OUTPUT but never iterate
                 # (that is what terminates a cyclic walk under UNION ALL) —
-                # the filter runs over the checkpointed rows, no recompute
-                frontier = _ckpt_tracked(block[-1], eager=True) \
-                    if len(block) > 1 else new_rows
+                # the filter runs over the materialized rows, no recompute
+                if len(block) > 1:
+                    frontier = _ckpt_tracked(block[-1], eager=True)
+                    n_f = None
+                else:
+                    frontier, n_f = new_rows, n_new
                 if cycle is not None:
                     frontier = frontier.where(~_cycle_pred(cycle[2]))
-                for b in block:
-                    b.unpersist()
-                if new_rows.isEmpty():
+                    if n_f is not None and n_f > 0:
+                        # filter over a LocalRelation: one trivial job now
+                        # keeps the next round's emptiness check free
+                        frontier, n_f = self._mat_frontier(frontier)
+                    else:
+                        n_f = None
+                if len(block) > 1:
+                    for b in block:
+                        b.unpersist()
+                if (n_new == 0) if n_new is not None \
+                        else new_rows.isEmpty():
                     break
                 frontiers.append(new_rows)
-                depths.append(rounds)
-                continue
-            if not frontier.isEmpty():
-                frontiers.append(frontier)
                 depths.append(rounds)
         if search is not None and not depth_first:
             # pg 14 SEARCH BREADTH FIRST BY cols SET ord: append

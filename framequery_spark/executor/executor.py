@@ -1045,10 +1045,12 @@ def _capture_caller_scope(spark: SparkSession, depth: int = 2) -> dict:
 #     no DML/DDL side effects),
 #   - the SQL mentions no volatile/time/sequence function (conservative
 #     textual screen; false positives only cost a cache miss),
-#   - compiling registered no tracked persist/localCheckpoint (recursive
-#     CTEs and correlated-theta decorrelation materialize during compile;
-#     rebuilding from their analyzed plan would reference released
-#     checkpoint blocks),
+#   - compiling registered no tracked persist/localCheckpoint and no
+#     compile-time materialization (recursive CTEs and correlated-theta
+#     decorrelation materialize during compile; rebuilding from their
+#     analyzed plan would reference released checkpoint blocks — or, for
+#     the driver-local recursive frontier path, replay frozen LocalRelation
+#     rows instead of recomputing),
 #   - scope values are all Spark DataFrames (identity-keyed).
 _PLAN_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
 _PLAN_CACHE_MAX = 256
@@ -1096,6 +1098,7 @@ def execute(q: str, scope: Optional[dict] = None,
 
     n_persist = len(_opcache._TRACKED)
     n_ckpt = len(_opcache._TRACKED_CKPT)
+    n_mat = _opcache.COMPILE_MATERIALIZATIONS
     try:
         node = parse(q)
     except Exception:
@@ -1106,7 +1109,8 @@ def execute(q: str, scope: Optional[dict] = None,
             and isinstance(node, (ast.Select, ast.SetOp, ast.Pivot,
                                   ast.Unpivot))
             and len(_opcache._TRACKED) == n_persist
-            and len(_opcache._TRACKED_CKPT) == n_ckpt):
+            and len(_opcache._TRACKED_CKPT) == n_ckpt
+            and _opcache.COMPILE_MATERIALIZATIONS == n_mat):
         try:
             _PLAN_CACHE[key] = out._jdf.queryExecution().analyzed()
             while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:

@@ -44,6 +44,20 @@ except Exception:  # pragma: no cover
 # tiny (plan pointers, no data).
 _TRACKED: List[DataFrame] = []
 
+# Monotone counter of compile-time materializations that leave NO tracked
+# handle behind (the recursive-CTE driver-local frontier path collects rows
+# into LocalRelations instead of checkpointing). The executor's plan cache
+# diffs this counter around a compile exactly like the two registries: a
+# plan that embeds materialized rows must never be cached — rebuilding it
+# would replay frozen data instead of recomputing from the sources.
+COMPILE_MATERIALIZATIONS = 0
+
+
+def note_compile_materialization() -> None:
+    global COMPILE_MATERIALIZATIONS
+    COMPILE_MATERIALIZATIONS += 1
+
+
 # RDD ids persisted by local_checkpoint_tracked: localCheckpoint persists
 # its materialized RDD OUTSIDE the DataFrame cache registry (neither
 # df.unpersist() nor catalog.clearCache() drops it), so without explicit

@@ -593,6 +593,69 @@ def test_recursive_iteration_cap(spark, scope):
                    "select n + 1 from s) select * from s").collect()
 
 
+def test_recursive_local_frontier_paths_agree(spark, scope):
+    """The r12 bounded hybrid (small frontiers iterate as driver-local
+    LocalRelations; big ones keep the distributed localCheckpoint path)
+    must be result-invariant: the same query run with the threshold at 0
+    (always distributed), 1 (every >1-row frontier falls back mid-walk),
+    and default (always local at this scale) returns identical rows —
+    including UNION-distinct dedup and CYCLE marking."""
+    from framequery_spark.executor.executor import Executor
+
+    queries = [
+        # branching UNION ALL walk with 2-row frontiers + base-table join
+        ("with recursive w(a, d) as ("
+         "select a, 0 from test where a <= 2 union all "
+         "select t.a, w.d + 1 from test t join w on t.a = w.a + 1 "
+         "where w.d < 3) select a, d from w order by a, d"),
+        # UNION distinct on cyclic data (subtract-vs-seen path)
+        ("with recursive c(n) as (select 1 union select (n % 3) + 1 from c) "
+         "select n from c order by n"),
+        # CYCLE clause (filtered next-frontier path)
+        ("with recursive k(n) as (select 1 union all "
+         "select (n % 4) + 1 from k) cycle n set cyc using p "
+         "select n, cyc, cardinality(p) as depth from k "
+         "order by depth, n"),
+    ]
+    for q in queries:
+        results = []
+        for threshold in (0, 1, 10000):
+            ex = Executor(scope={}, spark=spark)
+            ex.recursive_local_frontier = threshold
+            ex.update(test=scope["test"])
+            results.append([tuple(r) for r in ex.execute(q).collect()])
+        assert results[0] == results[1] == results[2], q
+
+
+def test_plan_cache_skips_compile_materialized_statements(spark, scope):
+    """execute()'s statement plan cache must never retain a plan that
+    materialized rows during compile: a recursive CTE (driver-local
+    LocalRelation frontiers at this scale) re-executed from a cached plan
+    would replay frozen rows instead of recomputing from the sources.
+    A plain SELECT over the same scope IS cached (prepared-statement
+    behavior)."""
+    import framequery_spark as fq
+    from framequery_spark.executor import executor as ex_mod
+
+    sc = {"test": scope["test"]}
+    plain = "select a from test order by a"
+    rec = ("with recursive s(n) as (select 1 union all "
+           "select n + 1 from s where n < 4) "
+           "select s.n, t.a from s join test t on t.a = s.n order by n")
+    before = dict(ex_mod._PLAN_CACHE)
+    r1 = [tuple(r) for r in fq.execute(rec, sc, spark=spark).collect()]
+    assert all(k[0] != rec for k in ex_mod._PLAN_CACHE), \
+        "recursive statement must not be plan-cached"
+    fq.execute(plain, sc, spark=spark).collect()
+    assert any(k[0] == plain for k in ex_mod._PLAN_CACHE), \
+        "pure SELECT should be plan-cached"
+    # a second run of the recursive statement recomputes and agrees
+    r2 = [tuple(r) for r in fq.execute(rec, sc, spark=spark).collect()]
+    assert r1 == r2
+    ex_mod._PLAN_CACHE.clear()
+    ex_mod._PLAN_CACHE.update(before)
+
+
 def test_plain_cte_column_alias_list(spark, scope):
     q = ("with t2(p, q) as (select a, g from test) "
          "select p from t2 where q = 'y' order by p")
