@@ -32,6 +32,7 @@ from .expressions import (
 )
 from .rewrite import contains_aggregate, map_children, transform
 from ..operators.cache import local_checkpoint_tracked as _ckpt_tracked
+from ..sources.local_relation import local_relation as _local_relation
 
 
 class QueryCompiler:
@@ -200,7 +201,11 @@ class QueryCompiler:
                 # the resulting plan embeds materialized rows → the
                 # executor's plan cache must skip this statement
                 note_compile_materialization()
-                return spark.createDataFrame(rows, df.schema), len(rows)
+                # LocalTableScan, NOT createDataFrame: the parallelize-RDD
+                # route pays per-slice Python-worker round trips on every
+                # re-scan (measured: 1.2-6 s per take over a 3-row
+                # frontier), which each fixpoint round would re-pay
+                return _local_relation(spark, rows, df.schema), len(rows)
         return _ckpt_tracked(df, eager=True), None
 
     def _compile_recursive_cte(self, cte: ast.CTE) -> DataFrame:
@@ -1855,8 +1860,10 @@ class QueryCompiler:
         return out
 
     def _compile_values(self, rel: "ast.Values") -> DataFrame:
-        """VALUES rows: literal-only; built as a local DataFrame (the row set
-        is inline query text, so driver-side construction is correct)."""
+        """VALUES rows: literal-only; built as a JVM-side LocalTableScan
+        (the row set is inline query text, so driver-side construction is
+        correct; `local_relation` keeps every re-scan of it — e.g. one per
+        recursive-CTE round — free of Python-worker round trips)."""
         def value_of(node):
             if isinstance(node, ast.Literal):
                 return node.value
@@ -1875,7 +1882,7 @@ class QueryCompiler:
         ncols = len(rows[0])
         names = list(rel.column_names) or [f"col{i}" for i in range(ncols)]
         try:
-            df = self.session.spark.createDataFrame(rows, names)
+            df = _local_relation(self.session.spark, rows, names)
         except Exception:
             # a column of all NULLs defeats type inference (e.g. INSERT ...
             # VALUES (NULL, 1)); build the schema from the first non-null
@@ -1905,7 +1912,7 @@ class QueryCompiler:
 
             schema = ", ".join(
                 f"`{n}` {_ptype(i)}" for i, n in enumerate(names))
-            df = self.session.spark.createDataFrame(rows, schema)
+            df = _local_relation(self.session.spark, rows, schema)
         return df.alias(rel.alias or "values")
 
     # --------------------------------------------------------- table functions

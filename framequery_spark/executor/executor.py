@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from ..compiler.expressions import CompileError
 from ..compiler.select import QueryCompiler
 from ..parser import ast, parse
+from ..sources.local_relation import local_relation
 
 def _rewrite_merge_action(node, s_name=None, src_cols=()):
     """Rewrite a MERGE RETURNING item tree against the merge plan's helper
@@ -187,7 +188,8 @@ class Executor:
         if name == "pg_namespace":
             # hard-coded catalog emulation
             # (reference: src/framequery/executor/_pandas.py:103-116)
-            return self.spark.createDataFrame(
+            return local_relation(
+                self.spark,
                 [("public", 0, None), ("pg_catalog", 0, None),
                  ("information_schema", 0, None)],
                 T.StructType([
@@ -604,7 +606,8 @@ class Executor:
                 self.spark._jvm.org.apache.spark.sql.execution
                 .ExplainMode.fromString(mode))
             rows = [(line,) for line in plan.splitlines()]
-            return self.spark.createDataFrame(rows, "`QUERY PLAN` string")
+            return local_relation(self.spark, rows,
+                                  "`QUERY PLAN` string")
         if isinstance(node, ast.CreateTableAs):
             if node.if_not_exists and node.name in scope:
                 return None  # pg: skipped with a notice
@@ -817,8 +820,8 @@ class Executor:
             df = self.resolve_table(scope, node.table)
             rows = [(f.name, f.dataType.simpleString())
                     for f in df.schema.fields]
-            return self.spark.createDataFrame(
-                rows, "col_name string, data_type string")
+            return local_relation(
+                self.spark, rows, "col_name string, data_type string")
         if isinstance(node, ast.InsertInto):
             from pyspark.sql import Window
             from pyspark.sql import functions as F
@@ -826,7 +829,8 @@ class Executor:
             base = self.resolve_table(scope, node.table)
             if node.query is None:
                 # DEFAULT VALUES: one row of NULLs (no column defaults here)
-                df = self.spark.createDataFrame(
+                df = local_relation(
+                    self.spark,
                     [tuple(None for _ in base.columns)], base.schema)
             else:
                 df = self._compile_query(node.query, scope)
@@ -993,7 +997,8 @@ class Executor:
             if value is None:
                 raise CompileError(f"unknown SHOW option: {node.option}")
             col = node.option if " " not in node.option else node.option.split()[0]
-            return self.spark.createDataFrame([(value,)], f"`{col}` string")
+            return local_relation(self.spark, [(value,)],
+                                  f"`{col}` string")
         raise CompileError(f"cannot execute {type(node).__name__}")
 
 

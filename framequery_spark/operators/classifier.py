@@ -32,6 +32,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.local_relation import local_relation
 from .cache import persist_tracked, release_one
 from .dsir import doc_features
 
@@ -78,7 +79,10 @@ def _weights_df(spark, weights, partial: bool = False):
     drops zero weights (zero-init first iteration: margin is 0 anyway)."""
     rows = [(b, float(w)) for b, w in enumerate(weights)
             if not (partial and w == 0.0)]
-    df = spark.createDataFrame(rows or [(0, 0.0)], "bucket: long, w: double")
+    # LocalTableScan (not parallelize): the weight frame is re-scanned by
+    # every margin/gradient job, and a Python-RDD scan pays per-slice
+    # Python-worker round trips each time (r12 local_relation measurement)
+    df = local_relation(spark, rows or [(0, 0.0)], "bucket long, w double")
     return F.broadcast(df)
 
 

@@ -35,6 +35,8 @@ from typing import Optional, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.local_relation import local_relation
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node points its *larger* neighbors at the
@@ -191,8 +193,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                 labels = _unionfind_components(
                     [(r["u"], r["v"]) for r in e.collect()])
                 if labels:
-                    assign = spark.createDataFrame(
-                        list(labels.items()),
+                    assign = local_relation(
+                        spark, list(labels.items()),
                         e.select(F.col("u").alias("node"),
                                  F.col("v").alias("component")).schema)
                 else:

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.local_relation import local_relation
 from .dedup import cosine  # noqa: F401  (re-exported; used by callers)
 
 
@@ -356,8 +357,8 @@ def kmeans_fit(corpus: DataFrame, n_clusters: int, iters: int = 2,
 
     out = [(ci, d, cents[ci][d], members.get(ci, 0))
            for ci in range(n_clusters) for d in range(dim)]
-    return spark.createDataFrame(
-        out, "cluster_id int, dim int, value double, n_members bigint")
+    return local_relation(
+        spark, out, "cluster_id int, dim int, value double, n_members bigint")
 
 
 def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
