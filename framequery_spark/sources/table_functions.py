@@ -1029,19 +1029,14 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
     if name in ("json_each", "json_array_elements", "unnest"):
         ec = qc._expr_compiler()
         arg = ec.compile(tf.args[0])
-        out = _explode_json(left, arg, name, alias,
-                            ordinality=tf.ordinality,
-                            col_name=_single_col_name(tf))
-        if tf.column_names:
-            # `AS u(x[, ord])`: positional renames over the produced columns.
-            # Single-column functions already get names[0] via
-            # _single_col_name; json_each's (key, value) renames from 0.
-            produced = [c for c in out.columns if c not in set(left.columns)]
-            start = 0 if name == "json_each" else 1
-            for new, old in zip(tf.column_names[start:], produced[start:]):
-                if new != old:
-                    out = out.withColumnRenamed(old, new)
-        return out
+        # `AS u(x[, ord])` column names are applied INSIDE the lateral
+        # relation (before its SubqueryAlias) so the qualified forms
+        # (`u.x`) resolve too — a rename projection ABOVE the alias strips
+        # the qualifier from the renamed columns (pg resolves both).
+        return _explode_json(left, arg, name, alias,
+                             ordinality=tf.ordinality,
+                             col_name=_single_col_name(tf),
+                             col_names=tf.column_names)
 
     if name == "regexp_split_to_table":
         # pg: one row per split piece; rides the same native explode path
@@ -1064,7 +1059,8 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
 
 def _explode_json(df: DataFrame, arg, name: str, alias: str,
                   ordinality: bool = False,
-                  col_name: str = "value") -> DataFrame:
+                  col_name: str = "value",
+                  col_names=None) -> DataFrame:
     """Explode a JSON value column via a native lateral join (Spark 4
     DataFrame.lateralJoin + spark.tvf.explode). Values are returned as JSON
     text (the scalar-typed analogue of the reference's Python objects).
@@ -1091,17 +1087,32 @@ def _explode_json(df: DataFrame, arg, name: str, alias: str,
     # WITH ORDINALITY: posexplode's pos + 1 — exact pg semantics, since the
     # ordinal numbers the INPUT order, which an explode preserves row-locally
     tvf = spark.tvf.posexplode if ordinality else spark.tvf.explode
-    ordcols = ((F.col("pos") + 1).alias("ordinality"),) if ordinality else ()
+    # pg column-alias list `AS u(x[, ...])`: positional over the produced
+    # columns (json_each: key, value[, ordinality]; single-column
+    # functions: value[, ordinality] — names[0] already arrived as
+    # col_name via _single_col_name). Applied here, INSIDE the relation
+    # the SubqueryAlias wraps, so `u.x` and bare `x` both resolve.
+    cn = list(col_names or [])
+
+    def _nm(pos: int, default: str) -> str:
+        return cn[pos] if pos < len(cn) else default
+
     if name == "json_each":
+        ordname = _nm(2, "ordinality")
+        ordcols = ((F.col("pos") + 1).alias(ordname),) if ordinality else ()
         entries = F.map_entries(F.from_json(ref, "map<string,string>"))
         right = (tvf(entries)
-                 .select(F.col("col.key").alias("key"),
-                         F.col("col.value").alias("value"), *ordcols))
-    elif name == "json_array_elements":
-        right = (tvf(F.from_json(ref, "array<string>"))
-                 .select(F.col("col").alias(col_name), *ordcols))
-    else:  # unnest: native array column
-        right = tvf(ref).select(F.col("col").alias(col_name), *ordcols)
+                 .select(F.col("col.key").alias(_nm(0, "key")),
+                         F.col("col.value").alias(_nm(1, "value")),
+                         *ordcols))
+    else:
+        ordname = _nm(1, "ordinality")
+        ordcols = ((F.col("pos") + 1).alias(ordname),) if ordinality else ()
+        if name == "json_array_elements":
+            right = (tvf(F.from_json(ref, "array<string>"))
+                     .select(F.col("col").alias(col_name), *ordcols))
+        else:  # unnest: native array column
+            right = tvf(ref).select(F.col("col").alias(col_name), *ordcols)
     return staged.lateralJoin(right.alias(alias)).drop(tmp)
 
 

@@ -31,6 +31,29 @@ def test_json_array_elements_lateral(spark, scope):
     assert out == [(1, "x"), (1, "y"), (2, "z")]
 
 
+def test_lateral_column_alias_qualified(spark, scope):
+    # pg: `AS t(k, v)` renames the columns AND keeps them resolvable under
+    # the table alias (`t.k`); a rename applied above the relation's alias
+    # used to strip the qualifier (r12 verify-probe regression).
+    q = ("select p.id, t.k, t.v from payloads p, "
+         "lateral json_each(p.payload) as t(k, v) order by p.id, t.k")
+    out = rows(fq.execute(q, scope, spark=spark))
+    assert out == [(1, "foo", "bar"), (1, "hello", "world"), (2, "a", "1")]
+    # bare names resolve too, ordinality takes the third alias name, and a
+    # PARTIAL alias list keeps pg defaults for the unnamed tail
+    q = ("select k, o from payloads p, lateral json_each(p.payload) "
+         "with ordinality as t(k, v, o) where p.id = 1 order by t.o")
+    assert rows(fq.execute(q, scope, spark=spark)) == \
+        [("foo", 1), ("hello", 2)]
+    q = ("select t.k, t.value from payloads p, "
+         "lateral json_each(p.payload) as t(k) where p.id = 2")
+    assert rows(fq.execute(q, scope, spark=spark)) == [("a", "1")]
+    q = ("select u.x, u.i from payloads p, lateral "
+         "json_array_elements(p.arr) with ordinality as u(x, i) "
+         "where p.id = 1 order by u.i")
+    assert rows(fq.execute(q, scope, spark=spark)) == [("x", 1), ("y", 2)]
+
+
 def test_json_each_constant(spark, scope):
     q = """select key, value from json_each('{"a": "1", "b": "2"}')"""
     out = rows(fq.execute(q, scope, spark=spark))
