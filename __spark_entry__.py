@@ -3147,10 +3147,15 @@ def _op_bm25_topk(spark, sf_dir):
     decimal(28,12) so scores are engine-exact for the oracle."""
     from framequery_spark.operators.retrieval import bm25_topk
 
+    from framequery_spark.sources.local_relation import local_relation
+
     docs = _scope(spark, sf_dir)["documents"]
-    qdf = spark.createDataFrame(
-        [(1, "spark shuffle join"), (2, "window sort batch"),
-         (3, "stream dedup hash table")], "query_id long, query string")
+    # LocalTableScan, not createDataFrame: the parallelize-RDD route pays
+    # one Python-worker round trip per slice on EVERY scan, and the bm25
+    # plan scans the query table twice (r12 local_relation measurement)
+    qdf = local_relation(
+        spark, [(1, "spark shuffle join"), (2, "window sort batch"),
+                (3, "stream dedup hash table")], "query_id long, query string")
     return bm25_topk(docs, qdf, k=5)
 
 
@@ -4823,8 +4828,11 @@ def _op_rrf_hybrid(spark, sf_dir):
     from framequery_spark.operators.similarity import cosine_topk
 
     scope = _scope(spark, sf_dir)
-    qdf = spark.createDataFrame(_HYBRID_QUERIES,
-                                "query_id long, query string")
+    from framequery_spark.sources.local_relation import local_relation
+
+    # JVM LocalTableScan — scanned by both fusion inputs (see op_bm25_topk)
+    qdf = local_relation(spark, _HYBRID_QUERIES,
+                         "query_id long, query string")
     sparse = bm25_topk(scope["documents"], qdf, k=10)
     emb = scope["embeddings"]
     dense = (cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
