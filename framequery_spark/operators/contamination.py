@@ -156,45 +156,44 @@ def split_leakage_ngrams(df: DataFrame, split_col: str = "split",
     real-world leak — the same article with a changed byline or added
     boilerplate. Shared long n-grams catch it.
 
-    Shape: gram-stream self-equi-join on the gram string (never all-pairs —
-    candidates only materialize for documents that actually share a gram),
-    then a (id_a, id_b) count. Grams occurring in more than ``max_doc_freq``
-    documents are dropped first (same doc-freq discipline as
-    ``dedup.jaccard_pairs``): at n >= 8 a gram that common is boilerplate,
-    and it is exactly the key whose join output would otherwise be
-    quadratic in its document frequency.
+    Shape (r13): the gram stream is pre-aggregated to per-gram sorted
+    (id, split) lists — ONE shuffle of the gram stream, keyed by
+    xxhash64(gram) (8-byte fixed keys; a collision needs ~2^32 distinct
+    grams, birthday bound) — and cross-split pairs expand ROW-LOCALLY
+    (never all-pairs: a gram shared by m docs expands to C(m,2) rows,
+    exactly what the previous self-equi-join emitted), then a
+    (id_a, id_b) count. The previous shape shuffled the persisted gram
+    stream three times (doc-freq aggregate + both join sides); the
+    doc-freq cap is now a size() filter on the grouped table — at n >= 8
+    a gram in more than ``max_doc_freq`` docs is boilerplate, and it is
+    exactly the group whose pair expansion would otherwise be quadratic
+    in its document frequency.
     """
-    from .cache import persist_tracked
-
-    # persist: the gram stream feeds three branches (doc-freq filter + both
-    # self-join sides); grams join by xxhash64 — 8-byte fixed keys, and a
-    # collision needs ~2^32 distinct grams (birthday bound) — the
-    # jaccard_pairs discipline. Tracked persist: callers release with
-    # cache.release_cached() after materializing.
-    grams = persist_tracked(
-        df.select(F.col(id_col), F.col(split_col),
-                  F.explode(ngram_strings(F.col(text_col), n))
-                  .alias("gram"))
-        .select(F.col(id_col), F.col(split_col),
-                F.xxhash64("gram").alias("gram")))
+    grams = (df.select(F.col(id_col), F.col(split_col),
+                       F.explode(ngram_strings(F.col(text_col), n))
+                       .alias("gram"))
+             .select(F.xxhash64("gram").alias("gram"),
+                     F.struct(F.col(id_col).alias("id"),
+                              F.col(split_col).alias("split")).alias("e")))
+    # ids are unique within a gram's list (ngram_strings dedupes per doc
+    # and the split is a function of the id), so struct sort order == id
+    # order and expanded pairs satisfy id_a < id_b like the old join
+    # filter; sorted ascending, element i pairs with every later element
+    groups = (grams.groupBy("gram")
+              .agg(F.sort_array(F.collect_list("e")).alias("es"))
+              .select("es"))
     if max_doc_freq is not None:
-        # broadcast the FREQUENT grams (boilerplate — a tiny set by
-        # construction) and anti-join: map-side drop, no shuffle of the
-        # gram stream. Broadcasting the rare side would be backwards — at
-        # corpus scale almost every gram is rare.
-        frequent = (grams.groupBy("gram")
-                    .agg(F.count(F.lit(1)).alias("df_"))
-                    .where(F.col("df_") > max_doc_freq)
-                    .select("gram"))
-        grams = grams.join(F.broadcast(frequent), "gram", "left_anti")
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = (a.join(b, "gram")
-             .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                    & (F.col(f"a.{split_col}") != F.col(f"b.{split_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"a.{split_col}").alias("split_a"),
-                      F.col(f"b.{id_col}").alias("id_b"),
-                      F.col(f"b.{split_col}").alias("split_b"))
+        groups = groups.where(F.size("es") <= max_doc_freq)
+    pairs = (groups.where(F.size("es") >= 2)
+             .select(F.posexplode("es").alias("__i", "a"), "es")
+             .select("a", F.explode(F.slice("es", F.col("__i") + 2,
+                                            F.size("es"))).alias("b"))
+             .where((F.col("a.id") < F.col("b.id"))
+                    & (F.col("a.split") != F.col("b.split")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("a.split").alias("split_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.col("b.split").alias("split_b"))
              .agg(F.count(F.lit(1)).alias("n_shared")))
     return pairs.where(F.col("n_shared") >= F.lit(min_shared))
 

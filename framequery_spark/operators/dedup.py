@@ -141,56 +141,91 @@ def _blocked_set_jaccard_pairs(sh: DataFrame, threshold: float,
                                out_col: str, digits: int,
                                denom: str = "union",
                                keep_sizes: bool = False) -> DataFrame:
-    """The blocked set-Jaccard join shared by jaccard_pairs (word
-    shingles) and trgm_pairs (pg_trgm character trigrams): `sh` is the
-    exploded (__id, __g) frame of each row's DISTINCT gram hashes.
-
-    - persist: the gram table feeds three branches (both join sides +
-      per-id counts); without it the gram expression recomputes 3x. At
-      corpus scale prefer MEMORY_AND_DISK or checkpoint to parquet
-      between stages. Grams are joined by their 64-bit xxhash64, not the
-      string: 8-byte fixed keys shuffle and compare far faster, and a
-      collision needs ~2^32 distinct grams to appear once (birthday
-      bound) — negligible against the oracle. The persist is tracked:
-      callers release it with cache.release_cached() after materializing.
-    - `max_doc_freq` broadcasts the FREQUENT grams (boilerplate — a tiny
-      set by construction: > max_doc_freq occurrences each) and anti-joins
-      them map-side; broadcasting the rare side would be backwards at
-      corpus scale, where almost every gram is rare. Similarity is then
-      Jaccard of the CAPPED sets on both sides — an approximation the
-      driver oracles restate identically.
-    """
+    """The blocked set-Jaccard pair generation shared by jaccard_pairs
+    (word shingles) and trgm_pairs (pg_trgm character trigrams): `sh` is
+    the exploded (__id, __g) frame of each row's DISTINCT gram hashes.
+    Grams are keyed by their 64-bit xxhash64, not the string: 8-byte
+    fixed keys shuffle and compare far faster, and a collision needs
+    ~2^32 distinct grams to appear once (birthday bound) — negligible
+    against the oracle. `max_doc_freq` caps boilerplate grams (a gram
+    shared by m docs contributes m² candidate pairs); similarity is then
+    Jaccard of the CAPPED sets on both sides — an approximation the
+    driver oracles restate identically."""
     return _finish_overlap_pairs(
         _pair_overlap_table(sh, max_doc_freq),
         threshold, out_col, digits, denom, keep_sizes)
 
 
-def _pair_overlap_table(sh: DataFrame,
-                        max_doc_freq: Optional[int]) -> DataFrame:
-    """(id1, id2, __common, __n1, __n2) for every pair sharing >= 1 gram —
-    the self-join + counts half of _blocked_set_jaccard_pairs, factored
-    out so different similarity measures over the SAME gram table (the
-    jaccard truth + a containment config in near_dup_config_sweep) share
-    one self-join instead of re-running it per measure. Output-sized."""
+def _gram_groups(sh: DataFrame, dedup_ids: bool = False) -> DataFrame:
+    """(__ids,) — one row per gram holding the SORTED list of ids that
+    carry it. ONE aggregation over the gram stream; the gram value itself
+    is dropped after grouping (downstream only ever pairs ids within a
+    group). sort_array uses the same ordering as the `<` comparison, so
+    expanded (earlier, later) pairs satisfy id1 < id2 exactly like the
+    self-join filter they replace. Callers pass streams whose (id, gram)
+    rows are distinct (shingles()/ngram_strings() dedupe per row), which
+    keeps pair multiplicities join-identical; `dedup_ids` collects a SET
+    instead — for callers that previously ran an explicit .distinct()
+    before the self-join, folding that whole exchange into this one
+    aggregate."""
+    ids = (F.collect_set("__id") if dedup_ids else F.collect_list("__id"))
+    return (sh.groupBy("__g")
+            .agg(F.sort_array(ids).alias("__ids"))
+            .select("__ids"))
+
+
+def _expand_sorted_pairs(groups: DataFrame) -> DataFrame:
+    """(id1, id2) — one row per ordered element pair (i < j) of each
+    __ids array: the row-local expansion that replaces the gram self
+    equi-join. A group of m ids emits C(m,2) pairs — the same multiset
+    of rows the join's  a.__g == b.__g AND id1 < id2  produced (ids are
+    unique per gram at every call site; the trailing `<` filter keeps
+    even pathological duplicate inputs join-identical). Both explodes
+    are codegen'd Generate nodes — no interpreted HOFs."""
+    return (groups
+            .filter(F.size("__ids") >= 2)
+            .select(F.posexplode("__ids").alias("__i", "id1"), "__ids")
+            .select("id1",
+                    F.explode(F.slice("__ids", F.col("__i") + 2,
+                                      F.size("__ids"))).alias("id2"))
+            .filter(F.col("id1") < F.col("id2")))
+
+
+def _pair_overlap_table(sh: Optional[DataFrame],
+                        max_doc_freq: Optional[int],
+                        groups: Optional[DataFrame] = None) -> DataFrame:
+    """(id1, id2, __common, __n1, __n2) for every pair sharing >= 1 gram.
+
+    r13 shape: the gram stream is pre-aggregated to per-gram sorted id
+    lists (:func:`_gram_groups`) and pairs expand ROW-LOCALLY — the gram
+    table crosses the network ONCE (the groupBy) instead of three times
+    (the previous per-id counts + two self-join sides), and the join
+    disappears entirely (guide §2.4 "remove shuffles outright" + the
+    verdict's pre-aggregate-to-id-list suggestion). The doc-freq cap is
+    now a plain size() filter on the grouped table instead of a separate
+    frequent-gram aggregate + broadcast anti-join, and the per-id counts
+    derive from the KEPT groups by construction (each id appears once
+    per gram), so they stay cap-consistent.
+
+    `groups` lets near_dup_config_sweep share ONE persisted grouped
+    table across every cap/measure over the same gram width (the cap is
+    applied after grouping, so differently-capped measures share it
+    too); when absent the groups are built from `sh` and persist-tracked
+    here (two consumers: counts + pair expansion).
+
+    Skew note (unchanged in kind): a gram shared by m docs still costs
+    m² expanded rows — `max_doc_freq` is the scale lever either way; the
+    grouped form additionally buffers one m-element list per mega-gram
+    during aggregation (ObjectHashAggregate spills to disk), where the
+    join buffered the same ids as join-side rows."""
     from .cache import persist_tracked
 
-    sh = persist_tracked(sh)
+    g = groups if groups is not None else persist_tracked(_gram_groups(sh))
     if max_doc_freq is not None:
-        frequent = (sh.groupBy("__g")
-                    .agg(F.count(F.lit(1)).alias("__df"))
-                    .filter(F.col("__df") > max_doc_freq))
-        # the USING-style join hoists the key column to the front — even
-        # for anti joins — so reselect in (__id, __g) order: the toDF
-        # renames below are positional (this exact hoist once silently
-        # swapped (id, gram) and emptied every capped result)
-        sh = sh.join(F.broadcast(frequent.select("__g")), "__g",
-                     "left_anti").select("__id", "__g")
-    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-
-    a = sh.toDF("id1", "__g")
-    b = sh.toDF("id2", "__g")
-    common = (a.join(b, "__g")
-              .filter(F.col("id1") < F.col("id2"))
+        g = g.filter(F.size("__ids") <= max_doc_freq)
+    counts = (g.select(F.explode("__ids").alias("__id"))
+              .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
+    common = (_expand_sorted_pairs(g)
               .groupBy("id1", "id2")
               .agg(F.count(F.lit(1)).alias("__common")))
     c1 = counts.toDF("id1", "__n1")
@@ -570,21 +605,43 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     mask = (1 << width) - 1 if width < 64 else -1  # -1 = all 64 bits set
     hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     # row-local distinct shingles (array_distinct, no exchange) + ONE hash
-    # aggregate with sig_bits codegen'd bit-count SUM columns; the array-fold
+    # aggregate of codegen'd bit-count SUM columns; the array-fold
     # formulation (64 F.aggregate passes) is interpreted (CodegenFallback)
-    # and an order of magnitude slower
+    # and an order of magnitude slower.
+    # r13: the per-bit counters are LANE-PACKED two to a long (bit b in the
+    # low 32 bits, bit b+half shifted to the high 32), halving the aggregate
+    # width (60 -> 30 / 64 -> 32 SUM expressions) and with it the generated
+    # aggregate class — the width was the JIT-warm-up cost the bench's
+    # still-warming guard kept tripping on. Overflow-safe by construction:
+    # each row adds at most 1 per lane and a document yields < 2^31 shingle
+    # rows (Spark strings are < 2^31 bytes), so the low lane never carries
+    # into the high lane (< 2^32) and the packed sum stays < 2^63. The
+    # per-bit counts extracted below are integer-identical to the unpacked
+    # form, so signatures and pairs are unchanged.
     ex = (_spread(df)
           .select(F.col(id_col).alias("__id"),
                   F.explode(shingles(F.col(text_col), k)).alias("__s"))
           .select("__id", hash_fn(F.col("__s")).alias("__h64")))
+    half = (sig_bits + 1) // 2
+
+    def _lane(bit: int) -> Column:
+        return F.shiftrightunsigned("__h64", bit).bitwiseAND(F.lit(1))
+
     votes = ex.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__n"),
-        *[F.sum(F.shiftrightunsigned("__h64", bit).bitwiseAND(F.lit(1)))
-          .alias(f"__o{bit}") for bit in range(sig_bits)])
+        *[F.sum(_lane(p) + F.shiftleft(_lane(p + half), 32)
+                if p + half < sig_bits else _lane(p)).alias(f"__p{p}")
+          for p in range(half)])
+
+    def _ones(bit: int) -> Column:
+        s = F.col(f"__p{bit if bit < half else bit - half}")
+        return (s.bitwiseAND(F.lit(0xFFFFFFFF)) if bit < half
+                else F.shiftrightunsigned(s, 32))
+
     sim = None
     for bit in range(sig_bits):
         bit_value = (1 << bit) if bit < 63 else -(1 << 63)  # two's complement
-        e = F.when(F.col(f"__o{bit}") * 2 >= F.col("__n"),
+        e = F.when(_ones(bit) * 2 >= F.col("__n"),
                    F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = e if sim is None else sim.bitwiseOR(e)
     from .cache import persist_tracked
@@ -1009,27 +1066,25 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     candidate rows, and ubiquitous boilerplate grams carry no near-dup
     signal).
 
-    Scale shape: fingerprinting is row-local (winnow_fingerprints); the
-    pair generation is a self equi join on the 16-hex-char hash — never
-    all-pairs — followed by one pair-keyed count.
+    Scale shape (r13): fingerprinting is row-local (winnow_fingerprints);
+    pair generation pre-aggregates to per-fingerprint sorted id lists
+    (ONE shuffle of the fingerprint stream) and expands pairs row-locally
+    — never all-pairs, no self-join, no persist (the stream now has a
+    single consumer; the previous persist + frequent-set anti-join +
+    two-sided equi join shuffled the fingerprint table three times).
+    The doc-freq cap is a size() filter on the grouped table — value-
+    identical to the anti-join it replaces.
     """
     if min_shared < 1:
         raise ValueError("winnow_pairs: min_shared must be >= 1")
     fps = (_winnow_fp_set(df, id_col, text_col, k, window)
-           .select(F.col(id_col).alias("__id"), "fp").distinct())
-    from .cache import persist_tracked
-
-    fps = persist_tracked(fps)
+           .select(F.col(id_col).alias("__id"), F.col("fp").alias("__g")))
+    # dedup_ids folds the previous explicit .distinct() (its own exchange)
+    # into the grouping aggregate: set-collect per fingerprint
+    g = _gram_groups(fps, dedup_ids=True)
     if max_doc_freq is not None:
-        frequent = (fps.groupBy("fp")
-                    .agg(F.count(F.lit(1)).alias("__df"))
-                    .filter(F.col("__df") > max_doc_freq))
-        fps = fps.join(F.broadcast(frequent.select("fp")), "fp",
-                       "left_anti").select("__id", "fp")
-    a = fps.toDF("id1", "fp")
-    b = fps.toDF("id2", "fp")
-    return (a.join(b, "fp")
-            .filter(F.col("id1") < F.col("id2"))
+        g = g.filter(F.size("__ids") <= max_doc_freq)
+    return (_expand_sorted_pairs(g)
             .groupBy("id1", "id2")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
@@ -1111,30 +1166,30 @@ def near_dup_config_sweep(df: DataFrame, configs: dict,
         raise ValueError("near_dup_config_sweep: configs is empty")
     from .cache import persist_tracked
 
-    # Shared gram scan: the default truth and any jaccard/containment
-    # config consume the SAME exploded (id, xxhash64(shingle)) table for
-    # a given k — compute it once per k and persist (re-persisting the
-    # same handle inside _blocked_set_jaccard_pairs is a same-level
-    # no-op), so a sweep scans the corpus once per DISTINCT gram width,
-    # not once per pipeline.
-    shared_sh: dict = {}
+    # Shared per-gram id-list table: the default truth and any jaccard/
+    # containment config over the same gram width share ONE persisted
+    # _gram_groups aggregate — and because the doc-freq cap is now a
+    # post-grouping size() filter, measures with DIFFERENT caps share it
+    # too (r12 could only share per (k, cap)). The corpus is scanned and
+    # grouped once per DISTINCT gram width, not once per pipeline.
+    shared_groups: dict = {}
     # one persisted (id1, id2, common, n1, n2) overlap table per
     # (k, max_doc_freq): the truth and every jaccard/containment config
-    # over the same gram width share ONE gram self-join — the sweep's
+    # over the same gram width share ONE pair expansion — the sweep's
     # dominant stage — instead of re-running it per measure (r12)
     shared_overlap: dict = {}
 
-    def _gram_table(k: int) -> DataFrame:
-        if k not in shared_sh:
+    def _groups_of(k: int) -> DataFrame:
+        if k not in shared_groups:
             sh = (_shingle_table(df, id_col, text_col, k)
                   .select("__id", F.xxhash64("__shingle").alias("__g")))
-            shared_sh[k] = persist_tracked(sh)
-        return shared_sh[k]
+            shared_groups[k] = persist_tracked(_gram_groups(sh))
+        return shared_groups[k]
 
     def _overlap(k: int, cap) -> DataFrame:
         if (k, cap) not in shared_overlap:
             shared_overlap[(k, cap)] = persist_tracked(
-                _pair_overlap_table(_gram_table(k), cap))
+                _pair_overlap_table(None, cap, groups=_groups_of(k)))
         return shared_overlap[(k, cap)]
 
     if exact is None:

@@ -570,13 +570,16 @@ def test_trgm_pairs_is_gram_keyed_equi_join(docs):
     _assert_no_cartesian(trgm_pairs(docs, threshold=0.8))
 
 
-def test_trgm_pairs_frequency_cap_is_broadcast_anti_join(docs):
+def test_trgm_pairs_frequency_cap_is_local_size_filter(docs):
     from framequery_spark.operators.dedup import trgm_pairs
 
     plan = formatted_plan(trgm_pairs(docs, threshold=0.8, max_doc_freq=50))
-    # the frequent-trigram screen must broadcast the SMALL frequent set
-    # and anti-join map-side — never shuffle the gram stream for it
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # r13: the frequent-trigram screen is a size() filter on the grouped
+    # (gram -> id list) table — no anti-join, no extra pass over the gram
+    # stream; and the pair generation is a row-local expansion, so the
+    # gram stream itself is never a join input
+    assert "LeftAnti" not in plan, plan
+    assert "size(__ids" in plan, plan  # the cap filter + expansion
 
 
 def test_group_sample_window_is_group_partitioned(docs):
@@ -753,14 +756,15 @@ def test_winnow_fingerprints_row_local_no_udf(docs):
     assert "Generate" in plan, plan  # the explode
 
 
-def test_winnow_pairs_equi_join_never_cartesian(docs):
+def test_winnow_pairs_has_no_join_at_all(docs):
     from framequery_spark.operators.dedup import winnow_pairs
 
     plan = formatted_plan(winnow_pairs(docs, max_doc_freq=20))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # the boilerplate cap broadcasts the FREQUENT side
-    assert "BroadcastExchange" in plan, plan
+    # r13: pair generation is group-by-fingerprint + row-local expansion —
+    # the fingerprint stream shuffles exactly once and is never joined
+    assert "Join" not in plan, plan
 
 
 def test_containment_pairs_blocked_join_shape(docs):
