@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import inspect
 import re
+import weakref
 from collections import OrderedDict
 from typing import Callable, Dict, Optional
 
@@ -1075,6 +1076,29 @@ def _plan_cache_key(q: str, scope: dict, spark: SparkSession,
     return (q, basepath, id(spark), sig)
 
 
+def _scope_refs(scope: dict) -> Optional[list]:
+    """weakrefs to the scope DataFrames, in the key's sort order. The
+    id()-based key alone is unsound: if a caller's scope DataFrame is
+    garbage-collected and CPython reuses its id for a DIFFERENT DataFrame
+    under the same SQL/basepath/session, the key would match and a stale
+    analyzed plan (bound to the dead DataFrame's relations) would be
+    returned silently. A hit is therefore only honored while every
+    original object is still alive (its weakref resolves to the very
+    object whose id is in the key); a dead ref invalidates the entry."""
+    try:
+        return [weakref.ref(v) for _, v in sorted(scope.items())]
+    except Exception:  # un-weakref-able scope value — don't cache
+        return None
+
+
+def _scope_refs_alive(refs: list, scope: dict) -> bool:
+    live = [r() for r in refs]
+    if any(v is None for v in live):
+        return False
+    cur = [v for _, v in sorted(scope.items())]
+    return len(cur) == len(live) and all(a is b for a, b in zip(live, cur))
+
+
 def execute(q: str, scope: Optional[dict] = None,
             spark: Optional[SparkSession] = None, basepath: str = ".",
             model: Optional[str] = None):
@@ -1090,14 +1114,20 @@ def execute(q: str, scope: Optional[dict] = None,
                  and not _VOLATILE_RE.search(q))
     key = _plan_cache_key(q, scope, spark, basepath) if cacheable else None
     if key is not None:
-        plan = _PLAN_CACHE.get(key)
-        if plan is not None:
-            try:
-                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset \
-                    .ofRows(spark._jsparkSession, plan)
-                return DataFrame(jdf, spark)
-            except Exception:
-                _PLAN_CACHE.pop(key, None)  # fall through to a fresh compile
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            plan, refs = hit
+            if not _scope_refs_alive(refs, scope):
+                # a scope DF from the cached compile died and its id may
+                # have been recycled — the plan could be stale; recompile
+                _PLAN_CACHE.pop(key, None)
+            else:
+                try:
+                    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset \
+                        .ofRows(spark._jsparkSession, plan)
+                    return DataFrame(jdf, spark)
+                except Exception:
+                    _PLAN_CACHE.pop(key, None)  # fall through to recompile
 
     from ..operators import cache as _opcache
 
@@ -1117,9 +1147,12 @@ def execute(q: str, scope: Optional[dict] = None,
             and len(_opcache._TRACKED_CKPT) == n_ckpt
             and _opcache.COMPILE_MATERIALIZATIONS == n_mat):
         try:
-            _PLAN_CACHE[key] = out._jdf.queryExecution().analyzed()
-            while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
-                _PLAN_CACHE.popitem(last=False)
+            refs = _scope_refs(scope)
+            if refs is not None:
+                _PLAN_CACHE[key] = (out._jdf.queryExecution().analyzed(),
+                                    refs)
+                while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                    _PLAN_CACHE.popitem(last=False)
         except Exception:
             pass
     return out

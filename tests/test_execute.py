@@ -656,6 +656,50 @@ def test_plan_cache_skips_compile_materialized_statements(spark, scope):
     ex_mod._PLAN_CACHE.update(before)
 
 
+def test_plan_cache_invalidates_on_dead_scope_df(spark, scope):
+    """The plan-cache key includes id(scope df) WITHOUT holding a
+    reference; if the original DataFrame is garbage-collected, CPython can
+    hand its id to a DIFFERENT DataFrame and the key would collide — the
+    cache must detect the dead original (weakref) and recompile instead of
+    returning a stale plan (r12 verdict hazard #3). Simulated directly:
+    a cached entry whose scope weakref no longer resolves to the live
+    object must be treated as a miss and evicted."""
+    import gc
+
+    import framequery_spark as fq
+    from framequery_spark.executor import executor as ex_mod
+
+    df1 = scope["test"].where("a >= 0")  # a fresh DF object we control
+    sc = {"test": df1}
+    q = "select a from test order by a"
+    before = dict(ex_mod._PLAN_CACHE)
+    try:
+        rows1 = [tuple(r) for r in fq.execute(q, sc, spark=spark).collect()]
+        key = ex_mod._plan_cache_key(q, sc, spark, ".")
+        assert key in ex_mod._PLAN_CACHE, "SELECT should be plan-cached"
+        # live original: a repeat is a hit (entry stays, same rows)
+        rows2 = [tuple(r) for r in fq.execute(q, sc, spark=spark).collect()]
+        assert rows1 == rows2
+        # kill the original and force a same-key lookup with an impostor
+        # DF (same id is what CPython MIGHT produce; we simulate the
+        # collision by reusing the recorded key against a new scope)
+        plan, refs = ex_mod._PLAN_CACHE[key]
+        del df1, sc
+        gc.collect()
+        assert any(r() is None for r in refs), "original should be dead"
+        impostor = {"test": scope["test"].where("a < 0")}
+        assert not ex_mod._scope_refs_alive(refs, impostor)
+        # end-to-end: executing with the impostor scope must NOT reuse
+        # the stale plan even if the key matched — the alive-check
+        # rejects it; result reflects the impostor's data
+        rows3 = [tuple(r)
+                 for r in fq.execute(q, impostor, spark=spark).collect()]
+        assert rows3 != rows1 or not rows1
+    finally:
+        ex_mod._PLAN_CACHE.clear()
+        ex_mod._PLAN_CACHE.update(before)
+
+
 def test_plain_cte_column_alias_list(spark, scope):
     q = ("with t2(p, q) as (select a, g from test) "
          "select p from t2 where q = 'y' order by p")
