@@ -319,8 +319,15 @@ class QueryCompiler:
                 depths.append(rounds)
             else:
                 if len(block) > 1:
-                    for b in block:
-                        b.persist()
+                    from ..operators.cache import persist_tracked
+
+                    # tracked (r13): a bare .persist() here could not be
+                    # freed by release_cached() — the same leak class the
+                    # r12 checkpoint tracking fixed; block persists are
+                    # consumed within this compile (union + frontier
+                    # checkpoint below), released with everything else
+                    for i, b in enumerate(block):
+                        block[i] = persist_tracked(b)
                 new_rows = block[0]
                 for b in block[1:]:
                     new_rows = new_rows.union(b)
