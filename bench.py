@@ -49,6 +49,55 @@ def compact_summary(total: float, batch_s: float, streaming_s: float,
     })
 
 
+def per_query_brief(timings: dict, all_runs: dict, here: str) -> str:
+    """The PENULTIMATE stdout line: a bounded per-query signal for the
+    driver's byte-truncated tail capture. PERF_r11/r12 had n_common=0 —
+    no per-query comparison was possible for two rounds because the full
+    per-entry map only appears in the (huge) full-JSON line, which the
+    tail always truncates. This line carries just enough to attribute a
+    total-seconds move: the 12 slowest entries, the 12 biggest movers vs
+    the last committed bench_entries_r*.json snapshot (|delta| >= 0.2 s),
+    and the stall self-diagnostic (entries whose worst rep exceeded 2.5x
+    their median — a high count marks a JIT/GC-stall-family run whose
+    total is host noise, not plan cost). Caps keep it < ~1 KB for ANY
+    inventory size, so it and the compact summary both fit the ~2 KB
+    tail; tests/test_bench_artifacts.py asserts the bound."""
+    import glob
+    import re
+
+    prev, prev_rnd = {}, None
+    snaps = {}
+    for path in glob.glob(os.path.join(here, "bench_entries_r*.json")):
+        m = re.search(r"bench_entries_r(\d+)\.json$", path)
+        if m:
+            snaps[int(m.group(1))] = path
+    if snaps:
+        prev_rnd = max(snaps)
+        try:
+            with open(snaps[prev_rnd]) as fh:
+                prev = {k: v.get("median", -1.0)
+                        for k, v in json.load(fh).get("entries", {}).items()}
+        except (OSError, ValueError):
+            prev = {}
+    top = sorted(((v, k) for k, v in timings.items() if v > 0),
+                 reverse=True)[:12]
+    movers = sorted(
+        ((round(v - prev[k], 1), k) for k, v in timings.items()
+         if v > 0 and prev.get(k, -1.0) > 0 and abs(v - prev[k]) >= 0.2),
+        key=lambda dk: -abs(dk[0]))[:12]
+    n_stalled = sum(
+        1 for k, runs in all_runs.items()
+        if timings.get(k, 0) > 0 and runs
+        and max(runs) / timings[k] > 2.5)
+    return json.dumps({
+        "metric": "per_query_brief",
+        "prev_snapshot": prev_rnd,
+        "top": {k: round(v, 1) for v, k in top},
+        "movers_vs_prev": {k: d for d, k in movers},
+        "n_stalled": n_stalled,
+    })
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -358,9 +407,14 @@ def main() -> None:
         "load1_end": round(load1_end, 1),
         "contended": contended,
     }))
-    # the driver records only the tail of the output — the LAST line is the
-    # compact machine-parseable summary (see compact_summary's docstring;
-    # slowest_reps/cache_diag live in the full line above + bench_entries)
+    # the driver records only the tail of the output — the PENULTIMATE
+    # line is the bounded per-query brief (top-12 + movers vs the last
+    # committed snapshot + stall count), the LAST line the compact
+    # machine-parseable summary (see the two docstrings; the complete
+    # per-entry map lives in the full line above + bench_entries.json)
+    print(per_query_brief(
+        timings, all_runs,
+        os.path.dirname(os.path.abspath(__file__))))
     print(compact_summary(
         total, batch_s, streaming_s, timings, streaming_names, floor_s,
         sf_val, reps, [k for k, v in timings.items() if v < 0], ckpt_root,

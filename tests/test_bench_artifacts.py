@@ -77,6 +77,28 @@ def test_compact_summary_line_stays_tail_safe():
     assert "queries" not in rec
 
 
+def test_per_query_brief_line_stays_tail_safe():
+    # the penultimate stdout line (per-query top/movers/stall brief) must
+    # fit the driver's ~2000-char tail capture TOGETHER with the compact
+    # summary for any inventory size: caps at 12 slowest + 12 movers.
+    import bench
+
+    timings = {f"op_some_long_operator_name_{i:03d}": float(i % 7) + 0.123
+               for i in range(200)}
+    all_runs = {k: [v, v * 3.0, v] for k, v in timings.items()}
+    line = bench.per_query_brief(timings, all_runs, HERE)
+    assert len(line) < 1100, (len(line), line[:200])
+    rec = json.loads(line)
+    assert rec["metric"] == "per_query_brief"
+    assert len(rec["top"]) <= 12 and len(rec["movers_vs_prev"]) <= 12
+    # every rep list above was built with a 3x outlier -> all stalled
+    assert rec["n_stalled"] == 200
+    # missing snapshot dir must not break the line
+    line2 = bench.per_query_brief(timings, {}, "/nonexistent_dir_xyz")
+    rec2 = json.loads(line2)
+    assert rec2["prev_snapshot"] is None and rec2["movers_vs_prev"] == {}
+
+
 def test_snapshot_tool_refuses_stale_entries(tmp_path, monkeypatch):
     # the --snapshot-entries gate must reject a bench_entries.json missing
     # current inventory entries rather than committing a hole
