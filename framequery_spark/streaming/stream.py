@@ -38,12 +38,11 @@ def scratch_dir() -> str:
 
 @contextlib.contextmanager
 def _stream_shuffle_partitions(spark: SparkSession, n: int):
-    """Cap shuffle partitions while a streaming query STARTS (the number of
-    state-store instances — each with its own checkpoint files and python
-    worker — is fixed from this setting at the first batch). Dozens of
-    stores for a bench-scale input is pure fixed overhead; a real deployment
-    sizes this to the cluster before calling. Restored immediately after
-    start; the downstream batch reads of the sink are unaffected."""
+    """Cap shuffle partitions while a streaming query runs (the number of
+    state-store instances — each with its own checkpoint files, delta/
+    snapshot writes and commit per micro-batch — is fixed from this setting
+    at the first batch). Restored after the drain; the downstream batch
+    reads of the sink are unaffected."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, str(n))
@@ -51,6 +50,50 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def _stream_partitions(spark: SparkSession, path: str | None,
+                       floor: int = 1) -> int:
+    """Shuffle-partition / state-store count for a drain of `path`, sized
+    to the DATA rather than a constant (guide §2.2: partition count should
+    track volume — AQE does this for batch plans but does not apply to
+    streaming, so the static setting is the only lever). ≈64 MB of source
+    per state store, capped at the session parallelism so a cluster-scale
+    drain still fans out to every core. The previous fixed 8 paid 8
+    stores' worth of per-batch file/commit churn for MB-scale
+    micro-batches (measured r13: the pure-JVM stateful entries run
+    20-50% faster at the data-sized count).
+
+    `floor` is for operators whose per-partition work is NOT proportional
+    to bytes: applyInPandasWithState processes its groups SERIALLY per
+    partition in a Python worker (measured r13: 1 partition tripled
+    op_stateful_counts/op_stream_funnel — per-group pandas overhead times
+    ~1.5k users on one worker), and foreachBatch bodies are full batch
+    join/aggregate pipelines that need real parallelism. Those call sites
+    keep the previous 8 as the floor and still scale up with data.
+
+    SPARK_GRAFT_STREAM_PARTS overrides for deployments whose state size
+    is not proportional to one drain's source bytes (e.g. long-running
+    complete-mode aggregations over small batches)."""
+    import os
+
+    override = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "")
+    if override.strip():
+        return max(1, int(override))
+    cores = spark.sparkContext.defaultParallelism
+    total = 0
+    try:
+        if path is not None and os.path.isfile(path):
+            total = os.path.getsize(path)
+        elif path is not None and os.path.isdir(path):
+            for root, _, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+    except OSError:
+        total = 0
+    if total <= 0:
+        return min(8, max(1, cores))  # unknown source: the old default
+    return max(1, min(cores, max(floor, total // (64 << 20) + 1)))
 
 def read_parquet_stream(spark: SparkSession, path: str,
                         max_files_per_trigger: int | None = None
@@ -101,7 +144,8 @@ def stream_decontaminate(spark: SparkSession, docs_path: str,
     bench_grams = doc_ngrams(benchmark, n=n).select("gram").distinct()
     hits = grams.join(F.broadcast(bench_grams), "gram")
     agg = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    return _run_to_memory(spark, agg, "decontam_", mode="complete")
+    return _run_to_memory(spark, agg, "decontam_", mode="complete",
+                          src_path=docs_path)
 
 
 def stream_fulltext_counts(spark: SparkSession, docs_path: str,
@@ -127,7 +171,8 @@ def stream_fulltext_counts(spark: SparkSession, docs_path: str,
     agg = (stream.groupBy(F.col(group_col))
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.sum(hit.cast("long")).alias("n_match")))
-    return _run_to_memory(spark, agg, "fts_", mode="complete")
+    return _run_to_memory(spark, agg, "fts_", mode="complete",
+                          src_path=docs_path)
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -168,18 +213,22 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour",
 
 
 def _run_to_memory(spark: SparkSession, agg: DataFrame, prefix: str,
-                   mode: str = "complete") -> DataFrame:
+                   mode: str = "complete",
+                   src_path: str | None = None,
+                   parts_floor: int = 1) -> DataFrame:
     """Run a streaming aggregation to completion (Trigger.AvailableNow,
     memory sink) and return the sink table as a DataFrame. The checkpoint
     lives on tmpfs-preferred scratch (offset/commit logs fsync per
     micro-batch — RAM-backed logs shave the fixed per-query cost) and is
-    removed after the drain."""
+    removed after the drain. `src_path` sizes the state-store count to the
+    source (see _stream_partitions)."""
     import os
     import shutil
 
     name = prefix + uuid.uuid4().hex[:12]
     ckpt = os.path.join(scratch_dir(), "fq_stream_ckpt", name)
-    with _stream_shuffle_partitions(spark, 8):
+    with _stream_shuffle_partitions(
+            spark, _stream_partitions(spark, src_path, parts_floor)):
         q = (agg.writeStream
              .format("memory")
              .queryName(name)
@@ -199,7 +248,7 @@ def run_stream_to_df(spark: SparkSession, events_path: str,
     result as a DataFrame."""
     stream = read_event_stream(spark, events_path)
     agg = windowed_event_stats(stream, window=window)
-    return _run_to_memory(spark, agg, "stream_")
+    return _run_to_memory(spark, agg, "stream_", src_path=events_path)
 
 
 def stream_session_stats(spark: SparkSession, events_path: str,
@@ -225,7 +274,7 @@ def stream_session_stats(spark: SparkSession, events_path: str,
                 F.round(F.sum("value"), 2).alias("sum_value"))
            .select("user_id", F.col("w.start").alias("session_start"),
                    "n_events", "sum_value"))
-    return _run_to_memory(spark, agg, "sessions_")
+    return _run_to_memory(spark, agg, "sessions_", src_path=events_path)
 
 
 def stream_dedup_counts(spark: SparkSession, events_path: str,
@@ -250,7 +299,7 @@ def stream_dedup_counts(spark: SparkSession, events_path: str,
     deduped = keyed.dropDuplicates(["event_type", "user_id", "ts_min"])
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique"))
-    return _run_to_memory(spark, agg, "dedup_")
+    return _run_to_memory(spark, agg, "dedup_", src_path=events_path)
 
 
 def stream_events_to_parquet(spark: SparkSession, events_path: str,
@@ -266,7 +315,8 @@ def stream_events_to_parquet(spark: SparkSession, events_path: str,
     Trigger.AvailableNow drains the source and stops, so the function is
     synchronous; returns a batch DataFrame over the written output."""
     stream = read_event_stream(spark, events_path)
-    with _stream_shuffle_partitions(spark, 8):
+    with _stream_shuffle_partitions(spark,
+                                    _stream_partitions(spark, events_path)):
         q = (stream.writeStream
              .format("parquet")
              .option("path", out_dir)
@@ -315,7 +365,8 @@ def stream_ingest_dedup(spark: SparkSession, docs_path: str,
                             num_perm=num_perm, bands=bands)
         out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    with _stream_shuffle_partitions(spark, 8):
+    with _stream_shuffle_partitions(
+            spark, _stream_partitions(spark, docs_path, floor=8)):
         q = (stream.writeStream
              .foreachBatch(screen)
              .option("checkpointLocation", checkpoint_dir)
@@ -363,7 +414,8 @@ def stateful_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
     agg = (stream.groupBy("user_id")
            .applyInPandasWithState(update, out_schema, state_schema,
                                    "update", GroupStateTimeout.NoTimeout))
-    latest = _run_to_memory(spark, agg, "stateful_", mode="update")
+    latest = _run_to_memory(spark, agg, "stateful_", mode="update",
+                             src_path=events_path, parts_floor=8)
     # update mode appends one row per user per batch; keep the last emission
     from pyspark.sql import Window
 
@@ -445,7 +497,8 @@ def stream_interval_join(spark: SparkSession, events_path: str,
         "user_id", "left_id", "right_id",
         (F.unix_micros("right_ts") - F.unix_micros("left_ts"))
         .alias("delta_us"))
-    return _run_to_memory(spark, out, "ij_", mode="append")
+    return _run_to_memory(spark, out, "ij_", mode="append",
+                          src_path=events_path)
 
 
 def stream_funnel_counts(spark: SparkSession, events_path: str,
@@ -516,7 +569,8 @@ def stream_funnel_counts(spark: SparkSession, events_path: str,
     agg = (stream.groupBy("user_id")
            .applyInPandasWithState(update, out_schema, state_schema,
                                    "update", GroupStateTimeout.NoTimeout))
-    latest = _run_to_memory(spark, agg, "funnel_", mode="update")
+    latest = _run_to_memory(spark, agg, "funnel_", mode="update",
+                             src_path=events_path, parts_floor=8)
     depth = (latest.groupBy("user_id")
              .agg(F.max("depth").alias("d")))
     return depth_to_stage_counts(depth, stages)
@@ -546,7 +600,7 @@ def stream_event_anomaly(spark: SparkSession, events_path: str,
         F.col("event_type"),
         F.date_trunc(bucket, F.col("ts")).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n")))
-    done = _run_to_memory(spark, counts, "anomaly_")
+    done = _run_to_memory(spark, counts, "anomaly_", src_path=events_path)
     # re-shape the finished counts into an event-grain frame is not
     # needed: score the counts directly with the batch operator's exact
     # stats formula by re-aggregating per type
@@ -630,7 +684,8 @@ def stream_upsert_latest(spark: SparkSession, events_path: str,
         latest.write.mode("overwrite").parquet(nxt)
         state["v"] = 1 - state["v"]
 
-    with _stream_shuffle_partitions(spark, 8):
+    with _stream_shuffle_partitions(
+            spark, _stream_partitions(spark, events_path, floor=8)):
         q = (stream.writeStream
              .foreachBatch(merge)
              .option("checkpointLocation", checkpoint_dir)
