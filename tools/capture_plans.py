@@ -57,7 +57,8 @@ def main():
     qs = entry.queries()
     streaming = getattr(entry, "STREAMING_ENTRIES", frozenset())
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(outdir, exist_ok=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
