@@ -413,16 +413,20 @@ def _lsh_sigs(df: DataFrame, id_col: str, text_col: str, k: int,
     )
 
 
-def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(__id, __band, __bucket) — band key straight from the min columns, no
-    array materialization."""
-    band_cols = F.array(*[
+def _band_cols(bands: int, rows: int) -> Column:
+    """Array of per-band bucket hashes straight from the __m{i} min
+    columns, no signature-array materialization."""
+    return F.array(*[
         F.xxhash64(F.concat_ws(
             ",", *[F.col(f"__m{b * rows + r}").cast("string")
                    for r in range(rows)]), F.lit(b))
         for b in range(bands)
     ])
-    return sigs.select("__id", F.posexplode(band_cols)
+
+
+def _band_buckets(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(__id, __band, __bucket) — band key straight from the min columns."""
+    return sigs.select("__id", F.posexplode(_band_cols(bands, rows))
                        .alias("__band", "__bucket"))
 
 
@@ -462,12 +466,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # ~2^-64-per-pair collision; persisted skinny (id, set, longs), tracked
     # for cache.release_cached()
     sigs = persist_tracked(_lsh_sigs(df, id_col, text_col, k, params))
-    buckets = _band_buckets(sigs, bands, rows)
-    a = buckets.toDF("id1", "__band", "__bucket")
-    b = buckets.toDF("id2", "__band", "__bucket")
-    cands = (a.join(b, ["__band", "__bucket"])
-             .filter(F.col("id1") < F.col("id2"))
-             .select("id1", "id2").distinct())
+    # r13: candidates via per-bucket sorted id lists + row-local pair
+    # expansion (one shuffle of the bucket stream) instead of the bucket
+    # self-join (two shuffles + join) — same set after the distinct (a
+    # doc appears at most once per (band, bucket))
+    groups = (_band_buckets(sigs, bands, rows)
+              .groupBy("__band", "__bucket")
+              .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+              .select("__ids"))
+    cands = _expand_sorted_pairs(groups).distinct()
     if not verify:
         return cands
     sh = sigs.select("__id", "__hs")
@@ -507,9 +514,25 @@ def minhash_pairs_against(new: DataFrame, corpus: DataFrame,
                                      tag_col="__is_new"))
     sig_new = sigs.filter(F.col("__is_new"))
     sig_old = sigs.filter(~F.col("__is_new"))
-    a = _band_buckets(sig_new, bands, rows).toDF("id1", "__band", "__bucket")
-    b = _band_buckets(sig_old, bands, rows).toDF("id2", "__band", "__bucket")
-    cands = a.join(b, ["__band", "__bucket"]).select("id1", "id2").distinct()
+    # r13: ONE grouped pass over the tagged bucket stream collects each
+    # (band, bucket)'s new-side and corpus-side id lists (collect_list
+    # skips the other side's NULLs); candidates cross-expand row-locally —
+    # the previous two-sided band join shuffled both bucket tables and
+    # joined them for the same combinations
+    buckets = sigs.select(
+        "__id", "__is_new",
+        F.posexplode(_band_cols(bands, rows)).alias("__band", "__bucket"))
+    groups = (buckets.groupBy("__band", "__bucket")
+              .agg(F.collect_list(F.when(F.col("__is_new"), F.col("__id")))
+                   .alias("__new"),
+                   F.collect_list(F.when(~F.col("__is_new"), F.col("__id")))
+                   .alias("__old"))
+              .select("__new", "__old")
+              .filter((F.size("__new") >= 1) & (F.size("__old") >= 1)))
+    cands = (groups
+             .select(F.explode("__new").alias("id1"), "__old")
+             .select("id1", F.explode("__old").alias("id2"))
+             .distinct())
     out = _verified_jaccard(cands, sig_new.select("__id", "__hs"),
                             sig_old.select("__id", "__hs"), threshold)
     return out.toDF("new_id", "corpus_id", "jaccard")
@@ -654,21 +677,33 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         .bitwiseAND(F.lit(mask))
         for i in range(n_bands)
     ])
-    buckets = sig_df.select("__id", "__sim",
+    # r13: per-bucket sorted (id, sim) lists + row-local pair expansion —
+    # one shuffle of the bucket stream instead of two join sides (ids are
+    # unique per (band, bucket): one bucket per band per doc, so struct
+    # sort order == id order and expanded pairs satisfy id1 < id2).
+    ent = F.struct(F.col("__id").alias("id"), F.col("__sim").alias("sim"))
+    groups = (sig_df.select(ent.alias("__e"),
                             F.posexplode(bands).alias("__band", "__bucket"))
-    a = buckets.toDF("id1", "sim1", "__band", "__bucket")
-    b = buckets.toDF("id2", "sim2", "__band", "__bucket")
+              .groupBy("__band", "__bucket")
+              .agg(F.sort_array(F.collect_list("__e")).alias("__es"))
+              .select("__es")
+              .filter(F.size("__es") >= 2))
+    pairs = (groups
+             .select(F.posexplode("__es").alias("__i", "__a"), "__es")
+             .select("__a", F.explode(F.slice("__es", F.col("__i") + 2,
+                                              F.size("__es"))).alias("__b"))
+             .filter(F.col("__a.id") < F.col("__b.id")))
     # Hamming filter BEFORE the distinct: with narrow bands (width 64/(h+1))
-    # bucket collisions are common, and the join can emit orders of magnitude
-    # more candidate rows than true pairs — filtering map-side means the
-    # distinct shuffle only carries rows that already passed the distance
-    # test, not the collision volume.
-    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
-    return (a.join(b, ["__band", "__bucket"])
-            .filter(F.col("id1") < F.col("id2"))
+    # bucket collisions are common, and the expansion can emit orders of
+    # magnitude more candidate rows than true pairs — filtering map-side
+    # means the distinct shuffle only carries rows that already passed the
+    # distance test, not the collision volume.
+    ham = F.bit_count(F.col("__a.sim").bitwiseXOR(F.col("__b.sim")))
+    return (pairs
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select("id1", "id2", "hamming").distinct())
+            .select(F.col("__a.id").alias("id1"),
+                    F.col("__b.id").alias("id2"), "hamming").distinct())
 
 
 # ------------------------------------------------- embedding cosine near-dup
