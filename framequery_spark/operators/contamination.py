@@ -175,6 +175,18 @@ def split_leakage_ngrams(df: DataFrame, split_col: str = "split",
              .select(F.xxhash64("gram").alias("gram"),
                      F.struct(F.col(id_col).alias("id"),
                               F.col(split_col).alias("split")).alias("e")))
+    if max_doc_freq is not None:
+        from .cache import persist_tracked
+        from .dedup import _drop_frequent_grams
+
+        # boilerplate grams drop BEFORE the grouping exchange: the
+        # doc-freq aggregate combines map-side (tiny shuffle of counts),
+        # the frequent set broadcasts, the anti-join filters map-side —
+        # dropped grams' occurrences never cross the wide shuffle.
+        # Tracked persist (two consumers); released by the caller via
+        # cache.release_cached() after materializing.
+        grams = persist_tracked(grams)
+        grams = _drop_frequent_grams(grams, max_doc_freq, key="gram")
     # ids are unique within a gram's list (ngram_strings dedupes per doc
     # and the split is a function of the id), so struct sort order == id
     # order and expanded pairs satisfy id_a < id_b like the old join
@@ -182,8 +194,6 @@ def split_leakage_ngrams(df: DataFrame, split_col: str = "split",
     groups = (grams.groupBy("gram")
               .agg(F.sort_array(F.collect_list("e")).alias("es"))
               .select("es"))
-    if max_doc_freq is not None:
-        groups = groups.where(F.size("es") <= max_doc_freq)
     pairs = (groups.where(F.size("es") >= 2)
              .select(F.posexplode("es").alias("__i", "a"), "es")
              .select("a", F.explode(F.slice("es", F.col("__i") + 2,

@@ -191,41 +191,66 @@ def _expand_sorted_pairs(groups: DataFrame) -> DataFrame:
             .filter(F.col("id1") < F.col("id2")))
 
 
-def _pair_overlap_table(sh: Optional[DataFrame],
-                        max_doc_freq: Optional[int],
-                        groups: Optional[DataFrame] = None) -> DataFrame:
-    """(id1, id2, __common, __n1, __n2) for every pair sharing >= 1 gram.
+def _drop_frequent_grams(sh: DataFrame, max_doc_freq: int,
+                         key: str = "__g") -> DataFrame:
+    """Drop grams whose doc-frequency exceeds the cap BEFORE any wide
+    shuffle: the doc-freq aggregate combines map-side (its exchange
+    carries ~one row per distinct gram per map partition — counts, not
+    occurrences), the FREQUENT set is tiny by construction (boilerplate:
+    > cap occurrences each) and broadcasts, and the anti-join drops the
+    quadratic groups map-side. Filtering AFTER the grouping aggregate
+    instead was measured catastrophically worse on boilerplate-heavy
+    corpora (r13 x100 probe: every dropped gram's occurrence list still
+    crossed the grouping exchange). Caller persists `sh` (two consumers:
+    this aggregate + the downstream grouping)."""
+    frequent = (sh.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_doc_freq))
+    # the USING-style join hoists the key column to the front — even for
+    # anti joins — so reselect in the original column order: downstream
+    # positional toDF renames would otherwise silently swap columns
+    cols = sh.columns
+    return sh.join(F.broadcast(frequent.select(key)), key,
+                   "left_anti").select(*cols)
 
-    r13 shape: the gram stream is pre-aggregated to per-gram sorted id
-    lists (:func:`_gram_groups`) and pairs expand ROW-LOCALLY — the gram
-    table crosses the network ONCE (the groupBy) instead of three times
-    (the previous per-id counts + two self-join sides), and the join
-    disappears entirely (guide §2.4 "remove shuffles outright" + the
-    verdict's pre-aggregate-to-id-list suggestion). The doc-freq cap is
-    now a plain size() filter on the grouped table instead of a separate
-    frequent-gram aggregate + broadcast anti-join, and the per-id counts
-    derive from the KEPT groups by construction (each id appears once
-    per gram), so they stay cap-consistent.
 
-    `groups` lets near_dup_config_sweep share ONE persisted grouped
-    table across every cap/measure over the same gram width (the cap is
-    applied after grouping, so differently-capped measures share it
-    too); when absent the groups are built from `sh` and persist-tracked
-    here (two consumers: counts + pair expansion).
+def _pair_overlap_table(sh: DataFrame,
+                        max_doc_freq: Optional[int]) -> DataFrame:
+    """(id1, id2, __common, __n1, __n2) for every pair sharing >= 1 gram —
+    the self-join + counts half of _blocked_set_jaccard_pairs, factored
+    out so different similarity measures over the SAME gram table (the
+    jaccard truth + a containment config in near_dup_config_sweep) share
+    one self-join instead of re-running it per measure. Output-sized.
 
-    Skew note (unchanged in kind): a gram shared by m docs still costs
-    m² expanded rows — `max_doc_freq` is the scale lever either way; the
-    grouped form additionally buffers one m-element list per mega-gram
-    during aggregation (ObjectHashAggregate spills to disk), where the
-    join buffered the same ids as join-side rows."""
+    - persist: the gram table feeds three branches (both join sides +
+      per-id counts); without it the gram expression recomputes 3x. At
+      corpus scale prefer MEMORY_AND_DISK or checkpoint to parquet
+      between stages.
+    - `max_doc_freq` pre-filters boilerplate map-side
+      (:func:`_drop_frequent_grams`) so quadratic groups never reach the
+      join.
+    - The pair generation stays a SELF-JOIN, deliberately NOT the grouped
+      id-list expansion used by winnow_pairs/split_leakage_ngrams: this
+      path's groups run up to the cap (or unbounded), and the r13 x10
+      probe measured the expansion 2-3x SLOWER there (near_dup_sweep x10
+      92-194 s grouped vs 45-81 s joined, same host, fresh JVMs
+      alternated) — for large groups the join's hash probe emits the
+      same C(m,2) rows far cheaper than the Generate+slice expansion,
+      and the grouped form adds an array-heavy persisted intermediate.
+      The winnow/split shapes keep the expansion because their group
+      sizes are small/bounded and they shed a whole persist + distinct
+      exchange by it (measured wins at sf0.1)."""
     from .cache import persist_tracked
 
-    g = groups if groups is not None else persist_tracked(_gram_groups(sh))
+    sh = persist_tracked(sh)
     if max_doc_freq is not None:
-        g = g.filter(F.size("__ids") <= max_doc_freq)
-    counts = (g.select(F.explode("__ids").alias("__id"))
-              .groupBy("__id").agg(F.count(F.lit(1)).alias("__n")))
-    common = (_expand_sorted_pairs(g)
+        sh = _drop_frequent_grams(sh, max_doc_freq)
+    counts = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+
+    a = sh.toDF("id1", "__g")
+    b = sh.toDF("id2", "__g")
+    common = (a.join(b, "__g")
+              .filter(F.col("id1") < F.col("id2"))
               .groupBy("id1", "id2")
               .agg(F.count(F.lit(1)).alias("__common")))
     c1 = counts.toDF("id1", "__n1")
@@ -466,15 +491,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # ~2^-64-per-pair collision; persisted skinny (id, set, longs), tracked
     # for cache.release_cached()
     sigs = persist_tracked(_lsh_sigs(df, id_col, text_col, k, params))
-    # r13: candidates via per-bucket sorted id lists + row-local pair
-    # expansion (one shuffle of the bucket stream) instead of the bucket
-    # self-join (two shuffles + join) — same set after the distinct (a
-    # doc appears at most once per (band, bucket))
-    groups = (_band_buckets(sigs, bands, rows)
-              .groupBy("__band", "__bucket")
-              .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
-              .select("__ids"))
-    cands = _expand_sorted_pairs(groups).distinct()
+    # band-bucket SELF-JOIN, deliberately NOT the grouped id-list
+    # expansion used for gram pairs: bucket streams are singleton-
+    # dominated (most (band, bucket) keys hold one doc), so a grouping
+    # aggregate pays ObjectHashAggregate cost on every bucket while the
+    # join only materializes collisions — measured r13 same-host x10/x100
+    # probe: grouped 31.7/304.9 s vs join 23.9/179.2 s. The gram-pair
+    # case is the opposite (multi-doc groups, stream consumed 3x by the
+    # join shape) — see _pair_overlap_table.
+    buckets = _band_buckets(sigs, bands, rows)
+    a = buckets.toDF("id1", "__band", "__bucket")
+    b = buckets.toDF("id2", "__band", "__bucket")
+    cands = (a.join(b, ["__band", "__bucket"])
+             .filter(F.col("id1") < F.col("id2"))
+             .select("id1", "id2").distinct())
     if not verify:
         return cands
     sh = sigs.select("__id", "__hs")
@@ -514,25 +544,11 @@ def minhash_pairs_against(new: DataFrame, corpus: DataFrame,
                                      tag_col="__is_new"))
     sig_new = sigs.filter(F.col("__is_new"))
     sig_old = sigs.filter(~F.col("__is_new"))
-    # r13: ONE grouped pass over the tagged bucket stream collects each
-    # (band, bucket)'s new-side and corpus-side id lists (collect_list
-    # skips the other side's NULLs); candidates cross-expand row-locally —
-    # the previous two-sided band join shuffled both bucket tables and
-    # joined them for the same combinations
-    buckets = sigs.select(
-        "__id", "__is_new",
-        F.posexplode(_band_cols(bands, rows)).alias("__band", "__bucket"))
-    groups = (buckets.groupBy("__band", "__bucket")
-              .agg(F.collect_list(F.when(F.col("__is_new"), F.col("__id")))
-                   .alias("__new"),
-                   F.collect_list(F.when(~F.col("__is_new"), F.col("__id")))
-                   .alias("__old"))
-              .select("__new", "__old")
-              .filter((F.size("__new") >= 1) & (F.size("__old") >= 1)))
-    cands = (groups
-             .select(F.explode("__new").alias("id1"), "__old")
-             .select("id1", F.explode("__old").alias("id2"))
-             .distinct())
+    # two-sided band-bucket join (not a grouped expansion — bucket keys
+    # are singleton-dominated, see minhash_lsh_pairs)
+    a = _band_buckets(sig_new, bands, rows).toDF("id1", "__band", "__bucket")
+    b = _band_buckets(sig_old, bands, rows).toDF("id2", "__band", "__bucket")
+    cands = a.join(b, ["__band", "__bucket"]).select("id1", "id2").distinct()
     out = _verified_jaccard(cands, sig_new.select("__id", "__hs"),
                             sig_old.select("__id", "__hs"), threshold)
     return out.toDF("new_id", "corpus_id", "jaccard")
@@ -677,33 +693,23 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         .bitwiseAND(F.lit(mask))
         for i in range(n_bands)
     ])
-    # r13: per-bucket sorted (id, sim) lists + row-local pair expansion —
-    # one shuffle of the bucket stream instead of two join sides (ids are
-    # unique per (band, bucket): one bucket per band per doc, so struct
-    # sort order == id order and expanded pairs satisfy id1 < id2).
-    ent = F.struct(F.col("__id").alias("id"), F.col("__sim").alias("sim"))
-    groups = (sig_df.select(ent.alias("__e"),
+    # band-bucket self-join (not a grouped expansion — bucket keys are
+    # mostly singletons at production band widths, see minhash_lsh_pairs)
+    buckets = sig_df.select("__id", "__sim",
                             F.posexplode(bands).alias("__band", "__bucket"))
-              .groupBy("__band", "__bucket")
-              .agg(F.sort_array(F.collect_list("__e")).alias("__es"))
-              .select("__es")
-              .filter(F.size("__es") >= 2))
-    pairs = (groups
-             .select(F.posexplode("__es").alias("__i", "__a"), "__es")
-             .select("__a", F.explode(F.slice("__es", F.col("__i") + 2,
-                                              F.size("__es"))).alias("__b"))
-             .filter(F.col("__a.id") < F.col("__b.id")))
+    a = buckets.toDF("id1", "sim1", "__band", "__bucket")
+    b = buckets.toDF("id2", "sim2", "__band", "__bucket")
     # Hamming filter BEFORE the distinct: with narrow bands (width 64/(h+1))
-    # bucket collisions are common, and the expansion can emit orders of
-    # magnitude more candidate rows than true pairs — filtering map-side
-    # means the distinct shuffle only carries rows that already passed the
-    # distance test, not the collision volume.
-    ham = F.bit_count(F.col("__a.sim").bitwiseXOR(F.col("__b.sim")))
-    return (pairs
+    # bucket collisions are common, and the join can emit orders of magnitude
+    # more candidate rows than true pairs — filtering map-side means the
+    # distinct shuffle only carries rows that already passed the distance
+    # test, not the collision volume.
+    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    return (a.join(b, ["__band", "__bucket"])
+            .filter(F.col("id1") < F.col("id2"))
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select(F.col("__a.id").alias("id1"),
-                    F.col("__b.id").alias("id2"), "hamming").distinct())
+            .select("id1", "id2", "hamming").distinct())
 
 
 # ------------------------------------------------- embedding cosine near-dup
@@ -1114,11 +1120,19 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("winnow_pairs: min_shared must be >= 1")
     fps = (_winnow_fp_set(df, id_col, text_col, k, window)
            .select(F.col(id_col).alias("__id"), F.col("fp").alias("__g")))
+    if max_doc_freq is not None:
+        from .cache import persist_tracked
+
+        # pre-filter boilerplate fingerprints map-side (tiny combined
+        # count shuffle + broadcast anti-join) so dropped fingerprints'
+        # occurrences never cross the grouping exchange; rows are unique
+        # per (id, fp) by construction (_winnow_fp_set dedupes per doc),
+        # so the row counts equal the doc frequencies
+        fps = persist_tracked(fps)
+        fps = _drop_frequent_grams(fps, max_doc_freq)
     # dedup_ids folds the previous explicit .distinct() (its own exchange)
     # into the grouping aggregate: set-collect per fingerprint
     g = _gram_groups(fps, dedup_ids=True)
-    if max_doc_freq is not None:
-        g = g.filter(F.size("__ids") <= max_doc_freq)
     return (_expand_sorted_pairs(g)
             .groupBy("id1", "id2")
             .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -1201,30 +1215,32 @@ def near_dup_config_sweep(df: DataFrame, configs: dict,
         raise ValueError("near_dup_config_sweep: configs is empty")
     from .cache import persist_tracked
 
-    # Shared per-gram id-list table: the default truth and any jaccard/
-    # containment config over the same gram width share ONE persisted
-    # _gram_groups aggregate — and because the doc-freq cap is now a
-    # post-grouping size() filter, measures with DIFFERENT caps share it
-    # too (r12 could only share per (k, cap)). The corpus is scanned and
-    # grouped once per DISTINCT gram width, not once per pipeline.
-    shared_groups: dict = {}
+    # Shared gram scan: the default truth and any jaccard/containment
+    # config consume the SAME exploded (id, xxhash64(shingle)) table for
+    # a given k — compute it once per k and persist (re-persisting the
+    # same handle inside _pair_overlap_table is a same-level no-op), so
+    # a sweep scans the corpus once per DISTINCT gram width, not once
+    # per pipeline.
+    shared_sh: dict = {}
     # one persisted (id1, id2, common, n1, n2) overlap table per
     # (k, max_doc_freq): the truth and every jaccard/containment config
-    # over the same gram width share ONE pair expansion — the sweep's
-    # dominant stage — instead of re-running it per measure (r12)
+    # over the same gram width share ONE grouped pair expansion — the
+    # sweep's dominant stage — instead of re-running it per measure;
+    # each (k, cap) pre-filters its boilerplate from the cached gram
+    # stream map-side (see _drop_frequent_grams) before grouping.
     shared_overlap: dict = {}
 
-    def _groups_of(k: int) -> DataFrame:
-        if k not in shared_groups:
+    def _gram_table(k: int) -> DataFrame:
+        if k not in shared_sh:
             sh = (_shingle_table(df, id_col, text_col, k)
                   .select("__id", F.xxhash64("__shingle").alias("__g")))
-            shared_groups[k] = persist_tracked(_gram_groups(sh))
-        return shared_groups[k]
+            shared_sh[k] = persist_tracked(sh)
+        return shared_sh[k]
 
     def _overlap(k: int, cap) -> DataFrame:
         if (k, cap) not in shared_overlap:
             shared_overlap[(k, cap)] = persist_tracked(
-                _pair_overlap_table(None, cap, groups=_groups_of(k)))
+                _pair_overlap_table(_gram_table(k), cap))
         return shared_overlap[(k, cap)]
 
     if exact is None:

@@ -32,12 +32,9 @@ def _docs(spark, n=60):
     return spark.createDataFrame(rows, "doc_id long, text string, split string")
 
 
-# split_leakage_ngrams left this list in r13: its gram-group table now has
-# a single consumer (row-local pair expansion replaced the self-join), so
-# the operator no longer persists anything — nothing to leak.
 @pytest.mark.parametrize("run", [
     "jaccard_pairs", "minhash_lsh_pairs", "simhash_near_pairs",
-    "dedup_against",
+    "dedup_against", "split_leakage_ngrams",
 ])
 def test_tracked_persists_released(spark, run):  # noqa: F811
     from framequery_spark.operators.cache import release_cached

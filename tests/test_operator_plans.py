@@ -570,16 +570,16 @@ def test_trgm_pairs_is_gram_keyed_equi_join(docs):
     _assert_no_cartesian(trgm_pairs(docs, threshold=0.8))
 
 
-def test_trgm_pairs_frequency_cap_is_local_size_filter(docs):
+def test_trgm_pairs_frequency_cap_is_broadcast_anti_join(docs):
     from framequery_spark.operators.dedup import trgm_pairs
 
     plan = formatted_plan(trgm_pairs(docs, threshold=0.8, max_doc_freq=50))
-    # r13: the frequent-trigram screen is a size() filter on the grouped
-    # (gram -> id list) table — no anti-join, no extra pass over the gram
-    # stream; and the pair generation is a row-local expansion, so the
-    # gram stream itself is never a join input
-    assert "LeftAnti" not in plan, plan
-    assert "size(__ids" in plan, plan  # the cap filter + expansion
+    # the frequent-trigram screen must broadcast the SMALL frequent set
+    # and anti-join map-side BEFORE any wide shuffle — never shuffle the
+    # gram stream for it, and never ship dropped grams' occurrences
+    # through a grouping (r13 probe: post-group filtering was
+    # catastrophic on boilerplate-heavy corpora)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
 def test_group_sample_window_is_group_partitioned(docs):
@@ -756,15 +756,21 @@ def test_winnow_fingerprints_row_local_no_udf(docs):
     assert "Generate" in plan, plan  # the explode
 
 
-def test_winnow_pairs_has_no_join_at_all(docs):
+def test_winnow_pairs_only_join_is_the_cap_anti_join(docs):
     from framequery_spark.operators.dedup import winnow_pairs
 
     plan = formatted_plan(winnow_pairs(docs, max_doc_freq=20))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # r13: pair generation is group-by-fingerprint + row-local expansion —
-    # the fingerprint stream shuffles exactly once and is never joined
-    assert "Join" not in plan, plan
+    # the only join left is the broadcast anti-join of the tiny frequent
+    # set (the boilerplate cap); the fingerprint stream is never a
+    # shuffle-join input
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan, plan
+    # without a cap there is no join at all
+    plan2 = formatted_plan(winnow_pairs(docs, max_doc_freq=None))
+    assert "Join" not in plan2, plan2
 
 
 def test_containment_pairs_blocked_join_shape(docs):
