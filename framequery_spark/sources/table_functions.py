@@ -1018,14 +1018,16 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
                            args[2] if len(args) > 2 else None)
         return _explode_json(left, seq, "unnest", alias,
                              ordinality=tf.ordinality,
-                             col_name=_single_col_name(tf))
+                             col_name=_single_col_name(tf),
+                             col_names=tf.column_names)
     if name == "string_to_table":
         ec = qc._expr_compiler()
         arr = _pg_split(ec.compile(tf.args[0]).cast("string"),
                         ec.compile(tf.args[1]))
         return _explode_json(left, arr, "unnest", alias,
                              ordinality=tf.ordinality,
-                             col_name=_single_col_name(tf))
+                             col_name=_single_col_name(tf),
+                             col_names=tf.column_names)
     if name in ("json_each", "json_array_elements", "unnest"):
         ec = qc._expr_compiler()
         arg = ec.compile(tf.args[0])
@@ -1044,7 +1046,8 @@ def compile_lateral(qc, left: DataFrame, tf: ast.TableFunction) -> DataFrame:
         arg = F.split(ec.compile(tf.args[0]), ec.compile(tf.args[1]))
         return _explode_json(left, arg, "unnest", alias,
                              ordinality=tf.ordinality,
-                             col_name=_single_col_name(tf))
+                             col_name=_single_col_name(tf),
+                             col_names=tf.column_names)
 
     if name in qc.session.lateral_functions:
         from .lateral_udtf import apply_lateral_udtf
@@ -1093,6 +1096,14 @@ def _explode_json(df: DataFrame, arg, name: str, alias: str,
     # col_name via _single_col_name). Applied here, INSIDE the relation
     # the SubqueryAlias wraps, so `u.x` and bare `x` both resolve.
     cn = list(col_names or [])
+    # pg errors on more alias names than produced columns; silently
+    # ignoring the surplus would leave wrong-looking-but-unnamed columns
+    # (and the non-lateral compile_table_function already raises)
+    produced = (2 if name == "json_each" else 1) + (1 if ordinality else 0)
+    if len(cn) > produced:
+        raise CompileError(
+            f"table function {name} returns {produced} columns, "
+            f"alias names {len(cn)}")
 
     def _nm(pos: int, default: str) -> str:
         return cn[pos] if pos < len(cn) else default

@@ -54,6 +54,41 @@ def test_lateral_column_alias_qualified(spark, scope):
     assert rows(fq.execute(q, scope, spark=spark)) == [("x", 1), ("y", 2)]
 
 
+def test_lateral_ordinality_alias_on_series_and_split(spark, scope):
+    # r13 (ADVICE): the generate_series / string_to_table /
+    # regexp_split_to_table lateral branches must forward the alias
+    # column list too, so `AS t(x, o)` names the ORDINAL column and both
+    # `o` and `t.o` resolve (previously only the json/unnest branch did)
+    q = ("select p.id, t.x, t.o from payloads p, "
+         "lateral generate_series(1, p.id) with ordinality as t(x, o) "
+         "order by p.id, t.o")
+    out = rows(fq.execute(q, scope, spark=spark))
+    assert out == [(1, 1, 1), (2, 1, 1), (2, 2, 2)]
+    q = ("select w, o from payloads p, "
+         "lateral regexp_split_to_table('a b', '\\s+') "
+         "with ordinality as t(w, o) where p.id = 1 order by o")
+    assert rows(fq.execute(q, scope, spark=spark)) == [("a", 1), ("b", 2)]
+    q = ("select t.piece from payloads p, "
+         "lateral string_to_table('x,y', ',') as t(piece) "
+         "where p.id = 2 order by t.piece")
+    assert rows(fq.execute(q, scope, spark=spark)) == [("x",), ("y",)]
+
+
+def test_lateral_surplus_alias_names_error(spark, scope):
+    # r13 (ADVICE): pg errors when the alias list names more columns than
+    # the function produces; the lateral path must too (the non-lateral
+    # compile_table_function already raised)
+    from framequery_spark.compiler.expressions import CompileError
+
+    for q in (
+        "select 1 from payloads p, lateral json_each(p.payload) as t(k, v, o)",
+        "select 1 from payloads p, lateral json_array_elements(p.arr) as t(x, y)",
+        "select 1 from payloads p, lateral generate_series(1, 2) as t(a, b)",
+    ):
+        with pytest.raises(CompileError, match="alias names"):
+            fq.execute(q, scope, spark=spark).collect()
+
+
 def test_json_each_constant(spark, scope):
     q = """select key, value from json_each('{"a": "1", "b": "2"}')"""
     out = rows(fq.execute(q, scope, spark=spark))
